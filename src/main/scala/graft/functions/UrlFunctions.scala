@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL normalization — the scalar layer behind url duplicate grouping.
+  *
+  * Semantics (reference `cir_duplicate_detector/url.py:11-29`
+  * `extract_base_url`): lowercase the WHOLE url, then keep
+  * `netloc + path [+ ";" params] [+ "?" query]` — i.e. strip only the
+  * scheme and the `#fragment`. Scheme-less input ("example.com/path")
+  * parses with an empty netloc so the path carries the host, which makes
+  * it equal to its `http://` spelling after normalization.
+  *
+  * We express that as a pure column pipeline (whole-stage codegen, and
+  * directly twin-able in ANSI SQL for the DuckDB oracle) instead of a
+  * UDF around a URI parser:
+  *
+  *   lower(url) -> strip `^[a-z][a-z0-9+.-]*://` -> strip first `#` to end
+  *
+  * This reproduces urllib.parse semantics for every http(s)-ish url —
+  * urlparse splits `;params` off the last path segment and the reference
+  * immediately re-concatenates it (`url.py:22-27`), so params/query
+  * handling is an identity there. Known (intentional) divergence: inputs
+  * like `example.com:8080/x` where urllib mis-reads `example.com` as a
+  * scheme; the regex requires `://` and leaves such urls intact.
+  * Goldens: reference `tests/unit/test_url.py:28-47`.
+  */
+object UrlFunctions {
+  private val SchemeRe = "^[a-z][a-z0-9+.-]*://"
+
+  /** `extract_base_url` as a native column expression. Null-safe (null in
+    * -> null out), codegen-friendly, no shuffle. */
+  def normalizeUrl(url: Column): Column =
+    regexp_replace(regexp_replace(lower(url), SchemeRe, ""), "(?s)#.*$", "")
+
+  /** Plain-Scala twin used in unit tests and available as a UDF. */
+  def normalizeUrl(url: String): String = {
+    if (url == null) null
+    else {
+      val lowered = url.toLowerCase
+      val noScheme = lowered.replaceFirst(SchemeRe, "")
+      val hash = noScheme.indexOf('#')
+      if (hash >= 0) noScheme.substring(0, hash) else noScheme
+    }
+  }
+
+  /** DuckDB-dialect twin of [[normalizeUrl]], parameterized on the input
+    * SQL expression — single source of truth for the oracle strings. */
+  def normalizeUrlSql(expr: String): String =
+    s"regexp_replace(regexp_replace(lower($expr), '^[a-z][a-z0-9+.-]*://', ''), '#.*$$', '', 's')"
+}

@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.functions.HashFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PDQ perceptual-hash fuzzy-duplicate detection.
+  *
+  * Reference: `cir_duplicate_detector/pdq_hash.py:76-257`
+  * `find_pdq_hash_duplicates` + the two backends
+  * (`naive_duplicate_detector.py`, `bk_tree.py`). Semantics:
+  *
+  *  1. explode `pdq_hash: array<string>` to (index, hash) rows
+  *     (`pdq_hash.py:163`), dropping nulls (`:156-160`);
+  *  2. drop literal (index, hash) duplicate pairs (`utils.py:55-87`);
+  *  3. hex -> 256-bit domain (`utils.py:32-52`);
+  *  4. similarity join: pairs with Hamming distance <= n where
+  *     `n = rint(256 * (1 - threshold))` (`utils.py:19-29`), probes
+  *     restricted to `indexesToCheck` (`pdq_hash.py:209-213`);
+  *  5. bidirectional formatting (`pdq_hash.py:18-73`): every (src, dst)
+  *     edge annotates BOTH endpoints — including partners outside the
+  *     probe set — self-pairs dropped, per-pair dedupe, rows without any
+  *     duplicate omitted, sorted by index.
+  *
+  * The reference's three backends (naive all-pairs / BK-tree / the
+  * never-implemented "mih") are physical STRATEGIES with identical
+  * results. Here:
+  *
+  *  - [[Strategy.Naive]]: distinct-hash θ-join (crossJoin + verify) —
+  *    the semantic reference, right when |probe hashes| is small (Spark
+  *    plans it as a BroadcastNestedLoopJoin).
+  *  - [[Strategy.Banded]]: the multi-index-hashing idea the reference
+  *    stubbed: pigeonhole banding. Split each 64-char hex hash into
+  *    n+1 nibble-aligned bands; dist <= n implies at least one band is
+  *    byte-identical, so a shuffle-hash equi-join on (band_id, band)
+  *    yields a complete candidate set, verified by exact Hamming. This
+  *    is the 100 TB path: no quadratic blowup, plain shuffles.
+  *
+  * Both strategies operate on DISTINCT canonical hash values and re-
+  * attach indexes afterwards — exact-duplicate-heavy corpora (the
+  * common case) collapse before the expensive join, which also defuses
+  * banding skew from viral/black-frame hashes.
+  *
+  * Hashes longer than 64 hex chars (> 256 bits — tolerated by the
+  * reference with pad-semantics Hamming, `tests/unit/test_pdq_hash.py:
+  * 126-146`) are auto-detected and routed to a binary-string parity
+  * path; the fixed-width fast path covers real PDQ data. Pass
+  * `assumeFixed256 = true` to skip the detection scan at scale.
+  */
+object PdqDuplicates {
+
+  sealed trait Strategy
+  object Strategy {
+    case object Naive extends Strategy
+    case object Banded extends Strategy
+
+    /** Reference method-name dispatch (`pdq_hash.py:195-222`): "naive"
+      * -> Naive; "bk-tree" and "mih" -> Banded (the metric-index
+      * equivalents); anything else is an error. */
+    def fromMethod(method: String): Strategy = method.toLowerCase match {
+      case "naive"           => Naive
+      case "bk-tree" | "mih" => Banded
+      case other => throw new IllegalArgumentException(s"Unknown duplicate detection method: $other")
+    }
+  }
+
+  val outputSchema: StructType = StructType(Seq(
+    StructField("index", StringType),
+    StructField("pdq_hash_duplicates", ArrayType(StringType)),
+    StructField("pdq_hash_similarities", ArrayType(DoubleType))
+  ))
+
+  def emptyResult(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outputSchema)
+
+  /** @param df (index: string, pdq_hash: array<string>); index unique.
+    * @return (index, pdq_hash_duplicates: array<string>,
+    *         pdq_hash_similarities: array<double>) sorted by index;
+    *         duplicate arrays sorted ascending by partner index with
+    *         similarities positionally aligned (SURVEY.md §7.6 policy).
+    */
+  def apply(
+      df: DataFrame,
+      indexesToCheck: Option[Seq[String]] = None,
+      similarityThreshold: Double = 0.8,
+      strategy: Strategy = Strategy.Naive,
+      assumeFixed256: Boolean = false
+  ): DataFrame = {
+    validateThreshold(similarityThreshold)
+    val spark = df.sparkSession
+
+    if (indexesToCheck.exists(_.isEmpty)) return emptyResult(spark)
+
+    // steps 1+2: explode + literal-pair dedupe. Spark's explode already
+    // drops nulls and empty arrays (pandas explode emits a NaN row that
+    // the reference later ignores — same effective relation).
+    val exploded = df
+      .filter(col("pdq_hash").isNotNull)
+      .select(col("index"), explode(col("pdq_hash")).as("hash"))
+      .filter(col("hash").isNotNull)
+      .dropDuplicates("index", "hash")
+
+    val fixedWidth = assumeFixed256 || {
+      val row = exploded.agg(min(length(col("hash"))), max(length(col("hash")))).head()
+      if (row.isNullAt(1)) return emptyResult(spark) // no hashes at all
+      row.getInt(0) >= 1 && row.getInt(1) <= 64
+    }
+
+    val n = absoluteThreshold(PdqHashLength, similarityThreshold)
+
+    // canonical hash value: fixed path = zero-padded lowercase hex64;
+    // parity path = the reference's binary string (distinct hex
+    // spellings of the same value collapse in both).
+    val toBinUdf = udf(hexToBinaryString _)
+    val indexed = (
+      if (fixedWidth) exploded.select(col("index"), canonicalHex64(col("hash")).as("chash"))
+      else exploded.select(col("index"), toBinUdf(col("hash")).as("chash"))
+    ).dropDuplicates("index", "chash")
+
+    val corpusHashes = indexed.select("chash").distinct()
+    val probeIdx = indexesToCheck match {
+      case Some(checked) => indexed.filter(col("index").isin(checked: _*))
+      case None          => indexed
+    }
+    val probeHashes = probeIdx.select(col("chash").as("phash")).distinct()
+
+    // step 4: similarity join at hash level -> (phash, chash, dist)
+    val hashEdges: DataFrame =
+      if (!fixedWidth) {
+        val hammingUdf = udf(hammingPadded _)
+        probeHashes
+          .crossJoin(corpusHashes)
+          .withColumn("dist", hammingUdf(col("phash"), col("chash")))
+          .filter(col("dist") <= n)
+      } else strategy match {
+        case Strategy.Naive | Strategy.Banded if n >= 64 =>
+          // banding needs n+1 <= 64 nibble bands; past that the candidate
+          // set degenerates, the θ-join is the honest plan.
+          naiveHashJoin(probeHashes, corpusHashes, n)
+        case Strategy.Naive =>
+          naiveHashJoin(probeHashes, corpusHashes, n)
+        case Strategy.Banded =>
+          bandedHashJoin(probeHashes, corpusHashes, n)
+      }
+
+    // expand hash edges to index edges: src restricted to probes
+    val edges = hashEdges
+      .join(probeIdx.select(col("index").as("src"), col("chash").as("phash")), Seq("phash"))
+      .join(indexed.select(col("index").as("dst"), col("chash")), Seq("chash"))
+      .select("src", "dst", "dist")
+
+    format(edges)
+  }
+
+  private def naiveHashJoin(probes: DataFrame, corpus: DataFrame, n: Int): DataFrame =
+    probes
+      .withColumn("pwords", hexToWords(col("phash")))
+      .crossJoin(corpus.withColumn("cwords", hexToWords(col("chash"))))
+      .withColumn("dist", hammingWords(col("pwords"), col("cwords")))
+      .filter(col("dist") <= n)
+      .select("phash", "chash", "dist")
+
+  private def bandedHashJoin(probes: DataFrame, corpus: DataFrame, n: Int): DataFrame = {
+    val nBands = n + 1
+    def banded(df: DataFrame, hashCol: String) = df
+      .select(col(hashCol), explode(hexBands(col(hashCol), nBands)).as("b"))
+      .select(col(hashCol), col("b.band_id"), col("b.band"))
+    val candidates = banded(probes, "phash")
+      .join(banded(corpus, "chash"), Seq("band_id", "band"))
+      .select("phash", "chash")
+      .distinct()
+    candidates
+      .withColumn("dist", hammingWords(hexToWords(col("phash")), hexToWords(col("chash"))))
+      .filter(col("dist") <= n)
+  }
+
+  /** Step 5 — the reference's `pdq_hash_output_formatter`
+    * (`pdq_hash.py:18-73`) as a relational rewrite: symmetrize edges,
+    * drop self-pairs, dedupe per (src, dst) keeping the smallest
+    * distance, aggregate partner lists with deterministic ordering. */
+  private[graft] def format(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst")
+      .agg(min("dist").as("dist"))
+
+    sym
+      .groupBy(col("src").as("index"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("dist")))).as("ms"))
+      .select(
+        col("index"),
+        transform(col("ms"), m => m.getField("dst")).as("pdq_hash_duplicates"),
+        transform(col("ms"), m => similarity(m.getField("dist"))).as("pdq_hash_similarities")
+      )
+      .orderBy("index")
+  }
+}

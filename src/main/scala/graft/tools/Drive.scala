@@ -1,0 +1,34 @@
+package graft.tools
+import org.apache.spark.sql.{SparkSession, Row}
+import org.apache.spark.sql.types._
+import graft.operators._
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]").config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val schema = StructType(Seq(StructField("index",StringType),StructField("url",StringType),StructField("pdq_hash",ArrayType(StringType))))
+    val h1 = "68ed3b84e3e3c6cc1e38e1c13e3be14a1e79d624c5f97c26831bbc6a94e48391"
+    val h1near = "68ed3b84e3e3c6cc1e38e1c13e3be14a1e79d624c5f97c26831bbc6a94e48390"
+    val data = Seq(
+      Row("A","https://News.example.com/story#frag", Seq(h1)),
+      Row("B","news.example.com/story", Seq(h1near)),
+      Row("C","http://other.com/x", Seq("0000000000000000000000000000000000000000000000000000000000000000")),
+      Row("D",null, null)
+    )
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(data), schema)
+    println("=== detect_duplicates naive ===")
+    DetectDuplicates(df, similarityThreshold = 0.9, method = "naive").show(false)
+    println("=== detect_duplicates bk-tree (banded) ===")
+    DetectDuplicates(df, similarityThreshold = 0.9, method = "bk-tree").show(false)
+    println("=== probe: unknown method ===")
+    try { DetectDuplicates(df, method = "quantum") } catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
+    println("=== probe: threshold 1.5 ===")
+    try { DetectDuplicates(df, similarityThreshold = 1.5) } catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
+    println("=== probe: duplicate index ===")
+    try { DetectDuplicates(spark.createDataFrame(spark.sparkContext.parallelize(data :+ Row("A","x",null)), schema)) } catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
+    println("=== probe: checked subset {B} ===")
+    DetectDuplicates(df, indexesToCheck = Some(Seq("B")), similarityThreshold = 0.9).show(false)
+    println("DRIVE_DONE")
+    spark.stop()
+  }
+}
