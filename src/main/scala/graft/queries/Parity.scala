@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.operators.{DetectDuplicates, PdqDuplicates, UrlDuplicates}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import Tables.tbl
+
+/** The reference's own query surface (url grouping, PDQ fuzzy dedup, the
+  * combined detect API) exercised over deterministic synthetic columns
+  * derived from the testdata tables, so the DuckDB oracle can re-derive
+  * the identical input and replay the identical pipeline in SQL.
+  *
+  * Synthetic url: scheme variant by event_id%3 (https/http/none), case
+  * variant by event_id%5 (upper host), fragment by event_id%4 — rows
+  * sharing (user_id%20, event_id%50) normalize to the same base url.
+  * Synthetic PDQ: md5-derived 64-hex hashes keyed by doc_id%50; every
+  * 5th doc flips the last nibble (Hamming 1-4 — near-dup at radius 5);
+  * every 11th doc strips leading zeros (exercises zfill); every 7th doc
+  * carries a second hash pointing at the next group (exercises explode
+  * and multi-hash rows).
+  */
+object Parity {
+
+  // ---- shared Spark-side synth builders -------------------------------
+
+  private[graft] def urlFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "events")
+    e.select(
+      lpad(col("event_id").cast("string"), 8, "0").as("index"),
+      concat(
+        when(col("event_id") % 3 === 0, "https://")
+          .when(col("event_id") % 3 === 1, "http://").otherwise(""),
+        when(col("event_id") % 5 === 0, "SHOP-").otherwise("shop-"),
+        (col("user_id") % 20).cast("string"),
+        lit(".example.com/item/"),
+        (col("event_id") % 50).cast("string"),
+        when(col("event_id") % 4 === 0, concat(lit("#sec"), col("event_id").cast("string"))).otherwise("")
+      ).as("url")
+    )
+  }
+
+  /** DuckDB twin of [[urlFrame]]. */
+  private val urlFrameSql: String = """
+    SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS idx,
+           (CASE WHEN event_id % 3 = 0 THEN 'https://' WHEN event_id % 3 = 1 THEN 'http://' ELSE '' END)
+           || (CASE WHEN event_id % 5 = 0 THEN 'SHOP-' ELSE 'shop-' END)
+           || CAST(user_id % 20 AS VARCHAR) || '.example.com/item/' || CAST(event_id % 50 AS VARCHAR)
+           || (CASE WHEN event_id % 4 = 0 THEN '#sec' || CAST(event_id AS VARCHAR) ELSE '' END) AS url
+    FROM events"""
+
+  private[graft] def pdqFrame(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val g = (col("doc_id") % 50).cast("string")
+    val g2 = ((col("doc_id") + 1) % 50).cast("string")
+    val base = concat(md5(g), md5(concat(g, lit("s"))))
+    val base2 = concat(md5(g2), md5(concat(g2, lit("s"))))
+    val h1 = when(col("doc_id") % 5 === 0,
+      concat(substring(base, 1, 63),
+        when(substring(base, 64, 1) === "0", "1").otherwise("0"))).otherwise(base)
+    val h1s = when(col("doc_id") % 11 === 0, regexp_replace(h1, "^0+", "")).otherwise(h1)
+    d.select(
+      lpad(col("doc_id").cast("string"), 8, "0").as("index"),
+      when(col("doc_id") % 7 === 0, array(h1s, base2)).otherwise(array(h1s)).as("pdq_hash")
+    )
+  }
+
+  /** DuckDB twin of [[pdqFrame]] → rows (idx, pdq LIST(VARCHAR)). */
+  private val pdqFrameSql: String = """
+    SELECT idx, CASE WHEN doc_id % 7 = 0 THEN [h1s, base2] ELSE [h1s] END AS pdq
+    FROM (
+      SELECT idx, doc_id, base2,
+             CASE WHEN doc_id % 11 = 0 THEN regexp_replace(h1, '^0+', '') ELSE h1 END AS h1s
+      FROM (
+        SELECT idx, doc_id, base2,
+               CASE WHEN doc_id % 5 = 0
+                 THEN substr(base, 1, 63) || (CASE WHEN substr(base, 64, 1) = '0' THEN '1' ELSE '0' END)
+                 ELSE base END AS h1
+        FROM (
+          SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS idx, doc_id,
+                 md5(CAST(doc_id % 50 AS VARCHAR)) || md5(CAST(doc_id % 50 AS VARCHAR) || 's') AS base,
+                 md5(CAST((doc_id + 1) % 50 AS VARCHAR)) || md5(CAST((doc_id + 1) % 50 AS VARCHAR) || 's') AS base2
+          FROM documents
+        )
+      )
+    )"""
+
+  /** Oracle replay of the url pipeline over a (idx, url) relation. */
+  private def urlDupsSql(inputSql: String): String = s"""
+    WITH t AS ($inputSql),
+    n AS (
+      SELECT idx, regexp_replace(regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''), '#.*$$', '', 's') AS base_url
+      FROM t WHERE url IS NOT NULL
+    ),
+    g AS (SELECT base_url, list(idx ORDER BY idx) AS members, count(*) AS c FROM n GROUP BY base_url)
+    SELECT n.idx AS "index", list_filter(g.members, m -> m <> n.idx) AS url_duplicates
+    FROM n JOIN g USING (base_url) WHERE g.c > 1"""
+
+  /** Oracle replay of the pdq pipeline (radius 5 = threshold 0.98) over a
+    * (idx, pdq LIST(VARCHAR)) relation. */
+  private def pdqDupsSql(inputSql: String): String = s"""
+    WITH rows_ AS ($inputSql),
+    ex AS (
+      SELECT DISTINCT idx, ch FROM (
+        SELECT idx, lower(lpad(unnest(pdq), 64, '0')) AS ch FROM rows_
+      )
+    ),
+    dh AS (SELECT DISTINCT ch FROM ex),
+    near AS (
+      SELECT a.ch AS pch, b.ch AS cch,
+        CAST(list_sum(list_transform(generate_series(0, 7), k ->
+          bit_count(xor(CAST('0x' || substr(a.ch, k * 8 + 1, 8) AS BIGINT),
+                        CAST('0x' || substr(b.ch, k * 8 + 1, 8) AS BIGINT))))) AS BIGINT) AS dist
+      FROM dh a, dh b
+    ),
+    edges AS (
+      SELECT pa.idx AS src, pb.idx AS dst, min(n.dist) AS dist
+      FROM (SELECT * FROM near WHERE dist <= 5) n
+      JOIN ex pa ON pa.ch = n.pch
+      JOIN ex pb ON pb.ch = n.cch
+      WHERE pa.idx <> pb.idx
+      GROUP BY src, dst
+    )
+    SELECT src AS "index",
+      list(dst ORDER BY dst) AS pdq_hash_duplicates,
+      list(1.0 - dist / 256.0 ORDER BY dst) AS pdq_hash_similarities
+    FROM edges GROUP BY src"""
+
+  // ---- query defs ------------------------------------------------------
+
+  val urlDups: QueryDef = QueryDef(
+    "url_dups",
+    (s, dir) => UrlDuplicates(urlFrame(s, dir)).orderBy("index"),
+    Some(urlDupsSql(urlFrameSql) + "\n    ORDER BY 1")
+  )
+
+  val pdqThreshold = 0.98 // radius rint(256*0.02) = 5
+
+  val pdqDupsNaive: QueryDef = QueryDef(
+    "pdq_dups_naive",
+    (s, dir) => PdqDuplicates(pdqFrame(s, dir), similarityThreshold = pdqThreshold,
+      strategy = PdqDuplicates.Strategy.Naive),
+    Some(pdqDupsSql(pdqFrameSql) + "\n    ORDER BY 1")
+  )
+
+  val pdqDupsBanded: QueryDef = QueryDef(
+    "pdq_dups_banded",
+    (s, dir) => PdqDuplicates(pdqFrame(s, dir), similarityThreshold = pdqThreshold,
+      strategy = PdqDuplicates.Strategy.Banded),
+    Some(pdqDupsSql(pdqFrameSql) + "\n    ORDER BY 1")
+  )
+
+  /** The reference's top-level `detect_duplicates` on a frame carrying
+    * BOTH payload columns (url from events; pdq hashes derived from
+    * event_id so the two branches share one input relation). */
+  val detectFull: QueryDef = {
+    def frame(s: SparkSession, dir: String): DataFrame = {
+      val u = urlFrame(s, dir)
+      val g = (col("event_id") % 40).cast("string")
+      val base = concat(md5(g), md5(concat(g, lit("s"))))
+      val h1 = when(col("event_id") % 5 === 0,
+        concat(substring(base, 1, 63),
+          when(substring(base, 64, 1) === "0", "1").otherwise("0"))).otherwise(base)
+      val hashes = tbl(s, dir, "events").select(
+        lpad(col("event_id").cast("string"), 8, "0").as("index"),
+        array(h1).as("pdq_hash"))
+      u.join(hashes, Seq("index"))
+    }
+    val pdqInputSql = """
+      SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS idx,
+             [CASE WHEN event_id % 5 = 0
+               THEN substr(base, 1, 63) || (CASE WHEN substr(base, 64, 1) = '0' THEN '1' ELSE '0' END)
+               ELSE base END] AS pdq
+      FROM (
+        SELECT event_id, md5(CAST(event_id % 40 AS VARCHAR)) || md5(CAST(event_id % 40 AS VARCHAR) || 's') AS base
+        FROM events
+      )"""
+    QueryDef(
+      "detect_full",
+      (s, dir) => DetectDuplicates(frame(s, dir), similarityThreshold = pdqThreshold),
+      Some(s"""
+        WITH urlres AS (${urlDupsSql(urlFrameSql)}),
+        pdqres AS (${pdqDupsSql(pdqInputSql)}),
+        base AS (SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS idx FROM events)
+        SELECT b.idx AS "index", u.url_duplicates, p.pdq_hash_duplicates, p.pdq_hash_similarities
+        FROM base b
+        LEFT JOIN urlres u ON u."index" = b.idx
+        LEFT JOIN pdqres p ON p."index" = b.idx
+        WHERE u.url_duplicates IS NOT NULL OR p.pdq_hash_duplicates IS NOT NULL
+        ORDER BY 1""".trim)
+    )
+  }
+
+  val defs: Seq[QueryDef] = Seq(urlDups, pdqDupsNaive, pdqDupsBanded, detectFull)
+}

@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import Tables.tbl
+
+/** Generic relational surface over the TPC-H-ish testdata: aggregation,
+  * multi-way joins, windows, semi/anti, rollup, distinct-agg,
+  * sessionization, as-of join. Each query keeps the plan declarative so
+  * Catalyst does pruning/pushdown/broadcast; small dimensions are
+  * broadcast-hinted explicitly.
+  */
+object Relational {
+
+  /** Exact decimal view of a 2-decimal double column (never rounds on
+    * this data; see QueryDef determinism rules). */
+  private def dec(c: String): Column = col(c).cast(DecimalType(18, 6))
+
+  val q1Pricing: QueryDef = QueryDef(
+    "q1_pricing",
+    (s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 6)) - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 6)) - dec("l_discount"))
+            * (lit(1).cast(DecimalType(18, 6)) + dec("l_tax")))
+            .cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order")
+        )
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE) AS sum_charge,
+        count(*) AS count_order,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """.stripMargin.trim)
+  )
+
+  val q3Revenue: QueryDef = QueryDef(
+    "q3_revenue",
+    (s, dir) => {
+      val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = tbl(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      val li = tbl(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 6)) - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """.stripMargin.trim)
+  )
+
+  val q5NationRevenue: QueryDef = QueryDef(
+    "q5_nation_revenue",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val ord = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 6)) - dec("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name
+    """.stripMargin.trim)
+  )
+
+  val qTopOrders: QueryDef = QueryDef(
+    "q_top_orders_per_customer",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn <= 3
+      ORDER BY o_custkey, rn
+    """.stripMargin.trim)
+  )
+
+  val qSemiAnti: QueryDef = QueryDef(
+    "q_semi_anti",
+    (s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val ord = tbl(s, dir, "orders")
+      cust
+        .join(ord.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .join(ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey
+    """.stripMargin.trim)
+  )
+
+  val qRollup: QueryDef = QueryDef(
+    "q_rollup",
+    (s, dir) => {
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """.stripMargin.trim)
+  )
+
+  val qDistinctAgg: QueryDef = QueryDef(
+    "q_distinct_agg",
+    (s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.stripMargin.trim)
+  )
+
+  val qSessionize: QueryDef = QueryDef(
+    "q_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      tbl(s, dir, "events")
+        .withColumn("sec", expr("ts div 1000000000"))
+        .withColumn("prev", lag("sec", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec FROM events
+      ), m AS (
+        SELECT user_id,
+          CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+                 OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+               THEN 1 ELSE 0 END AS ns
+        FROM e
+      )
+      SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
+      FROM m GROUP BY user_id ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
+  val qAsOf: QueryDef = QueryDef(
+    "q_asof_prior_error",
+    (s, dir) => {
+      val e = tbl(s, dir, "events").withColumn("sec", expr("ts div 1000000000"))
+      val clicks = e.filter(col("event_type") === "click").select("user_id", "sec", "event_id")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("sec"), col("event_id"), col("event_id").as("prior_error_id"))
+      AsOfJoin
+        .lastPrior(clicks, errors, Seq("user_id"), "sec", "event_id", Seq("prior_error_id"))
+        .select("event_id", "prior_error_id")
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, event_id,
+               CASE WHEN event_type = 'click' THEN event_id END AS lid,
+               CASE WHEN event_type = 'error' THEN event_id END AS rid,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        FROM events WHERE event_type IN ('click', 'error')
+      ), w AS (
+        SELECT lid, side,
+          last_value(rid IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY sec, side, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior
+        FROM u
+      )
+      SELECT lid AS event_id, prior AS prior_error_id FROM w WHERE side = 0 ORDER BY event_id
+    """.stripMargin.trim)
+  )
+
+  val defs: Seq[QueryDef] = Seq(
+    q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
+    qRollup, qDistinctAgg, qSessionize, qAsOf
+  )
+}
