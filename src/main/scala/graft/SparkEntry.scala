@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Parity, QueryDef, Relational}
+import graft.queries.{Parity, Pipeline, QueryDef, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** Every declared query, each with its DuckDB oracle twin where
     * SQL-expressible. */
-  def all: Seq[QueryDef] = Relational.defs ++ Parity.defs
+  def all: Seq[QueryDef] = Relational.defs ++ Parity.defs ++ Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's end-to-end `detect_duplicates` over synthesized

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar layer for the text-pipeline operators (dedup, fingerprinting,
+  * quality). Everything here is engine-portable by construction: the only
+  * hash primitive is md5 (identical hex output in Spark and DuckDB), and
+  * all arithmetic stays inside signed-64-bit with explicit moduli so the
+  * DuckDB oracle can replay it bit-for-bit.
+  *
+  * Hash domains:
+  *  - [[portableHash60]]: 60-bit positive (15 hex chars of md5) — general
+  *    identity hashing. Spark `conv(_,16,10)` / DuckDB `'0x'||_::BIGINT`.
+  *  - [[portableHash30]]: 30-bit reduction used inside MinHash
+  *    permutations so `a*h+b` never overflows int64.
+  */
+object TextFunctions {
+
+  /** 2^31 - 1 (prime): modulus of the MinHash permutation family. */
+  val MinhashPrime = 2147483647L
+
+  /** First 15 hex chars of md5 as a non-negative long (60 bits). */
+  def portableHash60(s: Column): Column =
+    conv(substring(md5(s.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[portableHash60]] over SQL expression `e`. */
+  def portableHash60Sql(e: String): String =
+    s"CAST('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  def portableHash30(s: Column): Column = portableHash60(s) % 1073741824L
+
+  def portableHash30Sql(e: String): String =
+    s"(${portableHash60Sql(e)} % 1073741824)"
+
+  /** Whitespace tokenization; empty tokens dropped (split on ' +'). */
+  def words(text: Column): Column =
+    filter(split(text, " +"), w => length(w) > 0)
+
+  def wordsSql(e: String): String =
+    s"list_filter(regexp_split_to_array($e, ' +'), w -> len(w) > 0)"
+
+  /** n-word shingles as space-joined strings:
+    * shingle(i) = words[i..i+n-1], for i in 0 .. size-n. Empty when the
+    * document has fewer than n words. */
+  def shingles(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+    ).otherwise(array().cast("array<string>"))
+
+  /** DuckDB twin (1-based list indexing). */
+  def shinglesSql(wsExpr: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"($wsExpr)[i + $j]").mkString(" || ' ' || ")
+    s"CASE WHEN len($wsExpr) >= $n THEN list_transform(generate_series(1, len($wsExpr) - ${n - 1}), i -> $parts) " +
+      s"ELSE CAST([] AS VARCHAR[]) END"
+  }
+
+  /** MinHash permutation i of a 30-bit hash column:
+    * ((2i+1) * h + 12345 i + 7) mod (2^31-1). Multiplier odd, modulus
+    * prime; products stay ≤ 2^31 * 2^30 < 2^62. */
+  def minhashPerm(h30: Column, i: Int): Column =
+    (h30 * lit(2L * i + 1) + lit(12345L * i + 7)) % lit(MinhashPrime)
+
+  /** MinHash signature: k minima over the document's shingle hashes.
+    * Null/empty shingle sets yield null (caller filters). */
+  def minhashSig(shingleHashes30: Column, k: Int): Column =
+    when(size(shingleHashes30) > 0,
+      transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(shingleHashes30,
+          h => (h * (i * lit(2L) + lit(1L)) + i * lit(12345L) + lit(7L)) % lit(MinhashPrime))))
+    )
+
+  /** DuckDB twin over a LIST(BIGINT) expression of 30-bit hashes. */
+  def minhashSigSql(hs30: String, k: Int): String =
+    s"CASE WHEN len($hs30) > 0 THEN list_transform(generate_series(0, ${k - 1}), i -> " +
+      s"list_min(list_transform($hs30, h -> (h * (2*i + 1) + 12345*i + 7) % $MinhashPrime))) END"
+
+  /** Exact n-gram Jaccard between two distinct-shingle arrays:
+    * |A ∩ B| / |A ∪ B| as double. Fold-order-free (set cardinalities are
+    * integers; single double division at the end). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** 60-bit SimHash from an array of 60-bit word hashes: bit j is set iff
+    * sum over words of (2*bit_j(h) - 1) > 0. Static per-bit expressions
+    * (shift amounts are literals, so everything stays codegen'd). */
+  def simhash60(wordHashes: Column): Column =
+    (0 until 60).map { j =>
+      when(
+        aggregate(wordHashes, lit(0L),
+          (s, h) => s + (shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        ) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB twin over a LIST(BIGINT) expression of 60-bit word hashes. */
+  def simhash60Sql(hs: String): String =
+    s"CAST(list_sum(list_transform(generate_series(0, 59), j -> " +
+      s"CASE WHEN list_sum(list_transform($hs, h -> ((h >> j) & 1) * 2 - 1)) > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
+
+  /** Hamming distance between two 60-bit SimHash longs. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, public algorithm):
+    * min hash of each sliding window of `w` consecutive shingle hashes,
+    * distinct + sorted. Documents shorter than one window fall back to
+    * their global min. */
+  def winnow(shingleHashes: Column, w: Int): Column =
+    when(size(shingleHashes) === 0, array().cast("array<bigint>"))
+      .when(size(shingleHashes) < w, array_sort(array_distinct(array(array_min(shingleHashes)))))
+      .otherwise(array_sort(array_distinct(
+        transform(sequence(lit(0), size(shingleHashes) - w),
+          i => array_min(slice(shingleHashes, i + 1, lit(w)))))))
+
+  def winnowSql(hs: String, w: Int): String =
+    s"CASE WHEN len($hs) = 0 THEN CAST([] AS BIGINT[]) " +
+      s"WHEN len($hs) < $w THEN [list_min($hs)] " +
+      s"ELSE list_sort(list_distinct(list_transform(generate_series(1, len($hs) - ${w - 1}), " +
+      s"i -> list_min(($hs)[i:i+${w - 1}])))) END"
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), the similarity-search tier of the pipeline.
+  *
+  *  - [[cosineTopK]]: brute-force exact top-k — broadcast the (small)
+  *    query set against the corpus, rank per query. The baseline and
+  *    the verification oracle. One pass over the corpus, no shuffle of
+  *    the corpus itself; ranking shuffles only |corpus| × |queries|
+  *    scored rows.
+  *  - [[hyperplaneBuckets]] / [[annTopK]]: sign-random-projection LSH
+  *    (Charikar 2002): `p` deterministic ±1 hyperplanes derived from
+  *    md5, bucket = sign bits of the projections. Probing only the
+  *    query's bucket cuts the scored candidates by ~2^p; recall is
+  *    traded via `p`. The scale path: bucket is a shuffle key, so the
+  *    join is a plain equi-join — no all-pairs.
+  *
+  * All dot products fold left-to-right over the array in DOUBLE, so the
+  * DuckDB oracle reproduces values bit-for-bit; ranking keys round to
+  * 9 decimals before comparison to keep ordering engine-stable.
+  */
+object SimilaritySearch {
+
+  /** Left-to-right dot product of two equal-length numeric arrays in
+    * double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) — the full collection
+    * @param queries (idCol, vecCol) — small probe set (broadcast)
+    * @return (query_id, neighbor_id, cos, rank) — self excluded,
+    *         ranked by cosine desc with id tiebreak
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 9))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Sign-random-projection bucket id from `p` deterministic hyperplanes.
+    * Plane `j`'s component `i` is ±1 by the low bit of
+    * md5("plane:j:i") — engine-portable, no stored model. */
+  def hyperplaneBucket(vec: Column, dim: Int, p: Int): Column = {
+    import graft.functions.TextFunctions.portableHash60
+    val bits = (0 until p).map { j =>
+      val proj = aggregate(
+        zip_with(
+          vec,
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => portableHash60(concat(lit(s"plane:$j:"), i.cast("string")))
+              .bitwiseAND(lit(1L)) * lit(2L) - lit(1L)),
+          (x, s) => x.cast("double") * s.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[hyperplaneBucket]] over list expression `v`.
+    * Uses list_reduce (sequential left fold, like Spark's `aggregate`)
+    * so the double sum is bit-identical across engines. */
+  def hyperplaneBucketSql(v: String, dim: Int, p: Int): String = {
+    val bits = (0 until p).map { j =>
+      val sgn = s"(CAST('0x' || substr(md5('plane:$j:' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) & 1) * 2 - 1"
+      val proj = s"list_reduce(list_transform(generate_series(1, $dim), i -> CAST(($v)[i] AS DOUBLE) * ($sgn)), (a, b) -> a + b)"
+      s"(CASE WHEN $proj >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB twin of [[dot]] over list expressions (sequential fold). */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $dim), i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+
+  /** ANN top-k: score only same-bucket candidates. Output schema matches
+    * [[cosineTopK]] (rank within the probed bucket). */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              dim: Int, p: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      hyperplaneBucket(col(vecCol), dim, p).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      hyperplaneBucket(col(vecCol), dim, p).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 9))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}

@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.operators.{Dedup, Media, SimilaritySearch, TextAnalysis}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import Tables.tbl
+
+/** Training-data pipeline queries: dedup tiers, similarity search, text
+  * analysis, multimodal metadata — each wired over the testdata with a
+  * DuckDB oracle that replays the identical algorithm in SQL.
+  *
+  * Near-dup tiers run over `corpus` = documents ∪ planted variants
+  * (every 5th doc re-appears with an appended tail under id+1_000_000),
+  * so the expected output contains real near-duplicate pairs instead of
+  * being vacuously empty on the synthetic corpus.
+  */
+object Pipeline {
+
+  // ---- shared corpus with planted near-duplicates ---------------------
+
+  private val tail = " extra tail words appended here"
+
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(col("text"), lit(tail)).as("text")))
+  }
+
+  private val corpusSql =
+    s"""SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || '$tail' FROM documents WHERE doc_id % 5 = 0"""
+
+  /** Staged CTEs shared by the shingle-based oracles: corpus → words →
+    * 3-shingles → (optionally distinct) hashes. */
+  private def shingleCtes(input: String, hashBits30: Boolean, distinct: Boolean): String = {
+    val h = if (hashBits30) "CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1073741824"
+            else "CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)"
+    val wrap: String => String = e => if (distinct) s"list_distinct($e)" else e
+    s"""w AS (SELECT id, list_filter(regexp_split_to_array(text, ' +'), x -> len(x) > 0) AS ws FROM ($input)),
+        sh AS (SELECT id, CASE WHEN len(ws) >= 3 THEN list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE CAST([] AS VARCHAR[]) END AS sh FROM w),
+        hs AS (SELECT id, ${wrap("list_transform(sh, s -> " + h + ")")} AS hs FROM sh WHERE len(sh) > 0)"""
+  }
+
+  // ---- dedup tiers ----------------------------------------------------
+
+  val dedupExact: QueryDef = QueryDef(
+    "dedup_exact",
+    (s, dir) => Dedup.exactGroups(tbl(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
+      .orderBy("user_id", "event_type"),
+    Some("""
+      SELECT user_id, event_type, count(*) AS n_rows, min(event_id) AS keeper
+      FROM events GROUP BY user_id, event_type HAVING count(*) >= 2
+      ORDER BY user_id, event_type
+    """.trim)
+  )
+
+  val minhashLsh: QueryDef = QueryDef(
+    "minhash_lsh",
+    (s, dir) => Dedup.minhashLshPairs(corpus(s, dir), "id", "text",
+      shingleLen = 3, k = 16, bands = 4, threshold = 0.6).orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH ${shingleCtes(corpusSql, hashBits30 = true, distinct = true)},
+      sig AS (
+        SELECT id, hs, list_transform(generate_series(0, 15), i ->
+          list_min(list_transform(hs, h -> (h * (2*i + 1) + 12345*i + 7) % ${TextFunctions.MinhashPrime}))) AS sig
+        FROM hs
+      ),
+      b AS (
+        SELECT id, hs, band_id, sig[band_id*4 + 1 : band_id*4 + 4] AS band
+        FROM sig CROSS JOIN unnest([0, 1, 2, 3]) AS t(band_id)
+      ),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+        FROM b a JOIN b b2 ON a.band_id = b2.band_id AND a.band = b2.band AND a.id < b2.id
+      ),
+      j AS (
+        SELECT id_a, id_b,
+          CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+            / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS jaccard
+        FROM cand JOIN hs ha ON ha.id = cand.id_a JOIN hs hb ON hb.id = cand.id_b
+      )
+      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6 ORDER BY id_a, id_b
+    """.trim)
+  )
+
+  val simhashSigs: QueryDef = QueryDef(
+    "simhash_sigs",
+    (s, dir) => Dedup.simhashSigs(corpus(s, dir), "id", "text").orderBy("id"),
+    Some(s"""
+      WITH w AS (SELECT id, list_filter(regexp_split_to_array(text, ' +'), x -> len(x) > 0) AS ws FROM ($corpusSql)),
+      h AS (SELECT id, list_transform(ws, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs FROM w WHERE len(ws) > 0)
+      SELECT id, ${TextFunctions.simhash60Sql("hs")} AS simhash FROM h ORDER BY id
+    """.trim)
+  )
+
+  val simhashPairs: QueryDef = QueryDef(
+    "simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(Dedup.simhashSigs(corpus(s, dir), "id", "text"), maxDist = 10)
+      .orderBy("id_a", "id_b"),
+    // banding is COMPLETE for dist <= maxDist (pigeonhole), so the
+    // oracle is the straight all-pairs join over the signatures
+    Some(s"""
+      WITH w AS (SELECT id, list_filter(regexp_split_to_array(text, ' +'), x -> len(x) > 0) AS ws FROM ($corpusSql)),
+      h AS (SELECT id, list_transform(ws, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs FROM w WHERE len(ws) > 0),
+      sigs AS (SELECT id, ${TextFunctions.simhash60Sql("hs")} AS simhash FROM h)
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+      FROM sigs a JOIN sigs b ON a.id < b.id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+      ORDER BY id_a, id_b
+    """.trim)
+  )
+
+  val ngramJaccard: QueryDef = QueryDef(
+    "ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(
+      corpus(s, dir).filter((col("id") % 1000000 % 10) < 2), "id", "text",
+      shingleLen = 3, threshold = 0.5).orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH ${shingleCtes(s"SELECT * FROM ($corpusSql) WHERE id % 1000000 % 10 < 2", hashBits30 = true, distinct = true)}
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+          / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+      FROM hs a JOIN hs b ON a.id < b.id
+      WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+          / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5
+      ORDER BY id_a, id_b
+    """.trim)
+  )
+
+  // ---- text analysis --------------------------------------------------
+
+  val textQuality: QueryDef = QueryDef(
+    "text_quality",
+    (s, dir) => TextAnalysis.quality(tbl(s, dir, "documents"), "doc_id", "text").orderBy("id"),
+    Some {
+      val metrics = TextAnalysis.qualitySql("text")
+        .map { case (name, e) => s"$e AS $name" }.mkString(",\n        ")
+      s"SELECT doc_id AS id,\n        $metrics\n      FROM documents ORDER BY id"
+    }
+  )
+
+  val langId: QueryDef = QueryDef(
+    "lang_id",
+    (s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"), "doc_id", "text").orderBy("id"),
+    Some {
+      val (scores, pred) = TextAnalysis.langIdSql("text")
+      val scoreExprs = scores.map { case (name, e) => s"$e AS $name" }.mkString(",\n          ")
+      s"""
+      SELECT id, ${scores.map(_._1).mkString(", ")}, $pred AS pred_lang
+      FROM (
+        SELECT doc_id AS id,
+          $scoreExprs
+        FROM documents
+      ) ORDER BY id""".trim
+    }
+  )
+
+  val tokenCounts: QueryDef = QueryDef(
+    "token_counts",
+    (s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "doc_id", "text").orderBy("id"),
+    Some("""
+      SELECT doc_id AS id,
+        len(list_filter(regexp_split_to_array(text, ' +'), x -> len(x) > 0)) AS n_ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+      FROM documents ORDER BY id
+    """.trim)
+  )
+
+  val fingerprints: QueryDef = QueryDef(
+    "fingerprints",
+    (s, dir) => TextAnalysis.fingerprints(tbl(s, dir, "documents"), "doc_id", "text",
+      shingleLen = 3, window = 4).orderBy("id"),
+    Some(s"""
+      WITH ${shingleCtes("SELECT doc_id AS id, text FROM documents", hashBits30 = false, distinct = false)},
+      full_ AS (
+        SELECT w.id, coalesce(hs.hs, CAST([] AS BIGINT[])) AS hs
+        FROM w LEFT JOIN hs ON w.id = hs.id
+      )
+      SELECT id, ${TextFunctions.winnowSql("hs", 4)} AS fingerprints FROM full_ ORDER BY id
+    """.trim)
+  )
+
+  // ---- similarity search ---------------------------------------------
+
+  val embedTopK: QueryDef = QueryDef(
+    "embed_topk",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimilaritySearch.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+      sc AS (
+        SELECT query_id, neighbor_id,
+          round(${SimilaritySearch.cosineSql("qvec", "cvec", 64)}, 9) AS cos
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+      ),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+      SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim)
+  )
+
+  val embedAnn: QueryDef = QueryDef(
+    "embed_ann",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimilaritySearch.annTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        dim = 64, p = 6, k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH bk AS (
+        SELECT vec_id, embedding, ${SimilaritySearch.hyperplaneBucketSql("embedding", 64, 6)} AS bucket
+        FROM embeddings
+      ),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM bk WHERE vec_id < 20),
+      sc AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          round(${SimilaritySearch.cosineSql("q.qvec", "c.embedding", 64)}, 9) AS cos
+        FROM q JOIN bk c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+      ),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+      SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
+    """.trim)
+  )
+
+  // ---- multimodal -----------------------------------------------------
+
+  val mediaMeta: QueryDef = QueryDef(
+    "media_meta",
+    (s, dir) => Media.binaryMeta(
+      tbl(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload").orderBy("id"),
+    Some("""
+      SELECT doc_id AS id,
+        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        substring(lower(hex(CAST(text AS BLOB))), 1, 16) AS prefix_hex
+      FROM documents ORDER BY id
+    """.trim)
+  )
+
+  val defs: Seq[QueryDef] = Seq(
+    dedupExact, minhashLsh, simhashSigs, simhashPairs, ngramJaccard,
+    textQuality, langId, tokenCounts, fingerprints,
+    embedTopK, embedAnn, mediaMeta
+  )
+}

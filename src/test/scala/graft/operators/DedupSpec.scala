@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today extra tail"),
+    (3L, "completely different words about database engines and vectorized execution plans"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5L, "short text")
+  ).toDF("id", "text")
+
+  test("exactGroups: groups by keys with keeper and count") {
+    val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "x"), (4L, "a", "y"))
+      .toDF("id", "k1", "k2")
+    val got = rows(Dedup.exactGroups(df, Seq("k1", "k2"), "id"))
+    assert(got == Seq(Seq("a", "x", 2L, 1L)))
+  }
+
+  test("minhashLshPairs: identical texts pair at jaccard 1.0; near-dup found; unrelated absent") {
+    val got = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(p => (p._1, p._2))
+    val pairs = got.map(p => (p._1, p._2))
+    assert(pairs.contains((1L, 4L)))
+    assert(got.find(p => (p._1, p._2) == ((1L, 4L))).get._3 == 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // appended tail keeps J high
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical text -> identical sig; pairs found within radius") {
+    val sigs = Dedup.simhashSigs(docs, "id", "text")
+    val m = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(4L))
+    assert(m.values.forall(v => v >= 0 && v < (1L << 60)))
+    val pairs = Dedup.simhashPairs(sigs, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+  }
+
+  test("simhashPairs banding is complete: equals brute-force all-pairs at the radius") {
+    // random-ish sigs via portable hashing of ints
+    val sigs = (0 until 80).map(i => (i.toLong, (i / 4).toLong * 7919L % (1L << 60)))
+      .toDF("id", "simhash")
+    val banded = Dedup.simhashPairs(sigs, maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 7)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+  }
+
+  test("ngramJaccardPairs: exact ground truth, ordered ids") {
+    val got = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.forall(p => p._1 < p._2))
+    assert(got.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+  }
+}

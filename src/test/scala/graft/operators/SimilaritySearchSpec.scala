@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // identical to 0
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // close to 0
+    (3L, Array(0.0f, 0.0f, 0.0f, 1.0f)),  // orthogonal to 0
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK: exact ranking, self excluded") {
+    val got = SimilaritySearch.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L)) // by cosine desc
+    assert(got.head._2 == 1.0)
+    assert(got(2)._2 == 0.0 && got(3)._2 == -1.0)
+  }
+
+  test("annTopK: identical vectors share a bucket and are found") {
+    val got = SimilaritySearch.annTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+      dim = 4, p = 4, k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1).contains(1L)) // same bucket guaranteed for identical vecs
+    assert(got.forall(_._2 <= 1.0))
+  }
+
+  test("hyperplaneBucket: deterministic and within 2^p") {
+    val b = vecs.select(SimilaritySearch.hyperplaneBucket(col("embedding"), 4, 6).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b.forall(x => x >= 0 && x < 64))
+    val b2 = vecs.select(SimilaritySearch.hyperplaneBucket(col("embedding"), 4, 6).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b.toSeq == b2.toSeq)
+  }
+}

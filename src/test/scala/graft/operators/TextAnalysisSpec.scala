@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick fox is a fox"),
+    (2L, "el perro y la casa es de la city"),
+    (3L, "")
+  ).toDF("doc_id", "text")
+
+  test("quality: counts and ratios") {
+    val r = TextAnalysis.quality(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val d1 = r(1L)
+    assert(d1.getAs[Int]("n_chars") == 22)
+    assert(d1.getAs[Int]("n_words") == 6)
+    // stopwords present: the, is, a -> 3/6
+    assert(d1.getAs[Double]("stopword_ratio") == 0.5)
+    assert(r(3L).getAs[Int]("n_words") == 0)
+  }
+
+  test("tokenCounts: whitespace vs regex tokens") {
+    val r = TextAnalysis.tokenCounts(Seq((1L, "ab 12 c-d")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Int]("n_ws_tokens") == 3)
+    // [ab][12][c][-][d]
+    assert(r.getAs[Int]("n_re_tokens") == 5)
+  }
+
+  test("langId: argmax with alphabetical tie-break") {
+    val r = TextAnalysis.langId(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getAs[String]("pred_lang")).toMap
+    assert(r(1L) == "en")
+    assert(r(2L) == "es")
+    assert(r(3L) == "de") // all scores 0 -> first language wins ties
+  }
+
+  test("fingerprints: winnowed subset of shingle hashes, deterministic") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"), (3L, "x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprints(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+    assert(r(1L) == r(2L) && r(1L).nonEmpty)
+    assert(r(1L) == r(1L).distinct.sorted)
+    assert(r(3L).isEmpty) // fewer than 3 words -> no shingles
+  }
+}
