@@ -85,22 +85,20 @@ object HashFunctions {
 
   /** 64-char hex -> `array<bigint>` of eight 32-bit words, big-endian.
     * `conv(_, 16, 10)` emits a decimal string; 8 hex chars max out at
-    * 2^32-1 so the long cast is lossless. */
+    * 2^32-1 so the long cast is lossless. Statically unrolled (a
+    * transform-over-sequence would run on the interpreted
+    * higher-order-function path; these stay in whole-stage codegen). */
   def hexToWords(hex64: Column): Column =
-    transform(
-      sequence(lit(0), lit(WordsPerHash - 1)),
-      i => conv(hex64.substr(i * lit(HexPerWord) + lit(1), lit(HexPerWord)), 16, 10).cast(LongType)
-    )
+    array((0 until WordsPerHash).map(i =>
+      conv(hex64.substr(i * HexPerWord + 1, HexPerWord), 16, 10).cast(LongType)): _*)
 
-  /** Hamming distance between two word arrays:
-    * `aggregate(zip_with(a, b, bit_count(xor)))`. Stays inside
-    * whole-stage codegen; no UDF. */
+  /** Hamming distance between two word arrays: statically unrolled
+    * `Σ bit_count(a[i] ^ b[i])` — pure codegen'd expressions on the
+    * similarity-join hot path, no UDF, no interpreted HOFs. */
   def hammingWords(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-      lit(0),
-      (acc, v) => acc + v
-    )
+    (0 until WordsPerHash).map(i =>
+      bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1)))
+    ).reduce(_ + _)
 
   /** Similarity normalization `1.0 - dist/256` (`pdq_hash.py:45`). */
   def similarity(dist: Column): Column =

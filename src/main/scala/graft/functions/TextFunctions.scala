@@ -42,12 +42,39 @@ object TextFunctions {
 
   /** n-word shingles as space-joined strings:
     * shingle(i) = words[i..i+n-1], for i in 0 .. size-n. Empty when the
-    * document has fewer than n words. */
-  def shingles(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
-    ).otherwise(array().cast("array<string>"))
+    * document has fewer than n words.
+    *
+    * Implemented as ONE fold carrying a sliding window of the previous
+    * n-1 words, so the input column is referenced exactly once. The
+    * index-based shape (element_at(ws, i+j) × n per shingle) references
+    * `ws` 3n× per row; when Catalyst inlines an upstream derivation
+    * (split+filter) through CollapseProject that multiplies into ~100
+    * re-evaluations of the tokenizer per document — measured 12× slower
+    * end-to-end. */
+  def shingles(ws: Column, n: Int): Column = {
+    require(n >= 1, s"shingle length must be >= 1, got $n")
+    if (n == 1) coalesce(ws, array().cast("array<string>"))
+    else {
+      val emptyArr = array().cast("array<string>")
+      val folded = aggregate(
+        ws,
+        struct(emptyArr.as("win"), emptyArr.as("sh")),
+        (acc, w) => {
+          val win = acc.getField("win")
+          val sh = acc.getField("sh")
+          val full = concat(win, array(w))
+          struct(
+            when(size(win) < n - 1, full)
+              .otherwise(slice(full, 2, n - 1)).as("win"),
+            when(size(win) === n - 1, concat(sh, array(concat_ws(" ", full))))
+              .otherwise(sh).as("sh")
+          )
+        },
+        acc => acc.getField("sh")
+      )
+      coalesce(folded, emptyArr)
+    }
+  }
 
   /** DuckDB twin (1-based list indexing). */
   def shinglesSql(wsExpr: String, n: Int): String = {
@@ -65,10 +92,17 @@ object TextFunctions {
   /** MinHash signature: k minima over the document's shingle hashes.
     * Null/empty shingle sets yield null (caller filters). */
   def minhashSig(shingleHashes30: Column, k: Int): Column =
+    // Single fold with an array<long> accumulator — the input column is
+    // referenced exactly once, so even after Catalyst inlines an
+    // expensive upstream derivation (shingling + md5) through
+    // CollapseProject, that derivation evaluates once per row, not once
+    // per permutation (the k-separate-array_min shape was k× slower).
     when(size(shingleHashes30) > 0,
-      transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(shingleHashes30,
-          h => (h * (i * lit(2L) + lit(1L)) + i * lit(12345L) + lit(7L)) % lit(MinhashPrime))))
+      aggregate(
+        shingleHashes30,
+        array_repeat(lit(MinhashPrime), lit(k)),
+        (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+          (a, i) => least(a, (h * (i * lit(2L) + lit(1L)) + i * lit(12345L) + lit(7L)) % lit(MinhashPrime))))
     )
 
   /** DuckDB twin over a LIST(BIGINT) expression of 30-bit hashes. */
@@ -85,15 +119,24 @@ object TextFunctions {
   }
 
   /** 60-bit SimHash from an array of 60-bit word hashes: bit j is set iff
-    * sum over words of (2*bit_j(h) - 1) > 0. Static per-bit expressions
-    * (shift amounts are literals, so everything stays codegen'd). */
-  def simhash60(wordHashes: Column): Column =
-    (0 until 60).map { j =>
-      when(
-        aggregate(wordHashes, lit(0L),
-          (s, h) => s + (shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-        ) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * sum over words of (2*bit_j(h) - 1) > 0.
+    *
+    * Implemented as ONE fold over the word array with an array<long>
+    * accumulator of the 60 per-bit sums — each word hash is evaluated
+    * exactly once even after Catalyst collapses surrounding projections
+    * (the naive 60-separate-folds shape re-evaluates the hash per bit). */
+  def simhash60(wordHashes: Column): Column = {
+    val bitSums = aggregate(
+      wordHashes,
+      array_repeat(lit(0L), lit(60)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
+        (a, j) => a + (call_function("shiftright", h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+    )
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(59)),
+        (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (x, y) => x + y)
+  }
 
   /** DuckDB twin over a LIST(BIGINT) expression of 60-bit word hashes. */
   def simhash60Sql(hs: String): String =

@@ -36,9 +36,15 @@ object Dedup {
       .filter(col("n_rows") >= minSize)
 
   /** (id, shingle-hash array) helper: distinct 30-bit hashes of n-word
-    * shingles of `textCol`. */
+    * shingles of `textCol`.
+    *
+    * The input is hash-repartitioned on the id BEFORE the shingle+md5
+    * chain: the chain is the CPU-heavy part of every consumer, and a
+    * narrow scan of few parquet files would otherwise evaluate it on one
+    * or two cores. (The documents tables arrive as a single file; on a
+    * real cluster the exchange also rebalances skewed input splits.) */
   def shingleHashes30(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(
+    df.repartition(col(idCol)).select(
       col(idCol).as("id"),
       array_distinct(transform(shingles(words(col(textCol)), n), s => portableHash30(s))).as("hs")
     )
@@ -67,35 +73,48 @@ object Dedup {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val hs = shingleHashes30(df, idCol, textCol, shingleLen).filter(size(col("hs")) > 0)
-    val sigs = hs.select(col("id"), col("hs"), minhashSig(col("hs"), k).as("sig"))
+    // the signature frame feeds BOTH sides of the band self-join plus the
+    // verification joins. localCheckpoint (not cache) both materializes
+    // it once AND cuts the lineage, so the downstream self-join plans
+    // against a flat scan instead of re-analyzing/codegen'ing the whole
+    // shingle+md5+minhash tree per branch. On a cluster prefer a
+    // reliable checkpoint/staging table (localCheckpoint loses
+    // partitions if an executor dies).
+    val sigs = hs.select(col("id"), col("hs"), minhashSig(col("hs"), k).as("sig")).localCheckpoint()
 
+    // slim band rows: (id, band_id, band) only — the shingle-hash arrays
+    // stay OUT of the self-join/broadcast and are joined back just for
+    // the (few) surviving candidates
     val banded = sigs.select(
-      col("id"), col("hs"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows))))
-    ).select(col("id"), col("hs"), col("pos").as("band_id"), col("col").as("band"))
+    ).select(col("id"), col("pos").as("band_id"), col("col").as("band"))
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band") <=> col("b.band") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.hs").as("hs_a"),
-        col("b.id").as("id_b"), col("b.hs").as("hs_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     candidates
-      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
+      .join(sigs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).as("ni"),
+        size(col("hs_a")).as("na"), size(col("hs_b")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** 60-bit SimHash signature per document: (id, simhash). */
   def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol).as("id"),
-      words(col(textCol)).as("ws")
-    ).filter(size(col("ws")) > 0)
+    df.repartition(col(idCol)) // spread the per-word hashing across cores
+      .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
       .select(col("id"), simhash60(transform(col("ws"), w => portableHash60(w))).as("simhash"))
 
   /** SimHash near-dup pairs within Hamming radius `maxDist`, via
@@ -112,21 +131,25 @@ object Dedup {
       val width = cuts(j + 1) - cuts(j)
       shiftright(col("simhash"), cuts(j)).bitwiseAND(lit((1L << width) - 1))
     }
-    val banded = sigs.select(
+    // sigs is an expensive derivation consumed by both join sides —
+    // materialize + cut lineage before fanning out (see minhashLshPairs)
+    val matSigs = sigs.localCheckpoint()
+    val banded = matSigs.select(
       col("id"), col("simhash"),
       posexplode(array(bandCols: _*))
     ).select(col("id"), col("simhash"), col("pos").as("band_id"), col("col").as("band"))
 
+    // verify before dedup (see minhashLshPairs): the Hamming filter runs
+    // map-side on the join output, the shuffle dedups only survivors
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band") === col("b.band") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("dist", hamming64(col("sh_a"), col("sh_b")).cast("int"))
+        hamming64(col("a.simhash"), col("b.simhash")).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "dist")
   }
 
@@ -139,11 +162,18 @@ object Dedup {
       shingleLen: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    val hs = shingleHashes30(df, idCol, textCol, shingleLen).filter(size(col("hs")) > 0)
+    val hs = shingleHashes30(df, idCol, textCol, shingleLen).filter(size(col("hs")) > 0).localCheckpoint()
     hs.as("a").crossJoin(hs.as("b"))
       .filter(col("a.id") < col("b.id"))
+      // size prefilter: J >= t implies min(|A|,|B|) >= t * max(|A|,|B|);
+      // drops mismatched-length pairs before the set intersection
+      .filter(least(size(col("a.hs")), size(col("b.hs"))).cast("double") >=
+        lit(threshold) * greatest(size(col("a.hs")), size(col("b.hs"))).cast("double"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.hs"), col("b.hs")).as("jaccard"))
+        size(array_intersect(col("a.hs"), col("b.hs"))).as("ni"),
+        size(col("a.hs")).as("na"), size(col("b.hs")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -35,7 +35,8 @@ object DetectDuplicates {
       indexesToCheck: Option[Seq[String]] = None,
       similarityThreshold: Double = 0.8,
       method: String = "naive",
-      validateUniqueIndex: Boolean = true
+      validateUniqueIndex: Boolean = true,
+      assumeFixed256: Boolean = false
   ): DataFrame = {
     val spark = df.sparkSession
     val cols = df.columns.toSet
@@ -75,7 +76,8 @@ object DetectDuplicates {
 
     val pdqDups: Option[DataFrame] =
       if (hasPdq)
-        Some(PdqDuplicates(projected.select("index", "pdq_hash"), indexesToCheck, similarityThreshold, strategy))
+        Some(PdqDuplicates(projected.select("index", "pdq_hash"), indexesToCheck, similarityThreshold,
+          strategy, assumeFixed256))
       else None
 
     val nullArr = lit(null).cast(ArrayType(StringType))

@@ -55,12 +55,24 @@ object PdqDuplicates {
     case object Naive extends Strategy
     case object Banded extends Strategy
 
+    /** Cost-based choice (the reference's README documents the same
+      * crossover, naive-vs-bktree, at sim≈0.91): the θ-join wins while
+      * |probe hashes| × |corpus hashes| stays small — it is one
+      * broadcast-nested-loop stage with zero banding overhead — and the
+      * banding equi-join wins beyond that because it never materializes
+      * the quadratic pair space. */
+    case object Auto extends Strategy
+
+    /** Naive still beats banding below this many candidate pairs. */
+    val AutoNaiveMaxPairs: Long = 64L * 1000 * 1000
+
     /** Reference method-name dispatch (`pdq_hash.py:195-222`): "naive"
       * -> Naive; "bk-tree" and "mih" -> Banded (the metric-index
       * equivalents); anything else is an error. */
     def fromMethod(method: String): Strategy = method.toLowerCase match {
       case "naive"           => Naive
       case "bk-tree" | "mih" => Banded
+      case "auto"            => Auto
       case other => throw new IllegalArgumentException(s"Unknown duplicate detection method: $other")
     }
   }
@@ -133,55 +145,127 @@ object PdqDuplicates {
           .crossJoin(corpusHashes)
           .withColumn("dist", hammingUdf(col("phash"), col("chash")))
           .filter(col("dist") <= n)
-      } else strategy match {
-        case Strategy.Naive | Strategy.Banded if n >= 64 =>
-          // banding needs n+1 <= 64 nibble bands; past that the candidate
-          // set degenerates, the θ-join is the honest plan.
-          naiveHashJoin(probeHashes, corpusHashes, n)
-        case Strategy.Naive =>
-          naiveHashJoin(probeHashes, corpusHashes, n)
-        case Strategy.Banded =>
-          bandedHashJoin(probeHashes, corpusHashes, n)
+      } else {
+        val resolved = strategy match {
+          case Strategy.Auto =>
+            val pairs = probeHashes.count() * corpusHashes.count()
+            if (pairs <= Strategy.AutoNaiveMaxPairs) Strategy.Naive else Strategy.Banded
+          case s => s
+        }
+        resolved match {
+          case _ if n >= 64 =>
+            // banding needs n+1 <= 64 nibble bands; past that the candidate
+            // set degenerates, the θ-join is the honest plan.
+            naiveHashJoin(probeHashes, corpusHashes, n)
+          case Strategy.Banded => bandedHashJoin(probeHashes, corpusHashes, n)
+          case _               => naiveHashJoin(probeHashes, corpusHashes, n)
+        }
       }
 
-    // expand hash edges to index edges: src restricted to probes
-    val edges = hashEdges
-      .join(probeIdx.select(col("index").as("src"), col("chash").as("phash")), Seq("phash"))
-      .join(indexed.select(col("index").as("dst"), col("chash")), Seq("chash"))
-      .select("src", "dst", "dist")
-
-    format(edges)
+    if (indexesToCheck.isEmpty) {
+      // probe = corpus: edge set is symmetric by construction, so the
+      // formatter can aggregate partner lists at HASH granularity (tiny:
+      // one row per distinct hash) and expand to index rows map-side —
+      // the quadratic per-index edge list never crosses a shuffle. This
+      // is the 100 TB path: shuffle volume is O(|hashes| × avg partners
+      // + |rows|), not O(Σ clique²).
+      formatViaHashGroups(indexed, hashEdges)
+    } else {
+      // expand hash edges to index edges: src restricted to probes
+      val edges = hashEdges
+        .join(probeIdx.select(col("index").as("src"), col("chash").as("phash")), Seq("phash"))
+        .join(indexed.select(col("index").as("dst"), col("chash")), Seq("chash"))
+        .select("src", "dst", "dist")
+      format(edges)
+    }
   }
 
+  /** Probe-all formatter: hash-level partner aggregation.
+    *
+    *  1. members(h) = sorted indexes carrying hash h;
+    *  2. partners(h) = flatten over near hashes h' (incl. h itself,
+    *     dist 0) of members(h') tagged with dist(h, h');
+    *  3. each (index, h) row joins partners(h); per index the arrays
+    *     merge, sort by (dst, dist), drop self, and dedupe per dst
+    *     keeping the minimum distance (first after the sort).
+    */
+  private def formatViaHashGroups(indexed: DataFrame, hashEdges: DataFrame): DataFrame = {
+    val members = indexed.groupBy(col("chash"))
+      .agg(sort_array(collect_list(col("index"))).as("members"))
+
+    val partnersPerHash = hashEdges
+      .join(members.select(col("chash"), col("members").as("dst_members")), Seq("chash"))
+      .groupBy(col("phash"))
+      .agg(flatten(collect_list(
+        expr("transform(dst_members, m -> struct(m AS dst, dist AS dist))"))).as("partners"))
+
+    indexed
+      .join(partnersPerHash, indexed("chash") === partnersPerHash("phash"))
+      .groupBy(col("index"))
+      .agg(array_sort(flatten(collect_list(col("partners")))).as("ps"))
+      .select(col("index"),
+        // drop self, then keep the first (min-dist) entry per dst: after
+        // the sort equal dst values are adjacent with dist ascending, so
+        // a single linear fold dedupes by comparing against the tail
+        expr("""aggregate(
+                  filter(ps, p -> p.dst != index),
+                  cast(array() as array<struct<dst:string,dist:int>>),
+                  (acc, p) -> IF(size(acc) > 0 AND element_at(acc, -1).dst = p.dst,
+                                 acc, concat(acc, array(p))))""").as("ms"))
+      .filter(size(col("ms")) > 0)
+      .select(
+        col("index"),
+        expr("transform(ms, m -> m.dst)").as("pdq_hash_duplicates"),
+        expr("transform(ms, m -> 1.0d - m.dist / 256.0d)").as("pdq_hash_similarities")
+      )
+      .orderBy("index")
+  }
+
+  /** Distinct-hash frames with the 8-word decomposition materialized
+    * behind a lineage cut: Catalyst would otherwise inline the 8 `conv`
+    * calls past the join and re-parse hex PER CANDIDATE PAIR — under
+    * banding skew (shared bands, e.g. all-zero tails) that is the
+    * difference between O(pairs) integer XORs and O(pairs) string
+    * parses. The frames are distinct hashes, so the materialization is
+    * small by construction. */
+  private def withWords(df: DataFrame, hashCol: String, wordsCol: String): DataFrame =
+    df.withColumn(wordsCol, hexToWords(col(hashCol))).localCheckpoint()
+
   private def naiveHashJoin(probes: DataFrame, corpus: DataFrame, n: Int): DataFrame =
-    probes
-      .withColumn("pwords", hexToWords(col("phash")))
-      .crossJoin(corpus.withColumn("cwords", hexToWords(col("chash"))))
+    withWords(probes, "phash", "pwords")
+      .crossJoin(withWords(corpus, "chash", "cwords"))
       .withColumn("dist", hammingWords(col("pwords"), col("cwords")))
       .filter(col("dist") <= n)
       .select("phash", "chash", "dist")
 
   private def bandedHashJoin(probes: DataFrame, corpus: DataFrame, n: Int): DataFrame = {
     val nBands = n + 1
+    val probeW = withWords(probes, "phash", "pwords")
+    val corpusW = withWords(corpus, "chash", "cwords")
+    // candidate rows carry ONLY the hash strings through the (possibly
+    // skewed) band join; word arrays join back after dedup
     def banded(df: DataFrame, hashCol: String) = df
       .select(col(hashCol), explode(hexBands(col(hashCol), nBands)).as("b"))
       .select(col(hashCol), col("b.band_id"), col("b.band"))
-    val candidates = banded(probes, "phash")
-      .join(banded(corpus, "chash"), Seq("band_id", "band"))
+    val candidates = banded(probeW, "phash")
+      .join(banded(corpusW, "chash"), Seq("band_id", "band"))
       .select("phash", "chash")
       .distinct()
     candidates
-      .withColumn("dist", hammingWords(hexToWords(col("phash")), hexToWords(col("chash"))))
+      .join(probeW, Seq("phash"))
+      .join(corpusW, Seq("chash"))
+      .withColumn("dist", hammingWords(col("pwords"), col("cwords")))
       .filter(col("dist") <= n)
+      .select("phash", "chash", "dist")
   }
 
   /** Step 5 — the reference's `pdq_hash_output_formatter`
     * (`pdq_hash.py:18-73`) as a relational rewrite: symmetrize edges,
     * drop self-pairs, dedupe per (src, dst) keeping the smallest
     * distance, aggregate partner lists with deterministic ordering. */
-  private[graft] def format(edges: DataFrame): DataFrame = {
-    val sym = edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+  private[graft] def format(edges: DataFrame, alreadySymmetric: Boolean = false): DataFrame = {
+    val sym = (if (alreadySymmetric) edges
+               else edges.union(edges.select(col("dst").as("src"), col("src").as("dst"), col("dist"))))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst")
       .agg(min("dist").as("dist"))

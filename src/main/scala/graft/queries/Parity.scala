@@ -33,7 +33,7 @@ object Parity {
         when(col("event_id") % 5 === 0, "SHOP-").otherwise("shop-"),
         (col("user_id") % 20).cast("string"),
         lit(".example.com/item/"),
-        (col("event_id") % 50).cast("string"),
+        (col("event_id") % 100).cast("string"),
         when(col("event_id") % 4 === 0, concat(lit("#sec"), col("event_id").cast("string"))).otherwise("")
       ).as("url")
     )
@@ -44,7 +44,7 @@ object Parity {
     SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS idx,
            (CASE WHEN event_id % 3 = 0 THEN 'https://' WHEN event_id % 3 = 1 THEN 'http://' ELSE '' END)
            || (CASE WHEN event_id % 5 = 0 THEN 'SHOP-' ELSE 'shop-' END)
-           || CAST(user_id % 20 AS VARCHAR) || '.example.com/item/' || CAST(event_id % 50 AS VARCHAR)
+           || CAST(user_id % 20 AS VARCHAR) || '.example.com/item/' || CAST(event_id % 100 AS VARCHAR)
            || (CASE WHEN event_id % 4 = 0 THEN '#sec' || CAST(event_id AS VARCHAR) ELSE '' END) AS url
     FROM events"""
 
@@ -138,14 +138,14 @@ object Parity {
   val pdqDupsNaive: QueryDef = QueryDef(
     "pdq_dups_naive",
     (s, dir) => PdqDuplicates(pdqFrame(s, dir), similarityThreshold = pdqThreshold,
-      strategy = PdqDuplicates.Strategy.Naive),
+      strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true),
     Some(pdqDupsSql(pdqFrameSql) + "\n    ORDER BY 1")
   )
 
   val pdqDupsBanded: QueryDef = QueryDef(
     "pdq_dups_banded",
     (s, dir) => PdqDuplicates(pdqFrame(s, dir), similarityThreshold = pdqThreshold,
-      strategy = PdqDuplicates.Strategy.Banded),
+      strategy = PdqDuplicates.Strategy.Banded, assumeFixed256 = true),
     Some(pdqDupsSql(pdqFrameSql) + "\n    ORDER BY 1")
   )
 
@@ -155,7 +155,10 @@ object Parity {
   val detectFull: QueryDef = {
     def frame(s: SparkSession, dir: String): DataFrame = {
       val u = urlFrame(s, dir)
-      val g = (col("event_id") % 40).cast("string")
+      // group modulus 1000: near-dup clique size scales as |events|/1000
+      // (10 at sf0.01, 100 at sf0.1) — the per-member output contract is
+      // quadratic in clique size, so the modulus bounds it
+      val g = (col("event_id") % 1000).cast("string")
       val base = concat(md5(g), md5(concat(g, lit("s"))))
       val h1 = when(col("event_id") % 5 === 0,
         concat(substring(base, 1, 63),
@@ -171,12 +174,13 @@ object Parity {
                THEN substr(base, 1, 63) || (CASE WHEN substr(base, 64, 1) = '0' THEN '1' ELSE '0' END)
                ELSE base END] AS pdq
       FROM (
-        SELECT event_id, md5(CAST(event_id % 40 AS VARCHAR)) || md5(CAST(event_id % 40 AS VARCHAR) || 's') AS base
+        SELECT event_id, md5(CAST(event_id % 1000 AS VARCHAR)) || md5(CAST(event_id % 1000 AS VARCHAR) || 's') AS base
         FROM events
       )"""
     QueryDef(
       "detect_full",
-      (s, dir) => DetectDuplicates(frame(s, dir), similarityThreshold = pdqThreshold),
+      (s, dir) => DetectDuplicates(frame(s, dir), similarityThreshold = pdqThreshold,
+        method = "auto", assumeFixed256 = true),
       Some(s"""
         WITH urlres AS (${urlDupsSql(urlFrameSql)}),
         pdqres AS (${pdqDupsSql(pdqInputSql)}),

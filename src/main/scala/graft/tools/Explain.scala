@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Print the formatted physical plan (and optionally run) one or more
+  * named SparkEntry queries: `runMain graft.tools.Explain <sfDir> <name>...`
+  * Pass `--run` to also execute and time each query. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val run = args.contains("--run")
+    val noWscg = args.contains("--no-wscg")
+    val rest = args.filterNot(a => a == "--run" || a == "--no-wscg")
+    val sfDir = rest.head
+    val names = if (rest.length > 1) rest.tail.toSeq else graft.SparkEntry.all.map(_.name)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (noWscg) spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val qs = graft.SparkEntry.queries
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      qs(n)(spark, sfDir).explain("formatted")
+      if (run) {
+        // time construction + execution: operators with eager
+        // materialization (localCheckpoint) do real work at construction
+        val t0 = System.nanoTime()
+        val t1 = { qs(n)(spark, sfDir); System.nanoTime() }
+        val cnt = qs(n)(spark, sfDir).count()
+        println(f"-- $n: $cnt rows in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"(construct ${(t1 - t0) / 1e9}%.2f s)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactWithinWatermark drops re-seen keys across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("k", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = StreamingDedup.exactWithinWatermark(df, Seq("k"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sd_exact").outputMode("append").start()
+    try {
+      input.addData(("a", 1000L), ("a", 2000L), ("b", 3000L))
+      q.processAllAvailable()
+      input.addData(("a", 4000L), ("c", 5000L))
+      q.processAllAvailable()
+      val keys = spark.table("sd_exact").select("k").as[String].collect().sorted.toSeq
+      assert(keys == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("firstSeenCounts tracks running dup counts and first-seen time") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("key", "event_ms")
+    val out = StreamingDedup.firstSeenCounts(df, timeoutMs = 0) // NoTimeout: keeps micro-batches data-driven
+    val q = out.writeStream.format("memory").queryName("sd_counts").outputMode("update").start()
+    try {
+      input.addData(("a", 5000L), ("a", 1000L), ("b", 2000L))
+      q.processAllAvailable()
+      input.addData(("a", 9000L))
+      q.processAllAvailable()
+      val rows = spark.table("sd_counts")
+        .groupBy("key").agg(max("count").as("count"), min("first_seen_ms").as("first"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("a", 3L, 1000L), ("b", 1L, 2000L)))
+    } finally q.stop()
+  }
+}
