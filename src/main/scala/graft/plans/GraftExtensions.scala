@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring for the engine's native expressions.
+  *
+  * Usage:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)
+  *     // or: .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  * After which `SELECT hamming_distance(unhex(a), unhex(b))` works in
+  * plain SQL alongside the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.hammingDistanceDescriptor)
+  }
+}
+
+object GraftExtensions {
+  val hammingDistanceDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hamming_distance"),
+    new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "hamming_distance takes exactly 2 arguments")
+      HammingDistance(children.head, children(1))
+    }
+  )
+}

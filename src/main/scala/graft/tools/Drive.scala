@@ -4,8 +4,11 @@ import org.apache.spark.sql.types._
 import graft.operators._
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]").config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+    val spark = SparkSession.builder().master("local[4]").config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+      .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    println("=== custom expression: hamming_distance in SQL ===")
+    spark.sql("SELECT hamming_distance(unhex('ffff'), unhex('0fff')) AS d").show()
     val schema = StructType(Seq(StructField("index",StringType),StructField("url",StringType),StructField("pdq_hash",ArrayType(StringType))))
     val h1 = "68ed3b84e3e3c6cc1e38e1c13e3be14a1e79d624c5f97c26831bbc6a94e48391"
     val h1near = "68ed3b84e3e3c6cc1e38e1c13e3be14a1e79d624c5f97c26831bbc6a94e48390"
