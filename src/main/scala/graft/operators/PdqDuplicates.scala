@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.HashFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -221,29 +221,47 @@ object PdqDuplicates {
       .orderBy("index")
   }
 
-  /** Distinct-hash frames with the 8-word decomposition materialized
-    * behind a lineage cut: Catalyst would otherwise inline the 8 `conv`
-    * calls past the join and re-parse hex PER CANDIDATE PAIR — under
+  /** Distinct-hash frames with the packed 32-byte decoding materialized
+    * behind a lineage cut: Catalyst would otherwise inline the hex
+    * parsing past the join and re-parse PER CANDIDATE PAIR — under
     * banding skew (shared bands, e.g. all-zero tails) that is the
     * difference between O(pairs) integer XORs and O(pairs) string
     * parses. The frames are distinct hashes, so the materialization is
-    * small by construction. */
-  private def withWords(df: DataFrame, hashCol: String, wordsCol: String): DataFrame =
-    df.withColumn(wordsCol, hexToWords(col(hashCol))).localCheckpoint()
+    * small by construction. The distance kernel is the engine's native
+    * codegen'd [[graft.plans.HammingDistance]] over BinaryType — values
+    * are identical to the `array<bigint>`-words formulation (property-
+    * tested), so the DuckDB oracles are unaffected. */
+  /** Hashes decomposed into eight PRIMITIVE long columns (32 bits
+    * each), materialized behind a lineage cut. In the all-pairs
+    * nested-loop, array- or binary-typed payloads pay an allocation per
+    * pair access (UnsafeRow copies the value); eight flat longs stay in
+    * registers — the Hamming condition compiles to 8× (xor + popcnt +
+    * add), zero allocation. */
+  private def withWordCols(df: DataFrame, hashCol: String, prefix: String): DataFrame =
+    df.select(col("*") +: (0 until WordsPerHash).map(i =>
+      conv(col(hashCol).substr(i * 8 + 1, 8), 16, 10).cast("long").as(s"$prefix$i")): _*)
+      .localCheckpoint()
+
+  private def wordColsDist(n: Int = WordsPerHash): Column =
+    (0 until n).map(i => bit_count(col(s"pw$i").bitwiseXOR(col(s"cw$i")))).reduce(_ + _)
 
   private def naiveHashJoin(probes: DataFrame, corpus: DataFrame, n: Int): DataFrame =
-    withWords(probes, "phash", "pwords")
-      .crossJoin(withWords(corpus, "chash", "cwords"))
-      .withColumn("dist", hammingWords(col("pwords"), col("cwords")))
-      .filter(col("dist") <= n)
+    // the distance test lives in the JOIN CONDITION: the nested-loop
+    // join evaluates pure primitive arithmetic per pair and only
+    // materializes output rows for matches — the θ-join never copies
+    // the ~all-pairs row space. The distance is recomputed afterwards
+    // only for the few survivors.
+    withWordCols(probes, "phash", "pw")
+      .join(withWordCols(corpus, "chash", "cw"), wordColsDist() <= n)
+      .withColumn("dist", wordColsDist())
       .select("phash", "chash", "dist")
 
   private def bandedHashJoin(probes: DataFrame, corpus: DataFrame, n: Int): DataFrame = {
     val nBands = n + 1
-    val probeW = withWords(probes, "phash", "pwords")
-    val corpusW = withWords(corpus, "chash", "cwords")
+    val probeW = withWordCols(probes, "phash", "pw")
+    val corpusW = withWordCols(corpus, "chash", "cw")
     // candidate rows carry ONLY the hash strings through the (possibly
-    // skewed) band join; word arrays join back after dedup
+    // skewed) band join; word columns join back after dedup
     def banded(df: DataFrame, hashCol: String) = df
       .select(col(hashCol), explode(hexBands(col(hashCol), nBands)).as("b"))
       .select(col(hashCol), col("b.band_id"), col("b.band"))
@@ -254,7 +272,7 @@ object PdqDuplicates {
     candidates
       .join(probeW, Seq("phash"))
       .join(corpusW, Seq("chash"))
-      .withColumn("dist", hammingWords(col("pwords"), col("cwords")))
+      .withColumn("dist", wordColsDist())
       .filter(col("dist") <= n)
       .select("phash", "chash", "dist")
   }

@@ -194,5 +194,35 @@ object Parity {
     )
   }
 
-  val defs: Seq[QueryDef] = Seq(urlDups, pdqDupsNaive, pdqDupsBanded, detectFull)
+  /** The reference's published benchmark configuration (BASELINE.md:
+    * 30,225 hashes, similarity 0.8, naive backend, multi-core): ~30k
+    * DISTINCT random 256-bit hashes, all-pairs at radius
+    * rint(256·0.2) = 51. ~900M codegen'd Hamming evaluations — the
+    * direct single-node throughput comparison against the reference's
+    * 20-CPU figure. A planted near-dup every 997 ids keeps the result
+    * set non-empty. No DuckDB oracle (the quadratic replay is the one
+    * thing DuckDB cannot do in gate time); the driver records the
+    * rows-only check. */
+  val pdqScale30k: QueryDef = QueryDef(
+    "pdq_scale_30k",
+    (s, dir) => {
+      val e = tbl(s, dir, "events").filter(col("event_id") < 30225)
+      val g = col("event_id").cast("string")
+      val base = concat(md5(g), md5(concat(g, lit("x"))))
+      val h = when(col("event_id") % 997 === 0,
+        concat(substring(base, 1, 63),
+          when(substring(base, 64, 1) === "0", "1").otherwise("0")))
+        .otherwise(base)
+      val frame = e.select(
+        lpad(col("event_id").cast("string"), 8, "0").as("index"),
+        array(when(col("event_id") % 997 === 1,
+          concat(md5((col("event_id") - 1).cast("string")),
+            md5(concat((col("event_id") - 1).cast("string"), lit("x"))))).otherwise(h)).as("pdq_hash"))
+      PdqDuplicates(frame, similarityThreshold = 0.8,
+        strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true)
+    },
+    None
+  )
+
+  val defs: Seq[QueryDef] = Seq(urlDups, pdqDupsNaive, pdqDupsBanded, detectFull, pdqScale30k)
 }

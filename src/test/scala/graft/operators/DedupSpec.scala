@@ -55,6 +55,31 @@ class DedupSpec extends SparkTestBase {
     assert(banded == brute)
   }
 
+  test("PDQ banded join ≡ naive join on random hashes (SURVEY §5 property)") {
+    val rng = new scala.util.Random(1234)
+    def randHex = Seq.fill(64)("0123456789abcdef"(rng.nextInt(16))).mkString
+    // clusters of near hashes: base + up-to-3-nibble perturbations
+    val data = (0 until 30).flatMap { g =>
+      val base = randHex
+      val vars = (0 until rng.nextInt(3)).map { v =>
+        val pos = rng.nextInt(64)
+        base.updated(pos, "0123456789abcdef"((base(pos) - '0' + 1 + v) % 16))
+      }
+      (base +: vars).zipWithIndex.map { case (h, i) => org.apache.spark.sql.Row(f"G$g%02d_$i", Seq(h)) }
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("index", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pdq_hash",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
+    for (t <- Seq(0.95, 0.9)) {
+      val naive = rows(PdqDuplicates(df, similarityThreshold = t, strategy = PdqDuplicates.Strategy.Naive))
+      val banded = rows(PdqDuplicates(df, similarityThreshold = t, strategy = PdqDuplicates.Strategy.Banded))
+      assert(naive == banded, s"strategies disagree at threshold $t")
+    }
+  }
+
   test("ngramJaccardPairs: exact ground truth, ordered ids") {
     val got = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
