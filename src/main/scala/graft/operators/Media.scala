@@ -32,11 +32,15 @@ object Media {
   }
 
   /** STUB frame sampler: emits `n` deterministic pseudo-frame hashes. A
-    * real implementation seeks keyframes and perceptual-hashes them. */
+    * real implementation seeks keyframes and perceptual-hashes them.
+    * The fake is a modular rolling hash (seed 7, base 31, mod 1e9+7) —
+    * overflow-free, so the correctness oracle can replay it in SQL. */
+  val FrameHashMod = 1000000007L
   private def sampleFramesStub(payload: Array[Byte], n: Int): Seq[(Int, Long)] = {
-    var acc = 1125899906842597L
-    payload.foreach(b => acc = acc * 31 + b)
-    (0 until n).map(i => (i, acc * (i + 1)))
+    var acc = 7L
+    payload.foreach(b => acc = (acc * 31 + (b & 0xff)) % FrameHashMod)
+    val h = acc
+    (0 until n).map(i => (i, h * (i + 1) % FrameHashMod))
   }
 
   /** Image metadata extraction, partition-batched. */

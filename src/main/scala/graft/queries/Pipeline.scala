@@ -248,9 +248,40 @@ object Pipeline {
     """.trim)
   )
 
+  /** Multimodal pipeline through the TYPED path: documents → binary
+    * payloads → `Dataset[MediaItem]` → partition-batched frame sampling
+    * (`mapPartitions`) → flat frame relation. The decode kernel is the
+    * deterministic stub, which the oracle replays (ASCII payloads:
+    * byte i ≡ ascii(char i)). */
+  val mediaFrames: QueryDef = QueryDef(
+    "media_frames",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .map(r => Media.MediaItem(r.getLong(0), "image", r.getString(1).getBytes("UTF-8")))
+      Media.frameSamples(items, framesPerItem = 3)
+        .toDF("id", "frame_no", "frame_hash")
+        .orderBy("id", "frame_no")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id AS id,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) AS acc
+        FROM documents
+      )
+      SELECT id, frame_no, acc * (frame_no + 1) % 1000000007 AS frame_hash
+      FROM h CROSS JOIN unnest([0, 1, 2]) AS t(frame_no)
+      ORDER BY id, frame_no
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, simhashSigs, simhashPairs, ngramJaccard,
     textQuality, langId, tokenCounts, fingerprints,
-    embedTopK, embedAnn, mediaMeta
+    embedTopK, embedAnn, mediaMeta, mediaFrames
   )
 }
