@@ -254,8 +254,50 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  val qCube: QueryDef = QueryDef(
+    "q_cube",
+    (s, dir) => {
+      tbl(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """.trim)
+  )
+
+  val qSetOps: QueryDef = QueryDef(
+    "q_set_ops",
+    (s, dir) => {
+      val ord = tbl(s, dir, "orders")
+      def custs(status: String) =
+        ord.filter(col("o_orderstatus") === status).select("o_custkey").distinct()
+      custs("O").intersect(custs("F"))
+        .unionByName(custs("P").except(custs("F")))
+        .distinct()
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT DISTINCT o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      ) ORDER BY o_custkey
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
-    qRollup, qDistinctAgg, qSessionize, qAsOf
+    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf
   )
 }
