@@ -84,21 +84,28 @@ object Parity {
       )
     )"""
 
-  /** Oracle replay of the url pipeline over a (idx, url) relation. */
-  private def urlDupsSql(inputSql: String): String = s"""
-    WITH t AS ($inputSql),
+  /** CTEs deriving the flat url duplicate-edge relation `urledges(src,
+    * dst)` from a (idx, url) relation. The driver's gate sorts result
+    * frames in pandas, which cannot sort array cells — so every
+    * driver-facing query emits SCALAR columns: the edge relation, not
+    * the reference's array-typed member lists (the operator API keeps
+    * the arrays; only the gate projection is flat). */
+  private def urlEdgesCtes(inputSql: String): String = s"""
+    t AS ($inputSql),
     n AS (
       SELECT idx, regexp_replace(regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''), '#.*$$', '', 's') AS base_url
       FROM t WHERE url IS NOT NULL
     ),
-    g AS (SELECT base_url, list(idx ORDER BY idx) AS members, count(*) AS c FROM n GROUP BY base_url)
-    SELECT n.idx AS "index", list_filter(g.members, m -> m <> n.idx) AS url_duplicates
-    FROM n JOIN g USING (base_url) WHERE g.c > 1"""
+    urledges AS (
+      SELECT a.idx AS src, b.idx AS dst
+      FROM n a JOIN n b ON b.base_url = a.base_url AND b.idx <> a.idx
+    )"""
 
-  /** Oracle replay of the pdq pipeline (radius 5 = threshold 0.98) over a
-    * (idx, pdq LIST(VARCHAR)) relation. */
-  private def pdqDupsSql(inputSql: String): String = s"""
-    WITH rows_ AS ($inputSql),
+  /** CTEs deriving the flat pdq duplicate-edge relation `edges(src, dst,
+    * dist)` (radius 5 = threshold 0.98) from a (idx, pdq LIST(VARCHAR))
+    * relation; per-(src,dst) min-dist dedupe included. */
+  private def pdqEdgesCtes(inputSql: String): String = s"""
+    rows_ AS ($inputSql),
     ex AS (
       SELECT DISTINCT idx, ch FROM (
         SELECT idx, lower(lpad(unnest(pdq), 64, '0')) AS ch FROM rows_
@@ -119,34 +126,51 @@ object Parity {
       JOIN ex pb ON pb.ch = n.cch
       WHERE pa.idx <> pb.idx
       GROUP BY src, dst
-    )
-    SELECT src AS "index",
-      list(dst ORDER BY dst) AS pdq_hash_duplicates,
-      list(1.0 - dist / 256.0 ORDER BY dst) AS pdq_hash_similarities
-    FROM edges GROUP BY src"""
+    )"""
 
   // ---- query defs ------------------------------------------------------
 
+  /** Gate projection: explode the operator's array-typed output (kept as
+    * the public API shape) into the flat (index, duplicate, similarity)
+    * edge relation — scalar columns the driver's pandas sort can handle,
+    * and the saner output contract at 100 TB anyway (no per-row arrays
+    * quadratic in clique size). */
+  private[graft] def flatPdq(out: DataFrame): DataFrame = out
+    .select(col("index"), col("pdq_hash_similarities"), posexplode(col("pdq_hash_duplicates")))
+    .select(col("index"), col("col").as("duplicate"),
+      element_at(col("pdq_hash_similarities"), col("pos") + 1).as("similarity"))
+
   val urlDups: QueryDef = QueryDef(
     "url_dups",
-    (s, dir) => UrlDuplicates(urlFrame(s, dir)).orderBy("index"),
-    Some(urlDupsSql(urlFrameSql) + "\n    ORDER BY 1")
+    (s, dir) => UrlDuplicates(urlFrame(s, dir))
+      .select(col("index"), explode(col("url_duplicates")).as("url_duplicate"))
+      .orderBy("index", "url_duplicate"),
+    Some(s"""
+    WITH ${urlEdgesCtes(urlFrameSql)}
+    SELECT src AS "index", dst AS url_duplicate FROM urledges ORDER BY 1, 2""")
   )
 
   val pdqThreshold = 0.98 // radius rint(256*0.02) = 5
 
+  private def pdqDupsOracle: String = s"""
+    WITH ${pdqEdgesCtes(pdqFrameSql)}
+    SELECT src AS "index", dst AS duplicate, 1.0 - dist / 256.0 AS similarity
+    FROM edges ORDER BY 1, 2"""
+
   val pdqDupsNaive: QueryDef = QueryDef(
     "pdq_dups_naive",
-    (s, dir) => PdqDuplicates(pdqFrame(s, dir), similarityThreshold = pdqThreshold,
-      strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true),
-    Some(pdqDupsSql(pdqFrameSql) + "\n    ORDER BY 1")
+    (s, dir) => flatPdq(PdqDuplicates(pdqFrame(s, dir), similarityThreshold = pdqThreshold,
+      strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true))
+      .orderBy("index", "duplicate"),
+    Some(pdqDupsOracle)
   )
 
   val pdqDupsBanded: QueryDef = QueryDef(
     "pdq_dups_banded",
-    (s, dir) => PdqDuplicates(pdqFrame(s, dir), similarityThreshold = pdqThreshold,
-      strategy = PdqDuplicates.Strategy.Banded, assumeFixed256 = true),
-    Some(pdqDupsSql(pdqFrameSql) + "\n    ORDER BY 1")
+    (s, dir) => flatPdq(PdqDuplicates(pdqFrame(s, dir), similarityThreshold = pdqThreshold,
+      strategy = PdqDuplicates.Strategy.Banded, assumeFixed256 = true))
+      .orderBy("index", "duplicate"),
+    Some(pdqDupsOracle)
   )
 
   /** The reference's top-level `detect_duplicates` on a frame carrying
@@ -179,18 +203,30 @@ object Parity {
       )"""
     QueryDef(
       "detect_full",
-      (s, dir) => DetectDuplicates(frame(s, dir), similarityThreshold = pdqThreshold,
-        method = "auto", assumeFixed256 = true),
+      (s, dir) => {
+        // the reference's joined array-typed frame, flattened to the
+        // scalar (index, kind, partner, similarity) edge relation for
+        // the gate — url edges carry NULL similarity
+        val out = DetectDuplicates(frame(s, dir), similarityThreshold = pdqThreshold,
+          method = "auto", assumeFixed256 = true)
+        val urlE = out.filter(col("url_duplicates").isNotNull)
+          .select(col("index"), lit("url").as("kind"),
+            explode(col("url_duplicates")).as("partner"),
+            lit(null).cast("double").as("similarity"))
+        val pdqE = out.filter(col("pdq_hash_duplicates").isNotNull)
+          .select(col("index"), col("pdq_hash_similarities"), posexplode(col("pdq_hash_duplicates")))
+          .select(col("index"), lit("pdq").as("kind"), col("col").as("partner"),
+            element_at(col("pdq_hash_similarities"), col("pos") + 1).as("similarity"))
+        urlE.unionByName(pdqE).orderBy("index", "kind", "partner")
+      },
       Some(s"""
-        WITH urlres AS (${urlDupsSql(urlFrameSql)}),
-        pdqres AS (${pdqDupsSql(pdqInputSql)}),
-        base AS (SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS idx FROM events)
-        SELECT b.idx AS "index", u.url_duplicates, p.pdq_hash_duplicates, p.pdq_hash_similarities
-        FROM base b
-        LEFT JOIN urlres u ON u."index" = b.idx
-        LEFT JOIN pdqres p ON p."index" = b.idx
-        WHERE u.url_duplicates IS NOT NULL OR p.pdq_hash_duplicates IS NOT NULL
-        ORDER BY 1""".trim)
+        WITH ${urlEdgesCtes(urlFrameSql)},
+        ${pdqEdgesCtes(pdqInputSql)}
+        SELECT src AS "index", 'url' AS kind, dst AS partner, CAST(NULL AS DOUBLE) AS similarity
+        FROM urledges
+        UNION ALL
+        SELECT src, 'pdq', dst, 1.0 - dist / 256.0 FROM edges
+        ORDER BY 1, 2, 3""".trim)
     )
   }
 
@@ -218,8 +254,9 @@ object Parity {
         array(when(col("event_id") % 997 === 1,
           concat(md5((col("event_id") - 1).cast("string")),
             md5(concat((col("event_id") - 1).cast("string"), lit("x"))))).otherwise(h)).as("pdq_hash"))
-      PdqDuplicates(frame, similarityThreshold = 0.8,
-        strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true)
+      flatPdq(PdqDuplicates(frame, similarityThreshold = 0.8,
+        strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true))
+        .orderBy("index", "duplicate")
     },
     None
   )

@@ -173,15 +173,22 @@ object Pipeline {
 
   val fingerprints: QueryDef = QueryDef(
     "fingerprints",
+    // gate projection: the fingerprint array joined to a '|' string —
+    // the driver's pandas-side sort cannot handle array cells (operator
+    // API keeps the array<bigint>)
     (s, dir) => TextAnalysis.fingerprints(tbl(s, dir, "documents"), "doc_id", "text",
-      shingleLen = 3, window = 4).orderBy("id"),
+      shingleLen = 3, window = 4)
+      .select(col("id"),
+        array_join(transform(col("fingerprints"), x => x.cast("string")), "|").as("fingerprints"))
+      .orderBy("id"),
     Some(s"""
       WITH ${shingleCtes("SELECT doc_id AS id, text FROM documents", hashBits30 = false, distinct = false)},
       full_ AS (
         SELECT w.id, coalesce(hs.hs, CAST([] AS BIGINT[])) AS hs
         FROM w LEFT JOIN hs ON w.id = hs.id
       )
-      SELECT id, ${TextFunctions.winnowSql("hs", 4)} AS fingerprints FROM full_ ORDER BY id
+      SELECT id, array_to_string(list_transform(${TextFunctions.winnowSql("hs", 4)}, x -> CAST(x AS VARCHAR)), '|') AS fingerprints
+      FROM full_ ORDER BY id
     """.trim)
   )
 

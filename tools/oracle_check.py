@@ -19,10 +19,25 @@ def canon(v):
         return v.hex()
     return str(v)
 
+def array_col(cols, rows):
+    """The driver's gate sorts the raw pandas frame, which crashes on
+    array-typed cells (unhashable numpy.ndarray). Mirror that: any
+    list-valued cell is a hard failure here too."""
+    for r in rows:
+        for c, v in zip(cols, r):
+            if isinstance(v, (list, tuple)):
+                return c
+    return None
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out)
+    # sort RAW values first (like the driver's pandas sort_values),
+    # canonicalize only afterwards — canonicalizing first masked the
+    # round-1 array-sort failure
+    raw = sorted((tuple(r[i] for i in order) for r in rows),
+                 key=lambda t: tuple((v is None, v) for v in t))
+    out = [tuple(canon(v) for v in t) for t in raw]
+    return sorted(cols), out
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -40,13 +55,23 @@ def main(sf_dir, out_dir):
             continue
         try:
             s = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
-            scols, srows = norm_rows(s.columns, s.fetchall())
+            sraw = s.fetchall()
+            bad = array_col(s.columns, sraw)
+            if bad is not None:
+                print(f"FAIL {name}: array-typed output column '{bad}' — driver's pandas gate cannot sort it")
+                failed.append(name); continue
+            scols, srows = norm_rows(s.columns, sraw)
         except Exception as e:
             print(f"FAIL {name}: reading spark output: {e}")
             failed.append(name); continue
         try:
             d = con.sql(sql)
-            dcols, drows = norm_rows(d.columns, d.fetchall())
+            draw = d.fetchall()
+            bad = array_col(d.columns, draw)
+            if bad is not None:
+                print(f"FAIL {name}: array-typed ORACLE column '{bad}' — driver's pandas gate cannot sort it")
+                failed.append(name); continue
+            dcols, drows = norm_rows(d.columns, draw)
         except Exception as e:
             print(f"FAIL {name}: oracle errored: {str(e)[:300]}")
             failed.append(name); continue
