@@ -13,6 +13,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // surface operator telemetry (observe() metrics: null-drop counts,
+    // result counts, banding candidate volumes) into the bench log
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val m = qe.observedMetrics
+        if (m.nonEmpty) System.err.println(
+          "[metrics] " + m.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      }
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune expensive

@@ -74,13 +74,12 @@ object Dedup {
     val rows = k / bands
     val hs = shingleHashes30(df, idCol, textCol, shingleLen).filter(size(col("hs")) > 0)
     // the signature frame feeds BOTH sides of the band self-join plus the
-    // verification joins. localCheckpoint (not cache) both materializes
-    // it once AND cuts the lineage, so the downstream self-join plans
+    // verification joins. Materializing (not cache) both computes it
+    // once AND cuts the lineage, so the downstream self-join plans
     // against a flat scan instead of re-analyzing/codegen'ing the whole
-    // shingle+md5+minhash tree per branch. On a cluster prefer a
-    // reliable checkpoint/staging table (localCheckpoint loses
-    // partitions if an executor dies).
-    val sigs = hs.select(col("id"), col("hs"), minhashSig(col("hs"), k).as("sig")).localCheckpoint()
+    // shingle+md5+minhash tree per branch; spark.graft.materialize
+    // selects local vs reliable checkpointing (see [[Materialize]]).
+    val sigs = Materialize(hs.select(col("id"), col("hs"), minhashSig(col("hs"), k).as("sig")))
 
     // slim band rows: (id, band_id, band) only — the shingle-hash arrays
     // stay OUT of the self-join/broadcast and are joined back just for
@@ -118,34 +117,71 @@ object Dedup {
       .select(col("id"), simhash60(transform(col("ws"), w => portableHash60(w))).as("simhash"))
 
   /** SimHash near-dup pairs within Hamming radius `maxDist`, via
-    * pigeonhole banding over the 60 bits (maxDist+1 bands → complete
-    * candidate set, same argument as the PDQ banded join). Output
-    * (id_a, id_b, dist), id_a < id_b. */
-  def simhashPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val nBands = maxDist + 1
-    require(nBands <= 60, s"maxDist must be < 60, got $maxDist")
+    * pigeonhole banding over the 60 bits with optional MULTI-PROBE over
+    * wide bands (the block-permutation scheme of Manku, Jain & Das
+    * Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07).
+    *
+    * With `bands` bands, some band carries at most
+    * `floor(maxDist / bands)` of the ≤ maxDist differing bits
+    * (pigeonhole). Budget 0 → exact band equality; budget 1 → the probe
+    * side also enumerates every 1-bit flip of each band value, so the
+    * join stays an equi-join while bands stay WIDE. Wide bands are the
+    * scale guard: maxDist+1 narrow bands over 60 bits have ≤ 2^6
+    * distinct values each, so every band bucket grows linearly with the
+    * corpus and the "equi-join" degenerates toward all-pairs; 2 bands
+    * of 30 bits have 2^30 values — bucket sizes stay O(corpus/2^30 +
+    * true-near-dup cluster size).
+    *
+    * The default `bands = 0` picks maxDist+1 exact-match bands (the
+    * narrow scheme) — callers at scale should pass `bands` such that
+    * `maxDist / bands <= 1` and `60 / bands` is wide (e.g. maxDist=3,
+    * bands=2). Candidate volume is observable via the "simhash_pairs"
+    * observation (`candidates` metric) for skew monitoring.
+    *
+    * Output (id_a, id_b, dist), id_a < id_b. */
+  def simhashPairs(sigs: DataFrame, maxDist: Int = 3, bands: Int = 0): DataFrame = {
+    val nBands = if (bands > 0) bands else maxDist + 1
+    val budget = maxDist / nBands
+    require(nBands >= 1 && nBands <= 60, s"bands must be in [1, 60], got $nBands")
+    require(budget <= 1,
+      s"bands=$nBands too few for maxDist=$maxDist: per-band error budget " +
+        s"floor($maxDist/$nBands)=$budget, only 0 (exact) and 1 (1-flip probe) supported")
     // near-equal cuts covering ALL 60 bits (60*j/n boundaries) — a band
     // of uncovered bits would break the pigeonhole completeness proof
     val cuts = (0 to nBands).map(j => 60 * j / nBands)
-    val bandCols = (0 until nBands).map { j =>
-      val width = cuts(j + 1) - cuts(j)
-      shiftright(col("simhash"), cuts(j)).bitwiseAND(lit((1L << width) - 1))
-    }
+    def bandVal(j: Int): org.apache.spark.sql.Column =
+      shiftright(col("simhash"), cuts(j)).bitwiseAND(lit((1L << (cuts(j + 1) - cuts(j))) - 1))
     // sigs is an expensive derivation consumed by both join sides —
     // materialize + cut lineage before fanning out (see minhashLshPairs)
-    val matSigs = sigs.localCheckpoint()
-    val banded = matSigs.select(
+    val matSigs = Materialize(sigs)
+    val exact = matSigs.select(
       col("id"), col("simhash"),
-      posexplode(array(bandCols: _*))
+      posexplode(array((0 until nBands).map(bandVal): _*))
     ).select(col("id"), col("simhash"), col("pos").as("band_id"), col("col").as("band"))
+
+    // probe side: band value + every 1-bit flip (statically unrolled —
+    // stays in whole-stage codegen). A pair differing in ≤ budget bits
+    // of band j matches because the probe's flip set contains the
+    // partner's exact value; one-directional expansion suffices.
+    val probe =
+      if (budget == 0) exact
+      else matSigs.select(
+        col("id"), col("simhash"),
+        posexplode(array((0 until nBands).map { j =>
+          val w = cuts(j + 1) - cuts(j)
+          val v = bandVal(j)
+          array((v +: (0 until w).map(b => v.bitwiseXOR(lit(1L << b)))): _*)
+        }: _*)))
+        .select(col("id"), col("simhash"), col("pos").as("band_id"), explode(col("col")).as("band"))
 
     // verify before dedup (see minhashLshPairs): the Hamming filter runs
     // map-side on the join output, the shuffle dedups only survivors
-    banded.as("a")
-      .join(banded.as("b"),
+    probe.as("a")
+      .join(exact.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band") === col("b.band") &&
           col("a.id") < col("b.id"))
+      .observe("simhash_pairs", count(lit(1)).as("candidates"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.simhash"), col("b.simhash")).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)
@@ -162,7 +198,7 @@ object Dedup {
       shingleLen: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    val hs = shingleHashes30(df, idCol, textCol, shingleLen).filter(size(col("hs")) > 0).localCheckpoint()
+    val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen).filter(size(col("hs")) > 0))
     hs.as("a").crossJoin(hs.as("b"))
       .filter(col("a.id") < col("b.id"))
       // size prefilter: J >= t implies min(|A|,|B|) >= t * max(|A|,|B|);

@@ -37,6 +37,30 @@ object DetectDuplicates {
       method: String = "naive",
       validateUniqueIndex: Boolean = true,
       assumeFixed256: Boolean = false
+  ): DataFrame =
+    run(df, Checked.from(indexesToCheck), similarityThreshold, method, validateUniqueIndex, assumeFixed256)
+
+  /** [[apply]] with the checked set as a DataFrame (`index` column) —
+    * the scalable spelling of the reference's `indexes_to_check` Series
+    * (`__init__.py:11-16`): restriction is planned as joins, never as a
+    * literal predicate. */
+  def checkedBy(
+      df: DataFrame,
+      checked: DataFrame,
+      similarityThreshold: Double = 0.8,
+      method: String = "naive",
+      validateUniqueIndex: Boolean = true,
+      assumeFixed256: Boolean = false
+  ): DataFrame =
+    run(df, Checked.Frame(checked), similarityThreshold, method, validateUniqueIndex, assumeFixed256)
+
+  private def run(
+      df: DataFrame,
+      checked: Checked,
+      similarityThreshold: Double,
+      method: String,
+      validateUniqueIndex: Boolean,
+      assumeFixed256: Boolean
   ): DataFrame = {
     val spark = df.sparkSession
     val cols = df.columns.toSet
@@ -72,11 +96,11 @@ object DetectDuplicates {
     val base = projected.select("index")
 
     val urlDups: Option[DataFrame] =
-      if (hasUrl) Some(UrlDuplicates(projected.select("index", "url"), indexesToCheck)) else None
+      if (hasUrl) Some(UrlDuplicates.run(projected.select("index", "url"), checked)) else None
 
     val pdqDups: Option[DataFrame] =
       if (hasPdq)
-        Some(PdqDuplicates(projected.select("index", "pdq_hash"), indexesToCheck, similarityThreshold,
+        Some(PdqDuplicates.run(projected.select("index", "pdq_hash"), checked, similarityThreshold,
           strategy, assumeFixed256))
       else None
 

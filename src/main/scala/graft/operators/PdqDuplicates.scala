@@ -50,6 +50,8 @@ import org.apache.spark.sql.types._
   */
 object PdqDuplicates {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   sealed trait Strategy
   object Strategy {
     case object Naive extends Strategy
@@ -98,25 +100,76 @@ object PdqDuplicates {
       similarityThreshold: Double = 0.8,
       strategy: Strategy = Strategy.Naive,
       assumeFixed256: Boolean = false
+  ): DataFrame =
+    run(df, Checked.from(indexesToCheck), similarityThreshold, strategy, assumeFixed256)
+
+  /** [[apply]] with the probe set as a DataFrame carrying an `index`
+    * column (the reference accepts a Series of arbitrary size,
+    * `pdq_hash.py:76-110`) — restriction happens as a left-semi join,
+    * the plan shape that survives million-entry checked sets. */
+  def checkedBy(
+      df: DataFrame,
+      checked: DataFrame,
+      similarityThreshold: Double = 0.8,
+      strategy: Strategy = Strategy.Naive,
+      assumeFixed256: Boolean = false
+  ): DataFrame =
+    run(df, Checked.Frame(checked), similarityThreshold, strategy, assumeFixed256)
+
+  private[operators] def run(
+      df: DataFrame,
+      checked: Checked,
+      similarityThreshold: Double,
+      strategy: Strategy,
+      assumeFixed256: Boolean
   ): DataFrame = {
     validateThreshold(similarityThreshold)
     val spark = df.sparkSession
 
-    if (indexesToCheck.exists(_.isEmpty)) return emptyResult(spark)
+    // P5 runtime twin of the reference's element-type validation
+    // (`pdq_hash.py:165-173` raises ValueError on non-string hash
+    // elements): Spark carries the element type in the schema, so the
+    // check is a driver-side schema assertion, not a data scan.
+    df.schema("pdq_hash").dataType match {
+      case ArrayType(StringType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"pdq_hash must be array<string> (every PDQ hash must be a string), got $other")
+    }
+
+    checked match {
+      case Checked.Literals(seq) if seq.isEmpty =>
+        // reference `pdq_hash.py:140-144` UserWarning twin
+        log.warn("indexes_to_check is empty, no duplicates will be found.")
+        return emptyResult(spark)
+      case _ => ()
+    }
 
     // steps 1+2: explode + literal-pair dedupe. Spark's explode already
     // drops nulls and empty arrays (pandas explode emits a NaN row that
     // the reference later ignores — same effective relation).
+    // A4 telemetry twin (`pdq_hash.py:156-160` null-drop count,
+    // `:237-255` result count): `observe` rides the existing jobs —
+    // metrics surface via QueryExecutionListener, zero extra scans.
     val exploded = df
+      .observe("pdq_hash_input", count(lit(1)).as("n_rows"),
+        sum(when(col("pdq_hash").isNull, 1).otherwise(0)).as("n_null_rows"))
       .filter(col("pdq_hash").isNotNull)
       .select(col("index"), explode(col("pdq_hash")).as("hash"))
       .filter(col("hash").isNotNull)
       .dropDuplicates("index", "hash")
 
+    // detection scan: fast path requires 1..64 hex chars AND a clean hex
+    // charset — `conv(hex, 16, 10)` silently parses malformed input as 0,
+    // which would fabricate distance-0 duplicates; malformed hashes are
+    // routed to the parity UDF path, whose BigInteger parse throws like
+    // the reference (`int(hex, 16)` ValueError). `assumeFixed256 = true`
+    // skips this scan: malformed hex is then undefined behavior, the
+    // caller vouches for canonical 64-char input.
     val fixedWidth = assumeFixed256 || {
-      val row = exploded.agg(min(length(col("hash"))), max(length(col("hash")))).head()
+      val row = exploded.agg(min(length(col("hash"))), max(length(col("hash"))),
+        max(col("hash").rlike("[^0-9a-fA-F]"))).head()
       if (row.isNullAt(1)) return emptyResult(spark) // no hashes at all
-      row.getInt(0) >= 1 && row.getInt(1) <= 64
+      row.getInt(0) >= 1 && row.getInt(1) <= 64 && !row.getBoolean(2)
     }
 
     val n = absoluteThreshold(PdqHashLength, similarityThreshold)
@@ -131,9 +184,10 @@ object PdqDuplicates {
     ).dropDuplicates("index", "chash")
 
     val corpusHashes = indexed.select("chash").distinct()
-    val probeIdx = indexesToCheck match {
-      case Some(checked) => indexed.filter(col("index").isin(checked: _*))
-      case None          => indexed
+    val probeIdx = checked match {
+      case Checked.All            => indexed
+      case Checked.Literals(seq)  => indexed.filter(col("index").isin(seq: _*))
+      case Checked.Frame(c)       => indexed.join(c.select("index"), Seq("index"), "left_semi")
     }
     val probeHashes = probeIdx.select(col("chash").as("phash")).distinct()
 
@@ -148,7 +202,13 @@ object PdqDuplicates {
       } else {
         val resolved = strategy match {
           case Strategy.Auto =>
-            val pairs = probeHashes.count() * corpusHashes.count()
+            // plan-statistics estimate, NOT count(): two count() actions
+            // here would scan the full input twice before planning — at
+            // 100 TB that is two extra passes per query. Catalyst's
+            // size-in-bytes estimate flows from file statistics; it
+            // ignores the distinct-hash collapse, so it overestimates
+            // rows and errs toward Banded — the scale-safe side.
+            val pairs = estimateRows(probeHashes) * estimateRows(corpusHashes)
             if (pairs <= Strategy.AutoNaiveMaxPairs) Strategy.Naive else Strategy.Banded
           case s => s
         }
@@ -162,7 +222,7 @@ object PdqDuplicates {
         }
       }
 
-    if (indexesToCheck.isEmpty) {
+    val result = if (checked == Checked.All) {
       // probe = corpus: edge set is symmetric by construction, so the
       // formatter can aggregate partner lists at HASH granularity (tiny:
       // one row per distinct hash) and expand to index rows map-side —
@@ -177,6 +237,20 @@ object PdqDuplicates {
         .join(indexed.select(col("index").as("dst"), col("chash")), Seq("chash"))
         .select("src", "dst", "dist")
       format(edges)
+    }
+    // `pdq_hash.py:237-255` "Found N rows with duplicates" twin
+    result.observe("pdq_hash_result", count(lit(1)).as("n_rows_with_duplicates"))
+  }
+
+  /** Row-count estimate from the optimized plan's statistics — zero
+    * Spark jobs. Uses Catalyst's row-count estimate when available
+    * (CBO / AQE), else sizeInBytes divided by the schema's default row
+    * width. */
+  private def estimateRows(df: DataFrame): BigInt = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.getOrElse {
+      val width = BigInt(df.schema.map(_.dataType.defaultSize).sum.max(1))
+      stats.sizeInBytes / width
     }
   }
 
@@ -238,9 +312,8 @@ object PdqDuplicates {
     * registers — the Hamming condition compiles to 8× (xor + popcnt +
     * add), zero allocation. */
   private def withWordCols(df: DataFrame, hashCol: String, prefix: String): DataFrame =
-    df.select(col("*") +: (0 until WordsPerHash).map(i =>
-      conv(col(hashCol).substr(i * 8 + 1, 8), 16, 10).cast("long").as(s"$prefix$i")): _*)
-      .localCheckpoint()
+    Materialize(df.select(col("*") +: (0 until WordsPerHash).map(i =>
+      conv(col(hashCol).substr(i * 8 + 1, 8), 16, 10).cast("long").as(s"$prefix$i")): _*))
 
   private def wordColsDist(n: Int = WordsPerHash): Column =
     (0 until n).map(i => bit_count(col(s"pw$i").bitwiseXOR(col(s"cw$i")))).reduce(_ + _)

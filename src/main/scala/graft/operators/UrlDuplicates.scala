@@ -35,23 +35,49 @@ object UrlDuplicates {
     * @return (index: string, url_duplicates: array<string>) — only rows
     *         that have at least one duplicate.
     */
-  def apply(df: DataFrame, indexesToCheck: Option[Seq[String]] = None): DataFrame = {
+  def apply(df: DataFrame, indexesToCheck: Option[Seq[String]] = None): DataFrame =
+    run(df, Checked.from(indexesToCheck))
+
+  /** [[apply]] with the checked set as a DataFrame carrying an `index`
+    * column — the checked flag arrives via a join (broadcast when
+    * small) instead of an `isin` literal list, so million-entry checked
+    * sets keep a sane plan. Bi-directional membership semantics are
+    * identical: one checked member qualifies the whole group. */
+  def checkedBy(df: DataFrame, checked: DataFrame): DataFrame =
+    run(df, Checked.Frame(checked))
+
+  private[operators] def run(df: DataFrame, checked: Checked): DataFrame = {
+    // A4 telemetry twin (`url.py:70-74` null-drop count): observe rides
+    // the existing jobs, metrics surface via QueryExecutionListener
     val norm = df
+      .observe("url_input", count(lit(1)).as("n_rows"),
+        sum(when(col("url").isNull, 1).otherwise(0)).as("n_null_urls"))
       .filter(col("url").isNotNull)
       .select(col("index"), UrlFunctions.normalizeUrl(col("url")).as("base_url"))
 
-    val w = Window.partitionBy("base_url")
-    val withMembers = norm.withColumn("members", collect_list("index").over(w))
+    // the Frame variant marks checked rows BEFORE the window, so the
+    // group flag rides the same single shuffle as the member list
+    val marked = checked match {
+      case Checked.Frame(c) =>
+        norm.join(c.select("index").distinct().withColumn("__checked", lit(1)),
+          Seq("index"), "left")
+      case _ => norm
+    }
 
-    val qualified = indexesToCheck match {
-      case None => withMembers
-      case Some(checked) =>
+    val w = Window.partitionBy("base_url")
+    val withMembers = marked.withColumn("members", collect_list("index").over(w))
+
+    val qualified = checked match {
+      case Checked.All => withMembers
+      case Checked.Literals(seq) =>
         // group qualifies iff it contains at least one checked index
-        val flagged = withMembers.withColumn(
+        withMembers.withColumn(
           "n_checked",
-          sum(when(col("index").isin(checked: _*), 1).otherwise(0)).over(w)
-        )
-        flagged.filter(col("n_checked") > 0).drop("n_checked")
+          sum(when(col("index").isin(seq: _*), 1).otherwise(0)).over(w)
+        ).filter(col("n_checked") > 0).drop("n_checked")
+      case Checked.Frame(_) =>
+        withMembers.withColumn("n_checked", sum(col("__checked")).over(w))
+          .filter(col("n_checked") > 0).drop("n_checked", "__checked")
     }
 
     qualified
@@ -60,5 +86,7 @@ object UrlDuplicates {
         col("index"),
         array_remove(sort_array(col("members")), col("index")).as("url_duplicates")
       )
+      // `url.py:121-126` "Found N rows with duplicates" twin
+      .observe("url_result", count(lit(1)).as("n_rows_with_duplicates"))
   }
 }

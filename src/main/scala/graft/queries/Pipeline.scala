@@ -97,12 +97,19 @@ object Pipeline {
     """.trim)
   )
 
+  // radius 3 over 60 bits with 2 bands of 30 bits + 1-flip multi-probe
+  // (Manku et al. WWW'07 regime): band cardinality 2^30 >> corpus, so
+  // bucket sizes — and with them candidate volume — stay bounded at
+  // scale, unlike maxDist+1 narrow bands (≤ 2^6 values each)
+  val simhashMaxDist = 3
+
   val simhashPairs: QueryDef = QueryDef(
     "simhash_pairs",
-    (s, dir) => Dedup.simhashPairs(Dedup.simhashSigs(corpus(s, dir), "id", "text"), maxDist = 10)
+    (s, dir) => Dedup.simhashPairs(Dedup.simhashSigs(corpus(s, dir), "id", "text"),
+      maxDist = simhashMaxDist, bands = 2)
       .orderBy("id_a", "id_b"),
-    // banding is COMPLETE for dist <= maxDist (pigeonhole), so the
-    // oracle is the straight all-pairs join over the signatures
+    // multi-probe banding is COMPLETE for dist <= maxDist (pigeonhole),
+    // so the oracle is the straight all-pairs join over the signatures
     Some(s"""
       WITH w AS (SELECT id, list_filter(regexp_split_to_array(text, ' +'), x -> len(x) > 0) AS ws FROM ($corpusSql)),
       h AS (SELECT id, list_transform(ws, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs FROM w WHERE len(ws) > 0),
@@ -110,7 +117,7 @@ object Pipeline {
       SELECT a.id AS id_a, b.id AS id_b,
         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
       FROM sigs a JOIN sigs b ON a.id < b.id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= $simhashMaxDist
       ORDER BY id_a, id_b
     """.trim)
   )

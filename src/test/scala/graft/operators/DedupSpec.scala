@@ -55,6 +55,27 @@ class DedupSpec extends SparkTestBase {
     assert(banded == brute)
   }
 
+  test("simhashPairs wide-band 1-flip multi-probe is complete: equals brute force (maxDist=3, bands=2)") {
+    // base sigs plus planted 2- and 3-bit-flip variants so matches span
+    // the whole radius, including both-errors-in-one-band cases
+    val base = (0 until 40).map(i => (i.toLong, (i * 104729L) % (1L << 60)))
+    val variants = (0 until 40 by 3).map { i =>
+      val s = (i * 104729L) % (1L << 60)
+      val flipped = s ^ ((1L << (i % 60)) | (1L << ((i * 7 + 13) % 60)) | (if (i % 2 == 0) 1L << ((i * 11 + 29) % 60) else 0L))
+      (1000L + i, flipped)
+    }
+    val sigs = (base ++ variants).toDF("id", "simhash")
+    val wide = Dedup.simhashPairs(sigs, maxDist = 3, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(wide == brute)
+  }
+
   test("PDQ banded join ≡ naive join on random hashes (SURVEY §5 property)") {
     val rng = new scala.util.Random(1234)
     def randHex = Seq.fill(64)("0123456789abcdef"(rng.nextInt(16))).mkString

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** The `spark.graft.materialize` knob: the reliable-checkpoint path (the
+  * cluster fault-tolerance story) and pass-through must produce results
+  * identical to the default localCheckpoint path. */
+class MaterializeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today extra tail"),
+    (3L, "completely different words about database engines and vectorized execution plans"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5L, "short text")
+  ).toDF("id", "text")
+
+  private def withMode[A](mode: String)(body: => A): A = {
+    spark.conf.set(Materialize.ModeKey, mode)
+    try body
+    finally spark.conf.unset(Materialize.ModeKey)
+  }
+
+  test("reliable checkpoint mode matches the default local path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val local = rows(Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.5))
+    val reliable = withMode("reliable") {
+      rows(Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.5))
+    }
+    assert(reliable == local)
+    assert(local.nonEmpty)
+  }
+
+  test("none mode (full lineage) matches too") {
+    val local = rows(Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.3))
+    val none = withMode("none") {
+      rows(Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.3))
+    }
+    assert(none == local)
+  }
+
+  test("unknown mode raises") {
+    withMode("bogus") {
+      intercept[IllegalArgumentException](Materialize(docs))
+    }
+  }
+}
