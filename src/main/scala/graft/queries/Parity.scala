@@ -206,9 +206,14 @@ object Parity {
       (s, dir) => {
         // the reference's joined array-typed frame, flattened to the
         // scalar (index, kind, partner, similarity) edge relation for
-        // the gate — url edges carry NULL similarity
-        val out = DetectDuplicates(frame(s, dir), similarityThreshold = pdqThreshold,
-          method = "auto", assumeFixed256 = true)
+        // the gate — url edges carry NULL similarity. The output feeds
+        // BOTH union branches and Spark plans no exchange reuse across
+        // them (measured: the full detect pipeline ran twice);
+        // materializing the compact array-typed result once halves the
+        // query.
+        val out = graft.operators.Materialize(
+          DetectDuplicates(frame(s, dir), similarityThreshold = pdqThreshold,
+            method = "auto", assumeFixed256 = true))
         val urlE = out.filter(col("url_duplicates").isNotNull)
           .select(col("index"), lit("url").as("kind"),
             explode(col("url_duplicates")).as("partner"),
