@@ -25,7 +25,22 @@ import org.apache.spark.sql.types._
   *
   * The reference's three backends (naive all-pairs / BK-tree / the
   * never-implemented "mih") are physical STRATEGIES with identical
-  * results. Here:
+  * results.
+  *
+  * Why the BK-tree itself (`bk_tree.py:22-97`) does not port: it is a
+  * pointer-chasing metric index whose value lies in shared-memory
+  * reuse — one mutable tree, built once, queried by every probe, with
+  * triangle-inequality pruning deciding WHICH CHILD TO VISIT NEXT at
+  * query time. That sequential, data-dependent traversal has no
+  * distributed analogue: a tree per executor re-pays the O(corpus)
+  * build per task (the reference's own README flags build time
+  * dominating small probe sets), and shipping the traversal as a join
+  * means materializing per-level frontiers — strictly worse than
+  * banding. Pigeonhole banding ([[Strategy.Banded]]) delivers the same
+  * candidate-pruning guarantee as a pure equi-join (shuffle hash join,
+  * AQE-planned, skew-salvageable), which is why it is the distributed
+  * metric-index equivalent here — parametrized tests prove naive ≡
+  * banded on identical inputs. Here:
   *
   *  - [[Strategy.Naive]]: distinct-hash θ-join (crossJoin + verify) —
   *    the semantic reference, right when |probe hashes| is small (Spark

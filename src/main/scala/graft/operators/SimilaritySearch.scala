@@ -92,6 +92,53 @@ object SimilaritySearch {
   def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
+  /** Assign each vector to its `nprobe` nearest centroids by cosine
+    * (rounded to 9 dp, centroid-id tiebreak — engine-stable).
+    * @return (idAlias, vecAlias, cell, probe_rank) */
+  private def ivfAssign(vecs: DataFrame, idAlias: String, vecAlias: String,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
+    val scored = vecs.join(broadcast(centroids), lit(true))
+      .withColumn("ctr_cos", round(cosine(col(vecAlias), col("ctr_vec")), 9))
+    val w = Window.partitionBy(idAlias).orderBy(col("ctr_cos").desc, col("centroid_id").asc)
+    scored
+      .withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col(idAlias), col(vecAlias), col("centroid_id").as("cell"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer tier: corpus
+    * vectors are assigned to their nearest centroid ONCE (the index
+    * build; in a real deployment this materializes to a bucketed table
+    * partitioned by `cell`), queries probe their `nprobe` nearest
+    * cells, and only same-cell candidates are scored. The candidate
+    * join is a plain equi-join on `cell` — shuffle volume scales with
+    * |corpus| + |queries|·(corpus/K)·nprobe, never all-pairs. Recall
+    * is traded via `nprobe` (and centroid count K); the centroids are
+    * caller-supplied (deterministic here — a k-means fit would be a
+    * separate offline job, exactly as in IVF practice).
+    *
+    * @param centroids (idCol, vecCol) rows to use as cell centers
+    * @return (query_id, neighbor_id, cos, rank) — self excluded, rank
+    *         within the probed cells, same contract as [[annTopK]] */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("ctr_vec"))
+    val c = ivfAssign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+      "neighbor_id", "cvec", cent, 1)
+    val q = ivfAssign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+      "query_id", "qvec", cent, nprobe)
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 9))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** ANN top-k: score only same-bucket candidates. Output schema matches
     * [[cosineTopK]] (rank within the probed bucket). */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Media, SimilaritySearch, TextAnalysis}
+import graft.operators.{Dedup, Media, PdqDuplicates, SimilaritySearch, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -247,6 +247,49 @@ object Pipeline {
     """.trim)
   )
 
+  val embedIvf: QueryDef = QueryDef(
+    "embed_ivf",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(
+        e,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+        e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ctr FROM embeddings WHERE vec_id < 16),
+      corp AS (SELECT vec_id AS neighbor_id, embedding AS nvec FROM embeddings),
+      ca AS (
+        SELECT neighbor_id, nvec, centroid_id,
+          row_number() OVER (PARTITION BY neighbor_id ORDER BY ctr_cos DESC, centroid_id) AS r
+        FROM (SELECT neighbor_id, nvec, centroid_id,
+                round(${SimilaritySearch.cosineSql("nvec", "ctr", 64)}, 9) AS ctr_cos
+              FROM corp CROSS JOIN cent)
+      ),
+      cassign AS (SELECT neighbor_id, nvec, centroid_id AS cell FROM ca WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id >= 100 AND vec_id < 120),
+      qa AS (
+        SELECT query_id, qvec, centroid_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY ctr_cos DESC, centroid_id) AS r
+        FROM (SELECT query_id, qvec, centroid_id,
+                round(${SimilaritySearch.cosineSql("qvec", "ctr", 64)}, 9) AS ctr_cos
+              FROM q CROSS JOIN cent)
+      ),
+      qassign AS (SELECT query_id, qvec, centroid_id AS cell FROM qa WHERE r <= 2),
+      sc AS (
+        SELECT query_id, neighbor_id,
+          round(${SimilaritySearch.cosineSql("qvec", "nvec", 64)}, 9) AS cos
+        FROM qassign JOIN cassign USING (cell)
+        WHERE query_id <> neighbor_id
+      ),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+      SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
+    """.trim)
+  )
+
   // ---- multimodal -----------------------------------------------------
 
   val mediaMeta: QueryDef = QueryDef(
@@ -293,9 +336,56 @@ object Pipeline {
     """.trim)
   )
 
+  /** End-to-end multimodal → dedup composition: documents as binary
+    * payloads → typed frame sampling (`Dataset[MediaItem]`,
+    * `mapPartitions` decode stub) → coarsened per-frame "perceptual"
+    * hash (md5-derived 64-hex, bucketed mod 997 so cross-document
+    * collisions exist) → [[PdqDuplicates]] exact tier (threshold 1.0)
+    * → flat duplicate-edge relation. The shape of a real frames→PDQ→
+    * dedup video pipeline, with the codec stub standing in for the
+    * decoder. */
+  val mediaPdqDups: QueryDef = QueryDef(
+    "media_pdq_dups",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .map(r => Media.MediaItem(r.getLong(0), "image", r.getString(1).getBytes("UTF-8")))
+      val frames = Media.frameSamples(items, framesPerItem = 3).toDF("id", "frame_no", "frame_hash")
+      val v = (col("frame_hash") % 997).cast("string")
+      val entries = frames
+        .groupBy(col("id"))
+        .agg(collect_set(concat(md5(v), md5(concat(v, lit("s"))))).as("pdq_hash"))
+        .select(lpad(col("id").cast("string"), 8, "0").as("index"), col("pdq_hash"))
+      Parity.flatPdq(PdqDuplicates(entries, similarityThreshold = 1.0,
+        strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true))
+        .orderBy("index", "duplicate")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id AS id,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) AS acc
+        FROM documents
+      ),
+      fr AS (
+        SELECT id, CAST(acc * (frame_no + 1) % 1000000007 % 997 AS VARCHAR) AS v
+        FROM h CROSS JOIN unnest([0, 1, 2]) AS t(frame_no)
+      ),
+      fx AS (SELECT DISTINCT lpad(CAST(id AS VARCHAR), 8, '0') AS idx, md5(v) || md5(v || 's') AS ch FROM fr),
+      edges AS (
+        SELECT DISTINCT a.idx AS src, b.idx AS dst
+        FROM fx a JOIN fx b ON a.ch = b.ch AND a.idx <> b.idx
+      )
+      SELECT src AS "index", dst AS duplicate, CAST(1.0 AS DOUBLE) AS similarity FROM edges ORDER BY 1, 2
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, simhashSigs, simhashPairs, ngramJaccard,
     textQuality, langId, tokenCounts, fingerprints,
-    embedTopK, embedAnn, mediaMeta, mediaFrames
+    embedTopK, embedAnn, embedIvf, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

@@ -30,6 +30,29 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(got.forall(_._2 <= 1.0))
   }
 
+  test("ivfTopK: probed-cell candidates ranked like exact; self excluded") {
+    // centroids = 0 (x-axis) and 3 (w-axis); nprobe=2 probes both cells,
+    // so every corpus vector is a candidate and ranking matches exact
+    val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 3)
+    val got = SimilaritySearch.ivfTopK(vecs, vecs.filter(col("vec_id") === 0), centroids,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val exact = SimilaritySearch.cosineTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == exact)
+  }
+
+  test("ivfTopK: nprobe=1 restricts candidates to the query's own cell") {
+    val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 3)
+    val got = SimilaritySearch.ivfTopK(vecs, vecs.filter(col("vec_id") === 0), centroids,
+      "vec_id", "embedding", k = 4, nprobe = 1)
+      .collect().map(r => r.getLong(1)).toSeq
+    // vec 3 sits in its own cell (cosine 0 to centroid 0, 1 to centroid 3)
+    assert(!got.contains(3L))
+    assert(got.contains(1L) && got.contains(2L))
+  }
+
   test("hyperplaneBucket: deterministic and within 2^p") {
     val b = vecs.select(SimilaritySearch.hyperplaneBucket(col("embedding"), 4, 6).as("b"))
       .collect().map(_.getLong(0))
