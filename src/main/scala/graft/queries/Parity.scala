@@ -222,7 +222,10 @@ object Parity {
           .select(col("index"), col("pdq_hash_similarities"), posexplode(col("pdq_hash_duplicates")))
           .select(col("index"), lit("pdq").as("kind"), col("col").as("partner"),
             element_at(col("pdq_hash_similarities"), col("pos") + 1).as("similarity"))
-        urlE.unionByName(pdqE).orderBy("index", "kind", "partner")
+        // no final orderBy: the gate sorts rows itself (pandas/DuckDB
+        // side), and a total sort of the ~15M-row edge relation at
+        // sf0.1 is a pure-overhead range shuffle
+        urlE.unionByName(pdqE)
       },
       Some(s"""
         WITH ${urlEdgesCtes(urlFrameSql)},

@@ -296,8 +296,32 @@ object Relational {
     """.trim)
   )
 
+  /** The native Catalyst expression through the FULL SQL surface:
+    * `hamming_distance` is injected by [[graft.plans.GraftExtensions]]
+    * (harness sessions build `.withExtensions`), parsed from SQL text,
+    * analyzed, and whole-stage-codegen'd over `BinaryType`. The oracle
+    * replays the distance as four 32-bit xor+popcount chunks. */
+  val qHammingExpr: QueryDef = QueryDef(
+    "q_hamming_expr",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("a"),
+        md5((col("doc_id") + 1).cast("string")).as("b"))
+      .selectExpr("doc_id AS id", "hamming_distance(unhex(a), unhex(b)) AS dist")
+      .orderBy("id"),
+    Some {
+      val chunks = (0 until 4).map { k =>
+        s"bit_count(xor(CAST('0x' || substr(a, ${k * 8 + 1}, 8) AS BIGINT), CAST('0x' || substr(b, ${k * 8 + 1}, 8) AS BIGINT)))"
+      }.mkString(" + ")
+      s"""
+      SELECT doc_id AS id, CAST($chunks AS INT) AS dist
+      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS a, md5(CAST(doc_id + 1 AS VARCHAR)) AS b FROM documents)
+      ORDER BY id""".trim
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
-    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf
+    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf, qHammingExpr
   )
 }
