@@ -109,12 +109,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 60-bit SimHash signature per document: (id, simhash). */
-  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** 60-bit SimHash signature per document: (id, simhash).
+    *
+    * Shape: explode words → hash → ONE hash-aggregate with 60
+    * conditional ±1 sums → recombine sign bits. Everything stays in
+    * whole-stage codegen (the per-row array fold variant,
+    * [[graft.functions.TextFunctions.simhash60]], runs the 60-lambda
+    * interior interpreted — ~3× slower at sf0.1), and the map-side
+    * partial aggregate means the shuffle carries one 60-counter row
+    * per document, not the exploded words. Zero-word documents drop
+    * out via explode, as before. */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def bitSum(j: Int) =
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$j")
     df.repartition(col(idCol)) // spread the per-word hashing across cores
-      .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
-      .filter(size(col("ws")) > 0)
-      .select(col("id"), simhash60(transform(col("ws"), w => portableHash60(w))).as("simhash"))
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+      .select(col("id"), portableHash60(col("w")).as("h"))
+      .groupBy("id")
+      .agg(bitSum(0), (1 until 60).map(bitSum): _*)
+      .select(col("id"),
+        (0 until 60).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs within Hamming radius `maxDist`, via
     * pigeonhole banding over the 60 bits with optional MULTI-PROBE over

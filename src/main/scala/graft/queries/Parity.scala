@@ -142,9 +142,10 @@ object Parity {
 
   val urlDups: QueryDef = QueryDef(
     "url_dups",
+    // no final orderBy: the gate sorts both sides itself; a total sort
+    // of the ~5M-row edge relation at sf0.1 is pure overhead
     (s, dir) => UrlDuplicates(urlFrame(s, dir))
-      .select(col("index"), explode(col("url_duplicates")).as("url_duplicate"))
-      .orderBy("index", "url_duplicate"),
+      .select(col("index"), explode(col("url_duplicates")).as("url_duplicate")),
     Some(s"""
     WITH ${urlEdgesCtes(urlFrameSql)}
     SELECT src AS "index", dst AS url_duplicate FROM urledges ORDER BY 1, 2""")
