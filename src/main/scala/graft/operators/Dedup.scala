@@ -35,19 +35,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_rows"), min(col(idCol)).as("keeper"))
       .filter(col("n_rows") >= minSize)
 
-  /** (id, shingle-hash array) helper: distinct 30-bit hashes of n-word
-    * shingles of `textCol`.
+  /** (id, pos, h) rows: the 60-bit hash of each n-word shingle of
+    * `textCol`, one row per shingle in document order.
     *
-    * The input is hash-repartitioned on the id BEFORE the shingle+md5
-    * chain: the chain is the CPU-heavy part of every consumer, and a
-    * narrow scan of few parquet files would otherwise evaluate it on one
-    * or two cores. (The documents tables arrive as a single file; on a
-    * real cluster the exchange also rebalances skewed input splits.) */
+    * Relational shape — posexplode the words, build each shingle with
+    * window `lead`s, hash with codegen'd md5 — every step whole-stage
+    * codegen. (The per-row array-fold shape ran the shingle
+    * construction and hashing inside interpreted higher-order
+    * functions: ~4 s of the sf0.1 bench per consumer vs sub-second
+    * here.) The input is hash-repartitioned on the id BEFORE the chain
+    * so a narrow scan of few parquet files cannot pin the CPU work to
+    * one or two cores; the window sorts only within each tiny per-id
+    * partition slice. */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val wordCols = col("w0") +: (1 until n).map(j => col(s"w$j"))
+    df.repartition(col(idCol))
+      .select(col(idCol).as("id"), posexplode(words(col(textCol))))
+      .withColumnRenamed("col", "w0")
+      .select(col("id") +: col("pos") +: col("w0") +:
+        (1 until n).map(j => lead(col("w0"), j).over(w).as(s"w$j")): _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("id"), col("pos"), portableHash60(concat_ws(" ", wordCols: _*)).as("h"))
+  }
+
+  /** (id, shingle-hash array) helper: distinct 30-bit hashes of n-word
+    * shingles of `textCol`, in first-occurrence (document) order —
+    * identical arrays to the original fold formulation. */
   def shingleHashes30(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.repartition(col(idCol)).select(
-      col(idCol).as("id"),
-      array_distinct(transform(shingles(words(col(textCol)), n), s => portableHash30(s))).as("hs")
-    )
+    shingleHashRows(df, idCol, textCol, n)
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("pos"), (col("h") % 1073741824L).as("h")))).as("ph"))
+      .select(col("id"), array_distinct(expr("transform(ph, x -> x.h)")).as("hs"))
 
   /** MinHash-LSH near-duplicate pairs.
     *
@@ -72,14 +91,26 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
-    val hs = shingleHashes30(df, idCol, textCol, shingleLen).filter(size(col("hs")) > 0)
-    // the signature frame feeds BOTH sides of the band self-join plus the
+    // the shingle-hash frame feeds the signature aggregate plus both
     // verification joins. Materializing (not cache) both computes it
-    // once AND cuts the lineage, so the downstream self-join plans
-    // against a flat scan instead of re-analyzing/codegen'ing the whole
-    // shingle+md5+minhash tree per branch; spark.graft.materialize
-    // selects local vs reliable checkpointing (see [[Materialize]]).
-    val sigs = Materialize(hs.select(col("id"), col("hs"), minhashSig(col("hs"), k).as("sig")))
+    // once AND cuts the lineage, so consumers plan against a flat scan
+    // instead of re-analyzing/codegen'ing the whole shingle+md5 tree
+    // per branch; spark.graft.materialize selects local vs reliable
+    // checkpointing (see [[Materialize]]).
+    val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen).filter(size(col("hs")) > 0))
+    // signatures via explode + k codegen'd min-aggregates (map-side
+    // combine: the shuffle carries one k-counter row per document) —
+    // the per-row zip_with fold ([[minhashSig]]) runs its interior
+    // interpreted, measured ~4 s of pure signature time at sf0.1 vs
+    // sub-second for this shape. Same minima, same oracle. The frame
+    // feeds both sides of the band self-join, hence its own
+    // materialization.
+    val sigs = Materialize(
+      hs.select(col("id"), explode(col("hs")).as("h"))
+        .groupBy("id")
+        .agg(min(minhashPerm(col("h"), 0)).as("m0"),
+          (1 until k).map(i => min(minhashPerm(col("h"), i)).as(s"m$i")): _*)
+        .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig")))
 
     // slim band rows: (id, band_id, band) only — the shingle-hash arrays
     // stay OUT of the self-join/broadcast and are joined back just for
@@ -99,8 +130,8 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     candidates
-      .join(sigs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).as("ni"),
         size(col("hs_a")).as("na"), size(col("hs_b")).as("nb"))
