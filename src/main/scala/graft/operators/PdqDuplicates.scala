@@ -339,9 +339,11 @@ object PdqDuplicates {
     (0 until k).map(i => bit_count(col(s"pw$i").bitwiseXOR(col(s"cw$i")))).reduce(_ + _)
 
   /** Corpus sizes up to this many DISTINCT hashes run the broadcast
-    * kernel (~32 MB packed at the cap); beyond it the θ-join/banding
-    * paths take over. */
-  private[graft] val KernelMaxCorpus: Int = 1 << 20
+    * kernel (~32 MB packed at the default cap); beyond it the
+    * θ-join/banding paths take over. Tunable via
+    * `spark.graft.kernelMaxCorpus` (driver memory budget knob). */
+  private[graft] val KernelMaxCorpusKey = "spark.graft.kernelMaxCorpus"
+  private[graft] val KernelMaxCorpusDefault: Int = 1 << 20
 
   /** All-pairs similarity join, naive strategy.
     *
@@ -365,8 +367,10 @@ object PdqDuplicates {
     * short-circuit skips the second half's XOR+popcount for real
     * thresholds (n ≈ 51 at sim 0.8). */
   private def naiveHashJoin(probes: DataFrame, corpus: DataFrame, n: Int): DataFrame = {
-    val collected = corpus.limit(KernelMaxCorpus + 1).collect()
-    if (collected.length > KernelMaxCorpus)
+    val cap = probes.sparkSession.conf
+      .get(KernelMaxCorpusKey, KernelMaxCorpusDefault.toString).toInt
+    val collected = corpus.limit(cap + 1).collect()
+    if (collected.length > cap)
       withWordCols(probes, "phash", "pw")
         .join(withWordCols(corpus, "chash", "cw"),
           wordColsPrefixDist(WordsPerHash / 2) <= n && wordColsDist() <= n)

@@ -127,6 +127,17 @@ class PdqDuplicatesSpec extends SparkTestBase {
     assert(run(rs)(Strategy.Naive).count() == 0)
   }
 
+  test("theta-join fallback (corpus over kernel cap) ≡ broadcast kernel") {
+    // force the fallback by shrinking the kernel cap below the corpus
+    val kernel = rows(run()(Strategy.Naive))
+    spark.conf.set(PdqDuplicates.KernelMaxCorpusKey, "2")
+    try {
+      val theta = rows(run()(Strategy.Naive))
+      assert(theta == kernel)
+      assert(theta == Fixtures.expectedPdq)
+    } finally spark.conf.unset(PdqDuplicates.KernelMaxCorpusKey)
+  }
+
   test("unknown method raises (pdq_hash.py:221-222)") {
     intercept[IllegalArgumentException](Strategy.fromMethod("nope"))
     assert(Strategy.fromMethod("mih") == Strategy.Banded)
