@@ -26,14 +26,26 @@ object Bench {
       override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     })
+    // per-query timeout: a pathological query records as a failure
+    // instead of stalling the whole bench
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toInt.seconds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune expensive
       // columns, so map-only queries would time little more than the scan
       val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        try {
+          Await.result(Future {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          }, timeout)
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          spark.sparkContext.cancelAllJobs()
+          false
         }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent: drop cache/localCheckpoint blocks so one
