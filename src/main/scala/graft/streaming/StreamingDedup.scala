@@ -36,6 +36,79 @@ object StreamingDedup {
   case class KeyState(firstSeenMs: Long, count: Long)
   case class DupCount(key: String, count: Long, first_seen_ms: Long)
 
+  case class Member(index: String, w0: Long, w1: Long, w2: Long, w3: Long)
+  case class BandState(members: List[Member])
+  case class PdqMatch(index: String, partner: String, dist: Int)
+
+  /** Streaming PDQ near-duplicate matching — the streaming twin of
+    * [[graft.operators.PdqDuplicates]]'s banded join. Incoming
+    * (index, hash) rows are banded exactly like the batch operator
+    * (pigeonhole: dist ≤ n ⇒ some band identical), state is keyed by
+    * (band_id, band value), and each arrival compares only against its
+    * bucket's members — packed as four longs, so the compare is pure
+    * xor+popcount. Emits BOTH directions of every match (the
+    * reference's bidirectional contract).
+    *
+    * Caveats, by design: a pair agreeing in several bands emits once
+    * per agreeing band (downstream `dropDuplicates` on
+    * (index, partner) if exact-once matters), and state grows with the
+    * distinct corpus per bucket — `maxBucketSize` caps pathological
+    * buckets (viral/black-frame hashes) exactly where the batch
+    * operator's distinct-hash collapse would; capped members still
+    * match existing state but stop being stored.
+    *
+    * @param df (index: string, hash: string hex ≤ 64 chars)
+    */
+  def nearDupMatches(df: DataFrame, similarityThreshold: Double,
+      maxBucketSize: Int = 100000): Dataset[PdqMatch] = {
+    import graft.functions.HashFunctions.{absoluteThreshold, canonicalHex64, hexBands, validateThreshold, PdqHashLength}
+    validateThreshold(similarityThreshold)
+    val n = absoluteThreshold(PdqHashLength, similarityThreshold)
+    require(n < 64, s"banding requires radius < 64, got $n")
+    val nBands = n + 1
+
+    implicit val stateEnc: Encoder[BandState] = Encoders.product[BandState]
+    implicit val outEnc: Encoder[PdqMatch] = Encoders.product[PdqMatch]
+    implicit val rowEnc: Encoder[(String, String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+
+    val banded = df
+      .select(col("index"), canonicalHex64(col("hash")).as("ch"))
+      .select(col("index"), col("ch"), explode(hexBands(col("ch"), nBands)).as("b"))
+      .select(concat_ws(":", col("b.band_id"), col("b.band")).as("bkey"), col("index"), col("ch"))
+
+    def toMember(idx: String, ch: String): Member = Member(idx,
+      java.lang.Long.parseUnsignedLong(ch.substring(0, 16), 16),
+      java.lang.Long.parseUnsignedLong(ch.substring(16, 32), 16),
+      java.lang.Long.parseUnsignedLong(ch.substring(32, 48), 16),
+      java.lang.Long.parseUnsignedLong(ch.substring(48, 64), 16))
+
+    banded.as[(String, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, String, String)], state: GroupState[BandState]) => {
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = List.newBuilder[PdqMatch]
+          rows.foreach { case (_, idx, ch) =>
+            val m = toMember(idx, ch)
+            members.foreach { o =>
+              if (o.index != idx) {
+                val d = java.lang.Long.bitCount(o.w0 ^ m.w0) + java.lang.Long.bitCount(o.w1 ^ m.w1) +
+                  java.lang.Long.bitCount(o.w2 ^ m.w2) + java.lang.Long.bitCount(o.w3 ^ m.w3)
+                if (d <= n) {
+                  out += PdqMatch(idx, o.index, d)
+                  out += PdqMatch(o.index, idx, d)
+                }
+              }
+            }
+            if (members.lengthCompare(maxBucketSize) < 0) members = m :: members
+          }
+          state.update(BandState(members))
+          out.result().iterator
+        })
+  }
+
   /** Per-key running duplicate counts with timeout-evicted state.
     * Input must have a string `key` column and a long `event_ms` column
     * (pre-normalize upstream). Emits one [[DupCount]] per key per batch

@@ -24,6 +24,29 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupMatches finds exact and near pairs across micro-batches") {
+    import graft.Fixtures
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val df = input.toDF().toDF("index", "hash")
+    val out = StreamingDedup.nearDupMatches(df, similarityThreshold = Fixtures.threshold)
+    val q = out.writeStream.format("memory").queryName("sd_pdq").outputMode("append").start()
+    try {
+      input.addData(("UW0001", Fixtures.hash1), ("UW0005", Fixtures.hash5))
+      q.processAllAvailable()
+      // second batch matches against first-batch state
+      input.addData(("UW0002", Fixtures.hash1), ("UW0004", Fixtures.hash4b), ("UW0006", Fixtures.hash6))
+      q.processAllAvailable()
+      val pairs = spark.table("sd_pdq")
+        .select("index", "partner", "dist").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(pairs == Set(
+        ("UW0001", "UW0002", 0), ("UW0002", "UW0001", 0), // exact, cross-batch
+        ("UW0004", "UW0005", 3), ("UW0005", "UW0004", 3)  // 3-bit near pair
+      )) // UW0006 is 41 bits from hash1 — correctly absent
+    } finally q.stop()
+  }
+
   test("firstSeenCounts tracks running dup counts and first-seen time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
