@@ -54,19 +54,51 @@ object DetectDuplicates {
   ): DataFrame =
     run(df, Checked.Frame(checked), similarityThreshold, method, validateUniqueIndex, assumeFixed256)
 
-  private def run(
+  /** Flat duplicate-edge relation `(index, kind, partner, similarity)`
+    * — `kind` ∈ {url, pdq}, url edges carry NULL similarity. Same
+    * validation and branch semantics as [[apply]], but the result is
+    * one plain row per duplicate edge instead of per-row arrays — the
+    * output contract that scales (a k-member clique is k·(k-1) rows
+    * spread across partitions, not k rows each dragging k-element
+    * arrays through one partition) and the natural input to downstream
+    * joins. Rows with no duplicates simply have no edges (the array
+    * API's dropna twin). Value-equivalent to exploding [[apply]]'s
+    * arrays (asserted in the suite). */
+  def edges(
       df: DataFrame,
-      checked: Checked,
-      similarityThreshold: Double,
-      method: String,
-      validateUniqueIndex: Boolean,
-      assumeFixed256: Boolean
+      indexesToCheck: Option[Seq[String]] = None,
+      similarityThreshold: Double = 0.8,
+      method: String = "naive",
+      validateUniqueIndex: Boolean = true,
+      assumeFixed256: Boolean = false
   ): DataFrame = {
-    val spark = df.sparkSession
+    val checked = Checked.from(indexesToCheck)
+    val (projected, hasUrl, hasPdq, strategy) = validate(df, method, validateUniqueIndex)
+    val urlE: Option[DataFrame] =
+      if (hasUrl) Some(UrlDuplicates.edgesOf(projected.select("index", "url"), checked)
+        .select(col("index"), lit("url").as("kind"), col("partner"),
+          lit(null).cast("double").as("similarity")))
+      else None
+    val pdqE: Option[DataFrame] =
+      if (hasPdq) Some(PdqDuplicates.edgesOf(projected.select("index", "pdq_hash"), checked,
+        similarityThreshold, strategy, assumeFixed256)
+        .select(col("index"), lit("pdq").as("kind"), col("partner"), col("similarity")))
+      else None
+    (urlE, pdqE) match {
+      case (Some(u), Some(p)) => u.unionByName(p)
+      case (Some(u), None)    => u
+      case (None, Some(p))    => p
+      case (None, None)       => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Shared input validation: projection, required columns, method
+    * dispatch, uniqueness assertion. */
+  private def validate(df: DataFrame, method: String, validateUniqueIndex: Boolean)
+      : (DataFrame, Boolean, Boolean, PdqDuplicates.Strategy) = {
     val cols = df.columns.toSet
     val hasUrl = cols.contains("url")
     val hasPdq = cols.contains("pdq_hash")
-
     require(
       hasUrl || hasPdq,
       s"Column `url` or `pdq_hash` not found in dataframe. Found columns: ${df.columns.mkString(", ")}"
@@ -77,13 +109,11 @@ object DetectDuplicates {
     )
     // fail fast on a bad method name even when pdq_hash is absent
     val strategy = PdqDuplicates.Strategy.fromMethod(method)
-
     val projected = df.select(
       (Seq(col("index")) ++
         (if (hasUrl) Seq(col("url")) else Nil) ++
         (if (hasPdq) Seq(col("pdq_hash")) else Nil)): _*
     )
-
     if (validateUniqueIndex) {
       val dupes = projected.groupBy("index").count().filter(col("count") > 1).limit(20)
         .collect().map(_.getString(0))
@@ -92,7 +122,18 @@ object DetectDuplicates {
         s"The DataFrame indexes are not unique. Non-unique indexes: ${dupes.mkString(", ")}"
       )
     }
+    (projected, hasUrl, hasPdq, strategy)
+  }
 
+  private def run(
+      df: DataFrame,
+      checked: Checked,
+      similarityThreshold: Double,
+      method: String,
+      validateUniqueIndex: Boolean,
+      assumeFixed256: Boolean
+  ): DataFrame = {
+    val (projected, hasUrl, hasPdq, strategy) = validate(df, method, validateUniqueIndex)
     val base = projected.select("index")
 
     val urlDups: Option[DataFrame] =

@@ -131,6 +131,13 @@ object PdqDuplicates {
   ): DataFrame =
     run(df, Checked.Frame(checked), similarityThreshold, strategy, assumeFixed256)
 
+  /** Shared pipeline prefix of the array formatter and the flat edge
+    * relation: validation, explode+dedupe, canonicalization, probe
+    * restriction, and the hash-level similarity join. `None` means an
+    * empty-input short-circuit fired — callers emit their own empty
+    * frame in their own output schema. */
+  private final case class Prep(indexed: DataFrame, probeIdx: DataFrame, hashEdges: DataFrame)
+
   private[operators] def run(
       df: DataFrame,
       checked: Checked,
@@ -138,8 +145,88 @@ object PdqDuplicates {
       strategy: Strategy,
       assumeFixed256: Boolean
   ): DataFrame = {
-    validateThreshold(similarityThreshold)
     val spark = df.sparkSession
+    prepare(df, checked, similarityThreshold, strategy, assumeFixed256) match {
+      case None => emptyResult(spark)
+      case Some(Prep(indexed, probeIdx, hashEdges)) =>
+        val result = if (checked == Checked.All) {
+          // probe = corpus: edge set is symmetric by construction, so the
+          // formatter can aggregate partner lists at HASH granularity (tiny:
+          // one row per distinct hash) and expand to index rows map-side —
+          // the quadratic per-index edge list never crosses a shuffle. This
+          // is the 100 TB path: shuffle volume is O(|hashes| × avg partners
+          // + |rows|), not O(Σ clique²).
+          formatViaHashGroups(indexed, hashEdges)
+        } else {
+          // expand hash edges to index edges: src restricted to probes
+          val edges = hashEdges
+            .join(probeIdx.select(col("index").as("src"), col("chash").as("phash")), Seq("phash"))
+            .join(indexed.select(col("index").as("dst"), col("chash")), Seq("chash"))
+            .select("src", "dst", "dist")
+          format(edges)
+        }
+        // `pdq_hash.py:237-255` "Found N rows with duplicates" twin
+        result.observe("pdq_hash_result", count(lit(1)).as("n_rows_with_duplicates"))
+    }
+  }
+
+  /** Flat duplicate-edge relation `(index, partner, similarity)` — one
+    * row per directed duplicate edge, min-distance per pair, self
+    * excluded, both directions present (the reference's bidirectional
+    * contract). The output shape that scales: no per-row partner
+    * arrays quadratic in clique size, and downstream consumers join /
+    * aggregate it relationally. Value-equivalent to exploding
+    * [[apply]]'s arrays (asserted in the suite). */
+  def edges(
+      df: DataFrame,
+      indexesToCheck: Option[Seq[String]] = None,
+      similarityThreshold: Double = 0.8,
+      strategy: Strategy = Strategy.Naive,
+      assumeFixed256: Boolean = false
+  ): DataFrame =
+    edgesOf(df, Checked.from(indexesToCheck), similarityThreshold, strategy, assumeFixed256)
+
+  private[operators] def edgesOf(
+      df: DataFrame,
+      checked: Checked,
+      similarityThreshold: Double,
+      strategy: Strategy,
+      assumeFixed256: Boolean
+  ): DataFrame = {
+    val spark = df.sparkSession
+    prepare(df, checked, similarityThreshold, strategy, assumeFixed256) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("index", StringType),
+            StructField("partner", StringType), StructField("similarity", DoubleType))))
+      case Some(Prep(indexed, probeIdx, hashEdges)) =>
+        // expand hash-level edges to index pairs; for the probe-all case
+        // hashEdges is symmetric already (kernel/θ/banding emit both
+        // orders and self pairs), for the checked case mirror edges so
+        // unchecked partners are annotated too (`pdq_hash.py:56-65`)
+        val raw = hashEdges
+          .join(probeIdx.select(col("index").as("src"), col("chash").as("phash")), Seq("phash"))
+          .join(indexed.select(col("index").as("dst"), col("chash")), Seq("chash"))
+          .select("src", "dst", "dist")
+        val sym = if (checked == Checked.All) raw
+          else raw.union(raw.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+        sym
+          .filter(col("src") =!= col("dst"))
+          .groupBy("src", "dst")
+          .agg(min("dist").as("dist"))
+          .select(col("src").as("index"), col("dst").as("partner"),
+            similarity(col("dist")).as("similarity"))
+    }
+  }
+
+  private def prepare(
+      df: DataFrame,
+      checked: Checked,
+      similarityThreshold: Double,
+      strategy: Strategy,
+      assumeFixed256: Boolean
+  ): Option[Prep] = {
+    validateThreshold(similarityThreshold)
 
     // P5 runtime twin of the reference's element-type validation
     // (`pdq_hash.py:165-173` raises ValueError on non-string hash
@@ -155,7 +242,7 @@ object PdqDuplicates {
       case Checked.Literals(seq) if seq.isEmpty =>
         // reference `pdq_hash.py:140-144` UserWarning twin
         log.warn("indexes_to_check is empty, no duplicates will be found.")
-        return emptyResult(spark)
+        return None
       case _ => ()
     }
 
@@ -183,7 +270,7 @@ object PdqDuplicates {
     val fixedWidth = assumeFixed256 || {
       val row = exploded.agg(min(length(col("hash"))), max(length(col("hash"))),
         max(col("hash").rlike("[^0-9a-fA-F]"))).head()
-      if (row.isNullAt(1)) return emptyResult(spark) // no hashes at all
+      if (row.isNullAt(1)) return None // no hashes at all
       row.getInt(0) >= 1 && row.getInt(1) <= 64 && !row.getBoolean(2)
     }
 
@@ -237,24 +324,7 @@ object PdqDuplicates {
         }
       }
 
-    val result = if (checked == Checked.All) {
-      // probe = corpus: edge set is symmetric by construction, so the
-      // formatter can aggregate partner lists at HASH granularity (tiny:
-      // one row per distinct hash) and expand to index rows map-side —
-      // the quadratic per-index edge list never crosses a shuffle. This
-      // is the 100 TB path: shuffle volume is O(|hashes| × avg partners
-      // + |rows|), not O(Σ clique²).
-      formatViaHashGroups(indexed, hashEdges)
-    } else {
-      // expand hash edges to index edges: src restricted to probes
-      val edges = hashEdges
-        .join(probeIdx.select(col("index").as("src"), col("chash").as("phash")), Seq("phash"))
-        .join(indexed.select(col("index").as("dst"), col("chash")), Seq("chash"))
-        .select("src", "dst", "dist")
-      format(edges)
-    }
-    // `pdq_hash.py:237-255` "Found N rows with duplicates" twin
-    result.observe("pdq_hash_result", count(lit(1)).as("n_rows_with_duplicates"))
+    Some(Prep(indexed, probeIdx, hashEdges))
   }
 
   /** Row-count estimate from the optimized plan's statistics — zero

@@ -46,6 +46,38 @@ object UrlDuplicates {
   def checkedBy(df: DataFrame, checked: DataFrame): DataFrame =
     run(df, Checked.Frame(checked))
 
+  /** Flat duplicate-edge relation `(index, partner)` — one row per
+    * ordered pair sharing a base url, both directions present. The
+    * output shape that scales: a viral base url yields k·(k-1) plain
+    * rows across partitions instead of k single-partition rows each
+    * dragging a k-element array. Group qualification under a checked
+    * set is identical to [[apply]] (≥ 1 checked member qualifies the
+    * whole group). Value-equivalent to exploding [[apply]]'s arrays
+    * (asserted in the suite). */
+  def edges(df: DataFrame, indexesToCheck: Option[Seq[String]] = None): DataFrame =
+    edgesOf(df, Checked.from(indexesToCheck))
+
+  private[operators] def edgesOf(df: DataFrame, checked: Checked): DataFrame = {
+    val norm = df
+      .filter(col("url").isNotNull)
+      .select(col("index"), UrlFunctions.normalizeUrl(col("url")).as("base_url"))
+    val qualified = checked match {
+      case Checked.All => norm
+      case Checked.Literals(seq) =>
+        norm.join(
+          norm.filter(col("index").isin(seq: _*)).select("base_url").distinct(),
+          Seq("base_url"), "left_semi")
+      case Checked.Frame(c) =>
+        norm.join(
+          norm.join(c.select("index"), Seq("index"), "left_semi").select("base_url").distinct(),
+          Seq("base_url"), "left_semi")
+    }
+    qualified.as("a")
+      .join(qualified.as("b"),
+        col("a.base_url") === col("b.base_url") && col("a.index") =!= col("b.index"))
+      .select(col("a.index").as("index"), col("b.index").as("partner"))
+  }
+
   private[operators] def run(df: DataFrame, checked: Checked): DataFrame = {
     // A4 telemetry twin (`url.py:70-74` null-drop count): observe rides
     // the existing jobs, metrics surface via QueryExecutionListener

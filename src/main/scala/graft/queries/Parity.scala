@@ -204,30 +204,13 @@ object Parity {
       )"""
     QueryDef(
       "detect_full",
-      (s, dir) => {
-        // the reference's joined array-typed frame, flattened to the
-        // scalar (index, kind, partner, similarity) edge relation for
-        // the gate — url edges carry NULL similarity. The output feeds
-        // BOTH union branches and Spark plans no exchange reuse across
-        // them (measured: the full detect pipeline ran twice);
-        // materializing the compact array-typed result once halves the
-        // query.
-        val out = graft.operators.Materialize(
-          DetectDuplicates(frame(s, dir), similarityThreshold = pdqThreshold,
-            method = "auto", assumeFixed256 = true))
-        val urlE = out.filter(col("url_duplicates").isNotNull)
-          .select(col("index"), lit("url").as("kind"),
-            explode(col("url_duplicates")).as("partner"),
-            lit(null).cast("double").as("similarity"))
-        val pdqE = out.filter(col("pdq_hash_duplicates").isNotNull)
-          .select(col("index"), col("pdq_hash_similarities"), posexplode(col("pdq_hash_duplicates")))
-          .select(col("index"), lit("pdq").as("kind"), col("col").as("partner"),
-            element_at(col("pdq_hash_similarities"), col("pos") + 1).as("similarity"))
-        // no final orderBy: the gate sorts rows itself (pandas/DuckDB
-        // side), and a total sort of the ~15M-row edge relation at
-        // sf0.1 is a pure-overhead range shuffle
-        urlE.unionByName(pdqE)
-      },
+      // the flat edges API: the (index, kind, partner, similarity)
+      // relation directly — no per-row arrays built and re-exploded,
+      // no materialization barrier, no final sort (the gate sorts rows
+      // itself). Equivalence between this and exploding the array API
+      // is asserted in the ScalaTest suite.
+      (s, dir) => DetectDuplicates.edges(frame(s, dir), similarityThreshold = pdqThreshold,
+        method = "auto", assumeFixed256 = true),
       Some(s"""
         WITH ${urlEdgesCtes(urlFrameSql)},
         ${pdqEdgesCtes(pdqInputSql)}
