@@ -31,6 +31,40 @@ object Drive {
     try { DetectDuplicates(spark.createDataFrame(spark.sparkContext.parallelize(data :+ Row("A","x",null)), schema)) } catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
     println("=== probe: checked subset {B} ===")
     DetectDuplicates(df, indexesToCheck = Some(Seq("B")), similarityThreshold = 0.9).show(false)
+    println("=== checkedBy(DataFrame) — left-semi checked set ===")
+    import spark.implicits._
+    DetectDuplicates.checkedBy(df, Seq("B").toDF("index"), similarityThreshold = 0.9).show(false)
+    println("=== flat edges API ===")
+    DetectDuplicates.edges(df, similarityThreshold = 0.9).orderBy("index", "kind", "partner").show(false)
+    println("=== probe: non-string pdq_hash elements ===")
+    try {
+      PdqDuplicates(Seq(("A", Seq(1, 2))).toDF("index", "pdq_hash"))
+    } catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
+    println("=== materialize knob: reliable checkpoint ===")
+    spark.sparkContext.setCheckpointDir(java.nio.file.Files.createTempDirectory("drive-ckpt").toString)
+    spark.conf.set(Materialize.ModeKey, "reliable")
+    try {
+      val pairs = Dedup.minhashLshPairs(
+        Seq((1L, "the quick brown fox jumps over the lazy dog by the river"),
+            (2L, "the quick brown fox jumps over the lazy dog by the river"),
+            (3L, "unrelated words entirely different subject matter here")).toDF("id", "text"),
+        "id", "text", threshold = 0.5)
+      pairs.show(false)
+    } finally spark.conf.unset(Materialize.ModeKey)
+    println("=== streaming banded near-dup matcher (memory stream) ===")
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+      val q = graft.streaming.StreamingDedup
+        .nearDupMatches(input.toDF().toDF("index", "hash"), similarityThreshold = 0.9)
+        .writeStream.format("memory").queryName("drive_pdq_stream").outputMode("append").start()
+      input.addData(("A", h1))
+      q.processAllAvailable()
+      input.addData(("B", h1near))
+      q.processAllAvailable()
+      spark.table("drive_pdq_stream").distinct().orderBy("index").show(false)
+      q.stop()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
