@@ -100,7 +100,12 @@ object Pipeline {
   // radius 3 over 60 bits with 2 bands of 30 bits + 1-flip multi-probe
   // (Manku et al. WWW'07 regime): band cardinality 2^30 >> corpus, so
   // bucket sizes — and with them candidate volume — stay bounded at
-  // scale, unlike maxDist+1 narrow bands (≤ 2^6 values each)
+  // scale, unlike maxDist+1 narrow bands (≤ 2^6 values each).
+  // Measured at sf0.1 (6k docs): 23.2k candidates (~3.9/doc) for 1k
+  // verified pairs; expected RANDOM band collisions ≈ 2 (probe·corpus /
+  // (bands·2^30)) — the rest are true 30-bit signature-band agreements
+  // from the shared-vocabulary synthetic corpus, i.e. the irreducible
+  // cost of any complete banding at this radius.
   val simhashMaxDist = 3
 
   val simhashPairs: QueryDef = QueryDef(
