@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Media, PdqDuplicates, SimilaritySearch, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Media, PdqDuplicates, SimilaritySearch, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -204,6 +204,30 @@ object Pipeline {
     """.trim)
   )
 
+  /** Benchmark decontamination: corpus scanned against a pseudo-benchmark
+    * (every 97th document) for 3-gram shingle collisions; benchmark
+    * members flag themselves plus any doc sharing ≥ 5 shingles. */
+  val decontaminate: QueryDef = QueryDef(
+    "decontaminate",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Decontaminate.scan(d, d.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        shingleLen = 3, minHits = 5)
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH ${shingleCtes("SELECT doc_id AS id, text FROM documents", hashBits30 = false, distinct = true)},
+      ex AS (SELECT id, unnest(hs) AS h FROM hs),
+      bench AS (SELECT DISTINCT h FROM ex WHERE id % 97 = 0),
+      hits AS (SELECT e.id, count(*) AS n_hits FROM ex e JOIN bench b ON e.h = b.h GROUP BY e.id)
+      SELECT h2.id, len(h2.hs) AS n_shingles,
+        coalesce(hits.n_hits, 0) AS n_hits,
+        CAST(coalesce(hits.n_hits, 0) >= 5 AS INT) AS contaminated
+      FROM hs h2 LEFT JOIN hits ON h2.id = hits.id
+      ORDER BY 1
+    """.trim)
+  )
+
   // ---- similarity search ---------------------------------------------
 
   val embedTopK: QueryDef = QueryDef(
@@ -390,7 +414,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, simhashSigs, simhashPairs, ngramJaccard,
-    textQuality, langId, tokenCounts, fingerprints,
+    textQuality, langId, tokenCounts, fingerprints, decontaminate,
     embedTopK, embedAnn, embedIvf, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

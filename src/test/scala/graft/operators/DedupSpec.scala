@@ -101,6 +101,17 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("Decontaminate.scan flags shingle collisions with the benchmark set") {
+    val corpus = docs // ids 1,4 identical; 2 = 1 + tail; 3,5 unrelated/short
+    val benchmark = docs.filter(col("id") === 1L)
+    val got = Decontaminate.scan(corpus, benchmark, "id", "text", shingleLen = 3, minHits = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(got(1L)._2 == 1 && got(4L)._2 == 1) // benchmark member + its exact dup
+    assert(got(2L)._2 == 1)                    // shares the long prefix
+    assert(got(3L) == ((0L, 0)))               // unrelated
+    assert(!got.contains(5L))                  // too short to shingle
+  }
+
   test("ngramJaccardPairs: exact ground truth, ordered ids") {
     val got = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
