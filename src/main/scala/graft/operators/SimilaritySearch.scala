@@ -54,6 +54,34 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * storage tier of large-scale similarity search (4× smaller than
+    * float32, dequantizes to within one code step). Per vector:
+    * `scale = max(|x|)/127`, `code_i = floor(x_i / scale)` (floor, not
+    * round: round ties break differently across engines; floor is
+    * bit-deterministic). Zero vectors quantize to all-zero codes.
+    *
+    * The scale is LET-BOUND through a single-element-array transform so
+    * its array_max derivation evaluates once per row, not once per
+    * element (free lambda references re-evaluate their derivation per
+    * call).
+    *
+    * @return (id, scale: double, codes: array<int>) */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val scale = array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+    val codes = element_at(
+      transform(array(scale), s =>
+        when(s === 0.0, transform(v, _ => lit(0)))
+          .otherwise(transform(v, x => floor(x.cast("double") / s).cast("int")))),
+      1)
+    df.select(col(idCol).as("id"), scale.as("scale"), codes.as("codes"))
+  }
+
+  /** Reconstruct approximate doubles from int8 codes: `code_i * scale`. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** Sign-random-projection bucket id from `p` deterministic hyperplanes.
     * Plane `j`'s component `i` is ±1 by the low bit of
     * md5("plane:j:i") — engine-portable, no stored model. */

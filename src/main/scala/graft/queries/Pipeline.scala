@@ -319,6 +319,41 @@ object Pipeline {
     """.trim)
   )
 
+  /** Int8 quantization round-trip: per-vector scale, the code string,
+    * and the cosine between the original and its dequantized
+    * reconstruction (identical IEEE folds on both engines). */
+  val embedQuant: QueryDef = QueryDef(
+    "embed_quant",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimilaritySearch.quantizeInt8(e, "vec_id", "embedding")
+        .join(e.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+        .select(col("id"), col("scale"),
+          array_join(transform(col("codes"), c => c.cast("string")), "|").as("codes_str"),
+          round(SimilaritySearch.cosine(col("embedding"),
+            SimilaritySearch.dequantize(col("codes"), col("scale"))), 9).as("cos9"))
+        .orderBy("id")
+    },
+    Some {
+      def dq(i: String) = s"(CAST(codes[$i] AS DOUBLE) * scale)"
+      val dotVQ = s"list_reduce(list_transform(generate_series(1, 64), i -> CAST(v[i] AS DOUBLE) * ${dq("i")}), (x, y) -> x + y)"
+      val dotVV = s"list_reduce(list_transform(generate_series(1, 64), i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)), (x, y) -> x + y)"
+      val dotQQ = s"list_reduce(list_transform(generate_series(1, 64), i -> ${dq("i")} * ${dq("i")}), (x, y) -> x + y)"
+      s"""
+      WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      q AS (SELECT id, v, list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM base),
+      c AS (SELECT id, v, scale,
+        CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+             ELSE list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) / scale) AS INT)) END AS codes
+        FROM q)
+      SELECT id, scale,
+        array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), '|') AS codes_str,
+        round($dotVQ / (sqrt($dotVV) * sqrt($dotQQ)), 9) AS cos9
+      FROM c ORDER BY id
+      """.trim
+    }
+  )
+
   // ---- multimodal -----------------------------------------------------
 
   val mediaMeta: QueryDef = QueryDef(
@@ -415,6 +450,6 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, simhashSigs, simhashPairs, ngramJaccard,
     textQuality, langId, tokenCounts, fingerprints, decontaminate,
-    embedTopK, embedAnn, embedIvf, mediaMeta, mediaFrames, mediaPdqDups
+    embedTopK, embedAnn, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

@@ -53,6 +53,30 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(got.contains(1L) && got.contains(2L))
   }
 
+  test("quantizeInt8: codes bounded, extreme element hits ±127, zero vector all-zero") {
+    val in = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.quantizeInt8(in, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2).toList))).toMap
+    val (scale, codes) = got(0L)
+    assert(scale == 1.0 / 127.0)
+    assert(codes(1) == -127)
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    assert(got(1L)._2 == List(0, 0, 0, 0))
+  }
+
+  test("quantizeInt8 round-trip: dequantized cosine close to 1 for non-degenerate vectors") {
+    val in = Seq((0L, Array.tabulate(16)(i => (math.sin(i + 1) * 3).toFloat))).toDF("vec_id", "embedding")
+    val q = SimilaritySearch.quantizeInt8(in, "vec_id", "embedding")
+      .join(in.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      .select(SimilaritySearch.cosine(col("embedding"),
+        SimilaritySearch.dequantize(col("codes"), col("scale"))).as("c"))
+      .collect().head.getDouble(0)
+    assert(q > 0.999)
+  }
+
   test("hyperplaneBucket: deterministic and within 2^p") {
     val b = vecs.select(SimilaritySearch.hyperplaneBucket(col("embedding"), 4, 6).as("b"))
       .collect().map(_.getLong(0))
