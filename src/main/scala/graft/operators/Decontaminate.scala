@@ -32,8 +32,11 @@ object Decontaminate {
       shingleLen: Int = 3,
       minHits: Int = 5
   ): DataFrame = {
-    val docHs = Dedup.shingleHashRows(df, idCol, textCol, shingleLen)
-      .select(col("id"), col("h")).distinct()
+    // the distinct corpus shingle rows feed BOTH the totals aggregation
+    // and the hit join — materialize once (spark.graft.materialize
+    // picks the mechanism) instead of running the shingle chain twice
+    val docHs = Materialize(Dedup.shingleHashRows(df, idCol, textCol, shingleLen)
+      .select(col("id"), col("h")).distinct())
     val benchHs = Dedup.shingleHashRows(benchmark, idCol, textCol, shingleLen)
       .select("h").distinct()
     val totals = docHs.groupBy("id").agg(count(lit(1)).as("n_shingles"))
