@@ -35,6 +35,19 @@ class UrlFunctionsSpec extends SparkTestBase {
       .toSeq
     assert(got == goldens.map(_._2))
   }
+
+  test("normalize_url is idempotent on generated urls (SURVEY §5 property)") {
+    val scheme = Gen.oneOf("", "http://", "https://", "ftp://", "HTTPS://")
+    val host = Gen.oneOf("Example.com", "sub.test.org", "a-b.c", "x.io")
+    val path = Gen.oneOf("", "/", "/p", "/P/q;param=1", "/p?a=1&b=2", "/p?a=1#frag", "#only-frag")
+    val urlGen = for { s <- scheme; h <- host; p <- path } yield s + h + p
+    val urls = org.scalacheck.Gen.listOfN(300, urlGen)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(7L))
+    urls.foreach { u =>
+      val once = normalizeUrl(u)
+      assert(normalizeUrl(once) == once, s"not idempotent on: $u -> $once")
+    }
+  }
 }
 
 class HashFunctionsSpec extends SparkTestBase {
