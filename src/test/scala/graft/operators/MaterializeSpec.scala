@@ -41,6 +41,18 @@ class MaterializeSpec extends SparkTestBase {
     assert(none == local)
   }
 
+  test("reliable mode through the PDQ banded join matches local") {
+    val pdq = graft.Fixtures.sampleData(spark).select("index", "pdq_hash")
+    val local = rows(PdqDuplicates(pdq, similarityThreshold = graft.Fixtures.threshold,
+      strategy = PdqDuplicates.Strategy.Banded))
+    val reliable = withMode("reliable") {
+      rows(PdqDuplicates(pdq, similarityThreshold = graft.Fixtures.threshold,
+        strategy = PdqDuplicates.Strategy.Banded))
+    }
+    assert(reliable == local)
+    assert(local == graft.Fixtures.expectedPdq)
+  }
+
   test("unknown mode raises") {
     withMode("bogus") {
       intercept[IllegalArgumentException](Materialize(docs))
