@@ -32,6 +32,10 @@ object Bench {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toInt.seconds
+    // one-time init (codegen, parquet reader, noop sink) outside the
+    // timed loop — otherwise the first alphabetical query absorbs ~5 s
+    // of JVM warmup and its number is meaningless
+    spark.read.parquet(s"$sfDir/region.parquet").write.mode("overwrite").format("noop").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune expensive
