@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Decontaminate, Dedup, Media, PdqDuplicates, SimilaritySearch, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Materialize, Media, PdqDuplicates, SimilaritySearch, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -202,6 +202,107 @@ object Pipeline {
       SELECT id, array_to_string(list_transform(${TextFunctions.winnowSql("hs", 4)}, x -> CAST(x AS VARCHAR)), '|') AS fingerprints
       FROM full_ ORDER BY id
     """.trim)
+  )
+
+  /** The end-to-end curation funnel a training-data pipeline runs,
+    * composed from the library's own operators: ingest (documents ∪
+    * planted near-dup tails ∪ planted verbatim clones) → language gate
+    * (pred_lang = en) → quality gate (word count + stopword ratio) →
+    * exact dedup (md5 groups, min-id keeper) → MinHash-LSH near-dedup
+    * (drop the higher id of each verified pair). Output: surviving row
+    * count per stage. Stage relations re-derive the cheap metric scans
+    * per count here; a production run would cache/stage each tier. */
+  val curationFunnel: QueryDef = QueryDef(
+    "curation_funnel",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val base = d.select(col("doc_id").as("id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("id"), concat(col("text"), lit(tail)).as("text")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("id"), col("text")))
+      val q = TextAnalysis.quality(base, "id", "text").select("id", "n_words", "stopword_ratio")
+      val l = TextAnalysis.langId(base, "id", "text").select("id", "pred_lang")
+      // the annotated frame feeds every downstream stage AND its count —
+      // materialize once instead of re-deriving the metric chain per
+      // stage aggregate (measured 12 s -> ~3 s at sf0.1)
+      val s1 = Materialize(base.join(q, Seq("id")).join(l, Seq("id")))
+      val s2 = s1.filter(col("pred_lang") === "en")
+      val s3 = s2.filter(col("n_words") >= 40 && col("stopword_ratio") >= 0.05)
+      // exact tier: one keeper (min id) per distinct text
+      val s4 = Materialize(
+        s3.groupBy(md5(col("text")).as("h")).agg(min(col("id")).as("id"))
+          .join(s3.select("id", "text"), Seq("id"))
+          .select("id", "text"))
+      val dupIds = Dedup.minhashLshPairs(s4, "id", "text", threshold = 0.6)
+        .select(col("id_b").as("id")).distinct()
+      val s5 = s4.join(dupIds, Seq("id"), "left_anti")
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"), col("n_rows"))
+      stage("1_ingest", base)
+        .unionByName(stage("2_lang", s2))
+        .unionByName(stage("3_quality", s3))
+        .unionByName(stage("4_exact", s4))
+        .unionByName(stage("5_near_dedup", s5))
+        .orderBy("stage")
+    },
+    Some {
+      val nWords = TextAnalysis.qualitySql("text").toMap.apply("n_words")
+      val stopR = TextAnalysis.qualitySql("text").toMap.apply("stopword_ratio")
+      val (scores, pred) = TextAnalysis.langIdSql("text")
+      val scoreExprs = scores.map { case (name, e) => s"$e AS $name" }.mkString(",\n            ")
+      s"""
+      WITH base AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || '$tail' FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+      ),
+      s1 AS (
+        SELECT id, text, n_words, sr, $pred AS pred_lang
+        FROM (
+          SELECT id, text, $nWords AS n_words, $stopR AS sr,
+            $scoreExprs
+          FROM base
+        )
+      ),
+      s2 AS (SELECT * FROM s1 WHERE pred_lang = 'en'),
+      s3 AS (SELECT * FROM s2 WHERE n_words >= 40 AND sr >= 0.05),
+      s4 AS (
+        SELECT s3.id, s3.text FROM s3
+        JOIN (SELECT min(id) AS id FROM s3 GROUP BY md5(text)) k ON s3.id = k.id
+      ),
+      ${shingleCtes("SELECT id, text FROM s4", hashBits30 = true, distinct = true)},
+      sig AS (
+        SELECT id, hs, list_transform(generate_series(0, 15), i ->
+          list_min(list_transform(hs, h -> (h * (2*i + 1) + 12345*i + 7) % ${TextFunctions.MinhashPrime}))) AS sig
+        FROM hs
+      ),
+      b AS (
+        SELECT id, hs, band_id, sig[band_id*4 + 1 : band_id*4 + 4] AS band
+        FROM sig CROSS JOIN unnest([0, 1, 2, 3]) AS t(band_id)
+      ),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+        FROM b a JOIN b b2 ON a.band_id = b2.band_id AND a.band = b2.band AND a.id < b2.id
+      ),
+      j AS (
+        SELECT id_a, id_b,
+          CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+            / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS jaccard
+        FROM cand JOIN hs ha ON ha.id = cand.id_a JOIN hs hb ON hb.id = cand.id_b
+      ),
+      dupids AS (SELECT DISTINCT id_b AS id FROM j WHERE jaccard >= 0.6),
+      s5 AS (SELECT * FROM s4 WHERE id NOT IN (SELECT id FROM dupids))
+      SELECT '1_ingest' AS stage, count(*) AS n_rows FROM base
+      UNION ALL SELECT '2_lang', count(*) FROM s2
+      UNION ALL SELECT '3_quality', count(*) FROM s3
+      UNION ALL SELECT '4_exact', count(*) FROM s4
+      UNION ALL SELECT '5_near_dedup', count(*) FROM s5
+      ORDER BY 1
+      """.trim
+    }
   )
 
   /** Benchmark decontamination: corpus scanned against a pseudo-benchmark
@@ -449,7 +550,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, simhashSigs, simhashPairs, ngramJaccard,
-    textQuality, langId, tokenCounts, fingerprints, decontaminate,
+    textQuality, langId, tokenCounts, fingerprints, decontaminate, curationFunnel,
     embedTopK, embedAnn, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }
