@@ -47,6 +47,50 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupMatches ≡ batch PdqDuplicates.edges on random clustered hashes") {
+    import graft.operators.PdqDuplicates
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(77)
+    def randHex = Seq.fill(64)("0123456789abcdef"(rng.nextInt(16))).mkString
+    // clusters: base hash + up-to-2-nibble perturbations (near), plus a few singletons
+    val rows: Seq[(String, String)] = (0 until 12).flatMap { g =>
+      val base = randHex
+      val variants = (0 until rng.nextInt(3)).map { v =>
+        val pos = rng.nextInt(64)
+        base.updated(pos, "0123456789abcdef"((base(pos) - '0' + 1 + v) % 16))
+      }
+      (base +: variants).zipWithIndex.map { case (h, i) => (f"G$g%02d_$i", h) }
+    }
+    val threshold = 0.95 // radius 13
+
+    // batch ground truth through the flat edges API
+    val batchDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, h) => org.apache.spark.sql.Row(i, Seq(h)) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("index", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pdq_hash",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
+    val batch = PdqDuplicates.edges(batchDf, similarityThreshold = threshold)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        math.rint((1.0 - r.getDouble(2)) * 256).toInt)).toSet
+
+    // streaming: same rows fed in three chunks
+    val input = MemoryStream[(String, String)]
+    val q = StreamingDedup.nearDupMatches(input.toDF().toDF("index", "hash"), threshold)
+      .writeStream.format("memory").queryName("sd_pdq_prop").outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val stream = spark.table("sd_pdq_prop").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(batch.nonEmpty)
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("firstSeenCounts tracks running dup counts and first-seen time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
