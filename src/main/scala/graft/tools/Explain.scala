@@ -27,11 +27,13 @@ object Explain {
       qs(n)(spark, sfDir).explain("formatted")
       if (run) {
         // time construction + execution: operators with eager
-        // materialization (localCheckpoint) do real work at construction
+        // materialization (localCheckpoint) do real work at construction.
+        // noop sink, not count() — count() lets Catalyst prune expensive
+        // derived columns and times little more than the scan.
         val t0 = System.nanoTime()
         val t1 = { qs(n)(spark, sfDir); System.nanoTime() }
-        val cnt = qs(n)(spark, sfDir).count()
-        println(f"-- $n: $cnt rows in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        qs(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        println(f"-- $n: done in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
           f"(construct ${(t1 - t0) / 1e9}%.2f s)")
       }
     }
