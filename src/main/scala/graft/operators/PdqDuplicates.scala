@@ -301,6 +301,16 @@ object PdqDuplicates {
           .crossJoin(corpusHashes)
           .withColumn("dist", hammingUdf(col("phash"), col("chash")))
           .filter(col("dist") <= n)
+      } else if (n == 0) {
+        // threshold 1.0 ⇒ radius 0: Hamming distance 0 between canonical
+        // 64-char hex hashes IS string equality, so the "similarity join"
+        // is a plain hash equi-join — one shuffle, O(|hashes|), for every
+        // strategy. This is the most common real invocation (exact-dup
+        // detection, `pdq_hash.py:45` at t=1.0); the all-pairs kernel /
+        // θ-join would degenerate quadratic here for no gain.
+        probeHashes
+          .join(corpusHashes, col("phash") === col("chash"))
+          .select(col("phash"), col("chash"), lit(0).as("dist"))
       } else {
         val resolved = strategy match {
           case Strategy.Auto =>

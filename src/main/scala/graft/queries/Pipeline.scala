@@ -523,7 +523,7 @@ object Pipeline {
         .agg(collect_set(concat(md5(v), md5(concat(v, lit("s"))))).as("pdq_hash"))
         .select(lpad(col("id").cast("string"), 8, "0").as("index"), col("pdq_hash"))
       Parity.flatPdq(PdqDuplicates(entries, similarityThreshold = 1.0,
-        strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true))
+        strategy = PdqDuplicates.Strategy.Auto, assumeFixed256 = true))
         .orderBy("index", "duplicate")
     },
     Some("""

@@ -138,6 +138,26 @@ class PdqDuplicatesSpec extends SparkTestBase {
     } finally spark.conf.unset(PdqDuplicates.KernelMaxCorpusKey)
   }
 
+  test("threshold 1.0 (radius 0) plans a hash equi-join, not all-pairs") {
+    // n == 0 dispatches to the equi-join fast path for EVERY strategy:
+    // the physical plan must contain neither the broadcast kernel
+    // (MapPartitions) nor the θ-join (BroadcastNestedLoopJoin).
+    for (s <- Strategy.Naive :: Strategy.Banded :: Strategy.Auto :: Nil) {
+      val df = PdqDuplicates.edges(pdqOnly(), similarityThreshold = 1.0, strategy = s)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$s planned a BNLJ:\n$plan")
+      assert(!plan.contains("MapPartitions"), s"$s planned the kernel:\n$plan")
+    }
+    // and the fast path produces the golden fixture's exact-dup edges
+    val got = rows(run(t = 1.0)(Strategy.Auto))
+    val want = Seq(
+      Seq("UW0001", List("UW0002", "UW0003"), List(1.0, 1.0)),
+      Seq("UW0002", List("UW0001", "UW0003"), List(1.0, 1.0)),
+      Seq("UW0003", List("UW0001", "UW0002"), List(1.0, 1.0))
+    )
+    assert(got == want)
+  }
+
   test("unknown method raises (pdq_hash.py:221-222)") {
     intercept[IllegalArgumentException](Strategy.fromMethod("nope"))
     assert(Strategy.fromMethod("mih") == Strategy.Banded)
