@@ -28,43 +28,69 @@ object Bench {
       override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     })
-    // per-query timeout: a pathological query records as a failure
-    // instead of stalling the whole bench
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toInt.seconds
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong * 1000L
+    // repetitions with per-query MIN: one-shot timings cannot distinguish a
+    // plan regression from a busy sandbox (round-2 driver recorded 42 s for
+    // a query that runs in 5 s under load); minima are robust to external
+    // contention while the noop sink keeps the measurement honest
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     // one-time init (codegen, parquet reader, noop sink) outside the
     // timed loop — otherwise the first alphabetical query absorbs ~5 s
     // of JVM warmup and its number is meaningless
     spark.read.parquet(s"$sfDir/region.parquet").write.mode("overwrite").format("noop").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune expensive
-      // columns, so map-only queries would time little more than the scan
-      val ok =
+
+    // Run one attempt on a dedicated thread under its own job group. On
+    // timeout, cancelJobGroup (interruptOnCancel) + interrupt + join BEFORE
+    // returning: a merely-abandoned Future keeps submitting jobs (eager
+    // collect/localCheckpoint at construction time) and inflates the next
+    // query's measurement.
+    def attempt(name: String, rep: Int, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val group = s"bench-$name-$rep"
+      @volatile var outcome: Either[Throwable, Double] = Left(new RuntimeException("did not run"))
+      val t = new Thread(() => {
         try {
-          Await.result(Future {
-            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          }, timeout)
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          spark.sparkContext.cancelAllJobs()
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries are independent: drop cache/localCheckpoint blocks so one
-      // query's materializations don't pressure the next one's memory
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      (name, dt, ok)
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          val t0 = System.nanoTime()
+          // noop sink, not count(): count() lets Catalyst prune expensive
+          // columns, so map-only queries would time little more than the scan
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          outcome = Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable => outcome = Left(e) }
+        finally spark.sparkContext.clearJobGroup()
+      }, group)
+      t.setDaemon(true)
+      t.start()
+      t.join(timeoutMs)
+      if (t.isAlive) {
+        System.err.println(s"[bench] $name rep $rep TIMED OUT after ${timeoutMs / 1000}s")
+        spark.sparkContext.cancelJobGroup(group)
+        t.interrupt()
+        t.join(30000)
+        None
+      } else outcome match {
+        case Right(dt) => Some(dt)
+        case Left(e) =>
+          System.err.println(s"[bench] $name rep $rep FAILED: ${e.getMessage}")
+          None
+      }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).flatMap { rep =>
+        val r = attempt(name, rep, fn)
+        // queries are independent: drop cache/localCheckpoint blocks so one
+        // attempt's materializations don't pressure the next one's memory
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        r
+      }
+      (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)
     }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -179,15 +179,18 @@ object Dedup {
     * of 30 bits have 2^30 values — bucket sizes stay O(corpus/2^30 +
     * true-near-dup cluster size).
     *
-    * The default `bands = 0` picks maxDist+1 exact-match bands (the
-    * narrow scheme) — callers at scale should pass `bands` such that
-    * `maxDist / bands <= 1` and `60 / bands` is wide (e.g. maxDist=3,
-    * bands=2). Candidate volume is observable via the "simhash_pairs"
+    * The default `bands = 0` picks the WIDEST banding with per-band
+    * error budget ≤ 1 — `floor(maxDist/2) + 1` bands (maxDist=3 → 2
+    * bands of 30 bits; maxDist=10 → 6 bands of 10 bits) — so API
+    * callers get the scale-safe scheme without tuning. Passing an
+    * explicit `bands` (e.g. maxDist+1 for exact-match narrow bands)
+    * still works but narrow bands degenerate at scale as above.
+    * Candidate volume is observable via the "simhash_pairs"
     * observation (`candidates` metric) for skew monitoring.
     *
     * Output (id_a, id_b, dist), id_a < id_b. */
   def simhashPairs(sigs: DataFrame, maxDist: Int = 3, bands: Int = 0): DataFrame = {
-    val nBands = if (bands > 0) bands else maxDist + 1
+    val nBands = if (bands > 0) bands else maxDist / 2 + 1
     val budget = maxDist / nBands
     require(nBands >= 1 && nBands <= 60, s"bands must be in [1, 60], got $nBands")
     require(budget <= 1,
@@ -228,7 +231,7 @@ object Dedup {
         col("a.band_id") === col("b.band_id") &&
           col("a.band") === col("b.band") &&
           col("a.id") < col("b.id"))
-      .observe("simhash_pairs", count(lit(1)).as("candidates"))
+      .observe(Telemetry.name("simhash_pairs"), count(lit(1)).as("candidates"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.simhash"), col("b.simhash")).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)

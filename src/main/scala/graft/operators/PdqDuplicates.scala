@@ -166,7 +166,7 @@ object PdqDuplicates {
           format(edges)
         }
         // `pdq_hash.py:237-255` "Found N rows with duplicates" twin
-        result.observe("pdq_hash_result", count(lit(1)).as("n_rows_with_duplicates"))
+        result.observe(Telemetry.name("pdq_hash_result"), count(lit(1)).as("n_rows_with_duplicates"))
     }
   }
 
@@ -241,7 +241,7 @@ object PdqDuplicates {
     checked match {
       case Checked.Literals(seq) if seq.isEmpty =>
         // reference `pdq_hash.py:140-144` UserWarning twin
-        log.warn("indexes_to_check is empty, no duplicates will be found.")
+        Warnings.warn(log, "indexes_to_check is empty, no duplicates will be found.")
         return None
       case _ => ()
     }
@@ -253,7 +253,7 @@ object PdqDuplicates {
     // `:237-255` result count): `observe` rides the existing jobs —
     // metrics surface via QueryExecutionListener, zero extra scans.
     val exploded = df
-      .observe("pdq_hash_input", count(lit(1)).as("n_rows"),
+      .observe(Telemetry.name("pdq_hash_input"), count(lit(1)).as("n_rows"),
         sum(when(col("pdq_hash").isNull, 1).otherwise(0)).as("n_null_rows"))
       .filter(col("pdq_hash").isNotNull)
       .select(col("index"), explode(col("pdq_hash")).as("hash"))
@@ -270,7 +270,14 @@ object PdqDuplicates {
     val fixedWidth = assumeFixed256 || {
       val row = exploded.agg(min(length(col("hash"))), max(length(col("hash"))),
         max(col("hash").rlike("[^0-9a-fA-F]"))).head()
-      if (row.isNullAt(1)) return None // no hashes at all
+      if (row.isNullAt(1)) {
+        // no hashes at all — `pdq_hash.py:134-138` UserWarning twin (the
+        // warn rides the detection scan; with assumeFixed256 the caller
+        // opted out of any pre-scan, so the empty case stays silent and
+        // simply yields the typed empty result)
+        Warnings.warn(log, "The pdq hash series is empty, no duplicates will be found.")
+        return None
+      }
       row.getInt(0) >= 1 && row.getInt(1) <= 64 && !row.getBoolean(2)
     }
 
@@ -438,7 +445,13 @@ object PdqDuplicates {
     * reference's own multiprocess design, `naive_duplicate_detector
     * .py:67`, every worker holding the whole series). The bounded
     * `limit(cap+1).collect()` doubles as the broadcast build, so the
-    * guard costs no extra scan when the kernel runs.
+    * guard costs no extra scan when the kernel runs — and the collect
+    * itself is gated on the plan-statistics row estimate first, so a
+    * corpus the estimate already places FAR above the cap goes straight
+    * to the θ-join without materializing ~cap hashes on the driver.
+    * (The estimate errs upward — it ignores the distinct collapse — so
+    * the skip threshold carries a 4× slack; a moderate overestimate
+    * still reaches the exact bounded-collect check.)
     *
     * Fallback: the θ-join with the distance test in the join condition
     * (pure primitive arithmetic per pair, output rows only for
@@ -449,18 +462,26 @@ object PdqDuplicates {
   private def naiveHashJoin(probes: DataFrame, corpus: DataFrame, n: Int): DataFrame = {
     val cap = probes.sparkSession.conf
       .get(KernelMaxCorpusKey, KernelMaxCorpusDefault.toString).toInt
-    val collected = corpus.limit(cap + 1).collect()
-    if (collected.length > cap)
+    def thetaJoin =
       withWordCols(probes, "phash", "pw")
         .join(withWordCols(corpus, "chash", "cw"),
           wordColsPrefixDist(WordsPerHash / 2) <= n && wordColsDist() <= n)
         .withColumn("dist", wordColsDist())
         .select("phash", "chash", "dist")
-    else kernelHashJoin(probes, collected.map(_.getString(0)), n)
+    if (estimateRows(corpus) > BigInt(cap) * 4) thetaJoin
+    else {
+      val collected = corpus.limit(cap + 1).collect()
+      if (collected.length > cap) thetaJoin
+      else kernelHashJoin(probes, collected.map(_.getString(0)), n)
+    }
   }
 
   /** Broadcast-kernel leg of [[naiveHashJoin]]: probes stream past a
-    * packed corpus of 4 longs per canonical 64-char hex hash. */
+    * packed corpus of 4 longs per canonical 64-char hex hash. Only the
+    * packed longs are broadcast (~32 B/hash); matches are rare, so the
+    * canonical hex string of a matching corpus hash is rebuilt from its
+    * words on the executor instead of shipping the full string array
+    * (which would roughly double broadcast memory). */
   private def kernelHashJoin(probes: DataFrame, corpus: Array[String], n: Int): DataFrame = {
     val spark = probes.sparkSession
     val m = corpus.length
@@ -476,13 +497,23 @@ object PdqDuplicates {
       i += 1
     }
     val bcPacked = spark.sparkContext.broadcast(packed)
-    val bcHashes = spark.sparkContext.broadcast(corpus)
     import spark.implicits._
     probes.select(col("phash")).as[String]
       .mapPartitions { it =>
         val pk = bcPacked.value
-        val hs = bcHashes.value
-        val mm = hs.length
+        val mm = pk.length / 4
+        def hex(b: Int): String = {
+          val sb = new java.lang.StringBuilder(64)
+          var w = 0
+          while (w < 4) {
+            val s = java.lang.Long.toHexString(pk(b + w))
+            var pad = 16 - s.length
+            while (pad > 0) { sb.append('0'); pad -= 1 }
+            sb.append(s)
+            w += 1
+          }
+          sb.toString
+        }
         it.flatMap { p =>
           val p0 = java.lang.Long.parseUnsignedLong(p.substring(0, 16), 16)
           val p1 = java.lang.Long.parseUnsignedLong(p.substring(16, 32), 16)
@@ -496,7 +527,7 @@ object PdqDuplicates {
               java.lang.Long.bitCount(p1 ^ pk(b + 1)) +
               java.lang.Long.bitCount(p2 ^ pk(b + 2)) +
               java.lang.Long.bitCount(p3 ^ pk(b + 3))
-            if (d <= n) out += ((p, hs(j), d))
+            if (d <= n) out += ((p, hex(b), d))
             j += 1
           }
           out

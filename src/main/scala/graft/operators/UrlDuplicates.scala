@@ -78,11 +78,19 @@ object UrlDuplicates {
       .select(col("a.index").as("index"), col("b.index").as("partner"))
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private[operators] def run(df: DataFrame, checked: Checked): DataFrame = {
+    // `url.py:56-59` empty-series UserWarning twin. The reference warns
+    // eagerly and CONTINUES (no early return); the emptiness probe is a
+    // limit(1) scan — one tiny task, in line with the other eager
+    // validations on this path (index-uniqueness sample).
+    if (df.isEmpty)
+      Warnings.warn(log, "The url series is empty, no duplicates will be found.")
     // A4 telemetry twin (`url.py:70-74` null-drop count): observe rides
     // the existing jobs, metrics surface via QueryExecutionListener
     val norm = df
-      .observe("url_input", count(lit(1)).as("n_rows"),
+      .observe(Telemetry.name("url_input"), count(lit(1)).as("n_rows"),
         sum(when(col("url").isNull, 1).otherwise(0)).as("n_null_urls"))
       .filter(col("url").isNotNull)
       .select(col("index"), UrlFunctions.normalizeUrl(col("url")).as("base_url"))
@@ -119,6 +127,6 @@ object UrlDuplicates {
         array_remove(sort_array(col("members")), col("index")).as("url_duplicates")
       )
       // `url.py:121-126` "Found N rows with duplicates" twin
-      .observe("url_result", count(lit(1)).as("n_rows_with_duplicates"))
+      .observe(Telemetry.name("url_result"), count(lit(1)).as("n_rows_with_duplicates"))
   }
 }

@@ -110,8 +110,11 @@ object Pipeline {
 
   val simhashPairs: QueryDef = QueryDef(
     "simhash_pairs",
+    // bands is left at the default: since round 3 it selects this same
+    // wide scheme (floor(maxDist/2)+1 = 2 bands of 30 bits), so the gate
+    // exercises the default path API callers get
     (s, dir) => Dedup.simhashPairs(Dedup.simhashSigs(corpus(s, dir), "id", "text"),
-      maxDist = simhashMaxDist, bands = 2)
+      maxDist = simhashMaxDist)
       .orderBy("id_a", "id_b"),
     // multi-probe banding is COMPLETE for dist <= maxDist (pigeonhole),
     // so the oracle is the straight all-pairs join over the signatures

@@ -86,13 +86,44 @@ class CheckedFrameSpec extends SparkTestBase {
         case r                   => r
       }
       UrlDuplicates(urlOnly(rs)).collect()
+      // observation names carry a per-invocation suffix (composability);
+      // listeners match on the stable prefix
+      def find(prefix: String): Option[Row] =
+        metrics.collectFirst { case (k, v) if k.startsWith(prefix) => v }
       val deadline = System.nanoTime() + 10_000_000_000L
-      while (!(metrics.contains("url_input") && metrics.contains("url_result")) &&
+      while (!(find("url_input").isDefined && find("url_result").isDefined) &&
         System.nanoTime() < deadline) Thread.sleep(50)
-      val in = metrics("url_input")
+      val in = find("url_input").get
       assert(in.getAs[Long]("n_rows") == 7L)
       assert(in.getAs[Long]("n_null_urls") == 1L)
-      assert(metrics("url_result").getAs[Long]("n_rows_with_duplicates") == 5L)
+      assert(find("url_result").get.getAs[Long]("n_rows_with_duplicates") == 5L)
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("observe names are per-invocation: two operator outputs compose in one action") {
+    // fixed observation names fail analysis with "Multiple definitions
+    // of observed metrics" when two invocations meet under one action
+    val u = UrlDuplicates(urlOnly()).union(UrlDuplicates(urlOnly()))
+    assert(u.count() == 10L)
+    val p = PdqDuplicates(pdqOnly(), similarityThreshold = Fixtures.threshold)
+      .union(PdqDuplicates(pdqOnly(), similarityThreshold = Fixtures.threshold))
+    assert(p.count() > 0)
+  }
+
+  test("empty-series warn twins (pdq_hash.py:134-138, url.py:56-59)") {
+    import spark.implicits._
+    @volatile var warned = List.empty[String]
+    Warnings.onWarning(msg => warned ::= msg)
+    try {
+      val emptyPdq = Seq.empty[(String, Seq[String])].toDF("index", "pdq_hash")
+      val r = PdqDuplicates(emptyPdq)
+      assert(r.count() == 0)
+      assert(r.schema == PdqDuplicates.outputSchema)
+      assert(warned.exists(_.contains("pdq hash series is empty")))
+
+      val emptyUrl = Seq.empty[(String, String)].toDF("index", "url")
+      assert(UrlDuplicates(emptyUrl).count() == 0)
+      assert(warned.exists(_.contains("url series is empty")))
+    } finally Warnings.onWarning(_ => ())
   }
 }

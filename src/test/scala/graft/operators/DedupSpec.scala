@@ -74,6 +74,11 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty)
     assert(wide == brute)
+    // bands = 0 (the API default) must select this same wide scheme:
+    // maxDist 3 -> floor(3/2)+1 = 2 bands of 30 bits, not 4 narrow bands
+    val default = Dedup.simhashPairs(sigs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default == brute)
   }
 
   test("PDQ banded join ≡ naive join on random hashes (SURVEY §5 property)") {
