@@ -59,7 +59,11 @@ object SimilaritySearch {
     * float32, dequantizes to within one code step). Per vector:
     * `scale = max(|x|)/127`, `code_i = floor(x_i / scale)` (floor, not
     * round: round ties break differently across engines; floor is
-    * bit-deterministic). Zero vectors quantize to all-zero codes.
+    * bit-deterministic), clamped to the symmetric code range
+    * [-127, 127] — IEEE rounding of `x/scale` can marginally exceed 127
+    * in magnitude for the extreme negative element, and floor would
+    * land on -128 (overflow if codes are later narrowed to byte). Zero
+    * vectors quantize to all-zero codes.
     *
     * The scale is LET-BOUND through a single-element-array transform so
     * its array_max derivation evaluates once per row, not once per
@@ -73,7 +77,8 @@ object SimilaritySearch {
     val codes = element_at(
       transform(array(scale), s =>
         when(s === 0.0, transform(v, _ => lit(0)))
-          .otherwise(transform(v, x => floor(x.cast("double") / s).cast("int")))),
+          .otherwise(transform(v, x =>
+            greatest(floor(x.cast("double") / s).cast("int"), lit(-127))))),
       1)
     df.select(col(idCol).as("id"), scale.as("scale"), codes.as("codes"))
   }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Decontaminate, Dedup, Materialize, Media, PdqDuplicates, SimilaritySearch, TextAnalysis}
+import graft.operators.{CurationFunnel, Decontaminate, Dedup, Materialize, Media, PdqDuplicates, SimilaritySearch, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -207,14 +207,12 @@ object Pipeline {
     """.trim)
   )
 
-  /** The end-to-end curation funnel a training-data pipeline runs,
-    * composed from the library's own operators: ingest (documents ∪
-    * planted near-dup tails ∪ planted verbatim clones) → language gate
-    * (pred_lang = en) → quality gate (word count + stopword ratio) →
-    * exact dedup (md5 groups, min-id keeper) → MinHash-LSH near-dedup
-    * (drop the higher id of each verified pair). Output: surviving row
-    * count per stage. Stage relations re-derive the cheap metric scans
-    * per count here; a production run would cache/stage each tier. */
+  /** The end-to-end curation funnel over documents ∪ planted near-dup
+    * tails ∪ planted verbatim clones, via the staged
+    * [[graft.operators.CurationFunnel]] operator (lang → quality →
+    * exact dedup → MinHash-LSH near-dedup). The gate compares the
+    * per-stage survivor counts; callers wanting the tiers themselves
+    * use `CurationFunnel.run(...)` and persist each staged frame. */
   val curationFunnel: QueryDef = QueryDef(
     "curation_funnel",
     (s, dir) => {
@@ -224,30 +222,7 @@ object Pipeline {
           .select((col("doc_id") + 1000000L).as("id"), concat(col("text"), lit(tail)).as("text")))
         .unionByName(d.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 2000000L).as("id"), col("text")))
-      val q = TextAnalysis.quality(base, "id", "text").select("id", "n_words", "stopword_ratio")
-      val l = TextAnalysis.langId(base, "id", "text").select("id", "pred_lang")
-      // the annotated frame feeds every downstream stage AND its count —
-      // materialize once instead of re-deriving the metric chain per
-      // stage aggregate (measured 12 s -> ~3 s at sf0.1)
-      val s1 = Materialize(base.join(q, Seq("id")).join(l, Seq("id")))
-      val s2 = s1.filter(col("pred_lang") === "en")
-      val s3 = s2.filter(col("n_words") >= 40 && col("stopword_ratio") >= 0.05)
-      // exact tier: one keeper (min id) per distinct text
-      val s4 = Materialize(
-        s3.groupBy(md5(col("text")).as("h")).agg(min(col("id")).as("id"))
-          .join(s3.select("id", "text"), Seq("id"))
-          .select("id", "text"))
-      val dupIds = Dedup.minhashLshPairs(s4, "id", "text", threshold = 0.6)
-        .select(col("id_b").as("id")).distinct()
-      val s5 = s4.join(dupIds, Seq("id"), "left_anti")
-      def stage(name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"), col("n_rows"))
-      stage("1_ingest", base)
-        .unionByName(stage("2_lang", s2))
-        .unionByName(stage("3_quality", s3))
-        .unionByName(stage("4_exact", s4))
-        .unionByName(stage("5_near_dedup", s5))
-        .orderBy("stage")
+      CurationFunnel.run(base, "id", "text").counts
     },
     Some {
       val nWords = TextAnalysis.qualitySql("text").toMap.apply("n_words")
@@ -448,7 +423,7 @@ object Pipeline {
       q AS (SELECT id, v, list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM base),
       c AS (SELECT id, v, scale,
         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-             ELSE list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) / scale) AS INT)) END AS codes
+             ELSE list_transform(v, x -> greatest(CAST(floor(CAST(x AS DOUBLE) / scale) AS INT), -127)) END AS codes
         FROM q)
       SELECT id, scale,
         array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), '|') AS codes_str,

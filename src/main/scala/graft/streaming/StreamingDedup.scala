@@ -36,8 +36,10 @@ object StreamingDedup {
   case class KeyState(firstSeenMs: Long, count: Long)
   case class DupCount(key: String, count: Long, first_seen_ms: Long)
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   case class Member(index: String, w0: Long, w1: Long, w2: Long, w3: Long)
-  case class BandState(members: List[Member])
+  case class BandState(members: List[Member], dropped: Long = 0L)
   case class PdqMatch(index: String, partner: String, dist: Int)
 
   /** Streaming PDQ near-duplicate matching — the streaming twin of
@@ -55,12 +57,26 @@ object StreamingDedup {
     * distinct corpus per bucket — `maxBucketSize` caps pathological
     * buckets (viral/black-frame hashes) exactly where the batch
     * operator's distinct-hash collapse would; capped members still
-    * match existing state but stop being stored.
+    * match existing state but stop being stored, so LATER arrivals
+    * cannot match them (results become arrival-order dependent past the
+    * cap). That trip is NOT silent: every batch that drops members
+    * logs a warning with the bucket key, the batch drop count, and the
+    * bucket's cumulative total.
+    *
+    * Without a TTL, total state still grows with the number of distinct
+    * buckets; pass `stateTtlMs > 0` for processing-time eviction of
+    * idle buckets (matching horizon becomes the TTL — the streaming
+    * analogue of a watermark). NB a timeout makes the engine schedule
+    * recurring empty micro-batches to fire evictions — intended for
+    * long-running production queries; it makes `processAllAvailable`
+    * semantics awkward in tests/batch use (see [[firstSeenCounts]]).
     *
     * @param df (index: string, hash: string hex ≤ 64 chars)
+    * @param stateTtlMs processing-time eviction horizon for idle
+    *        buckets; 0 (default) keeps state indefinitely (NoTimeout)
     */
   def nearDupMatches(df: DataFrame, similarityThreshold: Double,
-      maxBucketSize: Int = 100000): Dataset[PdqMatch] = {
+      maxBucketSize: Int = 100000, stateTtlMs: Long = 0L): Dataset[PdqMatch] = {
     import graft.functions.HashFunctions.{absoluteThreshold, canonicalHex64, hexBands, validateThreshold, PdqHashLength}
     validateThreshold(similarityThreshold)
     val n = absoluteThreshold(PdqHashLength, similarityThreshold)
@@ -84,28 +100,43 @@ object StreamingDedup {
       java.lang.Long.parseUnsignedLong(ch.substring(32, 48), 16),
       java.lang.Long.parseUnsignedLong(ch.substring(48, 64), 16))
 
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     banded.as[(String, String, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, rows: Iterator[(String, String, String)], state: GroupState[BandState]) => {
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-          val out = List.newBuilder[PdqMatch]
-          rows.foreach { case (_, idx, ch) =>
-            val m = toMember(idx, ch)
-            members.foreach { o =>
-              if (o.index != idx) {
-                val d = java.lang.Long.bitCount(o.w0 ^ m.w0) + java.lang.Long.bitCount(o.w1 ^ m.w1) +
-                  java.lang.Long.bitCount(o.w2 ^ m.w2) + java.lang.Long.bitCount(o.w3 ^ m.w3)
-                if (d <= n) {
-                  out += PdqMatch(idx, o.index, d)
-                  out += PdqMatch(o.index, idx, d)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (bkey: String, rows: Iterator[(String, String, String)], state: GroupState[BandState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            var dropped = state.getOption.map(_.dropped).getOrElse(0L)
+            var droppedThisBatch = 0L
+            val out = List.newBuilder[PdqMatch]
+            rows.foreach { case (_, idx, ch) =>
+              val m = toMember(idx, ch)
+              members.foreach { o =>
+                if (o.index != idx) {
+                  val d = java.lang.Long.bitCount(o.w0 ^ m.w0) + java.lang.Long.bitCount(o.w1 ^ m.w1) +
+                    java.lang.Long.bitCount(o.w2 ^ m.w2) + java.lang.Long.bitCount(o.w3 ^ m.w3)
+                  if (d <= n) {
+                    out += PdqMatch(idx, o.index, d)
+                    out += PdqMatch(o.index, idx, d)
+                  }
                 }
               }
+              if (members.lengthCompare(maxBucketSize) < 0) members = m :: members
+              else { dropped += 1; droppedThisBatch += 1 }
             }
-            if (members.lengthCompare(maxBucketSize) < 0) members = m :: members
+            if (droppedThisBatch > 0) log.warn(
+              s"nearDupMatches bucket $bkey is full (maxBucketSize=$maxBucketSize): " +
+                s"$droppedThisBatch member(s) dropped this batch, $dropped total — " +
+                "later arrivals cannot match the dropped members")
+            state.update(BandState(members, dropped))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
           }
-          state.update(BandState(members))
-          out.result().iterator
         })
   }
 

@@ -30,6 +30,24 @@ class MediaSpec extends SparkTestBase {
     assert(byId(1L).map(_.frame_hash).toSeq != byId(2L).map(_.frame_hash).toSeq)
   }
 
+  test("decoder seam: a custom ImageDecoder/FrameSampler drops in without operator changes") {
+    // a "real" decoder stand-in that reads dimensions from the payload
+    // header bytes — the wiring a javacv/ffmpeg codec would use
+    val headerDecoder: Media.ImageDecoder = p =>
+      if (p.isEmpty) (0, 0, 0) else ((p(0) & 0xff) + 1, p.length, 1)
+    val meta = Media.imageMeta(items, headerDecoder).collect().map(m => m.id -> m).toMap
+    assert(meta(1L).width == ('p' & 0xff) + 1 && meta(1L).height == 11 && meta(1L).channels == 1)
+    assert(meta(3L) == Media.ImageMeta(3L, 0, 0, 0, 0L))
+
+    val firstByteSampler: Media.FrameSampler = (p, n) =>
+      (0 until n).map(i => (i, if (p.isEmpty) -1L else (p(0) & 0xffL) * (i + 1)))
+    val frames = Media.frameSamples(items, 2, firstByteSampler).collect()
+    assert(frames.length == 6)
+    assert(frames.filter(_.id == 1L).map(_.frame_hash).sorted.toSeq ==
+      Seq(('p' & 0xffL), ('p' & 0xffL) * 2))
+    assert(frames.filter(_.id == 3L).forall(_.frame_hash == -1L))
+  }
+
   test("binaryMeta: byte length and hex prefix") {
     val df = Seq((1L, "abc")).toDF("id0", "text")
       .select(col("id0"), col("text").cast("binary").as("payload"))

@@ -158,6 +158,50 @@ class PdqDuplicatesSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("pdq_scale_30k replica: kernel result equals the analytically planted pair set") {
+    // The 30k bench query is the one gate row without a DuckDB oracle
+    // (the ~913M-pair quadratic replay exceeds gate time). Cross-check it
+    // in-engine instead: hashes are md5-derived — effectively uniform
+    // 256-bit values — so P(dist <= 51) for a non-planted pair is the
+    // binomial(256, 1/2) tail at 51, ~1e-38. The exact expected result is
+    // therefore the PLANTED pairs only, computable driver-side with
+    // MessageDigest. (The Banded strategy is not run here: radius 51
+    // needs 52 nibble-aligned bands of <= 8 bits, whose candidate set
+    // degenerates toward all-pairs — prepare() would route it to the
+    // θ-join anyway at n >= 64 only, and the bench declares the kernel
+    // the point of this query.)
+    import org.apache.spark.sql.functions._
+    val n = 30225L
+    val e = spark.range(n).select(col("id").as("event_id"))
+    val g = col("event_id").cast("string")
+    val base = concat(md5(g), md5(concat(g, lit("x"))))
+    val h = when(col("event_id") % 997 === 0,
+      concat(substring(base, 1, 63),
+        when(substring(base, 64, 1) === "0", "1").otherwise("0"))).otherwise(base)
+    val frame = e.select(
+      lpad(col("event_id").cast("string"), 8, "0").as("index"),
+      array(when(col("event_id") % 997 === 1,
+        concat(md5((col("event_id") - 1).cast("string")),
+          md5(concat((col("event_id") - 1).cast("string"), lit("x"))))).otherwise(h)).as("pdq_hash"))
+    val got = PdqDuplicates.edges(frame, similarityThreshold = 0.8,
+        strategy = Strategy.Naive, assumeFixed256 = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until n by 997L).filter(_ + 1 < n).flatMap { k =>
+      val b = md5hex(k.toString) + md5hex(k.toString + "x")
+      val last = Integer.parseInt(b.substring(63), 16)
+      val flipped = if (last == 0) 1 else 0
+      val dist = Integer.bitCount(last ^ flipped)
+      val sim = 1.0 - dist / 256.0
+      Seq((f"$k%08d", f"${k + 1}%08d", sim), (f"${k + 1}%08d", f"$k%08d", sim))
+    }.toSet
+    assert(expected.size == 62)
+    assert(got == expected)
+  }
+
   test("unknown method raises (pdq_hash.py:221-222)") {
     intercept[IllegalArgumentException](Strategy.fromMethod("nope"))
     assert(Strategy.fromMethod("mih") == Strategy.Banded)

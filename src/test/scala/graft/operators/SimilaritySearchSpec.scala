@@ -67,6 +67,16 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(got(1L)._2 == List(0, 0, 0, 0))
   }
 
+  test("quantizeInt8 clamps the IEEE -128 corner to -127") {
+    // for m = 0.0007f, -m / (m/127.0) marginally exceeds 127 in
+    // magnitude under IEEE double division, so an unclamped floor lands
+    // on -128 — outside the documented symmetric code range
+    val in = Seq((0L, Array(0.0007f, -0.0007f))).toDF("vec_id", "embedding")
+    val codes = SimilaritySearch.quantizeInt8(in, "vec_id", "embedding")
+      .collect().head.getSeq[Int](2).toList
+    assert(codes == List(127, -127))
+  }
+
   test("quantizeInt8 round-trip: dequantized cosine close to 1 for non-degenerate vectors") {
     val in = Seq((0L, Array.tabulate(16)(i => (math.sin(i + 1) * 3).toFloat))).toDF("vec_id", "embedding")
     val q = SimilaritySearch.quantizeInt8(in, "vec_id", "embedding")

@@ -91,6 +91,29 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupMatches bucket cap: dropped members still match existing state but are not stored") {
+    import graft.Fixtures
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = StreamingDedup.nearDupMatches(input.toDF().toDF("index", "hash"),
+        similarityThreshold = 1.0 - 1.0 / 256, maxBucketSize = 1)
+      .writeStream.format("memory").queryName("sd_cap").outputMode("append").start()
+    try {
+      input.addData(("A", Fixtures.hash1))
+      q.processAllAvailable()
+      // B matches stored A, but the bucket is full so B itself is dropped
+      input.addData(("B", Fixtures.hash1))
+      q.processAllAvailable()
+      // C therefore matches A only — the arrival-order dependence the
+      // scaladoc documents (and the executor log warns about)
+      input.addData(("C", Fixtures.hash1))
+      q.processAllAvailable()
+      val pairs = spark.table("sd_cap").select("index", "partner").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pairs == Set(("A", "B"), ("B", "A"), ("A", "C"), ("C", "A")))
+    } finally q.stop()
+  }
+
   test("firstSeenCounts tracks running dup counts and first-seen time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
