@@ -239,6 +239,60 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Connected components over an undirected duplicate-pair relation:
+    * (id, cluster) with `cluster` = the component's minimum id — the
+    * step that turns PAIR output ([[minhashLshPairs]], [[simhashPairs]],
+    * [[graft.operators.PdqDuplicates.edges]]) into dedup GROUPS with a
+    * canonical keeper per group, which is what a curation run actually
+    * deletes against (keep `id == cluster`, drop the rest).
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING —
+    * each round first takes the neighborhood minimum
+    * `m(v) = min(label(v), min label(N(v)))`, then short-circuits
+    * chains with `label'(v) = label(m(v))`. The jump is what makes the
+    * round count O(log diameter) instead of O(diameter) (the
+    * MapReduce-CC literature's doubling idea, cf. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — a
+    * pathological transitive near-dup chain of length 1000 converges in
+    * ~10 rounds, not 1000. Each round is two shuffles over (id, label)
+    * pairs — never the quadratic component contents — plus one cheap
+    * first-difference convergence probe; per-round [[Materialize]] cuts
+    * the otherwise-exponential iterative lineage.
+    *
+    * Input ids must be orderable (long, string, ...); output covers
+    * every id incident to at least one pair (singletons never enter the
+    * edge relation — union them in downstream if needed). */
+  def connectedComponents(
+      pairs: DataFrame,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      maxIterations: Int = 25
+  ): DataFrame = {
+    val sym = pairs.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
+      .union(pairs.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
+    var labels = Materialize(sym.select(col("id")).distinct().withColumn("label", col("id")))
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIterations) {
+      // neighborhood minimum (map-side combinable aggregate)
+      val nbrMin = sym.join(labels.select(col("id").as("nbr"), col("label").as("nl")), Seq("nbr"))
+        .groupBy("id").agg(min(col("nl")).as("nm"))
+      val m = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nm"), col("label"))).as("m"))
+      // pointer jump: follow the chosen label's own label. Label values
+      // are always node ids (minima over node ids), so the join is total.
+      val next = Materialize(
+        m.join(labels.select(col("id").as("m"), col("label").as("lm")), Seq("m"))
+          .select(col("id"), col("lm").as("label")))
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      done = changed == 0L
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** EXACT n-gram Jaccard pairs ≥ threshold — the ground-truth tier.
     *
     * Not all-pairs: for any `threshold > 0`, a qualifying pair must

@@ -58,12 +58,10 @@ object Pipeline {
     """.trim)
   )
 
-  val minhashLsh: QueryDef = QueryDef(
-    "minhash_lsh",
-    (s, dir) => Dedup.minhashLshPairs(corpus(s, dir), "id", "text",
-      shingleLen = 3, k = 16, bands = 4, threshold = 0.6).orderBy("id_a", "id_b"),
-    Some(s"""
-      WITH ${shingleCtes(corpusSql, hashBits30 = true, distinct = true)},
+  /** CTE chain replaying [[Dedup.minhashLshPairs]] (k=16, 4 bands,
+    * threshold filter applied by the consumer over `j.jaccard`). */
+  private def minhashCtes(input: String): String =
+    s"""${shingleCtes(input, hashBits30 = true, distinct = true)},
       sig AS (
         SELECT id, hs, list_transform(generate_series(0, 15), i ->
           list_min(list_transform(hs, h -> (h * (2*i + 1) + 12345*i + 7) % ${TextFunctions.MinhashPrime}))) AS sig
@@ -82,8 +80,38 @@ object Pipeline {
           CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
             / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS jaccard
         FROM cand JOIN hs ha ON ha.id = cand.id_a JOIN hs hb ON hb.id = cand.id_b
-      )
+      )"""
+
+  val minhashLsh: QueryDef = QueryDef(
+    "minhash_lsh",
+    (s, dir) => Dedup.minhashLshPairs(corpus(s, dir), "id", "text",
+      shingleLen = 3, k = 16, bands = 4, threshold = 0.6).orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH ${minhashCtes(corpusSql)}
       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6 ORDER BY id_a, id_b
+    """.trim)
+  )
+
+  /** Near-dup GROUPS: connected components over the verified MinHash
+    * pairs — cluster id = min member id, the canonical keeper. Oracle:
+    * recursive-CTE transitive closure over the symmetric edge set
+    * (fine at gate scale; the engine side is the O(log d) pointer-
+    * jumping propagation that scales). */
+  val dedupClusters: QueryDef = QueryDef(
+    "dedup_clusters",
+    (s, dir) => Dedup.connectedComponents(
+      Dedup.minhashLshPairs(corpus(s, dir), "id", "text",
+        shingleLen = 3, k = 16, bands = 4, threshold = 0.6)).orderBy("id"),
+    Some(s"""
+      WITH RECURSIVE ${minhashCtes(corpusSql)},
+      p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.6),
+      e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM e
+        UNION
+        SELECT e.d, reach.r FROM e JOIN reach ON e.s = reach.id
+      )
+      SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id
     """.trim)
   )
 
@@ -527,7 +555,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    dedupExact, minhashLsh, simhashSigs, simhashPairs, ngramJaccard,
+    dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
     textQuality, langId, tokenCounts, fingerprints, decontaminate, curationFunnel,
     embedTopK, embedAnn, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )

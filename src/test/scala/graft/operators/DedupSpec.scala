@@ -117,6 +117,33 @@ class DedupSpec extends SparkTestBase {
     assert(!got.contains(5L))                  // too short to shingle
   }
 
+  test("connectedComponents: chain, cycle, disjoint cliques, singleton-free") {
+    // a 60-node chain (diameter 59 — converges only because of the
+    // pointer jump), a 4-cycle, a triangle, and one isolated pair
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val cycle = Seq((100L, 101L), (101L, 102L), (102L, 103L), (103L, 100L))
+    val tri = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val pair = Seq((301L, 300L)) // reversed order: symmetry matters
+    val edges = (chain ++ cycle ++ tri ++ pair).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 59L).forall(got(_) == 0L))
+    assert((100L to 103L).forall(got(_) == 100L))
+    assert((200L to 202L).forall(got(_) == 200L))
+    assert(got(300L) == 300L && got(301L) == 300L)
+    assert(got.size == 69) // only ids incident to an edge appear
+  }
+
+  test("connectedComponents works on string ids and composes with minhash pairs") {
+    val pairs = Dedup.minhashLshPairs(
+      docs.select(concat(lit("d"), col("id")).as("id"), col("text")),
+      "id", "text", threshold = 0.5)
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // docs 1, 2, 4 form one near-dup component; 3 and 5 never pair
+    assert(got == Map("d1" -> "d1", "d2" -> "d1", "d4" -> "d1"))
+  }
+
   test("ngramJaccardPairs: exact ground truth, ordered ids") {
     val got = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
