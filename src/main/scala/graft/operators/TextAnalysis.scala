@@ -102,6 +102,106 @@ object TextAnalysis {
     (scores.map { case (l, e) => s"score_$l" -> e }, pred)
   }
 
+  /** Repetition signals (the Gopher-style quality gates for
+    * machine-generated / boilerplate text): per document,
+    *
+    *  - `top_word_frac`   — occurrences of the most frequent word over
+    *    total words;
+    *  - `top_bigram_frac` — occurrences of the most frequent word
+    *    bigram over total bigrams (0 for sub-2-word docs);
+    *  - `ttr`             — type-token ratio (distinct words / words).
+    *
+    * Relational shape: one posexplode feeds (a) per-(id, word) counts
+    * and (b) window-`lead` bigram counts — every aggregate is map-side
+    * combinable, the shuffle carries count rows, never the text. All
+    * ratios are single divisions of integer counts (engine-exact, so
+    * the DuckDB twin matches bit-for-bit). */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val wr = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), posexplode(words(col(textCol))))
+      .withColumnRenamed("col", "word")
+    val wordStats = wr.groupBy("id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max("c").as("topw"), sum("c").as("nw"), count(lit(1)).as("nd"))
+    val bigramStats = wr
+      .select(col("id"), col("word"), lead(col("word"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .groupBy("id", "word", "w2").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max("c").as("topb"), sum("c").as("nb"))
+    df.select(col(idCol).as("id"))
+      .join(wordStats, Seq("id"), "left")
+      .join(bigramStats, Seq("id"), "left")
+      .select(
+        col("id"),
+        (coalesce(col("topw"), lit(0L)).cast("double") /
+          greatest(coalesce(col("nw"), lit(0L)), lit(1L)).cast("double")).as("top_word_frac"),
+        (coalesce(col("topb"), lit(0L)).cast("double") /
+          greatest(coalesce(col("nb"), lit(0L)), lit(1L)).cast("double")).as("top_bigram_frac"),
+        (coalesce(col("nd"), lit(0L)).cast("double") /
+          greatest(coalesce(col("nw"), lit(0L)), lit(1L)).cast("double")).as("ttr")
+      )
+  }
+
+  /** DuckDB twin of [[repetition]] as a CTE chain over `input`
+    * (must yield (id, text)); final relation `rep` has the four output
+    * columns. */
+  def repetitionCtes(input: String): String = {
+    val ws = wordsSql("text")
+    s"""rw AS (SELECT id, $ws AS ws FROM ($input)),
+        ruw AS (SELECT id, unnest(ws) AS w FROM rw),
+        rwc AS (SELECT id, w, count(*) AS c FROM ruw GROUP BY id, w),
+        rwa AS (SELECT id, max(c) AS topw, sum(c) AS nw, count(*) AS nd FROM rwc GROUP BY id),
+        rub AS (SELECT id, unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) AS b
+                FROM rw WHERE len(ws) >= 2),
+        rbc AS (SELECT id, b, count(*) AS c FROM rub GROUP BY id, b),
+        rba AS (SELECT id, max(c) AS topb, sum(c) AS nb FROM rbc GROUP BY id),
+        rep AS (
+          SELECT rw.id,
+            CAST(coalesce(topw, 0) AS DOUBLE) / greatest(coalesce(nw, 0), 1) AS top_word_frac,
+            CAST(coalesce(topb, 0) AS DOUBLE) / greatest(coalesce(nb, 0), 1) AS top_bigram_frac,
+            CAST(coalesce(nd, 0) AS DOUBLE) / greatest(coalesce(nw, 0), 1) AS ttr
+          FROM rw LEFT JOIN rwa ON rw.id = rwa.id LEFT JOIN rba ON rw.id = rba.id
+        )"""
+  }
+
+  /** PII patterns shared by the Spark operator and the SQL twin —
+    * deliberately restricted to constructs with identical semantics in
+    * Java regex and RE2 (no lookaround, no backrefs). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]")
+  )
+
+  /** PII scrubbing: per-pattern match counts plus the redacted text
+    * (every match replaced by its tag, applied in [[PiiPatterns]]
+    * order). Map-only — no shuffle; counts ride the same projection as
+    * the rewrite. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, re, tag)) =>
+      regexp_replace(c, re, java.util.regex.Matcher.quoteReplacement(tag))
+    }
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).as(s"n_$name")
+    }
+    df.select(col(idCol).as("id") +: counts :+ redacted.as("redacted"): _*)
+  }
+
+  /** DuckDB twin of [[redactPii]], keyed by output column, over text
+    * expression `t`. */
+  def redactPiiSql(t: String): Seq[(String, String)] = {
+    // DuckDB single-quoted literals keep backslashes literal (Postgres
+    // style) — only quotes need escaping
+    def esc(re: String) = re.replace("'", "''")
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      s"n_$name" -> s"len(regexp_extract_all($t, '${esc(re)}'))"
+    }
+    val redacted = PiiPatterns.foldLeft(t) { case (e, (_, re, tag)) =>
+      s"regexp_replace($e, '${esc(re)}', '$tag', 'g')"
+    }
+    counts :+ ("redacted" -> redacted)
+  }
+
   /** Winnowing document fingerprints: (id, fingerprints array<bigint>).
     * shingleLen-gram rolling hashes, min per window of `window`.
     *

@@ -235,6 +235,64 @@ object Pipeline {
     """.trim)
   )
 
+  val repetition: QueryDef = QueryDef(
+    "repetition",
+    (s, dir) => TextAnalysis.repetition(
+      tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")), "id", "text")
+      .orderBy("id"),
+    Some(s"""
+      WITH ${TextAnalysis.repetitionCtes("SELECT doc_id AS id, text FROM documents")}
+      SELECT id, top_word_frac, top_bigram_frac, ttr FROM rep ORDER BY id
+    """.trim)
+  )
+
+  /** PII scrubbing over documents with PLANTED matches (the synthetic
+    * corpus contains none): every 10th doc gains an email + IPv4,
+    * every 15th an SSN-shaped id. Redacted text is compared via md5. */
+  val piiRedact: QueryDef = QueryDef(
+    "pii_redact",
+    (s, dir) => {
+      val planted = tbl(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            lit(" contact alice.smith@example.com from 10.0.0.1")).otherwise(lit("")),
+          when(col("doc_id") % 15 === 0, lit(" ref 123-45-6789")).otherwise(lit(""))).as("text"))
+      TextAnalysis.redactPii(planted, "id", "text")
+        .select(col("id"), col("n_email"), col("n_ssn"), col("n_ip"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("id")
+    },
+    Some {
+      val exprs = TextAnalysis.redactPiiSql("text").toMap
+      s"""
+      WITH planted AS (
+        SELECT doc_id AS id,
+          text
+            || (CASE WHEN doc_id % 10 = 0 THEN ' contact alice.smith@example.com from 10.0.0.1' ELSE '' END)
+            || (CASE WHEN doc_id % 15 = 0 THEN ' ref 123-45-6789' ELSE '' END) AS text
+        FROM documents
+      )
+      SELECT id, ${exprs("n_email")} AS n_email, ${exprs("n_ssn")} AS n_ssn,
+        ${exprs("n_ip")} AS n_ip, md5(${exprs("redacted")}) AS redacted_md5
+      FROM planted ORDER BY id
+      """.trim
+    }
+  )
+
+  private val splitSpec = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  val hashSplit: QueryDef = QueryDef(
+    "hash_split",
+    (s, dir) => graft.operators.Splits.hashSplit(
+      tbl(s, dir, "documents").select(col("doc_id").as("id")), "id", splitSpec)
+      .orderBy("id"),
+    Some(s"""
+      SELECT doc_id AS id, ${graft.operators.Splits.hashSplitSql("doc_id", splitSpec)} AS split
+      FROM documents ORDER BY id
+    """.trim)
+  )
+
   /** The end-to-end curation funnel over documents ∪ planted near-dup
     * tails ∪ planted verbatim clones, via the staged
     * [[graft.operators.CurationFunnel]] operator (lang → quality →
@@ -556,7 +614,8 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
-    textQuality, langId, tokenCounts, fingerprints, decontaminate, curationFunnel,
+    textQuality, langId, tokenCounts, fingerprints, repetition, piiRedact, hashSplit,
+    decontaminate, curationFunnel,
     embedTopK, embedAnn, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

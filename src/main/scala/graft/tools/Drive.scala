@@ -65,6 +65,36 @@ object Drive {
       spark.table("drive_pdq_stream").distinct().orderBy("index").show(false)
       q.stop()
     }
+    println("=== connected components over duplicate pairs ===")
+    Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")).orderBy("id").show()
+    println("=== repetition signals + PII redaction ===")
+    val textDf = Seq(
+      (1L, "spam spam spam spam mail me at bob@spam.example"),
+      (2L, "a normal sentence about the weather today")).toDF("id", "text")
+    TextAnalysis.repetition(textDf, "id", "text").orderBy("id").show(false)
+    TextAnalysis.redactPii(textDf, "id", "text").orderBy("id").show(false)
+    println("=== deterministic hash split ===")
+    Splits.hashSplit(spark.range(100).toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.2)).groupBy("split").count().orderBy("split").show()
+    println("=== staged curation funnel ===")
+    locally {
+      val st = CurationFunnel.run(
+        Seq((1L, ("the quick brown fox jumps over the lazy dog and runs to the river " +
+            "where the water is cold and the trees are tall and green all summer ") * 2),
+          (2L, "palabras cortas")).toDF("id", "text"), "id", "text", minWords = 10)
+      st.counts.show()
+    }
+    println("=== probe: empty-series warnings surface via Warnings.onWarning ===")
+    locally {
+      @volatile var seen = List.empty[String]
+      Warnings.onWarning(m => seen ::= m)
+      try {
+        UrlDuplicates(Seq.empty[(String, String)].toDF("index", "url")).count()
+        PdqDuplicates(Seq.empty[(String, Seq[String])].toDF("index", "pdq_hash")).count()
+        seen.reverse.foreach(m => println("caught: " + m))
+      } finally Warnings.onWarning(_ => ())
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

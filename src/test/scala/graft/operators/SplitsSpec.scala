@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SplitsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ids(n: Int) = (0 until n).map(_.toLong).toDF("id")
+
+  test("hashSplit: deterministic, total, roughly weight-proportional") {
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val a = Splits.hashSplit(ids(2000), "id", splits)
+    val counts = a.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1700 && counts("train") < 1900)
+    assert(counts("val") > 50 && counts("val") < 150)
+    assert(counts("test") > 50 && counts("test") < 150)
+    // re-running yields identical assignments (content-addressed)
+    val b = Splits.hashSplit(ids(2000), "id", splits)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("hashSplit: assignment is per-row stable under dataset growth") {
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    val small = Splits.hashSplit(ids(100), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grown = Splits.hashSplit(ids(1000), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("hashSplit: salt re-deals, weights validated") {
+    val splits = Seq("a" -> 0.5, "b" -> 0.5)
+    val v1 = Splits.hashSplit(ids(500), "id", splits, salt = "v1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v2 = Splits.hashSplit(ids(500), "id", splits, salt = "v2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 != v2)
+    intercept[IllegalArgumentException](Splits.hashSplit(ids(10), "id", Nil))
+    intercept[IllegalArgumentException](Splits.hashSplit(ids(10), "id", Seq("a" -> 0.0)))
+  }
+
+  test("bucket matches the SQL twin's formula") {
+    // engine-side bucket vs a literal re-computation of the documented
+    // md5 formula for a handful of ids
+    val got = ids(5).select(col("id"), Splits.bucket(col("id"), "v1").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expected(id: Long): Long = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v1:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(m.substring(0, 15), 16) % Splits.Buckets
+    }
+    assert((0L until 5L).forall(i => got(i) == expected(i)))
+  }
+}

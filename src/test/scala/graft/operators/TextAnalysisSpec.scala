@@ -38,6 +38,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(3L) == "de") // all scores 0 -> first language wins ties
   }
 
+  test("repetition: top-word/top-bigram fractions and type-token ratio") {
+    val df = Seq(
+      (1L, "a a a b"),  // topw 3/4; bigrams: "a a"×2, "a b"×1 -> 2/3; ttr 2/4
+      (2L, "solo"),     // one word: topw 1, no bigrams -> 0, ttr 1
+      (3L, "")          // zero words: everything 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((0.75, 2.0 / 3.0, 0.5)))
+    assert(r(2L) == ((1.0, 0.0, 1.0)))
+    assert(r(3L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("redactPii: counts and tagged rewrite, pattern order") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e.org ip 10.0.0.1 ssn 123-45-6789"),
+      (2L, "clean text only")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Int]("n_email") == 2)
+    assert(r(1L).getAs[Int]("n_ip") == 1)
+    assert(r(1L).getAs[Int]("n_ssn") == 1)
+    assert(r(1L).getAs[String]("redacted") ==
+      "mail [EMAIL] and [EMAIL] ip [IP] ssn [SSN]")
+    assert(r(2L).getAs[String]("redacted") == "clean text only")
+    assert(r(2L).getAs[Int]("n_email") == 0)
+  }
+
   test("fingerprints: winnowed subset of shingle hashes, deterministic") {
     val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"), (3L, "x y")).toDF("doc_id", "text")
     val r = TextAnalysis.fingerprints(df, "doc_id", "text").collect()
