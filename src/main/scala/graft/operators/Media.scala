@@ -57,6 +57,57 @@ object Media {
     (0 until n).map(i => (i, h * (i + 1) % FrameHashMod))
   }
 
+  /** REAL header decoder for the four ubiquitous raster formats —
+    * dimensions and channel count parsed straight from the container
+    * bytes, no codec library:
+    *
+    *  - PNG:  IHDR width/height (big-endian u32 at offsets 16/20),
+    *    channels from the color type byte;
+    *  - GIF:  logical screen width/height (little-endian u16 at 6/8);
+    *  - BMP:  BITMAPINFOHEADER width/height (little-endian i32 at
+    *    18/22, height may be negative for top-down rows), channels
+    *    from bits-per-pixel;
+    *  - JPEG: marker walk to the first SOF frame header (height/width
+    *    big-endian u16, component count byte).
+    *
+    * Throws `IllegalArgumentException` on unrecognized payloads — real
+    * decoder semantics; compose with a fallback in the caller if
+    * tolerance is wanted. Full pixel decode still needs a codec
+    * ([[stubImageDecoder]] remains the oracle-stable default). */
+  val headerImageDecoder: ImageDecoder = p => {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (p.length >= 26 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a) {
+      val channels = u8(25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case ct => throw new IllegalArgumentException(s"PNG: unknown color type $ct")
+      }
+      (be32(16), be32(20), channels)
+    } else if (p.length >= 10 && p.startsWith("GIF87a".getBytes("US-ASCII")) ||
+        p.length >= 10 && p.startsWith("GIF89a".getBytes("US-ASCII"))) {
+      (le16(6), le16(8), 3)
+    } else if (p.length >= 30 && u8(0) == 'B' && u8(1) == 'M') {
+      (le32(18), math.abs(le32(22)), math.max(1, le16(28) / 8))
+    } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // walk FF-marker segments to the first start-of-frame
+      var i = 2
+      var sof: Option[(Int, Int, Int)] = None
+      while (sof.isEmpty && i + 9 < p.length) {
+        if (u8(i) != 0xff) throw new IllegalArgumentException(
+          f"JPEG: expected marker at $i, got 0x${u8(i)}%02x")
+        val marker = u8(i + 1)
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          sof = Some((be16(i + 7), be16(i + 5), u8(i + 9)))
+        else i += 2 + (if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) 0
+                       else be16(i + 2))
+      }
+      sof.getOrElse(throw new IllegalArgumentException("JPEG: no SOF marker before end of payload"))
+    } else throw new IllegalArgumentException("unrecognized image container")
+  }
+
   /** Image metadata extraction, partition-batched. Swap `decode` for a
     * real codec without touching the operator. */
   def imageMeta(items: Dataset[MediaItem], decode: ImageDecoder = stubImageDecoder): Dataset[ImageMeta] = {

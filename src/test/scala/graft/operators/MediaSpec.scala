@@ -48,6 +48,38 @@ class MediaSpec extends SparkTestBase {
     assert(frames.filter(_.id == 3L).forall(_.frame_hash == -1L))
   }
 
+  test("headerImageDecoder parses real PNG/GIF/BMP/JPEG container bytes") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR chunk, 2x3, color type 6 (RGBA)
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+      b(0, 0, 0, 2, 0, 0, 0, 3, 8, 6, 0, 0, 0)
+    assert(Media.headerImageDecoder(png) == ((2, 3, 4)))
+    // GIF89a logical screen 4x3
+    val gif = "GIF89a".getBytes("US-ASCII") ++ b(4, 0, 3, 0, 0, 0, 0)
+    assert(Media.headerImageDecoder(gif) == ((4, 3, 3)))
+    // BMP: BITMAPINFOHEADER, 5 x -7 (top-down), 24 bpp
+    val bmp = b('B', 'M') ++ Array.fill[Byte](16)(0) ++
+      b(5, 0, 0, 0, 0xf9, 0xff, 0xff, 0xff, 1, 0, 24, 0)
+    assert(Media.headerImageDecoder(bmp) == ((5, 7, 3)))
+    // JPEG: SOI, APP0 segment (skipped), SOF0 11x9, 3 components
+    val jpg = b(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,          // APP0, length 4
+      0xff, 0xc0, 0x00, 0x0b, 8, 0, 9, 0, 11, 3)   // SOF0: h=9 w=11 c=3
+    assert(Media.headerImageDecoder(jpg) == ((11, 9, 3)))
+    intercept[IllegalArgumentException](Media.headerImageDecoder("nope".getBytes))
+    intercept[IllegalArgumentException](Media.headerImageDecoder(b(0xff, 0xd8, 0xff, 0xe0, 0, 2)))
+  }
+
+  test("headerImageDecoder runs through the imageMeta seam") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 2, 0, 0, 0, 3, 8, 2, 0, 0, 0)
+    val ds = Seq(Media.MediaItem(9L, "image", png)).toDS()
+    val got = Media.imageMeta(ds, Media.headerImageDecoder).collect().head
+    assert(got == Media.ImageMeta(9L, 2, 3, 3, png.length.toLong))
+  }
+
   test("binaryMeta: byte length and hex prefix") {
     val df = Seq((1L, "abc")).toDF("id0", "text")
       .select(col("id0"), col("text").cast("binary").as("payload"))
