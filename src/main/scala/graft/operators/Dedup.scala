@@ -268,8 +268,11 @@ object Dedup {
       dstCol: String = "id_b",
       maxIterations: Int = 25
   ): DataFrame = {
-    val sym = pairs.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
-      .union(pairs.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
+    // the edge relation is consumed once per round (plus the node scan):
+    // materialize it up front, or the whole upstream pair pipeline —
+    // typically an LSH join — re-executes every iteration
+    val sym = Materialize(pairs.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
+      .union(pairs.select(col(dstCol).as("id"), col(srcCol).as("nbr"))))
     var labels = Materialize(sym.select(col("id")).distinct().withColumn("label", col("id")))
     var iter = 0
     var done = false
