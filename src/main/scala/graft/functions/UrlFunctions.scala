@@ -49,4 +49,19 @@ object UrlFunctions {
     * SQL expression — single source of truth for the oracle strings. */
   def normalizeUrlSql(expr: String): String =
     s"regexp_replace(regexp_replace(lower($expr), '^[a-z][a-z0-9+.-]*://', ''), '#.*$$', '', 's')"
+
+  /** Registrable host (domain) of a url: the [[normalizeUrl]] base with
+    * userinfo, port, path, query and params stripped — the grouping key
+    * for per-domain curation policies (caps, blocklists, stats).
+    * Null-safe, codegen-friendly, no shuffle. */
+  def host(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(normalizeUrl(url), "[/?;].*$", ""), // path/query/params
+        "^[^@]*@", ""),                                    // userinfo
+      ":.*$", "")                                          // port
+
+  /** DuckDB twin of [[host]]. */
+  def hostSql(expr: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace(${normalizeUrlSql(expr)}, '[/?;].*$$', ''), '^[^@]*@', ''), ':.*$$', '')"
 }

@@ -151,6 +151,38 @@ object Parity {
     SELECT src AS "index", dst AS url_duplicate FROM urledges ORDER BY 1, 2""")
   )
 
+  /** Per-domain statistics over the url frame (20 synthetic hosts after
+    * case-folding). */
+  val domainStats: QueryDef = QueryDef(
+    "domain_stats",
+    (s, dir) => graft.operators.Domains.domainStats(urlFrame(s, dir), "url").orderBy("domain"),
+    Some(s"""
+      WITH u AS ($urlFrameSql)
+      SELECT ${graft.functions.UrlFunctions.hostSql("url")} AS domain,
+        count(*) AS n_docs,
+        count(DISTINCT ${graft.functions.UrlFunctions.normalizeUrlSql("url")}) AS n_distinct_urls
+      FROM u WHERE url IS NOT NULL GROUP BY 1 ORDER BY 1
+    """.trim)
+  )
+
+  /** Deterministic per-domain cap (C4/RefinedWeb-style crawl-monoculture
+    * guard): keep the first 100 rows per host by ascending index. */
+  val domainCap: QueryDef = QueryDef(
+    "domain_cap",
+    (s, dir) => graft.operators.Domains.capPerDomain(urlFrame(s, dir), "url", "index", 100)
+      .orderBy("index"),
+    Some(s"""
+      WITH u AS ($urlFrameSql),
+      r AS (
+        SELECT idx, url,
+          row_number() OVER (
+            PARTITION BY ${graft.functions.UrlFunctions.hostSql("url")} ORDER BY idx) AS rn
+        FROM u WHERE url IS NOT NULL
+      )
+      SELECT idx AS "index", url FROM r WHERE rn <= 100 ORDER BY 1
+    """.trim)
+  )
+
   val pdqThreshold = 0.98 // radius rint(256*0.02) = 5
 
   private def pdqDupsOracle: String = s"""
@@ -253,5 +285,6 @@ object Parity {
     None
   )
 
-  val defs: Seq[QueryDef] = Seq(urlDups, pdqDupsNaive, pdqDupsBanded, detectFull, pdqScale30k)
+  val defs: Seq[QueryDef] = Seq(urlDups, pdqDupsNaive, pdqDupsBanded, detectFull, pdqScale30k,
+    domainStats, domainCap)
 }

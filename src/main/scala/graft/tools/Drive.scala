@@ -85,6 +85,12 @@ object Drive {
           (2L, "palabras cortas")).toDF("id", "text"), "id", "text", minWords = 10)
       st.counts.show()
     }
+    println("=== per-domain stats / cap / blocklist ===")
+    val urls = Seq(("1", "https://A.com/x"), ("2", "a.com/y#f"), ("3", "http://u@b.org:80/z"))
+      .toDF("index", "url")
+    Domains.domainStats(urls, "url").orderBy("domain").show(false)
+    Domains.capPerDomain(urls, "url", "index", 1).orderBy("index").show(false)
+    Domains.dropBlockedDomains(urls, "url", Seq("a.com").toDF("domain")).orderBy("index").show(false)
     println("=== probe: empty-series warnings surface via Warnings.onWarning ===")
     locally {
       @volatile var seen = List.empty[String]

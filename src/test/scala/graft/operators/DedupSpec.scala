@@ -134,6 +134,32 @@ class DedupSpec extends SparkTestBase {
     assert(got.size == 69) // only ids incident to an edge appear
   }
 
+  test("connectedComponents ≡ union-find on random graphs (property)") {
+    val rng = new scala.util.Random(20260812)
+    for (trial <- 0 until 3) {
+      val n = 150 + trial * 50
+      val edges = Seq.fill(n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      // min-id canonicalization: union-find roots are already minima
+      // because unions always point the larger root at the smaller
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial differs")
+    }
+  }
+
   test("connectedComponents works on string ids and composes with minhash pairs") {
     val pairs = Dedup.minhashLshPairs(
       docs.select(concat(lit("d"), col("id")).as("id"), col("text")),
