@@ -75,11 +75,10 @@ object CurationFunnel {
     val annotated = Materialize(base.join(q, Seq("id")).join(l, Seq("id")))
     val s2 = annotated.filter(col("pred_lang") === lang)
     val s3 = s2.filter(col("n_words") >= minWords && col("stopword_ratio") >= minStopwordRatio)
-    // exact tier: one keeper (min id) per distinct text
+    // exact tier: one keeper (min id) per distinct text hash
     val s4 = Materialize(
-      s3.groupBy(md5(col("text")).as("h")).agg(min(col("id")).as("id"))
-        .join(s3.select("id", "text"), Seq("id"))
-        .select("id", "text"))
+      Dedup.keepFirst(s3.select(col("id"), col("text"), md5(col("text")).as("h")),
+        Seq("h"), "id").select("id", "text"))
     val dupIds = Dedup.minhashLshPairs(s4, "id", "text", threshold = lshThreshold)
       .select(col("id_b").as("id")).distinct()
     val s5 = s4.join(dupIds, Seq("id"), "left_anti")

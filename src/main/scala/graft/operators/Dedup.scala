@@ -35,6 +35,18 @@ object Dedup {
       .agg(count(lit(1)).as("n_rows"), min(col(idCol)).as("keeper"))
       .filter(col("n_rows") >= minSize)
 
+  /** The exact-dedup SURVIVOR relation: one keeper row (minimum id) per
+    * distinct key combination, with the keeper's full row — what a
+    * curation pipeline writes out after the exact tier. One shuffle on
+    * the keys (min-id aggregate) + one id-equi-join back to the input;
+    * the join is on the UNIQUE id, so no skew regardless of how viral a
+    * duplicate group is. */
+  def keepFirst(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+      .join(df, Seq(idCol))
+
   /** (id, pos, h) rows: the 60-bit hash of each n-word shingle of
     * `textCol`, one row per shingle in document order.
     *

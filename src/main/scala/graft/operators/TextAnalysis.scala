@@ -164,6 +164,22 @@ object TextAnalysis {
         )"""
   }
 
+  /** Corpus-wide vocabulary heavy hitters: the `k` most frequent words
+    * with their document frequency — the review relation behind
+    * stopword lists, boilerplate detection, and tokenizer vocab checks.
+    * One explode feeding a (word)-keyed count aggregate with map-side
+    * combine (per-word partial counts, never the text, cross the
+    * shuffle), then a global top-k (`orderBy.limit` plans a
+    * TakeOrderedAndProject — per-partition top-k, no total sort).
+    * Deterministic: ties break by the word ascending. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_occurrences"), count_distinct(col("id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("word"))
+      .limit(k)
+
   /** PII patterns shared by the Spark operator and the SQL twin —
     * deliberately restricted to constructs with identical semantics in
     * Java regex and RE2 (no lookaround, no backrefs). */

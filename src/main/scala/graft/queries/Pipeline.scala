@@ -235,6 +235,19 @@ object Pipeline {
     """.trim)
   )
 
+  val topTerms: QueryDef = QueryDef(
+    "top_terms",
+    (s, dir) => TextAnalysis.topTerms(
+      tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")), "id", "text", 50),
+    Some(s"""
+      WITH uw AS (
+        SELECT doc_id AS id, unnest(${TextFunctions.wordsSql("text")}) AS word FROM documents
+      )
+      SELECT word, count(*) AS n_occurrences, count(DISTINCT id) AS n_docs
+      FROM uw GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 50
+    """.trim)
+  )
+
   val repetition: QueryDef = QueryDef(
     "repetition",
     (s, dir) => TextAnalysis.repetition(
@@ -614,8 +627,8 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
-    textQuality, langId, tokenCounts, fingerprints, repetition, piiRedact, hashSplit,
-    decontaminate, curationFunnel,
+    textQuality, langId, tokenCounts, fingerprints, topTerms, repetition, piiRedact,
+    hashSplit, decontaminate, curationFunnel,
     embedTopK, embedAnn, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

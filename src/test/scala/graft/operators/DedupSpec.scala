@@ -21,6 +21,14 @@ class DedupSpec extends SparkTestBase {
     assert(got == Seq(Seq("a", "x", 2L, 1L)))
   }
 
+  test("keepFirst: min-id survivor per key with the full row") {
+    val df = Seq((3L, "x", "p"), (1L, "x", "q"), (2L, "y", "r"))
+      .toDF("id", "k", "payload")
+    val got = Dedup.keepFirst(df, Seq("k"), "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "x", "q"), (2L, "y", "r")))
+  }
+
   test("minhashLshPairs: identical texts pair at jaccard 1.0; near-dup found; unrelated absent") {
     val got = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(p => (p._1, p._2))

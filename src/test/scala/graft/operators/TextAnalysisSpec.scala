@@ -38,6 +38,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(3L) == "de") // all scores 0 -> first language wins ties
   }
 
+  test("topTerms: global frequency ranking with doc frequency and stable ties") {
+    val df = Seq(
+      (1L, "b a a c"),
+      (2L, "a b c c")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // a: 3 occurrences / 2 docs; b and c tie at... b=2(2 docs), c=3(2 docs)
+    // counts: a=3, c=3, b=2 -> ties a/c break alphabetically
+    assert(got == Seq(("a", 3L, 2L), ("c", 3L, 2L)))
+  }
+
   test("repetition: top-word/top-bigram fractions and type-token ratio") {
     val df = Seq(
       (1L, "a a a b"),  // topw 3/4; bigrams: "a a"×2, "a b"×1 -> 2/3; ttr 2/4
