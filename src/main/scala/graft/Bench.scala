@@ -28,7 +28,9 @@ object Bench {
       override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     })
-    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong * 1000L
+    // floor of 1 ms: Thread.join(0) means "wait forever", which would
+    // invert the configured-zero semantics (immediate timeout)
+    val timeoutMs = (sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong * 1000L).max(1L)
     // repetitions with per-query MIN: one-shot timings cannot distinguish a
     // plan regression from a busy sandbox (round-2 driver recorded 42 s for
     // a query that runs in 5 s under load); minima are robust to external
@@ -76,15 +78,24 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { rep =>
-        val r = attempt(name, rep, fn)
+      val times = Seq.newBuilder[Double]
+      var rep = 1
+      var failed = false
+      // a failed/timed-out attempt aborts the remaining reps — otherwise
+      // the rep count multiplies the worst-case stall the timeout bounds
+      while (rep <= reps && !failed) {
+        attempt(name, rep, fn) match {
+          case Some(t) => times += t
+          case None    => failed = true
+        }
         // queries are independent: drop cache/localCheckpoint blocks so one
         // attempt's materializations don't pressure the next one's memory
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        r
+        rep += 1
       }
-      (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)
+      val ts = times.result()
+      (name, if (ts.nonEmpty && !failed) ts.min else -1.0, ts.nonEmpty && !failed)
     }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")

@@ -54,14 +54,27 @@ object UrlFunctions {
     * userinfo, port, path, query and params stripped — the grouping key
     * for per-domain curation policies (caps, blocklists, stats).
     * Null-safe, codegen-friendly, no shuffle. */
-  def host(url: Column): Column =
-    regexp_replace(
-      regexp_replace(
+  def host(url: Column): Column = {
+    import org.apache.spark.sql.functions.{element_at, transform, array, when}
+    // let-bind the userinfo-free authority so the IPv6 branch below does
+    // not re-evaluate the regex chain per reference
+    val hostport = transform(
+      array(regexp_replace(
         regexp_replace(normalizeUrl(url), "[/?;].*$", ""), // path/query/params
-        "^[^@]*@", ""),                                    // userinfo
-      ":.*$", "")                                          // port
+        "^[^@]*@", "")),                                   // userinfo
+      hp =>
+        // IPv6 literals bracket the address ([2001:db8::1]:443) — the
+        // colons inside are part of the host, only a colon AFTER the
+        // closing bracket starts the port
+        when(hp.startsWith("["), regexp_extract(hp, "^(\\[[^\\]]*\\]?)", 1))
+          .otherwise(regexp_replace(hp, ":.*$", "")))      // port
+    element_at(hostport, 1)
+  }
 
   /** DuckDB twin of [[host]]. */
-  def hostSql(expr: String): String =
-    s"regexp_replace(regexp_replace(regexp_replace(${normalizeUrlSql(expr)}, '[/?;].*$$', ''), '^[^@]*@', ''), ':.*$$', '')"
+  def hostSql(expr: String): String = {
+    val hp = s"regexp_replace(regexp_replace(${normalizeUrlSql(expr)}, '[/?;].*$$', ''), '^[^@]*@', '')"
+    raw"""(CASE WHEN starts_with($hp, '[') THEN regexp_extract($hp, '^(\[[^\]]*\]?)', 1)
+         ELSE regexp_replace($hp, ':.*$$', '') END)"""
+  }
 }

@@ -301,10 +301,14 @@ object Dedup {
           .select(col("id"), col("lm").as("label")))
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      Materialize.unpersist(labels) // superseded round: free its blocks
       labels = next
       done = changed == 0L
       iter += 1
     }
+    // the returned frame is the final materialized snapshot — it no
+    // longer references the edge relation, so free sym's blocks too
+    Materialize.unpersist(sym)
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -33,4 +33,15 @@ object Materialize {
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be one of local|reliable|none, got $other")
     }
+
+  /** Free the storage blocks behind a frame returned by [[apply]].
+    * Iterative operators that materialize per round (connected
+    * components) call this on superseded rounds so dead snapshots don't
+    * pin executor storage for the session's lifetime. No-op for
+    * `"none"`-mode (plain plan) frames. */
+  def unpersist(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -99,7 +99,8 @@ object Media {
         if (u8(i) != 0xff) throw new IllegalArgumentException(
           f"JPEG: expected marker at $i, got 0x${u8(i)}%02x")
         val marker = u8(i + 1)
-        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+        if (marker == 0xff) i += 1 // fill byte (B.1.1.2): any run of 0xff may pad a marker
+        else if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
           sof = Some((be16(i + 7), be16(i + 5), u8(i + 9)))
         else i += 2 + (if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) 0
                        else be16(i + 2))

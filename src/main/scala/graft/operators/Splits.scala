@@ -35,18 +35,36 @@ object Splits {
     */
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
       salt: String = "v1"): DataFrame = {
-    require(splits.nonEmpty, "at least one split required")
-    require(splits.forall(_._2 > 0), "split weights must be positive")
-    val total = splits.map(_._2).sum
-    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) =>
-      acc + math.round(w / total * Buckets)
-    }.tail
+    val bounds = splitBounds(splits)
     val b = bucket(col(idCol), salt)
     val assign = splits.init.zip(bounds.init).foldRight(
       lit(splits.last._1): Column) { case (((name, _), hi), rest) =>
       when(b < hi, lit(name)).otherwise(rest)
     }
-    df.withColumn("split", assign)
+    // a null id hashes to null and every `b < hi` is null — without the
+    // guard the CASE fall-through would silently dump all null-id rows
+    // into the LAST split (usually the held-out one). Null id → null
+    // split: visible, filterable, never leaks into a tier.
+    df.withColumn("split", when(col(idCol).isNotNull, assign))
+  }
+
+  /** Cumulative bucket bounds, validated: every split must span at
+    * least one bucket, or it would silently receive ZERO rows (weights
+    * below the 1/Buckets granularity round to an empty range). */
+  private def splitBounds(splits: Seq[(String, Double)]): Seq[Long] = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    val total = splits.map(_._2).sum
+    // round the RUNNING sum, not each increment: per-increment rounding
+    // residue could otherwise push the last bound past Buckets
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total * Buckets }
+      .tail.map(math.round)
+    bounds.zip(0L +: bounds.init).zip(splits).foreach { case ((hi, lo), (name, w)) =>
+      require(hi > lo,
+        s"split '$name' (weight $w) spans zero of the $Buckets hash buckets — " +
+          s"weights below ${1.0 / Buckets} are below the bucket granularity")
+    }
+    bounds
   }
 
   /** DuckDB twin of [[bucket]] over id expression `id`. */
@@ -55,13 +73,11 @@ object Splits {
 
   /** DuckDB twin of [[hashSplit]]'s assignment expression. */
   def hashSplitSql(id: String, splits: Seq[(String, Double)], salt: String = "v1"): String = {
-    val total = splits.map(_._2).sum
-    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) =>
-      acc + math.round(w / total * Buckets)
-    }.tail
+    val bounds = splitBounds(splits)
     val b = bucketSql(id, salt)
-    splits.init.zip(bounds.init).foldRight(s"'${splits.last._1}'") {
+    val assign = splits.init.zip(bounds.init).foldRight(s"'${splits.last._1}'") {
       case (((name, _), hi), rest) => s"(CASE WHEN $b < $hi THEN '$name' ELSE $rest END)"
     }
+    s"(CASE WHEN $id IS NOT NULL THEN $assign END)"
   }
 }

@@ -191,15 +191,19 @@ object TextAnalysis {
 
   /** PII scrubbing: per-pattern match counts plus the redacted text
     * (every match replaced by its tag, applied in [[PiiPatterns]]
-    * order). Map-only — no shuffle; counts ride the same projection as
-    * the rewrite. */
+    * order). Each pattern's COUNT is evaluated on the text with the
+    * EARLIER patterns already applied — the same text its own rewrite
+    * sees — so counts always reconcile with the tags in `redacted`
+    * even when patterns overlap (an SSN-shaped local part inside an
+    * email address counts as the email that swallowed it, not as a
+    * phantom un-tagged SSN). Map-only — no shuffle. */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, re, tag)) =>
-      regexp_replace(c, re, java.util.regex.Matcher.quoteReplacement(tag))
-    }
-    val counts = PiiPatterns.map { case (name, re, _) =>
-      size(regexp_extract_all(col(textCol), lit(re), lit(0))).as(s"n_$name")
-    }
+    val (redacted, counts) =
+      PiiPatterns.foldLeft((col(textCol), Seq.empty[org.apache.spark.sql.Column])) {
+        case ((c, acc), (name, re, tag)) =>
+          (regexp_replace(c, re, java.util.regex.Matcher.quoteReplacement(tag)),
+            acc :+ size(regexp_extract_all(c, lit(re), lit(0))).as(s"n_$name"))
+      }
     df.select(col(idCol).as("id") +: counts :+ redacted.as("redacted"): _*)
   }
 
@@ -209,11 +213,10 @@ object TextAnalysis {
     // DuckDB single-quoted literals keep backslashes literal (Postgres
     // style) — only quotes need escaping
     def esc(re: String) = re.replace("'", "''")
-    val counts = PiiPatterns.map { case (name, re, _) =>
-      s"n_$name" -> s"len(regexp_extract_all($t, '${esc(re)}'))"
-    }
-    val redacted = PiiPatterns.foldLeft(t) { case (e, (_, re, tag)) =>
-      s"regexp_replace($e, '${esc(re)}', '$tag', 'g')"
+    val (redacted, counts) = PiiPatterns.foldLeft((t, Seq.empty[(String, String)])) {
+      case ((e, acc), (name, re, tag)) =>
+        (s"regexp_replace($e, '${esc(re)}', '$tag', 'g')",
+          acc :+ (s"n_$name" -> s"len(regexp_extract_all($e, '${esc(re)}'))"))
     }
     counts :+ ("redacted" -> redacted)
   }

@@ -81,12 +81,21 @@ object UrlDuplicates {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private[operators] def run(df: DataFrame, checked: Checked): DataFrame = {
-    // `url.py:56-59` empty-series UserWarning twin. The reference warns
-    // eagerly and CONTINUES (no early return); the emptiness probe is a
-    // limit(1) scan — one tiny task, in line with the other eager
-    // validations on this path (index-uniqueness sample).
-    if (df.isEmpty)
-      Warnings.warn(log, "The url series is empty, no duplicates will be found.")
+    // `url.py:56-59` empty-series UserWarning twin, fired when emptiness
+    // is knowable WITHOUT a scan: the optimized plan folds to an empty
+    // LocalRelation (the reference's own case — a literal empty series;
+    // driver-side analysis only, zero jobs). An eager `df.isEmpty` probe
+    // would cost a limit(1) job per invocation, and on a derived input
+    // it executes the whole upstream subtree twice; a post-run
+    // observe-listener does not work either — AQE replans runtime-empty
+    // stages as empty relations and drops the CollectMetrics node. A
+    // file-backed input that merely CONTAINS no rows therefore returns
+    // the correct empty result silently — the documented divergence.
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation if lr.data.isEmpty =>
+        Warnings.warn(log, "The url series is empty, no duplicates will be found.")
+      case _ => ()
+    }
     // A4 telemetry twin (`url.py:70-74` null-drop count): observe rides
     // the existing jobs, metrics surface via QueryExecutionListener
     val norm = df

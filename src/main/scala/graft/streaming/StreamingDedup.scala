@@ -39,6 +39,11 @@ object StreamingDedup {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   case class Member(index: String, w0: Long, w1: Long, w2: Long, w3: Long)
+  /** NB this is the flatMapGroupsWithState state ENCODER schema: adding/
+    * removing fields breaks restarts from checkpoints written by earlier
+    * builds (Spark's state-store schema check rejects them). Changing it
+    * requires a new checkpoint location — version fields here with that
+    * cost in mind. `dropped` was added in round 3. */
   case class BandState(members: List[Member], dropped: Long = 0L)
   case class PdqMatch(index: String, partner: String, dist: Int)
 

@@ -98,7 +98,10 @@ object Drive {
       try {
         UrlDuplicates(Seq.empty[(String, String)].toDF("index", "url")).count()
         PdqDuplicates(Seq.empty[(String, Seq[String])].toDF("index", "pdq_hash")).count()
-        seen.reverse.foreach(m => println("caught: " + m))
+        // the url warn arrives via the async observe listener
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (seen.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+        seen.sorted.foreach(m => println("caught: " + m))
       } finally Warnings.onWarning(_ => ())
     }
     println("DRIVE_DONE")

@@ -123,7 +123,27 @@ class CheckedFrameSpec extends SparkTestBase {
 
       val emptyUrl = Seq.empty[(String, String)].toDF("index", "url")
       assert(UrlDuplicates(emptyUrl).count() == 0)
+      // literal empties warn eagerly (plan-level detection, zero jobs)
       assert(warned.exists(_.contains("url series is empty")))
+
+      // a FILTERED-literal empty still folds to an empty LocalRelation
+      // (PropagateEmptyRelation) and warns without any job
+      warned = Nil
+      val filtered = Seq(("A", "https://x.com")).toDF("index", "url").filter($"index" =!= "A")
+      assert(UrlDuplicates(filtered).count() == 0)
+      assert(warned.exists(_.contains("url series is empty")))
+
+      // documented divergence: a file-backed input that merely CONTAINS
+      // no rows cannot be detected without a scan — correct empty
+      // result, no warn (AQE drops CollectMetrics on runtime-empties,
+      // so no listener can see it either)
+      warned = Nil
+      val dir = java.nio.file.Files.createTempDirectory("warn-parquet").toString
+      Seq(("A", "https://x.com")).toDF("index", "url")
+        .write.mode("overwrite").parquet(dir)
+      val fromFile = spark.read.parquet(dir).filter($"index" =!= "A")
+      assert(UrlDuplicates(fromFile).count() == 0)
+      assert(!warned.exists(_.contains("url series is empty")))
     } finally Warnings.onWarning(_ => ())
   }
 }

@@ -13,7 +13,10 @@ class DomainsSpec extends SparkTestBase {
       "http://user:pw@site.org:8080/a/b?q=1" -> "site.org",
       "example.com/path@with/at" -> "example.com",
       "ftp://files.net;params" -> "files.net",
-      "bare-host.io" -> "bare-host.io"
+      "bare-host.io" -> "bare-host.io",
+      // IPv6 literals keep their bracketed address; port strips after ']'
+      "http://[2001:db8::1]/x" -> "[2001:db8::1]",
+      "https://[::1]:8443/admin" -> "[::1]"
     )
     val got = cases.map(_._1).toDF("url")
       .select(UrlFunctions.host(col("url"))).as[String].collect().toSeq

@@ -69,6 +69,10 @@ class MediaSpec extends SparkTestBase {
     assert(Media.headerImageDecoder(jpg) == ((11, 9, 3)))
     intercept[IllegalArgumentException](Media.headerImageDecoder("nope".getBytes))
     intercept[IllegalArgumentException](Media.headerImageDecoder(b(0xff, 0xd8, 0xff, 0xe0, 0, 2)))
+    // 0xFF fill bytes before a marker are legal padding (B.1.1.2)
+    val jpgFill = b(0xff, 0xd8, 0xff, 0xff, 0xff,
+      0xff, 0xc0, 0x00, 0x0b, 8, 0, 9, 0, 11, 3)
+    assert(Media.headerImageDecoder(jpgFill) == ((11, 9, 3)))
   }
 
   test("headerImageDecoder runs through the imageMeta seam") {

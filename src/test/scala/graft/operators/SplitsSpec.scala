@@ -40,6 +40,18 @@ class SplitsSpec extends SparkTestBase {
     assert(v1 != v2)
     intercept[IllegalArgumentException](Splits.hashSplit(ids(10), "id", Nil))
     intercept[IllegalArgumentException](Splits.hashSplit(ids(10), "id", Seq("a" -> 0.0)))
+    // a weight below the bucket granularity would silently get ZERO rows
+    intercept[IllegalArgumentException](
+      Splits.hashSplit(ids(10), "id", Seq("canary" -> 0.00004, "train" -> 0.99996)))
+  }
+
+  test("hashSplit: null ids get a null split, never the last tier") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    val got = Splits.hashSplit(df, "id", Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0)) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(null) == null)
+    assert(got.filterKeys(_ != null).values.forall(s => s == "train" || s == "test"))
   }
 
   test("bucket matches the SQL twin's formula") {

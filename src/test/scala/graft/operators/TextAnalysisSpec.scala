@@ -79,6 +79,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(2L).getAs[Int]("n_email") == 0)
   }
 
+  test("redactPii: overlapping patterns — counts reconcile with emitted tags") {
+    val df = Seq(
+      (1L, "reach me at 123-45-6789@mail.com"), // SSN-shaped local part
+      (2L, "bob@10.0.0.99.example.com")          // IP-shaped domain prefix
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // the email swallows both lookalikes; no phantom SSN/IP counts
+    assert(r(1L).getAs[Int]("n_email") == 1 && r(1L).getAs[Int]("n_ssn") == 0)
+    assert(r(1L).getAs[String]("redacted") == "reach me at [EMAIL]")
+    assert(r(2L).getAs[Int]("n_email") == 1 && r(2L).getAs[Int]("n_ip") == 0)
+    assert(r(2L).getAs[String]("redacted") == "[EMAIL]")
+  }
+
   test("fingerprints: winnowed subset of shingle hashes, deterministic") {
     val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"), (3L, "x y")).toDF("doc_id", "text")
     val r = TextAnalysis.fingerprints(df, "doc_id", "text").collect()
