@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Physical-plan regression net: the scale story rests on specific plan
+  * shapes (banded equi-joins instead of nested loops, broadcasts on
+  * small sides, rank-limit pushdown, top-k without a total sort). A
+  * refactor that silently degrades one of these still passes the value
+  * oracles — these assertions catch the DEGRADATION, not the values.
+  * Queries are built against sf0.001 (plan shape is scale-invariant;
+  * AQE may re-plan at runtime, so assertions target the compile-time
+  * executedPlan).
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("banded/LSH pair joins never plan a cartesian/nested-loop product") {
+    for (q <- Seq("minhash_lsh", "simhash_pairs", "pdq_dups_banded", "ngram_jaccard", "embed_ann")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a BNLJ")
+    }
+  }
+
+  test("embed_ivf: cell join is an equi-join; only centroid assignment is a broadcast product") {
+    val p = plan("embed_ivf")
+    assert(!p.contains("CartesianProduct")) // shuffle-side product never
+    // the vector×centroid scoring is a BNLJ against a BROADCAST tiny
+    // side (k centroids) — the intended plan; the corpus-cell candidate
+    // join itself must be a hash equi-join
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("media_pdq_dups (threshold 1.0) is a hash equi-join, not all-pairs") {
+    val p = plan("media_pdq_dups")
+    // MapPartitions appears legitimately (the frame-decode seam); the
+    // forbidden shape is the all-pairs join: BNLJ or the
+    // SerializeFromObject+mapPartitions KERNEL over phash (which only
+    // exists downstream of a `probes.select(phash)` — absent at n=0)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs θ-join planned:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash equi-join found:\n$p")
+  }
+
+  test("decontaminate broadcasts the benchmark side") {
+    assert(plan("decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("embed_topk broadcasts the query side (corpus-side cartesian never happens)") {
+    val p = plan("embed_topk")
+    // the declared exact tier streams the corpus past a BROADCAST query
+    // set — a BNLJ with a broadcast build side, never a shuffle-side
+    // CartesianProduct
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("domain_cap pushes the rank limit below the shuffle (WindowGroupLimit)") {
+    assert(plan("domain_cap").contains("WindowGroupLimit"))
+  }
+
+  test("top_terms plans TakeOrderedAndProject, never a total sort of the vocabulary") {
+    val p = plan("top_terms")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("pdq_scale_30k runs the broadcast kernel (MapPartitions), not a BNLJ") {
+    val p = plan("pdq_scale_30k")
+    assert(p.contains("MapPartitions") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("scans prune columns: repetition reads only (doc_id, text)") {
+    val p = plan("repetition")
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => !s.contains("lang") && !s.contains("source")),
+      s"repetition reads more columns than needed:\n${readSchemas.mkString("\n")}")
+  }
+
+  test("url_dups computes members and checked flag in ONE window exchange") {
+    // one shuffle for the window; the only other exchanges allowed are
+    // AQE/final-output artifacts — fail if a second window-partitioning
+    // exchange on base_url appears
+    val p = plan("url_dups")
+    val windowExchanges = "hashpartitioning\\(base_url".r.findAllIn(p).length
+    assert(windowExchanges <= 2, s"url_dups re-shuffles base_url $windowExchanges times:\n$p")
+  }
+}
