@@ -67,12 +67,20 @@ object CurationFunnel {
       lshThreshold: Double = 0.6
   ): Stages = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val q = TextAnalysis.quality(base, "id", "text").select("id", "n_words", "stopword_ratio")
-    val l = TextAnalysis.langId(base, "id", "text").select("id", "pred_lang")
-    // the annotated frame feeds every downstream stage AND its count —
-    // materialize once instead of re-deriving the metric chain per
-    // stage aggregate (measured 12 s -> ~3 s at sf0.1)
-    val annotated = Materialize(base.join(q, Seq("id")).join(l, Seq("id")))
+    // ALL gate metrics are pure column expressions over `text`, so the
+    // annotated frame is ONE map-side projection — no per-family frames
+    // joined back on id (that shape costs two shuffle joins for data
+    // that never left the row). The frame feeds every downstream stage
+    // AND its count — materialize once instead of re-deriving the
+    // metric chain per stage aggregate (measured 12 s -> ~3 s at sf0.1).
+    val qe = TextAnalysis.qualityExprs(col("text")).toMap
+    val annotated = Materialize(
+      base.select(
+        col("id") +: col("text") +:
+          qe("n_words").as("n_words") +: qe("stopword_ratio").as("stopword_ratio") +:
+          TextAnalysis.langScoreCols(col("text")): _*)
+        .withColumn("pred_lang", TextAnalysis.langPredCol)
+        .drop(TextAnalysis.LangMarkers.map(m => s"score_${m._1}"): _*))
     val s2 = annotated.filter(col("pred_lang") === lang)
     val s3 = s2.filter(col("n_words") >= minWords && col("stopword_ratio") >= minStopwordRatio)
     // exact tier: one keeper (min id) per distinct text hash

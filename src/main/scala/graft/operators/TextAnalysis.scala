@@ -24,22 +24,29 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "and", "of", "is", "in", "to")
 
-  /** Quality metrics per document. Ratios are single double divisions of
-    * integer counts (engine-exact). */
-  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = words(col(textCol))
-    df.select(
-      col(idCol).as("id"),
-      length(col(textCol)).as("n_chars"),
-      size(ws).as("n_words"),
-      (size(filter(ws, w => w.isin(Stopwords: _*))).cast("double") /
-        greatest(size(ws), lit(1)).cast("double")).as("stopword_ratio"),
-      (length(regexp_replace(col(textCol), "[a-z0-9 ]", "")).cast("double") /
-        greatest(length(col(textCol)), lit(1)).cast("double")).as("punct_ratio"),
-      (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-        greatest(size(ws), lit(1)).cast("double")).as("avg_word_len")
+  /** The [[quality]] metric expressions over a text column, keyed by
+    * output name — exposed so composers ([[CurationFunnel]]) can
+    * evaluate several metric families in ONE projection instead of
+    * joining per-family frames. */
+  def qualityExprs(textCol: Column): Seq[(String, Column)] = {
+    val ws = words(textCol)
+    Seq(
+      "n_chars" -> length(textCol),
+      "n_words" -> size(ws),
+      "stopword_ratio" -> (size(filter(ws, w => w.isin(Stopwords: _*))).cast("double") /
+        greatest(size(ws), lit(1)).cast("double")),
+      "punct_ratio" -> (length(regexp_replace(textCol, "[a-z0-9 ]", "")).cast("double") /
+        greatest(length(textCol), lit(1)).cast("double")),
+      "avg_word_len" -> (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        greatest(size(ws), lit(1)).cast("double"))
     )
   }
+
+  /** Quality metrics per document. Ratios are single double divisions of
+    * integer counts (engine-exact). */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id") +:
+      qualityExprs(col(textCol)).map { case (n, c) => c.as(n) }: _*)
 
   /** DuckDB twin of [[quality]]'s metric expressions, keyed by output
     * column name, over text expression `t`. */
@@ -68,24 +75,30 @@ object TextAnalysis {
     * prediction = argmax (ties break to the alphabetically first
     * language — the fold order below). */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = words(col(textCol))
-    val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
-      lang -> (size(filter(ws, w => w.isin(markers: _*))).cast("double") /
-        greatest(size(ws), lit(1)).cast("double"))
+    val base = df.select(col(idCol).as("id") +: langScoreCols(col(textCol)): _*)
+    base.withColumn("pred_lang", langPredCol)
+  }
+
+  /** The per-language score expressions (`score_<lang>` columns). */
+  def langScoreCols(textCol: Column): Seq[Column] = {
+    val ws = words(textCol)
+    LangMarkers.map { case (lang, markers) =>
+      (size(filter(ws, w => w.isin(markers: _*))).cast("double") /
+        greatest(size(ws), lit(1)).cast("double")).as(s"score_$lang")
     }
-    val scoreCols = scores.map { case (l, c) => c.as(s"score_$l") }
-    val base = df.select(col(idCol).as("id") +: scoreCols: _*)
-    // argmax via left fold in declaration order: strictly-greater wins,
-    // so the earliest language keeps ties.
-    val pred = scores.map(_._1).tail.foldLeft(
+  }
+
+  /** The argmax prediction over already-projected `score_<lang>` columns
+    * — argmax via left fold in declaration order: strictly-greater wins,
+    * so the earliest language keeps ties. */
+  def langPredCol: Column =
+    LangMarkers.map(_._1).tail.foldLeft(
       (lit(LangMarkers.head._1), col(s"score_${LangMarkers.head._1}"))
     ) { case ((bestLang, bestScore), lang) =>
       val s = col(s"score_$lang")
       (when(s > bestScore, lit(lang)).otherwise(bestLang),
         when(s > bestScore, s).otherwise(bestScore))
     }._1
-    base.withColumn("pred_lang", pred)
-  }
 
   /** DuckDB twin: (score columns, pred_lang expression) over text `t`. */
   def langIdSql(t: String): (Seq[(String, String)], String) = {

@@ -114,6 +114,33 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("map-only curation operators run unchanged on streaming frames") {
+    import graft.operators.{Splits, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "text")
+    // quality + PII redaction + hash split are pure projections — the
+    // same operator code plans on a streaming DataFrame with no changes
+    val staged = Splits.hashSplit(
+      TextAnalysis.redactPii(df, "id", "text"), "id", Seq("train" -> 0.5, "test" -> 0.5))
+    val q = staged.writeStream.format("memory").queryName("sd_curation")
+      .outputMode("append").start()
+    val q2 = TextAnalysis.quality(df, "id", "text")
+      .writeStream.format("memory").queryName("sd_quality").outputMode("append").start()
+    try {
+      input.addData((1L, "the quick fox mails bob@x.io"), (2L, "short"))
+      q.processAllAvailable()
+      q2.processAllAvailable()
+      val rows = spark.table("sd_curation").collect()
+      assert(rows.length == 2)
+      val r1 = rows.find(_.getLong(0) == 1L).get
+      assert(r1.getAs[String]("redacted").contains("[EMAIL]"))
+      assert(Set("train", "test").contains(r1.getAs[String]("split")))
+      val qual = spark.table("sd_quality").collect().map(r => r.getLong(0) -> r).toMap
+      assert(qual(1L).getAs[Int]("n_words") == 5 && qual(2L).getAs[Int]("n_words") == 1)
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("firstSeenCounts tracks running dup counts and first-seen time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
