@@ -20,20 +20,32 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // per-query timeout: one pathological query must not stall the whole
-    // correctness dump — on timeout, cancel its jobs and move on (the
-    // gate records the missing output as a failure for that query only)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toInt.seconds
+    // correctness dump. Each query runs under its own job group on a
+    // dedicated thread; a timeout cancels THE GROUP (interrupt + join)
+    // before the next query starts — an abandoned Future would keep
+    // submitting jobs (eager construction-time actions) and poison
+    // subsequent queries. The gate records the missing output as a
+    // failure for that query only.
+    val timeoutMs = (sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong * 1000L).max(1L)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try Await.result(Future {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      }, timeout)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        spark.sparkContext.cancelAllJobs()
-      }
+      val group = s"verify-$name"
+      @volatile var err: Option[Throwable] = None
+      val t = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable => err = Some(e) }
+        finally spark.sparkContext.clearJobGroup()
+      }, group)
+      t.setDaemon(true)
+      t.start()
+      t.join(timeoutMs)
+      if (t.isAlive) {
+        System.err.println(s"[verify] $name TIMED OUT after ${timeoutMs / 1000}s")
+        spark.sparkContext.cancelJobGroup(group)
+        t.interrupt()
+        t.join(30000)
+      } else err.foreach(e => System.err.println(s"[verify] $name failed: ${e.getMessage}"))
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

@@ -48,6 +48,17 @@ object Splits {
     df.withColumn("split", when(col(idCol).isNotNull, assign))
   }
 
+  /** Deterministic content-addressed sample: keep rows whose salted
+    * bucket falls below `fraction` of the bucket space. Unlike
+    * `df.sample`, re-running (or growing the dataset) never changes
+    * which rows are in — and a different salt draws an independent
+    * sample. Map-only; null ids are excluded (their bucket is null). */
+  def sampleFraction(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "sample"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0, 1], got $fraction")
+    df.filter(bucket(col(idCol), salt) < math.round(fraction * Buckets))
+  }
+
   /** Cumulative bucket bounds, validated: every split must span at
     * least one bucket, or it would silently receive ZERO rows (weights
     * below the 1/Buckets granularity round to an empty range). */

@@ -306,6 +306,18 @@ object Pipeline {
     """.trim)
   )
 
+  val docSample: QueryDef = QueryDef(
+    "doc_sample",
+    (s, dir) => graft.operators.Splits.sampleFraction(
+      tbl(s, dir, "documents").select(col("doc_id").as("id")), "id", 0.2)
+      .orderBy("id"),
+    Some(s"""
+      SELECT doc_id AS id FROM documents
+      WHERE ${graft.operators.Splits.bucketSql("doc_id", "sample")} < 2000
+      ORDER BY id
+    """.trim)
+  )
+
   /** The end-to-end curation funnel over documents ∪ planted near-dup
     * tails ∪ planted verbatim clones, via the staged
     * [[graft.operators.CurationFunnel]] operator (lang → quality →
@@ -628,7 +640,7 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
     textQuality, langId, tokenCounts, fingerprints, topTerms, repetition, piiRedact,
-    hashSplit, decontaminate, curationFunnel,
+    hashSplit, docSample, decontaminate, curationFunnel,
     embedTopK, embedAnn, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

@@ -54,6 +54,21 @@ class SplitsSpec extends SparkTestBase {
     assert(got.filterKeys(_ != null).values.forall(s => s == "train" || s == "test"))
   }
 
+  test("sampleFraction: deterministic, growth-stable, salt-independent draws") {
+    val s1 = Splits.sampleFraction(ids(1000), "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s1.size > 200 && s1.size < 400)
+    // growth stability: the same ids stay sampled as the dataset grows
+    val s2 = Splits.sampleFraction(ids(2000), "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s2))
+    // a different salt draws a different sample
+    val s3 = Splits.sampleFraction(ids(1000), "id", 0.3, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 != s1)
+    assert(Splits.sampleFraction(ids(100), "id", 0.0).count() == 0)
+    assert(Splits.sampleFraction(ids(100), "id", 1.0).count() == 100)
+    intercept[IllegalArgumentException](Splits.sampleFraction(ids(10), "id", 1.5))
+  }
+
   test("bucket matches the SQL twin's formula") {
     // engine-side bucket vs a literal re-computation of the documented
     // md5 formula for a handful of ids
