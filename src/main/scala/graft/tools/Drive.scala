@@ -96,11 +96,10 @@ object Drive {
       @volatile var seen = List.empty[String]
       Warnings.onWarning(m => seen ::= m)
       try {
+        // both warns fire synchronously at plan-construction time (url:
+        // empty-LocalRelation plan match; pdq: the eager detection scan)
         UrlDuplicates(Seq.empty[(String, String)].toDF("index", "url")).count()
         PdqDuplicates(Seq.empty[(String, Seq[String])].toDF("index", "pdq_hash")).count()
-        // the url warn arrives via the async observe listener
-        val deadline = System.nanoTime() + 10_000_000_000L
-        while (seen.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
         seen.sorted.foreach(m => println("caught: " + m))
       } finally Warnings.onWarning(_ => ())
     }

@@ -16,7 +16,13 @@ class DomainsSpec extends SparkTestBase {
       "bare-host.io" -> "bare-host.io",
       // IPv6 literals keep their bracketed address; port strips after ']'
       "http://[2001:db8::1]/x" -> "[2001:db8::1]",
-      "https://[::1]:8443/admin" -> "[::1]"
+      "https://[::1]:8443/admin" -> "[::1]",
+      // RFC 3986 userinfo may contain ';' and ':' — must not truncate
+      // the authority (blocklist evasion vector)
+      "http://a;b@blocked.com/x" -> "blocked.com",
+      "http://x@y@multi.at/path" -> "multi.at",
+      // dirty crawl data: trailing newline must not survive in the host
+      "https://a.com/x\ntrailing" -> "a.com"
     )
     val got = cases.map(_._1).toDF("url")
       .select(UrlFunctions.host(col("url"))).as[String].collect().toSeq
