@@ -172,6 +172,25 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Embedding near-duplicate PAIRS — the semantic-dedup tier: every
+    * (id_a < id_b) pair sharing a hyperplane-LSH bucket whose exact
+    * cosine ≥ `threshold`. The candidate join is a bucket equi-join of
+    * the corpus against itself (never all-pairs); a true near-dup pair
+    * has cosine near 1, so its sign pattern agrees on most hyperplanes
+    * and same-bucket recall is high (raise recall by lowering `p` or
+    * running a second salt and unioning). Feed the output to
+    * [[Dedup.connectedComponents]] for semantic dedup groups. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, p: Int, threshold: Double): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneBucket(col(vecCol), dim, p).as("bucket"))
+    b.as("a")
+      .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 9).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** ANN top-k: score only same-bucket candidates. Output schema matches
     * [[cosineTopK]] (rank within the probed bucket). */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

@@ -466,6 +466,43 @@ object Pipeline {
     """.trim)
   )
 
+  /** Semantic near-dup pairs: bucketed self-join + exact-cosine
+    * verification, over embeddings ∪ planted scaled clones (every 5th
+    * vector re-appears ×2 under id+1M — same direction, different
+    * values, so the tier provably verifies COSINE, not equality; the
+    * raw synthetic vectors have no natural pairs at 0.95). */
+  val embedNearDups: QueryDef = QueryDef(
+    "embed_near_dups",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 5 === 0).select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      SimilaritySearch.embeddingNearDupPairs(
+        corpus, "vec_id", "embedding", dim = 64, p = 4, threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+        FROM embeddings WHERE vec_id % 5 = 0
+      ),
+      bk AS (
+        SELECT vec_id, embedding, ${SimilaritySearch.hyperplaneBucketSql("embedding", 64, 4)} AS bucket
+        FROM corpus
+      ),
+      sc AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(${SimilaritySearch.cosineSql("a.embedding", "b.embedding", 64)}, 9) AS cos
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      )
+      SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.95 ORDER BY id_a, id_b
+    """.trim)
+  )
+
   val embedIvf: QueryDef = QueryDef(
     "embed_ivf",
     (s, dir) => {
@@ -641,6 +678,6 @@ object Pipeline {
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
     textQuality, langId, tokenCounts, fingerprints, topTerms, repetition, piiRedact,
     hashSplit, docSample, decontaminate, curationFunnel,
-    embedTopK, embedAnn, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
+    embedTopK, embedAnn, embedNearDups, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

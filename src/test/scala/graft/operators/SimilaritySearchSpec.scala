@@ -87,6 +87,17 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(q > 0.999)
   }
 
+  test("embeddingNearDupPairs: identical vectors pair at cos 1; dissimilar absent; ordered") {
+    val got = SimilaritySearch.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 4, p = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.forall(p => p._1 < p._2))
+    // 0 and 1 are identical -> same bucket guaranteed, cosine exactly 1
+    assert(got.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    // the orthogonal (3) and opposite (4) vectors never pair with 0
+    assert(!got.exists(p => (p._1, p._2) == ((0L, 3L)) || (p._1, p._2) == ((0L, 4L))))
+  }
+
   test("hyperplaneBucket: deterministic and within 2^p") {
     val b = vecs.select(SimilaritySearch.hyperplaneBucket(col("embedding"), 4, 6).as("b"))
       .collect().map(_.getLong(0))
