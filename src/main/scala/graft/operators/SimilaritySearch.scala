@@ -182,12 +182,21 @@ object SimilaritySearch {
     * [[Dedup.connectedComponents]] for semantic dedup groups. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, p: Int, threshold: Double): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneBucket(col(vecCol), dim, p).as("bucket"))
+    // norms precompute PER VECTOR (n sqrt-dots), not per pair: the
+    // higher-order-function dot evaluates interpreted, so the naive
+    // cosine(a, b) costs THREE 64-element interpreted folds per
+    // candidate pair — measured 18 s at sf0.1; one shared-norm dot per
+    // pair is ~3× less interpreted work with bit-identical results
+    // (same float ops: dot/(sqrt(da)*sqrt(db))). The frame is
+    // materialized so the norm column computes once, not once per side
+    // of the self-join.
+    val b = Materialize(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneBucket(col(vecCol), dim, p).as("bucket"),
+      norm(col(vecCol)).as("nrm")))
     b.as("a")
       .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.vec"), col("b.vec")), 9).as("cos"))
+        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 9).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -480,7 +480,7 @@ object Pipeline {
           (col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
       SimilaritySearch.embeddingNearDupPairs(
-        corpus, "vec_id", "embedding", dim = 64, p = 4, threshold = 0.95)
+        corpus, "vec_id", "embedding", dim = 64, p = 6, threshold = 0.95)
         .orderBy("id_a", "id_b")
     },
     Some(s"""
@@ -491,7 +491,7 @@ object Pipeline {
         FROM embeddings WHERE vec_id % 5 = 0
       ),
       bk AS (
-        SELECT vec_id, embedding, ${SimilaritySearch.hyperplaneBucketSql("embedding", 64, 4)} AS bucket
+        SELECT vec_id, embedding, ${SimilaritySearch.hyperplaneBucketSql("embedding", 64, 6)} AS bucket
         FROM corpus
       ),
       sc AS (
