@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact duplicate groups over arbitrary key columns: one row per
     * group with ≥ minSize members, its size, and the keeper (min id). */
   def exactGroups(df: DataFrame, keys: Seq[String], idCol: String, minSize: Int = 2): DataFrame =
@@ -306,6 +308,10 @@ object Dedup {
       done = changed == 0L
       iter += 1
     }
+    if (!done) Warnings.warn(log,
+      s"connectedComponents did not converge within maxIterations=$maxIterations — " +
+        "returned cluster ids may still be split across components " +
+        "(pointer jumping needs ~log2(diameter) rounds; raise maxIterations)")
     // the returned frame is the final materialized snapshot — it no
     // longer references the edge relation, so free sym's blocks too
     Materialize.unpersist(sym)

@@ -168,6 +168,24 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents warns when maxIterations exhausts before convergence") {
+    @volatile var warned = List.empty[String]
+    Warnings.onWarning(m => warned ::= m)
+    try {
+      val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(chain, maxIterations = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(warned.exists(_.contains("did not converge")))
+      assert(got.values.toSet.size > 1) // and indeed still split
+      // with enough rounds: converged, no warn
+      warned = Nil
+      val full = Dedup.connectedComponents(chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(full.values.forall(_ == 0L))
+      assert(!warned.exists(_.contains("did not converge")))
+    } finally Warnings.onWarning(_ => ())
+  }
+
   test("connectedComponents works on string ids and composes with minhash pairs") {
     val pairs = Dedup.minhashLshPairs(
       docs.select(concat(lit("d"), col("id")).as("id"), col("text")),
