@@ -285,9 +285,13 @@ object Dedup {
     // the edge relation is consumed once per round (plus the node scan):
     // materialize it up front, or the whole upstream pair pipeline —
     // typically an LSH join — re-executes every iteration
-    val sym = Materialize(pairs.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
+    // Materialize.iterative, not Materialize: the per-round cut must be
+    // real even under spark.graft.materialize=none, or plan size grows
+    // exponentially with the round count (3 copies of round N inside
+    // round N+1)
+    val sym = Materialize.iterative(pairs.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
       .union(pairs.select(col(dstCol).as("id"), col(srcCol).as("nbr"))))
-    var labels = Materialize(sym.select(col("id")).distinct().withColumn("label", col("id")))
+    var labels = Materialize.iterative(sym.select(col("id")).distinct().withColumn("label", col("id")))
     var iter = 0
     var done = false
     while (!done && iter < maxIterations) {
@@ -298,7 +302,7 @@ object Dedup {
         .select(col("id"), least(col("label"), coalesce(col("nm"), col("label"))).as("m"))
       // pointer jump: follow the chosen label's own label. Label values
       // are always node ids (minima over node ids), so the join is total.
-      val next = Materialize(
+      val next = Materialize.iterative(
         m.join(labels.select(col("id").as("m"), col("label").as("lm")), Seq("m"))
           .select(col("id"), col("lm").as("label")))
       val changed = next.as("n").join(labels.as("o"), Seq("id"))

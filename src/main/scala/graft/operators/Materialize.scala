@@ -34,6 +34,19 @@ object Materialize {
         s"$ModeKey must be one of local|reliable|none, got $other")
     }
 
+  /** Like [[apply]], but ALWAYS cuts lineage — `"none"` falls back to
+    * `localCheckpoint()`. Iterative operators (connected components)
+    * must use this: without a real per-round cut, each round's plan
+    * embeds ~3 copies of the previous round's plan (neighborhood-min
+    * join, pointer-jump join, convergence probe), so plan size — and
+    * re-execution of the upstream pair pipeline — grows exponentially
+    * with the round count, an effective hang on realistic graphs. */
+  def iterative(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ModeKey, "local") match {
+      case "reliable" => df.checkpoint()
+      case _          => df.localCheckpoint()
+    }
+
   /** Free the storage blocks behind a frame returned by [[apply]].
     * Iterative operators that materialize per round (connected
     * components) call this on superseded rounds so dead snapshots don't

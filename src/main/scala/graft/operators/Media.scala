@@ -88,9 +88,20 @@ object Media {
       (be32(16), be32(20), channels)
     } else if (p.length >= 10 && p.startsWith("GIF87a".getBytes("US-ASCII")) ||
         p.length >= 10 && p.startsWith("GIF89a".getBytes("US-ASCII"))) {
+      // channels=3 is a color-model heuristic: palette entries are RGB;
+      // GIF89a per-frame transparency (effective RGBA) is not visible in
+      // the logical screen descriptor parsed here
       (le16(6), le16(8), 3)
     } else if (p.length >= 30 && u8(0) == 'B' && u8(1) == 'M') {
-      (le32(18), math.abs(le32(22)), math.max(1, le16(28) / 8))
+      // bpp → color channels, not bytes-per-pixel: 16 bpp is packed RGB
+      // (RGB555/565 = 3 channels), 32 bpp carries an alpha byte
+      val channels = le16(28) match {
+        case 1 | 4 | 8 => 1 // palette indices
+        case 16 | 24   => 3
+        case 32        => 4
+        case bpp => throw new IllegalArgumentException(s"BMP: unsupported bit depth $bpp")
+      }
+      (le32(18), math.abs(le32(22)), channels)
     } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // walk FF-marker segments to the first start-of-frame
       var i = 2

@@ -84,16 +84,20 @@ object Splits {
     bounds
   }
 
+  // names/salts land inside single-quoted SQL literals — double any
+  // embedded quote so a value like "don't" can't break the oracle SQL
+  private def escSql(s: String): String = s.replace("'", "''")
+
   /** DuckDB twin of [[bucket]] over id expression `id`. */
   def bucketSql(id: String, salt: String): String =
-    s"(CAST('0x' || substr(md5('$salt' || ':' || CAST($id AS VARCHAR)), 1, 15) AS BIGINT) % $Buckets)"
+    s"(CAST('0x' || substr(md5('${escSql(salt)}' || ':' || CAST($id AS VARCHAR)), 1, 15) AS BIGINT) % $Buckets)"
 
   /** DuckDB twin of [[hashSplit]]'s assignment expression. */
   def hashSplitSql(id: String, splits: Seq[(String, Double)], salt: String = "v1"): String = {
     val bounds = splitBounds(splits)
     val b = bucketSql(id, salt)
-    val assign = splits.init.zip(bounds.init).foldRight(s"'${splits.last._1}'") {
-      case (((name, _), hi), rest) => s"(CASE WHEN $b < $hi THEN '$name' ELSE $rest END)"
+    val assign = splits.init.zip(bounds.init).foldRight(s"'${escSql(splits.last._1)}'") {
+      case (((name, _), hi), rest) => s"(CASE WHEN $b < $hi THEN '${escSql(name)}' ELSE $rest END)"
     }
     s"(CASE WHEN $id IS NOT NULL THEN $assign END)"
   }

@@ -12,12 +12,20 @@ object Warnings {
 
   private[graft] def warn(log: org.slf4j.Logger, msg: String): Unit = {
     log.warn(msg)
-    handler(msg)
+    // a throwing user callback must not abort the operator call itself
+    try handler(msg)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"onWarning handler threw ${e.getClass.getName}: ${e.getMessage} — continuing")
+    }
   }
 
   /** Register a callback invoked with every operator warning message
     * (pass `_ => ()` to clear). Driver-side only: warnings fire during
-    * plan construction, not inside executor tasks. */
+    * plan construction, not inside executor tasks. NB the registration
+    * is process-wide (one handler per JVM, shared by all SparkSessions):
+    * the last `onWarning` wins, like Python's global `warnings` filters.
+    * Handler exceptions are caught, logged, and swallowed. */
   def onWarning(f: String => Unit): Unit = { handler = f }
 }
 

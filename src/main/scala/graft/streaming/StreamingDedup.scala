@@ -76,6 +76,13 @@ object StreamingDedup {
     * long-running production queries; it makes `processAllAvailable`
     * semantics awkward in tests/batch use (see [[firstSeenCounts]]).
     *
+    * '''Checkpoint compatibility:''' the state schema ([[BandState]])
+    * gained a `dropped` field in round 3. Spark's state-store schema
+    * check rejects restarts from checkpoints written by earlier builds —
+    * resuming an existing query across that upgrade requires a NEW
+    * `checkpointLocation` (state, i.e. the matching corpus seen so far,
+    * starts empty). Future state-schema changes carry the same cost.
+    *
     * @param df (index: string, hash: string hex ≤ 64 chars)
     * @param stateTtlMs processing-time eviction horizon for idle
     *        buckets; 0 (default) keeps state indefinitely (NoTimeout)

@@ -58,4 +58,25 @@ class MaterializeSpec extends SparkTestBase {
       intercept[IllegalArgumentException](Materialize(docs))
     }
   }
+
+  test("connectedComponents converges under mode=none (forced per-round cut)") {
+    // a 12-node chain needs several pointer-jump rounds; without a real
+    // per-round lineage cut, mode=none grows the plan exponentially and
+    // this would effectively hang rather than finish
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = withMode("none") {
+      Dedup.connectedComponents(chain).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got == (1L to 12L).map((_, 1L)).toSet)
+  }
+
+  test("a throwing onWarning handler does not abort the operator") {
+    Warnings.onWarning(_ => throw new RuntimeException("user handler bug"))
+    try {
+      // exhausting maxIterations fires a warning through the handler
+      val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(chain, maxIterations = 1)
+      assert(got.count() == 12L)
+    } finally Warnings.onWarning(_ => ())
+  }
 }

@@ -62,6 +62,14 @@ class MediaSpec extends SparkTestBase {
     val bmp = b('B', 'M') ++ Array.fill[Byte](16)(0) ++
       b(5, 0, 0, 0, 0xf9, 0xff, 0xff, 0xff, 1, 0, 24, 0)
     assert(Media.headerImageDecoder(bmp) == ((5, 7, 3)))
+    // bpp → channels is a color-model map, not bits/8: 16 bpp packed RGB
+    // is 3-channel, 32 bpp carries alpha, 8 bpp is palette (1 channel)
+    def bmpAt(bpp: Int) = b('B', 'M') ++ Array.fill[Byte](16)(0) ++
+      b(5, 0, 0, 0, 0xf9, 0xff, 0xff, 0xff, 1, 0, bpp, 0)
+    assert(Media.headerImageDecoder(bmpAt(16)) == ((5, 7, 3)))
+    assert(Media.headerImageDecoder(bmpAt(32)) == ((5, 7, 4)))
+    assert(Media.headerImageDecoder(bmpAt(8)) == ((5, 7, 1)))
+    intercept[IllegalArgumentException](Media.headerImageDecoder(bmpAt(2)))
     // JPEG: SOI, APP0 segment (skipped), SOF0 11x9, 3 components
     val jpg = b(0xff, 0xd8,
       0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,          // APP0, length 4

@@ -81,4 +81,11 @@ class SplitsSpec extends SparkTestBase {
     }
     assert((0L until 5L).forall(i => got(i) == expected(i)))
   }
+
+  test("SQL twins escape quotes in names and salts") {
+    val sql = Splits.hashSplitSql("id", Seq("don't" -> 0.5, "o'k" -> 0.5), salt = "it's")
+    assert(sql.contains("'don''t'") && sql.contains("'o''k'") && sql.contains("'it''s'"))
+    // balanced quoting: an even number of single quotes overall
+    assert(sql.count(_ == '\'') % 2 == 0)
+  }
 }
