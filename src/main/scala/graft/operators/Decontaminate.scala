@@ -47,4 +47,52 @@ object Decontaminate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) >= minHits).cast("int").as("contaminated"))
   }
+
+  /** [[scan]] with a Bloom-filter prefilter — the shape for benchmark
+    * sets too large to broadcast as an exact hash relation (a 10⁹-
+    * shingle eval union is ~8 GB of longs, but ~1.2 GB of Bloom bits at
+    * 1% fpp). Two phases:
+    *
+    *  1. '''Prefilter''' (map-side): a Bloom filter over the benchmark's
+    *     distinct shingle hashes (built with Spark's distributed
+    *     `stat.bloomFilter` tree-aggregate — the driver only ever holds
+    *     the final bit array) is broadcast and drops non-colliding
+    *     corpus shingle rows before any join.
+    *  2. '''Exact verify''': survivors — a tiny fraction of the corpus —
+    *     shuffle-join the true benchmark set (deliberately NOT a
+    *     broadcast join: the premise is that the exact set is too big to
+    *     broadcast). Blooms have no false negatives, so the final
+    *     counts are EXACTLY [[scan]]'s; false positives only cost
+    *     wasted verify rows (~fpp × corpus shingles).
+    *
+    * Building the filter runs two Spark jobs at plan-construction time
+    * (a count to size it, the tree-aggregate to fill it) — both over
+    * the small benchmark side only.
+    */
+  def scanBloom(
+      df: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      minHits: Int = 5,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    val docHs = Materialize(Dedup.shingleHashRows(df, idCol, textCol, shingleLen)
+      .select(col("id"), col("h")).distinct())
+    val benchHs = Materialize(Dedup.shingleHashRows(benchmark, idCol, textCol, shingleLen)
+      .select("h").distinct())
+    val bloom = benchHs.stat.bloomFilter("h", math.max(1L, benchHs.count()), fpp)
+    val bloomBc = df.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val totals = docHs.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val hits = docHs.filter(mightContain(col("h")))
+      .join(benchHs, Seq("h")) // shuffle join on the surviving sliver
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).cast("int").as("contaminated"))
+  }
 }

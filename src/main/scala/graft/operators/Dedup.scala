@@ -364,4 +364,53 @@ object Dedup {
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Longest shared token run between document pairs — the substring-
+    * granularity dedup signal (the k-gram approximation of the exact
+    * suffix-array method of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22): a pair sharing a verbatim
+    * run of ≥ `minRunTokens` tokens is flagged even when whole-document
+    * Jaccard is low (a boilerplate header, a quoted paragraph).
+    *
+    * Shape: positional shingle hashes (codegen'd relational builder) →
+    * inverted-index equi-join on the hash (complete: a shared m-token
+    * run, m ≥ shingleLen, shares m−shingleLen+1 consecutive shingles)
+    * → shared-diagonal islands: within one (pair, posA−posB) diagonal,
+    * consecutive positions form one run, isolated with the classic
+    * gaps-and-islands `pos − row_number()` trick — runs are measured
+    * with one windowed count, never string comparison. Run length in
+    * tokens = consecutive shared shingles + shingleLen − 1.
+    *
+    * Skew contract matches [[ngramJaccardPairs]]: a shingle shared by k
+    * documents contributes k² join rows, so this exact tier runs on
+    * restricted/pre-deduped inputs; the probabilistic tiers are the
+    * unrestricted path.
+    *
+    * @return (id_a, id_b, max_run_tokens) with id_a < id_b, one row per
+    *         pair whose longest shared run reaches `minRunTokens`.
+    */
+  def commonSpanPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      minRunTokens: Int = 20
+  ): DataFrame = {
+    require(minRunTokens >= shingleLen,
+      s"minRunTokens ($minRunTokens) must be >= shingleLen ($shingleLen) — shorter runs share no shingle")
+    val hs = Materialize(shingleHashRows(df, idCol, textCol, shingleLen)
+      .select(col("id"), col("pos"), col("h")))
+    val matches = hs.as("a")
+      .join(hs.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "d").orderBy("pa")
+    matches
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "d", "isl").agg(count(lit(1)).as("run"))
+      .groupBy("id_a", "id_b")
+      .agg((max(col("run")) + lit(shingleLen - 1)).as("max_run_tokens"))
+      .filter(col("max_run_tokens") >= minRunTokens)
+  }
 }

@@ -59,6 +59,40 @@ object Splits {
     df.filter(bucket(col(idCol), salt) < math.round(fraction * Buckets))
   }
 
+  /** Stratified content-addressed sampling: like [[sampleFraction]] but
+    * with a per-group keep fraction — the curation move that rebalances
+    * a skewed corpus (keep 100% of a rare language, 3% of English; cap
+    * boilerplate-heavy domains). Map-only: the fraction lookup is a
+    * literal CASE over `groupCol`, no join, no shuffle, and assignments
+    * stay stable under dataset growth (each row's draw depends only on
+    * its id and the salt).
+    *
+    * @param fractions       (group value, keep fraction) pairs
+    * @param defaultFraction keep fraction for group values not listed
+    *                        (0.0 = drop unlisted groups)
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+      fractions: Seq[(String, Double)], defaultFraction: Double = 0.0,
+      salt: String = "strat"): DataFrame = {
+    (defaultFraction +: fractions.map(_._2)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0, 1], got $f"))
+    val threshold = fractions.foldRight(
+      lit(math.round(defaultFraction * Buckets)): Column) { case ((g, f), rest) =>
+      when(col(groupCol) === g, lit(math.round(f * Buckets))).otherwise(rest)
+    }
+    df.filter(bucket(col(idCol), salt) < threshold)
+  }
+
+  /** DuckDB twin of [[stratifiedSample]]'s filter predicate. */
+  def stratifiedSampleSql(id: String, group: String,
+      fractions: Seq[(String, Double)], defaultFraction: Double = 0.0,
+      salt: String = "strat"): String = {
+    val cases = fractions.map { case (g, f) =>
+      s"WHEN $group = '${escSql(g)}' THEN ${math.round(f * Buckets)}"
+    }.mkString(" ")
+    s"(${bucketSql(id, salt)} < (CASE $cases ELSE ${math.round(defaultFraction * Buckets)} END))"
+  }
+
   /** Cumulative bucket bounds, validated: every split must span at
     * least one bucket, or it would silently receive ZERO rows (weights
     * below the 1/Buckets granularity round to an empty range).

@@ -196,6 +196,63 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("word"))
       .limit(k)
 
+  /** TF-IDF top-k terms per document — the classic salience relation
+    * behind keyword extraction, near-dup triage, and topic tagging
+    * (Salton & Buckley 1988; smoothing follows the standard
+    * `ln((N+1)/(df+1)) + 1` formulation).
+    *
+    * Relational shape: one explode feeds (id, word) counts (map-side
+    * combinable, the shuffle carries count rows); document frequency is
+    * a second aggregate over the SLIM tf relation (never the text); the
+    * corpus size N is a one-row aggregate broadcast into the scoring
+    * projection (no driver collect); the per-document top-k plans a
+    * WindowGroupLimit (map-side partial top-k). The tf relation feeds
+    * three consumers — materialized once.
+    *
+    * Scores are `round(tf * idf, 9)`: tf/df/N are exact integers, so
+    * the only FP steps are one division, one `ln`, one multiply —
+    * identical scalar sequences on any IEEE engine, rounded the same
+    * way the cosine tiers are.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = Materialize(
+      df.select(col(idCol).as("id"), explode(words(col(textCol))).as("word"))
+        .groupBy("id", "word").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
+    val n = tf.agg(count_distinct(col("id")).as("n_docs"))
+    val idf = log((col("n_docs") + lit(1)).cast("double") / (col("dfreq") + lit(1)).cast("double")) + lit(1.0)
+    val scored = tf.join(dfreq, Seq("word")).crossJoin(broadcast(n))
+      .select(col("id"), col("word"), col("tf"),
+        round(col("tf").cast("double") * idf, 9).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[tfidfTopTerms]] as a CTE chain over `input`
+    * (must yield (id, text)); final relation `tfr` has columns
+    * (id, word, tf, score, rank). */
+  def tfidfCtes(input: String): String = {
+    val ws = wordsSql("text")
+    s"""tuw AS (SELECT id, unnest($ws) AS word FROM ($input)),
+        ttf AS (SELECT id, word, count(*) AS tf FROM tuw GROUP BY id, word),
+        tdf AS (SELECT word, count(*) AS dfreq FROM ttf GROUP BY word),
+        tn AS (SELECT count(DISTINCT id) AS n_docs FROM ttf),
+        tsc AS (
+          SELECT ttf.id, ttf.word, ttf.tf,
+            round(CAST(ttf.tf AS DOUBLE) *
+              (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq + 1 AS DOUBLE)) + 1.0), 9) AS score
+          FROM ttf JOIN tdf ON ttf.word = tdf.word CROSS JOIN tn
+        ),
+        tfr AS (
+          SELECT id, word, tf, score,
+            CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, word) AS BIGINT) AS rank
+          FROM tsc
+        )"""
+  }
+
   /** PII patterns shared by the Spark operator and the SQL twin —
     * deliberately restricted to constructs with identical semantics in
     * Java regex and RE2 (no lookaround, no backrefs). */

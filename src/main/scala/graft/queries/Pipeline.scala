@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{CurationFunnel, Decontaminate, Dedup, Materialize, Media, PdqDuplicates, SimilaritySearch, TextAnalysis}
+import graft.operators.{CurationFunnel, Decontaminate, Dedup, Materialize, Media, Packing, PdqDuplicates, SimilaritySearch, Splits, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -306,6 +306,82 @@ object Pipeline {
     """.trim)
   )
 
+  /** Longest-shared-token-run pairs over the planted-tail corpus (each
+    * planted variant shares its entire base document verbatim — a long
+    * run even where whole-document similarity could be low). Restricted
+    * input, like the other exact ground-truth tier. */
+  val commonSpans: QueryDef = QueryDef(
+    "common_spans",
+    (s, dir) => Dedup.commonSpanPairs(
+      corpus(s, dir).filter((col("id") % 1000000 % 10) < 2), "id", "text",
+      shingleLen = 3, minRunTokens = 20).orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH ${shingleCtes(s"SELECT * FROM ($corpusSql) WHERE id % 1000000 % 10 < 2", hashBits30 = false, distinct = false)},
+      px0 AS (SELECT id, hs, unnest(generate_series(1, len(hs))) AS pos FROM hs),
+      px AS (SELECT id, pos, hs[pos] AS h FROM px0),
+      cd AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, a.pos - b.pos AS d
+        FROM px a JOIN px b ON a.h = b.h AND a.id < b.id
+      ),
+      rn AS (
+        SELECT id_a, id_b, d, pa,
+          pa - row_number() OVER (PARTITION BY id_a, id_b, d ORDER BY pa) AS isl
+        FROM cd
+      ),
+      runs AS (SELECT id_a, id_b, count(*) AS run FROM rn GROUP BY id_a, id_b, d, isl)
+      SELECT id_a, id_b, max(run) + 2 AS max_run_tokens
+      FROM runs GROUP BY id_a, id_b HAVING max(run) + 2 >= 20
+      ORDER BY id_a, id_b
+    """.trim)
+  )
+
+  /** TF-IDF top-3 salient terms per document. */
+  val tfidfTerms: QueryDef = QueryDef(
+    "tfidf_terms",
+    (s, dir) => TextAnalysis.tfidfTopTerms(
+      tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")), "id", "text", 3)
+      .orderBy("id", "rank"),
+    Some(s"""
+      WITH ${TextAnalysis.tfidfCtes("SELECT doc_id AS id, text FROM documents")}
+      SELECT id, word, tf, score, rank FROM tfr WHERE rank <= 3 ORDER BY id, rank
+    """.trim)
+  )
+
+  /** Concat-and-chunk sequence packing of the word-token counts into
+    * 512-token training sequences, grouped by the deterministic
+    * train/val/test split (the window distributes per group). */
+  val packChunks: QueryDef = QueryDef(
+    "pack_chunks",
+    (s, dir) => {
+      val toks = tbl(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        size(TextFunctions.words(col("text"))).as("t"))
+      Packing.packChunks(Splits.hashSplit(toks, "id", splitSpec), "id", "t",
+        budget = 512, groupCol = "split")
+        .orderBy("group", "id")
+    },
+    Some(
+      Packing.packChunksSql(
+        s"""SELECT ${Splits.hashSplitSql("doc_id", splitSpec)} AS g, doc_id AS id,
+            len(${TextFunctions.wordsSql("text")}) AS t FROM documents""",
+        budget = 512) + """ ORDER BY "group", id""")
+  )
+
+  /** Stratified content-addressed sampling: downsample the train tier
+    * hard, keep half of val, all of test — the skew-rebalancing move. */
+  private val stratSpec = Seq("train" -> 0.05, "val" -> 0.5, "test" -> 1.0)
+
+  val stratifiedSample: QueryDef = QueryDef(
+    "stratified_sample",
+    (s, dir) => Splits.stratifiedSample(
+      Splits.hashSplit(tbl(s, dir, "documents").select(col("doc_id").as("id")), "id", splitSpec),
+      "id", "split", stratSpec).orderBy("id"),
+    Some(s"""
+      WITH d AS (SELECT doc_id AS id, ${Splits.hashSplitSql("doc_id", splitSpec)} AS split FROM documents)
+      SELECT id, split FROM d WHERE ${Splits.stratifiedSampleSql("id", "split", stratSpec)} ORDER BY id
+    """.trim)
+  )
+
   val docSample: QueryDef = QueryDef(
     "doc_sample",
     (s, dir) => graft.operators.Splits.sampleFraction(
@@ -416,6 +492,21 @@ object Pipeline {
       FROM hs h2 LEFT JOIN hits ON h2.id = hits.id
       ORDER BY 1
     """.trim)
+  )
+
+  /** [[Decontaminate.scanBloom]] over the identical inputs — the Bloom
+    * prefilter + exact-verify path. Blooms have no false negatives and
+    * the verify phase is exact, so the oracle is decontaminate's own
+    * SQL verbatim: the gate proves the sketch path changes NOTHING. */
+  val deconBloom: QueryDef = QueryDef(
+    "decon_bloom",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Decontaminate.scanBloom(d, d.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        shingleLen = 3, minHits = 5)
+        .orderBy("id")
+    },
+    decontaminate.oracle
   )
 
   // ---- similarity search ---------------------------------------------
@@ -676,8 +767,9 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
-    textQuality, langId, tokenCounts, fingerprints, topTerms, repetition, piiRedact,
-    hashSplit, docSample, decontaminate, curationFunnel,
+    commonSpans, textQuality, langId, tokenCounts, fingerprints, topTerms, tfidfTerms,
+    repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
+    decontaminate, deconBloom, curationFunnel,
     embedTopK, embedAnn, embedNearDups, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink formats beyond parquet — the ingest/egress surface a
+  * curation pipeline needs around the core engine: JSONL (the lingua
+  * franca of web-scrape corpora), CSV (metadata/label tables), ORC
+  * (warehouse interchange), and partitioned/bucketed parquet layout
+  * helpers whose value is the PRUNED read they enable.
+  *
+  * All readers take an explicit schema: schema inference reads the data
+  * twice and silently drifts when a batch is missing a field — at
+  * 100 TB an inference pass is a full extra scan. Writers use Spark's
+  * native distributed writers (one file per task; control fan-out with
+  * `df.repartition(n)` before writing).
+  */
+object Formats {
+
+  /** Write one JSON object per line (the JSONL corpus convention).
+    * Nulls are DROPPED from each object by Spark's JSON writer
+    * (standard JSONL practice — absent key ≡ null on re-read). */
+  def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+    df.write.mode(mode).json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV with a header row; `quoteAll` keeps embedded
+    * delimiters/newlines safe for round-trips. */
+  def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+    df.write.mode(mode).option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").option("escape", "\"").csv(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+    df.write.mode(mode).orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Hive-style partitioned parquet: one directory per distinct value
+    * combination of `partitionCols`. The payoff is partition PRUNING —
+    * a read filtered on a partition column never opens non-matching
+    * directories (the scan's `PartitionFilters`, not a row filter).
+    * Partition by LOW-cardinality columns only (split, language, date):
+    * a high-cardinality partition column makes one tiny file per value,
+    * the classic small-files failure. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

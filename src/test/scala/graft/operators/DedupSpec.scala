@@ -202,4 +202,52 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall(p => p._1 < p._2))
     assert(got.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
   }
+
+  test("commonSpanPairs: run lengths measured exactly, islands split on breaks") {
+    def toks(prefix: String, r: Range) = r.map(i => s"$prefix$i").mkString(" ")
+    val df = Seq(
+      // b embeds exactly tokens a6..a25 of a (a 20-token run)
+      (1L, toks("a", 1 to 30)),
+      (2L, s"${toks("b", 1 to 5)} ${toks("a", 6 to 25)} ${toks("c", 1 to 5)}"),
+      // d shares two runs with a — 12 tokens and 8 tokens, split by x
+      (3L, s"${toks("a", 1 to 12)} x ${toks("a", 20 to 27)}"),
+      (4L, "no overlap with anything here at all")
+    ).toDF("id", "text")
+    val got = Dedup.commonSpanPairs(df, "id", "text", shingleLen = 3, minRunTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 20L)
+    assert(got((1L, 3L)) == 12L) // max of the two islands (12, 8)
+    // 2 and 3 share a6..a12 (7 tokens) and a20..a25 (6) — both below 8
+    assert(!got.contains((2L, 3L)) && !got.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+    // threshold raises → the 12-run pair drops out
+    val high = Dedup.commonSpanPairs(df, "id", "text", shingleLen = 3, minRunTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(high == Set((1L, 2L)))
+    intercept[IllegalArgumentException](
+      Dedup.commonSpanPairs(df, "id", "text", shingleLen = 3, minRunTokens = 2))
+  }
+
+  test("commonSpanPairs handles repeated phrases without inflating runs") {
+    val df = Seq(
+      (1L, "p q r s t u v w"),
+      // contains p..t twice, separated — two diagonals, max run stays 5
+      (2L, "p q r s t z z z p q r s t")
+    ).toDF("id", "text")
+    val got = Dedup.commonSpanPairs(df, "id", "text", shingleLen = 3, minRunTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 5L)
+  }
+
+  test("Decontaminate.scanBloom ≡ scan (no false negatives; verify phase exact)") {
+    val benchmark = docs.filter(col("id") % 2 === 1L)
+    val exact = rows(Decontaminate.scan(docs, benchmark, "id", "text", 3, 2).orderBy("id"))
+    // even at an absurd fpp the exact-verify phase must erase the noise
+    for (fpp <- Seq(0.01, 0.4)) {
+      val bloomed = rows(Decontaminate.scanBloom(docs, benchmark, "id", "text", 3, 2, fpp).orderBy("id"))
+      assert(bloomed == exact, s"fpp=$fpp diverged")
+    }
+    assert(exact.nonEmpty)
+    intercept[IllegalArgumentException](
+      Decontaminate.scanBloom(docs, benchmark, "id", "text", 3, 2, fpp = 1.5))
+  }
 }

@@ -82,6 +82,30 @@ class SplitsSpec extends SparkTestBase {
     assert((0L until 5L).forall(i => got(i) == expected(i)))
   }
 
+  test("stratifiedSample: per-group fractions, default for unlisted, stability") {
+    val df = ids(300).withColumn("grp",
+      when(col("id") % 3 === 0, "keep_all").when(col("id") % 3 === 1, "drop_all").otherwise("other"))
+    val fr = Seq("keep_all" -> 1.0, "drop_all" -> 0.0)
+    val got = Splits.stratifiedSample(df, "id", "grp", fr, defaultFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "keep_all") == 100)
+    assert(!got.exists(_._2 == "drop_all"))
+    val nOther = got.count(_._2 == "other")
+    assert(nOther > 20 && nOther < 80, s"default 0.5 should keep roughly half, kept $nOther")
+    // growth-stable: the same rows survive when the dataset doubles
+    val grown = df.union(ids(300).withColumn("id", col("id") + 1000L).withColumn("grp", lit("other")))
+    val regrown = Splits.stratifiedSample(grown, "id", "grp", fr, defaultFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).filter(_._1 < 1000L)
+    assert(regrown.sorted.toSeq == got.sorted.toSeq)
+    // uniform fractions reduce to sampleFraction under the same salt
+    val uni = Splits.stratifiedSample(df, "id", "grp",
+      Seq("keep_all" -> 0.3, "drop_all" -> 0.3), defaultFraction = 0.3, salt = "s7")
+      .collect().map(_.getLong(0)).toSet
+    assert(uni == Splits.sampleFraction(df, "id", 0.3, salt = "s7").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException](
+      Splits.stratifiedSample(df, "id", "grp", Seq("keep_all" -> 1.2)))
+  }
+
   test("SQL twins escape quotes in names and salts") {
     val sql = Splits.hashSplitSql("id", Seq("don't" -> 0.5, "o'k" -> 0.5), salt = "it's")
     assert(sql.contains("'don''t'") && sql.contains("'o''k'") && sql.contains("'it''s'"))

@@ -101,4 +101,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(1L) == r(1L).distinct.sorted)
     assert(r(3L).isEmpty) // fewer than 3 words -> no shingles
   }
+
+  test("tfidfTopTerms: smoothed scores, per-doc top-k, word-order ties") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry banana date")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 3, cherry 2, date 1
+    def idf(dfreq: Int) = math.log(4.0 / (dfreq + 1)) + 1.0
+    def exp(tf: Int, dfreq: Int) =
+      BigDecimal(tf * idf(dfreq)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(r => (r._1, r._5))
+    assert(got.map(r => (r._1, r._2, r._5)).toSeq == Seq(
+      (1L, "apple", 1L), (1L, "banana", 2L),
+      (2L, "cherry", 1L), (2L, "banana", 2L),
+      (3L, "date", 1L), (3L, "cherry", 2L)))
+    val score = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(score((1L, "apple")) == exp(2, 1))
+    assert(score((1L, "banana")) == exp(1, 3))
+    assert(score((3L, "date")) == exp(1, 1))
+    // k larger than vocabulary: ties on equal scores break by word asc
+    val all2 = TextAnalysis.tfidfTopTerms(df.filter($"doc_id" === 2L), "doc_id", "text", k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(4)))
+    assert(all2.sortBy(_._2).map(_._1).toSeq == Seq("banana", "cherry"))
+    intercept[IllegalArgumentException](TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 0))
+  }
 }
