@@ -91,6 +91,39 @@ object Drive {
     Domains.domainStats(urls, "url").orderBy("domain").show(false)
     Domains.capPerDomain(urls, "url", "index", 1).orderBy("index").show(false)
     Domains.dropBlockedDomains(urls, "url", Seq("a.com").toDF("domain")).orderBy("index").show(false)
+    println("=== sequence packing + stratified sampling ===")
+    locally {
+      val toks = spark.range(12).toDF("id")
+        .selectExpr("id", "cast(id % 5 + 3 as long) as t", "concat('g', id % 2) as grp")
+      val packed = Packing.packChunks(toks, "id", "t", budget = 10, groupCol = "grp")
+      packed.orderBy("group", "id").show()
+      Packing.packStats(packed, 10).orderBy("group").show()
+      Splits.stratifiedSample(toks, "id", "grp", Seq("g0" -> 1.0, "g1" -> 0.2))
+        .groupBy("grp").count().orderBy("grp").show()
+    }
+    println("=== tf-idf top terms / common spans / bloom decontamination ===")
+    locally {
+      val d = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "intro words alpha beta gamma delta epsilon zeta eta theta trailing"),
+        (3L, "totally unrelated content about other things entirely")).toDF("id", "text")
+      TextAnalysis.tfidfTopTerms(d, "id", "text", 2).orderBy("id", "rank").show(false)
+      Dedup.commonSpanPairs(d, "id", "text", shingleLen = 3, minRunTokens = 5)
+        .orderBy("id_a", "id_b").show()
+      Decontaminate.scanBloom(d, d.filter($"id" === 1L), "id", "text", 3, 2).orderBy("id").show()
+    }
+    println("=== multi-format sources: jsonl round-trip + partition pruning ===")
+    locally {
+      import graft.sources.Formats
+      val dir = java.nio.file.Files.createTempDirectory("drive-fmt").toString
+      val d = Seq((1L, "x", "train"), (2L, "y", "test")).toDF("id", "text", "split")
+      Formats.writeJsonl(d, s"$dir/jl")
+      println("jsonl rows: " + Formats.readJsonl(spark, s"$dir/jl", d.schema).count())
+      Formats.writePartitioned(d, s"$dir/part", Seq("split"))
+      val pruned = Formats.readPartitioned(spark, s"$dir/part").filter($"split" === "train")
+      println("pruned rows: " + pruned.count() + ", partition-filtered: " +
+        pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    }
     println("=== probe: empty-series warnings surface via Warnings.onWarning ===")
     locally {
       @volatile var seen = List.empty[String]

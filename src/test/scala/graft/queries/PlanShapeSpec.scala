@@ -83,6 +83,28 @@ class PlanShapeSpec extends SparkTestBase {
       s"repetition reads more columns than needed:\n${readSchemas.mkString("\n")}")
   }
 
+  test("pack_chunks: one hash exchange (the pack-group window); no join, no extra shuffle") {
+    val p = plan("pack_chunks")
+    assert(!p.contains("Join"), s"packing must be join-free:\n$p")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"pack_chunks should shuffle once (group window), found $hashExchanges:\n$p")
+  }
+
+  test("stratified_sample: map-only — no exchange besides the gate's output sort") {
+    val p = plan("stratified_sample")
+    assert(!p.contains("hashpartitioning"), s"stratified sample must not shuffle:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("tfidf_terms pushes the per-doc rank limit below the shuffle (WindowGroupLimit)") {
+    assert(plan("tfidf_terms").contains("WindowGroupLimit"))
+  }
+
+  test("common_spans candidates come from an equi-join, never a product") {
+    val p = plan("common_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("url_dups computes members and checked flag in ONE window exchange") {
     // one shuffle for the window; the only other exchanges allowed are
     // AQE/final-output artifacts — fail if a second window-partitioning
