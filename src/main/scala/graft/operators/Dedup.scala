@@ -112,28 +112,7 @@ object Dedup {
     // per branch; spark.graft.materialize selects local vs reliable
     // checkpointing (see [[Materialize]]).
     val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen).filter(size(col("hs")) > 0))
-    // signatures via explode + k codegen'd min-aggregates (map-side
-    // combine: the shuffle carries one k-counter row per document) —
-    // the per-row zip_with fold ([[minhashSig]]) runs its interior
-    // interpreted, measured ~4 s of pure signature time at sf0.1 vs
-    // sub-second for this shape. Same minima, same oracle. The frame
-    // feeds both sides of the band self-join, hence its own
-    // materialization.
-    val sigs = Materialize(
-      hs.select(col("id"), explode(col("hs")).as("h"))
-        .groupBy("id")
-        .agg(min(minhashPerm(col("h"), 0)).as("m0"),
-          (1 until k).map(i => min(minhashPerm(col("h"), i)).as(s"m$i")): _*)
-        .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig")))
-
-    // slim band rows: (id, band_id, band) only — the shingle-hash arrays
-    // stay OUT of the self-join/broadcast and are joined back just for
-    // the (few) surviving candidates
-    val banded = sigs.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rows + 1, lit(rows))))
-    ).select(col("id"), col("pos").as("band_id"), col("col").as("band"))
+    val banded = minhashBandRows(hs, k, bands)
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -152,6 +131,108 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Slim MinHash band rows (id, band_id, band) from a materialized
+    * (id, hs) shingle-hash frame — the joinable LSH index relation.
+    *
+    * Signatures run as explode + k codegen'd min-aggregates (map-side
+    * combine: the shuffle carries one k-counter row per document) — the
+    * per-row zip_with fold ([[graft.functions.TextFunctions.minhashSig]])
+    * runs its interior interpreted, measured ~4 s of pure signature time
+    * at sf0.1 vs sub-second for this shape. Same minima, same oracle.
+    * The band rows keep the shingle arrays OUT of any join/broadcast —
+    * arrays are joined back only for surviving candidates. */
+  def minhashBandRows(hs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val sigs = Materialize(
+      hs.select(col("id"), explode(col("hs")).as("h"))
+        .groupBy("id")
+        .agg(min(minhashPerm(col("h"), 0)).as("m0"),
+          (1 until k).map(i => min(minhashPerm(col("h"), i)).as(s"m$i")): _*)
+        .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig")))
+    sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, lit(rows))))
+    ).select(col("id"), col("pos").as("band_id"), col("col").as("band"))
+  }
+
+  /** Incremental dedup: classify a NEW batch of documents against an
+    * EXISTING corpus — the daily-delta shape of a production curation
+    * pipeline (yesterday's 100 TB corpus is settled; today's crawl must
+    * be checked against it without re-deduplicating the world).
+    *
+    * Tiers, in priority order:
+    *  - `exact` — batch text is byte-identical (md5) to a corpus doc;
+    *  - `near`  — MinHash-LSH candidate verified at Jaccard ≥
+    *    `threshold` against some corpus doc;
+    *  - `novel` — neither.
+    *
+    * Scale shape: the batch side is small relative to the corpus, so
+    * BOTH joins broadcast the batch (its md5 relation, its band rows) —
+    * the corpus streams map-side and never shuffles. In production the
+    * corpus md5/band relations would be precomputed tables maintained
+    * across runs (they are pure functions of the corpus); here they are
+    * derived inline. Verification joins run only on the candidate
+    * sliver.
+    *
+    * @return one row per batch doc: (id, status, match_id, jaccard) —
+    *         match_id = min-id exact match, else the best-Jaccard
+    *         (tie: min-id) near match, else null; jaccard = 1.0 for
+    *         exact (md5-identical text has Jaccard 1), the verified
+    *         value for near, null for novel.
+    */
+  def incrementalDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val bMd = batch.select(col(idCol).as("id"), md5(col(textCol)).as("m"))
+    val cMd = corpus.select(md5(col(textCol)).as("m"), col(idCol).as("cid"))
+    val exact = cMd.join(broadcast(bMd), Seq("m"))
+      .groupBy("id").agg(min(col("cid")).as("exact_id"))
+
+    val bHs = Materialize(shingleHashes30(batch, idCol, textCol, shingleLen)
+      .filter(size(col("hs")) > 0))
+    val cHs = Materialize(shingleHashes30(corpus, idCol, textCol, shingleLen)
+      .filter(size(col("hs")) > 0))
+    val bBands = minhashBandRows(bHs, k, bands)
+      .select(col("id").as("bid"), col("band_id"), col("band"))
+    val cBands = minhashBandRows(cHs, k, bands)
+    val cand = cBands.join(broadcast(bBands),
+        cBands("band_id") === bBands("band_id") && cBands("band") <=> bBands("band"))
+      .select(col("bid"), cBands("id").as("cid"))
+      .dropDuplicates("bid", "cid")
+    val verified = cand
+      .join(bHs.select(col("id").as("bid"), col("hs").as("hs_b")), Seq("bid"))
+      .join(cHs.select(col("id").as("cid"), col("hs").as("hs_c")), Seq("cid"))
+      .select(col("bid"), col("cid"),
+        size(array_intersect(col("hs_b"), col("hs_c"))).as("ni"),
+        size(col("hs_b")).as("nb"), size(col("hs_c")).as("nc"))
+      .select(col("bid"), col("cid"),
+        (col("ni").cast("double") / (col("nb") + col("nc") - col("ni")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bid")
+      .orderBy(col("jaccard").desc, col("cid"))
+    val near = verified.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("bid").as("id"), col("cid").as("near_id"), col("jaccard").as("near_jac"))
+
+    batch.select(col(idCol).as("id"))
+      .join(exact, Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"),
+        when(col("exact_id").isNotNull, lit(1.0)).otherwise(col("near_jac")).as("jaccard"))
   }
 
   /** 60-bit SimHash signature per document: (id, simhash).

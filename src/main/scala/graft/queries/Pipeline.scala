@@ -35,14 +35,17 @@ object Pipeline {
         SELECT doc_id + 1000000, text || '$tail' FROM documents WHERE doc_id % 5 = 0"""
 
   /** Staged CTEs shared by the shingle-based oracles: corpus → words →
-    * 3-shingles → (optionally distinct) hashes. */
-  private def shingleCtes(input: String, hashBits30: Boolean, distinct: Boolean): String = {
+    * 3-shingles → (optionally distinct) hashes. `prefix` renames the
+    * CTEs (`<p>w`, `<p>sh`, `<p>hs`) so two instantiations can coexist
+    * in one query (e.g. batch vs corpus in incremental dedup). */
+  private def shingleCtes(input: String, hashBits30: Boolean, distinct: Boolean,
+      prefix: String = ""): String = {
     val h = if (hashBits30) "CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1073741824"
             else "CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)"
     val wrap: String => String = e => if (distinct) s"list_distinct($e)" else e
-    s"""w AS (SELECT id, list_filter(regexp_split_to_array(text, ' +'), x -> len(x) > 0) AS ws FROM ($input)),
-        sh AS (SELECT id, CASE WHEN len(ws) >= 3 THEN list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE CAST([] AS VARCHAR[]) END AS sh FROM w),
-        hs AS (SELECT id, ${wrap("list_transform(sh, s -> " + h + ")")} AS hs FROM sh WHERE len(sh) > 0)"""
+    s"""${prefix}w AS (SELECT id, list_filter(regexp_split_to_array(text, ' +'), x -> len(x) > 0) AS ws FROM ($input)),
+        ${prefix}sh AS (SELECT id, CASE WHEN len(ws) >= 3 THEN list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE CAST([] AS VARCHAR[]) END AS sh FROM ${prefix}w),
+        ${prefix}hs AS (SELECT id, ${wrap("list_transform(sh, s -> " + h + ")")} AS hs FROM ${prefix}sh WHERE len(sh) > 0)"""
   }
 
   // ---- dedup tiers ----------------------------------------------------
@@ -494,6 +497,77 @@ object Pipeline {
     """.trim)
   )
 
+  /** Incremental dedup: a synthetic "today's crawl" batch — verbatim
+    * clones (every 10th doc), tail variants (every 5th), and novel
+    * synthetics (every 7th) — classified against the documents corpus
+    * as exact / near / novel with the best corpus match. */
+  val incrementalDedup: QueryDef = QueryDef(
+    "incremental_dedup",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val batch = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("id"), concat(col("text"), lit(tail)).as("text")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 4000000L).as("id"),
+            concat(lit("completely novel entry number "), col("doc_id").cast("string"),
+              lit(" with fresh synthetic content")).as("text")))
+      Dedup.incrementalDedup(batch, d.select(col("doc_id").as("id"), col("text")),
+        "id", "text", shingleLen = 3, k = 16, bands = 4, threshold = 0.6)
+        .orderBy("id")
+    },
+    Some {
+      val sig = s"list_transform(generate_series(0, 15), i -> list_min(list_transform(hs, h -> (h * (2*i + 1) + 12345*i + 7) % ${TextFunctions.MinhashPrime})))"
+      s"""
+      WITH batch AS (
+        SELECT doc_id + 3000000 AS id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text || '$tail' FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 4000000, 'completely novel entry number ' || CAST(doc_id AS VARCHAR) || ' with fresh synthetic content'
+        FROM documents WHERE doc_id % 7 = 0
+      ),
+      ex AS (
+        SELECT b.id, min(c.doc_id) AS exact_id
+        FROM batch b JOIN documents c ON md5(b.text) = md5(c.text)
+        GROUP BY b.id
+      ),
+      ${shingleCtes("SELECT id, text FROM batch", hashBits30 = true, distinct = true, prefix = "b")},
+      ${shingleCtes("SELECT doc_id AS id, text FROM documents", hashBits30 = true, distinct = true, prefix = "c")},
+      bsig AS (SELECT id, hs, $sig AS sig FROM bhs),
+      csig AS (SELECT id, hs, $sig AS sig FROM chs),
+      bband AS (SELECT id, band_id, sig[band_id*4 + 1 : band_id*4 + 4] AS band
+                FROM bsig CROSS JOIN unnest([0, 1, 2, 3]) AS t(band_id)),
+      cband AS (SELECT id, band_id, sig[band_id*4 + 1 : band_id*4 + 4] AS band
+                FROM csig CROSS JOIN unnest([0, 1, 2, 3]) AS t(band_id)),
+      cand AS (SELECT DISTINCT b.id AS bid, c.id AS cid
+               FROM bband b JOIN cband c ON b.band_id = c.band_id AND b.band = c.band),
+      jac AS (
+        SELECT bid, cid,
+          CAST(len(list_intersect(bh.hs, ch.hs)) AS DOUBLE)
+            / (len(bh.hs) + len(ch.hs) - len(list_intersect(bh.hs, ch.hs))) AS jaccard
+        FROM cand JOIN bhs bh ON bh.id = cand.bid JOIN chs ch ON ch.id = cand.cid
+      ),
+      nearb AS (
+        SELECT bid, cid, jaccard FROM (
+          SELECT bid, cid, jaccard,
+            row_number() OVER (PARTITION BY bid ORDER BY jaccard DESC, cid) AS r
+          FROM jac WHERE jaccard >= 0.6
+        ) WHERE r = 1
+      )
+      SELECT b.id,
+        CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+             WHEN nearb.cid IS NOT NULL THEN 'near'
+             ELSE 'novel' END AS status,
+        coalesce(ex.exact_id, nearb.cid) AS match_id,
+        CASE WHEN ex.exact_id IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE nearb.jaccard END AS jaccard
+      FROM batch b LEFT JOIN ex ON b.id = ex.id LEFT JOIN nearb ON b.id = nearb.bid
+      ORDER BY b.id
+      """.trim
+    }
+  )
+
   /** [[Decontaminate.scanBloom]] over the identical inputs — the Bloom
     * prefilter + exact-verify path. Blooms have no false negatives and
     * the verify phase is exact, so the oracle is decontaminate's own
@@ -767,8 +841,8 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
-    commonSpans, textQuality, langId, tokenCounts, fingerprints, topTerms, tfidfTerms,
-    repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
+    commonSpans, incrementalDedup, textQuality, langId, tokenCounts, fingerprints, topTerms,
+    tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
     embedTopK, embedAnn, embedNearDups, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )

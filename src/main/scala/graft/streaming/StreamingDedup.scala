@@ -189,4 +189,35 @@ object StreamingDedup {
           }
         })
   }
+
+  /** Streaming benchmark decontamination — the stream-static twin of
+    * [[graft.operators.Decontaminate.scan]]: each micro-batch of
+    * (id, text) documents is scanned against a STATIC benchmark
+    * shingle-hash relation (precompute once via
+    * `Dedup.shingleHashRows(bench, ...).select("h").distinct()`).
+    *
+    * Shape: the per-document shingle explode and the stream-static
+    * inner join are both stateless (Spark broadcasts or re-reads the
+    * static side per batch; no state store), and the per-document hit
+    * count is a streaming aggregate keyed by id — state O(distinct ids
+    * seen), evictable via watermark upstream if ids are time-scoped.
+    * Emits one row per CONTAMINATED document (n_hits ≥ minHits) in
+    * update mode — the streaming shape inverts the batch contract
+    * (which reports every doc): unbounded streams report offenders,
+    * not the complement.
+    */
+  def decontaminateStream(docs: DataFrame, benchShingleHashes: DataFrame,
+      shingleLen: Int = 3, minHits: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.{portableHash60, shingles, words}
+    // the relational shingle builder (posexplode + window lead) is
+    // batch-only — windows are unsupported on streams. The per-row fold
+    // twin is map-only (stateless), and array_distinct makes (id, h)
+    // unique per document WITHOUT a stateful dropDuplicates.
+    val hs = docs.select(col("id"),
+        explode(array_distinct(shingles(words(col("text")), shingleLen))).as("s"))
+      .select(col("id"), portableHash60(col("s")).as("h"))
+    hs.join(benchShingleHashes.select(col("h")), Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
 }

@@ -112,6 +112,33 @@ object Drive {
         .orderBy("id_a", "id_b").show()
       Decontaminate.scanBloom(d, d.filter($"id" === 1L), "id", "text", 3, 2).orderBy("id").show()
     }
+    println("=== incremental dedup: batch vs settled corpus ===")
+    locally {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2L, "some other settled corpus document with enough words to shingle")).toDF("id", "text")
+      val batch = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (11L, "the quick brown fox jumps over the lazy dog near the river bank and more"),
+        (12L, "entirely new content never seen before in any corpus at all")).toDF("id", "text")
+      Dedup.incrementalDedup(batch, corpus, "id", "text", threshold = 0.5).orderBy("id").show()
+    }
+    println("=== streaming decontamination (stream-static join) ===")
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val bench = Seq((1L, "the quick brown fox jumps over the lazy dog today")).toDF("id", "text")
+      val benchHs = Dedup.shingleHashRows(bench, "id", "text", 3).select("h").distinct()
+      val input = MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingDedup.decontaminateStream(
+        input.toDF().toDF("id", "text"), benchHs, 3, 3)
+      val q = out.writeStream.format("memory").queryName("drive_decon").outputMode("update").start()
+      input.addData((5L, "the quick brown fox jumps over the lazy dog today plus tail"),
+        (6L, "clean document with completely unrelated running words"))
+      q.processAllAvailable()
+      spark.table("drive_decon").orderBy("id").show()
+      q.stop()
+    }
     println("=== multi-format sources: jsonl round-trip + partition pruning ===")
     locally {
       import graft.sources.Formats

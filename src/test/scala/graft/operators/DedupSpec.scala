@@ -238,6 +238,26 @@ class DedupSpec extends SparkTestBase {
     assert(got((1L, 2L)) == 5L)
   }
 
+  test("incrementalDedup classifies a batch as exact / near / novel with best matches") {
+    val corpus = docs // ids 1..5; 1 and 4 share identical text
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"), // = docs 1, 4
+      (102L, "the quick brown fox jumps over the lazy dog near the river bank today extra tail"), // = doc 2 verbatim
+      (103L, "the quick brown fox jumps over the lazy dog near the river bank today more trailing content"), // near 1/2/4
+      (104L, "entirely fresh material nothing like the existing corpus documents whatsoever")
+    ).toDF("id", "text")
+    val got = Dedup.incrementalDedup(batch, corpus, "id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(got(101L)._1 == "exact" && got(101L)._2 == 1L && got(101L)._3 == 1.0) // min-id of {1,4}
+    assert(got(102L)._1 == "exact" && got(102L)._2 == 2L)
+    assert(got(103L)._1 == "near" && Set(1L, 2L, 4L).contains(got(103L)._2)
+      && got(103L)._3 >= 0.5 && got(103L)._3 < 1.0)
+    assert(got(104L) == (("novel", -1L, -1.0)))
+    assert(got.size == 4)
+  }
+
   test("Decontaminate.scanBloom ≡ scan (no false negatives; verify phase exact)") {
     val benchmark = docs.filter(col("id") % 2 === 1L)
     val exact = rows(Decontaminate.scan(docs, benchmark, "id", "text", 3, 2).orderBy("id"))

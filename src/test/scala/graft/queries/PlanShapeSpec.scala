@@ -105,6 +105,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incremental_dedup broadcasts the batch side; corpus never self-joins") {
+    val p = plan("incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("url_dups computes members and checked flag in ONE window exchange") {
     // one shuffle for the window; the only other exchanges allowed are
     // AQE/final-output artifacts — fail if a second window-partitioning

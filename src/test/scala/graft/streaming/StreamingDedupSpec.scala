@@ -141,6 +141,40 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("decontaminateStream ≡ batch scan offenders on the same documents") {
+    import graft.operators.{Decontaminate, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    val docsSeq = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today extra tail"),
+      (3L, "completely different words about database engines and vectorized execution plans"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    val batchDocs = docsSeq.toDF("id", "text")
+    val bench = batchDocs.filter(col("id") === 1L)
+    val benchHs = Dedup.shingleHashRows(bench, "id", "text", 3).select("h").distinct()
+    val minHits = 3
+    val expected = Decontaminate.scan(batchDocs, bench, "id", "text", 3, minHits)
+      .filter(col("contaminated") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingDedup.decontaminateStream(
+      input.toDF().toDF("id", "text"), benchHs, 3, minHits)
+    val q = out.writeStream.format("memory").queryName("sd_decon").outputMode("update").start()
+    try {
+      val (first, second) = docsSeq.splitAt(2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      // update mode emits per-batch rows; take the final count per id
+      val got = spark.table("sd_decon").groupBy("id").agg(max("n_hits").as("n_hits"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("firstSeenCounts tracks running dup counts and first-seen time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
