@@ -35,7 +35,11 @@ object Bench {
     // plan regression from a busy sandbox (round-2 driver recorded 42 s for
     // a query that runs in 5 s under load); minima are robust to external
     // contention while the noop sink keeps the measurement honest
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // default 3: round-3's driver recording still showed 5-12× inflation
+    // on individual queries vs isolated runs — a third draw materially
+    // improves the odds one rep lands in a quiet window, for ~25 s of
+    // extra wall time over the 49-query suite
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // one-time init (codegen, parquet reader, noop sink) outside the
     // timed loop — otherwise the first alphabetical query absorbs ~5 s
     // of JVM warmup and its number is meaningless
