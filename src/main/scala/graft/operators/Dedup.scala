@@ -103,8 +103,6 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.6
   ): DataFrame = {
-    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val rows = k / bands
     // the shingle-hash frame feeds the signature aggregate plus both
     // verification joins. Materializing (not cache) both computes it
     // once AND cuts the lineage, so consumers plan against a flat scan

@@ -43,8 +43,10 @@ object Materialize {
     * with the round count, an effective hang on realistic graphs. */
   def iterative(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ModeKey, "local") match {
-      case "reliable" => df.checkpoint()
-      case _          => df.localCheckpoint()
+      case "reliable"       => df.checkpoint()
+      case "local" | "none" => df.localCheckpoint()
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey must be one of local|reliable|none, got $other")
     }
 
   /** Free the storage blocks behind a frame returned by [[apply]].

@@ -96,9 +96,10 @@ object Media {
       // bpp → color channels, not bytes-per-pixel: 16 bpp is packed RGB
       // (RGB555/565 = 3 channels), 32 bpp carries an alpha byte
       val channels = le16(28) match {
-        case 1 | 4 | 8 => 1 // palette indices
-        case 16 | 24   => 3
-        case 32        => 4
+        case 1 | 2 | 4 | 8 => 1 // palette indices (2 = Windows CE 4-color)
+        case 16 | 24       => 3
+        case 32            => 4
+        case 0             => 3 // BI_JPEG/BI_PNG embedded stream; color assumed
         case bpp => throw new IllegalArgumentException(s"BMP: unsupported bit depth $bpp")
       }
       (le32(18), math.abs(le32(22)), channels)

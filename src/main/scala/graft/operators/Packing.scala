@@ -54,10 +54,11 @@ object Packing {
         (col("cum_before") % budget).as("offset"))
   }
 
-  /** Per-group packing summary: documents, tokens, and the number of
-    * `budget`-token sequences the group packs into (the last, possibly
-    * partial, sequence included). */
-  def packStats(packed: DataFrame, budget: Long): DataFrame =
+  /** Per-group packing summary over a [[packChunks]] result: documents,
+    * tokens, and the number of sequences the group packs into (the
+    * last, possibly partial, sequence included — `max(seq_last) + 1`,
+    * so the budget needs no re-stating). */
+  def packStats(packed: DataFrame): DataFrame =
     packed.groupBy("group").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("n_tokens"),

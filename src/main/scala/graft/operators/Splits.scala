@@ -87,10 +87,17 @@ object Splits {
   def stratifiedSampleSql(id: String, group: String,
       fractions: Seq[(String, Double)], defaultFraction: Double = 0.0,
       salt: String = "strat"): String = {
-    val cases = fractions.map { case (g, f) =>
-      s"WHEN $group = '${escSql(g)}' THEN ${math.round(f * Buckets)}"
-    }.mkString(" ")
-    s"(${bucketSql(id, salt)} < (CASE $cases ELSE ${math.round(defaultFraction * Buckets)} END))"
+    // a zero-WHEN CASE is a parse error — fractions-free degenerates to
+    // the plain default threshold (matching the Scala fold's base case)
+    val threshold =
+      if (fractions.isEmpty) s"${math.round(defaultFraction * Buckets)}"
+      else {
+        val cases = fractions.map { case (g, f) =>
+          s"WHEN $group = '${escSql(g)}' THEN ${math.round(f * Buckets)}"
+        }.mkString(" ")
+        s"(CASE $cases ELSE ${math.round(defaultFraction * Buckets)} END)"
+      }
+    s"(${bucketSql(id, salt)} < $threshold)"
   }
 
   /** Cumulative bucket bounds, validated: every split must span at

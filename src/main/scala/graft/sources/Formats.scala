@@ -32,8 +32,12 @@ object Formats {
     df.write.mode(mode).option("header", "true").option("quoteAll", "true")
       .option("escape", "\"").csv(path)
 
+  /** multiLine matches [[writeCsv]]'s quoted embedded newlines; it costs
+    * file-level (not block-level) read parallelism — size input files
+    * accordingly, or strip newlines upstream when splittability matters. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("header", "true").option("escape", "\"").csv(path)
+    spark.read.schema(schema).option("header", "true").option("escape", "\"")
+      .option("multiLine", "true").csv(path)
 
   def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.ErrorIfExists): Unit =
     df.write.mode(mode).orc(path)

@@ -190,6 +190,12 @@ object StreamingDedup {
         })
   }
 
+  /** State per doc id: the distinct benchmark shingle hashes matched so
+    * far — bounded by the doc's own benchmark collisions, NOT the
+    * stream. Same encoder-schema caveat as [[BandState]]. */
+  case class DeconState(hits: Array[Long])
+  case class DeconHit(id: String, n_hits: Long)
+
   /** Streaming benchmark decontamination — the stream-static twin of
     * [[graft.operators.Decontaminate.scan]]: each micro-batch of
     * (id, text) documents is scanned against a STATIC benchmark
@@ -197,27 +203,49 @@ object StreamingDedup {
     * `Dedup.shingleHashRows(bench, ...).select("h").distinct()`).
     *
     * Shape: the per-document shingle explode and the stream-static
-    * inner join are both stateless (Spark broadcasts or re-reads the
-    * static side per batch; no state store), and the per-document hit
-    * count is a streaming aggregate keyed by id — state O(distinct ids
-    * seen), evictable via watermark upstream if ids are time-scoped.
-    * Emits one row per CONTAMINATED document (n_hits ≥ minHits) in
-    * update mode — the streaming shape inverts the batch contract
-    * (which reports every doc): unbounded streams report offenders,
-    * not the complement.
+    * inner join are both stateless (no state store — Spark re-plans the
+    * static side per batch), then ONE `flatMapGroupsWithState` keyed by
+    * doc id keeps the SET of matched benchmark hashes. Keeping the set
+    * (not a count) makes the result exact under at-least-once delivery:
+    * a re-ingested document re-contributes the same hashes, the set
+    * union is idempotent, and the count never inflates — matching the
+    * batch scan's global (id, hash) distinct. State is O(ids with ≥ 1
+    * collision × their collision count): clean documents never enter
+    * the state store at all.
+    *
+    * Emits (id, n_hits) in UPDATE mode whenever a document's distinct
+    * hit count grows to ≥ `minHits` — the streaming shape inverts the
+    * batch contract (which reports every doc): unbounded streams report
+    * offenders, not the complement. Ids surface as strings (the
+    * typed-state key).
     */
   def decontaminateStream(docs: DataFrame, benchShingleHashes: DataFrame,
-      shingleLen: Int = 3, minHits: Int = 5): DataFrame = {
+      shingleLen: Int = 3, minHits: Int = 5): Dataset[DeconHit] = {
     import graft.functions.TextFunctions.{portableHash60, shingles, words}
+    implicit val stateEnc: Encoder[DeconState] = Encoders.product[DeconState]
+    implicit val outEnc: Encoder[DeconHit] = Encoders.product[DeconHit]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
     // the relational shingle builder (posexplode + window lead) is
     // batch-only — windows are unsupported on streams. The per-row fold
     // twin is map-only (stateless), and array_distinct makes (id, h)
-    // unique per document WITHOUT a stateful dropDuplicates.
+    // unique within one document row without any state.
     val hs = docs.select(col("id"),
         explode(array_distinct(shingles(words(col("text")), shingleLen))).as("s"))
-      .select(col("id"), portableHash60(col("s")).as("h"))
+      .select(col("id").cast("string").as("id"), portableHash60(col("s")).as("h"))
     hs.join(benchShingleHashes.select(col("h")), Seq("h"))
-      .groupBy("id").agg(count(lit(1)).as("n_hits"))
-      .filter(col("n_hits") >= minHits)
+      .select(col("id"), col("h"))
+      .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (id: String, rows: Iterator[(String, Long)], state: GroupState[DeconState]) => {
+          val prev = state.getOption.map(_.hits.toSet).getOrElse(Set.empty[Long])
+          val next = prev ++ rows.map(_._2)
+          if (next.size == prev.size) Iterator.empty // pure redelivery: no update
+          else {
+            state.update(DeconState(next.toArray.sorted))
+            if (next.size >= minHits) Iterator.single(DeconHit(id, next.size.toLong))
+            else Iterator.empty
+          }
+        })
   }
 }

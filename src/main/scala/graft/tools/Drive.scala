@@ -97,7 +97,7 @@ object Drive {
         .selectExpr("id", "cast(id % 5 + 3 as long) as t", "concat('g', id % 2) as grp")
       val packed = Packing.packChunks(toks, "id", "t", budget = 10, groupCol = "grp")
       packed.orderBy("group", "id").show()
-      Packing.packStats(packed, 10).orderBy("group").show()
+      Packing.packStats(packed).orderBy("group").show()
       Splits.stratifiedSample(toks, "id", "grp", Seq("g0" -> 1.0, "g1" -> 0.2))
         .groupBy("grp").count().orderBy("grp").show()
     }

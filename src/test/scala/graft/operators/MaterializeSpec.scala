@@ -53,9 +53,10 @@ class MaterializeSpec extends SparkTestBase {
     assert(local == graft.Fixtures.expectedPdq)
   }
 
-  test("unknown mode raises") {
+  test("unknown mode raises (apply and iterative alike)") {
     withMode("bogus") {
       intercept[IllegalArgumentException](Materialize(docs))
+      intercept[IllegalArgumentException](Materialize.iterative(docs))
     }
   }
 

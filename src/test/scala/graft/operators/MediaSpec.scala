@@ -69,7 +69,9 @@ class MediaSpec extends SparkTestBase {
     assert(Media.headerImageDecoder(bmpAt(16)) == ((5, 7, 3)))
     assert(Media.headerImageDecoder(bmpAt(32)) == ((5, 7, 4)))
     assert(Media.headerImageDecoder(bmpAt(8)) == ((5, 7, 1)))
-    intercept[IllegalArgumentException](Media.headerImageDecoder(bmpAt(2)))
+    assert(Media.headerImageDecoder(bmpAt(2)) == ((5, 7, 1)))  // WinCE 4-color palette
+    assert(Media.headerImageDecoder(bmpAt(0)) == ((5, 7, 3)))  // BI_JPEG/BI_PNG stream
+    intercept[IllegalArgumentException](Media.headerImageDecoder(bmpAt(3)))
     // JPEG: SOI, APP0 segment (skipped), SOF0 11x9, 3 components
     val jpg = b(0xff, 0xd8,
       0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,          // APP0, length 4

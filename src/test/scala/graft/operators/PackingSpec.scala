@@ -47,7 +47,7 @@ class PackingSpec extends SparkTestBase {
       val lastEnd = grows.map(r => r._4 * budget + r._6 + r._3).max
       assert(lastEnd == total, s"group $g stream must be gap-free")
     }
-    val stats = Packing.packStats(packed, budget)
+    val stats = Packing.packStats(packed)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     for ((g, (nd, nt, ns)) <- stats) {
       assert(nd == rows.count(_._1 == g))

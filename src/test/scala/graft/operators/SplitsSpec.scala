@@ -111,5 +111,8 @@ class SplitsSpec extends SparkTestBase {
     assert(sql.contains("'don''t'") && sql.contains("'o''k'") && sql.contains("'it''s'"))
     // balanced quoting: an even number of single quotes overall
     assert(sql.count(_ == '\'') % 2 == 0)
+    // empty fractions must not emit a zero-WHEN CASE (parse error)
+    val empty = Splits.stratifiedSampleSql("id", "grp", Seq.empty, defaultFraction = 0.3)
+    assert(!empty.contains("CASE") && empty.contains("3000"))
   }
 }

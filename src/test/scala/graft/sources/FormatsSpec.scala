@@ -27,11 +27,13 @@ class FormatsSpec extends SparkTestBase {
     assert(sorted(back) == sorted(docs))
   }
 
-  test("CSV round-trip with embedded delimiters and quotes") {
+  test("CSV round-trip with embedded delimiters, quotes, and newlines") {
     val path = tmp("csv")
-    Formats.writeCsv(docs.filter(col("text").isNotNull), path)
+    val tricky = docs.filter(col("text").isNotNull)
+      .union(Seq((9L, "line one\nline two, still row nine", "val")).toDF("id", "text", "split"))
+    Formats.writeCsv(tricky, path)
     val back = Formats.readCsv(spark, path, docs.schema)
-    assert(sorted(back) == sorted(docs.filter(col("text").isNotNull)))
+    assert(sorted(back) == sorted(tricky))
   }
 
   test("ORC round-trip") {

@@ -167,9 +167,13 @@ class StreamingDedupSpec extends SparkTestBase {
       q.processAllAvailable()
       input.addData(second: _*)
       q.processAllAvailable()
+      // at-least-once delivery: re-ingesting every doc must not inflate
+      // the distinct-hit counts (hash-set state is idempotent)
+      input.addData(docsSeq: _*)
+      q.processAllAvailable()
       // update mode emits per-batch rows; take the final count per id
       val got = spark.table("sd_decon").groupBy("id").agg(max("n_hits").as("n_hits"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .collect().map(r => (r.getString(0).toLong, r.getLong(1))).toSet
       assert(got == expected)
       assert(expected.nonEmpty)
     } finally q.stop()
