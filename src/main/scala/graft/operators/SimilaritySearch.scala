@@ -26,8 +26,16 @@ import org.apache.spark.sql.functions._
 object SimilaritySearch {
 
   /** Left-to-right dot product of two equal-length numeric arrays in
-    * double precision. */
-  def dot(a: Column, b: Column): Column =
+    * double precision — the native codegen'd expression
+    * ([[graft.plans.DotProduct]]). Bit-identical to [[dotFold]] (same
+    * IEEE fold order) but whole-stage-codegen'd instead of walking the
+    * HOF lambda interpreter per element: this is the inner loop of every
+    * scoring join, evaluated once per candidate PAIR. */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct(a, b)
+
+  /** The higher-order-function formulation of [[dot]] — kept as the
+    * executable specification the native expression is tested against. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -93,14 +101,13 @@ object SimilaritySearch {
   def hyperplaneBucket(vec: Column, dim: Int, p: Int): Column = {
     import graft.functions.TextFunctions.portableHash60
     val bits = (0 until p).map { j =>
-      val proj = aggregate(
-        zip_with(
-          vec,
-          transform(sequence(lit(0), lit(dim - 1)),
-            i => portableHash60(concat(lit(s"plane:$j:"), i.cast("string")))
-              .bitwiseAND(lit(1L)) * lit(2L) - lit(1L)),
-          (x, s) => x.cast("double") * s.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      // the ±1 plane array folds constant (transform over a literal
+      // sequence); the projection itself runs through the native dot —
+      // p interpreted 64-element folds per row otherwise
+      val proj = dot(vec,
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => portableHash60(concat(lit(s"plane:$j:"), i.cast("string")))
+            .bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

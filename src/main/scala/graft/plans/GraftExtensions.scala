@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hammingDistanceDescriptor)
+    ext.injectFunction(GraftExtensions.dotProductDescriptor)
   }
 }
 
@@ -29,6 +30,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "hamming_distance takes exactly 2 arguments")
       HammingDistance(children.head, children(1))
+    }
+  )
+
+  val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "dot_product takes exactly 2 arguments")
+      DotProduct(children.head, children(1))
     }
   )
 }
