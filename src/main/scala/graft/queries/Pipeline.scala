@@ -309,6 +309,33 @@ object Pipeline {
     """.trim)
   )
 
+  /** Per-language corpus statistics with EXACT percentiles: the report
+    * relation behind curation dashboards. avg is stated as the explicit
+    * exact-integer-sum division (engine-identical); percentiles use the
+    * linear-interpolation definition both engines implement
+    * (`percentile` / `quantile_cont`), rounded like the cosine tiers. */
+  val corpusStats: QueryDef = QueryDef(
+    "corpus_stats",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(col("lang"), size(TextFunctions.words(col("text"))).as("nw"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_words"),
+        (sum(col("nw")).cast("double") / count(lit(1)).cast("double")).as("avg_words"),
+        round(expr("percentile(nw, 0.5)"), 9).as("p50_words"),
+        round(expr("percentile(nw, 0.95)"), 9).as("p95_words"))
+      .orderBy("lang"),
+    Some(s"""
+      WITH w AS (SELECT lang, len(${TextFunctions.wordsSql("text")}) AS nw FROM documents)
+      SELECT lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_words,
+        CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE) / count(*) AS avg_words,
+        round(quantile_cont(nw, 0.5), 9) AS p50_words,
+        round(quantile_cont(nw, 0.95), 9) AS p95_words
+      FROM w GROUP BY lang ORDER BY lang
+    """.trim)
+  )
+
   /** Longest-shared-token-run pairs over the planted-tail corpus (each
     * planted variant shares its entire base document verbatim — a long
     * run even where whole-document similarity could be low). Restricted
@@ -841,7 +868,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
-    commonSpans, incrementalDedup, textQuality, langId, tokenCounts, fingerprints, topTerms,
+    commonSpans, incrementalDedup, corpusStats, textQuality, langId, tokenCounts, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
     embedTopK, embedAnn, embedNearDups, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups

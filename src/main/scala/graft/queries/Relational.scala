@@ -320,8 +320,38 @@ object Relational {
     }
   )
 
+  /** Pivot (wide crosstab): order counts by status × priority. Spark's
+    * `.pivot` with EXPLICIT values keeps the plan a single aggregate
+    * (no extra distinct-values job, fixed output schema — the only
+    * scalable way to pivot); missing cells coalesce to 0 to match the
+    * oracle's `count(*) FILTER`. */
+  val qPivot: QueryDef = QueryDef(
+    "q_pivot",
+    (s, dir) => {
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val p = tbl(s, dir, "orders")
+        .groupBy("o_orderstatus").pivot("o_orderpriority", priorities).count()
+      p.select(col("o_orderstatus") +:
+        priorities.zipWithIndex.map { case (v, i) =>
+          coalesce(p.col(s"`$v`"), lit(0L)).as(s"p${i + 1}")
+        }: _*)
+        .orderBy("o_orderstatus")
+    },
+    Some {
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val cells = priorities.zipWithIndex.map { case (v, i) =>
+        s"count(*) FILTER (WHERE o_orderpriority = '$v') AS p${i + 1}"
+      }.mkString(",\n        ")
+      s"""
+      SELECT o_orderstatus,
+        $cells
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """.trim
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
-    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf, qHammingExpr
+    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf, qHammingExpr, qPivot
   )
 }
