@@ -253,6 +253,45 @@ object TextAnalysis {
         )"""
   }
 
+  /** Feature-hashing linear quality scorer — the SHAPE of a fastText /
+    * logistic-regression quality filter (hashing trick: Weinberger et
+    * al., ICML'09) with a deterministic md5-derived weight table, so
+    * the pipeline slot is real and swapping in trained weights is a
+    * one-line change. Per document:
+    * `z = Σ w(word) / (1000 · n_words)`, `score = σ(z)`,
+    * where `w(word) = (portable_hash60("w8:" + word) mod 2001) − 1000`
+    * ∈ [−1000, 1000].
+    *
+    * Determinism: the weight SUM is integral (exact, order-independent
+    * — FP accumulation over row sets is partition-order-dependent and
+    * banned by the oracle rules); the only FP steps are one division
+    * and one sigmoid, rounded at 9 dp like the ln/cosine tiers.
+    * Relational shape: one explode, map-side-combinable integer sums;
+    * wordless documents score σ(0) = 0.5.
+    */
+  def hashedQualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = (portableHash60(concat(lit("w8:"), col("word"))) % 2001L) - lit(1000L)
+    val sums = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("word"))
+      .select(col("id"), w.as("w"))
+      .groupBy("id").agg(sum(col("w")).as("zsum"), count(lit(1)).as("nw"))
+    df.select(col(idCol).as("id"))
+      .join(sums, Seq("id"), "left")
+      .select(col("id"),
+        round(lit(1.0) / (lit(1.0) + exp(-(coalesce(col("zsum"), lit(0L)).cast("double") /
+          (lit(1000.0) * greatest(coalesce(col("nw"), lit(0L)), lit(1L)).cast("double"))))), 9)
+          .as("quality_score"))
+  }
+
+  /** DuckDB twin of [[hashedQualityScore]] over text expression `t` —
+    * per-row list fold (sequential, integer-exact) instead of the
+    * distributed aggregate; identical values. */
+  def hashedQualityScoreSql(t: String): String = {
+    val ws = wordsSql(t)
+    val w = s"(CAST('0x' || substr(md5('w8:' || w), 1, 15) AS BIGINT) % 2001 - 1000)"
+    s"""round(1.0 / (1.0 + exp(-(CAST(coalesce(list_sum(list_transform($ws, w -> $w)), 0) AS DOUBLE)
+        / (1000.0 * greatest(len($ws), 1))))), 9)"""
+  }
+
   /** PII patterns shared by the Spark operator and the SQL twin —
     * deliberately restricted to constructs with identical semantics in
     * Java regex and RE2 (no lookaround, no backrefs). */

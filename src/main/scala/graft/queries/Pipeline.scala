@@ -206,6 +206,16 @@ object Pipeline {
     }
   )
 
+  val qualityScore: QueryDef = QueryDef(
+    "quality_score",
+    (s, dir) => TextAnalysis.hashedQualityScore(tbl(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id"),
+    Some(s"""
+      SELECT doc_id AS id, ${TextAnalysis.hashedQualityScoreSql("text")} AS quality_score
+      FROM documents ORDER BY id
+    """.trim)
+  )
+
   val tokenCounts: QueryDef = QueryDef(
     "token_counts",
     (s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "doc_id", "text").orderBy("id"),
@@ -868,7 +878,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
-    commonSpans, incrementalDedup, corpusStats, textQuality, langId, tokenCounts, fingerprints, topTerms,
+    commonSpans, incrementalDedup, corpusStats, textQuality, langId, qualityScore, tokenCounts, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
     embedTopK, embedAnn, embedNearDups, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups

@@ -102,6 +102,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(3L).isEmpty) // fewer than 3 words -> no shingles
   }
 
+  test("hashedQualityScore: deterministic sigmoid scores, wordless docs at 0.5") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, ""), (4L, "zz"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.hashedQualityScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == got(2L))            // pure function of the text
+    assert(got(3L) == 0.5)                // no words -> sigma(0)
+    assert(got.values.forall(s => s > 0.0 && s < 1.0))
+    // replay the documented formula for one doc
+    def w(word: String): Long = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w8:$word".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(m.substring(0, 15), 16) % 2001L - 1000L
+    }
+    val z = Seq("alpha", "beta", "gamma").map(w).sum.toDouble / (1000.0 * 3)
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == expected)
+  }
+
   test("tfidfTopTerms: smoothed scores, per-doc top-k, word-order ties") {
     val df = Seq(
       (1L, "apple banana apple"),

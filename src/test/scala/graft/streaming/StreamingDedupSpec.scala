@@ -119,10 +119,13 @@ class StreamingDedupSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val df = input.toDF().toDF("id", "text")
-    // quality + PII redaction + hash split are pure projections — the
-    // same operator code plans on a streaming DataFrame with no changes
-    val staged = Splits.hashSplit(
-      TextAnalysis.redactPii(df, "id", "text"), "id", Seq("train" -> 0.5, "test" -> 0.5))
+    // quality + PII redaction + hash split + stratified sampling are
+    // pure projections/filters — the same operator code plans on a
+    // streaming DataFrame with no changes
+    val staged = Splits.stratifiedSample(
+      Splits.hashSplit(
+        TextAnalysis.redactPii(df, "id", "text"), "id", Seq("train" -> 0.5, "test" -> 0.5)),
+      "id", "split", Seq("train" -> 1.0, "test" -> 1.0))
     val q = staged.writeStream.format("memory").queryName("sd_curation")
       .outputMode("append").start()
     val q2 = TextAnalysis.quality(df, "id", "text")
