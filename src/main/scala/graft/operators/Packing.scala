@@ -30,6 +30,12 @@ object Packing {
     *         dropped): group, id, n_tokens, seq_first, seq_last (the
     *         sequence indexes this document's tokens span, 0-based per
     *         group), offset (token position inside seq_first).
+    *
+    * Contract: `idCol` must be unique within each group — the window
+    * orders by id alone, so a duplicated id would make `cum_before`
+    * (and everything derived from it) depend on tie-break order. The
+    * DuckDB twin shares the same ORDER BY, so the contract applies to
+    * both sides identically.
     */
   def packChunks(
       df: DataFrame,
@@ -65,7 +71,12 @@ object Packing {
       expr(s"(max(seq_last) + 1)").as("n_sequences"))
 
   /** DuckDB twin of [[packChunks]] over table expression `input` with
-    * columns (g, id, t). */
+    * columns (g, id, t). DuckDB's windowed `sum(BIGINT)` widens to
+    * HUGEINT, which surfaces as float64 downstream of the comparison
+    * gate — the outer CAST pins `cum_before` (and everything derived
+    * from it) back to BIGINT so the twin's dtypes match Spark's int64
+    * exactly (same trap and fix as corpus_stats' `CAST(sum(nw) AS
+    * BIGINT)`). */
   def packChunksSql(input: String, budget: Long): String =
     s"""SELECT g AS "group", id, n_tokens,
         cum_before // $budget AS seq_first,
@@ -73,8 +84,8 @@ object Packing {
         cum_before % $budget AS "offset"
       FROM (
         SELECT g, id, CAST(t AS BIGINT) AS n_tokens,
-          coalesce(sum(CAST(t AS BIGINT)) OVER (PARTITION BY g ORDER BY id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          CAST(coalesce(sum(CAST(t AS BIGINT)) OVER (PARTITION BY g ORDER BY id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         FROM ($input) WHERE t > 0
       )"""
 }

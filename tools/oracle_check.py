@@ -29,6 +29,20 @@ def array_col(cols, rows):
                 return c
     return None
 
+def dtype_kinds(rel):
+    """Pandas dtype kind per column, as the driver's gate sees the data.
+    The gate compares pandas frames, so DuckDB HUGEINT (windowed sum of
+    BIGINT) surfacing as float64 vs Spark's int64 is a real mismatch even
+    when every value is identical — fetchall()'s Python ints mask it,
+    .df() does not. Width differences (int32 vs int64) hash the same in
+    the gate, so compare the KIND ('i'/'u' vs 'f' vs 'O'...), with signed
+    and unsigned ints treated as one kind."""
+    kinds = {}
+    for c, dt in rel.df().dtypes.items():
+        k = dt.kind
+        kinds[c] = 'i' if k in ('i', 'u') else k
+    return kinds
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     # sort RAW values first (like the driver's pandas sort_values),
@@ -61,6 +75,7 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: array-typed output column '{bad}' — driver's pandas gate cannot sort it")
                 failed.append(name); continue
             scols, srows = norm_rows(s.columns, sraw)
+            skinds = dtype_kinds(s)
         except Exception as e:
             print(f"FAIL {name}: reading spark output: {e}")
             failed.append(name); continue
@@ -72,11 +87,18 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: array-typed ORACLE column '{bad}' — driver's pandas gate cannot sort it")
                 failed.append(name); continue
             dcols, drows = norm_rows(d.columns, draw)
+            dkinds = dtype_kinds(d)
         except Exception as e:
             print(f"FAIL {name}: oracle errored: {str(e)[:300]}")
             failed.append(name); continue
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duckdb={dcols}")
+            failed.append(name); continue
+        kind_diff = {c: (skinds.get(c), dkinds.get(c)) for c in scols
+                     if skinds.get(c) != dkinds.get(c)}
+        if kind_diff:
+            print(f"FAIL {name}: dtype-kind mismatch (spark, oracle): {kind_diff} — "
+                  f"values may be identical but the driver's pandas gate hashes them differently")
             failed.append(name); continue
         if srows != drows:
             diff = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
