@@ -152,14 +152,24 @@ object TextFunctions {
     * distinct + sorted. Documents shorter than one window fall back to
     * their global min.
     *
-    * The input array is LET-BOUND once via a single-element-array
-    * transform: lambda variables are materialized values, whereas a free
-    * column reference inside an HOF lambda re-evaluates its whole
-    * upstream derivation (tokenize → shingle → md5) on every lambda
-    * call — that shape made the sliding window O(n²·chain) per document
-    * (measured 229 s for the fingerprints query at sf0.1; this one runs
-    * the chain once per row). */
+    * Runs on the native codegen'd [[graft.plans.WinnowMins]] expression
+    * (monotonic-deque O(n) sliding min, distinct+sort fused) — the HOF
+    * formulation below computes the identical value but walks the lambda
+    * interpreter and allocates a slice per window, O(n·w) per document;
+    * it was the heaviest non-output-bound bench stage (9.2 s at sf0.1). */
   def winnow(shingleHashes: Column, w: Int): Column =
+    graft.plans.WinnowMins(shingleHashes, w)
+
+  /** The original higher-order-function formulation of [[winnow]], kept
+    * as the executable specification the native expression is asserted
+    * against (WinnowMinsSpec). The input array is LET-BOUND once via a
+    * single-element-array transform: lambda variables are materialized
+    * values, whereas a free column reference inside an HOF lambda
+    * re-evaluates its whole upstream derivation (tokenize → shingle →
+    * md5) on every lambda call — that shape made the sliding window
+    * O(n²·chain) per document (measured 229 s for the fingerprints query
+    * at sf0.1; this one runs the chain once per row). */
+  def winnowHof(shingleHashes: Column, w: Int): Column =
     element_at(
       transform(array(shingleHashes), hs =>
         when(size(hs) === 0, array().cast("array<bigint>"))

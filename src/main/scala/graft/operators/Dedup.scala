@@ -49,38 +49,49 @@ object Dedup {
       .select(idCol)
       .join(df, Seq(idCol))
 
-  /** (id, pos, h) rows: the 60-bit hash of each n-word shingle of
-    * `textCol`, one row per shingle in document order.
-    *
-    * Relational shape — posexplode the words, build each shingle with
-    * window `lead`s, hash with codegen'd md5 — every step whole-stage
-    * codegen. (The per-row array-fold shape ran the shingle
-    * construction and hashing inside interpreted higher-order
-    * functions: ~4 s of the sf0.1 bench per consumer vs sub-second
-    * here.) The input is hash-repartitioned on the id BEFORE the chain
-    * so a narrow scan of few parquet files cannot pin the CPU work to
-    * one or two cores; the window sorts only within each tiny per-id
-    * partition slice. */
-  def shingleHashRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
-    val wordCols = col("w0") +: (1 until n).map(j => col(s"w$j"))
-    df.repartition(col(idCol))
-      .select(col(idCol).as("id"), posexplode(words(col(textCol))))
-      .withColumnRenamed("col", "w0")
-      .select(col("id") +: col("pos") +: col("w0") +:
-        (1 until n).map(j => lead(col("w0"), j).over(w).as(s"w$j")): _*)
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("id"), col("pos"), portableHash60(concat_ws(" ", wordCols: _*)).as("h"))
+  /** Scan-width guard for map-heavy chains: when the input plan has
+    * far fewer partitions than the cluster has slots (a handful of
+    * small parquet files — one row group is one unsplittable scan
+    * partition), round-robin repartition so per-row CPU work (md5 per
+    * shingle) isn't pinned to one or two cores. At production scale a
+    * 100 TB scan already yields thousands of splits and this is a
+    * no-op — the text is never shuffled. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
+
+  /** (id, pos, h) rows: the 60-bit hash of each n-word shingle of
+    * `textCol`, one row per shingle in document order (`pos` = word
+    * index of the shingle start).
+    *
+    * Map-only: the codegen'd [[graft.plans.ShingleHash60]] kernel
+    * hashes every shingle straight out of the word bytes, then a
+    * codegen posexplode emits the rows — ZERO shuffles, one pass over
+    * the text. (Two prior shapes both lost: interpreted higher-order
+    * functions ran the fold + md5 through the lambda interpreter ~2.5×
+    * slower, and the relational window-`lead` build paid a full
+    * repartition of the raw text per consumer.) */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    spread(df)
+      .select(col(idCol).as("id"),
+        posexplode(graft.plans.ShingleHash60(words(col(textCol)), n)))
+      .select(col("id"), col("pos"), col("col").as("h"))
 
   /** (id, shingle-hash array) helper: distinct 30-bit hashes of n-word
     * shingles of `textCol`, in first-occurrence (document) order —
-    * identical arrays to the original fold formulation. */
+    * identical arrays to the original fold formulation. Documents with
+    * no shingles (< n words) are absent, as in the exploded relation.
+    * Map-only: array ops over the [[graft.plans.ShingleHash60]] kernel
+    * output; the lambda in `transform` binds the kernel's array once,
+    * so nothing re-evaluates. */
   def shingleHashes30(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingleHashRows(df, idCol, textCol, n)
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("pos"), (col("h") % 1073741824L).as("h")))).as("ph"))
-      .select(col("id"), array_distinct(expr("transform(ph, x -> x.h)")).as("hs"))
+    spread(df)
+      .select(col(idCol).as("id"),
+        array_distinct(transform(
+          graft.plans.ShingleHash60(words(col(textCol)), n),
+          h => h % lit(1073741824L))).as("hs"))
+      .filter(size(col("hs")) > 0)
 
   /** MinHash-LSH near-duplicate pairs.
     *

@@ -336,20 +336,18 @@ object TextAnalysis {
   /** Winnowing document fingerprints: (id, fingerprints array<bigint>).
     * shingleLen-gram rolling hashes, min per window of `window`.
     *
-    * Shingle hashes come from the codegen'd relational builder
-    * ([[Dedup.shingleHashRows]]) and are re-assembled in document order
-    * per id; documents with fewer than shingleLen words keep their row
-    * with an empty fingerprint array (left join), matching the
-    * original per-row formulation. */
+    * Map-only: tokenize → shingle → hash → native winnow, one projection
+    * per row, ZERO shuffles — at corpus scale the cost is exactly one
+    * pass over the text. This shape is only viable because
+    * [[graft.plans.WinnowMins]] references its input array ONCE (a prior
+    * formulation detoured through the exploded
+    * [[Dedup.shingleHashRows]] relation plus a regroup shuffle to dodge
+    * the interpreted HOF winnow re-evaluating the hash chain per
+    * window). Documents shorter than one shingle yield an empty array. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
-                   shingleLen: Int = 3, window: Int = 4): DataFrame = {
-    val hsArr = Dedup.shingleHashRows(df, idCol, textCol, shingleLen)
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"))
-      .select(col("id"), expr("transform(ph, x -> x.h)").as("hs"))
-    df.select(col(idCol).as("id"))
-      .join(hsArr, Seq("id"), "left")
-      .select(col("id"),
-        winnow(coalesce(col("hs"), array().cast("array<bigint>")), window).as("fingerprints"))
-  }
+                   shingleLen: Int = 3, window: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+      winnow(
+        graft.plans.ShingleHash60(words(col(textCol)), shingleLen),
+        window).as("fingerprints"))
 }

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hammingDistanceDescriptor)
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.winnowMinsDescriptor)
+    ext.injectFunction(GraftExtensions.shingleHash60Descriptor)
   }
 }
 
@@ -39,6 +41,24 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "dot_product takes exactly 2 arguments")
       DotProduct(children.head, children(1))
+    }
+  )
+
+  val winnowMinsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_mins"),
+    new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "winnow_mins takes exactly 2 arguments")
+      WinnowMins(children.head, children(1))
+    }
+  )
+
+  val shingleHash60Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hash60"),
+    new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "shingle_hash60 takes exactly 2 arguments")
+      ShingleHash60(children.head, children(1))
     }
   )
 }
