@@ -48,6 +48,14 @@ object Decontaminate {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).cast("int").as("contaminated"))
   }
 
+  /** A [[scanBloom]] result plus the handle to free its broadcast Bloom
+    * filter. The filter's blocks (~1.2 GB at the motivating 10⁹-shingle
+    * scale) live on the driver and every executor for the session
+    * lifetime otherwise — call `release()` once the result has been
+    * materialized (written/collected). Releasing BEFORE materialization
+    * makes the plan unexecutable. */
+  final case class BloomScan(result: DataFrame, release: () => Unit)
+
   /** [[scan]] with a Bloom-filter prefilter — the shape for benchmark
     * sets too large to broadcast as an exact hash relation (a 10⁹-
     * shingle eval union is ~8 GB of longs, but ~1.2 GB of Bloom bits at
@@ -56,8 +64,10 @@ object Decontaminate {
     *  1. '''Prefilter''' (map-side): a Bloom filter over the benchmark's
     *     distinct shingle hashes (built with Spark's distributed
     *     `stat.bloomFilter` tree-aggregate — the driver only ever holds
-    *     the final bit array) is broadcast and drops non-colliding
-    *     corpus shingle rows before any join.
+    *     the final bit array) is broadcast and probed by the native
+    *     codegen'd [[graft.plans.BloomMightContainLong]] expression —
+    *     non-colliding corpus shingle rows drop inside the scan's
+    *     whole-stage-codegen span, before any join.
     *  2. '''Exact verify''': survivors — a tiny fraction of the corpus —
     *     shuffle-join the true benchmark set (deliberately NOT a
     *     broadcast join: the premise is that the exact set is too big to
@@ -68,6 +78,10 @@ object Decontaminate {
     * Building the filter runs two Spark jobs at plan-construction time
     * (a count to size it, the tree-aggregate to fill it) — both over
     * the small benchmark side only.
+    *
+    * This overload leaks the broadcast filter for the session lifetime;
+    * long-running jobs should use [[scanBloomReleasable]] and call
+    * `release()` after materializing the result.
     */
   def scanBloom(
       df: DataFrame,
@@ -77,7 +91,20 @@ object Decontaminate {
       shingleLen: Int = 3,
       minHits: Int = 5,
       fpp: Double = 0.01
-  ): DataFrame = {
+  ): DataFrame =
+    scanBloomReleasable(df, benchmark, idCol, textCol, shingleLen, minHits, fpp).result
+
+  /** [[scanBloom]] returning the broadcast-release handle — see
+    * [[BloomScan]]. */
+  def scanBloomReleasable(
+      df: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      minHits: Int = 5,
+      fpp: Double = 0.01
+  ): BloomScan = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
     val docHs = Materialize(Dedup.shingleHashRows(df, idCol, textCol, shingleLen)
       .select(col("id"), col("h")).distinct())
@@ -85,14 +112,14 @@ object Decontaminate {
       .select("h").distinct())
     val bloom = benchHs.stat.bloomFilter("h", math.max(1L, benchHs.count()), fpp)
     val bloomBc = df.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
     val totals = docHs.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val hits = docHs.filter(mightContain(col("h")))
+    val hits = docHs.filter(graft.plans.BloomMightContainLong(col("h"), bloomBc))
       .join(benchHs, Seq("h")) // shuffle join on the surviving sliver
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
-    totals.join(hits, Seq("id"), "left")
+    val result = totals.join(hits, Seq("id"), "left")
       .select(col("id"), col("n_shingles"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) >= minHits).cast("int").as("contaminated"))
+    BloomScan(result, () => bloomBc.destroy())
   }
 }

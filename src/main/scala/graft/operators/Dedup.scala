@@ -168,6 +168,52 @@ object Dedup {
     ).select(col("id"), col("pos").as("band_id"), col("col").as("band"))
   }
 
+  /** The persistable corpus-side index for [[incrementalDedup]]: the
+    * three relations the classify joins actually touch — each a pure
+    * function of the corpus, so they are maintained ACROSS runs instead
+    * of re-derived per batch (at 100 TB the inline derivation is a
+    * full-corpus scan + repartition per daily delta; the index is
+    * written once and appended to as batches are admitted).
+    *
+    *  - `md5`   — (m, cid): text md5 → corpus id, the exact tier;
+    *  - `hs`    — (id, hs): distinct 30-bit shingle hashes per doc, the
+    *    verification side;
+    *  - `bands` — (id, band_id, band): MinHash LSH band rows, the
+    *    candidate-join side.
+    */
+  final case class DedupIndex(md5: DataFrame, hs: DataFrame, bands: DataFrame)
+
+  /** Derive the corpus index inline. The hs relation feeds both the
+    * band derivation and (twice) the verification joins — materialized
+    * once here. */
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, k: Int = 16, bands: Int = 4): DedupIndex = {
+    val cMd = corpus.select(md5(col(textCol)).as("m"), col(idCol).as("cid"))
+    val cHs = Materialize(shingleHashes30(corpus, idCol, textCol, shingleLen)
+      .filter(size(col("hs")) > 0))
+    DedupIndex(cMd, cHs, minhashBandRows(cHs, k, bands))
+  }
+
+  /** Persist a [[DedupIndex]] as three parquet relations under `path`.
+    * Band rows are Hive-partitioned by `band_id` (low cardinality, and
+    * the candidate join's equi-key — a probe filtered to one band reads
+    * one directory). Use SaveMode.Append for the admit-new-batch flow. */
+  def writeIndex(index: DedupIndex, path: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    index.md5.write.mode(mode).parquet(s"$path/md5")
+    index.hs.write.mode(mode).parquet(s"$path/hs")
+    graft.sources.Formats.writePartitioned(index.bands, s"$path/bands", Seq("band_id"), mode)
+  }
+
+  /** Read a persisted [[DedupIndex]]. The classify path over a read
+    * index touches ZERO corpus text — the daily-delta contract. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex =
+    DedupIndex(
+      spark.read.parquet(s"$path/md5"),
+      spark.read.parquet(s"$path/hs"),
+      spark.read.parquet(s"$path/bands")
+        .select(col("id"), col("band_id").cast("int"), col("band")))
+
   /** Incremental dedup: classify a NEW batch of documents against an
     * EXISTING corpus — the daily-delta shape of a production curation
     * pipeline (yesterday's 100 TB corpus is settled; today's crawl must
@@ -181,11 +227,12 @@ object Dedup {
     *
     * Scale shape: the batch side is small relative to the corpus, so
     * BOTH joins broadcast the batch (its md5 relation, its band rows) —
-    * the corpus streams map-side and never shuffles. In production the
-    * corpus md5/band relations would be precomputed tables maintained
-    * across runs (they are pure functions of the corpus); here they are
-    * derived inline. Verification joins run only on the candidate
-    * sliver.
+    * the corpus streams map-side and never shuffles. This overload
+    * derives the corpus index inline (one corpus scan); the
+    * [[DedupIndex]] overload takes precomputed relations
+    * ([[buildIndex]] / [[readIndex]]) so the daily-delta path touches
+    * no corpus text at all. Verification joins run only on the
+    * candidate sliver.
     *
     * @return one row per batch doc: (id, status, match_id, jaccard) —
     *         match_id = min-id exact match, else the best-Jaccard
@@ -202,19 +249,35 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.6
+  ): DataFrame =
+    incrementalDedup(batch, buildIndex(corpus, idCol, textCol, shingleLen, k, bands),
+      idCol, textCol, shingleLen, k, bands, threshold)
+
+  /** [[incrementalDedup]] against a precomputed [[DedupIndex]] — the
+    * production shape: the corpus relations come from maintained tables
+    * ([[readIndex]]), so classifying a batch costs one pass over the
+    * BATCH text plus broadcast joins against the index; the settled
+    * corpus is never re-scanned or re-shuffled. */
+  def incrementalDedup(
+      batch: DataFrame,
+      index: DedupIndex,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double
   ): DataFrame = {
     val bMd = batch.select(col(idCol).as("id"), md5(col(textCol)).as("m"))
-    val cMd = corpus.select(md5(col(textCol)).as("m"), col(idCol).as("cid"))
-    val exact = cMd.join(broadcast(bMd), Seq("m"))
+    val exact = index.md5.join(broadcast(bMd), Seq("m"))
       .groupBy("id").agg(min(col("cid")).as("exact_id"))
 
     val bHs = Materialize(shingleHashes30(batch, idCol, textCol, shingleLen)
       .filter(size(col("hs")) > 0))
-    val cHs = Materialize(shingleHashes30(corpus, idCol, textCol, shingleLen)
-      .filter(size(col("hs")) > 0))
+    val cHs = index.hs
     val bBands = minhashBandRows(bHs, k, bands)
       .select(col("id").as("bid"), col("band_id"), col("band"))
-    val cBands = minhashBandRows(cHs, k, bands)
+    val cBands = index.bands
     val cand = cBands.join(broadcast(bBands),
         cBands("band_id") === bBands("band_id") && cBands("band") <=> bBands("band"))
       .select(col("bid"), cBands("id").as("cid"))

@@ -605,6 +605,36 @@ object Pipeline {
     }
   )
 
+  /** The PERSISTED-index daily-delta path: build the corpus
+    * [[Dedup.DedupIndex]], write it as partitioned parquet, read it
+    * back, and classify the same synthetic batch against the READ
+    * index — the settled corpus's text is never touched at classify
+    * time. The oracle is [[incrementalDedup]]'s SQL verbatim: the gate
+    * proves the persisted path changes NOTHING. */
+  val incrementalDedupIdx: QueryDef = QueryDef(
+    "incremental_dedup_idx",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val batch = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("id"), concat(col("text"), lit(tail)).as("text")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 4000000L).as("id"),
+            concat(lit("completely novel entry number "), col("doc_id").cast("string"),
+              lit(" with fresh synthetic content")).as("text")))
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString + "/idx"
+      Dedup.writeIndex(
+        Dedup.buildIndex(d.select(col("doc_id").as("id"), col("text")), "id", "text",
+          shingleLen = 3, k = 16, bands = 4),
+        path)
+      Dedup.incrementalDedup(batch, Dedup.readIndex(s, path), "id", "text",
+        shingleLen = 3, k = 16, bands = 4, threshold = 0.6)
+        .orderBy("id")
+    },
+    incrementalDedup.oracle
+  )
+
   /** [[Decontaminate.scanBloom]] over the identical inputs — the Bloom
     * prefilter + exact-verify path. Blooms have no false negatives and
     * the verify phase is exact, so the oracle is decontaminate's own
@@ -878,7 +908,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
-    commonSpans, incrementalDedup, corpusStats, textQuality, langId, qualityScore, tokenCounts, fingerprints, topTerms,
+    commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
     embedTopK, embedAnn, embedNearDups, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups

@@ -218,9 +218,17 @@ object StreamingDedup {
     * batch contract (which reports every doc): unbounded streams report
     * offenders, not the complement. Ids surface as strings (the
     * typed-state key).
+    *
+    * @param stateTtlMs processing-time eviction horizon for idle doc
+    *        states (mirroring [[nearDupMatches]]/[[firstSeenCounts]]):
+    *        0 (default) keeps state indefinitely — exact under
+    *        arbitrarily-late redelivery; with a TTL, a document
+    *        redelivered AFTER its state evicted re-counts from zero
+    *        (the bounded-state trade, same timeout caveats as
+    *        [[firstSeenCounts]]).
     */
   def decontaminateStream(docs: DataFrame, benchShingleHashes: DataFrame,
-      shingleLen: Int = 3, minHits: Int = 5): Dataset[DeconHit] = {
+      shingleLen: Int = 3, minHits: Int = 5, stateTtlMs: Long = 0L): Dataset[DeconHit] = {
     import graft.functions.TextFunctions.{portableHash60, shingles, words}
     implicit val stateEnc: Encoder[DeconState] = Encoders.product[DeconState]
     implicit val outEnc: Encoder[DeconHit] = Encoders.product[DeconHit]
@@ -232,19 +240,31 @@ object StreamingDedup {
     val hs = docs.select(col("id"),
         explode(array_distinct(shingles(words(col("text")), shingleLen))).as("s"))
       .select(col("id").cast("string").as("id"), portableHash60(col("s")).as("h"))
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     hs.join(benchShingleHashes.select(col("h")), Seq("h"))
       .select(col("id"), col("h"))
       .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         (id: String, rows: Iterator[(String, Long)], state: GroupState[DeconState]) => {
-          val prev = state.getOption.map(_.hits.toSet).getOrElse(Set.empty[Long])
-          val next = prev ++ rows.map(_._2)
-          if (next.size == prev.size) Iterator.empty // pure redelivery: no update
-          else {
-            state.update(DeconState(next.toArray.sorted))
-            if (next.size >= minHits) Iterator.single(DeconHit(id, next.size.toLong))
-            else Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.map(_.hits.toSet).getOrElse(Set.empty[Long])
+            val next = prev ++ rows.map(_._2)
+            if (next.size == prev.size) {
+              // pure redelivery: no update — but re-arm the TTL (Spark
+              // cancels any previously-set timeout on every invocation)
+              if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+              Iterator.empty
+            } else {
+              state.update(DeconState(next.toArray.sorted))
+              if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+              if (next.size >= minHits) Iterator.single(DeconHit(id, next.size.toLong))
+              else Iterator.empty
+            }
           }
         })
   }

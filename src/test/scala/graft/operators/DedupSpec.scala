@@ -258,6 +258,29 @@ class DedupSpec extends SparkTestBase {
     assert(got.size == 4)
   }
 
+  test("incrementalDedup over a persisted index ≡ inline derivation") {
+    val corpus = docs
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (103L, "the quick brown fox jumps over the lazy dog near the river bank today more trailing content"),
+      (104L, "entirely fresh material nothing like the existing corpus documents whatsoever")
+    ).toDF("id", "text")
+    val inline = rows(Dedup.incrementalDedup(batch, corpus, "id", "text", threshold = 0.5).orderBy("id"))
+
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString + "/idx"
+    Dedup.writeIndex(Dedup.buildIndex(corpus, "id", "text"), path)
+    val viaIndex = rows(
+      Dedup.incrementalDedup(batch, Dedup.readIndex(spark, path), "id", "text",
+        shingleLen = 3, k = 16, bands = 4, threshold = 0.5).orderBy("id"))
+    assert(viaIndex == inline)
+    assert(inline.nonEmpty)
+    // the persisted band relation is Hive-partitioned by band_id: a probe
+    // filtered to one band prunes to that directory (PartitionFilters)
+    val oneBand = spark.read.parquet(s"$path/bands").filter(col("band_id") === 0)
+    val scan = oneBand.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("band_id"))
+  }
+
   test("Decontaminate.scanBloom ≡ scan (no false negatives; verify phase exact)") {
     val benchmark = docs.filter(col("id") % 2 === 1L)
     val exact = rows(Decontaminate.scan(docs, benchmark, "id", "text", 3, 2).orderBy("id"))
@@ -269,5 +292,17 @@ class DedupSpec extends SparkTestBase {
     assert(exact.nonEmpty)
     intercept[IllegalArgumentException](
       Decontaminate.scanBloom(docs, benchmark, "id", "text", 3, 2, fpp = 1.5))
+  }
+
+  test("scanBloom probes via the native codegen expression, and release() frees the broadcast") {
+    val benchmark = docs.filter(col("id") % 2 === 1L)
+    val scan = Decontaminate.scanBloomReleasable(docs, benchmark, "id", "text", 3, 2)
+    val plan = scan.result.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"native probe missing from plan:\n$plan")
+    assert(!plan.contains("UDF"), s"interpreted UDF still in plan:\n$plan")
+    val got = rows(scan.result.orderBy("id"))
+    assert(got == rows(Decontaminate.scan(docs, benchmark, "id", "text", 3, 2).orderBy("id")))
+    scan.release() // must not throw; a fresh scan still works afterwards
+    assert(Decontaminate.scanBloom(docs, benchmark, "id", "text", 3, 2).count() == got.size)
   }
 }
