@@ -132,6 +132,111 @@ object SimilaritySearch {
   def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
+  /** Deterministic k-means centroid fit for [[ivfTopK]] — the "where do
+    * the centroids come from?" piece of the IVF tier, as a pure
+    * DataFrame job (sampled init + a few Lloyd rounds, the standard
+    * recipe; cf. Bahmani et al., "Scalable k-means++", VLDB'12 for the
+    * oversampled-init family this approximates).
+    *
+    * Everything is bit-deterministic and engine-replayable:
+    *  - '''seeding''' is content-addressed: the `k` vectors with the
+    *    smallest `md5("seed:" || id)` hash (id tiebreak) — a
+    *    pseudo-random sample with no RNG state, computed as a
+    *    `TakeOrderedAndProject` top-k (no global sort/shuffle);
+    *  - '''assignment''' is nearest-centroid by cosine rounded to 9 dp
+    *    with centroid-id tiebreak (the engine-stable ranking every
+    *    similarity tier here uses); the k-row centroid frame
+    *    broadcasts, so assignment is map-side over the corpus;
+    *  - '''means''' avoid order-dependent float sums (a distributed
+    *    `sum(double)` is partition-order nondeterministic): each
+    *    element quantizes to fixed point (`floor(x·1e9)` as BIGINT),
+    *    the per-(cell, position) sums are exact integer arithmetic
+    *    (associative — map-side combinable, any partitioning), and one
+    *    final double division `sum / (1e9·n)` is deterministic. The
+    *    fit is therefore "k-means on inputs quantized to 1e-9" —
+    *    immaterial to clustering quality, essential to the oracle.
+    *
+    * Empty cells keep their previous centroid. Per round: one broadcast
+    * join + one (cell × dim)-key aggregate — shuffle volume O(k·dim),
+    * never O(corpus). Runtime O(rounds · corpus · k · dim) map-side.
+    *
+    * @return (centroid_id: long 0..k-1 in seed-hash order,
+    *         ctr_vec: array<double>) — feed straight to [[ivfTopK]].
+    */
+  def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int, rounds: Int): DataFrame = {
+    import graft.functions.TextFunctions.portableHash60
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val pts = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val seeds = pts
+      .withColumn("h", portableHash60(concat(lit("seed:"), col("id").cast("string"))))
+      .orderBy(col("h"), col("id")).limit(k)
+    // ranking the k seed rows: a driver-side-sized window, not a corpus op
+    val w0 = Window.orderBy(col("h"), col("id"))
+    var cent = seeds
+      .withColumn("centroid_id", (row_number().over(w0) - 1).cast("long"))
+      .select(col("centroid_id"), col("vec").as("ctr_vec"))
+    for (_ <- 1 to rounds) {
+      val scored = pts.join(broadcast(cent), lit(true))
+        .withColumn("c", round(cosine(col("vec"), col("ctr_vec")), 9))
+      val wa = Window.partitionBy("id").orderBy(col("c").desc, col("centroid_id"))
+      val assigned = scored.withColumn("r", row_number().over(wa)).filter(col("r") === 1)
+      val sums = assigned
+        .select(col("centroid_id"), posexplode(col("vec")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(floor(col("col") * lit(1e9))).as("s"), count(lit(1)).as("n"))
+      val means = sums.groupBy("centroid_id")
+        .agg(collect_list(struct(col("pos"),
+          (col("s").cast("double") / (lit(1e9) * col("n").cast("double"))).as("m"))).as("ps"))
+        .select(col("centroid_id"),
+          transform(array_sort(col("ps")), x => x.getField("m")).as("mv"))
+      cent = cent.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("mv"), col("ctr_vec")).as("ctr_vec"))
+    }
+    cent
+  }
+
+  /** DuckDB twin of [[fitCentroids]]: CTE chain `kmpts`, `kmcent_0` ..
+    * `kmcent_<rounds>` over `input` (id, vec columns) — consume
+    * `kmcent_<rounds>` (centroid_id, ctr). Unrolled per round; the
+    * fixed-point means make every value bit-identical to Spark's. */
+  def fitCentroidsCtes(input: String, k: Int, rounds: Int, dim: Int): String = {
+    val q = "CAST(floor(CAST(vec[i] AS DOUBLE) * 1000000000) AS BIGINT)"
+    val roundCtes = (1 to rounds).map { t =>
+      val p = t - 1
+      s"""kma$t AS (
+        SELECT id, vec, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY c DESC, centroid_id) AS r
+        FROM (SELECT p.id, p.vec, c.centroid_id,
+                round(${cosineSql("p.vec", "c.ctr", dim)}, 9) AS c
+              FROM kmpts p CROSS JOIN kmcent_$p c)
+      ),
+      kms$t AS (
+        SELECT centroid_id, i AS pos, sum($q) AS s, count(*) AS n
+        FROM kma$t CROSS JOIN unnest(generate_series(1, $dim)) AS u$t(i)
+        WHERE r = 1 GROUP BY 1, 2
+      ),
+      kmm$t AS (
+        SELECT centroid_id, list(CAST(s AS DOUBLE) / (1000000000.0 * n) ORDER BY pos) AS mv
+        FROM kms$t GROUP BY centroid_id
+      ),
+      kmcent_$t AS (
+        SELECT c.centroid_id, coalesce(m.mv, c.ctr) AS ctr
+        FROM kmcent_$p c LEFT JOIN kmm$t m ON c.centroid_id = m.centroid_id
+      )"""
+    }
+    (Seq(
+      s"""kmpts AS (SELECT id, list_transform(vec, x -> CAST(x AS DOUBLE)) AS vec FROM ($input)),
+      kmseed AS (
+        SELECT vec, row_number() OVER (ORDER BY h, id) - 1 AS centroid_id
+        FROM (SELECT id, vec, CAST('0x' || substr(md5('seed:' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM kmpts)
+        QUALIFY row_number() OVER (ORDER BY h, id) <= $k
+      ),
+      kmcent_0 AS (SELECT CAST(centroid_id AS BIGINT) AS centroid_id, vec AS ctr FROM kmseed)""") ++ roundCtes)
+      .mkString(",\n      ")
+  }
+
   /** Assign each vector to its `nprobe` nearest centroids by cosine
     * (rounded to 9 dp, centroid-id tiebreak — engine-stable).
     * @return (idAlias, vecAlias, cell, probe_rank) */

@@ -778,6 +778,56 @@ object Pipeline {
     """.trim)
   )
 
+  /** IVF with FITTED centroids — [[SimilaritySearch.fitCentroids]]
+    * (content-addressed seeds, 2 fixed-point Lloyd rounds, k=8) feeding
+    * [[SimilaritySearch.ivfTopK]], the fit inside the measured query.
+    * The oracle replays the full fit via unrolled CTEs — every centroid
+    * element is bit-identical across engines (exact integer sums). */
+  val embedIvfFit: QueryDef = QueryDef(
+    "embed_ivf_fit",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val cent = SimilaritySearch.fitCentroids(e, "vec_id", "embedding", k = 8, rounds = 2)
+      SimilaritySearch.ivfTopK(
+        e,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+        cent.select(col("centroid_id").as("vec_id"), col("ctr_vec").as("embedding")),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH ${SimilaritySearch.fitCentroidsCtes("SELECT vec_id AS id, embedding AS vec FROM embeddings", k = 8, rounds = 2, dim = 64)},
+      cent AS (SELECT centroid_id, ctr FROM kmcent_2),
+      corp AS (SELECT vec_id AS neighbor_id, embedding AS nvec FROM embeddings),
+      ca AS (
+        SELECT neighbor_id, nvec, centroid_id,
+          row_number() OVER (PARTITION BY neighbor_id ORDER BY ctr_cos DESC, centroid_id) AS r
+        FROM (SELECT neighbor_id, nvec, centroid_id,
+                round(${SimilaritySearch.cosineSql("nvec", "ctr", 64)}, 9) AS ctr_cos
+              FROM corp CROSS JOIN cent)
+      ),
+      cassign AS (SELECT neighbor_id, nvec, centroid_id AS cell FROM ca WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id >= 100 AND vec_id < 120),
+      qa AS (
+        SELECT query_id, qvec, centroid_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY ctr_cos DESC, centroid_id) AS r
+        FROM (SELECT query_id, qvec, centroid_id,
+                round(${SimilaritySearch.cosineSql("qvec", "ctr", 64)}, 9) AS ctr_cos
+              FROM q CROSS JOIN cent)
+      ),
+      qassign AS (SELECT query_id, qvec, centroid_id AS cell FROM qa WHERE r <= 2),
+      sc AS (
+        SELECT query_id, neighbor_id,
+          round(${SimilaritySearch.cosineSql("qvec", "nvec", 64)}, 9) AS cos
+        FROM qassign JOIN cassign USING (cell)
+        WHERE query_id <> neighbor_id
+      ),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+      SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank
+    """.trim)
+  )
+
   /** Int8 quantization round-trip: per-vector scale, the code string,
     * and the cosine between the original and its dequantized
     * reconstruction (identical IEEE folds on both engines). */
@@ -911,6 +961,6 @@ object Pipeline {
     commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
-    embedTopK, embedAnn, embedNearDups, embedIvf, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
+    embedTopK, embedAnn, embedNearDups, embedIvf, embedIvfFit, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

@@ -122,6 +122,22 @@ object Drive {
         (11L, "the quick brown fox jumps over the lazy dog near the river bank and more"),
         (12L, "entirely new content never seen before in any corpus at all")).toDF("id", "text")
       Dedup.incrementalDedup(batch, corpus, "id", "text", threshold = 0.5).orderBy("id").show()
+      // persisted-index daily-delta path: write, read, classify — no corpus text touched
+      val ipath = java.nio.file.Files.createTempDirectory("drive-idx").toString + "/idx"
+      Dedup.writeIndex(Dedup.buildIndex(corpus, "id", "text"), ipath)
+      Dedup.incrementalDedup(batch, Dedup.readIndex(spark, ipath), "id", "text",
+        shingleLen = 3, k = 16, bands = 4, threshold = 0.5).orderBy("id").show()
+    }
+    println("=== fitted-centroid IVF (k-means fit -> ivfTopK) ===")
+    locally {
+      val pts = Seq(
+        (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)),
+        (3L, Array(0.0f, 1.0f)), (4L, Array(0.01f, 0.99f))).toDF("vec_id", "embedding")
+      val cent = SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 2, rounds = 2)
+      cent.orderBy("centroid_id").show(false)
+      SimilaritySearch.ivfTopK(pts, pts.filter($"vec_id" === 1L),
+        cent.select($"centroid_id".as("vec_id"), $"ctr_vec".as("embedding")),
+        "vec_id", "embedding", k = 1, nprobe = 1).show()
     }
     println("=== streaming decontamination (stream-static join) ===")
     locally {

@@ -106,4 +106,48 @@ class SimilaritySearchSpec extends SparkTestBase {
       .collect().map(_.getLong(0))
     assert(b.toSeq == b2.toSeq)
   }
+
+  test("fitCentroids: k rows, deterministic across runs and repartitionings, converges to cluster means") {
+    // two tight clusters on the x and w axes; k=2 must land one centroid in each
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.98f, 0.02f, 0.0f, 0.0f)),
+      (3L, Array(0.96f, 0.0f, 0.04f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f)),
+      (5L, Array(0.0f, 0.02f, 0.0f, 0.98f)),
+      (6L, Array(0.0f, 0.0f, 0.04f, 0.96f))
+    ).toDF("vec_id", "embedding")
+    val a = SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 2, rounds = 2)
+      .orderBy("centroid_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.length == 2 && a.map(_._1).toSeq == Seq(0L, 1L))
+    // determinism: different physical partitioning, identical centroids (exact sums)
+    val b = SimilaritySearch.fitCentroids(pts.repartition(7), "vec_id", "embedding", k = 2, rounds = 2)
+      .orderBy("centroid_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.map(_._2.toList).toList == b.map(_._2.toList).toList)
+    // each cluster's dominant axis is captured by exactly one centroid
+    val axes = a.map(_._2).map(v => v.indexOf(v.map(math.abs).max)).toSet
+    assert(axes == Set(0, 3))
+    // the x-cluster centroid is the (quantized) mean of its 3 members
+    val xc = a.map(_._2).find(v => v(0) > 0.5).get
+    assert(math.abs(xc(0) - (1.0 + 0.98f.toDouble + 0.96f.toDouble) / 3) < 1e-6)
+  }
+
+  test("fitCentroids: empty cells keep their previous centroid; composes with ivfTopK") {
+    // k=3 over 2 real clusters: at least one cell may end up empty after
+    // assignment — its centroid must survive (coalesce), never null out
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.01f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val cent = SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 3, rounds = 3)
+    val rows = cent.collect()
+    assert(rows.length == 3 && rows.forall(!_.isNullAt(1)))
+    val got = SimilaritySearch.ivfTopK(pts, pts.filter(col("vec_id") === 1),
+      cent.select(col("centroid_id").as("vec_id"), col("ctr_vec").as("embedding")),
+      "vec_id", "embedding", k = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L))) // nearest same-cell neighbor
+    intercept[IllegalArgumentException](
+      SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 0, rounds = 1))
+  }
 }
