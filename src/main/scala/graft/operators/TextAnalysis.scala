@@ -71,6 +71,65 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_re_tokens")
     )
 
+  /** A compact demonstration subword vocabulary: frequent English
+    * subwords + single letters/digits as the character fallback floor
+    * (ASCII only — the oracle contract of
+    * [[graft.plans.VocabTokenCount]]). Production use passes a trained
+    * BPE/WordPiece vocab's pieces instead; the counting rule (greedy
+    * longest match) is exactly inference-time segmentation. */
+  val DefaultBpeVocab: Seq[String] = Seq(
+    "the", "and", "ing", "ion", "tion", "ent", "ati", "for", "her", "ter",
+    "ate", "est", "all", "int", "ver", "with", "ment", "ere", "igh", "ous",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti", "es",
+    "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to", "nt", "ng",
+    "se", "ha", "as", "ou", "io", "le", "ve", "co", "me", "de", "hi", "ri",
+    "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll", "be", "ma", "si",
+    "om", "ur") ++ ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
+  /** Subword token counts under greedy longest-match segmentation
+    * against `vocab` — the budget column LLM data work plans by (chunk
+    * packing, per-source token caps, training-mix accounting). Counting
+    * runs in the native codegen'd [[graft.plans.VocabTokenCount]]
+    * expression: map-only, one trie walk per character, no shuffle —
+    * feed the output straight to [[Packing.packChunks]] as `tokenCol`.
+    *
+    * @return (id, n_bpe_tokens) */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String] = DefaultBpeVocab): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.plans.VocabTokenCount(words(col(textCol)), typedLit(vocab)).as("n_bpe_tokens"))
+
+  /** DuckDB twin of [[bpeTokenCounts]]: a `WITH RECURSIVE` greedy
+    * longest-prefix-match over the DISTINCT words of `input` (id, text),
+    * joined back per document — returns the full SELECT (id,
+    * n_bpe_tokens). The distinct-word dedupe keeps the recursion
+    * proportional to vocabulary size, not corpus size. */
+  def bpeTokenCountsSql(input: String, vocab: Seq[String] = DefaultBpeVocab): String = {
+    val values = vocab.map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+    s"""WITH RECURSIVE
+      bpedocs AS (SELECT id, ${wordsSql("text")} AS ws FROM ($input)),
+      bpew AS (SELECT id, unnest(ws) AS word FROM bpedocs),
+      bpedw AS (SELECT DISTINCT word FROM bpew),
+      bpevocab(piece) AS (SELECT * FROM (VALUES $values) v(p)),
+      bperec(word, rest, cnt) AS (
+        SELECT word, word, 0 FROM bpedw
+        UNION ALL
+        SELECT word, substr(rest, m + 1), cnt + 1
+        FROM (
+          SELECT word, rest, cnt,
+            coalesce((SELECT max(len(piece)) FROM bpevocab
+                      WHERE substr(rest, 1, len(piece)) = piece), 1) AS m
+          FROM bperec WHERE len(rest) > 0)
+      ),
+      bpewtok AS (SELECT word, cnt FROM bperec WHERE rest = ''),
+      bpehits AS (
+        SELECT b.id, CAST(sum(t.cnt) AS BIGINT) AS n
+        FROM bpew b JOIN bpewtok t ON b.word = t.word GROUP BY b.id
+      )
+      SELECT d.id AS id, coalesce(h.n, 0) AS n_bpe_tokens
+      FROM bpedocs d LEFT JOIN bpehits h ON d.id = h.id"""
+  }
+
   /** Language-ID scores: per-language marker hit count / word count;
     * prediction = argmax (ties break to the alphabetically first
     * language — the fold order below). */

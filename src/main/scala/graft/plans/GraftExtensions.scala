@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.winnowMinsDescriptor)
     ext.injectFunction(GraftExtensions.shingleHash60Descriptor)
+    ext.injectFunction(GraftExtensions.vocabTokenCountDescriptor)
   }
 }
 
@@ -59,6 +60,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "shingle_hash60 takes exactly 2 arguments")
       ShingleHash60(children.head, children(1))
+    }
+  )
+
+  val vocabTokenCountDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vocab_token_count"),
+    new ExpressionInfo(classOf[VocabTokenCount].getName, "vocab_token_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "vocab_token_count takes exactly 2 arguments")
+      VocabTokenCount(children.head, children(1))
     }
   )
 }

@@ -227,6 +227,18 @@ object Pipeline {
     """.trim)
   )
 
+  /** Subword (BPE-style greedy longest-match) token budgets per
+    * document — the column training-data pipelines actually budget by;
+    * [[Packing.packChunks]] consumes it directly (see `pack_chunks` for
+    * the packing gate over the whitespace proxy). */
+  val tokenBudget: QueryDef = QueryDef(
+    "token_budget",
+    (s, dir) => TextAnalysis.bpeTokenCounts(tbl(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id"),
+    Some(TextAnalysis.bpeTokenCountsSql("SELECT doc_id AS id, text FROM documents")
+      + " ORDER BY id")
+  )
+
   val fingerprints: QueryDef = QueryDef(
     "fingerprints",
     // gate projection: the fingerprint array joined to a '|' string —
@@ -958,7 +970,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
-    commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, fingerprints, topTerms,
+    commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
     embedTopK, embedAnn, embedNearDups, embedIvf, embedIvfFit, embedQuant, mediaMeta, mediaFrames, mediaPdqDups

@@ -128,6 +128,16 @@ object Drive {
       Dedup.incrementalDedup(batch, Dedup.readIndex(spark, ipath), "id", "text",
         shingleLen = 3, k = 16, bands = 4, threshold = 0.5).orderBy("id").show()
     }
+    println("=== subword token budgets -> sequence packing ===")
+    locally {
+      val d = Seq(
+        (1L, "the thing with walking"), (2L, "another string of interesting things"),
+        (3L, "short"), (4L, "one more entry with further content here")).toDF("id", "text")
+      val budgets = TextAnalysis.bpeTokenCounts(d, "id", "text")
+      budgets.orderBy("id").show()
+      Packing.packChunks(budgets.withColumn("g", org.apache.spark.sql.functions.lit("all")), "id", "n_bpe_tokens",
+        budget = 12, groupCol = "g").orderBy("id").show()
+    }
     println("=== fitted-centroid IVF (k-means fit -> ivfTopK) ===")
     locally {
       val pts = Seq(

@@ -149,4 +149,63 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(all2.sortBy(_._2).map(_._1).toSeq == Seq("banana", "cherry"))
     intercept[IllegalArgumentException](TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 0))
   }
+
+  test("bpeTokenCounts: greedy longest-match segmentation, hand-checked") {
+    val vocab = Seq("the", "th", "he", "ing", "in", "walk", "a")
+    val df = Seq(
+      (1L, "the walking a"), // the=1, walk+ing=2, a=1 -> 4
+      (2L, "thin"),          // th+in -> 2 (greedy: th first, not t-h-i-n)
+      (3L, "xyz"),           // no matches: 3 unknown single chars
+      (4L, "")               // no words -> 0
+    ).toDF("id", "text")
+    val got = TextAnalysis.bpeTokenCounts(df, "id", "text", vocab)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 4L), (2L, 2L), (3L, 3L), (4L, 0L)))
+  }
+
+  test("bpeTokenCounts ≡ independent greedy reference on random words (property)") {
+    // independent reimplementation: try every prefix length, longest wins
+    def refCount(w: String, vocab: Set[String]): Long = {
+      var i = 0; var n = 0L
+      while (i < w.length) {
+        val best = (w.length - i to 1 by -1).find(l => vocab.contains(w.substring(i, i + l)))
+        i += best.getOrElse(1); n += 1
+      }
+      n
+    }
+    val vocab = TextAnalysis.DefaultBpeVocab
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 40L).map { id =>
+      val words = Seq.fill(rnd.nextInt(8) + 1)(
+        Seq.fill(rnd.nextInt(10) + 1)(('a' + rnd.nextInt(28)).toChar).mkString // includes {|} non-vocab chars
+          .replace('{', '9').replace('|', '.'))
+      (id, words.mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    val got = TextAnalysis.bpeTokenCounts(df, "id", "text")
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    val expect = docs.map { case (_, text) =>
+      text.split(" +").filter(_.nonEmpty).map(refCount(_, vocab.toSet)).sum
+    }
+    assert(got == expect)
+  }
+
+  test("vocab_token_count is SQL-registered, codegen'd, and rejects a non-literal vocab") {
+    // shared test session predates withExtensions — register the same
+    // descriptor GraftExtensions injects (the runtime-registration path)
+    val (ident, info, builder) = graft.plans.GraftExtensions.vocabTokenCountDescriptor
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    // repartition defeats ConvertToLocalRelation so a real exec plan exists
+    val df = Seq((1L, "the thing")).toDF("id", "text").repartition(1)
+    df.createOrReplaceTempView("vtc_docs")
+    val viaSql = spark.sql(
+      "SELECT vocab_token_count(split(text, ' '), array('the', 'ing', 'th')) AS n FROM vtc_docs")
+    assert(viaSql.collect().head.getLong(0) == 3L) // the | th+ing
+    // stays inside whole-stage codegen: the project carries the *(n)
+    // codegen-stage marker (AQE plan strings abbreviate WholeStageCodegen)
+    assert(viaSql.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    val err = intercept[Exception](
+      spark.sql("SELECT vocab_token_count(split(text, ' '), split(text, ' ')) FROM vtc_docs").collect())
+    assert(err.getMessage.contains("foldable") || err.getMessage.contains("literal"))
+  }
 }
