@@ -156,17 +156,29 @@ object SimilaritySearch {
     *    fit is therefore "k-means on inputs quantized to 1e-9" —
     *    immaterial to clustering quality, essential to the oracle.
     *
-    * Empty cells keep their previous centroid. Per round: one broadcast
-    * join + one (cell × dim)-key aggregate — shuffle volume O(k·dim),
-    * never O(corpus). Runtime O(rounds · corpus · k · dim) map-side.
+    * Empty cells keep their previous centroid.
     *
+    * Shuffle audit per round (the 100 TB shape): assignment is a
+    * broadcast join (k rows) + ONE hash aggregate keyed by id whose
+    * argmax runs as a map-side-combinable `max(struct(cos, -cid))` —
+    * the shuffle carries one combined row per corpus partition per id,
+    * never a sort (a `row_number` window here would sort-shuffle
+    * corpus·k rows); the means are `dim` fixed aggregate columns
+    * (`sum(floor(vec[i]·1e9))`), map-side combinable, so the second
+    * shuffle carries k rows of dim+1 counters — O(k·dim), independent
+    * of corpus size. Runtime O(rounds · corpus · k · dim) map-side.
+    *
+    * @param dim vector dimensionality (embeddings are fixed-width; the
+    *        means unroll to `dim` aggregate columns)
     * @return (centroid_id: long 0..k-1 in seed-hash order,
     *         ctr_vec: array<double>) — feed straight to [[ivfTopK]].
     */
-  def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int, rounds: Int): DataFrame = {
+  def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int, rounds: Int,
+      dim: Int): DataFrame = {
     import graft.functions.TextFunctions.portableHash60
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     val pts = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val seeds = pts
@@ -179,18 +191,21 @@ object SimilaritySearch {
       .select(col("centroid_id"), col("vec").as("ctr_vec"))
     for (_ <- 1 to rounds) {
       val scored = pts.join(broadcast(cent), lit(true))
-        .withColumn("c", round(cosine(col("vec"), col("ctr_vec")), 9))
-      val wa = Window.partitionBy("id").orderBy(col("c").desc, col("centroid_id"))
-      val assigned = scored.withColumn("r", row_number().over(wa)).filter(col("r") === 1)
-      val sums = assigned
-        .select(col("centroid_id"), posexplode(col("vec")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(sum(floor(col("col") * lit(1e9))).as("s"), count(lit(1)).as("n"))
-      val means = sums.groupBy("centroid_id")
-        .agg(collect_list(struct(col("pos"),
-          (col("s").cast("double") / (lit(1e9) * col("n").cast("double"))).as("m"))).as("ps"))
-        .select(col("centroid_id"),
-          transform(array_sort(col("ps")), x => x.getField("m")).as("mv"))
+        .select(col("id"), col("vec"),
+          round(cosine(col("vec"), col("ctr_vec")), 9).as("c"), col("centroid_id"))
+      // argmax(c, tiebreak min cid) as a combinable aggregate; every row
+      // of an id carries the same vec, so first(vec) is value-stable
+      val assigned = scored.groupBy("id")
+        .agg(max(struct(col("c"), (-col("centroid_id")).as("nc"))).as("m"),
+          first(col("vec")).as("vec"))
+        .select((-col("m.nc")).as("centroid_id"), col("vec"))
+      val sums = assigned.groupBy("centroid_id")
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(floor(element_at(col("vec"), i + 1) * lit(1e9))).as(s"s$i")): _*)
+      val means = sums.select(col("centroid_id"),
+        array((0 until dim).map(i =>
+          col(s"s$i").cast("double") / (lit(1e9) * col("n").cast("double"))): _*).as("mv"))
       cent = cent.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("mv"), col("ctr_vec")).as("ctr_vec"))
     }

@@ -799,7 +799,7 @@ object Pipeline {
     "embed_ivf_fit",
     (s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val cent = SimilaritySearch.fitCentroids(e, "vec_id", "embedding", k = 8, rounds = 2)
+      val cent = SimilaritySearch.fitCentroids(e, "vec_id", "embedding", k = 8, rounds = 2, dim = 64)
       SimilaritySearch.ivfTopK(
         e,
         e.filter(col("vec_id") >= 100 && col("vec_id") < 120),

@@ -143,7 +143,7 @@ object Drive {
       val pts = Seq(
         (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)),
         (3L, Array(0.0f, 1.0f)), (4L, Array(0.01f, 0.99f))).toDF("vec_id", "embedding")
-      val cent = SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 2, rounds = 2)
+      val cent = SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 2, rounds = 2, dim = 2)
       cent.orderBy("centroid_id").show(false)
       SimilaritySearch.ivfTopK(pts, pts.filter($"vec_id" === 1L),
         cent.select($"centroid_id".as("vec_id"), $"ctr_vec".as("embedding")),

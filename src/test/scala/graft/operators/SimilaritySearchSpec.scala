@@ -117,11 +117,11 @@ class SimilaritySearchSpec extends SparkTestBase {
       (5L, Array(0.0f, 0.02f, 0.0f, 0.98f)),
       (6L, Array(0.0f, 0.0f, 0.04f, 0.96f))
     ).toDF("vec_id", "embedding")
-    val a = SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 2, rounds = 2)
+    val a = SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 2, rounds = 2, dim = 4)
       .orderBy("centroid_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     assert(a.length == 2 && a.map(_._1).toSeq == Seq(0L, 1L))
     // determinism: different physical partitioning, identical centroids (exact sums)
-    val b = SimilaritySearch.fitCentroids(pts.repartition(7), "vec_id", "embedding", k = 2, rounds = 2)
+    val b = SimilaritySearch.fitCentroids(pts.repartition(7), "vec_id", "embedding", k = 2, rounds = 2, dim = 4)
       .orderBy("centroid_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     assert(a.map(_._2.toList).toList == b.map(_._2.toList).toList)
     // each cluster's dominant axis is captured by exactly one centroid
@@ -139,7 +139,7 @@ class SimilaritySearchSpec extends SparkTestBase {
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)),
       (3L, Array(0.0f, 1.0f)), (4L, Array(0.01f, 0.99f))
     ).toDF("vec_id", "embedding")
-    val cent = SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 3, rounds = 3)
+    val cent = SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 3, rounds = 3, dim = 2)
     val rows = cent.collect()
     assert(rows.length == 3 && rows.forall(!_.isNullAt(1)))
     val got = SimilaritySearch.ivfTopK(pts, pts.filter(col("vec_id") === 1),
@@ -148,6 +148,6 @@ class SimilaritySearchSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 2L))) // nearest same-cell neighbor
     intercept[IllegalArgumentException](
-      SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 0, rounds = 1))
+      SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 0, rounds = 1, dim = 2))
   }
 }

@@ -111,6 +111,30 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incremental_dedup_idx classifies against the read index: batch broadcast, no product") {
+    val p = plan("incremental_dedup_idx")
+    assert(p.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("token_budget is map-only: codegen'd vocab_token_count, no shuffle before the output sort") {
+    val p = plan("token_budget")
+    assert(p.contains("vocab_token_count"), s"native expression missing:\n$p")
+    assert(!p.contains("hashpartitioning"), s"token counting must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("BatchEvalPython"))
+  }
+
+  test("embed_ivf_fit: Lloyd assignment is a combinable aggregate, not a per-id sort window") {
+    val p = plan("embed_ivf_fit")
+    // argmax over centroids runs as partial_max(struct(...)) — map-side
+    // combine; a row_number window here would sort-shuffle corpus×k rows
+    assert(p.contains("partial_max(struct"), s"assignment argmax not map-side combinable:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // windows remaining: the k-row seed ranking + ivfTopK's rank windows —
+    // none of them may partition by the corpus-row id during the fit
+    assert(!p.contains("row_number() windowspecdefinition(id"), s"per-id window crept into the fit:\n$p")
+  }
+
   test("url_dups computes members and checked flag in ONE window exchange") {
     // one shuffle for the window; the only other exchanges allowed are
     // AQE/final-output artifacts — fail if a second window-partitioning
