@@ -55,7 +55,13 @@ object Dedup {
     * partition), round-robin repartition so per-row CPU work (md5 per
     * shingle) isn't pinned to one or two cores. At production scale a
     * 100 TB scan already yields thousands of splits and this is a
-    * no-op — the text is never shuffled. */
+    * no-op — the text is never shuffled.
+    *
+    * Cost note: `df.rdd.getNumPartitions` physically plans the input
+    * subtree (no execution) to read its partitioning — driver-side plan
+    * time only, paid once per shingle build; it also reads the
+    * PRE-execution count, which is the right side to guard on (AQE may
+    * coalesce at runtime, but a wide pre-AQE scan never spreads). */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
@@ -84,7 +90,13 @@ object Dedup {
     * no shingles (< n words) are absent, as in the exploded relation.
     * Map-only: array ops over the [[graft.plans.ShingleHash60]] kernel
     * output; the lambda in `transform` binds the kernel's array once,
-    * so nothing re-evaluates. */
+    * so nothing re-evaluates.
+    *
+    * Contract: input ids must be UNIQUE (one text per id) — this is a
+    * per-ROW map, so duplicate ids yield duplicate (id, hs) rows and
+    * every downstream id-join (signature aggregation excepted) fans
+    * out, duplicating pair rows. Same contract as [[Packing.packChunks]];
+    * run [[exactGroups]]/[[keepFirst]] first if ids can repeat. */
   def shingleHashes30(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     spread(df)
       .select(col(idCol).as("id"),
@@ -120,7 +132,7 @@ object Dedup {
     // instead of re-analyzing/codegen'ing the whole shingle+md5 tree
     // per branch; spark.graft.materialize selects local vs reliable
     // checkpointing (see [[Materialize]]).
-    val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen).filter(size(col("hs")) > 0))
+    val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen))
     val banded = minhashBandRows(hs, k, bands)
 
     val candidates = banded.as("a")
@@ -189,8 +201,7 @@ object Dedup {
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, k: Int = 16, bands: Int = 4): DedupIndex = {
     val cMd = corpus.select(md5(col(textCol)).as("m"), col(idCol).as("cid"))
-    val cHs = Materialize(shingleHashes30(corpus, idCol, textCol, shingleLen)
-      .filter(size(col("hs")) > 0))
+    val cHs = Materialize(shingleHashes30(corpus, idCol, textCol, shingleLen))
     DedupIndex(cMd, cHs, minhashBandRows(cHs, k, bands))
   }
 
@@ -272,8 +283,7 @@ object Dedup {
     val exact = index.md5.join(broadcast(bMd), Seq("m"))
       .groupBy("id").agg(min(col("cid")).as("exact_id"))
 
-    val bHs = Materialize(shingleHashes30(batch, idCol, textCol, shingleLen)
-      .filter(size(col("hs")) > 0))
+    val bHs = Materialize(shingleHashes30(batch, idCol, textCol, shingleLen))
     val cHs = index.hs
     val bBands = minhashBandRows(bHs, k, bands)
       .select(col("id").as("bid"), col("band_id"), col("band"))
@@ -497,7 +507,7 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     require(threshold > 0.0, "threshold must be > 0 (shared-shingle candidate index is complete only for positive thresholds)")
-    val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen).filter(size(col("hs")) > 0))
+    val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen))
     val ex = hs.select(col("id"), explode(col("hs")).as("h"))
     val candidates = ex.as("a")
       .join(ex.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))

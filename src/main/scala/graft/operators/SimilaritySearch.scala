@@ -186,30 +186,43 @@ object SimilaritySearch {
       .orderBy(col("h"), col("id")).limit(k)
     // ranking the k seed rows: a driver-side-sized window, not a corpus op
     val w0 = Window.orderBy(col("h"), col("id"))
-    var cent = seeds
+    // each round reads cent TWICE (broadcast in scoring + the empty-cell
+    // join) — Materialize.iterative per round, like connectedComponents,
+    // or the plan tree doubles every round (2^rounds analysis/execution)
+    var cent = graft.operators.Materialize.iterative(seeds
       .withColumn("centroid_id", (row_number().over(w0) - 1).cast("long"))
-      .select(col("centroid_id"), col("vec").as("ctr_vec"))
+      .select(col("centroid_id"), col("vec").as("ctr_vec")))
     for (_ <- 1 to rounds) {
-      val scored = pts.join(broadcast(cent), lit(true))
-        .select(col("id"), col("vec"),
-          round(cosine(col("vec"), col("ctr_vec")), 9).as("c"), col("centroid_id"))
-      // argmax(c, tiebreak min cid) as a combinable aggregate; every row
-      // of an id carries the same vec, so first(vec) is value-stable
-      val assigned = scored.groupBy("id")
-        .agg(max(struct(col("c"), (-col("centroid_id")).as("nc"))).as("m"),
-          first(col("vec")).as("vec"))
-        .select((-col("m.nc")).as("centroid_id"), col("vec"))
-      val sums = assigned.groupBy("centroid_id")
-        .agg(count(lit(1)).as("n"),
-          (0 until dim).map(i =>
-            sum(floor(element_at(col("vec"), i + 1) * lit(1e9))).as(s"s$i")): _*)
-      val means = sums.select(col("centroid_id"),
-        array((0 until dim).map(i =>
-          col(s"s$i").cast("double") / (lit(1e9) * col("n").cast("double"))): _*).as("mv"))
-      cent = cent.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("mv"), col("ctr_vec")).as("ctr_vec"))
+      val next = Materialize.iterative(lloydRound(pts, cent, dim))
+      Materialize.unpersist(cent) // superseded round
+      cent = next
     }
     cent
+  }
+
+  /** One Lloyd round: assign every point to its nearest centroid and
+    * re-average, returning the next (centroid_id, ctr_vec) frame —
+    * un-materialized (package-private so the plan-shape suite can pin
+    * the aggregate-not-window assignment). */
+  private[graft] def lloydRound(pts: DataFrame, cent: DataFrame, dim: Int): DataFrame = {
+    val scored = pts.join(broadcast(cent), lit(true))
+      .select(col("id"), col("vec"),
+        round(cosine(col("vec"), col("ctr_vec")), 9).as("c"), col("centroid_id"))
+    // argmax(c, tiebreak min cid) as a combinable aggregate; every row
+    // of an id carries the same vec, so first(vec) is value-stable
+    val assigned = scored.groupBy("id")
+      .agg(max(struct(col("c"), (-col("centroid_id")).as("nc"))).as("m"),
+        first(col("vec")).as("vec"))
+      .select((-col("m.nc")).as("centroid_id"), col("vec"))
+    val sums = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"),
+        (0 until dim).map(i =>
+          sum(floor(element_at(col("vec"), i + 1) * lit(1e9))).as(s"s$i")): _*)
+    val means = sums.select(col("centroid_id"),
+      array((0 until dim).map(i =>
+        col(s"s$i").cast("double") / (lit(1e9) * col("n").cast("double"))): _*).as("mv"))
+    cent.join(means, Seq("centroid_id"), "left")
+      .select(col("centroid_id"), coalesce(col("mv"), col("ctr_vec")).as("ctr_vec"))
   }
 
   /** DuckDB twin of [[fitCentroids]]: CTE chain `kmpts`, `kmcent_0` ..

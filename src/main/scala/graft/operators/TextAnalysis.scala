@@ -97,7 +97,11 @@ object TextAnalysis {
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
       vocab: Seq[String] = DefaultBpeVocab): DataFrame =
     df.select(col(idCol).as("id"),
-      graft.plans.VocabTokenCount(words(col(textCol)), typedLit(vocab)).as("n_bpe_tokens"))
+      // null text budgets 0 tokens (the oracle's left-join+coalesce
+      // contract), not null — downstream packing drops 0-budget rows
+      coalesce(
+        graft.plans.VocabTokenCount(words(col(textCol)), typedLit(vocab)),
+        lit(0L)).as("n_bpe_tokens"))
 
   /** DuckDB twin of [[bpeTokenCounts]]: a `WITH RECURSIVE` greedy
     * longest-prefix-match over the DISTINCT words of `input` (id, text),
@@ -406,7 +410,12 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, window: Int = 4): DataFrame =
     df.select(col(idCol).as("id"),
-      winnow(
-        graft.plans.ShingleHash60(words(col(textCol)), shingleLen),
-        window).as("fingerprints"))
+      // null text -> empty fingerprint set (not null): the contract the
+      // oracle's left-join+coalesce shape establishes — without this,
+      // words(null) poisons the whole chain to null
+      coalesce(
+        winnow(
+          graft.plans.ShingleHash60(words(col(textCol)), shingleLen),
+          window),
+        typedLit(Seq.empty[Long])).as("fingerprints"))
 }

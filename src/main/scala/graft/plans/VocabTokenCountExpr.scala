@@ -29,12 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * forward walk per position) and the generated code calls one
   * JIT-friendly method per row.
   *
-  * Determinism/oracle contract: matching is per UTF-16 char on the
-  * Spark side and per code point in the DuckDB recursive-CTE twin —
-  * identical for ASCII vocabularies (the supported contract; documents
-  * may be arbitrary unicode, non-ASCII chars simply never match an
-  * ASCII vocab and count as single unknown tokens per char... see
-  * [[graft.operators.TextAnalysis.bpeTokenCounts]]).
+  * Determinism/oracle contract: vocab pieces match per UTF-16 char,
+  * but an UNMATCHED position advances by one CODE POINT — so for the
+  * supported ASCII/BMP vocabularies, token counts agree with the
+  * per-codepoint DuckDB recursive-CTE twin on ARBITRARY unicode text
+  * (an astral emoji is one unknown token on both engines); see
+  * [[graft.operators.TextAnalysis.bpeTokenCounts]].
   *
   * The vocab must be a foldable (literal) array — it is part of the
   * query, not a joined relation. Vocabularies up to a few thousand
@@ -97,7 +97,10 @@ case class VocabTokenCount(left: Expression, right: Expression)
     var tokens = 0L
     var i = 0
     while (i < w.length) {
-      // one forward walk from i; remember the deepest terminal seen
+      // one forward walk from i; remember the deepest terminal seen.
+      // Iteration is per CODE POINT (a supplementary-plane char is ONE
+      // unknown token, matching DuckDB's per-codepoint substr in the
+      // oracle twin), while BMP vocab pieces walk per char as before.
       var node = trie
       var j = i
       var best = 0
@@ -111,7 +114,7 @@ case class VocabTokenCount(left: Expression, right: Expression)
           if (node.terminal) best = j - i
         }
       }
-      i += (if (best > 0) best else 1) // unknown char = 1 token
+      i += (if (best > 0) best else Character.charCount(w.codePointAt(i)))
       tokens += 1
     }
     tokens

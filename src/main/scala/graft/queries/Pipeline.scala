@@ -635,11 +635,14 @@ object Pipeline {
           .select((col("doc_id") + 4000000L).as("id"),
             concat(lit("completely novel entry number "), col("doc_id").cast("string"),
               lit(" with fresh synthetic content")).as("text")))
-      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString + "/idx"
+      // fixed per-process path + Overwrite: repeated invocations (bench
+      // reps, plan inspection) reuse one directory instead of leaking a
+      // fresh temp dir per call
+      val path = new java.io.File(sys.props("java.io.tmpdir"), "graft_dedup_idx_gate").getPath
       Dedup.writeIndex(
         Dedup.buildIndex(d.select(col("doc_id").as("id"), col("text")), "id", "text",
           shingleLen = 3, k = 16, bands = 4),
-        path)
+        path, mode = org.apache.spark.sql.SaveMode.Overwrite)
       Dedup.incrementalDedup(batch, Dedup.readIndex(s, path), "id", "text",
         shingleLen = 3, k = 16, bands = 4, threshold = 0.6)
         .orderBy("id")

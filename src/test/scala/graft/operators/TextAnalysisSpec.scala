@@ -150,6 +150,27 @@ class TextAnalysisSpec extends SparkTestBase {
     intercept[IllegalArgumentException](TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 0))
   }
 
+  test("null text: fingerprints -> empty array, bpeTokenCounts -> 0 (the oracle's left-join contract)") {
+    val df = Seq((1L, Some("the quick brown fox jumps")), (2L, None))
+      .toDF("id", "text")
+    val fp = TextAnalysis.fingerprints(df, "id", "text")
+      .orderBy("id").collect()
+    assert(!fp(1).isNullAt(1) && fp(1).getSeq[Long](1).isEmpty)
+    assert(fp(0).getSeq[Long](1).nonEmpty)
+    val tb = TextAnalysis.bpeTokenCounts(df, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tb(1) == ((2L, 0L)) && tb(0)._2 > 0L)
+  }
+
+  test("vocab_token_count counts an astral (supplementary-plane) char as ONE unknown token") {
+    // U+1D11E is two UTF-16 units; the DuckDB twin's per-codepoint
+    // substr sees one char — counts must agree
+    val df = Seq((1L, "a𝄞b")).toDF("id", "text")
+    val got = TextAnalysis.bpeTokenCounts(df, "id", "text", vocab = Seq("zz"))
+      .collect().head.getLong(1)
+    assert(got == 3L) // a, astral, b
+  }
+
   test("bpeTokenCounts: greedy longest-match segmentation, hand-checked") {
     val vocab = Seq("the", "th", "he", "ing", "in", "walk", "a")
     val df = Seq(

@@ -124,15 +124,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Join") && !p.contains("BatchEvalPython"))
   }
 
-  test("embed_ivf_fit: Lloyd assignment is a combinable aggregate, not a per-id sort window") {
-    val p = plan("embed_ivf_fit")
+  test("fitCentroids' Lloyd round: assignment is a combinable aggregate, not a per-id sort window") {
+    // the per-round frames materialize eagerly inside fitCentroids, so
+    // pin the shape on the un-materialized round body itself
+    import org.apache.spark.sql.functions._
+    val e = graft.queries.Tables.tbl(spark, dir, "embeddings")
+    val pts = e.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val cent = pts.limit(4).select((col("id") % 4).as("centroid_id"), col("vec").as("ctr_vec"))
+    val p = graft.operators.SimilaritySearch.lloydRound(pts, cent, dim = 64)
+      .queryExecution.executedPlan.toString
     // argmax over centroids runs as partial_max(struct(...)) — map-side
     // combine; a row_number window here would sort-shuffle corpus×k rows
     assert(p.contains("partial_max(struct"), s"assignment argmax not map-side combinable:\n$p")
     assert(!p.contains("CartesianProduct"))
-    // windows remaining: the k-row seed ranking + ivfTopK's rank windows —
-    // none of them may partition by the corpus-row id during the fit
-    assert(!p.contains("row_number() windowspecdefinition(id"), s"per-id window crept into the fit:\n$p")
+    assert(!p.contains("Window"), s"window crept into the Lloyd round:\n$p")
   }
 
   test("url_dups computes members and checked flag in ONE window exchange") {

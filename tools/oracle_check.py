@@ -80,7 +80,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: reading spark output: {e}")
             failed.append(name); continue
         try:
-            d = con.sql(sql)
+            # materialize once: the relation re-executes per consumption,
+            # and heavy oracles (unrolled k-means CTEs) are read twice
+            # below (values + dtype kinds)
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _oracle_out AS {sql}")
+            d = con.sql("SELECT * FROM _oracle_out")
             draw = d.fetchall()
             bad = array_col(d.columns, draw)
             if bad is not None:
