@@ -294,15 +294,56 @@ object SimilaritySearch {
     * @return (query_id, neighbor_id, cos, rank) — self excluded, rank
     *         within the probed cells, same contract as [[annTopK]] */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    ivfTopK(buildIvfIndex(corpus, centroids, idCol, vecCol), queries, idCol, vecCol, k, nprobe)
+
+  /** The persistable IVF index: the two relations a probe touches —
+    * maintained as tables in production so queries never re-assign the
+    * corpus (the assignment is one pass over 100 TB of vectors; the
+    * probe touches nprobe cells of it).
+    *
+    *  - `centroids` — (centroid_id, ctr_vec): the coarse quantizer;
+    *  - `cells` — (neighbor_id, cvec, cell): every corpus vector with
+    *    its nearest-centroid cell, the probe join's equi-key.
+    */
+  final case class IvfIndex(centroids: DataFrame, cells: DataFrame)
+
+  /** Assign every corpus vector to its nearest centroid once — the IVF
+    * index build (broadcast centroids, map-side over the corpus). */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): IvfIndex = {
     val cent = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("ctr_vec"))
-    val c = ivfAssign(
+    IvfIndex(cent, ivfAssign(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
-      "neighbor_id", "cvec", cent, 1)
+      "neighbor_id", "cvec", cent, 1))
+  }
+
+  /** Persist an [[IvfIndex]] under `path`: centroids as plain parquet,
+    * cells Hive-partitioned by `cell` — a probe of nprobe cells reads
+    * nprobe directories (partition pruning), never the full corpus. */
+  def writeIvfIndex(index: IvfIndex, path: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    index.centroids.write.mode(mode).parquet(s"$path/centroids")
+    graft.sources.Formats.writePartitioned(index.cells, s"$path/cells", Seq("cell"), mode)
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/cells")
+        .select(col("neighbor_id"), col("cvec"), col("cell").cast("long")))
+
+  /** [[ivfTopK]] against a prebuilt [[IvfIndex]] ([[buildIvfIndex]] /
+    * [[readIvfIndex]]) — the production probe: queries assign to their
+    * nprobe cells (broadcast centroids) and equi-join the cell table;
+    * the corpus is never re-assigned, and over a read index the scan
+    * prunes to the probed cells' directories. */
+  def ivfTopK(index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val q = ivfAssign(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
-      "query_id", "qvec", cent, nprobe)
-    val scored = c.join(broadcast(q), Seq("cell"))
+      "query_id", "qvec", index.centroids, nprobe)
+    val scored = index.cells.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 9))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -843,6 +843,28 @@ object Pipeline {
     """.trim)
   )
 
+  /** The PERSISTED-IVF-index probe path: assign the corpus once, write
+    * centroids + cell-partitioned vectors, read them back, and answer
+    * the same queries from the READ index — the corpus is never
+    * re-assigned at probe time. Oracle is [[embedIvf]]'s SQL verbatim:
+    * the persisted path changes NOTHING. */
+  val embedIvfIdx: QueryDef = QueryDef(
+    "embed_ivf_idx",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf_idx_gate").getPath
+      SimilaritySearch.writeIvfIndex(
+        SimilaritySearch.buildIvfIndex(e, e.filter(col("vec_id") < 16), "vec_id", "embedding"),
+        path, mode = org.apache.spark.sql.SaveMode.Overwrite)
+      SimilaritySearch.ivfTopK(SimilaritySearch.readIvfIndex(s, path),
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    embedIvf.oracle
+  )
+
   /** Int8 quantization round-trip: per-vector scale, the code string,
     * and the cosine between the original and its dequantized
     * reconstruction (identical IEEE folds on both engines). */
@@ -976,6 +998,6 @@ object Pipeline {
     commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
-    embedTopK, embedAnn, embedNearDups, embedIvf, embedIvfFit, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
+    embedTopK, embedAnn, embedNearDups, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

@@ -132,6 +132,23 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(math.abs(xc(0) - (1.0 + 0.98f.toDouble + 0.96f.toDouble) / 3) < 1e-6)
   }
 
+  test("ivfTopK over a persisted index ≡ inline; cell scan prunes partitions") {
+    val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 3)
+    val queries = vecs.filter(col("vec_id") === 0)
+    val inline = rows(SimilaritySearch.ivfTopK(vecs, queries, centroids,
+      "vec_id", "embedding", k = 4, nprobe = 1))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString + "/idx"
+    SimilaritySearch.writeIvfIndex(
+      SimilaritySearch.buildIvfIndex(vecs, centroids, "vec_id", "embedding"), path)
+    val viaIndex = rows(SimilaritySearch.ivfTopK(SimilaritySearch.readIvfIndex(spark, path),
+      queries, "vec_id", "embedding", k = 4, nprobe = 1))
+    assert(viaIndex == inline && inline.nonEmpty)
+    // a probe restricted to one cell prunes to that cell's directory
+    val oneCell = spark.read.parquet(s"$path/cells").filter(col("cell") === 0)
+    val scan = oneCell.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+  }
+
   test("fitCentroids: empty cells keep their previous centroid; composes with ivfTopK") {
     // k=3 over 2 real clusters: at least one cell may end up empty after
     // assignment — its centroid must survive (coalesce), never null out
