@@ -528,6 +528,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[ngramJaccardPairs]] with a DOCUMENT-FREQUENCY CAP on shingles —
+    * the unrestricted-input variant of the exact tier. The k² skew of
+    * the inverted-index join comes entirely from viral shingles (a
+    * boilerplate phrase in k docs contributes k² candidate rows);
+    * dropping shingles with df > `maxDf` bounds every posting list, so
+    * candidate volume is ≤ Σ_h df(h)²  ≤ |rows|·maxDf — linear in the
+    * corpus for fixed maxDf (the stop-shingle move of the similarity-
+    * join literature, the df-analogue of Bayardo et al.'s frequency-
+    * ordered prefix filtering).
+    *
+    * Semantics change accordingly: `jaccard` is computed over the
+    * CAPPED shingle sets (hot boilerplate no longer counts as
+    * similarity — usually the desired behavior for dedup); a document
+    * whose every shingle is hot drops out entirely. Verification is
+    * row-level (pair-count aggregate over the capped posting lists)
+    * rather than array intersection — the at-scale shape: no shingle
+    * arrays are ever joined or broadcast.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, capped-set
+    *         Jaccard ≥ threshold */
+  def ngramJaccardPairsCapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Int = 64
+  ): DataFrame = {
+    require(threshold > 0.0, "threshold must be > 0 (shared-shingle candidate index is complete only for positive thresholds)")
+    require(maxDf >= 2, s"maxDf must be >= 2 (a df-1 shingle can never produce a pair), got $maxDf")
+    val ex = Materialize(shingleHashRows(df, idCol, textCol, shingleLen)
+      .select(col("id"), col("h")).distinct())
+    val dfc = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val keep = Materialize(ex.join(dfc.filter(col("dfh") <= maxDf).select("h"), Seq("h")))
+    val sizes = keep.groupBy("id").agg(count(lit(1)).as("n"))
+    val pairCounts = keep.as("a")
+      .join(keep.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("ni"))
+    pairCounts
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Longest shared token run between document pairs — the substring-
     * granularity dedup signal (the k-gram approximation of the exact
     * suffix-array method of Lee et al., "Deduplicating Training Data

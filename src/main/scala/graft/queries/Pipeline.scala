@@ -178,6 +178,33 @@ object Pipeline {
     """.trim)
   )
 
+  /** The df-capped exact tier over the FULL planted corpus (no input
+    * restriction — the cap is what makes that safe): shingles in more
+    * than `maxDf` docs are dropped before the inverted-index join, and
+    * jaccard is computed over the capped sets, row-level. */
+  val ngramJaccardCapped: QueryDef = QueryDef(
+    "ngram_jaccard_capped",
+    (s, dir) => Dedup.ngramJaccardPairsCapped(corpus(s, dir), "id", "text",
+      shingleLen = 3, threshold = 0.5, maxDf = 8).orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH ${shingleCtes(corpusSql, hashBits30 = false, distinct = false)},
+      ex AS (SELECT DISTINCT id, unnest(hs) AS h FROM hs),
+      dfc AS (SELECT h, count(*) AS c FROM ex GROUP BY h),
+      keep AS (SELECT ex.id, ex.h FROM ex JOIN dfc ON ex.h = dfc.h WHERE dfc.c <= 8),
+      sizes AS (SELECT id, count(*) AS n FROM keep GROUP BY id),
+      pc AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
+        FROM keep a JOIN keep b ON a.h = b.h AND a.id < b.id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b,
+        CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+      FROM pc JOIN sizes sa ON sa.id = pc.id_a JOIN sizes sb ON sb.id = pc.id_b
+      WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+      ORDER BY id_a, id_b
+    """.trim)
+  )
+
   // ---- text analysis --------------------------------------------------
 
   val textQuality: QueryDef = QueryDef(
@@ -995,7 +1022,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
-    commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, fingerprints, topTerms,
+    ngramJaccardCapped, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
     embedTopK, embedAnn, embedNearDups, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, mediaMeta, mediaFrames, mediaPdqDups

@@ -110,6 +110,8 @@ object Drive {
       TextAnalysis.tfidfTopTerms(d, "id", "text", 2).orderBy("id", "rank").show(false)
       Dedup.commonSpanPairs(d, "id", "text", shingleLen = 3, minRunTokens = 5)
         .orderBy("id_a", "id_b").show()
+      Dedup.ngramJaccardPairsCapped(d, "id", "text", shingleLen = 3, threshold = 0.3, maxDf = 2)
+        .orderBy("id_a", "id_b").show()
       Decontaminate.scanBloom(d, d.filter($"id" === 1L), "id", "text", 3, 2).orderBy("id").show()
     }
     println("=== incremental dedup: batch vs settled corpus ===")

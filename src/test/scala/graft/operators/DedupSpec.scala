@@ -203,6 +203,35 @@ class DedupSpec extends SparkTestBase {
     assert(got.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
   }
 
+  test("ngramJaccardPairsCapped: high cap ≡ uncapped (modulo hash width); hot shingles stop pairing") {
+    // with a cap above every df, capped-set jaccard equals plain jaccard
+    val uncapped = Dedup.ngramJaccardPairsCapped(docs, "id", "text", shingleLen = 3,
+      threshold = 0.5, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(uncapped.contains((1L, 4L)) && uncapped((1L, 4L)) == 1.0)
+    assert(uncapped.contains((1L, 2L)))
+    assert(!uncapped.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // every shingle of docs 1/2/4 is shared by >= 2 of them; a cap of 2
+    // keeps only shingles in <= 2 docs, so the (1,4)+(2) triangle thins
+    val low = Dedup.ngramJaccardPairsCapped(docs, "id", "text", shingleLen = 3,
+      threshold = 0.5, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the shingles common to ALL THREE of 1/2/4 (df=3) are dropped: 1-4
+    // (identical docs) keep only their df<=2 shingles — none exist, so
+    // the pair disappears; 2's tail shingles (df=1) keep 2 in play only
+    // below threshold
+    assert(!low.contains((1L, 4L)) || low.size <= uncapped.size)
+    // a document whose every shingle is hot contributes no rows at all
+    val viral = Seq(
+      (1L, "x y z x y z"), (2L, "x y z x y z"), (3L, "x y z x y z"),
+      (4L, "totally different words here entirely now")).toDF("id", "text")
+    val got = Dedup.ngramJaccardPairsCapped(viral, "id", "text", shingleLen = 3,
+      threshold = 0.1, maxDf = 2)
+    assert(got.count() == 0) // the x-y-z shingles have df 3 > 2
+    intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPairsCapped(docs, "id", "text", maxDf = 1))
+  }
+
   test("commonSpanPairs: run lengths measured exactly, islands split on breaks") {
     def toks(prefix: String, r: Range) = r.map(i => s"$prefix$i").mkString(" ")
     val df = Seq(

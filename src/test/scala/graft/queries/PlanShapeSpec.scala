@@ -105,6 +105,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ngram_jaccard_capped: equi-joins only, and verification never touches shingle arrays") {
+    val p = plan("ngram_jaccard_capped")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // row-level verification: no array_intersect in the plan (the capped
+    // tier counts shared rows instead of joining arrays back)
+    assert(!p.contains("array_intersect"), s"array verification crept back in:\n$p")
+  }
+
   test("incremental_dedup broadcasts the batch side; corpus never self-joins") {
     val p = plan("incremental_dedup")
     assert(p.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$p")
