@@ -528,6 +528,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Recall/precision report of the MinHash-LSH tier against the exact
+    * n-gram Jaccard ground truth on the same corpus and threshold — the
+    * measurement that justifies a (k, bands) choice before a 100 TB
+    * run. Both tiers verify with exact Jaccard over the SAME 30-bit
+    * shingle sets, so LSH pairs ⊆ exact pairs by construction:
+    * precision is structurally 1.0 (the report asserts it end-to-end)
+    * and the informative number is RECALL — the pairs the banding never
+    * surfaced as candidates (P(candidate) = 1-(1-j^(k/b))^b).
+    *
+    * Run on a restricted/sampled corpus (the exact side carries
+    * [[ngramJaccardPairs]]'s skew contract); the measured recall
+    * transfers to the full corpus because banding probability depends
+    * only on pair Jaccard, not corpus size.
+    *
+    * @return one row: (n_exact, n_lsh, n_both, recall, precision) */
+  def lshRecallReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val exact = ngramJaccardPairs(df, idCol, textCol, shingleLen, threshold)
+      .select("id_a", "id_b")
+    val lsh = minhashLshPairs(df, idCol, textCol, shingleLen, k, bands, threshold)
+      .select("id_a", "id_b")
+    val nE = exact.agg(count(lit(1)).as("n_exact"))
+    val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nB = exact.join(lsh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_both"))
+    nE.crossJoin(nL).crossJoin(nB)
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        round(col("n_both").cast("double") / greatest(col("n_exact"), lit(1L)).cast("double"), 9).as("recall"),
+        round(col("n_both").cast("double") / greatest(col("n_lsh"), lit(1L)).cast("double"), 9).as("precision"))
+  }
+
   /** [[ngramJaccardPairs]] with a DOCUMENT-FREQUENCY CAP on shingles —
     * the unrestricted-input variant of the exact tier. The k² skew of
     * the inverted-index join comes entirely from viral shingles (a

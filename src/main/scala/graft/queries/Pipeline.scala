@@ -178,6 +178,36 @@ object Pipeline {
     """.trim)
   )
 
+  /** LSH-vs-exact evaluation on the restricted corpus: how many true
+    * Jaccard-0.6 pairs does the (k=16, bands=4) banding recover? */
+  val lshRecall: QueryDef = QueryDef(
+    "lsh_recall",
+    (s, dir) => Dedup.lshRecallReport(
+      corpus(s, dir).filter((col("id") % 1000000 % 10) < 2), "id", "text",
+      shingleLen = 3, k = 16, bands = 4, threshold = 0.6),
+    Some {
+      val restricted = s"SELECT * FROM ($corpusSql) WHERE id % 1000000 % 10 < 2"
+      s"""
+      WITH ${minhashCtes(restricted)},
+      ${shingleCtes(restricted, hashBits30 = true, distinct = true, prefix = "x")},
+      ex AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM xhs a JOIN xhs b ON a.id < b.id
+        WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+            / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.6
+      ),
+      ls AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.6),
+      ne AS (SELECT count(*) AS n_exact FROM ex),
+      nl AS (SELECT count(*) AS n_lsh FROM ls),
+      nb AS (SELECT count(*) AS n_both FROM ex JOIN ls USING (id_a, id_b))
+      SELECT n_exact, n_lsh, n_both,
+        round(CAST(n_both AS DOUBLE) / greatest(n_exact, 1), 9) AS recall,
+        round(CAST(n_both AS DOUBLE) / greatest(n_lsh, 1), 9) AS precision
+      FROM ne CROSS JOIN nl CROSS JOIN nb
+      """.trim
+    }
+  )
+
   /** The df-capped exact tier over the FULL planted corpus (no input
     * restriction — the cap is what makes that safe): shingles in more
     * than `maxDf` docs are dropped before the inverted-index join, and
@@ -1022,7 +1052,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
-    ngramJaccardCapped, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
     embedTopK, embedAnn, embedNearDups, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, mediaMeta, mediaFrames, mediaPdqDups

@@ -112,6 +112,7 @@ object Drive {
         .orderBy("id_a", "id_b").show()
       Dedup.ngramJaccardPairsCapped(d, "id", "text", shingleLen = 3, threshold = 0.3, maxDf = 2)
         .orderBy("id_a", "id_b").show()
+      Dedup.lshRecallReport(d, "id", "text", threshold = 0.3).show()
       Decontaminate.scanBloom(d, d.filter($"id" === 1L), "id", "text", 3, 2).orderBy("id").show()
     }
     println("=== incremental dedup: batch vs settled corpus ===")

@@ -232,6 +232,16 @@ class DedupSpec extends SparkTestBase {
       Dedup.ngramJaccardPairsCapped(docs, "id", "text", maxDf = 1))
   }
 
+  test("lshRecallReport: precision structurally 1.0; recall counts banding misses") {
+    val r = Dedup.lshRecallReport(docs, "id", "text", threshold = 0.5).collect().head
+    val (nExact, nLsh, nBoth) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nBoth == nLsh, "LSH pairs must be a subset of exact pairs (same verification)")
+    assert(r.getDouble(4) == 1.0) // precision
+    assert(nExact >= 3)           // (1,2), (1,4), (2,4) at least
+    assert(r.getDouble(3) == BigDecimal(nBoth.toDouble / nExact)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("commonSpanPairs: run lengths measured exactly, islands split on breaks") {
     def toks(prefix: String, r: Range) = r.map(i => s"$prefix$i").mkString(" ")
     val df = Seq(
