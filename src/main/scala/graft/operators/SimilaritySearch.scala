@@ -110,7 +110,8 @@ object SimilaritySearch {
             .bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // p = 0 is the degenerate single-bucket case (ANN ≡ exact scan)
+    bits.foldLeft(lit(0L))(_ + _)
   }
 
   /** DuckDB twin of [[hyperplaneBucket]] over list expression `v`.
@@ -379,6 +380,28 @@ object SimilaritySearch {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 9).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Recall report of the hyperplane-LSH ANN tier against the exact
+    * [[cosineTopK]] ground truth — the [[graft.operators.Dedup.lshRecallReport]]
+    * twin for the similarity tier: the number that justifies a `p`
+    * (hyperplane count) choice before a full-corpus run. recall@k =
+    * |ann∩exact| / |exact| pooled over all queries (exact may rank
+    * fewer than k rows on small corpora, hence the exact-side
+    * denominator). Both sides are the already-gated operators; the
+    * report is one broadcast-joined row.
+    *
+    * @return one row: (n_queries, n_exact, n_hits, recall) */
+  def annRecallReport(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, p: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(corpus, queries, idCol, vecCol, k).select("query_id", "neighbor_id")
+    val ann = annTopK(corpus, queries, idCol, vecCol, dim, p, k).select("query_id", "neighbor_id")
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nh = exact.join(ann, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hits"))
+    nq.crossJoin(ne).crossJoin(nh)
+      .select(col("n_queries"), col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / greatest(col("n_exact"), lit(1L)).cast("double"), 9).as("recall"))
   }
 
   /** ANN top-k: score only same-bucket candidates. Output schema matches

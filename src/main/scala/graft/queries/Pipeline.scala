@@ -900,6 +900,52 @@ object Pipeline {
     """.trim)
   )
 
+  /** ANN-vs-exact evaluation: pooled recall@3 of the p=6 hyperplane
+    * buckets over the first 20 query vectors. NB the synthetic
+    * embeddings are near-uniform random — the ADVERSARIAL case for any
+    * LSH (neighbors barely closer than strangers), so measured recall
+    * is intentionally low (~0.08 at sf0.01); this is the report doing
+    * its job. On structured corpora (the planted-clone tier of
+    * `embed_near_dups`) bucket agreement is near-certain for true
+    * near-dups. */
+  val embedRecall: QueryDef = QueryDef(
+    "embed_recall",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimilaritySearch.annRecallReport(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        dim = 64, p = 6, k = 3)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+      exsc AS (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            round(${SimilaritySearch.cosineSql("qvec", "cvec", 64)}, 9) DESC, neighbor_id) AS rank
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+      ),
+      ex AS (SELECT query_id, neighbor_id FROM exsc WHERE rank <= 3),
+      bk AS (
+        SELECT vec_id, embedding, ${SimilaritySearch.hyperplaneBucketSql("embedding", 64, 6)} AS bucket
+        FROM embeddings
+      ),
+      qb AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM bk WHERE vec_id < 20),
+      ansc AS (
+        SELECT qb.query_id, cb.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY qb.query_id ORDER BY
+            round(${SimilaritySearch.cosineSql("qb.qvec", "cb.embedding", 64)}, 9) DESC, cb.vec_id) AS rank
+        FROM qb JOIN bk cb ON qb.bucket = cb.bucket AND qb.query_id <> cb.vec_id
+      ),
+      an AS (SELECT query_id, neighbor_id FROM ansc WHERE rank <= 3),
+      nq AS (SELECT count(*) AS n_queries FROM q),
+      ne AS (SELECT count(*) AS n_exact FROM ex),
+      nh AS (SELECT count(*) AS n_hits FROM ex JOIN an USING (query_id, neighbor_id))
+      SELECT n_queries, n_exact, n_hits,
+        round(CAST(n_hits AS DOUBLE) / greatest(n_exact, 1), 9) AS recall
+      FROM nq CROSS JOIN ne CROSS JOIN nh
+    """.trim)
+  )
+
   /** The PERSISTED-IVF-index probe path: assign the corpus once, write
     * centroids + cell-partitioned vectors, read them back, and answer
     * the same queries from the READ index — the corpus is never
@@ -1055,6 +1101,6 @@ object Pipeline {
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
-    embedTopK, embedAnn, embedNearDups, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
+    embedTopK, embedAnn, embedNearDups, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

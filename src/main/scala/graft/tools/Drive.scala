@@ -146,6 +146,7 @@ object Drive {
       val pts = Seq(
         (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)),
         (3L, Array(0.0f, 1.0f)), (4L, Array(0.01f, 0.99f))).toDF("vec_id", "embedding")
+      SimilaritySearch.annRecallReport(pts, pts, "vec_id", "embedding", dim = 2, p = 1, k = 1).show()
       val cent = SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 2, rounds = 2, dim = 2)
       cent.orderBy("centroid_id").show(false)
       SimilaritySearch.ivfTopK(pts, pts.filter($"vec_id" === 1L),

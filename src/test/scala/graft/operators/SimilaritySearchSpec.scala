@@ -132,6 +132,19 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(math.abs(xc(0) - (1.0 + 0.98f.toDouble + 0.96f.toDouble) / 3) < 1e-6)
   }
 
+  test("annRecallReport: hits are the ann∩exact overlap; p=0 (one bucket) gives recall 1") {
+    val queries = vecs.filter(col("vec_id") < 2)
+    // p=0: every vector lands in bucket 0, ANN ≡ exact, recall exactly 1
+    val full = SimilaritySearch.annRecallReport(vecs, queries, "vec_id", "embedding",
+      dim = 4, p = 0, k = 2).collect().head
+    assert(full.getLong(0) == 2 && full.getLong(1) == 4 && full.getLong(2) == 4)
+    assert(full.getDouble(3) == 1.0)
+    // higher p: recall can only drop, hits stay within exact
+    val part = SimilaritySearch.annRecallReport(vecs, queries, "vec_id", "embedding",
+      dim = 4, p = 4, k = 2).collect().head
+    assert(part.getLong(2) <= part.getLong(1) && part.getDouble(3) <= 1.0)
+  }
+
   test("ivfTopK over a persisted index ≡ inline; cell scan prunes partitions") {
     val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 3)
     val queries = vecs.filter(col("vec_id") === 0)
