@@ -98,15 +98,22 @@ object SimilaritySearch {
   /** Sign-random-projection bucket id from `p` deterministic hyperplanes.
     * Plane `j`'s component `i` is ±1 by the low bit of
     * md5("plane:j:i") — engine-portable, no stored model. */
-  def hyperplaneBucket(vec: Column, dim: Int, p: Int): Column = {
+  def hyperplaneBucket(vec: Column, dim: Int, p: Int): Column =
+    hyperplaneBucketSalted(vec, dim, p, 0)
+
+  /** [[hyperplaneBucket]] from an independent plane family per `salt`
+    * (salt 0 = the unsalted family, bit-compatible with existing
+    * buckets/oracles; salt s > 0 keys planes "salt<s>:plane:j:i"). */
+  def hyperplaneBucketSalted(vec: Column, dim: Int, p: Int, salt: Int): Column = {
     import graft.functions.TextFunctions.portableHash60
+    val prefix = if (salt == 0) "plane:" else s"salt$salt:plane:"
     val bits = (0 until p).map { j =>
       // the ±1 plane array folds constant (transform over a literal
       // sequence); the projection itself runs through the native dot —
       // p interpreted 64-element folds per row otherwise
       val proj = dot(vec,
         transform(sequence(lit(0), lit(dim - 1)),
-          i => portableHash60(concat(lit(s"plane:$j:"), i.cast("string")))
+          i => portableHash60(concat(lit(s"$prefix$j:"), i.cast("string")))
             .bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -114,17 +121,22 @@ object SimilaritySearch {
     bits.foldLeft(lit(0L))(_ + _)
   }
 
-  /** DuckDB twin of [[hyperplaneBucket]] over list expression `v`.
-    * Uses list_reduce (sequential left fold, like Spark's `aggregate`)
-    * so the double sum is bit-identical across engines. */
-  def hyperplaneBucketSql(v: String, dim: Int, p: Int): String = {
+  /** DuckDB twin of [[hyperplaneBucketSalted]]. */
+  def hyperplaneBucketSaltedSql(v: String, dim: Int, p: Int, salt: Int): String = {
+    val prefix = if (salt == 0) "plane:" else s"salt$salt:plane:"
     val bits = (0 until p).map { j =>
-      val sgn = s"(CAST('0x' || substr(md5('plane:$j:' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) & 1) * 2 - 1"
+      val sgn = s"(CAST('0x' || substr(md5('$prefix$j:' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) & 1) * 2 - 1"
       val proj = s"list_reduce(list_transform(generate_series(1, $dim), i -> CAST(($v)[i] AS DOUBLE) * ($sgn)), (a, b) -> a + b)"
       s"(CASE WHEN $proj >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
     }
-    bits.mkString("(", " + ", ")")
+    if (bits.isEmpty) "CAST(0 AS BIGINT)" else bits.mkString("(", " + ", ")")
   }
+
+  /** DuckDB twin of [[hyperplaneBucket]] over list expression `v`.
+    * Uses list_reduce (sequential left fold, like Spark's `aggregate`)
+    * so the double sum is bit-identical across engines. */
+  def hyperplaneBucketSql(v: String, dim: Int, p: Int): String =
+    hyperplaneBucketSaltedSql(v, dim, p, 0)
 
   /** DuckDB twin of [[dot]] over list expressions (sequential fold). */
   def dotSql(a: String, b: String, dim: Int): String =
@@ -379,6 +391,39 @@ object SimilaritySearch {
       .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 9).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** [[embeddingNearDupPairs]] with `salts` INDEPENDENT hyperplane
+    * families — the recall knob beyond lowering `p`: a true near-dup
+    * pair split by one family's bucketing is recovered if ANY family
+    * agrees (miss probability decays exponentially in salts, candidate
+    * volume grows ~linearly). The shape changes to the MinHash-LSH
+    * pattern: SLIM (id, salt, bucket) rows self-join per salt,
+    * candidate pairs dedupe across salts BEFORE verification, and
+    * vectors+norms join back only for survivors — vector payloads
+    * never enter the self-join shuffle. Salt 0 is bit-compatible with
+    * [[embeddingNearDupPairs]]'s buckets, whose output this is a
+    * superset of. */
+  def embeddingNearDupPairsSalted(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, p: Int, threshold: Double, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val base = Materialize(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"),
+      array((0 until salts).map(s => hyperplaneBucketSalted(col(vecCol), dim, p, s)): _*).as("bks")))
+    val bucketRows = base.select(col("id"), posexplode(col("bks")))
+      .select(col("id"), col("pos").as("salt"), col("col").as("bucket"))
+    val cand = bucketRows.as("a")
+      .join(bucketRows.as("b"),
+        col("a.salt") === col("b.salt") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -900,6 +900,47 @@ object Pipeline {
     """.trim)
   )
 
+  /** Two-salt semantic near-dup pairs over the same planted-clone
+    * corpus as `embed_near_dups` — the recall-boosted variant: pairs
+    * sharing EITHER family's bucket verify once. */
+  val embedNearDupsSalted: QueryDef = QueryDef(
+    "embed_near_dups_salted",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 5 === 0).select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      SimilaritySearch.embeddingNearDupPairsSalted(
+        corpus, "vec_id", "embedding", dim = 64, p = 6, threshold = 0.95, salts = 2)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+        FROM embeddings WHERE vec_id % 5 = 0
+      ),
+      bk AS (
+        SELECT vec_id, embedding,
+          ${SimilaritySearch.hyperplaneBucketSaltedSql("embedding", 64, 6, 0)} AS b0,
+          ${SimilaritySearch.hyperplaneBucketSaltedSql("embedding", 64, 6, 1)} AS b1
+        FROM corpus
+      ),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id
+      ),
+      sc AS (
+        SELECT id_a, id_b,
+          round(${SimilaritySearch.cosineSql("x.embedding", "y.embedding", 64)}, 9) AS cos
+        FROM cand JOIN bk x ON x.vec_id = cand.id_a JOIN bk y ON y.vec_id = cand.id_b
+      )
+      SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.95 ORDER BY id_a, id_b
+    """.trim)
+  )
+
   /** ANN-vs-exact evaluation: pooled recall@3 of the p=6 hyperplane
     * buckets over the first 20 query vectors. NB the synthetic
     * embeddings are near-uniform random — the ADVERSARIAL case for any
@@ -1101,6 +1142,6 @@ object Pipeline {
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
-    embedTopK, embedAnn, embedNearDups, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
+    embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

@@ -98,6 +98,20 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(!got.exists(p => (p._1, p._2) == ((0L, 3L)) || (p._1, p._2) == ((0L, 4L))))
   }
 
+  test("embeddingNearDupPairsSalted: superset of single-salt pairs; salts=1 ≡ unsalted") {
+    val one = rows(SimilaritySearch.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 4, p = 4, threshold = 0.95))
+    val oneSalted = rows(SimilaritySearch.embeddingNearDupPairsSalted(vecs, "vec_id", "embedding",
+      dim = 4, p = 4, threshold = 0.95, salts = 1))
+    assert(oneSalted == one) // salt 0 is the unsalted family
+    val two = rows(SimilaritySearch.embeddingNearDupPairsSalted(vecs, "vec_id", "embedding",
+      dim = 4, p = 4, threshold = 0.95, salts = 2))
+    assert(one.toSet.subsetOf(two.toSet)) // a second family only ADDS candidates
+    assert(two.exists(r => r(0) == 0L && r(1) == 1L)) // identical vecs always pair
+    intercept[IllegalArgumentException](
+      SimilaritySearch.embeddingNearDupPairsSalted(vecs, "vec_id", "embedding", 4, 4, 0.9, salts = 0))
+  }
+
   test("hyperplaneBucket: deterministic and within 2^p") {
     val b = vecs.select(SimilaritySearch.hyperplaneBucket(col("embedding"), 4, 6).as("b"))
       .collect().map(_.getLong(0))
