@@ -132,7 +132,14 @@ object Dedup {
     // instead of re-analyzing/codegen'ing the whole shingle+md5 tree
     // per branch; spark.graft.materialize selects local vs reliable
     // checkpointing (see [[Materialize]]).
-    val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen))
+    minhashLshPairsFromHs(Materialize(shingleHashes30(df, idCol, textCol, shingleLen)),
+      k, bands, threshold)
+  }
+
+  /** [[minhashLshPairs]] from an already-materialized (id, hs) frame —
+    * lets compositions ([[lshRecallReport]]) share one shingle pass. */
+  private[graft] def minhashLshPairsFromHs(hs: DataFrame, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
     val banded = minhashBandRows(hs, k, bands)
 
     val candidates = banded.as("a")
@@ -506,8 +513,12 @@ object Dedup {
       shingleLen: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
+    ngramJaccardPairsFromHs(Materialize(shingleHashes30(df, idCol, textCol, shingleLen)), threshold)
+  }
+
+  /** [[ngramJaccardPairs]] from an already-materialized (id, hs) frame. */
+  private[graft] def ngramJaccardPairsFromHs(hs: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0, "threshold must be > 0 (shared-shingle candidate index is complete only for positive thresholds)")
-    val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen))
     val ex = hs.select(col("id"), explode(col("hs")).as("h"))
     val candidates = ex.as("a")
       .join(ex.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -552,10 +563,11 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.6
   ): DataFrame = {
-    val exact = ngramJaccardPairs(df, idCol, textCol, shingleLen, threshold)
-      .select("id_a", "id_b")
-    val lsh = minhashLshPairs(df, idCol, textCol, shingleLen, k, bands, threshold)
-      .select("id_a", "id_b")
+    // ONE shingle pass feeds both tiers (each would otherwise
+    // materialize its own identical copy of the dominant map cost)
+    val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen))
+    val exact = ngramJaccardPairsFromHs(hs, threshold).select("id_a", "id_b")
+    val lsh = minhashLshPairsFromHs(hs, k, bands, threshold).select("id_a", "id_b")
     val nE = exact.agg(count(lit(1)).as("n_exact"))
     val nL = lsh.agg(count(lit(1)).as("n_lsh"))
     val nB = exact.join(lsh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_both"))

@@ -19,6 +19,17 @@ object Pipeline {
 
   // ---- shared corpus with planted near-duplicates ---------------------
 
+  /** Per-process token for gate scratch dirs: stable within a process
+    * (bench reps / plan inspection reuse ONE overwritten directory, no
+    * per-invocation leak) but unique across processes, so concurrent
+    * runs (Verify beside Bench, two CI jobs, two users on one host)
+    * never overwrite each other's index mid-read. */
+  private lazy val gateScratchToken =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  private def gateScratchDir(name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"), s"${name}_$gateScratchToken").getPath
+
   private val tail = " extra tail words appended here"
 
   private def corpus(s: SparkSession, dir: String): DataFrame = {
@@ -692,10 +703,10 @@ object Pipeline {
           .select((col("doc_id") + 4000000L).as("id"),
             concat(lit("completely novel entry number "), col("doc_id").cast("string"),
               lit(" with fresh synthetic content")).as("text")))
-      // fixed per-process path + Overwrite: repeated invocations (bench
-      // reps, plan inspection) reuse one directory instead of leaking a
-      // fresh temp dir per call
-      val path = new java.io.File(sys.props("java.io.tmpdir"), "graft_dedup_idx_gate").getPath
+      // per-process path + Overwrite: repeated invocations (bench reps,
+      // plan inspection) reuse one directory instead of leaking a fresh
+      // temp dir per call; the process token keeps concurrent runs apart
+      val path = gateScratchDir("graft_dedup_idx_gate")
       Dedup.writeIndex(
         Dedup.buildIndex(d.select(col("doc_id").as("id"), col("text")), "id", "text",
           shingleLen = 3, k = 16, bands = 4),
@@ -996,7 +1007,7 @@ object Pipeline {
     "embed_ivf_idx",
     (s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val path = new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf_idx_gate").getPath
+      val path = gateScratchDir("graft_ivf_idx_gate")
       SimilaritySearch.writeIvfIndex(
         SimilaritySearch.buildIvfIndex(e, e.filter(col("vec_id") < 16), "vec_id", "embedding"),
         path, mode = org.apache.spark.sql.SaveMode.Overwrite)

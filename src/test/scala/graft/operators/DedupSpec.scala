@@ -211,16 +211,15 @@ class DedupSpec extends SparkTestBase {
     assert(uncapped.contains((1L, 4L)) && uncapped((1L, 4L)) == 1.0)
     assert(uncapped.contains((1L, 2L)))
     assert(!uncapped.keySet.exists(p => p._1 == 3L || p._2 == 3L))
-    // every shingle of docs 1/2/4 is shared by >= 2 of them; a cap of 2
-    // keeps only shingles in <= 2 docs, so the (1,4)+(2) triangle thins
+    // every shingle of identical docs 1 and 4 also appears in doc 2
+    // (their text is 2's prefix), so all their shingles have df = 3:
+    // a cap of 2 drops every one of them and the (1,4) pair — the
+    // strongest uncapped pair — MUST disappear
     val low = Dedup.ngramJaccardPairsCapped(docs, "id", "text", shingleLen = 3,
       threshold = 0.5, maxDf = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // the shingles common to ALL THREE of 1/2/4 (df=3) are dropped: 1-4
-    // (identical docs) keep only their df<=2 shingles — none exist, so
-    // the pair disappears; 2's tail shingles (df=1) keep 2 in play only
-    // below threshold
-    assert(!low.contains((1L, 4L)) || low.size <= uncapped.size)
+    assert(!low.contains((1L, 4L)), s"df-3 shingles were not dropped: $low")
+    assert(!low.exists(p => p._1 == 1L || p._2 == 1L)) // doc 1 fully hot -> no rows at all
     // a document whose every shingle is hot contributes no rows at all
     val viral = Seq(
       (1L, "x y z x y z"), (2L, "x y z x y z"), (3L, "x y z x y z"),
