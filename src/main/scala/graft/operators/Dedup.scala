@@ -492,6 +492,30 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** The near-dedup SURVIVOR relation — what a curation run actually
+    * writes out: MinHash-LSH pairs → connected components → keep each
+    * component's minimum id, drop the rest. Composes the gated tiers
+    * end-to-end; singletons (docs in no pair) survive untouched via the
+    * anti-join. The loser relation is slim (id only), so the final
+    * anti-join is the only full-width pass and broadcasts when small.
+    *
+    * @return the surviving rows of `df`, all columns intact */
+  def nearDupSurvivors(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, shingleLen, k, bands, threshold)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** EXACT n-gram Jaccard pairs ≥ threshold — the ground-truth tier.
     *
     * Not all-pairs: for any `threshold > 0`, a qualifying pair must

@@ -129,6 +129,32 @@ object Pipeline {
     """.trim)
   )
 
+  /** The deduped corpus itself: survivors after MinHash pairs →
+    * connected components → keep the minimum id per component.
+    * Oracle: the dedup_clusters closure, anti-joined. */
+  val nearDedupSurvivors: QueryDef = QueryDef(
+    "near_dedup_survivors",
+    (s, dir) => Dedup.nearDupSurvivors(corpus(s, dir), "id", "text",
+      shingleLen = 3, k = 16, bands = 4, threshold = 0.6)
+      .select(col("id"), md5(col("text")).as("text_md5"))
+      .orderBy("id"),
+    Some(s"""
+      WITH RECURSIVE ${minhashCtes(corpusSql)},
+      p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.6),
+      e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM e
+        UNION
+        SELECT e.d, reach.r FROM e JOIN reach ON e.s = reach.id
+      ),
+      losers AS (SELECT id FROM (SELECT id, min(r) AS cluster FROM reach GROUP BY id) WHERE id <> cluster)
+      SELECT c.id, md5(c.text) AS text_md5
+      FROM ($corpusSql) c
+      WHERE c.id NOT IN (SELECT id FROM losers)
+      ORDER BY c.id
+    """.trim)
+  )
+
   val simhashSigs: QueryDef = QueryDef(
     "simhash_sigs",
     (s, dir) => Dedup.simhashSigs(corpus(s, dir), "id", "text").orderBy("id"),
@@ -1149,7 +1175,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    dedupExact, minhashLsh, dedupClusters, simhashSigs, simhashPairs, ngramJaccard,
+    dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,

@@ -113,6 +113,7 @@ object Drive {
       Dedup.ngramJaccardPairsCapped(d, "id", "text", shingleLen = 3, threshold = 0.3, maxDf = 2)
         .orderBy("id_a", "id_b").show()
       Dedup.lshRecallReport(d, "id", "text", threshold = 0.3).show()
+      Dedup.nearDupSurvivors(d, "id", "text", threshold = 0.3).orderBy("id").show(false)
       Decontaminate.scanBloom(d, d.filter($"id" === 1L), "id", "text", 3, 2).orderBy("id").show()
     }
     println("=== incremental dedup: batch vs settled corpus ===")

@@ -231,6 +231,16 @@ class DedupSpec extends SparkTestBase {
       Dedup.ngramJaccardPairsCapped(docs, "id", "text", maxDf = 1))
   }
 
+  test("nearDupSurvivors: keeps one representative per component plus all singletons, full rows") {
+    val got = Dedup.nearDupSurvivors(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // docs 1, 2, 4 form one near-dup component (min id 1 survives);
+    // 3 and 5 are singletons and survive with their text intact
+    assert(got.keySet == Set(1L, 3L, 5L))
+    assert(got(5L) == "short text")
+    assert(got(1L).startsWith("the quick brown fox"))
+  }
+
   test("lshRecallReport: precision structurally 1.0; recall counts banding misses") {
     val r = Dedup.lshRecallReport(docs, "id", "text", threshold = 0.5).collect().head
     val (nExact, nLsh, nBoth) = (r.getLong(0), r.getLong(1), r.getLong(2))
