@@ -372,6 +372,44 @@ object TextAnalysis {
     * even when patterns overlap (an SSN-shaped local part inside an
     * email address counts as the email that swallowed it, not as a
     * phantom un-tagged SSN). Map-only — no shuffle. */
+  /** HTML → text cleaning, the web-scrape ingest step: drop
+    * script/style elements WITH their contents, strip remaining tags to
+    * spaces, decode the five predefined entities (&amp;amp; last, so
+    * double-encoded entities decode exactly one level — the standard
+    * rule), collapse whitespace. Pure regexp/replace column exprs —
+    * map-only, codegen'd, identical RE2/Java-regex semantics on the
+    * subset used (inline (?is) flags, lazy quantifiers, no
+    * backreferences) so the DuckDB twin replays byte-for-byte. NOT a
+    * sanitizer: this is corpus text extraction, not XSS defense.
+    *
+    * @return (id, text_clean) */
+  def stripHtml(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), stripHtmlExpr(col(textCol)).as("text_clean"))
+
+  private def stripHtmlExpr(t: Column): Column = {
+    // two literal passes, not one backreferenced pattern: the DuckDB
+    // twin runs RE2, which has no backreferences
+    val noScript = Seq("script", "style").foldLeft(t) { (c, tag) =>
+      regexp_replace(c, lit(s"(?is)<$tag\\b[^>]*>.*?</$tag\\s*>"), lit(" "))
+    }
+    val noTags = regexp_replace(noScript, lit("(?s)<[^>]*>"), lit(" "))
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
+  }
+
+  /** DuckDB twin of [[stripHtml]] over text expression `t`. */
+  def stripHtmlSql(t: String): String = {
+    val noScript = Seq("script", "style").foldLeft(t) { (c, tag) =>
+      s"regexp_replace($c, '(?is)<$tag\\b[^>]*>.*?</$tag\\s*>', ' ', 'g')"
+    }
+    val noTags = s"regexp_replace($noScript, '(?s)<[^>]*>', ' ', 'g')"
+    // SQL-literal escaping: '' is one quote char; " needs none
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "''", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => s"replace($c, '$from', '$to')" }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (redacted, counts) =
       PiiPatterns.foldLeft((col(textCol), Seq.empty[org.apache.spark.sql.Column])) {

@@ -412,6 +412,31 @@ object Pipeline {
     }
   )
 
+  /** HTML→text over documents wrapped in PLANTED markup (tags, a
+    * script whose body contains a bare `<`, a style block, entities
+    * incl. a double-encoded one) — compared via md5 of the clean text. */
+  val htmlStrip: QueryDef = QueryDef(
+    "html_strip",
+    (s, dir) => {
+      val planted = tbl(s, dir, "documents").select(col("doc_id").as("id"),
+        concat(lit("<html><body class=\"main\"><p>"), col("text"),
+          lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+            "<style>.a { color: red; }</style> &amp;amp; tail &lt;tag&gt;")).as("text"))
+      TextAnalysis.stripHtml(planted, "id", "text")
+        .select(col("id"), md5(col("text_clean")).as("clean_md5"))
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH planted AS (
+        SELECT doc_id AS id,
+          '<html><body class="main"><p>' || text || '</p><script type="text/javascript">var x = 1 < 2;</script><style>.a { color: red; }</style> &amp;amp; tail &lt;tag&gt;' AS text
+        FROM documents
+      )
+      SELECT id, md5(${TextAnalysis.stripHtmlSql("text")}) AS clean_md5
+      FROM planted ORDER BY id
+    """.trim)
+  )
+
   private val splitSpec = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
   val hashSplit: QueryDef = QueryDef(
@@ -1176,7 +1201,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
-    ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
     decontaminate, deconBloom, curationFunnel,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, mediaMeta, mediaFrames, mediaPdqDups

@@ -171,6 +171,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == 3L) // a, astral, b
   }
 
+  test("stripHtml: tags to spaces, script/style contents dropped, one-level entity decode") {
+    val df = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "before<script>var a = 1 < 2; // <b>not a tag</b></script>after"),
+      (3L, "x<style type=\"a\">.c { color: red }</style>y"),
+      (4L, "a &lt;b&gt; &amp;amp; c &#39;d&quot;"),
+      (5L, "  spaced\n\tout  ")
+    ).toDF("id", "text")
+    val got = TextAnalysis.stripHtml(df, "id", "text")
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq(
+      "hello world",
+      "before after",
+      "x y",
+      "a <b> &amp; c 'd\"", // one decode level; <b> arrives AFTER tag stripping
+      "spaced out"))
+  }
+
   test("bpeTokenCounts: greedy longest-match segmentation, hand-checked") {
     val vocab = Seq("the", "th", "he", "ing", "in", "walk", "a")
     val df = Seq(
