@@ -641,6 +641,55 @@ object Pipeline {
     }
   )
 
+  /** CAPSTONE composition — the six-tier ingest pipeline end-to-end:
+    * planted HTML markup → [[TextAnalysis.stripHtml]] → word-count
+    * quality floor → [[Dedup.nearDupSurvivors]] (MinHash pairs →
+    * connected components → keepers) → [[TextAnalysis.bpeTokenCounts]]
+    * → [[Splits.hashSplit]] → [[Packing.packChunks]]. Every stage is
+    * individually gated; this gate proves they COMPOSE — the oracle
+    * nests each stage's SQL twin as a subquery (recursive CTEs and
+    * all). */
+  val pipelineE2e: QueryDef = QueryDef(
+    "pipeline_e2e",
+    (s, dir) => {
+      val raw = corpus(s, dir).select(col("id"),
+        concat(lit("<p>"), col("text"),
+          lit("</p><script>var x = 1 < 2;</script> &amp; tail")).as("text"))
+      val clean = TextAnalysis.stripHtml(raw, "id", "text")
+        .select(col("id"), col("text_clean").as("text"))
+      val kept = clean.filter(size(TextFunctions.words(col("text"))) >= 40)
+      val survivors = Dedup.nearDupSurvivors(kept, "id", "text",
+        shingleLen = 3, k = 16, bands = 4, threshold = 0.6)
+      val budgets = TextAnalysis.bpeTokenCounts(survivors, "id", "text")
+      Packing.packChunks(Splits.hashSplit(budgets, "id", splitSpec),
+        "id", "n_bpe_tokens", budget = 512, groupCol = "split")
+        .orderBy("group", "id")
+    },
+    Some {
+      val cleanSql =
+        s"""SELECT id, ${TextAnalysis.stripHtmlSql("text")} AS text
+            FROM (SELECT id, '<p>' || text || '</p><script>var x = 1 < 2;</script> &amp; tail' AS text
+                  FROM ($corpusSql))"""
+      val keptSql = s"SELECT id, text FROM ($cleanSql) WHERE len(${TextFunctions.wordsSql("text")}) >= 40"
+      val survivorsSql =
+        s"""SELECT id, text FROM ($keptSql) kk WHERE kk.id NOT IN (
+              WITH RECURSIVE ${minhashCtes(keptSql)},
+              p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.6),
+              e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+              reach(id, r) AS (
+                SELECT DISTINCT s, s FROM e
+                UNION
+                SELECT e.d, reach.r FROM e JOIN reach ON e.s = reach.id
+              ),
+              cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+              SELECT id FROM cl WHERE id <> cluster)"""
+      val budgetsSql = TextAnalysis.bpeTokenCountsSql(survivorsSql)
+      val packInput =
+        s"SELECT ${Splits.hashSplitSql("id", splitSpec)} AS g, id, n_bpe_tokens AS t FROM ($budgetsSql)"
+      Packing.packChunksSql(packInput, budget = 512) + """ ORDER BY "group", id"""
+    }
+  )
+
   /** Benchmark decontamination: corpus scanned against a pseudo-benchmark
     * (every 97th document) for 3-gram shingle collisions; benchmark
     * members flag themselves plus any doc sharing ≥ 5 shingles. */
@@ -1203,7 +1252,7 @@ object Pipeline {
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
-    decontaminate, deconBloom, curationFunnel,
+    decontaminate, deconBloom, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )
 }
