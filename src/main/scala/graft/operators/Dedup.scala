@@ -540,24 +540,26 @@ object Dedup {
     ngramJaccardPairsFromHs(Materialize(shingleHashes30(df, idCol, textCol, shingleLen)), threshold)
   }
 
-  /** [[ngramJaccardPairs]] from an already-materialized (id, hs) frame. */
+  /** [[ngramJaccardPairs]] from an already-materialized (id, hs) frame.
+    *
+    * Verification is ROW-LEVEL (the [[ngramJaccardPairsCapped]] shape):
+    * |A∩B| is a pair-count aggregate over the shared exploded rows —
+    * exactly `size(array_intersect(hs_a, hs_b))` on the same distinct
+    * sets, but the candidate join's output goes straight into a
+    * map-side-combinable count instead of a pair dedupe plus two
+    * array-carrying joins and a per-pair intersection (measured ~2× at
+    * sf0.1; values bit-identical, oracle unchanged). */
   private[graft] def ngramJaccardPairsFromHs(hs: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0, "threshold must be > 0 (shared-shingle candidate index is complete only for positive thresholds)")
     val ex = hs.select(col("id"), explode(col("hs")).as("h"))
-    val candidates = ex.as("a")
+    val sizes = hs.select(col("id"), size(col("hs")).as("n"))
+    val pairCounts = ex.as("a")
       .join(ex.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      // size prefilter: J >= t implies min(|A|,|B|) >= t * max(|A|,|B|);
-      // drops mismatched-length pairs before the set intersection
-      .filter(least(size(col("hs_a")), size(col("hs_b"))).cast("double") >=
-        lit(threshold) * greatest(size(col("hs_a")), size(col("hs_b"))).cast("double"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).as("ni"),
-        size(col("hs_a")).as("na"), size(col("hs_b")).as("nb"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("ni"))
+    pairCounts
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
