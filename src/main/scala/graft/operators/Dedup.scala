@@ -509,11 +509,15 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.6
   ): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, shingleLen, k, bands, threshold)
+    // the input lineage feeds BOTH the pair derivation and the final
+    // anti-join — materialize once, or an expensive upstream chain
+    // (e.g. HTML stripping in the e2e pipeline) executes twice
+    val input = Materialize(df)
+    val pairs = minhashLshPairs(input, idCol, textCol, shingleLen, k, bands, threshold)
     val losers = connectedComponents(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    input.join(losers, Seq(idCol), "left_anti")
   }
 
   /** EXACT n-gram Jaccard pairs ≥ threshold — the ground-truth tier.

@@ -372,44 +372,6 @@ object TextAnalysis {
     * even when patterns overlap (an SSN-shaped local part inside an
     * email address counts as the email that swallowed it, not as a
     * phantom un-tagged SSN). Map-only — no shuffle. */
-  /** HTML → text cleaning, the web-scrape ingest step: drop
-    * script/style elements WITH their contents, strip remaining tags to
-    * spaces, decode the five predefined entities (&amp;amp; last, so
-    * double-encoded entities decode exactly one level — the standard
-    * rule), collapse whitespace. Pure regexp/replace column exprs —
-    * map-only, codegen'd, identical RE2/Java-regex semantics on the
-    * subset used (inline (?is) flags, lazy quantifiers, no
-    * backreferences) so the DuckDB twin replays byte-for-byte. NOT a
-    * sanitizer: this is corpus text extraction, not XSS defense.
-    *
-    * @return (id, text_clean) */
-  def stripHtml(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), stripHtmlExpr(col(textCol)).as("text_clean"))
-
-  private def stripHtmlExpr(t: Column): Column = {
-    // two literal passes, not one backreferenced pattern: the DuckDB
-    // twin runs RE2, which has no backreferences
-    val noScript = Seq("script", "style").foldLeft(t) { (c, tag) =>
-      regexp_replace(c, lit(s"(?is)<$tag\\b[^>]*>.*?</$tag\\s*>"), lit(" "))
-    }
-    val noTags = regexp_replace(noScript, lit("(?s)<[^>]*>"), lit(" "))
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
-    trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
-  }
-
-  /** DuckDB twin of [[stripHtml]] over text expression `t`. */
-  def stripHtmlSql(t: String): String = {
-    val noScript = Seq("script", "style").foldLeft(t) { (c, tag) =>
-      s"regexp_replace($c, '(?is)<$tag\\b[^>]*>.*?</$tag\\s*>', ' ', 'g')"
-    }
-    val noTags = s"regexp_replace($noScript, '(?s)<[^>]*>', ' ', 'g')"
-    // SQL-literal escaping: '' is one quote char; " needs none
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "''", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) => s"replace($c, '$from', '$to')" }
-    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
-  }
-
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (redacted, counts) =
       PiiPatterns.foldLeft((col(textCol), Seq.empty[org.apache.spark.sql.Column])) {
@@ -432,6 +394,64 @@ object TextAnalysis {
           acc :+ (s"n_$name" -> s"len(regexp_extract_all($e, '${esc(re)}'))"))
     }
     counts :+ ("redacted" -> redacted)
+  }
+
+  /** Case-insensitive tag-name pattern via explicit char classes — NOT
+    * the (?i) flag: RE2's (?i) does Unicode case folding (U+017F 'ſ'
+    * matches 's') while Java's is ASCII-only; explicit classes are
+    * identical on both engines. */
+  private def tagPat(tag: String): String =
+    tag.map(c => s"[$c${c.toUpper}]").mkString
+
+  /** Engine-identical whitespace class: Java's \s includes \x0B, RE2's
+    * does not — spell the set out. */
+  private val WsClass = "[ \\t\\n\\f\\r\\x0B]"
+
+  /** HTML → text cleaning, the web-scrape ingest step: drop
+    * script/style elements WITH their contents (closed blocks first;
+    * a remaining UNCLOSED open tag — a truncated scrape — drops
+    * everything to end-of-text rather than leaking raw JS/CSS into the
+    * corpus), strip remaining tags to spaces, decode the five
+    * predefined entities (&amp;amp; last, so double-encoded entities
+    * decode exactly one level — the standard rule), collapse
+    * whitespace. Pure regexp/replace column exprs — map-only,
+    * codegen'd, and every pattern is written in the Java∩RE2 common
+    * subset (explicit case classes not (?i), explicit whitespace class
+    * not \s, lazy quantifiers, no backreferences) so the DuckDB twin
+    * replays byte-for-byte. NOT a sanitizer: this is corpus text
+    * extraction, not XSS defense.
+    *
+    * @return (id, text_clean) */
+  def stripHtml(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), stripHtmlExpr(col(textCol)).as("text_clean"))
+
+  private def stripHtmlExpr(t: Column): Column = {
+    // per-tag literal passes, not one backreferenced pattern: the
+    // DuckDB twin runs RE2, which has no backreferences
+    val noScript = Seq("script", "style").foldLeft(t) { (c, tag) =>
+      val p = tagPat(tag)
+      val closed = regexp_replace(c, lit(s"(?s)<$p\\b[^>]*>.*?</$p$WsClass*>"), lit(" "))
+      // any <script...> still present is unclosed: truncate to EOT
+      regexp_replace(closed, lit(s"(?s)<$p\\b[^>]*>.*$$"), lit(" "))
+    }
+    val noTags = regexp_replace(noScript, lit("(?s)<[^>]*>"), lit(" "))
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, lit(s"$WsClass+"), lit(" ")))
+  }
+
+  /** DuckDB twin of [[stripHtml]] over text expression `t`. */
+  def stripHtmlSql(t: String): String = {
+    val noScript = Seq("script", "style").foldLeft(t) { (c, tag) =>
+      val p = tagPat(tag)
+      val closed = s"regexp_replace($c, '(?s)<$p\\b[^>]*>.*?</$p$WsClass*>', ' ', 'g')"
+      s"regexp_replace($closed, '(?s)<$p\\b[^>]*>.*$$', ' ', 'g')"
+    }
+    val noTags = s"regexp_replace($noScript, '(?s)<[^>]*>', ' ', 'g')"
+    // SQL-literal escaping: '' is one quote char; " needs none
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "''", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => s"replace($c, '$from', '$to')" }
+    s"trim(regexp_replace($decoded, '$WsClass+', ' ', 'g'))"
   }
 
   /** Winnowing document fingerprints: (id, fingerprints array<bigint>).

@@ -177,7 +177,9 @@ class TextAnalysisSpec extends SparkTestBase {
       (2L, "before<script>var a = 1 < 2; // <b>not a tag</b></script>after"),
       (3L, "x<style type=\"a\">.c { color: red }</style>y"),
       (4L, "a &lt;b&gt; &amp;amp; c &#39;d&quot;"),
-      (5L, "  spaced\n\tout  ")
+      (5L, "  spaced\n\tout  "),
+      (6L, "keep<SCRIPT>closed</SCRIPT>ok<script>var leak = 1;"), // truncated page
+      (7L, "a\u000Bb") // vertical tab: Java \s includes it, RE2's does not
     ).toDF("id", "text")
     val got = TextAnalysis.stripHtml(df, "id", "text")
       .orderBy("id").collect().map(_.getString(1)).toSeq
@@ -186,7 +188,9 @@ class TextAnalysisSpec extends SparkTestBase {
       "before after",
       "x y",
       "a <b> &amp; c 'd\"", // one decode level; <b> arrives AFTER tag stripping
-      "spaced out"))
+      "spaced out",
+      "keep ok", // unclosed <script> truncates to end instead of leaking JS
+      "a b"))
   }
 
   test("bpeTokenCounts: greedy longest-match segmentation, hand-checked") {
