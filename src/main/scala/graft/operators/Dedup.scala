@@ -142,11 +142,14 @@ object Dedup {
       threshold: Double): DataFrame = {
     val banded = minhashBandRows(hs, k, bands)
 
+    // candidate volume observable per invocation (skew monitoring —
+    // same contract as simhashPairs' "candidates" metric)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band") <=> col("b.band") &&
           col("a.id") < col("b.id"))
+      .observe(Telemetry.name("minhash_lsh"), count(lit(1)).as("candidates"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 

@@ -125,6 +125,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("html_strip is map-only: no shuffle, no join, no UDF") {
+    val p = plan("html_strip")
+    assert(!p.contains("hashpartitioning"), s"html strip must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("UDF"))
+  }
+
   test("token_budget is map-only: codegen'd vocab_token_count, no shuffle before the output sort") {
     val p = plan("token_budget")
     assert(p.contains("vocab_token_count"), s"native expression missing:\n$p")

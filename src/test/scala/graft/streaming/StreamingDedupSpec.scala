@@ -144,6 +144,24 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("stripHtml and bpeTokenCounts (map-only, native exprs) run unchanged on streams") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "text")
+    val cleaned = TextAnalysis.stripHtml(df, "id", "text")
+    val budgets = TextAnalysis.bpeTokenCounts(
+      cleaned.select(col("id"), col("text_clean").as("text")), "id", "text")
+    val q = cleaned.writeStream.format("memory").queryName("sd_html").outputMode("append").start()
+    val q2 = budgets.writeStream.format("memory").queryName("sd_bpe").outputMode("append").start()
+    try {
+      input.addData((1L, "<p>the thing</p><script>var x;</script>"))
+      q.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("sd_html").collect().head.getString(1) == "the thing")
+      assert(spark.table("sd_bpe").collect().head.getLong(1) == 3L) // the | th+ing
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("decontaminateStream ≡ batch scan offenders on the same documents") {
     import graft.operators.{Decontaminate, Dedup}
     implicit val sqlCtx = spark.sqlContext
