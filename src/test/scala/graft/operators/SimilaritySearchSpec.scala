@@ -146,6 +146,23 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(math.abs(xc(0) - (1.0 + 0.98f.toDouble + 0.96f.toDouble) / 3) < 1e-6)
   }
 
+  test("fitCentroids is materialize-mode-robust: local, none, reliable all give identical centroids") {
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    def fit() = SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 2, rounds = 2, dim = 2)
+      .orderBy("centroid_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toList
+    val baseline = fit() // default "local"
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("fit-ckpt").toString)
+    for (mode <- Seq("none", "reliable")) {
+      spark.conf.set(Materialize.ModeKey, mode)
+      try assert(fit() == baseline, s"mode=$mode diverged")
+      finally spark.conf.unset(Materialize.ModeKey)
+    }
+  }
+
   test("annRecallReport: hits are the ann∩exact overlap; p=0 (one bucket) gives recall 1") {
     val queries = vecs.filter(col("vec_id") < 2)
     // p=0: every vector lands in bucket 0, ANN ≡ exact, recall exactly 1
