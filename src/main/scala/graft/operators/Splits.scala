@@ -83,6 +83,67 @@ object Splits {
     df.filter(bucket(col(idCol), salt) < threshold)
   }
 
+  /** Rebalance the corpus to a TARGET composition ("30% code, 70% web")
+    * — [[stratifiedSample]] solves "keep these fractions"; this solves
+    * "make the output LOOK like this mix". The output size is set by
+    * the scarcest group relative to its target
+    * (`n_out = min_g(n_g / target_g)`), so every listed group's keep
+    * fraction `target_g · n_out / n_g` is ≤ 1 by construction and the
+    * realized shares match the target (up to hash-bucket rounding) with
+    * no capped group silently skewing the mix. Downsampling only —
+    * upsampling means replication, a different operator.
+    *
+    * Shape: one count aggregate per group + a one-row min — both
+    * broadcast back — then the usual content-addressed bucket filter;
+    * the corpus itself never shuffles. Groups not in `targetShares`
+    * are dropped (the spec IS the mix). Deterministic and
+    * oracle-replayable: counts are exact integers, the ratio arithmetic
+    * is fixed-order double ops, assignments are salted id-hash buckets
+    * (stable under reruns; note that unlike [[stratifiedSample]] the
+    * keep THRESHOLDS shift as corpus composition grows).
+    *
+    * @return the surviving rows of `df`, original columns */
+  def targetMixSample(df: DataFrame, idCol: String, groupCol: String,
+      targetShares: Seq[(String, Double)], salt: String = "mix"): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must be non-empty")
+    targetShares.foreach { case (g, s) =>
+      require(s > 0.0 && s <= 1.0, s"share for '$g' must be in (0, 1], got $s") }
+    require(targetShares.map(_._1).distinct.size == targetShares.size, "duplicate group in targetShares")
+    val tgt = targetShares.foldRight(lit(null).cast("double"): Column) {
+      case ((g, s), rest) => when(col(groupCol) === g, lit(s)).otherwise(rest)
+    }
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_g"))
+    val nOut = counts.select(
+      min(when(tgt.isNotNull, col("n_g").cast("double") / tgt)).as("n_out"))
+    df.join(broadcast(counts), Seq(groupCol))
+      .crossJoin(broadcast(nOut))
+      .filter(tgt.isNotNull &&
+        bucket(col(idCol), salt).cast("double") <
+          least(lit(1.0), tgt * col("n_out") / col("n_g").cast("double")) * Buckets)
+      .drop("n_g", "n_out")
+      .select(df.columns.map(col): _*)
+  }
+
+  /** DuckDB twin of [[targetMixSample]] over `input` (whose columns
+    * include `id`/`group` as named): returns the full SELECT of
+    * surviving (id, group) rows. */
+  def targetMixSampleSql(input: String, id: String, group: String,
+      targetShares: Seq[(String, Double)], salt: String = "mix"): String = {
+    val cases = targetShares.map { case (g, s) => s"WHEN '${escSql(g)}' THEN ${s}" }.mkString(" ")
+    val tgt = s"(CASE tmx.grp $cases END)"
+    s"""SELECT d.$id AS $id, d.$group AS $group
+      FROM ($input) d
+      JOIN (SELECT $group AS grp, count(*) AS n_g FROM ($input) GROUP BY 1) tmx ON d.$group = tmx.grp
+      CROSS JOIN (
+        SELECT min(CAST(n_g AS DOUBLE) / (CASE grp $cases END)) AS n_out
+        FROM (SELECT $group AS grp, count(*) AS n_g FROM ($input) GROUP BY 1) tmx
+        WHERE (CASE grp $cases END) IS NOT NULL
+      ) no
+      WHERE $tgt IS NOT NULL
+        AND CAST(${bucketSql(s"d.$id", salt)} AS DOUBLE) <
+          least(1.0, $tgt * no.n_out / CAST(tmx.n_g AS DOUBLE)) * $Buckets"""
+  }
+
   /** DuckDB twin of [[stratifiedSample]]'s filter predicate. */
   def stratifiedSampleSql(id: String, group: String,
       fractions: Seq[(String, Double)], defaultFraction: Double = 0.0,

@@ -553,6 +553,22 @@ object Pipeline {
     """.trim)
   )
 
+  /** Target-mix rebalancing: force the 90/5/5 split distribution to a
+    * 50/25/25 OUTPUT composition — output size set by the scarcest
+    * group, every realized share matching the target. */
+  private val mixSpec = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+
+  val targetMix: QueryDef = QueryDef(
+    "target_mix",
+    (s, dir) => Splits.targetMixSample(
+      Splits.hashSplit(tbl(s, dir, "documents").select(col("doc_id").as("id")), "id", splitSpec),
+      "id", "split", mixSpec).orderBy("id"),
+    Some(
+      Splits.targetMixSampleSql(
+        s"SELECT doc_id AS id, ${Splits.hashSplitSql("doc_id", splitSpec)} AS split FROM documents",
+        "id", "split", mixSpec) + " ORDER BY id")
+  )
+
   val docSample: QueryDef = QueryDef(
     "doc_sample",
     (s, dir) => graft.operators.Splits.sampleFraction(
@@ -1251,7 +1267,7 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
-    tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, docSample,
+    tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample,
     decontaminate, deconBloom, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
   )

@@ -100,6 +100,8 @@ object Drive {
       Packing.packStats(packed).orderBy("group").show()
       Splits.stratifiedSample(toks, "id", "grp", Seq("g0" -> 1.0, "g1" -> 0.2))
         .groupBy("grp").count().orderBy("grp").show()
+      Splits.targetMixSample(toks, "id", "grp", Seq("g0" -> 0.5, "g1" -> 0.5))
+        .groupBy("grp").count().orderBy("grp").show()
     }
     println("=== tf-idf top terms / common spans / bloom decontamination ===")
     locally {

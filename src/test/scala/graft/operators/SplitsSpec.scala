@@ -115,4 +115,31 @@ class SplitsSpec extends SparkTestBase {
     val empty = Splits.stratifiedSampleSql("id", "grp", Seq.empty, defaultFraction = 0.3)
     assert(!empty.contains("CASE") && empty.contains("3000"))
   }
+
+  test("targetMixSample: realized shares match the target; scarcest group kept whole; unlisted dropped") {
+    import spark.implicits._
+    // 800 "web", 150 "code", 50 "math", 100 "junk" (unlisted)
+    val df = ((1L to 800L).map((_, "web")) ++ (1001L to 1150L).map((_, "code")) ++
+      (2001L to 2050L).map((_, "math")) ++ (3001L to 3100L).map((_, "junk")))
+      .toDF("id", "grp")
+    val target = Seq("web" -> 0.5, "code" -> 0.3, "math" -> 0.2)
+    // n_out = min(800/.5=1600, 150/.3=500, 50/.2=250) = 250
+    // expected keeps: web 125, code 75, math 50 (scarcest kept whole)
+    val got = Splits.targetMixSample(df, "id", "grp", target)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("junk"))
+    assert(got("math") == 50L) // keep fraction exactly 1.0
+    // hash buckets round the others: within ±10% of the target counts
+    assert(math.abs(got("web") - 125L) <= 13, s"web=${got("web")}")
+    assert(math.abs(got("code") - 75L) <= 8, s"code=${got("code")}")
+    // deterministic under repartitioning (counts exact, buckets content-addressed)
+    val again = Splits.targetMixSample(df.repartition(7), "id", "grp", target)
+      .collect().map(_.getLong(0)).sorted
+    assert(again.toSeq == Splits.targetMixSample(df, "id", "grp", target)
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    // original columns only, in order
+    assert(Splits.targetMixSample(df, "id", "grp", target).columns.toSeq == Seq("id", "grp"))
+    intercept[IllegalArgumentException](Splits.targetMixSample(df, "id", "grp", Seq("a" -> 0.0)))
+    intercept[IllegalArgumentException](Splits.targetMixSample(df, "id", "grp", Seq.empty))
+  }
 }
