@@ -103,42 +103,58 @@ object Splits {
     * keep THRESHOLDS shift as corpus composition grows).
     *
     * @return the surviving rows of `df`, original columns */
-  def targetMixSample(df: DataFrame, idCol: String, groupCol: String,
-      targetShares: Seq[(String, Double)], salt: String = "mix"): DataFrame = {
+  private def validateTargetShares(targetShares: Seq[(String, Double)]): Unit = {
     require(targetShares.nonEmpty, "targetShares must be non-empty")
     targetShares.foreach { case (g, s) =>
       require(s > 0.0 && s <= 1.0, s"share for '$g' must be in (0, 1], got $s") }
     require(targetShares.map(_._1).distinct.size == targetShares.size, "duplicate group in targetShares")
+  }
+
+  def targetMixSample(df: DataFrame, idCol: String, groupCol: String,
+      targetShares: Seq[(String, Double)], salt: String = "mix"): DataFrame = {
+    validateTargetShares(targetShares)
     val tgt = targetShares.foldRight(lit(null).cast("double"): Column) {
       case ((g, s), rest) => when(col(groupCol) === g, lit(s)).otherwise(rest)
     }
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_g"))
-    val nOut = counts.select(
-      min(when(tgt.isNotNull, col("n_g").cast("double") / tgt)).as("n_out"))
+    // collision-proof internal names: user frames may carry n_g/n_out
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__tmx_n_g"))
+    // n_out over the LITERAL share list, so a listed group with ZERO
+    // rows contributes 0/share = 0 — the target is unattainable and the
+    // scarcest-group rule yields an EMPTY output (not a silently skewed
+    // mix); check group coverage upstream if that bites
+    val ratios = targetShares.map { case (g, s) =>
+      coalesce(max(when(col(groupCol) === g, col("__tmx_n_g"))), lit(0L)).cast("double") / lit(s)
+    }
+    val nOut = counts.agg(
+      (if (ratios.size == 1) ratios.head else least(ratios: _*)).as("__tmx_n_out"))
     df.join(broadcast(counts), Seq(groupCol))
       .crossJoin(broadcast(nOut))
       .filter(tgt.isNotNull &&
         bucket(col(idCol), salt).cast("double") <
-          least(lit(1.0), tgt * col("n_out") / col("n_g").cast("double")) * Buckets)
-      .drop("n_g", "n_out")
+          least(lit(1.0), tgt * col("__tmx_n_out") / col("__tmx_n_g").cast("double")) * Buckets)
       .select(df.columns.map(col): _*)
   }
 
   /** DuckDB twin of [[targetMixSample]] over `input` (whose columns
     * include `id`/`group` as named): returns the full SELECT of
-    * surviving (id, group) rows. */
+    * surviving (id, group) rows. Same semantics incl. the
+    * zero-row-listed-group → empty-output rule. */
   def targetMixSampleSql(input: String, id: String, group: String,
       targetShares: Seq[(String, Double)], salt: String = "mix"): String = {
+    validateTargetShares(targetShares)
     val cases = targetShares.map { case (g, s) => s"WHEN '${escSql(g)}' THEN ${s}" }.mkString(" ")
     val tgt = s"(CASE tmx.grp $cases END)"
-    s"""SELECT d.$id AS $id, d.$group AS $group
-      FROM ($input) d
-      JOIN (SELECT $group AS grp, count(*) AS n_g FROM ($input) GROUP BY 1) tmx ON d.$group = tmx.grp
-      CROSS JOIN (
-        SELECT min(CAST(n_g AS DOUBLE) / (CASE grp $cases END)) AS n_out
-        FROM (SELECT $group AS grp, count(*) AS n_g FROM ($input) GROUP BY 1) tmx
-        WHERE (CASE grp $cases END) IS NOT NULL
-      ) no
+    val ratios = targetShares.map { case (g, s) =>
+      s"CAST(coalesce(max(CASE WHEN grp = '${escSql(g)}' THEN n_g END), 0) AS DOUBLE) / $s"
+    }
+    val nOutExpr = if (ratios.size == 1) ratios.head else ratios.mkString("least(", ", ", ")")
+    s"""WITH tmxsrc AS ($input),
+      tmxcnt AS (SELECT $group AS grp, count(*) AS n_g FROM tmxsrc GROUP BY 1),
+      tmxout AS (SELECT $nOutExpr AS n_out FROM tmxcnt)
+      SELECT d.$id AS $id, d.$group AS $group
+      FROM tmxsrc d
+      JOIN tmxcnt tmx ON d.$group = tmx.grp
+      CROSS JOIN tmxout no
       WHERE $tgt IS NOT NULL
         AND CAST(${bucketSql(s"d.$id", salt)} AS DOUBLE) <
           least(1.0, $tgt * no.n_out / CAST(tmx.n_g AS DOUBLE)) * $Buckets"""

@@ -29,12 +29,14 @@ class SparkEntrySpec extends SparkTestBase {
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
 
-  test("query names are unique and every oracle key has a query") {
+  test("query names are unique and oracle SQL strings are non-trivial") {
     val names = SparkEntry.all.map(_.name)
     val dupes = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
-    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+    // (oracle keys ⊆ query keys holds by construction — both derive
+    // from SparkEntry.all — so that is NOT asserted here)
+    val blank = SparkEntry.all.collect { case q if q.oracle.exists(_.trim.isEmpty) => q.name }
+    assert(blank.isEmpty, s"blank oracle SQL: $blank")
   }
 
   test("every query's output schema is scalar-only and oracle-sortable") {

@@ -141,5 +141,15 @@ class SplitsSpec extends SparkTestBase {
     assert(Splits.targetMixSample(df, "id", "grp", target).columns.toSeq == Seq("id", "grp"))
     intercept[IllegalArgumentException](Splits.targetMixSample(df, "id", "grp", Seq("a" -> 0.0)))
     intercept[IllegalArgumentException](Splits.targetMixSample(df, "id", "grp", Seq.empty))
+    intercept[IllegalArgumentException](
+      Splits.targetMixSampleSql("SELECT 1", "id", "grp", Seq.empty))
+    // a LISTED group with zero rows makes the target unattainable:
+    // empty output, never a silently skewed mix
+    val missing = Splits.targetMixSample(df, "id", "grp",
+      Seq("web" -> 0.5, "absent_group" -> 0.5))
+    assert(missing.count() == 0L)
+    // user columns named like the internals must not collide
+    val clash = Splits.targetMixSample(df.withColumn("n_g", $"id"), "id", "grp", target)
+    assert(clash.columns.toSeq == Seq("id", "grp", "n_g") && clash.count() > 0L)
   }
 }
