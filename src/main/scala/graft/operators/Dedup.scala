@@ -190,6 +190,15 @@ object Dedup {
     ).select(col("id"), col("pos").as("band_id"), col("col").as("band"))
   }
 
+  /** The build parameters a [[DedupIndex]] was derived with. They are
+    * part of the index's identity: band arrays built with a different
+    * `k`/`bands` never equi-join (every batch doc would silently
+    * classify as `novel`), and a different `shingleLen` yields wrong
+    * Jaccard values — so the params persist in the index manifest and
+    * every classify validates against them instead of trusting the
+    * caller to remember. */
+  final case class IndexParams(shingleLen: Int, k: Int, bands: Int)
+
   /** The persistable corpus-side index for [[incrementalDedup]]: the
     * three relations the classify joins actually touch — each a pure
     * function of the corpus, so they are maintained ACROSS runs instead
@@ -201,9 +210,11 @@ object Dedup {
     *  - `hs`    — (id, hs): distinct 30-bit shingle hashes per doc, the
     *    verification side;
     *  - `bands` — (id, band_id, band): MinHash LSH band rows, the
-    *    candidate-join side.
+    *    candidate-join side;
+    *  - `params` — the build parameters all three were derived with.
     */
-  final case class DedupIndex(md5: DataFrame, hs: DataFrame, bands: DataFrame)
+  final case class DedupIndex(md5: DataFrame, hs: DataFrame, bands: DataFrame,
+      params: IndexParams)
 
   /** Derive the corpus index inline. The hs relation feeds both the
     * band derivation and (twice) the verification joins — materialized
@@ -212,28 +223,79 @@ object Dedup {
       shingleLen: Int = 3, k: Int = 16, bands: Int = 4): DedupIndex = {
     val cMd = corpus.select(md5(col(textCol)).as("m"), col(idCol).as("cid"))
     val cHs = Materialize(shingleHashes30(corpus, idCol, textCol, shingleLen))
-    DedupIndex(cMd, cHs, minhashBandRows(cHs, k, bands))
+    DedupIndex(cMd, cHs, minhashBandRows(cHs, k, bands), IndexParams(shingleLen, k, bands))
   }
 
-  /** Persist a [[DedupIndex]] as three parquet relations under `path`.
-    * Band rows are Hive-partitioned by `band_id` (low cardinality, and
-    * the candidate join's equi-key — a probe filtered to one band reads
-    * one directory). Use SaveMode.Append for the admit-new-batch flow. */
+  /** Manifest file name: written LAST by [[writeIndex]], required by
+    * [[readIndex]] — so a write that died between relation jobs leaves
+    * an index [[readIndex]] refuses to serve (no manifest), never one
+    * that silently classifies against partial relations. */
+  private val ManifestFile = "_GRAFT_INDEX_MANIFEST"
+
+  private def hadoopFs(df: DataFrame, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()), p)
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[IndexParams] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val props = new java.util.Properties()
+        props.load(in)
+        Some(IndexParams(props.getProperty("shingleLen").toInt,
+          props.getProperty("k").toInt, props.getProperty("bands").toInt))
+      } finally in.close()
+    }
+
+  /** Persist a [[DedupIndex]] as three parquet relations under `path`,
+    * then a params manifest. Band rows are Hive-partitioned by
+    * `band_id` (low cardinality, and the candidate join's equi-key — a
+    * probe filtered to one band reads one directory).
+    *
+    * The three relation writes are separate jobs; the manifest is the
+    * commit marker — written only after ALL relations land, and checked
+    * by [[readIndex]] — so a failure mid-write is detected, not served.
+    * Use SaveMode.Append for the admit-new-batch flow: an append onto
+    * an index built with DIFFERENT params fails fast before touching
+    * any relation (mixed-param band rows would silently never join). */
   def writeIndex(index: DedupIndex, path: String,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    val (fs, mPath) = hadoopFs(index.md5, s"$path/$ManifestFile")
+    if (mode == org.apache.spark.sql.SaveMode.Append)
+      readManifest(fs, mPath).foreach { existing =>
+        require(existing == index.params,
+          s"cannot append a ${index.params} index onto one built with $existing at $path")
+      }
     index.md5.write.mode(mode).parquet(s"$path/md5")
     index.hs.write.mode(mode).parquet(s"$path/hs")
     graft.sources.Formats.writePartitioned(index.bands, s"$path/bands", Seq("band_id"), mode)
+    val out = fs.create(mPath, true)
+    try {
+      val p = index.params
+      out.write(s"shingleLen=${p.shingleLen}\nk=${p.k}\nbands=${p.bands}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
   }
 
   /** Read a persisted [[DedupIndex]]. The classify path over a read
-    * index touches ZERO corpus text — the daily-delta contract. */
-  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex =
+    * index touches ZERO corpus text — the daily-delta contract. Fails
+    * fast when the manifest is absent: either the path never held an
+    * index or a [[writeIndex]] died before committing. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex = {
+    val probe = spark.emptyDataFrame
+    val (fs, mPath) = hadoopFs(probe, s"$path/$ManifestFile")
+    val params = readManifest(fs, mPath).getOrElse(throw new IllegalStateException(
+      s"no index manifest at $path — not a graft dedup index, or an interrupted writeIndex left it incomplete"))
     DedupIndex(
       spark.read.parquet(s"$path/md5"),
       spark.read.parquet(s"$path/hs"),
       spark.read.parquet(s"$path/bands")
-        .select(col("id"), col("band_id").cast("int"), col("band")))
+        .select(col("id"), col("band_id").cast("int"), col("band")),
+      params)
+  }
 
   /** Incremental dedup: classify a NEW batch of documents against an
     * EXISTING corpus — the daily-delta shape of a production curation
@@ -278,7 +340,23 @@ object Dedup {
     * production shape: the corpus relations come from maintained tables
     * ([[readIndex]]), so classifying a batch costs one pass over the
     * BATCH text plus broadcast joins against the index; the settled
-    * corpus is never re-scanned or re-shuffled. */
+    * corpus is never re-scanned or re-shuffled. The batch side derives
+    * with the INDEX's own persisted build params — the only values its
+    * band rows can ever equi-join. */
+  def incrementalDedup(
+      batch: DataFrame,
+      index: DedupIndex,
+      idCol: String,
+      textCol: String,
+      threshold: Double
+  ): DataFrame =
+    incrementalDedup(batch, index, idCol, textCol,
+      index.params.shingleLen, index.params.k, index.params.bands, threshold)
+
+  /** [[incrementalDedup]] with caller-spelled params, validated against
+    * the index's persisted ones: a mismatch would not error on its own —
+    * band arrays of different lengths never equi-join, so every batch
+    * doc would silently classify as `novel` — so it fails fast here. */
   def incrementalDedup(
       batch: DataFrame,
       index: DedupIndex,
@@ -289,6 +367,11 @@ object Dedup {
       bands: Int,
       threshold: Double
   ): DataFrame = {
+    val asked = IndexParams(shingleLen, k, bands)
+    require(asked == index.params,
+      s"index was built with ${index.params}, classify asked for $asked — " +
+        "a mismatch never joins (all docs would silently come back 'novel'); " +
+        "use the params-free overload to adopt the index's own params")
     val bMd = batch.select(col(idCol).as("id"), md5(col(textCol)).as("m"))
     val exact = index.md5.join(broadcast(bMd), Seq("m"))
       .groupBy("id").agg(min(col("cid")).as("exact_id"))

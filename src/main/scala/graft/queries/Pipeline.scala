@@ -19,16 +19,28 @@ object Pipeline {
 
   // ---- shared corpus with planted near-duplicates ---------------------
 
-  /** Per-process token for gate scratch dirs: stable within a process
+  /** Per-process root for gate scratch dirs: stable within a process
     * (bench reps / plan inspection reuse ONE overwritten directory, no
     * per-invocation leak) but unique across processes, so concurrent
     * runs (Verify beside Bench, two CI jobs, two users on one host)
-    * never overwrite each other's index mid-read. */
-  private lazy val gateScratchToken =
-    java.util.UUID.randomUUID().toString.take(8)
+    * never overwrite each other's index mid-read. All gate scratch
+    * lives under this single root, and a shutdown hook deletes the
+    * root — repeated CI/test runs leave nothing behind in tmpdir. */
+  private lazy val gateScratchRoot: java.io.File = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_gate_$token")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(root)
+    }
+    root
+  }
 
   private def gateScratchDir(name: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"), s"${name}_$gateScratchToken").getPath
+    new java.io.File(gateScratchRoot, name).getPath
 
   private val tail = " extra tail words appended here"
 

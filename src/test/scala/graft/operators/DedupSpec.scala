@@ -329,6 +329,42 @@ class DedupSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters") && scan.contains("band_id"))
   }
 
+  test("index manifest pins build params: mismatch and incompleteness fail fast") {
+    val corpus = docs
+    val batch = Seq((101L, "the quick brown fox jumps over the lazy dog near the river bank today")).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_params_spec").toString + "/idx"
+    Dedup.writeIndex(Dedup.buildIndex(corpus, "id", "text", shingleLen = 3, k = 16, bands = 4), path)
+
+    val idx = Dedup.readIndex(spark, path)
+    assert(idx.params == Dedup.IndexParams(3, 16, 4)) // round-tripped via the manifest
+    // params-free overload adopts the persisted params
+    assert(rows(Dedup.incrementalDedup(batch, idx, "id", "text", threshold = 0.5)).nonEmpty)
+    // caller-spelled params that disagree with the index would silently
+    // never join — must throw instead
+    val mismatch = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(batch, idx, "id", "text",
+        shingleLen = 3, k = 8, bands = 4, threshold = 0.5)
+    }
+    assert(mismatch.getMessage.contains("built with"))
+    // appending an index built with different params must fail before
+    // any relation is touched (mixed-param band rows never equi-join)
+    val append = intercept[IllegalArgumentException] {
+      Dedup.writeIndex(Dedup.buildIndex(corpus, "id", "text", shingleLen = 4, k = 8, bands = 2),
+        path, mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(append.getMessage.contains("cannot append"))
+    // same-params append remains the admit-new-batch flow
+    Dedup.writeIndex(Dedup.buildIndex(batch, "id", "text"), path,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(Dedup.readIndex(spark, path).md5.count() == corpus.count() + 1)
+    // a write that died before the manifest (or a non-index path) is
+    // refused outright rather than served as an empty/partial corpus
+    val bare = java.nio.file.Files.createTempDirectory("graft_idx_bare_spec").toString + "/idx"
+    Dedup.buildIndex(corpus, "id", "text").md5.write.parquet(s"$bare/md5")
+    val incomplete = intercept[IllegalStateException] { Dedup.readIndex(spark, bare) }
+    assert(incomplete.getMessage.contains("manifest"))
+  }
+
   test("Decontaminate.scanBloom ≡ scan (no false negatives; verify phase exact)") {
     val benchmark = docs.filter(col("id") % 2 === 1L)
     val exact = rows(Decontaminate.scan(docs, benchmark, "id", "text", 3, 2).orderBy("id"))
