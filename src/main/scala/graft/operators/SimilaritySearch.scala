@@ -427,6 +427,61 @@ object SimilaritySearch {
       .filter(col("cos") >= threshold)
   }
 
+  /** Within-cluster semantic duplicate pairs against FITTED centroids —
+    * the candidate stage of [[semanticDedup]]: every vector assigns to
+    * its nearest centroid (broadcast k-row join, map-side over the
+    * corpus), and only SAME-CELL pairs are cosine-verified. The
+    * self-join is a plain equi-join on `cell`: with k clusters the
+    * candidate volume is Σ|cell|²/2 ≈ N²/(2k) under balanced fits —
+    * choose k ∝ √N (SemDeDup runs 50k clusters on web scale) and the
+    * verify stage is linear-ish in N, never all-pairs. Norms precompute
+    * per vector (one sqrt-dot each), not per pair.
+    *
+    * @param centroids (centroid_id, ctr_vec) — [[fitCentroids]] output
+    * @return (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold */
+  def semanticDupPairs(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val assigned = Materialize(
+      ivfAssign(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec",
+          centroids.select(col("centroid_id"), col("ctr_vec")), 1)
+        .withColumn("nrm", norm(col("vec"))))
+    assigned.as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 9).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., arXiv
+    * 2303.09540): k-means-cluster the embedding space, verify cosine
+    * only within clusters, connect the verified pairs, keep one doc per
+    * semantic component. The pipeline is [[fitCentroids]] (deterministic
+    * fixed-point fit) → [[semanticDupPairs]] (cell equi-join) →
+    * [[graft.operators.Dedup.connectedComponents]] (pointer jumping) —
+    * every stage already scale-audited; clustering is what makes
+    * semantic dedup tractable at corpus scale (candidates drop from
+    * N²/2 to N²/(2k)).
+    *
+    * Unlike hyperplane-LSH near-dup pairs (a RECALL trade at a fixed
+    * p), identical-direction duplicates here are structurally always
+    * found: same direction → same cosine to every centroid → same cell
+    * (ties break on centroid id, a function of cosine alone).
+    *
+    * @return one row per input doc: (id, sem_cluster, keep) — keep=1
+    *         for the min-id survivor of each component (and every
+    *         unpaired doc), 0 for the semantic duplicates to drop. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, dim: Int, threshold: Double): DataFrame = {
+    val cent = fitCentroids(df, idCol, vecCol, k, rounds, dim)
+    val pairs = semanticDupPairs(df, cent, idCol, vecCol, threshold)
+    val comp = Dedup.connectedComponents(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("sem_cluster"),
+        (coalesce(col("cluster"), col("id")) === col("id")).cast("int").as("keep"))
+  }
+
   /** Recall report of the hyperplane-LSH ANN tier against the exact
     * [[cosineTopK]] ground truth — the [[graft.operators.Dedup.lshRecallReport]]
     * twin for the similarity tier: the number that justifies a `p`

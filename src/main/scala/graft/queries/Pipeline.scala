@@ -1039,6 +1039,63 @@ object Pipeline {
     """.trim)
   )
 
+  /** SemDeDup over the planted-clone corpus: k-means cluster (the
+    * deterministic fixed-point fit, replayed by the oracle via unrolled
+    * CTEs), within-cluster cosine pairs, connected components, min-id
+    * survivor per semantic component — one row per doc with its
+    * semantic cluster and keep flag. The scaled clones are
+    * direction-identical to their originals, so they MUST land in the
+    * same cell and be dropped (keep=0) — pinned by the spec; here the
+    * oracle replays the whole chain fit → assign → pairs → closure. */
+  val semanticDedup: QueryDef = QueryDef(
+    "semantic_dedup",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 5 === 0).select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      SimilaritySearch.semanticDedup(corpus, "vec_id", "embedding",
+        k = 8, rounds = 2, dim = 64, threshold = 0.95)
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+        FROM embeddings WHERE vec_id % 5 = 0
+      ),
+      ${SimilaritySearch.fitCentroidsCtes("SELECT vec_id AS id, embedding AS vec FROM corpus", k = 8, rounds = 2, dim = 64)},
+      cent AS (SELECT centroid_id, ctr FROM kmcent_2),
+      aa AS (
+        SELECT id, vec, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY c DESC, centroid_id) AS r
+        FROM (SELECT p.id, p.vec, c.centroid_id,
+                round(${SimilaritySearch.cosineSql("p.vec", "c.ctr", 64)}, 9) AS c
+              FROM kmpts p CROSS JOIN cent c)
+      ),
+      asg AS (SELECT id, vec, centroid_id AS cell FROM aa WHERE r = 1),
+      sc AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+          round(${SimilaritySearch.cosineSql("a.vec", "b.vec", 64)}, 9) AS cos
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+      ),
+      p AS (SELECT id_a, id_b FROM sc WHERE cos >= 0.95),
+      e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM e
+        UNION
+        SELECT e.d, reach.r FROM e JOIN reach ON e.s = reach.id
+      ),
+      comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      SELECT c.vec_id AS id, coalesce(m.cluster, c.vec_id) AS sem_cluster,
+        CAST(CASE WHEN m.cluster IS NULL OR m.cluster = c.vec_id THEN 1 ELSE 0 END AS INT) AS keep
+      FROM corpus c LEFT JOIN comp m ON c.vec_id = m.id
+      ORDER BY id
+    """.trim)
+  )
+
   /** Two-salt semantic near-dup pairs over the same planted-clone
     * corpus as `embed_near_dups` — the recall-boosted variant: pairs
     * sharing EITHER family's bucket verify once. */
@@ -1281,6 +1338,6 @@ object Pipeline {
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample,
     decontaminate, deconBloom, curationFunnel, pipelineE2e,
-    embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, mediaMeta, mediaFrames, mediaPdqDups
+    embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

@@ -156,6 +156,14 @@ object Drive {
         cent.select($"centroid_id".as("vec_id"), $"ctr_vec".as("embedding")),
         "vec_id", "embedding", k = 1, nprobe = 1).show()
     }
+    println("=== semantic dedup (SemDeDup: k-means cells -> cosine pairs -> components) ===")
+    locally {
+      val pts = Seq(
+        (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),   // same direction: dupes
+        (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+      SimilaritySearch.semanticDedup(pts, "vec_id", "embedding",
+        k = 2, rounds = 2, dim = 2, threshold = 0.95).orderBy("id").show()
+    }
     println("=== streaming decontamination (stream-static join) ===")
     locally {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -163,6 +163,42 @@ class SimilaritySearchSpec extends SparkTestBase {
     }
   }
 
+  test("semanticDedup: direction-identical duplicates share a cell and drop; unpaired docs keep") {
+    // 0/1 identical, 5 = 0 scaled ×3 (same direction), 3 orthogonal,
+    // 4 opposite — the semantic component is {0, 1, 5}, survivor 0
+    val in = vecs.unionByName(Seq(
+      (5L, Array(3.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val got = SimilaritySearch.semanticDedup(in, "vec_id", "embedding",
+      k = 3, rounds = 2, dim = 4, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(0L) == ((0L, 1)))            // min-id survivor
+    assert(got(1L) == ((0L, 0)))            // identical → dropped
+    assert(got(5L) == ((0L, 0)))            // scaled clone → same cell, dropped
+    assert(got(3L) == ((3L, 1)) && got(4L) == ((4L, 1))) // unpaired keep
+    assert(got.size == 6)                    // one row per input doc
+    // exactly one survivor per semantic component, and survivors are
+    // their own cluster label (min id)
+    val byCluster = got.values.groupBy(_._1)
+    assert(byCluster.forall { case (c, ms) => ms.count(_._2 == 1) == 1 })
+    assert(got.forall { case (id, (c, k)) => (k == 1) == (c == id) })
+    // NOTE semantic dedup is deliberately NOT idempotent: re-clustering
+    // the survivors can co-locate docs a coarser fit separated (that is
+    // the k/recall trade, as in SemDeDup itself) — so no such assertion.
+  }
+
+  test("semanticDupPairs: only same-cell pairs are scored") {
+    // force 2 cells along x vs w; the orthogonal pair (0,3) must not
+    // appear even though its cosine is well-defined
+    val cent = Seq((0L, Array(1.0, 0.0, 0.0, 0.0)), (1L, Array(0.0, 0.0, 0.0, 1.0)))
+      .toDF("centroid_id", "ctr_vec")
+    val got = SimilaritySearch.semanticDupPairs(vecs, cent, "vec_id", "embedding", threshold = -2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // x-cell = {0, 1, 2}; w-cell = {3, 4} (the anti-parallel vec 4 is
+    // nearer the orthogonal centroid, cos 0 > -1). Cross-cell pairs like
+    // (0, 3) never score even at an accept-everything threshold.
+    assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
+  }
+
   test("annRecallReport: hits are the ann∩exact overlap; p=0 (one bucket) gives recall 1") {
     val queries = vecs.filter(col("vec_id") < 2)
     // p=0: every vector lands in bucket 0, ANN ≡ exact, recall exactly 1

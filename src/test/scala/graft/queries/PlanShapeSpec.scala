@@ -37,6 +37,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("semantic_dedup: within-cell pair join is a hash equi-join, never a corpus product") {
+    val p = plan("semantic_dedup")
+    // the only products allowed are the k-row broadcast BNLJs of the
+    // fit/assignment stages; the corpus-vs-corpus pair join must be an
+    // equi-join on cell (a shuffle-side product would be all-pairs)
+    assert(!p.contains("CartesianProduct"), s"corpus self-product planned:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no cell equi-join found:\n$p")
+  }
+
   test("media_pdq_dups (threshold 1.0) is a hash equi-join, not all-pairs") {
     val p = plan("media_pdq_dups")
     // MapPartitions appears legitimately (the frame-decode seam); the
