@@ -241,40 +241,43 @@ object SimilaritySearch {
   /** DuckDB twin of [[fitCentroids]]: CTE chain `kmpts`, `kmcent_0` ..
     * `kmcent_<rounds>` over `input` (id, vec columns) — consume
     * `kmcent_<rounds>` (centroid_id, ctr). Unrolled per round; the
-    * fixed-point means make every value bit-identical to Spark's. */
-  def fitCentroidsCtes(input: String, k: Int, rounds: Int, dim: Int): String = {
+    * fixed-point means make every value bit-identical to Spark's.
+    * `prefix` renames every CTE (`<p>kmpts`, `<p>kmcent_<t>`, ...) so
+    * several fits coexist in one query (one per PQ subspace). */
+  def fitCentroidsCtes(input: String, k: Int, rounds: Int, dim: Int,
+      prefix: String = ""): String = {
     val q = "CAST(floor(CAST(vec[i] AS DOUBLE) * 1000000000) AS BIGINT)"
     val roundCtes = (1 to rounds).map { t =>
       val p = t - 1
-      s"""kma$t AS (
+      s"""${prefix}kma$t AS (
         SELECT id, vec, centroid_id,
           row_number() OVER (PARTITION BY id ORDER BY c DESC, centroid_id) AS r
         FROM (SELECT p.id, p.vec, c.centroid_id,
                 round(${cosineSql("p.vec", "c.ctr", dim)}, 9) AS c
-              FROM kmpts p CROSS JOIN kmcent_$p c)
+              FROM ${prefix}kmpts p CROSS JOIN ${prefix}kmcent_$p c)
       ),
-      kms$t AS (
+      ${prefix}kms$t AS (
         SELECT centroid_id, i AS pos, sum($q) AS s, count(*) AS n
-        FROM kma$t CROSS JOIN unnest(generate_series(1, $dim)) AS u$t(i)
+        FROM ${prefix}kma$t CROSS JOIN unnest(generate_series(1, $dim)) AS u$t(i)
         WHERE r = 1 GROUP BY 1, 2
       ),
-      kmm$t AS (
+      ${prefix}kmm$t AS (
         SELECT centroid_id, list(CAST(s AS DOUBLE) / (1000000000.0 * n) ORDER BY pos) AS mv
-        FROM kms$t GROUP BY centroid_id
+        FROM ${prefix}kms$t GROUP BY centroid_id
       ),
-      kmcent_$t AS (
+      ${prefix}kmcent_$t AS (
         SELECT c.centroid_id, coalesce(m.mv, c.ctr) AS ctr
-        FROM kmcent_$p c LEFT JOIN kmm$t m ON c.centroid_id = m.centroid_id
+        FROM ${prefix}kmcent_$p c LEFT JOIN ${prefix}kmm$t m ON c.centroid_id = m.centroid_id
       )"""
     }
     (Seq(
-      s"""kmpts AS (SELECT id, list_transform(vec, x -> CAST(x AS DOUBLE)) AS vec FROM ($input)),
-      kmseed AS (
+      s"""${prefix}kmpts AS (SELECT id, list_transform(vec, x -> CAST(x AS DOUBLE)) AS vec FROM ($input)),
+      ${prefix}kmseed AS (
         SELECT vec, row_number() OVER (ORDER BY h, id) - 1 AS centroid_id
-        FROM (SELECT id, vec, CAST('0x' || substr(md5('seed:' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM kmpts)
+        FROM (SELECT id, vec, CAST('0x' || substr(md5('seed:' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM ${prefix}kmpts)
         QUALIFY row_number() OVER (ORDER BY h, id) <= $k
       ),
-      kmcent_0 AS (SELECT CAST(centroid_id AS BIGINT) AS centroid_id, vec AS ctr FROM kmseed)""") ++ roundCtes)
+      ${prefix}kmcent_0 AS (SELECT CAST(centroid_id AS BIGINT) AS centroid_id, vec AS ctr FROM ${prefix}kmseed)""") ++ roundCtes)
       .mkString(",\n      ")
   }
 
@@ -425,6 +428,94 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  // ---- product quantization (PQ) --------------------------------------
+
+  /** Per-subspace PQ codebooks (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split each `dim`-vector into
+    * `m` contiguous subspaces of dim/m and fit `ksub` centroids per
+    * subspace with the deterministic [[fitCentroids]] recipe. A corpus
+    * vector then compresses to `m` small codes (m·log2(ksub) bits vs
+    * 32·dim — the storage tier below [[quantizeInt8]]), and approximate
+    * dot products against the codes need only m table lookups per
+    * candidate. The fit is m independent O(k·subDim) jobs; nothing here
+    * scales with corpus size beyond the fit's own map-side passes.
+    *
+    * @return (subspace 0..m-1, centroid_id 0..ksub-1, ctr_vec) */
+  def fitPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, rounds: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    (0 until m).map { s =>
+      fitCentroids(
+        df.select(col(idCol).as("id"), slice(col(vecCol), s * sub + 1, sub).as("vec")),
+        "id", "vec", ksub, rounds, sub)
+        .select(lit(s).as("subspace"), col("centroid_id"), col("ctr_vec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode every vector as its per-subspace nearest codeword by L2
+    * (reconstruction) distance — ties on centroid id; distances round
+    * to 9 dp so ranking is engine-stable. One narrow shuffle keyed by
+    * (id, subspace) via a combinable min-struct aggregate (no sort
+    * window); the codebook broadcasts (m·ksub rows).
+    *
+    * @param books [[fitPqCodebooks]] output
+    * @return (id, subspace, code) — m rows per input vector */
+  def pqEncode(df: DataFrame, books: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame = {
+    val subs = df.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * lit(subDim) + lit(1), lit(subDim)))))
+      .select(col("id"), col("pos").as("subspace"), col("col").as("subvec"))
+    subs.join(broadcast(books.select(col("subspace"), col("centroid_id"), col("ctr_vec"))),
+        Seq("subspace"))
+      .select(col("id"), col("subspace"), col("centroid_id"),
+        // ||x-c||^2 expanded so every term is a shared-shape fold:
+        // identical association on both engines
+        round(dot(col("subvec"), col("subvec")) - lit(2.0) * dot(col("subvec"), col("ctr_vec"))
+          + dot(col("ctr_vec"), col("ctr_vec")), 9).as("d2"))
+      .groupBy("id", "subspace")
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
+      .select(col("id"), col("subspace"), col("best.centroid_id").as("code"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: each
+    * query precomputes its dot product with EVERY codeword — an
+    * m·ksub-entry lookup table per query, built by a tiny
+    * queries×codebook join — and a candidate's approximate dot is the
+    * sum of its m table hits. The corpus side touches only the code
+    * rows (never raw vectors): codes equi-join the broadcast LUT on
+    * (subspace, code), and the per-candidate sum runs in EXACT
+    * fixed-point (each LUT dot floors to 1e-9 BIGINT; the m-term sum is
+    * associative, map-side combinable, partition-order-proof), with one
+    * double division at the end. Rank orders by the integer sum —
+    * bit-stable on both engines.
+    *
+    * @param codes  [[pqEncode]] output for the corpus
+    * @return (query_id, neighbor_id, adc_dot, rank) — self excluded,
+    *         top `k` by approximate dot per query */
+  def pqTopK(codes: DataFrame, books: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, k: Int): DataFrame = {
+    val qsubs = queries.select(col(idCol).as("query_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * lit(subDim) + lit(1), lit(subDim)))))
+      .select(col("query_id"), col("pos").as("subspace"), col("col").as("qsub"))
+    val lut = qsubs.join(books.select(col("subspace"), col("centroid_id").as("code"),
+        col("ctr_vec")), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        floor(dot(col("qsub"), col("ctr_vec")) * lit(1e9)).cast("long").as("fdot"))
+    val scored = codes.join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("fdot")).as("fadc"))
+    val w = Window.partitionBy("query_id").orderBy(col("fadc").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("fadc").cast("double") / lit(1e9)).as("adc_dot"), col("rank"))
   }
 
   /** Within-cluster semantic duplicate pairs against FITTED centroids —

@@ -1039,6 +1039,75 @@ object Pipeline {
     """.trim)
   )
 
+  /** Product quantization end-to-end: per-subspace codebook fit (m=4
+    * subspaces of 16 dims, ksub=4 codewords, 1 Lloyd round), corpus
+    * encode (nearest codeword by L2, min-struct aggregate), and ADC
+    * top-k (per-query LUT of fixed-point codeword dots; candidate score
+    * = exact BIGINT sum of m lookups). The oracle replays all four
+    * subspace fits (prefixed CTE chains), the encode, and the ADC rank
+    * bit-for-bit. */
+  val embedPq: QueryDef = QueryDef(
+    "embed_pq",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val books = SimilaritySearch.fitPqCodebooks(e, "vec_id", "embedding",
+        m = 4, ksub = 4, rounds = 1, dim = 64)
+      val codes = SimilaritySearch.pqEncode(e, books, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      SimilaritySearch.pqTopK(codes, books,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+        "vec_id", "embedding", m = 4, subDim = 16, k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val fits = (0 until 4).map { s =>
+        SimilaritySearch.fitCentroidsCtes(
+          s"SELECT vec_id AS id, embedding[${s * 16 + 1}:${s * 16 + 16}] AS vec FROM embeddings",
+          k = 4, rounds = 1, dim = 16, prefix = s"pq${s}_")
+      }.mkString(",\n      ")
+      val booksSql = (0 until 4).map(s =>
+        s"SELECT $s AS subspace, centroid_id, ctr FROM pq${s}_kmcent_1").mkString(" UNION ALL ")
+      val d2 = s"${SimilaritySearch.dotSql("subvec", "subvec", 16)} - 2.0 * ${SimilaritySearch.dotSql("subvec", "ctr", 16)} + ${SimilaritySearch.dotSql("ctr", "ctr", 16)}"
+      s"""
+      WITH $fits,
+      books AS ($booksSql),
+      subs AS (
+        SELECT vec_id AS id, t.subspace,
+          embedding[(t.subspace*16 + 1):(t.subspace*16 + 16)] AS subvec
+        FROM embeddings CROSS JOIN unnest([0, 1, 2, 3]) AS t(subspace)
+      ),
+      encd AS (
+        SELECT id, subspace, centroid_id,
+          row_number() OVER (PARTITION BY id, subspace ORDER BY d2, centroid_id) AS r
+        FROM (SELECT s.id, s.subspace, b.centroid_id, round($d2, 9) AS d2
+              FROM subs s JOIN books b USING (subspace))
+      ),
+      codes AS (SELECT id, subspace, centroid_id AS code FROM encd WHERE r = 1),
+      qsubs AS (
+        SELECT vec_id AS query_id, t.subspace,
+          embedding[(t.subspace*16 + 1):(t.subspace*16 + 16)] AS qsub
+        FROM embeddings CROSS JOIN unnest([0, 1, 2, 3]) AS t(subspace)
+        WHERE vec_id >= 100 AND vec_id < 120
+      ),
+      lut AS (
+        SELECT query_id, subspace, centroid_id AS code,
+          CAST(floor(${SimilaritySearch.dotSql("qsub", "ctr", 16)} * 1000000000) AS BIGINT) AS fdot
+        FROM qsubs JOIN books USING (subspace)
+      ),
+      sc AS (
+        SELECT l.query_id, c.id AS neighbor_id, CAST(sum(l.fdot) AS BIGINT) AS fadc
+        FROM codes c JOIN lut l ON c.subspace = l.subspace AND c.code = l.code
+        WHERE l.query_id <> c.id
+        GROUP BY 1, 2
+      ),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY fadc DESC, neighbor_id) AS rank FROM sc)
+      SELECT query_id, neighbor_id, CAST(fadc AS DOUBLE) / 1000000000.0 AS adc_dot, rank
+      FROM rk WHERE rank <= 3 ORDER BY query_id, rank
+      """.trim
+    }
+  )
+
   /** SemDeDup over the planted-clone corpus: k-means cluster (the
     * deterministic fixed-point fit, replayed by the oracle via unrolled
     * CTEs), within-cluster cosine pairs, connected components, min-id
@@ -1338,6 +1407,6 @@ object Pipeline {
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample,
     decontaminate, deconBloom, curationFunnel, pipelineE2e,
-    embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups
+    embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

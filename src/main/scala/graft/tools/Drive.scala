@@ -156,6 +156,16 @@ object Drive {
         cent.select($"centroid_id".as("vec_id"), $"ctr_vec".as("embedding")),
         "vec_id", "embedding", k = 1, nprobe = 1).show()
     }
+    println("=== product quantization (codebook fit -> encode -> ADC top-k) ===")
+    locally {
+      val pts = Seq(
+        (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)), (2L, Array(0.9f, 0.1f, 0.1f, 0.9f)),
+        (3L, Array(0.0f, 1.0f, 1.0f, 0.0f)), (4L, Array(0.1f, 0.9f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+      val books = SimilaritySearch.fitPqCodebooks(pts, "vec_id", "embedding", m = 2, ksub = 2, rounds = 1, dim = 4)
+      val codes = SimilaritySearch.pqEncode(pts, books, "vec_id", "embedding", m = 2, subDim = 2)
+      SimilaritySearch.pqTopK(codes, books, pts.filter($"vec_id" === 1L),
+        "vec_id", "embedding", m = 2, subDim = 2, k = 2).show()
+    }
     println("=== semantic dedup (SemDeDup: k-means cells -> cosine pairs -> components) ===")
     locally {
       val pts = Seq(

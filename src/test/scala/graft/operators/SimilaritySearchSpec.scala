@@ -163,6 +163,46 @@ class SimilaritySearchSpec extends SparkTestBase {
     }
   }
 
+  test("pqEncode/pqTopK: codes pick the nearest codeword; ADC ranks by exact LUT sums") {
+    // dim=4, m=2 subspaces of 2; hand codebooks: subspace 0 has words
+    // along x and y, subspace 1 along z and w
+    val books = Seq(
+      (0, 0L, Array(1.0, 0.0)), (0, 1L, Array(0.0, 1.0)),
+      (1, 0L, Array(1.0, 0.0)), (1, 1L, Array(0.0, 1.0))
+    ).toDF("subspace", "centroid_id", "ctr_vec")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f, 1.0f)),  // codes (0, 1)
+      (11L, Array(0.1f, 0.9f, 1.0f, 0.0f))   // codes (1, 0)
+    ).toDF("vec_id", "embedding")
+    val codes = SimilaritySearch.pqEncode(corpus, books, "vec_id", "embedding", m = 2, subDim = 2)
+    val got = codes.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map((10L, 0) -> 0L, (10L, 1) -> 1L, (11L, 0) -> 1L, (11L, 1) -> 0L))
+
+    // query along (x, w): ADC dot with 10's codes = dot(q0,x)+dot(q1,w) = 1+1;
+    // with 11's codes = dot(q0,y)+dot(q1,z) = 0+0 — ranking must reflect it
+    val q = Seq((99L, Array(1.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = SimilaritySearch.pqTopK(codes, books, q, "vec_id", "embedding",
+      m = 2, subDim = 2, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(top == Seq((10L, 2.0, 1), (11L, 0.0, 2)))
+  }
+
+  test("fitPqCodebooks: m x ksub codewords; identical-direction corpus encodes identically") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)), (2L, Array(2.0f, 0.0f, 0.0f, 2.0f)),
+      (3L, Array(0.0f, 1.0f, 1.0f, 0.0f)), (4L, Array(0.0f, 3.0f, 3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val books = SimilaritySearch.fitPqCodebooks(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, rounds = 1, dim = 4)
+    assert(books.count() == 4) // 2 subspaces x 2 codewords
+    assert(books.select("subspace").distinct().count() == 2)
+    // deterministic across invocations (content-addressed seeding)
+    val again = SimilaritySearch.fitPqCodebooks(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, rounds = 1, dim = 4)
+    assert(books.orderBy("subspace", "centroid_id").collect().toSeq
+      == again.orderBy("subspace", "centroid_id").collect().toSeq)
+  }
+
   test("semanticDedup: direction-identical duplicates share a cell and drop; unpaired docs keep") {
     // 0/1 identical, 5 = 0 scaled ×3 (same direction), 3 orthogonal,
     // 4 opposite — the semantic component is {0, 1, 5}, survivor 0

@@ -37,6 +37,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("embed_pq: ADC join is a broadcast hash equi-join on (subspace, code); no product") {
+    val p = plan("embed_pq")
+    assert(!p.contains("CartesianProduct"), s"shuffle-side product planned:\n$p")
+    // corpus code rows must equi-join the broadcast LUT — the corpus
+    // side never meets raw vectors or a nested loop at scoring time
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast equi-join found:\n$p")
+  }
+
   test("semantic_dedup: within-cell pair join is a hash equi-join, never a corpus product") {
     val p = plan("semantic_dedup")
     // the only products allowed are the k-row broadcast BNLJs of the
