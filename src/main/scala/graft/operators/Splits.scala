@@ -177,6 +177,65 @@ object Splits {
     s"(${bucketSql(id, salt)} < $threshold)"
   }
 
+  /** Deterministic epoch shuffle + shard assignment — the training-data
+    * "last mile": a model run wants the corpus in a pseudo-random order
+    * that is REPRODUCIBLE (resume a crashed run, compare two trainings)
+    * and RESHUFFLED per epoch, laid out as N shard files readers can
+    * stream independently. RNG-free: the order key is the salted hash
+    * `h = md5("epoch:<epoch>:" || id)` — a different permutation each
+    * epoch, the same permutation each rerun — and the shard is `h %
+    * numShards`, so shards are balanced in expectation and a doc's
+    * (shard, pos) never depends on run order.
+    *
+    * Scale shape: ONE shuffle keyed by shard with a shard-local sort —
+    * exactly the `repartition(shard).sortWithinPartitions` layout
+    * [[writeShards]] persists, so the plan IS the writer's plan. No
+    * global sort: position is per-shard (reader r of N streams shard r;
+    * global interleaving across readers is already pseudo-random).
+    * Choose numShards well above the executor count at 100 TB — each
+    * shard must fit a task's sort buffer, and more shards = more
+    * reader/writer parallelism.
+    *
+    * @return (id, shard: long in [0, numShards), pos: long 1-based
+    *         within shard in hash order) — null ids drop (their hash,
+    *         like their training example, is undefined). */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val h = portableHash60(concat(lit(s"epoch:$epoch:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__es_h"), col("id"))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), h.as("__es_h"), (h % numShards).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("id"), col("shard"), col("pos"))
+  }
+
+  /** DuckDB twin of [[epochShuffle]] over `input` (column `id`). */
+  def epochShuffleSql(input: String, epoch: Int, numShards: Int): String = {
+    val h = graft.functions.TextFunctions.portableHash60Sql(s"'epoch:$epoch:' || CAST(id AS VARCHAR)")
+    s"""SELECT id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, id) AS BIGINT) AS pos
+        FROM (SELECT id, $h AS h, $h % $numShards AS shard FROM ($input) WHERE id IS NOT NULL)"""
+  }
+
+  /** Persist one epoch's shuffled corpus as Hive-partitioned shard
+    * directories, rows inside each shard file in shuffle order — the
+    * layout a data loader streams (`shard=<r>/part-*.parquet`, read in
+    * file order, no further shuffling needed). The explicit
+    * `repartition(shard)` + within-partition sort writes exactly ONE
+    * ordered file per shard. */
+  def writeShards(df: DataFrame, idCol: String, epoch: Int, numShards: Int,
+      path: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    val h = portableHash60(concat(lit(s"epoch:$epoch:"), col(idCol).cast("string")))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__es_h", h)
+      .withColumn("shard", h % numShards)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__es_h"), col(idCol))
+      .drop("__es_h")
+      .write.mode(mode).partitionBy("shard").parquet(path)
+  }
+
   /** Cumulative bucket bounds, validated: every split must span at
     * least one bucket, or it would silently receive ZERO rows (weights
     * below the 1/Buckets granularity round to an empty range).

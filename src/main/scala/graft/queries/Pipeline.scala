@@ -1039,6 +1039,21 @@ object Pipeline {
     """.trim)
   )
 
+  /** Deterministic epoch shuffle: the training-order relation (id →
+    * shard, position) for epoch 1 over 8 shards — RNG-free, so the
+    * oracle replays the exact permutation. */
+  val epochShuffle: QueryDef = QueryDef(
+    "epoch_shuffle",
+    (s, dir) => Splits.epochShuffle(
+      tbl(s, dir, "documents").select(col("doc_id").as("id")), "id",
+      epoch = 1, numShards = 8)
+      .orderBy("shard", "pos"),
+    Some(s"""
+      ${Splits.epochShuffleSql("SELECT doc_id AS id FROM documents", epoch = 1, numShards = 8)}
+      ORDER BY shard, pos
+    """.trim)
+  )
+
   /** Product quantization end-to-end: per-subspace codebook fit (m=4
     * subspaces of 16 dims, ksub=4 codewords, 1 Lloyd round), corpus
     * encode (nearest codeword by L2, min-struct aggregate), and ADC
@@ -1405,7 +1420,7 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
-    tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample,
+    tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups
   )

@@ -156,6 +156,14 @@ object Drive {
         cent.select($"centroid_id".as("vec_id"), $"ctr_vec".as("embedding")),
         "vec_id", "embedding", k = 1, nprobe = 1).show()
     }
+    println("=== epoch shuffle -> sharded training layout ===")
+    locally {
+      val d = (1L to 8L).toDF("id")
+      Splits.epochShuffle(d, "id", epoch = 1, numShards = 2).orderBy("shard", "pos").show()
+      val sdir = java.nio.file.Files.createTempDirectory("drive-shards").toString + "/ep1"
+      Splits.writeShards(d, "id", epoch = 1, numShards = 2, sdir)
+      println(s"shard dirs: ${new java.io.File(sdir).list().sorted.mkString(", ")}")
+    }
     println("=== product quantization (codebook fit -> encode -> ADC top-k) ===")
     locally {
       val pts = Seq(

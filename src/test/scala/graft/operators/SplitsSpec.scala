@@ -106,6 +106,46 @@ class SplitsSpec extends SparkTestBase {
       Splits.stratifiedSample(df, "id", "grp", Seq("keep_all" -> 1.2)))
   }
 
+  test("epochShuffle: a reproducible permutation per epoch, contiguous per-shard positions") {
+    val a = Splits.epochShuffle(ids(500), "id", epoch = 1, numShards = 4)
+    val b = Splits.epochShuffle(ids(500), "id", epoch = 1, numShards = 4)
+    assert(a.collect().toSet == b.collect().toSet) // rerun ≡
+    val rows = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 500)
+    assert(rows.map(_._2).toSet.subsetOf((0L until 4L).toSet))
+    // positions are 1..|shard| with no gaps
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // a different epoch is a genuinely different permutation of the
+    // same ids (shard or position moves for most docs)
+    val e2 = Splits.epochShuffle(ids(500), "id", epoch = 2, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet == e2.map(_._1).toSet)
+    val moved = rows.sortBy(_._1).zip(e2.sortBy(_._1)).count { case (x, y) => x != y }
+    assert(moved > 400, s"epoch 2 should re-deal most docs, moved only $moved")
+    // null ids drop rather than hashing to a shard
+    val withNull = Seq(Some(1L), None).toDF("id")
+    assert(Splits.epochShuffle(withNull, "id", 1, 4).count() == 1)
+  }
+
+  test("writeShards: Hive shard dirs, rows inside each shard in shuffle order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_spec").toString + "/ep1"
+    Splits.writeShards(ids(300), "id", epoch = 1, numShards = 4, dir)
+    val expected = Splits.epochShuffle(ids(300), "id", epoch = 1, numShards = 4)
+    // the written layout reads back as exactly the epochShuffle relation
+    for (s <- 0 until 4) {
+      val files = new java.io.File(s"$dir/shard=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s should be ONE ordered file, got ${files.length}")
+      // file order (no sort on read) must equal hash order = pos order
+      val inFile = spark.read.parquet(files.head.getPath).collect().map(_.getLong(0)).toSeq
+      val want = expected.filter(col("shard") === s).orderBy("pos")
+        .collect().map(_.getLong(0)).toSeq
+      assert(inFile == want, s"shard $s rows out of shuffle order")
+    }
+  }
+
   test("SQL twins escape quotes in names and salts") {
     val sql = Splits.hashSplitSql("id", Seq("don't" -> 0.5, "o'k" -> 0.5), salt = "it's")
     assert(sql.contains("'don''t'") && sql.contains("'o''k'") && sql.contains("'it''s'"))

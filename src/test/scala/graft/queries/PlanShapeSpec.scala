@@ -108,6 +108,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges == 1, s"pack_chunks should shuffle once (group window), found $hashExchanges:\n$p")
   }
 
+  test("epoch_shuffle: one hash exchange (the shard window); no join") {
+    val p = plan("epoch_shuffle")
+    assert(!p.contains("Join"), s"epoch shuffle must be join-free:\n$p")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"epoch_shuffle should shuffle once (shard window), found $hashExchanges:\n$p")
+  }
+
   test("stratified_sample: map-only — no exchange besides the gate's output sort") {
     val p = plan("stratified_sample")
     assert(!p.contains("hashpartitioning"), s"stratified sample must not shuffle:\n$p")
