@@ -316,6 +316,87 @@ object TextAnalysis {
         )"""
   }
 
+  /** BM25 relevance of every document against a literal query-term set
+    * (Robertson & Zaragoza 2009) — the retrieval scorer a curation
+    * pipeline uses to mine topic-relevant training data from a raw
+    * corpus ("find docs about X at 100 TB"). Only documents matching at
+    * least one term are returned.
+    *
+    * Per matched (doc, term):
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))` (Lucene's non-negative
+    * formulation) and
+    * `w = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`.
+    *
+    * Determinism: tf/df/dl/N are exact integers; each term weight is a
+    * fixed scalar-op sequence (one ln — same cross-engine precedent as
+    * the tf-idf tier), quantized to 1e-9 BIGINT so the PER-DOC SUM over
+    * matched terms is exact integer arithmetic (order-proof), with one
+    * double division at the end.
+    *
+    * Relational shape: the explode filters to the literal term set
+    * BEFORE the tf shuffle (the slim relation carries only query-term
+    * hits, ~|terms|·N_matched rows, not the corpus vocabulary); df is
+    * an aggregate of that slim relation; doc lengths come from a
+    * map-side-combinable count; the ≤|terms|-row df table and the
+    * one-row stats broadcast into the scoring join.
+    *
+    * @return (id, n_terms_hit, score) */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size, "duplicate query term")
+    val base = df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+    val dl = base.select(col("id"), size(col("ws")).as("dl"))
+    val tf = base.select(col("id"), explode(col("ws")).as("word"))
+      .filter(col("word").isin(queryTerms: _*))
+      .groupBy("id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("dfreq")).cast("double") + lit(0.5)) /
+        (col("dfreq").cast("double") + lit(0.5)))
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / col("avgdl")))
+    val termW = idf * (col("tf").cast("double") * lit(k1 + 1.0) / denom)
+    tf.join(broadcast(dfreq), Seq("word"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), floor(termW * lit(1e9)).cast("long").as("fw"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("fw")).as("fsum"))
+      .select(col("id"), col("n_terms_hit"),
+        (col("fsum").cast("double") / lit(1e9)).as("score"))
+  }
+
+  /** DuckDB twin of [[bm25Scores]] over `input` (id, text). */
+  def bm25Sql(input: String, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val terms = queryTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val idf = "ln(1.0 + (CAST(n_docs - dfreq AS DOUBLE) + 0.5) / (CAST(dfreq AS DOUBLE) + 0.5))"
+    val denom = s"CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl AS DOUBLE) / avgdl))"
+    val termW = s"$idf * (CAST(tf AS DOUBLE) * ${k1 + 1.0} / ($denom))"
+    s"""WITH bsrc AS (SELECT id, ${wordsSql("text")} AS ws FROM ($input)),
+      bdl AS (SELECT id, len(ws) AS dl FROM bsrc),
+      btf AS (
+        SELECT id, word, count(*) AS tf
+        FROM (SELECT id, unnest(ws) AS word FROM bsrc)
+        WHERE word IN ($terms) GROUP BY id, word
+      ),
+      bdf AS (SELECT word, count(*) AS dfreq FROM btf GROUP BY word),
+      bst AS (SELECT count(*) AS n_docs,
+                CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM bdl),
+      bfw AS (
+        SELECT btf.id, CAST(floor(($termW) * 1000000000) AS BIGINT) AS fw
+        FROM btf JOIN bdf USING (word) JOIN bdl ON btf.id = bdl.id CROSS JOIN bst
+      )
+      SELECT id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        CAST(CAST(sum(fw) AS BIGINT) AS DOUBLE) / 1000000000.0 AS score
+      FROM bfw GROUP BY id"""
+  }
+
   /** Feature-hashing linear quality scorer — the SHAPE of a fastText /
     * logistic-regression quality filter (hashing trick: Weinberger et
     * al., ICML'09) with a deterministic md5-derived weight table, so

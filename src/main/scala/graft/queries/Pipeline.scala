@@ -1039,6 +1039,22 @@ object Pipeline {
     """.trim)
   )
 
+  /** BM25 relevance against a literal query-term set — the
+    * topic-mining scorer; only matching docs return. */
+  val bm25Scores: QueryDef = {
+    val terms = Seq("spark", "window", "vector", "stream")
+    QueryDef(
+      "bm25_scores",
+      (s, dir) => TextAnalysis.bm25Scores(
+        tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
+        "id", "text", terms).orderBy("id"),
+      Some(s"""
+        ${TextAnalysis.bm25Sql("SELECT doc_id AS id, text FROM documents", terms)}
+        ORDER BY id
+      """.trim)
+    )
+  }
+
   /** Deterministic epoch shuffle: the training-order relation (id →
     * shard, position) for epoch 1 over 8 shards — RNG-free, so the
     * oracle replays the exact permutation. */
@@ -1420,7 +1436,7 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
-    tfidfTerms, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
+    tfidfTerms, bm25Scores, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups
   )

@@ -156,6 +156,11 @@ object Drive {
         cent.select($"centroid_id".as("vec_id"), $"ctr_vec".as("embedding")),
         "vec_id", "embedding", k = 1, nprobe = 1).show()
     }
+    println("=== bm25 topic mining over query terms ===")
+    locally {
+      val d = Seq((1L, "spark joins data"), (2L, "cooking pasta"), (3L, "spark spark streams")).toDF("id", "text")
+      TextAnalysis.bm25Scores(d, "id", "text", Seq("spark", "streams")).orderBy("id").show()
+    }
     println("=== epoch shuffle -> sharded training layout ===")
     locally {
       val d = (1L to 8L).toDF("id")

@@ -171,6 +171,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == 3L) // a, astral, b
   }
 
+  test("bm25Scores: hand-replayed weights; non-matching docs absent; multi-term hits sum") {
+    val corpus = Seq(
+      (1L, "spark spark table"),
+      (2L, "table stream"),
+      (3L, "the end")
+    ).toDF("id", "text")
+    val got = TextAnalysis.bm25Scores(corpus, "id", "text", Seq("spark", "stream"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // replay the exact formula (same JVM double ops incl. quantization)
+    def w(tf: Long, dfreq: Long, dl: Long, n: Long, avgdl: Double): Double = {
+      val idf = math.log(1.0 + ((n - dfreq).toDouble + 0.5) / (dfreq.toDouble + 0.5))
+      val denom = tf.toDouble + 1.2 * (1.0 - 0.75 + 0.75 * (dl.toDouble / avgdl))
+      math.floor(idf * (tf.toDouble * 2.2 / denom) * 1e9) / 1e9
+    }
+    val avgdl = 7.0 / 3.0
+    assert(got(1L) == ((1L, w(2, 1, 3, 3, avgdl))))
+    assert(got(2L) == ((1L, w(1, 1, 2, 3, avgdl))))
+    assert(!got.contains(3L) && got.size == 2)
+    // a doc hitting both terms sums both weights and reports 2 hits
+    val multi = corpus.union(Seq((4L, "spark stream")).toDF("id", "text"))
+    val m = TextAnalysis.bm25Scores(multi, "id", "text", Seq("spark", "stream"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val avg2 = 9.0 / 4.0
+    assert(m(4L)._1 == 2L)
+    assert(m(4L)._2 == (math.floor((math.log(1.0 + 2.5 / 2.5) * (1.0 * 2.2 /
+      (1.0 + 1.2 * (0.25 + 0.75 * (2.0 / avg2))))) * 1e9) * 2) / 1e9) // same weight per term, summed exactly
+  }
+
   test("stripHtml: tags to spaces, script/style contents dropped, one-level entity decode") {
     val df = Seq(
       (1L, "<p>hello <b>world</b></p>"),

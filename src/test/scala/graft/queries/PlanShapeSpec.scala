@@ -108,6 +108,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges == 1, s"pack_chunks should shuffle once (group window), found $hashExchanges:\n$p")
   }
 
+  test("bm25_scores: term filter sits below the tf aggregate; no shuffle-side product") {
+    val p = plan("bm25_scores")
+    assert(!p.contains("CartesianProduct"), s"shuffle-side product planned:\n$p")
+    // the corpus-wide explode is filtered to the literal term set (an
+    // IN over the exploded word) before the tf shuffle — if the filter
+    // disappears the shuffle carries the whole corpus vocabulary
+    assert("IN \\(spark,window,vector,stream\\)".r.findFirstIn(p).isDefined,
+      s"literal term IN-filter missing from plan:\n$p")
+  }
+
   test("epoch_shuffle: one hash exchange (the shard window); no join") {
     val p = plan("epoch_shuffle")
     assert(!p.contains("Join"), s"epoch shuffle must be join-free:\n$p")
