@@ -264,11 +264,23 @@ object Dedup {
   def writeIndex(index: DedupIndex, path: String,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
     val (fs, mPath) = hadoopFs(index.md5, s"$path/$ManifestFile")
-    if (mode == org.apache.spark.sql.SaveMode.Append)
-      readManifest(fs, mPath).foreach { existing =>
-        require(existing == index.params,
-          s"cannot append a ${index.params} index onto one built with $existing at $path")
-      }
+    val existing = readManifest(fs, mPath)
+    if (mode == org.apache.spark.sql.SaveMode.Append) {
+      // an append must land on a COMMITTED index: a manifest-less path
+      // is either empty or a write that died mid-flight — appending
+      // would bless partial relations with the trailing manifest write
+      val prior = existing.getOrElse(throw new IllegalStateException(
+        s"cannot append: no committed index manifest at $path (empty path, or an " +
+          "interrupted writeIndex left partial relations) — write with Overwrite instead"))
+      require(prior == index.params,
+        s"cannot append a ${index.params} index onto one built with $prior at $path")
+    }
+    // un-commit BEFORE the first relation job in every mode: the old
+    // manifest must not keep validating the index while the relations
+    // beneath it are being rewritten/appended — a mid-write failure then
+    // leaves a manifest-less path readIndex refuses, never a 'valid'
+    // index with missing band rows
+    if (existing.isDefined) fs.delete(mPath, false)
     index.md5.write.mode(mode).parquet(s"$path/md5")
     index.hs.write.mode(mode).parquet(s"$path/hs")
     graft.sources.Formats.writePartitioned(index.bands, s"$path/bands", Seq("band_id"), mode)

@@ -440,7 +440,20 @@ object SimilaritySearch {
     * 32·dim — the storage tier below [[quantizeInt8]]), and approximate
     * dot products against the codes need only m table lookups per
     * candidate. The fit is m independent O(k·subDim) jobs; nothing here
-    * scales with corpus size beyond the fit's own map-side passes.
+    * scales with corpus size beyond the fit's own map-side passes. In
+    * production, fit on a [[graft.operators.Splits.sampleFraction]]
+    * sample — codebook quality converges long before full-corpus size,
+    * and the m sequential fit passes then touch only the sample.
+    *
+    * Metric note: [[fitCentroids]] runs SPHERICAL (cosine-assignment)
+    * Lloyd rounds, while [[pqEncode]] picks codewords by L2
+    * reconstruction distance — the classical PQ fit (Jégou et al.) is
+    * L2 end-to-end. For the normalized embeddings similarity pipelines
+    * feed (where cosine ranking is the whole point), direction IS the
+    * quantity to preserve and the spherical fit is the natural choice;
+    * for UN-normalized corpora the codeword means under-serve magnitude
+    * spread and ADC recall degrades — normalize first, or accept the
+    * documented trade.
     *
     * @return (subspace 0..m-1, centroid_id 0..ksub-1, ctr_vec) */
   def fitPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
@@ -455,6 +468,16 @@ object SimilaritySearch {
     }.reduce(_ unionByName _)
   }
 
+  /** P5-style element validation for the PQ tier: a vector whose length
+    * is not m·subDim would otherwise slice into empty tail subspaces
+    * and encode as silent garbage (every short subvec degenerates to
+    * the min-norm codeword) — fail the job instead. */
+  private def pqChecked(vec: Column, m: Int, subDim: Int): Column =
+    when(size(vec) === lit(m * subDim), vec)
+      .otherwise(raise_error(concat(
+        lit(s"pq: vector length "), size(vec).cast("string"),
+        lit(s" != m*subDim = ${m * subDim}"))))
+
   /** Encode every vector as its per-subspace nearest codeword by L2
     * (reconstruction) distance — ties on centroid id; distances round
     * to 9 dp so ranking is engine-stable. One narrow shuffle keyed by
@@ -467,7 +490,7 @@ object SimilaritySearch {
       m: Int, subDim: Int): DataFrame = {
     val subs = df.select(col(idCol).as("id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col(vecCol), s * lit(subDim) + lit(1), lit(subDim)))))
+        s => slice(pqChecked(col(vecCol), m, subDim), s * lit(subDim) + lit(1), lit(subDim)))))
       .select(col("id"), col("pos").as("subspace"), col("col").as("subvec"))
     subs.join(broadcast(books.select(col("subspace"), col("centroid_id"), col("ctr_vec"))),
         Seq("subspace"))
@@ -500,7 +523,7 @@ object SimilaritySearch {
       idCol: String, vecCol: String, m: Int, subDim: Int, k: Int): DataFrame = {
     val qsubs = queries.select(col(idCol).as("query_id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col(vecCol), s * lit(subDim) + lit(1), lit(subDim)))))
+        s => slice(pqChecked(col(vecCol), m, subDim), s * lit(subDim) + lit(1), lit(subDim)))))
       .select(col("query_id"), col("pos").as("subspace"), col("col").as("qsub"))
     val lut = qsubs.join(books.select(col("subspace"), col("centroid_id").as("code"),
         col("ctr_vec")), Seq("subspace"))

@@ -199,13 +199,21 @@ object Splits {
     * @return (id, shard: long in [0, numShards), pos: long 1-based
     *         within shard in hash order) — null ids drop (their hash,
     *         like their training example, is undefined). */
-  def epochShuffle(df: DataFrame, idCol: String, epoch: Int, numShards: Int): DataFrame = {
+  /** The epoch permutation's (hash, shard) derivation — ONE definition
+    * shared by [[epochShuffle]] and [[writeShards]], so the persisted
+    * layout can never drift from the relation (and its oracle). */
+  private def epochHashShard(idCol: Column, epoch: Int, numShards: Int): (Column, Column) = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-    val h = portableHash60(concat(lit(s"epoch:$epoch:"), col(idCol).cast("string")))
+    val h = portableHash60(concat(lit(s"epoch:$epoch:"), idCol.cast("string")))
+    (h, h % numShards)
+  }
+
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int, numShards: Int): DataFrame = {
+    val (h, shard) = epochHashShard(col(idCol), epoch, numShards)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("__es_h"), col("id"))
     df.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("id"), h.as("__es_h"), (h % numShards).as("shard"))
+      .select(col(idCol).as("id"), h.as("__es_h"), shard.as("shard"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("id"), col("shard"), col("pos"))
   }
@@ -226,10 +234,10 @@ object Splits {
   def writeShards(df: DataFrame, idCol: String, epoch: Int, numShards: Int,
       path: String,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
-    val h = portableHash60(concat(lit(s"epoch:$epoch:"), col(idCol).cast("string")))
+    val (h, shard) = epochHashShard(col(idCol), epoch, numShards)
     df.filter(col(idCol).isNotNull)
       .withColumn("__es_h", h)
-      .withColumn("shard", h % numShards)
+      .withColumn("shard", shard)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__es_h"), col(idCol))
       .drop("__es_h")

@@ -346,7 +346,11 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct.size == queryTerms.size, "duplicate query term")
     val base = df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
-    val dl = base.select(col("id"), size(col("ws")).as("dl"))
+    // dl feeds TWO consumers (the corpus stats aggregate and the scoring
+    // join) — materialized so the corpus tokenizes once for the length
+    // pass instead of once per consumer; the slim (id, dl) relation is
+    // cheap to hold. The tf branch keeps its own (filtered) pass.
+    val dl = Materialize(base.select(col("id"), size(col("ws")).as("dl")))
     val tf = base.select(col("id"), explode(col("ws")).as("word"))
       .filter(col("word").isin(queryTerms: _*))
       .groupBy("id", "word").agg(count(lit(1)).as("tf"))

@@ -357,12 +357,21 @@ class DedupSpec extends SparkTestBase {
     Dedup.writeIndex(Dedup.buildIndex(batch, "id", "text"), path,
       mode = org.apache.spark.sql.SaveMode.Append)
     assert(Dedup.readIndex(spark, path).md5.count() == corpus.count() + 1)
+    // a failed append attempt must leave the committed manifest intact
+    assert(Dedup.readIndex(spark, path).params == Dedup.IndexParams(3, 16, 4))
     // a write that died before the manifest (or a non-index path) is
     // refused outright rather than served as an empty/partial corpus
     val bare = java.nio.file.Files.createTempDirectory("graft_idx_bare_spec").toString + "/idx"
     Dedup.buildIndex(corpus, "id", "text").md5.write.parquet(s"$bare/md5")
     val incomplete = intercept[IllegalStateException] { Dedup.readIndex(spark, bare) }
     assert(incomplete.getMessage.contains("manifest"))
+    // appending onto that uncommitted path must refuse too — the
+    // trailing manifest write would otherwise bless partial relations
+    val badAppend = intercept[IllegalStateException] {
+      Dedup.writeIndex(Dedup.buildIndex(batch, "id", "text"), bare,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(badAppend.getMessage.contains("cannot append"))
   }
 
   test("Decontaminate.scanBloom ≡ scan (no false negatives; verify phase exact)") {

@@ -187,6 +187,16 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(top == Seq((10L, 2.0, 1), (11L, 0.0, 2)))
   }
 
+  test("pqEncode fails fast on a vector whose length is not m*subDim") {
+    val books = Seq((0, 0L, Array(1.0, 0.0)), (1, 0L, Array(1.0, 0.0)))
+      .toDF("subspace", "centroid_id", "ctr_vec")
+    val short = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding") // 3 != 2*2
+    val e = intercept[Exception] {
+      SimilaritySearch.pqEncode(short, books, "vec_id", "embedding", m = 2, subDim = 2).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("m*subDim"))
+  }
+
   test("fitPqCodebooks: m x ksub codewords; identical-direction corpus encodes identically") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)), (2L, Array(2.0f, 0.0f, 0.0f, 2.0f)),
