@@ -190,6 +190,30 @@ object Dedup {
     ).select(col("id"), col("pos").as("band_id"), col("col").as("band"))
   }
 
+  /** Diff two corpus snapshots by document identity and content — the
+    * audit relation behind dataset versioning ("what changed between
+    * yesterday's corpus and today's?"): `added` (id only in `cur`),
+    * `removed` (id only in `prev`), `changed` (both, text md5 differs).
+    * Unchanged docs are NOT emitted — at 100 TB the diff output scales
+    * with the churn, not the corpus. Shape: two slim (id, md5)
+    * projections full-outer-joined on id; the texts themselves never
+    * shuffle.
+    *
+    * @return (id, status, prev_md5, cur_md5) — null md5 on the absent
+    *         side */
+  def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = prev.select(col(idCol).as("id"), md5(col(textCol)).as("prev_md5"))
+    val c = cur.select(col(idCol).as("id"), md5(col(textCol)).as("cur_md5"))
+    p.join(c, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("prev_md5").isNull, lit("added"))
+          .when(col("cur_md5").isNull, lit("removed"))
+          .when(col("prev_md5") =!= col("cur_md5"), lit("changed"))
+          .as("status"),
+        col("prev_md5"), col("cur_md5"))
+      .filter(col("status").isNotNull)
+  }
+
   /** The build parameters a [[DedupIndex]] was derived with. They are
     * part of the index's identity: band arrays built with a different
     * `k`/`bands` never equi-join (every batch doc would silently

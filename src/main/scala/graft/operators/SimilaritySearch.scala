@@ -460,12 +460,79 @@ object SimilaritySearch {
       m: Int, ksub: Int, rounds: Int, dim: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
     val sub = dim / m
-    (0 until m).map { s =>
-      fitCentroids(
-        df.select(col(idCol).as("id"), slice(col(vecCol), s * sub + 1, sub).as("vec")),
-        "id", "vec", ksub, rounds, sub)
-        .select(lit(s).as("subspace"), col("centroid_id"), col("ctr_vec"))
-    }.reduce(_ unionByName _)
+    // ONE exploded (subspace, id, subvec) relation feeds a GROUPED fit:
+    // every Lloyd round is one pass over the corpus for ALL subspaces
+    // (the m independent fitCentroids calls would re-scan the corpus m
+    // times per round). Bit-identical to the per-subspace fits — same
+    // seeds (the hash ignores the subspace), same assignment ranking,
+    // same fixed-point means — so the per-subspace oracle replay and
+    // [[fitCentroids]] equivalence both hold (spec-pinned).
+    val subs = df.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(pqChecked(col(vecCol), m, sub), s * lit(sub) + lit(1), lit(sub)))))
+      .select(col("pos").as("subspace"), col("id"), col("col").as("vec"))
+    fitCentroidsGrouped(subs, "subspace", "id", "vec", ksub, rounds, sub)
+      .select(col("subspace"), col("centroid_id"), col("ctr_vec"))
+  }
+
+  /** [[fitCentroids]] for MANY independent fits at once, keyed by
+    * `grpCol` — one Lloyd pass over the whole frame advances every
+    * group's fit (the PQ tier fits all m subspaces per scan; a
+    * per-language or per-domain centroid fit is the same shape). Per
+    * group, results are bit-identical to running [[fitCentroids]] on
+    * that group alone: seeding, assignment ranking and the fixed-point
+    * means are all per-group functions.
+    *
+    * Shuffle audit: seeding is one slim (grp, id, h) top-k-per-group
+    * window; per round, assignment joins the broadcast (Σk)-row
+    * centroid frame on grp and aggregates per (grp, id) — map-side
+    * combinable, like the ungrouped argmax — and the means shuffle
+    * O(Σk·dim) counters. Rounds stay sequential (each needs the
+    * previous centroids), but within a round all groups share the scan.
+    *
+    * @return (grpCol, centroid_id 0..k-1, ctr_vec) */
+  def fitCentroidsGrouped(df: DataFrame, grpCol: String, idCol: String, vecCol: String,
+      k: Int, rounds: Int, dim: Int): DataFrame = {
+    import graft.functions.TextFunctions.portableHash60
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val pts = df.select(col(grpCol).as("grp"), col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    // seed ids rank on a SLIM (grp, id, h) frame — vectors join back
+    // only for the Σk winners, so the seed window never shuffles
+    // vector payloads
+    val wSeed = Window.partitionBy("grp").orderBy(col("h"), col("id"))
+    val seedIds = pts.select(col("grp"), col("id"),
+        portableHash60(concat(lit("seed:"), col("id").cast("string"))).as("h"))
+      .withColumn("r", row_number().over(wSeed))
+      .filter(col("r") <= k)
+      .select(col("grp"), col("id"), (col("r") - 1).cast("long").as("centroid_id"))
+    var cent = Materialize.iterative(pts.join(broadcast(seedIds), Seq("grp", "id"))
+      .select(col("grp"), col("centroid_id"), col("vec").as("ctr_vec")))
+    for (_ <- 1 to rounds) {
+      val scored = pts.join(broadcast(cent), Seq("grp"))
+        .select(col("grp"), col("id"), col("vec"),
+          round(cosine(col("vec"), col("ctr_vec")), 9).as("c"), col("centroid_id"))
+      val assigned = scored.groupBy("grp", "id")
+        .agg(max(struct(col("c"), (-col("centroid_id")).as("nc"))).as("m"),
+          first(col("vec")).as("vec"))
+        .select(col("grp"), (-col("m.nc")).as("centroid_id"), col("vec"))
+      val sums = assigned.groupBy("grp", "centroid_id")
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(floor(element_at(col("vec"), i + 1) * lit(1e9))).as(s"s$i")): _*)
+      val means = sums.select(col("grp"), col("centroid_id"),
+        array((0 until dim).map(i =>
+          col(s"s$i").cast("double") / (lit(1e9) * col("n").cast("double"))): _*).as("mv"))
+      val next = Materialize.iterative(
+        cent.join(means, Seq("grp", "centroid_id"), "left")
+          .select(col("grp"), col("centroid_id"),
+            coalesce(col("mv"), col("ctr_vec")).as("ctr_vec")))
+      Materialize.unpersist(cent)
+      cent = next
+    }
+    cent.select(col("grp").as(grpCol), col("centroid_id"), col("ctr_vec"))
   }
 
   /** P5-style element validation for the PQ tier: a vector whose length

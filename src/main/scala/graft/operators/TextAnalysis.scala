@@ -316,6 +316,51 @@ object TextAnalysis {
         )"""
   }
 
+  /** Sliding-window document chunking — the RAG/embedding prep step:
+    * split each document into token windows of `window` tokens starting
+    * every `stride` tokens, so consecutive chunks overlap by
+    * `window - stride` (context preserved across boundaries). Start
+    * positions are 0, stride, 2·stride, …, the last start being the
+    * smallest multiple that lets the final chunk reach the document's
+    * end (`ceil(max(n-window, 0)/stride)`·stride) — full coverage, no
+    * trailing overlap-only slivers; a doc with ≤ window tokens is one
+    * chunk; wordless docs emit nothing. Map-only: one tokenize, one
+    * posexplode over a computed start sequence, integral arithmetic
+    * throughout (the chunk COUNT uses integer ceil-div — fp division
+    * would misplace boundaries on long docs).
+    *
+    * @return (id, chunk_id 0-based, start_token, n_tokens, chunk_text) */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    val n = size(col("ws"))
+    val nChunks = expr(s"(greatest(size(ws) - $window, 0) + $stride - 1) DIV $stride").cast("int") + lit(1)
+    df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .filter(n > 0)
+      .select(col("id"), col("ws"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i => i * stride)))
+      .select(col("id"), col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_token"),
+        least(lit(window), size(col("ws")) - col("col")).cast("long").as("n_tokens"),
+        array_join(slice(col("ws"), col("col") + 1, lit(window)), " ").as("chunk_text"))
+  }
+
+  /** DuckDB twin of [[chunkText]] over `input` (id, text). */
+  def chunkTextSql(input: String, window: Int, stride: Int): String =
+    s"""WITH cw AS (SELECT id, ${wordsSql("text")} AS ws FROM ($input)),
+      cnz AS (SELECT id, ws, len(ws) AS n FROM cw WHERE len(ws) > 0),
+      cst AS (
+        SELECT id, ws, n, CAST(i AS BIGINT) AS chunk_id, CAST(i * $stride AS BIGINT) AS start_token
+        FROM cnz CROSS JOIN unnest(generate_series(0,
+          (greatest(n - $window, 0) + $stride - 1) // $stride)) AS t(i)
+      )
+      SELECT id, chunk_id, start_token,
+        CAST(least($window, n - start_token) AS BIGINT) AS n_tokens,
+        array_to_string(ws[start_token + 1 : start_token + $window], ' ') AS chunk_text
+      FROM cst"""
+
   /** BM25 relevance of every document against a literal query-term set
     * (Robertson & Zaragoza 2009) — the retrieval scorer a curation
     * pipeline uses to mine topic-relevant training data from a raw

@@ -1039,6 +1039,57 @@ object Pipeline {
     """.trim)
   )
 
+  /** Sliding-window chunking (40-token windows every 30 tokens): the
+    * RAG prep relation, fully replayed by the oracle. */
+  val chunkTextQ: QueryDef = QueryDef(
+    "chunk_text",
+    (s, dir) => TextAnalysis.chunkText(
+      tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
+      "id", "text", window = 40, stride = 30)
+      .orderBy("id", "chunk_id"),
+    Some(s"""
+      ${TextAnalysis.chunkTextSql("SELECT doc_id AS id, text FROM documents", window = 40, stride = 30)}
+      ORDER BY id, chunk_id
+    """.trim)
+  )
+
+  /** Snapshot diff: documents vs a synthetic "today" — every 10th doc
+    * removed, every 7th surviving doc's text changed, every 13th
+    * re-added under a new id. Only churn rows emit. */
+  val corpusDiff: QueryDef = QueryDef(
+    "corpus_diff",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val cur = d.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" revised")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      Dedup.corpusDiff(d, cur, "doc_id", "text").orderBy("id")
+    },
+    Some("""
+      WITH cur AS (
+        SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' revised' ELSE text END AS text
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 13 = 0
+      ),
+      p AS (SELECT doc_id AS id, md5(text) AS prev_md5 FROM documents),
+      c AS (SELECT doc_id AS id, md5(text) AS cur_md5 FROM cur)
+      SELECT coalesce(p.id, c.id) AS id,
+        CASE WHEN p.id IS NULL THEN 'added'
+             WHEN c.id IS NULL THEN 'removed'
+             WHEN prev_md5 <> cur_md5 THEN 'changed' END AS status,
+        prev_md5, cur_md5
+      FROM p FULL OUTER JOIN c ON p.id = c.id
+      WHERE CASE WHEN p.id IS NULL THEN 'added'
+             WHEN c.id IS NULL THEN 'removed'
+             WHEN prev_md5 <> cur_md5 THEN 'changed' END IS NOT NULL
+      ORDER BY id
+    """.trim)
+  )
+
   /** BM25 relevance against a literal query-term set — the
     * topic-mining scorer; only matching docs return. */
   val bm25Scores: QueryDef = {
@@ -1436,7 +1487,7 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
-    tfidfTerms, bm25Scores, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
+    tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups
   )

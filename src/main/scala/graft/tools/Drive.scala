@@ -156,6 +156,13 @@ object Drive {
         cent.select($"centroid_id".as("vec_id"), $"ctr_vec".as("embedding")),
         "vec_id", "embedding", k = 1, nprobe = 1).show()
     }
+    println("=== sliding-window chunking + corpus snapshot diff ===")
+    locally {
+      val d = Seq((1L, "one two three four five")).toDF("id", "text")
+      TextAnalysis.chunkText(d, "id", "text", window = 3, stride = 2).show(false)
+      val cur = Seq((1L, "one two three four five CHANGED"), (2L, "brand new doc")).toDF("id", "text")
+      Dedup.corpusDiff(d, cur, "id", "text").orderBy("id").show(false)
+    }
     println("=== bm25 topic mining over query terms ===")
     locally {
       val d = Seq((1L, "spark joins data"), (2L, "cooking pasta"), (3L, "spark spark streams")).toDF("id", "text")

@@ -329,6 +329,18 @@ class DedupSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters") && scan.contains("band_id"))
   }
 
+  test("corpusDiff: added/removed/changed only — unchanged docs never emit") {
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val cur = Seq((1L, "alpha"), (2L, "beta prime"), (4L, "delta")).toDF("id", "text")
+    val got = Dedup.corpusDiff(prev, cur, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(got == Map(
+      2L -> (("changed", false, false)),
+      3L -> (("removed", false, true)),
+      4L -> (("added", true, false))))
+  }
+
   test("index manifest pins build params: mismatch and incompleteness fail fast") {
     val corpus = docs
     val batch = Seq((101L, "the quick brown fox jumps over the lazy dog near the river bank today")).toDF("id", "text")

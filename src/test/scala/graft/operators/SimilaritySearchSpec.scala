@@ -187,6 +187,26 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(top == Seq((10L, 2.0, 1), (11L, 0.0, 2)))
   }
 
+  test("fitCentroidsGrouped ≡ per-group fitCentroids, bit-for-bit") {
+    val vecsByGrp = Seq(
+      (0, 1L, Array(1.0f, 0.0f)), (0, 2L, Array(0.9f, 0.1f)),
+      (0, 3L, Array(0.0f, 1.0f)), (0, 4L, Array(0.1f, 0.9f)),
+      (1, 1L, Array(0.5f, 0.5f)), (1, 2L, Array(0.4f, 0.6f)),
+      (1, 3L, Array(1.0f, 0.1f)), (1, 4L, Array(0.9f, 0.0f))
+    ).toDF("grp", "vec_id", "embedding")
+    val grouped = SimilaritySearch.fitCentroidsGrouped(vecsByGrp, "grp", "vec_id", "embedding",
+      k = 2, rounds = 2, dim = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    for (g <- Seq(0, 1)) {
+      val solo = SimilaritySearch.fitCentroids(
+        vecsByGrp.filter(col("grp") === g).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 2, rounds = 2, dim = 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      for ((cid, v) <- solo) assert(grouped((g, cid)) == v, s"grp $g centroid $cid diverged")
+    }
+    assert(grouped.size == 4)
+  }
+
   test("pqEncode fails fast on a vector whose length is not m*subDim") {
     val books = Seq((0, 0L, Array(1.0, 0.0)), (1, 0L, Array(1.0, 0.0)))
       .toDF("subspace", "centroid_id", "ctr_vec")

@@ -171,6 +171,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == 3L) // a, astral, b
   }
 
+  test("chunkText: coverage, overlap, short-doc and wordless-doc edges, hand-checked") {
+    val in = Seq(
+      (1L, "a b c d e"),      // 5 tokens, w3 s2 -> starts 0, 2
+      (2L, "a b c d e f"),    // 6 tokens -> starts 0, 2, 4 (last short)
+      (3L, "a b"),            // short doc: one chunk of 2
+      (4L, "")                // wordless: absent
+    ).toDF("id", "text")
+    val got = TextAnalysis.chunkText(in, "id", "text", window = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(got == List(
+      (1L, 0L, 0L, 3L, "a b c"), (1L, 1L, 2L, 3L, "c d e"),
+      (2L, 0L, 0L, 3L, "a b c"), (2L, 1L, 2L, 3L, "c d e"), (2L, 2L, 4L, 2L, "e f"),
+      (3L, 0L, 0L, 2L, "a b")))
+    // every token is covered and consecutive chunks overlap by w - s
+    val c1 = got.filter(_._1 == 2L)
+    assert(c1.map(t => t._3 until (t._3 + t._4)).flatten.toSet == (0L until 6L).toSet)
+  }
+
   test("bm25Scores: hand-replayed weights; non-matching docs absent; multi-term hits sum") {
     val corpus = Seq(
       (1L, "spark spark table"),
