@@ -202,13 +202,19 @@ object Dedup {
     * @return (id, status, prev_md5, cur_md5) — null md5 on the absent
     *         side */
   def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val p = prev.select(col(idCol).as("id"), md5(col(textCol)).as("prev_md5"))
-    val c = cur.select(col(idCol).as("id"), md5(col(textCol)).as("cur_md5"))
+    // presence flags, NOT md5 nullness, decide the status: md5(null
+    // text) is null, so a null-text doc on one side would otherwise
+    // masquerade as absent (misclassified added/removed and a silent
+    // divergence from the SQL twin's id-IS-NULL logic)
+    val p = prev.select(col(idCol).as("id"), md5(col(textCol)).as("prev_md5"),
+      lit(true).as("in_prev"))
+    val c = cur.select(col(idCol).as("id"), md5(col(textCol)).as("cur_md5"),
+      lit(true).as("in_cur"))
     p.join(c, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("prev_md5").isNull, lit("added"))
-          .when(col("cur_md5").isNull, lit("removed"))
-          .when(col("prev_md5") =!= col("cur_md5"), lit("changed"))
+        when(col("in_prev").isNull, lit("added"))
+          .when(col("in_cur").isNull, lit("removed"))
+          .when(!(col("prev_md5") <=> col("cur_md5")), lit("changed"))
           .as("status"),
         col("prev_md5"), col("cur_md5"))
       .filter(col("status").isNotNull)

@@ -483,6 +483,12 @@ object SimilaritySearch {
     * that group alone: seeding, assignment ranking and the fixed-point
     * means are all per-group functions.
     *
+    * Contract (shared by the whole fit family): ids are UNIQUE within a
+    * group — [[fitCentroids]]' Lloyd argmax already relies on it
+    * (`first(vec)` per id), and here a duplicated (grp, id) would also
+    * fan out through the seed join-back into duplicated centroid rows.
+    * Dedupe upstream if ingest can repeat ids.
+    *
     * Shuffle audit: seeding is one slim (grp, id, h) top-k-per-group
     * window; per round, assignment joins the broadcast (Σk)-row
     * centroid frame on grp and aggregates per (grp, id) — map-side

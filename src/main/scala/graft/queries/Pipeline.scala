@@ -1080,12 +1080,12 @@ object Pipeline {
       SELECT coalesce(p.id, c.id) AS id,
         CASE WHEN p.id IS NULL THEN 'added'
              WHEN c.id IS NULL THEN 'removed'
-             WHEN prev_md5 <> cur_md5 THEN 'changed' END AS status,
+             WHEN prev_md5 IS DISTINCT FROM cur_md5 THEN 'changed' END AS status,
         prev_md5, cur_md5
       FROM p FULL OUTER JOIN c ON p.id = c.id
       WHERE CASE WHEN p.id IS NULL THEN 'added'
              WHEN c.id IS NULL THEN 'removed'
-             WHEN prev_md5 <> cur_md5 THEN 'changed' END IS NOT NULL
+             WHEN prev_md5 IS DISTINCT FROM cur_md5 THEN 'changed' END IS NOT NULL
       ORDER BY id
     """.trim)
   )

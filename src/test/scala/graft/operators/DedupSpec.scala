@@ -339,6 +339,14 @@ class DedupSpec extends SparkTestBase {
       2L -> (("changed", false, false)),
       3L -> (("removed", false, true)),
       4L -> (("added", true, false))))
+    // null-text docs classify by PRESENCE, not by md5 nullness: a
+    // null-text doc removed from cur is 'removed' (not 'added'), and
+    // null -> text on the same id is 'changed'
+    val prevN = Seq((1L, null: String), (2L, null: String)).toDF("id", "text")
+    val curN = Seq((2L, "now has text")).toDF("id", "text")
+    val gotN = Dedup.corpusDiff(prevN, curN, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotN == Map(1L -> "removed", 2L -> "changed"))
   }
 
   test("index manifest pins build params: mismatch and incompleteness fail fast") {
