@@ -830,4 +830,74 @@ object Dedup {
       .agg((max(col("run")) + lit(shingleLen - 1)).as("max_run_tokens"))
       .filter(col("max_run_tokens") >= minRunTokens)
   }
+
+  /** Corpus-wide exact line deduplication — the RefinedWeb / MassiveText
+    * repetition-removal stage (Penedo et al., arXiv 2306.01116 §3.3):
+    * every nonempty trimmed line keeps its FIRST corpus occurrence
+    * (minimum (id, pos)) and every later occurrence is deleted from its
+    * document. Documents always survive, possibly emptied — the output
+    * is a same-cardinality rewrite of the corpus, unlike the
+    * doc-granular survivor relations.
+    *
+    * Shape: one posexplode → slim per-hash `min(struct(id, pos))`
+    * aggregate (map-side combinable: a viral boilerplate line collapses
+    * to ONE row per map partition before the shuffle, where a
+    * `row_number` window would instead sort every occurrence of the hot
+    * hash in a single task) → equi-join back on the hash (AQE splits
+    * any residual hot key) → per-doc regroup. Line text crosses the
+    * wire twice (join input + regroup); the winner relation is 28-byte
+    * rows.
+    *
+    * @return (id, text_clean, n_lines, n_dupes_removed) for EVERY input
+    *         doc — null or line-less text yields ('', 0, 0) via the
+    *         oracle's left-join+coalesce contract */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(filter(
+          transform(split(col(textCol), "\n"), l => trim(l)), t => length(t) > 0)))
+      .select(col("id"), col("pos"), col("col").as("line"), md5(col("col")).as("h"))
+    val winners = lines.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+    val rebuilt = lines.join(winners, Seq("h"))
+      .select(col("id"), col("pos"), col("line"),
+        (col("w.id") === col("id") && col("w.pos") === col("pos")).as("keep"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), lit(0L)).otherwise(lit(1L))).as("n_dupes_removed"),
+        // collect_list skips nulls, so the when() keeps survivors only;
+        // pos is unique per id — the struct sort is a stable pos sort
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("text_clean"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dupes_removed"), lit(0L)).as("n_dupes_removed"))
+  }
+
+  /** DuckDB twin of [[lineDedup]] over `input` (id, text) — a full
+    * SELECT with the same four columns. The oracle may use the
+    * `row_number` formulation (single-node: no skew concern); rn = 1
+    * is exactly the min-(id, pos) winner. */
+  def lineDedupSql(input: String): String =
+    s"""WITH lddoc AS (SELECT id, text FROM ($input)),
+      ldl AS (SELECT id,
+                list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                            t -> len(t) > 0) AS ls
+              FROM lddoc),
+      ldx AS (SELECT id, unnest(generate_series(1, len(ls))) - 1 AS pos, unnest(ls) AS line
+              FROM ldl),
+      ldm AS (SELECT id, pos, line,
+                row_number() OVER (PARTITION BY md5(line) ORDER BY id, pos) AS rn
+              FROM ldx),
+      ldr AS (SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dupes_removed,
+                coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS text_clean
+              FROM ldm GROUP BY id)
+    SELECT d.id, coalesce(r.text_clean, '') AS text_clean,
+      coalesce(r.n_lines, 0) AS n_lines,
+      coalesce(r.n_dupes_removed, 0) AS n_dupes_removed
+    FROM lddoc d LEFT JOIN ldr r ON d.id = r.id"""
 }

@@ -606,4 +606,240 @@ object TextAnalysis {
           graft.plans.ShingleHash60(words(col(textCol)), shingleLen),
           window),
         typedLit(Seq.empty[Long])).as("fingerprints"))
+
+  // -------------------------------------------------------------------
+  // C4-style line-level cleaning (Raffel et al., JMLR'20 §2.2)
+  // -------------------------------------------------------------------
+
+  /** Phrases whose presence (lowercase contains) disqualifies a line —
+    * the C4 boilerplate markers. */
+  val C4BannedPhrases: Seq[String] =
+    Seq("javascript", "cookie policy", "lorem ipsum", "terms of use", "privacy policy")
+
+  /** Line-keep rule shared by [[c4Clean]] and its SQL twin: terminal
+    * punctuation, a word floor, no boilerplate phrase, no `{`. */
+  private def c4LineKeep(t: Column, minWordsPerLine: Int): Column = {
+    val terminal = Seq(".", "!", "?", "\"").map(p => t.endsWith(lit(p))).reduce(_ || _)
+    val banned = C4BannedPhrases.map(p => lower(t).contains(lit(p))).reduce(_ || _)
+    terminal && size(words(t)) >= minWordsPerLine && !banned && !t.contains(lit("{"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al., JMLR'20 §2.2): split
+    * on newlines, drop empty-after-trim lines BEFORE any rule runs,
+    * keep a line iff it ends in terminal punctuation (`. ! ? "`), has
+    * ≥ `minWordsPerLine` words, contains no [[C4BannedPhrases]] marker
+    * (case-insensitive) and no `{`; then keep a DOCUMENT iff at least
+    * `minLinesPerDoc` lines survive (C4's three-sentence floor).
+    *
+    * Map-only — one projection, zero shuffles; dropped documents exit
+    * the relation (a survivor relation, composable with the funnel and
+    * dedup tiers). Null-text docs have no lines and drop. ASCII
+    * contract like the other text tiers.
+    *
+    * @return (id, text_clean, n_lines, n_lines_kept), surviving docs only */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 5, minLinesPerDoc: Int = 3): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)), t => length(t) > 0)
+    val kept = filter(lines, t => c4LineKeep(t, minWordsPerLine))
+    df.select(col(idCol).as("id"),
+        array_join(kept, "\n").as("text_clean"),
+        size(lines).as("n_lines"),
+        size(kept).as("n_lines_kept"))
+      .filter(col("n_lines_kept") >= minLinesPerDoc)
+  }
+
+  /** DuckDB twin of [[c4Clean]] over `input` (id, text) — a full SELECT
+    * with the same four output columns. */
+  def c4CleanSql(input: String, minWordsPerLine: Int = 5, minLinesPerDoc: Int = 3): String = {
+    val terminal = Seq(".", "!", "?", "\"").map(p => s"ends_with(t, '$p')")
+      .mkString("(", " OR ", ")")
+    val banned = C4BannedPhrases.map(p => s"NOT contains(lower(t), '$p')").mkString(" AND ")
+    val keep = s"$terminal AND len(${wordsSql("t")}) >= $minWordsPerLine " +
+      s"AND $banned AND NOT contains(t, '{')"
+    s"""SELECT id, array_to_string(kept, chr(10)) AS text_clean,
+         len(lines) AS n_lines, len(kept) AS n_lines_kept
+       FROM (
+         SELECT id, lines, list_filter(lines, t -> $keep) AS kept
+         FROM (SELECT id,
+                 list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                             t -> len(t) > 0) AS lines
+               FROM ($input))
+       ) WHERE len(kept) >= $minLinesPerDoc"""
+  }
+
+  // -------------------------------------------------------------------
+  // Character-trigram LM score (the CCNet perplexity-filter slot)
+  // -------------------------------------------------------------------
+
+  /** ln(2) as a shared literal: embedding the CONSTANT (not `ln(2.0)`
+    * evaluated per engine) removes the one place a last-ulp libm
+    * difference could enter the weight formula. */
+  private val Ln2 = 0.6931471805599453
+
+  /** Character trigrams of `t` (1-based substr windows); sub-3-char or
+    * null text yields the empty array — Spark's `sequence(1, n)` counts
+    * DOWN when n < 1, so the guard is load-bearing. */
+  def charTrigrams(t: Column): Column =
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character-trigram LM quality score — the CCNet perplexity-filter
+    * slot (Wenzek et al., LREC'20), self-trained: fit add-one-smoothed
+    * conditional trigram counts on `fitDf`, then score each document of
+    * `df` by mean bits per trigram:
+    * `bits(d) = Σ_t log2((c2(t[0:2]) + V) / (c3(t) + 1)) / n_tri(d)`,
+    * with V = fit-corpus alphabet size (distinct trailing chars). Low
+    * bits = predictable/common text, high = gibberish — CCNet buckets
+    * by perplexity and thresholds a tail. The gate fits and scores the
+    * same corpus; production fits on a reference slice.
+    *
+    * Determinism: c3/c2/V are exact integers; each DISTINCT trigram's
+    * bit-weight is one ln + one division quantized to 1e-6 BIGINT
+    * (coarser than BM25's 1e-9 on purpose: the model carries a weight
+    * per distinct trigram, so floor-boundary exposure scales with
+    * vocabulary; 1e-6 bits is far below any threshold's resolution);
+    * per-doc sums are exact integer arithmetic (order-proof), one
+    * double division + 9-dp round at the end.
+    *
+    * Shape: fit = one slim map-side-combinable count shuffle over the
+    * trigram explode; the model (≤ alphabet³ rows — bounded by the
+    * charset, not the corpus) BROADCASTS into the scoring explode, and
+    * the per-doc aggregate is the only other shuffle, carrying slim
+    * (id, count, sum) partials. A trigram absent from the model (only
+    * possible when fitDf ≠ df) scores the add-one floor log2(V).
+    *
+    * @return (id, n_trigrams, bits_per_trigram) for every doc of `df`
+    *         (trigram-less docs score 0.0) */
+  def lmScore(df: DataFrame, idCol: String, textCol: String, fitDf: DataFrame): DataFrame = {
+    val fitTris = fitDf.select(explode(charTrigrams(col(textCol))).as("tri"))
+    val c3 = fitTris.groupBy("tri").agg(count(lit(1)).as("c3"))
+    val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("big")).agg(sum(col("c3")).as("c2"))
+    val v = c3.agg(count_distinct(substring(col("tri"), 3, 1)).as("v"))
+    val model = c3.withColumn("big", substring(col("tri"), 1, 2))
+      .join(c2, Seq("big"))
+      .crossJoin(broadcast(v))
+      .select(col("tri"),
+        floor(log((col("c2") + col("v")).cast("double") /
+            (col("c3") + lit(1L)).cast("double")) / lit(Ln2) * lit(1e6))
+          .cast("long").as("w"))
+    val defaultW = floor(log(col("v").cast("double")) / lit(Ln2) * lit(1e6)).cast("long")
+    val scored = df.select(col(idCol).as("id"), explode(charTrigrams(col(textCol))).as("tri"))
+      .join(broadcast(model), Seq("tri"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("id"), coalesce(col("w"), defaultW).as("w"))
+      .groupBy("id").agg(count(lit(1)).as("n_trigrams"), sum(col("w")).as("wsum"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        round(coalesce(col("wsum"), lit(0L)).cast("double") /
+          (lit(1e6) * greatest(coalesce(col("n_trigrams"), lit(0L)), lit(1L)).cast("double")), 9)
+          .as("bits_per_trigram"))
+  }
+
+  /** Fit-and-score-the-same-corpus convenience (the gate's shape). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmScore(df, idCol, textCol, df)
+
+  /** DuckDB twin of the self-fit [[lmScore]] over `input` (id, text) —
+    * a full SELECT. */
+  def lmScoreSql(input: String): String =
+    s"""WITH lmsrc AS (SELECT id, text FROM ($input)),
+      lmtri AS (SELECT id, unnest(list_transform(generate_series(1, length(text) - 2),
+                  i -> substr(text, i, 3))) AS tri
+                FROM lmsrc WHERE length(text) >= 3),
+      lmc3 AS (SELECT tri, count(*) AS c3 FROM lmtri GROUP BY tri),
+      lmc2 AS (SELECT substr(tri, 1, 2) AS big, CAST(sum(c3) AS BIGINT) AS c2
+               FROM lmc3 GROUP BY 1),
+      lmv AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS v FROM lmc3),
+      lmmod AS (SELECT tri,
+                  CAST(floor(ln(CAST(c2 + v AS DOUBLE) / CAST(c3 + 1 AS DOUBLE)) / $Ln2 * 1000000.0) AS BIGINT) AS w
+                FROM lmc3 JOIN lmc2 ON substr(tri, 1, 2) = big CROSS JOIN lmv),
+      lmsc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_trigrams, CAST(sum(w) AS BIGINT) AS wsum
+               FROM lmtri JOIN lmmod USING (tri) GROUP BY id)
+    SELECT s.id, coalesce(n_trigrams, 0) AS n_trigrams,
+      round(CAST(coalesce(wsum, 0) AS DOUBLE) /
+        (1000000.0 * greatest(coalesce(n_trigrams, 0), 1)), 9) AS bits_per_trigram
+    FROM lmsrc s LEFT JOIN lmsc ON s.id = lmsc.id"""
+
+  // -------------------------------------------------------------------
+  // Gopher composite document filter (Rae et al., arXiv 2112.11446)
+  // -------------------------------------------------------------------
+
+  /** The Gopher rule list as (name, SQL-violation-predicate builder) —
+    * shared between the Spark operator and the twin so thresholds
+    * render identically. Predicates reference the joined metric
+    * columns; evaluation order is list order and `reason` is the FIRST
+    * failing rule. */
+  private def gopherRules(minWords: Int, maxWords: Int,
+      minAvgWordLen: Double, maxAvgWordLen: Double,
+      maxPunctRatio: Double, minStopwordRatio: Double,
+      maxTopWordFrac: Double, maxTopBigramFrac: Double,
+      minTtr: Double): Seq[(String, String)] = Seq(
+    "too_few_words" -> s"n_words < $minWords",
+    "too_many_words" -> s"n_words > $maxWords",
+    "bad_avg_word_len" -> s"(avg_word_len < $minAvgWordLen OR avg_word_len > $maxAvgWordLen)",
+    "high_punct_ratio" -> s"punct_ratio > $maxPunctRatio",
+    "low_stopword_ratio" -> s"stopword_ratio < $minStopwordRatio",
+    "repetitive_top_word" -> s"top_word_frac > $maxTopWordFrac",
+    "repetitive_top_bigram" -> s"top_bigram_frac > $maxTopBigramFrac",
+    "low_ttr" -> s"ttr < $minTtr")
+
+  /** Gopher-rule composite document filter (Rae et al., arXiv
+    * 2112.11446 Table A1; thresholds as parameters): evaluates the
+    * [[quality]] and [[repetition]] signal families and classifies
+    * every document keep/drop with the FIRST failing rule as `reason`
+    * (`''` when kept) — the relation a curation dashboard reads and the
+    * predicate the funnel applies. All comparisons are on engine-exact
+    * metrics (single divisions of integer counts) against shared
+    * literal thresholds, so keep/reason replay bit-identically.
+    *
+    * Shape: the quality family is map-only; repetition is the one
+    * shuffled branch; one id-equi-join marries them. `keep` is int
+    * 0/1 (the gate's scalar-column contract).
+    *
+    * @return (id, n_words, keep, reason) for every input doc */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+      maxPunctRatio: Double = 0.1, minStopwordRatio: Double = 0.01,
+      maxTopWordFrac: Double = 0.2, maxTopBigramFrac: Double = 0.18,
+      minTtr: Double = 0.2): DataFrame = {
+    val rules = gopherRules(minWords, maxWords, minAvgWordLen, maxAvgWordLen,
+      maxPunctRatio, minStopwordRatio, maxTopWordFrac, maxTopBigramFrac, minTtr)
+    val reason = rules.foldRight(lit(""): Column) { case ((n, pred), acc) =>
+      when(expr(pred), lit(n)).otherwise(acc)
+    }
+    quality(df, idCol, textCol)
+      .join(repetition(df, idCol, textCol), Seq("id"))
+      .select(col("id"), col("n_words"),
+        when(reason === "", lit(1)).otherwise(lit(0)).as("keep"),
+        reason.as("reason"))
+  }
+
+  /** DuckDB twin of [[gopherFilter]] (default thresholds) over `input`
+    * (id, text) — a full SELECT. */
+  def gopherFilterSql(input: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+      maxPunctRatio: Double = 0.1, minStopwordRatio: Double = 0.01,
+      maxTopWordFrac: Double = 0.2, maxTopBigramFrac: Double = 0.18,
+      minTtr: Double = 0.2): String = {
+    val rules = gopherRules(minWords, maxWords, minAvgWordLen, maxAvgWordLen,
+      maxPunctRatio, minStopwordRatio, maxTopWordFrac, maxTopBigramFrac, minTtr)
+    val reason = rules.map { case (n, pred) => s"WHEN $pred THEN '$n'" }
+      .mkString("CASE ", " ", " ELSE '' END")
+    val qCols = qualitySql("text").map { case (n, e) => s"$e AS $n" }.mkString(",\n        ")
+    s"""WITH ${repetitionCtes(input)},
+      gq AS (SELECT id, $qCols FROM ($input)),
+      gj AS (SELECT gq.id, n_words, avg_word_len, punct_ratio, stopword_ratio,
+               top_word_frac, top_bigram_frac, ttr
+             FROM gq JOIN rep ON gq.id = rep.id)
+    SELECT id, n_words,
+      (CASE WHEN ($reason) = '' THEN 1 ELSE 0 END) AS keep,
+      ($reason) AS reason
+    FROM gj"""
+  }
 }

@@ -1484,7 +1484,118 @@ object Pipeline {
     """.trim)
   )
 
+  /** C4 line-level cleaning over documents wrapped in PLANTED lines
+    * (boilerplate markers, a no-terminal-punct remainder, a sub-floor
+    * line, two conditional keepers) — so kept/dropped and the per-doc
+    * survival floor all vary. minLinesPerDoc = 2: a doc survives iff
+    * the always-kept intro line plus ≥1 conditional keeper pass. */
+  val c4CleanQ: QueryDef = QueryDef(
+    "c4_clean",
+    (s, dir) => {
+      val planted = tbl(s, dir, "documents").select(col("doc_id").as("id"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 40), lit(" end of intro.")),
+          lit("please enable javascript to view this."),
+          lit("we use cookies see our cookie policy."),
+          substring(col("text"), 41, 160),
+          lit("too short."),
+          when(col("doc_id") % 2 === 0,
+            lit("this planted line always survives the filter."))
+            .otherwise(lit("this line has no terminal punctuation at all")),
+          when(col("doc_id") % 3 === 0,
+            lit("a second keeper line appears on thirds here."))
+            .otherwise(lit("{ a code block line that always drops }"))).as("text"))
+      TextAnalysis.c4Clean(planted, "id", "text", minWordsPerLine = 5, minLinesPerDoc = 2)
+        .select(col("id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_lines"), col("n_lines_kept"))
+        .orderBy("id")
+    },
+    Some {
+      val plantedSql = """SELECT doc_id AS id,
+        concat_ws(chr(10),
+          substr(text, 1, 40) || ' end of intro.',
+          'please enable javascript to view this.',
+          'we use cookies see our cookie policy.',
+          substr(text, 41, 160),
+          'too short.',
+          CASE WHEN doc_id % 2 = 0 THEN 'this planted line always survives the filter.'
+               ELSE 'this line has no terminal punctuation at all' END,
+          CASE WHEN doc_id % 3 = 0 THEN 'a second keeper line appears on thirds here.'
+               ELSE '{ a code block line that always drops }' END) AS text
+        FROM documents"""
+      s"""SELECT id, md5(text_clean) AS clean_md5, n_lines, n_lines_kept
+        FROM (${TextAnalysis.c4CleanSql(plantedSql, minWordsPerLine = 5, minLinesPerDoc = 2)})
+        ORDER BY id""".trim
+    }
+  )
+
+  /** Corpus-wide exact line dedup over PLANTED multi-line docs: a
+    * globally shared boilerplate line (repeated within each doc too), a
+    * conditional shared line on 4th docs, and per-doc text slices — so
+    * removals span within-doc and cross-doc duplicates and the
+    * first-occurrence (min id, pos) rule is load-bearing. */
+  val lineDedupQ: QueryDef = QueryDef(
+    "line_dedup",
+    (s, dir) => {
+      val planted = tbl(s, dir, "documents").select(col("doc_id").as("id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 50),
+          lit("subscribe to our newsletter today"),
+          substring(col("text"), 51, 120),
+          when(col("doc_id") % 4 === 0, lit("all rights reserved worldwide"))
+            .otherwise(substring(col("text"), 11, 30)),
+          lit("subscribe to our newsletter today")).as("text"))
+      graft.operators.Dedup.lineDedup(planted, "id", "text")
+        .select(col("id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_lines"), col("n_dupes_removed"))
+        .orderBy("id")
+    },
+    Some {
+      val plantedSql = """SELECT doc_id AS id,
+        concat_ws(chr(10),
+          substr(text, 1, 50),
+          'subscribe to our newsletter today',
+          substr(text, 51, 120),
+          CASE WHEN doc_id % 4 = 0 THEN 'all rights reserved worldwide'
+               ELSE substr(text, 11, 30) END,
+          'subscribe to our newsletter today') AS text
+        FROM documents"""
+      s"""SELECT id, md5(text_clean) AS clean_md5, n_lines, n_dupes_removed
+        FROM (${graft.operators.Dedup.lineDedupSql(plantedSql)})
+        ORDER BY id""".trim
+    }
+  )
+
+  /** Self-fit char-trigram LM score over the raw documents table. */
+  val lmScoreQ: QueryDef = QueryDef(
+    "lm_score",
+    (s, dir) => TextAnalysis.lmScore(
+      tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")), "id", "text")
+      .orderBy("id"),
+    Some(s"""
+      SELECT id, n_trigrams, bits_per_trigram
+      FROM (${TextAnalysis.lmScoreSql("SELECT doc_id AS id, text FROM documents")})
+      ORDER BY id
+    """.trim)
+  )
+
+  /** Gopher composite filter at default thresholds over raw documents —
+    * the 30–100-word synthetic docs split keep/drop across several
+    * rules (word floor, top-word fraction, ttr), so reason codes vary. */
+  val gopherFilterQ: QueryDef = QueryDef(
+    "gopher_filter",
+    (s, dir) => TextAnalysis.gopherFilter(
+      tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")), "id", "text")
+      .orderBy("id"),
+    Some(s"""
+      SELECT id, n_words, keep, reason
+      FROM (${TextAnalysis.gopherFilterSql("SELECT doc_id AS id, text FROM documents")})
+      ORDER BY id
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
+    c4CleanQ, lineDedupQ, lmScoreQ, gopherFilterQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,

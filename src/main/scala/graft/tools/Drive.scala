@@ -222,6 +222,24 @@ object Drive {
       println("pruned rows: " + pruned.count() + ", partition-filtered: " +
         pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
     }
+    println("=== c4 line cleaning -> corpus-wide line dedup (RefinedWeb stage) ===")
+    locally {
+      val d = Seq(
+        (1L, "a fine keeper sentence with many words here.\nsubscribe to our newsletter today\nshort."),
+        (2L, "subscribe to our newsletter today\nanother keeper sentence with plenty of words too.")
+      ).toDF("id", "text")
+      TextAnalysis.c4Clean(d, "id", "text", minWordsPerLine = 5, minLinesPerDoc = 1)
+        .orderBy("id").show(truncate = false)
+      Dedup.lineDedup(d, "id", "text").orderBy("id").show(truncate = false)
+    }
+    println("=== char-trigram LM score + gopher composite filter ===")
+    locally {
+      val d = Seq(
+        (1L, "the common words flow along the common path"),
+        (2L, "zq xv jk qq zz")).toDF("id", "text")
+      TextAnalysis.lmScore(d, "id", "text").orderBy("id").show()
+      TextAnalysis.gopherFilter(d, "id", "text", minWords = 3).orderBy("id").show(truncate = false)
+    }
     println("=== probe: empty-series warnings surface via Warnings.onWarning ===")
     locally {
       @volatile var seen = List.empty[String]

@@ -418,4 +418,30 @@ class DedupSpec extends SparkTestBase {
     scan.release() // must not throw; a fresh scan still works afterwards
     assert(Decontaminate.scanBloom(docs, benchmark, "id", "text", 3, 2).count() == got.size)
   }
+
+  test("lineDedup: first corpus occurrence wins, within-doc repeats drop, docs never drop") {
+    val df = Seq(
+      (1L, "alpha beta\nshared line\ngamma"),
+      (2L, "shared line\ndelta\nshared line"),
+      (3L, ""),
+      (4L, "unique x\nunique x\n gamma ")
+    ).toDF("id", "text")
+    val r = Dedup.lineDedup(df, "id", "text").collect()
+      .map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L)) // same-cardinality rewrite
+    assert(r(1L) == (("alpha beta\nshared line\ngamma", 3L, 0L))) // owns both firsts
+    // doc2: both 'shared line' copies lose to (1, pos 1)
+    assert(r(2L) == (("delta", 3L, 2L)))
+    assert(r(3L) == (("", 0L, 0L)))
+    // within-doc repeat loses to its own pos 0; ' gamma ' trims into doc1's line
+    assert(r(4L) == (("unique x", 3L, 2L)))
+  }
+
+  test("lineDedup: winner aggregate is map-side combinable, no cartesian or window sort on the hash") {
+    val df = Seq((1L, "a b c\nd e f"), (2L, "a b c")).toDF("id", "text")
+    val plan = Dedup.lineDedup(df, "id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan) // the skew-prone formulation
+  }
 }

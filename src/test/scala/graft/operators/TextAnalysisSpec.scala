@@ -298,4 +298,73 @@ class TextAnalysisSpec extends SparkTestBase {
       spark.sql("SELECT vocab_token_count(split(text, ' '), split(text, ' ')) FROM vtc_docs").collect())
     assert(err.getMessage.contains("foldable") || err.getMessage.contains("literal"))
   }
+
+  test("c4Clean: line rules, the doc floor, and null text") {
+    val df = Seq(
+      (1L, "this line is a good keeper sentence.\n" +
+        "short one.\n" +
+        "please enable javascript here fine now.\n" +
+        "another worthy keeper line right here!\n" +
+        "no terminal punctuation on this line\n" +
+        "brace { line with plenty of words here."),
+      (2L, "only one good keeper line is present here.\nnothing else survives"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(df, "doc_id", "text", minWordsPerLine = 5, minLinesPerDoc = 2)
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L)) // doc2 under floor, doc3 line-less
+    val d1 = r.head
+    assert(d1.getAs[Int]("n_lines") == 6)
+    assert(d1.getAs[Int]("n_lines_kept") == 2)
+    assert(d1.getAs[String]("text_clean") ==
+      "this line is a good keeper sentence.\nanother worthy keeper line right here!")
+  }
+
+  test("c4Clean: quote terminal counts, banned phrases match case-insensitively") {
+    val df = Seq(
+      (1L, "he said \"all of these words are quoted.\"\n" +
+        "We Use a Cookie Policy statement right here.\n" +
+        "trailing spaces still keep this line fine.   ")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(df, "doc_id", "text", minWordsPerLine = 5, minLinesPerDoc = 1)
+      .collect().head
+    assert(r.getAs[Int]("n_lines_kept") == 2) // quote line + trimmed line; cookie line banned
+  }
+
+  test("lmScore: hand-computed trigram bits, self-fit") {
+    val df = Seq((1L, "aaaa"), (2L, "aab"), (3L, "x")).toDF("doc_id", "text")
+    // c3: aaa->2, aab->1; c2(aa)=3; V={a,b}=2
+    // w(aaa)=floor(log2(5/3)*1e6)=736965, w(aab)=floor(log2(5/2)*1e6)=1321928
+    val r = TextAnalysis.lmScore(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((2L, 0.736965)))      // 1473930 / 2e6
+    assert(r(2L) == ((1L, 1.321928)))
+    assert(r(3L) == ((0L, 0.0)))           // no trigrams
+  }
+
+  test("lmScore: a trigram unseen at fit time scores the add-one floor log2(V)") {
+    val fit = Seq((1L, "aaaa"), (2L, "aab")).toDF("doc_id", "text")
+    val target = Seq((5L, "zzz")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScore(target, "doc_id", "text", fit).collect().head
+    assert(r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 1.0) // V=2 -> floor(log2(2)*1e6)/1e6
+  }
+
+  test("gopherFilter: reason is the first failing rule in declaration order") {
+    val okText = ((1 to 55).map(i => f"word$i%02d") ++ Seq("the", "of", "and", "is", "a")).mkString(" ")
+    val repeatTop = (Seq.fill(20)("the") ++ (1 to 40).map(i => f"word$i%02d")).mkString(" ")
+    val shortWords = Seq.fill(60)("ab").mkString(" ") // fails avg-word-len BEFORE top-word/ttr
+    val df = Seq(
+      (1L, okText),
+      (2L, "just ten small words sit in this tiny doc here"),
+      (3L, repeatTop),
+      (4L, shortWords)
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherFilter(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getAs[Int]("keep"), x.getAs[String]("reason")))).toMap
+    assert(r(1L) == ((1, "")))
+    assert(r(2L) == ((0, "too_few_words")))
+    assert(r(3L) == ((0, "repetitive_top_word")))
+    assert(r(4L) == ((0, "bad_avg_word_len")))
+  }
 }
