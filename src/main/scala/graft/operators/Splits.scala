@@ -271,6 +271,25 @@ object Splits {
 
   // names/salts land inside single-quoted SQL literals — double any
   // embedded quote so a value like "don't" can't break the oracle SQL
+  /** Per-row probability sampling: keep a row iff its content-addressed
+    * draw falls below the row's OWN keep probability (a quality score in
+    * [0, 1]) — the CCNet-style "sample by quality" knob: high-quality
+    * docs survive with high probability, junk mostly drops, and nothing
+    * is a hard cutoff. Map-only, rerun-stable (the draw depends only on
+    * id and salt, so re-scoring never re-deals survivors whose score
+    * didn't change). `floor` (not `round`) maps probability to the
+    * bucket threshold — unambiguous cross-engine semantics at the
+    * boundary. Null id or null probability never keeps.
+    *
+    * @param probCol column with the keep probability in [0, 1] */
+  def weightedSample(df: DataFrame, idCol: String, probCol: String,
+      salt: String = "wsample"): DataFrame =
+    df.filter(bucket(col(idCol), salt) < floor(col(probCol) * Buckets).cast("long"))
+
+  /** DuckDB twin of [[weightedSample]]'s keep predicate. */
+  def weightedSampleSql(id: String, prob: String, salt: String = "wsample"): String =
+    s"(${bucketSql(id, salt)} < CAST(floor($prob * $Buckets) AS BIGINT))"
+
   private def escSql(s: String): String = s.replace("'", "''")
 
   /** DuckDB twin of [[bucket]] over id expression `id`. */

@@ -718,7 +718,8 @@ object TextAnalysis {
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("big")).agg(sum(col("c3")).as("c2"))
     val v = c3.agg(count_distinct(substring(col("tri"), 3, 1)).as("v"))
     val model = c3.withColumn("big", substring(col("tri"), 1, 2))
-      .join(c2, Seq("big"))
+      // c2 is ≤ alphabet² rows — broadcast, the model build never shuffles c3
+      .join(broadcast(c2), Seq("big"))
       .crossJoin(broadcast(v))
       .select(col("tri"),
         floor(log((col("c2") + col("v")).cast("double") /

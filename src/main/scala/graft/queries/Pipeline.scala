@@ -1566,6 +1566,39 @@ object Pipeline {
     }
   )
 
+  /** On-corpus BPE merge learning: 8 merges over the raw documents
+    * table — the fit side of the subword tier (the learned pieces feed
+    * [[graft.operators.TextAnalysis.bpeTokenCounts]]). */
+  val bpeMerges: QueryDef = QueryDef(
+    "bpe_merges",
+    (s, dir) => graft.operators.BpeLearn.fitBpeMerges(
+      tbl(s, dir, "documents").select(col("text")), "text", 8)
+      .orderBy("merge_rank"),
+    Some(s"""
+      SELECT merge_rank, left_sym, right_sym, pair_count
+      FROM (${graft.operators.BpeLearn.fitBpeMergesSql("SELECT text FROM documents", 8)})
+      ORDER BY merge_rank
+    """.trim)
+  )
+
+  /** Quality-weighted sampling: score every doc with the hashed linear
+    * scorer, then keep each doc with probability = its own score. */
+  val qualitySample: QueryDef = QueryDef(
+    "quality_sample",
+    (s, dir) => {
+      val scored = TextAnalysis.hashedQualityScore(
+        tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")), "id", "text")
+      Splits.weightedSample(scored, "id", "quality_score").orderBy("id")
+    },
+    Some(s"""
+      SELECT id, quality_score FROM (
+        SELECT doc_id AS id, ${TextAnalysis.hashedQualityScoreSql("text")} AS quality_score
+        FROM documents)
+      WHERE ${Splits.weightedSampleSql("id", "quality_score")}
+      ORDER BY id
+    """.trim)
+  )
+
   /** Self-fit char-trigram LM score over the raw documents table. */
   val lmScoreQ: QueryDef = QueryDef(
     "lm_score",
@@ -1595,7 +1628,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    c4CleanQ, lineDedupQ, lmScoreQ, gopherFilterQ,
+    c4CleanQ, lineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, qualitySample,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,

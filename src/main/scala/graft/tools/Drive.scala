@@ -240,6 +240,22 @@ object Drive {
       TextAnalysis.lmScore(d, "id", "text").orderBy("id").show()
       TextAnalysis.gopherFilter(d, "id", "text", minWords = 3).orderBy("id").show(truncate = false)
     }
+    println("=== BPE merge learning -> subword counts with the learned pieces ===")
+    locally {
+      val d = Seq((1L, "low low lower"), (2L, "low new")).toDF("id", "text")
+      val m = BpeLearn.fitBpeMerges(d, "text", 4)
+      m.orderBy("merge_rank").show()
+      // the learned pieces (merged symbols) feed the counting tier
+      val pieces = m.collect().map(r => r.getString(1) + r.getString(2)).toSeq
+      TextAnalysis.bpeTokenCounts(d, "id", "text",
+        pieces ++ ('a' to 'z').map(_.toString)).orderBy("id").show()
+    }
+    println("=== quality-weighted sampling (score -> per-row keep probability) ===")
+    locally {
+      val d = Seq((1L, "good words flow here"), (2L, "zz qq")).toDF("id", "text")
+      val scored = TextAnalysis.hashedQualityScore(d, "id", "text")
+      Splits.weightedSample(scored, "id", "quality_score").orderBy("id").show()
+    }
     println("=== probe: empty-series warnings surface via Warnings.onWarning ===")
     locally {
       @volatile var seen = List.empty[String]

@@ -192,4 +192,25 @@ class SplitsSpec extends SparkTestBase {
     val clash = Splits.targetMixSample(df.withColumn("n_g", $"id"), "id", "grp", target)
     assert(clash.columns.toSeq == Seq("id", "grp", "n_g") && clash.count() > 0L)
   }
+
+  test("weightedSample: per-row probability, deterministic draws, null never keeps") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, 0.0), (2L, 1.0), (3L, 0.37), (4L, 0.37)
+    ).toDF("id", "p")
+    val kept = Splits.weightedSample(df, "id", "p").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L)) // p = 0 never keeps
+    assert(kept.contains(2L))  // p = 1 always keeps
+    // p = 0.37 keeps exactly when the row's salted bucket < 3700
+    val buckets = df.select(col("id"), Splits.bucket(col("id"), "wsample").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(3L, 4L))
+      assert(kept.contains(id) == (buckets(id) < 3700L), s"id $id")
+    // rerun-stable
+    assert(Splits.weightedSample(df, "id", "p").collect().map(_.getLong(0)).toSet == kept)
+    // null probability or null id -> dropped, not kept
+    val nulls = Seq((Some(9L), None: Option[Double]), (None: Option[Long], Some(1.0)))
+      .toDF("id", "p")
+    assert(Splits.weightedSample(nulls, "id", "p").count() == 0L)
+  }
 }

@@ -198,4 +198,26 @@ class PlanShapeSpec extends SparkTestBase {
     val windowExchanges = "hashpartitioning\\(base_url".r.findAllIn(p).length
     assert(windowExchanges <= 2, s"url_dups re-shuffles base_url $windowExchanges times:\n$p")
   }
+
+  test("c4_clean is map-only: the line rules never shuffle or join") {
+    val p = plan("c4_clean")
+    assert(!p.contains("hashpartitioning"), s"c4 cleaning must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("UDF"))
+  }
+
+  test("line_dedup: winner join is a hash equi-join; no window sort on the line hash") {
+    val p = plan("line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the skew-prone row_number-over-hash formulation must not return
+    assert(!p.contains("Window"), s"line_dedup planned a window:\n$p")
+  }
+
+  test("lm_score: the model joins the scoring explode as a BROADCAST; no product") {
+    val p = plan("lm_score")
+    // the trigram explode must meet the model via BroadcastHashJoin (the
+    // per-doc left join back to the corpus is the one legitimate
+    // shuffle join); the 1-row V frame rides a broadcast product
+    assert(p.contains("BroadcastHashJoin"), s"model must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

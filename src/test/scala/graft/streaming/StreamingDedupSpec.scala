@@ -162,6 +162,39 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("c4Clean and weightedSample (map-only) run unchanged on streams, ≡ batch") {
+    import graft.operators.{Splits, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "text")
+    val cleaned = TextAnalysis.c4Clean(df, "id", "text", minWordsPerLine = 5, minLinesPerDoc = 1)
+    val q = cleaned.writeStream.format("memory").queryName("sd_c4").outputMode("append").start()
+    val rows = Seq(
+      (1L, "a fine keeper sentence with many words here.\nplease enable javascript now ok fine."),
+      (2L, "no keeper lines at all in here"))
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sd_c4").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq.sorted
+      val batch = TextAnalysis.c4Clean(rows.toDF("id", "text"), "id", "text",
+        minWordsPerLine = 5, minLinesPerDoc = 1).collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq.sorted
+      assert(got == batch && got.map(_._1) == Seq(1L))
+    } finally q.stop()
+    // the weighted sampler is a pure filter — it plans on a stream too
+    val input2 = MemoryStream[(Long, Double)]
+    val sampled = Splits.weightedSample(input2.toDF().toDF("id", "p"), "id", "p")
+    assert(sampled.isStreaming)
+    val q2 = sampled.writeStream.format("memory").queryName("sd_ws")
+      .outputMode("append").start()
+    try {
+      input2.addData((1L, 1.0), (2L, 0.0))
+      q2.processAllAvailable()
+      assert(spark.table("sd_ws").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally q2.stop()
+  }
+
   test("decontaminateStream ≡ batch scan offenders on the same documents") {
     import graft.operators.{Decontaminate, Dedup}
     implicit val sqlCtx = spark.sqlContext
