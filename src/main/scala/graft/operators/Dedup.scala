@@ -731,8 +731,12 @@ object Dedup {
     val nB = exact.join(lsh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_both"))
     nE.crossJoin(nL).crossJoin(nB)
       .select(col("n_exact"), col("n_lsh"), col("n_both"),
-        round(col("n_both").cast("double") / greatest(col("n_exact"), lit(1L)).cast("double"), 9).as("recall"),
-        round(col("n_both").cast("double") / greatest(col("n_lsh"), lit(1L)).cast("double"), 9).as("precision"))
+        // integer half-up at 9 dp — tie-proof cross-engine (see
+        // annRecallReport / the lm_score sf0.1 lesson)
+        (expr("(2 * n_both * 1000000000 + greatest(n_exact, 1)) div (2 * greatest(n_exact, 1))")
+          .cast("double") / lit(1e9)).as("recall"),
+        (expr("(2 * n_both * 1000000000 + greatest(n_lsh, 1)) div (2 * greatest(n_lsh, 1))")
+          .cast("double") / lit(1e9)).as("precision"))
   }
 
   /** [[ngramJaccardPairs]] with a DOCUMENT-FREQUENCY CAP on shingles —

@@ -688,7 +688,12 @@ object SimilaritySearch {
     val nh = exact.join(ann, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hits"))
     nq.crossJoin(ne).crossJoin(nh)
       .select(col("n_queries"), col("n_exact"), col("n_hits"),
-        round(col("n_hits").cast("double") / greatest(col("n_exact"), lit(1L)).cast("double"), 9).as("recall"))
+        // half-up at 9 dp in INTEGER arithmetic: integer/integer ratios
+        // can land exactly on a 10th-decimal tie (denominators carrying
+        // 2^10), where Spark's BigDecimal HALF_UP and DuckDB's float
+        // round() disagree — the lm_score sf0.1 lesson
+        (expr("(2 * n_hits * 1000000000 + greatest(n_exact, 1)) div (2 * greatest(n_exact, 1))")
+          .cast("double") / lit(1e9)).as("recall"))
   }
 
   /** ANN top-k: score only same-bucket candidates. Output schema matches

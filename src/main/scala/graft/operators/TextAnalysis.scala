@@ -700,8 +700,9 @@ object TextAnalysis {
     * (coarser than BM25's 1e-9 on purpose: the model carries a weight
     * per distinct trigram, so floor-boundary exposure scales with
     * vocabulary; 1e-6 bits is far below any threshold's resolution);
-    * per-doc sums are exact integer arithmetic (order-proof), one
-    * double division + 9-dp round at the end.
+    * per-doc sums AND the mean stay exact integer arithmetic
+    * (order-proof) down to half-up-rounded micro-bits; the only FP step
+    * is one exact division by 1e6.
     *
     * Shape: fit = one slim map-side-combinable count shuffle over the
     * trigram explode; the model (≤ alphabet³ rows — bounded by the
@@ -731,12 +732,20 @@ object TextAnalysis {
       .crossJoin(broadcast(v))
       .select(col("id"), coalesce(col("w"), defaultW).as("w"))
       .groupBy("id").agg(count(lit(1)).as("n_trigrams"), sum(col("w")).as("wsum"))
+    // the mean stays in INTEGER arithmetic to the end: half-up-rounded
+    // micro-bits = (2·wsum + n) div (2·n), then ONE exact division by
+    // 1e6. A `round(x, 9)` here is a trap: wsum/(1e6·n) lands exactly on
+    // a 10th-decimal tie whenever n divides wsum·10⁹ half-way, and
+    // Spark's BigDecimal HALF_UP vs DuckDB's float-multiply rounding
+    // then disagree (observed at sf0.1: one doc in 5000)
     df.select(col(idCol).as("id"))
       .join(scored, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
-        round(coalesce(col("wsum"), lit(0L)).cast("double") /
-          (lit(1e6) * greatest(coalesce(col("n_trigrams"), lit(0L)), lit(1L)).cast("double")), 9)
+        greatest(coalesce(col("n_trigrams"), lit(0L)), lit(1L)).as("nt"),
+        coalesce(col("wsum"), lit(0L)).as("ws"))
+      .select(col("id"), col("n_trigrams"),
+        (expr("(2 * ws + nt) div (2 * nt)").cast("double") / lit(1e6))
           .as("bits_per_trigram"))
   }
 
@@ -760,10 +769,11 @@ object TextAnalysis {
                 FROM lmc3 JOIN lmc2 ON substr(tri, 1, 2) = big CROSS JOIN lmv),
       lmsc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_trigrams, CAST(sum(w) AS BIGINT) AS wsum
                FROM lmtri JOIN lmmod USING (tri) GROUP BY id)
-    SELECT s.id, coalesce(n_trigrams, 0) AS n_trigrams,
-      round(CAST(coalesce(wsum, 0) AS DOUBLE) /
-        (1000000.0 * greatest(coalesce(n_trigrams, 0), 1)), 9) AS bits_per_trigram
-    FROM lmsrc s LEFT JOIN lmsc ON s.id = lmsc.id"""
+    SELECT id, n_trigrams,
+      CAST((2 * ws + nt) // (2 * nt) AS DOUBLE) / 1000000.0 AS bits_per_trigram
+    FROM (SELECT s.id, coalesce(n_trigrams, 0) AS n_trigrams,
+            greatest(coalesce(n_trigrams, 0), 1) AS nt, coalesce(wsum, 0) AS ws
+          FROM lmsrc s LEFT JOIN lmsc ON s.id = lmsc.id)"""
 
   // -------------------------------------------------------------------
   // Gopher composite document filter (Rae et al., arXiv 2112.11446)
