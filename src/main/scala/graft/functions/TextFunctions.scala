@@ -40,6 +40,37 @@ object TextFunctions {
   def wordsSql(e: String): String =
     s"list_filter(regexp_split_to_array($e, ' +'), w -> len(w) > 0)"
 
+  /** Nonempty trimmed lines of `text` — CRLF, CR and LF all delimit
+    * (web corpora mix them; a space-only `trim` after an LF split
+    * would leave every CRLF line with a trailing `\r`, defeating both
+    * terminal-punctuation rules and line-hash equality). Shared by the
+    * C4 cleaner and the corpus line dedup so their line definition is
+    * provably identical. */
+  def lines(text: Column): Column =
+    filter(transform(split(text, "\r\n|\r|\n"), l => trim(l)), t => length(t) > 0)
+
+  /** DuckDB twin of [[lines]] (RE2 alternation, same pattern). */
+  def linesSql(e: String): String =
+    s"list_filter(list_transform(regexp_split_to_array($e, '\\r\\n|\\r|\\n'), " +
+      "l -> trim(l)), t -> len(t) > 0)"
+
+  /** Half-up-rounded fixed-point ratio in EXACT integer arithmetic —
+    * `round(num/den · scale)` as `(2·num·scale + den) div (2·den)`,
+    * computed in DECIMAL(38,0) so quadratic pair-count numerators can't
+    * overflow int64 (2·9e18·1e9 ≈ 1.8e28 « 1e38). Integer-exact on both
+    * engines, so it is tie-PROOF: `round(x, 9)` on a double hits
+    * engine-divergent 10th-decimal ties when the denominator carries
+    * 2^10 (observed at sf0.1 on lm_score). Returns a Spark SQL
+    * expression string (for `expr`); result type BIGINT micro-units —
+    * divide by `scale` (one exact FP op) for the double. `den` must be
+    * guarded positive by the caller (`greatest(x, 1)`). */
+  def ratioScaled(num: String, den: String, scale: Long): String =
+    s"CAST((2 * CAST($num AS DECIMAL(38, 0)) * $scale + $den) div (2 * $den) AS BIGINT)"
+
+  /** DuckDB twin of [[ratioScaled]] (HUGEINT instead of DECIMAL(38)). */
+  def ratioScaledSql(num: String, den: String, scale: Long): String =
+    s"CAST((2 * CAST($num AS HUGEINT) * $scale + $den) // (2 * $den) AS BIGINT)"
+
   /** n-word shingles as space-joined strings:
     * shingle(i) = words[i..i+n-1], for i in 0 .. size-n. Empty when the
     * document has fewer than n words.

@@ -64,7 +64,9 @@ object BpeLearn {
           transform(sequence(lit(1), length(col("word"))),
             i => col("word").substr(i, lit(1))).as("syms")))
     var merges = Seq.empty[DataFrame]
-    for (k <- 1 to numMerges) {
+    var k = 1
+    var dry = false
+    while (k <= numMerges && !dry) {
       val pairs = vocab
         .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
@@ -78,11 +80,21 @@ object BpeLearn {
             col("m.r").as("right_sym"), (-col("m.nc")).as("pair_count"))
           .filter(col("left_sym").isNotNull))
       merges = merges :+ best
-      vocab = Materialize.iterative(
-        vocab.crossJoin(broadcast(best.select(col("left_sym"), col("right_sym"))))
-          .select(col("wc"),
-            applyMerge(col("syms"), col("left_sym"), col("right_sym")).as("syms")))
+      // a dry vocabulary ends the fit — every further round would just
+      // materialize empty frames (best is 0-or-1 checkpointed rows, so
+      // the emptiness probe is one cheap local scan)
+      dry = best.isEmpty
+      if (!dry) {
+        val next = Materialize.iterative(
+          vocab.crossJoin(broadcast(best.select(col("left_sym"), col("right_sym"))))
+            .select(col("wc"),
+              applyMerge(col("syms"), col("left_sym"), col("right_sym")).as("syms")))
+        Materialize.unpersist(vocab) // superseded round: free its blocks
+        vocab = next
+      }
+      k += 1
     }
+    Materialize.unpersist(vocab)
     merges.reduce(_ unionAll _)
   }
 

@@ -731,11 +731,10 @@ object Dedup {
     val nB = exact.join(lsh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_both"))
     nE.crossJoin(nL).crossJoin(nB)
       .select(col("n_exact"), col("n_lsh"), col("n_both"),
-        // integer half-up at 9 dp — tie-proof cross-engine (see
-        // annRecallReport / the lm_score sf0.1 lesson)
-        (expr("(2 * n_both * 1000000000 + greatest(n_exact, 1)) div (2 * greatest(n_exact, 1))")
+        // tie-proof, overflow-proof half-up at 9 dp (see ratioScaled)
+        (expr(ratioScaled("n_both", "greatest(n_exact, 1)", 1000000000L))
           .cast("double") / lit(1e9)).as("recall"),
-        (expr("(2 * n_both * 1000000000 + greatest(n_lsh, 1)) div (2 * greatest(n_lsh, 1))")
+        (expr(ratioScaled("n_both", "greatest(n_lsh, 1)", 1000000000L))
           .cast("double") / lit(1e9)).as("precision"))
   }
 
@@ -856,13 +855,12 @@ object Dedup {
     *         doc — null or line-less text yields ('', 0, 0) via the
     *         oracle's left-join+coalesce contract */
   def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = df.select(col(idCol).as("id"),
-        posexplode(filter(
-          transform(split(col(textCol), "\n"), l => trim(l)), t => length(t) > 0)))
+    val lineRows = df.select(col(idCol).as("id"),
+        posexplode(lines(col(textCol))))
       .select(col("id"), col("pos"), col("col").as("line"), md5(col("col")).as("h"))
-    val winners = lines.groupBy("h")
+    val winners = lineRows.groupBy("h")
       .agg(min(struct(col("id"), col("pos"))).as("w"))
-    val rebuilt = lines.join(winners, Seq("h"))
+    val rebuilt = lineRows.join(winners, Seq("h"))
       .select(col("id"), col("pos"), col("line"),
         (col("w.id") === col("id") && col("w.pos") === col("pos")).as("keep"))
       .groupBy("id").agg(
@@ -887,10 +885,7 @@ object Dedup {
     * is exactly the min-(id, pos) winner. */
   def lineDedupSql(input: String): String =
     s"""WITH lddoc AS (SELECT id, text FROM ($input)),
-      ldl AS (SELECT id,
-                list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-                            t -> len(t) > 0) AS ls
-              FROM lddoc),
+      ldl AS (SELECT id, ${linesSql("text")} AS ls FROM lddoc),
       ldx AS (SELECT id, unnest(generate_series(1, len(ls))) - 1 AS pos, unnest(ls) AS line
               FROM ldl),
       ldm AS (SELECT id, pos, line,

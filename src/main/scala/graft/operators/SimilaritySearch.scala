@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextFunctions.ratioScaled
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -688,11 +689,8 @@ object SimilaritySearch {
     val nh = exact.join(ann, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hits"))
     nq.crossJoin(ne).crossJoin(nh)
       .select(col("n_queries"), col("n_exact"), col("n_hits"),
-        // half-up at 9 dp in INTEGER arithmetic: integer/integer ratios
-        // can land exactly on a 10th-decimal tie (denominators carrying
-        // 2^10), where Spark's BigDecimal HALF_UP and DuckDB's float
-        // round() disagree — the lm_score sf0.1 lesson
-        (expr("(2 * n_hits * 1000000000 + greatest(n_exact, 1)) div (2 * greatest(n_exact, 1))")
+        // tie-proof, overflow-proof half-up at 9 dp (see ratioScaled)
+        (expr(ratioScaled("n_hits", "greatest(n_exact, 1)", 1000000000L))
           .cast("double") / lit(1e9)).as("recall"))
   }
 

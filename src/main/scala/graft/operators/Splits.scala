@@ -269,8 +269,6 @@ object Splits {
     bounds
   }
 
-  // names/salts land inside single-quoted SQL literals — double any
-  // embedded quote so a value like "don't" can't break the oracle SQL
   /** Per-row probability sampling: keep a row iff its content-addressed
     * draw falls below the row's OWN keep probability (a quality score in
     * [0, 1]) — the CCNet-style "sample by quality" knob: high-quality
@@ -290,6 +288,8 @@ object Splits {
   def weightedSampleSql(id: String, prob: String, salt: String = "wsample"): String =
     s"(${bucketSql(id, salt)} < CAST(floor($prob * $Buckets) AS BIGINT))"
 
+  // names/salts land inside single-quoted SQL literals — double any
+  // embedded quote so a value like "don't" can't break the oracle SQL
   private def escSql(s: String): String = s.replace("'", "''")
 
   /** DuckDB twin of [[bucket]] over id expression `id`. */

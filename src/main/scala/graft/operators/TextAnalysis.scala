@@ -616,12 +616,17 @@ object TextAnalysis {
   val C4BannedPhrases: Seq[String] =
     Seq("javascript", "cookie policy", "lorem ipsum", "terms of use", "privacy policy")
 
+  /** The banned-phrase alternation (the phrases are plain literals, so
+    * the pattern is Java∩RE2-safe): ONE lower + ONE regex scan per line
+    * instead of a lower+contains pair per phrase. */
+  private val C4BannedPattern: String = C4BannedPhrases.mkString("|")
+
   /** Line-keep rule shared by [[c4Clean]] and its SQL twin: terminal
     * punctuation, a word floor, no boilerplate phrase, no `{`. */
   private def c4LineKeep(t: Column, minWordsPerLine: Int): Column = {
     val terminal = Seq(".", "!", "?", "\"").map(p => t.endsWith(lit(p))).reduce(_ || _)
-    val banned = C4BannedPhrases.map(p => lower(t).contains(lit(p))).reduce(_ || _)
-    terminal && size(words(t)) >= minWordsPerLine && !banned && !t.contains(lit("{"))
+    terminal && size(words(t)) >= minWordsPerLine &&
+      !lower(t).rlike(C4BannedPattern) && !t.contains(lit("{"))
   }
 
   /** C4-style line-level cleaning (Raffel et al., JMLR'20 §2.2): split
@@ -639,12 +644,11 @@ object TextAnalysis {
     * @return (id, text_clean, n_lines, n_lines_kept), surviving docs only */
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
       minWordsPerLine: Int = 5, minLinesPerDoc: Int = 3): DataFrame = {
-    val lines = filter(
-      transform(split(col(textCol), "\n"), l => trim(l)), t => length(t) > 0)
-    val kept = filter(lines, t => c4LineKeep(t, minWordsPerLine))
+    val ls = lines(col(textCol))
+    val kept = filter(ls, t => c4LineKeep(t, minWordsPerLine))
     df.select(col(idCol).as("id"),
         array_join(kept, "\n").as("text_clean"),
-        size(lines).as("n_lines"),
+        size(ls).as("n_lines"),
         size(kept).as("n_lines_kept"))
       .filter(col("n_lines_kept") >= minLinesPerDoc)
   }
@@ -654,17 +658,13 @@ object TextAnalysis {
   def c4CleanSql(input: String, minWordsPerLine: Int = 5, minLinesPerDoc: Int = 3): String = {
     val terminal = Seq(".", "!", "?", "\"").map(p => s"ends_with(t, '$p')")
       .mkString("(", " OR ", ")")
-    val banned = C4BannedPhrases.map(p => s"NOT contains(lower(t), '$p')").mkString(" AND ")
     val keep = s"$terminal AND len(${wordsSql("t")}) >= $minWordsPerLine " +
-      s"AND $banned AND NOT contains(t, '{')"
+      s"AND NOT regexp_matches(lower(t), '$C4BannedPattern') AND NOT contains(t, '{')"
     s"""SELECT id, array_to_string(kept, chr(10)) AS text_clean,
          len(lines) AS n_lines, len(kept) AS n_lines_kept
        FROM (
          SELECT id, lines, list_filter(lines, t -> $keep) AS kept
-         FROM (SELECT id,
-                 list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-                             t -> len(t) > 0) AS lines
-               FROM ($input))
+         FROM (SELECT id, ${linesSql("text")} AS lines FROM ($input))
        ) WHERE len(kept) >= $minLinesPerDoc"""
   }
 
@@ -745,7 +745,7 @@ object TextAnalysis {
         greatest(coalesce(col("n_trigrams"), lit(0L)), lit(1L)).as("nt"),
         coalesce(col("wsum"), lit(0L)).as("ws"))
       .select(col("id"), col("n_trigrams"),
-        (expr("(2 * ws + nt) div (2 * nt)").cast("double") / lit(1e6))
+        (expr(ratioScaled("ws", "nt", 1L)).cast("double") / lit(1e6))
           .as("bits_per_trigram"))
   }
 
@@ -770,7 +770,7 @@ object TextAnalysis {
       lmsc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_trigrams, CAST(sum(w) AS BIGINT) AS wsum
                FROM lmtri JOIN lmmod USING (tri) GROUP BY id)
     SELECT id, n_trigrams,
-      CAST((2 * ws + nt) // (2 * nt) AS DOUBLE) / 1000000.0 AS bits_per_trigram
+      CAST(${ratioScaledSql("ws", "nt", 1L)} AS DOUBLE) / 1000000.0 AS bits_per_trigram
     FROM (SELECT s.id, coalesce(n_trigrams, 0) AS n_trigrams,
             greatest(coalesce(n_trigrams, 0), 1) AS nt, coalesce(wsum, 0) AS ws
           FROM lmsrc s LEFT JOIN lmsc ON s.id = lmsc.id)"""

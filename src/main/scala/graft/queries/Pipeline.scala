@@ -250,8 +250,8 @@ object Pipeline {
       nl AS (SELECT count(*) AS n_lsh FROM ls),
       nb AS (SELECT count(*) AS n_both FROM ex JOIN ls USING (id_a, id_b))
       SELECT n_exact, n_lsh, n_both,
-        CAST((2 * n_both * 1000000000 + greatest(n_exact, 1)) // (2 * greatest(n_exact, 1)) AS DOUBLE) / 1e9 AS recall,
-        CAST((2 * n_both * 1000000000 + greatest(n_lsh, 1)) // (2 * greatest(n_lsh, 1)) AS DOUBLE) / 1e9 AS precision
+        CAST(${TextFunctions.ratioScaledSql("n_both", "greatest(n_exact, 1)", 1000000000L)} AS DOUBLE) / 1e9 AS recall,
+        CAST(${TextFunctions.ratioScaledSql("n_both", "greatest(n_lsh, 1)", 1000000000L)} AS DOUBLE) / 1e9 AS precision
       FROM ne CROSS JOIN nl CROSS JOIN nb
       """.trim
     }
@@ -1329,7 +1329,7 @@ object Pipeline {
       ne AS (SELECT count(*) AS n_exact FROM ex),
       nh AS (SELECT count(*) AS n_hits FROM ex JOIN an USING (query_id, neighbor_id))
       SELECT n_queries, n_exact, n_hits,
-        CAST((2 * n_hits * 1000000000 + greatest(n_exact, 1)) // (2 * greatest(n_exact, 1)) AS DOUBLE) / 1e9 AS recall
+        CAST(${TextFunctions.ratioScaledSql("n_hits", "greatest(n_exact, 1)", 1000000000L)} AS DOUBLE) / 1e9 AS recall
       FROM nq CROSS JOIN ne CROSS JOIN nh
     """.trim)
   )

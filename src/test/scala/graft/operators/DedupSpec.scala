@@ -438,6 +438,17 @@ class DedupSpec extends SparkTestBase {
     assert(r(4L) == (("unique x", 3L, 2L)))
   }
 
+  test("lineDedup: a CRLF document's lines hash-match the same lines under LF") {
+    val df = Seq(
+      (1L, "boilerplate footer line\r\nunique alpha"),
+      (2L, "unique beta\nboilerplate footer line")
+    ).toDF("id", "text")
+    val r = Dedup.lineDedup(df, "id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(3)))).toMap
+    assert(r(1L) == (("boilerplate footer line\nunique alpha", 0L)))
+    assert(r(2L) == (("unique beta", 1L))) // its CRLF twin in doc 1 wins
+  }
+
   test("lineDedup: winner aggregate is map-side combinable, no cartesian or window sort on the hash") {
     val df = Seq((1L, "a b c\nd e f"), (2L, "a b c")).toDF("id", "text")
     val plan = Dedup.lineDedup(df, "id", "text").queryExecution.executedPlan.toString

@@ -320,6 +320,18 @@ class TextAnalysisSpec extends SparkTestBase {
       "this line is a good keeper sentence.\nanother worthy keeper line right here!")
   }
 
+  test("c4Clean: CRLF and CR line endings delimit like LF (web corpora mix them)") {
+    val df = Seq(
+      (1L, "keeper line one has plenty of words here.\r\n" +
+        "keeper line two also has enough words too.\r" +
+        "keeper line three rounds out the document fine.")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(df, "doc_id", "text", minWordsPerLine = 5, minLinesPerDoc = 3)
+      .collect()
+    assert(r.length == 1 && r.head.getAs[Int]("n_lines_kept") == 3)
+    assert(!r.head.getAs[String]("text_clean").contains("\r"))
+  }
+
   test("c4Clean: quote terminal counts, banned phrases match case-insensitively") {
     val df = Seq(
       (1L, "he said \"all of these words are quoted.\"\n" +
