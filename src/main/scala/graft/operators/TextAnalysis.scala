@@ -677,13 +677,13 @@ object TextAnalysis {
     * difference could enter the weight formula. */
   private val Ln2 = 0.6931471805599453
 
-  /** Character trigrams of `t` (1-based substr windows); sub-3-char or
-    * null text yields the empty array — Spark's `sequence(1, n)` counts
-    * DOWN when n < 1, so the guard is load-bearing. */
+  /** Character trigrams of `t`; sub-3-char or null text yields the
+    * empty array. Runs in the native codegen'd
+    * [[graft.plans.CharNgrams]] kernel — one byte walk per document
+    * instead of an interpreted `sequence` + lambda-`substr` pair per
+    * trigram (bit-identical to that formulation, spec-asserted). */
   def charTrigrams(t: Column): Column =
-    when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    coalesce(graft.plans.CharNgrams(t, 3), array().cast("array<string>"))
 
   /** Character-trigram LM quality score — the CCNet perplexity-filter
     * slot (Wenzek et al., LREC'20), self-trained: fit add-one-smoothed
@@ -714,7 +714,21 @@ object TextAnalysis {
     * @return (id, n_trigrams, bits_per_trigram) for every doc of `df`
     *         (trigram-less docs score 0.0) */
   def lmScore(df: DataFrame, idCol: String, textCol: String, fitDf: DataFrame): DataFrame = {
-    val fitTris = fitDf.select(explode(charTrigrams(col(textCol))).as("tri"))
+    // self-fit (the common corpus-curation shape, and the gate's): the
+    // trigram explode — the expensive interpreted-HOF pass — runs ONCE,
+    // materialized for both the fit aggregate and the scoring join, and
+    // the model join tightens to INNER with no default-weight fallback
+    // (every scored trigram is in the model by construction), dropping
+    // the 1-row broadcast product from the hot path. Under
+    // spark.graft.materialize=none the explode recomputes per consumer
+    // instead — the right trade at 100 TB, where checkpointing the
+    // exploded corpus would dwarf the recompute.
+    val sameCorpus = fitDf eq df
+    val scoreTris = df.select(col(idCol).as("id"), explode(charTrigrams(col(textCol))).as("tri"))
+    val shared = if (sameCorpus) Materialize(scoreTris) else null
+    val fitTris =
+      if (sameCorpus) shared.select(col("tri"))
+      else fitDf.select(explode(charTrigrams(col(textCol))).as("tri"))
     val c3 = fitTris.groupBy("tri").agg(count(lit(1)).as("c3"))
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("big")).agg(sum(col("c3")).as("c2"))
     val v = c3.agg(count_distinct(substring(col("tri"), 3, 1)).as("v"))
@@ -727,10 +741,14 @@ object TextAnalysis {
             (col("c3") + lit(1L)).cast("double")) / lit(Ln2) * lit(1e6))
           .cast("long").as("w"))
     val defaultW = floor(log(col("v").cast("double")) / lit(Ln2) * lit(1e6)).cast("long")
-    val scored = df.select(col(idCol).as("id"), explode(charTrigrams(col(textCol))).as("tri"))
-      .join(broadcast(model), Seq("tri"), "left")
-      .crossJoin(broadcast(v))
-      .select(col("id"), coalesce(col("w"), defaultW).as("w"))
+    val joined =
+      if (sameCorpus) shared.join(broadcast(model), Seq("tri"))
+        .select(col("id"), col("w"))
+      else df.select(col(idCol).as("id"), explode(charTrigrams(col(textCol))).as("tri"))
+        .join(broadcast(model), Seq("tri"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("id"), coalesce(col("w"), defaultW).as("w"))
+    val scored = joined
       .groupBy("id").agg(count(lit(1)).as("n_trigrams"), sum(col("w")).as("wsum"))
     // the mean stays in INTEGER arithmetic to the end: half-up-rounded
     // micro-bits = (2·wsum + n) div (2·n), then ONE exact division by

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnowMinsDescriptor)
     ext.injectFunction(GraftExtensions.shingleHash60Descriptor)
     ext.injectFunction(GraftExtensions.vocabTokenCountDescriptor)
+    ext.injectFunction(GraftExtensions.charNgramsDescriptor)
   }
 }
 
@@ -60,6 +61,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "shingle_hash60 takes exactly 2 arguments")
       ShingleHash60(children.head, children(1))
+    }
+  )
+
+  val charNgramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_ngrams"),
+    new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "char_ngrams takes exactly 2 arguments")
+      CharNgrams(children.head, children(1))
     }
   )
 
