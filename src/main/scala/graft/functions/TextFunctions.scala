@@ -65,11 +65,11 @@ object TextFunctions {
     * divide by `scale` (one exact FP op) for the double. `den` must be
     * guarded positive by the caller (`greatest(x, 1)`). */
   def ratioScaled(num: String, den: String, scale: Long): String =
-    s"CAST((2 * CAST($num AS DECIMAL(38, 0)) * $scale + $den) div (2 * $den) AS BIGINT)"
+    s"CAST((2 * CAST(($num) AS DECIMAL(38, 0)) * $scale + ($den)) div (2 * ($den)) AS BIGINT)"
 
   /** DuckDB twin of [[ratioScaled]] (HUGEINT instead of DECIMAL(38)). */
   def ratioScaledSql(num: String, den: String, scale: Long): String =
-    s"CAST((2 * CAST($num AS HUGEINT) * $scale + $den) // (2 * $den) AS BIGINT)"
+    s"CAST((2 * CAST(($num) AS HUGEINT) * $scale + ($den)) // (2 * ($den)) AS BIGINT)"
 
   /** n-word shingles as space-joined strings:
     * shingle(i) = words[i..i+n-1], for i in 0 .. size-n. Empty when the

@@ -855,9 +855,12 @@ object Dedup {
     *         doc — null or line-less text yields ('', 0, 0) via the
     *         oracle's left-join+coalesce contract */
   def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lineRows = df.select(col(idCol).as("id"),
+    // the explode+md5 pass feeds both the winner aggregate and the
+    // rebuild join — materialized so the corpus is line-split and
+    // hashed ONCE (the shingleHashes30/lmScore precedent)
+    val lineRows = Materialize(df.select(col(idCol).as("id"),
         posexplode(lines(col(textCol))))
-      .select(col("id"), col("pos"), col("col").as("line"), md5(col("col")).as("h"))
+      .select(col("id"), col("pos"), col("col").as("line"), md5(col("col")).as("h")))
     val winners = lineRows.groupBy("h")
       .agg(min(struct(col("id"), col("pos"))).as("w"))
     val rebuilt = lineRows.join(winners, Seq("h"))

@@ -621,10 +621,15 @@ object TextAnalysis {
     * instead of a lower+contains pair per phrase. */
   private val C4BannedPattern: String = C4BannedPhrases.mkString("|")
 
+  /** Terminal punctuation accepted by the C4 line rule — ONE definition
+    * rendered into both the Spark operator and the SQL twin (the
+    * C4BannedPhrases / gopherRules convention). */
+  private val C4TerminalPunct: Seq[String] = Seq(".", "!", "?", "\"")
+
   /** Line-keep rule shared by [[c4Clean]] and its SQL twin: terminal
     * punctuation, a word floor, no boilerplate phrase, no `{`. */
   private def c4LineKeep(t: Column, minWordsPerLine: Int): Column = {
-    val terminal = Seq(".", "!", "?", "\"").map(p => t.endsWith(lit(p))).reduce(_ || _)
+    val terminal = C4TerminalPunct.map(p => t.endsWith(lit(p))).reduce(_ || _)
     terminal && size(words(t)) >= minWordsPerLine &&
       !lower(t).rlike(C4BannedPattern) && !t.contains(lit("{"))
   }
@@ -656,7 +661,7 @@ object TextAnalysis {
   /** DuckDB twin of [[c4Clean]] over `input` (id, text) — a full SELECT
     * with the same four output columns. */
   def c4CleanSql(input: String, minWordsPerLine: Int = 5, minLinesPerDoc: Int = 3): String = {
-    val terminal = Seq(".", "!", "?", "\"").map(p => s"ends_with(t, '$p')")
+    val terminal = C4TerminalPunct.map(p => s"ends_with(t, '$p')")
       .mkString("(", " OR ", ")")
     val keep = s"$terminal AND len(${wordsSql("t")}) >= $minWordsPerLine " +
       s"AND NOT regexp_matches(lower(t), '$C4BannedPattern') AND NOT contains(t, '{')"
@@ -709,7 +714,9 @@ object TextAnalysis {
     * charset, not the corpus) BROADCASTS into the scoring explode, and
     * the per-doc aggregate is the only other shuffle, carrying slim
     * (id, count, sum) partials. A trigram absent from the model (only
-    * possible when fitDf ≠ df) scores the add-one floor log2(V).
+    * possible when fitDf ≠ df) backs off to its bigram context:
+    * add-one gives bits = log2(c2 + V), degrading to the log2(V) floor
+    * when the bigram is unseen too.
     *
     * @return (id, n_trigrams, bits_per_trigram) for every doc of `df`
     *         (trigram-less docs score 0.0) */
@@ -740,14 +747,23 @@ object TextAnalysis {
         floor(log((col("c2") + col("v")).cast("double") /
             (col("c3") + lit(1L)).cast("double")) / lit(Ln2) * lit(1e6))
           .cast("long").as("w"))
-    val defaultW = floor(log(col("v").cast("double")) / lit(Ln2) * lit(1e6)).cast("long")
     val joined =
       if (sameCorpus) shared.join(broadcast(model), Seq("tri"))
         .select(col("id"), col("w"))
-      else df.select(col(idCol).as("id"), explode(charTrigrams(col(textCol))).as("tri"))
-        .join(broadcast(model), Seq("tri"), "left")
-        .crossJoin(broadcast(v))
-        .select(col("id"), coalesce(col("w"), defaultW).as("w"))
+      else {
+        // cross-fit: an unseen trigram backs off to its BIGRAM context —
+        // add-one gives p = (0+1)/(c2+V), i.e. bits = log2(c2+V), with
+        // c2 = 0 when the bigram is unseen too (the log2(V) floor).
+        // Falling straight to log2(V) for every miss would score
+        // gibberish with common prefixes as predictable text.
+        val unseenW = floor(log((coalesce(col("c2"), lit(0L)) + col("v")).cast("double")) /
+          lit(Ln2) * lit(1e6)).cast("long")
+        scoreTris
+          .join(broadcast(model), Seq("tri"), "left")
+          .join(broadcast(c2), substring(col("tri"), 1, 2) === col("big"), "left")
+          .crossJoin(broadcast(v))
+          .select(col("id"), coalesce(col("w"), unseenW).as("w"))
+      }
     val scored = joined
       .groupBy("id").agg(count(lit(1)).as("n_trigrams"), sum(col("w")).as("wsum"))
     // the mean stays in INTEGER arithmetic to the end: half-up-rounded
@@ -841,8 +857,16 @@ object TextAnalysis {
     val reason = rules.foldRight(lit(""): Column) { case ((n, pred), acc) =>
       when(expr(pred), lit(n)).otherwise(acc)
     }
-    quality(df, idCol, textCol)
-      .join(repetition(df, idCol, textCol), Seq("id"))
+    // null text nulls every quality metric, which would NULL-skip rules
+    // 1-5 and misattribute the drop to the first repetition rule —
+    // coalesce to the zero-word readings so too_few_words fires first
+    // (the twin coalesces identically)
+    val q = quality(df, idCol, textCol).select(col("id"),
+      coalesce(col("n_words"), lit(0)).as("n_words"),
+      coalesce(col("avg_word_len"), lit(0.0)).as("avg_word_len"),
+      coalesce(col("punct_ratio"), lit(0.0)).as("punct_ratio"),
+      coalesce(col("stopword_ratio"), lit(0.0)).as("stopword_ratio"))
+    q.join(repetition(df, idCol, textCol), Seq("id"))
       .select(col("id"), col("n_words"),
         when(reason === "", lit(1)).otherwise(lit(0)).as("keep"),
         reason.as("reason"))
@@ -863,7 +887,10 @@ object TextAnalysis {
     val qCols = qualitySql("text").map { case (n, e) => s"$e AS $n" }.mkString(",\n        ")
     s"""WITH ${repetitionCtes(input)},
       gq AS (SELECT id, $qCols FROM ($input)),
-      gj AS (SELECT gq.id, n_words, avg_word_len, punct_ratio, stopword_ratio,
+      gj AS (SELECT gq.id, coalesce(n_words, 0) AS n_words,
+               coalesce(avg_word_len, 0.0) AS avg_word_len,
+               coalesce(punct_ratio, 0.0) AS punct_ratio,
+               coalesce(stopword_ratio, 0.0) AS stopword_ratio,
                top_word_frac, top_bigram_frac, ttr
              FROM gq JOIN rep ON gq.id = rep.id)
     SELECT id, n_words,

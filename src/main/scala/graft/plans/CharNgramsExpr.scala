@@ -12,10 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native Catalyst expression: overlapping character n-grams of a
   * string — `string → array<string>`, element i =
   * `substr(s, i+1, n)` (code-point windows). Bit-identical to the
-  * column formulation
-  * `transform(sequence(1, length(s) - n + 1), i -> substr(s, i, n))`
-  * (spec-asserted) and to the DuckDB twin
-  * `list_transform(generate_series(1, length(t) - n + 1), i -> substr(t, i, n))`.
+  * GUARDED column formulation
+  * `when(length(s) >= n, transform(sequence(1, length(s) - n + 1), i -> substr(s, i, n)))`
+  * (spec-asserted; the guard is load-bearing — unguarded, Spark's
+  * `sequence(1, 0)` counts DOWN and fabricates two junk windows for
+  * sub-n strings where this kernel returns the empty array) and to the
+  * DuckDB twin
+  * `list_transform(generate_series(1, length(t) - n + 1), i -> substr(t, i, n))`
+  * (DuckDB's generate_series is empty when start > stop, so no guard).
   *
   * Why it exists: the trigram explode is the per-row inner loop of the
   * char-LM scoring tier ([[graft.operators.TextAnalysis.lmScore]]), and

@@ -354,12 +354,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(3L) == ((0L, 0.0)))           // no trigrams
   }
 
-  test("lmScore: a trigram unseen at fit time scores the add-one floor log2(V)") {
+  test("lmScore: unseen trigrams back off to the bigram context, then the log2(V) floor") {
     val fit = Seq((1L, "aaaa"), (2L, "aab")).toDF("doc_id", "text")
-    val target = Seq((5L, "zzz")).toDF("doc_id", "text")
-    val r = TextAnalysis.lmScore(target, "doc_id", "text", fit).collect().head
-    assert(r.getLong(1) == 1L)
-    assert(r.getDouble(2) == 1.0) // V=2 -> floor(log2(2)*1e6)/1e6
+    // c2(aa)=3, V=2
+    val target = Seq((5L, "zzz"), (6L, "aac")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScore(target, "doc_id", "text", fit).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // 'zzz': bigram zz unseen too -> log2(0+2) = 1.0 (the floor)
+    assert(r(5L) == ((1L, 1.0)))
+    // 'aac': SEEN bigram aa -> add-one bits = log2(3+2) — falling to the
+    // log2(V) floor here would score gibberish-with-common-prefixes as
+    // predictable text
+    assert(r(6L) == ((1L, 2.321928))) // floor(log2(5)*1e6)/1e6
   }
 
   test("gopherFilter: reason is the first failing rule in declaration order") {
@@ -378,5 +384,14 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(2L) == ((0, "too_few_words")))
     assert(r(3L) == ((0, "repetitive_top_word")))
     assert(r(4L) == ((0, "bad_avg_word_len")))
+  }
+
+  test("gopherFilter: null text drops for the word floor, not a repetition rule") {
+    val df = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherFilter(df, "doc_id", "text").collect().head
+    // null metrics would NULL-skip the quality rules and misattribute
+    // the drop to low_ttr — the coalesced reading fires the first rule
+    assert(r.getAs[Int]("n_words") == 0)
+    assert(r.getAs[Int]("keep") == 0 && r.getAs[String]("reason") == "too_few_words")
   }
 }
