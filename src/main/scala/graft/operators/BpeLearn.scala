@@ -48,19 +48,18 @@ object BpeLearn {
         concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
         .otherwise(concat(acc, array(s))))
 
-  /** Learn `numMerges` BPE merges from the corpus text.
-    *
-    * @return (merge_rank, left_sym, right_sym, pair_count), rank 1-based in merge
-    *         order; fewer than `numMerges` rows when the vocabulary
-    *         runs out of adjacent pairs first */
-  def fitBpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  /** The learning loop shared by [[fitBpeMerges]] and [[segmentVocab]]:
+    * runs the rounds and returns (per-round merge frames, the FINAL
+    * vocabulary (word, wc, syms)). The caller owns unpersisting the
+    * returned vocab. */
+  private def learn(df: DataFrame, textCol: String, numMerges: Int): (Seq[DataFrame], DataFrame) = {
     require(numMerges >= 1 && numMerges <= 64,
       s"numMerges must be in [1, 64], got $numMerges")
     // word-type counts: the only corpus-sized pass
     var vocab = Materialize.iterative(
       df.select(explode(words(col(textCol))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("wc"))
-        .select(col("wc"),
+        .select(col("word"), col("wc"),
           transform(sequence(lit(1), length(col("word"))),
             i => col("word").substr(i, lit(1))).as("syms")))
     var merges = Seq.empty[DataFrame]
@@ -87,15 +86,41 @@ object BpeLearn {
       if (!dry) {
         val next = Materialize.iterative(
           vocab.crossJoin(broadcast(best.select(col("left_sym"), col("right_sym"))))
-            .select(col("wc"),
+            .select(col("word"), col("wc"),
               applyMerge(col("syms"), col("left_sym"), col("right_sym")).as("syms")))
         Materialize.unpersist(vocab) // superseded round: free its blocks
         vocab = next
       }
       k += 1
     }
+    (merges, vocab)
+  }
+
+  /** Learn `numMerges` BPE merges from the corpus text.
+    *
+    * @return (merge_rank, left_sym, right_sym, pair_count), rank 1-based in merge
+    *         order; fewer than `numMerges` rows when the vocabulary
+    *         runs out of adjacent pairs first */
+  def fitBpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (merges, vocab) = learn(df, textCol, numMerges)
     Materialize.unpersist(vocab)
     merges.reduce(_ unionAll _)
+  }
+
+  /** The SEGMENTED vocabulary after `numMerges` learned merges — true
+    * BPE inference on the fit corpus itself: one row per word type with
+    * its pieces in order (space-joined — pieces never contain spaces;
+    * words() drops them) and the piece count. This is the apply side of
+    * the fit: join docs' words against it for true-BPE token budgets
+    * (vs [[TextAnalysis.bpeTokenCounts]]' greedy-longest-match rule),
+    * or export (word → pieces) as the tokenizer artifact.
+    *
+    * @return (word, pieces, n_pieces) for every word type of the corpus */
+  def segmentVocab(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (_, vocab) = learn(df, textCol, numMerges)
+    vocab.select(col("word"),
+      array_join(col("syms"), " ").as("pieces"),
+      size(col("syms")).as("n_pieces"))
   }
 
   /** DuckDB twin of [[fitBpeMerges]] over `input` (any relation with a
@@ -104,11 +129,30 @@ object BpeLearn {
     * per-word recursive index walk (the [[TextAnalysis.bpeTokenCountsSql]]
     * precedent), exact because the vocabulary relation is tiny. */
   def fitBpeMergesSql(input: String, numMerges: Int): String = {
+    val union = (1 to numMerges)
+      .map(k => s"SELECT merge_rank, left_s AS left_sym, right_s AS right_sym, pair_count FROM bpb$k")
+      .mkString(" UNION ALL ")
+    s"WITH RECURSIVE ${mergeCtes(input, numMerges)}\n$union"
+  }
+
+  /** DuckDB twin of [[segmentVocab]] — the same round chain, selecting
+    * the final vocabulary relation. */
+  def segmentVocabSql(input: String, numMerges: Int): String =
+    s"WITH RECURSIVE ${mergeCtes(input, numMerges)}\n" +
+      s"SELECT word, array_to_string(syms, ' ') AS pieces, len(syms) AS n_pieces FROM bpv$numMerges"
+
+  /** The shared round-chain CTEs: bpv0 (char-split word types), then per
+    * round k: pair counts bpp, argmax bpb, recursive greedy apply bpa,
+    * rewritten vocabulary bpv. The apply seed LEFT-JOINs the (0-or-1
+    * row) argmax so a DRY round passes the vocabulary through unchanged
+    * (a CROSS JOIN would empty it, diverging from the operator's
+    * stop-when-dry semantics). */
+  private def mergeCtes(input: String, numMerges: Int): String = {
     require(numMerges >= 1 && numMerges <= 64)
     val base =
       s"""bpw0 AS (SELECT word, count(*) AS wc
             FROM (SELECT unnest(${wordsSql("text")}) AS word FROM ($input)) GROUP BY word),
-          bpv0 AS (SELECT wc,
+          bpv0 AS (SELECT word, wc,
             list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
             FROM bpw0)"""
     val rounds = (1 to numMerges).map { k =>
@@ -121,20 +165,17 @@ object BpeLearn {
             GROUP BY l, r),
           bpb$k AS (SELECT $k AS merge_rank, l AS left_s, r AS right_s, c AS pair_count
                     FROM bpp$k ORDER BY c DESC, l, r LIMIT 1),
-          bpa$k(wc, syms, ml, mr, i, res) AS (
-            SELECT wc, syms, left_s, right_s, 1, CAST([] AS VARCHAR[])
-            FROM bpv${k - 1} CROSS JOIN bpb$k
+          bpa$k(word, wc, syms, ml, mr, i, res) AS (
+            SELECT word, wc, syms, left_s, right_s, 1, CAST([] AS VARCHAR[])
+            FROM bpv${k - 1} LEFT JOIN bpb$k ON true
             UNION ALL
-            SELECT wc, syms, ml, mr, i + 1,
+            SELECT word, wc, syms, ml, mr, i + 1,
               CASE WHEN len(res) > 0 AND res[-1] = ml AND syms[i] = mr
                    THEN res[1:len(res) - 1] || [ml || mr]
                    ELSE res || [syms[i]] END
             FROM bpa$k WHERE i <= len(syms)),
-          bpv$k AS (SELECT wc, res AS syms FROM bpa$k WHERE i = len(syms) + 1)"""
+          bpv$k AS (SELECT word, wc, res AS syms FROM bpa$k WHERE i = len(syms) + 1)"""
     }
-    val union = (1 to numMerges)
-      .map(k => s"SELECT merge_rank, left_s AS left_sym, right_s AS right_sym, pair_count FROM bpb$k")
-      .mkString(" UNION ALL ")
-    s"WITH RECURSIVE ${(base +: rounds).mkString(",\n")}\n$union"
+    (base +: rounds).mkString(",\n")
   }
 }

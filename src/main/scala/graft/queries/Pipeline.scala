@@ -1581,6 +1581,20 @@ object Pipeline {
     """.trim)
   )
 
+  /** True-BPE segmentation of the corpus vocabulary under the merges
+    * learned by `bpe_merges` — the apply side of the tokenizer fit. */
+  val bpeSegment: QueryDef = QueryDef(
+    "bpe_segment",
+    (s, dir) => graft.operators.BpeLearn.segmentVocab(
+      tbl(s, dir, "documents").select(col("text")), "text", 8)
+      .orderBy("word"),
+    Some(s"""
+      SELECT word, pieces, n_pieces
+      FROM (${graft.operators.BpeLearn.segmentVocabSql("SELECT text FROM documents", 8)})
+      ORDER BY word
+    """.trim)
+  )
+
   /** Quality-weighted sampling: score every doc with the hashed linear
     * scorer, then keep each doc with probability = its own score. */
   val qualitySample: QueryDef = QueryDef(
@@ -1628,7 +1642,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    c4CleanQ, lineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, qualitySample,
+    c4CleanQ, lineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,

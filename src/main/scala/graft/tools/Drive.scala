@@ -245,6 +245,8 @@ object Drive {
       val d = Seq((1L, "low low lower"), (2L, "low new")).toDF("id", "text")
       val m = BpeLearn.fitBpeMerges(d, "text", 4)
       m.orderBy("merge_rank").show()
+      // true-BPE inference: the segmented vocabulary under those merges
+      BpeLearn.segmentVocab(d, "text", 4).orderBy("word").show()
       // the learned pieces (merged symbols) feed the counting tier
       val pieces = m.collect().map(r => r.getString(1) + r.getString(2)).toSeq
       TextAnalysis.bpeTokenCounts(d, "id", "text",

@@ -35,6 +35,19 @@ class BpeLearnSpec extends SparkTestBase {
     assert(got == Seq((1, "a", "b", 1L)))
   }
 
+  test("segmentVocab: the post-merge vocabulary, pieces reconstruct each word") {
+    val df = Seq("low low lower", "low new").toDF("text")
+    val got = BpeLearn.segmentVocab(df, "text", 4)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // after merges (l,o)(lo,w)(e,r)(e,w): low=[low], lower=[low,er], new=[n,ew]
+    assert(got == Seq(
+      ("low", "low", 1),
+      ("lower", "low er", 2),
+      ("new", "n ew", 2)))
+    got.foreach { case (w, p, _) => assert(p.replace(" ", "") == w) }
+  }
+
   test("fitBpeMerges: validates the merge budget") {
     intercept[IllegalArgumentException](
       BpeLearn.fitBpeMerges(Seq("x").toDF("text"), "text", 0))
