@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.{portableHash60, portableHash60Sql, shingles, shinglesSql, words, wordsSql}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Model-based document selection: a hashed bag-of-features log-ratio
+  * model (the fastText-style "quality classifier" slot of the GPT-3 /
+  * LLaMA curation pipelines, Joulin et al. arXiv 1607.01759; Brown et
+  * al. arXiv 2005.14165 App. A) and DSIR importance resampling (Xie et
+  * al., "Data Selection for Language Models via Importance Resampling",
+  * arXiv 2302.03169).
+  *
+  * Both share one primitive: hash every feature (word, optionally plus
+  * word-bigram) into `buckets` buckets, count occurrences under two
+  * corpora A and B, and weight each bucket with the add-one-smoothed
+  * log-likelihood ratio
+  *
+  *   w(b) = log2( ((cA(b)+1) · (TB+B)) / ((cB(b)+1) · (TA+B)) )
+  *
+  * quantized to 1e-6-bit BIGINT micro-bits, so every per-document score
+  * is an EXACT integer sum (order-proof under Spark's partition-order-
+  * dependent aggregation; the 1e-6 quantum matches [[TextAnalysis
+  * .lmScore]]'s trade of exposure vs resolution). The counts products
+  * are taken in DECIMAL(38,0) (HUGEINT on the DuckDB side) so corpus
+  * totals of 100 TB scale cannot overflow int64 before the one double
+  * division that feeds the log.
+  *
+  * The fitted model is a slim relation of at most `buckets`+2 rows —
+  * broadcastable by construction — with two sentinel rows:
+  * bucket −2 carries the unseen-bucket default weight log2((TB+B)/(TA+B))
+  * (the formula's value at cA=cB=0), bucket −1 (NB fit only) the class
+  * prior log2((nA+1)/(nB+1)). Persist it with [[sources.Formats]] like
+  * any relation; scoring never touches the fit corpora again.
+  *
+  * Relational shape at scale: fit = one explode + one ≤`buckets`-row
+  * aggregate per corpus (map-side combinable); score = one explode, a
+  * broadcast join against the model, one shuffle keyed by doc id.
+  * Nothing here is quadratic and the corpus never self-joins.
+  */
+object Classify {
+
+  /** ln 2 as a shared literal — the SQL twins must render the SAME
+    * constant, not evaluate their own `ln(2.0)`. */
+  private val Ln2 = 0.6931471805599453
+
+  /** Gumbel-uniform modulus: a power of two, so `(h%M + 0.5)/M` is an
+    * EXACT double in (0,1) on both engines. */
+  private val GumbelM = 1048576L
+
+  /** Features of a document: whitespace words, plus their bigrams when
+    * `bigrams` (DSIR's hashed-n-gram feature space; unigrams alone for
+    * the NB classifier keep the model dense at small fit corpora). */
+  private def featuresCol(text: Column, bigrams: Boolean): Column = {
+    val ws = words(text)
+    if (bigrams) concat(ws, shingles(ws, 2)) else ws
+  }
+
+  private def featuresSql(t: String, bigrams: Boolean): String = {
+    val ws = wordsSql(t)
+    if (bigrams) s"list_concat($ws, ${shinglesSql(ws, 2)})" else ws
+  }
+
+  /** Feature → bucket in [0, buckets): salted 60-bit md5, modulo. */
+  private def bucketCol(f: Column, salt: String, buckets: Int): Column =
+    portableHash60(concat(lit(s"$salt:"), f)) % lit(buckets.toLong)
+
+  private def bucketSql(f: String, salt: String, buckets: Int): String =
+    s"(${portableHash60Sql(s"'$salt:' || $f")} % $buckets)"
+
+  /** Per-bucket feature-occurrence counts of `df`'s `textCol` —
+    * (bucket, c), at most `buckets` rows, map-side combinable. */
+  def hashedBucketCounts(df: DataFrame, textCol: String, buckets: Int,
+      bigrams: Boolean = false, salt: String = "hb"): DataFrame =
+    df.select(explode(featuresCol(col(textCol), bigrams)).as("f"))
+      .select(bucketCol(col("f"), salt, buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+
+  /** The w(b) expression over columns `ca`, `cb`, `ta`, `tb` (counts
+    * already coalesced by the caller). */
+  private def wExpr(ca: Column, cb: Column, ta: Column, tb: Column, buckets: Int): Column =
+    floor(log(
+      ((ca + lit(1L)).cast("decimal(38,0)") * (tb + lit(buckets.toLong))).cast("double") /
+        ((cb + lit(1L)).cast("decimal(38,0)") * (ta + lit(buckets.toLong))).cast("double")) /
+      lit(Ln2) * lit(1e6)).cast("long")
+
+  /** Log-likelihood-ratio bucket model from two count relations (the
+    * output shape of [[hashedBucketCounts]]): (bucket, w) for every
+    * bucket seen in either corpus, plus the bucket −2 unseen-default
+    * row. `w` favours corpus A (numerator). */
+  def logRatioModel(countsA: DataFrame, countsB: DataFrame, buckets: Int): DataFrame = {
+    val j = countsA.select(col("bucket"), col("c").as("ca"))
+      .join(countsB.select(col("bucket"), col("c").as("cb")), Seq("bucket"), "full")
+    val totals = j.agg(
+      coalesce(sum("ca"), lit(0L)).as("ta"),
+      coalesce(sum("cb"), lit(0L)).as("tb"))
+    val main = j.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        wExpr(coalesce(col("ca"), lit(0L)), coalesce(col("cb"), lit(0L)),
+          col("ta"), col("tb"), buckets).as("w"))
+    // the formula at cA = cB = 0: the ×1 products are exact, so this
+    // renders the identical double as the main branch would
+    val defRow = totals.select(lit(-2L).as("bucket"),
+      floor(log((col("tb") + lit(buckets.toLong)).cast("double") /
+          (col("ta") + lit(buckets.toLong)).cast("double")) / lit(Ln2) * lit(1e6))
+        .cast("long").as("w"))
+    main.unionByName(defRow)
+  }
+
+  /** CTEs `<p>ac`, `<p>bc`, `<p>tot`, `<p>mod` replaying
+    * [[hashedBucketCounts]] (for inputs A and B) + [[logRatioModel]].
+    * `aInput`/`bInput` must project a `text` column. */
+  def logRatioModelCtes(aInput: String, bInput: String, buckets: Int,
+      bigrams: Boolean, salt: String, prefix: String): String = {
+    val b = bucketSql("f", salt, buckets)
+    def cnt(alias: String, input: String, c: String) =
+      s"""${prefix}$alias AS (SELECT bucket, count(*) AS $c FROM (
+            SELECT unnest(list_transform(${featuresSql("text", bigrams)}, f -> $b)) AS bucket
+            FROM ($input)) GROUP BY bucket)"""
+    s"""${cnt("ac", aInput, "ca")},
+      ${cnt("bc", bInput, "cb")},
+      ${prefix}tot AS (SELECT
+          (SELECT coalesce(CAST(sum(ca) AS BIGINT), 0) FROM ${prefix}ac) AS ta,
+          (SELECT coalesce(CAST(sum(cb) AS BIGINT), 0) FROM ${prefix}bc) AS tb),
+      ${prefix}mod AS (
+        SELECT bucket,
+          CAST(floor(ln(CAST(CAST(coalesce(ca, 0) + 1 AS HUGEINT) * (tb + $buckets) AS DOUBLE)
+            / CAST(CAST(coalesce(cb, 0) + 1 AS HUGEINT) * (ta + $buckets) AS DOUBLE)) / $Ln2 * 1000000.0) AS BIGINT) AS w
+        FROM ${prefix}ac FULL JOIN ${prefix}bc USING (bucket) CROSS JOIN ${prefix}tot
+        UNION ALL
+        SELECT -2, CAST(floor(ln(CAST(tb + $buckets AS DOUBLE) / CAST(ta + $buckets AS DOUBLE)) / $Ln2 * 1000000.0) AS BIGINT)
+        FROM ${prefix}tot)"""
+  }
+
+  // -------------------------------------------------------------------
+  // Naive-Bayes-style quality classifier
+  // -------------------------------------------------------------------
+
+  /** Fit the classifier: [[logRatioModel]] of pos vs neg token buckets
+    * plus the bucket −1 class-prior row log2((nPos+1)/(nNeg+1)). Inputs
+    * are text-only projections (one column `textCol`). */
+  def nbFit(pos: DataFrame, neg: DataFrame, textCol: String, buckets: Int = 4096,
+      bigrams: Boolean = false, salt: String = "hb"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val m = logRatioModel(
+      hashedBucketCounts(pos, textCol, buckets, bigrams, salt),
+      hashedBucketCounts(neg, textCol, buckets, bigrams, salt), buckets)
+    val prior = pos.agg(count(lit(1)).as("np")).crossJoin(neg.agg(count(lit(1)).as("nn")))
+      .select(lit(-1L).as("bucket"),
+        floor(log((col("np") + lit(1L)).cast("double") / (col("nn") + lit(1L)).cast("double")) /
+          lit(Ln2) * lit(1e6)).cast("long").as("w"))
+    m.unionByName(prior)
+  }
+
+  /** Score every document under a fitted model: exact integer sum of
+    * per-token micro-bit weights (unseen buckets take the −2 default)
+    * plus the prior → (id, n_tokens, log_odds_bits, keep) with
+    * keep = log-odds > 0. Wordless documents score the bare prior.
+    * The model join is explicitly broadcast (≤ buckets+2 rows). */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
+      buckets: Int = 4096, bigrams: Boolean = false, salt: String = "hb"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(featuresCol(col(textCol), bigrams)).as("f"))
+      .select(col("id"), bucketCol(col("f"), salt, buckets).as("bucket"))
+    val sums = toks
+      .join(broadcast(model.filter(col("bucket") >= 0)), Seq("bucket"), "left")
+      .crossJoin(broadcast(model.filter(col("bucket") === -2).select(col("w").as("wdef"))))
+      .select(col("id"), coalesce(col("w"), col("wdef")).as("w"))
+      .groupBy("id").agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("wsum"))
+    docs.select(col(idCol).as("id"))
+      .join(sums, Seq("id"), "left")
+      .crossJoin(broadcast(model.filter(col("bucket") === -1).select(col("w").as("wprior"))))
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        ((coalesce(col("wsum"), lit(0L)) + col("wprior")).cast("double") / lit(1e6))
+          .as("log_odds_bits"),
+        (coalesce(col("wsum"), lit(0L)) + col("wprior") > lit(0L)).as("keep"))
+  }
+
+  /** DuckDB twin of nbFit + nbScore as ONE query. Each input must
+    * project (`id`, `text`) for `scoreInput`, (`text`) for the fit
+    * sides. */
+  def nbScoreSql(scoreInput: String, posInput: String, negInput: String,
+      buckets: Int = 4096, bigrams: Boolean = false, salt: String = "hb",
+      prefix: String = "nbq"): String = {
+    val b = bucketSql("f", salt, buckets)
+    s"""WITH ${logRatioModelCtes(posInput, negInput, buckets, bigrams, salt, prefix)},
+      ${prefix}pr AS (SELECT CAST(floor(ln(CAST((SELECT count(*) FROM ($posInput)) + 1 AS DOUBLE)
+          / CAST((SELECT count(*) FROM ($negInput)) + 1 AS DOUBLE)) / $Ln2 * 1000000.0) AS BIGINT) AS pw),
+      ${prefix}st AS (SELECT id, unnest(list_transform(${featuresSql("text", bigrams)}, f -> $b)) AS bucket
+                      FROM ($scoreInput)),
+      ${prefix}sw AS (SELECT id, coalesce(m.w, (SELECT w FROM ${prefix}mod WHERE bucket = -2)) AS w
+                      FROM ${prefix}st LEFT JOIN (SELECT * FROM ${prefix}mod WHERE bucket >= 0) m USING (bucket)),
+      ${prefix}sc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(w) AS BIGINT) AS wsum
+                      FROM ${prefix}sw GROUP BY id)
+    SELECT id, n_tokens,
+      CAST(wsum + pw AS DOUBLE) / 1000000.0 AS log_odds_bits,
+      (wsum + pw) > 0 AS keep
+    FROM (SELECT s.id, coalesce(n_tokens, 0) AS n_tokens, coalesce(wsum, 0) AS wsum, pw
+          FROM ($scoreInput) s LEFT JOIN ${prefix}sc USING (id) CROSS JOIN ${prefix}pr)"""
+  }
+
+  // -------------------------------------------------------------------
+  // DSIR importance resampling
+  // -------------------------------------------------------------------
+
+  /** DSIR document selection (Xie et al. arXiv 2302.03169): fit hashed
+    * unigram+bigram bucket models over the target and raw corpora,
+    * weight every raw document with its exact-integer log importance
+    * ratio Σ w(bucket), and take the global top-`k` under Gumbel
+    * perturbation — sampling WITHOUT replacement ∝ importance weight
+    * (the paper's Gumbel top-k trick), made rerun-stable by drawing
+    * the Gumbel noise content-addressed:
+    * u = (h60("gum:"+id) mod 2^20 + 0.5) / 2^20 (an exact double),
+    * g = −ln(−ln u). Featureless documents carry weight 0 (they stay
+    * eligible — the same contract as a zero-information doc).
+    *
+    * Scale shape: two bucket-count fits (≤ buckets rows each), one
+    * scoring pass (explode + broadcast model + one id-keyed shuffle),
+    * and a TakeOrderedAndProject for the top-k — no global sort
+    * materialization, no self-join. Returns (id, log_weight_bits)
+    * sorted by the selection key internally, output unordered (callers
+    * order). */
+  def dsirSelect(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      buckets: Int = 8192, salt: String = "hb"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val model = logRatioModel(
+      hashedBucketCounts(target.select(col(targetTextCol).as("text")), "text", buckets, bigrams = true, salt),
+      hashedBucketCounts(raw.select(col(textCol).as("text")), "text", buckets, bigrams = true, salt),
+      buckets)
+    val toks = raw.select(col(idCol).as("id"), explode(featuresCol(col(textCol), bigrams = true)).as("f"))
+      .select(col("id"), bucketCol(col("f"), salt, buckets).as("bucket"))
+    val sums = toks
+      .join(broadcast(model.filter(col("bucket") >= 0)), Seq("bucket"), "left")
+      .crossJoin(broadcast(model.filter(col("bucket") === -2).select(col("w").as("wdef"))))
+      .select(col("id"), coalesce(col("w"), col("wdef")).as("w"))
+      .groupBy("id").agg(sum(col("w")).as("lw"))
+    val u = ((portableHash60(concat(lit("gum:"), col("id").cast("string"))) % lit(GumbelM))
+      .cast("double") + lit(0.5)) / lit(GumbelM.toDouble)
+    val lwd = col("lw").cast("double") / lit(1e6)
+    raw.select(col(idCol).as("id"))
+      .join(sums, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lw"), lit(0L)).as("lw"))
+      .select(col("id"), col("lw"), (lwd + -log(-log(u))).as("gkey"))
+      .orderBy(col("gkey").desc, col("id"))
+      .limit(k)
+      .select(col("id"), (col("lw").cast("double") / lit(1e6)).as("log_weight_bits"))
+  }
+
+  /** DuckDB twin of [[dsirSelect]]. `rawInput` projects (id, text),
+    * `targetInput` projects (text). */
+  def dsirSelectSql(rawInput: String, targetInput: String, k: Int,
+      buckets: Int = 8192, salt: String = "hb", prefix: String = "dsr"): String = {
+    val b = bucketSql("f", salt, buckets)
+    val uExpr = s"((CAST(${portableHash60Sql("'gum:' || CAST(id AS VARCHAR)")} % $GumbelM AS DOUBLE) + 0.5) / $GumbelM.0)"
+    s"""WITH ${logRatioModelCtes(targetInput, rawInput, buckets, bigrams = true, salt, prefix)},
+      ${prefix}st AS (SELECT id, unnest(list_transform(${featuresSql("text", bigrams = true)}, f -> $b)) AS bucket
+                      FROM ($rawInput)),
+      ${prefix}sw AS (SELECT id, coalesce(m.w, (SELECT w FROM ${prefix}mod WHERE bucket = -2)) AS w
+                      FROM ${prefix}st LEFT JOIN (SELECT * FROM ${prefix}mod WHERE bucket >= 0) m USING (bucket)),
+      ${prefix}sc AS (SELECT id, CAST(sum(w) AS BIGINT) AS lw FROM ${prefix}sw GROUP BY id),
+      ${prefix}all AS (SELECT r.id, coalesce(lw, 0) AS lw
+                       FROM ($rawInput) r LEFT JOIN ${prefix}sc USING (id))
+    SELECT id, CAST(lw AS DOUBLE) / 1000000.0 AS log_weight_bits
+    FROM (SELECT id, lw,
+            ((CAST(lw AS DOUBLE) / 1000000.0) + (-ln(-ln($uExpr)))) AS gkey
+          FROM ${prefix}all
+          ORDER BY gkey DESC, id LIMIT $k)"""
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{CurationFunnel, Decontaminate, Dedup, Materialize, Media, Packing, PdqDuplicates, SimilaritySearch, Splits, TextAnalysis}
+import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Materialize, Media, Packing, PdqDuplicates, SimilaritySearch, Splits, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1641,8 +1641,55 @@ object Pipeline {
     """.trim)
   )
 
+  /** Bootstrapped NB quality classifier: seed labels come from the
+    * hand-tuned hashed linear scorer (score ≥ 0.5 → positive — the
+    * rule-to-model distillation step real curation pipelines use to
+    * turn heuristics into a learned classifier), the hashed log-ratio
+    * model is fit on the two label strata, and EVERY doc is rescored
+    * under the model. At gate scale the seed pass recomputes per fit
+    * branch; production materializes the labeled seed once. */
+  val nbQuality: QueryDef = QueryDef(
+    "nb_quality",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val labeled = docs.join(
+        TextAnalysis.hashedQualityScore(docs, "id", "text"), Seq("id"))
+      val model = Classify.nbFit(
+        labeled.filter(col("quality_score") >= 0.5).select("text"),
+        labeled.filter(col("quality_score") < 0.5).select("text"), "text", 4096)
+      Classify.nbScore(docs, "id", "text", model, 4096).orderBy("id")
+    },
+    Some {
+      val seed = s"SELECT doc_id AS id, text, (${TextAnalysis.hashedQualityScoreSql("text")} >= 0.5) AS lab FROM documents"
+      s"""SELECT id, n_tokens, log_odds_bits, keep FROM (
+        ${Classify.nbScoreSql(
+          s"SELECT id, text FROM ($seed)",
+          s"SELECT text FROM ($seed) WHERE lab",
+          s"SELECT text FROM ($seed) WHERE NOT lab", 4096)})
+        ORDER BY id""".trim
+    }
+  )
+
+  /** DSIR importance resampling: target distribution = every 7th doc,
+    * select 150 of the corpus by Gumbel top-k over the hashed
+    * unigram+bigram importance weights. */
+  val dsirSelectQ: QueryDef = QueryDef(
+    "dsir_select",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      Classify.dsirSelect(docs, "id", "text",
+        docs.filter(col("id") % 7 === 0).select("text"), "text", k = 150)
+        .orderBy("id")
+    },
+    Some(s"""SELECT id, log_weight_bits FROM (
+      ${Classify.dsirSelectSql(
+        "SELECT doc_id AS id, text FROM documents",
+        "SELECT text FROM documents WHERE doc_id % 7 = 0", 150)})
+      ORDER BY id""".trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
-    c4CleanQ, lineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample,
+    c4CleanQ, lineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,

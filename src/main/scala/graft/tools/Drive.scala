@@ -258,6 +258,20 @@ object Drive {
       val scored = TextAnalysis.hashedQualityScore(d, "id", "text")
       Splits.weightedSample(scored, "id", "quality_score").orderBy("id").show()
     }
+    println("=== NB quality classifier (fit on labels -> score) + DSIR selection ===")
+    locally {
+      val pos = Seq("reliable verified analysis", "careful sourced writing").toDF("text")
+      val neg = Seq("buy cheap now", "win win cheap").toDF("text")
+      val docs = Seq((1L, "reliable analysis"), (2L, "buy cheap"), (3L, "")).toDF("id", "text")
+      val model = Classify.nbFit(pos, neg, "text", buckets = 256)
+      Classify.nbScore(docs, "id", "text", model, buckets = 256).orderBy("id").show()
+      // DSIR: docs 1-2 match the target distribution, 3-4 don't
+      val raw = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"),
+        (3L, "zz yy xx"), (4L, "qq rr ss")).toDF("id", "text")
+      Classify.dsirSelect(raw, "id", "text",
+        Seq("alpha beta gamma delta").toDF("text"), "text", k = 2, buckets = 256)
+        .orderBy("id").show()
+    }
     println("=== probe: empty-series warnings surface via Warnings.onWarning ===")
     locally {
       @volatile var seen = List.empty[String]
