@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import graft.functions.TextFunctions.{portableHash60, portableHash60Sql, shingles, shinglesSql, words, wordsSql}
+import graft.functions.TextFunctions.{portableHash60, portableHash60Sql, shinglesSql, words, wordsSql}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -49,32 +49,39 @@ object Classify {
     * EXACT double in (0,1) on both engines. */
   private val GumbelM = 1048576L
 
-  /** Features of a document: whitespace words, plus their bigrams when
-    * `bigrams` (DSIR's hashed-n-gram feature space; unigrams alone for
-    * the NB classifier keep the model dense at small fit corpora). */
-  private def featuresCol(text: Column, bigrams: Boolean): Column = {
+  /** Feature hashes of a document — whitespace words, plus their
+    * bigrams when `bigrams` (DSIR's hashed-n-gram feature space;
+    * unigrams alone for the NB classifier keep the model dense at
+    * small fit corpora) — via the codegen'd [[graft.plans
+    * .ShingleHash60]] kernel (n=1 hashes each word, n=2 each joined
+    * bigram): one whole-stage pass straight off the word bytes, no
+    * interpreted fold, no feature String materialized. The hash family
+    * is therefore the engine-wide portable 60-bit md5 of the
+    * space-joined feature; callers take the hash modulo `buckets`
+    * AFTER the explode (one `%` per token row, not per array). */
+  private def featureHashes(text: Column, bigrams: Boolean): Column = {
     val ws = words(text)
-    if (bigrams) concat(ws, shingles(ws, 2)) else ws
+    if (bigrams) concat(graft.plans.ShingleHash60(ws, 1), graft.plans.ShingleHash60(ws, 2))
+    else graft.plans.ShingleHash60(ws, 1)
   }
 
-  private def featuresSql(t: String, bigrams: Boolean): String = {
+  /** DuckDB twin: the per-document bucket LIST (hash % buckets applied
+    * inside the list — SQL has no post-explode hook, and the values
+    * are identical either way). */
+  private def bucketsSql(t: String, bigrams: Boolean, buckets: Int): String = {
     val ws = wordsSql(t)
-    if (bigrams) s"list_concat($ws, ${shinglesSql(ws, 2)})" else ws
+    val uni = s"list_transform($ws, f -> (${portableHash60Sql("f")} % $buckets))"
+    if (bigrams)
+      s"list_concat($uni, list_transform(${shinglesSql(ws, 2)}, f -> (${portableHash60Sql("f")} % $buckets)))"
+    else uni
   }
-
-  /** Feature → bucket in [0, buckets): salted 60-bit md5, modulo. */
-  private def bucketCol(f: Column, salt: String, buckets: Int): Column =
-    portableHash60(concat(lit(s"$salt:"), f)) % lit(buckets.toLong)
-
-  private def bucketSql(f: String, salt: String, buckets: Int): String =
-    s"(${portableHash60Sql(s"'$salt:' || $f")} % $buckets)"
 
   /** Per-bucket feature-occurrence counts of `df`'s `textCol` —
     * (bucket, c), at most `buckets` rows, map-side combinable. */
   def hashedBucketCounts(df: DataFrame, textCol: String, buckets: Int,
-      bigrams: Boolean = false, salt: String = "hb"): DataFrame =
-    df.select(explode(featuresCol(col(textCol), bigrams)).as("f"))
-      .select(bucketCol(col("f"), salt, buckets).as("bucket"))
+      bigrams: Boolean = false): DataFrame =
+    df.select(explode(featureHashes(col(textCol), bigrams)).as("h"))
+      .select((col("h") % lit(buckets.toLong)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
 
   /** The w(b) expression over columns `ca`, `cb`, `ta`, `tb` (counts
@@ -112,11 +119,10 @@ object Classify {
     * [[hashedBucketCounts]] (for inputs A and B) + [[logRatioModel]].
     * `aInput`/`bInput` must project a `text` column. */
   def logRatioModelCtes(aInput: String, bInput: String, buckets: Int,
-      bigrams: Boolean, salt: String, prefix: String): String = {
-    val b = bucketSql("f", salt, buckets)
+      bigrams: Boolean, prefix: String): String = {
     def cnt(alias: String, input: String, c: String) =
       s"""${prefix}$alias AS (SELECT bucket, count(*) AS $c FROM (
-            SELECT unnest(list_transform(${featuresSql("text", bigrams)}, f -> $b)) AS bucket
+            SELECT unnest(${bucketsSql("text", bigrams, buckets)}) AS bucket
             FROM ($input)) GROUP BY bucket)"""
     s"""${cnt("ac", aInput, "ca")},
       ${cnt("bc", bInput, "cb")},
@@ -141,11 +147,11 @@ object Classify {
     * plus the bucket −1 class-prior row log2((nPos+1)/(nNeg+1)). Inputs
     * are text-only projections (one column `textCol`). */
   def nbFit(pos: DataFrame, neg: DataFrame, textCol: String, buckets: Int = 4096,
-      bigrams: Boolean = false, salt: String = "hb"): DataFrame = {
+      bigrams: Boolean = false): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val m = logRatioModel(
-      hashedBucketCounts(pos, textCol, buckets, bigrams, salt),
-      hashedBucketCounts(neg, textCol, buckets, bigrams, salt), buckets)
+      hashedBucketCounts(pos, textCol, buckets, bigrams),
+      hashedBucketCounts(neg, textCol, buckets, bigrams), buckets)
     val prior = pos.agg(count(lit(1)).as("np")).crossJoin(neg.agg(count(lit(1)).as("nn")))
       .select(lit(-1L).as("bucket"),
         floor(log((col("np") + lit(1L)).cast("double") / (col("nn") + lit(1L)).cast("double")) /
@@ -159,9 +165,9 @@ object Classify {
     * keep = log-odds > 0. Wordless documents score the bare prior.
     * The model join is explicitly broadcast (≤ buckets+2 rows). */
   def nbScore(docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
-      buckets: Int = 4096, bigrams: Boolean = false, salt: String = "hb"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), explode(featuresCol(col(textCol), bigrams)).as("f"))
-      .select(col("id"), bucketCol(col("f"), salt, buckets).as("bucket"))
+      buckets: Int = 4096, bigrams: Boolean = false): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(featureHashes(col(textCol), bigrams)).as("h"))
+      .select(col("id"), (col("h") % lit(buckets.toLong)).as("bucket"))
     val sums = toks
       .join(broadcast(model.filter(col("bucket") >= 0)), Seq("bucket"), "left")
       .crossJoin(broadcast(model.filter(col("bucket") === -2).select(col("w").as("wdef"))))
@@ -181,13 +187,12 @@ object Classify {
     * project (`id`, `text`) for `scoreInput`, (`text`) for the fit
     * sides. */
   def nbScoreSql(scoreInput: String, posInput: String, negInput: String,
-      buckets: Int = 4096, bigrams: Boolean = false, salt: String = "hb",
+      buckets: Int = 4096, bigrams: Boolean = false,
       prefix: String = "nbq"): String = {
-    val b = bucketSql("f", salt, buckets)
-    s"""WITH ${logRatioModelCtes(posInput, negInput, buckets, bigrams, salt, prefix)},
+    s"""WITH ${logRatioModelCtes(posInput, negInput, buckets, bigrams, prefix)},
       ${prefix}pr AS (SELECT CAST(floor(ln(CAST((SELECT count(*) FROM ($posInput)) + 1 AS DOUBLE)
           / CAST((SELECT count(*) FROM ($negInput)) + 1 AS DOUBLE)) / $Ln2 * 1000000.0) AS BIGINT) AS pw),
-      ${prefix}st AS (SELECT id, unnest(list_transform(${featuresSql("text", bigrams)}, f -> $b)) AS bucket
+      ${prefix}st AS (SELECT id, unnest(${bucketsSql("text", bigrams, buckets)}) AS bucket
                       FROM ($scoreInput)),
       ${prefix}sw AS (SELECT id, coalesce(m.w, (SELECT w FROM ${prefix}mod WHERE bucket = -2)) AS w
                       FROM ${prefix}st LEFT JOIN (SELECT * FROM ${prefix}mod WHERE bucket >= 0) m USING (bucket)),
@@ -223,14 +228,19 @@ object Classify {
     * order). */
   def dsirSelect(raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, k: Int,
-      buckets: Int = 8192, salt: String = "hb"): DataFrame = {
+      buckets: Int = 8192): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the raw-side bucket explode feeds BOTH the raw model counts and
+    // the scoring sum — materialize it once (lmScore's self-fit shape;
+    // under spark.graft.materialize=none it recomputes per consumer,
+    // the right trade at 100 TB)
+    val toks = Materialize(
+      raw.select(col(idCol).as("id"), explode(featureHashes(col(textCol), bigrams = true)).as("h"))
+        .select(col("id"), (col("h") % lit(buckets.toLong)).as("bucket")))
     val model = logRatioModel(
-      hashedBucketCounts(target.select(col(targetTextCol).as("text")), "text", buckets, bigrams = true, salt),
-      hashedBucketCounts(raw.select(col(textCol).as("text")), "text", buckets, bigrams = true, salt),
+      hashedBucketCounts(target.select(col(targetTextCol).as("text")), "text", buckets, bigrams = true),
+      toks.groupBy("bucket").agg(count(lit(1)).as("c")),
       buckets)
-    val toks = raw.select(col(idCol).as("id"), explode(featuresCol(col(textCol), bigrams = true)).as("f"))
-      .select(col("id"), bucketCol(col("f"), salt, buckets).as("bucket"))
     val sums = toks
       .join(broadcast(model.filter(col("bucket") >= 0)), Seq("bucket"), "left")
       .crossJoin(broadcast(model.filter(col("bucket") === -2).select(col("w").as("wdef"))))
@@ -251,11 +261,10 @@ object Classify {
   /** DuckDB twin of [[dsirSelect]]. `rawInput` projects (id, text),
     * `targetInput` projects (text). */
   def dsirSelectSql(rawInput: String, targetInput: String, k: Int,
-      buckets: Int = 8192, salt: String = "hb", prefix: String = "dsr"): String = {
-    val b = bucketSql("f", salt, buckets)
+      buckets: Int = 8192, prefix: String = "dsr"): String = {
     val uExpr = s"((CAST(${portableHash60Sql("'gum:' || CAST(id AS VARCHAR)")} % $GumbelM AS DOUBLE) + 0.5) / $GumbelM.0)"
-    s"""WITH ${logRatioModelCtes(targetInput, rawInput, buckets, bigrams = true, salt, prefix)},
-      ${prefix}st AS (SELECT id, unnest(list_transform(${featuresSql("text", bigrams = true)}, f -> $b)) AS bucket
+    s"""WITH ${logRatioModelCtes(targetInput, rawInput, buckets, bigrams = true, prefix)},
+      ${prefix}st AS (SELECT id, unnest(${bucketsSql("text", bigrams = true, buckets)}) AS bucket
                       FROM ($rawInput)),
       ${prefix}sw AS (SELECT id, coalesce(m.w, (SELECT w FROM ${prefix}mod WHERE bucket = -2)) AS w
                       FROM ${prefix}st LEFT JOIN (SELECT * FROM ${prefix}mod WHERE bucket >= 0) m USING (bucket)),

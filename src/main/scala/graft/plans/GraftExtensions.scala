@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleHash60Descriptor)
     ext.injectFunction(GraftExtensions.vocabTokenCountDescriptor)
     ext.injectFunction(GraftExtensions.charNgramsDescriptor)
+    ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
   }
 }
 
@@ -70,6 +71,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "char_ngrams takes exactly 2 arguments")
       CharNgrams(children.head, children(1))
+    }
+  )
+
+  val nfcNormalizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "nfc_normalize takes exactly 1 argument")
+      NfcNormalize(children.head)
     }
   )
 

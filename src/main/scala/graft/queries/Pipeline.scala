@@ -1652,8 +1652,10 @@ object Pipeline {
     "nb_quality",
     (s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
-      val labeled = docs.join(
-        TextAnalysis.hashedQualityScore(docs, "id", "text"), Seq("id"))
+      // the seed-label pass feeds four consumers (pos/neg counts + both
+      // prior counts) — materialize it once
+      val labeled = Materialize(docs.join(
+        TextAnalysis.hashedQualityScore(docs, "id", "text"), Seq("id")))
       val model = Classify.nbFit(
         labeled.filter(col("quality_score") >= 0.5).select("text"),
         labeled.filter(col("quality_score") < 0.5).select("text"), "text", 4096)
@@ -1688,8 +1690,36 @@ object Pipeline {
       ORDER BY id""".trim)
   )
 
+  /** Unicode NFC normalization over planted denormalized text (NFD
+    * combining sequences + Hangul jamo appended to every doc) — the
+    * canonicalization stage that must run before any hash-based dedup.
+    * Both engines normalize per UAX #15 (JDK Normalizer ↔ utf8proc),
+    * so the md5 of the normalized text matches bit-for-bit. */
+  val nfcTextQ: QueryDef = QueryDef(
+    "nfc_text",
+    (s, dir) => {
+      val planted = tbl(s, dir, "documents").select(col("doc_id").as("id"),
+        concat(coalesce(col("text"), lit("")),
+          lit(" Cafe\u0301 \u1100\u1161 caf\u00e9")).as("t"))
+      planted.select(col("id"),
+        md5(graft.plans.NfcNormalize(col("t"))).as("norm_md5"),
+        (graft.plans.NfcNormalize(col("t")) =!= col("t")).as("changed"),
+        (length(col("t")) - length(graft.plans.NfcNormalize(col("t")))).cast("long")
+          .as("len_delta"))
+        .orderBy("id")
+    },
+    Some("""
+      SELECT id, md5(nfc_normalize(t)) AS norm_md5,
+        nfc_normalize(t) <> t AS changed,
+        length(t) - length(nfc_normalize(t)) AS len_delta
+      FROM (SELECT doc_id AS id,
+              coalesce(text, '') || ' Cafe' || chr(769) || ' ' || chr(4352) || chr(4449) || ' caf' || chr(233) AS t
+            FROM documents)
+      ORDER BY id""".trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
-    c4CleanQ, lineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ,
+    c4CleanQ, lineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,

@@ -220,4 +220,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"model must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("nb_quality / dsir_select: bucket model broadcasts into the scoring explode; no product") {
+    for (q <- Seq("nb_quality", "dsir_select")) {
+      val p = plan(q)
+      // ≤ buckets+2 model rows must ride a BroadcastHashJoin against the
+      // token explode; the only nested-loop products allowed are the
+      // 1-row sentinel (default/prior) broadcasts
+      assert(p.contains("BroadcastHashJoin"), s"$q: model must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: shuffle-side product:\n$p")
+    }
+  }
+
+  test("dsir_select: global top-k plans TakeOrderedAndProject, not a total sort") {
+    val p = plan("dsir_select")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not total-sort:\n$p")
+  }
+
+  test("nfc_text is map-only: no shuffle, no join, no UDF before the output sort") {
+    val p = plan("nfc_text")
+    assert(!p.contains("Exchange") || p.indexOf("Exchange") == p.lastIndexOf("Exchange"),
+      s"nfc_text should shuffle at most for the output sort:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), s"UDF crept in:\n$p")
+  }
 }
