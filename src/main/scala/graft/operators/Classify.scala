@@ -183,6 +183,33 @@ object Classify {
         (coalesce(col("wsum"), lit(0L)) + col("wprior") > lit(0L)).as("keep"))
   }
 
+  /** Map-only scoring under a COLLECTED model — the deployment shape:
+    * the fitted model is ≤ `buckets`+2 rows by construction, so
+    * collecting it to the driver is bounded, and the per-document
+    * score becomes a pure per-row fold over the feature hashes with a
+    * map-literal lookup. No explode, no join, no shuffle — it plans
+    * unchanged on a STREAMING frame (score the ingest stream under an
+    * offline-fitted model), and on batch it is bit-identical to
+    * [[nbScore]] (spec-pinned).
+    *
+    * `model` is `nbFit(...).collect()` as a bucket→w map (must contain
+    * the −1 prior and −2 default sentinels). */
+  def nbScoreMapOnly(docs: DataFrame, idCol: String, textCol: String,
+      model: Map[Long, Long], buckets: Int = 4096, bigrams: Boolean = false): DataFrame = {
+    require(model.contains(-1L) && model.contains(-2L),
+      "model must carry the -1 (prior) and -2 (unseen default) sentinel rows")
+    val wdef = model(-2L)
+    val prior = model(-1L)
+    val weights = typedLit(model.filter(_._1 >= 0L))
+    val hs = coalesce(featureHashes(col(textCol), bigrams), array().cast("array<long>"))
+    val wsum = aggregate(hs, lit(0L),
+      (acc, h) => acc + coalesce(element_at(weights, h % lit(buckets.toLong)), lit(wdef)))
+    docs.select(col(idCol).as("id"),
+      size(hs).cast("long").as("n_tokens"),
+      ((wsum + lit(prior)).cast("double") / lit(1e6)).as("log_odds_bits"),
+      (wsum + lit(prior) > lit(0L)).as("keep"))
+  }
+
   /** DuckDB twin of nbFit + nbScore as ONE query. Each input must
     * project (`id`, `text`) for `scoreInput`, (`text`) for the fit
     * sides. */

@@ -265,6 +265,9 @@ object Drive {
       val docs = Seq((1L, "reliable analysis"), (2L, "buy cheap"), (3L, "")).toDF("id", "text")
       val model = Classify.nbFit(pos, neg, "text", buckets = 256)
       Classify.nbScore(docs, "id", "text", model, buckets = 256).orderBy("id").show()
+      // deployment shape: collected model -> map-only fold (streams too)
+      val collected = model.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Classify.nbScoreMapOnly(docs, "id", "text", collected, buckets = 256).orderBy("id").show()
       // DSIR: docs 1-2 match the target distribution, 3-4 don't
       val raw = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"),
         (3L, "zz yy xx"), (4L, "qq rr ss")).toDF("id", "text")

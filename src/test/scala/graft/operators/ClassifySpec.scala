@@ -57,6 +57,20 @@ class ClassifySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("nbScoreMapOnly ≡ nbScore (collected-model fold vs relational join)") {
+    val m = Classify.nbFit(posDf, negDf, "text", B)
+    val collected = m.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Seq(
+      (1L, "reliable verified analysis"),
+      (2L, "buy cheap now now"),
+      (3L, ""),
+      (4L, "zzq unseen words entirely"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val rel = rows(Classify.nbScore(docs, "id", "text", m, B))
+    val fold = rows(Classify.nbScoreMapOnly(docs, "id", "text", collected, B))
+    assert(rel == fold)
+  }
+
   private def dsirCorpus = {
     val targetLike = (0L until 25L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
     val noise = (100L until 125L).map(i => (i, s"zz$i yy$i xx$i ww$i vv$i uu$i"))

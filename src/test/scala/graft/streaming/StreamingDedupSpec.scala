@@ -195,6 +195,31 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("nbScoreMapOnly scores a stream under a batch-fitted model, ≡ batch") {
+    import graft.operators.Classify
+    implicit val sqlCtx = spark.sqlContext
+    val pos = Seq("reliable verified analysis source").toDF("text")
+    val neg = Seq("buy cheap now win").toDF("text")
+    val model = Classify.nbFit(pos, neg, "text", 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, String)]
+    val scored = Classify.nbScoreMapOnly(input.toDF().toDF("id", "text"), "id", "text", model, 128)
+    assert(scored.isStreaming) // map-only: plans with no stateful operator
+    val q = scored.writeStream.format("memory").queryName("sd_nb")
+      .outputMode("append").start()
+    val docs = Seq((1L, "reliable analysis"), (2L, "buy cheap cheap"), (3L, ""))
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("sd_nb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq.sorted
+      val batch = Classify.nbScoreMapOnly(docs.toDF("id", "text"), "id", "text", model, 128)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq.sorted
+      assert(got == batch)
+      assert(got.find(_._1 == 1L).get._4 && !got.find(_._1 == 2L).get._4)
+    } finally q.stop()
+  }
+
   test("decontaminateStream ≡ batch scan offenders on the same documents") {
     import graft.operators.{Decontaminate, Dedup}
     implicit val sqlCtx = spark.sqlContext
