@@ -882,6 +882,50 @@ object Dedup {
         coalesce(col("n_dupes_removed"), lit(0L)).as("n_dupes_removed"))
   }
 
+  /** WITHIN-document line dedup (the MassiveText/Gopher "remove
+    * duplicated lines within a document" repetition rule, Rae et al.
+    * arXiv 2112.11446 §A1.2 — distinct from [[lineDedup]]'s
+    * corpus-wide first-occurrence rule): keep each trimmed nonempty
+    * line's FIRST occurrence inside its own document.
+    *
+    * Entirely MAP-ONLY: a per-row prefix-scan filter over the lines
+    * array — no explode, no shuffle, no join — so it composes with the
+    * other map-only cleaners ([[TextAnalysis.c4Clean]], redaction,
+    * sampling) into a single stage and plans unchanged on streaming
+    * frames. The prefix scan is O(L²) line compares per document; for
+    * web documents (L in the hundreds) that beats shipping every line
+    * through a shuffle, and a corpus whose documents are pathologically
+    * line-heavy should use the relational [[lineDedup]] (restricted to
+    * PARTITION BY id) instead — the documented trade.
+    *
+    * Same output contract as [[lineDedup]]:
+    * (id, text_clean, n_lines, n_dupes_removed); null/line-less text
+    * yields ('', 0, 0). */
+  def intraDocLineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val empty = array().cast("array<string>")
+    df.select(col(idCol).as("id"), coalesce(lines(col(textCol)), empty).as("ls"))
+      .select(col("id"), col("ls"),
+        filter(col("ls"), (l, i) =>
+          array_position(slice(col("ls"), lit(1), i), l) === 0L).as("kept"))
+      .select(col("id"),
+        array_join(col("kept"), "\n").as("text_clean"),
+        size(col("ls")).cast("long").as("n_lines"),
+        (size(col("ls")) - size(col("kept"))).cast("long").as("n_dupes_removed"))
+  }
+
+  /** DuckDB twin of [[intraDocLineDedup]] over `input` (id, text).
+    * DuckDB's lambda index is 1-based (Spark: 0-based), so the strict
+    * prefix is `ls[1:i-1]` vs Spark's `slice(ls, 1, i)`; both engines'
+    * position lookup returns 0 on a miss. */
+  def intraDocLineDedupSql(input: String): String =
+    s"""SELECT id,
+      coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+      coalesce(len(ls), 0) AS n_lines,
+      coalesce(len(ls) - len(kept), 0) AS n_dupes_removed
+    FROM (SELECT id, ls,
+            list_filter(ls, (l, i) -> list_position(ls[1:i-1], l) = 0) AS kept
+          FROM (SELECT id, ${linesSql("text")} AS ls FROM ($input)))"""
+
   /** DuckDB twin of [[lineDedup]] over `input` (id, text) — a full
     * SELECT with the same four columns. The oracle may use the
     * `row_number` formulation (single-node: no skew concern); rn = 1

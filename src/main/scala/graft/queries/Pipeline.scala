@@ -1718,8 +1718,43 @@ object Pipeline {
       ORDER BY id""".trim)
   )
 
+  /** Within-doc line dedup (map-only prefix scan) over docs planted
+    * with intra-document repeats: a literal line twice plus the leading
+    * text slice re-appearing at the end. Distinct from `line_dedup`'s
+    * corpus-wide rule: the planted boilerplate line SURVIVES once in
+    * every doc here. */
+  val intraLineDedupQ: QueryDef = QueryDef(
+    "intra_line_dedup",
+    (s, dir) => {
+      val planted = tbl(s, dir, "documents").select(col("doc_id").as("id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("repeat me twice ok"),
+          substring(col("text"), 41, 80),
+          lit("repeat me twice ok"),
+          substring(col("text"), 1, 40)).as("text"))
+      graft.operators.Dedup.intraDocLineDedup(planted, "id", "text")
+        .select(col("id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_lines"), col("n_dupes_removed"))
+        .orderBy("id")
+    },
+    Some {
+      val plantedSql = """SELECT doc_id AS id,
+        concat_ws(chr(10),
+          substr(text, 1, 40),
+          'repeat me twice ok',
+          substr(text, 41, 80),
+          'repeat me twice ok',
+          substr(text, 1, 40)) AS text
+        FROM documents"""
+      s"""SELECT id, md5(text_clean) AS clean_md5, n_lines, n_dupes_removed
+        FROM (${graft.operators.Dedup.intraDocLineDedupSql(plantedSql)})
+        ORDER BY id""".trim
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(
-    c4CleanQ, lineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
+    c4CleanQ, lineDedupQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,

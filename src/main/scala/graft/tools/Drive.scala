@@ -231,6 +231,11 @@ object Drive {
       TextAnalysis.c4Clean(d, "id", "text", minWordsPerLine = 5, minLinesPerDoc = 1)
         .orderBy("id").show(truncate = false)
       Dedup.lineDedup(d, "id", "text").orderBy("id").show(truncate = false)
+      // within-doc rule: the line shared by both docs survives in EACH
+      Dedup.intraDocLineDedup(
+        d.withColumn("text",
+          org.apache.spark.sql.functions.concat_ws("\n", $"text", $"text")),
+        "id", "text").orderBy("id").show(truncate = false)
     }
     println("=== char-trigram LM score + gopher composite filter ===")
     locally {

@@ -455,4 +455,31 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("Window"), plan) // the skew-prone formulation
   }
+
+  test("intraDocLineDedup: first occurrence per DOC wins; cross-doc repeats survive") {
+    val df = Seq(
+      (1L, "shared line\nalpha\nshared line\nalpha\nbeta"),
+      (2L, "shared line\ngamma"),   // cross-doc repeat: SURVIVES here
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "crlf twin\r\ncrlf twin\ndelta")
+    ).toDF("id", "text")
+    val r = Dedup.intraDocLineDedup(df, "id", "text").collect()
+      .map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == (("shared line\nalpha\nbeta", 5L, 2L)))
+    assert(r(2L) == (("shared line\ngamma", 2L, 0L)))
+    assert(r(3L) == (("", 0L, 0L)))
+    assert(r(4L) == (("", 0L, 0L)))
+    assert(r(5L) == (("crlf twin\ndelta", 3L, 1L)))
+  }
+
+  test("intraDocLineDedup is map-only (no shuffle, no join) and plans on a stream") {
+    val df = Seq((1L, "a\nb\na")).toDF("id", "text")
+    val plan = Dedup.intraDocLineDedup(df, "id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    assert(Dedup.intraDocLineDedup(in.toDF().toDF("id", "text"), "id", "text").isStreaming)
+  }
 }
