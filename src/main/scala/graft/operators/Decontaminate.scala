@@ -48,6 +48,66 @@ object Decontaminate {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).cast("int").as("contaminated"))
   }
 
+  /** [[scan]] with the FRACTIONAL contamination rule of the PaLM /
+    * GPT-3 line of work: a document is contaminated when ≥ `tau` of its
+    * DISTINCT shingles collide with the benchmark set (Chowdhery et al.
+    * 2022 §6.5 uses "≥70% of 8-grams seen"; absolute hit counts treat a
+    * 50-word quiz and a 50k-word book the same, which is exactly what
+    * the fraction fixes). Same join shape as [[scan]] — benchmark
+    * shingles broadcast, corpus never self-shuffles; the only new math
+    * is the ratio, computed as half-up fixed-point in EXACT integer
+    * arithmetic ([[graft.functions.TextFunctions.ratioScaled]]) so the
+    * `>= tau` compare is tie-proof across engines — `tau` quantizes
+    * once to 1e-9 units on the driver.
+    *
+    * @return (id, n_shingles, n_hits, overlap_frac, contaminated 0/1) —
+    *         one row per corpus document with at least one shingle */
+  def scanFraction(
+      df: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 13,
+      tau: Double = 0.7
+  ): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val tauQ = math.round(tau * 1e9)
+    val docHs = Materialize(Dedup.shingleHashRows(df, idCol, textCol, shingleLen)
+      .select(col("id"), col("h")).distinct())
+    val benchHs = Dedup.shingleHashRows(benchmark, idCol, textCol, shingleLen)
+      .select("h").distinct()
+    val totals = docHs.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val hits = docHs.join(broadcast(benchHs), Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("fq", expr(
+        graft.functions.TextFunctions.ratioScaled("n_hits", "n_shingles", 1000000000L)))
+      .select(col("id"), col("n_shingles"), col("n_hits"),
+        (col("fq").cast("double") / lit(1e9)).as("overlap_frac"),
+        (col("fq") >= lit(tauQ)).cast("int").as("contaminated"))
+  }
+
+  /** DuckDB twin of [[scanFraction]]: `corpus` and `bench` are SQL
+    * snippets yielding (id, hs DISTINCT-shingle-hash list) relations —
+    * the Pipeline's `shingleCtes` output shape. */
+  def scanFractionSql(corpusHs: String, benchHs: String, tau: Double): String = {
+    val tauQ = math.round(tau * 1e9)
+    val frac = graft.functions.TextFunctions.ratioScaledSql("n_hits", "n_shingles", 1000000000L)
+    s"""SELECT id, n_shingles, n_hits,
+      CAST($frac AS DOUBLE) / 1e9 AS overlap_frac,
+      CAST($frac >= $tauQ AS INT) AS contaminated
+    FROM (
+      SELECT t.id, t.n_shingles, coalesce(k.n_hits, 0) AS n_hits
+      FROM (SELECT id, len(hs) AS n_shingles FROM ($corpusHs)) t
+      LEFT JOIN (
+        SELECT e.id, count(*) AS n_hits
+        FROM (SELECT id, unnest(hs) AS h FROM ($corpusHs)) e
+        JOIN (SELECT DISTINCT unnest(hs) AS h FROM ($benchHs)) b ON e.h = b.h
+        GROUP BY e.id) k ON t.id = k.id)"""
+  }
+
   /** A [[scanBloom]] result plus the handle to free its broadcast Bloom
     * filter. The filter's blocks (~1.2 GB at the motivating 10⁹-shingle
     * scale) live on the driver and every executor for the session

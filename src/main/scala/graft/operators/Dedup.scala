@@ -648,6 +648,51 @@ object Dedup {
     input.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[nearDupSurvivors]] with QUALITY-AWARE keeper selection: per
+    * near-dup component keep the row with the HIGHEST `scoreCol` (ties
+    * → minimum id), not the minimum id — what a curation run that has
+    * already scored its documents (e.g.
+    * [[TextAnalysis.qualityScore]]) actually wants: dropping the
+    * best-written copy of a template because a spammy mirror has a
+    * smaller id is a real quality regression.
+    *
+    * The winner per component is a combinable `min(struct(-score, id))`
+    * aggregate over the slim (id, cluster, score) relation — no sort
+    * window, map-side partial — and the only full-width pass remains
+    * the final anti-join. A null score ranks BELOW every non-null score
+    * (coalesced to -∞); NaN scores are unsupported (NaN orders above
+    * +∞ in Spark but engine-dependently elsewhere — scores are
+    * ratios/sigmoids in this library, never NaN).
+    *
+    * @param scoreCol numeric column of `df`; cast to double
+    * @return the surviving rows of `df`, all columns intact */
+  def nearDupSurvivorsBy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      shingleLen: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val input = Materialize(df)
+    val pairs = minhashLshPairs(input, idCol, textCol, shingleLen, k, bands, threshold)
+    // slim (id, cluster, score) relation feeds BOTH the winner aggregate
+    // and the loser filter — materialize once
+    val members = Materialize(connectedComponents(pairs).join(
+      input.select(col(idCol).as("id"),
+        coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity)).as("s")),
+      Seq("id")))
+    val winners = members.groupBy("cluster")
+      .agg(min(struct((-col("s")).as("ns"), col("id").as("id"))).as("w"))
+      .select(col("cluster"), col("w.id").as("wid"))
+    val losers = members.join(winners, Seq("cluster"))
+      .filter(col("id") =!= col("wid"))
+      .select(col("id").as(idCol))
+    input.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** EXACT n-gram Jaccard pairs ≥ threshold — the ground-truth tier.
     *
     * Not all-pairs: for any `threshold > 0`, a qualifying pair must

@@ -167,6 +167,49 @@ object Pipeline {
     """.trim)
   )
 
+  /** Quality-aware survivors: same pair/component derivation, but the
+    * keeper per component is the HIGHEST-scoring doc (score = word
+    * count here — "keep the longest copy", ties → min id). The planted
+    * tail variants are strictly longer than their originals, so the
+    * survivor set provably DIFFERS from `near_dedup_survivors`'
+    * min-id rule on every planted component. */
+  val bestSurvivors: QueryDef = QueryDef(
+    "best_survivors",
+    (s, dir) => {
+      val scored = corpus(s, dir)
+        .withColumn("score", size(TextFunctions.words(col("text"))).cast("double"))
+      Dedup.nearDupSurvivorsBy(scored, "id", "text", "score",
+        shingleLen = 3, k = 16, bands = 4, threshold = 0.6)
+        .select(col("id"), md5(col("text")).as("text_md5"),
+          col("score").cast("long").as("n_words"))
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${minhashCtes(corpusSql)},
+      p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.6),
+      e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM e
+        UNION
+        SELECT e.d, reach.r FROM e JOIN reach ON e.s = reach.id
+      ),
+      cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      sc AS (SELECT id, CAST(len(${TextFunctions.wordsSql("text")}) AS DOUBLE) AS s
+             FROM ($corpusSql)),
+      m AS (SELECT cl.id, cl.cluster, sc.s FROM cl JOIN sc USING (id)),
+      win AS (SELECT cluster, id AS wid FROM (
+              SELECT cluster, id,
+                row_number() OVER (PARTITION BY cluster ORDER BY s DESC, id) AS rn
+              FROM m) WHERE rn = 1),
+      losers AS (SELECT m.id FROM m JOIN win USING (cluster) WHERE m.id <> win.wid)
+      SELECT c.id, md5(c.text) AS text_md5,
+        CAST(len(${TextFunctions.wordsSql("text")}) AS BIGINT) AS n_words
+      FROM ($corpusSql) c
+      WHERE c.id NOT IN (SELECT id FROM losers)
+      ORDER BY c.id
+    """.trim)
+  )
+
   val simhashSigs: QueryDef = QueryDef(
     "simhash_sigs",
     (s, dir) => Dedup.simhashSigs(corpus(s, dir), "id", "text").orderBy("id"),
@@ -859,6 +902,27 @@ object Pipeline {
         .orderBy("id")
     },
     decontaminate.oracle
+  )
+
+  /** [[Decontaminate.scanFraction]] — the PaLM-style fractional rule
+    * over the same corpus/benchmark split: contaminated when ≥ 50% of a
+    * doc's distinct 3-word shingles collide. Benchmark members score
+    * overlap 1.0; the fraction column varies continuously over the
+    * rest, so the gate exercises the tie-proof fixed-point threshold
+    * compare, not just the flag. */
+  val deconOverlap: QueryDef = QueryDef(
+    "decon_overlap",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Decontaminate.scanFraction(d, d.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        shingleLen = 3, tau = 0.5)
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH ${shingleCtes("SELECT doc_id AS id, text FROM documents", hashBits30 = false, distinct = true)}
+      ${Decontaminate.scanFractionSql("SELECT id, hs FROM hs", "SELECT hs FROM hs WHERE id % 97 = 0", 0.5)}
+      ORDER BY id
+    """.trim)
   )
 
   // ---- similarity search ---------------------------------------------
@@ -1755,10 +1819,10 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     c4CleanQ, lineDedupQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
-    dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, simhashSigs, simhashPairs, ngramJaccard,
+    dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
-    decontaminate, deconBloom, curationFunnel, pipelineE2e,
+    decontaminate, deconBloom, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

@@ -116,7 +116,14 @@ object Drive {
         .orderBy("id_a", "id_b").show()
       Dedup.lshRecallReport(d, "id", "text", threshold = 0.3).show()
       Dedup.nearDupSurvivors(d, "id", "text", threshold = 0.3).orderBy("id").show(false)
+      // quality-aware keeper: doc 2 (longer) survives its component, not min-id 1
+      Dedup.nearDupSurvivorsBy(
+        d.withColumn("score",
+          org.apache.spark.sql.functions.size(graft.functions.TextFunctions.words($"text"))),
+        "id", "text", "score", threshold = 0.3).orderBy("id").show(false)
       Decontaminate.scanBloom(d, d.filter($"id" === 1L), "id", "text", 3, 2).orderBy("id").show()
+      Decontaminate.scanFraction(d, d.filter($"id" === 1L), "id", "text", 3, tau = 0.5)
+        .orderBy("id").show()
     }
     println("=== incremental dedup: batch vs settled corpus ===")
     locally {

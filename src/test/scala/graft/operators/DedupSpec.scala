@@ -125,6 +125,57 @@ class DedupSpec extends SparkTestBase {
     assert(!got.contains(5L))                  // too short to shingle
   }
 
+  test("nearDupSurvivorsBy keeps the best-scored doc per component; ties and nulls ordered") {
+    val df = Seq(
+      // near-dup component: 11 and 12 (12 = 11 + tail, higher score)
+      (11L, "alpha beta gamma delta epsilon zeta eta theta", 1.0),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 5.0),
+      // exact-dup component with TIED scores -> min id (13) wins
+      (13L, "one two three four five six seven eight nine", 2.0),
+      (14L, "one two three four five six seven eight nine", 2.0),
+      // null score loses to any scored dup
+      (15L, "red orange yellow green blue indigo violet extra", 3.0),
+      (16L, "red orange yellow green blue indigo violet extra", Double.NaN), // replaced below
+      // singleton survives untouched
+      (17L, "completely unrelated text with no duplicate partner", 0.1)
+    ).toDF("id", "text", "score")
+      .withColumn("score", when(col("id") === 16L, lit(null)).otherwise(col("score")))
+    val kept = Dedup.nearDupSurvivorsBy(df, "id", "text", "score",
+      shingleLen = 3, k = 16, bands = 4, threshold = 0.6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 13L, 15L, 17L))
+    // min-id rule on the same input differs: it keeps 11, not 12
+    val minId = Dedup.nearDupSurvivors(df.drop("score"), "id", "text",
+      shingleLen = 3, k = 16, bands = 4, threshold = 0.6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(11L, 13L, 15L, 17L))
+  }
+
+  test("Decontaminate.scanFraction: per-doc overlap ratio, threshold inclusive at tau") {
+    // doc 1: 8 words -> 6 distinct 3-shingles; bench = words 1..5 of doc 1
+    // -> 3 colliding shingles = exactly half of 6: tau=0.5 must flag (>=)
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 x6 x7 x8"),
+      (2L, "w1 w2 w3 unrelated tail of text"), // 1 hit of 5 -> 0.2
+      (3L, "totally different content here entirely"),
+      (4L, "xx")).toDF("id", "text")
+    val bench = Seq((9L, "w1 w2 w3 w4 w5")).toDF("id", "text")
+    val got = Decontaminate.scanFraction(corpus, bench, "id", "text",
+      shingleLen = 3, tau = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got(1L) == ((6L, 3L, 0.5, 1)))   // boundary: exactly tau -> contaminated
+    assert(got(2L) == ((5L, 1L, 0.2, 0)))
+    assert(got(3L) == ((3L, 0L, 0.0, 0)))
+    assert(!got.contains(4L))               // too short to shingle
+    // the corpus side never shuffles against itself: bench join broadcasts
+    val plan = Decontaminate.scanFraction(corpus, bench, "id", "text", 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assertThrows[IllegalArgumentException](
+      Decontaminate.scanFraction(corpus, bench, "id", "text", 3, tau = 0.0))
+  }
+
   test("connectedComponents: chain, cycle, disjoint cliques, singleton-free") {
     // a 60-node chain (diameter 59 — converges only because of the
     // pointer jump), a 4-cycle, a triangle, and one isolated pair
