@@ -44,6 +44,19 @@ object SimilaritySearch {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] under the fit kernels' zero contract: a zero vector has
+    * no direction, so its similarity to anything is 0 (it then ties
+    * across every centroid and assigns to the min centroid id). Zero
+    * vectors are STRUCTURAL in the IVF-PQ residual fit — a vector that
+    * coincides with its cell centroid has residual exactly 0 — and the
+    * plain ratio is engine-DIVERGENT on them: Spark ANSI raises
+    * DIVIDE_BY_ZERO while DuckDB yields NaN with NaN-high ordering. The
+    * zero test is exact on both engines (a sum of squares is 0 iff
+    * every element is ±0 — no cancellation). */
+  def cosineZeroSafe(a: Column, b: Column): Column =
+    when(dot(a, a) === lit(0.0) || dot(b, b) === lit(0.0), lit(0.0))
+      .otherwise(cosine(a, b))
+
   /** Exact top-k neighbors for each query vector.
     *
     * @param corpus  (idCol, vecCol) — the full collection
@@ -146,6 +159,10 @@ object SimilaritySearch {
   def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
+  /** DuckDB twin of [[cosineZeroSafe]]. */
+  def cosineZeroSafeSql(a: String, b: String, dim: Int): String =
+    s"(CASE WHEN ${dotSql(a, a, dim)} = 0 OR ${dotSql(b, b, dim)} = 0 THEN 0.0 ELSE ${cosineSql(a, b, dim)} END)"
+
   /** Deterministic k-means centroid fit for [[ivfTopK]] — the "where do
     * the centroids come from?" piece of the IVF tier, as a pure
     * DataFrame job (sampled init + a few Lloyd rounds, the standard
@@ -221,7 +238,7 @@ object SimilaritySearch {
   private[graft] def lloydRound(pts: DataFrame, cent: DataFrame, dim: Int): DataFrame = {
     val scored = pts.join(broadcast(cent), lit(true))
       .select(col("id"), col("vec"),
-        round(cosine(col("vec"), col("ctr_vec")), 9).as("c"), col("centroid_id"))
+        round(cosineZeroSafe(col("vec"), col("ctr_vec")), 9).as("c"), col("centroid_id"))
     // argmax(c, tiebreak min cid) as a combinable aggregate; every row
     // of an id carries the same vec, so first(vec) is value-stable
     val assigned = scored.groupBy("id")
@@ -254,7 +271,7 @@ object SimilaritySearch {
         SELECT id, vec, centroid_id,
           row_number() OVER (PARTITION BY id ORDER BY c DESC, centroid_id) AS r
         FROM (SELECT p.id, p.vec, c.centroid_id,
-                round(${cosineSql("p.vec", "c.ctr", dim)}, 9) AS c
+                round(${cosineZeroSafeSql("p.vec", "c.ctr", dim)}, 9) AS c
               FROM ${prefix}kmpts p CROSS JOIN ${prefix}kmcent_$p c)
       ),
       ${prefix}kms$t AS (
@@ -520,7 +537,7 @@ object SimilaritySearch {
     for (_ <- 1 to rounds) {
       val scored = pts.join(broadcast(cent), Seq("grp"))
         .select(col("grp"), col("id"), col("vec"),
-          round(cosine(col("vec"), col("ctr_vec")), 9).as("c"), col("centroid_id"))
+          round(cosineZeroSafe(col("vec"), col("ctr_vec")), 9).as("c"), col("centroid_id"))
       val assigned = scored.groupBy("grp", "id")
         .agg(max(struct(col("c"), (-col("centroid_id")).as("nc"))).as("m"),
           first(col("vec")).as("vec"))
@@ -614,6 +631,117 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"),
         (col("fadc").cast("double") / lit(1e9)).as("adc_dot"), col("rank"))
   }
+
+  /** The IVF-PQ index (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 — the IVFADC system): the three
+    * relations a probe touches, each independently persistable.
+    *
+    *  - `centroids` — (centroid_id, ctr_vec): the coarse quantizer;
+    *  - `books` — (subspace, centroid_id, ctr_vec): RESIDUAL codebooks
+    *    (fitted on vec − cell center, where the remaining variance
+    *    lives — quantizing residuals instead of raw vectors is the
+    *    whole point of IVFADC: the coarse term carries the bulk of the
+    *    dot product exactly);
+    *  - `codes` — (id, cell, subspace, code): m small codes per corpus
+    *    vector. At scoring time the corpus side touches ONLY this
+    *    relation — m·log2(ksub) bits per vector instead of 32·dim. */
+  final case class IvfPqIndex(centroids: DataFrame, books: DataFrame, codes: DataFrame)
+
+  /** Build an [[IvfPqIndex]]: coarse k-means fit → one-pass cell
+    * assignment → per-cell residuals → PQ codebook fit + encode on the
+    * residuals. Every stage is an already-audited kernel
+    * ([[fitCentroids]], [[fitPqCodebooks]], [[pqEncode]]); the residual
+    * join broadcasts the kc-row centroid frame, so the corpus streams
+    * through map-side work plus the two slim PQ shuffles. In
+    * production, fit both quantizers on a sample and encode the full
+    * corpus with the frozen index. */
+  def fitIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      kc: Int, coarseRounds: Int, m: Int, ksub: Int, pqRounds: Int, dim: Int): IvfPqIndex = {
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val cent = fitCentroids(df, idCol, vecCol, kc, coarseRounds, dim)
+    val assigned = ivfAssign(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec", cent, 1)
+    // residuals feed BOTH the codebook fit and the encode — one pass
+    val residuals = Materialize(assigned
+      .join(broadcast(cent.select(col("centroid_id").as("cell"), col("ctr_vec"))), Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("vec"), col("ctr_vec"), (a, b) => a - b).as("res")))
+    val books = fitPqCodebooks(residuals, "id", "res", m, ksub, pqRounds, dim)
+    val codes = pqEncode(residuals, books, "id", "res", m, dim / m)
+      .join(residuals.select("id", "cell"), Seq("id"))
+      .select(col("id"), col("cell"), col("subspace"), col("code"))
+    IvfPqIndex(cent, books, codes)
+  }
+
+  /** IVF-PQ ADC top-k — the probe: queries rank their `nprobe` nearest
+    * cells (broadcast centroid join, [[ivfAssign]]'s exact ranking),
+    * and only code rows in probed cells are scored. The approximate
+    * dot decomposes exactly as IVFADC's:
+    *
+    *   dot(q, x̂) = dot(q, c_cell)  +  Σ_m dot(q_m, codeword_m)
+    *
+    * — the coarse term is computed per probed (query, cell) pair
+    * (nprobe rows per query), and the residual lookup table is CELL-
+    * INDEPENDENT (m·ksub entries per query, one tiny join), because
+    * the LUT argument is q itself, not q − c. Both terms are 1e-9
+    * fixed-point BIGINT, so the per-candidate sum is associative,
+    * map-side combinable and order-proof; candidates join the
+    * broadcast probe and LUT frames on (cell) and (query_id, subspace,
+    * code) — the corpus never touches raw vectors.
+    *
+    * @return (query_id, neighbor_id, adc_dot, rank) — self excluded,
+    *         top `k` by approximate dot per query */
+  def ivfPqTopK(index: IvfPqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scoredCells = q.join(broadcast(
+        index.centroids.select(col("centroid_id"), col("ctr_vec"))), lit(true))
+      .withColumn("ctr_cos", round(cosine(col("qvec"), col("ctr_vec")), 9))
+    val wp = Window.partitionBy("query_id").orderBy(col("ctr_cos").desc, col("centroid_id").asc)
+    val probes = scoredCells
+      .withColumn("probe_rank", row_number().over(wp))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"),
+        floor(dot(col("qvec"), col("ctr_vec")) * lit(1e9)).cast("long").as("fcell"))
+    val qsubs = q.select(col("query_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(pqChecked(col("qvec"), m, subDim), s * lit(subDim) + lit(1), lit(subDim)))))
+      .select(col("query_id"), col("pos").as("subspace"), col("col").as("qsub"))
+    val lut = qsubs.join(index.books.select(col("subspace"), col("centroid_id").as("code"),
+        col("ctr_vec")), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        floor(dot(col("qsub"), col("ctr_vec")) * lit(1e9)).cast("long").as("fdot"))
+    val scored = index.codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      // fcell is constant within the group (one cell per doc): min picks it
+      .agg((min(col("fcell")) + sum(col("fdot"))).as("fadc"))
+    val wr = Window.partitionBy("query_id").orderBy(col("fadc").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("fadc").cast("double") / lit(1e9)).as("adc_dot"), col("rank"))
+  }
+
+  /** Persist an [[IvfPqIndex]] under `path`: centroids and codebooks as
+    * plain parquet, codes Hive-partitioned by `cell` — a probe of
+    * nprobe cells reads nprobe directories (partition pruning) of a
+    * relation that is already m·log2(ksub) bits per vector. */
+  def writeIvfPqIndex(index: IvfPqIndex, path: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    index.centroids.write.mode(mode).parquet(s"$path/centroids")
+    index.books.write.mode(mode).parquet(s"$path/books")
+    graft.sources.Formats.writePartitioned(index.codes, s"$path/codes", Seq("cell"), mode)
+  }
+
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex =
+    IvfPqIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/books"),
+      spark.read.parquet(s"$path/codes")
+        .select(col("id"), col("cell").cast("long"), col("subspace"), col("code")))
 
   /** Within-cluster semantic duplicate pairs against FITTED centroids —
     * the candidate stage of [[semanticDedup]]: every vector assigns to

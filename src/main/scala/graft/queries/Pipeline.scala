@@ -1254,6 +1254,124 @@ object Pipeline {
     }
   )
 
+  /** IVF-PQ (IVFADC) end-to-end: coarse k-means fit (k=8, 1 round) →
+    * cell assignment → RESIDUAL codebook fit (m=4 × ksub=4, 1 round) →
+    * encode → ADC probe of nprobe=2 cells with the exact decomposition
+    * dot(q,x̂) = fixed-point dot(q,c_cell) + Σ LUT. The oracle replays
+    * the coarse fit, the residual subtraction, all four residual
+    * subspace fits, the encode and the probe rank bit-for-bit. */
+  val embedIvfPq: QueryDef = QueryDef(
+    "embed_ivfpq",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val index = SimilaritySearch.fitIvfPq(e, "vec_id", "embedding",
+        kc = 8, coarseRounds = 1, m = 4, ksub = 4, pqRounds = 1, dim = 64)
+      SimilaritySearch.ivfPqTopK(index,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+        "vec_id", "embedding", m = 4, subDim = 16, k = 3, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val resFits = (0 until 4).map { s =>
+        SimilaritySearch.fitCentroidsCtes(
+          s"SELECT id, res[${s * 16 + 1}:${s * 16 + 16}] AS vec FROM res",
+          k = 4, rounds = 1, dim = 16, prefix = s"pq${s}_")
+      }.mkString(",\n      ")
+      val booksSql = (0 until 4).map(s =>
+        s"SELECT $s AS subspace, centroid_id, ctr FROM pq${s}_kmcent_1").mkString(" UNION ALL ")
+      val d2 = s"${SimilaritySearch.dotSql("subvec", "subvec", 16)} - 2.0 * ${SimilaritySearch.dotSql("subvec", "ctr", 16)} + ${SimilaritySearch.dotSql("ctr", "ctr", 16)}"
+      s"""
+      WITH ${SimilaritySearch.fitCentroidsCtes("SELECT vec_id AS id, embedding AS vec FROM embeddings", k = 8, rounds = 1, dim = 64)},
+      cent AS (SELECT centroid_id, ctr FROM kmcent_1),
+      corp AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      ca AS (
+        SELECT id, vec, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY ctr_cos DESC, centroid_id) AS r
+        FROM (SELECT p.id, p.vec, c.centroid_id,
+                round(${SimilaritySearch.cosineSql("p.vec", "c.ctr", 64)}, 9) AS ctr_cos
+              FROM corp p CROSS JOIN cent c)
+      ),
+      cassign AS (SELECT id, vec, centroid_id AS cell FROM ca WHERE r = 1),
+      res AS (
+        SELECT a.id, a.cell, list_transform(a.vec, (x, i) -> x - c.ctr[i]) AS res
+        FROM cassign a JOIN cent c ON a.cell = c.centroid_id
+      ),
+      $resFits,
+      books AS ($booksSql),
+      subs AS (
+        SELECT id, cell, t.subspace,
+          res[(t.subspace*16 + 1):(t.subspace*16 + 16)] AS subvec
+        FROM res CROSS JOIN unnest([0, 1, 2, 3]) AS t(subspace)
+      ),
+      encd AS (
+        SELECT id, cell, subspace, centroid_id,
+          row_number() OVER (PARTITION BY id, subspace ORDER BY d2, centroid_id) AS r
+        FROM (SELECT s.id, s.cell, s.subspace, b.centroid_id, round($d2, 9) AS d2
+              FROM subs s JOIN books b USING (subspace))
+      ),
+      codes AS (SELECT id, cell, subspace, centroid_id AS code FROM encd WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+            WHERE vec_id >= 100 AND vec_id < 120),
+      qa AS (
+        SELECT query_id, qvec, centroid_id, ctr,
+          row_number() OVER (PARTITION BY query_id ORDER BY ctr_cos DESC, centroid_id) AS r
+        FROM (SELECT query_id, qvec, c.centroid_id, c.ctr,
+                round(${SimilaritySearch.cosineSql("qvec", "c.ctr", 64)}, 9) AS ctr_cos
+              FROM q CROSS JOIN cent c)
+      ),
+      probes AS (
+        SELECT query_id, centroid_id AS cell,
+          CAST(floor((${SimilaritySearch.dotSql("qvec", "ctr", 64)}) * 1000000000) AS BIGINT) AS fcell
+        FROM qa WHERE r <= 2
+      ),
+      qsubs AS (
+        SELECT vec_id AS query_id, t.subspace,
+          embedding[(t.subspace*16 + 1):(t.subspace*16 + 16)] AS qsub
+        FROM embeddings CROSS JOIN unnest([0, 1, 2, 3]) AS t(subspace)
+        WHERE vec_id >= 100 AND vec_id < 120
+      ),
+      lut AS (
+        SELECT query_id, subspace, centroid_id AS code,
+          CAST(floor(${SimilaritySearch.dotSql("qsub", "ctr", 16)} * 1000000000) AS BIGINT) AS fdot
+        FROM qsubs JOIN books USING (subspace)
+      ),
+      sc AS (
+        SELECT p.query_id, c.id AS neighbor_id,
+          CAST(min(p.fcell) + sum(l.fdot) AS BIGINT) AS fadc
+        FROM codes c
+        JOIN probes p ON c.cell = p.cell AND c.id <> p.query_id
+        JOIN lut l ON l.query_id = p.query_id AND l.subspace = c.subspace AND l.code = c.code
+        GROUP BY 1, 2
+      ),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY fadc DESC, neighbor_id) AS rank FROM sc)
+      SELECT query_id, neighbor_id, CAST(fadc AS DOUBLE) / 1000000000.0 AS adc_dot, rank
+      FROM rk WHERE rank <= 3 ORDER BY query_id, rank
+      """.trim
+    }
+  )
+
+  /** The same IVF-PQ probe through a PERSISTED index — write (Hive-
+    * partitioned codes) → read → probe. The oracle is `embed_ivfpq`'s
+    * verbatim: the index round-trip changes NOTHING. */
+  val embedIvfPqIdx: QueryDef = QueryDef(
+    "embed_ivfpq_idx",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val path = gateScratchDir("graft_ivfpq_idx_gate")
+      SimilaritySearch.writeIvfPqIndex(
+        SimilaritySearch.fitIvfPq(e, "vec_id", "embedding",
+          kc = 8, coarseRounds = 1, m = 4, ksub = 4, pqRounds = 1, dim = 64),
+        path, mode = org.apache.spark.sql.SaveMode.Overwrite)
+      SimilaritySearch.ivfPqTopK(SimilaritySearch.readIvfPqIndex(s, path),
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+        "vec_id", "embedding", m = 4, subDim = 16, k = 3, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    embedIvfPq.oracle
+  )
+
   /** SemDeDup over the planted-clone corpus: k-means cluster (the
     * deterministic fixed-point fit, replayed by the oracle via unrolled
     * CTEs), within-cluster cosine pairs, connected components, min-id
@@ -1823,6 +1941,6 @@ object Pipeline {
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, deconOverlap, curationFunnel, pipelineE2e,
-    embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups
+    embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups
   )
 }

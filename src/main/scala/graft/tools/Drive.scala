@@ -192,6 +192,11 @@ object Drive {
       val codes = SimilaritySearch.pqEncode(pts, books, "vec_id", "embedding", m = 2, subDim = 2)
       SimilaritySearch.pqTopK(codes, books, pts.filter($"vec_id" === 1L),
         "vec_id", "embedding", m = 2, subDim = 2, k = 2).show()
+      // IVF-PQ: coarse cells + residual codes, ADC probe of nprobe cells
+      val ivfpq = SimilaritySearch.fitIvfPq(pts, "vec_id", "embedding",
+        kc = 2, coarseRounds = 1, m = 2, ksub = 2, pqRounds = 1, dim = 4)
+      SimilaritySearch.ivfPqTopK(ivfpq, pts.filter($"vec_id" === 1L),
+        "vec_id", "embedding", m = 2, subDim = 2, k = 2, nprobe = 2).show()
     }
     println("=== semantic dedup (SemDeDup: k-means cells -> cosine pairs -> components) ===")
     locally {

@@ -299,6 +299,84 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters") && scan.contains("cell"))
   }
 
+  test("fitIvfPq/ivfPqTopK: clone of the query tops the ranking; codes complete; broadcast probe") {
+    // two clean direction clusters in 4 dims (m=2 subspaces of 2)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.05f, 0.0f, 0.0f)),   // clone of 0
+      (2L, Array(0.95f, 0.1f, 0.05f, 0.0f)),  // near 0
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.9f)),
+      (4L, Array(0.05f, 0.0f, 0.9f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val index = SimilaritySearch.fitIvfPq(corpus, "vec_id", "embedding",
+      kc = 2, coarseRounds = 2, m = 2, ksub = 2, pqRounds = 1, dim = 4)
+    // codes: exactly m rows per doc, codes within [0, ksub), one cell per doc
+    val codes = index.codes.collect()
+    assert(codes.length == 5 * 2)
+    assert(codes.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 2))
+    assert(index.codes.select("id", "cell").distinct().count() == 5)
+    val topk = SimilaritySearch.ivfPqTopK(index, corpus.filter(col("vec_id") === 0),
+      "vec_id", "embedding", m = 2, subDim = 2, k = 3, nprobe = 2)
+    val got = topk.collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    // the clone shares cell AND codes with the query: must rank first
+    assert(got.head == ((1L, 1)), got.mkString(","))
+    assert(!got.map(_._1).contains(0L)) // self excluded
+    // probe + LUT both broadcast; the code relation never cartesians
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ivfPqTopK over a persisted index ≡ inline; code scan prunes to probed cells") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (2L, Array(0.95f, 0.1f, 0.05f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.9f)),
+      (4L, Array(0.05f, 0.0f, 0.9f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0)
+    val index = SimilaritySearch.fitIvfPq(corpus, "vec_id", "embedding",
+      kc = 2, coarseRounds = 2, m = 2, ksub = 2, pqRounds = 1, dim = 4)
+    val inline = rows(SimilaritySearch.ivfPqTopK(index, queries,
+      "vec_id", "embedding", m = 2, subDim = 2, k = 3, nprobe = 2))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString + "/idx"
+    SimilaritySearch.writeIvfPqIndex(index, path)
+    val viaIndex = rows(SimilaritySearch.ivfPqTopK(
+      SimilaritySearch.readIvfPqIndex(spark, path), queries,
+      "vec_id", "embedding", m = 2, subDim = 2, k = 3, nprobe = 2))
+    assert(viaIndex == inline && inline.nonEmpty)
+    val oneCell = spark.read.parquet(s"$path/codes").filter(col("cell") === 0)
+    val scan = oneCell.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+  }
+
+  test("fit kernels are zero-vector-safe (the IVF-PQ residual contract)") {
+    // a zero vector has no direction: cos := 0 to every centroid, ties
+    // to min centroid id — no ANSI DIVIDE_BY_ZERO (Spark) / NaN (DuckDB)
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    assert(SimilaritySearch.fitCentroids(pts, "vec_id", "embedding",
+      k = 2, rounds = 2, dim = 2).count() == 2)
+    // extreme case: {A, A, B} with kc=2 reconstructs every vector
+    // exactly — ALL residuals are zero vectors; the whole PQ fit +
+    // encode must still complete deterministically
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val idx = SimilaritySearch.fitIvfPq(corpus, "vec_id", "embedding",
+      kc = 2, coarseRounds = 1, m = 2, ksub = 2, pqRounds = 1, dim = 4)
+    assert(idx.codes.count() == 6)
+    // the clone pair still finds each other through zero-residual codes
+    val topk = SimilaritySearch.ivfPqTopK(idx, corpus.filter(col("vec_id") === 0),
+      "vec_id", "embedding", m = 2, subDim = 2, k = 1, nprobe = 1)
+      .collect().map(_.getLong(1)).toSeq
+    assert(topk == Seq(1L))
+  }
+
   test("fitCentroids: empty cells keep their previous centroid; composes with ivfTopK") {
     // k=3 over 2 real clusters: at least one cell may end up empty after
     // assignment — its centroid must survive (coalesce), never null out
