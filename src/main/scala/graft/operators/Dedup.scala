@@ -742,6 +742,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT n-gram CONTAINMENT pairs — Broder's asymmetric measure
+    * ("On the resemblance and containment of documents", SEQUENCES
+    * 1997): containment(A in B) = |A∩B| / |A| over the distinct
+    * 30-bit shingle sets. The relation symmetric Jaccard structurally
+    * misses: a short document quoted whole inside a long one has
+    * containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 — the
+    * quote/excerpt/boilerplate-wrapper case of dedup practice.
+    *
+    * Same complete inverted-index candidate set as
+    * [[ngramJaccardPairs]] (a qualifying pair shares ≥ 1 shingle for
+    * any positive threshold), same row-level pair-count verification,
+    * and the SAME restricted-input skew contract — run on
+    * restricted/sampled corpora, or df-cap the shingles first.
+    *
+    * @return (id_a, id_b, cont_a_in_b, cont_b_in_a) with id_a < id_b,
+    *         emitted when EITHER direction ≥ `threshold` */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    require(threshold > 0.0, "threshold must be > 0 (shared-shingle candidate index is complete only for positive thresholds)")
+    val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen))
+    val ex = hs.select(col("id"), explode(col("hs")).as("h"))
+    val sizes = hs.select(col("id"), size(col("hs")).as("n"))
+    val pairCounts = ex.as("a")
+      .join(ex.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("ni"))
+    pairCounts
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / col("na").cast("double")).as("cont_a_in_b"),
+        (col("ni").cast("double") / col("nb").cast("double")).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** Recall/precision report of the MinHash-LSH tier against the exact
     * n-gram Jaccard ground truth on the same corpus and threshold — the
     * measurement that justifies a (k, bands) choice before a 100 TB

@@ -270,6 +270,27 @@ object Pipeline {
     """.trim)
   )
 
+  /** Asymmetric containment on the restricted corpus: the planted tail
+    * variants CONTAIN their originals whole (cont_a_in_b = 1.0 while
+    * Jaccard < 1) — the quote/excerpt relation the symmetric tier
+    * cannot express. */
+  val ngramContainment: QueryDef = QueryDef(
+    "ngram_containment",
+    (s, dir) => Dedup.ngramContainmentPairs(
+      corpus(s, dir).filter((col("id") % 1000000 % 10) < 2), "id", "text",
+      shingleLen = 3, threshold = 0.9).orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH ${shingleCtes(s"SELECT * FROM ($corpusSql) WHERE id % 1000000 % 10 < 2", hashBits30 = true, distinct = true)}
+      SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM (
+        SELECT a.id AS id_a, b.id AS id_b,
+          CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / len(a.hs) AS cont_a_in_b,
+          CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / len(b.hs) AS cont_b_in_a
+        FROM hs a JOIN hs b ON a.id < b.id)
+      WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.9
+      ORDER BY id_a, id_b
+    """.trim)
+  )
+
   /** LSH-vs-exact evaluation on the restricted corpus: how many true
     * Jaccard-0.6 pairs does the (k=16, bands=4) banding recover? */
   val lshRecall: QueryDef = QueryDef(
@@ -1937,7 +1958,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     c4CleanQ, lineDedupQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
-    dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard,
+    dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, deconOverlap, curationFunnel, pipelineE2e,

@@ -114,6 +114,9 @@ object Drive {
         .orderBy("id_a", "id_b").show()
       Dedup.ngramJaccardPairsCapped(d, "id", "text", shingleLen = 3, threshold = 0.3, maxDf = 2)
         .orderBy("id_a", "id_b").show()
+      // doc 1 is contained whole in doc 2 (containment 1.0, jaccard < 1)
+      Dedup.ngramContainmentPairs(d, "id", "text", shingleLen = 3, threshold = 0.9)
+        .orderBy("id_a", "id_b").show()
       Dedup.lshRecallReport(d, "id", "text", threshold = 0.3).show()
       Dedup.nearDupSurvivors(d, "id", "text", threshold = 0.3).orderBy("id").show(false)
       // quality-aware keeper: doc 2 (longer) survives its component, not min-id 1

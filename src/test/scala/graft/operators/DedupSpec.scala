@@ -125,6 +125,23 @@ class DedupSpec extends SparkTestBase {
     assert(!got.contains(5L))                  // too short to shingle
   }
 
+  test("ngramContainmentPairs: a quoted doc has containment 1 where Jaccard stays low") {
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val wrapper = ("filler opening words with plenty of unrelated content here " * 3) +
+      quote + " and a long closing trail of yet more unrelated filler text to dilute jaccard"
+    val df = Seq((1L, quote), (2L, wrapper),
+      (3L, "completely different third document about nothing shared")).toDF("id", "text")
+    val got = Dedup.ngramContainmentPairs(df, "id", "text", shingleLen = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 1)
+    val (a, b, cab, cba) = got.head
+    assert(a == 1L && b == 2L)
+    assert(cab == 1.0)       // every shingle of the quote appears in the wrapper
+    assert(cba < 0.5)        // while the wrapper is NOT contained in the quote
+    // and symmetric Jaccard on the same input misses the pair at 0.5
+    assert(Dedup.ngramJaccardPairs(df, "id", "text", 3, 0.5).count() == 0)
+  }
+
   test("nearDupSurvivorsBy keeps the best-scored doc per component; ties and nulls ordered") {
     val df = Seq(
       // near-dup component: 11 and 12 (12 = 11 + tail, higher score)
