@@ -300,17 +300,29 @@ object SimilaritySearch {
   }
 
   /** Assign each vector to its `nprobe` nearest centroids by cosine
-    * (rounded to 9 dp, centroid-id tiebreak — engine-stable).
-    * @return (idAlias, vecAlias, cell, probe_rank) */
+    * (rounded to 9 dp, centroid-id tiebreak — engine-stable; the
+    * [[cosineZeroSafe]] zero contract, so zero vectors — admitted as
+    * IVF-PQ residual input and possible as all-cancelled centroid
+    * means — tie at 0 and assign to the min centroid id instead of
+    * raising ANSI DIVIDE_BY_ZERO).
+    * @return (idAlias, vecAlias, cell) */
   private def ivfAssign(vecs: DataFrame, idAlias: String, vecAlias: String,
+      centroids: DataFrame, nprobe: Int): DataFrame =
+    ivfAssignFull(vecs, idAlias, vecAlias, centroids, nprobe)
+      .select(col(idAlias), col(vecAlias), col("cell"))
+
+  /** [[ivfAssign]] retaining the matched centroid vector — the single
+    * home of the probe-ranking logic ([[ivfPqTopK]] derives its coarse
+    * dot from `ctr_vec`; plain callers project it away). */
+  private def ivfAssignFull(vecs: DataFrame, idAlias: String, vecAlias: String,
       centroids: DataFrame, nprobe: Int): DataFrame = {
     val scored = vecs.join(broadcast(centroids), lit(true))
-      .withColumn("ctr_cos", round(cosine(col(vecAlias), col("ctr_vec")), 9))
+      .withColumn("ctr_cos", round(cosineZeroSafe(col(vecAlias), col("ctr_vec")), 9))
     val w = Window.partitionBy(idAlias).orderBy(col("ctr_cos").desc, col("centroid_id").asc)
     scored
       .withColumn("probe_rank", row_number().over(w))
       .filter(col("probe_rank") <= nprobe)
-      .select(col(idAlias), col(vecAlias), col("centroid_id").as("cell"))
+      .select(col(idAlias), col(vecAlias), col("centroid_id").as("cell"), col("ctr_vec"))
   }
 
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer tier: corpus
@@ -612,14 +624,7 @@ object SimilaritySearch {
     *         top `k` by approximate dot per query */
   def pqTopK(codes: DataFrame, books: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int, k: Int): DataFrame = {
-    val qsubs = queries.select(col(idCol).as("query_id"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(pqChecked(col(vecCol), m, subDim), s * lit(subDim) + lit(1), lit(subDim)))))
-      .select(col("query_id"), col("pos").as("subspace"), col("col").as("qsub"))
-    val lut = qsubs.join(books.select(col("subspace"), col("centroid_id").as("code"),
-        col("ctr_vec")), Seq("subspace"))
-      .select(col("query_id"), col("subspace"), col("code"),
-        floor(dot(col("qsub"), col("ctr_vec")) * lit(1e9)).cast("long").as("fdot"))
+    val lut = pqLut(queries, idCol, vecCol, books, m, subDim)
     val scored = codes.join(broadcast(lut), Seq("subspace", "code"))
       .filter(col("query_id") =!= col("id"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
@@ -630,6 +635,22 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         (col("fadc").cast("double") / lit(1e9)).as("adc_dot"), col("rank"))
+  }
+
+  /** The per-query ADC lookup table — each query's fixed-point dot with
+    * EVERY codeword: (query_id, subspace, code, fdot 1e-9-BIGINT).
+    * Shared by [[pqTopK]] and [[ivfPqTopK]] (one tiny queries×codebook
+    * join; m·ksub rows per query). */
+  private def pqLut(queries: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val qsubs = queries.select(col(idCol).as("query_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(pqChecked(col(vecCol), m, subDim), s * lit(subDim) + lit(1), lit(subDim)))))
+      .select(col("query_id"), col("pos").as("subspace"), col("col").as("qsub"))
+    qsubs.join(books.select(col("subspace"), col("centroid_id").as("code"),
+        col("ctr_vec")), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        floor(dot(col("qsub"), col("ctr_vec")) * lit(1e9)).cast("long").as("fdot"))
   }
 
   /** The IVF-PQ index (Jégou et al., "Product Quantization for Nearest
@@ -694,23 +715,11 @@ object SimilaritySearch {
   def ivfPqTopK(index: IvfPqIndex, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int, k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val scoredCells = q.join(broadcast(
-        index.centroids.select(col("centroid_id"), col("ctr_vec"))), lit(true))
-      .withColumn("ctr_cos", round(cosine(col("qvec"), col("ctr_vec")), 9))
-    val wp = Window.partitionBy("query_id").orderBy(col("ctr_cos").desc, col("centroid_id").asc)
-    val probes = scoredCells
-      .withColumn("probe_rank", row_number().over(wp))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col("query_id"), col("centroid_id").as("cell"),
+    val probes = ivfAssignFull(q, "query_id", "qvec",
+        index.centroids.select(col("centroid_id"), col("ctr_vec")), nprobe)
+      .select(col("query_id"), col("cell"),
         floor(dot(col("qvec"), col("ctr_vec")) * lit(1e9)).cast("long").as("fcell"))
-    val qsubs = q.select(col("query_id"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(pqChecked(col("qvec"), m, subDim), s * lit(subDim) + lit(1), lit(subDim)))))
-      .select(col("query_id"), col("pos").as("subspace"), col("col").as("qsub"))
-    val lut = qsubs.join(index.books.select(col("subspace"), col("centroid_id").as("code"),
-        col("ctr_vec")), Seq("subspace"))
-      .select(col("query_id"), col("subspace"), col("code"),
-        floor(dot(col("qsub"), col("ctr_vec")) * lit(1e9)).cast("long").as("fdot"))
+    val lut = pqLut(q, "query_id", "qvec", index.books, m, subDim)
     val scored = index.codes.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("id"))
       .join(broadcast(lut), Seq("query_id", "subspace", "code"))

@@ -1050,7 +1050,7 @@ object Pipeline {
         SELECT neighbor_id, nvec, centroid_id,
           row_number() OVER (PARTITION BY neighbor_id ORDER BY ctr_cos DESC, centroid_id) AS r
         FROM (SELECT neighbor_id, nvec, centroid_id,
-                round(${SimilaritySearch.cosineSql("nvec", "ctr", 64)}, 9) AS ctr_cos
+                round(${SimilaritySearch.cosineZeroSafeSql("nvec", "ctr", 64)}, 9) AS ctr_cos
               FROM corp CROSS JOIN cent)
       ),
       cassign AS (SELECT neighbor_id, nvec, centroid_id AS cell FROM ca WHERE r = 1),
@@ -1059,7 +1059,7 @@ object Pipeline {
         SELECT query_id, qvec, centroid_id,
           row_number() OVER (PARTITION BY query_id ORDER BY ctr_cos DESC, centroid_id) AS r
         FROM (SELECT query_id, qvec, centroid_id,
-                round(${SimilaritySearch.cosineSql("qvec", "ctr", 64)}, 9) AS ctr_cos
+                round(${SimilaritySearch.cosineZeroSafeSql("qvec", "ctr", 64)}, 9) AS ctr_cos
               FROM q CROSS JOIN cent)
       ),
       qassign AS (SELECT query_id, qvec, centroid_id AS cell FROM qa WHERE r <= 2),
@@ -1100,7 +1100,7 @@ object Pipeline {
         SELECT neighbor_id, nvec, centroid_id,
           row_number() OVER (PARTITION BY neighbor_id ORDER BY ctr_cos DESC, centroid_id) AS r
         FROM (SELECT neighbor_id, nvec, centroid_id,
-                round(${SimilaritySearch.cosineSql("nvec", "ctr", 64)}, 9) AS ctr_cos
+                round(${SimilaritySearch.cosineZeroSafeSql("nvec", "ctr", 64)}, 9) AS ctr_cos
               FROM corp CROSS JOIN cent)
       ),
       cassign AS (SELECT neighbor_id, nvec, centroid_id AS cell FROM ca WHERE r = 1),
@@ -1109,7 +1109,7 @@ object Pipeline {
         SELECT query_id, qvec, centroid_id,
           row_number() OVER (PARTITION BY query_id ORDER BY ctr_cos DESC, centroid_id) AS r
         FROM (SELECT query_id, qvec, centroid_id,
-                round(${SimilaritySearch.cosineSql("qvec", "ctr", 64)}, 9) AS ctr_cos
+                round(${SimilaritySearch.cosineZeroSafeSql("qvec", "ctr", 64)}, 9) AS ctr_cos
               FROM q CROSS JOIN cent)
       ),
       qassign AS (SELECT query_id, qvec, centroid_id AS cell FROM qa WHERE r <= 2),
@@ -1310,7 +1310,7 @@ object Pipeline {
         SELECT id, vec, centroid_id,
           row_number() OVER (PARTITION BY id ORDER BY ctr_cos DESC, centroid_id) AS r
         FROM (SELECT p.id, p.vec, c.centroid_id,
-                round(${SimilaritySearch.cosineSql("p.vec", "c.ctr", 64)}, 9) AS ctr_cos
+                round(${SimilaritySearch.cosineZeroSafeSql("p.vec", "c.ctr", 64)}, 9) AS ctr_cos
               FROM corp p CROSS JOIN cent c)
       ),
       cassign AS (SELECT id, vec, centroid_id AS cell FROM ca WHERE r = 1),
@@ -1426,7 +1426,7 @@ object Pipeline {
         SELECT id, vec, centroid_id,
           row_number() OVER (PARTITION BY id ORDER BY c DESC, centroid_id) AS r
         FROM (SELECT p.id, p.vec, c.centroid_id,
-                round(${SimilaritySearch.cosineSql("p.vec", "c.ctr", 64)}, 9) AS c
+                round(${SimilaritySearch.cosineZeroSafeSql("p.vec", "c.ctr", 64)}, 9) AS c
               FROM kmpts p CROSS JOIN cent c)
       ),
       asg AS (SELECT id, vec, centroid_id AS cell FROM aa WHERE r = 1),

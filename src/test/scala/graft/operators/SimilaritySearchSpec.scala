@@ -375,6 +375,16 @@ class SimilaritySearchSpec extends SparkTestBase {
       "vec_id", "embedding", m = 2, subDim = 2, k = 1, nprobe = 1)
       .collect().map(_.getLong(1)).toSeq
     assert(topk == Seq(1L))
+    // zero-safety reaches ASSIGNMENT and PROBE too, not just the fit:
+    // a zero corpus vector builds (ties to the min centroid id) and a
+    // zero query probes without DIVIDE_BY_ZERO
+    val withZero = corpus.unionByName(
+      Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val idxZ = SimilaritySearch.fitIvfPq(withZero, "vec_id", "embedding",
+      kc = 2, coarseRounds = 1, m = 2, ksub = 2, pqRounds = 1, dim = 4)
+    assert(idxZ.codes.filter(col("id") === 9L).count() == 2)
+    assert(SimilaritySearch.ivfPqTopK(idxZ, withZero.filter(col("vec_id") === 9L),
+      "vec_id", "embedding", m = 2, subDim = 2, k = 1, nprobe = 1).count() >= 0)
   }
 
   test("fitCentroids: empty cells keep their previous centroid; composes with ivfTopK") {
