@@ -244,8 +244,13 @@ object Classify {
     * (the paper's Gumbel top-k trick), made rerun-stable by drawing
     * the Gumbel noise content-addressed:
     * u = (h60("gum:"+id) mod 2^20 + 0.5) / 2^20 (an exact double),
-    * g = −ln(−ln u). Featureless documents carry weight 0 (they stay
-    * eligible — the same contract as a zero-information doc).
+    * g = −ln(−ln u). The key is formed in NATS (ln w + g — Gumbel
+    * top-k is ∝ w only when the weight enters as a NATURAL log, and
+    * lw is stored in log2 bits), both terms on a 1e-6 BIGINT grid so
+    * the compare is pure integer — cross-engine libm ulps in the
+    * transcendental g cannot reorder it. Featureless documents carry
+    * weight 0 (they stay eligible — the same contract as a
+    * zero-information doc).
     *
     * Scale shape: two bucket-count fits (≤ buckets rows each), one
     * scoring pass (explode + broadcast model + one id-keyed shuffle),
@@ -275,11 +280,17 @@ object Classify {
       .groupBy("id").agg(sum(col("w")).as("lw"))
     val u = ((portableHash60(concat(lit("gum:"), col("id").cast("string"))) % lit(GumbelM))
       .cast("double") + lit(0.5)) / lit(GumbelM.toDouble)
-    val lwd = col("lw").cast("double") / lit(1e6)
+    // micro-nats = floor(lw·ln2): lw (1e-6 BIGINT bits) converts to
+    // the 1e-6 nat grid via ONE IEEE-deterministic double product with
+    // the shared Ln2 literal; the Gumbel term floors onto the same
+    // grid, so gkey orders as BIGINT (floor-boundary straddle on the
+    // transcendental is the accepted measure-zero class)
     raw.select(col(idCol).as("id"))
       .join(sums, Seq("id"), "left")
       .select(col("id"), coalesce(col("lw"), lit(0L)).as("lw"))
-      .select(col("id"), col("lw"), (lwd + -log(-log(u))).as("gkey"))
+      .select(col("id"), col("lw"),
+        (floor(col("lw").cast("double") * lit(Ln2)).cast("long")
+          + floor(-log(-log(u)) * lit(1e6)).cast("long")).as("gkey"))
       .orderBy(col("gkey").desc, col("id"))
       .limit(k)
       .select(col("id"), (col("lw").cast("double") / lit(1e6)).as("log_weight_bits"))
@@ -300,7 +311,8 @@ object Classify {
                        FROM ($rawInput) r LEFT JOIN ${prefix}sc USING (id))
     SELECT id, CAST(lw AS DOUBLE) / 1000000.0 AS log_weight_bits
     FROM (SELECT id, lw,
-            ((CAST(lw AS DOUBLE) / 1000000.0) + (-ln(-ln($uExpr)))) AS gkey
+            (CAST(floor(CAST(lw AS DOUBLE) * $Ln2) AS BIGINT)
+              + CAST(floor((-ln(-ln($uExpr))) * 1000000.0) AS BIGINT)) AS gkey
           FROM ${prefix}all
           ORDER BY gkey DESC, id LIMIT $k)"""
   }

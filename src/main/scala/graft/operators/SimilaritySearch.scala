@@ -680,11 +680,11 @@ object SimilaritySearch {
       kc: Int, coarseRounds: Int, m: Int, ksub: Int, pqRounds: Int, dim: Int): IvfPqIndex = {
     require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
     val cent = fitCentroids(df, idCol, vecCol, kc, coarseRounds, dim)
-    val assigned = ivfAssign(
-      df.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec", cent, 1)
+    // ivfAssignFull keeps the matched centroid vector, so the residual
+    // is a map-side zip_with — no second broadcast join to re-fetch it.
     // residuals feed BOTH the codebook fit and the encode — one pass
-    val residuals = Materialize(assigned
-      .join(broadcast(cent.select(col("centroid_id").as("cell"), col("ctr_vec"))), Seq("cell"))
+    val residuals = Materialize(ivfAssignFull(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec", cent, 1)
       .select(col("id"), col("cell"),
         zip_with(col("vec"), col("ctr_vec"), (a, b) => a - b).as("res")))
     val books = fitPqCodebooks(residuals, "id", "res", m, ksub, pqRounds, dim)

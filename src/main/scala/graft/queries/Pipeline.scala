@@ -1338,7 +1338,7 @@ object Pipeline {
         SELECT query_id, qvec, centroid_id, ctr,
           row_number() OVER (PARTITION BY query_id ORDER BY ctr_cos DESC, centroid_id) AS r
         FROM (SELECT query_id, qvec, c.centroid_id, c.ctr,
-                round(${SimilaritySearch.cosineSql("qvec", "c.ctr", 64)}, 9) AS ctr_cos
+                round(${SimilaritySearch.cosineZeroSafeSql("qvec", "c.ctr", 64)}, 9) AS ctr_cos
               FROM q CROSS JOIN cent c)
       ),
       probes AS (
