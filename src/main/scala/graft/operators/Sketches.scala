@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{portableHash60, portableHash60Sql}
+
+/** Deterministic cardinality / frequency sketches — the fixed-state
+  * summaries a 100 TB pipeline keeps where exact keyed aggregation
+  * would shuffle the full key space:
+  *
+  *  - [[hllRegisters]]/[[hllEstimate]]: HyperLogLog (Flajolet et al.,
+  *    AofA 2007) distinct counts. The register relation is map-side
+  *    combinable (`max` per bucket) and MERGEABLE — sketches of two
+  *    corpus shards union with elementwise max into the sketch of the
+  *    union, so a 1000-executor fleet reduces O(2^p) state per group
+  *    instead of shuffling every distinct key (spec-pinned).
+  *  - [[cmsCounts]]/[[cmsEstimate]]: count-min (Cormode &
+  *    Muthukrishnan, J.Alg 2005) frequency estimates over an unbounded
+  *    key stream in O(d·w) state; counts are plain `sum`s, so shard
+  *    sketches ADD into the union sketch (spec-pinned) and the
+  *    estimate upper-bounds the true count, with the classic
+  *    ε = e/w, δ = e^-d guarantee.
+  *
+  * Unlike library sketches (HLL++ `approx_count_distinct`, DataSketches),
+  * every draw here is content-addressed off md5 — no RNG, no JVM-specific
+  * serialization — so a DuckDB oracle replays the registers, the counts
+  * and both estimates bit-for-bit, and reruns are stable across engines
+  * and cluster sizes.
+  *
+  * Engine-parity notes (the usual discipline): bucket sums stay in
+  * BIGINT by construction (Σ 2^(maxRho−reg) ≤ m·2^maxRho = 2^61 for
+  * any p ≥ 0), the one transcendental (the linear-counting `ln`) exits
+  * through `floor(·1e6)` micro-units — the accepted measure-zero
+  * straddle class — and the raw-branch estimate is a single IEEE
+  * divide of a shared literal by an exact integer, bit-identical on
+  * both engines. `length(bin(x))` is the shared integer log2: both
+  * engines render minimal binary strings (`bin(0)='0'`).
+  *
+  * Contract: sketch keys must be non-null (a null key hashes to a null
+  * bucket and silently vanishes from the sketch on both engines —
+  * filter upstream, as every caller here does by exploding token
+  * arrays). */
+object Sketches {
+
+  /** HLL register relation for distinct `keyCol` per `grpCol`:
+    * (grpCol, bucket 0..2^p−1, reg 1..61−p). Only buckets that saw a
+    * key appear (absent ⇒ register 0); `max` per bucket makes the
+    * relation map-side combinable and union-mergeable ([[hllMerge]]).
+    *
+    * h is the 60-bit md5 hash: bucket = h mod m, and the register
+    * value is the leading-zero rank of the remaining 60−p bits,
+    * rho = (61−p) − bitlen(h div m) — integer-only on both engines. */
+  def hllRegisters(df: DataFrame, grpCol: String, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 20, s"p must be in [4, 20], got $p")
+    val m = 1L << p
+    val maxRho = 61 - p
+    val h = portableHash60(col(keyCol))
+    df.select(col(grpCol), (h % lit(m)).as("bucket"), (h / lit(m)).as("rem"))
+      .select(col(grpCol), col("bucket"),
+        (lit(maxRho) - when(col("rem") === 0, lit(0)).otherwise(length(bin(col("rem"))))).as("rho"))
+      .groupBy(col(grpCol), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Merge register relations of disjoint (or overlapping — HLL does
+    * not care) corpus shards: elementwise max per (group, bucket). */
+  def hllMerge(shards: Seq[DataFrame], grpCol: String): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy(col(grpCol), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+
+  /** Distinct-count estimate per group from a register relation:
+    * (grpCol, est_distinct). The harmonic sum runs in exact BIGINT
+    * (2^(maxRho−reg) terms; empty buckets contribute 2^maxRho), the
+    * raw estimate α·m²·2^maxRho / S is one deterministic IEEE divide,
+    * and the small-range branch (E ≤ 2.5m with empty buckets) switches
+    * to linear counting m·ln(m/V), floored onto the 1e-6 grid. */
+  def hllEstimate(registers: DataFrame, grpCol: String, p: Int): DataFrame = {
+    require(p >= 7 && p <= 20, s"p must be in [7, 20] (alpha constant assumes m >= 128), got $p")
+    val m = 1L << p
+    val maxRho = 61 - p
+    val cNum = hllAlphaNum(p)
+    val agg = registers
+      .groupBy(col(grpCol))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - CAST(reg AS INT))")).as("sp"),
+        count(lit(1)).as("nb"))
+      .select(col(grpCol),
+        (col("sp") + (lit(m) - col("nb")) * lit(1L << maxRho)).as("s"),
+        (lit(m) - col("nb")).as("v"))
+    val eRaw = lit(cNum) / col("s").cast("double")
+    val eLin = lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double"))
+    agg.select(col(grpCol),
+      (floor(when(col("v") > 0 && eRaw <= lit(2.5 * m), eLin).otherwise(eRaw) * lit(1e6))
+        .cast("long").cast("double") / lit(1e6)).as("est_distinct"))
+  }
+
+  /** α_m · m² · 2^maxRho — precomputed in Scala and embedded as ONE
+    * shared literal on both engines (the oracle interpolates the same
+    * double), so the raw estimate's float path is a single divide. */
+  private[graft] def hllAlphaNum(p: Int): Double = {
+    val m = 1L << p
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    alpha * m.toDouble * m.toDouble * math.pow(2.0, 61 - p)
+  }
+
+  /** DuckDB twin of [[hllRegisters]] → [[hllEstimate]] → join with the
+    * exact distinct count — the `hll_distinct` gate shape. `input`
+    * projects (grpCol, keyExpr rows already exploded to one key per
+    * row). */
+  def hllDistinctSql(input: String, grpCol: String, keyExpr: String, p: Int): String = {
+    val m = 1L << p
+    val maxRho = 61 - p
+    val cNum = hllAlphaNum(p)
+    s"""WITH hk AS (SELECT $grpCol, ${portableHash60Sql(keyExpr)} AS h FROM ($input)),
+      hr AS (SELECT $grpCol, h % $m AS bucket,
+               ($maxRho - (CASE WHEN h // $m = 0 THEN 0 ELSE length(bin(h // $m)) END)) AS rho
+             FROM hk),
+      regs AS (SELECT $grpCol, bucket, max(rho) AS reg FROM hr GROUP BY $grpCol, bucket),
+      ag AS (SELECT $grpCol,
+               CAST(sum(CAST(1 AS BIGINT) << ($maxRho - CAST(reg AS INT))) AS BIGINT) AS sp,
+               count(*) AS nb
+             FROM regs GROUP BY $grpCol),
+      fin AS (SELECT $grpCol, sp + ($m - nb) * (CAST(1 AS BIGINT) << $maxRho) AS s, $m - nb AS v
+              FROM ag),
+      est AS (SELECT $grpCol,
+               CAST(floor(CASE WHEN v > 0 AND ($cNum / CAST(s AS DOUBLE)) <= ${2.5 * m}
+                 THEN ($m.0 * ln($m.0 / CAST(v AS DOUBLE))) * 1000000.0
+                 ELSE ($cNum / CAST(s AS DOUBLE)) * 1000000.0 END) AS BIGINT) / 1000000.0
+                 AS est_distinct
+              FROM fin),
+      ex AS (SELECT $grpCol, count(DISTINCT k) AS exact_distinct
+             FROM (SELECT $grpCol, $keyExpr AS k FROM ($input)) GROUP BY $grpCol)
+    SELECT $grpCol, est_distinct, exact_distinct
+    FROM est JOIN ex USING ($grpCol) ORDER BY $grpCol"""
+  }
+
+  /** Count-min table over `keyCol` rows: (r 0..d−1, bucket 0..w−1, c).
+    * Each key lands in one bucket per hash row (seed "cms&lt;r&gt;:");
+    * the counts are plain sums, so the relation is map-side combinable
+    * to ≤ d·w rows per partition and shard tables ADD into the union
+    * table. */
+  def cmsCounts(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    df.select(col(keyCol).as("k"))
+      .select(posexplode(transform(sequence(lit(0), lit(d - 1)),
+        r => portableHash60(concat(lit("cms"), r.cast("string"), lit(":"), col("k"))) % lit(w.toLong))))
+      .select(col("pos").as("r"), col("col").as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-frequency estimates for literal `keys` against a count-min
+    * table: (term, est). est = min over the d rows of that row's
+    * bucket count (0 when the bucket is empty) — an upper bound on the
+    * true frequency, exact when no probe collides in some row. */
+  def cmsEstimate(counts: DataFrame, keys: Seq[String], d: Int, w: Int): DataFrame = {
+    require(keys.nonEmpty, "need at least one probe key")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    keys.toDF("term")
+      .select(col("term"), posexplode(transform(sequence(lit(0), lit(d - 1)),
+        r => portableHash60(concat(lit("cms"), r.cast("string"), lit(":"), col("term"))) % lit(w.toLong))))
+      .select(col("term"), col("pos").as("r"), col("col").as("bucket"))
+      .join(counts, Seq("r", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** DuckDB twin of [[cmsCounts]] → [[cmsEstimate]] → join with exact
+    * counts — the `cms_freq` gate shape. `input` projects one `keyExpr`
+    * per row; `keys` render as a VALUES list. */
+  def cmsFreqSql(input: String, keyExpr: String, keys: Seq[String], d: Int, w: Int): String = {
+    val vals = keys.map(k => s"('${k.replace("'", "''")}')").mkString(", ")
+    def bucket(key: String) =
+      s"(${portableHash60Sql(s"'cms' || CAST(t.r AS VARCHAR) || ':' || $key")} % $w)"
+    s"""WITH ks AS (SELECT $keyExpr AS k FROM ($input)),
+      cms AS (SELECT t.r, ${bucket("ks.k")} AS bucket, count(*) AS c
+              FROM ks CROSS JOIN range($d) t(r) GROUP BY 1, 2),
+      probes AS (SELECT term, t.r, ${bucket("term")} AS bucket
+                 FROM (VALUES $vals) q(term) CROSS JOIN range($d) t(r)),
+      est AS (SELECT term, min(coalesce(c, 0)) AS est
+              FROM probes LEFT JOIN cms USING (r, bucket) GROUP BY term),
+      ex AS (SELECT term, count(k) AS exact
+             FROM (VALUES $vals) q(term) LEFT JOIN ks ON k = term GROUP BY term)
+    SELECT term, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
+    FROM est JOIN ex USING (term) ORDER BY term"""
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Materialize, Media, Packing, PdqDuplicates, SimilaritySearch, Splits, TextAnalysis}
+import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Materialize, Media, Packing, PdqDuplicates, SimilaritySearch, Sketches, Splits, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1956,7 +1956,56 @@ object Pipeline {
     }
   )
 
+  /** HLL distinct-token estimate per source BESIDE the exact count, so
+    * the gate itself exhibits the error envelope (±1.04/√1024 ≈ 3.3 %
+    * at one σ). The register relation and harmonic sum replay in
+    * DuckDB bit-for-bit — see [[Sketches]] parity notes. At 100 TB the
+    * point is the left side: O(2^p) mergeable state per group vs the
+    * exact side's full distinct-key shuffle. */
+  val hllDistinctQ: QueryDef = QueryDef(
+    "hll_distinct",
+    (s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.words(col("text"))).as("w"))
+      Sketches.hllEstimate(Sketches.hllRegisters(toks, "source", "w", p = 10), "source", p = 10)
+        .join(toks.groupBy("source").agg(count_distinct(col("w")).as("exact_distinct")),
+          Seq("source"))
+        .orderBy("source")
+    },
+    Some(Sketches.hllDistinctSql(
+      s"SELECT source, unnest(${TextFunctions.wordsSql("text")}) AS w FROM documents",
+      "source", "w", p = 10))
+  )
+
+  /** Count-min probe terms: bm25's literal set plus one absent term —
+    * its exact count is 0 while its estimate shows the collision
+    * upper-bound property on a live table. */
+  private val cmsTerms = Seq("spark", "window", "vector", "stream", "graft_absent_term")
+
+  /** Count-min frequency estimates for the probe set beside the exact
+    * counts. d×w integer counters (map-side combinable, shard tables
+    * sum — spec-pinned) answer point frequencies over an unbounded
+    * vocabulary without keying by it. */
+  val cmsFreqQ: QueryDef = QueryDef(
+    "cms_freq",
+    (s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(TextFunctions.words(col("text"))).as("w"))
+      val est = Sketches.cmsEstimate(Sketches.cmsCounts(toks, "w", d = 4, w = 1024),
+        cmsTerms, d = 4, w = 1024)
+      val exact = toks.filter(col("w").isin(cmsTerms: _*))
+        .groupBy(col("w").as("term")).agg(count(lit(1)).as("n"))
+      est.join(exact, Seq("term"), "left")
+        .select(col("term"), col("est"), coalesce(col("n"), lit(0L)).as("exact"))
+        .orderBy("term")
+    },
+    Some(Sketches.cmsFreqSql(
+      s"SELECT unnest(${TextFunctions.wordsSql("text")}) AS w FROM documents",
+      "w", cmsTerms, d = 4, w = 1024))
+  )
+
   val defs: Seq[QueryDef] = Seq(
+    hllDistinctQ, cmsFreqQ,
     c4CleanQ, lineDedupQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

@@ -295,6 +295,14 @@ object Drive {
         Seq("alpha beta gamma delta").toDF("text"), "text", k = 2, buckets = 256)
         .orderBy("id").show()
     }
+    println("=== sketches: HLL distinct estimate + CMS point frequencies ===")
+    locally {
+      val toks = (0 until 800).map(i => ("web", s"tok_$i")) ++ Seq.fill(25)(("web", "common"))
+      val df = toks.toDF("src", "w")
+      Sketches.hllEstimate(Sketches.hllRegisters(df, "src", "w", p = 10), "src", p = 10).show()
+      Sketches.cmsEstimate(Sketches.cmsCounts(df, "w", d = 4, w = 2048),
+        Seq("common", "tok_5", "absent"), d = 4, w = 2048).orderBy("term").show()
+    }
     println("=== probe: empty-series warnings surface via Warnings.onWarning ===")
     locally {
       @volatile var seen = List.empty[String]

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def keyed(n: Int, grp: String = "g") =
+    (0 until n).map(i => (grp, s"key_$i")).toDF("src", "k")
+
+  test("hll: estimate within the p=10 error envelope on 5000 distinct keys") {
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(keyed(5000), "src", "k", p = 10), "src", p = 10)
+      .collect().head.getDouble(1)
+    // σ = 1.04/√1024 ≈ 3.3%; 10% is a 3σ bound
+    assert(math.abs(est - 5000) / 5000.0 < 0.10, s"est=$est")
+  }
+
+  test("hll: duplicates do not move the sketch; registers stay in [1, 61-p]") {
+    val once = keyed(500)
+    val thrice = once.unionByName(once).unionByName(once)
+    assert(rows(Sketches.hllRegisters(once, "src", "k", p = 10)) ==
+      rows(Sketches.hllRegisters(thrice, "src", "k", p = 10)))
+    val regs = Sketches.hllRegisters(once, "src", "k", p = 10)
+      .agg(min("reg"), max("reg")).collect().head
+    assert(regs.getInt(0) >= 1 && regs.getInt(1) <= 51)
+  }
+
+  test("hll: shard registers merge by max into the whole-corpus sketch") {
+    val all = keyed(3000)
+    val a = all.filter(length(col("k")) % 2 === 0)
+    val b = all.filter(length(col("k")) % 2 === 1)
+    val merged = Sketches.hllMerge(
+      Seq(Sketches.hllRegisters(a, "src", "k", p = 10),
+        Sketches.hllRegisters(b, "src", "k", p = 10)), "src")
+    assert(rows(merged) == rows(Sketches.hllRegisters(all, "src", "k", p = 10)))
+  }
+
+  test("hll: small cardinalities take the linear-counting branch accurately") {
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(keyed(30), "src", "k", p = 10), "src", p = 10)
+      .collect().head.getDouble(1)
+    // linear counting is near-exact this far below m
+    assert(math.abs(est - 30) < 3, s"est=$est")
+  }
+
+  test("hll: groups sketch independently") {
+    val df = keyed(100, "a").unionByName(keyed(2000, "b"))
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "src", "k", p = 10), "src", p = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est("a") - 100) < 15 && math.abs(est("b") - 2000) / 2000.0 < 0.10)
+  }
+
+  test("cms: estimates upper-bound true counts and are exact sans collision") {
+    val toks = Seq.fill(40)("alpha") ++ Seq.fill(7)("beta") ++
+      (0 until 300).map(i => s"noise_$i")
+    val counts = Sketches.cmsCounts(toks.toDF("w"), "w", d = 4, w = 2048)
+    val est = Sketches.cmsEstimate(counts, Seq("alpha", "beta", "absent"), d = 4, w = 2048)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 40 && est("beta") >= 7 && est("absent") >= 0)
+    // w=2048 over ~350 keys: overwhelmingly likely some row is collision-free
+    assert(est("alpha") <= 45 && est("beta") <= 12)
+  }
+
+  test("cms: shard tables add into the union table") {
+    val a = (0 until 200).map(i => s"t_${i % 37}").toDF("w")
+    val b = (0 until 150).map(i => s"t_${i % 23}").toDF("w")
+    val merged = Sketches.cmsCounts(a, "w", 4, 512).unionByName(Sketches.cmsCounts(b, "w", 4, 512))
+      .groupBy("r", "bucket").agg(sum("c").as("c"))
+    assert(rows(merged) == rows(Sketches.cmsCounts(a.unionByName(b), "w", 4, 512)))
+  }
+}
