@@ -167,6 +167,103 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Fixed-grid histogram counts for quantile sketching: (grpCol,
+    * bucket, c) with bucket = min(val div step, nb−1). The scale
+    * replacement for exact `percentile` (a per-group SORT of every
+    * value at 100 TB): counts are plain sums — map-side combinable,
+    * shard histograms ADD (spec-pinned) — and a quantile reads ≤ nb
+    * rows per group. Values must be non-negative integers (word
+    * counts, byte sizes, token budgets — the pipeline's length-ish
+    * columns); caller picks `step`·`nb` to cover the range, the last
+    * bucket absorbs the tail. Null values drop here — matching the
+    * null-ignoring exact percentile on both engines — rather than
+    * ride the cumsum window, where Spark (NULLS FIRST) and DuckDB
+    * (NULLS LAST) would order a null bucket differently. */
+  def histCounts(df: DataFrame, grpCol: String, valCol: String, step: Long, nb: Int): DataFrame = {
+    require(step >= 1 && nb >= 2, s"need step >= 1, nb >= 2; got step=$step nb=$nb")
+    df.filter(col(valCol).isNotNull)
+      .select(col(grpCol),
+        least(expr(s"CAST($valCol AS BIGINT) div $step"), lit(nb - 1L)).as("bucket"))
+      .groupBy(col(grpCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile estimates from a histogram: one output column per
+    * (name, qMicro 1e-6-scaled fraction). Rank r = max(1, ceil(q·N))
+    * (the lower-quantile convention), landing bucket = first with
+    * cumulative count ≥ r, and the within-bucket position interpolates
+    * in EXACT micro-unit integers — est_micro = lo·1e6 + step·1e6·k
+    * div c — so both engines agree bit-for-bit (no float percentile
+    * semantics to reconcile). Output doubles are micro/1e6. */
+  def histQuantiles(counts: DataFrame, grpCol: String, step: Long, nb: Int,
+      qs: Seq[(String, Long)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 1 && q <= 1000000 },
+      "quantiles must be (name, qMicro in [1, 1e6])")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grpCol).orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(grpCol)))
+    val probes = qs.toDF("qname", "qmicro")
+    val stepM = step * 1000000L
+    // r = ceil(q·N) in pure integers: (q·N + 1e6 − 1) div 1e6, floored
+    // at 1. q·N stays in int64 for N up to ~9.2e12 rows per group —
+    // beyond that, pre-aggregate or widen to DECIMAL.
+    val ranked = cum.join(broadcast(probes), lit(true))
+      .withColumn("r", greatest(lit(1L), expr("(qmicro * n + 999999) div 1000000")))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col(grpCol), col("qname"))
+      .agg(min(struct(col("bucket"), col("cum"), col("c"), col("r"))).as("hit"))
+      .select(col(grpCol), col("qname"),
+        ((col("hit.bucket") * lit(stepM)
+          + expr(s"($stepM * (hit.r - (hit.cum - hit.c))) div hit.c"))
+          .cast("double") / lit(1e6)).as("est"))
+    val aggs = qs.map { case (name, _) =>
+      max(when(col("qname") === name, col("est"))).as(name)
+    }
+    ranked.groupBy(col(grpCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB twin of [[histCounts]] → [[histQuantiles]] beside the
+    * exact percentiles — the `hist_quantiles` gate shape. `input`
+    * projects (grpCol, valExpr). */
+  def histQuantilesSql(input: String, grpCol: String, valExpr: String, step: Long, nb: Int,
+      qs: Seq[(String, Long)]): String = {
+    val stepM = step * 1000000L
+    val estCols = qs.map { case (name, _) =>
+      s"max(CASE WHEN qname = '$name' THEN est END) AS $name"
+    }.mkString(", ")
+    val exCols = qs.map { case (name, q) =>
+      s"round(quantile_cont(v, ${q / 1e6}), 9) AS ${name}_exact"
+    }.mkString(", ")
+    val probeVals = qs.map { case (name, q) => s"('$name', CAST($q AS BIGINT))" }.mkString(", ")
+    s"""WITH hv AS (SELECT $grpCol, CAST($valExpr AS BIGINT) AS v FROM ($input)
+                    WHERE $valExpr IS NOT NULL),
+      hc AS (SELECT $grpCol, least(v // $step, ${nb - 1}) AS bucket, count(*) AS c
+             FROM hv GROUP BY $grpCol, bucket),
+      hcum AS (SELECT $grpCol, bucket, c,
+                 CAST(sum(c) OVER (PARTITION BY $grpCol ORDER BY bucket) AS BIGINT) AS cum,
+                 CAST(sum(c) OVER (PARTITION BY $grpCol) AS BIGINT) AS n
+               FROM hc),
+      hits AS (SELECT $grpCol, qname,
+                 min(struct_pack(bucket := bucket, cum := cum, c := c, r := r)) AS hit
+               FROM (SELECT hcum.*, q.qname,
+                       greatest(CAST(1 AS BIGINT), (q.qmicro * n + 999999) // 1000000) AS r
+                     FROM hcum CROSS JOIN (VALUES $probeVals) q(qname, qmicro))
+               WHERE cum >= r GROUP BY $grpCol, qname),
+      est AS (SELECT $grpCol, qname,
+                CAST(hit.bucket * $stepM
+                  + ($stepM * (hit.r - (hit.cum - hit.c))) // hit.c AS BIGINT) / 1000000.0 AS est
+              FROM hits),
+      sk AS (SELECT $grpCol, $estCols FROM est GROUP BY $grpCol),
+      ex AS (SELECT $grpCol, $exCols FROM hv GROUP BY $grpCol)
+    SELECT * FROM sk JOIN ex USING ($grpCol) ORDER BY $grpCol"""
+  }
+
   /** DuckDB twin of [[cmsCounts]] → [[cmsEstimate]] → join with exact
     * counts — the `cms_freq` gate shape. `input` projects one `keyExpr`
     * per row; `keys` render as a VALUES list. */

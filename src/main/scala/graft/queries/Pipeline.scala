@@ -2004,8 +2004,30 @@ object Pipeline {
       "w", cmsTerms, d = 4, w = 1024))
   )
 
+  /** Histogram-sketch percentiles of document length per lang BESIDE
+    * the exact interpolated percentiles — the mergeable-state path for
+    * `corpus_stats`-style numbers at 100 TB (counts add across shards;
+    * no per-group sort of every value). Estimates land within one
+    * 50-char bucket of exact. */
+  val histQuantilesQ: QueryDef = QueryDef(
+    "hist_quantiles",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("lang"), col("n_chars"))
+      Sketches.histQuantiles(
+          Sketches.histCounts(docs, "lang", "n_chars", step = 50L, nb = 100),
+          "lang", step = 50L, nb = 100,
+          qs = Seq(("p50_chars", 500000L), ("p95_chars", 950000L)))
+        .join(docs.groupBy("lang").agg(
+          round(expr("percentile(n_chars, 0.5)"), 9).as("p50_chars_exact"),
+          round(expr("percentile(n_chars, 0.95)"), 9).as("p95_chars_exact")), Seq("lang"))
+        .orderBy("lang")
+    },
+    Some(Sketches.histQuantilesSql("SELECT lang, n_chars FROM documents", "lang", "n_chars",
+      step = 50L, nb = 100, qs = Seq(("p50_chars", 500000L), ("p95_chars", 950000L))))
+  )
+
   val defs: Seq[QueryDef] = Seq(
-    hllDistinctQ, cmsFreqQ,
+    hllDistinctQ, cmsFreqQ, histQuantilesQ,
     c4CleanQ, lineDedupQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

@@ -302,6 +302,9 @@ object Drive {
       Sketches.hllEstimate(Sketches.hllRegisters(df, "src", "w", p = 10), "src", p = 10).show()
       Sketches.cmsEstimate(Sketches.cmsCounts(df, "w", d = 4, w = 2048),
         Seq("common", "tok_5", "absent"), d = 4, w = 2048).orderBy("term").show()
+      val lens = (1 to 500).map(i => ("web", i % 200)).toDF("src", "len")
+      Sketches.histQuantiles(Sketches.histCounts(lens, "src", "len", step = 10L, nb = 30),
+        "src", step = 10L, nb = 30, qs = Seq(("p50", 500000L), ("p99", 990000L))).show()
     }
     println("=== probe: empty-series warnings surface via Warnings.onWarning ===")
     locally {

@@ -63,6 +63,34 @@ class SketchesSpec extends SparkTestBase {
     assert(est("alpha") <= 45 && est("beta") <= 12)
   }
 
+  test("hist: quantile estimate lands within one bucket of exact; nulls drop") {
+    val vals = ((1 to 999).map(i => ("g", Integer.valueOf(i))) :+ (("g", null.asInstanceOf[Integer])))
+      .toDF("src", "v")
+    val est = Sketches.histQuantiles(
+      Sketches.histCounts(vals, "src", "v", step = 10L, nb = 200),
+      "src", step = 10L, nb = 200, qs = Seq(("p50", 500000L), ("p95", 950000L)))
+      .collect().head
+    // exact p50 of 1..999 = 500, p95 = 950 (rank conventions differ ≤ 1)
+    assert(math.abs(est.getDouble(1) - 500) <= 10, s"p50=${est.getDouble(1)}")
+    assert(math.abs(est.getDouble(2) - 950) <= 10, s"p95=${est.getDouble(2)}")
+  }
+
+  test("hist: shard histograms add into the union histogram") {
+    val a = (1 to 400).map(i => ("g", i * 3 % 997)).toDF("src", "v")
+    val b = (1 to 300).map(i => ("g", i * 7 % 997)).toDF("src", "v")
+    val merged = Sketches.histCounts(a, "src", "v", 10L, 100)
+      .unionByName(Sketches.histCounts(b, "src", "v", 10L, 100))
+      .groupBy("src", "bucket").agg(sum("c").as("c"))
+    assert(rows(merged) == rows(Sketches.histCounts(a.unionByName(b), "src", "v", 10L, 100)))
+  }
+
+  test("hist: tail values clamp into the last bucket") {
+    val vals = Seq(("g", 5), ("g", 10_000_000)).toDF("src", "v")
+    val buckets = Sketches.histCounts(vals, "src", "v", 10L, 50)
+      .collect().map(_.getLong(1)).sorted
+    assert(buckets.toSeq == Seq(0L, 49L))
+  }
+
   test("cms: shard tables add into the union table") {
     val a = (0 until 200).map(i => s"t_${i % 37}").toDF("w")
     val b = (0 until 150).map(i => s"t_${i % 23}").toDF("w")
