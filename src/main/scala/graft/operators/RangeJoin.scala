@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: facts with a point column meet intervals
+  * `[lo, hi]` on equal keys with `lo <= p <= hi` — the enrichment join
+  * behind "events inside a maintenance window", "clicks near an error",
+  * "reading inside a sensor's validity range".
+  *
+  * Spark plans a raw `lo <= p AND p <= hi` predicate as a nested-loop
+  * product per key group (BNLJ — or a full CartesianProduct when
+  * keyless): every fact row against every interval row. The scale-out
+  * form here is BUCKETING the range dimension:
+  *
+  *  - pick a bucket width `W` (ideally ~ the typical interval length);
+  *  - each interval explodes into the buckets it covers (bucket starts
+  *    `bucketStart(lo) .. bucketStart(hi)` step `W` — bounded fan-out
+  *    `(hi-lo)/W + 1`);
+  *  - each fact lands in exactly ONE bucket (`bucketStart(p)`);
+  *  - equi-join on (keys..., bucket) — a plain hash join Catalyst can
+  *    shuffle OR broadcast — then re-check the exact predicate.
+  *
+  * Because a fact has one bucket and an interval covers that bucket at
+  * most once, every qualifying (fact, interval) pair joins EXACTLY once:
+  * no post-join dedupe, no window. One shuffle each side (none for the
+  * side that gets broadcast), candidate volume `|facts| + Σ spans`
+  * instead of `|facts| × |intervals|` per key.
+  *
+  * At 100 TB: the candidate join is a hash equi-join on
+  * (keys, bucket), so AQE's skew splitting applies; a hot key+bucket
+  * (flash-crowd second) splits like any skewed equi-join, which no BNLJ
+  * formulation allows. Pick `W` so the per-interval fan-out stays small
+  * (the explode multiplies the interval side only — usually the small
+  * side by orders of magnitude).
+  *
+  * Reference anchor: the reference engine has no range join; its
+  * pandas `detect` paths express window predicates as full scans
+  * (`pdq_hash.py`'s all-pairs tier). This operator is the extension-tier
+  * scale path for time-window semantics.
+  */
+object RangeJoin {
+
+  /** The bucket a value falls in, identified by the bucket's START
+    * value (`w * floor(x/w)`) rather than an index — `x - pmod(x, w)`
+    * needs no division, stays exact on BIGINT end to end, and floors
+    * correctly for NEGATIVE values (Spark's `div` truncates toward
+    * zero, which would misalign the grid across zero). */
+  private[operators] def bucketStart(x: Column, w: Long): Column =
+    x - pmod(x, lit(w))
+
+  /** SQL twin of [[bucketStart]] (DuckDB `%` follows the dividend sign,
+    * so the same pmod trick applies). */
+  private[operators] def bucketStartSql(x: String, w: Long): String =
+    s"(($x) - ((($x) % $w + $w) % $w))"
+
+  /** Join each fact row to every interval containing its point.
+    *
+    * @param facts       fact rows; must carry `keys` and `pointCol`
+    * @param intervals   interval rows; must carry `keys`, `loCol`,
+    *                    `hiCol` (inclusive bounds, BIGINT-compatible).
+    *                    Empty intervals (`lo > hi`) match nothing and
+    *                    are dropped before the explode (Spark's
+    *                    `sequence(a, b)` would otherwise count DOWN).
+    * @param bucketWidth bucket width in point units; fan-out per
+    *                    interval is `(hi-lo)/W + 1`
+    * @return one row per qualifying (fact, interval) pair: facts.* then
+    *         intervals.* minus the join keys (fact side wins the name)
+    */
+  def pointInInterval(
+      facts: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val overlap = intervals.columns.toSet intersect facts.columns.toSet diff keys.toSet
+    require(overlap.isEmpty,
+      s"non-key columns present on both sides would collide: ${overlap.mkString(", ")}")
+
+    val f = facts.withColumn("__rj_b", bucketStart(col(pointCol), bucketWidth))
+    val i = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
+      .withColumn("__rj_b",
+        explode(sequence(bucketStart(col(loCol), bucketWidth),
+          bucketStart(col(hiCol), bucketWidth), lit(bucketWidth))))
+
+    f.join(i, keys :+ "__rj_b")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__rj_b")
+  }
+}

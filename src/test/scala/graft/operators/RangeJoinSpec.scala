@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def facts: DataFrame = Seq(
+    (1L, -25L, 100L), (1L, -20L, 101L), (1L, 0L, 102L), (1L, 7L, 103L),
+    (1L, 35L, 104L), (2L, 7L, 105L), (2L, 1000L, 106L), (3L, 5L, 107L)
+  ).toDF("uid", "p", "fid")
+
+  // spans many buckets (w=10): [-22, 35] covers 7; boundary hits at both
+  // ends; an empty interval (lo > hi); a key with no facts
+  private def intervals: DataFrame = Seq(
+    (1L, -22L, 35L, 200L), (1L, 0L, 7L, 201L), (1L, 8L, 6L, 202L),
+    (2L, 990L, 1000L, 203L), (9L, 0L, 100L, 204L)
+  ).toDF("uid", "lo", "hi", "iid")
+
+  private def naive: Set[(Long, Long)] =
+    facts.as("f").join(intervals.as("i"),
+        $"f.uid" === $"i.uid" && $"f.p" >= $"i.lo" && $"f.p" <= $"i.hi")
+      .select($"fid", $"iid").as[(Long, Long)].collect().toSet
+
+  test("pointInInterval matches the theta-join exactly, once per pair") {
+    for (w <- Seq(1L, 3L, 10L, 1000L)) {
+      val got = RangeJoin.pointInInterval(facts, intervals, Seq("uid"), "p", "lo", "hi", w)
+        .select($"fid", $"iid").as[(Long, Long)].collect().toSeq
+      assert(got.distinct.size == got.size, s"w=$w produced duplicate pairs")
+      assert(got.toSet == naive, s"w=$w mismatch: got ${got.toSet} want $naive")
+    }
+  }
+
+  test("bucketStart floors (not truncates) across zero") {
+    val vals = Seq(-21L, -20L, -1L, 0L, 9L, 10L).toDF("x")
+      .select(RangeJoin.bucketStart(col("x"), 10L).as("b")).as[Long].collect().toSeq
+    assert(vals == Seq(-30L, -20L, -10L, 0L, 0L, 10L))
+  }
+
+  test("the candidate join is a hash equi-join, never a product") {
+    val p = RangeJoin.pointInInterval(facts, intervals, Seq("uid"), "p", "lo", "hi", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"product planned:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ planned:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash equi-join:\n$p")
+  }
+
+  test("colliding non-key columns are rejected up front") {
+    val bad = intervals.withColumnRenamed("iid", "fid")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(facts, bad, Seq("uid"), "p", "lo", "hi", 10L)
+    }
+    assert(e.getMessage.contains("fid"))
+  }
+}
