@@ -10,6 +10,9 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // cross-engine determinism: every graft entry point pins UTC (the
+      // NTZ fallback in Tables.normalizeTs is exact only under UTC)
+      .config("spark.sql.session.timeZone", "UTC")
       // testdata tables are single parquet files; smaller input splits
       // let map-heavy chains use every core instead of 1-2 scan tasks
       .config("spark.sql.files.maxPartitionBytes", "8m")
@@ -108,7 +111,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reps":$reps,"sf":"$sfDir"}""")
+    // total/errors FIRST: the driver's log capture truncates long tails,
+    // and r6's total was unrecoverable because per-query detail preceded
+    // it in the line. The full object also lands in target/bench.json so
+    // a truncated stdout capture never loses the measurement.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"reps":$reps,"sf":"$sfDir","queries":$qs}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json)
+    catch { case e: Exception => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
+    println(json)
     spark.stop()
   }
 }
