@@ -45,7 +45,14 @@ object RangeJoin {
     * value (`w * floor(x/w)`) rather than an index — `x - pmod(x, w)`
     * needs no division, stays exact on BIGINT end to end, and floors
     * correctly for NEGATIVE values (Spark's `div` truncates toward
-    * zero, which would misalign the grid across zero). */
+    * zero, which would misalign the grid across zero).
+    *
+    * Domain restriction: `x - pmod(x, w)` wraps (ANSI off) for x within
+    * `w` of Long.MinValue — callers must keep `x >= Long.MinValue + w`.
+    * Epoch-scaled data sits ~2^63 away from that edge; a corpus that
+    * genuinely carries sentinel Long.MinValue points should filter them
+    * first (a wrapped bucket would silently miss matches, RangeJoinSpec
+    * pins the documented edge). */
   private[operators] def bucketStart(x: Column, w: Long): Column =
     x - pmod(x, lit(w))
 
@@ -64,6 +71,13 @@ object RangeJoin {
     *                    `sequence(a, b)` would otherwise count DOWN).
     * @param bucketWidth bucket width in point units; fan-out per
     *                    interval is `(hi-lo)/W + 1`
+    * @param maxFanOut   per-interval explode guard: an interval whose
+    *                    span covers more than this many buckets fails
+    *                    the job with a CLEAR error naming the fan-out
+    *                    and the fix (bigger `W`), instead of Spark's
+    *                    opaque sequence-length abort near 2^31 elements
+    *                    — one pathological open-ended interval must not
+    *                    OOM an executor. `<= 0` disables the guard.
     * @return one row per qualifying (fact, interval) pair: facts.* then
     *         intervals.* minus the join keys (fact side wins the name)
     */
@@ -74,19 +88,38 @@ object RangeJoin {
       pointCol: String,
       loCol: String,
       hiCol: String,
-      bucketWidth: Long
+      bucketWidth: Long,
+      maxFanOut: Long = 1 << 20
   ): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val overlap = intervals.columns.toSet intersect facts.columns.toSet diff keys.toSet
     require(overlap.isEmpty,
       s"non-key columns present on both sides would collide: ${overlap.mkString(", ")}")
+    // the scratch column must not clobber a same-named payload column on
+    // EITHER side (the overlap check above only catches columns present
+    // on both)
+    require(!facts.columns.contains("__rj_b") && !intervals.columns.contains("__rj_b"),
+      "__rj_b is reserved by RangeJoin; rename that column on the input")
 
+    val loB = bucketStart(col(loCol), bucketWidth)
+    val hiB = bucketStart(col(hiCol), bucketWidth)
+    // guard INSIDE the sequence bound so it cannot be pruned away: the
+    // upper bound itself raises when the fan-out is pathological
+    val guardedHi =
+      if (maxFanOut <= 0) hiB
+      else {
+        val fanOut = (hiB - loB) / bucketWidth + 1
+        when(fanOut > maxFanOut,
+          raise_error(concat(
+            lit(s"RangeJoin: interval spans "), fanOut.cast("string"),
+            lit(s" buckets at bucketWidth=$bucketWidth (maxFanOut=$maxFanOut); " +
+              "raise bucketWidth or cap interval length"))))
+          .otherwise(hiB)
+      }
     val f = facts.withColumn("__rj_b", bucketStart(col(pointCol), bucketWidth))
     val i = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
-      .withColumn("__rj_b",
-        explode(sequence(bucketStart(col(loCol), bucketWidth),
-          bucketStart(col(hiCol), bucketWidth), lit(bucketWidth))))
+      .withColumn("__rj_b", explode(sequence(loB, guardedHi, lit(bucketWidth))))
 
     f.join(i, keys :+ "__rj_b")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))

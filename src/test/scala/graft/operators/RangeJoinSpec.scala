@@ -55,4 +55,43 @@ class RangeJoinSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("fid"))
   }
+
+  test("a payload column named __rj_b on either side is rejected, not clobbered") {
+    val badF = facts.withColumn("__rj_b", lit(1L))
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(badF, intervals, Seq("uid"), "p", "lo", "hi", 10L)
+    }
+    assert(e1.getMessage.contains("__rj_b"))
+    val badI = intervals.withColumn("__rj_b", lit(1L))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(facts, badI, Seq("uid"), "p", "lo", "hi", 10L)
+    }
+    assert(e2.getMessage.contains("__rj_b"))
+  }
+
+  test("maxFanOut guard fails a pathological interval with a clear error; disabled passes") {
+    val wide = Seq((1L, 100L, 0L, 1000L)).toDF("uid", "iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(facts, wide, Seq("uid"), "p", "lo", "hi",
+        bucketWidth = 10L, maxFanOut = 5L).collect()
+    }
+    assert(e.getMessage.contains("raise bucketWidth"), e.getMessage)
+    // guard off (or generous): the same interval joins fine
+    val ok = RangeJoin.pointInInterval(facts, wide, Seq("uid"), "p", "lo", "hi",
+      bucketWidth = 10L, maxFanOut = 0L).count()
+    assert(ok > 0)
+  }
+
+  test("bucketStartSql twin ≡ bucketStart on negative and boundary values") {
+    // the SQL twin uses only %, +, - with dividend-sign semantics —
+    // identical in Spark SQL and DuckDB, so executing it through
+    // expr() pins the twin against the Column implementation
+    val vals = Seq(Long.MinValue + 10, -21L, -20L, -1L, 0L, 9L, 10L,
+      Long.MaxValue - 3, Long.MaxValue).toDF("x")
+    val mismatches = vals.select(
+      RangeJoin.bucketStart(col("x"), 7L).as("a"),
+      expr(RangeJoin.bucketStartSql("x", 7L)).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0L)
+  }
 }
