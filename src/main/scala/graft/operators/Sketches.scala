@@ -135,6 +135,105 @@ object Sketches {
     FROM est JOIN ex USING ($grpCol) ORDER BY $grpCol"""
   }
 
+  // ---- persisted sketch lifecycle -------------------------------------
+
+  /** One persisted (or about-to-persist) sketch shard: the register /
+    * count relation plus the kind and build parameters it carries.
+    * Kinds: "hll" (value column `reg`, merges by max), "cms" / "hist"
+    * (value column `c`, merges by sum). */
+  final case class SketchShard(data: DataFrame, kind: String, params: Map[String, String])
+
+  private val SketchKinds = Set("hll", "cms", "hist")
+
+  /** Manifest file name: written LAST by [[writeSketch]], required by
+    * [[readSketch]] — the same commit-marker discipline as the dedup
+    * index ([[Dedup.writeIndex]]): a write that died mid-flight leaves
+    * a shard [[readSketch]] refuses, never one that silently merges a
+    * partial register relation (HLL max-merge would UNDERCOUNT, not
+    * fail, on missing buckets — exactly the corruption a marker must
+    * catch). */
+  private val SketchManifestFile = "_GRAFT_SKETCH_MANIFEST"
+
+  private def sketchFs(df: DataFrame, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()), p)
+  }
+
+  private def readSketchManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(String, Map[String, String])] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val props = new java.util.Properties()
+        props.load(in)
+        import scala.jdk.CollectionConverters._
+        val m = props.asScala.toMap
+        Some((m("kind"), m - "kind"))
+      } finally in.close()
+    }
+
+  /** Persist a sketch shard (daily shard → object store), manifest
+    * last. The fixed-state relations are tiny relative to their corpus
+    * (≤ m rows per group), so a plain parquet write suffices — the
+    * value of the lifecycle is the commit marker and the
+    * params-compatibility check [[mergeSketches]] enforces before
+    * merging registers that were hashed under different parameters
+    * (which would silently estimate garbage, not error). */
+  def writeSketch(shard: SketchShard, path: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    require(SketchKinds.contains(shard.kind), s"unknown sketch kind '${shard.kind}'")
+    val (fs, mPath) = sketchFs(shard.data, s"$path/$SketchManifestFile")
+    val existing = readSketchManifest(fs, mPath)
+    if (mode == org.apache.spark.sql.SaveMode.Append) {
+      val (pk, pp) = existing.getOrElse(throw new IllegalStateException(
+        s"cannot append: no committed sketch manifest at $path — write with Overwrite instead"))
+      require(pk == shard.kind && pp == shard.params,
+        s"cannot append a ${shard.kind}${shard.params} sketch onto $pk$pp at $path")
+    }
+    if (existing.isDefined) fs.delete(mPath, false)
+    shard.data.write.mode(mode).parquet(s"$path/data")
+    val out = fs.create(mPath, true)
+    try {
+      val body = (Map("kind" -> shard.kind) ++ shard.params)
+        .toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  /** Read a persisted sketch shard; fails fast when the commit marker
+    * is absent. */
+  def readSketch(spark: org.apache.spark.sql.SparkSession, path: String): SketchShard = {
+    val (fs, mPath) = sketchFs(spark.emptyDataFrame, s"$path/$SketchManifestFile")
+    val (kind, params) = readSketchManifest(fs, mPath).getOrElse(throw new IllegalStateException(
+      s"no sketch manifest at $path — not a graft sketch, or an interrupted writeSketch left it incomplete"))
+    SketchShard(spark.read.parquet(s"$path/data"), kind, params)
+  }
+
+  /** Merge shard sketches into the union sketch: elementwise MAX per
+    * key for HLL registers, SUM for count-min / histogram counts. The
+    * grouping keys are derived from the schema (every column except
+    * the value column), so the same merge serves per-group and global
+    * sketches. All shards must carry the SAME kind and params —
+    * registers hashed under different (p, d, w, step) are
+    * incommensurable and would merge into garbage silently. */
+  def mergeSketches(shards: Seq[SketchShard]): SketchShard = {
+    require(shards.nonEmpty, "need at least one shard")
+    val head = shards.head
+    require(SketchKinds.contains(head.kind), s"unknown sketch kind '${head.kind}'")
+    shards.tail.foreach(s => require(s.kind == head.kind && s.params == head.params,
+      s"cannot merge ${s.kind}${s.params} with ${head.kind}${head.params}"))
+    val unioned = shards.map(_.data).reduce(_ unionByName _)
+    val (valCol, agg) = head.kind match {
+      case "hll"          => ("reg", max(col("reg")).as("reg"))
+      case "cms" | "hist" => ("c", sum(col("c")).as("c"))
+    }
+    val keys = head.data.columns.filterNot(_ == valCol)
+    require(keys.nonEmpty && head.data.columns.contains(valCol),
+      s"${head.kind} sketch relation must carry '$valCol' plus key columns, got ${head.data.columns.mkString(",")}")
+    SketchShard(unioned.groupBy(keys.map(col).toSeq: _*).agg(agg), head.kind, head.params)
+  }
+
   /** Count-min table over `keyCol` rows: (r 0..d−1, bucket 0..w−1, c).
     * Each key lands in one bucket per hash row (seed "cms&lt;r&gt;:");
     * the counts are plain sums, so the relation is map-side combinable

@@ -98,4 +98,49 @@ class SketchesSpec extends SparkTestBase {
       .groupBy("r", "bucket").agg(sum("c").as("c"))
     assert(rows(merged) == rows(Sketches.cmsCounts(a.unionByName(b), "w", 4, 512)))
   }
+
+  test("sketch lifecycle: write → read → merge replays the single-pass sketch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_spec").toString
+    val a = (0 until 300).map(i => ("g", s"k_${i % 83}")).toDF("src", "w")
+    val b = (0 until 200).map(i => ("g", s"k_${i % 131}")).toDF("src", "w")
+    val params = Map("p" -> "8")
+    Sketches.writeSketch(Sketches.SketchShard(
+      Sketches.hllRegisters(a, "src", "w", p = 8), "hll", params), s"$dir/a")
+    Sketches.writeSketch(Sketches.SketchShard(
+      Sketches.hllRegisters(b, "src", "w", p = 8), "hll", params), s"$dir/b")
+    val ra = Sketches.readSketch(spark, s"$dir/a")
+    val rb = Sketches.readSketch(spark, s"$dir/b")
+    assert(ra.kind == "hll" && ra.params == params)
+    val merged = Sketches.mergeSketches(Seq(ra, rb))
+    assert(rows(merged.data) ==
+      rows(Sketches.hllRegisters(a.unionByName(b), "src", "w", p = 8)))
+    // cms kind merges by SUM
+    val ca = Sketches.SketchShard(Sketches.cmsCounts(a.select(col("w")), "w", 2, 64), "cms", Map("d" -> "2", "w" -> "64"))
+    val cb = Sketches.SketchShard(Sketches.cmsCounts(b.select(col("w")), "w", 2, 64), "cms", Map("d" -> "2", "w" -> "64"))
+    assert(rows(Sketches.mergeSketches(Seq(ca, cb)).data) ==
+      rows(Sketches.cmsCounts(a.unionByName(b).select(col("w")), "w", 2, 64)))
+  }
+
+  test("sketch lifecycle: manifest is the commit marker; param mismatches fail fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_spec2").toString
+    val a = Seq(("g", "x"), ("g", "y")).toDF("src", "w")
+    val shard = Sketches.SketchShard(Sketches.hllRegisters(a, "src", "w", p = 8), "hll", Map("p" -> "8"))
+    // reading an uncommitted path fails fast
+    intercept[IllegalStateException](Sketches.readSketch(spark, s"$dir/missing"))
+    // a data dir without a manifest (simulated mid-flight death) refuses to read
+    shard.data.write.parquet(s"$dir/dead/data")
+    intercept[IllegalStateException](Sketches.readSketch(spark, s"$dir/dead"))
+    // append onto an uncommitted path fails fast
+    intercept[IllegalStateException](
+      Sketches.writeSketch(shard, s"$dir/dead", org.apache.spark.sql.SaveMode.Append))
+    Sketches.writeSketch(shard, s"$dir/ok")
+    // append with different params fails before touching relations
+    val other = shard.copy(params = Map("p" -> "10"))
+    intercept[IllegalArgumentException](
+      Sketches.writeSketch(other, s"$dir/ok", org.apache.spark.sql.SaveMode.Append))
+    // merge across params / kinds refuses
+    intercept[IllegalArgumentException](
+      Sketches.mergeSketches(Seq(Sketches.readSketch(spark, s"$dir/ok"), other)))
+    intercept[IllegalArgumentException](Sketches.mergeSketches(Seq(shard.copy(kind = "nope"))))
+  }
 }
