@@ -985,13 +985,23 @@ object Dedup {
     *
     * Same output contract as [[lineDedup]]:
     * (id, text_clean, n_lines, n_dupes_removed); null/line-less text
-    * yields ('', 0, 0). */
-  def intraDocLineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * yields ('', 0, 0).
+    *
+    * `maxLinesPerDoc` bounds the O(L²) prefix scan: a doc with more
+    * lines passes through UNCHANGED (n_dupes_removed = 0) instead of
+    * pinning one task — at 100 TB a single pathological million-line
+    * document must not stall a core for hours. CASE short-circuits, so
+    * over-limit docs never evaluate the quadratic filter. Corpora where
+    * such docs matter should run the shuffled [[lineDedup]] (restricted
+    * to PARTITION BY id) on the over-limit slice. */
+  def intraDocLineDedup(df: DataFrame, idCol: String, textCol: String,
+      maxLinesPerDoc: Int = 10000): DataFrame = {
     val empty = array().cast("array<string>")
     df.select(col(idCol).as("id"), coalesce(lines(col(textCol)), empty).as("ls"))
       .select(col("id"), col("ls"),
-        filter(col("ls"), (l, i) =>
-          array_position(slice(col("ls"), lit(1), i), l) === 0L).as("kept"))
+        when(size(col("ls")) > maxLinesPerDoc, col("ls"))
+          .otherwise(filter(col("ls"), (l, i) =>
+            array_position(slice(col("ls"), lit(1), i), l) === 0L)).as("kept"))
       .select(col("id"),
         array_join(col("kept"), "\n").as("text_clean"),
         size(col("ls")).cast("long").as("n_lines"),
@@ -1002,13 +1012,15 @@ object Dedup {
     * DuckDB's lambda index is 1-based (Spark: 0-based), so the strict
     * prefix is `ls[1:i-1]` vs Spark's `slice(ls, 1, i)`; both engines'
     * position lookup returns 0 on a miss. */
-  def intraDocLineDedupSql(input: String): String =
+  def intraDocLineDedupSql(input: String, maxLinesPerDoc: Int = 10000): String =
     s"""SELECT id,
       coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
       coalesce(len(ls), 0) AS n_lines,
       coalesce(len(ls) - len(kept), 0) AS n_dupes_removed
     FROM (SELECT id, ls,
-            list_filter(ls, (l, i) -> list_position(ls[1:i-1], l) = 0) AS kept
+            CASE WHEN len(ls) > $maxLinesPerDoc THEN ls
+                 ELSE list_filter(ls, (l, i) -> list_position(ls[1:i-1], l) = 0)
+            END AS kept
           FROM (SELECT id, ${linesSql("text")} AS ls FROM ($input)))"""
 
   /** DuckDB twin of [[lineDedup]] over `input` (id, text) — a full

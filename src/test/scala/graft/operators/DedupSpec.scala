@@ -542,6 +542,21 @@ class DedupSpec extends SparkTestBase {
     assert(r(5L) == (("crlf twin\ndelta", 3L, 1L)))
   }
 
+  test("intraDocLineDedup: maxLinesPerDoc guard passes pathological docs through unchanged") {
+    val big = (1 to 6).map(i => s"line ${i % 2}").mkString("\n") // 6 lines, 4 dupes
+    val df = Seq((1L, big), (2L, "x\nx\ny")).toDF("id", "text")
+    val r = Dedup.intraDocLineDedup(df, "id", "text", maxLinesPerDoc = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    // doc 1 exceeds the cap: untouched, zero removals reported
+    assert(r(1L) == ((big, 6L, 0L)))
+    // doc 2 is under the cap: deduped as usual
+    assert(r(2L) == (("x\ny", 3L, 1L)))
+    // default cap leaves ordinary docs on the dedup path
+    val d = Dedup.intraDocLineDedup(df, "id", "text").collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(d(1L) == 4L && d(2L) == 1L)
+  }
+
   test("intraDocLineDedup is map-only (no shuffle, no join) and plans on a stream") {
     val df = Seq((1L, "a\nb\na")).toDF("id", "text")
     val plan = Dedup.intraDocLineDedup(df, "id", "text").queryExecution.executedPlan.toString
