@@ -149,6 +149,188 @@ object Media {
     }
   }
 
+  // ---- real pixel decode (no codec library: container parsing + the
+  // JDK's zlib) ---------------------------------------------------------
+
+  /** Full-decode seam: payload bytes → (width, height, packed 0xRRGGBB
+    * pixels, row-major). The real counterpart of [[ImageDecoder]] for
+    * operators that need pixels, not just dimensions ([[pdqHashes]]). */
+  type PixelDecoder = Array[Byte] => (Int, Int, Array[Int])
+
+  /** REAL BMP pixel decoder: uncompressed 24-bpp BITMAPINFOHEADER
+    * payloads — BGR byte order, 4-byte-aligned rows, bottom-up when
+    * height is positive (top-down when negative). Throws
+    * `IllegalArgumentException` on anything else. */
+  val bmpPixelDecoder: PixelDecoder = p => {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    require(p.length >= 54 && u8(0) == 'B' && u8(1) == 'M', "not a BMP payload")
+    require(le16(28) == 24, s"BMP: only 24-bpp supported, got ${le16(28)}")
+    require(le32(30) == 0, s"BMP: only BI_RGB (uncompressed) supported, got ${le32(30)}")
+    val w = le32(18)
+    val rawH = le32(22)
+    val h = math.abs(rawH)
+    val off = le32(10)
+    val rowBytes = (3 * w + 3) & ~3
+    require(p.length >= off + rowBytes * h, "BMP: payload truncated")
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      // positive height = bottom-up storage: last stored row is y=0
+      val srcRow = if (rawH > 0) h - 1 - y else y
+      var x = 0
+      while (x < w) {
+        val i = off + srcRow * rowBytes + 3 * x
+        out(y * w + x) = (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** 24-bpp BMP encoder — the synthesis half of the BMP round-trip
+    * (gate queries build payloads with it so [[bmpPixelDecoder]] runs
+    * against real container bytes). */
+  def encodeBmp24(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h, s"expected ${w * h} pixels, got ${rgb.length}")
+    val rowBytes = (3 * w + 3) & ~3
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      val srcY = h - 1 - y // bottom-up
+      var x = 0
+      while (x < w) {
+        val v = rgb(srcY * w + x)
+        b.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte).put(((v >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var pad = rowBytes - 3 * w
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    b.array()
+  }
+
+  /** REAL PNG pixel decoder — pure JVM (chunk walk + `java.util.zip
+    * .Inflater` + scanline unfiltering), no codec library. Supports the
+    * non-interlaced 8-bit-depth color types: 0 (gray), 2 (RGB), 3
+    * (palette), 4 (gray+alpha), 6 (RGBA); alpha is dropped in the
+    * packed-RGB output. All five scanline filters (None/Sub/Up/Average/
+    * Paeth) per the PNG spec §9. Throws on interlaced or non-8-bit
+    * images. */
+  val pngPixelDecoder: PixelDecoder = p => {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    require(p.length >= 8 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a, "not a PNG payload")
+    var w = 0; var h = 0; var colorType = -1
+    var palette: Array[Int] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= p.length) {
+      val len = be32(i)
+      val typ = new String(p, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          w = be32(i + 8); h = be32(i + 12)
+          require(u8(i + 16) == 8, s"PNG: only bit depth 8 supported, got ${u8(i + 16)}")
+          colorType = u8(i + 17)
+          require(u8(i + 20) == 0, "PNG: interlaced images not supported")
+        case "PLTE" =>
+          palette = Array.tabulate(len / 3)(j =>
+            (u8(i + 8 + 3 * j) << 16) | (u8(i + 8 + 3 * j + 1) << 8) | u8(i + 8 + 3 * j + 2))
+        case "IDAT" => idat.write(p, i + 8, len)
+        case "IEND" => done = true
+        case _      => () // ancillary chunk
+      }
+      i += 12 + len // length + type + data + CRC (CRCs not verified)
+    }
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case ct => throw new IllegalArgumentException(s"PNG: unknown color type $ct")
+    }
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var filled = 0
+    while (filled < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, filled, raw.length - filled)
+      require(n > 0 || inf.finished(), "PNG: truncated IDAT stream")
+      filled += n
+    }
+    inf.end()
+    require(filled == raw.length, s"PNG: expected ${raw.length} filtered bytes, got $filled")
+    // unfilter in place into `img` (h rows of `stride` bytes)
+    val img = new Array[Byte](h * stride)
+    val bpp = channels // bytes per pixel at depth 8
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (1 + stride)) & 0xff
+      val rowOff = y * (1 + stride) + 1
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowOff + x) & 0xff
+        val a = if (x >= bpp) img(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) img((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) img((y - 1) * stride + x - bpp) & 0xff else 0
+        val rec = filter match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + (a + b) / 2
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case f => throw new IllegalArgumentException(s"PNG: unknown filter type $f")
+        }
+        img(y * stride + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](w * h)
+    var pix = 0
+    while (pix < w * h) {
+      val o = pix * channels
+      out(pix) = colorType match {
+        case 0 | 4 => val g = img(o) & 0xff; (g << 16) | (g << 8) | g
+        case 2 | 6 => ((img(o) & 0xff) << 16) | ((img(o + 1) & 0xff) << 8) | (img(o + 2) & 0xff)
+        case 3 =>
+          require(palette != null, "PNG: palette image without PLTE chunk")
+          palette(img(o) & 0xff)
+      }
+      pix += 1
+    }
+    (w, h, out)
+  }
+
+  case class PdqResult(id: Long, pdq_hex: String, quality: Long)
+
+  /** PDQ hashes computed FROM PIXELS: payload → [[PixelDecoder]] →
+    * [[PdqHash.hashImage]] (luma → 64×64 box downsample → 16×16 DCT →
+    * median threshold), partition-batched like the other media kernels.
+    * This is the capability the reference consumes but never computes
+    * (`pdq_hash.py:1-20` takes hex strings as input); a user pointing
+    * the engine at a raw media archive starts here. */
+  def pdqHashes(items: Dataset[MediaItem], decode: PixelDecoder = bmpPixelDecoder): Dataset[PdqResult] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, rgb) = decode(m.payload)
+        val (hx, q) = graft.operators.PdqHash.hashImage(w, h, rgb)
+        PdqResult(m.id, hx, q)
+      }
+    }
+  }
+
   /** Column-level binary metadata (no decode needed): byte length and a
     * hex prefix — expressible natively, pushdown-friendly, and
     * oracle-replayable. */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Materialize, Media, Packing, PdqDuplicates, SimilaritySearch, Sketches, Splits, TextAnalysis}
+import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Materialize, Media, Packing, PdqDuplicates, PdqHash, SimilaritySearch, Sketches, Splits, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1687,6 +1687,162 @@ object Pipeline {
     """.trim)
   )
 
+  // ---- PDQ from pixels ------------------------------------------------
+
+  /** Deterministic RGB synthesis for the PDQ-from-pixels gates — a
+    * group-seed (`acc % 7`) drives the dominant structure so images in
+    * one group are near-duplicates, while an id-dependent LOCALIZED
+    * perturbation (+40 red in one 16×16 block whose position moves
+    * with the id) flips a few DCT bits per image: measured pair
+    * distances spread 0 / 4..52 within a group, ~128 across groups. (A
+    * global periodic pattern was tried first and flips 70+ bits even
+    * at amplitude 2 — near-dup structure needs localized energy.)
+    * MUST stay in lockstep with the `pix` CTE in [[pdqPixelCtes]]. */
+  private[queries] def synthPixels(id: Long, acc: Long): (Int, Int, Array[Int]) = {
+    val g = acc % 7
+    val w = 72 + (id % 3).toInt * 28
+    val h = 64 + (id % 5).toInt * 16
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pert = if (x / 16 == (id % 4).toInt && y / 16 == (id % 6).toInt) 40 else 0
+        val r = ((g * 31 + x * 2 + y * 3 + pert) % 256).toInt
+        val gg = ((g * 53 + x * 5 + (x * y / 7) % 64) % 256).toInt
+        val b = ((g * 11 + y * 7) % 256).toInt
+        px(y * w + x) = (r << 16) | (gg << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** The same rolling content hash [[mediaFrames]] uses (ASCII text, so
+    * the byte fold and the oracle's per-character `ascii()` agree). */
+  private[queries] def rollingAcc(text: String): Long =
+    text.getBytes("UTF-8").foldLeft(7L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+
+  /** SQL replay of the ENTIRE PDQ-from-pixels pipeline — pixel
+    * synthesis, integer Rec.601 luma, exact box downsample to 64×64,
+    * separable 16×16 DCT-II against the Q14 table interpolated from
+    * [[PdqHash.dctTable]] (identical constants by construction),
+    * rank-128 median threshold, MSB-first nibble packing, and the
+    * gradient quality score. Ends with CTEs `hexs(id, pdq_hex)`,
+    * `grad(id, quality)`, and `pbits(id, p, bit)` for pair queries. */
+  private def pdqPixelCtes(maxId: Int): String = s"""
+    src AS (
+      SELECT doc_id AS id,
+        list_reduce(
+          list_prepend(CAST(7 AS BIGINT),
+            list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1000000007) AS acc
+      FROM documents WHERE doc_id < $maxId),
+    dims AS (SELECT id, acc % 7 AS g, 72 + (id % 3) * 28 AS w, 64 + (id % 5) * 16 AS h FROM src),
+    axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+    pix AS (
+      SELECT d.id, x.v AS x, y.v AS y, d.w, d.h,
+        (299 * ((d.g * 31 + x.v * 2 + y.v * 3 + CASE WHEN x.v // 16 = d.id % 4 AND y.v // 16 = d.id % 6 THEN 40 ELSE 0 END) % 256)
+       + 587 * ((d.g * 53 + x.v * 5 + ((x.v * y.v) // 7) % 64) % 256)
+       + 114 * ((d.g * 11 + y.v * 7) % 256)) // 1000 AS l
+      FROM dims d JOIN axis x ON x.v < d.w JOIN axis y ON y.v < d.h),
+    down AS (
+      SELECT id, (y * 64) // h AS cy, (x * 64) // w AS cx,
+        CAST((SUM(l) * 256) // COUNT(*) AS BIGINT) AS v
+      FROM pix GROUP BY id, (y * 64) // h, (x * 64) // w),
+    tab AS (SELECT * FROM (VALUES ${PdqHash.tabSqlValues}) t(fi, k, c)),
+    inter AS (
+      SELECT p.id, t.fi, p.cx, CAST(SUM(CAST(t.c AS BIGINT) * p.v) AS BIGINT) AS s
+      FROM down p JOIN tab t ON t.k = p.cy GROUP BY p.id, t.fi, p.cx),
+    outc AS (
+      SELECT it.id, it.fi, t.fi AS fj, CAST(SUM(CAST(t.c AS BIGINT) * it.s) AS BIGINT) AS o
+      FROM inter it JOIN tab t ON t.k = it.cx GROUP BY it.id, it.fi, t.fi),
+    med AS (
+      SELECT id, o AS thr FROM (
+        SELECT id, o, row_number() OVER (PARTITION BY id ORDER BY o) AS rn FROM outc)
+      WHERE rn = 128),
+    pbits AS (
+      SELECT o.id, o.fi * 16 + o.fj AS p, CASE WHEN o.o > m.thr THEN 1 ELSE 0 END AS bit
+      FROM outc o JOIN med m ON m.id = o.id),
+    nib AS (
+      SELECT id, p // 4 AS c,
+        SUM(bit * (CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS nv
+      FROM pbits GROUP BY id, p // 4),
+    hexs AS (
+      SELECT id, string_agg(substring('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' ORDER BY c) AS pdq_hex
+      FROM nib GROUP BY id),
+    grad AS (
+      SELECT id, CAST(LEAST(100, SUM(d) // ${PdqHash.QualityDiv}) AS BIGINT) AS quality FROM (
+        SELECT a.id, ABS(b.v - a.v) AS d FROM down a JOIN down b ON b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1
+        UNION ALL
+        SELECT a.id, ABS(b.v - a.v) AS d FROM down a JOIN down b ON b.id = a.id AND b.cy = a.cy + 1 AND b.cx = a.cx
+      ) GROUP BY id)"""
+
+  private def pdqItems(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Media.MediaItem] = {
+    import s.implicits._
+    tbl(s, dir, "documents")
+      .filter(col("doc_id") < 96)
+      .select(col("doc_id"), col("text"))
+      .map { r =>
+        val id = r.getLong(0)
+        val (w, h, px) = synthPixels(id, rollingAcc(r.getString(1)))
+        Media.MediaItem(id, "image", Media.encodeBmp24(w, h, px))
+      }
+  }
+
+  /** PDQ hashes computed FROM PIXELS — synthesized RGB scenes encoded
+    * as real 24-bpp BMP containers, decoded back by the real
+    * [[Media.bmpPixelDecoder]], hashed by the fixed-point
+    * [[PdqHash]] kernel; the oracle replays every stage in SQL. The
+    * capability the reference consumes but never computes
+    * (`pdq_hash.py:1-20` takes precomputed hex strings). */
+  val mediaPdqCompute: QueryDef = QueryDef(
+    "media_pdq_compute",
+    (s, dir) => Media.pdqHashes(pdqItems(s, dir), Media.bmpPixelDecoder)
+      .toDF("id", "pdq_hex", "quality")
+      .orderBy("id"),
+    Some(s"""
+      WITH ${pdqPixelCtes(96)}
+      SELECT h.id, h.pdq_hex, g.quality FROM hexs h JOIN grad g ON g.id = h.id ORDER BY h.id
+    """.trim)
+  )
+
+  /** Composition: pixels → PDQ hashes → [[PdqDuplicates]] similarity
+    * join — the full "raw media archive in, duplicate pairs out" path.
+    * Threshold 0.875 = Hamming radius 32: measured same-group
+    * distances land 0 / 4..52 (the moving-block perturbation), so the
+    * radius admits exact AND genuinely-near pairs while cross-group
+    * distances (~128) stay out. */
+  val mediaPdqComputeDups: QueryDef = QueryDef(
+    "media_pdq_compute_dups",
+    (s, dir) => {
+      val hashes = Media.pdqHashes(pdqItems(s, dir), Media.bmpPixelDecoder)
+        .toDF("id", "pdq_hex", "quality")
+      val entries = hashes.select(
+        lpad(col("id").cast("string"), 8, "0").as("index"),
+        array(col("pdq_hex")).as("pdq_hash"))
+      Parity.flatPdq(PdqDuplicates(entries, similarityThreshold = 0.875,
+        strategy = PdqDuplicates.Strategy.Auto, assumeFixed256 = true))
+        .orderBy("index", "duplicate")
+    },
+    Some(s"""
+      WITH ${pdqPixelCtes(96)},
+      pairs AS (
+        SELECT a.id AS ia, b.id AS ib, SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS dist
+        FROM pbits a JOIN pbits b ON a.p = b.p AND a.id < b.id
+        GROUP BY a.id, b.id),
+      hits AS (SELECT ia, ib, dist FROM pairs WHERE dist <= 32),
+      bidir AS (
+        SELECT ia AS s_, ib AS d_, dist FROM hits
+        UNION ALL SELECT ib, ia, dist FROM hits)
+      SELECT lpad(CAST(s_ AS VARCHAR), 8, '0') AS "index",
+             lpad(CAST(d_ AS VARCHAR), 8, '0') AS duplicate,
+             1.0 - dist / 256.0 AS similarity
+      FROM bidir ORDER BY 1, 2
+    """.trim)
+  )
+
   /** C4 line-level cleaning over documents wrapped in PLANTED lines
     * (boilerplate markers, a no-terminal-punct remainder, a sub-floor
     * line, two conditional keepers) — so kept/dropped and the per-doc
@@ -1762,6 +1918,47 @@ object Pipeline {
           CASE WHEN doc_id % 4 = 0 THEN 'all rights reserved worldwide'
                ELSE substr(text, 11, 30) END,
           'subscribe to our newsletter today') AS text
+        FROM documents"""
+      s"""SELECT id, md5(text_clean) AS clean_md5, n_lines, n_dupes_removed
+        FROM (${graft.operators.Dedup.lineDedupSql(plantedSql)})
+        ORDER BY id""".trim
+    }
+  )
+
+  /** SKEW STRESS for the min-struct winner shape: one viral line
+    * planted in EVERY doc (twice — intra-doc repeat) plus a second hot
+    * line in ~20% of docs, so two md5 keys carry ~2.2N and ~0.4N
+    * occurrences. The combinable `min(struct)` winner collapses the hot
+    * keys map-side; the skew-prone `row_number` formulation would sort
+    * every occurrence of the hot hash in ONE task (PlanShapeSpec pins
+    * that no Window/per-key sort appears in this gate's plan). */
+  val lineDedupSkewQ: QueryDef = QueryDef(
+    "line_dedup_skew",
+    (s, dir) => {
+      val viral = lit("this exact viral boilerplate line is everywhere")
+      val hot = lit("every fifth doc also shares this hot line")
+      val planted = tbl(s, dir, "documents").select(col("doc_id").as("id"),
+        concat_ws("\n",
+          viral,
+          substring(col("text"), 1, 45),
+          when(col("doc_id") % 5 === 0, hot).otherwise(substring(col("text"), 46, 60)),
+          viral,
+          when(col("doc_id") % 5 === 0, hot).otherwise(substring(col("text"), 16, 25))).as("text"))
+      graft.operators.Dedup.lineDedup(planted, "id", "text")
+        .select(col("id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_lines"), col("n_dupes_removed"))
+        .orderBy("id")
+    },
+    Some {
+      val plantedSql = """SELECT doc_id AS id,
+        concat_ws(chr(10),
+          'this exact viral boilerplate line is everywhere',
+          substr(text, 1, 45),
+          CASE WHEN doc_id % 5 = 0 THEN 'every fifth doc also shares this hot line'
+               ELSE substr(text, 46, 60) END,
+          'this exact viral boilerplate line is everywhere',
+          CASE WHEN doc_id % 5 = 0 THEN 'every fifth doc also shares this hot line'
+               ELSE substr(text, 16, 25) END) AS text
         FROM documents"""
       s"""SELECT id, md5(text_clean) AS clean_md5, n_lines, n_dupes_removed
         FROM (${graft.operators.Dedup.lineDedupSql(plantedSql)})
@@ -1977,6 +2174,37 @@ object Pipeline {
       "source", "w", p = 10))
   )
 
+  /** The PERSISTED sketch lifecycle: the corpus split into two shards
+    * (doc_id parity), each shard's HLL registers written with the
+    * commit-marker manifest, read back, and MERGED (elementwise max) —
+    * the daily-shard → union → estimate flow a 100 TB pipeline runs so
+    * yesterday's corpus is never re-scanned. HLL merge is exact
+    * (max of shard registers ≡ registers of the union), so the oracle
+    * is `hll_distinct`'s single-pass SQL verbatim. */
+  val hllMergedIdx: QueryDef = QueryDef(
+    "hll_merged_idx",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val path = gateScratchDir("graft_sketch_gate")
+      val params = Map("p" -> "10")
+      for (m <- 0 to 1) {
+        val toks = docs.filter(col("doc_id") % 2 === m)
+          .select(col("source"), explode(TextFunctions.words(col("text"))).as("w"))
+        Sketches.writeSketch(
+          Sketches.SketchShard(Sketches.hllRegisters(toks, "source", "w", p = 10), "hll", params),
+          s"$path/shard$m", mode = org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      val merged = Sketches.mergeSketches(
+        Seq(Sketches.readSketch(s, s"$path/shard0"), Sketches.readSketch(s, s"$path/shard1")))
+      val toksAll = docs.select(col("source"), explode(TextFunctions.words(col("text"))).as("w"))
+      Sketches.hllEstimate(merged.data, "source", p = 10)
+        .join(toksAll.groupBy("source").agg(count_distinct(col("w")).as("exact_distinct")),
+          Seq("source"))
+        .orderBy("source")
+    },
+    hllDistinctQ.oracle
+  )
+
   /** Count-min probe terms: bm25's literal set plus one absent term —
     * its exact count is 0 while its estimate shows the collision
     * upper-bound property on a live table. */
@@ -2027,12 +2255,13 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    hllDistinctQ, cmsFreqQ, histQuantilesQ,
-    c4CleanQ, lineDedupQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
+    hllDistinctQ, hllMergedIdx, cmsFreqQ, histQuantilesQ,
+    c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, deconOverlap, curationFunnel, pipelineE2e,
-    embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups
+    embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
+    mediaPdqCompute, mediaPdqComputeDups
   )
 }

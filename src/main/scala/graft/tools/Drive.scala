@@ -306,6 +306,46 @@ object Drive {
       Sketches.histQuantiles(Sketches.histCounts(lens, "src", "len", step = 10L, nb = 30),
         "src", step = 10L, nb = 30, qs = Seq(("p50", 500000L), ("p99", 990000L))).show()
     }
+    println("=== PDQ from pixels: synth BMP -> real decode -> fixed-point hash -> dups ===")
+    locally {
+      def pat(w: Int, h: Int, seed: Int, bump: Int): Array[Int] = Array.tabulate(w * h) { p =>
+        val x = p % w; val y = p / w
+        val pert = if (x / 16 == bump && y / 16 == bump) 40 else 0
+        (((seed * 31 + x * 2 + y * 3 + pert) % 256) << 16) |
+          (((seed * 53 + x * 5) % 256) << 8) | ((seed * 11 + y * 7) % 256)
+      }
+      val items = spark.createDataset(Seq(
+        Media.MediaItem(1L, "image", Media.encodeBmp24(100, 80, pat(100, 80, 3, 0))),
+        Media.MediaItem(2L, "image", Media.encodeBmp24(100, 80, pat(100, 80, 3, 1))), // near dup of 1
+        Media.MediaItem(3L, "image", Media.encodeBmp24(72, 96, pat(72, 96, 9, 0)))
+      ))(org.apache.spark.sql.Encoders.product[Media.MediaItem])
+      val hashes = Media.pdqHashes(items).toDF("id", "pdq_hex", "quality")
+      hashes.orderBy("id").show(false)
+      import org.apache.spark.sql.functions.{array, col, lpad}
+      PdqDuplicates(hashes.select(lpad(col("id").cast("string"), 4, "0").as("index"),
+        array(col("pdq_hex")).as("pdq_hash")), similarityThreshold = 0.875,
+        assumeFixed256 = true).show(false)
+      // PNG path: gray + RGBA payloads through the JDK-inflate decoder
+      val (pw, ph, ppx) = Media.pngPixelDecoder(
+        // encode a tiny PNG by hand: the BMP pixels re-wrapped via deflate
+        graft.tools.Drive.tinyPng(21, 13, pat(21, 13, 5, 0)))
+      println(s"png decoded ${pw}x$ph first=${ppx.head.toHexString}")
+    }
+    println("=== persisted sketch lifecycle: write -> read -> merge ===")
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("drive-sketch").toString
+      val a = (0 until 300).map(i => ("g", s"k_${i % 83}")).toDF("src", "w")
+      val b = (0 until 200).map(i => ("g", s"k_${i % 131}")).toDF("src", "w")
+      Sketches.writeSketch(Sketches.SketchShard(
+        Sketches.hllRegisters(a, "src", "w", p = 8), "hll", Map("p" -> "8")), s"$dir/a")
+      Sketches.writeSketch(Sketches.SketchShard(
+        Sketches.hllRegisters(b, "src", "w", p = 8), "hll", Map("p" -> "8")), s"$dir/b")
+      val merged = Sketches.mergeSketches(
+        Seq(Sketches.readSketch(spark, s"$dir/a"), Sketches.readSketch(spark, s"$dir/b")))
+      Sketches.hllEstimate(merged.data, "src", p = 8).show()
+      try Sketches.readSketch(spark, s"$dir/nope")
+      catch { case e: IllegalStateException => println("caught: " + e.getMessage) }
+    }
     println("=== probe: empty-series warnings surface via Warnings.onWarning ===")
     locally {
       @volatile var seen = List.empty[String]
@@ -320,5 +360,33 @@ object Drive {
     }
     println("DRIVE_DONE")
     spark.stop()
+  }
+
+  /** Minimal RGB PNG writer (filter-0 rows, dummy CRCs) — just enough
+    * container to drive [[Media.pngPixelDecoder]] end-to-end. */
+  def tinyPng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(0)
+      for (x <- 0 until w) {
+        val v = px(y * w + x)
+        raw.write((v >> 16) & 0xff); raw.write((v >> 8) & 0xff); raw.write(v & 0xff)
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    val z = buf.toByteArray
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + z.length + 12 + 12)
+    out.putInt(0x89504e47).putInt(0x0d0a1a0a)
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+    out.put(0.toByte).put(0.toByte).put(0.toByte).putInt(0)
+    out.putInt(z.length).put("IDAT".getBytes("US-ASCII")).put(z).putInt(0)
+    out.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+    out.array()
   }
 }

@@ -212,6 +212,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"line_dedup planned a window:\n$p")
   }
 
+  test("line_dedup_skew: viral-key plan — combinable winner aggregate, no Window, no per-key sort") {
+    val p = plan("line_dedup_skew")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the whole skew claim: a hot line hash must meet a map-side
+    // combinable partial aggregate, never a row_number window (which
+    // would sort every occurrence of the hot hash in one task)
+    assert(!p.contains("Window"), s"line_dedup_skew planned a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"winner aggregate missing:\n$p")
+  }
+
   test("lm_score: the model joins the scoring explode as a BROADCAST; no product") {
     val p = plan("lm_score")
     // the trigram explode must meet the model via BroadcastHashJoin (the
