@@ -312,7 +312,235 @@ object Media {
     (w, h, out)
   }
 
+  /** REAL GIF frame decoder — pure JVM LZW (no codec library): parses
+    * the logical screen descriptor, global/local color tables, walks
+    * extension and image-descriptor blocks, and LZW-decompresses every
+    * frame (variable code size 3..12 bits LSB-first across sub-blocks,
+    * clear/end codes, dictionary growth per the GIF89a spec appendix).
+    *
+    * Each frame is returned as its own (width, height, packed-RGB
+    * raster) from its OWN image descriptor — no disposal compositing
+    * (frames that patch a sub-rectangle decode standalone); interlaced
+    * frames are row-deinterlaced (passes 8/8+4/4/2 per spec). For the
+    * keyframe→PDQ pipeline standalone rasters are the right contract:
+    * a sampler hashes frames, it does not replay an animation. */
+  def gifFrames(p: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    require(p.length >= 13 && (p.startsWith("GIF87a".getBytes("US-ASCII")) ||
+      p.startsWith("GIF89a".getBytes("US-ASCII"))), "not a GIF payload")
+    var i = 6
+    i += 4 // logical screen w/h
+    val packed = u8(i); i += 3 // packed + bg index + aspect
+    var globalPalette: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      globalPalette = Array.tabulate(n)(j => (u8(i + 3 * j) << 16) | (u8(i + 3 * j + 1) << 8) | u8(i + 3 * j + 2))
+      i += 3 * n
+    }
+    val frames = Seq.newBuilder[(Int, Int, Array[Int])]
+    var done = false
+    while (!done && i < p.length) {
+      u8(i) match {
+        case 0x3b => done = true // trailer
+        case 0x21 => // extension: label + length-prefixed sub-blocks
+          i += 2
+          while (u8(i) != 0) i += 1 + u8(i)
+          i += 1
+        case 0x2c =>
+          val w = le16(i + 5); val h = le16(i + 7)
+          val ipacked = u8(i + 9)
+          i += 10
+          var palette = globalPalette
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            palette = Array.tabulate(n)(j => (u8(i + 3 * j) << 16) | (u8(i + 3 * j + 1) << 8) | u8(i + 3 * j + 2))
+            i += 3 * n
+          }
+          require(palette != null, "GIF: frame without any color table")
+          val minCode = u8(i); i += 1
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (u8(i) != 0) { data.write(p, i + 1, u8(i)); i += 1 + u8(i) }
+          i += 1
+          val indices = lzwDecode(data.toByteArray, minCode, w * h)
+          val raster = new Array[Int](w * h)
+          if ((ipacked & 0x40) != 0) {
+            // interlaced: rows arrive in 4 passes (start/step 0/8, 4/8, 2/4, 1/2)
+            val order = Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until h by st }
+            for ((destRow, srcRow) <- order.zipWithIndex; x <- 0 until w)
+              raster(destRow * w + x) = palette(indices(srcRow * w + x) & 0xff)
+          } else {
+            var j = 0
+            while (j < w * h) { raster(j) = palette(indices(j) & 0xff); j += 1 }
+          }
+          frames += ((w, h, raster))
+        case b => throw new IllegalArgumentException(f"GIF: unknown block 0x$b%02x at $i")
+      }
+    }
+    val out = frames.result()
+    require(out.nonEmpty, "GIF: no image frames before trailer")
+    out
+  }
+
+  /** GIF-variant LZW decode: codes are LSB-first, width grows from
+    * minCode+1 up to 12 bits, clear resets the dictionary, end stops. */
+  private[operators] def lzwDecode(data: Array[Byte], minCode: Int, expected: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream(expected)
+    // dictionary as (prefixCode, appendedByte); roots are -1-prefixed
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var dictSize = 0
+    def reset(): Unit = {
+      dictSize = end + 1
+      var c = 0
+      while (c < clear) { prefix(c) = -1; suffix(c) = c.toByte; c += 1 }
+    }
+    reset()
+    var codeSize = minCode + 1
+    var buf = 0L; var bits = 0; var pos = 0
+    var prev = -1
+    val scratch = new Array[Byte](4096)
+    def expand(code: Int): Int = { // writes the string for `code` into scratch reversed; returns length
+      var len = 0; var c = code
+      while (c >= 0) { scratch(len) = suffix(c); len += 1; c = prefix(c) }
+      len
+    }
+    var stop = false
+    while (!stop && (bits >= codeSize || pos < data.length)) {
+      while (bits < codeSize && pos < data.length) {
+        buf |= (data(pos) & 0xffL) << bits; bits += 8; pos += 1
+      }
+      if (bits < codeSize) stop = true
+      else {
+        val code = (buf & ((1 << codeSize) - 1)).toInt
+        buf >>>= codeSize; bits -= codeSize
+        if (code == clear) { reset(); codeSize = minCode + 1; prev = -1 }
+        else if (code == end) stop = true
+        else {
+          require(code < dictSize || (code == dictSize && prev >= 0), s"LZW: code $code out of range")
+          if (prev >= 0 && dictSize < 4096) {
+            // new entry = prev + first byte of current (or of prev for the K-case)
+            val probe = if (code < dictSize) code else prev
+            var c = probe
+            while (prefix(c) >= 0) c = prefix(c)
+            prefix(dictSize) = prev; suffix(dictSize) = suffix(c); dictSize += 1
+          }
+          val len = expand(code)
+          var k = len - 1
+          while (k >= 0) { out.write(scratch(k)); k -= 1 }
+          prev = code
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+      }
+    }
+    val arr = out.toByteArray
+    require(arr.length >= expected, s"LZW: expected $expected pixels, got ${arr.length}")
+    if (arr.length == expected) arr else java.util.Arrays.copyOf(arr, expected)
+  }
+
+  /** Multi-frame grayscale GIF89a encoder (REAL LZW compression with
+    * dictionary growth and clear-on-full) — the synthesis half of the
+    * GIF round-trip. Pixels quantize to the 256-gray global palette by
+    * integer luma. */
+  def encodeGifGray(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    frames.foreach(f => require(f.length == w * h, s"expected ${w * h} pixels"))
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7) // global table, 256 entries, 8-bit resolution
+    out.write(0); out.write(0)
+    for (g <- 0 until 256) { out.write(g); out.write(g); out.write(g) }
+    for (f <- frames) {
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0) // descriptor
+      out.write(8) // LZW min code size
+      val packed = lzwEncode(f.map(v => PdqHash.luma(v).toByte), 8)
+      var off = 0
+      while (off < packed.length) {
+        val n = math.min(255, packed.length - off)
+        out.write(n); out.write(packed, off, n); off += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW encode (true dictionary compression, clear code
+    * emitted when the table fills). */
+  private[operators] def lzwEncode(indices: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var buf = 0L; var bits = 0
+    var codeSize = minCode + 1
+    def emit(code: Int): Unit = {
+      buf |= code.toLong << bits; bits += codeSize
+      while (bits >= 8) { out.write((buf & 0xff).toInt); buf >>>= 8; bits -= 8 }
+    }
+    // dictionary: (prefixCode << 8 | byte) -> code
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var dictSize = end + 1
+    emit(clear)
+    var prev = -1
+    for (b <- indices) {
+      val cur = b & 0xff
+      if (prev < 0) prev = cur
+      else {
+        val key = (prev << 8) | cur
+        val hit = dict.get(key)
+        if (hit != null) prev = hit
+        else {
+          emit(prev)
+          if (dictSize < 4096) {
+            dict.put(key, dictSize); dictSize += 1
+            if (dictSize > (1 << codeSize) && codeSize < 12) codeSize += 1
+          } else {
+            emit(clear); dict = new java.util.HashMap[Integer, Integer]()
+            dictSize = end + 1; codeSize = minCode + 1
+          }
+          prev = cur
+        }
+      }
+    }
+    if (prev >= 0) emit(prev)
+    // width sync for END: the decoder assigns one more entry after the
+    // final data code (its dict trails this one by exactly one entry,
+    // reaching `dictSize` after that add) and widens when it hits
+    // 2^codeSize — mirror that before emitting END or the decoder
+    // reads END one bit wider than written
+    if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+    emit(end)
+    if (bits > 0) out.write((buf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** First frame of a GIF as a [[PixelDecoder]] (single-image GIFs are
+    * plain rasters; animated ones hash per-frame via [[pdqFrames]]). */
+  val gifPixelDecoder: PixelDecoder = p => gifFrames(p).head
+
   case class PdqResult(id: Long, pdq_hex: String, quality: Long)
+
+  case class FramePdq(id: Long, frame_no: Int, pdq_hex: String, quality: Long)
+
+  /** Per-FRAME PDQ hashes for multi-frame media (animated GIF today;
+    * any container whose frame decoder fits the seam): payload →
+    * frames → fixed-point PDQ each — the real form of the video
+    * keyframe dedup pipeline [[frameSamples]] stubs. */
+  def pdqFrames(items: Dataset[MediaItem],
+      decodeFrames: Array[Byte] => Seq[(Int, Int, Array[Int])] = gifFrames): Dataset[FramePdq] = {
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      decodeFrames(m.payload).zipWithIndex.map { case ((w, h, px), no) =>
+        val (hx, q) = graft.operators.PdqHash.hashImage(w, h, px)
+        FramePdq(m.id, no, hx, q)
+      }
+    }
+  }
 
   /** PDQ hashes computed FROM PIXELS: payload → [[PixelDecoder]] →
     * [[PdqHash.hashImage]] (luma → 64×64 box downsample → 16×16 DCT →

@@ -1731,22 +1731,12 @@ object Pipeline {
     * rank-128 median threshold, MSB-first nibble packing, and the
     * gradient quality score. Ends with CTEs `hexs(id, pdq_hex)`,
     * `grad(id, quality)`, and `pbits(id, p, bit)` for pair queries. */
-  private def pdqPixelCtes(maxId: Int): String = s"""
-    src AS (
-      SELECT doc_id AS id,
-        list_reduce(
-          list_prepend(CAST(7 AS BIGINT),
-            list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
-          (a, b) -> (a * 31 + b) % 1000000007) AS acc
-      FROM documents WHERE doc_id < $maxId),
-    dims AS (SELECT id, acc % 7 AS g, 72 + (id % 3) * 28 AS w, 64 + (id % 5) * 16 AS h FROM src),
-    axis AS (SELECT unnest(generate_series(0, 127)) AS v),
-    pix AS (
-      SELECT d.id, x.v AS x, y.v AS y, d.w, d.h,
-        (299 * ((d.g * 31 + x.v * 2 + y.v * 3 + CASE WHEN x.v // 16 = d.id % 4 AND y.v // 16 = d.id % 6 THEN 40 ELSE 0 END) % 256)
-       + 587 * ((d.g * 53 + x.v * 5 + ((x.v * y.v) // 7) % 64) % 256)
-       + 114 * ((d.g * 11 + y.v * 7) % 256)) // 1000 AS l
-      FROM dims d JOIN axis x ON x.v < d.w JOIN axis y ON y.v < d.h),
+  /** The engine-independent back half of the PDQ SQL replay: takes a
+    * `pix(id, x, y, w, h, l)` CTE (integer luma per pixel) through
+    * downsample → DCT → median → bits → hex → quality. Shared by the
+    * BMP and GIF gates (their pixel synthesis differs, the hash
+    * pipeline is one implementation). */
+  private def pdqChainCtes: String = s"""
     down AS (
       SELECT id, (y * 64) // h AS cy, (x * 64) // w AS cx,
         CAST((SUM(l) * 256) // COUNT(*) AS BIGINT) AS v
@@ -1778,6 +1768,27 @@ object Pipeline {
         UNION ALL
         SELECT a.id, ABS(b.v - a.v) AS d FROM down a JOIN down b ON b.id = a.id AND b.cy = a.cy + 1 AND b.cx = a.cx
       ) GROUP BY id)"""
+
+  /** Pixel synthesis + hash chain for the BMP gates: RGB scenes keyed
+    * by the doc rolling hash, luma'd in SQL exactly as
+    * [[PdqHash.luma]] does in the kernel. */
+  private def pdqPixelCtes(maxId: Int): String = s"""
+    src AS (
+      SELECT doc_id AS id,
+        list_reduce(
+          list_prepend(CAST(7 AS BIGINT),
+            list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1000000007) AS acc
+      FROM documents WHERE doc_id < $maxId),
+    dims AS (SELECT id, acc % 7 AS g, 72 + (id % 3) * 28 AS w, 64 + (id % 5) * 16 AS h FROM src),
+    axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+    pix AS (
+      SELECT d.id, x.v AS x, y.v AS y, d.w, d.h,
+        (299 * ((d.g * 31 + x.v * 2 + y.v * 3 + CASE WHEN x.v // 16 = d.id % 4 AND y.v // 16 = d.id % 6 THEN 40 ELSE 0 END) % 256)
+       + 587 * ((d.g * 53 + x.v * 5 + ((x.v * y.v) // 7) % 64) % 256)
+       + 114 * ((d.g * 11 + y.v * 7) % 256)) // 1000 AS l
+      FROM dims d JOIN axis x ON x.v < d.w JOIN axis y ON y.v < d.h),
+    $pdqChainCtes"""
 
   private def pdqItems(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Media.MediaItem] = {
     import s.implicits._
@@ -1840,6 +1851,63 @@ object Pipeline {
              lpad(CAST(d_ AS VARCHAR), 8, '0') AS duplicate,
              1.0 - dist / 256.0 AS similarity
       FROM bidir ORDER BY 1, 2
+    """.trim)
+  )
+
+  /** The VIDEO form of the PDQ pipeline, real end to end: per-doc
+    * animated GIFs (three grayscale frames, REAL LZW compression)
+    * decoded by the pure-JVM [[Media.gifFrames]] (chunk walk, variable
+    * code width, dictionary growth) and hashed per frame by the
+    * fixed-point kernel — what [[mediaFrames]] stubs, done with a real
+    * container and a real decoder. Frames drift (f·11 shift + a moving
+    * bump), so per-frame hashes within a doc are near- but not exact
+    * duplicates. Gray pixels make SQL luma trivial (luma(v,v,v) = v);
+    * the oracle synthesizes the same frames and replays the hash chain. */
+  val mediaGifPdq: QueryDef = QueryDef(
+    "media_gif_pdq",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 48)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val did = r.getLong(0)
+          val g = rollingAcc(r.getString(1)) % 7
+          val w = 72 + (did % 3).toInt * 28
+          val h = 64 + (did % 5).toInt * 16
+          val frames = (0 until 3).map { f =>
+            Array.tabulate(w * h) { p =>
+              val x = p % w; val y = p / w
+              val bump = if (x / 16 == ((did + f) % 4).toInt && y / 16 == ((did + f) % 6).toInt) 40 else 0
+              val v = ((g * 29 + x * 2 + y * 3 + f * 11 + bump) % 256).toInt
+              (v << 16) | (v << 8) | v
+            }
+          }
+          Media.MediaItem(did, "gif", Media.encodeGifGray(w, h, frames))
+        }
+      Media.pdqFrames(items, Media.gifFrames)
+        .toDF("id", "frame_no", "pdq_hex", "quality")
+        .orderBy("id", "frame_no")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS did,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 7 AS g
+        FROM documents WHERE doc_id < 48),
+      dims AS (SELECT did, g, 72 + (did % 3) * 28 AS w, 64 + (did % 5) * 16 AS h FROM src),
+      fr AS (SELECT unnest([0, 1, 2]) AS f),
+      axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+      pix AS (
+        SELECT d.did * 4 + fr.f AS id, x.v AS x, y.v AS y, d.w, d.h,
+          (d.g * 29 + x.v * 2 + y.v * 3 + fr.f * 11 +
+           CASE WHEN x.v // 16 = (d.did + fr.f) % 4 AND y.v // 16 = (d.did + fr.f) % 6 THEN 40 ELSE 0 END) % 256 AS l
+        FROM dims d CROSS JOIN fr JOIN axis x ON x.v < d.w JOIN axis y ON y.v < d.h),
+      $pdqChainCtes
+      SELECT h.id // 4 AS id, CAST(h.id % 4 AS INT) AS frame_no, h.pdq_hex, g.quality
+      FROM hexs h JOIN grad g ON g.id = h.id ORDER BY 1, 2
     """.trim)
   )
 
@@ -2262,6 +2330,6 @@ object Pipeline {
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups
+    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq
   )
 }

@@ -330,6 +330,15 @@ object Drive {
         // encode a tiny PNG by hand: the BMP pixels re-wrapped via deflate
         graft.tools.Drive.tinyPng(21, 13, pat(21, 13, 5, 0)))
       println(s"png decoded ${pw}x$ph first=${ppx.head.toHexString}")
+      // animated GIF path: real LZW encode -> decode -> per-frame PDQ
+      def grayFrame(f: Int): Array[Int] = Array.tabulate(72 * 64) { p =>
+        val v = (f * 11 + (p % 72) * 2 + (p / 72) * 3) % 256
+        (v << 16) | (v << 8) | v
+      }
+      val gif = spark.createDataset(Seq(Media.MediaItem(9L, "gif",
+        Media.encodeGifGray(72, 64, Seq(grayFrame(0), grayFrame(1), grayFrame(2))))))(
+        org.apache.spark.sql.Encoders.product[Media.MediaItem])
+      Media.pdqFrames(gif, Media.gifFrames).orderBy("frame_no").show(false)
     }
     println("=== persisted sketch lifecycle: write -> read -> merge ===")
     locally {

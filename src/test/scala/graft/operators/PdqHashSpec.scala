@@ -184,6 +184,78 @@ class PdqHashSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Media.pngPixelDecoder(depth16))
   }
 
+  test("LZW round-trip: random index streams, dictionary growth, clear-on-full") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(1, 5, 255, 256, 4000, 20000, 80000)) {
+      // low-entropy stream: long runs force deep dictionary chains and
+      // (at 80k) the 4096-entry table to fill and clear
+      val xs = Array.tabulate(n)(i => ((i / 7 + rnd.nextInt(3)) % 256).toByte)
+      val dec = Media.lzwDecode(Media.lzwEncode(xs, 8), 8, n)
+      assert(dec.toSeq == xs.toSeq, s"LZW round-trip failed at n=$n")
+    }
+    // high-entropy too (emits mostly literals, different width schedule)
+    val hi = Array.tabulate(10000)(_ => rnd.nextInt(256).toByte)
+    assert(Media.lzwDecode(Media.lzwEncode(hi, 8), 8, 10000).toSeq == hi.toSeq)
+  }
+
+  test("GIF multi-frame round-trip through real LZW; first-frame decoder; luma quantization") {
+    val (w, h) = (72, 64)
+    def gray(seed: Int): Array[Int] = Array.tabulate(w * h) { p =>
+      val v = (seed * 29 + (p % w) * 2 + (p / w) * 3) % 256
+      (v << 16) | (v << 8) | v
+    }
+    val frames = Seq(gray(1), gray(2), gray(3))
+    val payload = Media.encodeGifGray(w, h, frames)
+    val out = Media.gifFrames(payload)
+    assert(out.length == 3)
+    for ((f, i) <- frames.zipWithIndex) {
+      val (dw, dh, px) = out(i)
+      assert((dw, dh) == (w, h))
+      assert(px.toSeq == f.toSeq, s"frame $i mismatch")
+    }
+    val (fw, fh, first) = Media.gifPixelDecoder(payload)
+    assert((fw, fh) == (w, h) && first.toSeq == frames.head.toSeq)
+    // non-gray input quantizes by integer luma
+    val rgb = Array.fill(w * h)(0xff0000)
+    val (_, _, q) = Media.gifFrames(Media.encodeGifGray(w, h, Seq(rgb))).head
+    assert(q.forall(_ == 0x4c4c4c)) // luma(red) = 76 = 0x4c
+  }
+
+  test("GIF interlaced frames deinterlace per the four-pass row order") {
+    val (w, h) = (21, 13)
+    val px = pattern(w, h, 7).map { v => val g = PdqHash.luma(v).toInt; (g << 16) | (g << 8) | g }
+    val plain = Media.encodeGifGray(w, h, Seq(px))
+    // rebuild the payload with rows stored in interlace order + flag set
+    val order = Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until h by st }
+    val reordered = Array.tabulate(w * h)(p => px(order(p / w) * w + p % w))
+    val enc = Media.encodeGifGray(w, h, Seq(reordered))
+    // image descriptor starts after header(6)+lsd(7)+palette(768); packed byte at +9
+    val off = 6 + 7 + 768 + 9
+    assert(enc(off) == 0)
+    enc(off) = 0x40.toByte
+    val (_, _, out) = Media.gifFrames(enc).head
+    assert(out.toSeq == px.toSeq, "deinterlace did not restore row order")
+  }
+
+  test("pdqFrames: per-frame hashes drift within a doc (near, not exact)") {
+    import spark.implicits._
+    val (w, h) = (100, 80)
+    def frame(f: Int): Array[Int] = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      val bump = if (x / 16 == f && y / 16 == f) 40 else 0
+      val v = (11 * 29 + x * 2 + y * 3 + f * 11 + bump) % 256
+      (v << 16) | (v << 8) | v
+    }
+    val items = spark.createDataset(Seq(
+      Media.MediaItem(7L, "gif", Media.encodeGifGray(w, h, Seq(frame(0), frame(1), frame(2))))))
+    val res = Media.pdqFrames(items, Media.gifFrames).collect().sortBy(_.frame_no)
+    assert(res.map(_.frame_no).toSeq == Seq(0, 1, 2))
+    assert(res.map(_.pdq_hex).distinct.length == 3, "frames should hash differently")
+    // and each matches hashing the frame directly
+    val direct = PdqHash.hashImage(w, h, frame(1))
+    assert(res(1).pdq_hex == direct._1 && res(1).quality == direct._2)
+  }
+
   test("pdqHashes operator: BMP payloads through the typed Spark path") {
     import spark.implicits._
     val items = spark.createDataset(Seq(
