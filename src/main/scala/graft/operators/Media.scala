@@ -527,17 +527,41 @@ object Media {
 
   case class FramePdq(id: Long, frame_no: Int, pdq_hex: String, quality: Long)
 
+  case class DihedralHash(id: Long, variant_no: Int, variant: String, pdq_hex: String)
+
+  /** All 8 dihedral PDQ hashes per item from ONE decode + downsample —
+    * the matching tier that catches mirrored / rotated reposts: join
+    * any candidate's variant hashes against the corpus' `orig` hashes
+    * (equi-join on the hex, or banded Hamming for near matches). */
+  def pdqHashesDihedral(items: Dataset[MediaItem],
+      decode: PixelDecoder = bmpPixelDecoder): Dataset[DihedralHash] = {
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      val (w, h, rgb) = decode(m.payload)
+      val (hashes, _) = graft.operators.PdqHash.dihedralHashes(w, h, rgb)
+      hashes.zipWithIndex.map { case ((name, hx), v) => DihedralHash(m.id, v, name, hx) }
+    }
+  }
+
   /** Per-FRAME PDQ hashes for multi-frame media (animated GIF today;
     * any container whose frame decoder fits the seam): payload →
     * frames → fixed-point PDQ each — the real form of the video
     * keyframe dedup pipeline [[frameSamples]] stubs. */
   def pdqFrames(items: Dataset[MediaItem],
-      decodeFrames: Array[Byte] => Seq[(Int, Int, Array[Int])] = gifFrames): Dataset[FramePdq] = {
+      decodeFrames: Array[Byte] => Seq[(Int, Int, Array[Int])] = gifFrames,
+      keepUndecodable: Boolean = false): Dataset[FramePdq] = {
     import items.sparkSession.implicits._
     items.flatMap { m =>
-      decodeFrames(m.payload).zipWithIndex.map { case ((w, h, px), no) =>
-        val (hx, q) = graft.operators.PdqHash.hashImage(w, h, px)
-        FramePdq(m.id, no, hx, q)
+      try {
+        decodeFrames(m.payload).zipWithIndex.map { case ((w, h, px), no) =>
+          val (hx, q) = graft.operators.PdqHash.hashImage(w, h, px)
+          FramePdq(m.id, no, hx, q)
+        }
+      } catch {
+        // a corrupt container loses its frames but keeps one visible
+        // (id, -1, null, -1) marker row, same contract as pdqHashes
+        case scala.util.control.NonFatal(e) if keepUndecodable =>
+          Seq(FramePdq(m.id, -1, null, -1L))
       }
     }
   }
@@ -547,14 +571,28 @@ object Media {
     * median threshold), partition-batched like the other media kernels.
     * This is the capability the reference consumes but never computes
     * (`pdq_hash.py:1-20` takes hex strings as input); a user pointing
-    * the engine at a raw media archive starts here. */
-  def pdqHashes(items: Dataset[MediaItem], decode: PixelDecoder = bmpPixelDecoder): Dataset[PdqResult] = {
+    * the engine at a raw media archive starts here.
+    *
+    * `keepUndecodable = true` turns decode/hash failures into
+    * `(id, null, -1)` rows instead of failing the job — at 100 TB a
+    * media archive WILL contain truncated and corrupt payloads, and
+    * one bad file must not kill a stage. The null rows stay in the
+    * output so callers count/quarantine them declaratively
+    * (`filter($"pdq_hex".isNull)`, an `observe()` metric) rather than
+    * losing them silently; the default stays fail-fast. */
+  def pdqHashes(items: Dataset[MediaItem], decode: PixelDecoder = bmpPixelDecoder,
+      keepUndecodable: Boolean = false): Dataset[PdqResult] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        val (w, h, rgb) = decode(m.payload)
-        val (hx, q) = graft.operators.PdqHash.hashImage(w, h, rgb)
-        PdqResult(m.id, hx, q)
+        try {
+          val (w, h, rgb) = decode(m.payload)
+          val (hx, q) = graft.operators.PdqHash.hashImage(w, h, rgb)
+          PdqResult(m.id, hx, q)
+        } catch {
+          case scala.util.control.NonFatal(e) if keepUndecodable =>
+            PdqResult(m.id, null, -1L)
+        }
       }
     }
   }

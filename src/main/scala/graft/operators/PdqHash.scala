@@ -172,4 +172,59 @@ object PdqHash {
     val cells = downsample(w, h, lum)
     (hex(bits(dct(cells))), quality(cells))
   }
+
+  /** Dihedral variant names, index-aligned with [[transformCells]]:
+    * the 8 symmetries of the square (PDQ's dihedral matching tier —
+    * a mirrored or rotated repost must still match the original). */
+  val DihedralNames: Vector[String] =
+    Vector("orig", "flipx", "flipy", "rot180", "transpose", "rot90", "rot270", "antitranspose")
+
+  /** Apply dihedral symmetry `v` to a D×D cell plane: old cell (r, c)
+    * lands at — orig (r,c); flipx (r, D-1-c); flipy (D-1-r, c);
+    * rot180 (D-1-r, D-1-c); transpose (c, r); rot90 CW (c, D-1-r);
+    * rot270 (D-1-c, r); antitranspose (D-1-c, D-1-r). */
+  def transformCells(cells: Array[Long], v: Int): Array[Long] = {
+    val out = new Array[Long](D * D)
+    var r = 0
+    while (r < D) {
+      var c = 0
+      while (c < D) {
+        val (nr, nc) = v match {
+          case 0 => (r, c)
+          case 1 => (r, D - 1 - c)
+          case 2 => (D - 1 - r, c)
+          case 3 => (D - 1 - r, D - 1 - c)
+          case 4 => (c, r)
+          case 5 => (c, D - 1 - r)
+          case 6 => (D - 1 - c, r)
+          case 7 => (D - 1 - c, D - 1 - r)
+        }
+        out(nr * D + nc) = cells(r * D + c)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** All 8 dihedral hashes from ONE decode + downsample: the flips /
+    * rotations act on the 64×64 cell plane (exactly equal to
+    * transforming the source pixels whenever both dims divide
+    * [[D]] evenly, and the PDQ-style approximation otherwise), then
+    * each variant re-runs the integer DCT + its own median threshold.
+    * Because the Q14 table and rint are odd-symmetric
+    * (tab(i)(D−1−k) = (−1)^(i+1)·tab(i)(k) exactly), the cell-plane
+    * transform is mathematically identical to sign-flipping /
+    * transposing the DCT outputs — this implementation just reuses the
+    * one kernel. Quality is dihedral-invariant (same |Δ| multiset) and
+    * returned once. */
+  def dihedralHashes(w: Int, h: Int, rgb: Array[Int]): (Seq[(String, String)], Long) = {
+    require(rgb.length == w * h, s"expected ${w * h} pixels, got ${rgb.length}")
+    val lum = new Array[Long](rgb.length)
+    var p = 0
+    while (p < rgb.length) { lum(p) = luma(rgb(p)); p += 1 }
+    val cells = downsample(w, h, lum)
+    val hashes = (0 until 8).map(v => DihedralNames(v) -> hex(bits(dct(transformCells(cells, v)))))
+    (hashes, quality(cells))
+  }
 }

@@ -1854,6 +1854,96 @@ object Pipeline {
     """.trim)
   )
 
+  /** Base + mirrored-twin media items for the dihedral gate: 32 docs
+    * at 128×128 (both dims divide 64, so pixel-level flips commute
+    * with the downsample EXACTLY and a mirrored repost's `orig` hash
+    * equals the original's `flipx` hash bit-for-bit), plus a
+    * horizontal mirror under id+1000 for every even doc. */
+  private def dihedralItems(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Media.MediaItem] = {
+    import s.implicits._
+    tbl(s, dir, "documents").filter(col("doc_id") < 32).select(col("doc_id"), col("text"))
+      .flatMap { r =>
+        val did = r.getLong(0)
+        val g = rollingAcc(r.getString(1)) % 7
+        val W = 128
+        def pix(x: Int, y: Int): Int = {
+          val pert = if (x / 16 == (did % 4).toInt && y / 16 == (did % 6).toInt) 40 else 0
+          val rr = ((g * 31 + x * 2 + y * 3 + pert) % 256).toInt
+          val gg = ((g * 53 + x * 5 + (x * y / 7) % 64) % 256).toInt
+          val bb = ((g * 11 + y * 7) % 256).toInt
+          (rr << 16) | (gg << 8) | bb
+        }
+        val base = Array.tabulate(W * W)(p => pix(p % W, p / W))
+        val items = Seq(Media.MediaItem(did, "image", Media.encodeBmp24(W, W, base)))
+        if (did % 2 == 0) {
+          val mirror = Array.tabulate(W * W)(p => base(p / W * W + (W - 1 - p % W)))
+          items :+ Media.MediaItem(did + 1000, "image", Media.encodeBmp24(W, W, mirror))
+        } else items
+      }
+  }
+
+  /** Dihedral (mirror/rotation) matching — the PDQ tier that catches a
+    * FLIPPED repost exact-hash joins miss: every image carries its 8
+    * dihedral variant hashes (one decode + downsample each), and a
+    * variant-vs-orig equi-join surfaces (base, mirrored-twin) pairs
+    * under `flipx` alongside identical-scene pairs under `orig`. The
+    * oracle synthesizes all 8 pixel-level transforms per image
+    * (composite id = img·8 + variant) and replays the shared hash
+    * chain — cell-plane and pixel-level transforms agree exactly at
+    * 128×128. */
+  val mediaPdqDihedral: QueryDef = QueryDef(
+    "media_pdq_dihedral",
+    (s, dir) => {
+      val hashes = Media.pdqHashesDihedral(dihedralItems(s, dir)).toDF()
+      val orig = hashes.filter(col("variant_no") === 0)
+        .select(col("id").as("id_b"), col("pdq_hex"))
+      hashes.select(col("id").as("id_a"), col("variant_no"), col("variant"), col("pdq_hex"))
+        .join(orig, Seq("pdq_hex"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("variant_no"), col("variant"))
+        .orderBy("id_a", "id_b", "variant_no")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS did,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 7 AS g
+        FROM documents WHERE doc_id < 32),
+      imgs AS (
+        SELECT did, g, did AS img, 0 AS mir FROM src
+        UNION ALL
+        SELECT did, g, did + 1000 AS img, 1 AS mir FROM src WHERE did % 2 = 0),
+      axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+      lum AS (
+        SELECT i.img, x.v AS x, y.v AS y,
+          (299 * ((i.g * 31 + sx * 2 + y.v * 3 + CASE WHEN sx // 16 = i.did % 4 AND y.v // 16 = i.did % 6 THEN 40 ELSE 0 END) % 256)
+         + 587 * ((i.g * 53 + sx * 5 + ((sx * y.v) // 7) % 64) % 256)
+         + 114 * ((i.g * 11 + y.v * 7) % 256)) // 1000 AS l
+        FROM imgs i
+        JOIN axis x ON true JOIN axis y ON true,
+        LATERAL (SELECT CASE WHEN i.mir = 1 THEN 127 - x.v ELSE x.v END AS sx) t),
+      vr AS (SELECT unnest(generate_series(0, 7)) AS vv),
+      pix AS (
+        SELECT l.img * 8 + vr.vv AS id,
+          CASE vr.vv WHEN 0 THEN l.x WHEN 1 THEN 127 - l.x WHEN 2 THEN l.x WHEN 3 THEN 127 - l.x
+                     WHEN 4 THEN l.y WHEN 5 THEN 127 - l.y WHEN 6 THEN l.y WHEN 7 THEN 127 - l.y END AS x,
+          CASE vr.vv WHEN 0 THEN l.y WHEN 1 THEN l.y WHEN 2 THEN 127 - l.y WHEN 3 THEN 127 - l.y
+                     WHEN 4 THEN l.x WHEN 5 THEN l.x WHEN 6 THEN 127 - l.x WHEN 7 THEN 127 - l.x END AS y,
+          128 AS w, 128 AS h, l.l
+        FROM lum l CROSS JOIN vr),
+      $pdqChainCtes,
+      hx AS (SELECT id // 8 AS img, id % 8 AS vno, pdq_hex FROM hexs)
+      SELECT a.img AS id_a, b.img AS id_b, CAST(a.vno AS INT) AS variant_no,
+        CASE a.vno WHEN 0 THEN 'orig' WHEN 1 THEN 'flipx' WHEN 2 THEN 'flipy'
+                   WHEN 3 THEN 'rot180' WHEN 4 THEN 'transpose' WHEN 5 THEN 'rot90'
+                   WHEN 6 THEN 'rot270' ELSE 'antitranspose' END AS variant
+      FROM hx a JOIN hx b ON a.pdq_hex = b.pdq_hex AND b.vno = 0 AND a.img < b.img
+      ORDER BY 1, 2, 3
+    """.trim)
+  )
+
   /** The VIDEO form of the PDQ pipeline, real end to end: per-doc
     * animated GIFs (three grayscale frames, REAL LZW compression)
     * decoded by the pure-JVM [[Media.gifFrames]] (chunk walk, variable
@@ -2330,6 +2420,6 @@ object Pipeline {
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq
+    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaPdqDihedral
   )
 }

@@ -330,6 +330,23 @@ object Drive {
         // encode a tiny PNG by hand: the BMP pixels re-wrapped via deflate
         graft.tools.Drive.tinyPng(21, 13, pat(21, 13, 5, 0)))
       println(s"png decoded ${pw}x$ph first=${ppx.head.toHexString}")
+      // dihedral tier: a mirrored repost matches under flipx
+      val basePx = pat(128, 128, 4, 1)
+      val mirPx = Array.tabulate(128 * 128)(p => basePx(p / 128 * 128 + (127 - p % 128)))
+      val dPair = spark.createDataset(Seq(
+        Media.MediaItem(20L, "image", Media.encodeBmp24(128, 128, basePx)),
+        Media.MediaItem(21L, "image", Media.encodeBmp24(128, 128, mirPx))))(
+        org.apache.spark.sql.Encoders.product[Media.MediaItem])
+      val dh = Media.pdqHashesDihedral(dPair).toDF()
+      dh.as("a").join(dh.filter(col("variant_no") === 0).as("b"),
+          col("a.pdq_hex") === col("b.pdq_hex") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"), col("a.variant")).show(false)
+      // corrupt payload quarantined, not fatal
+      val mixed = spark.createDataset(Seq(
+        Media.MediaItem(30L, "image", Media.encodeBmp24(72, 64, pat(72, 64, 2, 0))),
+        Media.MediaItem(31L, "image", "garbage".getBytes("US-ASCII"))))(
+        org.apache.spark.sql.Encoders.product[Media.MediaItem])
+      Media.pdqHashes(mixed, keepUndecodable = true).orderBy("id").show(false)
       // animated GIF path: real LZW encode -> decode -> per-frame PDQ
       def grayFrame(f: Int): Array[Int] = Array.tabulate(72 * 64) { p =>
         val v = (f * 11 + (p % 72) * 2 + (p / 72) * 3) % 256

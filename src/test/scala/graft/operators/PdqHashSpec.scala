@@ -256,6 +256,60 @@ class PdqHashSpec extends SparkTestBase {
     assert(res(1).pdq_hex == direct._1 && res(1).quality == direct._2)
   }
 
+  test("dihedral: cell-plane variants equal pixel-level transforms when dims divide 64") {
+    val W = 128
+    val px = pattern(W, W, 13)
+    val (variants, q) = PdqHash.dihedralHashes(W, W, px)
+    val byName = variants.toMap
+    assert(variants.map(_._1) == PdqHash.DihedralNames)
+    assert(byName("orig") == PdqHash.hashImage(W, W, px)._1)
+    assert(q == PdqHash.hashImage(W, W, px)._2)
+    val mirror = Array.tabulate(W * W)(p => px(p / W * W + (W - 1 - p % W)))
+    assert(PdqHash.hashImage(W, W, mirror)._1 == byName("flipx"),
+      "mirrored pixels must hash to the flipx variant exactly")
+    val vflip = Array.tabulate(W * W)(p => px((W - 1 - p / W) * W + p % W))
+    assert(PdqHash.hashImage(W, W, vflip)._1 == byName("flipy"))
+    // rot90 CW: new(r, c) = old(W-1-c, r)
+    val rot90 = Array.tabulate(W * W)(p => px((W - 1 - p % W) * W + p / W))
+    assert(PdqHash.hashImage(W, W, rot90)._1 == byName("rot90"))
+    // the 8 variants of an asymmetric scene are distinct
+    assert(variants.map(_._2).distinct.size == 8)
+  }
+
+  test("dihedral: a fully symmetric image collapses all variants") {
+    val W = 64
+    // radially symmetric under the dihedral group: value depends only
+    // on the unordered pair of distances to the axes' centers
+    val px = Array.tabulate(W * W) { p =>
+      val dx = math.min(p % W, W - 1 - p % W); val dy = math.min(p / W, W - 1 - p / W)
+      val v = ((math.min(dx, dy) * 7 + math.max(dx, dy) * 3) % 256)
+      (v << 16) | (v << 8) | v
+    }
+    val (variants, _) = PdqHash.dihedralHashes(W, W, px)
+    assert(variants.map(_._2).distinct.size == 1)
+  }
+
+  test("pdqHashes/pdqFrames: keepUndecodable quarantines corrupt payloads as null rows") {
+    import spark.implicits._
+    val good = Media.encodeBmp24(72, 64, pattern(72, 64, 3))
+    val corrupt = "not an image at all".getBytes("US-ASCII")
+    val truncated = good.take(100)
+    val items = spark.createDataset(Seq(
+      Media.MediaItem(1L, "image", good),
+      Media.MediaItem(2L, "image", corrupt),
+      Media.MediaItem(3L, "image", truncated)))
+    // default stays fail-fast
+    intercept[org.apache.spark.SparkException](Media.pdqHashes(items).collect())
+    val out = Media.pdqHashes(items, keepUndecodable = true).collect().sortBy(_.id)
+    assert(out.length == 3)
+    assert(out(0).pdq_hex != null && out(0).quality >= 0)
+    assert(out(1).pdq_hex == null && out(1).quality == -1L)
+    assert(out(2).pdq_hex == null && out(2).quality == -1L)
+    val gifItems = spark.createDataset(Seq(Media.MediaItem(5L, "gif", corrupt)))
+    val fr = Media.pdqFrames(gifItems, keepUndecodable = true).collect()
+    assert(fr.toSeq.map(f => (f.id, f.frame_no, f.pdq_hex)) == Seq((5L, -1, null)))
+  }
+
   test("pdqHashes operator: BMP payloads through the typed Spark path") {
     import spark.implicits._
     val items = spark.createDataset(Seq(
