@@ -523,6 +523,89 @@ object Media {
     * plain rasters; animated ones hash per-frame via [[pdqFrames]]). */
   val gifPixelDecoder: PixelDecoder = p => gifFrames(p).head
 
+  // ---- audio: RIFF/WAVE PCM, pure JVM --------------------------------
+
+  /** REAL WAV decoder: RIFF chunk walk to `fmt ` + `data`, PCM 16-bit
+    * little-endian only (format tag 1), any channel count — channels
+    * mix down to mono by floor((Σ ch)/n) so multi-channel archives
+    * fingerprint deterministically. Returns (sampleRate, channels,
+    * mono samples in -32768..32767). */
+  def wavSamples(p: Array[Byte]): (Int, Int, Array[Int]) = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    require(p.length >= 44 && le32(0) == 0x46464952 && le32(8) == 0x45564157, // "RIFF" .. "WAVE"
+      "not a RIFF/WAVE payload")
+    var i = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var mono: Array[Int] = null
+    while (mono == null || rate < 0) {
+      require(i + 8 <= p.length, "WAV: truncated before fmt/data chunks")
+      val id = le32(i); val len = le32(i + 4)
+      id match {
+        case 0x20746d66 => // "fmt "
+          require(le16(i + 8) == 1, s"WAV: only PCM supported, got format ${le16(i + 8)}")
+          channels = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
+          require(bits == 16, s"WAV: only 16-bit PCM supported, got $bits")
+          require(channels >= 1, "WAV: zero channels")
+        case 0x61746164 => // "data"
+          require(rate > 0, "WAV: data chunk before fmt")
+          val frames = len / (2 * channels)
+          mono = new Array[Int](frames)
+          var f = 0
+          while (f < frames) {
+            var acc = 0L
+            var c = 0
+            while (c < channels) {
+              acc += le16(i + 8 + 2 * (f * channels + c)).toShort.toInt
+              c += 1
+            }
+            mono(f) = math.floorDiv(acc, channels).toInt
+            f += 1
+          }
+        case _ => ()
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    (rate, channels, mono)
+  }
+
+  /** Mono 16-bit PCM WAV encoder — the synthesis half of the WAV
+    * round-trip. */
+  def encodeWav16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => b.putShort(s.toShort))
+    b.array()
+  }
+
+  case class AudioFingerprint(id: Long, fp_hex: String, quality: Long, sample_rate: Int, n_samples: Long)
+
+  /** Audio perceptual fingerprints: WAV payload → real PCM decode →
+    * [[PdqHash.fingerprintSamples]] (the image kernel over the
+    * time-reshaped plane). `keepUndecodable` quarantines corrupt
+    * payloads as (id, null, -1, -1, -1) rows, as in [[pdqHashes]]. */
+  def audioFingerprints(items: Dataset[MediaItem],
+      keepUndecodable: Boolean = false): Dataset[AudioFingerprint] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val (rate, _, mono) = wavSamples(m.payload)
+          val (hx, q) = graft.operators.PdqHash.fingerprintSamples(mono)
+          AudioFingerprint(m.id, hx, q, rate, mono.length.toLong)
+        } catch {
+          case scala.util.control.NonFatal(e) if keepUndecodable =>
+            AudioFingerprint(m.id, null, -1L, -1, -1L)
+        }
+      }
+    }
+  }
+
   case class PdqResult(id: Long, pdq_hex: String, quality: Long)
 
   case class FramePdq(id: Long, frame_no: Int, pdq_hex: String, quality: Long)

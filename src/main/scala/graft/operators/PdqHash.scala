@@ -173,6 +173,36 @@ object PdqHash {
     (hex(bits(dct(cells))), quality(cells))
   }
 
+  /** Audio fingerprint sharing the image kernel: mono PCM samples →
+    * exact integer box-resample to 4096 points → reshape to a 64×64
+    * plane (row = coarse-time window, column = position within the
+    * window) → the same Q14 DCT + rank-median threshold → 256 bits.
+    * Row frequencies then capture cross-window modulation (rhythm),
+    * column frequencies intra-window structure (pitch-ish) — a crude
+    * but real modulation-spectrum fingerprint, and because every step
+    * is the image pipeline's integer arithmetic, the DuckDB oracle
+    * replays it through the SAME SQL chain (samples offset to the
+    * unsigned domain and quantized to the 8-bit "loudness luma" the
+    * chain's scale bounds assume). Needs ≥ 4096 samples (256 ms at
+    * 16 kHz) so every resample bucket is non-empty. */
+  def fingerprintSamples(samples: Array[Int]): (String, Long) = {
+    val n = samples.length
+    require(n >= D * D, s"fingerprint needs >= ${D * D} samples, got $n")
+    val sum = new Array[Long](D * D)
+    val cnt = new Array[Long](D * D)
+    var t = 0
+    while (t < n) {
+      val b = (t.toLong * (D * D) / n).toInt
+      sum(b) += samples(t).toLong + 32768L
+      cnt(b) += 1
+      t += 1
+    }
+    // 8-bit quantized bucket mean, then the chain's MeanScale — the
+    // identity-downsample form of the image path's cell values
+    val cells = Array.tabulate(D * D)(b => sum(b) / cnt(b) / 256L * MeanScale)
+    (hex(bits(dct(cells))), quality(cells))
+  }
+
   /** Dihedral variant names, index-aligned with [[transformCells]]:
     * the 8 symmetries of the square (PDQ's dihedral matching tier —
     * a mirrored or rotated repost must still match the original). */

@@ -1854,6 +1854,63 @@ object Pipeline {
     """.trim)
   )
 
+  /** The AUDIO modality made real: per-doc mono PCM synthesized as a
+    * deterministic integer waveform (sawtooth with a louder segment
+    * whose position moves with the id), encoded as a REAL 16-bit WAV
+    * container, decoded back by [[Media.wavSamples]], and
+    * fingerprinted by the shared fixed-point kernel
+    * ([[PdqHash.fingerprintSamples]]: box-resample to 4096 → 64×64
+    * time plane → Q14 DCT → median threshold). Varying lengths
+    * (4096..8096 samples) exercise the resample off the identity
+    * path; the oracle replays sample synthesis, bucket means, 8-bit
+    * quantization, and the shared hash chain. */
+  val audioFingerprintQ: QueryDef = QueryDef(
+    "audio_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents").filter(col("doc_id") < 64)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val did = r.getLong(0)
+          val g = rollingAcc(r.getString(1)) % 7
+          val len = 4096 + (did % 5).toInt * 1000
+          val samples = Array.tabulate(len) { t =>
+            val bump = if (t / 512 == (did % 8).toInt) 300 else 0
+            (((g * 29 + t * 5 + (t * t / 97) % 512 + bump) % 4096) - 2048).toInt
+          }
+          Media.MediaItem(did, "audio", Media.encodeWav16(16000, samples))
+        }
+      Media.audioFingerprints(items)
+        .toDF("id", "fp_hex", "quality", "sample_rate", "n_samples")
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS did,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 7 AS g
+        FROM documents WHERE doc_id < 64),
+      par AS (SELECT did, g, 4096 + (did % 5) * 1000 AS len FROM src),
+      ts AS (SELECT unnest(generate_series(0, 9095)) AS t),
+      smp AS (
+        SELECT p.did AS img, p.len, t.t,
+          ((p.g * 29 + t.t * 5 + ((t.t * t.t) // 97) % 512 +
+            CASE WHEN t.t // 512 = p.did % 8 THEN 300 ELSE 0 END) % 4096) - 2048 AS v
+        FROM par p JOIN ts t ON t.t < p.len),
+      pix AS (
+        SELECT img AS id, b % 64 AS x, b // 64 AS y, 64 AS w, 64 AS h,
+          (SUM(v + 32768) // COUNT(*)) // 256 AS l
+        FROM (SELECT img, (t * 4096) // len AS b, v FROM smp) GROUP BY img, b),
+      $pdqChainCtes
+      SELECT h.id, h.pdq_hex AS fp_hex, g.quality,
+        16000 AS sample_rate, p.len AS n_samples
+      FROM hexs h JOIN grad g ON g.id = h.id JOIN par p ON p.did = h.id
+      ORDER BY h.id
+    """.trim)
+  )
+
   /** Base + mirrored-twin media items for the dihedral gate: 32 docs
     * at 128×128 (both dims divide 64, so pixel-level flips commute
     * with the downsample EXACTLY and a mirrored repost's `orig` hash
@@ -2420,6 +2477,6 @@ object Pipeline {
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaPdqDihedral
+    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaPdqDihedral, audioFingerprintQ
   )
 }

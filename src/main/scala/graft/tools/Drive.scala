@@ -357,6 +357,15 @@ object Drive {
         org.apache.spark.sql.Encoders.product[Media.MediaItem])
       Media.pdqFrames(gif, Media.gifFrames).orderBy("frame_no").show(false)
     }
+    println("=== audio: WAV decode -> shared-kernel fingerprint ===")
+    locally {
+      val tone = Array.tabulate(6000)(t => (((t * 5 + (t * t / 97) % 512) % 4096) - 2048))
+      val items = spark.createDataset(Seq(
+        Media.MediaItem(40L, "audio", Media.encodeWav16(16000, tone)),
+        Media.MediaItem(41L, "audio", Array[Byte](1, 2, 3))))(
+        org.apache.spark.sql.Encoders.product[Media.MediaItem])
+      Media.audioFingerprints(items, keepUndecodable = true).orderBy("id").show(false)
+    }
     println("=== persisted sketch lifecycle: write -> read -> merge ===")
     locally {
       val dir = java.nio.file.Files.createTempDirectory("drive-sketch").toString

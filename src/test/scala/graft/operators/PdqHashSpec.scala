@@ -310,6 +310,53 @@ class PdqHashSpec extends SparkTestBase {
     assert(fr.toSeq.map(f => (f.id, f.frame_no, f.pdq_hex)) == Seq((5L, -1, null)))
   }
 
+  test("WAV round-trip: mono identity; stereo mixes to floor-mean mono; rejections") {
+    val mono = Array.tabulate(5000)(t => ((t * 37) % 65536) - 32768)
+    val (rate, ch, out) = Media.wavSamples(Media.encodeWav16(16000, mono))
+    assert((rate, ch) == (16000, 1))
+    assert(out.toSeq == mono.toSeq)
+    // hand-build a stereo payload: interleave L/R, expect floor((l+r)/2)
+    val l = Array(100, -100, 32767, -32768, 3)
+    val r = Array(50, -101, 32767, -32768, -4)
+    val stereoData = l.zip(r).flatMap { case (a, b) => Seq(a, b) }
+    val monoEnc = Media.encodeWav16(8000, stereoData)
+    // patch channels=2 (offset 22), byte rate (28) and block align (32) unchecked by decoder
+    monoEnc(22) = 2
+    val (_, ch2, mixed) = Media.wavSamples(monoEnc)
+    assert(ch2 == 2)
+    assert(mixed.toSeq == l.zip(r).map { case (a, b) => math.floorDiv(a + b, 2) }.toSeq)
+    intercept[IllegalArgumentException](Media.wavSamples("RIFFxxxxNOPE".getBytes("US-ASCII")))
+    val bad8 = Media.encodeWav16(8000, mono.take(100)); bad8(34) = 8 // bits-per-sample := 8
+    intercept[IllegalArgumentException](Media.wavSamples(bad8))
+  }
+
+  test("audio fingerprint: deterministic, structure-sensitive, flat silence scores zero") {
+    val a = Array.tabulate(6000)(t => (((t * 5 + (t * t / 97) % 512) % 4096) - 2048))
+    val b = Array.tabulate(6000)(t => (((t * 7 + (t * t / 89) % 512) % 4096) - 2048))
+    val (ha, qa) = PdqHash.fingerprintSamples(a)
+    val (ha2, _) = PdqHash.fingerprintSamples(a)
+    val (hb, _) = PdqHash.fingerprintSamples(b)
+    assert(ha == ha2 && ha != hb)
+    assert(ha.length == 64 && qa > 0)
+    val (hFlat, qFlat) = PdqHash.fingerprintSamples(Array.fill(4096)(1234))
+    assert(hFlat == "0" * 64 && qFlat == 0L)
+    intercept[IllegalArgumentException](PdqHash.fingerprintSamples(Array.fill(4095)(0)))
+  }
+
+  test("audioFingerprints operator: WAV through the typed path; corrupt payload quarantined") {
+    import spark.implicits._
+    val samples = Array.tabulate(5096)(t => (((t * 5) % 4096) - 2048))
+    val items = spark.createDataset(Seq(
+      Media.MediaItem(1L, "audio", Media.encodeWav16(16000, samples)),
+      Media.MediaItem(2L, "audio", "truly not audio".getBytes("US-ASCII"))))
+    val out = Media.audioFingerprints(items, keepUndecodable = true).collect().sortBy(_.id)
+    val direct = PdqHash.fingerprintSamples(samples)
+    assert(out(0).fp_hex == direct._1 && out(0).quality == direct._2)
+    assert(out(0).sample_rate == 16000 && out(0).n_samples == 5096L)
+    assert(out(1).fp_hex == null && out(1).quality == -1L)
+    intercept[org.apache.spark.SparkException](Media.audioFingerprints(items).collect())
+  }
+
   test("pdqHashes operator: BMP payloads through the typed Spark path") {
     import spark.implicits._
     val items = spark.createDataset(Seq(
