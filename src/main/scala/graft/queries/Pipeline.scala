@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Materialize, Media, Packing, PdqDuplicates, PdqHash, SimilaritySearch, Sketches, Splits, TextAnalysis}
+import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Materialize, Media, MediaIndex, Packing, PdqDuplicates, PdqHash, SimilaritySearch, Sketches, Splits, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1698,16 +1698,22 @@ object Pipeline {
     * global periodic pattern was tried first and flips 70+ bits even
     * at amplitude 2 — near-dup structure needs localized energy.)
     * MUST stay in lockstep with the `pix` CTE in [[pdqPixelCtes]]. */
-  private[queries] def synthPixels(id: Long, acc: Long): (Int, Int, Array[Int]) = {
-    val g = acc % 7
-    val w = 72 + (id % 3).toInt * 28
-    val h = 64 + (id % 5).toInt * 16
+  private[queries] def synthPixels(id: Long, acc: Long): (Int, Int, Array[Int]) =
+    synthPixelsWith(id, acc % 7, id)
+
+  /** The underlying generator with independent knobs: `dimId` picks
+    * dims, `g` the scene seed, `bumpId` the perturbation-block
+    * position — the media-index gate derives exact / near / novel
+    * batch variants of a corpus scene by varying them separately. */
+  private[queries] def synthPixelsWith(dimId: Long, g: Long, bumpId: Long): (Int, Int, Array[Int]) = {
+    val w = 72 + (dimId % 3).toInt * 28
+    val h = 64 + (dimId % 5).toInt * 16
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val pert = if (x / 16 == (id % 4).toInt && y / 16 == (id % 6).toInt) 40 else 0
+        val pert = if (x / 16 == (bumpId % 4).toInt && y / 16 == (bumpId % 6).toInt) 40 else 0
         val r = ((g * 31 + x * 2 + y * 3 + pert) % 256).toInt
         val gg = ((g * 53 + x * 5 + (x * y / 7) % 64) % 256).toInt
         val b = ((g * 11 + y * 7) % 256).toInt
@@ -1851,6 +1857,84 @@ object Pipeline {
              lpad(CAST(d_ AS VARCHAR), 8, '0') AS duplicate,
              1.0 - dist / 256.0 AS similarity
       FROM bidir ORDER BY 1, 2
+    """.trim)
+  )
+
+  /** The daily-ingest contract for a MEDIA archive: 48 corpus images
+    * hashed once and persisted as a [[MediaIndex]] (hash + banded
+    * relations, manifest-committed), then a 48-item batch — exact
+    * copies, perturbed variants (moved bump block), and novel scenes
+    * (different seed) — hashes only itself and classifies against the
+    * READ index via the pigeonhole band join. No corpus payload is
+    * re-decoded at classify time. The oracle synthesizes corpus +
+    * all batch variants through the shared chain and classifies from
+    * the bit relation. */
+  val mediaIndexClassify: QueryDef = QueryDef(
+    "media_index_classify",
+    (s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpusItems = docs.filter(col("doc_id") < 48).map { r =>
+        val c = r.getLong(0)
+        val (w, h, px) = synthPixels(c, rollingAcc(r.getString(1)))
+        Media.MediaItem(c, "image", Media.encodeBmp24(w, h, px))
+      }
+      val corpusHashes = Media.pdqHashes(corpusItems).toDF("id", "pdq_hex", "quality")
+      val path = gateScratchDir("graft_media_idx_gate")
+      MediaIndex.writeIndex(MediaIndex.build(corpusHashes, "id", "pdq_hex", radius = 32),
+        path, mode = org.apache.spark.sql.SaveMode.Overwrite)
+      val idx = MediaIndex.readIndex(s, path)
+      val batchItems = docs.filter(col("doc_id") < 16).flatMap { r =>
+        val c = r.getLong(0)
+        val g = rollingAcc(r.getString(1)) % 7
+        def bmp(t: (Int, Int, Array[Int])) = Media.encodeBmp24(t._1, t._2, t._3)
+        Seq(
+          Media.MediaItem(1000 + c, "image", bmp(synthPixelsWith(c, g, c))), // exact copy
+          Media.MediaItem(2000 + c, "image", bmp(synthPixelsWith(c, g, c + 5))), // moved bump
+          Media.MediaItem(3000 + c, "image", bmp(synthPixelsWith(c, g + 13, c)))) // novel scene
+      }
+      val batchHashes = Media.pdqHashes(batchItems).toDF("id", "pdq_hex", "quality")
+      MediaIndex.classify(idx, batchHashes, "id", "pdq_hex").orderBy("id")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS c,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 7 AS g
+        FROM documents WHERE doc_id < 48),
+      imgs AS (
+        SELECT c AS img, c AS dimid, g, c AS bumpid FROM src
+        UNION ALL SELECT 1000 + c, c, g, c FROM src WHERE c < 16
+        UNION ALL SELECT 2000 + c, c, g, c + 5 FROM src WHERE c < 16
+        UNION ALL SELECT 3000 + c, c, g + 13, c FROM src WHERE c < 16),
+      dims AS (SELECT img, g, bumpid, 72 + (dimid % 3) * 28 AS w, 64 + (dimid % 5) * 16 AS h FROM imgs),
+      axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+      pix AS (
+        SELECT d.img AS id, x.v AS x, y.v AS y, d.w, d.h,
+          (299 * ((d.g * 31 + x.v * 2 + y.v * 3 + CASE WHEN x.v // 16 = d.bumpid % 4 AND y.v // 16 = d.bumpid % 6 THEN 40 ELSE 0 END) % 256)
+         + 587 * ((d.g * 53 + x.v * 5 + ((x.v * y.v) // 7) % 64) % 256)
+         + 114 * ((d.g * 11 + y.v * 7) % 256)) // 1000 AS l
+        FROM dims d JOIN axis x ON x.v < d.w JOIN axis y ON y.v < d.h),
+      $pdqChainCtes,
+      bp AS (SELECT id, p, bit FROM pbits WHERE id >= 1000),
+      cp AS (SELECT id, p, bit FROM pbits WHERE id < 48),
+      dists AS (
+        SELECT b.id AS bid, c.id AS cid, SUM(CASE WHEN b.bit <> c.bit THEN 1 ELSE 0 END) AS d
+        FROM bp b JOIN cp c ON b.p = c.p GROUP BY 1, 2),
+      best AS (
+        SELECT bid, cid AS best_match, d AS best_dist FROM (
+          SELECT bid, cid, d, row_number() OVER (PARTITION BY bid ORDER BY d, cid) AS rn
+          FROM dists WHERE d <= 32) WHERE rn = 1),
+      allb AS (SELECT DISTINCT id AS bid FROM pix WHERE id >= 1000)
+      SELECT a.bid AS id,
+        CASE WHEN b.best_dist = 0 THEN 'exact'
+             WHEN b.best_dist IS NOT NULL THEN 'near'
+             ELSE 'novel' END AS status,
+        b.best_match, b.best_dist
+      FROM allb a LEFT JOIN best b ON b.bid = a.bid
+      ORDER BY 1
     """.trim)
   )
 
@@ -2477,6 +2561,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaPdqDihedral, audioFingerprintQ
+    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaIndexClassify
   )
 }

@@ -357,6 +357,22 @@ object Drive {
         org.apache.spark.sql.Encoders.product[Media.MediaItem])
       Media.pdqFrames(gif, Media.gifFrames).orderBy("frame_no").show(false)
     }
+    println("=== media index: persist corpus hashes -> classify a batch ===")
+    locally {
+      import org.apache.spark.sql.functions.col
+      val zero = "0" * 64
+      val near4 = zero.updated(4, 'f')
+      val corpus = Seq((1L, zero), (2L, "a" * 64)).toDF("id", "pdq_hex")
+      val dir = java.nio.file.Files.createTempDirectory("drive-media-idx").toString
+      MediaIndex.writeIndex(MediaIndex.build(corpus, "id", "pdq_hex", radius = 32), dir,
+        org.apache.spark.sql.SaveMode.Overwrite)
+      val idx = MediaIndex.readIndex(spark, dir)
+      val batch = Seq((10L, zero), (11L, near4), (12L, "5" * 64)).toDF("id", "pdq_hex")
+      MediaIndex.classify(idx, batch, "id", "pdq_hex").orderBy(col("id")).show()
+      try MediaIndex.writeIndex(MediaIndex.build(corpus, "id", "pdq_hex", radius = 8),
+        dir, org.apache.spark.sql.SaveMode.Append)
+      catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
+    }
     println("=== audio: WAV decode -> shared-kernel fingerprint ===")
     locally {
       val tone = Array.tabulate(6000)(t => (((t * 5 + (t * t / 97) % 512) % 4096) - 2048))

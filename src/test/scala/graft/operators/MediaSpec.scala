@@ -101,4 +101,19 @@ class MediaSpec extends SparkTestBase {
     assert(r.getLong(1) == 3L)
     assert(r.getString(2) == "616263")
   }
+
+  test("media hash operators compose with streaming sources (stateless map/flatMap)") {
+    // the live-ingest shape: a stream of payloads hashes incrementally,
+    // then feeds the watermarked streaming dedup tier — all three
+    // kernels must PLAN on an unbounded source (no eager action, no
+    // batch-only operator in the chain)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val items = in.toDS().map { case (id, p) => Media.MediaItem(id, "image", p) }
+    assert(Media.pdqHashes(items, keepUndecodable = true).isStreaming)
+    assert(Media.pdqFrames(items, keepUndecodable = true).isStreaming)
+    assert(Media.audioFingerprints(items, keepUndecodable = true).isStreaming)
+    assert(Media.pdqHashesDihedral(items).isStreaming)
+  }
 }

@@ -66,6 +66,23 @@ class PlanShapeSpec extends SparkTestBase {
       p.contains("ShuffledHashJoin"), s"no hash equi-join found:\n$p")
   }
 
+  test("media_pdq_dihedral: variant-vs-orig match is a hash equi-join on the hex") {
+    val p = plan("media_pdq_dihedral")
+    assert(!p.contains("CartesianProduct"), s"product planned:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ planned:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash equi-join found:\n$p")
+  }
+
+  test("media hash computation is map-only up to the output sort") {
+    for (q <- Seq("media_pdq_compute", "audio_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q planned a join:\n$p")
+      // exactly the output-sort exchange and nothing else
+      assert(p.split("Exchange").length <= 3, s"$q has extra shuffles:\n$p")
+    }
+  }
+
   test("decontaminate broadcasts the benchmark side") {
     assert(plan("decontaminate").contains("BroadcastHashJoin"))
   }
