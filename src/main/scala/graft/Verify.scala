@@ -27,7 +27,12 @@ object Verify {
     // subsequent queries. The gate records the missing output as a
     // failure for that query only.
     val timeoutMs = (sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong * 1000L).max(1L)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the dump to named queries — local
+    // iteration on one gate without paying for the full sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val group = s"verify-$name"
       @volatile var err: Option[Throwable] = None
       val t = new Thread(() => {

@@ -382,4 +382,120 @@ object Sketches {
     SELECT term, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
     FROM est JOIN ex USING (term) ORDER BY term"""
   }
+
+  // ---- two-phase exact heavy hitters ----------------------------------
+
+  /** EXACT heavy hitters — every key whose true frequency is ≥
+    * N div fracDenom — via the classic two-phase sketch-then-verify
+    * plan (Cormode & Muthukrishnan §4: CMS as a heavy-hitter filter):
+    *
+    *  1. one scan builds the d×w count-min table (map-side combinable
+    *     to ≤ d·w rows per partition) which collects to a broadcast
+    *     array — the same bounded-model pattern as the NB classifier
+    *     ([[graft.operators.Classify]]); d·w rows, never data rows;
+    *  2. a second scan probes that array PER OCCURRENCE, entirely
+    *     map-side (unrolled `least` over d `element_at`s of one
+    *     array literal — codegen, no join, no shuffle), and drops
+    *     every occurrence whose estimate is already < T;
+    *  3. only surviving occurrences shuffle into the exact groupBy,
+    *     and the exact count is re-filtered against T.
+    *
+    * CMS never underestimates, so phase 2 cannot drop a true heavy
+    * hitter — the output is EXACTLY the true heavy hitters with their
+    * exact counts, independent of sketch parameters. What d·w buys is
+    * shuffle volume: the groupBy receives ~(heavy + ε·N) occurrences
+    * instead of the full key stream, the difference between shuffling
+    * a vocabulary and shuffling a handful of hot keys at 100 TB.
+    * Returns (term, est, exact), exact ≥ T, est ≥ exact always. */
+  def heavyHitters(df: DataFrame, keyCol: String, d: Int, w: Int, fracDenom: Long): DataFrame = {
+    require(fracDenom >= 2, s"fracDenom must be >= 2, got $fracDenom")
+    val spark = df.sparkSession
+    val cms = cmsCounts(df, keyCol, d, w) // validates d, w
+    // Bounded collect: ≤ d·w rows by construction (the sketch is the
+    // model; its size is a parameter, not a function of the data).
+    val arr = Array.ofDim[Long](d * w)
+    cms.collect().foreach(r => arr(r.getInt(0) * w + r.getLong(1).toInt) = r.getLong(2))
+    val n = arr.view.slice(0, w).sum // row 0 counts every occurrence once
+    val t = math.max(1L, n / fracDenom)
+    val cmsArr = lit(arr)
+    val est = (0 until d).map { r =>
+      val bucket = portableHash60(concat(lit("cms"), lit(r.toString), lit(":"), col("k"))) % lit(w.toLong)
+      coalesce(element_at(cmsArr, (lit(r.toLong * w) + bucket + 1L).cast("int")), lit(0L))
+    }.reduceLeft(least(_, _))
+    df.select(col(keyCol).as("k"))
+      .withColumn("est", est)
+      .filter(col("est") >= t)
+      .groupBy(col("k").as("term"))
+      .agg(min(col("est")).as("est"), count(lit(1)).as("exact"))
+      .filter(col("exact") >= t)
+  }
+
+  /** DuckDB twin of [[heavyHitters]] (+ ORDER BY term — the gate
+    * shape). The oracle replays the sketch relationally (est per
+    * DISTINCT key — fine at oracle scale) and the same integer
+    * threshold T = greatest(1, N // fracDenom). */
+  def heavyHittersSql(input: String, keyExpr: String, d: Int, w: Int, fracDenom: Long): String = {
+    def bucket(key: String) =
+      s"(${portableHash60Sql(s"'cms' || CAST(t.r AS VARCHAR) || ':' || $key")} % $w)"
+    s"""WITH ks AS (SELECT $keyExpr AS k FROM ($input)),
+      thr AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $fracDenom) AS t FROM ks),
+      cms AS (SELECT t.r, ${bucket("ks.k")} AS bucket, count(*) AS c
+              FROM ks CROSS JOIN range($d) t(r) GROUP BY 1, 2),
+      dk AS (SELECT DISTINCT k FROM ks),
+      probes AS (SELECT k, t.r, ${bucket("dk.k")} AS bucket
+                 FROM dk CROSS JOIN range($d) t(r)),
+      est AS (SELECT k, min(coalesce(c, 0)) AS est
+              FROM probes LEFT JOIN cms USING (r, bucket) GROUP BY k),
+      cand AS (SELECT k, est FROM est, thr WHERE est >= thr.t),
+      ex AS (SELECT k, count(*) AS exact FROM ks JOIN cand USING (k) GROUP BY k)
+    SELECT k AS term, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
+    FROM ex JOIN cand USING (k), thr WHERE exact >= thr.t ORDER BY term"""
+  }
+
+  // ---- histogram percentile calibration -------------------------------
+
+  /** Percentile-calibrate a non-negative-integer score within groups
+    * via the mergeable fixed-grid histogram — the scale replacement
+    * for `percent_rank() OVER (PARTITION BY grp ORDER BY val)`, which
+    * sorts every row of every group. Here the data is scanned twice
+    * but never sorted: [[histCounts]] reduces to ≤ groups·nb rows
+    * (map-side combinable, shard histograms ADD), the cumulative
+    * window runs over THAT tiny relation only, and the calibrated
+    * percentile joins back broadcast, map-side.
+    *
+    * pct_micro = 1e6 · |{v' in grp : bucket(v') ≤ bucket(v)}| / N,
+    * floored — bucket-granular by design (step trades resolution for
+    * state, exactly like [[histQuantiles]]), in exact int64 arithmetic
+    * on both engines. Output: input columns + bucket + pct_micro. */
+  def histCalibrate(df: DataFrame, grpCol: String, valCol: String, step: Long, nb: Int): DataFrame = {
+    val counts = histCounts(df, grpCol, valCol, step, nb)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grpCol).orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(grpCol)))
+      .select(col(grpCol), col("bucket"), col("cum"), col("n"))
+    df.withColumn("bucket",
+        least(expr(s"CAST($valCol AS BIGINT) div $step"), lit(nb - 1L)))
+      .join(broadcast(cum), Seq(grpCol, "bucket"))
+      .withColumn("pct_micro", expr("(cum * 1000000) div n"))
+      .drop("cum", "n")
+  }
+
+  /** DuckDB twin of [[histCalibrate]]: `input` projects the id/group/
+    * value row shape; `cols` lists the pass-through output columns. */
+  def histCalibrateSql(input: String, grpCol: String, valExpr: String, step: Long, nb: Int,
+      cols: Seq[String]): String = {
+    s"""WITH src AS (SELECT *, least(CAST($valExpr AS BIGINT) // $step, ${nb - 1}) AS bucket
+                     FROM ($input) WHERE $valExpr IS NOT NULL),
+      hc AS (SELECT $grpCol, bucket, count(*) AS c FROM src GROUP BY $grpCol, bucket),
+      hcum AS (SELECT $grpCol, bucket,
+                 CAST(sum(c) OVER (PARTITION BY $grpCol ORDER BY bucket) AS BIGINT) AS cum,
+                 CAST(sum(c) OVER (PARTITION BY $grpCol) AS BIGINT) AS n
+               FROM hc)
+    SELECT ${cols.mkString(", ")}, bucket, (cum * 1000000) // n AS pct_micro
+    FROM src JOIN hcum USING ($grpCol, bucket)"""
+  }
 }

@@ -2553,8 +2553,64 @@ object Pipeline {
       step = 50L, nb = 100, qs = Seq(("p50_chars", 500000L), ("p95_chars", 950000L))))
   )
 
+  /** EXACT heavy hitters over the corpus word stream — the two-phase
+    * CMS-filter-then-verify plan ([[Sketches.heavyHitters]]): sketch
+    * broadcast, per-occurrence map-side pruning, exact groupBy on the
+    * survivors only. Output is sketch-parameter-independent (CMS never
+    * underestimates), so the oracle replay pins both the sketch
+    * arithmetic AND the no-false-negative guarantee: a dropped true
+    * heavy hitter would change the row set. */
+  val heavyHittersQ: QueryDef = QueryDef(
+    "heavy_hitters",
+    (s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(TextFunctions.words(col("text"))).as("w"))
+      Sketches.heavyHitters(toks, "w", d = 4, w = 1024, fracDenom = 200L)
+        .orderBy("term")
+    },
+    Some(Sketches.heavyHittersSql(
+      s"SELECT unnest(${TextFunctions.wordsSql("text")}) AS w FROM documents",
+      "w", d = 4, w = 1024, fracDenom = 200L))
+  )
+
+  /** Per-source percentile calibration of the hashed quality score via
+    * the mergeable histogram ([[Sketches.histCalibrate]]) — "top decile
+    * within each source" without `percent_rank`'s per-group sort of
+    * every document. The score is the integer word-average of the
+    * hashed word weights shifted to [0, 2000] (numerator nonnegative,
+    * so truncating and flooring division agree across engines);
+    * wordless docs sit at the neutral 1000. */
+  val qualityCalibratedQ: QueryDef = QueryDef(
+    "quality_calibrated",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val wWeight = (TextFunctions.portableHash60(concat(lit("w8:"), col("word"))) % 2001L) - lit(1000L)
+      val sums = d.select(col("doc_id").as("id"), explode(TextFunctions.words(col("text"))).as("word"))
+        .select(col("id"), wWeight.as("w"))
+        .groupBy("id").agg(sum(col("w")).as("zsum"), count(lit(1)).as("nw"))
+      val scored = d.select(col("doc_id").as("id"), col("source"))
+        .join(sums, Seq("id"), "left")
+        .select(col("id"), col("source"),
+          when(col("nw").isNull, lit(1000L))
+            .otherwise(expr("(zsum + 1000 * nw) div nw")).as("q_int"))
+      Sketches.histCalibrate(scored, "source", "q_int", step = 50L, nb = 41)
+        .select("id", "source", "q_int", "bucket", "pct_micro").orderBy("id")
+    },
+    Some {
+      val wWeightSql = s"(${TextFunctions.portableHash60Sql("'w8:' || w")} % 2001 - 1000)"
+      Sketches.histCalibrateSql(
+        s"""SELECT doc_id AS id, source,
+              CAST(CASE WHEN len(ws) = 0 THEN 1000
+                   ELSE (coalesce(list_sum(list_transform(ws, w -> $wWeightSql)), 0)
+                         + 1000 * len(ws)) // len(ws) END AS BIGINT) AS q_int
+            FROM (SELECT doc_id, source, ${TextFunctions.wordsSql("text")} AS ws FROM documents)""",
+        "source", "q_int", step = 50L, nb = 41,
+        cols = Seq("id", "source", "q_int")) + " ORDER BY id"
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(
-    hllDistinctQ, hllMergedIdx, cmsFreqQ, histQuantilesQ,
+    hllDistinctQ, hllMergedIdx, cmsFreqQ, histQuantilesQ, heavyHittersQ, qualityCalibratedQ,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

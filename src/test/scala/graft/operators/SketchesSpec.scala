@@ -143,4 +143,52 @@ class SketchesSpec extends SparkTestBase {
       Sketches.mergeSketches(Seq(Sketches.readSketch(spark, s"$dir/ok"), other)))
     intercept[IllegalArgumentException](Sketches.mergeSketches(Seq(shard.copy(kind = "nope"))))
   }
+
+  test("heavy hitters: exactly the keys with true freq >= N/denom, exact counts") {
+    // 1000 occurrences: hot=400, warm=100, cool=40, 460 singletons
+    val toks = (Seq.fill(400)("hot") ++ Seq.fill(100)("warm") ++ Seq.fill(40)("cool") ++
+      (0 until 460).map(i => s"one_$i")).toDF("w")
+    // T = 1000/12 = 83
+    val got = Sketches.heavyHitters(toks, "w", d = 4, w = 1024, fracDenom = 12L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(t => (t._1, t._3)).toSeq == Seq(("hot", 400L), ("warm", 100L)))
+    // CMS never underestimates
+    assert(got.forall(t => t._2 >= t._3))
+  }
+
+  test("heavy hitters: tiny sketch still loses no true heavy hitter") {
+    // w=4 forces heavy collision: candidates inflate, output must not change
+    val toks = (Seq.fill(300)("hh") ++ (0 until 700).map(i => s"n_$i")).toDF("w")
+    val got = Sketches.heavyHitters(toks, "w", d = 2, w = 4, fracDenom = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(got == Seq(("hh", 300L)))
+  }
+
+  test("heavy hitters: probe phase is pure expression — no join in the plan") {
+    val toks = (0 until 100).map(i => s"k_${i % 7}").toDF("w")
+    val plan = Sketches.heavyHitters(toks, "w", d = 4, w = 256, fracDenom = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"probe phase must not join:\n$plan")
+  }
+
+  test("histCalibrate: bucket-granular percentile in exact integers") {
+    // group a: values 0,10,20,...,90 with step 10 → each its own bucket,
+    // pct of value v = (v/10 + 1) * 100000
+    val df = ((0 until 10).map(i => ("a", i.toLong * 10)) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 500L))).toDF("g", "v")
+    val got = Sketches.histCalibrate(df, "g", "v", step = 10L, nb = 20)
+      .select("g", "v", "pct_micro")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert((0 until 10).forall(i => got.contains(("a", i.toLong * 10, (i + 1) * 100000L))))
+    // b: two 5s share bucket 0 (cum 2 of 3), 500 clamps to last bucket (cum 3 of 3)
+    assert(got.contains(("b", 5L, 666666L)) && got.contains(("b", 500L, 1000000L)))
+  }
+
+  test("histCalibrate: join back is broadcast; window runs on the histogram only") {
+    val df = (0 until 1000).map(i => ("g", (i % 50).toLong)).toDF("g", "v")
+    val plan = Sketches.histCalibrate(df, "g", "v", step = 5L, nb = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join back:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"histogram join must not sort-merge:\n$plan")
+  }
 }
