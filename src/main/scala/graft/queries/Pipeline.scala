@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Materialize, Media, MediaIndex, Packing, PdqDuplicates, PdqHash, SimilaritySearch, Sketches, Splits, TextAnalysis}
+import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Layout, Materialize, Media, MediaIndex, Packing, PdqDuplicates, PdqHash, SimilaritySearch, Sketches, Splits, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2609,8 +2609,38 @@ object Pipeline {
     }
   )
 
+  /** Z-order layout + pruned box query ([[Layout]]): documents laid
+    * out along the Morton curve of (length bucket × source-hash
+    * bucket), then a box query that reaches the scan as
+    * PartitionFilters on the z-prefix dirs (PlanShapeSpec pins the
+    * pruning). The oracle computes the same z arithmetic directly over
+    * `documents` and filters the same box — the layout round-trip must
+    * be lossless and the box exact. */
+  val zorderLayout: QueryDef = QueryDef(
+    "zorder_layout",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          least(expr("n_chars div 4"), lit(255L)).as("xb"),
+          (TextFunctions.portableHash60(concat(lit("zy:"), col("source"))) % 256L).as("yb"))
+      val path = gateScratchDir("graft_zorder_gate")
+      Layout.zorderWrite(d, "xb", "yb", bits = 8, prefixShift = 12, path,
+        org.apache.spark.sql.SaveMode.Overwrite)
+      Layout.prunedBoxScan(s, path, "xb", "yb", 32, 96, 0, 127, bits = 8, prefixShift = 12)
+        .select("doc_id", "xb", "yb", "z")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, xb, yb, ${Layout.zValueSql("xb", "yb", 8)} AS z
+      FROM (SELECT doc_id, least(n_chars // 4, 255) AS xb,
+                   ${TextFunctions.portableHash60Sql("'zy:' || source")} % 256 AS yb
+            FROM documents)
+      WHERE xb BETWEEN 32 AND 96 AND yb BETWEEN 0 AND 127
+      ORDER BY doc_id""".trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
-    hllDistinctQ, hllMergedIdx, cmsFreqQ, histQuantilesQ, heavyHittersQ, qualityCalibratedQ,
+    hllDistinctQ, hllMergedIdx, cmsFreqQ, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, zorderLayout,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

@@ -306,6 +306,29 @@ object Drive {
       Sketches.histQuantiles(Sketches.histCounts(lens, "src", "len", step = 10L, nb = 30),
         "src", step = 10L, nb = 30, qs = Seq(("p50", 500000L), ("p99", 990000L))).show()
     }
+    println("=== heavy hitters (CMS filter -> exact verify) + percentile calibration ===")
+    locally {
+      val toks = (Seq.fill(90)("hot") ++ Seq.fill(40)("warm") ++
+        (0 until 400).map(i => s"cold_$i")).toDF("w")
+      Sketches.heavyHitters(toks, "w", d = 4, w = 512, fracDenom = 10L).orderBy("term").show()
+      val scored = (0 until 200).map(i => (s"d${i % 4}", i.toLong % 97)).toDF("src", "score")
+      Sketches.histCalibrate(scored, "src", "score", step = 10L, nb = 12)
+        .filter(org.apache.spark.sql.functions.col("pct_micro") >= 900000)
+        .groupBy("src").count().orderBy("src").show()
+    }
+    println("=== z-order layout: morton write -> partition-pruned box scan ===")
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("drive-zorder").toString
+      val pts = (0 until 4096).map(i => (i.toLong, (i % 61).toLong, ((i * 13) % 59).toLong))
+        .toDF("id", "xb", "yb")
+      Layout.zorderWrite(pts, "xb", "yb", bits = 6, prefixShift = 8, s"$dir/z",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      val box = Layout.prunedBoxScan(spark, s"$dir/z", "xb", "yb", 20, 40, 10, 30,
+        bits = 6, prefixShift = 8)
+      println(s"box rows = ${box.count()}; pruned scan = " +
+        box.queryExecution.executedPlan.toString.linesIterator
+          .filter(_.contains("PartitionFilters")).take(1).mkString)
+    }
     println("=== PDQ from pixels: synth BMP -> real decode -> fixed-point hash -> dups ===")
     locally {
       def pat(w: Int, h: Int, seed: Int, bump: Int): Array[Int] = Array.tabulate(w * h) { p =>

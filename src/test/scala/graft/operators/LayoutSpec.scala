@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zValue column ≡ zValueLong on the full 6-bit plane; spread monotone per axis") {
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val got = Layout.zValue(col("x"), col("y"), 6)
+    val rows = pts.toDF("x", "y").select(col("x"), col("y"), got.as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(rows((x, y)) == Layout.zValueLong(x, y, 6), s"($x,$y)")
+    }
+    // monotone in each coordinate
+    pts.foreach { case (x, y) =>
+      if (x > 0) assert(Layout.zValueLong(x - 1, y, 6) < Layout.zValueLong(x, y, 6))
+      if (y > 0) assert(Layout.zValueLong(x, y - 1, 6) < Layout.zValueLong(x, y, 6))
+    }
+    // the curve is a bijection onto [0, 4096)
+    assert(rows.values.toSet == (0L until 4096L).toSet)
+  }
+
+  test("box scan over the layout ≡ direct box filter; zp bounds prune partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout_spec").toString
+    val df = (0 until 2000)
+      .map(i => (i.toLong, (i % 61).toLong, ((i * 7) % 53).toLong)).toDF("id", "xb", "yb")
+    Layout.zorderWrite(df, "xb", "yb", bits = 6, prefixShift = 8, s"$dir/z", SaveMode.Overwrite)
+    val scan = Layout.prunedBoxScan(spark, s"$dir/z", "xb", "yb", 10, 30, 5, 25,
+      bits = 6, prefixShift = 8)
+    val want = df.filter(col("xb").between(10, 30) && col("yb").between(5, 25))
+      .select("id").as[Long].collect().sorted
+    assert(scan.select("id").as[Long].collect().sorted.toSeq == want.toSeq)
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("zp"), s"no partition pruning:\n$p")
+  }
+
+  test("zorderWrite rejects out-of-domain coordinates loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout_spec2").toString
+    val bad = Seq((1L, 64L, 0L)).toDF("id", "xb", "yb") // 64 >= 2^6
+    val e = intercept[Exception](
+      Layout.zorderWrite(bad, "xb", "yb", bits = 6, prefixShift = 8, s"$dir/z", SaveMode.Overwrite))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("outside [0, 64)")), e.getMessage)
+    intercept[IllegalArgumentException](Layout.zValueLong(64, 0, 6))
+  }
+}

@@ -271,4 +271,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"nfc_text should shuffle at most for the output sort:\n$p")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), s"UDF crept in:\n$p")
   }
+
+  test("heavy_hitters: CMS probe phase is a pure expression — no join anywhere") {
+    val p = plan("heavy_hitters")
+    assert(!p.contains("Join"), s"the sketch must broadcast as a literal, not join:\n$p")
+  }
+
+  test("quality_calibrated: histogram joins back broadcast; no sort-merge") {
+    val p = plan("quality_calibrated")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join back:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"doc-side sort crept in:\n$p")
+  }
+
+  test("zorder_layout: the box query prunes z-prefix partition dirs") {
+    val p = plan("zorder_layout")
+    assert(p.contains("PartitionFilters") && p.contains("zp"),
+      s"zp bounds must reach the scan as PartitionFilters:\n$p")
+  }
 }
