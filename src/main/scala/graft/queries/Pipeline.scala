@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Layout, Materialize, Media, MediaIndex, Packing, PdqDuplicates, PdqHash, SimilaritySearch, Sketches, Splits, TextAnalysis}
+import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Layout, Materialize, Media, MediaIndex, Packing, PdqDuplicates, PdqHash, RecordLinkage, SimilaritySearch, Sketches, Splits, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2639,8 +2639,76 @@ object Pipeline {
       ORDER BY doc_id""".trim)
   )
 
+  /** Record linkage over structured rows ([[RecordLinkage]]): the
+    * customer table plus planted "dirty" re-entries (one digit of the
+    * padded id mistyped, balance nudged ≤ 3 cents) resolved by
+    * multi-pass blocking — (nation, $100-balance-bucket) catches tail
+    * typos, (segment, digit-tail) catches leading typos — then scored
+    * by exact integer field agreement (positional digit agreement ×
+    * 100 + balance-proximity bonus) and cut at 850. All arithmetic is
+    * int64; balances go through DECIMAL(18,2) cents so neither engine
+    * sees a float. The balance bucket shifts by +100000 before the
+    * div so truncating (Spark) and flooring (DuckDB) division agree on
+    * negative balances. */
+  val entityMatch: QueryDef = QueryDef(
+    "entity_match",
+    (s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val base = c.select(col("c_custkey").as("id"),
+        col("c_nationkey").cast("long").as("nat"), col("c_mktsegment").as("seg"),
+        substring(col("c_name"), 10, 9).as("sfx"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("balc"))
+      val dirty = base.withColumn("p", (col("id") % 9).cast("int"))
+        .select((col("id") + 2000000L).as("id"), col("nat"), col("seg"),
+          expr("concat(substr(sfx, 1, p), " +
+            "chr((ascii(substr(sfx, p + 1, 1)) - 48 + 1) % 10 + 48), " +
+            "substr(sfx, p + 2))").as("sfx"),
+          (col("balc") + col("id") % 7 - 3).as("balc"))
+      val ents = base.unionByName(dirty)
+        .withColumn("balb", expr("(balc + 100000) div 10000"))
+        .withColumn("t5", substring(col("sfx"), 5, 5))
+      val pairs = RecordLinkage.blockedPairs(ents, "id",
+        Seq(Seq("nat", "balb"), Seq("seg", "t5")))
+      RecordLinkage.withAttributes(pairs, ents, "id", Seq("sfx", "balc"))
+        .withColumn("score",
+          RecordLinkage.positionalAgreement(col("sfx_a"), col("sfx_b"), 9) * 100 +
+            when(abs(col("balc_a") - col("balc_b")) <= 5, 100L).otherwise(0L))
+        .filter(col("score") >= 850)
+        .select("id_a", "id_b", "score").orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+               substring(c_name, 10, 9) AS sfx,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS balc
+        FROM customer),
+      dirty AS (
+        SELECT bid + 2000000 AS id, nat, seg,
+               concat(substring(sfx, 1, p),
+                      chr((ascii(substring(sfx, p + 1, 1)) - 48 + 1) % 10 + 48),
+                      substring(sfx, p + 2)) AS sfx,
+               balc + bid % 7 - 3 AS balc
+        FROM (SELECT id AS bid, nat, seg, sfx, balc, CAST(id % 9 AS INT) AS p FROM base)),
+      ents AS (
+        SELECT id, nat, seg, sfx, balc,
+               (balc + 100000) // 10000 AS balb, substring(sfx, 5, 5) AS t5
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM dirty)),
+      pa AS (SELECT a.id AS id_a, b.id AS id_b FROM ents a JOIN ents b
+             ON a.nat = b.nat AND a.balb = b.balb AND a.id < b.id),
+      pb AS (SELECT a.id AS id_a, b.id AS id_b FROM ents a JOIN ents b
+             ON a.seg = b.seg AND a.t5 = b.t5 AND a.id < b.id),
+      cand AS (SELECT DISTINCT id_a, id_b FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb)),
+      scored AS (
+        SELECT id_a, id_b,
+          ${RecordLinkage.positionalAgreementSql("a.sfx", "b.sfx", 9)} * 100
+            + CASE WHEN abs(a.balc - b.balc) <= 5 THEN 100 ELSE 0 END AS score
+        FROM cand JOIN ents a ON a.id = cand.id_a JOIN ents b ON b.id = cand.id_b)
+      SELECT id_a, id_b, CAST(score AS BIGINT) AS score
+      FROM scored WHERE score >= 850 ORDER BY id_a, id_b""".trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
-    hllDistinctQ, hllMergedIdx, cmsFreqQ, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, zorderLayout,
+    hllDistinctQ, hllMergedIdx, cmsFreqQ, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, zorderLayout, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

@@ -316,6 +316,18 @@ object Drive {
         .filter(org.apache.spark.sql.functions.col("pct_micro") >= 900000)
         .groupBy("src").count().orderBy("src").show()
     }
+    println("=== record linkage: multi-pass blocking -> field-agreement scoring ===")
+    locally {
+      import org.apache.spark.sql.functions.{col, substring, when, abs}
+      val recs = Seq(
+        (1L, "ber", "10115", "000001234"), (2L, "ber", "10115", "000001235"),
+        (3L, "ham", "20095", "000001234"), (4L, "ber", "99999", "000009999")
+      ).toDF("id", "city", "zip", "code")
+      val pairs = RecordLinkage.blockedPairs(recs, "id", Seq(Seq("city"), Seq("zip")))
+      RecordLinkage.withAttributes(pairs, recs, "id", Seq("code"))
+        .withColumn("agree", RecordLinkage.positionalAgreement(col("code_a"), col("code_b"), 9))
+        .orderBy("id_a", "id_b").show()
+    }
     println("=== z-order layout: morton write -> partition-pruned box scan ===")
     locally {
       val dir = java.nio.file.Files.createTempDirectory("drive-zorder").toString

@@ -283,6 +283,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"doc-side sort crept in:\n$p")
   }
 
+  test("entity_match: blocking passes are equi-joins; no product anywhere") {
+    val p = plan("entity_match")
+    assert(!p.contains("CartesianProduct"), s"entity_match planned a product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"entity_match planned a BNLJ:\n$p")
+  }
+
   test("zorder_layout: the box query prunes z-prefix partition dirs") {
     val p = plan("zorder_layout")
     assert(p.contains("PartitionFilters") && p.contains("zp"),
