@@ -1,0 +1,611 @@
+package graft.operators
+
+/** Baseline JPEG (ITU-T T.81 sequential DCT, SOF0) codec in pure JVM —
+  * no codec library. The decoder handles the files a real media
+  * archive actually contains: grayscale and YCbCr with any sampling
+  * factors (4:4:4, 4:2:2, 4:2:0, …), multiple DQT/DHT segments,
+  * 16-bit quant tables, restart markers, and 0xFF byte stuffing. The
+  * encoder is the synthesis half (the [[Media.encodeBmp24]] /
+  * [[Media.encodeGifGray]] pattern): gray or RGB in, 4:4:4 or 4:2:0
+  * out, with self-generated CANONICAL Huffman tables (all 12 DC
+  * categories at 4 bits, all 162 AC run/size symbols at 8 bits — a
+  * legal incomplete code, so the decoder exercises the real canonical
+  * table construction rather than a special case).
+  *
+  * Determinism: the DCTs run in IEEE doubles off a fixed cosine table
+  * and round once via `rint` — bit-stable on the JVM. JPEG is lossy in
+  * general, but for BLOCK-CONSTANT tiles the DCT is DC-only and every
+  * value stays within ~1e-12 of an exact integer, so
+  * decode(encode(img)) == img bit-for-bit — the property the
+  * `media_jpeg_pdq` gate pins end-to-end against the DuckDB replay of
+  * the synthesized tiles (the same trick GIF used losslessness for).
+  * Non-constant content is covered by PSNR and exact-DCT unit specs.
+  *
+  * Reference-domain tie-in: the reference consumes PDQ hashes OF JPEG
+  * media (`pdq_hash.py:1-20` — hashes of archived photos); this closes
+  * the decode gap for the dominant container.
+  */
+object Jpeg {
+
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** g(u,x) = C(u)/2 · cos((2x+1)uπ/16): the separable basis, shared by
+    * FDCT and IDCT so the two are exact inverses up to rounding. */
+  private val Basis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  // ---- canonical Huffman (shared table shape) -------------------------
+
+  /** (counts per length 1..16, symbols in canonical order). */
+  private type HuffSpec = (Array[Int], Array[Int])
+
+  /** DC: categories 0..11, all 4-bit codes (12/16 of the space — a
+    * legal incomplete canonical code). */
+  private val DcSpec: HuffSpec = {
+    val counts = new Array[Int](16); counts(3) = 12
+    (counts, (0 to 11).toArray)
+  }
+
+  /** AC: EOB, ZRL and every (run 0..15, size 1..10) at 8 bits
+    * (162/256 of the space). */
+  private val AcSpec: HuffSpec = {
+    val counts = new Array[Int](16); counts(7) = 162
+    val syms = scala.collection.mutable.ArrayBuffer[Int](0x00, 0xF0)
+    for (r <- 0 to 15; s <- 1 to 10) syms += ((r << 4) | s)
+    (counts, syms.toArray)
+  }
+
+  /** Canonical code assignment: (symbol → (code, len)). */
+  private def canonicalCodes(spec: HuffSpec): Map[Int, (Int, Int)] = {
+    val (counts, syms) = spec
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < counts(len - 1)) {
+        out += syms(k) -> (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  // ---- decoder --------------------------------------------------------
+
+  private final class BitReader(p: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var sawEoiPad = false
+    /** next entropy byte, honoring 0xFF00 stuffing; RSTn are consumed
+      * by the MCU loop via `restart()`. */
+    private def feed(): Unit = {
+      if (pos >= p.length) throw new IllegalArgumentException("JPEG: truncated entropy stream")
+      var b = p(pos) & 0xff
+      pos += 1
+      if (b == 0xff) {
+        val m = if (pos < p.length) p(pos) & 0xff else -1
+        if (m == 0x00) pos += 1
+        else { // a real marker: the stream is over; pad with 1s like EOI padding
+          pos -= 1
+          sawEoiPad = true
+          b = 0xff
+          acc = (acc << 8) | b; nbits += 8
+          return
+        }
+      }
+      acc = (acc << 8) | b
+      nbits += 8
+    }
+    def bit(): Int = {
+      if (nbits == 0) feed()
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** consume a restart marker and reset bit state. */
+    def restart(): Unit = {
+      nbits = 0; acc = 0
+      // skip any fill 0xFFs then the RSTn marker
+      while (pos + 1 < p.length && (p(pos) & 0xff) == 0xff && (p(pos + 1) & 0xff) == 0xff) pos += 1
+      require(pos + 1 < p.length && (p(pos) & 0xff) == 0xff &&
+        ((p(pos + 1) & 0xff) & 0xf8) == 0xd0, "JPEG: expected RSTn marker")
+      pos += 2
+    }
+  }
+
+  private final class HuffTable(counts: Array[Int], syms: Array[Int]) {
+    // canonical decode: per length, [minCode, maxCode] + symbol offset
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      for (len <- 1 to 16) {
+        valPtr(len) = k
+        minCode(len) = code
+        code += counts(len - 1); k += counts(len - 1)
+        maxCode(len) = code - 1
+        if (counts(len - 1) == 0) maxCode(len) = -1
+        code <<= 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | br.bit()
+        len += 1
+        if (maxCode(len) >= code && code >= minCode(len))
+          return syms(valPtr(len) + code - minCode(len))
+      }
+      throw new IllegalArgumentException("JPEG: invalid Huffman code")
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private def idctBlock(coef: Array[Int], out: Array[Int]): Unit = {
+    // rows then columns through the shared basis
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += coef(y * 8 + u) * Basis(u)(x); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      y = 0
+      while (y < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += tmp(v * 8 + x) * Basis(v)(y); v += 1 }
+        val px = math.rint(s).toInt + 128
+        out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  private case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTab: HuffTable = _
+    var acTab: HuffTable = _
+    var pred: Int = 0
+    var plane: Array[Int] = _
+    var planeW: Int = 0
+    var planeH: Int = 0
+  }
+
+  /** Decode a baseline JPEG payload → (width, height, packed 0xRRGGBB).
+    * Conforms to [[Media.PixelDecoder]]. */
+  val decode: Media.PixelDecoder = p => {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    require(p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8, "not a JPEG payload")
+    val qt = Array.fill(4)(null: Array[Int])
+    val dcTabs = Array.fill(4)(null: HuffTable)
+    val acTabs = Array.fill(4)(null: HuffTable)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var i = 2
+    var sos = -1
+    while (sos < 0) {
+      require(i + 4 <= p.length, "JPEG: truncated marker stream")
+      require(u8(i) == 0xff, s"JPEG: expected marker at $i")
+      val m = u8(i + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // stray SOI / RST
+      else {
+        val len = be16(i + 2)
+        val seg = i + 4
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var j = seg
+            while (j < seg + len - 2) {
+              val pq = u8(j) >> 4; val tq = u8(j) & 15
+              require(pq <= 1 && tq < 4, "JPEG: bad DQT header")
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                t(Zigzag(k)) = if (pq == 0) u8(j + 1 + k) else be16(j + 1 + 2 * k)
+                k += 1
+              }
+              qt(tq) = t
+              j += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xc4 => // DHT: one or more tables
+            var j = seg
+            while (j < seg + len - 2) {
+              val tc = u8(j) >> 4; val th = u8(j) & 15
+              require(tc <= 1 && th < 4, "JPEG: bad DHT header")
+              val counts = Array.tabulate(16)(k => u8(j + 1 + k))
+              val n = counts.sum
+              val syms = Array.tabulate(n)(k => u8(j + 17 + k))
+              val tab = new HuffTable(counts, syms)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              j += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            require(u8(seg) == 8, "JPEG: only 8-bit precision supported")
+            h = be16(seg + 1); w = be16(seg + 3)
+            val nc = u8(seg + 5)
+            require(nc == 1 || nc == 3, s"JPEG: $nc components unsupported")
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + 3 * c
+              Component(u8(o), u8(o + 1) >> 4, u8(o + 1) & 15, u8(o + 2))
+            }
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            throw new IllegalArgumentException(f"JPEG: non-baseline SOF marker 0xff$m%02x unsupported")
+          case 0xdd => restartInterval = be16(seg)
+          case 0xda => sos = seg
+          case 0xd9 => throw new IllegalArgumentException("JPEG: EOI before SOS")
+          case _ => () // APPn, COM, others: skip
+        }
+        i += 2 + len
+      }
+    }
+    require(comps != null && w > 0 && h > 0, "JPEG: missing SOF0 before SOS")
+    // SOS header
+    val ns = u8(sos)
+    require(ns == comps.length, "JPEG: partial-scan SOS unsupported (baseline full scan only)")
+    for (c <- 0 until ns) {
+      val cid = u8(sos + 1 + 2 * c)
+      val tabs = u8(sos + 2 + 2 * c)
+      val comp = comps.find(_.id == cid).getOrElse(
+        throw new IllegalArgumentException(s"JPEG: SOS references unknown component $cid"))
+      comp.dcTab = dcTabs(tabs >> 4)
+      comp.acTab = acTabs(tabs & 15)
+      require(comp.dcTab != null && comp.acTab != null, "JPEG: SOS references missing DHT")
+      require(qt(comp.tq) != null, "JPEG: component references missing DQT")
+    }
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      c.planeW = mcusX * 8 * c.h
+      c.planeH = mcusY * 8 * c.v
+      c.plane = new Array[Int](c.planeW * c.planeH)
+    }
+    val br = new BitReader(p, sos + 1 + 2 * ns + 3)
+    val coef = new Array[Int](64)
+    val pix = new Array[Int](64)
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.restart()
+          comps.foreach(_.pred = 0)
+        }
+        comps.foreach { c =>
+          val q = qt(c.tq)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              java.util.Arrays.fill(coef, 0)
+              val t = c.dcTab.decode(br)
+              require(t <= 11, "JPEG: bad DC category")
+              c.pred += extend(br.bits(t), t)
+              coef(0) = c.pred * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = c.acTab.decode(br)
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 else k = 64 // ZRL / EOB
+                } else {
+                  k += r
+                  require(k < 64, "JPEG: AC run past block end")
+                  coef(Zigzag(k)) = extend(br.bits(s), s) * q(Zigzag(k))
+                  k += 1
+                }
+              }
+              idctBlock(coef, pix)
+              // place into plane
+              val ox = (mx * c.h + bx) * 8
+              val oy = (my * c.v + by) * 8
+              var yy = 0
+              while (yy < 8) {
+                System.arraycopy(pix, yy * 8, c.plane, (oy + yy) * c.planeW + ox, 8)
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // color reconstruction
+    val out = new Array[Int](w * h)
+    if (comps.length == 1) {
+      val c = comps(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = c.plane(y * c.planeW + x)
+          out(y * w + x) = (v << 16) | (v << 8) | v
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val Array(cy, cb, cr) = comps
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val lum = cy.plane((y * cy.v / vmax) * cy.planeW + (x * cy.h / hmax))
+          val b = cb.plane((y * cb.v / vmax) * cb.planeW + (x * cb.h / hmax)) - 128
+          val r = cr.plane((y * cr.v / vmax) * cr.planeW + (x * cr.h / hmax)) - 128
+          def cl(d: Double): Int = {
+            val v = math.rint(d).toInt
+            if (v < 0) 0 else if (v > 255) 255 else v
+          }
+          val rr = cl(lum + 1.402 * r)
+          val gg = cl(lum - 0.344136 * b - 0.714136 * r)
+          val bb = cl(lum + 1.772 * b)
+          out(y * w + x) = (rr << 16) | (gg << 8) | bb
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, out)
+  }
+
+  // ---- encoder --------------------------------------------------------
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { put(0xff, 8 - nbits) } // pad with 1s
+  }
+
+  private def fdctBlock(px: Array[Int], coef: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += (px(y * 8 + x) - 128) * Basis(u)(x); x += 1 }
+        tmp(y * 8 + u) = s
+        y += 1
+      }
+      u += 1
+    }
+    var v = 0
+    while (v < 8) {
+      u = 0
+      while (u < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += tmp(y * 8 + u) * Basis(v)(y); y += 1 }
+        coef(v * 8 + u) = math.rint(s).toInt
+        u += 1
+      }
+      v += 1
+    }
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var t = 0
+    while (a != 0) { a >>= 1; t += 1 }
+    t
+  }
+
+  /** Encode planes (8-bit samples, one Array per component) as baseline
+    * JPEG. `sampling` per component as (h, v). Planes must already be
+    * at component resolution. `qscale` fills the (flat) quant table —
+    * 1 = near-lossless, exactly lossless on block-constant tiles. */
+  private def encodePlanes(w: Int, h: Int, planes: Array[Array[Int]],
+      sampling: Array[(Int, Int)], qscale: Int): Array[Byte] = {
+    require(qscale >= 1 && qscale <= 255, s"qscale in [1,255], got $qscale")
+    val nc = planes.length
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int, body: => Unit, len: Int): Unit = {
+      out.write(0xff); out.write(m); be16(len + 2); body
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xdb, { out.write(0); (0 until 64).foreach(_ => out.write(qscale)) }, 65)
+    marker(0xc0, {
+      out.write(8); be16(h); be16(w); out.write(nc)
+      for (c <- 0 until nc) {
+        out.write(c + 1); out.write((sampling(c)._1 << 4) | sampling(c)._2); out.write(0)
+      }
+    }, 6 + 3 * nc)
+    def writeDht(tc: Int, spec: HuffSpec): Unit = {
+      val (counts, syms) = spec
+      marker(0xc4, {
+        out.write(tc << 4)
+        counts.foreach(out.write)
+        syms.foreach(out.write)
+      }, 1 + 16 + syms.length)
+    }
+    writeDht(0, DcSpec); writeDht(1, AcSpec)
+    marker(0xda, {
+      out.write(nc)
+      for (c <- 0 until nc) { out.write(c + 1); out.write(0x00) }
+      out.write(0); out.write(63); out.write(0)
+    }, 1 + 2 * nc + 3)
+    val dcCodes = canonicalCodes(DcSpec)
+    val acCodes = canonicalCodes(AcSpec)
+    val bw = new BitWriter(out)
+    val hmax = sampling.map(_._1).max
+    val vmax = sampling.map(_._2).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val compW = sampling.map { case (sh, _) => (w * sh + hmax - 1) / hmax }
+    val compH = sampling.map { case (_, sv) => (h * sv + vmax - 1) / vmax }
+    val pred = new Array[Int](nc)
+    val px = new Array[Int](64)
+    val coef = new Array[Int](64)
+    def putMagnitude(v: Int, t: Int): Unit =
+      if (t > 0) bw.put(if (v >= 0) v else v + (1 << t) - 1, t)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var c = 0
+        while (c < nc) {
+          val (sh, sv) = sampling(c)
+          val plane = planes(c)
+          val pw = compW(c); val ph = compH(c)
+          var by = 0
+          while (by < sv) {
+            var bx = 0
+            while (bx < sh) {
+              val ox = (mx * sh + bx) * 8
+              val oy = (my * sv + by) * 8
+              var yy = 0
+              while (yy < 8) { // edge-replicated block fill
+                val sy = math.min(oy + yy, ph - 1)
+                var xx = 0
+                while (xx < 8) {
+                  val sx = math.min(ox + xx, pw - 1)
+                  px(yy * 8 + xx) = plane(sy * pw + sx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              fdctBlock(px, coef)
+              // quantize (flat table)
+              var k = 0
+              while (k < 64) {
+                coef(k) = math.rint(coef(k).toDouble / qscale).toInt
+                k += 1
+              }
+              val diff = coef(0) - pred(c)
+              pred(c) = coef(0)
+              val t = category(diff)
+              val (dcode, dlen) = dcCodes(t)
+              bw.put(dcode, dlen)
+              putMagnitude(diff, t)
+              var run = 0
+              k = 1
+              while (k < 64) {
+                val v = coef(Zigzag(k))
+                if (v == 0) run += 1
+                else {
+                  while (run >= 16) { val (zc, zl) = acCodes(0xF0); bw.put(zc, zl); run -= 16 }
+                  val s = category(v)
+                  require(s <= 10, s"AC coefficient $v too large for the table")
+                  val (ac, al) = acCodes((run << 4) | s)
+                  bw.put(ac, al)
+                  putMagnitude(v, s)
+                  run = 0
+                }
+                k += 1
+              }
+              if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Grayscale baseline JPEG from 8-bit luma samples. */
+  def encodeGray(w: Int, h: Int, gray: Array[Int], qscale: Int = 1): Array[Byte] = {
+    require(gray.length == w * h, s"expected ${w * h} samples, got ${gray.length}")
+    encodePlanes(w, h, Array(gray), Array((1, 1)), qscale)
+  }
+
+  /** Color baseline JPEG from packed 0xRRGGBB pixels; `subsample420`
+    * averages chroma 2×2 (floor) for the archive-dominant 4:2:0
+    * layout, else 4:4:4. JFIF YCbCr forward transform with one rint. */
+  def encodeRgb(w: Int, h: Int, rgb: Array[Int], qscale: Int = 1,
+      subsample420: Boolean = false): Array[Byte] = {
+    require(rgb.length == w * h, s"expected ${w * h} pixels, got ${rgb.length}")
+    val yP = new Array[Int](w * h)
+    val cbF = new Array[Int](w * h)
+    val crF = new Array[Int](w * h)
+    var i = 0
+    while (i < rgb.length) {
+      val r = (rgb(i) >> 16) & 0xff; val g = (rgb(i) >> 8) & 0xff; val b = rgb(i) & 0xff
+      def cl(d: Double): Int = {
+        val v = math.rint(d).toInt
+        if (v < 0) 0 else if (v > 255) 255 else v
+      }
+      yP(i) = cl(0.299 * r + 0.587 * g + 0.114 * b)
+      cbF(i) = cl(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+      crF(i) = cl(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+      i += 1
+    }
+    if (!subsample420)
+      encodePlanes(w, h, Array(yP, cbF, crF), Array((1, 1), (1, 1), (1, 1)), qscale)
+    else {
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      def sub(full: Array[Int]): Array[Int] = Array.tabulate(cw * ch) { p =>
+        val cx = p % cw; val cy = p / cw
+        var s = 0; var n = 0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val x = 2 * cx + dx; val y = 2 * cy + dy
+            if (x < w && y < h) { s += full(y * w + x); n += 1 }
+            dx += 1
+          }
+          dy += 1
+        }
+        s / n
+      }
+      encodePlanes(w, h, Array(yP, sub(cbF), sub(crF)), Array((2, 2), (1, 1), (1, 1)), qscale)
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Layout, Materialize, Media, MediaIndex, Packing, PdqDuplicates, PdqHash, RecordLinkage, SimilaritySearch, Sketches, Splits, TextAnalysis}
+import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Jpeg, Layout, Materialize, Media, MediaIndex, Packing, PdqDuplicates, PdqHash, RecordLinkage, SimilaritySearch, Sketches, Splits, TextAnalysis}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2142,6 +2142,57 @@ object Pipeline {
     """.trim)
   )
 
+  /** The JPEG form of the PDQ pipeline, real end to end: per-doc
+    * BLOCK-CONSTANT grayscale tiles encoded as real baseline JPEG
+    * (from-scratch FDCT, canonical Huffman, byte stuffing — [[Jpeg]]),
+    * decoded back by the pure-JVM [[Jpeg.decode]] (marker walk, DQT/
+    * DHT, entropy decode, IDCT) and hashed by the fixed-point kernel.
+    * JPEG is lossy in general, but DC-only blocks round-trip
+    * BIT-EXACTLY (JpegSpec pins it), so the oracle replays the tile
+    * synthesis directly — a single flipped bit anywhere in the codec
+    * chain moves a hash and fails the gate. Gray pixels keep SQL luma
+    * trivial (luma(v,v,v) = v). */
+  val mediaJpegPdq: QueryDef = QueryDef(
+    "media_jpeg_pdq",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 96)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val id = r.getLong(0)
+          val g = rollingAcc(r.getString(1)) % 7
+          val w = 72 + (id % 3).toInt * 28
+          val h = 64 + (id % 5).toInt * 16
+          val gray = Array.tabulate(w * h) { p =>
+            val tx = (p % w) / 8; val ty = (p / w) / 8
+            ((g * 37 + tx * 13 + ty * 29) % 256).toInt
+          }
+          Media.MediaItem(id, "image", Jpeg.encodeGray(w, h, gray))
+        }
+      Media.pdqHashes(items, Jpeg.decode)
+        .toDF("id", "pdq_hex", "quality")
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS id,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 7 AS g
+        FROM documents WHERE doc_id < 96),
+      dims AS (SELECT id, g, 72 + (id % 3) * 28 AS w, 64 + (id % 5) * 16 AS h FROM src),
+      axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+      pix AS (
+        SELECT d.id, x.v AS x, y.v AS y, d.w, d.h,
+          (d.g * 37 + (x.v // 8) * 13 + (y.v // 8) * 29) % 256 AS l
+        FROM dims d JOIN axis x ON x.v < d.w JOIN axis y ON y.v < d.h),
+      $pdqChainCtes
+      SELECT h.id, h.pdq_hex, g.quality FROM hexs h JOIN grad g ON g.id = h.id ORDER BY h.id
+    """.trim)
+  )
+
   /** C4 line-level cleaning over documents wrapped in PLANTED lines
     * (boilerplate markers, a no-terminal-punct remainder, a sub-floor
     * line, two conditional keepers) — so kept/dropped and the per-doc
@@ -2715,7 +2766,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaJpegPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }

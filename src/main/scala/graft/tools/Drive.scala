@@ -316,6 +316,19 @@ object Drive {
         .filter(org.apache.spark.sql.functions.col("pct_micro") >= 900000)
         .groupBy("src").count().orderBy("src").show()
     }
+    println("=== jpeg: from-scratch baseline codec -> decode -> PDQ ===")
+    locally {
+      val w = 96; val h = 64
+      val gray = Array.tabulate(w * h)(p => (((p % w) / 8) * 23 + ((p / w) / 8) * 41) % 256)
+      val rgb = Array.tabulate(w * h)(p => ((p * 31) % 256 << 16) | ((p * 7) % 256 << 8) | (p % 256))
+      val items = spark.createDataset(Seq(
+        Media.MediaItem(1L, "image", Jpeg.encodeGray(w, h, gray)),
+        Media.MediaItem(2L, "image", Jpeg.encodeRgb(w, h, rgb, qscale = 4, subsample420 = true)),
+        Media.MediaItem(3L, "image", Array[Byte](0, 1, 2, 3)) // corrupt -> quarantined
+      ))(org.apache.spark.sql.Encoders.product[Media.MediaItem])
+      Media.pdqHashes(items, Jpeg.decode, keepUndecodable = true)
+        .toDF("id", "pdq_hex", "quality").orderBy("id").show(false)
+    }
     println("=== record linkage: multi-pass blocking -> field-agreement scoring ===")
     locally {
       import org.apache.spark.sql.functions.{col, substring, when, abs}

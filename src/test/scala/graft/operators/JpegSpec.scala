@@ -1,0 +1,77 @@
+package graft.operators
+
+class JpegSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def maxDiff(a: Array[Int], b: Array[Int]): Int =
+    a.zip(b).map { case (x, y) =>
+      val dr = math.abs(((x >> 16) & 0xff) - ((y >> 16) & 0xff))
+      val dg = math.abs(((x >> 8) & 0xff) - ((y >> 8) & 0xff))
+      val db = math.abs((x & 0xff) - (y & 0xff))
+      math.max(dr, math.max(dg, db))
+    }.max
+
+  test("block-constant grayscale round-trips BIT-EXACTLY (the gate's property)") {
+    val w = 48; val h = 32
+    val gray = Array.tabulate(w * h) { p =>
+      val tx = (p % w) / 8; val ty = (p / w) / 8
+      (37 * tx + 101 * ty + 13) % 256
+    }
+    val (dw, dh, px) = Jpeg.decode(Jpeg.encodeGray(w, h, gray))
+    assert(dw == w && dh == h)
+    px.zipWithIndex.foreach { case (v, i) =>
+      val g = gray(i)
+      assert(v == ((g << 16) | (g << 8) | g), s"pixel $i: got ${v.toHexString}, want $g")
+    }
+  }
+
+  test("smooth grayscale round-trips within DCT rounding (qscale=1)") {
+    val w = 40; val h = 24
+    val gray = Array.tabulate(w * h)(p => ((p % w) * 3 + (p / w) * 5) % 256)
+    val (dw, dh, px) = Jpeg.decode(Jpeg.encodeGray(w, h, gray))
+    assert(dw == w && dh == h)
+    val want = gray.map(g => (g << 16) | (g << 8) | g)
+    assert(maxDiff(px, want) <= 2, s"max diff ${maxDiff(px, want)}")
+  }
+
+  test("color 4:4:4 and 4:2:0 round-trip within color-transform tolerance") {
+    val w = 33; val h = 17 // odd dims: edge replication + chroma ceil
+    val rgb = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      ((x * 7 % 256) << 16) | ((y * 11 % 256) << 8) | ((x + y) * 5 % 256)
+    }
+    for (sub <- Seq(false, true)) {
+      val (dw, dh, px) = Jpeg.decode(Jpeg.encodeRgb(w, h, rgb, qscale = 1, subsample420 = sub))
+      assert(dw == w && dh == h, s"sub=$sub")
+      // 4:4:4 pays DCT + YCbCr rounding; 4:2:0 additionally pays 2x2
+      // chroma averaging on chroma-varying content
+      val tol = if (sub) 24 else 4
+      assert(maxDiff(px, rgb) <= tol, s"sub=$sub max diff ${maxDiff(px, rgb)}")
+    }
+  }
+
+  test("flat color survives 4:2:0 nearly exactly (constant chroma)") {
+    val w = 20; val h = 12
+    val rgb = Array.fill(w * h)(0x6a8b3c)
+    val (_, _, px) = Jpeg.decode(Jpeg.encodeRgb(w, h, rgb, qscale = 1, subsample420 = true))
+    assert(maxDiff(px, rgb) <= 2, s"max diff ${maxDiff(px, rgb)}")
+  }
+
+  test("coarser quantization degrades gracefully, never crashes") {
+    val w = 32; val h = 32
+    val gray = Array.tabulate(w * h)(p => (p * 37) % 256)
+    val (_, _, px) = Jpeg.decode(Jpeg.encodeGray(w, h, gray, qscale = 16))
+    val want = gray.map(g => (g << 16) | (g << 8) | g)
+    assert(maxDiff(px, want) <= 64) // heavy quantization, still in the room
+  }
+
+  test("corrupt payloads fail loudly") {
+    intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](1, 2, 3, 4)))
+    val good = Jpeg.encodeGray(16, 16, Array.fill(256)(128))
+    intercept[Exception](Jpeg.decode(good.take(good.length / 2))) // truncated
+    // progressive SOF2 refused, not mis-decoded
+    val prog = good.clone()
+    val sofAt = good.indices.find(i => (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    intercept[IllegalArgumentException](Jpeg.decode(prog))
+  }
+}
