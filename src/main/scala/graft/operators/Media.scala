@@ -217,6 +217,66 @@ object Media {
     b.array()
   }
 
+  /** Magic-byte dispatch over the real pixel decoders — BMP, PNG, GIF
+    * (first frame), baseline JPEG. The archive-ingest entry point: one
+    * binary column of MIXED payloads hashes without the caller routing
+    * formats, and an unrecognized container fails loudly (or
+    * quarantines through `keepUndecodable`, like any decode error). */
+  val autoPixelDecoder: PixelDecoder = p => {
+    def u8(i: Int): Int = p(i) & 0xff
+    require(p.length >= 8, "payload too short for any known container")
+    if (u8(0) == 'B' && u8(1) == 'M') bmpPixelDecoder(p)
+    else if (u8(0) == 0x89 && u8(1) == 'P') pngPixelDecoder(p)
+    else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F') {
+      val frames = gifFrames(p)
+      require(frames.nonEmpty, "GIF: no frames")
+      frames.head
+    } else if (u8(0) == 0xff && u8(1) == 0xd8) Jpeg.decode(p)
+    else throw new IllegalArgumentException("unrecognized image container")
+  }
+
+  /** 8-bit RGB PNG encoder (filter None, one IDAT, `Deflater` zlib) —
+    * the lossless synthesis counterpart of [[pngPixelDecoder]]. */
+  def encodePngRgb(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h, s"expected ${w * h} pixels, got ${rgb.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    val crcT = new java.util.zip.CRC32()
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length))
+      val tb = tag.getBytes("US-ASCII")
+      crcT.reset(); crcT.update(tb); crcT.update(body)
+      out.write(tb); out.write(body); out.write(be32(crcT.getValue.toInt))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var y = 0
+    while (y < h) {
+      val ro = y * (1 + 3 * w)
+      raw(ro) = 0 // filter None
+      var x = 0
+      while (x < w) {
+        val v = rgb(y * w + x)
+        raw(ro + 1 + 3 * x) = ((v >> 16) & 0xff).toByte
+        raw(ro + 2 + 3 * x) = ((v >> 8) & 0xff).toByte
+        raw(ro + 3 + 3 * x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    d.end()
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
   /** REAL PNG pixel decoder — pure JVM (chunk walk + `java.util.zip
     * .Inflater` + scanline unfiltering), no codec library. Supports the
     * non-interlaced 8-bit-depth color types: 0 (gray), 2 (RGB), 3

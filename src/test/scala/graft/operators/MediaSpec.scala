@@ -116,4 +116,43 @@ class MediaSpec extends SparkTestBase {
     assert(Media.audioFingerprints(items, keepUndecodable = true).isStreaming)
     assert(Media.pdqHashesDihedral(items).isStreaming)
   }
+
+  test("autoPixelDecoder: mixed BMP/PNG/GIF/JPEG payloads route by magic; lossless formats agree") {
+    val w = 40; val h = 24
+    val rgb = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      ((x * 11 % 256) << 16) | ((y * 17 % 256) << 8) | ((x + y) * 3 % 256)
+    }
+    val gray = Array.tabulate(w * h)(p => (((p % w) / 8) * 19 + ((p / w) / 8) * 53) % 256)
+    val grayRgb = gray.map(v => (v << 16) | (v << 8) | v)
+    val viaBmp = Media.autoPixelDecoder(Media.encodeBmp24(w, h, rgb))
+    val viaPng = Media.autoPixelDecoder(Media.encodePngRgb(w, h, rgb))
+    assert(viaBmp._1 == w && viaBmp._2 == h)
+    assert(viaBmp._3.toSeq == rgb.toSeq && viaPng._3.toSeq == rgb.toSeq)
+    // GIF is gray-quantized; feed it gray content for exactness
+    val viaGif = Media.autoPixelDecoder(Media.encodeGifGray(w, h, Seq(grayRgb)))
+    assert(viaGif._3.toSeq == grayRgb.toSeq)
+    // JPEG block-constant grayscale round-trips exactly
+    val viaJpeg = Media.autoPixelDecoder(Jpeg.encodeGray(w, h, gray))
+    assert(viaJpeg._3.toSeq == grayRgb.toSeq)
+    intercept[Exception](Media.autoPixelDecoder("not an image at all".getBytes("UTF-8")))
+  }
+
+  test("autoPixelDecoder feeds pdqHashes over a mixed-format archive column") {
+    val w = 72; val h = 64
+    val gray = Array.tabulate(w * h)(p => (((p % w) / 8) * 31 + ((p / w) / 8) * 7) % 256)
+    val grayRgb = gray.map(v => (v << 16) | (v << 8) | v)
+    val mixed = Seq(
+      Media.MediaItem(1L, "image", Media.encodeBmp24(w, h, grayRgb)),
+      Media.MediaItem(2L, "image", Media.encodePngRgb(w, h, grayRgb)),
+      Media.MediaItem(3L, "image", Media.encodeGifGray(w, h, Seq(grayRgb))),
+      Media.MediaItem(4L, "image", Jpeg.encodeGray(w, h, gray)),
+      Media.MediaItem(5L, "image", Array[Byte](9, 9, 9, 9, 9, 9, 9, 9))
+    ).toDS()
+    val got = Media.pdqHashes(mixed, Media.autoPixelDecoder, keepUndecodable = true)
+      .collect().sortBy(_.id)
+    // same pixels through four containers -> ONE hash; corrupt row quarantined
+    assert(got.take(4).map(_.pdq_hex).distinct.length == 1, got.mkString("\n"))
+    assert(got(4).pdq_hex == null && got(4).quality == -1L)
+  }
 }
