@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{portableHash60, portableHash60Sql}
@@ -40,7 +40,19 @@ import graft.functions.TextFunctions.{portableHash60, portableHash60Sql}
   * Contract: sketch keys must be non-null (a null key hashes to a null
   * bucket and silently vanishes from the sketch on both engines —
   * filter upstream, as every caller here does by exploding token
-  * arrays). */
+  * arrays).
+  *
+  * Streaming: the register/count relations are plain aggregates, so
+  * they run unchanged as STREAMING aggregates over unbounded keyed
+  * inputs with state bounded at the sketch size
+  * (StreamingSketchesSpec pins stream ≡ batch). Delivery semantics
+  * split by merge function: HLL's max-merge is idempotent —
+  * at-least-once re-delivery cannot move the sketch — while CMS /
+  * histogram sums are not (they need exactly-once delivery or
+  * upstream dedup; the spec pins the exact drift). [[heavyHitters]]
+  * is inherently two-pass (sketch, then verify) — on a stream, keep
+  * the CMS registers hot and run the verify pass as a periodic batch
+  * over the closed window. */
 object Sketches {
 
   /** HLL register relation for distinct `keyCol` per `grpCol`:
@@ -234,16 +246,35 @@ object Sketches {
     SketchShard(unioned.groupBy(keys.map(col).toSeq: _*).agg(agg), head.kind, head.params)
   }
 
+  /** Row-r bucket of key hash `h` under Kirsch–Mitzenmacher double
+    * hashing (ESA 2006): b_r = (h1 + r·h2) mod w with h1 from the low
+    * 30 hash bits, h2 = 1 + (high 30 bits mod (w−1)). ONE md5 per
+    * occurrence feeds all d rows — md5 dominated the naive per-row
+    * seeding (measured: heavy_hitters 3.2 s at sf0.1), and KM shows
+    * the d derived functions preserve the CMS guarantees. h2 ≥ 1 so
+    * rows never collapse onto one bucket; everything is exact int64
+    * (no `/`, which is DOUBLE division on both engines). */
+  private def kmBucket(h: Column, r: Column, w: Int): Column =
+    (h.bitwiseAND(lit((1L << 30) - 1)) % lit(w.toLong)
+      + r * (lit(1L) + shiftright(h, 30) % lit(w - 1L))) % lit(w.toLong)
+
+  private def kmBucketSql(h: String, r: String, w: Int): String =
+    s"((($h) % 1073741824) % $w + ($r) * (1 + (($h) // 1073741824) % ${w - 1})) % $w"
+
+  /** The shared key hash the CMS tier double-hashes from. */
+  private def cmsHash(k: Column): Column = portableHash60(concat(lit("cms:"), k))
+  private def cmsHashSql(k: String): String = portableHash60Sql(s"'cms:' || $k")
+
   /** Count-min table over `keyCol` rows: (r 0..d−1, bucket 0..w−1, c).
-    * Each key lands in one bucket per hash row (seed "cms&lt;r&gt;:");
-    * the counts are plain sums, so the relation is map-side combinable
-    * to ≤ d·w rows per partition and shard tables ADD into the union
-    * table. */
+    * Each key lands in one bucket per hash row (KM-derived from one
+    * md5 — [[kmBucket]]); the counts are plain sums, so the relation
+    * is map-side combinable to ≤ d·w rows per partition and shard
+    * tables ADD into the union table. */
   def cmsCounts(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
-    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
-    df.select(col(keyCol).as("k"))
+    require(d >= 1 && w >= 3, s"need d >= 1, w >= 3; got d=$d w=$w")
+    df.select(cmsHash(col(keyCol)).as("h"))
       .select(posexplode(transform(sequence(lit(0), lit(d - 1)),
-        r => portableHash60(concat(lit("cms"), r.cast("string"), lit(":"), col("k"))) % lit(w.toLong))))
+        r => kmBucket(col("h"), r.cast("long"), w))))
       .select(col("pos").as("r"), col("col").as("bucket"))
       .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("c"))
@@ -259,7 +290,7 @@ object Sketches {
     import spark.implicits._
     keys.toDF("term")
       .select(col("term"), posexplode(transform(sequence(lit(0), lit(d - 1)),
-        r => portableHash60(concat(lit("cms"), r.cast("string"), lit(":"), col("term"))) % lit(w.toLong))))
+        r => kmBucket(cmsHash(col("term")), r.cast("long"), w))))
       .select(col("term"), col("pos").as("r"), col("col").as("bucket"))
       .join(counts, Seq("r", "bucket"), "left")
       .groupBy(col("term"))
@@ -369,7 +400,7 @@ object Sketches {
   def cmsFreqSql(input: String, keyExpr: String, keys: Seq[String], d: Int, w: Int): String = {
     val vals = keys.map(k => s"('${k.replace("'", "''")}')").mkString(", ")
     def bucket(key: String) =
-      s"(${portableHash60Sql(s"'cms' || CAST(t.r AS VARCHAR) || ':' || $key")} % $w)"
+      kmBucketSql(cmsHashSql(key), "t.r", w)
     s"""WITH ks AS (SELECT $keyExpr AS k FROM ($input)),
       cms AS (SELECT t.r, ${bucket("ks.k")} AS bucket, count(*) AS c
               FROM ks CROSS JOIN range($d) t(r) GROUP BY 1, 2),
@@ -419,11 +450,13 @@ object Sketches {
     val t = math.max(1L, n / fracDenom)
     val cmsArr = lit(arr)
     val est = (0 until d).map { r =>
-      val bucket = portableHash60(concat(lit("cms"), lit(r.toString), lit(":"), col("k"))) % lit(w.toLong)
+      val bucket = kmBucket(col("h"), lit(r.toLong), w)
       coalesce(element_at(cmsArr, (lit(r.toLong * w) + bucket + 1L).cast("int")), lit(0L))
     }.reduceLeft(least(_, _))
     df.select(col(keyCol).as("k"))
+      .withColumn("h", cmsHash(col("k")))
       .withColumn("est", est)
+      .drop("h")
       .filter(col("est") >= t)
       .groupBy(col("k").as("term"))
       .agg(min(col("est")).as("est"), count(lit(1)).as("exact"))
@@ -436,7 +469,7 @@ object Sketches {
     * threshold T = greatest(1, N // fracDenom). */
   def heavyHittersSql(input: String, keyExpr: String, d: Int, w: Int, fracDenom: Long): String = {
     def bucket(key: String) =
-      s"(${portableHash60Sql(s"'cms' || CAST(t.r AS VARCHAR) || ':' || $key")} % $w)"
+      kmBucketSql(cmsHashSql(key), "t.r", w)
     s"""WITH ks AS (SELECT $keyExpr AS k FROM ($input)),
       thr AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $fracDenom) AS t FROM ks),
       cms AS (SELECT t.r, ${bucket("ks.k")} AS bucket, count(*) AS c
