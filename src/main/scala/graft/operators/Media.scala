@@ -232,7 +232,146 @@ object Media {
       require(frames.nonEmpty, "GIF: no frames")
       frames.head
     } else if (u8(0) == 0xff && u8(1) == 0xd8) Jpeg.decode(p)
+    else if ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+      (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42)) tiffPixelDecoder(p)
     else throw new IllegalArgumentException("unrecognized image container")
+  }
+
+  /** REAL TIFF pixel decoder — the archival scan format, pure JVM: IFD
+    * walk in either byte order (II/MM), 8-bit grayscale (photometric
+    * 0/1) and RGB (photometric 2, optional extra samples dropped),
+    * uncompressed (1) or PackBits (32773), any strip layout. Throws on
+    * tiled, paletted, non-8-bit or otherwise-compressed files. */
+  val tiffPixelDecoder: PixelDecoder = p => {
+    require(p.length >= 8, "not a TIFF payload")
+    val le = (p(0) & 0xff) == 'I' && (p(1) & 0xff) == 'I'
+    val be = (p(0) & 0xff) == 'M' && (p(1) & 0xff) == 'M'
+    require(le || be, "not a TIFF payload")
+    def u8(i: Int): Int = p(i) & 0xff
+    def u16(i: Int): Int = if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le) (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24))
+      else ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3))
+    require(u16(2) == 42, "TIFF: bad magic")
+    val ifd = u32(4).toInt
+    val n = u16(ifd)
+    var w = 0; var h = 0; var photometric = -1; var compression = 1
+    var samplesPerPixel = 1; var rowsPerStrip = Int.MaxValue
+    var bitsOk = true
+    var stripOffsets: Array[Int] = null
+    var stripCounts: Array[Int] = null
+    def values(entry: Int): Array[Int] = { // SHORT(3) or LONG(4) arrays
+      val typ = u16(entry + 2); val cnt = u32(entry + 4).toInt
+      val size = if (typ == 3) 2 else 4
+      val at = if (cnt * size <= 4) entry + 8 else u32(entry + 8).toInt
+      Array.tabulate(cnt)(i => if (typ == 3) u16(at + 2 * i) else u32(at + 4 * i).toInt)
+    }
+    var e = ifd + 2
+    var k = 0
+    while (k < n) {
+      val tag = u16(e)
+      tag match {
+        case 256 => w = values(e)(0)
+        case 257 => h = values(e)(0)
+        case 258 => bitsOk = values(e).forall(_ == 8)
+        case 259 => compression = values(e)(0)
+        case 262 => photometric = values(e)(0)
+        case 273 => stripOffsets = values(e)
+        case 277 => samplesPerPixel = values(e)(0)
+        case 278 => rowsPerStrip = values(e)(0)
+        case 279 => stripCounts = values(e)
+        case 322 | 323 => throw new IllegalArgumentException("TIFF: tiled layout unsupported")
+        case _ => ()
+      }
+      e += 12; k += 1
+    }
+    require(w > 0 && h > 0 && stripOffsets != null, "TIFF: missing required tags")
+    require(bitsOk, "TIFF: only 8 bits per sample supported")
+    require(compression == 1 || compression == 32773,
+      s"TIFF: compression $compression unsupported (uncompressed/PackBits only)")
+    require(photometric >= 0 && photometric <= 2, s"TIFF: photometric $photometric unsupported")
+    val gray = photometric < 2
+    require(if (gray) samplesPerPixel == 1 else samplesPerPixel >= 3,
+      s"TIFF: $samplesPerPixel samples with photometric $photometric")
+    // concatenate (decoded) strips into one sample buffer
+    val need = w * h * samplesPerPixel
+    val buf = new Array[Byte](need)
+    var at = 0
+    var s = 0
+    while (s < stripOffsets.length && at < need) {
+      val off = stripOffsets(s)
+      val cnt = if (stripCounts != null) stripCounts(s) else p.length - off
+      if (compression == 1) {
+        val take = math.min(cnt, need - at)
+        System.arraycopy(p, off, buf, at, take)
+        at += take
+      } else { // PackBits
+        var i = off
+        while (i < off + cnt && at < need) {
+          val ctl = p(i).toInt; i += 1
+          if (ctl >= 0) { // literal run of ctl+1
+            val take = math.min(ctl + 1, need - at)
+            System.arraycopy(p, i, buf, at, take)
+            at += take; i += ctl + 1
+          } else if (ctl != -128) { // repeat next byte 1-ctl times
+            val rep = 1 - ctl
+            val take = math.min(rep, need - at)
+            java.util.Arrays.fill(buf, at, at + take, p(i))
+            at += take; i += 1
+          } // -128: no-op
+        }
+      }
+      s += 1
+    }
+    require(at >= need, s"TIFF: strip data short ($at of $need samples)")
+    val out = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      if (gray) {
+        val v0 = buf(i) & 0xff
+        val v = if (photometric == 0) 255 - v0 else v0 // 0 = WhiteIsZero
+        out(i) = (v << 16) | (v << 8) | v
+      } else {
+        val o = i * samplesPerPixel
+        out(i) = ((buf(o) & 0xff) << 16) | ((buf(o + 1) & 0xff) << 8) | (buf(o + 2) & 0xff)
+      }
+      i += 1
+    }
+    (w, h, out)
+  }
+
+  /** Little-endian uncompressed RGB TIFF encoder (one strip) — the
+    * synthesis half of the TIFF round-trip. */
+  def encodeTiffRgb(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h, s"expected ${w * h} pixels, got ${rgb.length}")
+    val nEntries = 8
+    val ifdAt = 8
+    val bitsAt = ifdAt + 2 + 12 * nEntries + 4
+    val dataAt = bitsAt + 6
+    val b = java.nio.ByteBuffer.allocate(dataAt + 3 * w * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdAt)
+    b.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    }
+    entry(256, 4, 1, w)           // ImageWidth
+    entry(257, 4, 1, h)           // ImageLength
+    entry(258, 3, 3, bitsAt)      // BitsPerSample -> [8,8,8]
+    entry(259, 3, 1, 1)           // Compression: none
+    entry(262, 3, 1, 2)           // Photometric: RGB
+    entry(273, 4, 1, dataAt)      // StripOffsets
+    entry(277, 3, 1, 3)           // SamplesPerPixel
+    entry(279, 4, 1, 3 * w * h)   // StripByteCounts
+    b.putInt(0)                   // next IFD
+    b.putShort(8).putShort(8).putShort(8)
+    var i = 0
+    while (i < rgb.length) {
+      val v = rgb(i)
+      b.put(((v >> 16) & 0xff).toByte).put(((v >> 8) & 0xff).toByte).put((v & 0xff).toByte)
+      i += 1
+    }
+    b.array()
   }
 
   /** 8-bit RGB PNG encoder (filter None, one IDAT, `Deflater` zlib) —

@@ -2142,6 +2142,31 @@ object Pipeline {
     """.trim)
   )
 
+  /** The TIFF form of the PDQ pipeline: the SAME synthesized RGB
+    * scenes as `media_pdq_compute`, carried through the TIFF container
+    * ([[Media.encodeTiffRgb]] → [[Media.tiffPixelDecoder]]) instead of
+    * BMP. TIFF is lossless, so the gate shares the BMP gate's oracle
+    * verbatim — the two containers must produce identical hashes, and
+    * any drift in the IFD walk / strip assembly flips rows. */
+  val mediaTiffPdq: QueryDef = QueryDef(
+    "media_tiff_pdq",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 96)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val id = r.getLong(0)
+          val (w, h, px) = synthPixels(id, rollingAcc(r.getString(1)))
+          Media.MediaItem(id, "image", Media.encodeTiffRgb(w, h, px))
+        }
+      Media.pdqHashes(items, Media.tiffPixelDecoder)
+        .toDF("id", "pdq_hex", "quality")
+        .orderBy("id")
+    },
+    mediaPdqCompute.oracle
+  )
+
   /** The JPEG form of the PDQ pipeline, real end to end: per-doc
     * BLOCK-CONSTANT grayscale tiles encoded as real baseline JPEG
     * (from-scratch FDCT, canonical Huffman, byte stuffing — [[Jpeg]]),
@@ -2766,7 +2791,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaJpegPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaJpegPdq, mediaTiffPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }
