@@ -171,7 +171,13 @@ object Decontaminate {
     val benchHs = Materialize(Dedup.shingleHashRows(benchmark, idCol, textCol, shingleLen)
       .select("h").distinct())
     val bloom = benchHs.stat.bloomFilter("h", math.max(1L, benchHs.count()), fpp)
-    val bloomBc = df.sparkSession.sparkContext.broadcast(bloom)
+    bloomCore(df.sparkSession, docHs, benchHs, bloom, minHits)
+  }
+
+  private def bloomCore(spark: org.apache.spark.sql.SparkSession, docHs: DataFrame,
+      benchHs: DataFrame, bloom: org.apache.spark.util.sketch.BloomFilter,
+      minHits: Int): BloomScan = {
+    val bloomBc = spark.sparkContext.broadcast(bloom)
     val totals = docHs.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val hits = docHs.filter(graft.plans.BloomMightContainLong(col("h"), bloomBc))
       .join(benchHs, Seq("h")) // shuffle join on the surviving sliver
@@ -181,5 +187,73 @@ object Decontaminate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) >= minHits).cast("int").as("contaminated"))
     BloomScan(result, () => bloomBc.destroy())
+  }
+
+  // ---- persisted benchmark index --------------------------------------
+
+  /** A persisted benchmark: the Bloom prefilter bits PLUS the exact
+    * distinct shingle-hash relation that verifies survivors. */
+  final case class BloomIndex(bloom: org.apache.spark.util.sketch.BloomFilter,
+      benchHs: DataFrame, shingleLen: Int, fpp: Double)
+
+  private val BloomManifestFile = "_GRAFT_BLOOM_MANIFEST"
+
+  private def fsAt(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Persist a benchmark set once — eval suites change rarely, corpora
+    * daily, so the expensive side (distinct shingles + the Bloom tree-
+    * aggregate) should not rerun per scan. Layout: `hashes/` (exact
+    * relation, parquet), `bloom.bin` (the filter's own serialization),
+    * manifest LAST — the same commit-marker discipline as the dedup /
+    * media / sketch indexes: an interrupted write refuses to read
+    * rather than silently scanning with a partial filter (Bloom bits
+    * missing hashes would yield FALSE NEGATIVES — exactly the failure
+    * a decontamination gate must never have). */
+  def writeBloomIndex(benchmark: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, fpp: Double, path: String): Unit = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    val spark = benchmark.sparkSession
+    val benchHs = Materialize(Dedup.shingleHashRows(benchmark, idCol, textCol, shingleLen)
+      .select("h").distinct())
+    val bloom = benchHs.stat.bloomFilter("h", math.max(1L, benchHs.count()), fpp)
+    val (fs, mPath) = fsAt(spark, s"$path/$BloomManifestFile")
+    if (fs.exists(mPath)) fs.delete(mPath, false)
+    benchHs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/hashes")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/bloom.bin"), true)
+    try bloom.writeTo(out) finally out.close()
+    val m = fs.create(mPath, true)
+    try m.write(s"shingleLen=$shingleLen\nfpp=$fpp\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally m.close()
+  }
+
+  /** Read a persisted benchmark index; refuses uncommitted paths. */
+  def readBloomIndex(spark: org.apache.spark.sql.SparkSession, path: String): BloomIndex = {
+    val (fs, mPath) = fsAt(spark, s"$path/$BloomManifestFile")
+    if (!fs.exists(mPath)) throw new IllegalStateException(
+      s"no bloom-index manifest at $path — not a graft index, or an interrupted writeBloomIndex left it incomplete")
+    val in = fs.open(mPath)
+    val props = new java.util.Properties()
+    try props.load(in) finally in.close()
+    val bin = fs.open(new org.apache.hadoop.fs.Path(s"$path/bloom.bin"))
+    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(bin) finally bin.close()
+    BloomIndex(bloom, spark.read.parquet(s"$path/hashes"),
+      props.getProperty("shingleLen").toInt, props.getProperty("fpp").toDouble)
+  }
+
+  /** [[scanBloom]] against a READ index: the corpus shingles itself,
+    * probes the persisted bits map-side, and exact-verifies against
+    * the persisted hash relation. `shingleLen` comes from the
+    * manifest — a corpus shingled differently than the index would
+    * silently miss everything, so the parameter is not caller-
+    * suppliable. */
+  def scanBloomIndex(df: DataFrame, index: BloomIndex, idCol: String, textCol: String,
+      minHits: Int = 5): DataFrame = {
+    val docHs = Materialize(Dedup.shingleHashRows(df, idCol, textCol, index.shingleLen)
+      .select(col("id"), col("h")).distinct())
+    bloomCore(df.sparkSession, docHs, index.benchHs, index.bloom, minHits).result
   }
 }

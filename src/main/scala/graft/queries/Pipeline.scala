@@ -925,6 +925,26 @@ object Pipeline {
     decontaminate.oracle
   )
 
+  /** [[Decontaminate]] persisted-index lifecycle: the benchmark's
+    * Bloom bits + exact hash relation written once (manifest-last),
+    * read back, and scanned against — eval suites change rarely,
+    * corpora daily, so the benchmark side should not reshingle per
+    * scan. Output is exactly [[deconBloom]]'s (Bloom has no false
+    * negatives, verify is exact), so the oracle is shared. */
+  val deconBloomIdx: QueryDef = QueryDef(
+    "decon_bloom_idx",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val path = gateScratchDir("graft_bloom_idx_gate")
+      Decontaminate.writeBloomIndex(d.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        shingleLen = 3, fpp = 0.01, path)
+      Decontaminate.scanBloomIndex(d, Decontaminate.readBloomIndex(s, path), "doc_id", "text",
+        minHits = 5)
+        .orderBy("id")
+    },
+    decontaminate.oracle
+  )
+
   /** [[Decontaminate.scanFraction]] — the PaLM-style fractional rule
     * over the same corpus/benchmark split: contaminated when ≥ 50% of a
     * doc's distinct 3-word shingles collide. Benchmark members score
@@ -2789,7 +2809,7 @@ object Pipeline {
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
-    decontaminate, deconBloom, deconOverlap, curationFunnel, pipelineE2e,
+    decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaJpegPdq, mediaTiffPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify

@@ -487,6 +487,21 @@ class DedupSpec extends SparkTestBase {
     assert(Decontaminate.scanBloom(docs, benchmark, "id", "text", 3, 2).count() == got.size)
   }
 
+  test("bloom index: write → read → scan ≡ direct scan; uncommitted path refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_idx").toString
+    val benchmark = docs.filter(col("id") % 2 === 1L)
+    Decontaminate.writeBloomIndex(benchmark, "id", "text", shingleLen = 3, fpp = 0.01, s"$dir/idx")
+    val idx = Decontaminate.readBloomIndex(spark, s"$dir/idx")
+    assert(idx.shingleLen == 3 && idx.fpp == 0.01)
+    val got = rows(Decontaminate.scanBloomIndex(docs, idx, "id", "text", minHits = 2).orderBy("id"))
+    assert(got == rows(Decontaminate.scan(docs, benchmark, "id", "text", 3, 2).orderBy("id")))
+    assert(got.nonEmpty)
+    // manifest is the commit marker: a dead write (data, no manifest) refuses
+    intercept[IllegalStateException](Decontaminate.readBloomIndex(spark, s"$dir/nope"))
+    idx.benchHs.write.parquet(s"$dir/dead/hashes")
+    intercept[IllegalStateException](Decontaminate.readBloomIndex(spark, s"$dir/dead"))
+  }
+
   test("lineDedup: first corpus occurrence wins, within-doc repeats drop, docs never drop") {
     val df = Seq(
       (1L, "alpha beta\nshared line\ngamma"),
