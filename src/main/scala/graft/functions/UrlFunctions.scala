@@ -78,6 +78,48 @@ object UrlFunctions {
     element_at(hostport, 1)
   }
 
+  /** Tracking parameters every crawl canonicalizer strips: the
+    * analytics keys that vary per click but never change content. */
+  private val TrackingParamRe = "^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+  /** Crawl-grade canonical form — the dedup key ABOVE [[normalizeUrl]]
+    * (which stays reference-parity): also strips a leading `www.`, the
+    * default ports :80/:443, one trailing `/`, and tracking query
+    * params (utm_*, fbclid, gclid, msclkid, ref), then SORTS the
+    * surviving params so permuted queries collide. Pure column
+    * pipeline (regex + array ops, codegen, no UDF), null-safe, exactly
+    * twinned by [[canonicalUrlSql]]. Port stripping is scheme-blind by
+    * design: after scheme removal both defaults are dropped — the
+    * rare `http://host:443` spelling canonicalizes with its https
+    * twin, which is the useful behavior for dedup. */
+  def canonicalUrl(url: Column): Column = {
+    val base = normalizeUrl(url)
+    val qpos = instr(base, "?")
+    val hp = regexp_replace(
+      regexp_replace(
+        regexp_replace(substring_index(base, "?", 1), "^www\\.", ""),
+        "^([^/?:]+):(?:80|443)(/.*)?$", "$1$2"),
+      "/$", "")
+    val q = when(qpos > 0, base.substr(qpos + 1, length(base)))
+    val kept = array_sort(filter(split(q, "&"),
+      p => !(p.rlike(TrackingParamRe) || p === "")))
+    when(q.isNull || size(kept) === 0, hp)
+      .otherwise(concat(hp, lit("?"), array_join(kept, "&")))
+  }
+
+  /** DuckDB twin of [[canonicalUrl]]. */
+  def canonicalUrlSql(expr: String): String = {
+    val base = normalizeUrlSql(expr)
+    val hp0 = s"CASE WHEN strpos($base, '?') > 0 THEN substring($base, 1, strpos($base, '?') - 1) ELSE $base END"
+    val hp = raw"""regexp_replace(regexp_replace(regexp_replace($hp0,
+      '^www\.', ''), '^([^/?:]+):(?:80|443)(/.*)?$$', '\1\2'), '/$$', '')"""
+    val q = s"CASE WHEN strpos($base, '?') > 0 THEN substring($base, strpos($base, '?') + 1) ELSE NULL END"
+    val kept = raw"""list_sort(list_filter(string_split($q, '&'),
+      p -> NOT regexp_matches(p, '^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=.*)?$$') AND p <> ''))"""
+    s"""(CASE WHEN ($q) IS NULL OR len($kept) = 0 THEN $hp
+         ELSE $hp || '?' || array_to_string($kept, '&') END)"""
+  }
+
   /** DuckDB twin of [[host]]. */
   def hostSql(expr: String): String = {
     val hp = s"regexp_replace(regexp_replace(${normalizeUrlSql(expr)}, '^[^/?]*@', ''), '[/?;].*$$', '', 's')"

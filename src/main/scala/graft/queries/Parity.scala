@@ -285,6 +285,50 @@ object Parity {
     None
   )
 
+  /** Crawl-grade canonicalization ([[graft.functions.UrlFunctions
+    * .canonicalUrl]]) over a url frame with planted variance: scheme
+    * case mix, `www.`, default vs real ports, trailing slashes,
+    * permuted + tracking-polluted query strings, fragments — permuted
+    * clean params must collide, the `:8080` port must survive. */
+  val urlCanonical: QueryDef = QueryDef(
+    "url_canonical",
+    (s, dir) => {
+      val e = tbl(s, dir, "events")
+      val url = concat(
+        when(col("event_id") % 3 === 0, "https://")
+          .when(col("event_id") % 3 === 1, "http://").otherwise(""),
+        when(col("event_id") % 7 === 0, "www.").otherwise(""),
+        lit("shop-"), (col("user_id") % 20).cast("string"), lit(".example.com"),
+        when(col("event_id") % 5 === 0, ":443")
+          .when(col("event_id") % 5 === 1, ":8080").otherwise(""),
+        lit("/item/"), (col("event_id") % 100).cast("string"),
+        when(col("event_id") % 6 === 0, "/").otherwise(""),
+        when(col("event_id") % 4 === 0, "?utm_source=x&b=2&a=1")
+          .when(col("event_id") % 4 === 1, "?a=1&b=2")
+          .when(col("event_id") % 4 === 2, "?b=2&a=1&utm_campaign=z").otherwise(""),
+        when(col("event_id") % 8 === 0,
+          concat(lit("#sec"), col("event_id").cast("string"))).otherwise("")
+      )
+      e.select(lpad(col("event_id").cast("string"), 8, "0").as("idx"),
+        graft.functions.UrlFunctions.canonicalUrl(url).as("canonical_url"))
+        .orderBy("idx")
+    },
+    Some(s"""
+      WITH u AS (SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS idx,
+        (CASE WHEN event_id % 3 = 0 THEN 'https://' WHEN event_id % 3 = 1 THEN 'http://' ELSE '' END)
+        || (CASE WHEN event_id % 7 = 0 THEN 'www.' ELSE '' END)
+        || 'shop-' || CAST(user_id % 20 AS VARCHAR) || '.example.com'
+        || (CASE WHEN event_id % 5 = 0 THEN ':443' WHEN event_id % 5 = 1 THEN ':8080' ELSE '' END)
+        || '/item/' || CAST(event_id % 100 AS VARCHAR)
+        || (CASE WHEN event_id % 6 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN event_id % 4 = 0 THEN '?utm_source=x&b=2&a=1' WHEN event_id % 4 = 1 THEN '?a=1&b=2'
+                 WHEN event_id % 4 = 2 THEN '?b=2&a=1&utm_campaign=z' ELSE '' END)
+        || (CASE WHEN event_id % 8 = 0 THEN '#sec' || CAST(event_id AS VARCHAR) ELSE '' END) AS url
+        FROM events)
+      SELECT idx, ${graft.functions.UrlFunctions.canonicalUrlSql("url")} AS canonical_url
+      FROM u ORDER BY idx""".trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(urlDups, pdqDupsNaive, pdqDupsBanded, detectFull, pdqScale30k,
-    domainStats, domainCap)
+    domainStats, domainCap, urlCanonical)
 }

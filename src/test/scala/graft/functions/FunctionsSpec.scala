@@ -126,4 +126,27 @@ class HashFunctionsSpec extends SparkTestBase {
         .select("b.band_id", "b.band").collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(bandsOf(base).intersect(bandsOf(flippedHex)).nonEmpty)
   }
+
+  test("canonicalUrl: www/ports/slash/tracking/param-order all collapse; real ports survive") {
+    import spark.implicits._
+    val cases = Seq(
+      // every spelling of the same resource -> one canonical form
+      "https://www.Shop.example.com:443/item/5/?utm_source=x&b=2&a=1#frag" -> "shop.example.com/item/5?a=1&b=2",
+      "http://shop.example.com:80/item/5?a=1&b=2" -> "shop.example.com/item/5?a=1&b=2",
+      "shop.example.com/item/5?b=2&utm_campaign=z&a=1" -> "shop.example.com/item/5?a=1&b=2",
+      // non-default port survives; all-tracking query drops entirely
+      "https://shop.example.com:8080/x?gclid=123&fbclid=9" -> "shop.example.com:8080/x",
+      // bare query key and ref param
+      "https://a.com/p?ref=t&z=1&" -> "a.com/p?z=1",
+      // no query, root slash
+      "https://www.a.com/" -> "a.com"
+    )
+    cases.foreach { case (in, want) =>
+      val got = Seq(in).toDF("u").select(UrlFunctions.canonicalUrl(col("u"))).collect().head.getString(0)
+      assert(got == want, s"input: $in got: $got")
+    }
+    // null-safe
+    assert(Seq(Option.empty[String]).toDF("u")
+      .select(UrlFunctions.canonicalUrl(col("u"))).collect().head.isNullAt(0))
+  }
 }
