@@ -383,6 +383,115 @@ object Jpeg {
     (w, h, out)
   }
 
+  // ---- EXIF orientation -----------------------------------------------
+
+  /** EXIF orientation (1..8) from the APP1 segment, 1 (normal) when
+    * absent/unparseable. The Exif body is a little TIFF: byte-order
+    * mark, IFD0 walk, SHORT tag 274. Real phone archives carry rotated
+    * sensors as orientation metadata — two byte-identical scenes shot
+    * in different grips only match after honoring it. */
+  def exifOrientation(p: Array[Byte]): Int = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    try {
+      var i = 2
+      while (i + 4 <= p.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2
+        else if (m == 0xda || m == 0xd9) return 1 // entropy data: no APP1 seen
+        else {
+          val len = be16(i + 2)
+          if (m == 0xe1 && len >= 16 &&
+            new String(p, i + 4, 6, "US-ASCII") == "Exif  ") {
+            val t = i + 10 // TIFF header
+            val le = u8(t) == 'I'
+            def u16(j: Int): Int = if (le) u8(j) | (u8(j + 1) << 8) else (u8(j) << 8) | u8(j + 1)
+            def u32(j: Int): Int =
+              if (le) u8(j) | (u8(j + 1) << 8) | (u8(j + 2) << 16) | (u8(j + 3) << 24)
+              else (u8(j) << 24) | (u8(j + 1) << 16) | (u8(j + 2) << 8) | u8(j + 3)
+            val ifd = t + u32(t + 4)
+            val n = u16(ifd)
+            var e = ifd + 2
+            var k = 0
+            while (k < n) {
+              if (u16(e) == 274) {
+                val v = u16(e + 8)
+                return if (v >= 1 && v <= 8) v else 1
+              }
+              e += 12; k += 1
+            }
+            return 1
+          }
+          i += 2 + len
+        }
+      }
+      1
+    } catch { case _: Exception => 1 }
+  }
+
+  /** Apply an EXIF orientation to decoded pixels — the inverse
+    * transform that renders the image upright. */
+  def applyOrientation(w: Int, h: Int, px: Array[Int], orientation: Int): (Int, Int, Array[Int]) = {
+    require(orientation >= 1 && orientation <= 8, s"orientation 1..8, got $orientation")
+    if (orientation == 1) return (w, h, px)
+    val swap = orientation >= 5
+    val (ow, oh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (ox, oy) = orientation match {
+          case 2 => (w - 1 - x, y)          // mirror horizontal
+          case 3 => (w - 1 - x, h - 1 - y)  // rotate 180
+          case 4 => (x, h - 1 - y)          // mirror vertical
+          case 5 => (y, x)                  // transpose
+          case 6 => (h - 1 - y, x)          // rotate 90 CW to display upright
+          case 7 => (h - 1 - y, w - 1 - x)  // transverse
+          case 8 => (y, w - 1 - x)          // rotate 270 CW
+        }
+        out(oy * ow + ox) = px(y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** [[decode]] honoring EXIF orientation — the ingest form for phone
+    * archives. */
+  val decodeOriented: Media.PixelDecoder = p => {
+    val (w, h, px) = decode(p)
+    applyOrientation(w, h, px, exifOrientation(p))
+  }
+
+  /** Minimal APP1 Exif segment carrying just the orientation tag. */
+  private def exifSegment(orientation: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    val tiff = new java.io.ByteArrayOutputStream()
+    // big-endian TIFF: "MM", 42, IFD at 8; one entry; no next IFD
+    tiff.write('M'); tiff.write('M'); tiff.write(0); tiff.write(42)
+    tiff.write(Array[Byte](0, 0, 0, 8), 0, 4)
+    tiff.write(0); tiff.write(1) // entry count
+    tiff.write(Array[Byte](1, 18, 0, 3), 0, 4) // tag 274 = 0x0112, SHORT
+    tiff.write(Array[Byte](0, 0, 0, 1), 0, 4)  // count 1
+    tiff.write(0); tiff.write(orientation); tiff.write(0); tiff.write(0)
+    tiff.write(Array[Byte](0, 0, 0, 0), 0, 4)  // next IFD
+    val body = "Exif  ".getBytes("US-ASCII") ++ tiff.toByteArray
+    out.write(0xff); out.write(0xe1); be16(body.length + 2); out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  /** Splice an EXIF orientation into an encoded JPEG (after SOI) — the
+    * synthesis half of [[decodeOriented]]. */
+  def withExifOrientation(jpeg: Array[Byte], orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"orientation 1..8, got $orientation")
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "not a JPEG payload")
+    jpeg.take(2) ++ exifSegment(orientation) ++ jpeg.drop(2)
+  }
+
   // ---- encoder --------------------------------------------------------
 
   private final class BitWriter(out: java.io.ByteArrayOutputStream) {

@@ -2238,6 +2238,44 @@ object Pipeline {
     """.trim)
   )
 
+  /** EXIF-orientation ingest: the SAME block-constant scenes as
+    * `media_jpeg_pdq`, but STORED rotated/mirrored (orientation
+    * o = 1 + id%8, pixels pre-transformed by o's inverse) with the
+    * orientation in a spliced APP1 Exif segment.
+    * [[Jpeg.decodeOriented]] must render every grip upright, so the
+    * gate SHARES `media_jpeg_pdq`'s oracle verbatim — rotation undo
+    * has to be pixel-exact through the whole codec chain (dims stay
+    * 8-aligned under the dihedral transforms, so block-constant
+    * exactness survives). */
+  val mediaExifPdq: QueryDef = QueryDef(
+    "media_exif_pdq",
+    (s, dir) => {
+      import s.implicits._
+      val inv = Array(0, 1, 2, 3, 4, 5, 8, 7, 6)
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 96)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val id = r.getLong(0)
+          val g = rollingAcc(r.getString(1)) % 7
+          val w = 72 + (id % 3).toInt * 28
+          val h = 64 + (id % 5).toInt * 16
+          val gray = Array.tabulate(w * h) { p =>
+            val tx = (p % w) / 8; val ty = (p / w) / 8
+            ((g * 37 + tx * 13 + ty * 29) % 256).toInt
+          }
+          val o = 1 + (id % 8).toInt
+          val (sw, sh, sg) = Jpeg.applyOrientation(w, h, gray, inv(o))
+          Media.MediaItem(id, "image",
+            Jpeg.withExifOrientation(Jpeg.encodeGray(sw, sh, sg), o))
+        }
+      Media.pdqHashes(items, Jpeg.decodeOriented)
+        .toDF("id", "pdq_hex", "quality")
+        .orderBy("id")
+    },
+    mediaJpegPdq.oracle
+  )
+
   /** C4 line-level cleaning over documents wrapped in PLANTED lines
     * (boilerplate markers, a no-terminal-punct remainder, a sub-floor
     * line, two conditional keepers) — so kept/dropped and the per-doc
@@ -2811,7 +2849,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaJpegPdq, mediaTiffPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }

@@ -350,8 +350,53 @@ object Relational {
     }
   )
 
+  /** Ordered funnel (view → click → purchase) per user with
+    * earliest-completion semantics: step k's timestamp is the MIN
+    * event time of its type strictly after step k−1. ONE exchange on
+    * user_id: the three dependent mins are stacked unbounded windows
+    * over the same partitioning (no order → no sort), and the closing
+    * per-user aggregate reuses the hash distribution — a funnel over
+    * a trillion events shuffles each slim row once. */
+  val qFunnel: QueryDef = QueryDef(
+    "q_funnel",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+      tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("sec"))
+        .withColumn("s1", min(when(col("event_type") === "view", col("sec"))).over(w))
+        .withColumn("s2", min(when(col("event_type") === "click" && col("sec") > col("s1"),
+          col("sec"))).over(w))
+        .withColumn("s3", min(when(col("event_type") === "purchase" && col("sec") > col("s2"),
+          col("sec"))).over(w))
+        .groupBy("user_id")
+        .agg(max("s1").as("t_view"), max("s2").as("t_click"), max("s3").as("t_purchase"))
+        .withColumn("n_steps",
+          when(col("t_purchase").isNotNull, 3L).when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L).otherwise(0L))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec FROM events
+      ), w1 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
+                    OVER (PARTITION BY user_id) AS s1 FROM e
+      ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND sec > s1 THEN sec END)
+                    OVER (PARTITION BY user_id) AS s2 FROM w1
+      ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND sec > s2 THEN sec END)
+                    OVER (PARTITION BY user_id) AS s3 FROM w2
+      )
+      SELECT user_id, max(s1) AS t_view, max(s2) AS t_click, max(s3) AS t_purchase,
+        CAST(CASE WHEN max(s3) IS NOT NULL THEN 3 WHEN max(s2) IS NOT NULL THEN 2
+                  WHEN max(s1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_steps
+      FROM w3 GROUP BY user_id ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
-    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf, qHammingExpr, qPivot
+    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf, qHammingExpr, qPivot, qFunnel
   )
 }

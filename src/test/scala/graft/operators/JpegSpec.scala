@@ -64,6 +64,35 @@ class JpegSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(maxDiff(px, want) <= 64) // heavy quantization, still in the room
   }
 
+  test("EXIF orientation: parsed from APP1, applied by decodeOriented, default 1") {
+    val w = 48; val h = 16
+    val gray = Array.tabulate(w * h) { p =>
+      val tx = (p % w) / 8; val ty = (p / w) / 8
+      (tx * 29 + ty * 67 + 5) % 256
+    }
+    val plain = Jpeg.encodeGray(w, h, gray)
+    assert(Jpeg.exifOrientation(plain) == 1)
+    val base = Jpeg.decode(plain)
+    for (o <- 1 to 8) {
+      val tagged = Jpeg.withExifOrientation(plain, o)
+      assert(Jpeg.exifOrientation(tagged) == o)
+      // tagging must not disturb plain decode; oriented decode applies the transform
+      assert(Jpeg.decode(tagged)._3.toSeq == base._3.toSeq)
+      val want = Jpeg.applyOrientation(base._1, base._2, base._3, o)
+      val got = Jpeg.decodeOriented(tagged)
+      assert(got._1 == want._1 && got._2 == want._2 && got._3.toSeq == want._3.toSeq, s"o=$o")
+    }
+    // orientation 6 (rotate 90 CW upright): row [A, B] becomes column [A; B]
+    val (ow, oh, opx) = Jpeg.applyOrientation(2, 1, Array(0xaa, 0xbb), 6)
+    assert((ow, oh) == (1, 2) && opx.toSeq == Seq(0xaa, 0xbb))
+    // dihedral group closes: applying twice for involutions returns the original
+    for (o <- Seq(2, 3, 4, 5, 7)) {
+      val once = Jpeg.applyOrientation(base._1, base._2, base._3, o)
+      val twice = Jpeg.applyOrientation(once._1, once._2, once._3, o)
+      assert(twice._3.toSeq == base._3.toSeq, s"o=$o not an involution")
+    }
+  }
+
   test("corrupt payloads fail loudly") {
     intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](1, 2, 3, 4)))
     val good = Jpeg.encodeGray(16, 16, Array.fill(256)(128))

@@ -289,6 +289,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"entity_match planned a BNLJ:\n$p")
   }
 
+  test("q_funnel: one data exchange — stacked windows + same-key agg reuse the partitioning") {
+    val p = plan("q_funnel")
+    // exactly two exchanges: the user_id hash partitioning and the
+    // output-order range exchange; a third would mean the dependent
+    // windows or the closing aggregate re-shuffled
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 2, s"expected <= 2 exchanges, got $n:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"), s"funnel must not join:\n$p")
+  }
+
   test("zorder_layout: the box query prunes z-prefix partition dirs") {
     val p = plan("zorder_layout")
     assert(p.contains("PartitionFilters") && p.contains("zp"),
