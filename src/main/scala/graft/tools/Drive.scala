@@ -329,6 +329,29 @@ object Drive {
       Media.pdqHashes(items, Jpeg.decode, keepUndecodable = true)
         .toDF("id", "pdq_hex", "quality").orderBy("id").show(false)
     }
+    println("=== tiff + exif: archive formats -> one hash; persisted bloom benchmark ===")
+    locally {
+      import org.apache.spark.sql.functions.col
+      val w = 72; val h = 64
+      val gray = Array.tabulate(w * h)(p => (((p % w) / 8) * 31 + ((p / w) / 8) * 7) % 256)
+      val grayRgb = gray.map(v => (v << 16) | (v << 8) | v)
+      val (sw, sh, sg) = Jpeg.applyOrientation(w, h, gray, 8) // stored rotated, tagged 6
+      val items = spark.createDataset(Seq(
+        Media.MediaItem(1L, "image", Media.encodeTiffRgb(w, h, grayRgb)),
+        Media.MediaItem(2L, "image", Jpeg.withExifOrientation(Jpeg.encodeGray(sw, sh, sg), 6))
+      ))(org.apache.spark.sql.Encoders.product[Media.MediaItem])
+      val hx = Media.pdqHashes(items, p =>
+        if ((p(0) & 0xff) == 0xff) Jpeg.decodeOriented(p) else Media.autoPixelDecoder(p))
+        .collect().sortBy(_.id)
+      println(s"tiff-vs-rotated-jpeg hashes equal = ${hx(0).pdq_hex == hx(1).pdq_hex}")
+      val dir = java.nio.file.Files.createTempDirectory("drive-bloomidx").toString
+      val docs = (1L to 40L).map(i => (i, s"words number ${i % 7} repeat pattern alpha beta gamma delta")).toDF("id", "text")
+      Decontaminate.writeBloomIndex(docs.filter(col("id") % 5 === 0L), "id", "text", 3, 0.01, s"$dir/idx")
+      Decontaminate.scanBloomIndex(docs, Decontaminate.readBloomIndex(spark, s"$dir/idx"), "id", "text", 3)
+        .groupBy("contaminated").count().orderBy("contaminated").show()
+      Seq("https://www.Shop.example.com:443/item/5/?utm_source=x&b=2&a=1#f").toDF("u")
+        .select(graft.functions.UrlFunctions.canonicalUrl(col("u"))).show(false)
+    }
     println("=== record linkage: multi-pass blocking -> field-agreement scoring ===")
     locally {
       import org.apache.spark.sql.functions.{col, substring, when, abs}
