@@ -96,6 +96,47 @@ object Layout {
       .write.mode(mode).partitionBy("zp").parquet(path)
   }
 
+  /** Bucketed-table lifecycle — the OTHER storage-layout lever: hash
+    * bucketing a join/aggregation key at WRITE time so every later
+    * equi-join or aggregate on that key runs with NO shuffle at all.
+    * At 100 TB the fact-table shuffle IS the job cost; a corpus that is
+    * joined on the same key daily (orders↔customer, doc↔dedup-cluster)
+    * pays one bucketed write and then never exchanges again — the same
+    * contract as Hive/Iceberg bucketing, expressed through Spark's
+    * native datasource bucketing (catalog-registered, `bucketBy`).
+    *
+    * Two details make the scan plan-clean:
+    *  - the frame is pre-`repartition`ed on the bucket column with
+    *    exactly `numBuckets` partitions: Spark's task hash partitioning
+    *    and its bucket-id function are the same Murmur3 `pmod`, so each
+    *    task holds exactly one bucket → ONE FILE PER BUCKET;
+    *  - with one file per bucket, enabling
+    *    `spark.sql.legacy.bucketedTableScan.outputOrdering` lets the
+    *    scan report the `sortBy` order, so a sort-merge join needs no
+    *    Sort either: scan → SMJ directly, zero exchanges
+    *    (PlanShapeSpec pins this).
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      numBuckets: Int, bucketCol: String): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    df.repartition(numBuckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .option("path", path)
+      .saveAsTable(tableName)
+  }
+
+  /** Read a [[writeBucketed]] table with the scan-side confs that let
+    * the bucketed layout carry through to the plan (bucketing on, the
+    * one-file-per-bucket ordering contract surfaced). */
+  def readBucketed(spark: SparkSession, tableName: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    spark.table(tableName)
+  }
+
   /** Box query over a z-ordered layout: prunes partition dirs to
     * zp ∈ [z(xlo,ylo) >> shift, z(xhi,yhi) >> shift] — valid because z
     * is monotone per coordinate — then applies the exact dimension

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Layout, RangeJoin}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -395,8 +395,140 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Interval containment through [[RangeJoin.pointInInterval]]: every
+    * click inside the 24 h window opened by an error of the SAME user.
+    * The bucketed rewrite turns the BNLJ-shaped `BETWEEN` predicate
+    * into a hash equi-join on (user_id, bucket) — fan-out per interval
+    * is exactly 2 buckets at W = window length — so AQE skew handling
+    * applies and the candidate volume is |clicks| + 2·|errors|, not
+    * |clicks|×|errors| per user (PlanShapeSpec pins no BNLJ /
+    * cartesian in the plan). */
+  val qRangeJoin: QueryDef = QueryDef(
+    "q_range_join",
+    (s, dir) => {
+      val e = tbl(s, dir, "events").withColumn("sec", expr("ts div 1000000000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "sec")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("sec").as("lo"), (col("sec") + 86400L).as("hi"))
+      RangeJoin.pointInInterval(clicks, errors, Seq("user_id"),
+          pointCol = "sec", loCol = "lo", hiCol = "hi", bucketWidth = 86400L)
+        .select("event_id", "err_id")
+        .orderBy("event_id", "err_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec, event_type FROM events
+      ),
+      c AS (SELECT user_id, event_id, sec FROM e WHERE event_type = 'click'),
+      x AS (SELECT user_id, event_id AS err_id, sec AS lo, sec + 86400 AS hi
+            FROM e WHERE event_type = 'error')
+      SELECT c.event_id, x.err_id
+      FROM c JOIN x ON c.user_id = x.user_id AND c.sec BETWEEN x.lo AND x.hi
+      ORDER BY event_id, err_id
+    """.stripMargin.trim)
+  )
+
+  /** Daily cohort retention over purchase events: cohort = a user's
+    * first active day, output = users active per (cohort, day offset).
+    * Two exchanges total on a trillion events: distinct (user, day)
+    * pairs, then the unbounded min-over-user window (no ORDER BY → no
+    * sort) feeding the closing aggregate. */
+  val qRetention: QueryDef = QueryDef(
+    "q_retention",
+    (s, dir) => {
+      val uw = tbl(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id")
+      uw.withColumn("cohort_day", min("day").over(w))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id, (epoch_ns(ts) // 1000000000) // 86400 AS day
+        FROM events WHERE event_type = 'purchase'
+      ),
+      c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM uw)
+      SELECT cohort_day, day - cohort_day AS day_offset, count(DISTINCT user_id) AS n_users
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """.stripMargin.trim)
+  )
+
+  /** RANGE-frame sliding window: per-customer trailing-90-day revenue
+    * at each order. The frame is defined by the day VALUE (not row
+    * count), so same-day ties contribute symmetrically and the result
+    * is deterministic; the sum runs in exact decimal. One exchange
+    * (the window partitioning). */
+  val qMovingSum: QueryDef = QueryDef(
+    "q_moving_sum90",
+    (s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"),
+          col("o_totalprice"))
+      val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-89, 0)
+      o.withColumn("sum90", sum(dec("o_totalprice")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "day", "sum90")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, day,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+          PARTITION BY o_custkey ORDER BY day
+          RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum90
+      FROM (SELECT o_custkey, o_orderkey,
+              date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+              o_totalprice
+            FROM orders)
+      ORDER BY o_orderkey
+    """.stripMargin.trim)
+  )
+
+  private val bucketRun = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The shuffle-free join a bucketed layout buys: orders and customer
+    * both [[Layout.writeBucketed]] on the customer key (one file per
+    * bucket), read back and sort-merge-joined with ZERO exchanges and
+    * zero sorts below the join — the per-customer aggregate then reuses
+    * the join's partitioning, so the only exchange in the whole plan is
+    * the final presentation ORDER BY (PlanShapeSpec pins exactly that).
+    * This is the write-once/join-forever contract that removes the
+    * fact-table shuffle from every downstream job at 100 TB. */
+  val qBucketedJoin: QueryDef = QueryDef(
+    "q_bucketed_join",
+    (s, dir) => {
+      val n = bucketRun.incrementAndGet()
+      val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      Layout.writeBucketed(
+        tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        s"graft_bkt_orders_$n", s"$base/orders", numBuckets = 8, bucketCol = "o_custkey")
+      Layout.writeBucketed(
+        tbl(s, dir, "customer").select("c_custkey", "c_name"),
+        s"graft_bkt_customer_$n", s"$base/customer", numBuckets = 8, bucketCol = "c_custkey")
+      val o = Layout.readBucketed(s, s"graft_bkt_orders_$n")
+      val c = Layout.readBucketed(s, s"graft_bkt_customer_$n")
+      o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(max("c_name").as("c_name"), count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, max(c_name) AS c_name, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey ORDER BY c_custkey
+    """.stripMargin.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
-    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf, qHammingExpr, qPivot, qFunnel
+    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf, qHammingExpr, qPivot, qFunnel,
+    qRangeJoin, qRetention, qMovingSum, qBucketedJoin
   )
 }

@@ -480,6 +480,33 @@ object Drive {
         seen.sorted.foreach(m => println("caught: " + m))
       } finally Warnings.onWarning(_ => ())
     }
+    println("=== range join: point-in-interval via bucketed equi-join ===")
+    locally {
+      import spark.implicits._
+      val facts = Seq((1L, 10L, "f1"), (1L, 95L, "f2"), (2L, 50L, "f3"))
+        .toDF("k", "p", "fid")
+      val ivals = Seq((1L, 0L, 20L, "w1"), (1L, 90L, 120L, "w2"), (2L, 200L, 300L, "w3"))
+        .toDF("k", "lo", "hi", "wid")
+      RangeJoin.pointInInterval(facts, ivals, Seq("k"), "p", "lo", "hi", bucketWidth = 16L)
+        .orderBy("fid").show(false)
+      println("=== probe: reserved scratch column rejected ===")
+      try RangeJoin.pointInInterval(facts.withColumnRenamed("fid", "__rj_b"), ivals,
+        Seq("k"), "p", "lo", "hi", 16L)
+      catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
+    }
+    println("=== bucketed layout: write once, join with zero exchanges ===")
+    locally {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("drive-bkt").toString
+      val facts = (0 until 200).map(i => (i.toLong % 23, i.toLong)).toDF("k", "v")
+      val dim = (0 until 23).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+      Layout.writeBucketed(facts, "drive_bkt_facts", s"$base/f", 4, "k")
+      Layout.writeBucketed(dim, "drive_bkt_dim", s"$base/d", 4, "k")
+      val j = Layout.readBucketed(spark, "drive_bkt_facts").hint("merge")
+        .join(Layout.readBucketed(spark, "drive_bkt_dim"), Seq("k"))
+      println(s"joined rows=${j.count()}; exchanges in plan=" +
+        "Exchange hashpartitioning".r.findAllIn(j.queryExecution.executedPlan.toString).length)
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

@@ -38,6 +38,32 @@ class LayoutSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters") && p.contains("zp"), s"no partition pruning:\n$p")
   }
 
+  test("writeBucketed: one file per bucket; readBucketed round-trips the rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_spec").toString
+    val df = (0 until 500).map(i => (i.toLong % 97, s"n$i")).toDF("k", "name")
+    Layout.writeBucketed(df, "graft_spec_bkt_rt", s"$dir/t", numBuckets = 4, bucketCol = "k")
+    val back = Layout.readBucketed(spark, "graft_spec_bkt_rt")
+    assert(rows(back) == rows(df))
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.length == 4, s"expected 4 bucket files, got: ${files.map(_.getName).mkString(", ")}")
+  }
+
+  test("bucketed join: SMJ with no hash exchange and no input sorts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_spec_join").toString
+    val a = (0 until 400).map(i => (i.toLong % 50, i.toLong)).toDF("k", "va")
+    val b = (0 until 120).map(i => (i.toLong % 50, s"b$i")).toDF("k", "vb")
+    Layout.writeBucketed(a, "graft_spec_bkt_a", s"$dir/a", numBuckets = 4, bucketCol = "k")
+    Layout.writeBucketed(b, "graft_spec_bkt_b", s"$dir/b", numBuckets = 4, bucketCol = "k")
+    val joined = Layout.readBucketed(spark, "graft_spec_bkt_a").hint("merge")
+      .join(Layout.readBucketed(spark, "graft_spec_bkt_b"), Seq("k"))
+    assert(rows(joined) == rows(a.join(b, Seq("k"))))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"bucketed join re-shuffled:\n$p")
+    assert(!p.contains("Sort ["), s"bucketed sorted scan still planned a Sort:\n$p")
+  }
+
   test("zorderWrite rejects out-of-domain coordinates loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout_spec2").toString
     val bad = Seq((1L, 64L, 0L)).toDF("id", "xb", "yb") // 64 >= 2^6

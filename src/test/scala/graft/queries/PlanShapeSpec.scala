@@ -299,6 +299,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("Join"), s"funnel must not join:\n$p")
   }
 
+  test("q_range_join: bucketed rewrite is a hash equi-join — no BNLJ, no product") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct"), s"range join planned a product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join planned a BNLJ:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash equi-join found:\n$p")
+  }
+
+  test("q_bucketed_join: zero hash exchanges — bucketing carries the join and the aggregate") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected an SMJ over the bucketed scans:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join/aggregate must not re-shuffle:\n$p")
+    // one file per bucket + reported output ordering: the only Sort is
+    // the presentation ORDER BY (above its range exchange)
+    val sorts = "Sort \\[".r.findAllIn(p).length
+    assert(sorts <= 1, s"expected <= 1 sort (presentation only), got $sorts:\n$p")
+  }
+
   test("zorder_layout: the box query prunes z-prefix partition dirs") {
     val p = plan("zorder_layout")
     assert(p.contains("PartitionFilters") && p.contains("zp"),
