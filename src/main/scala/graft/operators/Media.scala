@@ -848,6 +848,44 @@ object Media {
     }
   }
 
+  /** Temporal alignment of two per-frame hash sequences: for each id,
+    * the frame offset `o ∈ [0, maxShift]` minimizing the mean Hamming
+    * distance between `a`'s frame `f+o` and `b`'s frame `f` over the
+    * overlapping frames — "is clip B a delayed copy of clip A, and by
+    * how much" (re-encoded uploads, stream segments, broadcast delays).
+    *
+    * Scale shape: the offset dimension explodes on the PROBE side only
+    * (maxShift+1 rows per b-frame — bounded, tiny), candidates come
+    * from ONE hash equi-join on (id, aligned frame), and both closing
+    * steps are combinable aggregates sharing the id hash partitioning
+    * — the argmin is a `min(struct(avg, o))`, never a window sort. A
+    * billion-clip archive aligns with one shuffle of slim (id, frame,
+    * 4-word hash) rows.
+    *
+    * Inputs carry (id, frame_no, pdq_hex); ties on the mean prefer the
+    * smaller offset. Output: (id, best_offset, avg_dist, n_frames).
+    */
+  def alignFrameOffset(a: DataFrame, b: DataFrame, maxShift: Int): DataFrame = {
+    require(maxShift >= 0, s"maxShift must be >= 0, got $maxShift")
+    import graft.functions.HashFunctions.{canonicalHex64, hexToWords}
+    val aw = a.select(col("id"), col("frame_no").as("af"),
+      hexToWords(canonicalHex64(col("pdq_hex"))).as("ah"))
+    val bw = b.select(col("id"), col("frame_no").as("bf"),
+      hexToWords(canonicalHex64(col("pdq_hex"))).as("bh"))
+      .withColumn("o", explode(sequence(lit(0), lit(maxShift))))
+      .withColumn("af", col("bf") + col("o"))
+    aw.join(bw, Seq("id", "af"))
+      .select(col("id"), col("o"),
+        graft.functions.HashFunctions.hammingWords(col("ah"), col("bh")).as("d"))
+      .groupBy("id", "o")
+      .agg(sum("d").as("sum_d"), count(lit(1)).as("n_frames"))
+      .withColumn("avg_dist", col("sum_d").cast("double") / col("n_frames"))
+      .groupBy("id")
+      .agg(min(struct(col("avg_dist"), col("o"), col("n_frames"))).as("m"))
+      .select(col("id"), col("m.o").as("best_offset"),
+        col("m.avg_dist").as("avg_dist"), col("m.n_frames").as("n_frames"))
+  }
+
   /** PDQ hashes computed FROM PIXELS: payload → [[PixelDecoder]] →
     * [[PdqHash.hashImage]] (luma → 64×64 box downsample → 16×16 DCT →
     * median threshold), partition-batched like the other media kernels.

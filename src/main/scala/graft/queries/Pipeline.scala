@@ -2162,6 +2162,94 @@ object Pipeline {
     """.trim)
   )
 
+  /** Temporal-offset recovery between two clips of the same scene:
+    * clip A = frames 0..4 of a per-doc animation, clip B = frames
+    * k..k+4 (k = doc_id mod 4) re-encoded with a +3 brightness shift —
+    * a delayed, slightly re-graded copy. Both ride REAL GIF containers
+    * through [[Media.gifFrames]] + the fixed-point PDQ kernel;
+    * [[Media.alignFrameOffset]] recovers k as the argmin of mean
+    * Hamming distance over candidate shifts (one equi-join, combinable
+    * argmin — no window). The oracle synthesizes A's five frames and
+    * B's five shifted+brightened frames through the shared SQL hash
+    * chain and replays the shift-and-score. */
+  val mediaOffsetAlign: QueryDef = QueryDef(
+    "media_offset_align",
+    (s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 24)
+        .select(col("doc_id"), col("text"))
+      def clip(side: Int) = docs.map { r =>
+        val did = r.getLong(0)
+        val g = rollingAcc(r.getString(1)) % 7
+        val w = 72 + (did % 3).toInt * 28
+        val h = 64 + (did % 5).toInt * 16
+        val k = if (side == 0) 0L else did % 4
+        val delta = if (side == 0) 0 else 3
+        val frames = (0 until 5).map { f =>
+          val fo = k + f
+          Array.tabulate(w * h) { p =>
+            val x = p % w; val y = p / w
+            val bump = if (x / 16 == ((did + fo) % 4).toInt && y / 16 == ((did + fo) % 6).toInt) 40 else 0
+            val v = ((g * 29 + x * 2 + y * 3 + fo * 11 + delta + bump) % 256).toInt
+            (v << 16) | (v << 8) | v
+          }
+        }
+        Media.MediaItem(did, "gif", Media.encodeGifGray(w, h, frames))
+      }
+      val ah = Media.pdqFrames(clip(0), Media.gifFrames).toDF("id", "frame_no", "pdq_hex", "quality")
+      val bh = Media.pdqFrames(clip(1), Media.gifFrames).toDF("id", "frame_no", "pdq_hex", "quality")
+      Media.alignFrameOffset(ah, bh, maxShift = 3).orderBy("id")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS did,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 7 AS g
+        FROM documents WHERE doc_id < 24),
+      dims AS (SELECT did, g, 72 + (did % 3) * 28 AS w, 64 + (did % 5) * 16 AS h, did % 4 AS k FROM src),
+      sl AS (SELECT unnest(generate_series(0, 4)) AS f),
+      sides AS (SELECT 0 AS sb UNION ALL SELECT 1),
+      fr2 AS (
+        SELECT d.*, sl.f, sides.sb,
+          CASE WHEN sides.sb = 0 THEN sl.f ELSE d.k + sl.f END AS fo,
+          CASE WHEN sides.sb = 0 THEN 0 ELSE 3 END AS delta
+        FROM dims d CROSS JOIN sl CROSS JOIN sides),
+      axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+      pix AS (
+        SELECT d.did * 16 + d.sb * 8 + d.f AS id, x.v AS x, y.v AS y, d.w, d.h,
+          (d.g * 29 + x.v * 2 + y.v * 3 + d.fo * 11 + d.delta +
+           CASE WHEN x.v // 16 = (d.did + d.fo) % 4 AND y.v // 16 = (d.did + d.fo) % 6 THEN 40 ELSE 0 END) % 256 AS l
+        FROM fr2 d JOIN axis x ON x.v < d.w JOIN axis y ON y.v < d.h),
+      $pdqChainCtes,
+      frames AS (SELECT id // 16 AS did, (id % 16) // 8 AS sb, id % 8 AS f, id FROM hexs),
+      offs AS (SELECT unnest(generate_series(0, 3)) AS o),
+      cand AS (
+        SELECT b.did, offs.o, b.f AS bf, b.id AS idb, a.id AS ida
+        FROM frames b CROSS JOIN offs
+        JOIN frames a ON a.did = b.did AND a.sb = 0 AND a.f = b.f + offs.o
+        WHERE b.sb = 1 AND b.f + offs.o <= 4),
+      dist AS (
+        SELECT c.did, c.o, c.bf, SUM(CASE WHEN pa.bit <> pb.bit THEN 1 ELSE 0 END) AS d
+        FROM cand c
+        JOIN pbits pa ON pa.id = c.ida
+        JOIN pbits pb ON pb.id = c.idb AND pb.p = pa.p
+        GROUP BY c.did, c.o, c.bf),
+      agg AS (
+        SELECT did, o, SUM(d) AS sum_d, COUNT(*) AS n_frames,
+          CAST(SUM(d) AS DOUBLE) / COUNT(*) AS avg_dist
+        FROM dist GROUP BY 1, 2),
+      best AS (
+        SELECT did, o, avg_dist, n_frames,
+          row_number() OVER (PARTITION BY did ORDER BY avg_dist, o) AS rn
+        FROM agg)
+      SELECT did AS id, CAST(o AS INT) AS best_offset, avg_dist, n_frames
+      FROM best WHERE rn = 1 ORDER BY id
+    """.trim)
+  )
+
   /** The TIFF form of the PDQ pipeline: the SAME synthesized RGB
     * scenes as `media_pdq_compute`, carried through the TIFF container
     * ([[Media.encodeTiffRgb]] → [[Media.tiffPixelDecoder]]) instead of
@@ -2849,7 +2937,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }

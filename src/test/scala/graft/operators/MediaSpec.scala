@@ -155,4 +155,28 @@ class MediaSpec extends SparkTestBase {
     assert(got.take(4).map(_.pdq_hex).distinct.length == 1, got.mkString("\n"))
     assert(got(4).pdq_hex == null && got(4).quality == -1L)
   }
+
+  test("alignFrameOffset: argmin over shifts, tie prefers smaller offset, overlap shrinks") {
+    // 64-hex frame "hashes" with controlled pairwise distances: frame
+    // value v -> hex of v repeated; distance between frames = popcount
+    // difference per nibble × 64
+    def hx(v: Int): String = java.lang.Long.toHexString(v.toLong & 0xf).head.toString * 64
+    // clip A = frames [1,2,4,8,1]; clip B = A delayed by 1: [2,4,8,1]
+    val a = Seq((7L, 0, hx(1)), (7L, 1, hx(2)), (7L, 2, hx(4)), (7L, 3, hx(8)), (7L, 4, hx(1)))
+      .toDF("id", "frame_no", "pdq_hex")
+    val b = Seq((7L, 0, hx(2)), (7L, 1, hx(4)), (7L, 2, hx(8)), (7L, 3, hx(1)))
+      .toDF("id", "frame_no", "pdq_hex")
+    val r = Media.alignFrameOffset(a, b, maxShift = 2).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 7L && row.getInt(1) == 1 && row.getDouble(2) == 0.0,
+      row.toString)
+    // exact-copy tie at every offset -> smallest offset wins
+    val cst = Seq((9L, 0, hx(5)), (9L, 1, hx(5)), (9L, 2, hx(5))).toDF("id", "frame_no", "pdq_hex")
+    val t = Media.alignFrameOffset(cst, cst, maxShift = 2).collect().head
+    assert(t.getInt(1) == 0 && t.getDouble(2) == 0.0, t.toString)
+    // overlap count shrinks with the offset actually used
+    assert(row.getLong(3) == 4L, row.toString)
+    intercept[IllegalArgumentException](Media.alignFrameOffset(a, b, maxShift = -1))
+  }
 }
