@@ -81,6 +81,66 @@ object RangeJoin {
     * @return one row per qualifying (fact, interval) pair: facts.* then
     *         intervals.* minus the join keys (fact side wins the name)
     */
+  /** Interval × interval overlap join: pairs on equal keys whose
+    * `[lo, hi]` ranges intersect (`loL <= hiR && loR <= hiL`) —
+    * "maintenance windows that overlapped an incident", "two users'
+    * sessions that coincided".
+    *
+    * Same bucketed rewrite as [[pointInInterval]], with both sides
+    * exploding into their covered buckets. A pair can share MANY
+    * buckets, so the exactly-once guarantee needs a claim rule instead
+    * of a dedupe: a qualifying pair is emitted only in the bucket
+    * containing `greatest(loL, loR)`. That bucket is covered by both
+    * intervals whenever they overlap (each interval covers its own
+    * `lo`..`hi` bucket range, and max(lo) ≤ min(hi) ≤ both his), and
+    * it is unique — so every overlapping pair joins exactly once, no
+    * post-join `distinct` shuffle. Candidate volume is Σ spans each
+    * side through one hash equi-join on (keys, bucket); AQE skew
+    * splitting applies as in the point form.
+    *
+    * Output: left.* then right.* minus the join keys. Both sides'
+    * non-key column names must be disjoint. */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      loL: String, hiL: String,
+      loR: String, hiR: String,
+      bucketWidth: Long,
+      maxFanOut: Long = 1 << 20
+  ): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val overlapCols = left.columns.toSet intersect right.columns.toSet diff keys.toSet
+    require(overlapCols.isEmpty,
+      s"non-key columns present on both sides would collide: ${overlapCols.mkString(", ")}")
+    require(!left.columns.contains("__rj_b") && !right.columns.contains("__rj_b"),
+      "__rj_b is reserved by RangeJoin; rename that column on the input")
+
+    def exploded(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val loB = bucketStart(col(lo), bucketWidth)
+      val hiB = bucketStart(col(hi), bucketWidth)
+      val guardedHi =
+        if (maxFanOut <= 0) hiB
+        else {
+          val fanOut = (hiB - loB) / bucketWidth + 1
+          when(fanOut > maxFanOut,
+            raise_error(concat(
+              lit(s"RangeJoin: interval spans "), fanOut.cast("string"),
+              lit(s" buckets at bucketWidth=$bucketWidth (maxFanOut=$maxFanOut); " +
+                "raise bucketWidth or cap interval length"))))
+            .otherwise(hiB)
+        }
+      df.filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+        .withColumn("__rj_b", explode(sequence(loB, guardedHi, lit(bucketWidth))))
+    }
+
+    exploded(left, loL, hiL)
+      .join(exploded(right, loR, hiR), keys :+ "__rj_b")
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+        col("__rj_b") === bucketStart(greatest(col(loL), col(loR)), bucketWidth))
+      .drop("__rj_b")
+  }
+
   def pointInInterval(
       facts: DataFrame,
       intervals: DataFrame,

@@ -430,6 +430,40 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Interval × interval overlap through [[RangeJoin.intervalOverlap]]:
+    * 4-hour error windows meeting 4-hour purchase windows of the same
+    * user. Both sides explode into their covered buckets and each
+    * overlapping pair is claimed exactly once — in the bucket holding
+    * `greatest(lo_a, lo_b)` — so no post-join distinct shuffle. */
+  val qIntervalOverlap: QueryDef = QueryDef(
+    "q_interval_overlap",
+    (s, dir) => {
+      val e = tbl(s, dir, "events").withColumn("sec", expr("ts div 1000000000"))
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("sec").as("lo_a"), (col("sec") + 14400L).as("hi_a"))
+      val purs = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pur_id"),
+          col("sec").as("lo_b"), (col("sec") + 14400L).as("hi_b"))
+      RangeJoin.intervalOverlap(errs, purs, Seq("user_id"),
+          loL = "lo_a", hiL = "hi_a", loR = "lo_b", hiR = "hi_b", bucketWidth = 14400L)
+        .select("err_id", "pur_id")
+        .orderBy("err_id", "pur_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec, event_type FROM events
+      ),
+      a AS (SELECT user_id, event_id AS err_id, sec AS lo_a, sec + 14400 AS hi_a
+            FROM e WHERE event_type = 'error'),
+      b AS (SELECT user_id, event_id AS pur_id, sec AS lo_b, sec + 14400 AS hi_b
+            FROM e WHERE event_type = 'purchase')
+      SELECT err_id, pur_id
+      FROM a JOIN b ON a.user_id = b.user_id AND lo_a <= hi_b AND lo_b <= hi_a
+      ORDER BY err_id, pur_id
+    """.stripMargin.trim)
+  )
+
   /** Daily cohort retention over purchase events: cohort = a user's
     * first active day, output = users active per (cohort, day offset).
     * Two exchanges total on a trillion events: distinct (user, day)
@@ -529,6 +563,6 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf, qHammingExpr, qPivot, qFunnel,
-    qRangeJoin, qRetention, qMovingSum, qBucketedJoin
+    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin
   )
 }

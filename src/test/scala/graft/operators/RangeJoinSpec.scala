@@ -82,6 +82,48 @@ class RangeJoinSpec extends SparkTestBase {
     assert(ok > 0)
   }
 
+  // interval×interval: spans crossing zero, nested, touching at one
+  // point, disjoint, empty (lo > hi), and a key with no partner
+  private def leftIv: DataFrame = Seq(
+    (1L, -25L, 5L, 300L), (1L, 0L, 40L, 301L), (1L, 50L, 60L, 302L),
+    (2L, 0L, 10L, 303L), (2L, 30L, 20L, 304L), (7L, 0L, 9L, 305L)
+  ).toDF("uid", "lo_a", "hi_a", "aid")
+
+  private def rightIv: DataFrame = Seq(
+    (1L, 5L, 5L, 400L), (1L, -100L, 100L, 401L), (1L, 41L, 49L, 402L),
+    (2L, 10L, 15L, 403L), (2L, -5L, -1L, 404L), (8L, 0L, 9L, 405L)
+  ).toDF("uid", "lo_b", "hi_b", "bid")
+
+  test("intervalOverlap matches the theta-join exactly, once per pair") {
+    val naiveIv = leftIv.as("a").join(rightIv.as("b"),
+        $"a.uid" === $"b.uid" && $"a.lo_a" <= $"b.hi_b" && $"b.lo_b" <= $"a.hi_a")
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 3L, 10L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(leftIv, rightIv, Seq("uid"),
+        "lo_a", "hi_a", "lo_b", "hi_b", w)
+        .select($"aid", $"bid").as[(Long, Long)].collect().toSeq
+      assert(got.distinct.size == got.size, s"w=$w produced duplicate pairs: $got")
+      assert(got.toSet == naiveIv, s"w=$w mismatch: got ${got.toSet} want $naiveIv")
+    }
+  }
+
+  test("intervalOverlap plans a hash equi-join and rejects collisions/reserved columns") {
+    val p = RangeJoin.intervalOverlap(leftIv, rightIv, Seq("uid"),
+      "lo_a", "hi_a", "lo_b", "hi_b", 10L).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash equi-join:\n$p")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(leftIv, rightIv.withColumnRenamed("bid", "aid"),
+        Seq("uid"), "lo_a", "hi_a", "lo_b", "hi_b", 10L)
+    }
+    assert(e.getMessage.contains("aid"))
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(leftIv.withColumn("__rj_b", lit(1L)), rightIv,
+        Seq("uid"), "lo_a", "hi_a", "lo_b", "hi_b", 10L)
+    }
+  }
+
   test("bucketStartSql twin ≡ bucketStart on negative and boundary values") {
     // the SQL twin uses only %, +, - with dividend-sign semantics —
     // identical in Spark SQL and DuckDB, so executing it through
