@@ -305,4 +305,66 @@ object Splits {
     }
     s"(CASE WHEN $id IS NOT NULL THEN $assign END)"
   }
+
+  /** Systematic probability-proportional-to-size sample: walk rows in
+    * `idCol` order accumulating `weightCol`; keep every row whose
+    * cumulative weight crosses a multiple of `step`. Selection
+    * probability ≈ w/step, rows with w >= step are ALWAYS kept, and
+    * the kept set totals ≈ Σw/step rows — the token-budget sampler
+    * ("~1B tokens, drawn proportional to document size") with exact
+    * integer arithmetic end to end: RNG-free, replayable, and stable
+    * under re-runs.
+    *
+    * Scale shape: the global prefix sum decomposes two-level. A local
+    * cumsum runs inside each id-range bucket (`id` floored to
+    * `idBucketWidth`), bucket TOTALS — at most idDomain/idBucketWidth
+    * rows — are prefix-summed in one bounded single-partition window
+    * and broadcast back as offsets. No global sort and no
+    * single-partition pass ever touches row-level data, so the result
+    * is bucket-width-independent (spec-pinned) and the only tuning is
+    * keeping buckets ≫ cores for parallelism.
+    *
+    * Contract: ids unique and non-null (null ids have no position in
+    * the walk and are excluded, as in [[sampleFraction]]); weights
+    * non-negative integers (null/negative fail loudly — a silently
+    * skipped weight would shift every later crossing). Weight-0 rows
+    * are never selected. Output: (id, w, cum) of the kept rows. */
+  def systematicSample(df: DataFrame, idCol: String, weightCol: String,
+      step: Long, idBucketWidth: Long = 1L << 20): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    require(idBucketWidth >= 1, s"idBucketWidth must be >= 1, got $idBucketWidth")
+    val wGuard = when(col(weightCol).isNull || col(weightCol) < 0,
+      raise_error(concat(lit(s"systematicSample: $weightCol must be non-negative and non-null, got "),
+        col(weightCol).cast("string"))))
+      .otherwise(col(weightCol).cast("long"))
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), wGuard.as("w"))
+      .withColumn("__ss_b", col("id") - pmod(col("id"), lit(idBucketWidth)))
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("__ss_b").orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // bucket totals: a tiny relation; the offset window's single
+    // partition holds bucket COUNTS, never rows
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("__ss_b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__ss_b").agg(sum("w").as("__ss_tw"))
+      .withColumn("__ss_off", coalesce(sum("__ss_tw").over(wOff), lit(0L)))
+      .select("__ss_b", "__ss_off")
+    base.withColumn("__ss_cloc", sum("w").over(wLoc))
+      .join(broadcast(offsets), Seq("__ss_b"))
+      .withColumn("cum", col("__ss_cloc") + col("__ss_off"))
+      .filter(expr(s"(cum div $step) > ((cum - w) div $step)"))
+      .select(col("id"), col("w"), col("cum"))
+  }
+
+  /** DuckDB twin of [[systematicSample]] over `input` (columns `id`,
+    * `w`): the single global cumsum the two-level decomposition equals.
+    * The windowed sum casts back to BIGINT — DuckDB widens to HUGEINT,
+    * which the driver's pandas gate would surface as float64. */
+  def systematicSampleSql(input: String, step: Long): String =
+    s"""SELECT id, w, cum FROM (
+          SELECT id, w, CAST(sum(w) OVER (ORDER BY id) AS BIGINT) AS cum
+          FROM ($input) WHERE id IS NOT NULL)
+        WHERE cum // $step > (cum - w) // $step"""
 }

@@ -657,6 +657,27 @@ object Pipeline {
     """.trim)
   )
 
+  /** Token-budget systematic PPS sample over documents: weight = the
+    * whitespace token count, one kept row per `step` tokens of
+    * cumulative weight. Exercises the two-level prefix-sum
+    * decomposition (8 id buckets at width 64) against the oracle's
+    * single global cumsum — the two must agree row-for-row. */
+  val ppsSample: QueryDef = QueryDef(
+    "pps_sample",
+    (s, dir) => {
+      val w = TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("n_ws_tokens").as("w"))
+      Splits.systematicSample(w, "id", "w", step = 500L, idBucketWidth = 64L)
+        .orderBy("id")
+    },
+    Some(("""
+      WITH w AS (
+        SELECT doc_id AS id,
+          len(list_filter(regexp_split_to_array(text, ' +'), x -> len(x) > 0)) AS w
+        FROM documents)
+      """ + Splits.systematicSampleSql("SELECT id, w FROM w", 500L) + " ORDER BY id").trim)
+  )
+
   /** The end-to-end curation funnel over documents ∪ planted near-dup
     * tails ∪ planted verbatim clones, via the staged
     * [[graft.operators.CurationFunnel]] operator (lang → quality →
@@ -2934,7 +2955,7 @@ object Pipeline {
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
-    tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, epochShuffle,
+    tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,

@@ -213,4 +213,36 @@ class SplitsSpec extends SparkTestBase {
       .toDF("id", "p")
     assert(Splits.weightedSample(nulls, "id", "p").count() == 0L)
   }
+
+  test("systematicSample: ≡ global cumsum walk, bucket-width independent, heavy rows always kept") {
+    // weights 0..9 cycling plus one heavy row; ids shuffled in input order
+    val rows = (0L until 200L).map(i => (i, i % 10)) :+ (500L, 5000L)
+    val df = scala.util.Random.shuffle(rows).toDF("id", "w")
+    // reference: driver-side global walk
+    val want = rows.sortBy(_._1).scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, w)) =>
+      (id, w, cum + w)
+    }.tail.filter { case (_, w, cum) => cum / 97 > (cum - w) / 97 }
+      .map { case (id, w, cum) => (id, w, cum) }
+    for (bw <- Seq(1L, 7L, 64L, 1L << 20)) {
+      val got = Splits.systematicSample(df, "id", "w", step = 97L, idBucketWidth = bw)
+        .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+      assert(got == want, s"bucketWidth=$bw")
+    }
+    val kept = want.map(_._1).toSet
+    assert(kept.contains(500L)) // w >= step: always selected
+    // weight-0 rows never selected
+    assert(rows.filter(_._2 == 0L).map(_._1).forall(id => !kept.contains(id)))
+    // budget: a row absorbs at most one keep however heavy it is, so the
+    // kept COUNT tracks Σ min(w, step)/step (the kept WEIGHT tracks Σw)
+    val capped = rows.map { case (_, w) => math.min(w, 97L) }.sum
+    assert(math.abs(want.size - capped / 97L) <= 1, s"kept ${want.size} of ~${capped / 97}")
+    // negative weight fails loudly
+    val e = intercept[Exception](
+      Splits.systematicSample(Seq((1L, -3L)).toDF("id", "w"), "id", "w", 10L).collect())
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+    // null id excluded, sampling unchanged
+    val withNull = df.unionByName(Seq((Option.empty[Long], Option(7L))).toDF("id", "w"))
+    assert(Splits.systematicSample(withNull, "id", "w", 97L).orderBy("id")
+      .as[(Long, Long, Long)].collect().toSeq == want)
+  }
 }
