@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link analysis over edge relations — the graph tier next to
+  * [[Dedup.connectedComponents]]'s pointer jumping. Domain authority
+  * for crawl prioritization, supplier/customer centrality, dedup-graph
+  * hub detection: all want a rank, not just a component id.
+  *
+  * Everything runs in Q-scaled exact integer arithmetic (the
+  * [[Sketches]] discipline): ranks are BIGINT multiples of 1/scale, the
+  * damping factor applies as `(dampNum·Σ) div dampDen`, and per-edge
+  * contributions divide ONCE per source (`rank div outdeg`). No
+  * floating point anywhere, so a DuckDB oracle unrolls the identical
+  * iterations bit-for-bit and reruns are stable across engines,
+  * partitionings and cluster sizes.
+  */
+object Graphs {
+
+  /** PageRank (Brin & Page, WWW'98) with fixed-point integer state:
+    *
+    *   rank⁰(v)   = scale
+    *   rankⁱ⁺¹(v) = base + (dampNum · Σ_{u→v} (rankⁱ(u) div outdeg(u))) div dampDen
+    *   base       = scale·(dampDen−dampNum) div dampDen
+    *
+    * Fixed iteration count, no convergence test — the oracle-replayable
+    * form (and at 100 TB you budget rounds, not deltas; 10–20 rounds
+    * carry ranking-grade precision).
+    *
+    * Scale shape per round: one equi-join of the slim (id, rank)
+    * relation with the out-degree relation, one edge equi-join, one
+    * map-side-combinable sum per destination, and a left join back to
+    * the node set — 2 hash exchanges of rank-sized rows per round,
+    * with [[Materialize.iterative]] cutting lineage so round N+1's
+    * plan does not embed round N three times. Parallel edges count as
+    * parallel walks (dedupe upstream for simple-graph semantics).
+    *
+    * Determinism/overflow contract: ranks stay positive, truncating
+    * and flooring division agree, and `dampNum · Σcontrib` must fit
+    * BIGINT — Σcontrib < N·scale, so N·scale·dampNum < 2^63 (at the
+    * defaults: ~10^8 nodes; drop `scale` for bigger graphs). Dangling
+    * mass (sinks with no out-edges) is dropped, not redistributed —
+    * ranks sum to < N·scale; for ranking use that bias is uniform in
+    * the damping term and immaterial.
+    *
+    * @return (id, r) — one row per node appearing in any edge
+    */
+  def pageRankScaled(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      iterations: Int = 3, scale: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    require(dampDen >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
+    val e = Materialize.iterative(
+      edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull))
+    val deg = Materialize.iterative(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val nodes = Materialize.iterative(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val base = scale * (dampDen - dampNum) / dampDen
+    var ranks = Materialize.iterative(nodes.withColumn("r", lit(scale)))
+    for (_ <- 1 to iterations) {
+      val contrib = ranks.join(deg, ranks("id") === deg("src"))
+        .select(col("src"), expr("r div outdeg").as("c"))
+      val sums = e.join(contrib, Seq("src"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      val next = Materialize.iterative(
+        nodes.join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen")).as("r")))
+      Materialize.unpersist(ranks)
+      ranks = next
+    }
+    Materialize.unpersist(e); Materialize.unpersist(deg); Materialize.unpersist(nodes)
+    ranks
+  }
+
+  /** DuckDB twin of [[pageRankScaled]]: the same iterations unrolled as
+    * CTEs over an `edges(src, dst)` relation named by `edgesCte`.
+    * Emits `SELECT id, r FROM r<iterations>` (append ORDER BY at the
+    * call site). Sums cast back to BIGINT (DuckDB widens to HUGEINT);
+    * `//` and `div` agree because every operand is non-negative. */
+  def pageRankScaledSql(edgesCte: String, iterations: Int, scale: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): String = {
+    val base = scale * (dampDen - dampNum) / dampDen
+    val rounds = (1 to iterations).map { i =>
+      s"""c$i AS (
+            SELECT e.dst AS id, CAST(SUM(r.r // d.d) AS BIGINT) AS s
+            FROM $edgesCte e JOIN r${i - 1} r ON r.id = e.src JOIN pr_deg d ON d.src = e.src
+            GROUP BY e.dst),
+          r$i AS (
+            SELECT n.id, CAST($base + ($dampNum * COALESCE(c.s, 0)) // $dampDen AS BIGINT) AS r
+            FROM pr_nodes n LEFT JOIN c$i c ON c.id = n.id)"""
+    }.mkString(",\n")
+    s"""pr_deg AS (SELECT src, count(*) AS d FROM $edgesCte GROUP BY src),
+        pr_nodes AS (SELECT src AS id FROM $edgesCte UNION SELECT dst FROM $edgesCte),
+        r0 AS (SELECT id, CAST($scale AS BIGINT) AS r FROM pr_nodes),
+        $rounds
+        SELECT id, r FROM r$iterations"""
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOfJoin, Layout, RangeJoin}
+import graft.operators.{AsOfJoin, Graphs, Layout, RangeJoin}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -523,6 +523,33 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Fixed-point PageRank over the customer↔supplier trading graph
+    * (distinct pairs via orders⋈lineitem, both directions so the walk
+    * is symmetric; supplier ids offset to disjoint the key spaces).
+    * Three [[Graphs.pageRankScaled]] rounds in exact Q-scaled BIGINT —
+    * the oracle unrolls the identical iterations as CTEs. */
+  val qPageRank: QueryDef = QueryDef(
+    "q_pagerank",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp")).distinct()
+      val edges = pairs.select(col("cust").as("src"), (col("supp") + 1000000L).as("dst"))
+        .unionByName(pairs.select((col("supp") + 1000000L).as("src"), col("cust").as("dst")))
+      Graphs.pageRankScaled(edges, iterations = 3).orderBy("id")
+    },
+    Some(s"""
+      WITH pr_pairs AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      pr_edges AS (
+        SELECT cust AS src, supp + 1000000 AS dst FROM pr_pairs
+        UNION ALL SELECT supp + 1000000, cust FROM pr_pairs),
+      ${Graphs.pageRankScaledSql("pr_edges", 3)} ORDER BY id
+    """.stripMargin.trim)
+  )
+
   private val bucketRun = new java.util.concurrent.atomic.AtomicLong()
 
   /** The shuffle-free join a bucketed layout buys: orders and customer
@@ -563,6 +590,6 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf, qHammingExpr, qPivot, qFunnel,
-    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin
+    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank
   )
 }
