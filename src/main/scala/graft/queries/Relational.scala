@@ -254,6 +254,46 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Sessionization through Spark's NATIVE `session_window` (the same
+    * code path [[graft.streaming.StreamingDedup.sessionAggregates]]
+    * runs on unbounded streams — batch ≡ stream is spec-pinned there).
+    * The oracle independently replays session_window's merge rule
+    * (touching windows merge: a session closes only when diff > 1800 —
+    * the same boundary as `q_sessionize`) with lag + cumulative-sum
+    * session ids — pinning the built-in operator's merge semantics
+    * against a from-scratch SQL implementation. */
+  val qSessionWindow: QueryDef = QueryDef(
+    "q_session_window",
+    (s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), timestamp_seconds(expr("ts div 1000000000")).as("ets"))
+      graft.streaming.StreamingDedup
+        .sessionAggregates(e, "user_id", "ets", gap = "30 minutes", watermark = "0 seconds")
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, event_id FROM events
+      ),
+      m AS (
+        SELECT user_id, sec, event_id,
+          CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+                 OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+               THEN 1 ELSE 0 END AS ns
+        FROM e
+      ),
+      s AS (
+        SELECT user_id, sec,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m
+      )
+      SELECT user_id, MIN(sec) AS session_start, MAX(sec) + 1800 AS session_end,
+        COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+    """.stripMargin.trim)
+  )
+
   val qCube: QueryDef = QueryDef(
     "q_cube",
     (s, dir) => {
@@ -589,7 +629,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
-    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qAsOf, qHammingExpr, qPivot, qFunnel,
+    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qHammingExpr, qPivot, qFunnel,
     qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank
   )
 }

@@ -33,6 +33,31 @@ object StreamingDedup {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Event-time sessionization via Spark's native `session_window` —
+    * the streaming form of the batch `q_sessionize` gap rule. A session
+    * extends while consecutive events arrive at most `gap` apart —
+    * touching windows MERGE, so an exactly-`gap` quiet period still
+    * extends the session and only `diff > gap` closes it (the
+    * `q_sessionize` gap rule exactly; spec-pinned on the boundary).
+    * State is bounded by
+    * the watermark: closed sessions emit once and their state evicts.
+    *
+    * Runs unchanged on a batch frame (withWatermark is a no-op there),
+    * so stream ≡ batch is spec-pinnable and the same code serves both.
+    *
+    * @param tsCol TIMESTAMP column (event time)
+    * @return (keyCol, session_start epoch-sec, session_end epoch-sec
+    *         [last event + gap], n_events) */
+  def sessionAggregates(df: DataFrame, keyCol: String, tsCol: String,
+      gap: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_seconds(col("session_window.start")).as("session_start"),
+        unix_seconds(col("session_window.end")).as("session_end"),
+        col("n_events"))
+
   case class KeyState(firstSeenMs: Long, count: Long)
   case class DupCount(key: String, count: Long, first_seen_ms: Long)
 

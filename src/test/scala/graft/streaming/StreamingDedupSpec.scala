@@ -275,4 +275,34 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(rows == Set(("a", 3L, 1000L), ("b", 1L, 2000L)))
     } finally q.stop()
   }
+
+  test("sessionAggregates: native session windows — stream ≡ batch, strict gap boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      StreamingDedup.sessionAggregates(
+        df.withColumn("ets", timestamp_seconds(col("sec"))), "u", "ets",
+        gap = "30 seconds", watermark = "0 seconds")
+    val input = MemoryStream[(Long, Long)]
+    val q = sess(input.toDF().toDF("u", "sec"))
+      .writeStream.format("memory").queryName("sd_sess").outputMode("complete").start()
+    val events = Seq((1L, 100L), (1L, 120L), (2L, 100L), (1L, 140L), (1L, 200L))
+    try {
+      input.addData(events.take(3): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(3): _*) // 140 extends state from batch 1; 200 opens anew
+      q.processAllAvailable()
+      val got = spark.table("sd_sess").orderBy("u", "session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // u1: [100..140]+gap → end 170, 3 events; then [200, 230), 1 event
+      assert(got == Seq((1L, 100L, 170L, 3L), (1L, 200L, 230L, 1L), (2L, 100L, 130L, 1L)))
+      val batch = sess(events.toDF("u", "sec")).orderBy("u", "session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == batch)
+    } finally q.stop()
+    // boundary: a quiet period of EXACTLY gap still extends the session
+    // (windows [0,30) and [30,60) touch and merge); one second more closes
+    def n(df: org.apache.spark.sql.DataFrame) = sess(df).count()
+    assert(n(Seq((1L, 0L), (1L, 30L)).toDF("u", "sec")) == 1L)
+    assert(n(Seq((1L, 0L), (1L, 31L)).toDF("u", "sec")) == 2L)
+  }
 }
