@@ -297,6 +297,48 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Equi-join cardinality estimate from two count-min tables built
+    * with the SAME (d, w): |A ⋈_k B| = Σ_k f_A(k)·f_B(k), estimated as
+    * min over rows r of Σ_bucket c_A[r,b]·c_B[r,b] — the CMS inner
+    * product (Cormode & Muthukrishnan, J.Alg 2005 §4.3). Like the
+    * point estimate it never underestimates (collisions only add), and
+    * the error is ≤ ε·|A|·|B| with ε = e/w per row, minimized over d
+    * rows. The estimate touches ONLY sketch state — d·w cells per
+    * side — so sizing a 100 TB shuffle join costs two palm-sized
+    * relations, not a scan of either fact table; shard sketches add
+    * first ([[cmsCounts]] sums), then estimate.
+    *
+    * A sketch row with no shared buckets means a zero inner product —
+    * the row generator keeps it in the min instead of letting the
+    * join drop it (disjoint key sets must estimate 0). */
+  def cmsJoinSizeEstimate(countsA: DataFrame, countsB: DataFrame, d: Int): DataFrame = {
+    require(d >= 1, s"d must be >= 1, got $d")
+    val spark = countsA.sparkSession
+    val rows = spark.range(d).select(col("id").cast("int").as("r"))
+    val ip = countsA.select(col("r"), col("bucket"), col("c").as("ca"))
+      .join(countsB.select(col("r"), col("bucket"), col("c").as("cb")), Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+    rows.join(ip, Seq("r"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_size"))
+  }
+
+  /** DuckDB twin of two [[cmsCounts]] → [[cmsJoinSizeEstimate]] plus
+    * the exact join count — the `join_size_est` gate shape. Inputs
+    * project one key column `k` per row. */
+  def cmsJoinSizeSql(inputA: String, inputB: String, d: Int, w: Int): String = {
+    def cms(src: String) =
+      s"""SELECT t.r, ${kmBucketSql(cmsHashSql("s.k"), "t.r", w)} AS bucket, count(*) AS c
+          FROM ($src) s CROSS JOIN range($d) t(r) GROUP BY 1, 2"""
+    s"""WITH ca AS (${cms(inputA)}), cb AS (${cms(inputB)}),
+      ip AS (SELECT ca.r, CAST(SUM(ca.c * cb.c) AS BIGINT) AS ip
+             FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket GROUP BY ca.r),
+      est AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est_join_size
+              FROM range($d) t(r) LEFT JOIN ip ON ip.r = t.r),
+      ex AS (SELECT count(*) AS exact_join_size
+             FROM ($inputA) a JOIN ($inputB) b ON a.k = b.k)
+    SELECT est_join_size, exact_join_size FROM est CROSS JOIN ex"""
+  }
+
   /** Fixed-grid histogram counts for quantile sketching: (grpCol,
     * bucket, c) with bucket = min(val div step, nb−1). The scale
     * replacement for exact `percentile` (a per-group SORT of every

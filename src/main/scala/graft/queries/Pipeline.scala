@@ -2774,6 +2774,30 @@ object Pipeline {
       "w", cmsTerms, d = 4, w = 1024))
   )
 
+  /** Join-size estimation from sketches alone: the CMS inner product
+    * sizes the clicks⋈purchases-on-user join (a genuine many-to-many)
+    * next to the exact count — the shuffle-planning primitive: at
+    * 100 TB the estimate reads two d·w-cell sketches, never a fact
+    * table. CMS never underestimates, so est >= exact always. */
+  val joinSizeEst: QueryDef = QueryDef(
+    "join_size_est",
+    (s, dir) => {
+      val e = tbl(s, dir, "events")
+      def side(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id").cast("string").as("k"))
+      val est = Sketches.cmsJoinSizeEstimate(
+        Sketches.cmsCounts(side("click"), "k", d = 5, w = 256),
+        Sketches.cmsCounts(side("purchase"), "k", d = 5, w = 256), d = 5)
+      val exact = side("click").join(side("purchase"), Seq("k"))
+        .agg(count(lit(1)).as("exact_join_size"))
+      est.crossJoin(exact)
+    },
+    Some(Sketches.cmsJoinSizeSql(
+      "SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'click'",
+      "SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'purchase'",
+      d = 5, w = 256))
+  )
+
   /** Histogram-sketch percentiles of document length per lang BESIDE
     * the exact interpolated percentiles — the mergeable-state path for
     * `corpus_stats`-style numbers at 100 TB (counts add across shards;
@@ -2951,7 +2975,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    hllDistinctQ, hllMergedIdx, cmsFreqQ, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, zorderLayout, entityMatch,
+    hllDistinctQ, hllMergedIdx, cmsFreqQ, joinSizeEst, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, zorderLayout, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

@@ -191,4 +191,22 @@ class SketchesSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join back:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"histogram join must not sort-merge:\n$plan")
   }
+
+  test("cms inner product: upper-bounds the true join size, exact sans collision, 0 on disjoint") {
+    // f_A = {x:3, y:2, z:1}, f_B = {x:2, z:4, q:5} → true Σ f_A·f_B = 6 + 4 = 10
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(4)("z") ++ Seq.fill(5)("q")).toDF("k")
+    def est(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame,
+        d: Int, w: Int): Long =
+      Sketches.cmsJoinSizeEstimate(Sketches.cmsCounts(x, "k", d, w),
+        Sketches.cmsCounts(y, "k", d, w), d).collect().head.getLong(0)
+    val exact = a.join(b, Seq("k")).count()
+    assert(exact == 10L)
+    // wide sketch: 4 keys in 4096 buckets — collision-free, estimate exact
+    assert(est(a, b, 4, 4096) == 10L)
+    // narrow sketch still never underestimates
+    assert(est(a, b, 2, 3) >= 10L)
+    // disjoint key sets estimate 0 even when a whole row shares no bucket
+    assert(est(a, Seq("m", "n").toDF("k"), 4, 4096) == 0L)
+  }
 }
