@@ -297,6 +297,18 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Estimate from a NATIVE sketch array ([[graft.plans.HllSketchAgg]]
+    * output, one `array<int>` of 2^p registers per group): explode back
+    * to the relational register form — reg 0 means never-hit, present
+    * buckets always carry reg >= 1 — and reuse the ONE estimate
+    * implementation, so the two sketch paths cannot drift. */
+  def hllEstimateFromSketch(df: DataFrame, grpCol: String, sketchCol: String, p: Int): DataFrame =
+    hllEstimate(
+      df.select(col(grpCol), posexplode(col(sketchCol)))
+        .filter(col("col") > 0)
+        .select(col(grpCol), col("pos").cast("long").as("bucket"), col("col").as("reg")),
+      grpCol, p)
+
   /** Equi-join cardinality estimate from two count-min tables built
     * with the SAME (d, w): |A ⋈_k B| = Σ_k f_A(k)·f_B(k), estimated as
     * min over rows r of Σ_bucket c_A[r,b]·c_B[r,b] — the CMS inner

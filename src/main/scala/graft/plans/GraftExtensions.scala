@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vocabTokenCountDescriptor)
     ext.injectFunction(GraftExtensions.charNgramsDescriptor)
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
+    ext.injectFunction(GraftExtensions.hllSketchAggDescriptor)
   }
 }
 
@@ -80,6 +81,20 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 1, "nfc_normalize takes exactly 1 argument")
       NfcNormalize(children.head)
+    }
+  )
+
+  val hllSketchAggDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hll_sketch_agg"),
+    new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch_agg"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "hll_sketch_agg takes exactly 2 arguments (key, p)")
+      val p = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"hll_sketch_agg: p must be an integer literal, got $other")
+      }
+      HllSketchAgg(children.head, p)
     }
   )
 

@@ -2716,6 +2716,32 @@ object Pipeline {
       "source", "w", p = 10))
   )
 
+  /** The NATIVE-aggregate sketch path beside the relational one:
+    * [[graft.plans.HllSketchAgg]] builds the whole register file as a
+    * single TypedImperativeAggregate buffer (one array row per group
+    * crosses the exchange instead of up to 2^p register rows), and
+    * [[Sketches.hllEstimateFromSketch]] explodes it back through the
+    * ONE estimate implementation. Register files are bit-identical to
+    * [[Sketches.hllRegisters]] (spec-pinned), so this gate reuses
+    * `hll_distinct`'s oracle verbatim — any drift between the native
+    * and relational paths flips rows here. */
+  val hllAggQ: QueryDef = QueryDef(
+    "hll_agg",
+    (s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.words(col("text"))).as("w"))
+      val sk = toks.groupBy("source")
+        .agg(graft.plans.HllSketchAgg(col("w"), 10).as("sketch"))
+      Sketches.hllEstimateFromSketch(sk, "source", "sketch", p = 10)
+        .join(toks.groupBy("source").agg(count_distinct(col("w")).as("exact_distinct")),
+          Seq("source"))
+        .orderBy("source")
+    },
+    Some(Sketches.hllDistinctSql(
+      s"SELECT source, unnest(${TextFunctions.wordsSql("text")}) AS w FROM documents",
+      "source", "w", p = 10))
+  )
+
   /** The PERSISTED sketch lifecycle: the corpus split into two shards
     * (doc_id parity), each shard's HLL registers written with the
     * commit-marker manifest, read back, and MERGED (elementwise max) —
@@ -2975,7 +3001,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    hllDistinctQ, hllMergedIdx, cmsFreqQ, joinSizeEst, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, zorderLayout, entityMatch,
+    hllDistinctQ, hllAggQ, hllMergedIdx, cmsFreqQ, joinSizeEst, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, zorderLayout, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

@@ -480,6 +480,10 @@ object Drive {
         seen.sorted.foreach(m => println("caught: " + m))
       } finally Warnings.onWarning(_ => ())
     }
+    println("=== native HLL aggregate: one register file per group, SQL-registered ===")
+    spark.range(500).selectExpr("concat('g', id % 2) AS g", "CAST(id % 123 AS STRING) AS k")
+      .createOrReplaceTempView("drive_hll")
+    spark.sql("SELECT g, size(hll_sketch_agg(k, 8)) AS m FROM drive_hll GROUP BY g ORDER BY g").show()
     println("=== range join: point-in-interval via bucketed equi-join ===")
     locally {
       import spark.implicits._

@@ -1,0 +1,80 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class HllSketchAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hash60 ≡ portableHash60 column on ASCII and non-ASCII keys") {
+    val keys = Seq("a", "hello world", "Ünïcødé ♥ テスト", "", "0", "key:42")
+    val viaColumn = keys.toDF("k")
+      .select(col("k"), TextFunctions.portableHash60(col("k")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(HllSketchAgg.hash60(UTF8String.fromString(k)) == viaColumn(k), k)
+      assert(HllSketchAgg.hash60Reference(k) == viaColumn(k), s"reference twin: $k")
+    }
+  }
+
+  test("native sketch registers are bit-identical to the relational hllRegisters") {
+    val p = 8
+    val df = (0 until 3000).map(i => (s"g${i % 3}", s"key-${i % 700}")).toDF("g", "k")
+    val native = df.groupBy("g").agg(HllSketchAgg(col("k"), p).as("sketch"))
+      .select(col("g"), posexplode(col("sketch")))
+      .filter(col("col") > 0)
+      .select(col("g"), col("pos").cast("long").as("bucket"), col("col").as("reg"))
+    val relational = Sketches.hllRegisters(df, "g", "k", p)
+    assert(rows(native) == rows(relational.select(col("g"), col("bucket"), col("reg").cast("int"))))
+  }
+
+  test("merge across partitionings is stable; estimates flow through the shared path") {
+    val p = 10
+    val df = (0 until 5000).map(i => ("g", s"k$i")).toDF("g", "k")
+    def est(d: org.apache.spark.sql.DataFrame): Double =
+      Sketches.hllEstimateFromSketch(
+        d.groupBy("g").agg(HllSketchAgg(col("k"), p).as("sketch")), "g", "sketch", p)
+        .collect().head.getDouble(1)
+    val a = est(df.repartition(1))
+    val b = est(df.repartition(13))
+    assert(a == b)
+    // p=10 std error ≈ 3.25%; this fixed draw lands at ~7.8% (≈2.4σ) —
+    // the envelope is loose, the REAL pin is relational-path equality
+    val exact = 5000.0
+    assert(math.abs(a - exact) / exact < 0.12, s"estimate $a vs $exact")
+    // and it matches the relational path's estimate exactly
+    val rel = Sketches.hllEstimate(Sketches.hllRegisters(df, "g", "k", p), "g", p)
+      .collect().head.getDouble(1)
+    assert(a == rel)
+  }
+
+  test("SQL surface: hll_sketch_agg registers via the extension descriptor") {
+    val (id, info, builder) = GraftExtensions.hllSketchAggDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val n = spark.range(100).selectExpr("CAST(id % 37 AS STRING) AS k")
+      .selectExpr("size(hll_sketch_agg(k, 8)) AS m")
+      .collect().head.getInt(0)
+    assert(n == 256)
+    // p must be a literal
+    intercept[Exception] {
+      spark.range(10).selectExpr("CAST(id AS STRING) AS k", "CAST(id AS INT) AS p")
+        .selectExpr("hll_sketch_agg(k, p)").collect()
+    }
+  }
+
+  test("null keys are ignored; type/p validation fails analysis") {
+    val withNulls = Seq(Some("a"), None, Some("b"), None).toDF("k").withColumn("g", lit("x"))
+    val clean = Seq("a", "b").toDF("k").withColumn("g", lit("x"))
+    def sk(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("g").agg(HllSketchAgg(col("k"), 8).as("s")).select("s").collect()
+        .head.getSeq[Int](0)
+    assert(sk(withNulls) == sk(clean))
+    intercept[Exception](
+      spark.range(3).groupBy().agg(HllSketchAgg(col("id"), 8)).collect()) // non-string
+    intercept[Exception](
+      Seq("a").toDF("k").groupBy().agg(HllSketchAgg(col("k"), 3)).collect()) // p too small
+  }
+}
