@@ -137,6 +137,29 @@ object Layout {
     spark.table(tableName)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(totalBytes / targetFileBytes)` files. Streaming sinks,
+    * per-batch ingests and over-parallel writes leave thousands of
+    * KB-sized files whose open/footer overhead dominates scans — the
+    * standard maintenance pass every table format schedules. Sizing
+    * comes from the FILE LISTING (no data scan); the rewrite is one
+    * round-robin repartition. Run per Hive-partition directory at
+    * scale so one pass never rewrites the whole table.
+    *
+    * @return (input file count, output file count) */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long,
+      out: String, mode: SaveMode = SaveMode.ErrorIfExists): (Int, Int) = {
+    require(targetFileBytes >= 1, s"targetFileBytes must be >= 1, got $targetFileBytes")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(f =>
+      f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    val total = files.map(_.getLen).sum
+    val n = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(path).repartition(n).write.mode(mode).parquet(out)
+    (files.length, n)
+  }
+
   /** Box query over a z-ordered layout: prunes partition dirs to
     * zp ∈ [z(xlo,ylo) >> shift, z(xhi,yhi) >> shift] — valid because z
     * is monotone per coordinate — then applies the exact dimension

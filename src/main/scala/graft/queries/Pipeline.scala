@@ -2800,6 +2800,67 @@ object Pipeline {
       "w", cmsTerms, d = 4, w = 1024))
   )
 
+  /** The maintenance pass as a lifecycle gate: documents deliberately
+    * fragmented into 64 small files, [[graft.operators.Layout.compact]]
+    * rewrites them into a handful sized from the FILE LISTING (no data
+    * scan), and the gate reads the compacted copy back — content must
+    * round-trip exactly (the oracle reads the original table). File
+    * counts are pinned in LayoutSpec; this pins content through the
+    * driver. */
+  val compactRoundtrip: QueryDef = QueryDef(
+    "compact_roundtrip",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      d.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+      graft.operators.Layout.compact(s, s"$base/frag", targetFileBytes = 512 * 1024,
+        s"$base/compact", mode = org.apache.spark.sql.SaveMode.Overwrite)
+      s.read.parquet(s"$base/compact")
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
+  /** Robust length-QC: documents whose length deviates more than
+    * 3×MAD from their source's median — the outlier screen that
+    * catches truncated scrapes and concatenation accidents without
+    * the mean/σ's sensitivity to the very outliers it hunts. This is
+    * the EXACT small-relation form (per-group `percentile` sorts its
+    * group — fine for dimension-sized slices); the corpus-scale path
+    * is the histogram calibration (`quality_calibrated`), which reads
+    * ≤ nb sketch rows per group instead. Both engines interpolate the
+    * median identically (quantile_cont semantics) from identical
+    * inputs, so the flag comparison replays exactly. */
+  val lengthOutliers: QueryDef = QueryDef(
+    "length_outliers",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("len"))
+      val med = d.groupBy("source").agg(expr("percentile(len, 0.5D)").as("med"))
+      val dm = d.join(broadcast(med), Seq("source"))
+        .withColumn("adev", abs(col("len") - col("med")))
+      val mad = dm.groupBy("source").agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dm.join(broadcast(mad), Seq("source"))
+        .filter(col("adev") > col("mad") * 3)
+        .select(col("doc_id"), col("len"), col("med"), col("mad"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents),
+      med AS (SELECT source, median(len) AS med FROM d GROUP BY source),
+      dm AS (SELECT d.*, med.med, ABS(len - med.med) AS adev FROM d JOIN med USING (source)),
+      mad AS (SELECT source, median(adev) AS mad FROM dm GROUP BY source)
+      SELECT doc_id, len, dm.med, mad.mad AS mad
+      FROM dm JOIN mad USING (source)
+      WHERE adev > mad.mad * 3
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
   /** Join-size estimation from sketches alone: the CMS inner product
     * sizes the clicks⋈purchases-on-user join (a genuine many-to-many)
     * next to the exact count — the shuffle-planning primitive: at
@@ -3001,7 +3062,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    hllDistinctQ, hllAggQ, hllMergedIdx, cmsFreqQ, joinSizeEst, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, zorderLayout, entityMatch,
+    hllDistinctQ, hllAggQ, hllMergedIdx, cmsFreqQ, joinSizeEst, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

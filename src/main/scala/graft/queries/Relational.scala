@@ -563,6 +563,47 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** SCD-Type-2 dimension build from an event stream: each user's
+    * last-of-day `value` snapshot becomes a validity interval
+    * [valid_from, valid_to] (open rows carry the 99999999 sentinel so
+    * the schema stays BIGINT end to end). Last-of-day is a combinable
+    * `max(struct(sec, event_id, value))` — no per-day sort window —
+    * and the interval edges come from one lead() over the (user, day)
+    * relation, already thousands of times smaller than the events. */
+  val qScd2: QueryDef = QueryDef(
+    "q_scd2",
+    (s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+          expr("ts div 1000000000 div 86400").as("day"), col("event_id"), col("value"))
+      val lastPerDay = e.groupBy("user_id", "day")
+        .agg(max(struct(col("sec"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("day"), col("m.value").as("value"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      lastPerDay
+        .withColumn("valid_to", coalesce(lead("day", 1).over(w) - 1, lit(99999999L)))
+        .select(col("user_id"), col("day").as("valid_from"), col("valid_to"), col("value"))
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+               (epoch_ns(ts) // 1000000000) // 86400 AS day, event_id, value
+        FROM events
+      ),
+      last AS (
+        SELECT user_id, day, value FROM (
+          SELECT user_id, day, value,
+            row_number() OVER (PARTITION BY user_id, day ORDER BY sec DESC, event_id DESC) AS rn
+          FROM e) WHERE rn = 1
+      )
+      SELECT user_id, day AS valid_from,
+        COALESCE(lead(day) OVER (PARTITION BY user_id ORDER BY day) - 1, 99999999) AS valid_to,
+        value
+      FROM last ORDER BY user_id, valid_from
+    """.stripMargin.trim)
+  )
+
   /** Fixed-point PageRank over the customer↔supplier trading graph
     * (distinct pairs via orders⋈lineitem, both directions so the walk
     * is symmetric; supplier ids offset to disjoint the key spaces).
@@ -630,6 +671,6 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qHammingExpr, qPivot, qFunnel,
-    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank
+    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2
   )
 }

@@ -64,6 +64,23 @@ class LayoutSpec extends SparkTestBase {
     assert(!p.contains("Sort ["), s"bucketed sorted scan still planned a Sort:\n$p")
   }
 
+  test("compact: file count from the listing math, content round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    val df = (0 until 3000).map(i => (i.toLong, s"row-$i-${"x" * 50}")).toDF("id", "payload")
+    df.repartition(48).write.parquet(s"$dir/frag")
+    val fragBytes = new java.io.File(s"$dir/frag").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
+    val (nin, nout) = Layout.compact(spark, s"$dir/frag", targetFileBytes = fragBytes / 4 + 1,
+      s"$dir/out")
+    assert(nin == 48)
+    assert(nout == 4, s"expected 4 target files, got $nout")
+    val outFiles = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(outFiles.length == nout)
+    assert(rows(spark.read.parquet(s"$dir/out")) == rows(df))
+    intercept[IllegalArgumentException](Layout.compact(spark, s"$dir/frag", 0, s"$dir/out2"))
+  }
+
   test("zorderWrite rejects out-of-domain coordinates loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout_spec2").toString
     val bad = Seq((1L, 64L, 0L)).toDF("id", "xb", "yb") // 64 >= 2^6
