@@ -848,4 +848,30 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of
+    * several retrieval rankings — the standard hybrid-search merge
+    * (BM25 ∪ dense ∪ whatever) that needs no score calibration because
+    * it reads only RANKS: score(d) = Σ_r scale div (k0 + rank_r(d)),
+    * in exact integer arithmetic so ties and order replay bit-for-bit
+    * on any engine.
+    *
+    * Inputs are top-k lists (id, rank) — each bounded by construction
+    * — so the candidate union is small and the closing global sort
+    * ranks at most Σ list sizes rows; this is a per-query merge, not a
+    * corpus pass (fan it out over queries upstream). A document absent
+    * from one ranking simply contributes nothing for it. */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, topK: Int = 10,
+      scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k0 >= 0 && topK >= 1 && scale >= 1,
+      s"need k0 >= 0, topK >= 1, scale >= 1; got k0=$k0 topK=$topK scale=$scale")
+    val u = rankings.map(_.select(col("id"), col("rank"))).reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_score").desc, col("id").asc)
+    u.groupBy("id")
+      .agg(sum(expr(s"$scale div ($k0 + rank)")).as("rrf_score"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topK)
+  }
 }

@@ -1010,6 +1010,49 @@ object Pipeline {
     """.trim)
   )
 
+  /** Hybrid retrieval: the BM25 lexical ranking and the dense cosine
+    * ranking fused by [[SimilaritySearch.rrfFuse]] — rank-only integer
+    * fusion, so no score calibration and a bit-exact replay. Both
+    * input rankings are gated on their own (bm25_scores, embed_topk);
+    * this pins the MERGE. */
+  val rrfFusion: QueryDef = {
+    val terms = Seq("spark", "window", "vector", "stream")
+    QueryDef(
+      "rrf_fusion",
+      (s, dir) => {
+        val wL = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id").asc)
+        val lex = TextAnalysis.bm25Scores(
+          tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
+          "id", "text", terms)
+          .withColumn("rank", row_number().over(wL))
+          .filter(col("rank") <= 50)
+          .select("id", "rank")
+        val e = tbl(s, dir, "embeddings")
+        val sem = SimilaritySearch.cosineTopK(e, e.filter(col("vec_id") === 7),
+          "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("id"), col("rank"))
+        SimilaritySearch.rrfFuse(Seq(lex, sem), k0 = 60, topK = 20)
+          .orderBy("fused_rank")
+      },
+      Some(s"""
+        WITH bm AS (${TextAnalysis.bm25Sql("SELECT doc_id AS id, text FROM documents", terms)}),
+        lexr AS (SELECT id, rank FROM (
+          SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM bm) WHERE rank <= 50),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+        sc AS (SELECT vec_id AS id, round(${SimilaritySearch.cosineSql("qvec", "embedding", 64)}, 9) AS cos
+               FROM embeddings CROSS JOIN q WHERE vec_id <> 7),
+        semr AS (SELECT id, rank FROM (
+          SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank FROM sc) WHERE rank <= 50),
+        u AS (SELECT * FROM lexr UNION ALL SELECT * FROM semr),
+        f AS (SELECT id, CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_score FROM u GROUP BY id),
+        r AS (SELECT id, rrf_score,
+                CAST(row_number() OVER (ORDER BY rrf_score DESC, id) AS BIGINT) AS fused_rank FROM f)
+        SELECT id, rrf_score, fused_rank FROM r WHERE fused_rank <= 20 ORDER BY fused_rank
+      """.trim)
+    )
+  }
+
   val embedAnn: QueryDef = QueryDef(
     "embed_ann",
     (s, dir) => {
@@ -3068,7 +3111,7 @@ object Pipeline {
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
-    embedTopK, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
+    embedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )

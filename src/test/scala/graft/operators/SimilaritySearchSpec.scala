@@ -405,4 +405,21 @@ class SimilaritySearchSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       SimilaritySearch.fitCentroids(pts, "vec_id", "embedding", k = 0, rounds = 1, dim = 2))
   }
+
+  test("rrfFuse: hand-checked integer scores, single-list absence, tie by id") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val got = SimilaritySearch.rrfFuse(Seq(a, b), k0 = 60, topK = 10)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 1e6 div 61 = 16393, div 62 = 16129, div 63 = 15873
+    // 10: 16393+16129 = 32522; 20: 16129+16393 = 32522 (tie -> id asc);
+    // 30: 15873; 40: 15873 (tie -> id asc)
+    assert(got == Seq((10L, 32522L, 1L), (20L, 32522L, 2L),
+      (30L, 15873L, 3L), (40L, 15873L, 4L)), got.toString)
+    // topK truncates after fusion
+    assert(SimilaritySearch.rrfFuse(Seq(a, b), k0 = 60, topK = 2).count() == 2L)
+    intercept[IllegalArgumentException](SimilaritySearch.rrfFuse(Seq.empty))
+    intercept[IllegalArgumentException](SimilaritySearch.rrfFuse(Seq(a), topK = 0))
+  }
 }
