@@ -1043,4 +1043,57 @@ object Dedup {
       coalesce(r.n_lines, 0) AS n_lines,
       coalesce(r.n_dupes_removed, 0) AS n_dupes_removed
     FROM lddoc d LEFT JOIN ldr r ON d.id = r.id"""
+
+  /** Content-defined chunking ([[graft.plans.CdcBoundaries]] — the
+    * FastCDC/rsync primitive): split each document at positions where
+    * a rolling window hash lands on the mask, so an insertion shifts
+    * only the chunk it touches and every untouched chunk keeps its
+    * hash — the unit of incremental corpus dedup and delta storage.
+    * Map-only up to the explode; one native codegen'd boundary scan
+    * per document, chunks tile the text exactly.
+    *
+    * @return (id, chunk_no, start [code points, 0-based], len,
+    *         chunk_md5) */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, maskBits: Int = 6): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(textCol).as("__t"),
+      graft.plans.CdcBoundaries(col(textCol), w, maskBits).as("ends"))
+    b.filter(size(col("ends")) > 0) // empty text -> no chunks, not a null row
+      .select(col("id"), col("__t"),
+        posexplode(arrays_zip(
+          concat(array(lit(0)), expr("slice(ends, 1, greatest(size(ends) - 1, 0))")).as("s"),
+          col("ends").as("e"))))
+      .select(col("id"), col("pos").as("chunk_no"),
+        col("col.s").as("start"), (col("col.e") - col("col.s")).as("len"),
+        md5(expr("substring(__t, col.s + 1, col.e - col.s)")).as("chunk_md5"))
+  }
+
+  /** DuckDB twin of [[cdcChunks]] over `input` (id, text): the same
+    * per-position Horner fold mod 2^40, mask rule, and final-boundary
+    * tiling. O(len * w) lambda work per document — the oracle replays
+    * the O(len) rolling kernel's exact polynomial. */
+  def cdcChunksSql(input: String, w: Int, maskBits: Int): String = {
+    val mask = (1L << maskBits) - 1
+    s"""WITH cdcd AS (SELECT id, text FROM ($input)),
+      cdcpos AS (SELECT id, text, length(text) AS n,
+          unnest(generate_series($w, length(text))) AS p FROM cdcd),
+      cdch AS (SELECT id, p, n,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(p - $w + 1, p),
+                i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+            (a, c) -> (a * 263 + c) % 1099511627776) AS hv
+        FROM cdcpos),
+      cdcb AS (
+        SELECT DISTINCT id, p FROM (
+          SELECT id, p FROM cdch WHERE hv % ${mask + 1} = 0 AND p < n
+          UNION ALL SELECT id, length(text) AS p FROM cdcd WHERE length(text) >= 1)),
+      cdcc AS (SELECT id, p AS e,
+          COALESCE(lag(p) OVER (PARTITION BY id ORDER BY p), 0) AS s
+        FROM cdcb)
+    SELECT id, CAST(row_number() OVER (PARTITION BY id ORDER BY c.s) - 1 AS INT) AS chunk_no,
+      CAST(c.s AS INT) AS start, CAST(c.e - c.s AS INT) AS len,
+      md5(substring(d.text, CAST(c.s + 1 AS INT), CAST(c.e - c.s AS INT))) AS chunk_md5
+    FROM cdcc c JOIN cdcd d USING (id)"""
+  }
 }

@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.charNgramsDescriptor)
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.hllSketchAggDescriptor)
+    ext.injectFunction(GraftExtensions.cdcBoundariesDescriptor)
   }
 }
 
@@ -81,6 +82,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 1, "nfc_normalize takes exactly 1 argument")
       NfcNormalize(children.head)
+    }
+  )
+
+  val cdcBoundariesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cdc_boundaries"),
+    new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "cdc_boundaries takes exactly 3 arguments (text, w, maskBits)")
+      CdcBoundaries(children.head, children(1), children(2))
     }
   )
 

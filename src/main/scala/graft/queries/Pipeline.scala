@@ -678,6 +678,24 @@ object Pipeline {
       """ + Splits.systematicSampleSql("SELECT id, w FROM w", 500L) + " ORDER BY id").trim)
   )
 
+  /** Content-defined chunking over documents: the
+    * [[graft.plans.CdcBoundaries]] mask rule splits each text at
+    * rolling-hash-chosen positions (expected chunk ≈ 2^6 chars), so an
+    * edit shifts only its own chunk and the rest keep their hashes —
+    * the incremental-dedup/delta-storage unit. The oracle replays the
+    * per-position Horner fold the O(n) rolling kernel reduces to. */
+  val cdcChunksQ: QueryDef = QueryDef(
+    "cdc_chunks",
+    (s, dir) => Dedup.cdcChunks(
+      tbl(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"), col("text")),
+      "id", "text", w = 8, maskBits = 6)
+      .orderBy("id", "chunk_no"),
+    Some(Dedup.cdcChunksSql(
+      "SELECT doc_id AS id, text FROM documents WHERE doc_id < 200", w = 8, maskBits = 6)
+      + " ORDER BY id, chunk_no")
+  )
+
   /** The end-to-end curation funnel over documents ∪ planted near-dup
     * tails ∪ planted verbatim clones, via the staged
     * [[graft.operators.CurationFunnel]] operator (lang → quality →
@@ -3109,7 +3127,7 @@ object Pipeline {
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
-    tfidfTerms, bm25Scores, chunkTextQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
+    tfidfTerms, bm25Scores, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
