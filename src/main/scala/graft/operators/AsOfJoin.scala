@@ -70,4 +70,51 @@ object AsOfJoin {
           rightPayload.map(c => col(s"_prior.$c").as(c)): _*
       )
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row strictly
+    * after it — "next purchase after each click", "next deploy after an
+    * alert". Mirror of [[lastPrior]]: right rows tag `_side = -1`, so at
+    * equal order values they sort BEFORE the left row and fall outside
+    * the [current row, following] frame — exact ">" semantics with ties
+    * excluded, still ONE shuffle on the keys. Among several same-ord
+    * right rows the smallest `tieCol` wins (`first` over the ascending
+    * order). */
+  def firstAfter(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ordCol: String,
+      tieCol: String,
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val keyAndOrd = keys :+ ordCol :+ tieCol
+    val rpType = right.select(rightPayload.map(col): _*).schema
+
+    val l = left.select(
+      keyAndOrd.map(col) :+
+        struct(leftCols.map(col): _*).as("_lp") :+
+        lit(null).cast(rpType).as("_rp") :+
+        lit(0).as("_side"): _*
+    )
+    val r = right.select(
+      keyAndOrd.map(col) :+
+        lit(null).cast(l.schema("_lp").dataType).as("_lp") :+
+        struct(rightPayload.map(col): _*).as("_rp") :+
+        lit(-1).as("_side"): _*
+    )
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(ordCol).asc, col("_side").asc, col(tieCol).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    l.unionByName(r)
+      .withColumn("_next", first(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(
+        leftCols.map(c => col(s"_lp.$c").as(c)) ++
+          rightPayload.map(c => col(s"_next.$c").as(c)): _*
+      )
+  }
 }

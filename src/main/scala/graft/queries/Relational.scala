@@ -294,6 +294,84 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Forward as-of: each click's NEXT purchase (strictly after) via
+    * [[AsOfJoin.firstAfter]] — the union+window mirror of
+    * `q_asof_prior_error`, one shuffle, no range blowup. */
+  val qAsOfNext: QueryDef = QueryDef(
+    "q_asof_next_purchase",
+    (s, dir) => {
+      val e = tbl(s, dir, "events").withColumn("sec", expr("ts div 1000000000"))
+      val clicks = e.filter(col("event_type") === "click").select("user_id", "sec", "event_id")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sec"), col("event_id"), col("event_id").as("next_purchase_id"))
+      AsOfJoin
+        .firstAfter(clicks, purchases, Seq("user_id"), "sec", "event_id", Seq("next_purchase_id"))
+        .select("event_id", "next_purchase_id")
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, event_id,
+               CASE WHEN event_type = 'click' THEN event_id END AS lid,
+               CASE WHEN event_type = 'purchase' THEN event_id END AS rid,
+               CASE WHEN event_type = 'click' THEN 0 ELSE -1 END AS side
+        FROM events WHERE event_type IN ('click', 'purchase')
+      ), w AS (
+        SELECT lid, side,
+          first_value(rid IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY sec, side, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+        FROM u
+      )
+      SELECT lid AS event_id, nxt AS next_purchase_id FROM w WHERE side = 0 ORDER BY event_id
+    """.stripMargin.trim)
+  )
+
+  /** Exact-decimal covariance/correlation: every SUM runs in DECIMAL
+    * (order-independent), and the float math happens once per GROUP on
+    * identical exact-sourced doubles — so a statistic that is normally
+    * partition-order-dependent (double accumulation) replays
+    * bit-for-bit on both engines. */
+  val qCovariance: QueryDef = QueryDef(
+    "q_covariance",
+    (s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec("l_quantity") * dec("l_extendedprice")).cast("double").as("sxy"),
+          sum(dec("l_quantity")).cast("double").as("sx"),
+          sum(dec("l_extendedprice")).cast("double").as("sy"),
+          sum(dec("l_quantity") * dec("l_quantity")).cast("double").as("sxx"),
+          sum(dec("l_extendedprice") * dec("l_extendedprice")).cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("cov_pop"),
+          (((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")) /
+            (sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")) *
+              sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n")))).as("corr"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH a AS (
+        SELECT l_returnflag, count(*) AS n,
+          -- DECIMAL(25,6) forces DuckDB onto the int128 path: the
+          -- (18,6)x(18,6) product overflows its int64-backed width-18
+          -- multiply even though the mathematical value fits
+          CAST(sum(CAST(l_quantity AS DECIMAL(25,6)) * CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(25,6)) * CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6)) * CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, n,
+        (sxy - sx * sy / n) / n AS cov_pop,
+        ((sxy - sx * sy / n) / n) /
+          (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)) AS corr
+      FROM a ORDER BY l_returnflag
+    """.stripMargin.trim)
+  )
+
   val qCube: QueryDef = QueryDef(
     "q_cube",
     (s, dir) => {
@@ -670,7 +748,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
-    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qHammingExpr, qPivot, qFunnel,
+    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
     qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2
   )
 }

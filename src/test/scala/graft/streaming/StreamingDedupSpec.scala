@@ -305,4 +305,36 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(n(Seq((1L, 0L), (1L, 30L)).toDF("u", "sec")) == 1L)
     assert(n(Seq((1L, 0L), (1L, 31L)).toDF("u", "sec")) == 2L)
   }
+
+  test("stream-stream interval join ≡ batch RangeJoin.pointInInterval on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickData = Seq((1L, 100L, 10L), (1L, 250L, 11L), (2L, 100L, 12L))
+    val errData = Seq((1L, 80L, 20L), (1L, 200L, 21L), (2L, 300L, 22L))
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val errs = MemoryStream[(Long, Long, Long)]
+    val c = clicks.toDF().toDF("uid", "csec", "cid")
+      .withColumn("cts", timestamp_seconds(col("csec"))).withWatermark("cts", "1 minute")
+    val x = errs.toDF().toDF("xuid", "esec", "eid")
+      .withColumn("ets", timestamp_seconds(col("esec"))).withWatermark("ets", "1 minute")
+    // each click joined to error windows [esec, esec+100] of the same user
+    val joined = c.join(x,
+      expr("uid = xuid AND cts >= ets AND cts <= ets + interval 100 seconds"))
+      .select("cid", "eid")
+    val q = joined.writeStream.format("memory").queryName("ss_iv")
+      .outputMode("append").start()
+    try {
+      clicks.addData(clickData.take(2): _*); errs.addData(errData.take(2): _*)
+      q.processAllAvailable()
+      clicks.addData(clickData.drop(2): _*); errs.addData(errData.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("ss_iv").as[(Long, Long)].collect().toSet
+      val batch = graft.operators.RangeJoin.pointInInterval(
+        clickData.toDF("uid", "p", "cid"),
+        errData.toDF("uid", "lo", "eid").withColumn("hi", col("lo") + 100L),
+        Seq("uid"), "p", "lo", "hi", bucketWidth = 100L)
+        .select("cid", "eid").as[(Long, Long)].collect().toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Set((10L, 20L), (11L, 21L))) // cross-user and out-of-window excluded
+    } finally q.stop()
+  }
 }
