@@ -372,6 +372,71 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Population-stability index between two [[histCounts]] relations —
+    * the distribution-drift monitor (did today's crawl shift the length
+    * / quality / domain mix?): per (group, bucket),
+    * `term = (p_a − p_b)·ln(p_a/p_b)` with Laplace +1 smoothing over
+    * the full nb-bucket grid so empty buckets are defined; PSI is the
+    * sum (< 0.1 stable, > 0.25 drifted, by the usual convention).
+    *
+    * Determinism discipline: counts stay integer; the one
+    * transcendental per row exits through the floor(·1e6) micro-unit
+    * grid (the [[graft.operators.TextAnalysis]] lm_score pattern), so
+    * the per-group PSI is an ORDER-FREE integer sum of per-row longs —
+    * no double accumulation across rows anywhere.
+    *
+    * @return (grpCol, bucket, ca, cb, term_micro) over the full grid —
+    *         `sum(term_micro)` per group is the drift verdict */
+  def psiDrift(histA: DataFrame, histB: DataFrame, grpCol: String, nb: Int): DataFrame = {
+    require(nb >= 2, s"need nb >= 2, got $nb")
+    val spark = histA.sparkSession
+    val groups = histA.select(col(grpCol)).union(histB.select(col(grpCol))).distinct()
+    val grid = groups.crossJoin(broadcast(
+      spark.range(nb).select(col("id").as("bucket"))))
+    val totals = (h: DataFrame, n: String) =>
+      h.groupBy(col(grpCol)).agg(sum("c").as(n))
+    val g = grid
+      .join(histA.withColumnRenamed("c", "__ca"), Seq(grpCol, "bucket"), "left")
+      .join(histB.withColumnRenamed("c", "__cb"), Seq(grpCol, "bucket"), "left")
+      .join(broadcast(totals(histA, "__na")), Seq(grpCol), "left")
+      .join(broadcast(totals(histB, "__nb")), Seq(grpCol), "left")
+      .select(col(grpCol), col("bucket"),
+        coalesce(col("__ca"), lit(0L)).as("ca"), coalesce(col("__cb"), lit(0L)).as("cb"),
+        (coalesce(col("__na"), lit(0L)) + nb).as("na"),
+        (coalesce(col("__nb"), lit(0L)) + nb).as("nbt"))
+    val pa = (col("ca") + 1).cast("double") / col("na").cast("double")
+    val pb = (col("cb") + 1).cast("double") / col("nbt").cast("double")
+    g.select(col(grpCol), col("bucket"), col("ca"), col("cb"),
+      floor((pa - pb) * log(pa / pb) * lit(1e6)).cast("long").as("term_micro"))
+  }
+
+  /** DuckDB twin of two [[histCounts]] → [[psiDrift]] over `inputA` /
+    * `inputB` (each projecting grp + a non-negative integer `v`). */
+  def psiDriftSql(inputA: String, inputB: String, grp: String,
+      step: Long, nb: Int): String = {
+    def hist(src: String) =
+      s"""SELECT $grp, LEAST(CAST(v AS BIGINT) // $step, ${nb - 1}) AS bucket, count(*) AS c
+          FROM ($src) WHERE v IS NOT NULL GROUP BY 1, 2"""
+    s"""WITH pha AS (${hist(inputA)}), phb AS (${hist(inputB)}),
+      pgr AS (SELECT $grp FROM pha UNION SELECT $grp FROM phb),
+      pgrid AS (SELECT $grp, t.b AS bucket FROM pgr CROSS JOIN range($nb) t(b)),
+      pta AS (SELECT $grp, CAST(sum(c) AS BIGINT) AS na FROM pha GROUP BY 1),
+      ptb AS (SELECT $grp, CAST(sum(c) AS BIGINT) AS nbt FROM phb GROUP BY 1)
+    SELECT g.$grp, g.bucket,
+      COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb,
+      CAST(floor(
+        ((COALESCE(a.c, 0) + 1) / CAST(COALESCE(ta.na, 0) + $nb AS DOUBLE)
+          - (COALESCE(b.c, 0) + 1) / CAST(COALESCE(tb.nbt, 0) + $nb AS DOUBLE))
+        * ln(((COALESCE(a.c, 0) + 1) / CAST(COALESCE(ta.na, 0) + $nb AS DOUBLE))
+           / ((COALESCE(b.c, 0) + 1) / CAST(COALESCE(tb.nbt, 0) + $nb AS DOUBLE)))
+        * 1e6) AS BIGINT) AS term_micro
+    FROM pgrid g
+    LEFT JOIN pha a ON a.$grp = g.$grp AND a.bucket = g.bucket
+    LEFT JOIN phb b ON b.$grp = g.$grp AND b.bucket = g.bucket
+    LEFT JOIN pta ta ON ta.$grp = g.$grp
+    LEFT JOIN ptb tb ON tb.$grp = g.$grp"""
+  }
+
   /** Quantile estimates from a histogram: one output column per
     * (name, qMicro 1e-6-scaled fraction). Rank r = max(1, ceil(q·N))
     * (the lower-quantile convention), landing bucket = first with

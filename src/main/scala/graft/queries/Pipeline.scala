@@ -2922,6 +2922,27 @@ object Pipeline {
     """.stripMargin.trim)
   )
 
+  /** Distribution-drift monitor: PSI between the even- and odd-doc
+    * length histograms over the full 20-bucket grid —
+    * [[Sketches.psiDrift]] with the floor-micro-unit transcendental
+    * discipline, so the per-group verdict is an order-free integer
+    * sum. Sketch-sized state: comparing yesterday's corpus to today's
+    * reads two histograms, never the corpora. */
+  val qualityDrift: QueryDef = QueryDef(
+    "quality_drift",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), lit("len").as("g"), length(col("text")).cast("long").as("v"))
+      val a = Sketches.histCounts(d.filter(col("doc_id") % 2 === 0), "g", "v", step = 200, nb = 20)
+      val b = Sketches.histCounts(d.filter(col("doc_id") % 2 === 1), "g", "v", step = 200, nb = 20)
+      Sketches.psiDrift(a, b, "g", nb = 20).orderBy("g", "bucket")
+    },
+    Some("SELECT * FROM (" + Sketches.psiDriftSql(
+      "SELECT 'len' AS g, CAST(length(text) AS BIGINT) AS v FROM documents WHERE doc_id % 2 = 0",
+      "SELECT 'len' AS g, CAST(length(text) AS BIGINT) AS v FROM documents WHERE doc_id % 2 = 1",
+      grp = "g", step = 200, nb = 20) + ") ORDER BY g, bucket")
+  )
+
   /** Join-size estimation from sketches alone: the CMS inner product
     * sizes the clicks⋈purchases-on-user join (a genuine many-to-many)
     * next to the exact count — the shuffle-planning primitive: at
@@ -3123,7 +3144,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    hllDistinctQ, hllAggQ, hllMergedIdx, cmsFreqQ, joinSizeEst, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, entityMatch,
+    hllDistinctQ, hllAggQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

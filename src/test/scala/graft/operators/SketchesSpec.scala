@@ -192,6 +192,27 @@ class SketchesSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"histogram join must not sort-merge:\n$plan")
   }
 
+  test("psiDrift: ~0 on identical slices, large on a shift, full grid, partition-stable") {
+    val a = (0 until 1000).map(i => ("g", (i % 50).toLong)).toDF("g", "v")
+    val shifted = (0 until 1000).map(i => ("g", (i % 50).toLong + 60)).toDF("g", "v")
+    def psi(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame): Long =
+      Sketches.psiDrift(
+        Sketches.histCounts(x, "g", "v", step = 10L, nb = 12),
+        Sketches.histCounts(y, "g", "v", step = 10L, nb = 12), "g", nb = 12)
+        .agg(sum("term_micro")).collect().head.getLong(0)
+    assert(math.abs(psi(a, a)) < 1000L, s"identical slices drifted: ${psi(a, a)}")
+    assert(psi(a, shifted) > 250000L, s"shift not detected: ${psi(a, shifted)}") // PSI >> 0.25
+    // full grid: one row per (group, bucket) even for empty buckets
+    val rel = Sketches.psiDrift(
+      Sketches.histCounts(a, "g", "v", step = 10L, nb = 12),
+      Sketches.histCounts(shifted, "g", "v", step = 10L, nb = 12), "g", nb = 12)
+    assert(rel.count() == 12L)
+    // deterministic across partitionings (order-free integer sum)
+    assert(psi(a.repartition(7), shifted.repartition(3)) == psi(a, shifted))
+    intercept[IllegalArgumentException](
+      Sketches.psiDrift(rel, rel, "g", nb = 1))
+  }
+
   test("cms inner product: upper-bounds the true join size, exact sans collision, 0 on disjoint") {
     // f_A = {x:3, y:2, z:1}, f_B = {x:2, z:4, q:5} → true Σ f_A·f_B = 6 + 4 = 10
     val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("k")
