@@ -682,6 +682,42 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Declarative data-quality contract over lineitem via
+    * [[graft.operators.QualityRules]]: five row rules in ONE aggregate
+    * pass plus a key-uniqueness aggregation. The discount range is
+    * deliberately tighter than the data so the report carries real
+    * violation counts, not just zeros. */
+  val qDqChecks: QueryDef = QueryDef(
+    "dq_checks",
+    (s, dir) => {
+      import graft.operators.QualityRules._
+      check(tbl(s, dir, "lineitem"), Seq(
+        NotNull("l_shipdate"),
+        InRange("l_quantity", 1, 50),
+        InRange("l_discount", 0, 0.05),
+        AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        MatchesRegex("l_linestatus", "^[OF]$"),
+        Unique(Seq("l_orderkey", "l_linenumber"))))
+    },
+    Some("""
+      SELECT rule, CAST(violations AS BIGINT) AS violations, violations = 0 AS pass FROM (
+        SELECT 'not_null(l_shipdate)' AS rule,
+               count(*) FILTER (WHERE l_shipdate IS NULL) AS violations FROM lineitem
+        UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)',
+               count(*) FILTER (WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50)) FROM lineitem
+        UNION ALL SELECT 'in_range(l_discount,0.0,0.05)',
+               count(*) FILTER (WHERE l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05)) FROM lineitem
+        UNION ALL SELECT 'accepted_values(l_returnflag)',
+               count(*) FILTER (WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N', 'R')) FROM lineitem
+        UNION ALL SELECT 'matches_regex(l_linestatus)',
+               count(*) FILTER (WHERE l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[OF]$')) FROM lineitem
+        UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+               COALESCE((SELECT CAST(sum(c - 1) AS BIGINT) FROM (
+                 SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) WHERE c > 1), 0)
+      ) ORDER BY rule
+    """.stripMargin.trim)
+  )
+
   /** Fixed-point PageRank over the customer↔supplier trading graph
     * (distinct pairs via orders⋈lineitem, both directions so the walk
     * is symmetric; supplier ids offset to disjoint the key spaces).
@@ -749,6 +785,6 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
-    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2
+    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks
   )
 }
