@@ -147,6 +147,61 @@ object Sketches {
     FROM est JOIN ex USING ($grpCol) ORDER BY $grpCol"""
   }
 
+  /** Set-intersection size from sketches alone: inclusion-exclusion
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), with the union sketch an
+    * elementwise [[hllMerge]] (exact for HLL). Audience/corpus overlap
+    * ("how many tokens do these two crawls share?") at sketch cost —
+    * no key shuffle, and the two operand sketches can come straight
+    * from the persisted shard lifecycle. Relative error grows as the
+    * true intersection shrinks (standard HLL inclusion-exclusion
+    * caveat); the estimate can go slightly negative on near-disjoint
+    * sets, reported as computed rather than clamped so the number
+    * stays algebraically replayable. */
+  def hllIntersectEstimate(regsA: DataFrame, regsB: DataFrame,
+      grpCol: String, p: Int): DataFrame = {
+    val ea = hllEstimate(regsA, grpCol, p).withColumnRenamed("est_distinct", "est_a")
+    val eb = hllEstimate(regsB, grpCol, p).withColumnRenamed("est_distinct", "est_b")
+    val eu = hllEstimate(hllMerge(Seq(regsA, regsB), grpCol), grpCol, p)
+      .withColumnRenamed("est_distinct", "est_union")
+    ea.join(eb, Seq(grpCol)).join(eu, Seq(grpCol))
+      .select(col(grpCol), col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+  }
+
+  /** DuckDB twin of two register builds → [[hllIntersectEstimate]] →
+    * beside the exact intersection count. `inputA`/`inputB` project
+    * (grpCol, k). */
+  def hllIntersectSql(inputA: String, inputB: String, grpCol: String, p: Int): String = {
+    val m = 1L << p
+    val maxRho = 61 - p
+    val cNum = hllAlphaNum(p)
+    def regs(src: String, nm: String) =
+      s"""$nm AS (SELECT $grpCol, h % $m AS bucket, max($maxRho -
+            (CASE WHEN h // $m = 0 THEN 0 ELSE length(bin(h // $m)) END)) AS reg
+          FROM (SELECT $grpCol, ${portableHash60Sql("k")} AS h FROM ($src)) GROUP BY 1, 2)"""
+    def est(regsNm: String, outNm: String, estCol: String) =
+      s"""$outNm AS (SELECT $grpCol,
+            CAST(floor(CASE WHEN v > 0 AND ($cNum / CAST(s AS DOUBLE)) <= ${2.5 * m}
+              THEN ($m.0 * ln($m.0 / CAST(v AS DOUBLE))) * 1000000.0
+              ELSE ($cNum / CAST(s AS DOUBLE)) * 1000000.0 END) AS BIGINT) / 1000000.0 AS $estCol
+          FROM (SELECT $grpCol, sp + ($m - nb) * (CAST(1 AS BIGINT) << $maxRho) AS s, $m - nb AS v
+                FROM (SELECT $grpCol,
+                        CAST(sum(CAST(1 AS BIGINT) << ($maxRho - CAST(reg AS INT))) AS BIGINT) AS sp,
+                        count(*) AS nb
+                      FROM $regsNm GROUP BY $grpCol)))"""
+    s"""WITH ${regs(inputA, "hia")}, ${regs(inputB, "hib")},
+      hiu AS (SELECT $grpCol, bucket, max(reg) AS reg FROM
+              (SELECT * FROM hia UNION ALL SELECT * FROM hib) GROUP BY 1, 2),
+      ${est("hia", "ea", "est_a")}, ${est("hib", "eb", "est_b")}, ${est("hiu", "eu", "est_union")},
+      hex_ AS (SELECT $grpCol, CAST(count(*) AS BIGINT) AS exact_intersect FROM
+               (SELECT DISTINCT $grpCol, k FROM ($inputA)
+                INTERSECT SELECT DISTINCT $grpCol, k FROM ($inputB)) GROUP BY 1)
+    SELECT $grpCol, est_a, est_b, est_union, est_a + est_b - est_union AS est_intersect,
+           COALESCE(exact_intersect, 0) AS exact_intersect
+    FROM ea JOIN eb USING ($grpCol) JOIN eu USING ($grpCol)
+    LEFT JOIN hex_ USING ($grpCol)"""
+  }
+
   // ---- persisted sketch lifecycle -------------------------------------
 
   /** One persisted (or about-to-persist) sketch shard: the register /

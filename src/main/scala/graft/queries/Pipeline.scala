@@ -2803,6 +2803,37 @@ object Pipeline {
       "source", "w", p = 10))
   )
 
+  /** Corpus-overlap at sketch cost: inclusion-exclusion HLL
+    * intersection of even- vs odd-doc vocabularies per source, beside
+    * the exact intersection — how much two crawls share without
+    * shuffling either key space. */
+  val hllIntersectQ: QueryDef = QueryDef(
+    "hll_intersect",
+    (s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(TextFunctions.words(col("text"))).as("w"))
+      // block-of-twenty split: source = doc_id mod 20, so any split
+      // with a period sharing a factor with 20 leaves the slices
+      // source-disjoint; alternating full blocks covers every source
+      // on both sides
+      val a = toks.filter(expr("doc_id div 20 % 2") === 0)
+      val b = toks.filter(expr("doc_id div 20 % 2") === 1)
+      val est = Sketches.hllIntersectEstimate(
+        Sketches.hllRegisters(a, "source", "w", p = 10),
+        Sketches.hllRegisters(b, "source", "w", p = 10), "source", p = 10)
+      val exact = a.select("source", "w").distinct()
+        .intersect(b.select("source", "w").distinct())
+        .groupBy("source").agg(count(lit(1)).as("exact_intersect"))
+      est.join(exact, Seq("source"), "left")
+        .withColumn("exact_intersect", coalesce(col("exact_intersect"), lit(0L)))
+        .orderBy("source")
+    },
+    Some("SELECT * FROM (" + Sketches.hllIntersectSql(
+      s"SELECT source, unnest(${TextFunctions.wordsSql("text")}) AS k FROM documents WHERE (doc_id // 20) % 2 = 0",
+      s"SELECT source, unnest(${TextFunctions.wordsSql("text")}) AS k FROM documents WHERE (doc_id // 20) % 2 = 1",
+      "source", p = 10) + ") ORDER BY source")
+  )
+
   /** The PERSISTED sketch lifecycle: the corpus split into two shards
     * (doc_id parity), each shard's HLL registers written with the
     * commit-marker manifest, read back, and MERGED (elementwise max) —
@@ -3144,7 +3175,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    hllDistinctQ, hllAggQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, entityMatch,
+    hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

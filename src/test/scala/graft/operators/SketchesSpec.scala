@@ -192,6 +192,19 @@ class SketchesSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"histogram join must not sort-merge:\n$plan")
   }
 
+  test("hllIntersectEstimate: inclusion-exclusion tracks a planted overlap") {
+    def keys(lo: Int, hi: Int) = (lo until hi).map(i => ("g", s"k$i")).toDF("g", "k")
+    def est(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Double =
+      Sketches.hllIntersectEstimate(
+        Sketches.hllRegisters(a, "g", "k", p = 12),
+        Sketches.hllRegisters(b, "g", "k", p = 12), "g", p = 12)
+        .collect().head.getAs[Double]("est_intersect")
+    val overlap = est(keys(0, 1000), keys(500, 1500)) // true intersection 500
+    assert(math.abs(overlap - 500.0) < 100.0, s"overlap estimate $overlap")
+    val disjoint = est(keys(0, 1000), keys(5000, 6000)) // true 0
+    assert(math.abs(disjoint) < 100.0, s"disjoint estimate $disjoint")
+  }
+
   test("psiDrift: ~0 on identical slices, large on a shift, full grid, partition-stable") {
     val a = (0 until 1000).map(i => ("g", (i % 50).toLong)).toDF("g", "v")
     val shifted = (0 until 1000).map(i => ("g", (i % 50).toLong + 60)).toDF("g", "v")
