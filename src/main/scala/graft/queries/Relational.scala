@@ -718,6 +718,36 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Fuzzy join through the deletion-neighborhood rewrite
+    * ([[graft.operators.FuzzyJoin]]): customer names with one planted
+    * character mutation matched back to the clean roster within edit
+    * distance 1 — a hash EQUI-join over neighborhood variants, never
+    * |L|×|R| (PlanShapeSpec pins no product); the oracle verifies with
+    * the brute-force θ-join the rewrite replaces. */
+  val qFuzzyJoin: QueryDef = QueryDef(
+    "fuzzy_join",
+    (s, dir) => {
+      val cust = tbl(s, dir, "customer").select("c_custkey", "c_name")
+      val dirty = cust.select(col("c_custkey").as("did"),
+        concat(expr("substring(c_name, 1, 10 + c_custkey % 8 - 1)"), lit("X"),
+          expr("substring(c_name, 10 + c_custkey % 8 + 1)")).as("name"))
+      graft.operators.FuzzyJoin.withinEditDistance(
+          dirty, cust.select(col("c_custkey"), col("c_name").as("name")),
+          leftId = "did", rightId = "c_custkey", strCol = "name", maxDist = 1)
+        .orderBy("did", "c_custkey")
+    },
+    Some("""
+      WITH dirty AS (
+        SELECT c_custkey AS did,
+          substring(c_name, 1, 10 + c_custkey % 8 - 1) || 'X' ||
+            substring(c_name, 10 + c_custkey % 8 + 1) AS name
+        FROM customer)
+      SELECT did, c_custkey, CAST(levenshtein(d.name, c.c_name) AS INT) AS dist
+      FROM dirty d JOIN customer c ON levenshtein(d.name, c.c_name) <= 1
+      ORDER BY did, c_custkey
+    """.stripMargin.trim)
+  )
+
   /** Fixed-point PageRank over the customer↔supplier trading graph
     * (distinct pairs via orders⋈lineitem, both directions so the walk
     * is symmetric; supplier ids offset to disjoint the key spaces).
@@ -785,6 +815,6 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
-    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks
+    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin
   )
 }
