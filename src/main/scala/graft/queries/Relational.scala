@@ -718,6 +718,36 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Bloom semi-join reduction ([[graft.operators.SemiReduce]]): a
+    * month of orders joins the full lineitem with the fact side
+    * Bloom-prefiltered by the order-key set — identical result to the
+    * plain join (the oracle IS the plain join), shuffle volume cut to
+    * the matching sliver. PlanShapeSpec pins the codegen probe below
+    * the join. */
+  val qBloomSemiReduce: QueryDef = QueryDef(
+    "q_bloom_semi_reduce",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ord = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-06-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SemiReduce.bloomPrefilteredJoin(li, ord, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_items,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.stripMargin.trim)
+  )
+
   /** Fuzzy join through the deletion-neighborhood rewrite
     * ([[graft.operators.FuzzyJoin]]): customer names with one planted
     * character mutation matched back to the clean roster within edit
@@ -815,6 +845,6 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
-    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin
+    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce
   )
 }

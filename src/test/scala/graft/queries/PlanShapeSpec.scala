@@ -318,6 +318,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sorts <= 1, s"expected <= 1 sort (presentation only), got $sorts:\n$p")
   }
 
+  test("q_bloom_semi_reduce: the codegen Bloom probe filters the fact side below the join") {
+    val p = plan("q_bloom_semi_reduce")
+    assert(p.contains("bloom_might_contain"), s"Bloom probe missing from the plan:\n$p")
+    // the probe must sit on the scan side, BEFORE the join
+    val probeIdx = p.indexOf("bloom_might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe not below the join (tree prints parents first):\n$p")
+  }
+
   test("zorder_layout: the box query prunes z-prefix partition dirs") {
     val p = plan("zorder_layout")
     assert(p.contains("PartitionFilters") && p.contains("zp"),
