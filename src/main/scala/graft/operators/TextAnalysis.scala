@@ -690,6 +690,57 @@ object TextAnalysis {
   def charTrigrams(t: Column): Column =
     coalesce(graft.plans.CharNgrams(t, 3), array().cast("array<string>"))
 
+  /** Feature-hashed text embeddings (the hashing trick, Weinberger et
+    * al., ICML'09): each char trigram hashes to a dimension and a ±1
+    * sign, and the document's vector is the signed occurrence count
+    * per dimension — a model-free dense representation whose cosine
+    * tracks trigram-profile overlap, good enough to drive the ANN /
+    * near-dup / SemDeDup tiers end-to-end from raw text with zero
+    * external artifacts.
+    *
+    * Everything is content-addressed integers until the final cast
+    * (counts in BIGINT, dimensions/signs from the md5 hash), so the
+    * DuckDB twin replays vectors exactly and cosines computed from
+    * them are bit-identical. Map-only up to the (id, dim) aggregate;
+    * the vector assembly is an order-independent map build. Documents
+    * with no trigrams embed as the zero vector (cosine guards apply
+    * downstream).
+    *
+    * @return (id, embedding: array<double> of length `dim`) */
+  def hashedEmbedding(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
+    val cells = df
+      .select(col(idCol).as("id"), explode(charTrigrams(col(textCol))).as("g"))
+      .select(col("id"), portableHash60(concat(lit("emb:"), col("g"))).as("h"))
+      .select(col("id"), (col("h") % dim).as("d"),
+        when(expr(s"h div $dim % 2") === 0, lit(1L)).otherwise(lit(-1L)).as("s"))
+      .groupBy("id", "d").agg(sum("s").as("v"))
+    val maps = cells.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("d"), col("v")))).as("m"))
+    df.select(col(idCol).as("id"))
+      .join(maps, Seq("id"), "left")
+      .select(col("id"), transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("double"))
+        .as("embedding"))
+  }
+
+  /** DuckDB twin of [[hashedEmbedding]] over `input` (id, text):
+    * emits `hemb(id, vec)`. */
+  def hashedEmbeddingSql(input: String, dim: Int): String =
+    s"""hsrc AS (SELECT id, text FROM ($input)),
+      htri AS (SELECT id, unnest(list_transform(generate_series(1, length(text) - 2),
+                 i -> substr(text, i, 3))) AS g
+               FROM hsrc WHERE length(text) >= 3),
+      hhx AS (SELECT id, ${graft.functions.TextFunctions.portableHash60Sql("'emb:' || g")} AS h FROM htri),
+      hcell AS (SELECT id, h % $dim AS d,
+                  CAST(SUM(CASE WHEN (h // $dim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+                FROM hhx GROUP BY 1, 2),
+      hgrid AS (SELECT s.id, t.d FROM hsrc s CROSS JOIN range($dim) t(d)),
+      hemb AS (SELECT g.id, list(CAST(COALESCE(c.v, 0) AS DOUBLE) ORDER BY g.d) AS vec
+               FROM hgrid g LEFT JOIN hcell c ON c.id = g.id AND c.d = g.d
+               GROUP BY g.id)"""
+
   /** Character-trigram LM quality score — the CCNet perplexity-filter
     * slot (Wenzek et al., LREC'20), self-trained: fit add-one-smoothed
     * conditional trigram counts on `fitDf`, then score each document of

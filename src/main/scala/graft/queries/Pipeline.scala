@@ -1071,6 +1071,35 @@ object Pipeline {
     )
   }
 
+  /** Raw text → dense vectors → similarity search with ZERO external
+    * artifacts: [[TextAnalysis.hashedEmbedding]] (feature-hashed char
+    * trigrams, exact integers until the final cast) feeds the SAME
+    * [[SimilaritySearch.cosineTopK]] the real-embedding tier uses —
+    * the end-to-end bridge between the text and ANN tiers. The oracle
+    * replays vector construction and cosine bit-for-bit. */
+  val textEmbedTopK: QueryDef = QueryDef(
+    "text_embed_topk",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = TextAnalysis.hashedEmbedding(docs, "doc_id", "text", dim = 64)
+      SimilaritySearch.cosineTopK(emb, emb.filter(col("id") < 10), "id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH ${TextAnalysis.hashedEmbeddingSql("SELECT doc_id AS id, text FROM documents", 64)},
+      q AS (SELECT id AS query_id, vec AS qvec FROM hemb WHERE id < 10),
+      c AS (SELECT id AS neighbor_id, vec AS cvec FROM hemb),
+      sc AS (
+        SELECT query_id, neighbor_id,
+          round(${SimilaritySearch.cosineSql("qvec", "cvec", 64)}, 9) AS cos
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+      ),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+      SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim)
+  )
+
   val embedAnn: QueryDef = QueryDef(
     "embed_ann",
     (s, dir) => {
@@ -3181,7 +3210,7 @@ object Pipeline {
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
-    embedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
+    embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )

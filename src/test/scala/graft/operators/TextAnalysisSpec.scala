@@ -394,4 +394,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Int]("n_words") == 0)
     assert(r.getAs[Int]("keep") == 0 && r.getAs[String]("reason") == "too_few_words")
   }
+
+  test("hashedEmbedding: near-clones cohere, unrelated text does not; zero vector for tiny docs") {
+    val base = "the quick brown fox jumps over the lazy dog by the cold river bank"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " again"),                       // near-clone
+      (3L, "zzz qqq xxx completely different gibberish tokens unrelated entirely"),
+      (4L, "ab")                                   // < 3 chars of trigram fodder
+    ).toDF("id", "text")
+    val emb = TextAnalysis.hashedEmbedding(df, "id", "text", dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(emb.values.forall(_.length == 64))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(cos(emb(1L), emb(2L)) > 0.9, s"clone cosine ${cos(emb(1L), emb(2L))}")
+    assert(cos(emb(1L), emb(3L)) < 0.5, s"unrelated cosine ${cos(emb(1L), emb(3L))}")
+    assert(emb(4L).forall(_ == 0.0)) // no trigrams -> zero vector, row still present
+    // deterministic across partitionings
+    val again = TextAnalysis.hashedEmbedding(df.repartition(5), "id", "text", dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == emb)
+    intercept[IllegalArgumentException](TextAnalysis.hashedEmbedding(df, "id", "text", dim = 1))
+  }
 }
