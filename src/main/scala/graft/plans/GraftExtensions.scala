@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.hllSketchAggDescriptor)
     ext.injectFunction(GraftExtensions.cdcBoundariesDescriptor)
+    ext.injectOptimizerRule(_ => HammingZeroAsEquality)
   }
 }
 

@@ -718,6 +718,34 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** The injected optimizer rule at work
+    * ([[graft.plans.HammingZeroAsEquality]]): an exact-duplicate
+    * similarity join WRITTEN as the θ-predicate
+    * `hamming_distance(ha, hb) = 0` — which Catalyst alone can only
+    * nested-loop — planned as a hash equi-join because the rule
+    * rewrites distance-zero to binary equality (exact: the kernel
+    * counts length-difference bytes as 8 bits each, so distance 0 ⟺
+    * bytes equal). PlanShapeSpec pins the BNLJ → hash-join flip. */
+  val qHammingZeroJoin: QueryDef = QueryDef(
+    "q_hamming_zero_join",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), unhex(md5((col("doc_id") % 100).cast("string"))).as("h"))
+      val l = d.select(col("doc_id").as("id_a"), col("h").as("ha"))
+      val r = d.select(col("doc_id").as("id_b"), col("h").as("hb"))
+      l.join(r, graft.plans.HammingDistance(col("ha"), col("hb")) === 0 &&
+          col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, md5(CAST(doc_id % 100 AS VARCHAR)) AS h FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b
+    """.stripMargin.trim)
+  )
+
   /** Bloom semi-join reduction ([[graft.operators.SemiReduce]]): a
     * month of orders joins the full lineitem with the fact side
     * Bloom-prefiltered by the order-key set — identical result to the
@@ -845,6 +873,6 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
-    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce
+    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin
   )
 }

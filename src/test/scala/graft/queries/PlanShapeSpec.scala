@@ -328,6 +328,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"probe not below the join (tree prints parents first):\n$p")
   }
 
+  test("q_hamming_zero_join: the injected rule flips the distance-0 θ-join to a hash join") {
+    // the shared test session has no extensions — attach the rule the
+    // same way a user session would pick it up at runtime
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.HammingZeroAsEquality))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.HammingZeroAsEquality
+    val p = plan("q_hamming_zero_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"rule did not fire — BNLJ planned:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash equi-join found:\n$p")
+  }
+
   test("zorder_layout: the box query prunes z-prefix partition dirs") {
     val p = plan("zorder_layout")
     assert(p.contains("PartitionFilters") && p.contains("zp"),
