@@ -511,6 +511,63 @@ object Drive {
       println(s"joined rows=${j.count()}; exchanges in plan=" +
         "Exchange hashpartitioning".r.findAllIn(j.queryExecution.executedPlan.toString).length)
     }
+    println("=== round-7 additions: graph / sampling / fusion / contracts / fuzzy ===")
+    locally {
+      import spark.implicits._
+      println("-- pageRankScaled (1⇄2, 2→3, damping 1/2) --")
+      Graphs.pageRankScaled(Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst"),
+        iterations = 2, scale = 1000L, dampNum = 1, dampDen = 2).orderBy("id").show()
+      println("-- systematicSample (step 10 over weights 1..10) --")
+      Splits.systematicSample((1L to 10L).map(i => (i, i)).toDF("id", "w"), "id", "w", 10L).show()
+      println("-- alignFrameOffset (B = A delayed by 1) --")
+      val fa = Seq((5L, 0, "ff" * 32), (5L, 1, "0f" * 32), (5L, 2, "f0" * 32))
+        .toDF("id", "frame_no", "pdq_hex")
+      val fb = Seq((5L, 0, "0f" * 32), (5L, 1, "f0" * 32)).toDF("id", "frame_no", "pdq_hex")
+      Media.alignFrameOffset(fa, fb, maxShift = 2).show()
+      println("-- sessionAggregates on a batch frame (gap 30s) --")
+      graft.streaming.StreamingDedup.sessionAggregates(
+        Seq((1L, 100L), (1L, 120L), (1L, 200L)).toDF("u", "sec")
+          .withColumn("ets", org.apache.spark.sql.functions.timestamp_seconds(
+            org.apache.spark.sql.functions.col("sec"))),
+        "u", "ets", "30 seconds", "0 seconds").show()
+      println("-- rrfFuse of two rankings --")
+      SimilaritySearch.rrfFuse(Seq(
+        Seq((10L, 1), (20L, 2)).toDF("id", "rank"),
+        Seq((20L, 1), (30L, 2)).toDF("id", "rank"))).show()
+      println("-- QualityRules contract --")
+      QualityRules.check(Seq((1L, 5.0), (1L, 200.0), (2L, 7.0)).toDF("k", "v"),
+        Seq(QualityRules.NotNull("k"), QualityRules.InRange("v", 0, 100),
+          QualityRules.Unique(Seq("k")))).show(false)
+      println("-- FuzzyJoin within edit distance 1 --")
+      FuzzyJoin.withinEditDistance(
+        Seq((1L, "spark")).toDF("lid", "name"), Seq((9L, "spork"), (8L, "flink")).toDF("rid", "name"),
+        "lid", "rid", "name", 1).show()
+      println("-- cdcChunks tiling --")
+      Dedup.cdcChunks(Seq((1L, "abcdefgh" * 12)).toDF("id", "text"), "id", "text",
+        w = 8, maskBits = 4).orderBy("chunk_no").show(false)
+      println("-- psiDrift planted shift --")
+      Sketches.psiDrift(
+        Sketches.histCounts((0 until 100).map(i => ("g", (i % 5).toLong)).toDF("g", "v"), "g", "v", 1L, 10),
+        Sketches.histCounts((0 until 100).map(i => ("g", (i % 5).toLong + 5)).toDF("g", "v"), "g", "v", 1L, 10),
+        "g", 10).agg(org.apache.spark.sql.functions.sum("term_micro").as("psi_micro")).show()
+      println("-- hllIntersectEstimate overlap --")
+      def hk(lo: Int, hi: Int) = (lo until hi).map(i => ("g", s"k$i")).toDF("g", "k")
+      Sketches.hllIntersectEstimate(
+        Sketches.hllRegisters(hk(0, 500), "g", "k", 10),
+        Sketches.hllRegisters(hk(250, 750), "g", "k", 10), "g", 10).show()
+      println("-- AsOfJoin.firstAfter --")
+      AsOfJoin.firstAfter(
+        Seq((1L, 100L, 10L)).toDF("uid", "sec", "eid"),
+        Seq((1L, 150L, 20L), (1L, 90L, 21L)).toDF("uid", "sec", "eid")
+          .withColumnRenamed("eid", "next_id").withColumn("eid", $"next_id"),
+        Seq("uid"), "sec", "eid", Seq("next_id")).show()
+      println("-- hashedEmbedding cosine of a clone pair --")
+      val he = TextAnalysis.hashedEmbedding(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog!"),
+        (3L, "unrelated words entirely different")).toDF("id", "text"), "id", "text", 64)
+      SimilaritySearch.cosineTopK(he, he.filter($"id" === 1L), "id", "embedding", 2).show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
