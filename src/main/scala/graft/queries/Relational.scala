@@ -390,6 +390,80 @@ object Relational {
     """.trim)
   )
 
+  /** Arbitrary GROUPING SETS (the general form rollup/cube specialize):
+    * per-(flag,status), per-priority, and grand-total aggregates in ONE
+    * pass, with `grouping_id` disambiguating the null-vs-subtotal
+    * encoding. */
+  val qGroupingSets: QueryDef = QueryDef(
+    "q_grouping_sets",
+    (s, dir) => {
+      tbl(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM graft_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+      """)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+             count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """.stripMargin.trim)
+  )
+
+  /** The SQL FRONT END end to end — parser, analyzer, correlated
+    * subqueries — not just the DataFrame DSL: a CTE + window + a
+    * correlated scalar subquery + EXISTS, submitted as TEXT via
+    * spark.sql over registered views. The oracle is near-verbatim
+    * (shared ANSI surface). */
+  val qSqlSurface: QueryDef = QueryDef(
+    "q_sql_surface",
+    (s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("graft_ord_sq")
+      tbl(s, dir, "customer").createOrReplaceTempView("graft_cust_sq")
+      s.sql("""
+        WITH big AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM graft_ord_sq
+        )
+        SELECT c_custkey, c_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM graft_ord_sq o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT max(o_totalprice) FROM graft_ord_sq o
+                WHERE o.o_custkey = c.c_custkey) AS top_price
+        FROM graft_cust_sq c
+        WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey AND b.rk = 1
+                        AND b.o_totalprice > 300000)
+        ORDER BY c_custkey
+      """)
+    },
+    Some("""
+      WITH big AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+      )
+      SELECT c_custkey, c_name,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders,
+             (SELECT max(o_totalprice) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS top_price
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey AND b.rk = 1
+                      AND b.o_totalprice > 300000)
+      ORDER BY c_custkey
+    """.stripMargin.trim)
+  )
+
   val qSetOps: QueryDef = QueryDef(
     "q_set_ops",
     (s, dir) => {
@@ -872,7 +946,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
-    qRollup, qCube, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
+    qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
     qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin
   )
 }
