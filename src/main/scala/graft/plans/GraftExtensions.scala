@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hllSketchAggDescriptor)
     ext.injectFunction(GraftExtensions.cdcBoundariesDescriptor)
     ext.injectOptimizerRule(_ => HammingZeroAsEquality)
+    ext.injectOptimizerRule(_ => HammingRadiusBandJoin)
   }
 }
 

@@ -820,6 +820,45 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** The radius form of the injected-rule family
+    * ([[graft.plans.HammingRadiusBandJoin]]): a NEAR-duplicate join
+    * written as the raw θ-predicate `hamming_distance(ha, hb) <= 2` —
+    * hashes tweaked by 0–2 planted bit flips in the leading nibble —
+    * planned as the pigeonhole band equi-join automatically. The
+    * oracle brute-forces every pair's distance with the chunked
+    * bit_count formula; PlanShapeSpec pins the BNLJ → band-join flip. */
+  val qHammingRadiusJoin: QueryDef = QueryDef(
+    "q_hamming_radius_join",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val base = md5((col("doc_id") % 50).cast("string"))
+      val l = d.select(col("doc_id").as("id_a"), unhex(base).as("ha"))
+      val nib = conv(substring(base, 1, 1), 16, 10).cast("int")
+      val tweaked = concat(
+        lower(conv(nib.bitwiseXOR((col("doc_id") % 4).cast("int")).cast("string"), 10, 16)),
+        substring(base, 2, 31))
+      val r = d.select(col("doc_id").as("id_b"), unhex(tweaked).as("hb"))
+      l.join(r, graft.plans.HammingDistance(col("ha"), col("hb")) <= 2)
+        .select(col("id_a"), col("id_b"),
+          graft.plans.HammingDistance(col("ha"), col("hb")).as("dist"))
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val chunks = (0 until 4).map { i =>
+        s"bit_count(xor(CAST('0x' || substr(hxa, ${i * 8 + 1}, 8) AS BIGINT), CAST('0x' || substr(hxb, ${i * 8 + 1}, 8) AS BIGINT)))"
+      }.mkString(" + ")
+      s"""
+      WITH b AS (SELECT doc_id, md5(CAST(doc_id % 50 AS VARCHAR)) AS m FROM documents),
+      l AS (SELECT doc_id AS id_a, m AS hxa FROM b),
+      r AS (SELECT doc_id AS id_b,
+              lower(to_hex(xor(CAST('0x' || substr(m, 1, 1) AS BIGINT), doc_id % 4))) || substr(m, 2, 31) AS hxb
+            FROM b)
+      SELECT id_a, id_b, CAST(d AS INT) AS dist FROM (
+        SELECT id_a, id_b, $chunks AS d FROM l, r)
+      WHERE d <= 2 ORDER BY id_a, id_b""".trim
+    }
+  )
+
   /** Bloom semi-join reduction ([[graft.operators.SemiReduce]]): a
     * month of orders joins the full lineitem with the fact side
     * Bloom-prefiltered by the order-key set — identical result to the
@@ -947,6 +986,6 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
-    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin
+    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin
   )
 }

@@ -1,0 +1,78 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class HammingRadiusBandJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withRule[T](f: => T): T = {
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ HammingRadiusBandJoin
+    try f finally spark.experimental.extraOptimizations = before
+  }
+
+  private def randHex(rng: scala.util.Random, bytes: Int): String =
+    Seq.fill(bytes * 2)("0123456789abcdef"(rng.nextInt(16))).mkString
+
+  private def flipBits(rng: scala.util.Random, hex: String, nBits: Int): String = {
+    val arr = hex.sliding(2, 2).map(h => Integer.parseInt(h, 16)).toArray
+    var flipped = 0
+    val out = arr.clone()
+    while (flipped < nBits) {
+      val bit = rng.nextInt(arr.length * 8)
+      out(bit / 8) ^= (1 << (bit % 8)) // may re-flip: distance <= nBits
+      flipped += 1
+    }
+    out.map(v => f"$v%02x").mkString
+  }
+
+  test("band rewrite ≡ θ-join on random corpora: radii 1..7, mixed lengths, duplicates") {
+    val rng = new scala.util.Random(31)
+    // clusters of near hashes (some 16-byte, some 8-byte), plus a DUPLICATE row
+    val base = Seq.fill(12)(randHex(rng, if (rng.nextBoolean()) 16 else 8))
+    val l0 = base.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val l = (l0 :+ (99L, l0.head._2)).toDF("lid", "hx") // duplicate hash content
+      .select($"lid", unhex($"hx").as("ha"))
+    val r = base.zipWithIndex.flatMap { case (h, i) =>
+      Seq((1000L + i, flipBits(rng, h, rng.nextInt(4))), (2000L + i, randHex(rng, 16)))
+    }.toDF("rid", "hx").select($"rid", unhex($"hx").as("hb"))
+    for (k <- Seq(1, 3, 7)) {
+      val cond = HammingDistance($"ha", $"hb") <= k
+      val want = l.join(r, cond).select("lid", "rid").as[(Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val got = withRule(l.join(r, cond).select("lid", "rid").as[(Long, Long)].collect())
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == want, s"k=$k") // exact multiset: claim-once semantics hold
+    }
+  }
+
+  test("plan flips to a hash equi-join; radius >= 8 and annulus predicates stay θ") {
+    val l = Seq((1L, "00" * 16)).toDF("lid", "hx").select($"lid", unhex($"hx").as("ha"))
+    val r = Seq((2L, "01" * 16)).toDF("rid", "hx").select($"rid", unhex($"hx").as("hb"))
+    withRule {
+      val p = l.join(r, HammingDistance($"ha", $"hb") <= 3)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"no band equi-join:\n$p")
+      val p8 = l.join(r, HammingDistance($"ha", $"hb") <= 8)
+        .queryExecution.executedPlan.toString
+      assert(p8.contains("BroadcastNestedLoopJoin"), s"k=8 wrongly rewritten:\n$p8")
+      val pEq = l.join(r, HammingDistance($"ha", $"hb") === 3)
+        .queryExecution.executedPlan.toString
+      assert(pEq.contains("BroadcastNestedLoopJoin"), s"annulus wrongly rewritten:\n$pEq")
+    }
+  }
+
+  test("extra conjuncts ride along; null hashes never match") {
+    val l = Seq((1L, Some("ab" * 16)), (2L, Some("ab" * 16)), (3L, None))
+      .toDF("lid", "hx").select($"lid", unhex($"hx").as("ha"))
+    val r = Seq((10L, Some("ab" * 16)), (11L, None)).toDF("rid", "hx")
+      .select($"rid", unhex($"hx").as("hb"))
+    val cond = HammingDistance($"ha", $"hb") <= 2 && $"lid" < 2
+    val want = l.join(r, cond).select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(want == Set((1L, 10L)))
+    assert(withRule(l.join(r, cond).select("lid", "rid").as[(Long, Long)].collect().toSet) == want)
+  }
+}

@@ -340,6 +340,16 @@ class PlanShapeSpec extends SparkTestBase {
       p.contains("ShuffledHashJoin"), s"no hash equi-join found:\n$p")
   }
 
+  test("q_hamming_radius_join: the band rule flips the radius θ-join to an equi-join") {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.HammingRadiusBandJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.HammingRadiusBandJoin
+    val p = plan("q_hamming_radius_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"band rule did not fire:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no band equi-join found:\n$p")
+  }
+
   test("zorder_layout: the box query prunes z-prefix partition dirs") {
     val p = plan("zorder_layout")
     assert(p.contains("PartitionFilters") && p.contains("zp"),
