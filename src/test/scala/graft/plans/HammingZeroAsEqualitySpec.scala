@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 class HammingZeroAsEqualitySpec extends SparkTestBase {
   import spark.implicits._
 
+  // isolate from suite ordering: other specs may have attached the
+  // RADIUS band rule to the shared session, which legitimately rewrites
+  // the radius θ-joins this spec asserts stay nested-loop
   private def withRule[T](f: => T): T = {
     val before = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = before :+ HammingZeroAsEquality
+    spark.experimental.extraOptimizations =
+      before.filterNot(_ == HammingRadiusBandJoin) :+ HammingZeroAsEquality
     try f finally spark.experimental.extraOptimizations = before
   }
 
