@@ -886,6 +886,33 @@ object Media {
         col("m.avg_dist").as("avg_dist"), col("m.n_frames").as("n_frames"))
   }
 
+  /** Shot-boundary (scene-cut) detection over per-frame hashes: a cut
+    * is a frame whose PDQ distance to its PREDECESSOR exceeds the
+    * threshold — within a shot consecutive frames drift a few bits,
+    * across a cut the DCT signature jumps. The keyframe-selection
+    * primitive: dedup/index one representative per shot instead of
+    * every frame. One window exchange on the clip id (lag over
+    * frame_no); distances ride the codegen'd word-XOR kernel.
+    *
+    * @return (id, frame_no, dist_prev [null for frame 0], is_cut —
+    *         frame 0 always opens a shot, shot_no running count) */
+  def shotBoundaries(frames: DataFrame, threshold: Int): DataFrame = {
+    require(threshold >= 1 && threshold <= 256, s"threshold must be in [1, 256], got $threshold")
+    import graft.functions.HashFunctions.{canonicalHex64, hammingWords, hexToWords}
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("frame_no")
+    frames
+      .select(col("id"), col("frame_no"),
+        hexToWords(canonicalHex64(col("pdq_hex"))).as("__w"))
+      .withColumn("__pw", lag("__w", 1).over(w))
+      .withColumn("dist_prev",
+        when(col("__pw").isNull, lit(null).cast("int"))
+          .otherwise(hammingWords(col("__w"), col("__pw"))))
+      .withColumn("is_cut", (col("dist_prev").isNull || col("dist_prev") > threshold).cast("int"))
+      .withColumn("shot_no",
+        sum("is_cut").over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)) - 1)
+      .select("id", "frame_no", "dist_prev", "is_cut", "shot_no")
+  }
+
   /** PDQ hashes computed FROM PIXELS: payload → [[PixelDecoder]] →
     * [[PdqHash.hashImage]] (luma → 64×64 box downsample → 16×16 DCT →
     * median threshold), partition-batched like the other media kernels.

@@ -156,6 +156,26 @@ class MediaSpec extends SparkTestBase {
     assert(got(4).pdq_hex == null && got(4).quality == -1L)
   }
 
+  test("shotBoundaries: cuts where the lagged distance exceeds threshold; frame 0 opens shot 0") {
+    def hx(v: Int): String = java.lang.Long.toHexString(v.toLong & 0xf).head.toString * 64
+    // per-nibble distance between hx(1) and hx(2) = 2 bits * 64 = 128; hx(1)->hx(3) = 64
+    val frames = Seq(
+      (1L, 0, hx(1)), (1L, 1, hx(3)), (1L, 2, hx(4)), (1L, 3, hx(4)),
+      (2L, 0, hx(5))
+    ).toDF("id", "frame_no", "pdq_hex")
+    val got = Media.shotBoundaries(frames, threshold = 100)
+      .orderBy("id", "frame_no")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0, -1, 1, 0L),   // opener
+      (1L, 1, 64, 0, 0L),   // drift stays in shot 0
+      (1L, 2, 192, 1, 1L),  // hx(3)->hx(4): 3 bits/nibble = 192 > 100 -> cut
+      (1L, 3, 0, 0, 1L),    // identical frame
+      (2L, 0, -1, 1, 0L)))  // independent clip
+    intercept[IllegalArgumentException](Media.shotBoundaries(frames, 0))
+  }
+
   test("alignFrameOffset: argmin over shifts, tie prefers smaller offset, overlap shrinks") {
     // 64-hex frame "hashes" with controlled pairwise distances: frame
     // value v -> hex of v repeated; distance between frames = popcount
