@@ -78,6 +78,83 @@ object Graphs {
     ranks
   }
 
+  /** Per-node triangle participation counts over an undirected simple
+    * graph, via degree-ordered edge orientation (Schank & Wagner,
+    * WEA'05; the `forward` algorithm) — the skew-safe formulation:
+    *
+    *  1. canonicalize to distinct undirected edges (u < v, loops
+    *     dropped);
+    *  2. orient every edge from its lower-(degree, id) endpoint to the
+    *     higher one. Every node's OUT-degree in the oriented graph is
+    *     O(√m) regardless of its raw degree — a celebrity node with
+    *     10^7 followers contributes no 10^14-row wedge blowup, because
+    *     wedges enumerate ordered pairs of OUT-neighbors only;
+    *  3. wedges = oriented ⋈ oriented on (b = a'), closed by a third
+    *     equi-join against the oriented edge set. Every triangle
+    *     appears exactly once (at its lowest-(deg,id) corner), so no
+    *     dedupe shuffle is needed;
+    *  4. corners explode back to per-node counts, left-joined to the
+    *     node set so triangle-free nodes report 0.
+    *
+    * All three joins are hash equi-joins on slim (long, long) rows —
+    * AQE-splittable, no product anywhere (PlanShapeSpec pins it). The
+    * DuckDB oracle counts by an INDEPENDENT method (brute u<v<w
+    * closure over canonical edges), so a miscount in the orientation
+    * logic cannot self-confirm.
+    *
+    * @return (id, tri) — one row per node appearing in any edge
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") < col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient u→v when (deg(u), u) < (deg(v), v); u < v already, so the
+    // tie case keeps the canonical direction
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+    val fwd = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("u")).otherwise(col("v")).as("a"),
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("v")).otherwise(col("u")).as("b"))
+    val e1 = fwd.select(col("a"), col("b"))
+    val e2 = fwd.select(col("a").as("b"), col("b").as("c"))
+    val e3 = fwd.select(col("a"), col("b").as("c"))
+    val tris = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+    val corner = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.select(col("id"))
+      .join(corner, Seq("id"), "left")
+      .select(col("id"), coalesce(col("tri"), lit(0L)).as("tri"))
+  }
+
+  /** DuckDB twin of [[triangleCounts]] — deliberately the OTHER
+    * algorithm: brute closure over canonical u<v edges (each triangle
+    * u<v<w counted once at its ordered form). Emits
+    * `SELECT id, tri FROM ...` over an `edges(src, dst)` relation
+    * named by `edgesCte`; append ORDER BY at the call site. */
+  def triangleCountsSql(edgesCte: String): String =
+    s"""tc_e AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM $edgesCte WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+        tc_t AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM tc_e e1 JOIN tc_e e2 ON e2.u = e1.v
+               JOIN tc_e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        tc_n AS (SELECT u AS id FROM tc_e UNION SELECT v FROM tc_e),
+        tc_c AS (
+          SELECT id, count(*) AS tri FROM (
+            SELECT a AS id FROM tc_t UNION ALL
+            SELECT b FROM tc_t UNION ALL
+            SELECT c FROM tc_t) GROUP BY id)
+        SELECT n.id AS id, CAST(COALESCE(c.tri, 0) AS BIGINT) AS tri
+        FROM tc_n n LEFT JOIN tc_c c ON c.id = n.id"""
+
   /** DuckDB twin of [[pageRankScaled]]: the same iterations unrolled as
     * CTEs over an `edges(src, dst)` relation named by `edgesCte`.
     * Emits `SELECT id, r FROM r<iterations>` (append ORDER BY at the

@@ -705,4 +705,69 @@ object Sketches {
     SELECT ${cols.mkString(", ")}, bucket, (cum * 1000000) // n AS pct_micro
     FROM src JOIN hcum USING ($grpCol, bucket)"""
   }
+
+  /** Exact per-group lower median — k-th order statistic at
+    * k = (n+1) div 2 — by histogram refinement, the second
+    * sketch-driven EXACT answer next to [[heavyHitters]]:
+    *
+    *  1. one scan builds the per-group bucket histogram (≤ groups·nb
+    *     rows, map-side combinable);
+    *  2. the cumulative window — over THAT tiny relation only — finds
+    *     each group's candidate bucket (first with cum ≥ k) and the
+    *     count strictly below it;
+    *  3. the second scan keeps only candidate-bucket rows (broadcast
+    *     semi shape, like [[histCalibrate]]'s join-back) and ranks
+    *     within (group, bucket): the answer is rank k − below.
+    *
+    * The per-group sort therefore touches ~n/nb rows instead of n —
+    * at 100 TB the global sort a naive `ORDER BY` median needs never
+    * happens, yet the result is EXACT and histogram-parameter-
+    * independent, which the oracle exploits: the DuckDB twin computes
+    * the same statistic by direct full-partition row_number, so a
+    * bucket-boundary bug cannot self-confirm. Equal values may split
+    * across the rank boundary arbitrarily, but the VALUE at rank k is
+    * well-defined on the multiset — the output is deterministic.
+    *
+    * Values must be non-negative BIGINTs (shift upstream — truncating
+    * vs flooring div on negatives is the usual cross-engine trap) with
+    * max < step·nb so the clamp bucket stays honest.
+    *
+    * @return (grpCol, n, median) — one row per group
+    */
+  def exactMedian(df: DataFrame, grpCol: String, valCol: String, step: Long, nb: Int): DataFrame = {
+    require(step >= 1 && nb >= 2, s"need step >= 1, nb >= 2; got step=$step nb=$nb")
+    val counts = histCounts(df, grpCol, valCol, step, nb)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grpCol).orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cand = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(grpCol)))
+      .withColumn("k", expr("(n + 1) div 2"))
+      .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+      .select(col(grpCol), col("bucket"), (col("cum") - col("c")).as("below"),
+        col("k"), col("n"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(grpCol).orderBy(valCol)
+    df.filter(col(valCol).isNotNull)
+      .withColumn("bucket",
+        least(expr(s"CAST($valCol AS BIGINT) div $step"), lit(nb - 1L)))
+      .join(broadcast(cand), Seq(grpCol, "bucket"))
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") === col("k") - col("below"))
+      .select(col(grpCol), col("n"), col(valCol).cast("long").as("median"))
+  }
+
+  /** DuckDB twin of [[exactMedian]] — deliberately the DIRECT method
+    * (full-partition row_number), independent of the histogram
+    * refinement. `input` projects the (group, value) row shape. */
+  def exactMedianSql(input: String, grpCol: String, valExpr: String): String =
+    s"""WITH em_src AS (SELECT $grpCol, CAST($valExpr AS BIGINT) AS v
+                        FROM ($input) WHERE $valExpr IS NOT NULL),
+      em_r AS (SELECT $grpCol, v,
+                 row_number() OVER (PARTITION BY $grpCol ORDER BY v) AS rn,
+                 CAST(count(*) OVER (PARTITION BY $grpCol) AS BIGINT) AS n
+               FROM em_src)
+    SELECT $grpCol, n, v AS median FROM em_r WHERE rn = (n + 1) // 2"""
 }

@@ -983,9 +983,161 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Per-node triangle counts over the customer co-purchase graph —
+    * customers linked when they bought the same part in the same
+    * ship-week. The edge build is one (part, week) equi-self-join on
+    * the DISTINCT (customer, part·10^5+week) relation (tiny
+    * co-occurrence lists — the key carries the week so a popular part
+    * never forms one giant clique), and [[Graphs.triangleCounts]] runs
+    * the degree-oriented forward algorithm on top: three hash
+    * equi-joins, out-degree bounded O(√m) per node regardless of raw
+    * degree. The oracle counts triangles by the independent brute
+    * u<v<w closure. */
+  val qTriangles: QueryDef = QueryDef(
+    "q_triangles",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        expr("unix_micros(l_shipdate) div 604800000000").as("wk"))
+      val ord = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_partkey") * 100000L + col("wk")).as("p"))
+        .distinct()
+      val a = cp.select(col("c").as("src"), col("p"))
+      val b = cp.select(col("c").as("dst"), col("p"))
+      val edges = a.join(b, Seq("p")).filter(col("src") < col("dst"))
+        .select("src", "dst").distinct()
+      Graphs.triangleCounts(edges).orderBy("id")
+    },
+    Some(s"""
+      WITH tc_cp AS (
+        SELECT DISTINCT o_custkey AS c,
+          l_partkey * 100000 + epoch_ns(l_shipdate) // 604800000000000 AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      tc_edges AS (
+        SELECT a.c AS src, b.c AS dst
+        FROM tc_cp a JOIN tc_cp b ON a.p = b.p AND a.c < b.c
+        GROUP BY 1, 2),
+      ${Graphs.triangleCountsSql("tc_edges")} ORDER BY 1
+    """.stripMargin.trim)
+  )
+
+  /** Exact per-nation median customer balance by histogram refinement
+    * ([[graft.operators.Sketches.exactMedian]]): the candidate bucket
+    * comes from a ≤ groups·nb-row histogram, and the per-group sort
+    * touches only that bucket's rows — no global sort at 100 TB, yet
+    * the answer is exact and histogram-parameter-independent, which
+    * the oracle proves by computing the same statistic via direct
+    * full-partition row_number. Balances shift +100000 cents first so
+    * the bucket division never sees a negative value. */
+  val qExactMedian: QueryDef = QueryDef(
+    "exact_median",
+    (s, dir) => {
+      val c = tbl(s, dir, "customer").select(col("c_nationkey"),
+        (expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)") + lit(100000L)).as("bal"))
+      graft.operators.Sketches.exactMedian(c, "c_nationkey", "bal", step = 10000L, nb = 128)
+        .select(col("c_nationkey"), col("n"), (col("median") - lit(100000L)).as("median_cents"))
+        .orderBy("c_nationkey")
+    },
+    Some(s"""
+      ${graft.operators.Sketches.exactMedianSql(
+        "SELECT c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000 AS bal FROM customer",
+        "c_nationkey", "bal")
+        .replace("SELECT c_nationkey, n, v AS median",
+          "SELECT c_nationkey, n, v - 100000 AS median_cents")}
+      ORDER BY c_nationkey
+    """.stripMargin.trim)
+  )
+
+  /** Per-user daily activity with gap-filling and a fixed-point EWMA:
+    * missing days inside each user's observed span materialize as
+    * zero-count rows (`sequence` + explode — fan-out bounded by the
+    * span, not the corpus), then an 8-tap exponential smoother with
+    * α = 1/2 runs as an unrolled lag chain over the dense series:
+    * weights 2^7..2^0 (sum 255), `ewma_milli = (Σ·1000) div 255` —
+    * exact BIGINT end to end, so DuckDB replays it bit-for-bit. One
+    * window exchange per user; the K-tap truncation IS the operator's
+    * definition (tail weight < 1/255 of the newest sample), not an
+    * approximation of an unbounded recurrence. */
+  val qGapfillEwma: QueryDef = QueryDef(
+    "q_gapfill_ewma",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val daily = ev.groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+      val grid = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+      val filled = grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val num = (0 to 7).map { j =>
+        coalesce(lag(col("cnt"), j).over(w), lit(0L)) * lit(1L << (7 - j))
+      }.reduce(_ + _)
+      filled.withColumn("__num", num)
+        .select(col("user_id"), col("day"), col("cnt"),
+          expr("(__num * 1000) div 255").as("ewma_milli"))
+        .orderBy("user_id", "day")
+    },
+    Some {
+      val lags = (1 to 7).map(j => s"COALESCE(lag(cnt, $j) OVER w, 0) AS c$j").mkString(", ")
+      val num = "cnt * 128 + " + (1 to 7).map(j => s"c$j * ${1L << (7 - j)}").mkString(" + ")
+      s"""
+      WITH gf_ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+      gf_daily AS (SELECT user_id, day, count(*) AS cnt FROM gf_ev GROUP BY 1, 2),
+      gf_grid AS (
+        SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+        FROM gf_daily GROUP BY user_id),
+      gf_filled AS (
+        SELECT g.user_id, g.day, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt
+        FROM gf_grid g LEFT JOIN gf_daily d ON d.user_id = g.user_id AND d.day = g.day),
+      gf_l AS (
+        SELECT user_id, day, cnt, $lags FROM gf_filled
+        WINDOW w AS (PARTITION BY user_id ORDER BY day))
+      SELECT user_id, day, cnt, CAST((($num) * 1000) // 255 AS BIGINT) AS ewma_milli
+      FROM gf_l ORDER BY user_id, day
+      """.trim
+    }
+  )
+
+  /** Wide→long reshaping through Spark's native `unpivot` (the
+    * `stack`/melt surface): three exact-integer lineitem measures fold
+    * into (metric, val) rows — the map-only reshape a feature-store
+    * export needs — then a per-metric aggregate pins the semantics.
+    * The oracle is the UNION ALL the operator replaces. */
+  val qUnpivot: QueryDef = QueryDef(
+    "q_unpivot",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qty_c"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("price_c"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").as("disc_c"))
+      li.unpivot(Array.empty[Column],
+          Array(col("qty_c"), col("price_c"), col("disc_c")), "metric", "val")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), sum("val").as("total"),
+          min("val").as("lo"), max("val").as("hi"))
+        .orderBy("metric")
+    },
+    Some("""
+      WITH up_src AS (
+        SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_c
+        FROM lineitem),
+      up_long AS (
+        SELECT 'qty_c' AS metric, qty_c AS val FROM up_src
+        UNION ALL SELECT 'price_c', price_c FROM up_src
+        UNION ALL SELECT 'disc_c', disc_c FROM up_src)
+      SELECT metric, count(*) AS n, CAST(sum(val) AS BIGINT) AS total,
+        min(val) AS lo, max(val) AS hi
+      FROM up_long GROUP BY metric ORDER BY metric
+    """.stripMargin.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
-    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin
+    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin,
+    qTriangles, qExactMedian, qGapfillEwma, qUnpivot
   )
 }

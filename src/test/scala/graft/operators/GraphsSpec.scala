@@ -45,4 +45,62 @@ class GraphsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Graphs.pageRankScaled(edges, dampNum = 3, dampDen = 2))
   }
+
+  private def triMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    Graphs.triangleCounts(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: hand graphs — K4, path, triangle with a pendant") {
+    // K4: every node sits on C(3,2) = 3 triangles
+    val k4 = (for { u <- 1L to 4L; v <- 1L to 4L if u < v } yield (u, v)).toDF("src", "dst")
+    assert(triMap(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // path 1-2-3-4: triangle-free, but every node still reports 0
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(triMap(path) == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // triangle {1,2,3} plus pendant 4 on node 1
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(triMap(tp) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("triangleCounts: direction, duplicates and self-loops are canonicalized away") {
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("src", "dst")
+    assert(triMap(messy) == triMap(clean))
+  }
+
+  test("triangleCounts: matches a brute-force reference on a random graph, " +
+      "stable across partitionings") {
+    val rnd = new scala.util.Random(42)
+    val es = (1 to 120).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (u, v) => u != v }.distinct
+    val canon = es.map { case (u, v) => (u min v, u max v) }.toSet
+    val nodes = canon.flatMap { case (u, v) => Seq(u, v) }
+    val expect = nodes.map { n =>
+      val nbrs = nodes.filter(m => m != n && canon.contains((n min m, n max m)))
+      n -> nbrs.toSeq.combinations(2).count {
+        case Seq(x, y) => canon.contains((x min y, x max y))
+      }.toLong
+    }.toMap
+    val df = es.toDF("src", "dst")
+    assert(triMap(df) == expect)
+    assert(triMap(df.repartition(7)) == expect)
+  }
+
+  test("triangleCounts: hub-and-clusters graph — the orientation keeps a " +
+      "celebrity node's wedge work bounded, counts stay exact") {
+    // hub 0 connects to every node of 10 disjoint triangles; the hub's raw
+    // degree is 30 but its ORIENTED out-degree is 0 (highest (deg,id) rank
+    // ties break toward it last), so no 30² wedge blowup at the hub
+    val tris = (0 until 10).flatMap { t =>
+      val base = 1L + t * 3
+      Seq((base, base + 1), (base + 1, base + 2), (base, base + 2))
+    }
+    val spokes = (1L to 30L).map(i => (0L, i))
+    val m = triMap((tris ++ spokes).toDF("src", "dst"))
+    // hub: one triangle per spoke-edge pair inside each planted triangle = 10·3
+    assert(m(0L) == 30L)
+    // each cluster node: its own triangle + 2 hub triangles (hub + each of
+    // its 2 in-cluster neighbors)
+    assert((1L to 30L).forall(m(_) == 3L), m.toString)
+  }
 }

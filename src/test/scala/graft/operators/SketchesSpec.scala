@@ -243,4 +243,41 @@ class SketchesSpec extends SparkTestBase {
     // disjoint key sets estimate 0 even when a whole row shares no bucket
     assert(est(a, Seq("m", "n").toDF("k"), 4, 4096) == 0L)
   }
+
+  private def medians(df: org.apache.spark.sql.DataFrame, step: Long, nb: Int) =
+    Sketches.exactMedian(df, "g", "v", step, nb)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("exactMedian: lower median on odd and even group sizes, ties included") {
+    val df = (Seq("a" -> 10L, "a" -> 30L, "a" -> 20L) ++ // odd: median 20
+      Seq("b" -> 5L, "b" -> 15L, "b" -> 25L, "b" -> 35L) ++ // even: lower = 15
+      Seq("c" -> 7L, "c" -> 7L, "c" -> 7L, "c" -> 99L)) // ties at the cut
+      .toDF("g", "v")
+    assert(medians(df, step = 4, nb = 16) ==
+      Map("a" -> ((3L, 20L)), "b" -> ((4L, 15L)), "c" -> ((4L, 7L))))
+  }
+
+  test("exactMedian: histogram-parameter independence — any (step, nb) " +
+      "covering the range returns the identical exact answer") {
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 500).map(i => (s"g${i % 3}", rnd.nextInt(1000).toLong))
+    val expect = data.groupBy(_._1).map { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      g -> ((xs.size.toLong, sorted((xs.size + 1) / 2 - 1)))
+    }
+    val df = data.toDF("g", "v")
+    for ((step, nb) <- Seq((1L, 1024), (10L, 128), (100L, 16), (7L, 200)))
+      assert(medians(df, step, nb) == expect, s"step=$step nb=$nb")
+    // clamp bucket: nb too small for the range still exact (all-tail bucket)
+    assert(medians(df, 10L, 4) == expect)
+    assert(medians(df.repartition(5), 10L, 4) == expect)
+  }
+
+  test("exactMedian: nulls drop; validation fails loudly") {
+    val df = Seq(("a", java.lang.Long.valueOf(1L)), ("a", null),
+      ("a", java.lang.Long.valueOf(3L))).toDF("g", "v")
+    assert(medians(df, 1L, 8) == Map("a" -> ((2L, 1L))))
+    intercept[IllegalArgumentException](Sketches.exactMedian(df, "g", "v", 0L, 8))
+    intercept[IllegalArgumentException](Sketches.exactMedian(df, "g", "v", 1L, 1))
+  }
 }

@@ -355,4 +355,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters") && p.contains("zp"),
       s"zp bounds must reach the scan as PartitionFilters:\n$p")
   }
+
+  test("q_triangles: every join is a hash equi-join — no product at any of the three closure joins") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"), s"product planned:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ planned:\n$p")
+  }
+
+  test("exact_median: candidate bucket joins back BROADCAST; no sort-merge against the data") {
+    val p = plan("exact_median")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join-back found:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"data-side sort-merge planned:\n$p")
+  }
 }
