@@ -3279,7 +3279,83 @@ object Pipeline {
       FROM scored WHERE score >= 850 ORDER BY id_a, id_b""".trim)
   )
 
+  /** Versioned-corpus lifecycle end to end
+    * ([[graft.operators.Snapshots]]): documents commit as v0, a CDC
+    * batch (10% revised, 10% tombstoned, 10% new ids) merges into v1
+    * via the join-free union + max(struct) winner — ONE key-space
+    * shuffle — and the gate reads v1 back through the manifest-gated
+    * reader. The oracle replays base → changes → winner → tombstone
+    * drop in SQL. */
+  val corpusMerge: QueryDef = QueryDef(
+    "corpus_merge",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-snap").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "source", "text")
+      graft.operators.Snapshots.writeVersion(docs, base, 0L)
+      val ups = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("op", lit("upsert"))
+      val dels = docs.filter(col("doc_id") % 10 === 7).withColumn("op", lit("delete"))
+      val ins = docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("source"),
+          concat(lit("new:"), col("text")).as("text"))
+        .withColumn("op", lit("upsert"))
+      val v1 = graft.operators.Snapshots.upsert(
+        s, base, ups.unionByName(dels).unionByName(ins), "doc_id")
+      graft.operators.Snapshots.readVersion(s, base, v1)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH cm_base AS (SELECT doc_id, source, text FROM documents),
+      cm_chg AS (
+        SELECT doc_id, source, text || ' [rev2]' AS text, 'upsert' AS op
+        FROM cm_base WHERE doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id, source, text, 'delete' FROM cm_base WHERE doc_id % 10 = 7
+        UNION ALL
+        SELECT doc_id + 1000000000, source, 'new:' || text, 'upsert'
+        FROM cm_base WHERE doc_id % 10 = 1),
+      ${graft.operators.Snapshots.mergeBatchSql(
+        "SELECT doc_id, source, text FROM cm_base",
+        "SELECT doc_id, source, text, op FROM cm_chg",
+        "doc_id", Seq("source", "text"))
+        .replace("SELECT doc_id, source, text FROM sm_w",
+          "SELECT doc_id, source, md5(text) AS text_md5 FROM sm_w")}
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  /** Incremental aggregate-MV refresh
+    * ([[graft.operators.Snapshots.refreshAggMv]]): yesterday's
+    * per-source (count, char-sum) view plus a retraction stream
+    * (today's inserts at +1, a slice of before-images at −1) must
+    * equal the from-scratch aggregate — which is EXACTLY what the
+    * oracle computes (the 100 TB base never re-read on the Spark
+    * side; the slices compose so the final population is simply
+    * doc_id % 8 ≠ 1). */
+  val mvRefresh: QueryDef = QueryDef(
+    "mv_refresh",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents").select("source", "doc_id", "n_chars")
+      val mv = docs.filter(col("doc_id") % 4 =!= 0).groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("tot"))
+      val cdc = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("source"), col("n_chars").as("v"), lit(1L).as("sign"))
+        .unionByName(docs.filter(col("doc_id") % 8 === 1)
+          .select(col("source"), col("n_chars").as("v"), lit(-1L).as("sign")))
+      graft.operators.Snapshots.refreshAggMv(mv, cdc, "source", "v", "sign")
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS tot
+      FROM documents WHERE doc_id % 8 <> 1
+      GROUP BY source ORDER BY source
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
+    corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,

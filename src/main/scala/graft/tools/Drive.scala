@@ -568,6 +568,34 @@ object Drive {
         (3L, "unrelated words entirely different")).toDF("id", "text"), "id", "text", 64)
       SimilaritySearch.cosineTopK(he, he.filter($"id" === 1L), "id", "embedding", 2).show()
     }
+    println("=== snapshots: versioned corpus, CDC merge, time travel, MV refresh ===")
+    locally {
+      import spark.implicits._
+      val p = java.nio.file.Files.createTempDirectory("drive-snap").toString
+      graft.operators.Snapshots.writeVersion(
+        Seq((1L, "one"), (2L, "two")).toDF("k", "x"), p, 0L)
+      val v1 = graft.operators.Snapshots.upsert(spark, p,
+        Seq((2L, "TWO", "upsert"), (3L, "three", "upsert"), (1L, "", "delete"))
+          .toDF("k", "x", "op"), "k")
+      println(s"-- v$v1 state --")
+      graft.operators.Snapshots.readVersion(spark, p).orderBy("k").show()
+      println("-- time travel to v0 --")
+      graft.operators.Snapshots.readVersion(spark, p, 0L).orderBy("k").show()
+      try graft.operators.Snapshots.writeVersion(Seq((9L, "x")).toDF("k", "x"), p, 1L)
+      catch { case e: IllegalStateException => println(s"caught (immutable version): ${e.getMessage}") }
+      println("-- refreshAggMv: +1 insert, -1 retraction --")
+      graft.operators.Snapshots.refreshAggMv(
+        Seq(("a", 2L, 30L)).toDF("g", "n", "tot"),
+        Seq(("a", 7L, 1L), ("a", 10L, -1L), ("b", 4L, 1L)).toDF("g", "v", "sign"),
+        "g", "v", "sign").orderBy("g").show()
+      println("-- triangleCounts on K4 --")
+      Graphs.triangleCounts(
+        (for { u <- 1L to 4L; v <- 1L to 4L if u < v } yield (u, v)).toDF("src", "dst"))
+        .orderBy("id").show()
+      println("-- exactMedian, histogram-pruned --")
+      Sketches.exactMedian(
+        (1L to 101L).map(i => ("g", i)).toDF("g", "v"), "g", "v", 10L, 16).show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

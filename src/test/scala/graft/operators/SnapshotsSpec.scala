@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SnapshotsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft-snap-spec").toString
+
+  test("version lifecycle: write, read back, latest, time travel, immutability") {
+    val p = tmp()
+    assert(Snapshots.versions(spark, p).isEmpty)
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("k", "x")
+    Snapshots.writeVersion(v0, p, 0L)
+    Snapshots.writeVersion(v0.withColumn("x", lit("z")), p, 1L)
+    assert(Snapshots.versions(spark, p) == Seq(0L, 1L))
+    assert(Snapshots.latestVersion(spark, p).contains(1L))
+    assert(rows(Snapshots.readVersion(spark, p, 0L)) == rows(v0))
+    assert(Snapshots.readVersion(spark, p).select("x").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("z"))
+    // committed versions are immutable
+    intercept[IllegalStateException](Snapshots.writeVersion(v0, p, 1L))
+  }
+
+  test("an interrupted write (data, no manifest) is invisible to readers") {
+    val p = tmp()
+    Snapshots.writeVersion(Seq((1L, "a")).toDF("k", "x"), p, 0L)
+    // simulate a writer dying between data and manifest
+    Seq((9L, "dead")).toDF("k", "x").write.parquet(s"$p/v1/data")
+    assert(Snapshots.latestVersion(spark, p).contains(0L))
+    intercept[IllegalStateException](Snapshots.readVersion(spark, p, 1L))
+    // the next committed write supersedes the corpse
+    Snapshots.writeVersion(Seq((2L, "b")).toDF("k", "x"), p, 2L)
+    assert(Snapshots.latestVersion(spark, p).contains(2L))
+  }
+
+  test("mergeBatch: upsert wins, delete drops, insert lands, absent-key delete is a no-op") {
+    val cur = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "x")
+    val chg = Seq((2L, "TWO", "upsert"), (3L, "dead", "delete"),
+      (4L, "four", "upsert"), (9L, "ghost", "delete")).toDF("k", "x", "op")
+    val out = Snapshots.mergeBatch(cur, chg, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "one", 2L -> "TWO", 4L -> "four"))
+  }
+
+  test("mergeBatch: nullable payloads survive (rank decides, payload never compared)") {
+    val cur = Seq((1L, Option("one")), (2L, None)).toDF("k", "x")
+    val chg = Seq((2L, Option("TWO"), "upsert"), (5L, Option.empty[String], "upsert"))
+      .toDF("k", "x", "op")
+    val out = Snapshots.mergeBatch(cur, chg, "k").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("one"), 2L -> Some("TWO"), 5L -> None))
+  }
+
+  test("mergeBatch: duplicate change keys and unknown ops fail loudly") {
+    val cur = Seq((1L, "one")).toDF("k", "x")
+    val dup = Seq((2L, "a", "upsert"), (2L, "b", "upsert")).toDF("k", "x", "op")
+    intercept[IllegalArgumentException](Snapshots.mergeBatch(cur, dup, "k"))
+    val bad = Seq((2L, "a", "update")).toDF("k", "x", "op")
+    val e = intercept[Exception](Snapshots.mergeBatch(cur, bad, "k").collect())
+    assert(e.getMessage.contains("unknown op"), e.getMessage)
+  }
+
+  test("upsert chains versions; each version is a correct full state") {
+    val p = tmp()
+    Snapshots.writeVersion(Seq((1L, "one"), (2L, "two")).toDF("k", "x"), p, 0L)
+    val v1 = Snapshots.upsert(spark, p,
+      Seq((2L, "TWO", "upsert"), (3L, "three", "upsert")).toDF("k", "x", "op"), "k")
+    assert(v1 == 1L)
+    val v2 = Snapshots.upsert(spark, p, Seq((1L, "x", "delete")).toDF("k", "x", "op"), "k")
+    assert(v2 == 2L)
+    def state(v: Long) = Snapshots.readVersion(spark, p, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(0) == Map(1L -> "one", 2L -> "two"))
+    assert(state(1) == Map(1L -> "one", 2L -> "TWO", 3L -> "three"))
+    assert(state(2) == Map(2L -> "TWO", 3L -> "three"))
+  }
+
+  private def mvMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("refreshAggMv: inserts add, retractions subtract, a fully-retracted group disappears") {
+    val mv = Seq(("a", 2L, 30L), ("b", 1L, 5L)).toDF("g", "n", "tot")
+    val cdc = Seq(("a", 7L, 1L), ("b", 5L, -1L), ("c", 4L, 1L)).toDF("g", "v", "sign")
+    assert(mvMap(Snapshots.refreshAggMv(mv, cdc, "g", "v", "sign")) ==
+      Map("a" -> ((3L, 37L)), "c" -> ((1L, 4L))))
+  }
+
+  test("refreshAggMv: incremental ≡ from-scratch on random CDC history; " +
+      "negative count fails loudly") {
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 300).map(i => (s"g${i % 5}", rnd.nextInt(100).toLong))
+    val inserts = (1 to 80).map(i => (s"g${i % 7}", rnd.nextInt(100).toLong))
+    val retracts = base.take(40) // before-images of rows leaving
+    val mv = base.toDF("g", "v").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("tot"))
+    val cdc = (inserts.map { case (g, v) => (g, v, 1L) } ++
+      retracts.map { case (g, v) => (g, v, -1L) }).toDF("g", "v", "sign")
+    val expect = (base.drop(40) ++ inserts).groupBy(_._1).map { case (g, xs) =>
+      g -> ((xs.size.toLong, xs.map(_._2).sum))
+    }
+    assert(mvMap(Snapshots.refreshAggMv(mv, cdc, "g", "v", "sign")) == expect)
+    val over = Seq(("a", 1L, -1L)).toDF("g", "v", "sign")
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "n", "tot")
+    val e = intercept[Exception](Snapshots.refreshAggMv(empty, over, "g", "v", "sign").collect())
+    assert(e.getMessage.contains("negative count"), e.getMessage)
+  }
+}

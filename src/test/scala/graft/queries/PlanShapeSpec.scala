@@ -362,6 +362,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ planned:\n$p")
   }
 
+  test("mv_refresh: incremental MV refresh plans NO join — union + re-aggregate only") {
+    val p = plan("mv_refresh")
+    assert(!p.contains("Join"), s"IVM refresh must not join:\n$p")
+  }
+
+  test("corpus_merge / mergeBatch: the CDC winner is one combinable aggregate, no join, no window") {
+    import spark.implicits._
+    val cur = Seq((1L, "a")).toDF("k", "x")
+    val chg = Seq((2L, "b", "upsert")).toDF("k", "x", "op")
+    val p = graft.operators.Snapshots.mergeBatch(cur, chg, "k", validate = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"mergeBatch must not join:\n$p")
+    assert(!p.contains("Window"), s"mergeBatch must not window:\n$p")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"winner must be a combinable aggregate:\n$p")
+  }
+
   test("exact_median: candidate bucket joins back BROADCAST; no sort-merge against the data") {
     val p = plan("exact_median")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join-back found:\n$p")
