@@ -1322,6 +1322,32 @@ object Pipeline {
     )
   }
 
+  /** Retrieval WITHOUT the corpus scan: documents index once into the
+    * Hive-bucketed inverted index ([[graft.operators.TextIndex]] —
+    * postings carry the doc length, corpus constants live in the
+    * manifest), then the SAME four-term query runs against the index
+    * alone, reading only the buckets the terms hash into
+    * (PartitionFilters, plan-pinned in PlanShapeSpec). Scores must be
+    * bit-identical to the inline operator, so the gate shares
+    * `bm25_scores`' oracle verbatim. */
+  val bm25IndexSearch: QueryDef = {
+    val terms = Seq("spark", "window", "vector", "stream")
+    QueryDef(
+      "bm25_index_search",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-tidx").toString
+        graft.operators.TextIndex.writeTextIndex(
+          tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
+          "id", "text", base, numBuckets = 16)
+        graft.operators.TextIndex.searchTextIndex(s, base, terms).orderBy("id")
+      },
+      Some(s"""
+        ${TextAnalysis.bm25Sql("SELECT doc_id AS id, text FROM documents", terms)}
+        ORDER BY id
+      """.trim)
+    )
+  }
+
   /** Deterministic epoch shuffle: the training-order relation (id →
     * shard, position) for epoch 1 over 8 shards — RNG-free, so the
     * oracle replays the exact permutation. */
@@ -3360,7 +3386,7 @@ object Pipeline {
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
-    tfidfTerms, bm25Scores, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
+    tfidfTerms, bm25Scores, bm25IndexSearch, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,

@@ -595,6 +595,14 @@ object Drive {
       println("-- exactMedian, histogram-pruned --")
       Sketches.exactMedian(
         (1L to 101L).map(i => ("g", i)).toDF("g", "v"), "g", "v", 10L, 16).show()
+      println("-- persisted inverted index: build once, search bucket-pruned --")
+      val ti = java.nio.file.Files.createTempDirectory("drive-tidx").toString
+      TextIndex.writeTextIndex(Seq(
+        (1L, "spark window stream"), (2L, "vector search"), (3L, "window spark spark"))
+        .toDF("id", "text"), "id", "text", ti, numBuckets = 4)
+      TextIndex.searchTextIndex(spark, ti, Seq("spark", "window")).orderBy("id").show()
+      try TextIndex.searchTextIndex(spark, java.nio.file.Files.createTempDirectory("d").toString, Seq("x"))
+      catch { case e: IllegalStateException => println(s"caught (no manifest): ${e.getMessage}") }
     }
     println("DRIVE_DONE")
     spark.stop()

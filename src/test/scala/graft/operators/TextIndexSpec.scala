@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft-tidx-spec").toString
+
+  private val docs = Seq(
+    (1L, "spark streams window the data stream"),
+    (2L, "vector search over spark"),
+    (3L, "entirely unrelated prose about nothing"),
+    (4L, "window window window spark"),
+    (5L, "")).toDF("id", "text")
+
+  private def scores(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  test("searchTextIndex ≡ inline bm25Scores, bit-for-bit") {
+    val p = tmp()
+    TextIndex.writeTextIndex(docs, "id", "text", p, numBuckets = 8)
+    val terms = Seq("spark", "window", "stream")
+    assert(scores(TextIndex.searchTextIndex(spark, p, terms)) ==
+      scores(TextAnalysis.bm25Scores(docs, "id", "text", terms)))
+    // numBuckets must not change scores, only layout
+    val p1 = tmp()
+    TextIndex.writeTextIndex(docs, "id", "text", p1, numBuckets = 1)
+    assert(scores(TextIndex.searchTextIndex(spark, p1, terms)) ==
+      scores(TextAnalysis.bm25Scores(docs, "id", "text", terms)))
+  }
+
+  test("random corpus: index search matches inline scoring across bucket counts") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val corpus = (1 to 120).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "text")
+    val p = tmp()
+    TextIndex.writeTextIndex(corpus, "id", "text", p, numBuckets = 4)
+    val terms = Seq("alpha", "delta", "eta")
+    assert(scores(TextIndex.searchTextIndex(spark, p, terms)) ==
+      scores(TextAnalysis.bm25Scores(corpus, "id", "text", terms)))
+  }
+
+  test("query buckets reach the postings scan as PartitionFilters") {
+    val p = tmp()
+    TextIndex.writeTextIndex(docs, "id", "text", p, numBuckets = 8)
+    val plan = TextIndex.searchTextIndex(spark, p, Seq("spark"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket pruning must reach the scan:\n$plan")
+  }
+
+  test("terms absent from the corpus contribute nothing; unknown-term-only query is empty") {
+    val p = tmp()
+    TextIndex.writeTextIndex(docs, "id", "text", p, numBuckets = 8)
+    val mixed = scores(TextIndex.searchTextIndex(spark, p, Seq("spark", "nonexistentterm")))
+    val sparkOnly = scores(TextIndex.searchTextIndex(spark, p, Seq("spark")))
+    assert(mixed == sparkOnly)
+    assert(TextIndex.searchTextIndex(spark, p, Seq("nonexistentterm")).count() == 0)
+  }
+
+  test("lifecycle refusals: no manifest, empty/duplicate query terms") {
+    val p = tmp()
+    intercept[IllegalStateException](TextIndex.searchTextIndex(spark, p, Seq("x")))
+    TextIndex.writeTextIndex(docs, "id", "text", p, numBuckets = 2)
+    intercept[IllegalArgumentException](TextIndex.searchTextIndex(spark, p, Seq.empty))
+    intercept[IllegalArgumentException](TextIndex.searchTextIndex(spark, p, Seq("a", "a")))
+    intercept[IllegalArgumentException](TextIndex.writeTextIndex(docs, "id", "text", tmp(), 0))
+  }
+}
