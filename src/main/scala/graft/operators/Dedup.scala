@@ -870,6 +870,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[ngramJaccardPairs]] with PREFIX FILTERING (Chaudhuri et al.,
+    * SSJoin, ICDE'06; Bayardo et al., WWW'07; Xiao et al.'s PPJoin
+    * family) — the exact-result-at-scale variant of the exact tier,
+    * complementing [[ngramJaccardPairsCapped]]'s changed-semantics cap:
+    * identical output to the complete inverted-index join, candidate
+    * volume collapsed by indexing only each document's RAREST shingles.
+    *
+    * Sort every document's distinct shingles in ONE canonical global
+    * order (ascending document frequency, ties by hash) and index only
+    * the first p = n − ⌈t·n⌉ + 1 of them. Completeness: a qualifying
+    * pair (Jaccard ≥ t) has |A∩B| ≥ ⌈t·|A|⌉, and A's suffix holds only
+    * ⌈t·|A|⌉ − 1 shingles, so the FIRST shared shingle in canonical
+    * order sits inside BOTH prefixes — the prefix-to-prefix equi-join
+    * finds every qualifying pair. Verification computes exact Jaccard
+    * over the full arrays for the (deduped) candidates only.
+    *
+    * Scale: hot boilerplate shingles have the LARGEST df, so the
+    * rarity-first order pushes them out of every prefix — the k²
+    * posting-list blowup of the complete index never materializes, and
+    * at t = 0.5 each document indexes about half its shingles, the
+    * rare half. The df relation itself is one map-combinable groupBy.
+    * Unlike the capped variant nothing is dropped from the VERIFIED
+    * sets, so scores and pairs match [[ngramJaccardPairs]] exactly —
+    * which is what the gate pins by sharing its oracle verbatim.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, Jaccard ≥ threshold
+    */
+  def ngramJaccardPrefixPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold (prefix length n - ceil(t*n) + 1 needs t > 0)")
+    val hs = Materialize(shingleHashes30(df, idCol, textCol, shingleLen))
+    val ex = hs.select(col("id"), explode(col("hs")).as("h"))
+    val dfc = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("dfh", "h")
+    val prefix = ex.join(dfc, Seq("h"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
+      .select("id", "h")
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cands
+      .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("ni"),
+        size(col("hs_a")).cast("long").as("na"), size(col("hs_b")).cast("long").as("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Longest shared token run between document pairs — the substring-
     * granularity dedup signal (the k-gram approximation of the exact
     * suffix-array method of Lee et al., "Deduplicating Training Data

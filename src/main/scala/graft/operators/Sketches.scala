@@ -770,4 +770,77 @@ object Sketches {
                  CAST(count(*) OVER (PARTITION BY $grpCol) AS BIGINT) AS n
                FROM em_src)
     SELECT $grpCol, n, v AS median FROM em_r WHERE rn = (n + 1) // 2"""
+
+  /** Exact GLOBAL `ntile(k)` without the global sort — the third
+    * sketch-driven exact answer: quantile binning / feature
+    * discretization over the whole relation, where a naive
+    * `ntile(k) OVER (ORDER BY v, id)` funnels 100 TB through ONE
+    * sorting task (Spark plans an un-partitioned Window as a
+    * single-partition sort — the canonical scale-killer).
+    *
+    * Refinement instead:
+    *  1. one scan builds the ≤ nb-row value-bucket histogram;
+    *  2. a prefix sum over THAT tiny relation gives each bucket its
+    *     exact count of rows below (`below`) and the total `n` — the
+    *     histogram is a CDF, so every bucket knows its global rank
+    *     offset without any row leaving its bucket;
+    *  3. rows shuffle ONCE on bucket and sort only within their bucket
+    *     (~n/nb rows per task): global rank = below + local row_number,
+    *     exact because the bucket key is a prefix of the sort key
+    *     (v div step, then (v, id)).
+    *
+    * The tile then falls out of the rank in pure integer arithmetic —
+    * with base = n div k and rem = n mod k, the first rem tiles take
+    * base+1 rows (standard SQL NTILE):
+    * `tile(r) = (r-1) div (base+1) + 1` for the first (base+1)·rem
+    * ranks, else `rem + (r - (base+1)·rem - 1) div base + 1` — so the
+    * assignment is deterministic and replayable, which the oracle
+    * exploits by computing the SAME statistic with a direct
+    * full-relation `ntile()` window: a CDF-offset bug cannot
+    * self-confirm. The (v, id) tiebreak makes the order total, so
+    * per-ROW assignments (not just tile sizes) are pinned.
+    *
+    * Values must be non-negative BIGINTs with max < step·nb for an
+    * even spread (the clamp bucket keeps overflow correct, just
+    * unbalanced); ids must be unique. At 100 TB pick nb ≥ cluster
+    * cores so the per-bucket sorts saturate the cluster.
+    *
+    * @return (id, v, tile), tile ∈ [1, k]
+    */
+  def exactNtile(df: DataFrame, idCol: String, valCol: String, k: Int,
+      step: Long, nb: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(step >= 1 && nb >= 2, s"need step >= 1, nb >= 2; got step=$step nb=$nb")
+    val src = df.filter(col(valCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), expr(s"CAST($valCol AS BIGINT)").as("v"))
+      .withColumn("bucket", least(expr(s"v div $step"), lit(nb - 1L)))
+    // ≤ nb rows: the single-partition window here is over the HISTOGRAM,
+    // never the data
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = src.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum("c").over(wCum), lit(0L)))
+      .withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select("bucket", "below", "n")
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("v", "id")
+    src.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("r", row_number().over(wBucket) + col("below"))
+      .withColumn("base", expr(s"n div $k"))
+      .withColumn("rem", expr(s"n % $k"))
+      .select(col("id"), col("v"),
+        expr("""CAST(IF(r <= (base + 1) * rem,
+                        (r - 1) div (base + 1) + 1,
+                        rem + (r - (base + 1) * rem - 1) div base + 1)
+                AS BIGINT)""").as("tile"))
+  }
+
+  /** DuckDB twin of [[exactNtile]] — deliberately the DIRECT method
+    * (one full-relation `ntile()` window), independent of the
+    * histogram refinement. `input` projects the (id, value) shape. */
+  def exactNtileSql(input: String, idExpr: String, valExpr: String, k: Int): String =
+    s"""WITH nt_src AS (SELECT CAST($idExpr AS BIGINT) AS id, CAST($valExpr AS BIGINT) AS v
+                        FROM ($input) WHERE $valExpr IS NOT NULL)
+    SELECT id, v, CAST(ntile($k) OVER (ORDER BY v, id) AS BIGINT) AS tile FROM nt_src"""
 }

@@ -270,6 +270,18 @@ object Pipeline {
     """.trim)
   )
 
+  /** Prefix-filtered exact Jaccard (PPJoin-family) on the SAME
+    * restricted corpus and threshold as `ngram_jaccard` — and the SAME
+    * oracle verbatim: the prefix filter must change the candidate
+    * volume only, never the answer. */
+  val ngramJaccardPrefix: QueryDef = QueryDef(
+    "ngram_jaccard_prefix",
+    (s, dir) => Dedup.ngramJaccardPrefixPairs(
+      corpus(s, dir).filter((col("id") % 1000000 % 10) < 2), "id", "text",
+      shingleLen = 3, threshold = 0.5).orderBy("id_a", "id_b"),
+    ngramJaccard.oracle
+  )
+
   /** Asymmetric containment on the restricted corpus: the planted tail
     * variants CONTAIN their originals whole (cont_a_in_b = 1.0 while
     * Jaccard < 1) — the quote/excerpt relation the symmetric tier
@@ -3384,7 +3396,7 @@ object Pipeline {
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
-    dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramContainment,
+    dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,

@@ -1048,6 +1048,68 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Exact GLOBAL 16-tile binning of lineitem price cents — the
+    * feature-discretizer surface — via histogram-CDF refinement
+    * ([[graft.operators.Sketches.exactNtile]]): rows sort only inside
+    * their value bucket, never globally, yet every per-row assignment
+    * matches the oracle's direct full-relation `ntile()` window. */
+  val qExactNtile: QueryDef = QueryDef(
+    "exact_ntile",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(
+        expr("l_orderkey * 10 + l_linenumber").as("rid"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("price_c"))
+      graft.operators.Sketches.exactNtile(li, "rid", "price_c",
+          k = 16, step = 200000L, nb = 64)
+        .orderBy("id")
+    },
+    Some(s"""
+      ${graft.operators.Sketches.exactNtileSql(
+        "SELECT l_orderkey * 10 + l_linenumber AS rid, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c FROM lineitem",
+        "rid", "price_c", 16)}
+      ORDER BY id
+    """.stripMargin.trim)
+  )
+
+  /** Next-event transition matrix (first-order Markov estimate over
+    * the event stream): per user, order events by (sec, event_id) and
+    * pair each with its successor — one shuffle on user_id, per-user
+    * sort bounded by that user's activity — then the ≤ |types|² count
+    * relation normalizes per from-state in exact integer milli-units.
+    * The sequence-mining complement to `q_funnel`'s fixed pattern. */
+  val qTransitions: QueryDef = QueryDef(
+    "q_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val pairs = tbl(s, dir, "events")
+        .withColumn("sec", expr("ts div 1000000000"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("nf", sum("n").over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("next_type"), col("n"),
+          expr("(n * 1000) div nf").as("p_milli"))
+        .orderBy("event_type", "next_type")
+    },
+    Some("""
+      WITH tr_e AS (
+        SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000000000 AS sec FROM events
+      ), tr_n AS (
+        SELECT event_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS next_type
+        FROM tr_e
+      ), tr_c AS (
+        SELECT event_type, next_type, count(*) AS n
+        FROM tr_n WHERE next_type IS NOT NULL GROUP BY 1, 2
+      )
+      SELECT event_type, next_type, n,
+        (n * 1000) // CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS p_milli
+      FROM tr_c ORDER BY event_type, next_type
+    """.stripMargin.trim)
+  )
+
   /** Per-user daily activity with gap-filling and a fixed-point EWMA:
     * missing days inside each user's observed span materialize as
     * zero-count rows (`sequence` + explode — fan-out bounded by the
@@ -1138,6 +1200,6 @@ object Relational {
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
     qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin,
-    qTriangles, qExactMedian, qGapfillEwma, qUnpivot
+    qTriangles, qExactMedian, qExactNtile, qGapfillEwma, qUnpivot, qTransitions
   )
 }

@@ -603,6 +603,16 @@ object Drive {
       TextIndex.searchTextIndex(spark, ti, Seq("spark", "window")).orderBy("id").show()
       try TextIndex.searchTextIndex(spark, java.nio.file.Files.createTempDirectory("d").toString, Seq("x"))
       catch { case e: IllegalStateException => println(s"caught (no manifest): ${e.getMessage}") }
+      println("-- exactNtile: global quantile bins without a global sort --")
+      Sketches.exactNtile((1L to 10L).map(i => (i, i * 3)).toDF("id", "v"),
+        "id", "v", k = 4, step = 5L, nb = 8).orderBy("id").show()
+      println("-- prefix-filtered exact Jaccard: identical answer, pruned candidates --")
+      Dedup.ngramJaccardPrefixPairs(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy cat"),
+        (3L, "entirely different words in this one here"))
+        .toDF("id", "text"), "id", "text", shingleLen = 3, threshold = 0.3)
+        .orderBy("id_a", "id_b").show()
     }
     println("DRIVE_DONE")
     spark.stop()

@@ -299,6 +299,35 @@ class DedupSpec extends SparkTestBase {
       Dedup.ngramJaccardPairsCapped(docs, "id", "text", maxDf = 1))
   }
 
+  test("ngramJaccardPrefixPairs ≡ ngramJaccardPairs: identical pairs and scores " +
+      "across thresholds, random corpora, and a viral shingle") {
+    def pairs(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0))
+      assert(pairs(Dedup.ngramJaccardPrefixPairs(docs, "id", "text", 3, t)) ==
+        pairs(Dedup.ngramJaccardPairs(docs, "id", "text", 3, t)), s"t=$t")
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (1 to 60).map { i =>
+      (i.toLong, (0 until 5 + rnd.nextInt(15)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "text")
+    for (t <- Seq(0.4, 0.7))
+      assert(pairs(Dedup.ngramJaccardPrefixPairs(corpus, "id", "text", 3, t)) ==
+        pairs(Dedup.ngramJaccardPairs(corpus, "id", "text", 3, t)), s"random t=$t")
+    // a boilerplate prefix shared by EVERY doc: the hot shingles have
+    // maximal df, fall out of every prefix, and the answer still matches
+    val viral = (1 to 20).map { i =>
+      (i.toLong, "common header words here " +
+        (0 until 8).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "text")
+    assert(pairs(Dedup.ngramJaccardPrefixPairs(viral, "id", "text", 3, 0.5)) ==
+      pairs(Dedup.ngramJaccardPairs(viral, "id", "text", 3, 0.5)))
+    intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPrefixPairs(docs, "id", "text", 3, 0.0))
+    intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPrefixPairs(docs, "id", "text", 3, 1.5))
+  }
+
   test("nearDupSurvivors: keeps one representative per component plus all singletons, full rows") {
     val got = Dedup.nearDupSurvivors(docs, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap

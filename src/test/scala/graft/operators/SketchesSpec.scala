@@ -280,4 +280,47 @@ class SketchesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Sketches.exactMedian(df, "g", "v", 0L, 8))
     intercept[IllegalArgumentException](Sketches.exactMedian(df, "g", "v", 1L, 1))
   }
+
+  private def tiles(df: org.apache.spark.sql.DataFrame, k: Int, step: Long, nb: Int) =
+    Sketches.exactNtile(df, "id", "v", k, step, nb)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  private def directNtile(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v", "id")
+    df.filter(col("v").isNotNull)
+      .select(col("id"), ntile(k).over(w).cast("long").as("tile"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("exactNtile ≡ direct ntile window: per-row assignment across k, " +
+      "(step, nb), ties, and n % k remainders") {
+    val rnd = new scala.util.Random(11)
+    // duplicate values force the (v, id) tiebreak to carry the order
+    val data = (1L to 509L).map(i => (i, rnd.nextInt(200).toLong)).toDF("id", "v")
+    for (k <- Seq(1, 4, 16, 100); (step, nb) <- Seq((1L, 256), (13L, 32), (50L, 4)))
+      assert(tiles(data, k, step, nb) == directNtile(data, k), s"k=$k step=$step nb=$nb")
+  }
+
+  test("exactNtile: n < k degenerates to one row per tile; nulls drop; validation") {
+    val small = Seq((10L, 5L), (20L, 3L), (30L, 7L)).toDF("id", "v")
+    assert(tiles(small, 8, 2L, 8) == Map(20L -> 1L, 10L -> 2L, 30L -> 3L))
+    val withNull = Seq((1L, java.lang.Long.valueOf(4L)), (2L, null))
+      .toDF("id", "v")
+    assert(tiles(withNull, 2, 1L, 4) == Map(1L -> 1L))
+    intercept[IllegalArgumentException](Sketches.exactNtile(small, "id", "v", 0, 1L, 8))
+    intercept[IllegalArgumentException](Sketches.exactNtile(small, "id", "v", 2, 1L, 1))
+  }
+
+  test("exactNtile: data rows never cross a single-partition window — " +
+      "only the histogram does") {
+    val data = (1L to 100L).map(i => (i, i % 37)).toDF("id", "v")
+    val plan = Sketches.exactNtile(data, "id", "v", 4, 5L, 8)
+      .queryExecution.executedPlan.toString
+    // the per-bucket rank window partitions by bucket; the only
+    // unpartitioned window runs over the <= nb-row histogram
+    assert(plan.contains("Window [row_number()") || plan.contains("row_number()"))
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("bucket")),
+      s"expected the rank window to partition by bucket:\n$plan")
+  }
 }
