@@ -1110,6 +1110,61 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** k-anonymity audit over (nation, segment) quasi-identifiers: every
+    * equivalence class with its size and at-risk flag — one
+    * map-combinable aggregate over the class key space. */
+  val qKAnonymity: QueryDef = QueryDef(
+    "k_anonymity",
+    (s, dir) => graft.operators.Privacy.kAnonymityGroups(
+        tbl(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10)
+      .orderBy("c_nationkey", "c_mktsegment"),
+    Some("""
+      SELECT c_nationkey, c_mktsegment, count(*) AS n, count(*) < 10 AS at_risk
+      FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+    """.stripMargin.trim)
+  )
+
+  /** l-diversity audit: per (event_type, $50 value bucket) class, how
+    * many DISTINCT users — classes dominated by one user leak the
+    * sensitive attribute even when k-anonymous. */
+  val qLDiversity: QueryDef = QueryDef(
+    "l_diversity",
+    (s, dir) => graft.operators.Privacy.lDiversityGroups(
+        tbl(s, dir, "events").withColumn("vb",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000")),
+        Seq("event_type", "vb"), "user_id", l = 3)
+      .orderBy("event_type", "vb"),
+    Some("""
+      SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS vb,
+        count(*) AS n, count(DISTINCT user_id) AS n_sensitive,
+        count(DISTINCT user_id) < 3 AS at_risk
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """.stripMargin.trim)
+  )
+
+  /** Generalize-and-suppress k-anonymization of account balance under
+    * (nation, segment): the bucket-width ladder doubles until ≥ 90% of
+    * rows sit in classes of ≥ 8, then retained rows emit with the
+    * balance generalized to its bucket floor. The level choice is
+    * data-derived; the oracle replays the WHOLE ladder and must pick
+    * the same level. */
+  val qKAnonymize: QueryDef = QueryDef(
+    "k_anonymize",
+    (s, dir) => graft.operators.Privacy.kAnonymize(
+        tbl(s, dir, "customer").withColumn("bal",
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000")),
+        "c_custkey", Seq("c_nationkey", "c_mktsegment"), "bal",
+        k = 8, baseStep = 100000L, maxLevels = 4, targetRetainedMilli = 900L)
+      .orderBy("c_custkey"),
+    Some(s"""
+      ${graft.operators.Privacy.kAnonymizeSql(
+        "SELECT c_custkey, c_nationkey, c_mktsegment, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000 AS bal FROM customer",
+        "c_custkey", Seq("c_nationkey", "c_mktsegment"), "bal",
+        k = 8, baseStep = 100000L, maxLevels = 4, targetRetainedMilli = 900L)}
+      ORDER BY c_custkey
+    """.stripMargin.trim)
+  )
+
   /** Per-user daily activity with gap-filling and a fixed-point EWMA:
     * missing days inside each user's observed span materialize as
     * zero-count rows (`sequence` + explode — fan-out bounded by the
@@ -1200,6 +1255,7 @@ object Relational {
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
     qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin,
-    qTriangles, qExactMedian, qExactNtile, qGapfillEwma, qUnpivot, qTransitions
+    qTriangles, qExactMedian, qExactNtile, qGapfillEwma, qUnpivot, qTransitions,
+    qKAnonymity, qLDiversity, qKAnonymize
   )
 }

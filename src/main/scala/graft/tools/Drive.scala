@@ -606,6 +606,12 @@ object Drive {
       println("-- exactNtile: global quantile bins without a global sort --")
       Sketches.exactNtile((1L to 10L).map(i => (i, i * 3)).toDF("id", "v"),
         "id", "v", k = 4, step = 5L, nb = 8).orderBy("id").show()
+      println("-- privacy audits: k-anonymity classes, l-diversity, generalization ladder --")
+      val pd = Seq((1L, "eu", 10L), (2L, "eu", 12L), (3L, "eu", 14L), (4L, "us", 90L))
+        .toDF("id", "region", "v")
+      Privacy.kAnonymityGroups(pd, Seq("region"), k = 3).orderBy("region").show()
+      Privacy.kAnonymize(pd, "id", Seq("region"), "v",
+        k = 3, baseStep = 4L, maxLevels = 2, targetRetainedMilli = 500L).orderBy("id").show()
       println("-- prefix-filtered exact Jaccard: identical answer, pruned candidates --")
       Dedup.ngramJaccardPrefixPairs(Seq(
         (1L, "the quick brown fox jumps over the lazy dog"),
