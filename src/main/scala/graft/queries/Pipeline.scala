@@ -3060,6 +3060,38 @@ object Pipeline {
     """.trim)
   )
 
+  /** Schema evolution on read: two shards written with DIFFERENT
+    * schemas (an old ingest without source/n_chars beside a new one)
+    * must union by name under `mergeSchema`, missing columns
+    * null-padded — the long-lived-corpus reality where this year's
+    * shards carry columns last year's don't. The oracle replays the
+    * null-padded union from the source table directly. */
+  val schemaEvolution: QueryDef = QueryDef(
+    "schema_evolution",
+    (s, dir) => {
+      val base = gateScratchDir("schema_evo")
+      val d = tbl(s, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/old")
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/new")
+      s.read.option("mergeSchema", "true").parquet(s"$base/old", s"$base/new")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
+        .orderBy("lang", "source")
+    },
+    Some("""
+      WITH se AS (
+        SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 1)
+      SELECT lang, source, count(*) AS n, CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS sum_chars
+      FROM se GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim)
+  )
+
   /** Robust length-QC: documents whose length deviates more than
     * 3×MAD from their source's median — the outlier screen that
     * catches truncated scrapes and concatenation accidents without
@@ -3394,7 +3426,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     corpusMerge, mvRefresh,
-    hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, entityMatch,
+    hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

@@ -1110,6 +1110,44 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Semi-structured extraction over the events `props` JSON column —
+    * BOTH surfaces in one gate: `get_json_object` (path extraction, no
+    * schema) and `from_json` (schema'd parse) must agree, and rows made
+    * deliberately malformed (every 17th gets a trailing byte) must
+    * null out under each — Spark's null-on-malformed twinned by
+    * DuckDB's `json_valid` guard. Map-only until the ≤ 11-bucket
+    * aggregate. */
+  val qJsonExtract: QueryDef = QueryDef(
+    "q_json_extract",
+    (s, dir) => {
+      // '{oops' is malformed to BOTH engines — a trailing-junk corruption
+      // ('{"k":1}x') would NOT be: Spark's Jackson path parser stops at a
+      // complete value while DuckDB's json_valid rejects the whole string
+      val p = when(col("event_id") % 17 === 0, lit("{oops")).otherwise(col("props"))
+      tbl(s, dir, "events")
+        .select(
+          get_json_object(p, "$.k").cast("long").as("k"),
+          from_json(p, org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k2"))
+        .groupBy(coalesce(expr("k div 10"), lit(-1L)).as("kb"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_path"),
+          count(col("k2")).as("n_schema"), coalesce(sum("k"), lit(0L)).as("sum_k"))
+        .orderBy("kb")
+    },
+    Some("""
+      WITH je AS (
+        SELECT CASE WHEN event_id % 17 = 0 THEN '{oops' ELSE props END AS p FROM events
+      ), jx AS (
+        SELECT CASE WHEN json_valid(p) THEN CAST(json_extract(p, '$.k') AS BIGINT) END AS k,
+               CASE WHEN json_valid(p) THEN CAST(json_extract(p, '$.k') AS BIGINT) END AS k2
+        FROM je
+      )
+      SELECT COALESCE(k // 10, -1) AS kb, count(*) AS n, count(k) AS n_path,
+        count(k2) AS n_schema, CAST(COALESCE(sum(k), 0) AS BIGINT) AS sum_k
+      FROM jx GROUP BY 1 ORDER BY 1
+    """.stripMargin.trim)
+  )
+
   /** k-anonymity audit over (nation, segment) quasi-identifiers: every
     * equivalence class with its size and at-risk flag — one
     * map-combinable aggregate over the class key space. */
@@ -1256,6 +1294,6 @@ object Relational {
     qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
     qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin,
     qTriangles, qExactMedian, qExactNtile, qGapfillEwma, qUnpivot, qTransitions,
-    qKAnonymity, qLDiversity, qKAnonymize
+    qKAnonymity, qLDiversity, qKAnonymize, qJsonExtract
   )
 }
