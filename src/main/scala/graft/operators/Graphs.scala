@@ -18,6 +18,79 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Hierarchy closure over a parent-pointer forest — (root, depth) for
+    * every node — by PATH DOUBLING: the state (id, anc, d) starts at
+    * each node's parent and each round follows its current ancestor's
+    * ancestor, doubling the distance covered: ⌈log₂(depth)⌉ rounds of
+    * one equi-join each instead of depth sequential self-joins. The
+    * distributed answer to `WITH RECURSIVE` hierarchy walks (org
+    * charts, category trees, thread reply chains) — a recursive CTE is
+    * inherently sequential in the hierarchy's depth, the doubling is
+    * logarithmic; the gate's DuckDB oracle IS the recursive CTE, so the
+    * two computation models must agree node-for-node.
+    *
+    * Roots are rows whose parent is NULL (or self). A parent cycle
+    * never finishes — bounded by `maxIterations` (≥ log₂ of the
+    * deepest chain), with the unfinished rows dropped and a warning,
+    * the [[Dedup.connectedComponents]] contract.
+    *
+    * @param parents (idCol, parentCol) — one row per node
+    * @return (id, root, depth) — depth 0 for roots */
+  def treeClosure(parents: DataFrame, idCol: String = "id",
+      parentCol: String = "parent", maxIterations: Int = 40): DataFrame = {
+    require(maxIterations >= 1 && maxIterations <= 64,
+      s"maxIterations must be in [1, 64], got $maxIterations")
+    val base = Materialize.iterative(parents.select(
+      col(idCol).cast("long").as("id"), col(parentCol).cast("long").as("parent")))
+    // done rows carry anc = their root; live rows still point mid-chain
+    var state = Materialize.iterative(base.select(col("id"),
+      coalesce(col("parent"), col("id")).as("anc"),
+      when(col("parent").isNull || col("parent") === col("id"), lit(0L))
+        .otherwise(lit(1L)).as("d"),
+      (col("parent").isNull || col("parent") === col("id")).as("done")))
+    var iter = 0
+    var live = state.filter(!col("done")).limit(1).count()
+    while (live > 0 && iter < maxIterations) {
+      val anc = state.select(col("id").as("anc"),
+        col("anc").as("anc2"), col("d").as("d2"), col("done").as("done2"))
+      val next = Materialize.iterative(state.join(anc, Seq("anc"), "left")
+        .select(col("id"),
+          when(col("done") || col("anc2").isNull, col("anc"))
+            .otherwise(col("anc2")).as("anc"),
+          when(col("done") || col("anc2").isNull, col("d"))
+            .otherwise(col("d") + col("d2")).as("d"),
+          (col("done") || coalesce(col("done2"), lit(false))).as("done")))
+      Materialize.unpersist(state)
+      state = next
+      live = state.filter(!col("done")).limit(1).count()
+      iter += 1
+    }
+    if (live > 0) Warnings.warn(log,
+      s"treeClosure did not finish within maxIterations=$maxIterations — " +
+        "a parent cycle, or chains deeper than 2^maxIterations; unfinished rows dropped")
+    state.filter(col("done"))
+      .select(col("id"), col("anc").as("root"), col("d").as("depth"))
+  }
+
+  /** DuckDB twin of [[treeClosure]] — deliberately the OTHER model:
+    * the sequential `WITH RECURSIVE` walk. `input` projects
+    * (id, parent); rows terminate where the cursor hits a root. */
+  def treeClosureSql(input: String): String =
+    s"""WITH RECURSIVE tc_src AS (SELECT CAST(id AS BIGINT) AS id, CAST(parent AS BIGINT) AS parent
+                                  FROM ($input)),
+      tc AS (
+        SELECT id, id AS cur, CAST(0 AS BIGINT) AS depth FROM tc_src
+        UNION ALL
+        SELECT t.id AS id, s.parent AS cur, t.depth + 1 AS depth
+        FROM tc t JOIN tc_src s ON s.id = t.cur
+        WHERE s.parent IS NOT NULL AND s.parent <> t.cur)
+      SELECT id, root, depth FROM (
+        SELECT t.id AS id, t.cur AS root, t.depth AS depth
+        FROM tc t JOIN tc_src s ON s.id = t.cur
+        WHERE s.parent IS NULL OR s.parent = t.cur)"""
+
   /** PageRank (Brin & Page, WWW'98) with fixed-point integer state:
     *
     *   rank⁰(v)   = scale

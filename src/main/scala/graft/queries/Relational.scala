@@ -1110,6 +1110,25 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Hierarchy closure over a 1,500-node parent-pointer tree
+    * (parent = id div 2): every node's (root, depth) by log-round path
+    * doubling ([[graft.operators.Graphs.treeClosure]]) against the
+    * OTHER computation model — DuckDB's sequential `WITH RECURSIVE`
+    * walk. ~11 doubling rounds instead of an 11-step serial chain. */
+  val qTreeClosure: QueryDef = QueryDef(
+    "q_tree_closure",
+    (s, dir) => {
+      val p = tbl(s, dir, "customer").select(col("c_custkey").as("id"),
+        when(col("c_custkey") > 1, expr("c_custkey div 2")).as("parent"))
+      graft.operators.Graphs.treeClosure(p).orderBy("id")
+    },
+    Some(s"""
+      ${graft.operators.Graphs.treeClosureSql(
+        "SELECT c_custkey AS id, CASE WHEN c_custkey > 1 THEN c_custkey // 2 END AS parent FROM customer")}
+      ORDER BY id
+    """.stripMargin.trim)
+  )
+
   /** Semi-structured extraction over the events `props` JSON column —
     * BOTH surfaces in one gate: `get_json_object` (path extraction, no
     * schema) and `from_json` (schema'd parse) must agree, and rows made
@@ -1294,6 +1313,6 @@ object Relational {
     qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
     qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin,
     qTriangles, qExactMedian, qExactNtile, qGapfillEwma, qUnpivot, qTransitions,
-    qKAnonymity, qLDiversity, qKAnonymize, qJsonExtract
+    qKAnonymity, qLDiversity, qKAnonymize, qJsonExtract, qTreeClosure
   )
 }

@@ -606,6 +606,9 @@ object Drive {
       println("-- exactNtile: global quantile bins without a global sort --")
       Sketches.exactNtile((1L to 10L).map(i => (i, i * 3)).toDF("id", "v"),
         "id", "v", k = 4, step = 5L, nb = 8).orderBy("id").show()
+      println("-- treeClosure: hierarchy (root, depth) by path doubling --")
+      Graphs.treeClosure(Seq((1L, None), (2L, Some(1L)), (3L, Some(2L)), (4L, Some(2L)))
+        .toDF("id", "parent")).orderBy("id").show()
       println("-- privacy audits: k-anonymity classes, l-diversity, generalization ladder --")
       val pd = Seq((1L, "eu", 10L), (2L, "eu", 12L), (3L, "eu", 14L), (4L, "us", 90L))
         .toDF("id", "region", "v")

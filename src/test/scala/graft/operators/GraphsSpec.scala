@@ -103,4 +103,45 @@ class GraphsSpec extends SparkTestBase {
     // its 2 in-cluster neighbors)
     assert((1L to 30L).forall(m(_) == 3L), m.toString)
   }
+
+  test("treeClosure: chain, star, forest — depth and root by path doubling") {
+    // chain 1 <- 2 <- 3 <- ... <- 9 (parent = id - 1)
+    val chain = (1L to 9L).map(i => (i, if (i == 1) None else Some(i - 1)))
+      .toDF("id", "parent")
+    val gotChain = Graphs.treeClosure(chain)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotChain == (1L to 9L).map(i => i -> ((1L, i - 1))).toMap)
+    // star + second root: forest
+    val forest = Seq((10L, None), (11L, Some(10L)), (12L, Some(10L)),
+      (20L, None), (21L, Some(20L)), (22L, Some(21L))).toDF("id", "parent")
+    val gotForest = Graphs.treeClosure(forest)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotForest == Map(10L -> ((10L, 0L)), 11L -> ((10L, 1L)), 12L -> ((10L, 1L)),
+      20L -> ((20L, 0L)), 21L -> ((20L, 1L)), 22L -> ((20L, 2L))))
+    // self-parent spells root too
+    val selfRoot = Seq((1L, 1L), (2L, 1L)).toDF("id", "parent")
+    assert(Graphs.treeClosure(selfRoot).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("treeClosure: random div-2 tree matches the direct walk") {
+    val n = 300L
+    val p = (1L to n).map(i => (i, if (i == 1) None else Some(i / 2))).toDF("id", "parent")
+    val got = Graphs.treeClosure(p)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def walk(i: Long): Long = if (i == 1) 0 else 1 + walk(i / 2)
+    assert(got == (1L to n).map(i => i -> ((1L, walk(i)))).toMap)
+  }
+
+  test("treeClosure: a parent cycle warns and drops the cycle's rows; validation") {
+    val cyc = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("id", "parent")
+    var warned: List[String] = Nil
+    Warnings.onWarning(m => warned ::= m)
+    try {
+      // 3's chain never reaches a root either (its ancestry is the 1 <-> 2 cycle)
+      assert(Graphs.treeClosure(cyc, maxIterations = 5).collect().isEmpty)
+      assert(warned.exists(_.contains("treeClosure")))
+    } finally Warnings.onWarning(_ => ())
+    intercept[IllegalArgumentException](Graphs.treeClosure(cyc, maxIterations = 0))
+  }
 }
