@@ -384,4 +384,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join-back found:\n$p")
     assert(!p.contains("SortMergeJoin"), s"data-side sort-merge planned:\n$p")
   }
+
+  test("exact_ntile: histogram offsets broadcast; the data-row rank window partitions by bucket") {
+    val p = plan("exact_ntile")
+    assert(p.contains("BroadcastHashJoin"), s"histogram offsets not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"data-side sort-merge planned:\n$p")
+    // the ONLY unpartitioned window runs over the <= nb-row histogram;
+    // the data-row window must carry "partitionBy bucket" (hash exchange
+    // on bucket right below the rank sort)
+    assert(p.contains("hashpartitioning(bucket"),
+      s"data rows must shuffle on bucket, not a single partition:\n$p")
+  }
+
+  test("ngram_jaccard_prefix: prefix candidates and verify joins are all hash equi-joins") {
+    val p = plan("ngram_jaccard_prefix")
+    assert(!p.contains("CartesianProduct"), s"planned a CartesianProduct:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"planned a BNLJ:\n$p")
+  }
+
+  test("q_tree_closure state joins stay hash equi-joins (no product per doubling round)") {
+    val p = plan("q_tree_closure")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"doubling round planned a product:\n$p")
+  }
 }
