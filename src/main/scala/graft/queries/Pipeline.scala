@@ -3092,6 +3092,41 @@ object Pipeline {
     """.trim)
   )
 
+  /** Bad-record quarantine on JSONL ingest: every 13th line of the
+    * written corpus is corrupted, and the PERMISSIVE +
+    * `_corrupt_record` read must keep BOTH sides — parsed rows with
+    * their columns, corrupt rows with the raw line captured (pinned by
+    * summing the quarantined lines' exact lengths). The oracle replays
+    * the corruption rule from the source table. */
+  val jsonlQuarantine: QueryDef = QueryDef(
+    "jsonl_quarantine",
+    (s, dir) => {
+      val base = gateScratchDir("jsonl_q")
+      val d = tbl(s, dir, "documents")
+      val line = when(col("doc_id") % 13 === 0,
+          concat(lit("{corrupt line "), col("doc_id").cast("string")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+      d.select(line.as("value")).write.mode("overwrite").text(base)
+      graft.sources.Formats.readJsonlQuarantine(s, base,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT"))
+        .groupBy(coalesce(col("lang"), lit("__quarantined")).as("lang"))
+        .agg(count(lit(1)).as("n"), count(col("quarantined")).as("n_bad"),
+          coalesce(sum("n_chars"), lit(0L)).as("sum_chars"),
+          coalesce(sum(length(col("quarantined"))), lit(0L)).as("sum_bad_len"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT CASE WHEN doc_id % 13 = 0 THEN '__quarantined' ELSE lang END AS lang,
+        count(*) AS n,
+        count(CASE WHEN doc_id % 13 = 0 THEN 1 END) AS n_bad,
+        CAST(COALESCE(sum(CASE WHEN doc_id % 13 <> 0 THEN n_chars END), 0) AS BIGINT) AS sum_chars,
+        CAST(COALESCE(sum(CASE WHEN doc_id % 13 = 0
+          THEN 14 + length(CAST(doc_id AS VARCHAR)) END), 0) AS BIGINT) AS sum_bad_len
+      FROM documents GROUP BY 1 ORDER BY 1
+    """.trim)
+  )
+
   /** Robust length-QC: documents whose length deviates more than
     * 3×MAD from their source's median — the outlier screen that
     * catches truncated scrapes and concatenation accidents without
@@ -3426,7 +3461,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     corpusMerge, mvRefresh,
-    hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, entityMatch,
+    hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

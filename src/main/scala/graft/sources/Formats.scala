@@ -26,6 +26,26 @@ object Formats {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSONL ingest with BAD-RECORD QUARANTINE: real crawl dumps carry
+    * truncated lines, encoding accidents and log noise, and dropping
+    * them silently (DROPMALFORMED) destroys the audit trail while
+    * failing the whole read (FAILFAST) loses the batch. PERMISSIVE
+    * mode + `_corrupt_record` keeps every line: parsed rows carry the
+    * schema columns, malformed rows carry the RAW LINE in the
+    * quarantine column (schema columns null) — route each side with
+    * `quarantined.isNull`. Map-only; the quarantine column prunes away
+    * when untouched. */
+  def readJsonlQuarantine(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "quarantined"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already has a '$corruptCol' column — pick another corruptCol")
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
+
   /** CSV with a header row; `quoteAll` keeps embedded
     * delimiters/newlines safe for round-trips. */
   def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.ErrorIfExists): Unit =

@@ -27,6 +27,27 @@ class FormatsSpec extends SparkTestBase {
     assert(sorted(back) == sorted(docs))
   }
 
+  test("JSONL quarantine read routes corrupt lines with the raw line preserved") {
+    val path = tmp("jsonlq")
+    Seq(
+      """{"id": 1, "text": "ok", "split": "train"}""",
+      """{"id": 2, "text": "also ok", "split": "val"}""",
+      """{"id": 3, truncated garba""",
+      """not json at all"""
+    ).toDF("value").coalesce(1).write.text(path)
+    val back = Formats.readJsonlQuarantine(spark, path, docs.schema)
+    val good = back.filter(col("quarantined").isNull)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(good == Set((1L, "ok", "train"), (2L, "also ok", "val")))
+    val bad = back.filter(col("quarantined").isNotNull)
+      .collect().map(_.getAs[String]("quarantined")).toSet
+    assert(bad == Set("""{"id": 3, truncated garba""", "not json at all"))
+    // schema columns are null on quarantined rows
+    assert(back.filter(col("quarantined").isNotNull && col("id").isNotNull).count() == 0)
+    intercept[IllegalArgumentException](
+      Formats.readJsonlQuarantine(spark, path, docs.schema, corruptCol = "id"))
+  }
+
   test("CSV round-trip with embedded delimiters, quotes, and newlines") {
     val path = tmp("csv")
     val tricky = docs.filter(col("text").isNotNull)
