@@ -843,4 +843,53 @@ object Sketches {
     s"""WITH nt_src AS (SELECT CAST($idExpr AS BIGINT) AS id, CAST($valExpr AS BIGINT) AS v
                         FROM ($input) WHERE $valExpr IS NOT NULL)
     SELECT id, v, CAST(ntile($k) OVER (ORDER BY v, id) AS BIGINT) AS tile FROM nt_src"""
+
+  /** PER-GROUP [[exactNtile]] — `ntile(k) OVER (PARTITION BY grp ORDER
+    * BY v, id)` without sorting any group in one task: the same
+    * histogram-CDF refinement per group (quality tiers per language,
+    * price bands per category). A giant group no longer serializes
+    * through a single partition — its rows spread over (group, bucket)
+    * tasks, which is exactly the skew story the ungrouped operator
+    * tells, applied under a key. The offsets relation is ≤ groups·nb
+    * rows, broadcast to the rank join (switch to a plain join above
+    * ~10⁷ groups·nb).
+    *
+    * @return (grpCol, id, v, tile) */
+  def exactNtileBy(df: DataFrame, grpCol: String, idCol: String, valCol: String,
+      k: Int, step: Long, nb: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(step >= 1 && nb >= 2, s"need step >= 1, nb >= 2; got step=$step nb=$nb")
+    val src = df.filter(col(valCol).isNotNull)
+      .select(col(grpCol), col(idCol).cast("long").as("id"),
+        expr(s"CAST($valCol AS BIGINT)").as("v"))
+      .withColumn("bucket", least(expr(s"v div $step"), lit(nb - 1L)))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(grpCol).orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = src.groupBy(col(grpCol), col("bucket")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum("c").over(wCum), lit(0L)))
+      .withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(grpCol)))
+      .select(col(grpCol), col("bucket"), col("below"), col("n"))
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(grpCol, "bucket").orderBy("v", "id")
+    src.join(broadcast(offsets), Seq(grpCol, "bucket"))
+      .withColumn("r", row_number().over(wBucket) + col("below"))
+      .withColumn("base", expr(s"n div $k"))
+      .withColumn("rem", expr(s"n % $k"))
+      .select(col(grpCol), col("id"), col("v"),
+        expr("""CAST(IF(r <= (base + 1) * rem,
+                        (r - 1) div (base + 1) + 1,
+                        rem + (r - (base + 1) * rem - 1) div base + 1)
+                AS BIGINT)""").as("tile"))
+  }
+
+  /** DuckDB twin of [[exactNtileBy]] — direct partitioned `ntile()`. */
+  def exactNtileBySql(input: String, grpCol: String, idExpr: String,
+      valExpr: String, k: Int): String =
+    s"""WITH ntb_src AS (SELECT $grpCol, CAST($idExpr AS BIGINT) AS id, CAST($valExpr AS BIGINT) AS v
+                         FROM ($input) WHERE $valExpr IS NOT NULL)
+    SELECT $grpCol, id, v,
+      CAST(ntile($k) OVER (PARTITION BY $grpCol ORDER BY v, id) AS BIGINT) AS tile
+    FROM ntb_src"""
 }

@@ -3092,6 +3092,23 @@ object Pipeline {
     """.trim)
   )
 
+  /** Per-language length quartiles over documents — the grouped
+    * histogram-CDF ntile ([[graft.operators.Sketches.exactNtileBy]]):
+    * no language's rows ever sort in one task, yet every per-row tile
+    * matches the oracle's direct partitioned `ntile()`. */
+  val exactNtileBy: QueryDef = QueryDef(
+    "exact_ntile_by",
+    (s, dir) => graft.operators.Sketches.exactNtileBy(
+        tbl(s, dir, "documents").select(col("lang"), col("doc_id"), col("n_chars")),
+        "lang", "doc_id", "n_chars", k = 4, step = 32L, nb = 64)
+      .orderBy("lang", "id"),
+    Some(s"""
+      ${graft.operators.Sketches.exactNtileBySql(
+        "SELECT lang, doc_id, n_chars FROM documents", "lang", "doc_id", "n_chars", 4)}
+      ORDER BY lang, id
+    """.stripMargin.trim)
+  )
+
   /** Bad-record quarantine on JSONL ingest: every 13th line of the
     * written corpus is corrupted, and the PERMISSIVE +
     * `_corrupt_record` read must keep BOTH sides — parsed rows with
@@ -3461,7 +3478,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     corpusMerge, mvRefresh,
-    hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, entityMatch,
+    hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,

@@ -311,6 +311,18 @@ class SketchesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Sketches.exactNtile(small, "id", "v", 2, 1L, 1))
   }
 
+  test("exactNtileBy ≡ direct partitioned ntile: per-row assignment per group") {
+    val rnd = new scala.util.Random(17)
+    val data = (1L to 400L).map(i => (s"g${i % 5}", i, rnd.nextInt(100).toLong))
+      .toDF("g", "id", "v")
+    val got = Sketches.exactNtileBy(data, "g", "id", "v", k = 4, step = 7L, nb = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v", "id")
+    val direct = data.select(col("g"), col("id"), ntile(4).over(w).cast("long").as("tile"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == direct)
+  }
+
   test("exactNtile: data rows never cross a single-partition window — " +
       "only the histogram does") {
     val data = (1L to 100L).map(i => (i, i % 37)).toDF("id", "v")
