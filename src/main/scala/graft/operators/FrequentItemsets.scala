@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset mining over (transaction, item) relations —
+  * market-basket co-occurrence (Agrawal & Srikant, "Fast Algorithms
+  * for Mining Association Rules", VLDB'94): which parts ship
+  * together, which domains co-cite, which error types co-occur in a
+  * session. Exact support counts with the APRIORI prune: every
+  * candidate's sub-itemsets must already be frequent, so each level's
+  * join runs over the PRUNED item relation, not the raw corpus —
+  * support ≥ s means an item survives only with ≥ s transactions, and
+  * the within-transaction self-join fans out only on items that
+  * already cleared the bar (the anti-monotonicity that keeps level
+  * k's candidate volume bounded by level k−1's output, the classic
+  * defense against the transaction × item² blowup).
+  *
+  * All relations are slim (txn, item) pairs; every join is a hash
+  * equi-join on txn or on itemset prefixes; counts are exact BIGINTs
+  * the oracle replays with plain SQL self-joins.
+  */
+object FrequentItemsets {
+
+  private def items(df: DataFrame, txnCol: String, itemCol: String): DataFrame =
+    df.select(col(txnCol).as("txn"), col(itemCol).as("item")).distinct()
+
+  /** Frequent single items: (item, support), support ≥ minSupport. */
+  def frequentItems(df: DataFrame, txnCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    items(df, txnCol, itemCol)
+      .groupBy("item").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** Frequent pairs with the L1 prune: only transactions' FREQUENT
+    * items self-join (a < b within txn), then the pair count filters.
+    * @return (item_a, item_b, support) with item_a < item_b */
+  def frequentPairs(df: DataFrame, txnCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val ti = Materialize(items(df, txnCol, itemCol)
+      .join(frequentItems(df, txnCol, itemCol, minSupport).select("item"), Seq("item")))
+    ti.as("a").join(ti.as("b"),
+        col("a.txn") === col("b.txn") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** Frequent triples, Apriori candidate generation from L2: a triple
+    * (a, b, c) counts only when ALL THREE of its pairs are frequent —
+    * the (a,b)×(a,c) prefix join proposes, the (b,c) semi-join
+    * disposes, and only then do transactions count the survivors.
+    * @return (item_a, item_b, item_c, support), a < b < c */
+  def frequentTriples(df: DataFrame, txnCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val l2 = Materialize(frequentPairs(df, txnCol, itemCol, minSupport)
+      .select("item_a", "item_b"))
+    val cand = l2.as("p").join(l2.as("q"),
+        col("p.item_a") === col("q.item_a") && col("p.item_b") < col("q.item_b"))
+      .select(col("p.item_a").as("ia"), col("p.item_b").as("ib"), col("q.item_b").as("ic"))
+      .join(l2.select(col("item_a").as("ib"), col("item_b").as("ic")), Seq("ib", "ic"))
+    val ti = Materialize(items(df, txnCol, itemCol)
+      .join(frequentItems(df, txnCol, itemCol, minSupport).select("item"), Seq("item")))
+    cand
+      .join(ti.select(col("txn"), col("item").as("ia")), Seq("ia"))
+      .join(ti.select(col("txn"), col("item").as("ib")), Seq("txn", "ib"))
+      .join(ti.select(col("txn"), col("item").as("ic")), Seq("txn", "ic"))
+      .groupBy(col("ia").as("item_a"), col("ib").as("item_b"), col("ic").as("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** DuckDB twin of [[frequentPairs]]; `input` projects (txn, item). */
+  def frequentPairsSql(input: String, minSupport: Long): String =
+    s"""WITH fi_t AS (SELECT DISTINCT txn, item FROM ($input)),
+      fi_l1 AS (SELECT item FROM fi_t GROUP BY item HAVING count(*) >= $minSupport),
+      fi_ti AS (SELECT t.txn, t.item FROM fi_t t JOIN fi_l1 USING (item))
+    SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+    FROM fi_ti a JOIN fi_ti b ON a.txn = b.txn AND a.item < b.item
+    GROUP BY 1, 2 HAVING count(*) >= $minSupport"""
+
+  /** DuckDB twin of [[frequentTriples]] — deliberately WITHOUT the
+    * Apriori prune (brute triple enumeration over frequent items +
+    * HAVING): a prune that wrongly drops a candidate cannot
+    * self-confirm against it. */
+  def frequentTriplesSql(input: String, minSupport: Long): String =
+    s"""WITH ft_t AS (SELECT DISTINCT txn, item FROM ($input)),
+      ft_l1 AS (SELECT item FROM ft_t GROUP BY item HAVING count(*) >= $minSupport),
+      ft_ti AS (SELECT t.txn, t.item FROM ft_t t JOIN ft_l1 USING (item))
+    SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c, count(*) AS support
+    FROM ft_ti a
+    JOIN ft_ti b ON a.txn = b.txn AND a.item < b.item
+    JOIN ft_ti c ON b.txn = c.txn AND b.item < c.item
+    GROUP BY 1, 2, 3 HAVING count(*) >= $minSupport"""
+}

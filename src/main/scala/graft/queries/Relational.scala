@@ -1110,6 +1110,87 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  private val fiInput =
+    "SELECT l_orderkey AS txn, CAST(floor(sqrt(CAST(l_partkey % 400 AS DOUBLE))) AS BIGINT) AS item FROM lineitem"
+
+  private def fiItems(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select(col("l_orderkey").as("txn"),
+      expr("CAST(floor(sqrt(CAST(l_partkey % 400 AS DOUBLE))) AS BIGINT)").as("item"))
+
+  /** Market-basket: frequent part-family PAIRS per order (Apriori L2,
+    * [[graft.operators.FrequentItemsets.frequentPairs]]). The ramped
+    * item mapping (floor∘sqrt of the part bucket) gives the supports a
+    * real spread, so the threshold genuinely prunes (50/105 survive at
+    * sf0.001, 164/190 at sf0.01). */
+  val qFrequentPairs: QueryDef = QueryDef(
+    "frequent_pairs",
+    (s, dir) => graft.operators.FrequentItemsets.frequentPairs(
+        fiItems(s, dir), "txn", "item", minSupport = 60L)
+      .orderBy("item_a", "item_b"),
+    Some(s"""
+      ${graft.operators.FrequentItemsets.frequentPairsSql(fiInput, 60L)}
+      ORDER BY item_a, item_b
+    """.stripMargin.trim)
+  )
+
+  /** Apriori L3: candidate triples generated from L2 prefix joins and
+    * pruned by the third pair BEFORE any transaction counting — while
+    * the oracle deliberately brute-enumerates triples with no prune,
+    * so a prune that wrongly drops a candidate cannot self-confirm. */
+  val qFrequentTriples: QueryDef = QueryDef(
+    "frequent_triples",
+    (s, dir) => graft.operators.FrequentItemsets.frequentTriples(
+        fiItems(s, dir), "txn", "item", minSupport = 25L)
+      .orderBy("item_a", "item_b", "item_c"),
+    Some(s"""
+      ${graft.operators.FrequentItemsets.frequentTriplesSql(fiInput, 25L)}
+      ORDER BY item_a, item_b, item_c
+    """.stripMargin.trim)
+  )
+
+  /** CUSUM change-point detection over per-type daily event counts —
+    * the mean-shift monitor (Page, Biometrika 1954) in EXACT closed
+    * form: the recurrence s_i = max(0, s_{i-1} + x_i − k) equals
+    * P_i − min(0, min_{j≤i} P_j) for the prefix sum P of (x − k), so
+    * two windowed aggregates replace the sequential scan — no
+    * recursion, no UDF, and the identity holds in pure BIGINT, which
+    * is exactly what lets DuckDB replay it bit-for-bit. Windows
+    * partition by event_type (the series per key is the DAY count —
+    * bounded — while keys scale out). Alarm when s crosses h. */
+  val qCusum: QueryDef = QueryDef(
+    "q_cusum",
+    (s, dir) => {
+      val k = 60L; val h = 25L
+      val daily = tbl(s, dir, "events")
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("p", sum(col("x") - lit(k)).over(w))
+        .withColumn("s", col("p") - least(lit(0L), min("p").over(w)))
+        .select(col("event_type"), col("day"), col("x"), col("s"),
+          (col("s") > h).as("alarm"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH cu_d AS (
+        SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, count(*) AS x
+        FROM events GROUP BY 1, 2
+      ), cu_p AS (
+        SELECT event_type, day, x,
+          CAST(sum(x - 60) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS p
+        FROM cu_d
+      )
+      SELECT event_type, day, x,
+        p - least(CAST(0 AS BIGINT),
+                  min(p) OVER (PARTITION BY event_type ORDER BY day)) AS s,
+        (p - least(CAST(0 AS BIGINT),
+                   min(p) OVER (PARTITION BY event_type ORDER BY day))) > 25 AS alarm
+      FROM cu_p ORDER BY event_type, day
+    """.stripMargin.trim)
+  )
+
   /** Hierarchy closure over a 1,500-node parent-pointer tree
     * (parent = id div 2): every node's (root, depth) by log-round path
     * doubling ([[graft.operators.Graphs.treeClosure]]) against the
@@ -1313,6 +1394,6 @@ object Relational {
     qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
     qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin,
     qTriangles, qExactMedian, qExactNtile, qGapfillEwma, qUnpivot, qTransitions,
-    qKAnonymity, qLDiversity, qKAnonymize, qJsonExtract, qTreeClosure
+    qKAnonymity, qLDiversity, qKAnonymize, qJsonExtract, qTreeClosure, qCusum, qFrequentPairs, qFrequentTriples
   )
 }

@@ -606,6 +606,10 @@ object Drive {
       println("-- exactNtile: global quantile bins without a global sort --")
       Sketches.exactNtile((1L to 10L).map(i => (i, i * 3)).toDF("id", "v"),
         "id", "v", k = 4, step = 5L, nb = 8).orderBy("id").show()
+      println("-- frequent itemsets: Apriori pairs and pruned triples --")
+      val fb = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 2L))
+        .toDF("txn", "item")
+      FrequentItemsets.frequentTriples(fb, "txn", "item", 2).orderBy("item_a").show()
       println("-- treeClosure: hierarchy (root, depth) by path doubling --")
       Graphs.treeClosure(Seq((1L, None), (2L, Some(1L)), (3L, Some(2L)), (4L, Some(2L)))
         .toDF("id", "parent")).orderBy("id").show()
