@@ -72,6 +72,59 @@ object FrequentItemsets {
       .filter(col("support") >= minSupport)
   }
 
+  /** Association rules from the frequent pairs — both directions of
+    * every L2 itemset, scored in exact integer units: confidence
+    * `s(a∪b)·1000 div s(a)` (milli) and lift
+    * `s(a∪b)·N·10⁶ div (s(a)·s(b))` (micro; > 10⁶ means positively
+    * associated). The standard Agrawal-Srikant second phase, kept
+    * relational: L1 supports broadcast onto the pair relation twice.
+    *
+    * @return (antecedent, consequent, support, conf_milli, lift_micro),
+    *         confidence ≥ minConfidenceMilli */
+  def associationRules(df: DataFrame, txnCol: String, itemCol: String,
+      minSupport: Long, minConfidenceMilli: Long): DataFrame = {
+    require(minConfidenceMilli >= 0 && minConfidenceMilli <= 1000,
+      s"minConfidenceMilli must be in [0, 1000], got $minConfidenceMilli")
+    val n = items(df, txnCol, itemCol).select("txn").distinct().count()
+    val l1 = Materialize(frequentItems(df, txnCol, itemCol, minSupport))
+    val l2 = frequentPairs(df, txnCol, itemCol, minSupport)
+    val directed = l2.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("support"))
+      .union(l2.select(col("item_b"), col("item_a"), col("support")))
+    directed
+      .join(broadcast(l1.select(col("item").as("antecedent"), col("support").as("sa"))),
+        Seq("antecedent"))
+      .join(broadcast(l1.select(col("item").as("consequent"), col("support").as("sb"))),
+        Seq("consequent"))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        expr("(support * 1000) div sa").as("conf_milli"),
+        expr(s"(support * $n * 1000000) div (sa * sb)").as("lift_micro"))
+      .filter(col("conf_milli") >= minConfidenceMilli)
+  }
+
+  /** DuckDB twin of [[associationRules]]; `input` projects (txn, item). */
+  def associationRulesSql(input: String, minSupport: Long,
+      minConfidenceMilli: Long): String =
+    s"""WITH ar_t AS (SELECT DISTINCT txn, item FROM ($input)),
+      ar_n AS (SELECT count(DISTINCT txn) AS n FROM ar_t),
+      ar_l1 AS (SELECT item, count(*) AS s FROM ar_t GROUP BY item HAVING count(*) >= $minSupport),
+      ar_ti AS (SELECT t.txn, t.item FROM ar_t t JOIN ar_l1 USING (item)),
+      ar_l2 AS (
+        SELECT a.item AS ia, b.item AS ib, count(*) AS support
+        FROM ar_ti a JOIN ar_ti b ON a.txn = b.txn AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+      ar_dir AS (
+        SELECT ia AS antecedent, ib AS consequent, support FROM ar_l2
+        UNION ALL
+        SELECT ib, ia, support FROM ar_l2)
+    SELECT d.antecedent, d.consequent, d.support,
+      (d.support * 1000) // la.s AS conf_milli,
+      (d.support * (SELECT n FROM ar_n) * 1000000) // (la.s * lb.s) AS lift_micro
+    FROM ar_dir d
+    JOIN ar_l1 la ON la.item = d.antecedent
+    JOIN ar_l1 lb ON lb.item = d.consequent
+    WHERE (d.support * 1000) // la.s >= $minConfidenceMilli"""
+
   /** DuckDB twin of [[frequentPairs]]; `input` projects (txn, item). */
   def frequentPairsSql(input: String, minSupport: Long): String =
     s"""WITH fi_t AS (SELECT DISTINCT txn, item FROM ($input)),

@@ -884,6 +884,57 @@ object Sketches {
                 AS BIGINT)""").as("tile"))
   }
 
+  /** Gini concentration of a non-negative BIGINT distribution — "what
+    * share of the corpus' tokens sits in its biggest documents /
+    * domains", the inequality audit of corpus curation — EXACT and
+    * sort-free: with values ranked ascending (ties broken by id, rank
+    * i = 1..n), G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx). The global rank
+    * comes from the [[exactNtile]] histogram-CDF refinement (bucket
+    * offsets broadcast, rows rank only within their bucket), so no
+    * single task ever sorts the relation; the one transcendental-free
+    * formula then reduces in a single aggregate. Output in exact
+    * micro-units: gini_micro = floor(G·10⁶).
+    *
+    * @return one row: (n, total, gini_micro) */
+  def giniConcentration(df: DataFrame, idCol: String, valCol: String,
+      step: Long, nb: Int): DataFrame = {
+    require(step >= 1 && nb >= 2, s"need step >= 1, nb >= 2; got step=$step nb=$nb")
+    val src = df.filter(col(valCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), expr(s"CAST($valCol AS BIGINT)").as("v"))
+      .withColumn("bucket", least(expr(s"v div $step"), lit(nb - 1L)))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = src.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum("c").over(wCum), lit(0L)))
+      .select("bucket", "below")
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("v", "id")
+    src.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("r", row_number().over(wBucket) + col("below"))
+      .agg(count(lit(1)).as("n"), coalesce(sum("v"), lit(0L)).as("total"),
+        // rank·value products overflow BIGINT at corpus scale (Σ i·xᵢ
+        // then ×10⁶) — DECIMAL(38,0) keeps every step exact, mirroring
+        // the oracle's HUGEINT
+        coalesce(sum(expr("CAST(r AS DECIMAL(38,0)) * v")),
+          lit(java.math.BigDecimal.ZERO)).as("rx"))
+      .select(col("n"), col("total"),
+        expr("CASE WHEN n = 0 OR total = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(((2 * rx - (CAST(n AS DECIMAL(38,0)) + 1) * total) * 1000000) " +
+          "div (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT) END").as("gini_micro"))
+  }
+
+  /** DuckDB twin of [[giniConcentration]] — direct `row_number()` over
+    * the full relation (independent of the histogram refinement). */
+  def giniConcentrationSql(input: String, idExpr: String, valExpr: String): String =
+    s"""WITH gc_src AS (SELECT CAST($idExpr AS BIGINT) AS id, CAST($valExpr AS BIGINT) AS v
+                        FROM ($input) WHERE $valExpr IS NOT NULL),
+      gc_r AS (SELECT v, row_number() OVER (ORDER BY v, id) AS r FROM gc_src)
+    SELECT count(*) AS n, CAST(COALESCE(sum(v), 0) AS BIGINT) AS total,
+      CASE WHEN count(*) = 0 OR COALESCE(sum(v), 0) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(((2 * sum(r * v) - (count(*) + 1) * sum(v)) * 1000000)
+             // (count(*) * sum(v)) AS BIGINT) END AS gini_micro
+    FROM gc_r"""
+
   /** DuckDB twin of [[exactNtileBy]] — direct partitioned `ntile()`. */
   def exactNtileBySql(input: String, grpCol: String, idExpr: String,
       valExpr: String, k: Int): String =

@@ -1148,6 +1148,38 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Association rules over the same baskets: both directions of every
+    * frequent pair scored by exact integer confidence (milli) and lift
+    * (micro) — the Agrawal-Srikant second phase, L1 supports broadcast
+    * onto the pair relation. */
+  val qAssocRules: QueryDef = QueryDef(
+    "assoc_rules",
+    (s, dir) => graft.operators.FrequentItemsets.associationRules(
+        fiItems(s, dir), "txn", "item", minSupport = 60L, minConfidenceMilli = 100L)
+      .orderBy("antecedent", "consequent"),
+    Some(s"""
+      ${graft.operators.FrequentItemsets.associationRulesSql(fiInput, 60L, 100L)}
+      ORDER BY antecedent, consequent
+    """.stripMargin.trim)
+  )
+
+  /** Token-mass concentration: Gini over per-order revenue cents —
+    * exact and SORT-FREE via the histogram-CDF global rank
+    * ([[graft.operators.Sketches.giniConcentration]]); the oracle
+    * ranks with a direct full-relation row_number. */
+  val qGini: QueryDef = QueryDef(
+    "gini_concentration",
+    (s, dir) => {
+      val o = tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      graft.operators.Sketches.giniConcentration(o, "k", "cents",
+        step = 1000000L, nb = 64)
+    },
+    Some(graft.operators.Sketches.giniConcentrationSql(
+      "SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders",
+      "k", "cents"))
+  )
+
   /** CUSUM change-point detection over per-type daily event counts —
     * the mean-shift monitor (Page, Biometrika 1954) in EXACT closed
     * form: the recurrence s_i = max(0, s_{i-1} + x_i − k) equals
@@ -1394,6 +1426,6 @@ object Relational {
     qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
     qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin,
     qTriangles, qExactMedian, qExactNtile, qGapfillEwma, qUnpivot, qTransitions,
-    qKAnonymity, qLDiversity, qKAnonymize, qJsonExtract, qTreeClosure, qCusum, qFrequentPairs, qFrequentTriples
+    qKAnonymity, qLDiversity, qKAnonymize, qJsonExtract, qTreeClosure, qCusum, qFrequentPairs, qFrequentTriples, qAssocRules, qGini
   )
 }

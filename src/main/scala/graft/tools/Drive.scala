@@ -610,6 +610,11 @@ object Drive {
       val fb = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 2L))
         .toDF("txn", "item")
       FrequentItemsets.frequentTriples(fb, "txn", "item", 2).orderBy("item_a").show()
+      println("-- association rules + Gini concentration --")
+      FrequentItemsets.associationRules(fb, "txn", "item", 2, 100)
+        .orderBy("antecedent", "consequent").show()
+      Sketches.giniConcentration(
+        ((1L to 9L).map(i => (i, 1L)) :+ ((10L, 91L))).toDF("id", "v"), "id", "v", 10L, 16).show()
       println("-- treeClosure: hierarchy (root, depth) by path doubling --")
       Graphs.treeClosure(Seq((1L, None), (2L, Some(1L)), (3L, Some(2L)), (4L, Some(2L)))
         .toDF("id", "parent")).orderBy("id").show()

@@ -44,6 +44,21 @@ class FrequentItemsetsSpec extends SparkTestBase {
     assert(FrequentItemsets.frequentTriples(lopsided, "txn", "item", 4).count() == 0)
   }
 
+  test("associationRules: confidence and lift in exact integer units, both directions") {
+    // 6 txns: {1,2}x4, {1}x1, {2}x1 -> s(1)=5, s(2)=5, s(12)=4, N=6
+    val d = (Seq.tabulate(4)(t => (t.toLong, Seq(1L, 2L))) ++
+      Seq((10L, Seq(1L)), (11L, Seq(2L))))
+      .flatMap { case (t, is) => is.map(t -> _) }.toDF("txn", "item")
+    val rules = FrequentItemsets.associationRules(d, "txn", "item", 2, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // conf(1->2) = 4000/5 = 800 milli; lift = 4*6*1e6/(5*5) = 960000 micro
+    assert(rules == Map((1L, 2L) -> ((800L, 960000L)), (2L, 1L) -> ((800L, 960000L))))
+    // a high confidence floor prunes
+    assert(FrequentItemsets.associationRules(d, "txn", "item", 2, 900).count() == 0)
+    intercept[IllegalArgumentException](
+      FrequentItemsets.associationRules(d, "txn", "item", 2, 1500))
+  }
+
   test("random baskets: pairs and triples match brute force across thresholds") {
     val rnd = new scala.util.Random(41)
     val txns = (1L to 80L).map(t => t -> (0 until 2 + rnd.nextInt(4)).map(_ => rnd.nextInt(8).toLong).toSet)

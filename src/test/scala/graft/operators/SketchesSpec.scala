@@ -323,6 +323,25 @@ class SketchesSpec extends SparkTestBase {
     assert(got == direct)
   }
 
+  test("giniConcentration: equality -> 0, one-owner -> (n-1)/n, histogram-parameter independent") {
+    def gini(df: org.apache.spark.sql.DataFrame, step: Long = 3L, nb: Int = 16) =
+      Sketches.giniConcentration(df, "id", "v", step, nb).head().getLong(2)
+    val equal = (1L to 10L).map(i => (i, 7L)).toDF("id", "v")
+    assert(gini(equal) == 0L)
+    val oneOwner = ((1L to 9L).map(i => (i, 0L)) :+ ((10L, 90L))).toDF("id", "v")
+    assert(gini(oneOwner) == 900000L) // (n-1)/n = 0.9
+    val rnd = new scala.util.Random(23)
+    val data = (1L to 200L).map(i => (i, rnd.nextInt(50).toLong)).toDF("id", "v")
+    val expect = gini(data, 1L, 64)
+    for ((step, nb) <- Seq((5L, 16), (25L, 4), (50L, 2)))
+      assert(gini(data, step, nb) == expect, s"step=$step nb=$nb")
+    // direct formula on the sorted values agrees
+    val vs = data.collect().map(r => r.getLong(1)).sorted
+    val n = vs.length.toLong; val tot = vs.sum
+    val rx = vs.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    assert(expect == ((2 * rx - (n + 1) * tot) * 1000000L) / (n * tot))
+  }
+
   test("exactNtile: data rows never cross a single-partition window — " +
       "only the histogram does") {
     val data = (1L to 100L).map(i => (i, i % 37)).toDF("id", "v")
