@@ -7,29 +7,36 @@ import org.apache.spark.sql.functions._
 /** Persisted inverted text index — BM25 retrieval WITHOUT scanning the
   * corpus. The inline [[TextAnalysis.bm25Scores]] tokenizes every
   * document per query; at 100 TB that is a full-corpus pass for a
-  * four-word query. This index pays the tokenize once at build time
-  * and makes a query read only the Hive partitions its terms hash
-  * into:
+  * four-word query. This index pays the tokenize once per document —
+  * at build time or when a delta batch APPENDS — and makes a query
+  * read only the Hive partitions its terms hash into:
   *
-  *  - `postings/bucket=B/`: (word, id, tf, dl) — DENORMALIZED doc
-  *    length, so scoring is postings-local (no corpus-sized doclen
+  *  - `postings/shard=K/bucket=B/`: (word, id, tf, dl) — DENORMALIZED
+  *    doc length, so scoring is postings-local (no corpus-sized doclen
   *    join at query time; +8 bytes/posting is the entire cost);
-  *  - `dfreq/bucket=B/`: (word, dfreq) — per-term document frequency,
-  *    broadcast into the scoring join;
+  *  - `dfreq/shard=K/bucket=B/`: (word, dfreq) PER SHARD — global
+  *    document frequency is the sum over shards, so an append never
+  *    rewrites existing data: it adds one shard directory and bumps
+  *    the manifest;
   *  - `_GRAFT_TEXTINDEX` manifest, written LAST (the snapshot/index
-  *    commit-marker discipline): numBuckets + the corpus constants
-  *    (n_docs, sum_dl), so a query needs ZERO corpus-wide reads —
-  *    avgdl reconstructs from two manifest longs exactly as the
-  *    inline operator computes it, keeping scores bit-identical.
+  *    commit-marker discipline): numBuckets + shard count + the
+  *    CUMULATIVE corpus constants (n_docs, sum_dl). A crashed append
+  *    leaves the old manifest pointing at the old shards — the
+  *    half-written shard directory exists but is invisible until a
+  *    successful append commits past it.
   *
   * Bucketing: `pmod(portableHash60('ti:' ∥ word), numBuckets)`. A
   * query's buckets resolve driver-side from its literal terms, reach
   * the scan as PartitionFilters (plan-pinned), and the posting rows
   * for OTHER words in those buckets drop at the scan filter. Scoring
   * replays the [[TextAnalysis.bm25Scores]] arithmetic verbatim
-  * (floor-1e9 fixed-point term weights, order-free integer sum), so
-  * `searchTextIndex ≡ bm25Scores` bit-for-bit — which is exactly what
-  * the gate pins, sharing the inline operator's DuckDB oracle.
+  * (floor-1e9 fixed-point term weights, order-free integer sum):
+  * because tf/dl live on the postings and df/n_docs/sum_dl reconstruct
+  * exactly by summation, `searchTextIndex` over ANY shard split is
+  * bit-identical to the inline operator on the union corpus — which is
+  * exactly what the gates pin, sharing the inline operator's DuckDB
+  * oracle. Documents must not repeat across shards (append deltas
+  * after dedup, the [[Dedup]] incremental flow).
   */
 object TextIndex {
 
@@ -43,33 +50,12 @@ object TextIndex {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Build and commit the index. One tokenize pass; postings and
-    * per-term document frequencies land Hive-partitioned by word
-    * bucket; corpus stats go in the manifest. */
-  def writeTextIndex(df: DataFrame, idCol: String, textCol: String, path: String,
-      numBuckets: Int = 64): Unit = {
-    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
-    val spark = df.sparkSession
-    val base = df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
-    val withDl = Materialize(base.select(col("id"), col("ws"), size(col("ws")).as("dl")))
-    val postings = withDl
-      .select(col("id"), col("dl"), explode(col("ws")).as("word"))
-      .groupBy("word", "id", "dl").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", bucketOf(col("word"), numBuckets))
-    postings.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$path/postings")
-    // dfreq derives from the WRITTEN postings so the two relations can
-    // never disagree (and the corpus tokenize still happens only once)
-    val written = spark.read.parquet(s"$path/postings")
-    written.groupBy("word", "bucket").agg(count(lit(1)).as("dfreq"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(s"$path/dfreq")
-    val Array(nDocs, sumDl) = withDl
-      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
-      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+  private def writeManifest(spark: SparkSession, path: String,
+      numBuckets: Int, nShards: Int, nDocs: Long, sumDl: Long): Unit = {
     val (fs, _) = fsOf(spark, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/$ManifestFile"), true)
     try out.write(
-      s"numBuckets=$numBuckets\nn_docs=$nDocs\nsum_dl=$sumDl\n"
+      s"numBuckets=$numBuckets\nnShards=$nShards\nn_docs=$nDocs\nsum_dl=$sumDl\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -89,18 +75,69 @@ object TextIndex {
     } finally in.close()
   }
 
+  /** One shard's postings + per-shard dfreq + its (n_docs, sum_dl). */
+  private def writeShard(df: DataFrame, idCol: String, textCol: String,
+      path: String, numBuckets: Int, shard: Int): (Long, Long) = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+    val withDl = Materialize(base.select(col("id"), col("ws"), size(col("ws")).as("dl")))
+    val postings = withDl
+      .select(col("id"), col("dl"), explode(col("ws")).as("word"))
+      .groupBy("word", "id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("shard", lit(shard))
+      .withColumn("bucket", bucketOf(col("word"), numBuckets))
+    postings.write.mode(SaveMode.Append).partitionBy("shard", "bucket")
+      .parquet(s"$path/postings")
+    // dfreq derives from the WRITTEN postings so the two relations can
+    // never disagree (and the corpus tokenize still happens only once)
+    spark.read.parquet(s"$path/postings").filter(col("shard") === shard)
+      .groupBy("word", "bucket").agg(count(lit(1)).as("dfreq"))
+      .withColumn("shard", lit(shard))
+      .write.mode(SaveMode.Append).partitionBy("shard", "bucket")
+      .parquet(s"$path/dfreq")
+    val Array(nDocs, sumDl) = withDl
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    (nDocs, sumDl)
+  }
+
+  /** Build and commit the index (shard 0). One tokenize pass; postings
+    * and per-shard document frequencies land Hive-partitioned by
+    * (shard, word bucket); corpus constants go in the manifest. */
+  def writeTextIndex(df: DataFrame, idCol: String, textCol: String, path: String,
+      numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val (nDocs, sumDl) = writeShard(df, idCol, textCol, path, numBuckets, shard = 0)
+    writeManifest(df.sparkSession, path, numBuckets, 1, nDocs, sumDl)
+  }
+
+  /** Append a delta batch as a NEW shard: tokenizes only the batch,
+    * touches no existing shard, and commits by rewriting the manifest
+    * LAST with the summed corpus constants. Search after append is
+    * bit-identical to a full rebuild over the union corpus. */
+  def appendTextIndex(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val m = readManifest(spark, path)
+    val shard = m("nShards").toInt
+    val (nDocs, sumDl) =
+      writeShard(df, idCol, textCol, path, m("numBuckets").toInt, shard)
+    writeManifest(spark, path, m("numBuckets").toInt, shard + 1,
+      m("n_docs") + nDocs, m("sum_dl") + sumDl)
+  }
+
   /** BM25 over the index: reads ONLY the buckets the query terms hash
-    * into (PartitionFilters, plan-pinned), scores postings-locally,
-    * and returns the same (id, n_terms_hit, score) relation as
-    * [[TextAnalysis.bm25Scores]] — bit-identical by construction. The
-    * per-term driver-side hash is the same `portableHash60` the build
-    * used, evaluated on literals (no corpus work). */
+    * into (PartitionFilters, plan-pinned) across the committed shards,
+    * scores postings-locally, and returns the same
+    * (id, n_terms_hit, score) relation as [[TextAnalysis.bm25Scores]]
+    * on the union corpus — bit-identical by construction. Global
+    * document frequency is the shard-sum of a few filtered rows. */
   def searchTextIndex(spark: SparkSession, path: String, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct.size == queryTerms.size, "duplicate query term")
     val m = readManifest(spark, path)
     val numBuckets = m("numBuckets").toInt
+    val nShards = m("nShards")
     val nDocs = m("n_docs")
     val avgdl = m("sum_dl").toDouble / nDocs.toDouble
     // resolve the query's buckets from its literal terms — one tiny
@@ -109,13 +146,15 @@ object TextIndex {
       explode(array(queryTerms.map(lit): _*)).as("word"))
       .select(bucketOf(col("word"), numBuckets).as("bucket"))
       .collect().map(_.getLong(0)).distinct.toSeq
+    // `shard < nShards` makes uncommitted (crashed-append) shards
+    // invisible: the manifest is the source of truth
     val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(qBuckets: _*))
+      .filter(col("shard") < nShards && col("bucket").isin(qBuckets: _*))
       .filter(col("word").isin(queryTerms: _*))
     val dfreq = spark.read.parquet(s"$path/dfreq")
-      .filter(col("bucket").isin(qBuckets: _*))
+      .filter(col("shard") < nShards && col("bucket").isin(qBuckets: _*))
       .filter(col("word").isin(queryTerms: _*))
-      .select("word", "dfreq")
+      .groupBy("word").agg(sum("dfreq").as("dfreq"))
     val idf = log(lit(1.0) +
       ((lit(nDocs) - col("dfreq")).cast("double") + lit(0.5)) /
         (col("dfreq").cast("double") + lit(0.5)))

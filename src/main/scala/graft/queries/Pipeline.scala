@@ -1360,6 +1360,33 @@ object Pipeline {
     )
   }
 
+  /** The SAME retrieval, index built INCREMENTALLY: half the corpus at
+    * write time, the rest appended as two delta shards — global df and
+    * the corpus constants reconstruct by summation, so scores must
+    * stay bit-identical to the inline operator on the union corpus
+    * (`bm25_scores`' oracle again, verbatim). */
+  val bm25IndexIncr: QueryDef = {
+    val terms = Seq("spark", "window", "vector", "stream")
+    QueryDef(
+      "bm25_index_incr",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-tidx-incr").toString
+        val d = tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+        graft.operators.TextIndex.writeTextIndex(
+          d.filter(col("id") % 4 < 2), "id", "text", base, numBuckets = 16)
+        graft.operators.TextIndex.appendTextIndex(
+          d.filter(col("id") % 4 === 2), "id", "text", base)
+        graft.operators.TextIndex.appendTextIndex(
+          d.filter(col("id") % 4 === 3), "id", "text", base)
+        graft.operators.TextIndex.searchTextIndex(s, base, terms).orderBy("id")
+      },
+      Some(s"""
+        ${TextAnalysis.bm25Sql("SELECT doc_id AS id, text FROM documents", terms)}
+        ORDER BY id
+      """.trim)
+    )
+  }
+
   /** Deterministic epoch shuffle: the training-order relation (id →
     * shard, position) for epoch 1 over 8 shards — RNG-free, so the
     * oracle replays the exact permutation. */
@@ -3482,7 +3509,7 @@ object Pipeline {
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
-    tfidfTerms, bm25Scores, bm25IndexSearch, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
+    tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,

@@ -600,6 +600,7 @@ object Drive {
       TextIndex.writeTextIndex(Seq(
         (1L, "spark window stream"), (2L, "vector search"), (3L, "window spark spark"))
         .toDF("id", "text"), "id", "text", ti, numBuckets = 4)
+      TextIndex.appendTextIndex(Seq((4L, "stream window")).toDF("id", "text"), "id", "text", ti)
       TextIndex.searchTextIndex(spark, ti, Seq("spark", "window")).orderBy("id").show()
       try TextIndex.searchTextIndex(spark, java.nio.file.Files.createTempDirectory("d").toString, Seq("x"))
       catch { case e: IllegalStateException => println(s"caught (no manifest): ${e.getMessage}") }

@@ -44,6 +44,33 @@ class TextIndexSpec extends SparkTestBase {
       scores(TextAnalysis.bm25Scores(corpus, "id", "text", terms)))
   }
 
+  test("appendTextIndex: shard-split index ≡ full rebuild ≡ inline, any split") {
+    val terms = Seq("spark", "window", "stream")
+    val full = tmp()
+    TextIndex.writeTextIndex(docs, "id", "text", full, numBuckets = 8)
+    val split = tmp()
+    TextIndex.writeTextIndex(docs.filter(col("id") <= 2), "id", "text", split, numBuckets = 8)
+    TextIndex.appendTextIndex(docs.filter(col("id") === 3), "id", "text", split)
+    TextIndex.appendTextIndex(docs.filter(col("id") >= 4), "id", "text", split)
+    assert(scores(TextIndex.searchTextIndex(spark, split, terms)) ==
+      scores(TextIndex.searchTextIndex(spark, full, terms)))
+    assert(scores(TextIndex.searchTextIndex(spark, split, terms)) ==
+      scores(TextAnalysis.bm25Scores(docs, "id", "text", terms)))
+  }
+
+  test("uncommitted shards are invisible: the manifest is the source of truth") {
+    val p = tmp()
+    TextIndex.writeTextIndex(docs, "id", "text", p, numBuckets = 4)
+    val before = scores(TextIndex.searchTextIndex(spark, p, Seq("spark")))
+    // simulate a crashed append: shard files exist, manifest never moved
+    // (dl int / tf long match the real postings schema exactly)
+    Seq((99L, 3, 1L)).toDF("id", "dl", "tf")
+      .withColumn("word", lit("spark")).withColumn("shard", lit(7))
+      .withColumn("bucket", lit(0L))
+      .write.mode("append").partitionBy("shard", "bucket").parquet(s"$p/postings")
+    assert(scores(TextIndex.searchTextIndex(spark, p, Seq("spark"))) == before)
+  }
+
   test("query buckets reach the postings scan as PartitionFilters") {
     val p = tmp()
     TextIndex.writeTextIndex(docs, "id", "text", p, numBuckets = 8)
