@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  private[operators] val ManifestFile = "_GRAFT_TEXTINDEX"
+  private[graft] val ManifestFile = "_GRAFT_TEXTINDEX"
 
   private def bucketOf(word: org.apache.spark.sql.Column, numBuckets: Int) =
     pmod(portableHash60(concat(lit("ti:"), word)), lit(numBuckets.toLong))

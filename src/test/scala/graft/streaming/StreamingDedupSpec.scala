@@ -363,4 +363,31 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(got == Set((10L, 20L), (11L, 21L))) // cross-user and out-of-window excluded
     } finally q.stop()
   }
+
+  test("indexAppendStream: micro-batch shards ≡ inline BM25 after each prefix") {
+    import graft.operators.{TextAnalysis, TextIndex}
+    implicit val sqlCtx = spark.sqlContext
+    val docsSeq = Seq(
+      (1L, "spark streams window the data stream"),
+      (2L, "vector search over spark"),
+      (3L, "window spark spark"),
+      (4L, "entirely unrelated prose"))
+    val terms = Seq("spark", "window")
+    val path = java.nio.file.Files.createTempDirectory("graft-tidx-stream").toString + "/idx"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.indexAppendStream(
+      input.toDF().toDF("id", "text"), "id", "text", path, numBuckets = 4)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    try {
+      input.addData(docsSeq.take(2): _*)
+      q.processAllAvailable()
+      assert(scores(TextIndex.searchTextIndex(spark, path, terms)) ==
+        scores(TextAnalysis.bm25Scores(docsSeq.take(2).toDF("id", "text"), "id", "text", terms)))
+      input.addData(docsSeq.drop(2): _*)
+      q.processAllAvailable()
+      assert(scores(TextIndex.searchTextIndex(spark, path, terms)) ==
+        scores(TextAnalysis.bm25Scores(docsSeq.toDF("id", "text"), "id", "text", terms)))
+    } finally q.stop()
+  }
 }
