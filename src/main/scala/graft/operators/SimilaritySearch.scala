@@ -874,4 +874,81 @@ object SimilaritySearch {
       .withColumn("fused_rank", row_number().over(w).cast("long"))
       .filter(col("fused_rank") <= topK)
   }
+
+  /** Farthest-first traversal (Gonzalez, TCS 1985) over INT8-quantized
+    * vectors — the deterministic 2-approximation k-center seeding for
+    * the k-means tier (seed quality decides how much Lloyd iteration
+    * the IVF/SemDeDup fits need): seed 1 is the min-id point; each
+    * round picks the point FARTHEST from its nearest chosen seed
+    * (ties to the smaller id). Integer codes make every distance an
+    * exact BIGINT (≤ dim·254², no floats anywhere), so the whole
+    * traversal replays bit-for-bit — the oracle unrolls the same k
+    * rounds in SQL ([[kcenterSeedsSql]], the pageRank unrolling move).
+    *
+    * Each round is one broadcast-literal map over the corpus plus a
+    * top-1 TakeOrdered (no global sort materializes); k driver-side
+    * single-row collects total. O(k·n) distance work, the standard
+    * trade for the 2-approx guarantee.
+    *
+    * @param codesCol array<int> column ([[quantizeInt8]] output)
+    * @return (rank, id, sel_dist) — sel_dist is the chosen point's
+    *         min-distance² to the seeds before it (0 for rank 1) */
+  def kcenterSeeds(df: DataFrame, idCol: String, codesCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val spark = df.sparkSession
+    val base = Materialize(df.select(col(idCol).cast("long").as("id"),
+      col(codesCol).as("codes")))
+    def sqDistTo(center: Seq[Int]): Column = {
+      val cArr = array(center.map(lit): _*)
+      aggregate(
+        zip_with(col("codes"), cArr,
+          (a, b) => (a.cast("long") - b.cast("long")) * (a.cast("long") - b.cast("long"))),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val firstRow = base.orderBy("id").limit(1).collect()
+    require(firstRow.nonEmpty, "kcenterSeeds needs a non-empty input")
+    def codesOf(r: org.apache.spark.sql.Row): Seq[Int] =
+      r.getSeq[Int](r.fieldIndex("codes"))
+    var seeds = Vector((firstRow.head.getLong(0), codesOf(firstRow.head), 0L))
+    for (_ <- 2 to k) {
+      // least() demands >= 2 args; one seed means one distance
+      val dists = seeds.map(s => sqDistTo(s._2))
+      val minDist = if (dists.size == 1) dists.head else least(dists: _*)
+      val next = base.select(col("id"), col("codes"), minDist.as("d"))
+        .orderBy(col("d").desc, col("id").asc).limit(1).collect().head
+      seeds = seeds :+ ((next.getLong(0), codesOf(next), next.getLong(next.fieldIndex("d"))))
+    }
+    import spark.implicits._
+    seeds.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toDF("rank", "id", "sel_dist")
+  }
+
+  /** DuckDB twin of [[kcenterSeeds]]: the identical k rounds unrolled
+    * as CTEs. `input` projects (id, codes) with 1-indexed INT list
+    * codes of length `dim`. */
+  def kcenterSeedsSql(input: String, dim: Int, k: Int): String = {
+    def dist(p: String, c: String) =
+      s"""list_reduce(list_transform(generate_series(1, $dim),
+          i -> CAST($p.codes[i] - $c.codes[i] AS BIGINT) * ($p.codes[i] - $c.codes[i])),
+          (x, y) -> x + y)"""
+    val ctes = new StringBuilder(
+      s"""WITH kc_base AS (SELECT CAST(id AS BIGINT) AS id, codes FROM ($input)),
+        kc_c1 AS (SELECT id, codes, CAST(0 AS BIGINT) AS d FROM kc_base
+                  ORDER BY id LIMIT 1),
+        kc_d1 AS (SELECT p.id, p.codes, ${dist("p", "c")} AS d
+                  FROM kc_base p CROSS JOIN kc_c1 c)""")
+    for (j <- 2 to k) {
+      ctes.append(s""",
+        kc_c$j AS (SELECT id, codes, d FROM kc_d${j - 1} ORDER BY d DESC, id LIMIT 1)""")
+      if (j < k) ctes.append(s""",
+        kc_d$j AS (SELECT p.id, p.codes, least(p.d, ${dist("p", "c")}) AS d
+                   FROM kc_d${j - 1} p CROSS JOIN kc_c$j c)""")
+    }
+    val unions = (1 to k)
+      .map(j => s"SELECT $j AS rank, id, d AS sel_dist FROM kc_c$j")
+      .mkString("\n      UNION ALL ")
+    s"""$ctes
+      $unions"""
+  }
 }

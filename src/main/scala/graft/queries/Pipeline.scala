@@ -1790,6 +1790,32 @@ object Pipeline {
     }
   )
 
+  /** Deterministic k-center seeding over the int8-quantized embedding
+    * corpus: 8 farthest-first seeds with their exact BIGINT selection
+    * distances — the oracle replays the identical 8 rounds unrolled as
+    * CTEs (and the quantization itself, already pinned by
+    * `embed_quant`). */
+  val kcenterSeedsQ: QueryDef = QueryDef(
+    "kcenter_seeds",
+    (s, dir) => SimilaritySearch.kcenterSeeds(
+        SimilaritySearch.quantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding"),
+        "id", "codes", k = 8)
+      .orderBy("rank"),
+    Some {
+      val codesInput = """
+        WITH kq_b AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        kq_s AS (SELECT id, v, list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM kq_b)
+        SELECT id,
+          CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+               ELSE list_transform(v, x -> greatest(CAST(floor(CAST(x AS DOUBLE) / scale) AS INT), -127)) END AS codes
+        FROM kq_s"""
+      s"""
+      ${SimilaritySearch.kcenterSeedsSql(codesInput, dim = 64, k = 8)}
+      ORDER BY rank
+      """.trim
+    }
+  )
+
   // ---- multimodal -----------------------------------------------------
 
   val mediaMeta: QueryDef = QueryDef(
@@ -3511,7 +3537,7 @@ object Pipeline {
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
-    embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
+    embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )

@@ -1148,6 +1148,41 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Per-day Shannon entropy of the event-type mix — the
+    * distribution-health profile (a day whose traffic collapses onto
+    * one type shows H → 0). Exact-integer discipline for the one
+    * transcendental: each type's term is n_i · floor(ln(N/n_i)·10⁶) —
+    * the ln exits through the floor grid BEFORE the per-day sum, so
+    * the reduction is an order-free BIGINT add both engines replay
+    * bit-for-bit (the lm_score pattern). H_micro = Σ terms div N. */
+  val qEntropy: QueryDef = QueryDef(
+    "q_entropy",
+    (s, dir) => {
+      val counts = tbl(s, dir, "events")
+        .groupBy(expr("ts div 86400000000000").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      counts
+        .withColumn("n", sum("c").over(Window.partitionBy("day")))
+        .withColumn("t", expr("c * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_types"), max("n").as("n_events"),
+          expr("sum(t) div max(n)").as("h_micro"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH en_c AS (
+        SELECT epoch_ns(ts) // 86400000000000 AS day, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+      ), en_n AS (
+        SELECT day, event_type, c, CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS n FROM en_c
+      )
+      SELECT day, count(*) AS n_types, max(n) AS n_events,
+        CAST(sum(c * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+             // max(n) AS BIGINT) AS h_micro
+      FROM en_n GROUP BY day ORDER BY day
+    """.stripMargin.trim)
+  )
+
   /** Association rules over the same baskets: both directions of every
     * frequent pair scored by exact integer confidence (milli) and lift
     * (micro) — the Agrawal-Srikant second phase, L1 supports broadcast
@@ -1426,6 +1461,6 @@ object Relational {
     qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
     qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin,
     qTriangles, qExactMedian, qExactNtile, qGapfillEwma, qUnpivot, qTransitions,
-    qKAnonymity, qLDiversity, qKAnonymize, qJsonExtract, qTreeClosure, qCusum, qFrequentPairs, qFrequentTriples, qAssocRules, qGini
+    qKAnonymity, qLDiversity, qKAnonymize, qJsonExtract, qTreeClosure, qCusum, qFrequentPairs, qFrequentTriples, qAssocRules, qGini, qEntropy
   )
 }

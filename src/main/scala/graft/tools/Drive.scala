@@ -611,6 +611,9 @@ object Drive {
       val fb = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 2L))
         .toDF("txn", "item")
       FrequentItemsets.frequentTriples(fb, "txn", "item", 2).orderBy("item_a").show()
+      println("-- kcenterSeeds: farthest-first over int codes --")
+      SimilaritySearch.kcenterSeeds(Seq((1L, Seq(0, 0)), (2L, Seq(10, 0)), (3L, Seq(5, 8)))
+        .toDF("id", "codes"), "id", "codes", 3).show()
       println("-- association rules + Gini concentration --")
       FrequentItemsets.associationRules(fb, "txn", "item", 2, 100)
         .orderBy("antecedent", "consequent").show()

@@ -422,4 +422,35 @@ class SimilaritySearchSpec extends SparkTestBase {
     intercept[IllegalArgumentException](SimilaritySearch.rrfFuse(Seq.empty))
     intercept[IllegalArgumentException](SimilaritySearch.rrfFuse(Seq(a), topK = 0))
   }
+
+  test("kcenterSeeds: farthest-first on a line, ties to min id, brute-force parity") {
+    // points on a line: 0, 1, 10, 11, 100 — seeds: id 1 (min id, v=0),
+    // id 5 (v=100, farthest), then id 4 (v=11: min-dist 121 beats 10's 100)
+    val line = Seq((1L, Seq(0)), (2L, Seq(1)), (3L, Seq(10)), (4L, Seq(11)), (5L, Seq(100)))
+      .toDF("id", "codes")
+    val got = SimilaritySearch.kcenterSeeds(line, "id", "codes", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 1L, 0L), (2L, 5L, 10000L), (3L, 4L, 121L)))
+    // brute-force replay on random 4-dim codes
+    val rnd = new scala.util.Random(31)
+    val pts = (1L to 40L).map(i => i -> Seq.fill(4)(rnd.nextInt(21) - 10))
+    def d2(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    var seeds = Vector(pts.head)
+    val sel = Vector.newBuilder[(Long, Long, Long)]
+    sel += ((1L, pts.head._1, 0L))
+    for (j <- 2 to 5) {
+      val (bid, bc, bd) = pts.map { case (id, c) =>
+        (id, c, seeds.map(s => d2(c, s._2)).min)
+      }.maxBy { case (id, _, d) => (d, -id) }
+      seeds = seeds :+ ((bid, bc))
+      sel += ((j.toLong, bid, bd))
+    }
+    val gotR = SimilaritySearch.kcenterSeeds(pts.toDF("id", "codes"), "id", "codes", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(gotR == sel.result().toList)
+    intercept[IllegalArgumentException](SimilaritySearch.kcenterSeeds(line, "id", "codes", 0))
+    intercept[IllegalArgumentException](
+      SimilaritySearch.kcenterSeeds(line.filter(col("id") < 0), "id", "codes", 2))
+  }
 }
