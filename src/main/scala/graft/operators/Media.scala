@@ -913,6 +913,30 @@ object Media {
       .select("id", "frame_no", "dist_prev", "is_cut", "shot_no")
   }
 
+  /** One representative frame per shot — the keyframe-selection step
+    * that turns "index every frame" into "index one frame per scene":
+    * shots come from [[shotBoundaries]], the keyframe is the shot's
+    * HIGHEST-QUALITY frame (PDQ gradient quality; ties to the earliest
+    * frame). Downstream dedup/retrieval then runs on |shots| rows
+    * instead of |frames| — the 100 TB video-archive move. Same single
+    * clip-id exchange as the boundary pass plus one rank window per
+    * (clip, shot); the rank is a WindowGroupLimit top-1, no per-shot
+    * sort materializes beyond it.
+    *
+    * @param frames (id, frame_no, pdq_hex, quality)
+    * @return (id, shot_no, keyframe_no, pdq_hex, quality) */
+  def keyframes(frames: DataFrame, threshold: Int): DataFrame = {
+    val shots = shotBoundaries(frames, threshold)
+      .select(col("id"), col("frame_no"), col("shot_no"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "shot_no").orderBy(col("quality").desc, col("frame_no").asc)
+    frames.join(shots, Seq("id", "frame_no"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("shot_no"), col("frame_no").as("keyframe_no"),
+        col("pdq_hex"), col("quality"))
+  }
+
   /** PDQ hashes computed FROM PIXELS: payload → [[PixelDecoder]] →
     * [[PdqHash.hashImage]] (luma → 64×64 box downsample → 16×16 DCT →
     * median threshold), partition-batched like the other media kernels.

@@ -2528,6 +2528,89 @@ object Pipeline {
     """.trim)
   )
 
+  /** Keyframe selection over the SAME multi-shot GIF scenes as
+    * `media_shot_cuts`: one representative per (clip, shot) — the
+    * shot's highest-PDQ-quality frame, ties to the earliest — so a
+    * video archive indexes |shots| rows, not |frames|. The oracle
+    * extends the shot-boundary replay with the gradient-quality
+    * relation and the same argmax window. */
+  val mediaKeyframes: QueryDef = QueryDef(
+    "media_keyframes",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 32)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val did = r.getLong(0)
+          val g = rollingAcc(r.getString(1)) % 7
+          val w = 72 + (did % 3).toInt * 28
+          val h = 64 + (did % 5).toInt * 16
+          val c = 2 + (did % 3).toInt
+          val frames = (0 until 6).map { f =>
+            Array.tabulate(w * h) { p =>
+              val x = p % w; val y = p / w
+              val bump = if (x / 16 == ((did + f) % 4).toInt && y / 16 == ((did + f) % 6).toInt) 40 else 0
+              val v = (if (f < c) (g * 29 + x * 2 + y * 3 + bump) % 256
+                       else (g * 13 + x * 5 + y * 2 + bump) % 256).toInt
+              (v << 16) | (v << 8) | v
+            }
+          }
+          Media.MediaItem(did, "gif", Media.encodeGifGray(w, h, frames))
+        }
+      Media.keyframes(
+        Media.pdqFrames(items, Media.gifFrames).toDF("id", "frame_no", "pdq_hex", "quality"),
+        threshold = 106)
+        .orderBy("id", "shot_no")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS did,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 7 AS g
+        FROM documents WHERE doc_id < 32),
+      dims AS (SELECT did, g, 72 + (did % 3) * 28 AS w, 64 + (did % 5) * 16 AS h,
+                      2 + did % 3 AS c FROM src),
+      fr AS (SELECT unnest(generate_series(0, 5)) AS f),
+      axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+      pix AS (
+        SELECT d.did * 8 + fr.f AS id, x.v AS x, y.v AS y, d.w, d.h,
+          CASE WHEN fr.f < d.c
+            THEN (d.g * 29 + x.v * 2 + y.v * 3 +
+                  CASE WHEN x.v // 16 = (d.did + fr.f) % 4 AND y.v // 16 = (d.did + fr.f) % 6 THEN 40 ELSE 0 END) % 256
+            ELSE (d.g * 13 + x.v * 5 + y.v * 2 +
+                  CASE WHEN x.v // 16 = (d.did + fr.f) % 4 AND y.v // 16 = (d.did + fr.f) % 6 THEN 40 ELSE 0 END) % 256
+          END AS l
+        FROM dims d CROSS JOIN fr JOIN axis x ON x.v < d.w JOIN axis y ON y.v < d.h),
+      $pdqChainCtes,
+      fd AS (
+        SELECT a.id // 8 AS did, a.id % 8 AS f,
+          CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS d
+        FROM pbits a JOIN pbits b ON b.id = a.id - 1 AND b.p = a.p
+        WHERE a.id % 8 >= 1
+        GROUP BY 1, 2),
+      fall AS (SELECT id // 8 AS did, id % 8 AS f FROM hexs),
+      sb AS (
+        SELECT f.did, f.f,
+          CAST(SUM(CASE WHEN f.f = 0 OR fd.d > 106 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY f.did ORDER BY f.f
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS shot_no
+        FROM fall f LEFT JOIN fd ON fd.did = f.did AND fd.f = f.f),
+      pick AS (
+        SELECT sb.did, sb.shot_no, sb.f, h.pdq_hex, g.quality,
+          row_number() OVER (PARTITION BY sb.did, sb.shot_no
+                             ORDER BY g.quality DESC, sb.f) AS rn
+        FROM sb
+        JOIN hexs h ON h.id = sb.did * 8 + sb.f
+        JOIN grad g ON g.id = h.id)
+      SELECT did AS id, shot_no, CAST(f AS INT) AS keyframe_no, pdq_hex, quality
+      FROM pick WHERE rn = 1
+      ORDER BY id, shot_no
+    """.trim)
+  )
+
   /** The TIFF form of the PDQ pipeline: the SAME synthesized RGB
     * scenes as `media_pdq_compute`, carried through the TIFF container
     * ([[Media.encodeTiffRgb]] → [[Media.tiffPixelDecoder]]) instead of
@@ -3538,7 +3621,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }

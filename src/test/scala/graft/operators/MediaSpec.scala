@@ -176,6 +176,21 @@ class MediaSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Media.shotBoundaries(frames, 0))
   }
 
+  test("keyframes: per-shot quality argmax, ties to the earliest frame") {
+    def hx(v: Int): String = java.lang.Long.toHexString(v.toLong & 0xf).head.toString * 64
+    // clip 1: shot 0 = frames 0,1 (qualities 10, 90 -> keyframe 1);
+    // cut at frame 2; shot 1 = frames 2,3 tie at 50 -> earliest (2)
+    val frames = Seq(
+      (1L, 0, hx(1), 10), (1L, 1, hx(3), 90),
+      (1L, 2, hx(4), 50), (1L, 3, hx(4), 50),
+      (2L, 0, hx(5), 7)
+    ).toDF("id", "frame_no", "pdq_hex", "quality")
+    val got = Media.keyframes(frames, threshold = 100)
+      .orderBy("id", "shot_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(got.toSeq == Seq((1L, 0L, 1, 90), (1L, 1L, 2, 50), (2L, 0L, 0, 7)))
+  }
+
   test("alignFrameOffset: argmin over shifts, tie prefers smaller offset, overlap shrinks") {
     // 64-hex frame "hashes" with controlled pairwise distances: frame
     // value v -> hex of v repeated; distance between frames = popcount
