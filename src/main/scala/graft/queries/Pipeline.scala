@@ -1387,6 +1387,43 @@ object Pipeline {
     )
   }
 
+  /** Unigram vocabulary fit over the documents corpus: substring
+    * pieces with exact weighted counts and floor-10⁶ −ln(p) costs. */
+  val unigramVocab: QueryDef = QueryDef(
+    "unigram_vocab",
+    (s, dir) => graft.operators.Unigram.fitVocab(
+        tbl(s, dir, "documents"), "text",
+        maxPieceLen = 4, minFreq = 5L, vocabSize = 200)
+      .orderBy("piece"),
+    Some(s"""
+      ${graft.operators.Unigram.fitVocabSql("SELECT * FROM documents", "text", 4, 5L, 200)}
+      ORDER BY piece
+    """.trim)
+  )
+
+  /** Min-cost unigram segmentation VALUES per word type under that
+    * vocabulary — the DP fold runs as an in-row `aggregate` on the
+    * Spark side and the ELEMENT-FOR-ELEMENT same `list_reduce` fold in
+    * DuckDB (list-of-structs accumulator, len(acc) as the position,
+    * lexicographic struct min), so the two engines walk the identical
+    * table. */
+  val unigramSegment: QueryDef = QueryDef(
+    "unigram_segment",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.operators.Unigram.segmentWords(d, "text",
+          graft.operators.Unigram.fitVocab(d, "text", 4, 5L, 200), maxPieceLen = 4)
+        .orderBy("word")
+    },
+    Some(s"""
+      ${graft.operators.Unigram.segmentWordsSql(
+        "SELECT * FROM documents", "text",
+        graft.operators.Unigram.fitVocabSql("SELECT * FROM documents", "text", 4, 5L, 200),
+        4)}
+      ORDER BY word
+    """.trim)
+  )
+
   /** Deterministic epoch shuffle: the training-order relation (id →
     * shard, position) for epoch 1 over 8 shards — RNG-free, so the
     * oracle replays the exact permutation. */
@@ -3615,7 +3652,7 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
-    c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
+    c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,

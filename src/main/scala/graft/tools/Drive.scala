@@ -611,6 +611,10 @@ object Drive {
       val fb = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 2L))
         .toDF("txn", "item")
       FrequentItemsets.frequentTriples(fb, "txn", "item", 2).orderBy("item_a").show()
+      println("-- unigram tokenizer: vocab fit + min-cost DP segmentation --")
+      val ud = Seq((1L, "data database databases the the the")).toDF("id", "text")
+      val uv = Unigram.fitVocab(ud, "text", maxPieceLen = 4, minFreq = 2L, vocabSize = 30)
+      Unigram.segmentWords(ud, "text", uv, maxPieceLen = 4).orderBy("word").show()
       println("-- kcenterSeeds: farthest-first over int codes --")
       SimilaritySearch.kcenterSeeds(Seq((1L, Seq(0, 0)), (2L, Seq(10, 0)), (3L, Seq(5, 8)))
         .toDF("id", "codes"), "id", "codes", 3).show()
