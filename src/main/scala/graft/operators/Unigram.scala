@@ -125,6 +125,88 @@ object Unigram {
       .withColumn("unreachable", col("cost_micro") >= Inf)
   }
 
+  /** The actual piece SEQUENCE per word — [[segmentWords]] with the
+    * tie broken all the way: best[i] minimizes (cost, n_pieces, start)
+    * lexicographically, so among equal-cost equal-count segmentations
+    * the one whose FINAL piece is longest wins at every position and
+    * the backtrace is unique. Two in-row folds: the DP forward pass
+    * (as in [[segmentWords]], with the chosen start recorded), then a
+    * backtrace fold jumping pos → start at most L times. Unreachable
+    * words emit an empty piece string.
+    *
+    * @return (word, wc, pieces) — pieces '|'-joined */
+  def segmentPieces(df: DataFrame, textCol: String, vocab: DataFrame,
+      maxPieceLen: Int = 6): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1")
+    val types = wordTypes(df, textCol)
+    val cand = types
+      .select(col("word"), col("wc"), explode(sequence(lit(0), length(col("word")) - 1)).as("s"))
+      .select(col("word"), col("wc"), col("s"),
+        explode(expr(s"sequence(1, least($maxPieceLen, length(word) - s))")).as("len"))
+      .select(col("word"), col("wc"), col("s"), (col("s") + col("len")).as("e"),
+        expr("substring(word, s + 1, len)").as("piece"))
+    val matched = cand
+      .join(broadcast(vocab.select(col("piece"), col("cost"))), Seq("piece"))
+      .groupBy("word", "wc")
+      .agg(collect_list(struct(col("s").cast("long").as("s"),
+        col("e").cast("long").as("e"), col("cost").as("c"))).as("entries"))
+    val entries = types.join(matched, Seq("word", "wc"), "left")
+      .withColumn("entries", coalesce(col("entries"),
+        expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT, c: BIGINT>>)")))
+    val folded = entries.select(col("word"), col("wc"),
+      aggregate(
+        sequence(lit(1), length(col("word"))),
+        array(struct(lit(0L).as("c"), lit(0L).as("n"), lit(0L).as("s"))),
+        (acc, i) => concat(acc, array(coalesce(
+          array_min(transform(
+            filter(col("entries"), e => e.getField("e") === i),
+            e => struct(
+              (element_at(acc, (e.getField("s") + 1).cast("int")).getField("c") + e.getField("c")).as("c"),
+              (element_at(acc, (e.getField("s") + 1).cast("int")).getField("n") + 1L).as("n"),
+              e.getField("s").as("s")))),
+          struct(lit(Inf).as("c"), lit(Inf).as("n"), lit(0L).as("s")))))
+      ).as("tbl"))
+    // backtrace: jump pos -> tbl[pos].s, prepending the covered piece;
+    // at most L jumps, identity once pos hits 0
+    folded.select(col("word"), col("wc"),
+      when(element_at(col("tbl"), length(col("word")) + 1).getField("c") >= Inf, lit(""))
+        .otherwise(array_join(aggregate(
+          sequence(lit(1), length(col("word"))),
+          struct(length(col("word")).cast("long").as("pos"),
+            expr("CAST(array() AS ARRAY<STRING>)").as("ps")),
+          (st, _) => {
+            val pos = st.getField("pos")
+            val start = element_at(col("tbl"), (pos + 1).cast("int")).getField("s")
+            when(pos === 0L, st).otherwise(struct(
+              start.as("pos"),
+              concat(array(expr("word").substr((start + 1).cast("int"),
+                (pos - start).cast("int"))), st.getField("ps")).as("ps")))
+          },
+          st => st.getField("ps")), "|")).as("pieces"))
+  }
+
+  /** One HARD-EM refit round (the SentencePiece training loop, hard
+    * assignment): segment every word type under the current vocab with
+    * the deterministic tiebreak, count each piece's usage weighted by
+    * word frequency, and re-cost the vocabulary from those usage
+    * counts (floor-10⁶ −ln(usage/total)). Pieces the segmentation
+    * never uses drop out — the EM-style pruning that shrinks an
+    * over-complete candidate vocabulary toward pieces that actually
+    * win segmentations.
+    *
+    * @return (piece, used, cost) — the refit vocabulary */
+  def refitVocab(df: DataFrame, textCol: String, vocab: DataFrame,
+      maxPieceLen: Int = 6): DataFrame = {
+    val segs = segmentPieces(df, textCol, vocab, maxPieceLen)
+    val usage = segs.filter(col("pieces") =!= "")
+      .select(col("wc"), explode(split(col("pieces"), "\\|")).as("piece"))
+      .groupBy("piece").agg(sum("wc").as("used"))
+    val total = usage.agg(coalesce(sum("used"), lit(0L))).head().getLong(0)
+    usage.select(col("piece"), col("used"),
+      expr(s"CAST(floor(ln(CAST($total AS DOUBLE) / CAST(used AS DOUBLE)) * 1000000) AS BIGINT)")
+        .as("cost"))
+  }
+
   // ---- DuckDB twins ----------------------------------------------------
 
   private def wordTypesSql(input: String, textExpr: String): String =
@@ -154,6 +236,81 @@ object Unigram {
     SELECT piece, c,
       CAST(floor(ln(CAST(total AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS cost
     FROM ug_top CROSS JOIN ug_tot"""
+
+  /** DuckDB twin of [[segmentPieces]] — the forward fold with the
+    * recorded start (list_reduce, list-of-structs accumulator: the
+    * shape `unigram_segment` pins), then the backtrace as a RECURSIVE
+    * CTE over the flattened DP table. The backtrace deliberately does
+    * NOT reuse list_reduce: DuckDB 1.0 mis-binds a lambda that mixes a
+    * struct accumulator, CASE and several outer columns (adjacent
+    * rows' strings leak in — found building this twin), while the
+    * relational jump pos → start is immune and equally sequential. */
+  def segmentPiecesSql(input: String, textExpr: String, vocabSql: String,
+      maxPieceLen: Int): String =
+    s"""WITH RECURSIVE up_t AS (${wordTypesSql(input, textExpr)}),
+      up_v AS ($vocabSql),
+      up_cand AS (
+        SELECT t.word, t.wc, s.g AS s, s.g + l.g AS e,
+               substring(t.word, s.g + 1, l.g) AS piece
+        FROM up_t t
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, length(t.word) - 1)) AS g) s
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(1, least($maxPieceLen, length(t.word) - s.g))) AS g) l),
+      up_m AS (
+        SELECT c.word, c.wc,
+          list({'s': c.s, 'e': c.e, 'c': v.cost}) AS entries
+        FROM up_cand c JOIN up_v v USING (piece)
+        GROUP BY c.word, c.wc),
+      up_e AS (
+        SELECT t.word, t.wc,
+          COALESCE(m.entries, CAST([] AS STRUCT(s BIGINT, e BIGINT, c BIGINT)[])) AS entries
+        FROM up_t t LEFT JOIN up_m m ON m.word = t.word),
+      up_f AS (
+        SELECT word, wc,
+          list_reduce(
+            list_concat(
+              [[{'c': CAST(0 AS BIGINT), 'n': CAST(0 AS BIGINT), 's': CAST(0 AS BIGINT)}]],
+              list_transform(generate_series(1, length(word)),
+                z -> [{'c': CAST(0 AS BIGINT), 'n': CAST(0 AS BIGINT), 's': CAST(0 AS BIGINT)}])),
+            (acc, x) -> list_append(acc,
+              COALESCE(
+                list_sort(list_transform(
+                  list_filter(entries, en -> en.e = len(acc)),
+                  en -> {'c': acc[en.s + 1].c + en.c, 'n': acc[en.s + 1].n + 1, 's': en.s}))[1],
+                {'c': CAST($Inf AS BIGINT), 'n': CAST($Inf AS BIGINT), 's': CAST(0 AS BIGINT)}))) AS tbl
+        FROM up_e),
+      up_tbl AS (
+        SELECT f.word, f.wc, CAST(p.g AS BIGINT) AS pos, f.tbl[p.g + 1].s AS s
+        FROM up_f f
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(1, length(f.word))) AS g) p
+        WHERE f.tbl[length(f.word) + 1].c < $Inf),
+      up_bt AS (
+        SELECT word, wc, CAST(length(word) AS BIGINT) AS pos, CAST('' AS VARCHAR) AS ps
+        FROM up_f WHERE tbl[length(word) + 1].c < $Inf
+        UNION ALL
+        SELECT b.word, b.wc, t.s AS pos,
+          substring(b.word, CAST(t.s + 1 AS INT), CAST(b.pos - t.s AS INT))
+            || (CASE WHEN b.ps = '' THEN '' ELSE '|' END) || b.ps AS ps
+        FROM up_bt b JOIN up_tbl t ON t.word = b.word AND t.pos = b.pos
+        WHERE b.pos > 0)
+      SELECT word, wc, pieces FROM (
+        SELECT f.word AS word, f.wc AS wc, COALESCE(bt.ps, '') AS pieces
+        FROM up_f f
+        LEFT JOIN (SELECT word, ps FROM up_bt WHERE pos = 0) bt ON bt.word = f.word)"""
+
+  /** DuckDB twin of [[refitVocab]] — segmentation usage counts →
+    * re-costed vocabulary. */
+  def refitVocabSql(input: String, textExpr: String, vocabSql: String,
+      maxPieceLen: Int): String =
+    s"""WITH ur_seg AS (${segmentPiecesSql(input, textExpr, vocabSql, maxPieceLen)}),
+      ur_u AS (
+        SELECT piece, CAST(sum(wc) AS BIGINT) AS used FROM (
+          SELECT wc, unnest(string_split(pieces, '|')) AS piece
+          FROM ur_seg WHERE pieces <> '')
+        GROUP BY piece),
+      ur_tot AS (SELECT CAST(COALESCE(sum(used), 0) AS BIGINT) AS total FROM ur_u)
+    SELECT piece, used,
+      CAST(floor(ln(CAST(total AS DOUBLE) / CAST(used AS DOUBLE)) * 1000000) AS BIGINT) AS cost
+    FROM ur_u CROSS JOIN ur_tot"""
 
   /** DuckDB twin of [[segmentWords]] under the [[fitVocabSql]] vocab —
     * the SAME fold, element-for-element: a list-of-structs accumulator

@@ -1424,6 +1424,46 @@ object Pipeline {
     """.trim)
   )
 
+  /** The actual piece sequences under the fitted vocab — the forward
+    * DP plus the deterministic backtrace (tiebreak all the way down:
+    * (cost, pieces, start)), '|'-joined so the output stays scalar. */
+  val unigramPieces: QueryDef = QueryDef(
+    "unigram_pieces",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.operators.Unigram.segmentPieces(d, "text",
+          graft.operators.Unigram.fitVocab(d, "text", 4, 5L, 200), maxPieceLen = 4)
+        .orderBy("word")
+    },
+    Some(s"""
+      ${graft.operators.Unigram.segmentPiecesSql(
+        "SELECT * FROM documents", "text",
+        graft.operators.Unigram.fitVocabSql("SELECT * FROM documents", "text", 4, 5L, 200),
+        4)}
+      ORDER BY word
+    """.trim)
+  )
+
+  /** One hard-EM refit round: usage-count the winning segmentations,
+    * re-cost, drop never-used pieces — the SentencePiece training
+    * loop's pruning step, replayed end-to-end by the oracle. */
+  val unigramRefit: QueryDef = QueryDef(
+    "unigram_refit",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.operators.Unigram.refitVocab(d, "text",
+          graft.operators.Unigram.fitVocab(d, "text", 4, 5L, 200), maxPieceLen = 4)
+        .orderBy("piece")
+    },
+    Some(s"""
+      ${graft.operators.Unigram.refitVocabSql(
+        "SELECT * FROM documents", "text",
+        graft.operators.Unigram.fitVocabSql("SELECT * FROM documents", "text", 4, 5L, 200),
+        4)}
+      ORDER BY piece
+    """.trim)
+  )
+
   /** Deterministic epoch shuffle: the training-order relation (id →
     * shard, position) for epoch 1 over 8 shards — RNG-free, so the
     * oracle replays the exact permutation. */
@@ -3652,7 +3692,7 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
-    c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
+    c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,

@@ -58,6 +58,44 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("segmentPieces: backtrace reconstructs the word, path cost equals the DP value, " +
+      "longest-final-piece tie rule") {
+    val v = vocabOf(("a", 5L), ("b", 6L), ("c", 10L), ("ab", 3L), ("bc", 4L))
+    val d = Seq((1L, "abc ab zq")).toDF("id", "text")
+    val pieces = Unigram.segmentPieces(d, "text", v)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(pieces("abc") == "a|bc") // min cost 9 over ab|c = 13
+    assert(pieces("ab") == "ab")
+    assert(pieces("zq") == "") // unreachable -> empty
+    // every reachable path concatenates back to its word and prices at the DP value
+    val rnd = new scala.util.Random(43)
+    val corpus = Seq((1L, Seq.fill(30)((0 until 1 + rnd.nextInt(6))
+      .map(_ => "abc"(rnd.nextInt(3))).mkString).mkString(" "))).toDF("id", "text")
+    val fitted = Unigram.fitVocab(corpus, "text", maxPieceLen = 3, minFreq = 1L, vocabSize = 50)
+    val costs = fitted.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val values = Unigram.segmentWords(corpus, "text", fitted, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    Unigram.segmentPieces(corpus, "text", fitted, 3).collect().foreach { r =>
+      val (w, ps) = (r.getString(0), r.getString(2).split("\\|").toSeq)
+      assert(ps.mkString == w, s"$w reassembly")
+      assert(ps.map(costs).sum == values(w), s"$w path cost")
+    }
+    // exact tie in (cost, n): start rule picks the longer FINAL piece
+    val tie = vocabOf(("x", 2L), ("y", 2L), ("xy", 4L), ("yx", 4L))
+    // xyxy at cost 8: xy|xy, xy|y|x... all (8, 2) ties: {xy,xy} vs {x,yx,y}...
+    // (8,2) candidates: xy|xy and x|yxy(no) — the s-min rule at pos 4 picks s=2
+    assert(Unigram.segmentPieces(Seq((1L, "xyxy")).toDF("id", "text"), "text", tie)
+      .head().getString(2) == "xy|xy")
+  }
+
+  test("refitVocab: usage counts from winning segmentations, unused pieces drop") {
+    val v = vocabOf(("a", 5L), ("b", 6L), ("ab", 3L), ("zz", 1L))
+    val d = Seq((1L, "ab ab b")).toDF("id", "text") // ab wins twice, b once
+    val got = Unigram.refitVocab(d, "text", v)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 2L, "b" -> 1L)) // 'a' and 'zz' never used -> dropped
+  }
+
   test("fitVocab: chars always survive, minFreq prunes, exact counts and costs") {
     val d = Seq((1L, "aa aa ab"), (2L, "aa zq")).toDF("id", "text")
     val v = Unigram.fitVocab(d, "text", maxPieceLen = 2, minFreq = 3L, vocabSize = 10)
