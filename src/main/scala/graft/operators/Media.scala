@@ -937,6 +937,42 @@ object Media {
         col("pdq_hex"), col("quality"))
   }
 
+  /** One hash for the WHOLE clip — per-bit MAJORITY pooling of the
+    * per-frame PDQ hashes (the temporal-pooling idea of Meta's
+    * TMK/PDQF video hashing, reduced to its deterministic bitwise
+    * core): clip bit b is 1 iff strictly more than half the frames set
+    * it (ties → 0). Two re-encodes of the same video with different
+    * frame alignment mostly agree per bit, so clip hashes land within
+    * small Hamming distance and the EXISTING 256-bit join tier
+    * ([[PdqDuplicates]], banded joins) works unchanged on clips.
+    * Shape: one shuffle on (clip, bit) — map-side combinable counts —
+    * then the nibble/hex reassembly groups 64 rows per clip.
+    *
+    * @param frames (id, frame_no, pdq_hex)
+    * @return (id, n_frames, clip_hex) — 64-char canonical hex */
+  def clipHash(frames: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.canonicalHex64
+    val bits = frames
+      .select(col("id"), canonicalHex64(col("pdq_hex")).as("hx"))
+      .select(col("id"), col("hx"), explode(sequence(lit(0), lit(255))).as("p"))
+      .select(col("id"), col("p"),
+        expr("(CAST(conv(substring(hx, p div 4 + 1, 1), 16, 10) AS INT) >> (3 - p % 4)) & 1")
+          .as("bit"))
+    val maj = bits.groupBy("id", "p")
+      .agg(sum("bit").as("ones"), count(lit(1)).as("n"))
+      .select(col("id"), col("p"), col("n"),
+        when(lit(2) * col("ones") > col("n"), 1).otherwise(0).as("mb"))
+    maj
+      .groupBy(col("id"), expr("p div 4").as("c"))
+      .agg(max("n").as("n"),
+        sum(expr("mb * (1 << (3 - p % 4))")).as("nv"))
+      .groupBy("id")
+      .agg(max("n").as("n_frames"),
+        array_join(transform(array_sort(collect_list(struct(col("c"),
+            expr("substring('0123456789abcdef', CAST(nv AS INT) + 1, 1)").as("hc")))),
+          s => s.getField("hc")), "").as("clip_hex"))
+  }
+
   /** PDQ hashes computed FROM PIXELS: payload → [[PixelDecoder]] →
     * [[PdqHash.hashImage]] (luma → 64×64 box downsample → 16×16 DCT →
     * median threshold), partition-batched like the other media kernels.

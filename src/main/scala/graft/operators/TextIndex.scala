@@ -125,6 +125,31 @@ object TextIndex {
       m("n_docs") + nDocs, m("sum_dl") + sumDl)
   }
 
+  /** Compact a many-shard index into a fresh ONE-shard index at
+    * `dstPath` — the small-files counterweight to [[appendTextIndex]]
+    * (daily deltas accumulate shards; queries then touch
+    * shards × buckets files). Postings copy verbatim (tf/dl are
+    * shard-independent), dfreq re-derives GLOBALLY from the copied
+    * postings, and the manifest commits last with the same corpus
+    * constants — so search over the compacted index is bit-identical
+    * to the source. The source index is read-only throughout;
+    * compact-then-swap is the caller's move. */
+  def compactTextIndex(spark: SparkSession, srcPath: String, dstPath: String): Unit = {
+    val m = readManifest(spark, srcPath)
+    val nShards = m("nShards")
+    spark.read.parquet(s"$srcPath/postings")
+      .filter(col("shard") < nShards)
+      .withColumn("shard", lit(0))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("shard", "bucket")
+      .parquet(s"$dstPath/postings")
+    spark.read.parquet(s"$dstPath/postings")
+      .groupBy("word", "bucket").agg(count(lit(1)).as("dfreq"))
+      .withColumn("shard", lit(0))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("shard", "bucket")
+      .parquet(s"$dstPath/dfreq")
+    writeManifest(spark, dstPath, m("numBuckets").toInt, 1, m("n_docs"), m("sum_dl"))
+  }
+
   /** BM25 over the index: reads ONLY the buckets the query terms hash
     * into (PartitionFilters, plan-pinned) across the committed shards,
     * scores postings-locally, and returns the same

@@ -2688,6 +2688,72 @@ object Pipeline {
     """.trim)
   )
 
+  /** Clip-level identity: per-bit MAJORITY pooling of the per-frame
+    * PDQ hashes over the SAME multi-shot GIF scenes — one 256-bit hash
+    * per clip, ready for the existing Hamming join tier. Oracle:
+    * majority + nibble/hex reassembly straight from the `pbits`
+    * relation. */
+  val mediaClipHash: QueryDef = QueryDef(
+    "media_clip_hash",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 32)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val did = r.getLong(0)
+          val g = rollingAcc(r.getString(1)) % 7
+          val w = 72 + (did % 3).toInt * 28
+          val h = 64 + (did % 5).toInt * 16
+          val c = 2 + (did % 3).toInt
+          val frames = (0 until 6).map { f =>
+            Array.tabulate(w * h) { p =>
+              val x = p % w; val y = p / w
+              val bump = if (x / 16 == ((did + f) % 4).toInt && y / 16 == ((did + f) % 6).toInt) 40 else 0
+              val v = (if (f < c) (g * 29 + x * 2 + y * 3 + bump) % 256
+                       else (g * 13 + x * 5 + y * 2 + bump) % 256).toInt
+              (v << 16) | (v << 8) | v
+            }
+          }
+          Media.MediaItem(did, "gif", Media.encodeGifGray(w, h, frames))
+        }
+      Media.clipHash(
+        Media.pdqFrames(items, Media.gifFrames).toDF("id", "frame_no", "pdq_hex", "quality"))
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS did,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 7 AS g
+        FROM documents WHERE doc_id < 32),
+      dims AS (SELECT did, g, 72 + (did % 3) * 28 AS w, 64 + (did % 5) * 16 AS h,
+                      2 + did % 3 AS c FROM src),
+      fr AS (SELECT unnest(generate_series(0, 5)) AS f),
+      axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+      pix AS (
+        SELECT d.did * 8 + fr.f AS id, x.v AS x, y.v AS y, d.w, d.h,
+          CASE WHEN fr.f < d.c
+            THEN (d.g * 29 + x.v * 2 + y.v * 3 +
+                  CASE WHEN x.v // 16 = (d.did + fr.f) % 4 AND y.v // 16 = (d.did + fr.f) % 6 THEN 40 ELSE 0 END) % 256
+            ELSE (d.g * 13 + x.v * 5 + y.v * 2 +
+                  CASE WHEN x.v // 16 = (d.did + fr.f) % 4 AND y.v // 16 = (d.did + fr.f) % 6 THEN 40 ELSE 0 END) % 256
+          END AS l
+        FROM dims d CROSS JOIN fr JOIN axis x ON x.v < d.w JOIN axis y ON y.v < d.h),
+      $pdqChainCtes,
+      cb AS (SELECT id // 8 AS did, p, SUM(bit) AS ones, COUNT(*) AS n FROM pbits GROUP BY 1, 2),
+      cm AS (SELECT did, p, n, CASE WHEN 2 * ones > n THEN 1 ELSE 0 END AS mb FROM cb),
+      cn AS (SELECT did, p // 4 AS c, max(n) AS n,
+               SUM(mb * (CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS nv
+             FROM cm GROUP BY 1, 2)
+      SELECT did AS id, CAST(max(n) AS BIGINT) AS n_frames,
+        string_agg(substring('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' ORDER BY c) AS clip_hex
+      FROM cn GROUP BY did ORDER BY id
+    """.trim)
+  )
+
   /** The TIFF form of the PDQ pipeline: the SAME synthesized RGB
     * scenes as `media_pdq_compute`, carried through the TIFF container
     * ([[Media.encodeTiffRgb]] → [[Media.tiffPixelDecoder]]) instead of
@@ -3698,7 +3764,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }

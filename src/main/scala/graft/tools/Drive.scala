@@ -611,6 +611,12 @@ object Drive {
       val fb = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 2L))
         .toDF("txn", "item")
       FrequentItemsets.frequentTriples(fb, "txn", "item", 2).orderBy("item_a").show()
+      println("-- clipHash: majority-pooled clip identity --")
+      Media.clipHash(Seq((1L, 0, "f" * 64), (1L, 1, "f" * 64), (1L, 2, "0" * 64))
+        .toDF("id", "frame_no", "pdq_hex")).show(truncate = false)
+      println("-- compacted text index: search unchanged --")
+      TextIndex.compactTextIndex(spark, ti, ti + "_compact")
+      TextIndex.searchTextIndex(spark, ti + "_compact", Seq("spark", "window")).orderBy("id").show()
       println("-- unigram tokenizer: vocab fit + min-cost DP segmentation --")
       val ud = Seq((1L, "data database databases the the the")).toDF("id", "text")
       val uv = Unigram.fitVocab(ud, "text", maxPieceLen = 4, minFreq = 2L, vocabSize = 30)

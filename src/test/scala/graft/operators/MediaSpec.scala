@@ -191,6 +191,22 @@ class MediaSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 0L, 1, 90), (1L, 1L, 2, 50), (2L, 0L, 0, 7)))
   }
 
+  test("clipHash: per-bit majority with ties to 0; single frame is identity") {
+    def hx(c: Char): String = c.toString * 64
+    // three frames: bits set in 2/3 frames survive, 1/3 drop.
+    // 'f' = 1111, '0' = 0000: two f-frames + one 0-frame -> majority f
+    val maj = Seq((1L, 0, hx('f')), (1L, 1, hx('f')), (1L, 2, hx('0')))
+      .toDF("id", "frame_no", "pdq_hex")
+    val got = Media.clipHash(maj).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 3L, hx('f'))))
+    // exact tie (1 of 2 frames) -> 0
+    val tie = Seq((2L, 0, hx('f')), (2L, 1, hx('0'))).toDF("id", "frame_no", "pdq_hex")
+    assert(Media.clipHash(tie).head().getString(2) == hx('0'))
+    // single frame: clip hash == the frame hash (mixed nibbles)
+    val single = Seq((3L, 0, ("a5" * 32))).toDF("id", "frame_no", "pdq_hex")
+    assert(Media.clipHash(single).head().getString(2) == "a5" * 32)
+  }
+
   test("alignFrameOffset: argmin over shifts, tie prefers smaller offset, overlap shrinks") {
     // 64-hex frame "hashes" with controlled pairwise distances: frame
     // value v -> hex of v repeated; distance between frames = popcount

@@ -58,6 +58,21 @@ class TextIndexSpec extends SparkTestBase {
       scores(TextAnalysis.bm25Scores(docs, "id", "text", terms)))
   }
 
+  test("compactTextIndex: many shards -> one, search bit-identical; source untouched") {
+    val terms = Seq("spark", "window", "stream")
+    val src = tmp()
+    TextIndex.writeTextIndex(docs.filter(col("id") <= 2), "id", "text", src, numBuckets = 8)
+    TextIndex.appendTextIndex(docs.filter(col("id") > 2), "id", "text", src)
+    val before = scores(TextIndex.searchTextIndex(spark, src, terms))
+    val dst = tmp() + "/compacted"
+    TextIndex.compactTextIndex(spark, src, dst)
+    assert(scores(TextIndex.searchTextIndex(spark, dst, terms)) == before)
+    assert(scores(TextIndex.searchTextIndex(spark, src, terms)) == before) // source intact
+    // the compacted index really is one shard
+    assert(spark.read.parquet(s"$dst/postings").select("shard").distinct().count() == 1)
+    intercept[IllegalStateException](TextIndex.compactTextIndex(spark, tmp(), tmp() + "/x"))
+  }
+
   test("uncommitted shards are invisible: the manifest is the source of truth") {
     val p = tmp()
     TextIndex.writeTextIndex(docs, "id", "text", p, numBuckets = 4)
