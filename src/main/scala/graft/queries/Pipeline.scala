@@ -2754,6 +2754,41 @@ object Pipeline {
     """.trim)
   )
 
+  /** Near-duplicate CLIPS: the promised composition — majority-pooled
+    * clip hashes straight into the codegen Hamming kernel. Clips
+    * sharing a scene family (same g) pool to nearby hashes; the pair
+    * relation at radius 80 must match the oracle's bit-level replay. */
+  val mediaClipDups: QueryDef = QueryDef(
+    "media_clip_dups",
+    (s, dir) => {
+      import graft.functions.HashFunctions.{canonicalHex64, hammingWords, hexToWords}
+      val clips = mediaClipHash.run(s, dir)
+        .select(col("id"), hexToWords(canonicalHex64(col("clip_hex"))).as("w"))
+      clips.as("a").join(clips.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          hammingWords(col("a.w"), col("b.w")).as("dist"))
+        .filter(col("dist") <= 80)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val inner = mediaClipHash.oracle.get.replaceAll("ORDER BY id\\s*$", "")
+      s"""
+      WITH ch AS ($inner),
+      cbits AS (
+        SELECT id, p.g AS p,
+          (CAST(strpos('0123456789abcdef', substring(clip_hex, p.g // 4 + 1, 1)) - 1 AS INT)
+            >> (3 - p.g % 4)) & 1 AS bit
+        FROM ch CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 255)) AS g) p)
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS dist
+      FROM cbits a JOIN cbits b ON a.p = b.p AND a.id < b.id
+      GROUP BY 1, 2
+      HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 80
+      ORDER BY id_a, id_b
+      """.trim
+    }
+  )
+
   /** The TIFF form of the PDQ pipeline: the SAME synthesized RGB
     * scenes as `media_pdq_compute`, carried through the TIFF container
     * ([[Media.encodeTiffRgb]] → [[Media.tiffPixelDecoder]]) instead of
@@ -3764,7 +3799,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }
