@@ -57,16 +57,27 @@ object FrequentItemsets {
       minSupport: Long): DataFrame = {
     val l2 = Materialize(frequentPairs(df, txnCol, itemCol, minSupport)
       .select("item_a", "item_b"))
-    val cand = l2.as("p").join(l2.as("q"),
-        col("p.item_a") === col("q.item_a") && col("p.item_b") < col("q.item_b"))
-      .select(col("p.item_a").as("ia"), col("p.item_b").as("ib"), col("q.item_b").as("ic"))
-      .join(l2.select(col("item_a").as("ib"), col("item_b").as("ic")), Seq("ib", "ic"))
     val ti = Materialize(items(df, txnCol, itemCol)
       .join(frequentItems(df, txnCol, itemCol, minSupport).select("item"), Seq("item")))
-    cand
-      .join(ti.select(col("txn"), col("item").as("ia")), Seq("ia"))
-      .join(ti.select(col("txn"), col("item").as("ib")), Seq("txn", "ib"))
-      .join(ti.select(col("txn"), col("item").as("ic")), Seq("txn", "ic"))
+    // Enumerate triples WITHIN each transaction (C(basket,3) rows per
+    // txn — linear in transactions for bounded baskets), pruning each
+    // prefix against L2 as it forms. The first cut of this join started
+    // from the candidate list instead (candidates × occurrences of the
+    // first item — measured 34M intermediate rows at sf0.1, 8 s); the
+    // within-txn order is the standard Apriori counting shape.
+    val t2 = ti.as("a").join(ti.as("b"),
+        col("a.txn") === col("b.txn") && col("a.item") < col("b.item"))
+      .select(col("a.txn").as("txn"), col("a.item").as("ia"), col("b.item").as("ib"))
+      .join(broadcast(l2.select(col("item_a").as("ia"), col("item_b").as("ib"))),
+        Seq("ia", "ib"))
+    t2.as("t").join(ti.as("c"),
+        col("t.txn") === col("c.txn") && col("t.ib") < col("c.item"))
+      .select(col("t.txn").as("txn"), col("t.ia").as("ia"),
+        col("t.ib").as("ib"), col("c.item").as("ic"))
+      .join(broadcast(l2.select(col("item_a").as("ib"), col("item_b").as("ic"))),
+        Seq("ib", "ic"))
+      .join(broadcast(l2.select(col("item_a").as("ia"), col("item_b").as("ic"))),
+        Seq("ia", "ic"))
       .groupBy(col("ia").as("item_a"), col("ib").as("item_b"), col("ic").as("item_c"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
