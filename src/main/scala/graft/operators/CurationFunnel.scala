@@ -50,6 +50,29 @@ object CurationFunnel {
     }
   }
 
+  /** Per-document DISPOSITION relation — the audit trail curation
+    * compliance wants: every ingested id with `kept`, or the FIRST
+    * gate that dropped it (`drop_lang`, `drop_quality`,
+    * `drop_exact_dup`, `drop_near_dup`). Four slim (id)-only left
+    * joins against the staged frames; no text moves.
+    *
+    * @return (id, disposition) — one row per ingested document */
+  def dispositions(st: Stages): DataFrame = {
+    def member(df: DataFrame, flag: String) =
+      df.select(col("id")).withColumn(flag, lit(true))
+    st.ingest.select(col("id"))
+      .join(member(st.langFiltered, "in2"), Seq("id"), "left")
+      .join(member(st.qualityFiltered, "in3"), Seq("id"), "left")
+      .join(member(st.exactDeduped, "in4"), Seq("id"), "left")
+      .join(member(st.nearDeduped, "in5"), Seq("id"), "left")
+      .select(col("id"),
+        when(col("in5"), "kept")
+          .when(col("in4"), "drop_near_dup")
+          .when(col("in3"), "drop_exact_dup")
+          .when(col("in2"), "drop_quality")
+          .otherwise("drop_lang").as("disposition"))
+  }
+
   /** Run the funnel over `docs` (must carry `idCol`, `textCol`).
     *
     * @param lang             keep rows whose predicted language matches

@@ -714,6 +714,13 @@ object Pipeline {
     * exact dedup → MinHash-LSH near-dedup). The gate compares the
     * per-stage survivor counts; callers wanting the tiers themselves
     * use `CurationFunnel.run(...)` and persist each staged frame. */
+  private val funnelFinalSelect = """SELECT '1_ingest' AS stage, count(*) AS n_rows FROM base
+      UNION ALL SELECT '2_lang', count(*) FROM s2
+      UNION ALL SELECT '3_quality', count(*) FROM s3
+      UNION ALL SELECT '4_exact', count(*) FROM s4
+      UNION ALL SELECT '5_near_dedup', count(*) FROM s5
+      ORDER BY 1"""
+
   val curationFunnel: QueryDef = QueryDef(
     "curation_funnel",
     (s, dir) => {
@@ -774,14 +781,40 @@ object Pipeline {
       ),
       dupids AS (SELECT DISTINCT id_b AS id FROM j WHERE jaccard >= 0.6),
       s5 AS (SELECT * FROM s4 WHERE id NOT IN (SELECT id FROM dupids))
-      SELECT '1_ingest' AS stage, count(*) AS n_rows FROM base
-      UNION ALL SELECT '2_lang', count(*) FROM s2
-      UNION ALL SELECT '3_quality', count(*) FROM s3
-      UNION ALL SELECT '4_exact', count(*) FROM s4
-      UNION ALL SELECT '5_near_dedup', count(*) FROM s5
-      ORDER BY 1
+      $funnelFinalSelect
       """.trim
     }
+  )
+
+  /** Per-document DISPOSITION through the funnel — the audit-trail
+    * relation curation compliance wants: every ingested row with
+    * where it survived to, or the first gate that dropped it. Slim
+    * (id) membership left-joins against the staged frames. */
+  val curationDispositions: QueryDef = QueryDef(
+    "curation_dispositions",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val base = d.select(col("doc_id").as("id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("id"), concat(col("text"), lit(tail)).as("text")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("id"), col("text")))
+      CurationFunnel.dispositions(CurationFunnel.run(base, "id", "text"))
+        .orderBy("id")
+    },
+    Some(curationFunnel.oracle.get.replace(funnelFinalSelect, """
+      SELECT b.id,
+        CASE WHEN k5.id IS NOT NULL THEN 'kept'
+             WHEN k4.id IS NOT NULL THEN 'drop_near_dup'
+             WHEN k3.id IS NOT NULL THEN 'drop_exact_dup'
+             WHEN k2.id IS NOT NULL THEN 'drop_quality'
+             ELSE 'drop_lang' END AS disposition
+      FROM base b
+      LEFT JOIN (SELECT id FROM s5) k5 ON k5.id = b.id
+      LEFT JOIN (SELECT id FROM s4) k4 ON k4.id = b.id
+      LEFT JOIN (SELECT id FROM s3) k3 ON k3.id = b.id
+      LEFT JOIN (SELECT id FROM s2) k2 ON k2.id = b.id
+      ORDER BY b.id""".trim))
   )
 
   /** CAPSTONE composition — the six-tier ingest pipeline end-to-end:
@@ -3797,7 +3830,7 @@ object Pipeline {
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
-    decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
+    curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify

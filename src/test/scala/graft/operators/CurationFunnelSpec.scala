@@ -46,4 +46,21 @@ class CurationFunnelSpec extends SparkTestBase {
     assert(byName("5_near_dedup") == st.nearDeduped.count())
     assert(counts.map(_._2).sliding(2).forall(w => w.head >= w.last))
   }
+
+  test("dispositions: every ingested id gets exactly one disposition, " +
+      "consistent with the staged frames") {
+    val st = CurationFunnel.run(docs, "id", "text")
+    val d = CurationFunnel.dispositions(st)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d.keySet == st.ingest.select("id").as[Long].collect().toSet)
+    val kept = st.nearDeduped.select("id").as[Long].collect().toSet
+    assert(d.filter(_._2 == "kept").keySet == kept)
+    // stage-count consistency: disposition histogram telescopes the funnel
+    val counts = st.counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byDisp = d.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(byDisp.getOrElse("drop_lang", 0L) == counts("1_ingest") - counts("2_lang"))
+    assert(byDisp.getOrElse("drop_quality", 0L) == counts("2_lang") - counts("3_quality"))
+    assert(byDisp.getOrElse("drop_exact_dup", 0L) == counts("3_quality") - counts("4_exact"))
+    assert(byDisp.getOrElse("drop_near_dup", 0L) == counts("4_exact") - counts("5_near_dedup"))
+  }
 }
