@@ -407,4 +407,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"doubling round planned a product:\n$p")
   }
+
+  test("unigram_segment: the vocabulary joins BROADCAST onto the candidate pieces") {
+    val p = plan("unigram_segment")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"planned a product:\n$p")
+  }
+
+  test("curation_dispositions: membership joins carry ids only — no text column moves") {
+    val df = graft.SparkEntry.queries("curation_dispositions")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the staged membership joins project (id, flag); the annotated
+    // text/metrics stay on the funnel side of the plan
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"disposition joins planned a product:\n$p")
+  }
 }
