@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cdcBoundariesDescriptor)
     ext.injectOptimizerRule(_ => HammingZeroAsEquality)
     ext.injectOptimizerRule(_ => HammingRadiusBandJoin)
+    ext.injectPlannerStrategy(_ => HammingKernelStrategy)
   }
 }
 

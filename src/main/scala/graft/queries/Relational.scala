@@ -512,6 +512,61 @@ object Relational {
     }
   )
 
+  /** The custom PHYSICAL operator end-to-end: the broadcast Hamming
+    * kernel as its own LogicalPlan + Strategy + Exec
+    * ([[graft.plans.HammingKernelJoin]]), run against a synthesized
+    * hash corpus with planted exact (every 7th ≡ 1) and 4-bit-flipped
+    * (≡ 2) near-dups; the kernel side is every 40th id. The oracle
+    * brute-forces every (corpus × kernel) pair at the bit level. */
+  val qKernelJoin: QueryDef = QueryDef(
+    "q_kernel_join",
+    (s, dir) => {
+      import graft.functions.HashFunctions.{canonicalHex64, hexToWords}
+      val e = tbl(s, dir, "events").filter(col("event_id") < 2000)
+      val hid = when(col("event_id") % 7 === 1, col("event_id") - 1)
+        .when(col("event_id") % 7 === 2, col("event_id") - 2)
+        .otherwise(col("event_id"))
+      val base = concat(md5(hid.cast("string")), md5(concat(hid.cast("string"), lit("k"))))
+      val h = when(col("event_id") % 7 === 2,
+        concat(expr(
+          "substring('fedcba9876543210', instr('0123456789abcdef', substring(" +
+            "concat(md5(CAST(CASE WHEN event_id % 7 = 1 THEN event_id - 1 WHEN event_id % 7 = 2 THEN event_id - 2 ELSE event_id END AS STRING)), " +
+            "md5(concat(CAST(CASE WHEN event_id % 7 = 1 THEN event_id - 1 WHEN event_id % 7 = 2 THEN event_id - 2 ELSE event_id END AS STRING), 'k'))), 1, 1)), 1)"),
+          base.substr(lit(2), lit(63)))).otherwise(base)
+      val all = e.select(col("event_id").as("id"), hexToWords(canonicalHex64(h)).as("w"))
+      val kernel = all.filter(col("id") % 40 === 0)
+      graft.plans.HammingKernelJoin.join(all, kernel, maxDist = 60)
+        .filter(col("id_a") =!= col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      // bit_count returns TINYINT — cast each term or the sum overflows 127
+      val dist = (0 until 8).map { k =>
+        s"CAST(bit_count(xor(CAST('0x' || substr(a.h, ${k * 8 + 1}, 8) AS BIGINT), CAST('0x' || substr(b.h, ${k * 8 + 1}, 8) AS BIGINT))) AS INT)"
+      }.mkString(" + ")
+      s"""
+      WITH kj_e AS (SELECT event_id AS id FROM events WHERE event_id < 2000),
+      kj_h0 AS (
+        SELECT id,
+          md5(CAST(hid AS VARCHAR)) || md5(CAST(hid AS VARCHAR) || 'k') AS base,
+          id % 7 = 2 AS flip
+        FROM (SELECT id, CASE WHEN id % 7 = 1 THEN id - 1
+                              WHEN id % 7 = 2 THEN id - 2 ELSE id END AS hid FROM kj_e)),
+      kj_hx AS (
+        SELECT id, CASE WHEN flip
+          THEN substring('fedcba9876543210', strpos('0123456789abcdef', substring(base, 1, 1)), 1)
+               || substring(base, 2, 63)
+          ELSE base END AS h
+        FROM kj_h0),
+      kj_k AS (SELECT * FROM kj_hx WHERE id % 40 = 0)
+      SELECT a.id AS id_a, b.id AS id_b, CAST($dist AS INT) AS dist
+      FROM kj_hx a CROSS JOIN kj_k b
+      WHERE a.id <> b.id AND $dist <= 60
+      ORDER BY id_a, id_b
+      """.trim
+    }
+  )
+
   /** Pivot (wide crosstab): order counts by status × priority. Spark's
     * `.pivot` with EXPLICIT values keeps the plan a single aggregate
     * (no extra distinct-values job, fixed output schema — the only
@@ -1458,7 +1513,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
-    qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qPivot, qFunnel,
+    qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qKernelJoin, qPivot, qFunnel,
     qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin,
     qTriangles, qExactMedian, qExactNtile, qGapfillEwma, qUnpivot, qTransitions,
     qKAnonymity, qLDiversity, qKAnonymize, qJsonExtract, qTreeClosure, qCusum, qFrequentPairs, qFrequentTriples, qAssocRules, qGini, qEntropy

@@ -611,6 +611,12 @@ object Drive {
       val fb = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 2L))
         .toDF("txn", "item")
       FrequentItemsets.frequentTriples(fb, "txn", "item", 2).orderBy("item_a").show()
+      println("-- HammingKernelJoin: the custom physical operator, EXPLAIN-visible --")
+      val kj = graft.plans.HammingKernelJoin.join(
+        Seq(1L -> Seq.fill(8)(0L), 2L -> (3L +: Seq.fill(7)(0L))).toDF("id", "w"),
+        Seq(10L -> Seq.fill(8)(0L)).toDF("id", "w"), maxDist = 4)
+      println(kj.queryExecution.executedPlan.toString.linesIterator.next())
+      kj.orderBy("id_a").show()
       println("-- clipHash: majority-pooled clip identity --")
       Media.clipHash(Seq((1L, 0, "f" * 64), (1L, 1, "f" * 64), (1L, 2, "0" * 64))
         .toDF("id", "frame_no", "pdq_hex")).show(truncate = false)
