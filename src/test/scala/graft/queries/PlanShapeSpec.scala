@@ -414,6 +414,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"planned a product:\n$p")
   }
 
+  test("q_kernel_join plans the custom Exec node — not a BNLJ over rows") {
+    val p = plan("q_kernel_join")
+    assert(p.contains("HammingKernelJoin"), s"custom operator not planned:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"fell back to a row-iterator BNLJ:\n$p")
+  }
+
   test("curation_dispositions: membership joins carry ids only — no text column moves") {
     val df = graft.SparkEntry.queries("curation_dispositions")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
