@@ -34,7 +34,10 @@ object Formats {
     * schema columns, malformed rows carry the RAW LINE in the
     * quarantine column (schema columns null) — route each side with
     * `quarantined.isNull`. Map-only; the quarantine column prunes away
-    * when untouched. */
+    * when untouched. Spark caveat: a query whose referenced columns are
+    * ONLY the corrupt column is refused
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — keep a
+    * schema column in the projection, or cache first. */
   def readJsonlQuarantine(spark: SparkSession, path: String, schema: StructType,
       corruptCol: String = "quarantined"): DataFrame = {
     require(!schema.fieldNames.contains(corruptCol),

@@ -48,6 +48,21 @@ class FormatsSpec extends SparkTestBase {
       Formats.readJsonlQuarantine(spark, path, docs.schema, corruptCol = "id"))
   }
 
+  test("gzipped JSONL round-trips transparently (the crawl-dump arrival format)") {
+    val path = tmp("jsonlgz")
+    docs.write.option("compression", "gzip").json(path)
+    // the files on disk really are gzip members
+    val parts = new java.io.File(path).listFiles().filter(_.getName.endsWith(".json.gz"))
+    assert(parts.nonEmpty, "expected .json.gz part files")
+    val back = Formats.readJsonl(spark, path, docs.schema)
+    assert(sorted(back) == sorted(docs))
+    // quarantine read also handles compressed input (NB: the projection
+    // must touch a schema column too — Spark refuses corrupt-column-only
+    // queries, see readJsonlQuarantine's doc)
+    assert(Formats.readJsonlQuarantine(spark, path, docs.schema)
+      .collect().forall(r => r.getAs[String]("quarantined") == null))
+  }
+
   test("CSV round-trip with embedded delimiters, quotes, and newlines") {
     val path = tmp("csv")
     val tricky = docs.filter(col("text").isNotNull)
