@@ -937,6 +937,48 @@ object Media {
         col("pdq_hex"), col("quality"))
   }
 
+  /** A resized grayscale image: target dimensions plus the row-major
+    * luma plane. */
+  final case class ResizedImage(id: Long, w: Int, h: Int, px: Array[Int])
+
+  /** Standalone RESIZE — exact integer box downsample of each payload's
+    * luma plane to `w2×h2` (the thumbnail/feature-extraction step of a
+    * media pipeline, the same cell convention as the PDQ kernel's
+    * 64×64 stage: source pixel (x, y) → cell (x·w2 div w, y·h2 div h),
+    * cell value = floor of the cell mean). Deterministic end to end,
+    * so the per-pixel values replay relationally — which is what the
+    * gate pins. Partition-batched behind the [[PixelDecoder]] seam
+    * like the other media kernels; requires every image ≥ the target
+    * in both axes (fails loudly otherwise). */
+  def resizeGray(items: Dataset[MediaItem], decode: PixelDecoder,
+      w2: Int, h2: Int): Dataset[ResizedImage] = {
+    require(w2 >= 1 && h2 >= 1, s"target dims must be >= 1, got ${w2}x$h2")
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, rgb) = decode(m.payload)
+        require(w >= w2 && h >= h2,
+          s"image ${m.id} is ${w}x$h — smaller than the ${w2}x$h2 target")
+        val sums = new Array[Long](w2 * h2)
+        val counts = new Array[Long](w2 * h2)
+        var y = 0
+        while (y < h) {
+          val cy = y * h2 / h
+          var x = 0
+          while (x < w) {
+            val c = cy * w2 + x * w2 / w
+            sums(c) += PdqHash.luma(rgb(y * w + x))
+            counts(c) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        val px = Array.tabulate(w2 * h2)(i => (sums(i) / counts(i)).toInt)
+        ResizedImage(m.id, w2, h2, px)
+      }
+    }
+  }
+
   /** One hash for the WHOLE clip — per-bit MAJORITY pooling of the
     * per-frame PDQ hashes (the temporal-pooling idea of Meta's
     * TMK/PDQF video hashing, reduced to its deterministic bitwise

@@ -2157,6 +2157,37 @@ object Pipeline {
     """.trim)
   )
 
+  /** Standalone resize over the same BMP scenes: exact integer box
+    * downsample to 24×16 luma, digested per image (count / sum / min /
+    * max / position-weighted checksum) so a single moved pixel value
+    * flips the gate. Oracle replays the cell averaging relationally
+    * from the pixel CTEs. */
+  val mediaResize: QueryDef = QueryDef(
+    "media_resize",
+    (s, dir) => {
+      import s.implicits._
+      Media.resizeGray(pdqItems(s, dir), Media.bmpPixelDecoder, w2 = 24, h2 = 16)
+        .flatMap(r => r.px.zipWithIndex.map { case (v, i) => (r.id, i, v) })
+        .toDF("id", "i", "v")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+          min("v").as("min_v"), max("v").as("max_v"),
+          expr("CAST(sum((i + 1) * v) % 1000000007 AS BIGINT)").as("chk"))
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH ${pdqPixelCtes(96)},
+      rz AS (
+        SELECT id, (y * 16) // h AS cy, (x * 24) // w AS cx,
+          CAST(SUM(l) // COUNT(*) AS BIGINT) AS v
+        FROM pix GROUP BY 1, 2, 3)
+      SELECT id, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+        min(v) AS min_v, max(v) AS max_v,
+        CAST(SUM((cy * 24 + cx + 1) * v) % 1000000007 AS BIGINT) AS chk
+      FROM rz GROUP BY id ORDER BY id
+    """.trim)
+  )
+
   /** Composition: pixels → PDQ hashes → [[PdqDuplicates]] similarity
     * join — the full "raw media archive in, duplicate pairs out" path.
     * Threshold 0.875 = Hamming radius 32: measured same-group
@@ -3832,7 +3863,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }

@@ -611,6 +611,11 @@ object Drive {
       val fb = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 2L))
         .toDF("txn", "item")
       FrequentItemsets.frequentTriples(fb, "txn", "item", 2).orderBy("item_a").show()
+      println("-- resizeGray: exact box-resample thumbnails --")
+      Media.resizeGray(Seq(Media.MediaItem(1L, "image",
+          Media.encodeBmp24(4, 2, Array.tabulate(8)(i => { val v = i * 30; (v << 16) | (v << 8) | v }))))
+        .toDS(), Media.bmpPixelDecoder, 2, 1)
+        .map(r => (r.id, r.w, r.h, r.px.mkString("|"))).show(truncate = false)
       println("-- HammingKernelJoin: the custom physical operator, EXPLAIN-visible --")
       val kj = graft.plans.HammingKernelJoin.join(
         Seq(1L -> Seq.fill(8)(0L), 2L -> (3L +: Seq.fill(7)(0L))).toDF("id", "w"),

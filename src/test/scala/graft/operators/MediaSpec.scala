@@ -191,6 +191,24 @@ class MediaSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 0L, 1, 90), (1L, 1L, 2, 50), (2L, 0L, 0, 7)))
   }
 
+  test("resizeGray: exact box averages, identity at source size, undersized refused") {
+    import spark.implicits._
+    // 4x2 gray image (r=g=b=v): cells of a 2x1 resize average 4 pixels each
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val px = Array(10, 20, 30, 40, 50, 60, 70, 80).map(gray)
+    val items = Seq(Media.MediaItem(1L, "image", Media.encodeBmp24(4, 2, px))).toDS()
+    val got = Media.resizeGray(items, Media.bmpPixelDecoder, 2, 1).collect().head
+    // cell 0 = floor((10+20+50+60)/4) = 35; cell 1 = floor((30+40+70+80)/4) = 55
+    assert(got.px.toSeq == Seq(35, 55) && got.w == 2 && got.h == 1)
+    // identity resize returns the luma plane verbatim
+    val same = Media.resizeGray(items, Media.bmpPixelDecoder, 4, 2).collect().head
+    assert(same.px.toSeq == px.map(p => PdqHash.luma(p).toInt).toSeq)
+    intercept[Exception](
+      Media.resizeGray(items, Media.bmpPixelDecoder, 8, 2).collect())
+    intercept[IllegalArgumentException](
+      Media.resizeGray(items, Media.bmpPixelDecoder, 0, 1))
+  }
+
   test("clipHash: per-bit majority with ties to 0; single frame is identity") {
     def hx(c: Char): String = c.toString * 64
     // three frames: bits set in 2/3 frames survive, 1/3 drop.
