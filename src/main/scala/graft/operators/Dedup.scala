@@ -915,7 +915,14 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")))
       .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
+      // ceil over the RAW double product can round up past the true
+      // ⌈t·n⌉ when t's binary representation puts t·n a hair above an
+      // exact integer (e.g. t = 0.07, n = 100 → 7.000000000000001 →
+      // ceil 8), shortening the prefix and silently missing pairs.
+      // Snapping the product to a 1e-9 grid first restores the exact
+      // rational bound for any threshold written with ≤ 9 decimals.
+      .filter(col("rn") <=
+        col("n") - ceil(round(lit(threshold) * col("n"), 9)) + lit(1))
       .select("id", "h")
     val cands = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))

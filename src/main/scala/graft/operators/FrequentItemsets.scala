@@ -109,7 +109,12 @@ object FrequentItemsets {
         Seq("consequent"))
       .select(col("antecedent"), col("consequent"), col("support"),
         expr("(support * 1000) div sa").as("conf_milli"),
-        expr(s"(support * $n * 1000000) div (sa * sb)").as("lift_micro"))
+        // the numerator reaches support·n·1e6 — Long wraps silently
+        // past ~9.2e18 (a frequent item in a ~10M-transaction corpus),
+        // so it is carried in DECIMAL(38,0); `div` returns BIGINT, so
+        // the column type (and the DuckDB twin's `//`) is unchanged
+        expr(s"(cast(support as decimal(38,0)) * $n * 1000000) div " +
+          "(cast(sa as decimal(38,0)) * sb)").as("lift_micro"))
       .filter(col("conf_milli") >= minConfidenceMilli)
   }
 

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * produces the NEXT version, and no reader ever observes a
   * half-written state.
   *
-  * Layout: `path/v<N>/data/part-….parquet` + `path/v<N>/_GRAFT_SNAPSHOT`
+  * Layout: `path/v<N>/data-<nonce>/part-….parquet` +
+  * `path/v<N>/_GRAFT_SNAPSHOT`
   * written LAST as the commit marker (the [[Dedup]] index /
   * [[Sketches]] shard discipline). There is no mutable "latest"
   * pointer to atomically swap — object stores make that fragile —
@@ -55,7 +56,15 @@ object Snapshots {
 
   /** Write `df` as snapshot version `version`; manifest last. Refuses
     * to overwrite a committed version — snapshots are immutable (that
-    * is their entire value to a reproducibility pin). */
+    * is their entire value to a reproducibility pin).
+    *
+    * Race-safe without coordination: each writer lands its files in a
+    * writer-unique `data-<nonce>` dir (so a racing loser can never
+    * clobber the winner's parquet), and the commit point is an ATOMIC
+    * create-fail-if-exists of the manifest — not a check-then-act
+    * exists probe — which records which data dir won. The loser gets
+    * the immutability error and its staging dir is deleted; on a crash
+    * the unreferenced dir is invisible garbage (no manifest names it). */
   def writeVersion(df: DataFrame, path: String, version: Long): Unit = {
     require(version >= 0, s"version must be >= 0, got $version")
     val spark = df.sparkSession
@@ -64,23 +73,38 @@ object Snapshots {
     if (fs.exists(mPath))
       throw new IllegalStateException(
         s"snapshot v$version at $path is already committed — versions are immutable")
-    df.write.mode(SaveMode.Overwrite).parquet(s"$path/v$version/data")
-    val out = fs.create(mPath, true)
-    try out.write(s"version=$version\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dataDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v$version/$dataDir")
+    val out =
+      try fs.create(mPath, false)
+      catch {
+        case _: java.io.IOException =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$version/$dataDir"), true)
+          throw new IllegalStateException(
+            s"snapshot v$version at $path is already committed — versions are immutable")
+      }
+    try out.write(s"version=$version\ndata=$dataDir\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
   /** Read snapshot `version` (default −1 = latest committed). Fails
-    * fast on an uncommitted or absent version. */
+    * fast on an uncommitted or absent version. The manifest names the
+    * committed data dir (`data` for pre-nonce layouts). */
   def readVersion(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version
     else latestVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $path"))
     val (fs, _) = fsOf(spark, path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v$v/$ManifestFile")))
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/v$v/$ManifestFile")
+    if (!fs.exists(mPath))
       throw new IllegalStateException(
         s"snapshot v$v at $path is absent or uncommitted (no $ManifestFile)")
-    spark.read.parquet(s"$path/v$v/data")
+    val in = fs.open(mPath)
+    val props = new java.util.Properties()
+    try props.load(in) finally in.close()
+    val dataDir = Option(props.getProperty("data")).getOrElse("data")
+    spark.read.parquet(s"$path/v$v/$dataDir")
   }
 
   /** Apply a key-unique CDC batch to a full snapshot: rows of `changes`

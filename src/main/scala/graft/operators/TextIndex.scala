@@ -75,10 +75,25 @@ object TextIndex {
     } finally in.close()
   }
 
-  /** One shard's postings + per-shard dfreq + its (n_docs, sum_dl). */
+  /** One shard's postings + per-shard dfreq + its (n_docs, sum_dl).
+    *
+    * Idempotent under retry: a crashed append can commit its postings
+    * job but not the manifest, and the retry (e.g. Structured
+    * Streaming re-running a `foreachBatch`) re-derives the SAME shard
+    * id from the old manifest. Writing beside the orphan would leave
+    * every (word, id) row twice once the manifest finally commits —
+    * inflating tf/dfreq and corrupting scores — so any uncommitted
+    * leftovers for this shard id are deleted first. Safe because the
+    * manifest is the source of truth: a `shard=N` directory with
+    * N ≥ committed nShards is by definition invisible garbage. */
   private def writeShard(df: DataFrame, idCol: String, textCol: String,
       path: String, numBuckets: Int, shard: Int): (Long, Long) = {
     val spark = df.sparkSession
+    val (fs, _) = fsOf(spark, path)
+    Seq("postings", "dfreq").foreach { sub =>
+      val orphan = new org.apache.hadoop.fs.Path(s"$path/$sub/shard=$shard")
+      if (fs.exists(orphan)) fs.delete(orphan, true)
+    }
     val base = df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
     val withDl = Materialize(base.select(col("id"), col("ws"), size(col("ws")).as("dl")))
     val postings = withDl
@@ -107,6 +122,11 @@ object TextIndex {
   def writeTextIndex(df: DataFrame, idCol: String, textCol: String, path: String,
       numBuckets: Int = 64): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val (fs, _) = fsOf(df.sparkSession, path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$ManifestFile")))
+      throw new IllegalStateException(
+        s"a committed text index already exists at $path — use appendTextIndex " +
+          "(writeShard would reclaim shard 0 and destroy committed postings)")
     val (nDocs, sumDl) = writeShard(df, idCol, textCol, path, numBuckets, shard = 0)
     writeManifest(df.sparkSession, path, numBuckets, 1, nDocs, sumDl)
   }

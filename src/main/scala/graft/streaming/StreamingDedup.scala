@@ -221,6 +221,39 @@ object StreamingDedup {
   case class DeconState(hits: Array[Long])
   case class DeconHit(id: String, n_hits: Long)
 
+  /** Stream documents INTO the persisted retrieval index: each
+    * micro-batch appends one [[graft.operators.TextIndex]] shard via
+    * `foreachBatch` — the batch tokenizes only itself, existing shards
+    * never rewrite, and the manifest-last commit makes a crash
+    * mid-batch invisible to readers (a retried batch reclaims its own
+    * uncommitted shard id, so re-execution cannot double-index).
+    * Search after any prefix of batches is bit-identical to the inline
+    * BM25 over the documents delivered so far (StreamingDedupSpec pins
+    * stream ≡ batch). Batches are appended in micro-batch order; an
+    * empty batch appends nothing. At-least-once REDELIVERY of a
+    * document would double its postings (like any append-only index) —
+    * feed the stream through [[exactWithinWatermark]] first when the
+    * source can redeliver.
+    *
+    * @return the started query (caller awaits/stops) */
+  def indexAppendStream(docs: DataFrame, idCol: String, textCol: String,
+      path: String, numBuckets: Int = 64,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/${graft.operators.TextIndex.ManifestFile}")))
+            graft.operators.TextIndex.appendTextIndex(batch.toDF(), idCol, textCol, path)
+          else
+            graft.operators.TextIndex.writeTextIndex(batch.toDF(), idCol, textCol, path, numBuckets)
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Streaming benchmark decontamination — the stream-static twin of
     * [[graft.operators.Decontaminate.scan]]: each micro-batch of
     * (id, text) documents is scanned against a STATIC benchmark
@@ -252,37 +285,6 @@ object StreamingDedup {
     *        (the bounded-state trade, same timeout caveats as
     *        [[firstSeenCounts]]).
     */
-  /** Stream documents INTO the persisted retrieval index: each
-    * micro-batch appends one [[graft.operators.TextIndex]] shard via
-    * `foreachBatch` — the batch tokenizes only itself, existing shards
-    * never rewrite, and the manifest-last commit makes a crash
-    * mid-batch invisible to readers. Search after any prefix of
-    * batches is bit-identical to the inline BM25 over the documents
-    * delivered so far (StreamingDedupSpec pins stream ≡ batch).
-    * Batches are appended in micro-batch order; an empty batch appends
-    * nothing. At-least-once REDELIVERY of a document would double its
-    * postings (like any append-only index) — feed the stream through
-    * [[exactWithinWatermark]] first when the source can redeliver.
-    *
-    * @return the started query (caller awaits/stops) */
-  def indexAppendStream(docs: DataFrame, idCol: String, textCol: String,
-      path: String, numBuckets: Int = 64,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val w = docs.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val fs = new org.apache.hadoop.fs.Path(path)
-            .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/${graft.operators.TextIndex.ManifestFile}")))
-            graft.operators.TextIndex.appendTextIndex(batch.toDF(), idCol, textCol, path)
-          else
-            graft.operators.TextIndex.writeTextIndex(batch.toDF(), idCol, textCol, path, numBuckets)
-        }
-      }
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
-  }
-
   def decontaminateStream(docs: DataFrame, benchShingleHashes: DataFrame,
       shingleLen: Int = 3, minHits: Int = 5, stateTtlMs: Long = 0L): Dataset[DeconHit] = {
     import graft.functions.TextFunctions.{portableHash60, shingles, words}

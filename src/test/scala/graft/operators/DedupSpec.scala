@@ -328,6 +328,22 @@ class DedupSpec extends SparkTestBase {
       Dedup.ngramJaccardPrefixPairs(docs, "id", "text", 3, 1.5))
   }
 
+  test("prefix bound is exact when t·n rounds above an integer in doubles (t=0.07, n=100)") {
+    // double(0.07)·100 = 7.000000000000001, so a naive ceil yields 8,
+    // shortens the prefix to 93, and loses the pair below — whose 7
+    // shared shingles (df 2, maximal) sort into A's positions 94..100.
+    // The grid-snapped bound keeps prefix ≡ exact here.
+    val wordsA = (1 to 102).map(i => s"w$i")
+    val a = wordsA.mkString(" ") // 100 distinct 3-shingles
+    val b = wordsA.takeRight(9).mkString(" ") // exactly A's last 7 shingles
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    def pairs(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Dedup.ngramJaccardPairs(df, "id", "text", 3, 0.07))
+    assert(exact.contains((1L, 2L))) // jaccard 7/100 ≥ 0.07
+    assert(pairs(Dedup.ngramJaccardPrefixPairs(df, "id", "text", 3, 0.07)) == exact)
+  }
+
   test("nearDupSurvivors: keeps one representative per component plus all singletons, full rows") {
     val got = Dedup.nearDupSurvivors(docs, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap

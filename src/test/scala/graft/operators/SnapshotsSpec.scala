@@ -23,6 +23,28 @@ class SnapshotsSpec extends SparkTestBase {
     intercept[IllegalStateException](Snapshots.writeVersion(v0, p, 1L))
   }
 
+  test("a refused re-write can never clobber the committed snapshot's files") {
+    val p = tmp()
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("k", "x")
+    Snapshots.writeVersion(v0, p, 0L)
+    intercept[IllegalStateException](
+      Snapshots.writeVersion(Seq((9L, "evil")).toDF("k", "x"), p, 0L))
+    // writer-unique data dirs: the loser's files land beside, never over
+    assert(rows(Snapshots.readVersion(spark, p, 0L)) == rows(v0))
+  }
+
+  test("legacy layout (plain data dir, pointer-less manifest) still reads") {
+    val p = tmp()
+    Seq((1L, "a")).toDF("k", "x").write.parquet(s"$p/v0/data")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$p/v0/${Snapshots.ManifestFile}"), true)
+    try out.write("version=0\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(Snapshots.readVersion(spark, p, 0L).count() == 1)
+    assert(Snapshots.versions(spark, p) == Seq(0L))
+  }
+
   test("an interrupted write (data, no manifest) is invisible to readers") {
     val p = tmp()
     Snapshots.writeVersion(Seq((1L, "a")).toDF("k", "x"), p, 0L)

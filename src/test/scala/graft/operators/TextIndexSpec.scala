@@ -86,6 +86,28 @@ class TextIndexSpec extends SparkTestBase {
     assert(scores(TextIndex.searchTextIndex(spark, p, Seq("spark"))) == before)
   }
 
+  test("crashed-append retry is idempotent: the orphan shard is reclaimed, never doubled") {
+    val p = tmp()
+    TextIndex.writeTextIndex(docs.filter(col("id") <= 3), "id", "text", p, numBuckets = 4)
+    // simulate the crash window: the append's postings job committed
+    // (shard=1 exists on disk) but the manifest rewrite never ran
+    Seq((4L, 4, 1L)).toDF("id", "dl", "tf")
+      .withColumn("word", lit("spark")).withColumn("shard", lit(1))
+      .withColumn("bucket", lit(0L))
+      .write.mode("append").partitionBy("shard", "bucket").parquet(s"$p/postings")
+    // the retry derives the SAME shard id from the old manifest and
+    // must reclaim the orphan instead of appending beside it
+    TextIndex.appendTextIndex(docs.filter(col("id") > 3), "id", "text", p)
+    val terms = Seq("spark", "window", "stream")
+    assert(scores(TextIndex.searchTextIndex(spark, p, terms)) ==
+      scores(TextAnalysis.bm25Scores(docs, "id", "text", terms)))
+    assert(spark.read.parquet(s"$p/postings")
+      .groupBy("word", "id").count().filter(col("count") > 1).count() == 0)
+    // and a full build refuses to land on a committed index (it would
+    // reclaim shard 0)
+    intercept[IllegalStateException](TextIndex.writeTextIndex(docs, "id", "text", p))
+  }
+
   test("query buckets reach the postings scan as PartitionFilters") {
     val p = tmp()
     TextIndex.writeTextIndex(docs, "id", "text", p, numBuckets = 8)
