@@ -254,36 +254,112 @@ object Parity {
     )
   }
 
+  /** The shared scale-corpus construction (the reference's benchmark
+    * recipe: distinct pseudo-random 256-bit hashes with a planted
+    * near-dup pair every 997 ids — cir-duplicate-detector
+    * `tests/integration/test_large_duplicate_detection.py:16-20`
+    * builds evenly-spaced `%064x` hashes the same way). */
+  private def scaleFrame(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val e = tbl(s, dir, "events").filter(col("event_id") < n)
+    val g = col("event_id").cast("string")
+    val base = concat(md5(g), md5(concat(g, lit("x"))))
+    val h = when(col("event_id") % 997 === 0,
+      concat(substring(base, 1, 63),
+        when(substring(base, 64, 1) === "0", "1").otherwise("0")))
+      .otherwise(base)
+    e.select(
+      lpad(col("event_id").cast("string"), 8, "0").as("index"),
+      array(when(col("event_id") % 997 === 1,
+        concat(md5((col("event_id") - 1).cast("string")),
+          md5(concat((col("event_id") - 1).cast("string"), lit("x"))))).otherwise(h)).as("pdq_hash"))
+  }
+
   /** The reference's published benchmark configuration (BASELINE.md:
     * 30,225 hashes, similarity 0.8, naive backend, multi-core): ~30k
     * DISTINCT random 256-bit hashes, all-pairs at radius
     * rint(256·0.2) = 51. ~900M codegen'd Hamming evaluations — the
     * direct single-node throughput comparison against the reference's
     * 20-CPU figure. A planted near-dup every 997 ids keeps the result
-    * set non-empty. No DuckDB oracle (the quadratic replay is the one
-    * thing DuckDB cannot do in gate time); the driver records the
-    * rows-only check. */
+    * set non-empty. No DuckDB oracle (the full quadratic replay is the
+    * one thing DuckDB cannot do in gate time); [[pdqScale3k]] is the
+    * subsampled twin that CAN be oracle'd, so the driver's rows-only
+    * record here is backed by a hash-matched gate on the identical
+    * construction. */
   val pdqScale30k: QueryDef = QueryDef(
     "pdq_scale_30k",
-    (s, dir) => {
-      val e = tbl(s, dir, "events").filter(col("event_id") < 30225)
-      val g = col("event_id").cast("string")
-      val base = concat(md5(g), md5(concat(g, lit("x"))))
-      val h = when(col("event_id") % 997 === 0,
-        concat(substring(base, 1, 63),
-          when(substring(base, 64, 1) === "0", "1").otherwise("0")))
-        .otherwise(base)
-      val frame = e.select(
-        lpad(col("event_id").cast("string"), 8, "0").as("index"),
-        array(when(col("event_id") % 997 === 1,
-          concat(md5((col("event_id") - 1).cast("string")),
-            md5(concat((col("event_id") - 1).cast("string"), lit("x"))))).otherwise(h)).as("pdq_hash"))
-      flatPdq(PdqDuplicates(frame, similarityThreshold = 0.8,
+    (s, dir) =>
+      flatPdq(PdqDuplicates(scaleFrame(s, dir, 30225), similarityThreshold = 0.8,
         strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true))
-        .orderBy("index", "duplicate")
-    },
+        .orderBy("index", "duplicate"),
     None
   )
+
+  /** [[pdqScale30k]] subsampled to 3,000 hashes — the SAME corpus
+    * construction, naive strategy, and radius-51 contract, but small
+    * enough (~4.5M upper-triangle pairs) for the DuckDB oracle to
+    * replay the full quadratic in gate time (~1 s): distinct hashes →
+    * eight 32-bit words → triangle cross join with popcount distance,
+    * mirrored to both orientations plus the dist-0 diagonal (equal
+    * hashes on different ids must still pair). Closes the board's one
+    * permanent `no_oracle` row. */
+  val pdqScale3k: QueryDef = {
+    val words = (0 until 8)
+      .map(k => s"CAST('0x' || substr(ch, ${k * 8 + 1}, 8) AS BIGINT) AS w$k")
+      .mkString(",\n          ")
+    val dist = (0 until 8)
+      .map(k => s"CAST(bit_count(xor(a.w$k, b.w$k)) AS INTEGER)").mkString(" + ")
+    QueryDef(
+      "pdq_scale_3k",
+      (s, dir) =>
+        flatPdq(PdqDuplicates(scaleFrame(s, dir, 3000), similarityThreshold = 0.8,
+          strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true))
+          .orderBy("index", "duplicate"),
+      Some(s"""
+        WITH rows_ AS (
+          SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS idx,
+            [CASE WHEN event_id % 997 = 1
+               THEN md5(CAST(event_id - 1 AS VARCHAR)) || md5(CAST(event_id - 1 AS VARCHAR) || 'x')
+               WHEN event_id % 997 = 0
+               THEN substr(base, 1, 63) || (CASE WHEN substr(base, 64, 1) = '0' THEN '1' ELSE '0' END)
+               ELSE base END] AS pdq
+          FROM (
+            SELECT event_id,
+              md5(CAST(event_id AS VARCHAR)) || md5(CAST(event_id AS VARCHAR) || 'x') AS base
+            FROM events WHERE event_id < 3000
+          )
+        ),
+        ex AS (
+          SELECT DISTINCT idx, ch FROM (
+            SELECT idx, lower(lpad(unnest(pdq), 64, '0')) AS ch FROM rows_
+          )
+        ),
+        dw AS (
+          SELECT ch, $words
+          FROM (SELECT DISTINCT ch FROM ex)
+        ),
+        neart AS (
+          SELECT a.ch AS pch, b.ch AS cch, $dist AS dist
+          FROM dw a JOIN dw b ON a.ch < b.ch
+        ),
+        near AS (
+          SELECT pch, cch, dist FROM neart WHERE dist <= 51
+          UNION ALL
+          SELECT cch, pch, dist FROM neart WHERE dist <= 51
+          UNION ALL
+          SELECT ch AS pch, ch AS cch, 0 AS dist FROM dw
+        ),
+        edges AS (
+          SELECT pa.idx AS src, pb.idx AS dst, CAST(min(n.dist) AS BIGINT) AS dist
+          FROM near n
+          JOIN ex pa ON pa.ch = n.pch
+          JOIN ex pb ON pb.ch = n.cch
+          WHERE pa.idx <> pb.idx
+          GROUP BY src, dst
+        )
+        SELECT src AS "index", dst AS duplicate, 1.0 - dist / 256.0 AS similarity
+        FROM edges ORDER BY 1, 2""".trim)
+    )
+  }
 
   /** Crawl-grade canonicalization ([[graft.functions.UrlFunctions
     * .canonicalUrl]]) over a url frame with planted variance: scheme
@@ -330,5 +406,5 @@ object Parity {
   )
 
   val defs: Seq[QueryDef] = Seq(urlDups, pdqDupsNaive, pdqDupsBanded, detectFull, pdqScale30k,
-    domainStats, domainCap, urlCanonical)
+    pdqScale3k, domainStats, domainCap, urlCanonical)
 }
