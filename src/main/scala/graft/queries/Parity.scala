@@ -128,6 +128,50 @@ object Parity {
       GROUP BY src, dst
     )"""
 
+  /** Faster/parametrized twin of [[pdqEdgesCtes]] for the quadratic
+    * scale oracles: distinct hashes pre-split into eight 32-bit words
+    * (no per-pair list ops), UPPER-TRIANGLE cross join, mirrored back
+    * to both orientations plus the dist-0 diagonal (equal hashes on
+    * different ids must still pair). Produces the same
+    * `edges(src, dst, dist)` relation at an arbitrary `radius`. */
+  private def pdqWordEdgesCtes(inputSql: String, radius: Int): String = {
+    val words = (0 until 8)
+      .map(k => s"CAST('0x' || substr(ch, ${k * 8 + 1}, 8) AS BIGINT) AS w$k")
+      .mkString(", ")
+    val dist = (0 until 8)
+      .map(k => s"CAST(bit_count(xor(a.w$k, b.w$k)) AS INTEGER)").mkString(" + ")
+    s"""
+    rows_ AS ($inputSql),
+    ex AS (
+      SELECT DISTINCT idx, ch FROM (
+        SELECT idx, lower(lpad(unnest(pdq), 64, '0')) AS ch FROM rows_
+      )
+    ),
+    dw AS (
+      SELECT ch, $words
+      FROM (SELECT DISTINCT ch FROM ex)
+    ),
+    neart AS (
+      SELECT a.ch AS pch, b.ch AS cch, $dist AS dist
+      FROM dw a JOIN dw b ON a.ch < b.ch
+    ),
+    near AS (
+      SELECT pch, cch, dist FROM neart WHERE dist <= $radius
+      UNION ALL
+      SELECT cch, pch, dist FROM neart WHERE dist <= $radius
+      UNION ALL
+      SELECT ch AS pch, ch AS cch, 0 AS dist FROM dw
+    ),
+    edges AS (
+      SELECT pa.idx AS src, pb.idx AS dst, CAST(min(n.dist) AS BIGINT) AS dist
+      FROM near n
+      JOIN ex pa ON pa.ch = n.pch
+      JOIN ex pb ON pb.ch = n.cch
+      WHERE pa.idx <> pb.idx
+      GROUP BY src, dst
+    )"""
+  }
+
   // ---- query defs ------------------------------------------------------
 
   /** Gate projection: explode the operator's array-typed output (kept as
@@ -302,64 +346,63 @@ object Parity {
     * mirrored to both orientations plus the dist-0 diagonal (equal
     * hashes on different ids must still pair). Closes the board's one
     * permanent `no_oracle` row. */
-  val pdqScale3k: QueryDef = {
-    val words = (0 until 8)
-      .map(k => s"CAST('0x' || substr(ch, ${k * 8 + 1}, 8) AS BIGINT) AS w$k")
-      .mkString(",\n          ")
-    val dist = (0 until 8)
-      .map(k => s"CAST(bit_count(xor(a.w$k, b.w$k)) AS INTEGER)").mkString(" + ")
-    QueryDef(
-      "pdq_scale_3k",
-      (s, dir) =>
-        flatPdq(PdqDuplicates(scaleFrame(s, dir, 3000), similarityThreshold = 0.8,
-          strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true))
-          .orderBy("index", "duplicate"),
-      Some(s"""
-        WITH rows_ AS (
-          SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS idx,
-            [CASE WHEN event_id % 997 = 1
-               THEN md5(CAST(event_id - 1 AS VARCHAR)) || md5(CAST(event_id - 1 AS VARCHAR) || 'x')
-               WHEN event_id % 997 = 0
-               THEN substr(base, 1, 63) || (CASE WHEN substr(base, 64, 1) = '0' THEN '1' ELSE '0' END)
-               ELSE base END] AS pdq
-          FROM (
-            SELECT event_id,
-              md5(CAST(event_id AS VARCHAR)) || md5(CAST(event_id AS VARCHAR) || 'x') AS base
-            FROM events WHERE event_id < 3000
-          )
-        ),
-        ex AS (
-          SELECT DISTINCT idx, ch FROM (
-            SELECT idx, lower(lpad(unnest(pdq), 64, '0')) AS ch FROM rows_
-          )
-        ),
-        dw AS (
-          SELECT ch, $words
-          FROM (SELECT DISTINCT ch FROM ex)
-        ),
-        neart AS (
-          SELECT a.ch AS pch, b.ch AS cch, $dist AS dist
-          FROM dw a JOIN dw b ON a.ch < b.ch
-        ),
-        near AS (
-          SELECT pch, cch, dist FROM neart WHERE dist <= 51
-          UNION ALL
-          SELECT cch, pch, dist FROM neart WHERE dist <= 51
-          UNION ALL
-          SELECT ch AS pch, ch AS cch, 0 AS dist FROM dw
-        ),
-        edges AS (
-          SELECT pa.idx AS src, pb.idx AS dst, CAST(min(n.dist) AS BIGINT) AS dist
-          FROM near n
-          JOIN ex pa ON pa.ch = n.pch
-          JOIN ex pb ON pb.ch = n.cch
-          WHERE pa.idx <> pb.idx
-          GROUP BY src, dst
-        )
-        SELECT src AS "index", dst AS duplicate, 1.0 - dist / 256.0 AS similarity
-        FROM edges ORDER BY 1, 2""".trim)
-    )
-  }
+  val pdqScale3k: QueryDef = QueryDef(
+    "pdq_scale_3k",
+    (s, dir) =>
+      flatPdq(PdqDuplicates(scaleFrame(s, dir, 3000), similarityThreshold = 0.8,
+        strategy = PdqDuplicates.Strategy.Naive, assumeFixed256 = true))
+        .orderBy("index", "duplicate"),
+    Some(s"""
+      WITH ${pdqWordEdgesCtes(
+        """SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS idx,
+          [CASE WHEN event_id % 997 = 1
+             THEN md5(CAST(event_id - 1 AS VARCHAR)) || md5(CAST(event_id - 1 AS VARCHAR) || 'x')
+             WHEN event_id % 997 = 0
+             THEN substr(base, 1, 63) || (CASE WHEN substr(base, 64, 1) = '0' THEN '1' ELSE '0' END)
+             ELSE base END] AS pdq
+        FROM (
+          SELECT event_id,
+            md5(CAST(event_id AS VARCHAR)) || md5(CAST(event_id AS VARCHAR) || 'x') AS base
+          FROM events WHERE event_id < 3000
+        )""", radius = 51)}
+      SELECT src AS "index", dst AS duplicate, 1.0 - dist / 256.0 AS similarity
+      FROM edges ORDER BY 1, 2""".trim)
+  )
+
+  /** SKEW STRESS for the banded hash join — SURVEY §7.4's black-frame
+    * pathology: every fifth row (20%) carries ONE identical hash (a
+    * black frame hashes identically everywhere), the rest unique
+    * pseudo-random hashes. The operator's skew bound is the
+    * DISTINCT-hash relation — banding, the radius match, and the
+    * Hamming verify all run over distinct hashes, and the ~400 hot
+    * copies fan out only at the final per-id re-attach (the quadratic
+    * clique output is the reference CONTRACT: every copy lists every
+    * other copy). Input capped at 2,000 ids so the ~160k-edge clique
+    * stays gate-sized; PlanShapeSpec pins the mitigation shape. */
+  val pdqDupsSkew: QueryDef = QueryDef(
+    "pdq_dups_skew",
+    (s, dir) => {
+      val e = tbl(s, dir, "events").filter(col("event_id") < 2000)
+      val g = col("event_id").cast("string")
+      val h = when(col("event_id") % 5 === 0,
+        concat(md5(lit("black")), md5(lit("blackx"))))
+        .otherwise(concat(md5(g), md5(concat(g, lit("x")))))
+      val frame = e.select(
+        lpad(col("event_id").cast("string"), 8, "0").as("index"),
+        array(h).as("pdq_hash"))
+      flatPdq(PdqDuplicates(frame, similarityThreshold = pdqThreshold,
+        strategy = PdqDuplicates.Strategy.Banded, assumeFixed256 = true))
+        .orderBy("index", "duplicate")
+    },
+    Some(s"""
+      WITH ${pdqWordEdgesCtes(
+        """SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS idx,
+          [CASE WHEN event_id % 5 = 0 THEN md5('black') || md5('blackx')
+           ELSE md5(CAST(event_id AS VARCHAR)) || md5(CAST(event_id AS VARCHAR) || 'x') END] AS pdq
+        FROM events WHERE event_id < 2000""", radius = 5)}
+      SELECT src AS "index", dst AS duplicate, 1.0 - dist / 256.0 AS similarity
+      FROM edges ORDER BY 1, 2""".trim)
+  )
 
   /** Crawl-grade canonicalization ([[graft.functions.UrlFunctions
     * .canonicalUrl]]) over a url frame with planted variance: scheme
@@ -406,5 +449,5 @@ object Parity {
   )
 
   val defs: Seq[QueryDef] = Seq(urlDups, pdqDupsNaive, pdqDupsBanded, detectFull, pdqScale30k,
-    pdqScale3k, domainStats, domainCap, urlCanonical)
+    pdqScale3k, pdqDupsSkew, domainStats, domainCap, urlCanonical)
 }

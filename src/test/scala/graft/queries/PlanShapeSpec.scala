@@ -240,6 +240,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"winner aggregate missing:\n$p")
   }
 
+  test("pdq_dups_skew: black-frame pathology — banding runs over DISTINCT hashes, no product") {
+    val p = plan("pdq_dups_skew")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the mitigation shape: the band/verify tier reads the MATERIALIZED
+    // distinct-hash relation (Scan ExistingRDD), so the ~20% identical
+    // black-frame copies enter banding as ONE row; parquet appears only
+    // in the re-attach branches (both edge orientations → ≤ 2 scans) —
+    // banding over raw id rows would read parquet under every band
+    // Generate instead
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"corpus must be scanned only by the re-attach branches:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"distinct-hash materialization missing below the band tier:\n$p")
+  }
+
   test("lm_score: the model joins the scoring explode as a BROADCAST; no product") {
     val p = plan("lm_score")
     // the trigram explode must meet the model via BroadcastHashJoin (the
