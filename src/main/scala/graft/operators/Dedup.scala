@@ -339,6 +339,28 @@ object Dedup {
       params)
   }
 
+  /** Compact a many-append index into a fresh index at `dstPath` — the
+    * small-files counterweight to the Append flow (each daily delta
+    * adds a file batch per relation; a year of deltas makes every
+    * classify pay hundreds of file opens per band directory). Rows
+    * copy VERBATIM — every relation is per-document, so no re-derive
+    * is needed and classify over the compacted index is bit-identical
+    * to the source (DedupSpec pins it). md5/hs land in `numFiles`
+    * files; band rows are clustered by `band_id` so each Hive
+    * partition directory holds exactly one file. The manifest commits
+    * LAST with identical params; the source index is read-only
+    * throughout — compact-then-swap is the caller's move. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+      dstPath: String, numFiles: Int = 1): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val idx = readIndex(spark, srcPath)
+    writeIndex(DedupIndex(
+      idx.md5.repartition(numFiles),
+      idx.hs.repartition(numFiles),
+      idx.bands.repartition(numFiles, col("band_id")),
+      idx.params), dstPath)
+  }
+
   /** Incremental dedup: classify a NEW batch of documents against an
     * EXISTING corpus — the daily-delta shape of a production curation
     * pipeline (yesterday's 100 TB corpus is settled; today's crawl must

@@ -99,6 +99,25 @@ object MediaIndex {
       params)
   }
 
+  /** Compact a many-append index into a fresh index at `dstPath` — the
+    * small-files counterweight to the Append flow (daily ingests
+    * accrete a file batch per relation). Rows copy VERBATIM (both
+    * relations are per-hash; nothing re-derives), so [[classify]] over
+    * the compacted index is bit-identical to the source. Hashes land
+    * in `numFiles` files; band rows cluster by `band_id` so each Hive
+    * partition directory holds exactly one file. Manifest commits
+    * last, identical params; the source index stays read-only —
+    * compact-then-swap is the caller's move. */
+  def compactIndex(spark: SparkSession, srcPath: String, dstPath: String,
+      numFiles: Int = 1): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val idx = readIndex(spark, srcPath)
+    writeIndex(Index(
+      idx.hashes.repartition(numFiles),
+      idx.bands.repartition(numFiles, col("band_id")),
+      idx.params), dstPath)
+  }
+
   // 8 words of 32 bits (8 hex chars) — conv()'s decimal rendering stays
   // inside signed long, the same layout PdqDuplicates uses
   private def withWords(df: DataFrame, hexCol: String, prefix: String): DataFrame =

@@ -994,6 +994,45 @@ object Pipeline {
     incrementalDedup.oracle
   )
 
+  /** The COMPACTION leg of the persisted-index lifecycle: the corpus
+    * index accretes as two appended shards (evens, then odds — the
+    * daily-delta flow), compacts into a fresh one-file-per-relation
+    * index, and the batch classifies against the COMPACTED read index.
+    * Compaction copies rows verbatim, so the oracle is
+    * [[incrementalDedup]]'s SQL verbatim — the gate proves compaction
+    * changes NOTHING. */
+  val dedupIdxCompact: QueryDef = QueryDef(
+    "dedup_idx_compact",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val batch = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("id"), concat(col("text"), lit(tail)).as("text")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 4000000L).as("id"),
+            concat(lit("completely novel entry number "), col("doc_id").cast("string"),
+              lit(" with fresh synthetic content")).as("text")))
+      val corpusDocs = d.select(col("doc_id").as("id"), col("text"))
+      val src = gateScratchDir("graft_dedup_idx_compact_src")
+      val dst = gateScratchDir("graft_dedup_idx_compact_dst")
+      Dedup.writeIndex(Dedup.buildIndex(corpusDocs.filter(col("id") % 2 === 0), "id", "text",
+        shingleLen = 3, k = 16, bands = 4), src, mode = org.apache.spark.sql.SaveMode.Overwrite)
+      Dedup.writeIndex(Dedup.buildIndex(corpusDocs.filter(col("id") % 2 =!= 0), "id", "text",
+        shingleLen = 3, k = 16, bands = 4), src, mode = org.apache.spark.sql.SaveMode.Append)
+      // compaction commits ErrorIfExists; repeated invocations (bench
+      // reps, plan inspection) clear the previous run's destination
+      val dstPath = new org.apache.hadoop.fs.Path(dst)
+      val fs = dstPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(dstPath)) fs.delete(dstPath, true)
+      Dedup.compactIndex(s, src, dst)
+      Dedup.incrementalDedup(batch, Dedup.readIndex(s, dst), "id", "text",
+        shingleLen = 3, k = 16, bands = 4, threshold = 0.6)
+        .orderBy("id")
+    },
+    incrementalDedup.oracle
+  )
+
   /** [[Decontaminate.scanBloom]] over the identical inputs — the Bloom
     * prefilter + exact-verify path. Blooms have no false negatives and
     * the verify phase is exact, so the oracle is decontaminate's own
@@ -2244,9 +2283,21 @@ object Pipeline {
       }
       val corpusHashes = Media.pdqHashes(corpusItems).toDF("id", "pdq_hex", "quality")
       val path = gateScratchDir("graft_media_idx_gate")
-      MediaIndex.writeIndex(MediaIndex.build(corpusHashes, "id", "pdq_hex", radius = 32),
+      // two appended shards + compaction: the archive's daily-ingest
+      // accretion AND its small-files counterweight, both in the gate —
+      // compaction copies rows verbatim, so the oracle is unchanged
+      MediaIndex.writeIndex(
+        MediaIndex.build(corpusHashes.filter(col("id") % 2 === 0), "id", "pdq_hex", radius = 32),
         path, mode = org.apache.spark.sql.SaveMode.Overwrite)
-      val idx = MediaIndex.readIndex(s, path)
+      MediaIndex.writeIndex(
+        MediaIndex.build(corpusHashes.filter(col("id") % 2 =!= 0), "id", "pdq_hex", radius = 32),
+        path, mode = org.apache.spark.sql.SaveMode.Append)
+      val compacted = gateScratchDir("graft_media_idx_gate_compact")
+      val cPath = new org.apache.hadoop.fs.Path(compacted)
+      val cFs = cPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (cFs.exists(cPath)) cFs.delete(cPath, true)
+      MediaIndex.compactIndex(s, path, compacted)
+      val idx = MediaIndex.readIndex(s, compacted)
       val batchItems = docs.filter(col("doc_id") < 16).flatMap { r =>
         val c = r.getLong(0)
         val g = rollingAcc(r.getString(1)) % 7
@@ -3859,7 +3910,7 @@ object Pipeline {
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
-    ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,

@@ -442,6 +442,41 @@ class DedupSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters") && scan.contains("band_id"))
   }
 
+  test("compactIndex: appended shards -> one file per relation, classify bit-identical, source intact") {
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (103L, "the quick brown fox jumps over the lazy dog near the river bank today more trailing content"),
+      (104L, "entirely fresh material nothing like the existing corpus documents whatsoever")
+    ).toDF("id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_idx_compact").toString
+    val src = s"$base/src"
+    Dedup.writeIndex(Dedup.buildIndex(docs.filter(col("id") % 2 === 0), "id", "text"), src)
+    Dedup.writeIndex(Dedup.buildIndex(docs.filter(col("id") % 2 =!= 0), "id", "text"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    def classify(path: String) = rows(
+      Dedup.incrementalDedup(batch, Dedup.readIndex(spark, path), "id", "text",
+        shingleLen = 3, k = 16, bands = 4, threshold = 0.5).orderBy("id"))
+    val before = classify(src)
+    val dst = s"$base/dst"
+    Dedup.compactIndex(spark, src, dst)
+    assert(classify(dst) == before && before.nonEmpty)
+    def parquetFiles(p: String): Seq[java.io.File] = {
+      val f = new java.io.File(p)
+      val (dirs, files) = Option(f.listFiles()).getOrElse(Array.empty).toSeq.partition(_.isDirectory)
+      files.filter(_.getName.endsWith(".parquet")) ++ dirs.flatMap(d => parquetFiles(d.toString))
+    }
+    assert(parquetFiles(s"$dst/md5").size == 1 && parquetFiles(s"$dst/hs").size == 1)
+    val bandDirs = new java.io.File(s"$dst/bands").listFiles().filter(_.isDirectory)
+    assert(bandDirs.nonEmpty && bandDirs.forall(d =>
+      d.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    // source index is untouched and still serves the same answers
+    assert(classify(src) == before)
+    assert(parquetFiles(s"$src/md5").size > 1)
+    // refusals: uncommitted source, already-committed destination
+    intercept[IllegalStateException](Dedup.compactIndex(spark, s"$base/nope", s"$base/x"))
+    intercept[Exception](Dedup.compactIndex(spark, src, dst))
+  }
+
   test("corpusDiff: added/removed/changed only — unchanged docs never emit") {
     val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
     val cur = Seq((1L, "alpha"), (2L, "beta prime"), (4L, "delta")).toDF("id", "text")

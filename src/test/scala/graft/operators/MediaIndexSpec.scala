@@ -78,6 +78,38 @@ class MediaIndexSpec extends SparkTestBase {
     assert(MediaIndex.readIndex(spark, s"$dir/ok").hashes.count() == 3)
   }
 
+  test("compactIndex: appended shards -> one file per relation/partition, classify bit-identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft_media_idx_compact").toString
+    val src = s"$base/src"
+    MediaIndex.writeIndex(MediaIndex.build(
+      Seq((1L, zero), (3L, "a" * 64)).toDF("id", "pdq_hex"), "id", "pdq_hex", radius = 32), src)
+    MediaIndex.writeIndex(MediaIndex.build(
+      Seq((2L, flipNibbles(zero, Seq(0, 8, 16, 24), 'f'))).toDF("id", "pdq_hex"),
+      "id", "pdq_hex", radius = 32), src, org.apache.spark.sql.SaveMode.Append)
+    val batch = Seq((10L, zero), (11L, flipNibbles(zero, Seq(4))), (12L, "5" * 64),
+      (13L, flipNibbles(zero, Seq(0, 8)))).toDF("id", "pdq_hex")
+    def classify(path: String) = rows(
+      MediaIndex.classify(MediaIndex.readIndex(spark, path), batch, "id", "pdq_hex").orderBy("id"))
+    val before = classify(src)
+    val dst = s"$base/dst"
+    MediaIndex.compactIndex(spark, src, dst)
+    assert(classify(dst) == before && before.nonEmpty)
+    def parquetFiles(p: String): Seq[java.io.File] = {
+      val f = new java.io.File(p)
+      val (dirs, files) = Option(f.listFiles()).getOrElse(Array.empty).toSeq.partition(_.isDirectory)
+      files.filter(_.getName.endsWith(".parquet")) ++ dirs.flatMap(d => parquetFiles(d.toString))
+    }
+    assert(parquetFiles(s"$dst/hashes").size == 1)
+    val bandDirs = new java.io.File(s"$dst/bands").listFiles().filter(_.isDirectory)
+    assert(bandDirs.nonEmpty && bandDirs.forall(d =>
+      d.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    // source stays read-only and still serves; refusals fail fast
+    assert(classify(src) == before)
+    assert(parquetFiles(s"$src/hashes").size > 1)
+    intercept[IllegalStateException](MediaIndex.compactIndex(spark, s"$base/nope", s"$base/x"))
+    intercept[Exception](MediaIndex.compactIndex(spark, src, dst))
+  }
+
   test("classify plan: band equi-join + combinable winner, no product, no window") {
     val idx = MediaIndex.build(Seq((1L, zero)).toDF("id", "pdq_hex"), "id", "pdq_hex", radius = 32)
     val p = MediaIndex.classify(idx, Seq((9L, "a" * 64)).toDF("id", "pdq_hex"), "id", "pdq_hex")
