@@ -914,6 +914,52 @@ object Relational {
     }
   )
 
+  /** [[qHammingRadiusJoin]] at a PDQ-REALISTIC radius: 256-bit hashes
+    * (md5∥md5, the PDQ width) θ-joined at `hamming_distance <= 51` —
+    * similarity 0.8, the reference's published benchmark setting — and
+    * rewritten by the generalized band rule (k <= 64, multi-prefix
+    * banding). The right side complements the first `doc_id % 16` hex
+    * nibbles (`translate`, an involution), so a same-group pair's
+    * distance is EXACTLY 4·t: t <= 12 qualifies (<= 48), t >= 13 bands
+    * equal on the long shared suffix but verifies out at 52+ — the
+    * candidate-rejection leg is genuinely exercised. Oracle
+    * brute-forces all pairs with the 8-chunk popcount formula. */
+  val qHammingRadiusJoinPdq: QueryDef = QueryDef(
+    "q_hamming_radius_join_pdq",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val g = (col("doc_id") % 50).cast("string")
+      val base = concat(md5(g), md5(concat(g, lit("q"))))
+      val l = d.select(col("doc_id").as("id_a"), unhex(base).as("ha"))
+      val t = (col("doc_id") % 16).cast("int")
+      val tweaked = concat(
+        translate(base.substr(lit(1), t), "0123456789abcdef", "fedcba9876543210"),
+        base.substr(t + lit(1), lit(64)))
+      val r = d.select(col("doc_id").as("id_b"), unhex(tweaked).as("hb"))
+      l.join(r, graft.plans.HammingDistance(col("ha"), col("hb")) <= 51)
+        .select(col("id_a"), col("id_b"),
+          graft.plans.HammingDistance(col("ha"), col("hb")).as("dist"))
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val chunks = (0 until 8).map { i =>
+        s"CAST(bit_count(xor(CAST('0x' || substr(hxa, ${i * 8 + 1}, 8) AS BIGINT), CAST('0x' || substr(hxb, ${i * 8 + 1}, 8) AS BIGINT))) AS INTEGER)"
+      }.mkString(" + ")
+      s"""
+      WITH b AS (SELECT doc_id,
+              md5(CAST(doc_id % 50 AS VARCHAR)) || md5(CAST(doc_id % 50 AS VARCHAR) || 'q') AS m,
+              CAST(doc_id % 16 AS INT) AS t
+            FROM documents),
+      l AS (SELECT doc_id AS id_a, m AS hxa FROM b),
+      r AS (SELECT doc_id AS id_b,
+              translate(substr(m, 1, t), '0123456789abcdef', 'fedcba9876543210') || substr(m, t + 1) AS hxb
+            FROM b)
+      SELECT id_a, id_b, CAST(d AS INT) AS dist FROM (
+        SELECT id_a, id_b, $chunks AS d FROM l, r)
+      WHERE d <= 51 ORDER BY id_a, id_b""".trim
+    }
+  )
+
   /** Bloom semi-join reduction ([[graft.operators.SemiReduce]]): a
     * month of orders joins the full lineitem with the fact side
     * Bloom-prefiltered by the order-key set — identical result to the
@@ -1514,7 +1560,7 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q1Pricing, q3Revenue, q5NationRevenue, qTopOrders, qSemiAnti,
     qRollup, qCube, qGroupingSets, qSqlSurface, qSetOps, qDistinctAgg, qSessionize, qSessionWindow, qAsOf, qAsOfNext, qCovariance, qHammingExpr, qKernelJoin, qPivot, qFunnel,
-    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin,
+    qRangeJoin, qIntervalOverlap, qRetention, qMovingSum, qBucketedJoin, qPageRank, qScd2, qDqChecks, qFuzzyJoin, qBloomSemiReduce, qHammingZeroJoin, qHammingRadiusJoin, qHammingRadiusJoinPdq,
     qTriangles, qExactMedian, qExactNtile, qGapfillEwma, qUnpivot, qTransitions,
     qKAnonymity, qLDiversity, qKAnonymize, qJsonExtract, qTreeClosure, qCusum, qFrequentPairs, qFrequentTriples, qAssocRules, qGini, qEntropy
   )

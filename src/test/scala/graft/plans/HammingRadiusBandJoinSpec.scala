@@ -27,7 +27,7 @@ class HammingRadiusBandJoinSpec extends SparkTestBase {
     out.map(v => f"$v%02x").mkString
   }
 
-  test("band rewrite ≡ θ-join on random corpora: radii 1..7, mixed lengths, duplicates") {
+  test("band rewrite ≡ θ-join on random corpora: radii 1..64, mixed lengths, duplicates") {
     val rng = new scala.util.Random(31)
     // clusters of near hashes (some 16-byte, some 8-byte), plus a DUPLICATE row
     val base = Seq.fill(12)(randHex(rng, if (rng.nextBoolean()) 16 else 8))
@@ -35,30 +35,41 @@ class HammingRadiusBandJoinSpec extends SparkTestBase {
     val l = (l0 :+ (99L, l0.head._2)).toDF("lid", "hx") // duplicate hash content
       .select($"lid", unhex($"hx").as("ha"))
     val r = base.zipWithIndex.flatMap { case (h, i) =>
-      Seq((1000L + i, flipBits(rng, h, rng.nextInt(4))), (2000L + i, randHex(rng, 16)))
+      Seq(
+        (1000L + i, flipBits(rng, h, rng.nextInt(4))),
+        (2000L + i, randHex(rng, 16)),
+        // truncated-by-1..3-bytes variants with a few prefix flips:
+        // qualifying UNEQUAL-LENGTH pairs (8·Δlen + prefix bits <= k)
+        // that only the multi-prefix banding can find at k >= 8
+        (3000L + i, flipBits(rng, h.dropRight(2 * (1 + rng.nextInt(3))), rng.nextInt(8))))
     }.toDF("rid", "hx").select($"rid", unhex($"hx").as("hb"))
-    for (k <- Seq(1, 3, 7)) {
+    for (k <- Seq(1, 3, 7, 8, 17, 32, 51, 64)) {
       val cond = HammingDistance($"ha", $"hb") <= k
       val want = l.join(r, cond).select("lid", "rid").as[(Long, Long)].collect()
         .groupBy(identity).view.mapValues(_.length).toMap
       val got = withRule(l.join(r, cond).select("lid", "rid").as[(Long, Long)].collect())
         .groupBy(identity).view.mapValues(_.length).toMap
       assert(got == want, s"k=$k") // exact multiset: claim-once semantics hold
+      assert(want.nonEmpty, s"k=$k corpus produced no pairs — test is vacuous")
     }
   }
 
-  test("plan flips to a hash equi-join; radius >= 8 and annulus predicates stay θ") {
+  test("plan flips to a hash equi-join through k=64; k>64 and annulus predicates stay θ") {
     val l = Seq((1L, "00" * 16)).toDF("lid", "hx").select($"lid", unhex($"hx").as("ha"))
     val r = Seq((2L, "01" * 16)).toDF("rid", "hx").select($"rid", unhex($"hx").as("hb"))
     withRule {
-      val p = l.join(r, HammingDistance($"ha", $"hb") <= 3)
+      for (k <- Seq(3, 8, 51, 64)) {
+        val p = l.join(r, HammingDistance($"ha", $"hb") <= k)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"rule did not fire at k=$k:\n$p")
+        assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin"), s"no band equi-join at k=$k:\n$p")
+        // one Generate per side, never a per-δ stack
+        assert("Generate".r.findAllIn(p).size == 2, s"band Generates at k=$k:\n$p")
+      }
+      val p65 = l.join(r, HammingDistance($"ha", $"hb") <= 65)
         .queryExecution.executedPlan.toString
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$p")
-      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
-        p.contains("ShuffledHashJoin"), s"no band equi-join:\n$p")
-      val p8 = l.join(r, HammingDistance($"ha", $"hb") <= 8)
-        .queryExecution.executedPlan.toString
-      assert(p8.contains("BroadcastNestedLoopJoin"), s"k=8 wrongly rewritten:\n$p8")
+      assert(p65.contains("BroadcastNestedLoopJoin"), s"k=65 wrongly rewritten:\n$p65")
       val pEq = l.join(r, HammingDistance($"ha", $"hb") === 3)
         .queryExecution.executedPlan.toString
       assert(pEq.contains("BroadcastNestedLoopJoin"), s"annulus wrongly rewritten:\n$pEq")

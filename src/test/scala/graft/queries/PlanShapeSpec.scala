@@ -365,6 +365,19 @@ class PlanShapeSpec extends SparkTestBase {
       p.contains("ShuffledHashJoin"), s"no band equi-join found:\n$p")
   }
 
+  test("q_hamming_radius_join_pdq: the generalized rule flips a PDQ-radius (k=51) θ-join") {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.HammingRadiusBandJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.HammingRadiusBandJoin
+    val p = plan("q_hamming_radius_join_pdq")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"band rule did not fire at k=51:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no band equi-join found:\n$p")
+    // one Generate per side — the multi-prefix scheme packs every
+    // (δ, band) entry into a single exploded array, never a δ-stack
+    assert("Generate".r.findAllIn(p).size == 2, s"band Generates:\n$p")
+  }
+
   test("zorder_layout: the box query prunes z-prefix partition dirs") {
     val p = plan("zorder_layout")
     assert(p.contains("PartitionFilters") && p.contains("zp"),
