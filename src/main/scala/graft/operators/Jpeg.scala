@@ -61,6 +61,106 @@ object Jpeg {
     (counts, syms.toArray)
   }
 
+  // ---- ITU-T T.81 Annex K "typical" Huffman tables --------------------
+  // Published spec constants. They matter beyond compression ratio:
+  // MJPEG-in-AVI frames conventionally carry NO DHT segment at all (the
+  // OpenDML convention) and every decoder must assume exactly these.
+
+  private val StdDcLuma: HuffSpec = (
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+
+  private val StdDcChroma: HuffSpec = (
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+
+  private val StdAcLuma: HuffSpec = (
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d),
+    Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+      0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+      0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+      0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+      0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+      0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+      0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+      0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+      0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+      0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+      0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+      0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+      0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa))
+
+  private val StdAcChroma: HuffSpec = (
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+      0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+      0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+      0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+      0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+      0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+      0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+      0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+      0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+      0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+      0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+      0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+      0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+      0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+      0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+      0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+      0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa))
+
+  /** The four-table DHT segment (luma as ids 0, chroma as ids 1) that
+    * every DHT-less MJPEG frame implies. */
+  private lazy val stdDhtSegment: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val tables = Seq((0x00, StdDcLuma), (0x10, StdAcLuma), (0x01, StdDcChroma), (0x11, StdAcChroma))
+    val len = 2 + tables.map { case (_, (counts, syms)) => 1 + counts.length + syms.length }.sum
+    out.write(0xff); out.write(0xc4); out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    tables.foreach { case (tcTh, (counts, syms)) =>
+      out.write(tcTh); counts.foreach(out.write); syms.foreach(out.write)
+    }
+    out.toByteArray
+  }
+
+  /** MJPEG convention repair: when the frame carries NO DHT segment,
+    * splice the Annex K standard tables immediately before SOS; frames
+    * with their own tables pass through untouched. A frame with no SOS
+    * at all also passes through — [[decode]] then refuses it loudly. */
+  def withStdHuffmanIfMissing(p: Array[Byte]): Array[Byte] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    require(p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8, "not a JPEG payload")
+    var i = 2
+    var sos = -1
+    var hasDht = false
+    while (sos < 0 && i + 3 < p.length) {
+      if (u8(i) != 0xff) throw new IllegalArgumentException("JPEG: marker sync lost")
+      val m = u8(i + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+      else if (m == 0xda) sos = i
+      else {
+        if (m == 0xc4) hasDht = true
+        i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
+      }
+    }
+    if (hasDht || sos < 0) p
+    else p.take(sos) ++ stdDhtSegment ++ p.drop(sos)
+  }
+
   /** Canonical code assignment: (symbol → (code, len)). */
   private def canonicalCodes(spec: HuffSpec): Map[Int, (Int, Int)] = {
     val (counts, syms) = spec
@@ -553,7 +653,10 @@ object Jpeg {
     * at component resolution. `qscale` fills the (flat) quant table —
     * 1 = near-lossless, exactly lossless on block-constant tiles. */
   private def encodePlanes(w: Int, h: Int, planes: Array[Array[Int]],
-      sampling: Array[(Int, Int)], qscale: Int): Array[Byte] = {
+      sampling: Array[(Int, Int)], qscale: Int,
+      lumaSpecs: (HuffSpec, HuffSpec) = (DcSpec, AcSpec),
+      chromaSpecs: Option[(HuffSpec, HuffSpec)] = None,
+      omitDht: Boolean = false): Array[Byte] = {
     require(qscale >= 1 && qscale <= 255, s"qscale in [1,255], got $qscale")
     val nc = planes.length
     val out = new java.io.ByteArrayOutputStream()
@@ -569,22 +672,30 @@ object Jpeg {
         out.write(c + 1); out.write((sampling(c)._1 << 4) | sampling(c)._2); out.write(0)
       }
     }, 6 + 3 * nc)
-    def writeDht(tc: Int, spec: HuffSpec): Unit = {
+    def writeDht(tcTh: Int, spec: HuffSpec): Unit = {
       val (counts, syms) = spec
       marker(0xc4, {
-        out.write(tc << 4)
+        out.write(tcTh)
         counts.foreach(out.write)
         syms.foreach(out.write)
       }, 1 + 16 + syms.length)
     }
-    writeDht(0, DcSpec); writeDht(1, AcSpec)
+    if (!omitDht) {
+      writeDht(0x00, lumaSpecs._1); writeDht(0x10, lumaSpecs._2)
+      chromaSpecs.foreach { cs => writeDht(0x01, cs._1); writeDht(0x11, cs._2) }
+    }
+    // table selectors: luma (component 0) always 0/0; chroma components
+    // 1/1 when dedicated chroma tables exist (the Annex K id layout)
+    def tabId(c: Int): Int = if (c == 0 || chromaSpecs.isEmpty) 0x00 else 0x11
     marker(0xda, {
       out.write(nc)
-      for (c <- 0 until nc) { out.write(c + 1); out.write(0x00) }
+      for (c <- 0 until nc) { out.write(c + 1); out.write(tabId(c)) }
       out.write(0); out.write(63); out.write(0)
     }, 1 + 2 * nc + 3)
-    val dcCodes = canonicalCodes(DcSpec)
-    val acCodes = canonicalCodes(AcSpec)
+    val dcCodesL = canonicalCodes(lumaSpecs._1)
+    val acCodesL = canonicalCodes(lumaSpecs._2)
+    val dcCodesC = chromaSpecs.map(cs => canonicalCodes(cs._1)).getOrElse(dcCodesL)
+    val acCodesC = chromaSpecs.map(cs => canonicalCodes(cs._2)).getOrElse(acCodesL)
     val bw = new BitWriter(out)
     val hmax = sampling.map(_._1).max
     val vmax = sampling.map(_._2).max
@@ -603,6 +714,8 @@ object Jpeg {
       while (mx < mcusX) {
         var c = 0
         while (c < nc) {
+          val dcCodes = if (c == 0) dcCodesL else dcCodesC
+          val acCodes = if (c == 0) acCodesL else acCodesC
           val (sh, sv) = sampling(c)
           val plane = planes(c)
           val pw = compW(c); val ph = compH(c)
@@ -668,18 +781,31 @@ object Jpeg {
     out.toByteArray
   }
 
-  /** Grayscale baseline JPEG from 8-bit luma samples. */
-  def encodeGray(w: Int, h: Int, gray: Array[Int], qscale: Int = 1): Array[Byte] = {
+  /** Grayscale baseline JPEG from 8-bit luma samples. `stdHuffman`
+    * encodes with the Annex K tables instead of the flat house tables;
+    * `omitDht` (requires `stdHuffman`) additionally drops the DHT
+    * segment — the MJPEG-in-AVI frame convention, decodable only after
+    * [[withStdHuffmanIfMissing]] splices the implied tables back. */
+  def encodeGray(w: Int, h: Int, gray: Array[Int], qscale: Int = 1,
+      stdHuffman: Boolean = false, omitDht: Boolean = false): Array[Byte] = {
     require(gray.length == w * h, s"expected ${w * h} samples, got ${gray.length}")
-    encodePlanes(w, h, Array(gray), Array((1, 1)), qscale)
+    require(!omitDht || stdHuffman,
+      "omitDht without stdHuffman would emit an undecodable frame (house tables implied by nothing)")
+    val specs = if (stdHuffman) (StdDcLuma, StdAcLuma) else (DcSpec, AcSpec)
+    encodePlanes(w, h, Array(gray), Array((1, 1)), qscale, specs, None, omitDht)
   }
 
   /** Color baseline JPEG from packed 0xRRGGBB pixels; `subsample420`
     * averages chroma 2×2 (floor) for the archive-dominant 4:2:0
     * layout, else 4:4:4. JFIF YCbCr forward transform with one rint. */
   def encodeRgb(w: Int, h: Int, rgb: Array[Int], qscale: Int = 1,
-      subsample420: Boolean = false): Array[Byte] = {
+      subsample420: Boolean = false, stdHuffman: Boolean = false,
+      omitDht: Boolean = false): Array[Byte] = {
     require(rgb.length == w * h, s"expected ${w * h} pixels, got ${rgb.length}")
+    require(!omitDht || stdHuffman,
+      "omitDht without stdHuffman would emit an undecodable frame (house tables implied by nothing)")
+    val lSpecs = if (stdHuffman) (StdDcLuma, StdAcLuma) else (DcSpec, AcSpec)
+    val cSpecs = if (stdHuffman) Some((StdDcChroma, StdAcChroma)) else None
     val yP = new Array[Int](w * h)
     val cbF = new Array[Int](w * h)
     val crF = new Array[Int](w * h)
@@ -696,7 +822,8 @@ object Jpeg {
       i += 1
     }
     if (!subsample420)
-      encodePlanes(w, h, Array(yP, cbF, crF), Array((1, 1), (1, 1), (1, 1)), qscale)
+      encodePlanes(w, h, Array(yP, cbF, crF), Array((1, 1), (1, 1), (1, 1)), qscale,
+        lSpecs, cSpecs, omitDht)
     else {
       val cw = (w + 1) / 2; val ch = (h + 1) / 2
       def sub(full: Array[Int]): Array[Int] = Array.tabulate(cw * ch) { p =>
@@ -714,7 +841,8 @@ object Jpeg {
         }
         s / n
       }
-      encodePlanes(w, h, Array(yP, sub(cbF), sub(crF)), Array((2, 2), (1, 1), (1, 1)), qscale)
+      encodePlanes(w, h, Array(yP, sub(cbF), sub(crF)), Array((2, 2), (1, 1), (1, 1)), qscale,
+        lSpecs, cSpecs, omitDht)
     }
   }
 }

@@ -782,6 +782,133 @@ object Media {
     b.array()
   }
 
+  // ---- AVI (RIFF) container: MJPEG video, pure JVM --------------------
+
+  /** Minimal-but-valid MJPEG AVI encoder — RIFF('AVI ') with an 'hdrl'
+    * header list (avih + one 'vids'/'MJPG' stream), a 'movi' list of
+    * '00dc' chunks each holding one complete JPEG frame (word-aligned),
+    * and an 'idx1' index. The synthesis half of the AVI round-trip:
+    * pass frames from [[graft.operators.Jpeg.encodeGray]]/`encodeRgb`
+    * (optionally `omitDht = true` for the DHT-less MJPEG convention
+    * real capture hardware emits). */
+  def encodeAviMjpeg(w: Int, h: Int, jpegFrames: Seq[Array[Byte]], fps: Int = 10): Array[Byte] = {
+    require(jpegFrames.nonEmpty, "an AVI needs at least one frame")
+    require(fps >= 1, s"fps must be >= 1, got $fps")
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(fcc(id)).putInt(body.length).put(body)
+      if ((body.length & 1) == 1) b.put(0.toByte)
+      b.array()
+    }
+    def list(typ: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = bodies.map(_.length).sum
+      val b = java.nio.ByteBuffer.allocate(12 + inner).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(fcc("LIST")).putInt(4 + inner).put(fcc(typ))
+      bodies.foreach(b.put)
+      b.array()
+    }
+    val maxFrame = jpegFrames.map(_.length).max
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1000000 / fps).putInt(maxFrame * fps).putInt(0).putInt(0x10 /* HASINDEX */)
+      b.putInt(jpegFrames.length).putInt(0).putInt(1).putInt(maxFrame)
+      b.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(fcc("vids")).put(fcc("MJPG")).putInt(0).putInt(0).putInt(0)
+      b.putInt(1).putInt(fps).putInt(0).putInt(jpegFrames.length).putInt(maxFrame)
+      b.putInt(-1).putInt(0).putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    val strf = { // BITMAPINFOHEADER with biCompression = 'MJPG'
+      val b = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.put(fcc("MJPG")).putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val frameChunks = jpegFrames.map(f => chunk("00dc", f))
+    // idx1 offsets are relative to the start of the 'movi' list type fourcc
+    val idx = {
+      val b = java.nio.ByteBuffer.allocate(16 * jpegFrames.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 4
+      jpegFrames.indices.foreach { i =>
+        b.put(fcc("00dc")).putInt(0x10 /* KEYFRAME */).putInt(off).putInt(jpegFrames(i).length)
+        off += frameChunks(i).length
+      }
+      b.array()
+    }
+    val hdrl = list("hdrl", Seq(chunk("avih", avih), list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", frameChunks)
+    val body = Seq(hdrl, movi, chunk("idx1", idx))
+    val total = body.map(_.length).sum
+    val b = java.nio.ByteBuffer.allocate(12 + total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(fcc("RIFF")).putInt(4 + total).put(fcc("AVI "))
+    body.foreach(b.put)
+    b.array()
+  }
+
+  /** REAL video-container frame decoder — MJPEG-in-AVI, pure JVM: RIFF
+    * walk to the 'movi' list (recursing into 'rec ' groups), every
+    * video chunk ('##dc'/'##db') decoded as one JPEG frame by
+    * [[graft.operators.Jpeg.decode]]. DHT-less frames (the dominant
+    * capture-hardware MJPEG convention) get the ITU T.81 Annex K
+    * standard tables spliced in first
+    * ([[graft.operators.Jpeg.withStdHuffmanIfMissing]]). Frames return
+    * in container order; a frameless or non-AVI RIFF fails loudly.
+    * Fills the [[FrameSampler]]/[[pdqFrames]] stub seam with a genuine
+    * video path: pixels → frames → shots → keyframes → clip dedup runs
+    * end-to-end from a real video file. */
+  val aviFrames: Array[Byte] => Seq[(Int, Int, Array[Int])] = p => {
+    def u8(i: Int): Int = p(i) & 0xff
+    def u32(i: Int): Long =
+      u8(i) | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def fcc(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    require(p.length >= 12 && fcc(0) == "RIFF" && fcc(8) == "AVI ", "not an AVI payload")
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Int])]()
+    // walk chunks in [from, until); descend into LISTs of interest
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val id = fcc(i)
+        val len = u32(i + 4).toInt
+        require(len >= 0 && i + 8 + len <= until, s"AVI: chunk '$id' overruns its parent")
+        if (id == "LIST") {
+          val typ = fcc(i + 8)
+          if (typ == "movi" || (inMovi && typ == "rec "))
+            walk(i + 12, i + 8 + len, inMovi = true)
+          else if (!inMovi && typ == "hdrl") () // header parsed by no one: frames self-describe
+        } else if (inMovi && id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.substring(2) == "dc" || id.substring(2) == "db")) {
+          val payload = p.slice(i + 8, i + 8 + len)
+          frames += graft.operators.Jpeg.decode(graft.operators.Jpeg.withStdHuffmanIfMissing(payload))
+        }
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, p.length, inMovi = false)
+    require(frames.nonEmpty, "AVI: no video frames in the movi list")
+    frames.toSeq
+  }
+
+  /** Magic-byte dispatch over the FRAME decoders — the multi-frame
+    * sibling of [[autoPixelDecoder]]: AVI (MJPEG) and GIF yield their
+    * frame sequences; any single-image container yields one frame.
+    * The archive-ingest entry point for [[pdqFrames]] over a binary
+    * column of MIXED stills and clips. */
+  val autoFrames: Array[Byte] => Seq[(Int, Int, Array[Int])] = p => {
+    def u8(i: Int): Int = p(i) & 0xff
+    require(p.length >= 12, "payload too short for any known container")
+    if (u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+      u8(8) == 'A' && u8(9) == 'V' && u8(10) == 'I') aviFrames(p)
+    else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F') gifFrames(p)
+    else Seq(autoPixelDecoder(p))
+  }
+
   case class AudioFingerprint(id: Long, fp_hex: String, quality: Long, sample_rate: Int, n_samples: Long)
 
   /** Audio perceptual fingerprints: WAV payload → real PCM decode →

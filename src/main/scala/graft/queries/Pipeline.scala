@@ -2556,6 +2556,62 @@ object Pipeline {
     """.trim)
   )
 
+  /** The CODEC-VIDEO form of the PDQ pipeline, real end to end: per-doc
+    * MJPEG-in-AVI clips — three block-constant grayscale frames, each a
+    * REAL baseline JPEG in the capture-hardware convention (Annex K
+    * standard Huffman, DHT segment OMITTED) inside a RIFF/AVI 'movi'
+    * list — decoded by the pure-JVM [[Media.aviFrames]] (RIFF chunk
+    * walk → standard-table splice → [[Jpeg.decode]]) and hashed per
+    * frame. DC-only blocks round-trip bit-exactly (JpegSpec), so the
+    * oracle replays the tile synthesis directly: one flipped bit in
+    * the container walk, the table splice, or the entropy decode moves
+    * a hash and fails the gate. */
+  val mediaAviPdq: QueryDef = QueryDef(
+    "media_avi_pdq",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 48)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val did = r.getLong(0)
+          val g = rollingAcc(r.getString(1)) % 7
+          val w = 72 + (did % 3).toInt * 28
+          val h = 64 + (did % 5).toInt * 16
+          val jpegs = (0 until 3).map { f =>
+            val gray = Array.tabulate(w * h) { p =>
+              val tx = (p % w) / 8; val ty = (p / w) / 8
+              ((g * 37 + tx * 13 + ty * 29 + f * 17) % 256).toInt
+            }
+            Jpeg.encodeGray(w, h, gray, stdHuffman = true, omitDht = true)
+          }
+          Media.MediaItem(did, "video", Media.encodeAviMjpeg(w, h, jpegs))
+        }
+      Media.pdqFrames(items, Media.aviFrames)
+        .toDF("id", "frame_no", "pdq_hex", "quality")
+        .orderBy("id", "frame_no")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS did,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 7 AS g
+        FROM documents WHERE doc_id < 48),
+      dims AS (SELECT did, g, 72 + (did % 3) * 28 AS w, 64 + (did % 5) * 16 AS h FROM src),
+      fr AS (SELECT unnest([0, 1, 2]) AS f),
+      axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+      pix AS (
+        SELECT d.did * 4 + fr.f AS id, x.v AS x, y.v AS y, d.w, d.h,
+          (d.g * 37 + (x.v // 8) * 13 + (y.v // 8) * 29 + fr.f * 17) % 256 AS l
+        FROM dims d CROSS JOIN fr JOIN axis x ON x.v < d.w JOIN axis y ON y.v < d.h),
+      $pdqChainCtes
+      SELECT h.id // 4 AS id, CAST(h.id % 4 AS INT) AS frame_no, h.pdq_hex, g.quality
+      FROM hexs h JOIN grad g ON g.id = h.id ORDER BY 1, 2
+    """.trim)
+  )
+
   /** Temporal-offset recovery between two clips of the same scene:
     * clip A = frames 0..4 of a per-doc animation, clip B = frames
     * k..k+4 (k = doc_id mod 4) re-encoded with a +3 brightness shift —
@@ -3914,7 +3970,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }

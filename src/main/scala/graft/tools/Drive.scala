@@ -427,6 +427,18 @@ object Drive {
         Media.encodeGifGray(72, 64, Seq(grayFrame(0), grayFrame(1), grayFrame(2))))))(
         org.apache.spark.sql.Encoders.product[Media.MediaItem])
       Media.pdqFrames(gif, Media.gifFrames).orderBy("frame_no").show(false)
+      // MJPEG-in-AVI path: DHT-less frames (the capture convention) in
+      // a real RIFF container -> chunk walk -> std-table splice -> PDQ
+      def tile(f: Int): Array[Int] = Array.tabulate(72 * 64) { p =>
+        (((p % 72) / 8) * 13 + ((p / 72) / 8) * 29 + f * 17) % 256
+      }
+      val avi = spark.createDataset(Seq(
+        Media.MediaItem(40L, "video", Media.encodeAviMjpeg(72, 64, (0 until 3).map(f =>
+          Jpeg.encodeGray(72, 64, tile(f), stdHuffman = true, omitDht = true)))),
+        Media.MediaItem(41L, "video", "RIFFjunk-not-avi".getBytes("US-ASCII"))))(
+        org.apache.spark.sql.Encoders.product[Media.MediaItem])
+      Media.pdqFrames(avi, Media.autoFrames, keepUndecodable = true)
+        .orderBy("id", "frame_no").show(false)
     }
     println("=== media index: persist corpus hashes -> classify a batch ===")
     locally {

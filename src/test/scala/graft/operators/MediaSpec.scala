@@ -156,6 +156,74 @@ class MediaSpec extends SparkTestBase {
     assert(got(4).pdq_hex == null && got(4).quality == -1L)
   }
 
+  test("AVI/MJPEG: encode -> aviFrames round-trip, DHT-less frames, autoFrames dispatch") {
+    val w = 72; val h = 64 // >= 64 on both axes: the PDQ kernel's floor
+    def frame(f: Int): Array[Int] = Array.tabulate(w * h) { p =>
+      val tx = (p % w) / 8; val ty = (p / w) / 8
+      (37 * tx + 101 * ty + 17 * f + 13) % 256 // block-constant: bit-exact JPEG
+    }
+    val frames = (0 until 3).map(frame)
+    // leg 1: frames carrying their own (Annex K) tables
+    val aviWithTables = Media.encodeAviMjpeg(w, h,
+      frames.map(g => Jpeg.encodeGray(w, h, g, stdHuffman = true)))
+    // leg 2: the capture-hardware convention — DHT omitted entirely
+    val aviNoDht = Media.encodeAviMjpeg(w, h,
+      frames.map(g => Jpeg.encodeGray(w, h, g, stdHuffman = true, omitDht = true)))
+    assert(aviNoDht.length < aviWithTables.length) // tables really absent
+    for (avi <- Seq(aviWithTables, aviNoDht)) {
+      val got = Media.aviFrames(avi)
+      assert(got.size == 3)
+      got.zipWithIndex.foreach { case ((dw, dh, px), f) =>
+        assert(dw == w && dh == h)
+        val want = frame(f)
+        px.zipWithIndex.foreach { case (v, i) =>
+          assert(v == ((want(i) << 16) | (want(i) << 8) | want(i)), s"frame $f pixel $i")
+        }
+      }
+      // autoFrames routes RIFF/'AVI ' to the AVI walk
+      assert(Media.autoFrames(avi).map(_._3.toSeq) == got.map(_._3.toSeq))
+    }
+    // a DHT-less frame alone is NOT decodable; the splice repairs it
+    val bare = Jpeg.encodeGray(w, h, frames.head, stdHuffman = true, omitDht = true)
+    intercept[Exception](Jpeg.decode(bare))
+    assert(Jpeg.decode(Jpeg.withStdHuffmanIfMissing(bare))._3.toSeq ==
+      Media.aviFrames(aviNoDht).head._3.toSeq)
+    // frames with their own tables pass through the splice untouched
+    val tabbed = Jpeg.encodeGray(w, h, frames.head)
+    assert(Jpeg.withStdHuffmanIfMissing(tabbed) eq tabbed)
+    // refusals: WAV RIFF is not an AVI; a frameless AVI fails; corrupt
+    // payloads quarantine through pdqFrames(keepUndecodable)
+    intercept[IllegalArgumentException](Media.aviFrames(Media.encodeWav16(8000, Array(1, 2, 3))))
+    val corrupt = aviWithTables.clone(); corrupt(40) = 0x77.toByte
+    val ds = Seq(Media.MediaItem(1L, "video", aviNoDht),
+      Media.MediaItem(2L, "video", "junkjunkjunkjunk".getBytes("US-ASCII"))).toDS()
+    val rows2 = Media.pdqFrames(ds, Media.aviFrames, keepUndecodable = true)
+      .collect().map(f => (f.id, f.frame_no, f.pdq_hex == null)).sortBy(r => (r._1, r._2))
+    assert(rows2.count(_._1 == 1L) == 3 && rows2.filter(_._1 == 1L).forall(!_._3))
+    assert(rows2.filter(_._1 == 2L).toSeq == Seq((2L, -1, true)))
+  }
+
+  test("AVI/MJPEG e2e: frames -> shots -> keyframes from a real video container") {
+    val w = 72; val h = 64
+    // two scenes of three frames each: within a scene tiles drift by
+    // +1, across the cut the whole pattern jumps
+    def frame(scene: Int, f: Int): Array[Int] = Array.tabulate(w * h) { p =>
+      val tx = (p % w) / 8; val ty = (p / w) / 8
+      (scene * 131 + 29 * tx + 67 * ty + f) % 256
+    }
+    val jpegs = for (s <- 0 until 2; f <- 0 until 3)
+      yield Jpeg.encodeGray(w, h, frame(s, f), stdHuffman = true, omitDht = true)
+    val avi = Media.encodeAviMjpeg(w, h, jpegs)
+    val frames = Media.pdqFrames(Seq(Media.MediaItem(7L, "video", avi)).toDS(), Media.aviFrames)
+      .toDF("id", "frame_no", "pdq_hex", "quality")
+    val shots = Media.shotBoundaries(frames, threshold = 40)
+      .select("frame_no", "shot_no").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(shots == Map(0 -> 0L, 1 -> 0L, 2 -> 0L, 3 -> 1L, 4 -> 1L, 5 -> 1L))
+    val keys = Media.keyframes(frames, threshold = 40)
+      .select("shot_no", "keyframe_no").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(keys.keySet == Set(0L, 1L) && keys(0L) < 3 && keys(1L) >= 3)
+  }
+
   test("shotBoundaries: cuts where the lagged distance exceeds threshold; frame 0 opens shot 0") {
     def hx(v: Int): String = java.lang.Long.toHexString(v.toLong & 0xf).head.toString * 64
     // per-nibble distance between hx(1) and hx(2) = 2 bits * 64 = 128; hx(1)->hx(3) = 64
