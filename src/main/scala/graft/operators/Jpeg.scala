@@ -124,6 +124,21 @@ object Jpeg {
       0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
       0xf9, 0xfa))
 
+  /** AC table for PROGRESSIVE scans: the sequential Annex K tables
+    * lack the EOBRUN category symbols (r<<4, r = 1..14) progressive
+    * end-of-band run coding needs, so — like every real progressive
+    * encoder — the scans carry their own table: all EOB-run
+    * categories, ZRL, and every (run, size ≤ 10) at 8 bits (176/256,
+    * a legal incomplete canonical code). */
+  private val ProgAcSpec: HuffSpec = {
+    val counts = new Array[Int](16); counts(7) = 176
+    val syms = scala.collection.mutable.ArrayBuffer[Int]()
+    for (r <- 0 to 14) syms += (r << 4)
+    syms += 0xF0
+    for (r <- 0 to 15; s <- 1 to 10) syms += ((r << 4) | s)
+    (counts, syms.toArray)
+  }
+
   /** The four-table DHT segment (luma as ids 0, chroma as ids 1) that
     * every DHT-less MJPEG frame implies. */
   private lazy val stdDhtSegment: Array[Byte] = {
@@ -298,8 +313,22 @@ object Jpeg {
     var planeH: Int = 0
   }
 
-  /** Decode a baseline JPEG payload → (width, height, packed 0xRRGGBB).
-    * Conforms to [[Media.PixelDecoder]]. */
+  /** Decode a baseline (SOF0) or progressive (SOF2) JPEG payload →
+    * (width, height, packed 0xRRGGBB). Conforms to
+    * [[Media.PixelDecoder]].
+    *
+    * Progressive decoding (T.81 Annex G — the dominant web-archive
+    * JPEG flavor): per-component RAW coefficient buffers accumulate
+    * across scans — interleaved or single-component DC scans (first
+    * pass at reduced precision via the point transform, refinements as
+    * one raw bit per block), single-component AC scans over a spectral
+    * band with EOBRUN end-of-band run coding, and AC successive-
+    * approximation refinement (correction bits on nonzero history,
+    * ±2^Al insertions for newly-nonzero coefficients) — then ONE
+    * dequantize + IDCT pass reconstructs the planes exactly as the
+    * baseline path does. Non-interleaved scans cover the component's
+    * OWN block grid; MCU-grid padding blocks are never coded, stay
+    * zero, and lie outside the crop. */
   val decode: Media.PixelDecoder = p => {
     def u8(i: Int): Int = p(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
@@ -309,15 +338,226 @@ object Jpeg {
     val acTabs = Array.fill(4)(null: HuffTable)
     var comps: Array[Component] = null
     var w = 0; var h = 0
+    var progressive = false
     var restartInterval = 0
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
+    // progressive state: per-component raw coefficients (natural order)
+    // over the MCU-padded block grid; dequantization happens at the end
+    var coefBufs: Array[Array[Int]] = null
+    var fullBw: Array[Int] = null
+    var fullBh: Array[Int] = null
+
+    def setupGeometry(): Unit = {
+      hmax = comps.map(_.h).max
+      vmax = comps.map(_.v).max
+      mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      fullBw = comps.map(c => mcusX * c.h)
+      fullBh = comps.map(c => mcusY * c.v)
+    }
+
+    // ---- progressive scan units ----
+    def dcUnit(ci: Int, td: Int, bi: Int, preds: Array[Int], pi: Int,
+        br: BitReader, ah: Int, al: Int): Unit = {
+      val buf = coefBufs(ci)
+      if (ah == 0) { // first DC scan: Huffman diffs of the shifted value
+        val tab = dcTabs(td)
+        require(tab != null, "JPEG: DC scan references missing DHT")
+        val t = tab.decode(br)
+        require(t <= 11, "JPEG: bad DC category")
+        preds(pi) += extend(br.bits(t), t)
+        buf(bi) = preds(pi) << al
+      } else { // refinement: one raw bit per block
+        if (br.bit() == 1) buf(bi) += (1 << al)
+      }
+    }
+
+    def acFirstUnit(ta: Int, buf: Array[Int], bi: Int, br: BitReader,
+        ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+      if (eobrunIn > 0) return eobrunIn - 1
+      val tab = acTabs(ta)
+      require(tab != null, "JPEG: AC scan references missing DHT")
+      var eobrun = 0
+      var k = ss
+      while (k <= se) {
+        val rs = tab.decode(br)
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.bits(r)
+            k = 64
+          }
+        } else {
+          k += r
+          require(k <= se, "JPEG: AC run past band end")
+          buf(bi + Zigzag(k)) = extend(br.bits(s), s) << al
+          k += 1
+        }
+      }
+      eobrun
+    }
+
+    def acRefineUnit(ta: Int, buf: Array[Int], bi: Int, br: BitReader,
+        ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+      val plus = 1 << al
+      def correct(k: Int): Unit = { // nonzero history: read one bit
+        val z = bi + Zigzag(k)
+        if (br.bit() == 1 && (buf(z) & plus) == 0)
+          buf(z) += (if (buf(z) > 0) plus else -plus)
+      }
+      var eobrun = eobrunIn
+      var k = ss
+      if (eobrun > 0) { // whole block inside an EOB run: corrections only
+        while (k <= se) { if (buf(bi + Zigzag(k)) != 0) correct(k); k += 1 }
+        return eobrun - 1
+      }
+      val tab = acTabs(ta)
+      require(tab != null, "JPEG: AC scan references missing DHT")
+      var inEob = false
+      while (k <= se) {
+        if (inEob) { // band tail after an in-block EOB: corrections only
+          if (buf(bi + Zigzag(k)) != 0) correct(k)
+          k += 1
+        } else {
+          val rs = tab.decode(br)
+          var r = rs >> 4
+          val s = rs & 15
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.bits(r)
+              inEob = true
+            }
+            // r == 15: ZRL — skip 16 zero-history positions below
+          } else {
+            require(s == 1, "JPEG: refinement magnitude must be 1")
+            newVal = if (br.bit() == 1) plus else -plus
+          }
+          if (!inEob) {
+            // advance past r zero-history positions, correcting nonzero
+            // history on the way; place the new ±2^Al at the (r+1)-th zero
+            var placed = false
+            while (!placed && k <= se) {
+              val z = bi + Zigzag(k)
+              if (buf(z) != 0) correct(k)
+              else if (r == 0) { if (newVal != 0) buf(z) = newVal; placed = true }
+              else r -= 1
+              k += 1
+            }
+            require(placed || newVal == 0, "JPEG: refinement run past band end")
+          }
+        }
+      }
+      eobrun
+    }
+
+    /** One progressive scan; returns the entropy-data end position. */
+    def progressiveScan(sos: Int): Int = {
+      val ns = u8(sos)
+      require(ns >= 1 && ns <= comps.length, "JPEG: bad scan component count")
+      val scomps = Array.tabulate(ns) { c =>
+        val cid = u8(sos + 1 + 2 * c)
+        val tabs = u8(sos + 2 + 2 * c)
+        val ci = comps.indexWhere(_.id == cid)
+        require(ci >= 0, s"JPEG: SOS references unknown component $cid")
+        (ci, tabs >> 4, tabs & 15)
+      }
+      val ss = u8(sos + 1 + 2 * ns)
+      val se = u8(sos + 2 + 2 * ns)
+      val aa = u8(sos + 3 + 2 * ns)
+      val ah = aa >> 4; val al = aa & 15
+      require(ss <= 63 && se <= 63 && ss <= se, "JPEG: bad spectral selection")
+      val dcScan = ss == 0
+      if (dcScan) require(se == 0, "JPEG: DC scan must have Se = 0")
+      else require(ns == 1, "JPEG: AC scans are single-component")
+      if (coefBufs == null)
+        coefBufs = comps.indices.map(ci => new Array[Int](fullBw(ci) * fullBh(ci) * 64)).toArray
+      val br = new BitReader(p, sos + 4 + 2 * ns)
+      var eobrun = 0
+      var unit = 0
+      val preds = new Array[Int](ns)
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.restart(); java.util.Arrays.fill(preds, 0); eobrun = 0
+        }
+      if (dcScan && ns > 1) { // interleaved DC over MCUs
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var s = 0
+            while (s < ns) {
+              val (ci, td, _) = scomps(s)
+              val c = comps(ci)
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  val bi = ((my * c.v + by) * fullBw(ci) + (mx * c.h + bx)) * 64
+                  dcUnit(ci, td, bi, preds, s, br, ah, al)
+                  bx += 1
+                }
+                by += 1
+              }
+              s += 1
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // non-interleaved: the component's own block grid
+        val (ci, td, ta) = scomps(0)
+        val c = comps(ci)
+        val compW = (w * c.h + hmax - 1) / hmax
+        val compH = (h * c.v + vmax - 1) / vmax
+        val bw = (compW + 7) / 8
+        val bh = (compH + 7) / 8
+        val buf = coefBufs(ci)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            maybeRestart()
+            val bi = (by * fullBw(ci) + bx) * 64
+            if (dcScan) dcUnit(ci, td, bi, preds, 0, br, ah, al)
+            else if (ah == 0) eobrun = acFirstUnit(ta, buf, bi, br, ss, se, al, eobrun)
+            else eobrun = acRefineUnit(ta, buf, bi, br, ss, se, al, eobrun)
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      br.pos
+    }
+
+    /** Skip past fill bytes to the next real marker. */
+    def resync(from: Int): Int = {
+      var j = from
+      while (j + 1 < p.length &&
+        !((p(j) & 0xff) == 0xff && (p(j + 1) & 0xff) != 0 && (p(j + 1) & 0xff) != 0xff))
+        j += 1
+      j
+    }
+
     var i = 2
-    var sos = -1
-    while (sos < 0) {
-      require(i + 4 <= p.length, "JPEG: truncated marker stream")
+    var sos = -1 // baseline: first (only) scan; progressive: sentinel stays -1
+    var sawEoi = false
+    while (sos < 0 && !sawEoi) {
+      require(i + 2 <= p.length, "JPEG: truncated marker stream")
       require(u8(i) == 0xff, s"JPEG: expected marker at $i")
       val m = u8(i + 1)
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // stray SOI / RST
-      else {
+      else if (m == 0xd9) {
+        require(progressive && coefBufs != null, "JPEG: EOI before SOS")
+        sawEoi = true
+      } else {
+        require(i + 4 <= p.length, "JPEG: truncated marker stream")
         val len = be16(i + 2)
         val seg = i + 4
         m match {
@@ -347,7 +587,8 @@ object Jpeg {
               if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
               j += 17 + n
             }
-          case 0xc0 => // SOF0 baseline
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+            progressive = m == 0xc2
             require(u8(seg) == 8, "JPEG: only 8-bit precision supported")
             h = be16(seg + 1); w = be16(seg + 3)
             val nc = u8(seg + 5)
@@ -356,93 +597,125 @@ object Jpeg {
               val o = seg + 6 + 3 * c
               Component(u8(o), u8(o + 1) >> 4, u8(o + 1) & 15, u8(o + 2))
             }
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            throw new IllegalArgumentException(f"JPEG: non-baseline SOF marker 0xff$m%02x unsupported")
+            setupGeometry()
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            throw new IllegalArgumentException(f"JPEG: SOF marker 0xff$m%02x unsupported (baseline SOF0 / progressive SOF2 only)")
           case 0xdd => restartInterval = be16(seg)
-          case 0xda => sos = seg
+          case 0xda =>
+            require(comps != null && w > 0 && h > 0, "JPEG: missing SOF before SOS")
+            if (progressive) {
+              i = resync(progressiveScan(seg))
+            } else sos = seg
           case 0xd9 => throw new IllegalArgumentException("JPEG: EOI before SOS")
           case _ => () // APPn, COM, others: skip
         }
-        i += 2 + len
+        if (sos < 0 && !(progressive && m == 0xda)) i += 2 + len
       }
     }
-    require(comps != null && w > 0 && h > 0, "JPEG: missing SOF0 before SOS")
-    // SOS header
-    val ns = u8(sos)
-    require(ns == comps.length, "JPEG: partial-scan SOS unsupported (baseline full scan only)")
-    for (c <- 0 until ns) {
-      val cid = u8(sos + 1 + 2 * c)
-      val tabs = u8(sos + 2 + 2 * c)
-      val comp = comps.find(_.id == cid).getOrElse(
-        throw new IllegalArgumentException(s"JPEG: SOS references unknown component $cid"))
-      comp.dcTab = dcTabs(tabs >> 4)
-      comp.acTab = acTabs(tabs & 15)
-      require(comp.dcTab != null && comp.acTab != null, "JPEG: SOS references missing DHT")
-      require(qt(comp.tq) != null, "JPEG: component references missing DQT")
-    }
-    val hmax = comps.map(_.h).max
-    val vmax = comps.map(_.v).max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    comps.foreach { c =>
-      c.planeW = mcusX * 8 * c.h
-      c.planeH = mcusY * 8 * c.v
-      c.plane = new Array[Int](c.planeW * c.planeH)
-    }
-    val br = new BitReader(p, sos + 1 + 2 * ns + 3)
-    val coef = new Array[Int](64)
-    val pix = new Array[Int](64)
-    var mcu = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.restart()
-          comps.foreach(_.pred = 0)
-        }
-        comps.foreach { c =>
-          val q = qt(c.tq)
-          var by = 0
-          while (by < c.v) {
-            var bx = 0
-            while (bx < c.h) {
-              java.util.Arrays.fill(coef, 0)
-              val t = c.dcTab.decode(br)
-              require(t <= 11, "JPEG: bad DC category")
-              c.pred += extend(br.bits(t), t)
-              coef(0) = c.pred * q(0)
-              var k = 1
-              while (k < 64) {
-                val rs = c.acTab.decode(br)
-                val r = rs >> 4; val s = rs & 15
-                if (s == 0) {
-                  if (r == 15) k += 16 else k = 64 // ZRL / EOB
-                } else {
-                  k += r
-                  require(k < 64, "JPEG: AC run past block end")
-                  coef(Zigzag(k)) = extend(br.bits(s), s) * q(Zigzag(k))
-                  k += 1
-                }
-              }
-              idctBlock(coef, pix)
-              // place into plane
-              val ox = (mx * c.h + bx) * 8
-              val oy = (my * c.v + by) * 8
-              var yy = 0
-              while (yy < 8) {
-                System.arraycopy(pix, yy * 8, c.plane, (oy + yy) * c.planeW + ox, 8)
-                yy += 1
-              }
-              bx += 1
+
+    if (progressive) {
+      // one dequantize + IDCT pass over every padded-grid block
+      val coef = new Array[Int](64)
+      val pix = new Array[Int](64)
+      comps.zipWithIndex.foreach { case (c, ci) =>
+        val q = qt(c.tq)
+        require(q != null, "JPEG: component references missing DQT")
+        c.planeW = fullBw(ci) * 8
+        c.planeH = fullBh(ci) * 8
+        c.plane = new Array[Int](c.planeW * c.planeH)
+        val buf = coefBufs(ci)
+        var by = 0
+        while (by < fullBh(ci)) {
+          var bx = 0
+          while (bx < fullBw(ci)) {
+            val bi = (by * fullBw(ci) + bx) * 64
+            var k = 0
+            while (k < 64) { coef(k) = buf(bi + k) * q(k); k += 1 }
+            idctBlock(coef, pix)
+            var yy = 0
+            while (yy < 8) {
+              System.arraycopy(pix, yy * 8, c.plane, (by * 8 + yy) * c.planeW + bx * 8, 8)
+              yy += 1
             }
-            by += 1
+            bx += 1
           }
+          by += 1
         }
-        mcu += 1
-        mx += 1
       }
-      my += 1
+    } else {
+      // ---- baseline: single full scan ----
+      val ns = u8(sos)
+      require(ns == comps.length, "JPEG: partial-scan SOS unsupported (baseline full scan only)")
+      for (c <- 0 until ns) {
+        val cid = u8(sos + 1 + 2 * c)
+        val tabs = u8(sos + 2 + 2 * c)
+        val comp = comps.find(_.id == cid).getOrElse(
+          throw new IllegalArgumentException(s"JPEG: SOS references unknown component $cid"))
+        comp.dcTab = dcTabs(tabs >> 4)
+        comp.acTab = acTabs(tabs & 15)
+        require(comp.dcTab != null && comp.acTab != null, "JPEG: SOS references missing DHT")
+        require(qt(comp.tq) != null, "JPEG: component references missing DQT")
+      }
+      comps.foreach { c =>
+        c.planeW = mcusX * 8 * c.h
+        c.planeH = mcusY * 8 * c.v
+        c.plane = new Array[Int](c.planeW * c.planeH)
+      }
+      val br = new BitReader(p, sos + 1 + 2 * ns + 3)
+      val coef = new Array[Int](64)
+      val pix = new Array[Int](64)
+      var mcu = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            br.restart()
+            comps.foreach(_.pred = 0)
+          }
+          comps.foreach { c =>
+            val q = qt(c.tq)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                java.util.Arrays.fill(coef, 0)
+                val t = c.dcTab.decode(br)
+                require(t <= 11, "JPEG: bad DC category")
+                c.pred += extend(br.bits(t), t)
+                coef(0) = c.pred * q(0)
+                var k = 1
+                while (k < 64) {
+                  val rs = c.acTab.decode(br)
+                  val r = rs >> 4; val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) k += 16 else k = 64 // ZRL / EOB
+                  } else {
+                    k += r
+                    require(k < 64, "JPEG: AC run past block end")
+                    coef(Zigzag(k)) = extend(br.bits(s), s) * q(Zigzag(k))
+                    k += 1
+                  }
+                }
+                idctBlock(coef, pix)
+                // place into plane
+                val ox = (mx * c.h + bx) * 8
+                val oy = (my * c.v + by) * 8
+                var yy = 0
+                while (yy < 8) {
+                  System.arraycopy(pix, yy * 8, c.plane, (oy + yy) * c.planeW + ox, 8)
+                  yy += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
     }
     // color reconstruction
     val out = new Array[Int](w * h)
@@ -793,6 +1066,200 @@ object Jpeg {
       "omitDht without stdHuffman would emit an undecodable frame (house tables implied by nothing)")
     val specs = if (stdHuffman) (StdDcLuma, StdAcLuma) else (DcSpec, AcSpec)
     encodePlanes(w, h, Array(gray), Array((1, 1)), qscale, specs, None, omitDht)
+  }
+
+  /** Progressive (SOF2) grayscale encoder — the fixture generator for
+    * the progressive decode path, exercising every Annex G mechanism
+    * in one five-scan script:
+    *   1. DC first scan at reduced precision (point transform Al=1),
+    *   2. AC band 1–5 first scan (Al=1, EOBRUN run coding),
+    *   3. AC band 6–63 first scan (Al=1),
+    *   4. DC refinement (one raw bit per block),
+    *   5. AC refinement 1–63 (Ah=1→Al=0: correction bits on nonzero
+    *      history, ±1 insertions for newly-nonzero, shared EOBRUN with
+    *      buffered correction bits — the libjpeg BE-buffer discipline).
+    * The scans reconstruct the quantized coefficients EXACTLY, so the
+    * decoded pixels equal the BASELINE encoding's decoded pixels
+    * bit-for-bit (JpegSpec pins it — the lossless-split property is
+    * what makes the progressive chain verifiable against the already-
+    * golden baseline path). Annex K tables; single component. */
+  def encodeGrayProgressive(w: Int, h: Int, gray: Array[Int], qscale: Int = 1): Array[Byte] = {
+    require(gray.length == w * h, s"expected ${w * h} samples, got ${gray.length}")
+    require(qscale >= 1 && qscale <= 255, s"qscale in [1,255], got $qscale")
+    // quantized coefficients per block, natural order — the baseline
+    // pipeline's FDCT + flat quantizer, so the coefficient stream is
+    // identical to encodeGray's
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val blocks = Array.ofDim[Int](bw * bh, 64)
+    val px = new Array[Int](64); val coef = new Array[Int](64)
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      var yy = 0
+      while (yy < 8) { // edge-replicated block fill, as encodePlanes
+        val sy = math.min(by * 8 + yy, h - 1)
+        var xx = 0
+        while (xx < 8) {
+          px(yy * 8 + xx) = gray(sy * w + math.min(bx * 8 + xx, w - 1))
+          xx += 1
+        }
+        yy += 1
+      }
+      fdctBlock(px, coef)
+      val b = blocks(by * bw + bx)
+      var k = 0
+      while (k < 64) { b(k) = math.rint(coef(k).toDouble / qscale).toInt; k += 1 }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int, body: => Unit, len: Int): Unit = {
+      out.write(0xff); out.write(m); be16(len + 2); body
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xdb, { out.write(0); (0 until 64).foreach(_ => out.write(qscale)) }, 65)
+    marker(0xc2, { // SOF2
+      out.write(8); be16(h); be16(w); out.write(1)
+      out.write(1); out.write(0x11); out.write(0)
+    }, 9)
+    def writeDht(tcTh: Int, spec: HuffSpec): Unit = {
+      val (counts, syms) = spec
+      marker(0xc4, { out.write(tcTh); counts.foreach(out.write); syms.foreach(out.write) },
+        1 + 16 + syms.length)
+    }
+    writeDht(0x00, StdDcLuma); writeDht(0x10, ProgAcSpec)
+    val dcCodes = canonicalCodes(StdDcLuma)
+    val acCodes = canonicalCodes(ProgAcSpec)
+    def sosHeader(ss: Int, se: Int, ah: Int, al: Int): Unit =
+      marker(0xda, {
+        out.write(1); out.write(1); out.write(0x00)
+        out.write(ss); out.write(se); out.write((ah << 4) | al)
+      }, 6)
+
+    // scan 1: DC first, Al = 1
+    sosHeader(0, 0, 0, 1)
+    locally {
+      val bwr = new BitWriter(out)
+      var pred = 0
+      blocks.foreach { b =>
+        val v = b(0) >> 1
+        val diff = v - pred
+        pred = v
+        val t = category(diff)
+        val (c, l) = dcCodes(t); bwr.put(c, l)
+        if (t > 0) bwr.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      }
+      bwr.flush()
+    }
+
+    // scans 2+3: AC first at Al = 1, spectral bands 1–5 and 6–63
+    def acFirstScan(ss: Int, se: Int, al: Int): Unit = {
+      sosHeader(ss, se, 0, al)
+      val bwr = new BitWriter(out)
+      var eobrun = 0
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        var r = 0; while ((eobrun >> (r + 1)) > 0) r += 1
+        val (c, l) = acCodes(r << 4); bwr.put(c, l)
+        if (r > 0) bwr.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      blocks.foreach { b =>
+        def at(k: Int): Int = {
+          val v = b(Zigzag(k))
+          if (v >= 0) v >> al else -((-v) >> al) // truncate toward zero
+        }
+        var last = ss - 1
+        var k = ss
+        while (k <= se) { if (at(k) != 0) last = k; k += 1 }
+        if (last < ss) {
+          eobrun += 1
+          if (eobrun == 0x7fff) emitEobrun()
+        } else {
+          emitEobrun()
+          var r = 0
+          k = ss
+          while (k <= last) {
+            val t = at(k)
+            if (t == 0) r += 1
+            else {
+              while (r > 15) { val (zc, zl) = acCodes(0xf0); bwr.put(zc, zl); r -= 16 }
+              val s = category(t)
+              val (c, l) = acCodes((r << 4) | s); bwr.put(c, l)
+              bwr.put(if (t >= 0) t else t + (1 << s) - 1, s)
+              r = 0
+            }
+            k += 1
+          }
+          if (last < se) eobrun += 1
+        }
+      }
+      emitEobrun()
+      bwr.flush()
+    }
+    acFirstScan(1, 5, 1)
+    acFirstScan(6, 63, 1)
+
+    // scan 4: DC refinement — one raw bit per block
+    sosHeader(0, 0, 1, 0)
+    locally {
+      val bwr = new BitWriter(out)
+      blocks.foreach(b => bwr.put(b(0) & 1, 1))
+      bwr.flush()
+    }
+
+    // scan 5: AC refinement 1–63, Ah=1 → Al=0
+    locally {
+      val ss = 1; val se = 63; val al = 0
+      sosHeader(ss, se, 1, al)
+      val bwr = new BitWriter(out)
+      var eobrun = 0
+      val bePending = scala.collection.mutable.ArrayBuffer[Int]()
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        var r = 0; while ((eobrun >> (r + 1)) > 0) r += 1
+        val (c, l) = acCodes(r << 4); bwr.put(c, l)
+        if (r > 0) bwr.put(eobrun - (1 << r), r)
+        bePending.foreach(bit => bwr.put(bit, 1)); bePending.clear()
+        eobrun = 0
+      }
+      blocks.foreach { b =>
+        val absv = new Array[Int](64)
+        var k = ss
+        while (k <= se) {
+          val v = b(Zigzag(k))
+          absv(k) = (if (v < 0) -v else v) >> al
+          k += 1
+        }
+        var r = 0
+        val brBits = scala.collection.mutable.ArrayBuffer[Int]()
+        k = ss
+        while (k <= se) {
+          val t = absv(k)
+          if (t == 0) r += 1
+          else if (t > 1) brBits += (t & 1) // nonzero history: correction bit
+          else { // newly nonzero at this precision
+            while (r > 15) {
+              emitEobrun()
+              val (zc, zl) = acCodes(0xf0); bwr.put(zc, zl)
+              r -= 16
+              brBits.foreach(bit => bwr.put(bit, 1)); brBits.clear()
+            }
+            emitEobrun()
+            val (c, l) = acCodes((r << 4) | 1); bwr.put(c, l)
+            bwr.put(if (b(Zigzag(k)) < 0) 0 else 1, 1)
+            brBits.foreach(bit => bwr.put(bit, 1)); brBits.clear()
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0 || brBits.nonEmpty) {
+          eobrun += 1
+          bePending ++= brBits
+          if (eobrun == 0x7fff) emitEobrun()
+        }
+      }
+      emitEobrun()
+      bwr.flush()
+    }
+
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
   }
 
   /** Color baseline JPEG from packed 0xRRGGBB pixels; `subsample420`

@@ -3036,6 +3036,38 @@ object Pipeline {
     """.trim)
   )
 
+  /** The PROGRESSIVE-JPEG form of [[mediaJpegPdq]] — the dominant web
+    * JPEG flavor, five SOF2 scans (spectral selection + successive
+    * approximation, EOBRUN run coding) decoded by the coefficient-
+    * accumulating path in [[Jpeg.decode]]. The scan split is lossless
+    * (JpegSpec pins progressive ≡ baseline pixels), so the oracle is
+    * [[mediaJpegPdq]]'s verbatim: the gate proves the progressive
+    * chain changes NOTHING. */
+  val mediaJpegProgPdq: QueryDef = QueryDef(
+    "media_jpeg_prog_pdq",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 96)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val id = r.getLong(0)
+          val g = rollingAcc(r.getString(1)) % 7
+          val w = 72 + (id % 3).toInt * 28
+          val h = 64 + (id % 5).toInt * 16
+          val gray = Array.tabulate(w * h) { p =>
+            val tx = (p % w) / 8; val ty = (p / w) / 8
+            ((g * 37 + tx * 13 + ty * 29) % 256).toInt
+          }
+          Media.MediaItem(id, "image", Jpeg.encodeGrayProgressive(w, h, gray))
+        }
+      Media.pdqHashes(items, Jpeg.decode)
+        .toDF("id", "pdq_hex", "quality")
+        .orderBy("id")
+    },
+    mediaJpegPdq.oracle
+  )
+
   /** EXIF-orientation ingest: the SAME block-constant scenes as
     * `media_jpeg_pdq`, but STORED rotated/mirrored (orientation
     * o = 1 + id%8, pixels pre-transformed by o's inverse) with the
@@ -3970,7 +4002,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }

@@ -439,6 +439,10 @@ object Drive {
         org.apache.spark.sql.Encoders.product[Media.MediaItem])
       Media.pdqFrames(avi, Media.autoFrames, keepUndecodable = true)
         .orderBy("id", "frame_no").show(false)
+      // progressive JPEG (SOF2): five-scan stream, same pixels as baseline
+      val pg = Jpeg.decode(Jpeg.encodeGrayProgressive(72, 64, tile(0)))
+      val bg = Jpeg.decode(Jpeg.encodeGray(72, 64, tile(0)))
+      println(s"progressive==baseline pixels: ${pg._3.toSeq == bg._3.toSeq}")
     }
     println("=== media index: persist corpus hashes -> classify a batch ===")
     locally {

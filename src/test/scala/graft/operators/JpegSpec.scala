@@ -97,10 +97,50 @@ class JpegSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](1, 2, 3, 4)))
     val good = Jpeg.encodeGray(16, 16, Array.fill(256)(128))
     intercept[Exception](Jpeg.decode(good.take(good.length / 2))) // truncated
-    // progressive SOF2 refused, not mis-decoded
+    // a baseline stream RELABELED as SOF2 is corrupt (its single scan
+    // claims band 0–63, illegal for a progressive DC scan) — refused,
+    // not mis-decoded
     val prog = good.clone()
     val sofAt = good.indices.find(i => (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     intercept[IllegalArgumentException](Jpeg.decode(prog))
+  }
+
+  test("progressive (SOF2) decode ≡ baseline, pixel for pixel — the lossless-split property") {
+    // the five-scan script splits the SAME quantized coefficients
+    // across spectral bands and successive-approximation bits; if any
+    // mechanism (EOBRUN, point transform, correction bits, newly-
+    // nonzero insertion, DC raw-bit refinement) drops or doubles a
+    // bit, some coefficient differs and pixels diverge from baseline
+    val rng = new scala.util.Random(41)
+    for ((w, h) <- Seq((48, 32), (41, 29), (100, 80), (8, 8))) {
+      val smooth = Array.tabulate(w * h)(p => ((p % w) * 2 + (p / w) * 3) % 256)
+      val tiled = Array.tabulate(w * h) { p =>
+        val tx = (p % w) / 8; val ty = (p / w) / 8
+        (tx * 13 + ty * 29 + 7) % 256
+      }
+      val noisy = Array.tabulate(w * h)(_ => rng.nextInt(256))
+      for ((gray, q) <- Seq((smooth, 1), (tiled, 1), (noisy, 8), (smooth, 4))) {
+        val base = Jpeg.decode(Jpeg.encodeGray(w, h, gray, q))
+        val prog = Jpeg.decode(Jpeg.encodeGrayProgressive(w, h, gray, q))
+        assert(prog._1 == w && prog._2 == h)
+        assert(prog._3.toSeq == base._3.toSeq, s"w=$w h=$h q=$q mismatch")
+      }
+    }
+  }
+
+  test("progressive stream really is multi-scan and smaller fixtures decode via the media seam") {
+    val w = 72; val h = 64
+    val gray = Array.tabulate(w * h)(p => (((p % w) / 8) * 19 + ((p / w) / 8) * 53) % 256)
+    val prog = Jpeg.encodeGrayProgressive(w, h, gray)
+    // five SOS markers, one SOF2, zero SOF0
+    def countMarker(m: Int) = prog.indices.count(i =>
+      i + 1 < prog.length && (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == m)
+    assert(countMarker(0xda) == 5, s"expected 5 scans, got ${countMarker(0xda)}")
+    assert(countMarker(0xc2) == 1 && countMarker(0xc0) == 0)
+    // magic-dispatch still routes it (FFD8 prefix) and PDQ hashes match
+    // the baseline encoding's, because the pixels are identical
+    val viaAuto = Media.autoPixelDecoder(prog)
+    assert(viaAuto._3.toSeq == Jpeg.decode(Jpeg.encodeGray(w, h, gray))._3.toSeq)
   }
 }
