@@ -416,18 +416,98 @@ object Media {
     out.toByteArray
   }
 
+  private def pngWrap(w: Int, h: Int, depth: Int, colorType: Int,
+      interlace: Int, raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val crcT = new java.util.zip.CRC32()
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length))
+      val tb = tag.getBytes("US-ASCII")
+      crcT.reset(); crcT.update(tb); crcT.update(body)
+      out.write(tb); out.write(body); out.write(be32(crcT.getValue.toInt))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte))
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    d.end()
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** Adam7 INTERLACED RGB PNG encoder (filter None per scanline) — the
+    * fixture half of the interlaced decode path: the stream carries
+    * seven concatenated reduced images, so decode must de-interlace to
+    * reproduce the source pixels exactly. */
+  def encodePngRgbInterlaced(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h, s"expected ${w * h} pixels, got ${rgb.length}")
+    val raw = new java.io.ByteArrayOutputStream()
+    Adam7.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        var j = 0
+        while (j < ph) {
+          raw.write(0) // filter None
+          var k = 0
+          while (k < pw) {
+            val v = rgb((y0 + j * dy) * w + (x0 + k * dx))
+            raw.write((v >> 16) & 0xff); raw.write((v >> 8) & 0xff); raw.write(v & 0xff)
+            k += 1
+          }
+          j += 1
+        }
+      }
+    }
+    pngWrap(w, h, 8, 2, 1, raw.toByteArray)
+  }
+
+  /** 16-bit grayscale PNG encoder (big-endian samples, filter None) —
+    * the fixture half of the high-depth decode path; decode reduces to
+    * the high byte per the spec's 16→8 sample scaling. */
+  def encodePngGray16(w: Int, h: Int, gray16: Array[Int]): Array[Byte] = {
+    require(gray16.length == w * h, s"expected ${w * h} samples, got ${gray16.length}")
+    val raw = new java.io.ByteArrayOutputStream()
+    var y = 0
+    while (y < h) {
+      raw.write(0)
+      var x = 0
+      while (x < w) {
+        val v = gray16(y * w + x) & 0xffff
+        raw.write((v >> 8) & 0xff); raw.write(v & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    pngWrap(w, h, 16, 0, 0, raw.toByteArray)
+  }
+
+  /** Adam7 pass origins and steps: (x0, y0, dx, dy) per PNG spec §8.2. */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** REAL PNG pixel decoder — pure JVM (chunk walk + `java.util.zip
-    * .Inflater` + scanline unfiltering), no codec library. Supports the
-    * non-interlaced 8-bit-depth color types: 0 (gray), 2 (RGB), 3
-    * (palette), 4 (gray+alpha), 6 (RGBA); alpha is dropped in the
-    * packed-RGB output. All five scanline filters (None/Sub/Up/Average/
-    * Paeth) per the PNG spec §9. Throws on interlaced or non-8-bit
-    * images. */
+    * .Inflater` + scanline unfiltering), no codec library. Supports
+    * color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6
+    * (RGBA) at bit depth 8 — and depth 16 for the non-palette types,
+    * reduced to the high byte (the spec's 16→8 sample scaling); alpha
+    * is dropped in the packed-RGB output. All five scanline filters
+    * (None/Sub/Up/Average/Paeth) per spec §9, and BOTH interlace
+    * methods: null and Adam7 (seven concatenated reduced sub-images,
+    * each unfiltered independently, scattered by pass origin/step). */
   val pngPixelDecoder: PixelDecoder = p => {
     def u8(i: Int): Int = p(i) & 0xff
     def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     require(p.length >= 8 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a, "not a PNG payload")
-    var w = 0; var h = 0; var colorType = -1
+    var w = 0; var h = 0; var colorType = -1; var bitDepth = 0; var interlace = 0
     var palette: Array[Int] = null
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
@@ -438,9 +518,12 @@ object Media {
       typ match {
         case "IHDR" =>
           w = be32(i + 8); h = be32(i + 12)
-          require(u8(i + 16) == 8, s"PNG: only bit depth 8 supported, got ${u8(i + 16)}")
+          bitDepth = u8(i + 16)
           colorType = u8(i + 17)
-          require(u8(i + 20) == 0, "PNG: interlaced images not supported")
+          require(bitDepth == 8 || (bitDepth == 16 && colorType != 3),
+            s"PNG: bit depth $bitDepth with color type $colorType unsupported")
+          interlace = u8(i + 20)
+          require(interlace <= 1, s"PNG: unknown interlace method $interlace")
         case "PLTE" =>
           palette = Array.tabulate(len / 3)(j =>
             (u8(i + 8 + 3 * j) << 16) | (u8(i + 8 + 3 * j + 1) << 8) | u8(i + 8 + 3 * j + 2))
@@ -454,8 +537,20 @@ object Media {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case ct => throw new IllegalArgumentException(s"PNG: unknown color type $ct")
     }
-    val stride = w * channels
-    val raw = new Array[Byte](h * (1 + stride))
+    val sampleBytes = bitDepth / 8
+    val bpp = channels * sampleBytes // filter distance in bytes
+    // interlaced streams concatenate seven reduced sub-images, each
+    // with its own filter bytes; empty passes contribute nothing
+    val passes = (if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7).map {
+      case (x0, y0, dx, dy) =>
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        (x0, y0, dx, dy, pw, ph)
+    }
+    val rawLen = passes.collect { case (_, _, _, _, pw, ph) if pw > 0 && ph > 0 =>
+      ph * (1 + pw * bpp)
+    }.sum
+    val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var filled = 0
@@ -466,34 +561,58 @@ object Media {
     }
     inf.end()
     require(filled == raw.length, s"PNG: expected ${raw.length} filtered bytes, got $filled")
-    // unfilter in place into `img` (h rows of `stride` bytes)
+    // unfilter each pass independently, then scatter its pixels; the
+    // image buffer holds 8-bit samples (16-bit reduces to the high
+    // byte — the spec's sample-depth scaling for 16→8)
+    val stride = w * channels
     val img = new Array[Byte](h * stride)
-    val bpp = channels // bytes per pixel at depth 8
-    var y = 0
-    while (y < h) {
-      val filter = raw(y * (1 + stride)) & 0xff
-      val rowOff = y * (1 + stride) + 1
-      var x = 0
-      while (x < stride) {
-        val cur = raw(rowOff + x) & 0xff
-        val a = if (x >= bpp) img(y * stride + x - bpp) & 0xff else 0
-        val b = if (y > 0) img((y - 1) * stride + x) & 0xff else 0
-        val c = if (x >= bpp && y > 0) img((y - 1) * stride + x - bpp) & 0xff else 0
-        val rec = filter match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + b
-          case 3 => cur + (a + b) / 2
-          case 4 =>
-            val pp = a + b - c
-            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
-            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-          case f => throw new IllegalArgumentException(s"PNG: unknown filter type $f")
+    var rawOff = 0
+    passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+      if (pw > 0 && ph > 0) {
+        val prow = pw * bpp
+        val pimg = new Array[Byte](ph * prow)
+        var y = 0
+        while (y < ph) {
+          val filter = raw(rawOff + y * (1 + prow)) & 0xff
+          val rowOff = rawOff + y * (1 + prow) + 1
+          var x = 0
+          while (x < prow) {
+            val cur = raw(rowOff + x) & 0xff
+            val a = if (x >= bpp) pimg(y * prow + x - bpp) & 0xff else 0
+            val b = if (y > 0) pimg((y - 1) * prow + x) & 0xff else 0
+            val c = if (x >= bpp && y > 0) pimg((y - 1) * prow + x - bpp) & 0xff else 0
+            val rec = filter match {
+              case 0 => cur
+              case 1 => cur + a
+              case 2 => cur + b
+              case 3 => cur + (a + b) / 2
+              case 4 =>
+                val pp = a + b - c
+                val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+                cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+              case f => throw new IllegalArgumentException(s"PNG: unknown filter type $f")
+            }
+            pimg(y * prow + x) = (rec & 0xff).toByte
+            x += 1
+          }
+          y += 1
         }
-        img(y * stride + x) = (rec & 0xff).toByte
-        x += 1
+        var j = 0
+        while (j < ph) {
+          var k = 0
+          while (k < pw) {
+            var ch = 0
+            while (ch < channels) {
+              img(((y0 + j * dy) * w + (x0 + k * dx)) * channels + ch) =
+                pimg((j * pw + k) * bpp + ch * sampleBytes) // BE: high byte first
+              ch += 1
+            }
+            k += 1
+          }
+          j += 1
+        }
+        rawOff += ph * (1 + prow)
       }
-      y += 1
     }
     val out = new Array[Int](w * h)
     var pix = 0

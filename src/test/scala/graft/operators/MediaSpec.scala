@@ -156,6 +156,35 @@ class MediaSpec extends SparkTestBase {
     assert(got(4).pdq_hex == null && got(4).quality == -1L)
   }
 
+  test("PNG Adam7 interlace and 16-bit depth decode to the same pixels as plain 8-bit") {
+    // sizes straddle the pass grid: odd dims exercise empty/partial
+    // passes; 8x8 has all seven passes non-empty; 1x1 leaves only pass 1
+    for ((w, h) <- Seq((21, 13), (8, 8), (1, 1), (3, 9), (16, 2))) {
+      val rgb = Array.tabulate(w * h) { p =>
+        val x = p % w; val y = p / w
+        ((x * 37 % 256) << 16) | ((y * 53 % 256) << 8) | ((x * 7 + y * 11) % 256)
+      }
+      val plain = Media.pngPixelDecoder(Media.encodePngRgb(w, h, rgb))
+      val inter = Media.pngPixelDecoder(Media.encodePngRgbInterlaced(w, h, rgb))
+      assert(inter._1 == w && inter._2 == h)
+      assert(inter._3.toSeq == plain._3.toSeq, s"${w}x$h interlaced != plain")
+      assert(plain._3.toSeq == rgb.toSeq)
+    }
+    // 16-bit gray reduces to the high byte
+    val w = 9; val h = 5
+    val g16 = Array.tabulate(w * h)(i => (i * 2557) % 65536)
+    val (dw, dh, px) = Media.pngPixelDecoder(Media.encodePngGray16(w, h, g16))
+    assert(dw == w && dh == h)
+    px.zipWithIndex.foreach { case (v, i) =>
+      val hi = (g16(i) >> 8) & 0xff
+      assert(v == ((hi << 16) | (hi << 8) | hi), s"sample $i")
+    }
+    // 16-bit palette stays refused (illegal per spec)
+    val pal16 = Media.encodePngGray16(2, 2, Array(1, 2, 3, 4))
+    pal16(25) = 3 // color type byte inside IHDR
+    intercept[IllegalArgumentException](Media.pngPixelDecoder(pal16))
+  }
+
   test("AVI/MJPEG: encode -> aviFrames round-trip, DHT-less frames, autoFrames dispatch") {
     val w = 72; val h = 64 // >= 64 on both axes: the PDQ kernel's floor
     def frame(f: Int): Array[Int] = Array.tabulate(w * h) { p =>
