@@ -927,7 +927,13 @@ object Relational {
   val qHammingRadiusJoinPdq: QueryDef = QueryDef(
     "q_hamming_radius_join_pdq",
     (s, dir) => {
+      // the sf corpora are one small parquet file = ONE scan partition,
+      // and AQE coalesces a column-only repartition of 40 KB straight
+      // back to one task — numbered repartition pins the spread so the
+      // 364× band fan-out and candidate verify run wide (at real scale
+      // the scan is already many-partitioned and this is moot)
       val d = tbl(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       val g = (col("doc_id") % 50).cast("string")
       val base = concat(md5(g), md5(concat(g, lit("q"))))
       val l = d.select(col("doc_id").as("id_a"), unhex(base).as("ha"))

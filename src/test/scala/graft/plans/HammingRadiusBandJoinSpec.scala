@@ -76,6 +76,25 @@ class HammingRadiusBandJoinSpec extends SparkTestBase {
     }
   }
 
+  test("PDQ-radius rewrite stays inside whole-stage codegen (no janino fallback)") {
+    // fallback=false turns a 64 KB-cap janino failure into a hard error
+    // instead of a silent interpreted re-walk of the band expressions —
+    // the regression that made k=51 error at sf0.1 before the loop-bodied
+    // HammingBandSegments/FirstEqualBand expressions
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try withRule {
+      val rng = new scala.util.Random(7)
+      val base = Seq.fill(40)(randHex(rng, 32)) // PDQ width: 256-bit
+      val l = base.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("lid", "hx").select($"lid", unhex($"hx").as("ha"))
+      val r = base.zipWithIndex.map { case (h, i) => (1000L + i, flipBits(rng, h, 40)) }
+        .toDF("rid", "hx").select($"rid", unhex($"hx").as("hb"))
+      val got = l.join(r, HammingDistance($"ha", $"hb") <= 51).count()
+      assert(got >= 40) // every <= 40-flip twin qualifies at k=51
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("extra conjuncts ride along; null hashes never match") {
     val l = Seq((1L, Some("ab" * 16)), (2L, Some("ab" * 16)), (3L, None))
       .toDF("lid", "hx").select($"lid", unhex($"hx").as("ha"))
