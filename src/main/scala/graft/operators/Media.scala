@@ -237,11 +237,69 @@ object Media {
     else throw new IllegalArgumentException("unrecognized image container")
   }
 
+  /** TIFF-flavor LZW decode (spec §13): MSB-first bit packing, codes
+    * 256 = Clear / 257 = EOI, 9→12-bit widths with the EARLY-CHANGE
+    * convention (width grows when the NEXT entry would be 2^width − 1,
+    * one code before GIF would). Returns exactly `need` bytes. */
+  private[operators] def tiffLzwDecode(p: Array[Byte], off: Int, cnt: Int, need: Int): Array[Byte] = {
+    val out = new Array[Byte](need)
+    var at = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = 258; var width = 9; var prev = -1
+    var bitBuf = 0L; var bitCnt = 0; var i = off
+    def emit(code: Int): Byte = { // writes table[code], returns its first byte
+      var c = code; var sp = 0
+      while (c >= 256) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      val first = c.toByte
+      if (at < need) { out(at) = first; at += 1 }
+      while (sp > 0) { sp -= 1; if (at < need) { out(at) = stack(sp); at += 1 } }
+      first
+    }
+    var done = false
+    while (!done && at < need) {
+      while (bitCnt < width && i < off + cnt) { bitBuf = (bitBuf << 8) | (p(i) & 0xff); bitCnt += 8; i += 1 }
+      if (bitCnt < width) done = true
+      else {
+        val code = ((bitBuf >>> (bitCnt - width)) & ((1 << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 257) done = true
+        else if (code == 256) { next = 258; width = 9; prev = -1 }
+        else {
+          require(code < 4096 && code <= next, s"TIFF LZW: code $code before table entry $next")
+          if (prev < 0) emit(code)
+          else {
+            val first =
+              if (code < next) emit(code)
+              else { // code == next: prev-string + its first byte
+                var c = prev
+                while (c >= 256) c = prefix(c)
+                prefix(next) = prev; suffix(next) = c.toByte
+                emit(code)
+              }
+            if (code < next && next < 4096) { prefix(next) = prev; suffix(next) = first }
+            if (next < 4096) next += 1
+          }
+          prev = code
+          if (next == (1 << width) - 1 && width < 12) width += 1 // early change
+        }
+      }
+    }
+    require(at >= need, s"TIFF LZW: short stream ($at of $need bytes)")
+    out
+  }
+
   /** REAL TIFF pixel decoder — the archival scan format, pure JVM: IFD
-    * walk in either byte order (II/MM), 8-bit grayscale (photometric
-    * 0/1) and RGB (photometric 2, optional extra samples dropped),
-    * uncompressed (1) or PackBits (32773), any strip layout. Throws on
-    * tiled, paletted, non-8-bit or otherwise-compressed files. */
+    * walk in either byte order (II/MM); photometrics 0/1 (gray, incl.
+    * WhiteIsZero), 2 (RGB, extra samples dropped), 3 (palette via
+    * ColorMap's 16-bit planes, high byte kept); bit depths 8 and 16
+    * (high byte, file byte order) and 4 for palette indices (high
+    * nibble first, byte-aligned rows); STRIP or TILE layout (tiles are
+    * grid-padded, edge tiles clipped); compressions 1 (none), 32773
+    * (PackBits) and 5 (LZW, §13 early-change) with horizontal
+    * predictor 2 on 8-bit samples. Throws loudly on anything else
+    * (JPEG-in-TIFF, CCITT, planar configuration 2). */
   val tiffPixelDecoder: PixelDecoder = p => {
     require(p.length >= 8, "not a TIFF payload")
     val le = (p(0) & 0xff) == 'I' && (p(1) & 0xff) == 'I'
@@ -257,9 +315,13 @@ object Media {
     val n = u16(ifd)
     var w = 0; var h = 0; var photometric = -1; var compression = 1
     var samplesPerPixel = 1; var rowsPerStrip = Int.MaxValue
-    var bitsOk = true
+    var bitDepth = 8; var predictor = 1; var planar = 1
+    var tileW = 0; var tileH = 0
     var stripOffsets: Array[Int] = null
     var stripCounts: Array[Int] = null
+    var tileOffsets: Array[Int] = null
+    var tileCounts: Array[Int] = null
+    var colorMap: Array[Int] = null
     def values(entry: Int): Array[Int] = { // SHORT(3) or LONG(4) arrays
       val typ = u16(entry + 2); val cnt = u32(entry + 4).toInt
       val size = if (typ == 3) 2 else 4
@@ -273,71 +335,318 @@ object Media {
       tag match {
         case 256 => w = values(e)(0)
         case 257 => h = values(e)(0)
-        case 258 => bitsOk = values(e).forall(_ == 8)
+        case 258 =>
+          val bs = values(e)
+          require(bs.forall(_ == bs(0)), s"TIFF: mixed bits per sample ${bs.mkString(",")}")
+          bitDepth = bs(0)
         case 259 => compression = values(e)(0)
         case 262 => photometric = values(e)(0)
         case 273 => stripOffsets = values(e)
         case 277 => samplesPerPixel = values(e)(0)
         case 278 => rowsPerStrip = values(e)(0)
         case 279 => stripCounts = values(e)
-        case 322 | 323 => throw new IllegalArgumentException("TIFF: tiled layout unsupported")
+        case 284 => planar = values(e)(0)
+        case 317 => predictor = values(e)(0)
+        case 320 => colorMap = values(e)
+        case 322 => tileW = values(e)(0)
+        case 323 => tileH = values(e)(0)
+        case 324 => tileOffsets = values(e)
+        case 325 => tileCounts = values(e)
         case _ => ()
       }
       e += 12; k += 1
     }
-    require(w > 0 && h > 0 && stripOffsets != null, "TIFF: missing required tags")
-    require(bitsOk, "TIFF: only 8 bits per sample supported")
-    require(compression == 1 || compression == 32773,
-      s"TIFF: compression $compression unsupported (uncompressed/PackBits only)")
-    require(photometric >= 0 && photometric <= 2, s"TIFF: photometric $photometric unsupported")
+    val tiled = tileOffsets != null
+    require(w > 0 && h > 0 && (stripOffsets != null || tiled), "TIFF: missing required tags")
+    require(planar == 1, "TIFF: planar configuration 2 unsupported")
+    require(compression == 1 || compression == 32773 || compression == 5,
+      s"TIFF: compression $compression unsupported (uncompressed/PackBits/LZW only)")
+    require(photometric >= 0 && photometric <= 3, s"TIFF: photometric $photometric unsupported")
+    val palette = photometric == 3
     val gray = photometric < 2
-    require(if (gray) samplesPerPixel == 1 else samplesPerPixel >= 3,
+    require(
+      if (palette) bitDepth == 4 || bitDepth == 8 else bitDepth == 8 || bitDepth == 16,
+      s"TIFF: bit depth $bitDepth with photometric $photometric unsupported")
+    require(predictor == 1 || (predictor == 2 && bitDepth == 8),
+      s"TIFF: predictor $predictor at depth $bitDepth unsupported")
+    require(if (gray || palette) samplesPerPixel == 1 else samplesPerPixel >= 3,
       s"TIFF: $samplesPerPixel samples with photometric $photometric")
-    // concatenate (decoded) strips into one sample buffer
-    val need = w * h * samplesPerPixel
-    val buf = new Array[Byte](need)
-    var at = 0
-    var s = 0
-    while (s < stripOffsets.length && at < need) {
-      val off = stripOffsets(s)
-      val cnt = if (stripCounts != null) stripCounts(s) else p.length - off
-      if (compression == 1) {
-        val take = math.min(cnt, need - at)
-        System.arraycopy(p, off, buf, at, take)
-        at += take
-      } else { // PackBits
-        var i = off
+    if (palette) require(colorMap != null && colorMap.length >= 3 * (1 << bitDepth),
+      "TIFF: palette image missing ColorMap")
+    if (tiled) require(tileW > 0 && tileH > 0, "TIFF: tiled layout missing tile dims")
+
+    val spp = samplesPerPixel
+    def rowBytes(pixels: Int): Int = (pixels * spp * bitDepth + 7) / 8
+    val out = new Array[Int](w * h)
+
+    // decompress one segment to its padded raw size
+    def rawSegment(off: Int, cnt: Int, need: Int): Array[Byte] = compression match {
+      case 1 =>
+        val buf = new Array[Byte](need)
+        System.arraycopy(p, off, buf, 0, math.min(cnt, need))
+        buf
+      case 5 => tiffLzwDecode(p, off, cnt, need)
+      case _ => // PackBits
+        val buf = new Array[Byte](need)
+        var at = 0; var i = off
         while (i < off + cnt && at < need) {
           val ctl = p(i).toInt; i += 1
-          if (ctl >= 0) { // literal run of ctl+1
+          if (ctl >= 0) {
             val take = math.min(ctl + 1, need - at)
             System.arraycopy(p, i, buf, at, take)
             at += take; i += ctl + 1
-          } else if (ctl != -128) { // repeat next byte 1-ctl times
-            val rep = 1 - ctl
-            val take = math.min(rep, need - at)
+          } else if (ctl != -128) {
+            val take = math.min(1 - ctl, need - at)
             java.util.Arrays.fill(buf, at, at + take, p(i))
             at += take; i += 1
-          } // -128: no-op
+          }
         }
-      }
-      s += 1
+        require(at >= need, s"TIFF: strip data short ($at of $need samples)")
+        buf
     }
-    require(at >= need, s"TIFF: strip data short ($at of $need samples)")
-    val out = new Array[Int](w * h)
+
+    // scatter one decoded segment (origin x0,y0; padded sw×sh) into out
+    def scatter(raw: Array[Byte], x0: Int, y0: Int, sw: Int, sh: Int): Unit = {
+      val rb = rowBytes(sw)
+      var y = 0
+      while (y < sh && y0 + y < h) {
+        val ro = y * rb
+        if (predictor == 2) { // undo horizontal differencing in place
+          var i = ro + spp
+          while (i < ro + sw * spp) { raw(i) = (raw(i) + raw(i - spp)).toByte; i += 1 }
+        }
+        var x = 0
+        while (x < sw && x0 + x < w) {
+          val px = (y0 + y) * w + (x0 + x)
+          if (palette) {
+            val idx =
+              if (bitDepth == 8) raw(ro + x) & 0xff
+              else (raw(ro + (x >> 1)) >> (if ((x & 1) == 0) 4 else 0)) & 0xf
+            val m = 1 << bitDepth
+            out(px) = ((colorMap(idx) >> 8) << 16) |
+              ((colorMap(m + idx) >> 8) << 8) | (colorMap(2 * m + idx) >> 8)
+          } else {
+            def sample(c: Int): Int =
+              if (bitDepth == 8) raw(ro + x * spp + c) & 0xff
+              else { // 16-bit: high byte, file byte order
+                val o = ro + 2 * (x * spp + c)
+                if (le) raw(o + 1) & 0xff else raw(o) & 0xff
+              }
+            if (gray) {
+              val v0 = sample(0)
+              val v = if (photometric == 0) 255 - v0 else v0 // 0 = WhiteIsZero
+              out(px) = (v << 16) | (v << 8) | v
+            } else {
+              out(px) = (sample(0) << 16) | (sample(1) << 8) | sample(2)
+            }
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    if (tiled) {
+      val across = (w + tileW - 1) / tileW
+      val down = (h + tileH - 1) / tileH
+      require(tileOffsets.length >= across * down, "TIFF: tile count short")
+      var t = 0
+      while (t < across * down) {
+        val cnt = if (tileCounts != null) tileCounts(t) else p.length - tileOffsets(t)
+        val raw = rawSegment(tileOffsets(t), cnt, tileH * rowBytes(tileW))
+        scatter(raw, (t % across) * tileW, (t / across) * tileH, tileW, tileH)
+        t += 1
+      }
+    } else {
+      var s = 0
+      var y0 = 0
+      while (s < stripOffsets.length && y0 < h) {
+        val rows = math.min(rowsPerStrip, h - y0)
+        val cnt = if (stripCounts != null) stripCounts(s) else p.length - stripOffsets(s)
+        val raw = rawSegment(stripOffsets(s), cnt, rows * rowBytes(w))
+        scatter(raw, 0, y0, w, rows)
+        s += 1
+        y0 += rows
+      }
+      require(y0 >= h, s"TIFF: strips cover $y0 of $h rows")
+    }
+    (w, h, out)
+  }
+
+  /** TIFF-flavor LZW encode, synced to [[tiffLzwDecode]]'s early-change
+    * width schedule via the DECODER-side entry count (`decNext`, one
+    * behind the encoder's — the decoder adds no entry for the first
+    * code after a Clear). Clears conservatively at 3,500 entries, well
+    * before the 4,096 table cap, which also exercises the reset path. */
+  private[operators] def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    def writeBits(c: Int): Unit = {
+      bitBuf = (bitBuf << width) | c; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var nextEnc = 258; var decNext = 258; var firstAfterClear = true
+    def writeCode(c: Int): Unit = { // a normal (non-control) code
+      writeBits(c)
+      if (firstAfterClear) firstAfterClear = false
+      else {
+        decNext += 1
+        if (decNext == (1 << width) - 1 && width < 12) width += 1
+      }
+    }
+    def clearTable(): Unit = {
+      writeBits(256)
+      dict.clear(); nextEnc = 258; decNext = 258; width = 9; firstAfterClear = true
+    }
+    writeBits(256) // spec: streams open with a Clear
+    var prev = -1
     var i = 0
-    while (i < w * h) {
-      if (gray) {
-        val v0 = buf(i) & 0xff
-        val v = if (photometric == 0) 255 - v0 else v0 // 0 = WhiteIsZero
-        out(i) = (v << 16) | (v << 8) | v
-      } else {
-        val o = i * samplesPerPixel
-        out(i) = ((buf(o) & 0xff) << 16) | ((buf(o + 1) & 0xff) << 8) | (buf(o + 2) & 0xff)
+    while (i < data.length) {
+      val cur = data(i) & 0xff
+      if (prev < 0) prev = cur
+      else {
+        val key = (prev.toLong << 8) | cur
+        val hit = dict.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          writeCode(prev)
+          dict.put(key, nextEnc); nextEnc += 1
+          prev = cur
+          if (nextEnc >= 3500) clearTable()
+        }
       }
       i += 1
     }
-    (w, h, out)
+    if (prev >= 0) writeCode(prev)
+    writeBits(257) // EOI
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** 8-bit palette TIFF encoder (photometric 3, one uncompressed strip,
+    * 16-bit ColorMap planes) — fixture half of the palette decode. */
+  def encodeTiffPalette(w: Int, h: Int, idx: Array[Int], cmap16: Array[Int]): Array[Byte] = {
+    require(idx.length == w * h, s"expected ${w * h} indices, got ${idx.length}")
+    require(cmap16.length == 3 * 256, s"expected 768 colormap entries, got ${cmap16.length}")
+    val nEntries = 9
+    val ifdAt = 8
+    val mapAt = ifdAt + 2 + 12 * nEntries + 4
+    val dataAt = mapAt + 2 * cmap16.length
+    val b = java.nio.ByteBuffer.allocate(dataAt + w * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdAt)
+    b.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit =
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, 1)
+    entry(262, 3, 1, 3)          // Photometric: palette
+    entry(273, 4, 1, dataAt)
+    entry(277, 3, 1, 1)
+    entry(279, 4, 1, w * h)
+    entry(320, 3, cmap16.length, mapAt)
+    b.putInt(0)
+    cmap16.foreach(v => b.putShort(v.toShort))
+    idx.foreach(v => b.put(v.toByte))
+    b.array()
+  }
+
+  /** 16-bit grayscale TIFF encoder — BIG-endian (MM) file so the
+    * high-byte extraction's byte-order handling is exercised; two
+    * strips to cover strip-boundary row accounting. */
+  def encodeTiffGray16(w: Int, h: Int, gray16: Array[Int]): Array[Byte] = {
+    require(gray16.length == w * h, s"expected ${w * h} samples, got ${gray16.length}")
+    val nEntries = 9
+    val ifdAt = 8
+    val rows1 = (h + 1) / 2 // strip 1 rows (RowsPerStrip)
+    val offsAt = ifdAt + 2 + 12 * nEntries + 4
+    val dataAt = offsAt + 16 // two LONG offsets + two LONG counts
+    val b = java.nio.ByteBuffer.allocate(dataAt + 2 * w * h)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put('M'.toByte).put('M'.toByte).putShort(42).putInt(ifdAt)
+    b.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      // big-endian file: a lone SHORT sits in the FIRST two value bytes
+      if (typ == 3 && count == 1) { b.putShort(value.toShort); b.putShort(0) }
+      else b.putInt(value)
+    }
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 1, 16)
+    entry(259, 3, 1, 1)
+    entry(262, 3, 1, 1)          // BlackIsZero
+    entry(273, 4, 2, offsAt)
+    entry(277, 3, 1, 1)
+    entry(278, 4, 1, rows1)
+    entry(279, 4, 2, offsAt + 8)
+    b.putInt(0)
+    b.putInt(dataAt).putInt(dataAt + 2 * w * rows1)           // strip offsets
+    b.putInt(2 * w * rows1).putInt(2 * w * (h - rows1))       // strip counts
+    gray16.foreach(v => b.putShort((v & 0xffff).toShort))
+    b.array()
+  }
+
+  /** Tiled LZW RGB TIFF encoder with horizontal predictor 2 — the
+    * fixture for the tile-grid scatter, §13 LZW and predictor paths in
+    * one file. Edge tiles are grid-padded by edge replication (any
+    * padding decodes fine; replication keeps LZW runs long). */
+  def encodeTiffRgbTiledLzw(w: Int, h: Int, rgb: Array[Int], tw: Int, th: Int): Array[Byte] = {
+    require(rgb.length == w * h, s"expected ${w * h} pixels, got ${rgb.length}")
+    require(tw % 16 == 0 && th % 16 == 0, "TIFF tiles must be multiples of 16")
+    val across = (w + tw - 1) / tw
+    val down = (h + th - 1) / th
+    val tiles = (0 until across * down).map { t =>
+      val x0 = (t % across) * tw; val y0 = (t / across) * th
+      val raw = new Array[Byte](th * tw * 3)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          val v = rgb(math.min(y0 + y, h - 1) * w + math.min(x0 + x, w - 1))
+          val o = (y * tw + x) * 3
+          raw(o) = ((v >> 16) & 0xff).toByte
+          raw(o + 1) = ((v >> 8) & 0xff).toByte
+          raw(o + 2) = (v & 0xff).toByte
+          x += 1
+        }
+        // forward horizontal differencing (predictor 2), per row
+        var i = (y + 1) * tw * 3 - 1
+        while (i >= y * tw * 3 + 3) { raw(i) = (raw(i) - raw(i - 3)).toByte; i -= 1 }
+        y += 1
+      }
+      tiffLzwEncode(raw)
+    }
+    val nEntries = 10
+    val ifdAt = 8
+    val bitsAt = ifdAt + 2 + 12 * nEntries + 4
+    val offsAt = bitsAt + 6
+    val dataAt = offsAt + 4 * tiles.length
+    val b = java.nio.ByteBuffer.allocate(dataAt + tiles.map(_.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdAt)
+    b.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit =
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 3, bitsAt)
+    entry(259, 3, 1, 5)          // LZW
+    entry(262, 3, 1, 2)          // RGB
+    entry(277, 3, 1, 3)
+    entry(317, 3, 1, 2)          // horizontal predictor
+    entry(322, 4, 1, tw)
+    entry(323, 4, 1, th)
+    entry(324, 4, tiles.length, offsAt)
+    b.putInt(0)
+    b.putShort(8).putShort(8).putShort(8)
+    var off = dataAt
+    tiles.foreach { t => b.putInt(off); off += t.length }
+    tiles.foreach(t => b.put(t))
+    b.array()
   }
 
   /** Little-endian uncompressed RGB TIFF encoder (one strip) — the

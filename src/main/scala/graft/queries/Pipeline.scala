@@ -2985,6 +2985,32 @@ object Pipeline {
     mediaPdqCompute.oracle
   )
 
+  /** The DEEP-TIFF form: the SAME scenes through the archival-grade
+    * container features round 8 added — TILE layout (32×32 grid, edge
+    * tiles clipped), LZW compression (§13 early-change) and horizontal
+    * predictor 2 ([[Media.encodeTiffRgbTiledLzw]] →
+    * [[Media.tiffPixelDecoder]]). The chain is lossless, so the gate
+    * shares the BMP oracle verbatim: a single bit of drift anywhere in
+    * the tile scatter, LZW table sync or differencing undo flips rows. */
+  val mediaTiffDeepPdq: QueryDef = QueryDef(
+    "media_tiff_deep_pdq",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 96)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val id = r.getLong(0)
+          val (w, h, px) = synthPixels(id, rollingAcc(r.getString(1)))
+          Media.MediaItem(id, "image", Media.encodeTiffRgbTiledLzw(w, h, px, 32, 32))
+        }
+      Media.pdqHashes(items, Media.tiffPixelDecoder)
+        .toDF("id", "pdq_hex", "quality")
+        .orderBy("id")
+    },
+    mediaPdqCompute.oracle
+  )
+
   /** The JPEG form of the PDQ pipeline, real end to end: per-doc
     * BLOCK-CONSTANT grayscale tiles encoded as real baseline JPEG
     * (from-scratch FDCT, canonical Huffman, byte stuffing — [[Jpeg]]),
@@ -4002,7 +4028,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }
