@@ -725,8 +725,8 @@ object Media {
     out.toByteArray
   }
 
-  private def pngWrap(w: Int, h: Int, depth: Int, colorType: Int,
-      interlace: Int, raw: Array[Byte]): Array[Byte] = {
+  private[operators] def pngWrap(w: Int, h: Int, depth: Int, colorType: Int,
+      interlace: Int, raw: Array[Byte], plte: Array[Int] = null): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val crcT = new java.util.zip.CRC32()
     def be32(v: Int): Array[Byte] =
@@ -740,6 +740,9 @@ object Media {
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     chunk("IHDR", be32(w) ++ be32(h) ++
       Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte))
+    if (plte != null)
+      chunk("PLTE", plte.flatMap(v => Array(
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)))
     val d = new java.util.zip.Deflater()
     d.setInput(raw); d.finish()
     val comp = new java.io.ByteArrayOutputStream()
@@ -806,8 +809,10 @@ object Media {
   /** REAL PNG pixel decoder — pure JVM (chunk walk + `java.util.zip
     * .Inflater` + scanline unfiltering), no codec library. Supports
     * color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6
-    * (RGBA) at bit depth 8 — and depth 16 for the non-palette types,
-    * reduced to the high byte (the spec's 16→8 sample scaling); alpha
+    * (RGBA) at bit depth 8 — depth 16 for the non-palette types,
+    * reduced to the high byte (the spec's 16→8 sample scaling) — and
+    * sub-byte depths 1/2/4 for gray and palette (MSB-first packing,
+    * gray rescaled v·255/(2^d−1), indices through PLTE); alpha
     * is dropped in the packed-RGB output. All five scanline filters
     * (None/Sub/Up/Average/Paeth) per spec §9, and BOTH interlace
     * methods: null and Adam7 (seven concatenated reduced sub-images,
@@ -829,7 +834,9 @@ object Media {
           w = be32(i + 8); h = be32(i + 12)
           bitDepth = u8(i + 16)
           colorType = u8(i + 17)
-          require(bitDepth == 8 || (bitDepth == 16 && colorType != 3),
+          require(bitDepth == 8 || (bitDepth == 16 && colorType != 3) ||
+            ((bitDepth == 1 || bitDepth == 2 || bitDepth == 4) &&
+              (colorType == 0 || colorType == 3)),
             s"PNG: bit depth $bitDepth with color type $colorType unsupported")
           interlace = u8(i + 20)
           require(interlace <= 1, s"PNG: unknown interlace method $interlace")
@@ -847,7 +854,8 @@ object Media {
       case ct => throw new IllegalArgumentException(s"PNG: unknown color type $ct")
     }
     val sampleBytes = bitDepth / 8
-    val bpp = channels * sampleBytes // filter distance in bytes
+    val bpp = math.max(1, channels * bitDepth / 8) // filter distance in bytes
+    def rowBytesOf(pw: Int): Int = (pw * channels * bitDepth + 7) / 8
     // interlaced streams concatenate seven reduced sub-images, each
     // with its own filter bytes; empty passes contribute nothing
     val passes = (if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7).map {
@@ -857,7 +865,7 @@ object Media {
         (x0, y0, dx, dy, pw, ph)
     }
     val rawLen = passes.collect { case (_, _, _, _, pw, ph) if pw > 0 && ph > 0 =>
-      ph * (1 + pw * bpp)
+      ph * (1 + rowBytesOf(pw))
     }.sum
     val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
@@ -878,7 +886,7 @@ object Media {
     var rawOff = 0
     passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
       if (pw > 0 && ph > 0) {
-        val prow = pw * bpp
+        val prow = rowBytesOf(pw)
         val pimg = new Array[Byte](ph * prow)
         var y = 0
         while (y < ph) {
@@ -910,11 +918,21 @@ object Media {
         while (j < ph) {
           var k = 0
           while (k < pw) {
-            var ch = 0
-            while (ch < channels) {
-              img(((y0 + j * dy) * w + (x0 + k * dx)) * channels + ch) =
-                pimg((j * pw + k) * bpp + ch * sampleBytes) // BE: high byte first
-              ch += 1
+            if (bitDepth < 8) { // sub-byte gray/palette: MSB-first packing
+              val bit = k * bitDepth
+              val v = (pimg(j * prow + (bit >> 3)) >> (8 - bitDepth - (bit & 7))) &
+                ((1 << bitDepth) - 1)
+              // gray scales to full range (v·255/(2^d−1)); palette keeps
+              // the raw index — the PLTE lookup below resolves it
+              val s = if (colorType == 0) v * 255 / ((1 << bitDepth) - 1) else v
+              img((y0 + j * dy) * w + (x0 + k * dx)) = s.toByte
+            } else {
+              var ch = 0
+              while (ch < channels) {
+                img(((y0 + j * dy) * w + (x0 + k * dx)) * channels + ch) =
+                  pimg((j * prow + k * bpp) + ch * sampleBytes) // BE: high byte first
+                ch += 1
+              }
             }
             k += 1
           }

@@ -185,6 +185,42 @@ class MediaSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Media.pngPixelDecoder(pal16))
   }
 
+  test("PNG sub-byte depths: 1/2/4-bit gray rescale, 4-bit palette through PLTE") {
+    def packRows(w: Int, h: Int, depth: Int, v: Array[Int]): Array[Byte] = {
+      val rowB = (w * depth + 7) / 8
+      val raw = new Array[Byte](h * (1 + rowB))
+      for (y <- 0 until h; x <- 0 until w) {
+        val bit = x * depth
+        val o = y * (1 + rowB) + 1 + (bit >> 3)
+        raw(o) = (raw(o) | (v(y * w + x) << (8 - depth - (bit & 7)))).toByte
+      }
+      raw // filter byte 0 (None) leads each row
+    }
+    // gray: v scales to v*255/(2^d-1); odd width exercises row padding
+    for (depth <- Seq(1, 2, 4)) {
+      val w = 11; val h = 5
+      val v = Array.tabulate(w * h)(i => i % (1 << depth))
+      val (dw, dh, px) = Media.pngPixelDecoder(
+        Media.pngWrap(w, h, depth, 0, 0, packRows(w, h, depth, v)))
+      assert(dw == w && dh == h)
+      v.zipWithIndex.foreach { case (s, i) =>
+        val g = s * 255 / ((1 << depth) - 1)
+        assert(px(i) == ((g << 16) | (g << 8) | g), s"depth $depth sample $i")
+      }
+    }
+    // 4-bit palette: indices resolve through PLTE unscaled
+    val w = 7; val h = 3
+    val plte = Array.tabulate(16)(i => (i * 15 << 16) | ((255 - i * 15) << 8) | (i * 7))
+    val idx = Array.tabulate(w * h)(i => (i * 5) % 16)
+    val (dw, dh, px) = Media.pngPixelDecoder(
+      Media.pngWrap(w, h, 4, 3, 0, packRows(w, h, 4, idx), plte))
+    assert(dw == w && dh == h)
+    idx.zipWithIndex.foreach { case (ix, i) => assert(px(i) == plte(ix), s"pixel $i") }
+    // 16-bit palette stays illegal
+    intercept[IllegalArgumentException](Media.pngPixelDecoder(
+      Media.pngWrap(2, 2, 16, 3, 0, new Array[Byte](10), plte)))
+  }
+
   test("AVI/MJPEG: encode -> aviFrames round-trip, DHT-less frames, autoFrames dispatch") {
     val w = 72; val h = 64 // >= 64 on both axes: the PDQ kernel's floor
     def frame(f: Int): Array[Int] = Array.tabulate(w * h) { p =>
