@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType}
 
 /** Band-segment generator for [[HammingRadiusBandJoin]]: the flat
-  * ((dMax+1)·bands)-element segment array as ONE loop-bodied codegen
-  * expression. Element idx = δ·bands + band holds BIT segment `band` of
+  * ((dTo−dFrom+1)·bands)-element segment array for the δ range
+  * [dFrom, dTo] as ONE loop-bodied codegen expression. Element
+  * idx = (δ−dFrom)·bands + band holds BIT segment `band` of
   * the (len−δ)-byte prefix — bits [⌊8p·i/bands⌋, ⌊8p·(i+1)/bands⌋),
   * re-packed MSB-first with zero tail padding so equal bit ranges equal
   * as byte arrays. Bit granularity matters: the rewrite's first shape
@@ -28,7 +29,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType,
   * expression trees per row; a Java loop is ~20 generated lines at any
   * radius. Null hash ⇒ null array (the non-outer Generate then emits
   * nothing; null never verified anyway). */
-case class HammingBandSegments(child: Expression, bands: Int, deltas: Int)
+case class HammingBandSegments(child: Expression, bands: Int, dFrom: Int, dTo: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -40,11 +41,11 @@ case class HammingBandSegments(child: Expression, bands: Int, deltas: Int)
   override def prettyName: String = "hamming_band_segments"
 
   override protected def nullSafeEval(input: Any): Any =
-    HammingBandSegments.segments(input.asInstanceOf[Array[Byte]], bands, deltas)
+    HammingBandSegments.segments(input.asInstanceOf[Array[Byte]], bands, dFrom, dTo)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, h =>
-      s"${ev.value} = graft.plans.HammingBandSegments.segments($h, $bands, $deltas);")
+      s"${ev.value} = graft.plans.HammingBandSegments.segments($h, $bands, $dFrom, $dTo);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -67,12 +68,13 @@ object HammingBandSegments {
     out
   }
 
-  /** Static kernel shared by eval and generated code. */
-  def segments(h: Array[Byte], bands: Int, deltas: Int): ArrayData = {
-    val out = new Array[Any]((deltas + 1) * bands)
-    var d = 0
+  /** Static kernel shared by eval and generated code: segments for the
+    * δ range [dFrom, dTo], element idx = (δ − dFrom)·bands + band. */
+  def segments(h: Array[Byte], bands: Int, dFrom: Int, dTo: Int): ArrayData = {
+    val out = new Array[Any]((dTo - dFrom + 1) * bands)
+    var d = dFrom
     var idx = 0
-    while (d <= deltas) {
+    while (d <= dTo) {
       val bits = math.max(0, h.length - d).toLong * 8
       var i = 0
       while (i < bands) {
@@ -174,24 +176,28 @@ object FirstEqualBand {
   * kernel scores a length delta as 8 bits per missing byte, so at
   * radius k a qualifying pair's lengths differ by at most D = ⌊k/8⌋
   * bytes, and its COMMON PREFIX (the first min-length bytes) carries
-  * <= k differing bits. Each side therefore emits band rows for every
-  * assumed common-prefix length p = len − δ, δ in 0..D — ONE Generate
-  * per side over a flat ((D+1)·(k+1))-element segment array, exploded
-  * position idx encoding (δ, band) as δ·n + band — keyed by
-  * (p, band, segment bytes). A qualifying pair meets at
-  * p = min(len_a, len_b): the shorter side's δ = 0 entry and the
-  * longer side's δ = Δlen entry band the SAME prefix, and the
-  * pigeonhole argument applies to it verbatim. For k < 8, D = 0 and
-  * the scheme degenerates to exactly the equal-length rewrite.
-  * Radii above 64 stay θ: the (D+1)·(k+1) fan-out outgrows
+  * <= k differing bits. A pair meets at the prefix-trim pair
+  * (δ_l, δ_r) = (max(0, len_a − len_b), max(0, len_b − len_a)) — one
+  * side's trim is always ZERO — so the rewrite is a LENGTH-PARTITIONED
+  * pair of equi-joins: branch 1 bands the left at δ = 0 against the
+  * right at δ in 0..D (claims len_a <= len_b pairs), branch 2 the left
+  * at δ in 1..D against the right at δ = 0 (the strictly-longer-left
+  * rest). Each side of each branch is ONE Generate over a flat
+  * δ-range segment array keyed by (p = len − δ, band, segment bits);
+  * the p_l = p_r join key makes each branch's length regime automatic
+  * and the partition exact, and for fixed-width corpora branch 2
+  * produces nothing — candidate volume is the true δ0 set, not
+  * (D+1)× it. For k < 8, D = 0 and branch 1 alone is exactly the
+  * equal-length rewrite. Radii above 64 stay θ: the fan-out outgrows
   * what the banded shape saves (and [[graft.operators.PdqDuplicates]]
   * remains the tuned path for fixed-width corpora).
   *
-  * Exactly-once claim: a pair may collide at several (p, band) keys
-  * (shared shorter prefixes band equal too), so the verify filter
-  * keeps only p = least(len_a, len_b) and band = the FIRST index whose
-  * segments of that common prefix are equal — both computable from the
-  * original columns, which the Generate keeps in scope.
+  * Exactly-once claim: within a branch a pair's (δ_l, δ_r) is unique
+  * (p_l = p_r pins δ_r given the lengths), but it may collide at
+  * several BANDS of that prefix, so the verify filter keeps band =
+  * the FIRST index whose segments of the common prefix are equal —
+  * computable from the original columns, which the Generate keeps in
+  * scope.
   *
   * Exactness notes:
   *  - Segments may still be empty when 8p < n (hashes shorter than
@@ -256,40 +262,52 @@ object HammingRadiusBandJoin extends Rule[LogicalPlan] with PredicateHelper {
         case Some((a, b, k)) =>
           val n = k + 1
           val dMax = k / 8
-          // one Generate per side: flat segment array, idx = δ·n + band,
-          // built by ONE loop-bodied codegen expression (constant-size
-          // generated method at any radius — see HammingBandSegments)
-          def gen(side: LogicalPlan, h: Expression, tag: String) = {
+          // one Generate per side PER BRANCH: flat segment array for a
+          // δ range, idx = (δ−dFrom)·n + band, built by ONE loop-bodied
+          // codegen expression (constant-size method at any radius)
+          def gen(side: LogicalPlan, h: Expression, tag: String, dFrom: Int, dTo: Int) = {
             val pos = AttributeReference(s"__hrb_pos_$tag", IntegerType, nullable = false)()
             val v = AttributeReference(s"__hrb_val_$tag", BinaryType, nullable = true)()
-            val arr = HammingBandSegments(h, n, dMax)
+            val arr = HammingBandSegments(h, n, dFrom, dTo)
             (Generate(PosExplode(arr), Nil, outer = false, None, Seq(pos, v), side), pos, v)
           }
-          val (gl, posL, valL) = gen(left, a, "l")
-          val (gr, posR, valR) = gen(right, b, "r")
           // side-local key parts: assumed prefix length and band index
-          def keyed(h: Expression, pos: Expression) = {
+          def keyed(h: Expression, pos: Expression, dFrom: Int) = {
             val idx = Cast(pos, LongType)
-            val p = Subtract(Length(h),
+            val p = Subtract(Subtract(Length(h), Literal(dFrom)),
               Cast(IntegralDivide(idx, Literal(n.toLong)), IntegerType))
             val band = Cast(Pmod(idx, Literal(n.toLong)), IntegerType)
             (p, band)
           }
-          val (pL, bandL) = keyed(a, posL)
-          val (pR, bandR) = keyed(b, posR)
-          val bandJoin = Join(gl, gr, Inner,
-            Some(And(EqualTo(pL, pR), And(EqualTo(bandL, bandR), EqualTo(valL, valR)))),
-            JoinHint.NONE)
-          // claim each qualifying pair once: at the true common-prefix
-          // length, in its FIRST equal band of that prefix
-          val pMin = Least(Seq(Length(a), Length(b)))
           val firstEqual = FirstEqualBand(a, b, n)
-          // cheapest-first, most-selective-first: the int-compare claim
-          // conjuncts run once per CANDIDATE row and kill ~(D·n−1)/(D·n)
-          // of them before the O(hash-width) distance verify ever runs
-          val filtered = Filter(And(
-            And(EqualTo(pL, pMin), EqualTo(bandL, firstEqual)), cond), bandJoin)
-          Project(left.output ++ right.output, filtered)
+          // one branch of the length-partitioned join: left emits δ in
+          // [dlF, dlT], right δ in [drF, drT]
+          def branch(dlF: Int, dlT: Int, drF: Int, drT: Int): LogicalPlan = {
+            val (gl, posL, valL) = gen(left, a, "l", dlF, dlT)
+            val (gr, posR, valR) = gen(right, b, "r", drF, drT)
+            val (pL, bandL) = keyed(a, posL, dlF)
+            val (pR, bandR) = keyed(b, posR, drF)
+            val bandJoin = Join(gl, gr, Inner,
+              Some(And(EqualTo(pL, pR), And(EqualTo(bandL, bandR), EqualTo(valL, valR)))),
+              JoinHint.NONE)
+            // claim each qualifying pair once, in the FIRST equal band
+            // of the common prefix (int compare first — it kills most
+            // candidates before the O(hash-width) distance verify)
+            Project(left.output ++ right.output,
+              Filter(And(EqualTo(bandL, firstEqual), cond), bandJoin))
+          }
+          // Length partition: a qualifying pair meets at its common
+          // prefix p = min(len_a, len_b), i.e. at δ_l = max(0,
+          // len_a − len_b) and δ_r = max(0, len_b − len_a) — one of the
+          // two is ZERO. Branch 1 (δ_l = 0, δ_r in 0..D) claims pairs
+          // with len_a <= len_b; branch 2 (δ_l in 1..D, δ_r = 0) the
+          // strictly-longer-left rest — the p_l = p_r join key makes
+          // each branch's length regime AUTOMATIC (no explicit length
+          // conjunct), the partition exact, and, for the common
+          // fixed-width corpus, branch 2 empty: candidate volume drops
+          // from (D+1)× the δ0 set to exactly the δ0 set.
+          val b1 = branch(0, 0, 0, dMax)
+          if (dMax == 0) b1 else Union(b1, branch(1, dMax, 0, 0))
       }
   }
 }

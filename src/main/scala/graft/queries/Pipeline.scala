@@ -4019,7 +4019,47 @@ object Pipeline {
     """.trim)
   )
 
+  /** WARC ingest, real end to end ([[graft.sources.Warc]]): documents
+    * are wrapped as HTTP responses into multi-record WARC files — 20
+    * records per file, ODD files member-gzipped like Common Crawl's
+    * `.warc.gz` — then the map-only record walk parses them back. The
+    * chain is a byte-exact round-trip, so the oracle reconstructs every
+    * expected field straight from the source table; any framing,
+    * gzip-member, HTTP-header or charset drift flips rows. */
+  val warcExtract: QueryDef = QueryDef(
+    "warc_extract",
+    (s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 20) // synthesis-only shuffle; the parse is map-only
+        .mapGroups { (g, it) =>
+          val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            (s"http://corpus.example/doc/$id", "2026-01-01T00:00:00Z", "text/html",
+              s"<html><body><p>$text</p></body></html>".getBytes("UTF-8"))
+          }
+          graft.sources.Warc.WarcFile(g, graft.sources.Warc.encodeWarc(recs, gzipPerRecord = g % 2 == 1))
+        }
+      graft.sources.Warc.records(files).toDF()
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("target_uri"), col("http_status"), col("mime"),
+          col("payload").cast("string").as("payload_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        'http://corpus.example/doc/' || doc_id AS target_uri,
+        200 AS http_status, 'text/html' AS mime,
+        '<html><body><p>' || text || '</p></body></html>' AS payload_text
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
+    warcExtract,
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,

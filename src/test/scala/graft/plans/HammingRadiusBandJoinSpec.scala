@@ -64,8 +64,11 @@ class HammingRadiusBandJoinSpec extends SparkTestBase {
         assert(!p.contains("BroadcastNestedLoopJoin"), s"rule did not fire at k=$k:\n$p")
         assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
           p.contains("ShuffledHashJoin"), s"no band equi-join at k=$k:\n$p")
-        // one Generate per side, never a per-δ stack
-        assert("Generate".r.findAllIn(p).size == 2, s"band Generates at k=$k:\n$p")
+        // one Generate per side per length-partition branch, never a
+        // per-δ stack: k < 8 is the single δ0⋈δ0 branch, k >= 8 adds
+        // the strictly-longer-left branch
+        val wantGen = if (k < 8) 2 else 4
+        assert("Generate".r.findAllIn(p).size == wantGen, s"band Generates at k=$k:\n$p")
       }
       val p65 = l.join(r, HammingDistance($"ha", $"hb") <= 65)
         .queryExecution.executedPlan.toString
