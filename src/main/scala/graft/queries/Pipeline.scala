@@ -4058,8 +4058,53 @@ object Pipeline {
     """.trim)
   )
 
+  /** The crawl-frontier composition on top of [[warcExtract]]'s
+    * ingest: WARC → HTML payloads → `regexp_extract_all` over anchor
+    * hrefs → exploded EDGE LIST, the input shape of the host-graph /
+    * PageRank tier. Each document links to two arithmetic neighbors,
+    * so the oracle reconstructs the exact edge multiset (including the
+    * two doc_ids whose neighbors coincide — duplicate edges must
+    * survive, extraction is not a dedup). */
+  val warcLinks: QueryDef = QueryDef(
+    "warc_links",
+    (s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 20)
+        .mapGroups { (g, it) =>
+          val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            val l1 = (id * 7 + 3) % 200
+            val l2 = (id * 13 + 11) % 200
+            val html = s"""<html><body><p>${text.take(80)}</p>""" +
+              s"""<a href="http://corpus.example/doc/$l1">n1</a>""" +
+              s"""<div><a  href="http://corpus.example/doc/$l2">n2</a></div></body></html>"""
+            (s"http://corpus.example/doc/$id", "2026-01-01T00:00:00Z", "text/html",
+              html.getBytes("UTF-8"))
+          }
+          graft.sources.Warc.WarcFile(g, graft.sources.Warc.encodeWarc(recs, gzipPerRecord = g % 2 == 0))
+        }
+      graft.sources.Warc.records(files).toDF()
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long").as("src"),
+          explode(regexp_extract_all(col("payload").cast("string"),
+            lit("href=\"http://corpus\\.example/doc/(\\d+)\""), lit(1))).as("d"))
+        .select(col("src"), col("d").cast("long").as("dst"))
+        .orderBy("src", "dst")
+    },
+    Some("""
+      SELECT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 7 + 3) % 200 AS dst FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 11) % 200 FROM documents WHERE doc_id < 200)
+      ORDER BY src, dst
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
-    warcExtract,
+    warcExtract, warcLinks,
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,

@@ -673,6 +673,23 @@ object Drive {
         .toDF("id", "text"), "id", "text", shingleLen = 3, threshold = 0.3)
         .orderBy("id_a", "id_b").show()
     }
+    locally {
+      import spark.implicits._
+      println("=== WARC ingest: member-gzip record walk, quarantine, map-only ===")
+      val recs = (0 until 4).map(i => (s"http://d.org/$i", "2026-03-01T00:00:00Z",
+        "text/html", s"<p>doc $i</p>".getBytes("UTF-8")))
+      val files = Seq(
+        graft.sources.Warc.WarcFile(0L, graft.sources.Warc.encodeWarc(recs)),
+        graft.sources.Warc.WarcFile(1L, graft.sources.Warc.encodeWarc(recs, gzipPerRecord = true)),
+        graft.sources.Warc.WarcFile(2L, "WARC/1.0\r\nbroken".getBytes("ISO-8859-1"))).toDS()
+      graft.sources.Warc.records(files, keepCorrupt = true)
+        .select($"file_id", $"rec_index", $"target_uri", $"http_status", $"mime",
+          org.apache.spark.sql.functions.length($"payload").as("len"), $"error")
+        .orderBy("file_id", "rec_index").show(truncate = false)
+      try graft.sources.Warc.records(files).collect()
+      catch { case e: org.apache.spark.SparkException =>
+        println(s"caught (corrupt warc, strict): ${Option(e.getCause).getOrElse(e).getMessage}") }
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
