@@ -234,6 +234,8 @@ object Media {
     } else if (u8(0) == 0xff && u8(1) == 0xd8) Jpeg.decode(p)
     else if ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
       (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42)) tiffPixelDecoder(p)
+    else if (p.length >= 12 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+      u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P') Webp.webpPixelDecoder(p)
     else throw new IllegalArgumentException("unrecognized image container")
   }
 

@@ -3011,6 +3011,32 @@ object Pipeline {
     mediaPdqCompute.oracle
   )
 
+  /** The WebP form: the SAME scenes through the VP8L lossless
+    * container ([[graft.operators.Webp.encodeWebpLossless]] →
+    * [[graft.operators.Webp.webpPixelDecoder]]). The write side is the
+    * repo's minimal literal-only stream; the DECODE side is the full
+    * RFC 9649 implementation whose transforms/LZ77/cache/meta paths
+    * are pinned against real libwebp output in WebpSpec. Lossless, so
+    * the gate shares the BMP oracle verbatim. */
+  val mediaWebpPdq: QueryDef = QueryDef(
+    "media_webp_pdq",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 96)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val id = r.getLong(0)
+          val (w, h, px) = synthPixels(id, rollingAcc(r.getString(1)))
+          Media.MediaItem(id, "image", graft.operators.Webp.encodeWebpLossless(w, h, px))
+        }
+      Media.pdqHashes(items, graft.operators.Webp.webpPixelDecoder)
+        .toDF("id", "pdq_hex", "quality")
+        .orderBy("id")
+    },
+    mediaPdqCompute.oracle
+  )
+
   /** The JPEG form of the PDQ pipeline, real end to end: per-doc
     * BLOCK-CONSTANT grayscale tiles encoded as real baseline JPEG
     * (from-scratch FDCT, canonical Huffman, byte stuffing — [[Jpeg]]),
@@ -4113,7 +4139,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }

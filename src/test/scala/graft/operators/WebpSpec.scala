@@ -1,0 +1,83 @@
+package graft.operators
+
+/** VP8L decode pinned against REAL encoder output: every `.webp` under
+  * test resources was produced by the system libwebp
+  * (`WebPEncodeLosslessRGBA`) at dev time, beside its raw RGBA dump —
+  * so the prefix-code conventions, distance mapping, transforms and
+  * cache behavior here are validated against the reference
+  * implementation, not against this repo's own (deliberately minimal)
+  * encoder. The fixture set spans the feature space: noise (heavy
+  * entropy, meta groups), gradients+noise (predictor/color
+  * transforms), few-color images (palette + packed sub-byte pixels),
+  * flat runs (LZ77 + color cache), an alpha gradient, a checkerboard
+  * (simple codes) and 1×1 / 3×1 edge sizes.
+  *
+  * The golden `.rgba` dumps are libwebp's OWN decode of each file, not
+  * the pre-encode input: libwebp's default config (`exact=0`) zeroes
+  * RGB under fully-transparent pixels, so "lossless" is bit-exact only
+  * against the encoder's post-cleanup image (alpha_grad's transparent
+  * first column is where the two differ). */
+class WebpSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def fixture(name: String): (Array[Byte], Int, Int, Array[Int]) = {
+    def read(p: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(p)
+      require(in != null, s"missing fixture $p")
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    }
+    val webp = read(s"/webp/$name.webp")
+    val raw = read(s"/webp/$name.rgba")
+    def be32(i: Int) = ((raw(i) & 0xff) << 24) | ((raw(i + 1) & 0xff) << 16) |
+      ((raw(i + 2) & 0xff) << 8) | (raw(i + 3) & 0xff)
+    val w = be32(0); val h = be32(4)
+    val argb = Array.tabulate(w * h) { p =>
+      val o = 8 + 4 * p
+      ((raw(o + 3) & 0xff) << 24) | ((raw(o) & 0xff) << 16) |
+        ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+    }
+    (webp, w, h, argb)
+  }
+
+  private val names = Seq("grad_noise", "palette4", "runs", "alpha_grad",
+    "noise", "tiny1", "tiny31", "checker")
+
+  test("libwebp-encoded fixtures decode pixel-exactly (ARGB, alpha included)") {
+    names.foreach { name =>
+      val (webp, w, h, want) = fixture(name)
+      val (dw, dh, got) = Webp.decodeArgb(webp)
+      assert(dw == w && dh == h, name)
+      got.indices.find(i => got(i) != want(i)).foreach { i =>
+        fail(s"$name pixel $i (${i % w},${i / w}): " +
+          f"got 0x${got(i)}%08x want 0x${want(i)}%08x")
+      }
+    }
+  }
+
+  test("own minimal encoder round-trips and dispatches through autoPixelDecoder") {
+    val rng = new scala.util.Random(9)
+    for ((w, h) <- Seq((1, 1), (19, 7), (64, 33))) {
+      val rgb = Array.tabulate(w * h)(i =>
+        if (i % 2 == 0) rng.nextInt(1 << 24) else (i * 2654435761L.toInt) & 0xffffff)
+      val enc = Webp.encodeWebpLossless(w, h, rgb)
+      for (dec <- Seq(Webp.webpPixelDecoder, Media.autoPixelDecoder)) {
+        val (dw, dh, px) = dec(enc)
+        assert(dw == w && dh == h)
+        assert(px.toSeq == rgb.toSeq, s"${w}x$h")
+      }
+    }
+  }
+
+  test("lossy VP8 refuses loudly; truncated stream fails, not hangs") {
+    val enc = Webp.encodeWebpLossless(4, 4, Array.fill(16)(0x102030))
+    val lossy = enc.clone()
+    lossy(15) = ' ' // "VP8L" -> "VP8 "
+    val e = intercept[IllegalArgumentException](Webp.decodeArgb(lossy))
+    assert(e.getMessage.contains("lossy"))
+    intercept[Exception](Webp.decodeArgb(enc.take(enc.length - 4)))
+  }
+}
