@@ -1353,6 +1353,8 @@ object Media {
     require(p.length >= 12, "payload too short for any known container")
     if (u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
       u8(8) == 'A' && u8(9) == 'V' && u8(10) == 'I') aviFrames(p)
+    else if (u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+      u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P') Webp.webpFrames(p)
     else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F') gifFrames(p)
     else Seq(autoPixelDecoder(p))
   }

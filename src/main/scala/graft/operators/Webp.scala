@@ -501,6 +501,81 @@ object Webp {
     throw new IllegalArgumentException("WebP: no VP8L chunk found")
   }
 
+  /** Animated WebP (RFC 9649 §5): every ANMF frame decoded as its own
+    * standalone raster — the same no-compositing contract as
+    * [[Media.gifFrames]] (a frame sampler hashes frames, it does not
+    * replay an animation). Still images yield one frame. Lossy frames
+    * refuse loudly like stills. */
+  def webpFrames(p: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+    def le32(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+      ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    require(p.length >= 20 && tag(0) == "RIFF" && tag(8) == "WEBP", "not a WebP payload")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Int])]
+    var i = 12
+    while (i + 8 <= p.length) {
+      val t = tag(i)
+      val len = le32(i + 4)
+      require(len >= 0 && i + 8 + len <= p.length, s"WebP: chunk $t truncated")
+      if (t == "ANMF") {
+        // 16-byte frame header (x/2, y/2, w-1, h-1, duration, flags),
+        // then the frame's own sub-chunks — find its VP8L
+        var j = i + 8 + 16
+        val end = i + 8 + len
+        var decoded = false
+        while (!decoded && j + 8 <= end) {
+          val st = tag(j)
+          val slen = le32(j + 4)
+          require(st != "VP8 ", "WebP: lossy animation frame unsupported")
+          if (st == "VP8L") {
+            val (w, h, argb) = decodeVp8l(java.util.Arrays.copyOfRange(p, j + 8, j + 8 + slen))
+            frames += ((w, h, argb.map(_ & 0xffffff)))
+            decoded = true
+          }
+          j += 8 + slen + (slen & 1)
+        }
+        require(decoded, "WebP: ANMF frame without VP8L data")
+      }
+      i += 8 + len + (len & 1)
+    }
+    if (frames.isEmpty) Seq(webpPixelDecoder(p)) else frames.toSeq
+  }
+
+  /** Animated-WebP fixture builder: VP8X(animation) + ANIM + one ANMF
+    * per frame, each frame a full-canvas [[encodeWebpLossless]] VP8L
+    * chunk (no blending, 100 ms). */
+  def encodeWebpAnim(frames: Seq[(Int, Int, Array[Int])]): Array[Byte] = {
+    require(frames.nonEmpty, "an animation needs at least one frame")
+    val cw = frames.map(_._1).max
+    val ch = frames.map(_._2).max
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def le24(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff) }
+    val frameChunks = frames.map { case (w, h, rgb) =>
+      val whole = encodeWebpLossless(w, h, rgb)
+      java.util.Arrays.copyOfRange(whole, 12, whole.length) // the VP8L chunk
+    }
+    val anmfLens = frameChunks.map(16 + _.length)
+    val total = 4 + (8 + 10) + (8 + 6) + anmfLens.map(l => 8 + l + (l & 1)).sum
+    out.write("RIFF".getBytes("US-ASCII")); le32(total)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8X".getBytes("US-ASCII")); le32(10)
+    out.write(0x02); out.write(0); out.write(0); out.write(0) // animation flag
+    le24(cw - 1); le24(ch - 1)
+    out.write("ANIM".getBytes("US-ASCII")); le32(6)
+    le32(0); out.write(0); out.write(0) // background, loop forever
+    frames.zip(frameChunks).foreach { case ((w, h, _), chunk) =>
+      val len = 16 + chunk.length
+      out.write("ANMF".getBytes("US-ASCII")); le32(len)
+      le24(0); le24(0) // frame origin
+      le24(w - 1); le24(h - 1)
+      le24(100); out.write(0) // duration, no blend/dispose
+      out.write(chunk)
+      if ((len & 1) == 1) out.write(0)
+    }
+    out.toByteArray
+  }
+
   /** The [[Media.PixelDecoder]] face: packed RGB, alpha dropped. */
   val webpPixelDecoder: Media.PixelDecoder = p => {
     val (w, h, argb) = decodeArgb(p)

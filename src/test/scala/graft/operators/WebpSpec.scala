@@ -72,6 +72,25 @@ class WebpSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("animated WebP: ANMF frames decode standalone; autoFrames dispatches") {
+    val rng = new scala.util.Random(4)
+    val frames = (0 until 3).map { f =>
+      val w = 24 + 8 * f; val h = 16
+      (w, h, Array.tabulate(w * h)(i => (i * 31 + f * 1000003) & 0xffffff))
+    }
+    val anim = Webp.encodeWebpAnim(frames)
+    for (got <- Seq(Webp.webpFrames(anim), Media.autoFrames(anim))) {
+      assert(got.length == 3)
+      got.zip(frames).zipWithIndex.foreach { case (((dw, dh, px), (w, h, rgb)), f) =>
+        assert(dw == w && dh == h, s"frame $f")
+        assert(px.toSeq == rgb.toSeq, s"frame $f pixels")
+      }
+    }
+    // a still WebP yields exactly one frame through the same entry
+    val still = Webp.encodeWebpLossless(9, 5, Array.tabulate(45)(i => i * 777 & 0xffffff))
+    assert(Webp.webpFrames(still).length == 1 && Media.autoFrames(still).length == 1)
+  }
+
   test("lossy VP8 refuses loudly; truncated stream fails, not hangs") {
     val enc = Webp.encodeWebpLossless(4, 4, Array.fill(16)(0x102030))
     val lossy = enc.clone()
