@@ -2566,6 +2566,41 @@ object Pipeline {
     * oracle replays the tile synthesis directly: one flipped bit in
     * the container walk, the table splice, or the entropy decode moves
     * a hash and fails the gate. */
+  /** The animated-WebP form of the clip pipeline: the SAME per-frame
+    * gray tiles as `media_avi_pdq`, carried as VP8X/ANIM/ANMF frames
+    * ([[graft.operators.Webp.encodeWebpAnim]] →
+    * [[graft.operators.Webp.webpFrames]]). VP8L is lossless, so the
+    * gate shares the AVI oracle verbatim — two entirely different
+    * container+codec chains must hash identically, frame for frame. */
+  lazy val mediaWebpAnimPdq: QueryDef = QueryDef(
+    "media_webp_anim_pdq",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 48)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val did = r.getLong(0)
+          val g = rollingAcc(r.getString(1)) % 7
+          val w = 72 + (did % 3).toInt * 28
+          val h = 64 + (did % 5).toInt * 16
+          val frames = (0 until 3).map { f =>
+            val rgb = Array.tabulate(w * h) { p =>
+              val tx = (p % w) / 8; val ty = (p / w) / 8
+              val v = ((g * 37 + tx * 13 + ty * 29 + f * 17) % 256).toInt
+              (v << 16) | (v << 8) | v
+            }
+            (w, h, rgb)
+          }
+          Media.MediaItem(did, "video", graft.operators.Webp.encodeWebpAnim(frames))
+        }
+      Media.pdqFrames(items, graft.operators.Webp.webpFrames)
+        .toDF("id", "frame_no", "pdq_hex", "quality")
+        .orderBy("id", "frame_no")
+    },
+    mediaAviPdq.oracle // lazy: shares the AVI pixel-chain replay verbatim
+  )
+
   val mediaAviPdq: QueryDef = QueryDef(
     "media_avi_pdq",
     (s, dir) => {
@@ -4139,7 +4174,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }
