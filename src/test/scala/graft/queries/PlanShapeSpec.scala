@@ -373,9 +373,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"band rule did not fire at k=51:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), s"no band equi-join found:\n$p")
-    // one Generate per side — the multi-prefix scheme packs every
-    // (δ, band) entry into a single exploded array, never a δ-stack
-    assert("Generate".r.findAllIn(p).size == 2, s"band Generates:\n$p")
+    // one Generate per side per length-partition branch (δl=0 ⋈ δr 0..D
+    // and δl 1..D ⋈ δr=0) — each branch packs its (δ, band) entries into
+    // a single exploded array, never a δ-stack
+    assert("Generate".r.findAllIn(p).size == 4, s"band Generates:\n$p")
+    assert(p.contains("Union"), s"length-partitioned branches missing:\n$p")
   }
 
   test("zorder_layout: the box query prunes z-prefix partition dirs") {
