@@ -690,6 +690,20 @@ object Drive {
       catch { case e: org.apache.spark.SparkException =>
         println(s"caught (corrupt warc, strict): ${Option(e.getCause).getOrElse(e).getMessage}") }
     }
+    locally {
+      println("=== round-8 media closures: WebP still/anim, deep TIFF ===")
+      val rgb = Array.tabulate(80 * 64)(i => (i * 2654435761L.toInt) & 0xffffff)
+      val still = graft.operators.Webp.encodeWebpLossless(80, 64, rgb)
+      val (sw, sh, spx) = Media.autoPixelDecoder(still)
+      println(s"webp still ${sw}x$sh lossless=${spx.toSeq == rgb.toSeq}")
+      val anim = graft.operators.Webp.encodeWebpAnim(Seq((80, 64, rgb), (80, 64, rgb.map(~_ & 0xffffff))))
+      println(s"webp anim frames=${Media.autoFrames(anim).length}")
+      try graft.operators.Webp.decodeArgb("RIFF    WEBPVP8     ".getBytes("ISO-8859-1"))
+      catch { case e: IllegalArgumentException => println(s"caught (lossy vp8): ${e.getMessage}") }
+      val tiled = Media.encodeTiffRgbTiledLzw(70, 40, Array.tabulate(70 * 40)(i => (i * 31) & 0xffffff), 32, 32)
+      val (tw2, th2, tpx) = Media.tiffPixelDecoder(tiled)
+      println(s"tiff tiled-lzw ${tw2}x$th2 ok=${tpx.length == 70 * 40}")
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
