@@ -71,4 +71,28 @@ class WarcSpec extends SparkTestBase {
     val plan = Warc.records(ds).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"WARC parse must stay map-only:\n$plan")
   }
+
+  test("records() runs unchanged over a STREAM of WARC files (stateless flatMap; stream ≡ batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Warc.WarcFile]
+    val out = Warc.records(input.toDS(), keepCorrupt = true)
+    val q = out.writeStream.format("memory").queryName("warc_stream").outputMode("append").start()
+    try {
+      val f1 = Warc.WarcFile(1L, Warc.encodeWarc(mk(3)))
+      val f2 = Warc.WarcFile(2L, Warc.encodeWarc(mk(2), gzipPerRecord = true))
+      val bad = Warc.WarcFile(3L, "WARC/1.0\r\nbroken".getBytes("ISO-8859-1"))
+      input.addData(f1)
+      q.processAllAvailable()
+      input.addData(f2, bad) // later micro-batches need no cross-batch state
+      q.processAllAvailable()
+      val got = spark.table("warc_stream").as[Warc.WarcRecord].collect()
+        .sortBy(r => (r.file_id, r.rec_index))
+      val want = (Warc.parseWarc(1L, f1.bytes) ++ Warc.parseWarc(2L, f2.bytes)).sortBy(r => (r.file_id, r.rec_index))
+      assert(got.count(_.error == null) == 5)
+      got.filter(_.error == null).zip(want).foreach { case (g, w) =>
+        assert(g.target_uri == w.target_uri && g.payload.toSeq == w.payload.toSeq)
+      }
+      assert(got.exists(r => r.file_id == 3L && r.error != null))
+    } finally q.stop()
+  }
 }
