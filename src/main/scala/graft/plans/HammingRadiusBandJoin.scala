@@ -192,6 +192,19 @@ object FirstEqualBand {
   * what the banded shape saves (and [[graft.operators.PdqDuplicates]]
   * remains the tuned path for fixed-width corpora).
   *
+  * Honest pruning envelope: a band pair collides by CHANCE with
+  * probability ~2^−(8·width/(k+1)), so banding prunes hard when
+  * k ≪ bit-width (k=2 over 64-bit hashes: 21-bit bands, ~2^−21) and
+  * stops pruning as k+1 approaches the bit width (k=51 over 256-bit
+  * PDQ hashes: ~5-bit bands, ~1/30 — candidates ≈ N²·(k+1)/2^(8w/(k+1)),
+  * the same order as all-pairs). Even there the rewrite stays the
+  * EXECUTABLE plan for big⋈big inputs — Spark's only θ strategy,
+  * BroadcastNestedLoopJoin, needs one side to fit in memory — and each
+  * candidate costs an int-compare claim check instead of a full-width
+  * distance. For corpora that DO fit a broadcast,
+  * [[graft.operators.PdqDuplicates]]'s stats-gated naive kernel remains
+  * the faster path at PDQ-realistic radii.
+  *
   * Exactly-once claim: within a branch a pair's (δ_l, δ_r) is unique
   * (p_l = p_r pins δ_r given the lengths), but it may collide at
   * several BANDS of that prefix, so the verify filter keeps band =
@@ -280,6 +293,20 @@ object HammingRadiusBandJoin extends Rule[LogicalPlan] with PredicateHelper {
             (p, band)
           }
           val firstEqual = FirstEqualBand(a, b, n)
+          // Generate reports its CHILD's size, so JoinSelection would
+          // happily broadcast a side that is really fan-out× bigger
+          // (observed: a 9M-band-row broadcast at 25k input rows).
+          // Correct per side from plan stats: a side whose exploded
+          // size clears the broadcast threshold is marked
+          // NO_BROADCAST_HASH; a genuinely small side (the classify-
+          // against-tiny-probe-set shape) stays broadcastable.
+          def noBroadcastIfFat(side: LogicalPlan, fan: Int): Option[HintInfo] = {
+            val exploded = side.stats.sizeInBytes * fan
+            if (conf.autoBroadcastJoinThreshold >= 0 &&
+              exploded > BigInt(conf.autoBroadcastJoinThreshold))
+              Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))
+            else None
+          }
           // one branch of the length-partitioned join: left emits δ in
           // [dlF, dlT], right δ in [drF, drT]
           def branch(dlF: Int, dlT: Int, drF: Int, drT: Int): LogicalPlan = {
@@ -289,7 +316,8 @@ object HammingRadiusBandJoin extends Rule[LogicalPlan] with PredicateHelper {
             val (pR, bandR) = keyed(b, posR, drF)
             val bandJoin = Join(gl, gr, Inner,
               Some(And(EqualTo(pL, pR), And(EqualTo(bandL, bandR), EqualTo(valL, valR)))),
-              JoinHint.NONE)
+              JoinHint(noBroadcastIfFat(left, (dlT - dlF + 1) * n),
+                noBroadcastIfFat(right, (drT - drF + 1) * n)))
             // claim each qualifying pair once, in the FIRST equal band
             // of the common prefix (int compare first — it kills most
             // candidates before the O(hash-width) distance verify)

@@ -932,9 +932,15 @@ object Relational {
       // back to one task — numbered repartition pins the spread so the
       // 364× band fan-out and candidate verify run wide (at real scale
       // the scan is already many-partitioned and this is moot)
-      val d = tbl(s, dir, "documents")
+      val d0 = tbl(s, dir, "documents")
         .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
-      val g = (col("doc_id") % 50).cast("string")
+      // SCALE-AWARE group count: duplicate-group size stays ~12 at any
+      // corpus size (real dedup corpora have bounded clique sizes; a
+      // fixed modulus would make the gate's output quadratic in N).
+      // At the sf0.01 gate, greatest(50, 500/12) = 50 — unchanged.
+      val d = d0.crossJoin(broadcast(d0.groupBy().count().select(
+        greatest(lit(50L), floor(col("count") / 12).cast("long")).as("__m"))))
+      val g = (col("doc_id") % col("__m")).cast("string")
       val base = concat(md5(g), md5(concat(g, lit("q"))))
       val l = d.select(col("doc_id").as("id_a"), unhex(base).as("ha"))
       val t = (col("doc_id") % 16).cast("int")
@@ -952,10 +958,11 @@ object Relational {
         s"CAST(bit_count(xor(CAST('0x' || substr(hxa, ${i * 8 + 1}, 8) AS BIGINT), CAST('0x' || substr(hxb, ${i * 8 + 1}, 8) AS BIGINT))) AS INTEGER)"
       }.mkString(" + ")
       s"""
-      WITH b AS (SELECT doc_id,
-              md5(CAST(doc_id % 50 AS VARCHAR)) || md5(CAST(doc_id % 50 AS VARCHAR) || 'q') AS m,
+      WITH g AS (SELECT greatest(50, count(*) // 12) AS gm FROM documents),
+      b AS (SELECT doc_id,
+              md5(CAST(doc_id % gm AS VARCHAR)) || md5(CAST(doc_id % gm AS VARCHAR) || 'q') AS m,
               CAST(doc_id % 16 AS INT) AS t
-            FROM documents),
+            FROM documents, g),
       l AS (SELECT doc_id AS id_a, m AS hxa FROM b),
       r AS (SELECT doc_id AS id_b,
               translate(substr(m, 1, t), '0123456789abcdef', 'fedcba9876543210') || substr(m, t + 1) AS hxb

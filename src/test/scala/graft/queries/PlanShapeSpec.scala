@@ -370,7 +370,12 @@ class PlanShapeSpec extends SparkTestBase {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.HammingRadiusBandJoin
     val p = plan("q_hamming_radius_join_pdq")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"band rule did not fire at k=51:\n$p")
+    // the scale-aware group count joins a ONE-ROW scalar via a (fine)
+    // nested-loop cross; the distance predicate itself must never sit
+    // on a nested-loop join
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("hamming_distance")),
+      s"band rule did not fire at k=51:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), s"no band equi-join found:\n$p")
     // one Generate per side per length-partition branch (δl=0 ⋈ δr 0..D
