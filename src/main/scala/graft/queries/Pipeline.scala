@@ -4164,8 +4164,52 @@ object Pipeline {
     """.trim)
   )
 
+  /** robots.txt compliance over the URL relation
+    * ([[graft.operators.Robots]]): a 6-host robots dimension (host 3
+    * publishes none) parsed dim-side, broadcast, and evaluated
+    * map-side with RFC 9309 longest-match/allow-tie semantics — agent
+    * group selection (trainbot over `*`), prefix Disallow, longer
+    * Allow override, and the no-robots-allows default all exercised.
+    * The synthesis is arithmetic, so the oracle reconstructs every
+    * verdict without parsing anything. */
+  val robotsFilter: QueryDef = QueryDef(
+    "robots_filter",
+    (s, dir) => {
+      val robots = s.range(7).filter(col("id") =!= 3).select(
+        concat(lit("h"), col("id"), lit(".example")).as("host"),
+        concat(lit("# policy\nUser-agent: trainbot\nDisallow: /p"), col("id") % 5,
+          lit("\nAllow: /p"), col("id") % 5,
+          lit("/ok\n\nUser-agent: *\nDisallow: /")).as("txt"))
+      val rules = graft.operators.Robots.hostRules(robots, "host", "txt", "trainbot/2.0")
+      val urls = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("h"), col("doc_id") % 7, lit(".example")).as("host"),
+        when(col("doc_id") % 3 === 2, concat(lit("/q/"), col("doc_id")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("/p"), col("doc_id") % 5, lit("/ok/"), col("doc_id")))
+          .otherwise(concat(lit("/p"), col("doc_id") % 5, lit("/x"), col("doc_id")))
+          .as("path"))
+      graft.operators.Robots.withAllowed(urls, rules, "host", "path")
+        .select("doc_id", "host", "path", "allowed")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        'h' || (doc_id % 7) || '.example' AS host,
+        CASE WHEN doc_id % 3 = 2 THEN '/q/' || doc_id
+             WHEN doc_id % 3 = 1 THEN '/p' || (doc_id % 5) || '/ok/' || doc_id
+             ELSE '/p' || (doc_id % 5) || '/x' || doc_id END AS path,
+        CASE WHEN doc_id % 7 = 3 THEN true            -- host without robots.txt
+             WHEN doc_id % 3 = 2 THEN true            -- /q/: no rule matches
+             WHEN doc_id % 3 = 1 THEN true            -- longer Allow /p?/ok wins
+             WHEN (doc_id % 7) % 5 <> doc_id % 5 THEN true -- other host's prefix
+             ELSE false END AS allowed
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcLinks,
+    warcExtract, warcLinks, robotsFilter,
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,

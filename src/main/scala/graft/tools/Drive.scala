@@ -691,6 +691,15 @@ object Drive {
         println(s"caught (corrupt warc, strict): ${Option(e.getCause).getOrElse(e).getMessage}") }
     }
     locally {
+      import spark.implicits._
+      println("=== robots.txt: RFC 9309 verdicts, broadcast dim, map-side ===")
+      val robots = Seq(("x.org", "User-agent: *\nDisallow: /priv\nAllow: /priv/pub")).toDF("host", "txt")
+      val urls = Seq((1L, "x.org", "/priv/a"), (2L, "x.org", "/priv/pub/b"), (3L, "y.org", "/any"))
+        .toDF("id", "host", "path")
+      Robots.withAllowed(urls, Robots.hostRules(robots, "host", "txt", "anybot"), "host", "path")
+        .orderBy("id").show()
+    }
+    locally {
       println("=== round-8 media closures: WebP still/anim, deep TIFF ===")
       val rgb = Array.tabulate(80 * 64)(i => (i * 2654435761L.toInt) & 0xffffff)
       val still = graft.operators.Webp.encodeWebpLossless(80, 64, rgb)
