@@ -4208,8 +4208,84 @@ object Pipeline {
     """.trim)
   )
 
+  /** PDF ingest ([[graft.sources.Pdf]]): documents become 2-page PDFs
+    * (FlateDecode content streams, escaped literals), then the
+    * map-only object-scan extractor recovers every page's text. The
+    * chain is a lossless round-trip for the encoder's line discipline,
+    * so the oracle reconstructs pages straight from the source text. */
+  val pdfExtract: QueryDef = QueryDef(
+    "pdf_extract",
+    (s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val head = text.take(120)
+          graft.sources.Pdf.PdfDoc(id, graft.sources.Pdf.encodePdfText(Seq(
+            Seq(s"Document $id", head),
+            Seq(s"(page 2 of $id) with \\ specials", s"len=${text.length}"))))
+        }
+      graft.sources.Pdf.texts(docs).toDF()
+        .select(col("id").as("doc_id"), col("page"), col("text").as("page_text"))
+        .orderBy("doc_id", "page")
+    },
+    Some("""
+      SELECT doc_id, page,
+        CASE page
+          WHEN 0 THEN 'Document ' || doc_id || chr(10) || substring(text, 1, 120)
+          ELSE '(page 2 of ' || doc_id || ') with \ specials' || chr(10) || 'len=' || length(text)
+        END AS page_text
+      FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS page)
+      WHERE doc_id < 150 ORDER BY doc_id, page
+    """.trim)
+  )
+
+  /** Archive ingest ([[graft.sources.Archives]]): documents grouped 20
+    * per archive — thirds as deflate-zip, store-zip and gzipped ustar
+    * tar — then the map-only entry walk recovers every member. Oracle
+    * reconstructs (file, entry, text) arithmetically. */
+  val archiveExtract: QueryDef = QueryDef(
+    "archive_extract",
+    (s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 20)
+        .mapGroups { (g, it) =>
+          val entries = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            (s"corpus/doc_$id.txt", text.getBytes("UTF-8"))
+          }
+          val bytes = (g % 3) match {
+            case 0 => graft.sources.Archives.encodeZip(entries, deflate = true)
+            case 1 => graft.sources.Archives.encodeZip(entries, deflate = false)
+            case _ =>
+              val bos = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write(graft.sources.Archives.encodeTar(entries)); gz.finish()
+              bos.toByteArray
+          }
+          graft.sources.Archives.ArchiveFile(g, bytes)
+        }
+      graft.sources.Archives.entries(files).toDF()
+        .select(
+          col("id").as("archive_id"), col("entry"),
+          col("payload").cast("string").as("doc_text"))
+        .orderBy("archive_id", "entry")
+    },
+    Some("""
+      SELECT doc_id // 20 AS archive_id,
+        'corpus/doc_' || doc_id || '.txt' AS entry,
+        text AS doc_text
+      FROM documents WHERE doc_id < 200 ORDER BY archive_id, entry
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcLinks, robotsFilter,
+    warcExtract, warcLinks, robotsFilter, pdfExtract, archiveExtract,
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,

@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.apache.spark.sql.Dataset
+
+/** Archive containers — the other half of document-dump ingest beside
+  * [[Warc]]: corpora ship as `.tar`, `.tar.gz` and `.zip` by the
+  * millions. Pure JVM:
+  *
+  *  - tar (ustar): 512-byte headers (octal size field, NUL-padded
+  *    names + optional ustar prefix field), data padded to block size,
+  *    two zero blocks end the archive; only regular files surface
+  *    (directories and link entries are skipped);
+  *  - zip: End-Of-Central-Directory scan from the tail, central
+  *    directory walk (PK\x01\x02), local headers re-read per entry
+  *    (PK\x03\x04 — local name/extra lengths differ from central
+  *    ones); methods 0 (store) and 8 (deflate, raw `Inflater`);
+  *    zip64 and encrypted entries refuse loudly;
+  *  - gzip: members unwrapped transparently, so `.tar.gz` needs no
+  *    special casing — [[autoEntries]] dispatches by magic and
+  *    recurses once after gunzip.
+  *
+  * Spark shape: [[entries]] is a map-only flatMap over one-archive
+  * rows, the same contract as [[Warc.records]] / [[Pdf.texts]]:
+  * embarrassingly parallel, zero exchange, corrupt archives
+  * quarantine to a marker row under `keepCorrupt`. */
+object Archives {
+
+  case class ArchiveFile(id: Long, bytes: Array[Byte])
+
+  /** One extracted entry; `error` null unless a quarantine marker
+    * (entry null, payload null). */
+  case class ArchiveEntry(id: Long, entry: String, payload: Array[Byte], error: String)
+
+  // --------------------------------------------------------------- tar
+
+  def tarEntries(p: Array[Byte]): Seq[(String, Array[Byte])] = {
+    require(p.length >= 512, "tar: shorter than one header block")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var at = 0
+    def str(off: Int, len: Int): String = {
+      var e = off
+      while (e < off + len && p(e) != 0) e += 1
+      new String(p, off, e - off, "ISO-8859-1")
+    }
+    while (at + 512 <= p.length && !(0 until 512).forall(i => p(at + i) == 0)) {
+      val name = str(at, 100)
+      val sizeStr = str(at + 124, 12).trim
+      require(sizeStr.nonEmpty && sizeStr.forall(c => c >= '0' && c <= '7'),
+        s"tar: bad size field for '$name'")
+      val size = java.lang.Long.parseLong(sizeStr, 8).toInt
+      val typeflag = p(at + 156).toChar
+      val magic = str(at + 257, 5)
+      val prefix = if (magic == "ustar") str(at + 345, 155) else ""
+      val full = if (prefix.nonEmpty) s"$prefix/$name" else name
+      require(at + 512 + size <= p.length, s"tar: entry '$full' truncated")
+      if (typeflag == '0' || typeflag == 0.toChar) // regular file
+        out += ((full, java.util.Arrays.copyOfRange(p, at + 512, at + 512 + size)))
+      at += 512 + ((size + 511) / 512) * 512
+    }
+    out.toSeq
+  }
+
+  /** ustar fixture encoder (regular files only). */
+  def encodeTar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      require(name.length <= 100, s"tar fixture: name too long: $name")
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes("ISO-8859-1"); System.arraycopy(b, 0, h, off, b.length)
+      }
+      put(0, name)
+      put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+      put(124, f"${data.length}%011o"); put(136, "00000000000")
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces for the sum
+      h(156) = '0'
+      put(257, "ustar"); h(263) = 0; put(265, "00")
+      val sum = h.map(_ & 0xff).sum
+      put(148, f"$sum%06o"); h(154) = 0; h(155) = ' '.toByte
+      out.write(h)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024)) // two zero blocks
+    out.toByteArray
+  }
+
+  // --------------------------------------------------------------- zip
+
+  def zipEntries(p: Array[Byte]): Seq[(String, Array[Byte])] = {
+    def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+    // EOCD: scan back for PK\x05\x06 (comment may follow)
+    var e = p.length - 22
+    while (e >= 0 && !(p(e) == 'P' && p(e + 1) == 'K' && p(e + 2) == 5 && p(e + 3) == 6)) e -= 1
+    require(e >= 0, "zip: no end-of-central-directory record")
+    val count = u16(e + 10)
+    var cd = u32(e + 16)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var k = 0
+    while (k < count) {
+      require(u32(cd) == 0x02014b50, "zip: bad central directory entry")
+      val flags = u16(cd + 8)
+      require((flags & 0x1) == 0, "zip: encrypted entries unsupported")
+      val method = u16(cd + 10)
+      val csize = u32(cd + 20)
+      val usize = u32(cd + 24)
+      require(csize != 0xffffffff && usize != 0xffffffff, "zip: zip64 unsupported")
+      val nameLen = u16(cd + 28)
+      val extraLen = u16(cd + 30)
+      val commentLen = u16(cd + 32)
+      val lho = u32(cd + 42)
+      val name = new String(p, cd + 46, nameLen, "UTF-8")
+      require(u32(lho) == 0x04034b50, s"zip: bad local header for '$name'")
+      val dataAt = lho + 30 + u16(lho + 26) + u16(lho + 28)
+      require(dataAt + csize <= p.length, s"zip: entry '$name' truncated")
+      val comp = java.util.Arrays.copyOfRange(p, dataAt, dataAt + csize)
+      if (!name.endsWith("/")) { // skip directory entries
+        val data = method match {
+          case 0 => comp
+          case 8 =>
+            val inf = new java.util.zip.Inflater(true) // raw deflate
+            inf.setInput(comp)
+            val buf = new Array[Byte](usize)
+            var filled = 0
+            while (filled < usize && !inf.finished()) {
+              val n = inf.inflate(buf, filled, usize - filled)
+              require(n > 0 || inf.finished(), s"zip: bad deflate stream in '$name'")
+              filled += n
+            }
+            inf.end()
+            require(filled == usize, s"zip: entry '$name' short")
+            buf
+          case m => throw new IllegalArgumentException(s"zip: method $m unsupported in '$name'")
+        }
+        out += ((name, data))
+      }
+      cd += 46 + nameLen + extraLen + commentLen
+      k += 1
+    }
+    out.toSeq
+  }
+
+  /** zip fixture encoder: store or raw-deflate per entry, CRC-32,
+    * central directory + EOCD. */
+  def encodeZip(entries: Seq[(String, Array[Byte])], deflate: Boolean = true): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    val central = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Int, Int, Int)]
+    entries.foreach { case (name, data) =>
+      val crc = { val c = new java.util.zip.CRC32(); c.update(data); c.getValue.toInt }
+      val comp = if (deflate) {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(data); d.finish()
+        val b = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) b.write(buf, 0, d.deflate(buf))
+        d.end(); b.toByteArray
+      } else data
+      val method = if (deflate) 8 else 0
+      val off = out.size()
+      le32(0x04034b50); le16(20); le16(0); le16(method); le16(0); le16(0)
+      le32(crc); le32(comp.length); le32(data.length)
+      val nb = name.getBytes("UTF-8")
+      le16(nb.length); le16(0)
+      out.write(nb); out.write(comp)
+      central += ((name, method, crc, comp.length, data.length, off))
+    }
+    val cdAt = out.size()
+    central.foreach { case (name, method, crc, csize, usize, off) =>
+      le32(0x02014b50); le16(20); le16(20); le16(0); le16(method); le16(0); le16(0)
+      le32(crc); le32(csize); le32(usize)
+      val nb = name.getBytes("UTF-8")
+      le16(nb.length); le16(0); le16(0); le16(0); le16(0); le32(0); le32(off)
+      out.write(nb)
+    }
+    val cdLen = out.size() - cdAt
+    le32(0x06054b50); le16(0); le16(0); le16(central.length); le16(central.length)
+    le32(cdLen); le32(cdAt); le16(0)
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------- auto
+
+  /** Magic dispatch: zip (PK), gzip (unwrap, recurse once — covers
+    * `.tar.gz`), else tar (validated by its own header checks). */
+  def autoEntries(p: Array[Byte]): Seq[(String, Array[Byte])] = {
+    require(p.length >= 4, "payload too short for any archive")
+    if (p(0) == 'P' && p(1) == 'K') zipEntries(p)
+    else if ((p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(p))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      autoEntries(out.toByteArray)
+    } else tarEntries(p)
+  }
+
+  /** Map-only entry extraction; corrupt archives quarantine to one
+    * (id, null, null, error) marker row under `keepCorrupt`. */
+  def entries(files: Dataset[ArchiveFile], keepCorrupt: Boolean = false): Dataset[ArchiveEntry] = {
+    import files.sparkSession.implicits._
+    files.flatMap { f =>
+      try autoEntries(f.bytes).map { case (n, b) => ArchiveEntry(f.id, n, b, null) }
+      catch {
+        case scala.util.control.NonFatal(e) if keepCorrupt =>
+          Seq(ArchiveEntry(f.id, null, null, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
+  }
+}

@@ -1,0 +1,297 @@
+package graft.sources
+
+import org.apache.spark.sql.Dataset
+
+/** PDF text extraction — the document-dump modality (a huge share of
+  * high-quality training text ships as PDF). Pure JVM, no library:
+  *
+  *  - object scan: robust parsers ignore the xref table and scan for
+  *    `N G obj` headers directly (damaged xrefs are endemic in the
+  *    wild); indirect-reference resolution over the scanned map;
+  *  - page tree: `/Type /Page` objects in document order, `/Contents`
+  *    as a single stream or an array of streams;
+  *  - streams: `/Length` (direct or indirect), `/Filter /FlateDecode`
+  *    via `java.util.zip.Inflater` (also inside one-element filter
+  *    arrays), raw otherwise; other filters refuse loudly;
+  *  - content text: a tokenizer over the content stream handling
+  *    literal strings with all §7.3.4.2 escapes (incl. octal and
+  *    line-continuation), hex strings, arrays and operators; text
+  *    shows from `Tj`, `'`, `"` and `TJ` (kerning numbers skipped,
+  *    large negative kerns become spaces); `Td`/`TD`/`T*`/`Tm` break
+  *    lines. Bytes map through Latin-1 (the standard-font case; CID /
+  *    custom-encoded fonts are out of scope and simply yield their
+  *    raw codes).
+  *
+  * Spark shape: [[texts]] is a map-only flatMap over one-document
+  * rows — same contract as [[Warc.records]]: embarrassingly parallel,
+  * zero exchange, corrupt payloads quarantine to a marker row under
+  * `keepCorrupt`. */
+object Pdf {
+
+  case class PdfDoc(id: Long, bytes: Array[Byte])
+
+  /** One extracted page. `error` is null unless this is a quarantine
+    * marker row (page -1, null text). */
+  case class PdfPage(id: Long, page: Int, text: String, error: String)
+
+  // ------------------------------------------------------------- parse
+
+  private val ObjRe = """(?s)(\d+)\s+(\d+)\s+obj\b""".r
+
+  /** Extract each page's text from one PDF body. */
+  def extractText(p: Array[Byte]): Seq[String] = {
+    val s = new String(p, "ISO-8859-1")
+    require(s.startsWith("%PDF-"), "not a PDF payload")
+    // object map: number -> offset just past "obj"
+    val objs = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    ObjRe.findAllMatchIn(s).foreach(m => objs(m.group(1).toInt) = m.end)
+    require(objs.nonEmpty, "PDF: no objects found")
+
+    def objBody(n: Int): String = {
+      val from = objs.getOrElse(n, throw new IllegalArgumentException(s"PDF: missing object $n"))
+      val end = s.indexOf("endobj", from)
+      s.substring(from, if (end < 0) s.length else end)
+    }
+
+    // a dictionary value for /Key at top nesting level of `dict`
+    def dictValue(dict: String, key: String): Option[String] = {
+      val at = dict.indexOf(s"/$key")
+      if (at < 0) None
+      else {
+        var i = at + key.length + 1
+        while (i < dict.length && dict(i).isWhitespace) i += 1
+        if (i >= dict.length) None
+        else dict(i) match {
+          case '[' =>
+            var depth = 0; val start = i
+            while (i < dict.length && { if (dict(i) == '[') depth += 1; if (dict(i) == ']') depth -= 1; depth != 0 }) i += 1
+            Some(dict.substring(start, math.min(i + 1, dict.length)))
+          case '<' if i + 1 < dict.length && dict(i + 1) == '<' =>
+            var depth = 0; val start = i
+            while (i + 1 < dict.length && {
+              if (dict(i) == '<' && dict(i + 1) == '<') { depth += 1; i += 1 }
+              else if (dict(i) == '>' && dict(i + 1) == '>') { depth -= 1; i += 1 }
+              depth != 0 || dict(i) != '>'
+            }) i += 1
+            Some(dict.substring(start, math.min(i + 1, dict.length)))
+          case '/' => // name value, e.g. /FlateDecode
+            val start = i
+            i += 1
+            while (i < dict.length && !dict(i).isWhitespace && !"/[]<>()".contains(dict(i))) i += 1
+            Some(dict.substring(start, i))
+          case _ => // number or indirect reference "N G R"
+            val rest = dict.substring(i)
+            val ref = """^(\d+\s+\d+\s+R)""".r
+            val num = """^([+-]?[\d.]+)""".r
+            ref.findFirstMatchIn(rest).map(_.group(1))
+              .orElse(num.findFirstMatchIn(rest).map(_.group(1)))
+        }
+      }
+    }
+
+    def resolveInt(v: String): Int = {
+      val t = v.trim
+      val ref = """^(\d+)\s+\d+\s+R$""".r
+      t match {
+        case ref(n) => objBody(n.toInt).trim.takeWhile(c => c.isDigit).toInt
+        case _ => t.toInt
+      }
+    }
+
+    // decode one stream object body (already located at its dict)
+    def streamBytes(body: String, baseOffsetInFile: Int): Array[Byte] = {
+      val dictEnd = body.indexOf("stream")
+      require(dictEnd >= 0, "PDF: contents object is not a stream")
+      val dict = body.substring(0, dictEnd)
+      val len = dictValue(dict, "Length").map(resolveInt)
+        .getOrElse(throw new IllegalArgumentException("PDF: stream without /Length"))
+      var dataAt = baseOffsetInFile + dictEnd + "stream".length
+      if (p(dataAt) == '\r') dataAt += 1
+      if (p(dataAt) == '\n') dataAt += 1
+      val raw = java.util.Arrays.copyOfRange(p, dataAt, dataAt + len)
+      val filter = dictValue(dict, "Filter").map(_.replaceAll("[\\[\\]\\s]", "")).getOrElse("")
+      if (filter.isEmpty) raw
+      else if (filter == "/FlateDecode") {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(raw)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) throw new IllegalArgumentException("PDF: bad Flate stream")
+          out.write(buf, 0, n)
+        }
+        inf.end()
+        out.toByteArray
+      } else throw new IllegalArgumentException(s"PDF: filter unsupported: $filter")
+    }
+
+    // pages in scan order
+    val pages = objs.keysIterator.map(n => (n, objBody(n))).filter { case (_, b) =>
+      val d = b.indexOf("<<")
+      d >= 0 && { val dict = b.substring(d); dict.contains("/Type") && dict.contains("/Page") &&
+        !dict.contains("/Pages") }
+    }.toSeq
+
+    pages.map { case (n, body) =>
+      val contents = dictValue(body, "Contents")
+        .getOrElse(throw new IllegalArgumentException(s"PDF: page object $n without /Contents"))
+      val refRe = """(\d+)\s+\d+\s+R""".r
+      val streamObjs = refRe.findAllMatchIn(contents).map(_.group(1).toInt).toSeq
+      require(streamObjs.nonEmpty, s"PDF: page $n contents carry no stream refs")
+      val data = streamObjs.map { sn =>
+        val from = objs(sn)
+        streamBytes(objBody(sn), from)
+      }.reduce(_ ++ _)
+      contentText(new String(data, "ISO-8859-1"))
+    }
+  }
+
+  /** Text shown by a content stream (see object scaladoc for the
+    * line-break heuristic). */
+  private[sources] def contentText(cs: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var lineOpen = false
+    def newline(): Unit = if (lineOpen) { out.append('\n'); lineOpen = false }
+    def readLiteral(): String = { // at '(' — §7.3.4.2 escapes
+      val sb = new StringBuilder
+      var depth = 1
+      i += 1
+      while (i < cs.length && depth > 0) {
+        cs(i) match {
+          case '\\' if i + 1 < cs.length =>
+            i += 1
+            cs(i) match {
+              case 'n' => sb.append('\n'); i += 1
+              case 'r' => sb.append('\r'); i += 1
+              case 't' => sb.append('\t'); i += 1
+              case 'b' => sb.append('\b'); i += 1
+              case 'f' => sb.append('\f'); i += 1
+              case '\n' => i += 1 // line continuation
+              case '\r' => i += 1; if (i < cs.length && cs(i) == '\n') i += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0
+                while (k < 3 && i < cs.length && cs(i) >= '0' && cs(i) <= '7') { v = v * 8 + (cs(i) - '0'); i += 1; k += 1 }
+                sb.append(v.toChar)
+              case c => sb.append(c); i += 1
+            }
+          case '(' => depth += 1; sb.append('('); i += 1
+          case ')' => depth -= 1; if (depth > 0) sb.append(')'); i += 1
+          case c => sb.append(c); i += 1
+        }
+      }
+      sb.toString
+    }
+    def readHex(): String = { // at '<'
+      val sb = new StringBuilder
+      i += 1
+      while (i < cs.length && cs(i) != '>') { if (!cs(i).isWhitespace) sb.append(cs(i)); i += 1 }
+      i += 1
+      val hx = if (sb.length % 2 == 1) sb.append('0').toString else sb.toString
+      hx.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+    }
+    var pendingStrings = List.empty[String]
+    while (i < cs.length) {
+      cs(i) match {
+        case '(' => pendingStrings ::= readLiteral()
+        case '<' if i + 1 < cs.length && cs(i + 1) == '<' => i += 2 // inline dict marker
+        case '<' => pendingStrings ::= readHex()
+        case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
+          val start = i
+          while (i < cs.length && !cs(i).isWhitespace && !"()<>[]/".contains(cs(i))) i += 1
+          cs.substring(start, i) match {
+            case "Tj" | "'" | "\"" =>
+              pendingStrings.reverse.foreach(out.append)
+              lineOpen = true
+              pendingStrings = Nil
+            case "TJ" =>
+              pendingStrings.reverse.foreach(out.append)
+              lineOpen = true
+              pendingStrings = Nil
+            case "Td" | "TD" | "T*" | "Tm" => newline(); pendingStrings = Nil
+            case "ET" => newline(); pendingStrings = Nil
+            case _ => pendingStrings = Nil // non-showing op consumes operands
+          }
+        case _ => i += 1
+      }
+    }
+    newline()
+    out.toString.stripSuffix("\n")
+  }
+
+  // ------------------------------------------------------------ encode
+
+  /** Minimal valid PDF for fixtures: one content stream per page
+    * (FlateDecode), Helvetica, one `Tj` line per string, proper xref.
+    * Strings are escaped per §7.3.4.2. */
+  def encodePdfText(pages: Seq[Seq[String]]): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    def esc(t: String): String =
+      t.flatMap {
+        case '(' => "\\("
+        case ')' => "\\)"
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case c => c.toString
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    def w(t: String): Unit = out.write(t.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets += out.size()
+      w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    val nPages = pages.length
+    // 1 catalog, 2 pages tree, then per page: 3+2i page, 4+2i contents; last: font
+    obj(1)(w(s"<< /Type /Catalog /Pages 2 0 R >>\n"))
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    obj(2)(w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n"))
+    val fontObj = 3 + 2 * nPages
+    pages.zipWithIndex.foreach { case (lines, pi) =>
+      obj(3 + 2 * pi)(w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents ${4 + 2 * pi} 0 R >>\n"))
+      val cs = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
+      lines.zipWithIndex.foreach { case (l, li) =>
+        if (li > 0) cs.append("0 -14 Td\n")
+        cs.append(s"(${esc(l)}) Tj\n")
+      }
+      cs.append("ET")
+      val d = new java.util.zip.Deflater()
+      d.setInput(cs.toString.getBytes("ISO-8859-1")); d.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+      d.end()
+      obj(4 + 2 * pi) {
+        w(s"<< /Length ${comp.size()} /Filter /FlateDecode >>\nstream\n")
+        comp.writeTo(out)
+        w("\nendstream\n")
+      }
+    }
+    obj(fontObj)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- spark
+
+  /** Map-only page extraction over PDF documents; corrupt payloads
+    * quarantine to one (id, -1, null, error) marker row under
+    * `keepCorrupt`, else fail the task loudly. */
+  def texts(docs: Dataset[PdfDoc], keepCorrupt: Boolean = false): Dataset[PdfPage] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      try extractText(d.bytes).zipWithIndex.map { case (t, i) => PdfPage(d.id, i, t, null) }
+      catch {
+        case scala.util.control.NonFatal(e) if keepCorrupt =>
+          Seq(PdfPage(d.id, -1, null, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
+  }
+}

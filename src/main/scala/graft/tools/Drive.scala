@@ -700,6 +700,26 @@ object Drive {
         .orderBy("id").show()
     }
     locally {
+      import spark.implicits._
+      println("=== document-dump ingest: PDF pages, tar/zip/tar.gz entries ===")
+      val pdf = graft.sources.Pdf.encodePdfText(Seq(Seq("hello (pdf)", "line 2"), Seq("page 2")))
+      graft.sources.Pdf.texts(Seq(graft.sources.Pdf.PdfDoc(1L, pdf)).toDS())
+        .orderBy("id", "page").show(truncate = false)
+      val ents = Seq(("a/x.txt", "alpha".getBytes("UTF-8")), ("b/y.txt", "beta".getBytes("UTF-8")))
+      val gzTar = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(graft.sources.Archives.encodeTar(ents)); g.finish(); bos.toByteArray
+      }
+      graft.sources.Archives.entries(Seq(
+        graft.sources.Archives.ArchiveFile(1L, graft.sources.Archives.encodeZip(ents)),
+        graft.sources.Archives.ArchiveFile(2L, gzTar),
+        graft.sources.Archives.ArchiveFile(3L, "junk".getBytes("UTF-8"))).toDS(),
+        keepCorrupt = true)
+        .select($"id", $"entry", org.apache.spark.sql.functions.length($"payload").as("len"), $"error")
+        .orderBy("id", "entry").show(truncate = false)
+    }
+    locally {
       println("=== round-8 media closures: WebP still/anim, deep TIFF ===")
       val rgb = Array.tabulate(80 * 64)(i => (i * 2654435761L.toInt) & 0xffffff)
       val still = graft.operators.Webp.encodeWebpLossless(80, 64, rgb)
