@@ -838,6 +838,162 @@ object Jpeg {
     applyOrientation(w, h, px, exifOrientation(p))
   }
 
+  // ---- EXIF GPS: the location-PII surface ----------------------------
+
+  /** Locate the Exif APP1 segment: (tiffStart, segmentEnd) in file
+    * coordinates, or None. */
+  private def exifApp1(p: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    var i = 2
+    while (i + 4 <= p.length && u8(i) == 0xff) {
+      val m = u8(i + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else if (m == 0xda || m == 0xd9) return None
+      else {
+        val len = be16(i + 2)
+        if (m == 0xe1 && len >= 16 && new String(p, i + 4, 4, "US-ASCII") == "Exif")
+          return Some((i + 10, i + 2 + len))
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** GPS latitude/longitude as signed MICRO-ARC-SECONDS from the GPS
+    * IFD (tags 1-4: hemisphere refs + degree/minute/second rationals),
+    * None when absent/unparseable. Arc-seconds keep the common
+    * rational encodings exact in integer math (rounded half-up per
+    * component). */
+  def gpsArcsecMicro(p: Array[Byte]): Option[(Long, Long)] = {
+    try {
+      exifApp1(p).flatMap { case (t, _) =>
+        def u8(i: Int): Int = p(i) & 0xff
+        val le = u8(t) == 'I'
+        def u16(j: Int): Int = if (le) u8(j) | (u8(j + 1) << 8) else (u8(j) << 8) | u8(j + 1)
+        def u32(j: Int): Long =
+          if (le) u8(j) | (u8(j + 1) << 8) | (u8(j + 2) << 16) | (u8(j + 3).toLong << 24)
+          else (u8(j).toLong << 24) | (u8(j + 1) << 16) | (u8(j + 2) << 8) | u8(j + 3)
+        val ifd0 = t + u32(t + 4).toInt
+        val n = u16(ifd0)
+        val gpsAt = (0 until n).map(k => ifd0 + 2 + 12 * k)
+          .find(e => u16(e) == 0x8825).map(e => t + u32(e + 8).toInt)
+        gpsAt.flatMap { g =>
+          val gn = u16(g)
+          val entries = (0 until gn).map(k => g + 2 + 12 * k)
+          def entry(tag: Int): Option[Int] = entries.find(e => u16(e) == tag)
+          def ref(tag: Int): Option[Char] = entry(tag).map(e => u8(e + 8).toChar)
+          def dms(tag: Int): Option[Long] = entry(tag).map { e =>
+            val at = t + u32(e + 8).toInt // 3 RATIONALs never fit inline
+            val factors = Seq(3600L, 60L, 1L)
+            (0 until 3).map { k =>
+              val num = u32(at + 8 * k)
+              val den = math.max(1L, u32(at + 8 * k + 4))
+              (num * factors(k) * 1000000L + den / 2) / den
+            }.sum
+          }
+          for {
+            latR <- ref(1); lat <- dms(2)
+            lonR <- ref(3); lon <- dms(4)
+          } yield ((if (latR == 'S') -lat else lat), (if (lonR == 'W') -lon else lon))
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Strip GPS location from the Exif APP1 IN PLACE semantics-wise:
+    * zero the GPS IFD block and every out-of-line value it points to,
+    * then unlink the 0x8825 entry from IFD0 (remaining entries and the
+    * next-IFD pointer shift up; the freed 12 bytes are zeroed). No
+    * other byte moves, so every other TIFF offset — and the image data
+    * — stays valid: the cleaned payload decodes to the SAME pixels.
+    * Returns (payload, hadGps). */
+  def stripGps(p: Array[Byte]): (Array[Byte], Boolean) = {
+    val app1 = exifApp1(p)
+    if (app1.isEmpty) return (p, false)
+    val (t, segEnd) = app1.get
+    val out = p.clone()
+    def u8(i: Int): Int = out(i) & 0xff
+    val le = u8(t) == 'I'
+    def u16(j: Int): Int = if (le) u8(j) | (u8(j + 1) << 8) else (u8(j) << 8) | u8(j + 1)
+    def u32(j: Int): Long =
+      if (le) u8(j) | (u8(j + 1) << 8) | (u8(j + 2) << 16) | (u8(j + 3).toLong << 24)
+      else (u8(j).toLong << 24) | (u8(j + 1) << 16) | (u8(j + 2) << 8) | u8(j + 3)
+    def putU16(j: Int, v: Int): Unit =
+      if (le) { out(j) = (v & 0xff).toByte; out(j + 1) = ((v >> 8) & 0xff).toByte }
+      else { out(j) = ((v >> 8) & 0xff).toByte; out(j + 1) = (v & 0xff).toByte }
+    try {
+      val ifd0 = t + u32(t + 4).toInt
+      val n = u16(ifd0)
+      val gpsEntry = (0 until n).map(k => ifd0 + 2 + 12 * k).find(e => u16(e) == 0x8825)
+      gpsEntry match {
+        case None => (p, false)
+        case Some(e) =>
+          val g = t + u32(e + 8).toInt
+          val gn = u16(g)
+          val typeSize = Array(0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8)
+          (0 until gn).foreach { k =>
+            val ge = g + 2 + 12 * k
+            val typ = u16(ge + 2)
+            val cnt = u32(ge + 4).toInt
+            val size = (if (typ < typeSize.length) typeSize(typ) else 1) * cnt
+            if (size > 4) { // out-of-line value: zero it
+              val at = t + u32(ge + 8).toInt
+              if (at >= t && at + size <= segEnd)
+                java.util.Arrays.fill(out, at, at + size, 0.toByte)
+            }
+          }
+          // zero the GPS IFD block itself (count + entries + next ptr)
+          val gEnd = g + 2 + 12 * gn + 4
+          if (gEnd <= segEnd) java.util.Arrays.fill(out, g, gEnd, 0.toByte)
+          // unlink the pointer entry from IFD0
+          val after = e + 12
+          val tail = ifd0 + 2 + 12 * n + 4 // includes next-IFD pointer
+          System.arraycopy(out, after, out, e, tail - after)
+          java.util.Arrays.fill(out, tail - 12, tail, 0.toByte)
+          putU16(ifd0, n - 1)
+          (out, true)
+      }
+    } catch { case _: Exception => (p, false) }
+  }
+
+  /** Splice a GPS IFD (hemisphere refs + whole-number D/M/S rationals)
+    * beside the given orientation — the fixture half of
+    * [[gpsArcsecMicro]]/[[stripGps]]. Arc-second inputs are signed. */
+  def withExifGps(jpeg: Array[Byte], latArcsec: Long, lonArcsec: Long): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "not a JPEG payload")
+    val tiff = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = tiff.write(v & 0xff)
+    def be16t(v: Int): Unit = { b(v >> 8); b(v) }
+    def be32t(v: Long): Unit = { b((v >> 24).toInt); b((v >> 16).toInt); b((v >> 8).toInt); b(v.toInt) }
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      be16t(tag); be16t(typ); be32t(cnt); be32t(value)
+    }
+    tiff.write('M'); tiff.write('M'); b(0); b(42); be32t(8)
+    // IFD0: one entry (GPS pointer), next = 0; GPS IFD at 26
+    be16t(1); entry(0x8825, 4, 1, 26); be32t(0)
+    // GPS IFD: 4 entries, next 0; rationals at 80 (lat) and 104 (lon)
+    val latAbs = math.abs(latArcsec); val lonAbs = math.abs(lonArcsec)
+    be16t(4)
+    entry(1, 2, 2, (if (latArcsec < 0) 'S'.toLong else 'N'.toLong) << 24) // ref inline
+    entry(2, 5, 3, 80)
+    entry(3, 2, 2, (if (lonArcsec < 0) 'W'.toLong else 'E'.toLong) << 24)
+    entry(4, 5, 3, 104)
+    be32t(0)
+    Seq(latAbs, lonAbs).foreach { a =>
+      be32t(a / 3600); be32t(1)       // degrees
+      be32t(a % 3600 / 60); be32t(1)  // minutes
+      be32t(a % 60); be32t(1)         // seconds
+    }
+    val body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff.toByteArray
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xff); seg.write(0xe1)
+    seg.write(((body.length + 2) >> 8) & 0xff); seg.write((body.length + 2) & 0xff)
+    seg.write(body, 0, body.length)
+    jpeg.take(2) ++ seg.toByteArray ++ jpeg.drop(2)
+  }
+
   /** Minimal APP1 Exif segment carrying just the orientation tag. */
   private def exifSegment(orientation: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

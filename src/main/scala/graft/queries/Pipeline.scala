@@ -4284,8 +4284,65 @@ object Pipeline {
     """.trim)
   )
 
+  /** Location-PII curation over photo archives
+    * ([[graft.operators.Jpeg.stripGps]]): every third document's JPEG
+    * carries a GPS IFD; the operator reads the exact signed
+    * arc-seconds, strips the location (zeroing the IFD and its
+    * out-of-line rationals, unlinking the pointer — no other byte
+    * moves), and the gate proves the clean payload reads no GPS while
+    * decoding to the SAME pixels. Oracle reconstructs coordinates
+    * arithmetically (whole-arc-second rationals are exact). */
+  val exifGpsStrip: QueryDef = QueryDef(
+    "exif_gps_strip",
+    (s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents")
+        .filter(col("doc_id") < 96)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w = 72; val h = 64
+          val gray = Array.tabulate(w * h) { p =>
+            ((id % 7) * 37 + (p % w) / 8 * 13 + (p / w) / 8 * 29).toInt % 256
+          }
+          val base = Jpeg.encodeGray(w, h, gray)
+          val payload =
+            if (id % 3 == 0) {
+              val lat = (if (id % 2 == 0) 1L else -1L) *
+                ((id % 90) * 3600 + (id % 60) * 60 + (id * 7) % 60)
+              val lon = (if (id % 5 < 3) 1L else -1L) *
+                ((id % 180) * 3600 + (id % 59) * 60 + (id * 11) % 60)
+              Jpeg.withExifGps(base, lat, lon)
+            } else base
+          val gps = Jpeg.gpsArcsecMicro(payload)
+          val (clean, had) = Jpeg.stripGps(payload)
+          val samePixels = Jpeg.decode(clean)._3.sameElements(Jpeg.decode(payload)._3)
+          (id, had,
+            gps.map(_._1 / 1000000L).getOrElse(-1L), gps.map(_._2 / 1000000L).getOrElse(-1L),
+            Jpeg.gpsArcsecMicro(clean).isDefined, samePixels)
+        }
+        .toDF("id", "had_gps", "lat_arcsec", "lon_arcsec", "clean_has_gps", "pixels_same")
+        .orderBy("id")
+    },
+    Some("""
+      SELECT doc_id AS id,
+        doc_id % 3 = 0 AS had_gps,
+        CASE WHEN doc_id % 3 = 0 THEN
+          (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+          ((doc_id % 90) * 3600 + (doc_id % 60) * 60 + (doc_id * 7) % 60)
+        ELSE -1 END AS lat_arcsec,
+        CASE WHEN doc_id % 3 = 0 THEN
+          (CASE WHEN doc_id % 5 < 3 THEN 1 ELSE -1 END) *
+          ((doc_id % 180) * 3600 + (doc_id % 59) * 60 + (doc_id * 11) % 60)
+        ELSE -1 END AS lon_arcsec,
+        false AS clean_has_gps,
+        true AS pixels_same
+      FROM documents WHERE doc_id < 96 ORDER BY id
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcLinks, robotsFilter, pdfExtract, archiveExtract,
+    warcExtract, warcLinks, robotsFilter, pdfExtract, archiveExtract, exifGpsStrip,
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
