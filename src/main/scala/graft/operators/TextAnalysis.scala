@@ -24,6 +24,35 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "and", "of", "is", "in", "to")
 
+  /** Mojibake repair — the ftfy move for the single most common crawl
+    * corruption: UTF-8 bytes once mis-decoded as Latin-1 ("café" →
+    * "cafÃ©"). The inverse is exact and Column-only: re-encode the
+    * string as Latin-1 and decode the bytes as UTF-8. Applied only
+    * when it is SAFE and USEFUL: the Latin-1 bytes must form VALID
+    * UTF-8 (`is_valid_utf8` — pure Latin-1 text is never mangled, its
+    * byte stream is invalid UTF-8 and the original is kept; Spark 4's
+    * strict `decode` would throw on it otherwise), the repair must
+    * change the string, and the original must carry a UTF-8 lead-byte
+    * signature character (Ã/Â/â/Ä/Å/Ë — cheap prefilter so the
+    * codegen'd common case is a single rlike). Map-only, no UDF. */
+  def repairMojibakeCol(textCol: Column): Column = {
+    // Spark 4's strict encode/decode THROW on unrepresentable input,
+    // and conditional guards do NOT protect them: codegen's common-
+    // subexpression elimination hoists shared subtrees out of CaseWhen
+    // branches. So the charset work is made TOTAL instead: encode sees
+    // the text only when it is signature-bearing AND entirely
+    // Latin-1-range (genuine mojibake always is) and the empty string
+    // otherwise; decode only ever sees validated UTF-8 bytes.
+    val candidate = when(
+      textCol.rlike("[\u00c2\u00c3\u00e2\u00c4\u00c5\u00cb]") &&
+        !textCol.rlike("[^\\x00-\\xff]"), textCol)
+      .otherwise(lit(""))
+    val bytes = encode(candidate, "ISO-8859-1")
+    val redecoded = decode(
+      when(is_valid_utf8(bytes), bytes).otherwise(encode(lit(""), "UTF-8")), "UTF-8")
+    when(redecoded =!= lit("") && redecoded =!= textCol, redecoded).otherwise(textCol)
+  }
+
   /** The [[quality]] metric expressions over a text column, keyed by
     * output name — exposed so composers ([[CurationFunnel]]) can
     * evaluate several metric families in ONE projection instead of

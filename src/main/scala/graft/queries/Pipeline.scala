@@ -4341,8 +4341,34 @@ object Pipeline {
     """.trim)
   )
 
+  /** Mojibake repair ([[graft.operators.TextAnalysis
+    * .repairMojibakeCol]]): even documents arrive UTF-8-as-Latin-1
+    * garbled (the single most common crawl corruption), odd ones
+    * arrive clean — repair must fix the former EXACTLY and leave the
+    * latter untouched, including the non-ASCII suffix that makes the
+    * corruption visible. Oracle is the identity reconstruction. */
+  val mojibakeRepair: QueryDef = QueryDef(
+    "mojibake_repair",
+    (s, dir) => {
+      val suffix = lit(" — café naïve Ω")
+      val target = concat(col("text"), suffix)
+      val garbled = decode(encode(target, "UTF-8"), "ISO-8859-1")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("input", when(col("doc_id") % 2 === 0, garbled).otherwise(target))
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.repairMojibakeCol(col("input")).as("fixed_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, text || ' — café naïve Ω' AS fixed_text
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
     warcExtract, warcLinks, robotsFilter, pdfExtract, archiveExtract, exifGpsStrip,
+    mojibakeRepair,
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,

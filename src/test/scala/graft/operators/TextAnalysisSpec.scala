@@ -419,4 +419,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(again == emb)
     intercept[IllegalArgumentException](TextAnalysis.hashedEmbedding(df, "id", "text", dim = 1))
   }
+  test("repairMojibakeCol: fixes UTF-8-as-Latin-1, never touches clean or pure-Latin-1 text") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      // (input, expected)
+      (1L, "cafÃ©", "café"),                       // classic mojibake
+      (2L, "café", "café"),                        // already clean: no signature char
+      (3L, "SÃ£o Paulo â\u0080\u0094 ok", "São Paulo \u2014 ok"), // multi-byte dash
+      (4L, "plain ascii only", "plain ascii only"),
+      (5L, "Ã", "Ã"),                              // lone lead byte: invalid UTF-8, kept
+      (6L, "Ångström Ärger", "Ångström Ärger")      // legit Latin-1 with signature chars:
+    )                                               // redecode breaks -> FFFD guard keeps it
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "t")
+      .select(col("id"), TextAnalysis.repairMojibakeCol(col("t")).as("f"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    got.zip(cases).foreach { case ((id, f), (_, in, want)) =>
+      assert(f == want, s"case $id: '$in' -> '$f' wanted '$want'")
+    }
+  }
 }
