@@ -692,6 +692,14 @@ object Drive {
     }
     locally {
       import spark.implicits._
+      println("=== mojibake repair: garbled fixes, clean/Latin-1/Unicode untouched ===")
+      Seq((1L, "cafÃ© crÃ¨me"), (2L, "café crème"), (3L, "Ångström"), (4L, "emoji Ω stays"))
+        .toDF("id", "t")
+        .select($"id", $"t", TextAnalysis.repairMojibakeCol($"t").as("fixed"))
+        .orderBy("id").show(truncate = false)
+    }
+    locally {
+      import spark.implicits._
       println("=== robots.txt: RFC 9309 verdicts, broadcast dim, map-side ===")
       val robots = Seq(("x.org", "User-agent: *\nDisallow: /priv\nAllow: /priv/pub")).toDF("host", "txt")
       val urls = Seq((1L, "x.org", "/priv/a"), (2L, "x.org", "/priv/pub/b"), (3L, "y.org", "/any"))
