@@ -4366,9 +4366,53 @@ object Pipeline {
     """.trim)
   )
 
+  /** The crawl-frontier composition closing the loop: per-host sitemap
+    * XML → `regexp_extract_all` over `<loc>` entries → URL relation →
+    * [[graft.operators.Robots]] verdicts → per-host allowed/blocked
+    * counts. No new operator — the gate proves the sitemap and robots
+    * tiers COMPOSE (the same host arithmetic as `robots_filter`, so
+    * the oracle reconstructs the counts directly). */
+  val sitemapFrontier: QueryDef = QueryDef(
+    "sitemap_frontier",
+    (s, dir) => {
+      val sitemaps = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("h"), col("doc_id") % 7, lit(".example")).as("host"),
+          concat(lit("<?xml version=\"1.0\"?><urlset>"),
+            lit("<url><loc>http://h"), col("doc_id") % 7, lit(".example/p"),
+            col("doc_id") % 5, lit("/x"), col("doc_id"), lit("</loc></url>"),
+            lit("<url><loc>http://h"), col("doc_id") % 7, lit(".example/p"),
+            col("doc_id") % 5, lit("/ok/y"), col("doc_id"), lit("</loc></url>"),
+            lit("</urlset>")).as("xml"))
+      val urls = sitemaps
+        .select(col("doc_id"), col("host"),
+          explode(regexp_extract_all(col("xml"),
+            lit("<loc>http://[^/]+(/[^<]*)</loc>"), lit(1))).as("path"))
+      val robots = s.range(7).filter(col("id") =!= 3).select(
+        concat(lit("h"), col("id"), lit(".example")).as("host"),
+        concat(lit("User-agent: trainbot\nDisallow: /p"), col("id") % 5,
+          lit("\nAllow: /p"), col("id") % 5, lit("/ok\n")).as("txt"))
+      val rules = graft.operators.Robots.hostRules(robots, "host", "txt", "trainbot/2.0")
+      graft.operators.Robots.withAllowed(urls, rules, "host", "path")
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
+        .orderBy("host")
+    },
+    Some("""
+      SELECT 'h' || h || '.example' AS host,
+        2 * count(*) AS n_urls,
+        CAST(sum(CASE WHEN h = 3 THEN 2
+                      WHEN (h % 5) <> (doc_id % 5) THEN 2
+                      ELSE 1 END) AS BIGINT) AS n_allowed
+      FROM (SELECT doc_id, doc_id % 7 AS h FROM documents)
+      GROUP BY h ORDER BY host
+    """.trim)
+  )
+
   val defs: Seq[QueryDef] = Seq(
     warcExtract, warcLinks, robotsFilter, pdfExtract, archiveExtract, exifGpsStrip,
-    mojibakeRepair,
+    mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
