@@ -1355,6 +1355,8 @@ object Media {
       u8(8) == 'A' && u8(9) == 'V' && u8(10) == 'I') aviFrames(p)
     else if (u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
       u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P') Webp.webpFrames(p)
+    else if (u8(4) == 'f' && u8(5) == 't' && u8(6) == 'y' && u8(7) == 'p')
+      graft.sources.Mp4.mp4Frames(p)
     else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F') gifFrames(p)
     else Seq(autoPixelDecoder(p))
   }

@@ -2601,6 +2601,84 @@ object Pipeline {
     mediaAviPdq.oracle // lazy: shares the AVI pixel-chain replay verbatim
   )
 
+  /** The MP4 form of the clip pipeline: the SAME per-frame gray tiles
+    * as `media_avi_pdq`, carried as a `jpeg`-codec track in a real ISO
+    * BMFF file ([[graft.sources.Mp4.encodeMp4Jpeg]], DHT-less frames,
+    * two-samples-per-chunk `stsc` packing) and decoded by the
+    * magic-dispatching [[Media.autoFrames]] (ftyp → box walk → sample
+    * tables → Annex-K splice → [[Jpeg.decode]]). Shares the AVI
+    * pixel-chain oracle verbatim — the THIRD unrelated container chain
+    * that must hash identically, frame for frame. */
+  lazy val mediaMp4Pdq: QueryDef = QueryDef(
+    "media_mp4_pdq",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 48)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val did = r.getLong(0)
+          val g = rollingAcc(r.getString(1)) % 7
+          val w = 72 + (did % 3).toInt * 28
+          val h = 64 + (did % 5).toInt * 16
+          val jpegs = (0 until 3).map { f =>
+            val gray = Array.tabulate(w * h) { p =>
+              val tx = (p % w) / 8; val ty = (p / w) / 8
+              ((g * 37 + tx * 13 + ty * 29 + f * 17) % 256).toInt
+            }
+            Jpeg.encodeGray(w, h, gray, stdHuffman = true, omitDht = true)
+          }
+          Media.MediaItem(did, "video", graft.sources.Mp4.encodeMp4Jpeg(w, h, jpegs))
+        }
+      Media.pdqFrames(items, Media.autoFrames)
+        .toDF("id", "frame_no", "pdq_hex", "quality")
+        .orderBy("id", "frame_no")
+    },
+    mediaAviPdq.oracle // lazy: shares the AVI pixel-chain replay verbatim
+  )
+
+  /** Decode-free video triage — the operation a 100 TB curation run
+    * does FIRST: per-file track metadata (codec, dims, timescale,
+    * duration, sample count, keyframe cadence) read from the `moov`
+    * tree only, no sample decoded ([[graft.sources.Mp4.tracks]]).
+    * Fixtures vary every axis independently (frame count, fps, sync
+    * cadence, width); the oracle reconstructs all of it
+    * arithmetically, so a mis-parsed `stss`/`stts`/`mdhd` field
+    * cannot hide. */
+  val mp4Meta: QueryDef = QueryDef(
+    "mp4_meta",
+    (s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+        .map { r =>
+          val did = r.getLong(0)
+          val n = 2 + (did % 4).toInt
+          val fps = 5 + (did % 3).toInt
+          val se = 1 + (did % 3).toInt
+          val w = 16 + 8 * (did % 2).toInt
+          val gray = Array.tabulate(w * 16)(p => ((p * 7 + did) % 256).toInt)
+          val jpegs = (0 until n).map(_ => Jpeg.encodeGray(w, 16, gray))
+          val t = graft.sources.Mp4.tracks(
+            graft.sources.Mp4.encodeMp4Jpeg(w, 16, jpegs, fps, se)).head
+          (did, t.codec, t.width, t.height, t.timescale, t.duration, t.nSamples, t.nSync)
+        }
+        .toDF("id", "codec", "width", "height", "timescale_u", "duration_u",
+          "n_samples", "n_sync")
+        .orderBy("id")
+    },
+    Some("""
+      SELECT doc_id AS id, 'jpeg' AS codec,
+        CAST(16 + 8 * (doc_id % 2) AS INT) AS width, CAST(16 AS INT) AS height,
+        (5 + doc_id % 3) * 1000 AS timescale_u,
+        (2 + doc_id % 4) * 1000 AS duration_u,
+        2 + doc_id % 4 AS n_samples,
+        (1 + doc_id % 4) // (1 + doc_id % 3) + 1 AS n_sync
+      FROM documents WHERE doc_id < 200 ORDER BY id
+    """.trim)
+  )
+
   val mediaAviPdq: QueryDef = QueryDef(
     "media_avi_pdq",
     (s, dir) => {
@@ -4421,7 +4499,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }

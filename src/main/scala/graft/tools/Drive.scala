@@ -741,6 +741,25 @@ object Drive {
       val (tw2, th2, tpx) = Media.tiffPixelDecoder(tiled)
       println(s"tiff tiled-lzw ${tw2}x$th2 ok=${tpx.length == 70 * 40}")
     }
+    locally {
+      println("=== mp4: box walk -> metadata triage + jpeg-track frame decode ===")
+      def tile(f: Int): Array[Int] = Array.tabulate(48 * 32)(p =>
+        (((p % 48) / 8) * 13 + ((p / 48) / 8) * 29 + f * 17) % 256)
+      val m = graft.sources.Mp4.encodeMp4Jpeg(48, 32,
+        (0 until 4).map(f => graft.operators.Jpeg.encodeGray(48, 32, tile(f))),
+        fps = 25, syncEvery = 2)
+      graft.sources.Mp4.tracks(m).foreach(t => println(
+        s"track ${t.trackId}: ${t.handler}/${t.codec} ${t.width}x${t.height} " +
+          s"ts=${t.timescale} dur=${t.duration} samples=${t.nSamples} sync=${t.nSync}"))
+      println(s"frames decoded via autoFrames = ${Media.autoFrames(m).length}")
+      // avc1 track: metadata reads, decode refuses BY NAME
+      val avc = m.clone()
+      val at = m.indices.find(i => m(i) == 'j' && m(i + 1) == 'p' && m(i + 2) == 'e' && m(i + 3) == 'g').get
+      System.arraycopy("avc1".getBytes("US-ASCII"), 0, avc, at, 4)
+      println(s"avc1 track codec = ${graft.sources.Mp4.tracks(avc).head.codec}")
+      try graft.sources.Mp4.mp4Frames(avc)
+      catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
