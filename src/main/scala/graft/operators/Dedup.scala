@@ -1009,6 +1009,79 @@ object Dedup {
       .filter(col("max_run_tokens") >= minRunTokens)
   }
 
+  /** ExactSubstr removal SPANS — the Lee et al. ACL'22 §4.1 substring
+    * dedup, corpus-wide and EXACT via the L-gram anchor equivalence: a
+    * token position lies inside some substring of ≥ `minTokens` tokens
+    * that occurs ≥ 2 times anywhere in the corpus (another document OR
+    * another offset of the same one) iff it is covered by an L-gram
+    * (L = minTokens) whose hash occurs ≥ 2 times. (⇐ an L-gram IS such
+    * a substring; ⇒ any ≥ L-token duplicated span contains, around any
+    * of its positions, a full L-gram that is itself duplicated.) So the
+    * union of duplicated-anchor extents [pos, pos+L-1], merged per doc,
+    * is exactly the removable set — no suffix array needed.
+    *
+    * Shape (100 TB): one map-only shingle pass ([[graft.plans.ShingleHash60]],
+    * no shingle strings materialized) → slim (h, count) aggregate with
+    * map-side combine (a boilerplate gram collapses per partition
+    * before the shuffle) → `left_semi` back on the hash (AQE splits hot
+    * hashes) → per-doc interval merge. The merge needs no running max:
+    * every extent has the same length L, so ends are monotone in
+    * starts and a single `lag` decides island breaks
+    * (`pos - prev > L` ⇔ disjoint-and-non-adjacent). Window partitions
+    * by doc id — bounded by tokens-per-doc, never corpus-sized.
+    *
+    * @return (id, span_start, span_end, span_tokens): token-index
+    *         removal spans, closed bounds, only docs with ≥ 1 span. */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val grams = Materialize(shingleHashRows(df, idCol, textCol, minTokens))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    grams.join(dup, Seq("h"), "left_semi")
+      .select("id", "pos")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > minTokens, 1L).otherwise(0L))
+      .withColumn("isl", sum("brk").over(w))
+      .groupBy("id", "isl")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(minTokens - 1)).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** ExactSubstr REWRITE: drops every token covered by an
+    * [[exactSubstrSpans]] removal span and rejoins the survivors —
+    * the corpus-cardinality-preserving form of Lee et al.'s ExactSubstr
+    * (every doc survives, possibly emptied; unlike the doc-granular
+    * survivor tiers). Spans collapse to one small array per affected
+    * doc (a doc's span count is bounded by its token count / L), so the
+    * rebuild is a doc-level equi-join plus a map-side indexed `filter`
+    * over the token array — the token relation is never exploded.
+    *
+    * @return (id, n_tokens, n_removed, text_clean) for EVERY input doc. */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50): DataFrame = {
+    val spanArr = exactSubstrSpans(df, idCol, textCol, minTokens)
+      .groupBy("id")
+      .agg(array_sort(collect_list(
+        struct(col("span_start"), col("span_end")))).as("spans"))
+    df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .join(spanArr, Seq("id"), "left")
+      .select(col("id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        coalesce(aggregate(col("spans"), lit(0L),
+          (acc, s) => acc + s.getField("span_end") - s.getField("span_start") + 1),
+          lit(0L)).as("n_removed"),
+        array_join(
+          when(col("spans").isNull, col("ws")).otherwise(
+            filter(col("ws"), (_, i) => !exists(col("spans"), s =>
+              i >= s.getField("span_start") && i <= s.getField("span_end")))),
+          " ").as("text_clean"))
+  }
+
   /** Corpus-wide exact line deduplication — the RefinedWeb / MassiveText
     * repetition-removal stage (Penedo et al., arXiv 2306.01116 §3.3):
     * every nonempty trimmed line keeps its FIRST corpus occurrence

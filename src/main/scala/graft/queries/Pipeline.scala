@@ -594,6 +594,68 @@ object Pipeline {
     """.trim)
   )
 
+  /** Shared CTE chain replaying [[Dedup.exactSubstrSpans]] at L=8 over
+    * the planted corpus: positional L-gram hashes → ≥2-occurrence
+    * anchors → per-doc same-length interval merge (lag-break + running
+    * sum — ends are monotone in starts, no running max needed). */
+  private def exactSubstrCtes(input: String, L: Int): String =
+    s"""w AS (SELECT id, list_filter(regexp_split_to_array(text, ' +'), x -> len(x) > 0) AS ws FROM ($input)),
+      g0 AS (SELECT id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS i FROM w WHERE len(ws) >= $L),
+      g AS (SELECT id, i - 1 AS pos,
+        CAST('0x' || substr(md5(array_to_string(ws[i:i+${L - 1}], ' ')), 1, 15) AS BIGINT) AS h FROM g0),
+      dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+      hit AS (SELECT g.id, g.pos FROM g JOIN dup USING (h)),
+      brk AS (SELECT id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > $L THEN 1 ELSE 0 END AS b
+        FROM hit),
+      isl AS (SELECT id, pos, sum(b) OVER (PARTITION BY id ORDER BY pos) AS isl FROM brk),
+      spans AS (SELECT id, min(pos) AS span_start, max(pos) + ${L - 1} AS span_end
+        FROM isl GROUP BY id, isl)"""
+
+  /** ExactSubstr (Lee et al. ACL'22) removal spans: every maximal
+    * per-doc token range covered by ≥ 8-token substrings that repeat
+    * anywhere in the corpus. The planted variants (id+1M, tail
+    * appended) duplicate their base doc wholesale, so both members of
+    * each pair grow a near-full-doc span; natural cross-doc repeats
+    * add more. The oracle replays anchors + merge independently. */
+  val exactSubstrSpansQ: QueryDef = QueryDef(
+    "exact_substr_spans",
+    (s, dir) => Dedup.exactSubstrSpans(corpus(s, dir), "id", "text", minTokens = 8)
+      .orderBy("id", "span_start"),
+    Some(s"""
+      WITH ${exactSubstrCtes(corpusSql, 8)}
+      SELECT id, span_start, span_end, span_end - span_start + 1 AS span_tokens
+      FROM spans ORDER BY id, span_start
+    """.trim)
+  )
+
+  /** The ExactSubstr REWRITE over the same corpus: covered tokens
+    * dropped, survivors rejoined — every doc survives (possibly
+    * emptied). The oracle rebuilds via explode + span anti-join, a
+    * deliberately DIFFERENT mechanism from the engine's map-side
+    * indexed array filter. */
+  val exactSubstrDedupQ: QueryDef = QueryDef(
+    "exact_substr_dedup",
+    (s, dir) => Dedup.exactSubstrDedup(corpus(s, dir), "id", "text", minTokens = 8)
+      .orderBy("id"),
+    Some(s"""
+      WITH ${exactSubstrCtes(corpusSql, 8)},
+      t0 AS (SELECT id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+      tok AS (SELECT id, i - 1 AS p, ws[i] AS t FROM t0),
+      keep AS (
+        SELECT tok.id, tok.p, tok.t FROM tok
+        LEFT JOIN spans s ON tok.id = s.id AND tok.p BETWEEN s.span_start AND s.span_end
+        WHERE s.span_start IS NULL),
+      kept AS (SELECT id, string_agg(t, ' ' ORDER BY p) AS text_clean FROM keep GROUP BY id),
+      rm AS (SELECT id, sum(span_end - span_start + 1) AS n_removed FROM spans GROUP BY id)
+      SELECT w.id AS id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+        CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed,
+        coalesce(k.text_clean, '') AS text_clean
+      FROM w LEFT JOIN rm ON rm.id = w.id LEFT JOIN kept k ON k.id = w.id
+      ORDER BY id
+    """.trim)
+  )
+
   /** TF-IDF top-3 salient terms per document. */
   val tfidfTerms: QueryDef = QueryDef(
     "tfidf_terms",
@@ -4495,7 +4557,7 @@ object Pipeline {
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
-    ngramJaccardCapped, lshRecall, commonSpans, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,

@@ -760,6 +760,21 @@ object Drive {
       try graft.sources.Mp4.mp4Frames(avc)
       catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
     }
+    locally {
+      println("=== exactSubstr: anchor spans + rewrite (Lee et al. ExactSubstr) ===")
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "intro words here shared block alpha beta gamma delta closing remarks"),
+        (2L, "other opening shared block alpha beta gamma delta and a different end"),
+        (3L, "nothing repeated in this one at all")
+      ).toDF("id", "text")
+      graft.operators.Dedup.exactSubstrSpans(docs, "id", "text", minTokens = 5)
+        .orderBy("id", "span_start").show(false)
+      graft.operators.Dedup.exactSubstrDedup(docs, "id", "text", minTokens = 5)
+        .orderBy("id").show(false)
+      try graft.operators.Dedup.exactSubstrSpans(docs, "id", "text", minTokens = 0)
+      catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

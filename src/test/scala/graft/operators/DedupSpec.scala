@@ -660,4 +660,72 @@ class DedupSpec extends SparkTestBase {
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     assert(Dedup.intraDocLineDedup(in.toDF().toDF("id", "text"), "id", "text").isStreaming)
   }
+
+  // ---- ExactSubstr (Lee et al. ACL'22) -------------------------------
+
+  private def tokens(n: Int, tag: String): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("exactSubstrSpans: cross-doc duplicated block yields one merged span in each doc") {
+    // shared 6-token block inside otherwise-unique 14-token docs, L=4:
+    // anchors at block offsets 0,1,2 merge to one [start, start+5] span
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"${tokens(4, "u")} $shared ${tokens(4, "v")}"),
+      (2L, s"${tokens(4, "x")} $shared ${tokens(4, "y")}")
+    ).toDF("id", "text")
+    val got = rows(Dedup.exactSubstrSpans(df, "id", "text", minTokens = 4)
+      .orderBy("id"))
+    assert(got == Seq(Seq(1L, 4, 9, 6), Seq(2L, 4, 9, 6)))
+  }
+
+  test("exactSubstrSpans: self-repeat within ONE doc counts (occurrences, not distinct docs)") {
+    val df = Seq(
+      (1L, s"one two three four ${tokens(5, "m")} one two three four")
+    ).toDF("id", "text")
+    val got = rows(Dedup.exactSubstrSpans(df, "id", "text", minTokens = 4)
+      .orderBy("id", "span_start"))
+    assert(got == Seq(Seq(1L, 0, 3, 4), Seq(1L, 9, 12, 4)))
+  }
+
+  test("exactSubstrSpans: adjacent extents merge; sub-L repeats are invisible") {
+    // periodic doc "p p p ... p" (10 tokens), L=4: every anchor duplicated,
+    // one full-doc span — adjacency (gap == L) must not split islands
+    val df = Seq(
+      (1L, (0 until 10).map(_ => "p").mkString(" ")),
+      (2L, "p p p distinct1 distinct2 distinct3 distinct4 distinct5") // 3-token repeat < L
+    ).toDF("id", "text")
+    val got = rows(Dedup.exactSubstrSpans(df, "id", "text", minTokens = 4))
+    assert(got == Seq(Seq(1L, 0, 9, 10)))
+  }
+
+  test("exactSubstrDedup: covered tokens drop, unaffected docs pass through verbatim") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"u0 u1 u2 u3 $shared v0 v1"),
+      (2L, s"x0 x1 $shared y0 y1"),
+      (3L, "totally unrelated words here")
+    ).toDF("id", "text")
+    val got = rows(Dedup.exactSubstrDedup(df, "id", "text", minTokens = 4).orderBy("id"))
+    assert(got == Seq(
+      Seq(1L, 12L, 6L, "u0 u1 u2 u3 v0 v1"),
+      Seq(2L, 10L, 6L, "x0 x1 y0 y1"),
+      Seq(3L, 4L, 0L, "totally unrelated words here")))
+  }
+
+  test("exactSubstrDedup: identical docs empty out entirely, n_removed == n_tokens") {
+    val t = tokens(7, "d")
+    val df = Seq((1L, t), (2L, t)).toDF("id", "text")
+    val got = rows(Dedup.exactSubstrDedup(df, "id", "text", minTokens = 4).orderBy("id"))
+    assert(got == Seq(Seq(1L, 7L, 7L, ""), Seq(2L, 7L, 7L, "")))
+  }
+
+  test("exactSubstrSpans: anchor count aggregate is map-side combinable, no window over the hash") {
+    val df = Seq((1L, tokens(20, "a")), (2L, tokens(20, "a"))).toDF("id", "text")
+    val plan = Dedup.exactSubstrSpans(df, "id", "text", minTokens = 8)
+      .queryExecution.executedPlan.toString
+    // dup-anchor filter must be a partial-then-final count, not a sort-window
+    assert(plan.contains("partial_count") || plan.contains("partial count"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+  }
 }
