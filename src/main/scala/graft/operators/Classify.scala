@@ -316,4 +316,166 @@ object Classify {
           FROM ${prefix}all
           ORDER BY gkey DESC, id LIMIT $k)"""
   }
+
+  // ---- fixed-point logistic regression (hard-sigmoid full-batch GD) --
+
+  /** Stopword probes for the logistic feature vector — a tiny fixed
+    * list rendered identically into both engines. */
+  private val LogitStop = Seq("the", "a", "in", "is", "it", "of", "and", "to")
+
+  /** The five small non-negative integer features of the trained
+    * quality classifier: bias, clamped length decile, clamped average
+    * word length, clamped stopword count, clamped digit-token count.
+    * Integer-valued BY CONSTRUCTION (the `/` casts are of exact small
+    * doubles, truncation ≡ DuckDB `//` on non-negatives) so the whole
+    * training trajectory is order-proof integer arithmetic. */
+  private def logitFeatureCols(text: Column): Seq[(String, Column)] = {
+    val ws = words(text)
+    val nw = size(ws)
+    Seq(
+      "x0" -> lit(1L),
+      "x1" -> least((nw / lit(10)).cast("long"), lit(15L)),
+      "x2" -> least((aggregate(transform(ws, w => length(w)), lit(0L), _ + _)
+        / greatest(nw, lit(1)).cast("long")).cast("long"), lit(15L)),
+      "x3" -> least(size(filter(ws, w => w.isInCollection(LogitStop))).cast("long"), lit(15L)),
+      "x4" -> least(size(filter(ws, w => w.rlike("[0-9]"))).cast("long"), lit(15L)))
+  }
+
+  /** DuckDB twins of [[logitFeatureCols]], same order. */
+  private def logitFeatureSql(t: String): Seq[(String, String)] = {
+    val ws = wordsSql(t)
+    val stop = LogitStop.map(s => s"'$s'").mkString(", ")
+    // every feature CAST to BIGINT: DuckDB's list_sum returns HUGEINT,
+    // which pandas surfaces as float64 — a dtype-kind mismatch against
+    // the engine's int64 even when values are identical
+    Seq(
+      "x0" -> "CAST(1 AS BIGINT)",
+      "x1" -> s"CAST(least(len($ws) // 10, 15) AS BIGINT)",
+      "x2" -> s"CAST(least(coalesce(list_sum(list_transform($ws, w -> len(w))), 0) // greatest(len($ws), 1), 15) AS BIGINT)",
+      "x3" -> s"CAST(least(len(list_filter($ws, w -> list_contains([$stop], w))), 15) AS BIGINT)",
+      "x4" -> s"CAST(least(len(list_filter($ws, w -> regexp_matches(w, '[0-9]'))), 15) AS BIGINT)")
+  }
+
+  /** Map-only feature relation (id, x0..x4) for [[logisticFit]] /
+    * [[logisticScore]]. */
+  def logitFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id") +:
+      logitFeatureCols(col(textCol)).map { case (n, c) => c.as(n) }: _*)
+
+  /** `logit_features` SQL fragment: the projection list for a SELECT
+    * over a relation exposing `id` and `text`. */
+  def logitFeaturesSql(t: String): String =
+    logitFeatureSql(t).map { case (n, e) => s"$e AS $n" }.mkString(", ")
+
+  /** Signed division by 4 truncating TOWARD ZERO — DuckDB `//`
+    * semantics (verified: `-7 // 2 = -3`), built as a sign-split floor
+    * of the absolute value. The inner `/` is double division of a
+    * number made exactly divisible by 4, exact while |z| < 2^53 —
+    * far above any reachable micro-unit margin (weights are bounded by
+    * iters · 1e6/lrDiv-scale updates, features by 15). */
+  private def truncDiv4(z: Column): Column = {
+    def fd(a: Column) = ((a - pmod(a, lit(4L))) / lit(4L)).cast("long")
+    when(z >= 0, fd(z)).otherwise(-fd(-z))
+  }
+
+  /** Hard-sigmoid probability in 1e-6 micro-units of the micro-scaled
+    * margin `z`: clamp(z/4 + 1/2, 0, 1) (Courbariaux et al.
+    * arXiv 1602.02830's piecewise-linear sigma), with the signed `/4`
+    * truncating toward zero on BOTH engines, so training is exactly
+    * replayable. */
+  private def hardSigmoid(z: Column): Column =
+    least(greatest(truncDiv4(z) + lit(500000L), lit(0L)), lit(1000000L))
+
+  /** Full-batch gradient descent on the hard-sigmoid logistic model,
+    * entirely in integer micro-units — the in-engine "train the quality
+    * classifier" step of a curation pipeline, with a deterministic,
+    * oracle-replayable trajectory (no float sums, no row order
+    * dependence).
+    *
+    * Each iteration is ONE map-side-combinable aggregate over the
+    * feature relation (gradients in DECIMAL(38,0): |e·x| ≤ 1.5e7 per
+    * row, so int64 only overflows past ~6e11 rows and the decimal sum
+    * never does) followed by a driver-side 5-long weight update
+    * `w_j −= g_j div (n·lrDiv)` (BigInt `/` truncates toward zero,
+    * matching the SQL twins). The feature relation is persisted for
+    * the `iters` scans and released before returning.
+    *
+    * @param feats (x0..x4, labelCol) relation, labelCol ∈ {0, 1}
+    * @return the fitted weights w0..w4 in micro-units */
+  def logisticFit(feats: DataFrame, labelCol: String, iters: Int = 3,
+      lrDiv: Long = 64L): Array[Long] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lrDiv >= 1, s"lrDiv must be >= 1, got $lrDiv")
+    val f = feats.persist()
+    try {
+      val w = Array.fill(5)(0L)
+      for (_ <- 1 to iters) {
+        val z = (0 to 4).map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
+        val scored = f
+          .withColumn("z", z)
+          .withColumn("e", hardSigmoid(col("z")) - col(labelCol) * lit(1000000L))
+        val row = scored.agg(
+          count(lit(1)).as("n"),
+          (0 to 4).map(j =>
+            sum((col("e") * col(s"x$j")).cast("decimal(38,0)")).as(s"g$j")): _*
+        ).collect()(0)
+        val n = row.getLong(0)
+        require(n > 0, "logisticFit: empty feature relation")
+        for (j <- 0 to 4) {
+          val g = BigInt(row.getDecimal(1 + j).toBigIntegerExact)
+          w(j) = (BigInt(w(j)) - g / (BigInt(n) * lrDiv)).toLong
+        }
+      }
+      w
+    } finally { f.unpersist(); () }
+  }
+
+  /** Map-only inference with fitted micro-unit weights:
+    * (id, x0..x4 passthrough dropped) → (id, z, score_micro, pred). */
+  def logisticScore(feats: DataFrame, weights: Seq[Long]): DataFrame = {
+    require(weights.length == 5, s"need 5 weights, got ${weights.length}")
+    feats
+      .withColumn("z", (0 to 4).map(j => col(s"x$j") * lit(weights(j))).reduce(_ + _))
+      .withColumn("score_micro", hardSigmoid(col("z")))
+      .withColumn("pred", (col("score_micro") >= lit(500000L)).cast("int"))
+      .select("id", "z", "score_micro", "pred")
+  }
+
+  /** CTE chain replaying [[logisticFit]] + [[logisticScore]] over
+    * `input` (a relation projecting `id`, `x0..x4`, `y`): `<p>f` the
+    * features, `<p>w<iters>` the final 1-row weight relation, `<p>sc`
+    * the scored output (id, z, score_micro, pred). */
+  def logisticSql(input: String, iters: Int = 3, lrDiv: Long = 64L,
+      prefix: String = "lg"): String = {
+    // the extra parens around $z matter: it may be an inlined w·x sum,
+    // and `//` binds tighter than `+`
+    def sigmoid(z: String) =
+      s"least(greatest((($z) // 4) + 500000, 0), 1000000)"
+    def zOf(wRef: Int => String) =
+      (0 to 4).map(j => s"${wRef(j)} * x$j").mkString(" + ")
+    val sb = new StringBuilder
+    sb ++= s"${prefix}f AS (SELECT * FROM ($input))"
+    var wRef: Int => String = _ => "CAST(0 AS BIGINT)"
+    for (t <- 1 to iters) {
+      val z = zOf(wRef)
+      sb ++= s""",
+        ${prefix}g$t AS (
+          SELECT count(*) AS n,
+            ${(0 to 4).map(j =>
+              s"sum((${sigmoid(z)} - y * 1000000) * x$j) AS g$j").mkString(", ")}
+          FROM ${prefix}f),
+        ${prefix}w$t AS (SELECT ${(0 to 4).map(j =>
+            s"CAST(${wRef(j)} - (g$j // (n * $lrDiv)) AS BIGINT) AS w$j")
+            .mkString(", ")}
+          FROM ${prefix}g$t)"""
+      val it = t
+      wRef = j => s"(SELECT w$j FROM ${prefix}w$it)"
+    }
+    sb ++= s""",
+      ${prefix}sc AS (
+        SELECT id, z, ${sigmoid("z")} AS score_micro,
+          CAST(${sigmoid("z")} >= 500000 AS INT) AS pred
+        FROM (SELECT id, ${zOf(wRef)} AS z FROM ${prefix}f))"""
+    sb.toString
+  }
 }

@@ -3562,6 +3562,32 @@ object Pipeline {
     }
   )
 
+  /** In-engine TRAINED logistic quality classifier: integer features →
+    * 3 full-batch hard-sigmoid GD iterations, each ONE map-combinable
+    * aggregate (gradients in DECIMAL(38,0)) with a driver-side 5-long
+    * weight update — then map-only rescore of every doc. The label
+    * (length decile ≥ 5) is derivable from x1, so the fit must learn a
+    * separating weight; the oracle replays the ENTIRE training
+    * trajectory as three unrolled CTE stages, so a wrong gradient,
+    * clamp, or truncation direction in any iteration diverges. */
+  val logitQuality: QueryDef = QueryDef(
+    "logit_quality",
+    (s, dir) => {
+      val feats = Classify.logitFeatures(
+        tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
+        "id", "text")
+        .withColumn("y", (col("x1") >= 5).cast("long"))
+      val w = Classify.logisticFit(feats, "y", iters = 3, lrDiv = 64L)
+      Classify.logisticScore(feats, w.toSeq).orderBy("id")
+    },
+    Some(s"""
+      WITH f0 AS (SELECT doc_id AS id, ${Classify.logitFeaturesSql("text")} FROM documents),
+      fy AS (SELECT *, CAST(CASE WHEN x1 >= 5 THEN 1 ELSE 0 END AS BIGINT) AS y FROM f0),
+      ${Classify.logisticSql("SELECT * FROM fy", iters = 3, lrDiv = 64L)}
+      SELECT id, z, score_micro, pred FROM lgsc ORDER BY id
+    """.trim)
+  )
+
   /** DSIR importance resampling: target distribution = every 7th doc,
     * select 150 of the corpus by Gumbel top-k over the hashed
     * unigram+bigram importance weights. */
@@ -4555,7 +4581,7 @@ object Pipeline {
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
-    c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, dsirSelectQ, nfcTextQ,
+    c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,

@@ -775,6 +775,25 @@ object Drive {
       try graft.operators.Dedup.exactSubstrSpans(docs, "id", "text", minTokens = 0)
       catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
     }
+    locally {
+      println("=== logistic quality classifier: integer GD fit + map-only score ===")
+      import spark.implicits._
+      val docs = (0 until 40).map { i =>
+        val n = if (i % 2 == 0) 60 else 12
+        (i.toLong, (0 until n).map(k => "t" + ("oken".take(1 + k % 4))).mkString(" "))
+      }.toDF("id", "text")
+      import org.apache.spark.sql.functions.col
+      val feats = Classify.logitFeatures(docs, "id", "text")
+        .withColumn("y", (col("x1") >= 5).cast("long"))
+      val w = graft.operators.Classify.logisticFit(feats, "y", iters = 10, lrDiv = 8L)
+      println(s"fitted weights (micro): ${w.mkString(", ")}")
+      val acc = graft.operators.Classify.logisticScore(feats, w.toSeq)
+        .join(feats.select("id", "y"), Seq("id"))
+        .filter(col("pred") === col("y")).count()
+      println(s"training accuracy = $acc/40")
+      try graft.operators.Classify.logisticFit(feats, "y", iters = 3, lrDiv = 0L)
+      catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
