@@ -3039,32 +3039,40 @@ object Pipeline {
     * per clip, ready for the existing Hamming join tier. Oracle:
     * majority + nibble/hex reassembly straight from the `pbits`
     * relation. */
+  /** The shared clip corpus of the clip-level gates (`media_clip_hash`,
+    * `media_clip_dups`, `media_tmk_score`): 32 multi-frame GIFs whose
+    * scene family, dims, and cut point vary per doc. */
+  private def mediaClipItems(s: SparkSession, dir: String):
+      org.apache.spark.sql.Dataset[Media.MediaItem] = {
+    import s.implicits._
+    tbl(s, dir, "documents")
+      .filter(col("doc_id") < 32)
+      .select(col("doc_id"), col("text"))
+      .map { r =>
+        val did = r.getLong(0)
+        val g = rollingAcc(r.getString(1)) % 7
+        val w = 72 + (did % 3).toInt * 28
+        val h = 64 + (did % 5).toInt * 16
+        val c = 2 + (did % 3).toInt
+        val frames = (0 until 6).map { f =>
+          Array.tabulate(w * h) { p =>
+            val x = p % w; val y = p / w
+            val bump = if (x / 16 == ((did + f) % 4).toInt && y / 16 == ((did + f) % 6).toInt) 40 else 0
+            val v = (if (f < c) (g * 29 + x * 2 + y * 3 + bump) % 256
+                     else (g * 13 + x * 5 + y * 2 + bump) % 256).toInt
+            (v << 16) | (v << 8) | v
+          }
+        }
+        Media.MediaItem(did, "gif", Media.encodeGifGray(w, h, frames))
+      }
+  }
+
   val mediaClipHash: QueryDef = QueryDef(
     "media_clip_hash",
     (s, dir) => {
-      import s.implicits._
-      val items = tbl(s, dir, "documents")
-        .filter(col("doc_id") < 32)
-        .select(col("doc_id"), col("text"))
-        .map { r =>
-          val did = r.getLong(0)
-          val g = rollingAcc(r.getString(1)) % 7
-          val w = 72 + (did % 3).toInt * 28
-          val h = 64 + (did % 5).toInt * 16
-          val c = 2 + (did % 3).toInt
-          val frames = (0 until 6).map { f =>
-            Array.tabulate(w * h) { p =>
-              val x = p % w; val y = p / w
-              val bump = if (x / 16 == ((did + f) % 4).toInt && y / 16 == ((did + f) % 6).toInt) 40 else 0
-              val v = (if (f < c) (g * 29 + x * 2 + y * 3 + bump) % 256
-                       else (g * 13 + x * 5 + y * 2 + bump) % 256).toInt
-              (v << 16) | (v << 8) | v
-            }
-          }
-          Media.MediaItem(did, "gif", Media.encodeGifGray(w, h, frames))
-        }
       Media.clipHash(
-        Media.pdqFrames(items, Media.gifFrames).toDF("id", "frame_no", "pdq_hex", "quality"))
+        Media.pdqFrames(mediaClipItems(s, dir), Media.gifFrames)
+          .toDF("id", "frame_no", "pdq_hex", "quality"))
         .orderBy("id")
     },
     Some(s"""
@@ -3130,6 +3138,67 @@ object Pipeline {
       FROM cbits a JOIN cbits b ON a.p = b.p AND a.id < b.id
       GROUP BY 1, 2
       HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 80
+      ORDER BY id_a, id_b
+      """.trim
+    }
+  )
+
+  /** TMK-style temporal pooling + offset-probing pair scores over the
+    * SAME clip corpus as `media_clip_hash`: per-frame PDQ bits pool
+    * under fixed-point cos/sin period weights into 256-row descriptors
+    * (frames gone after ONE map-combinable groupBy), then every pair
+    * scores at offsets Δ=0..3 via the integer rotation identity. At
+    * scale the pair relation is the banded clip-hash join's survivors;
+    * the gate probes all pairs of its 32 clips. The oracle replays
+    * pixels → PDQ chain → pooling → rotation scores with the SAME
+    * weight literals [[graft.operators.graft.operators.Tmk.cosTable]] renders. */
+  val mediaTmkScore: QueryDef = QueryDef(
+    "media_tmk_score",
+    (s, dir) => {
+      val frames = Media.pdqFrames(mediaClipItems(s, dir), Media.gifFrames)
+        .toDF("id", "frame_no", "pdq_hex", "quality")
+      val pooled = graft.operators.Tmk.tmkPool(frames, "id", "frame_no", "pdq_hex", Seq(1, 4, 8))
+      val ids = pooled.select(col("id")).distinct()
+      val pairs = ids.select(col("id").as("id_a"))
+        .join(ids.select(col("id").as("id_b")), col("id_a") < col("id_b"))
+      graft.operators.Tmk.tmkScorePairs(pooled, pairs, Seq(1, 4, 8), maxDelta = 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val periods = Seq(1, 4, 8)
+      val inner = mediaClipHash.oracle.get
+      // reuse media_clip_hash's pixel chain up to pbits: strip its
+      // final clip-majority stages and final SELECT
+      val upToPbits = inner.substring(0, inner.indexOf(",\n      cb AS"))
+      val poolCols = periods.flatMap { p =>
+        Seq(
+          s"SUM(sgn * list_extract(CAST(${graft.operators.Tmk.tableSql(graft.operators.Tmk.cosTable(p))} AS BIGINT[]), (t % $p) + 1)) AS pc_$p",
+          s"SUM(sgn * list_extract(CAST(${graft.operators.Tmk.tableSql(graft.operators.Tmk.sinTable(p))} AS BIGINT[]), (t % $p) + 1)) AS ps_$p")
+      }.mkString(",\n          ")
+      val deltas = (0 to 3).map { d =>
+        val body = periods.map { p =>
+          val cw = graft.operators.Tmk.cosTable(p)(d % p)
+          val sw = graft.operators.Tmk.sinTable(p)(d % p)
+          s"$cw * (a.pc_$p * b.pc_$p + a.ps_$p * b.ps_$p) + $sw * (a.pc_$p * b.ps_$p - a.ps_$p * b.pc_$p)"
+        }.mkString(" + ")
+        s"SUM($body) AS s$d"
+      }.mkString(",\n          ")
+      s"""
+      $upToPbits,
+      tp AS (SELECT id // 8 AS cid, id % 8 AS t, p AS b, 2 * bit - 1 AS sgn FROM pbits),
+      pooled AS (
+        SELECT cid, b,
+          $poolCols
+        FROM tp GROUP BY cid, b),
+      pr AS (
+        SELECT a.cid AS id_a, b.cid AS id_b,
+          $deltas
+        FROM pooled a JOIN pooled b ON a.b = b.b AND a.cid < b.cid
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+        CASE WHEN s0 = g THEN 0 WHEN s1 = g THEN 1 WHEN s2 = g THEN 2 ELSE 3 END AS best_delta,
+        CAST(g AS BIGINT) AS best_score
+      FROM (SELECT id_a, id_b, s0, s1, s2, s3, greatest(s0, s1, s2, s3) AS g FROM pr)
       ORDER BY id_a, id_b
       """.trim
     }
@@ -4587,7 +4656,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )
 }

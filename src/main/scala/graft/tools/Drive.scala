@@ -794,6 +794,20 @@ object Drive {
       try graft.operators.Classify.logisticFit(feats, "y", iters = 3, lrDiv = 0L)
       catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
     }
+    locally {
+      println("=== TMK temporal pooling: shifted clip recovered at its true offset ===")
+      import spark.implicits._
+      def fh(seed: Int): String = {
+        val sb = new StringBuilder; var s = seed * 2654435761L
+        while (sb.length < 64) { s = s * 6364136223846793005L + 1442695040888963407L; sb ++= f"${s >>> 32}%08x" }
+        sb.take(64).toString
+      }
+      val base = (0 until 8).map(fh)
+      val rows = base.zipWithIndex.map { case (h, t) => (1L, t, h) } ++
+        (0 until 8).map(t => (2L, t, base(((t - 3) % 8 + 8) % 8)))
+      val pooled = Tmk.tmkPool(rows.toDF("id", "frame_no", "pdq_hex"), "id", "frame_no", "pdq_hex")
+      Tmk.tmkScorePairs(pooled, Seq((1L, 2L)).toDF("id_a", "id_b"), maxDelta = 3).show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
