@@ -76,6 +76,42 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for
+    * each anchor, the top-k most-similar corpus points OUTSIDE the
+    * anchor's positive cluster — the highest-value negatives (near the
+    * anchor, yet not semantically "the same"), with same-cluster
+    * near-duplicates excluded because they would be FALSE negatives in
+    * a contrastive loss. Both inputs project (idCol, vecCol,
+    * clusterCol); the cluster is whatever positive notion the caller
+    * has — an LSH bucket ([[hyperplaneBucket]]), a connected component
+    * from [[semanticDedup]], a label.
+    *
+    * Shape: anchors broadcast against the corpus scan (mining runs for
+    * a training batch, not the whole corpus at once); per-anchor top-k
+    * plans as `WindowGroupLimit` so only k rows per anchor survive the
+    * shuffle. For full-corpus mining at 100 TB, pre-restrict the
+    * candidate side with the IVF tier (probe the anchor's nearest
+    * cells) and feed the candidates in as `corpus`.
+    *
+    * @return (anchor_id, neg_id, cos, rank), rank 1..k by cosine
+    *         descending, id-ascending tie-break — deterministic. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = corpus.select(col(idCol).as("neg_id"), col(vecCol).as("nvec"),
+      col(clusterCol).as("ncl"))
+    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("avec"),
+      col(clusterCol).as("acl"))
+    val scored = c.join(broadcast(a),
+        col("anchor_id") =!= col("neg_id") && col("acl") =!= col("ncl"))
+      .withColumn("cos", round(cosine(col("avec"), col("nvec")), 9))
+    val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("neg_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("anchor_id", "neg_id", "cos", "rank")
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * storage tier of large-scale similarity search (4× smaller than
     * float32, dequantizes to within one code step). Per vector:

@@ -1174,6 +1174,38 @@ object Pipeline {
     """.trim)
   )
 
+  /** Hard-negative mining over the embeddings table: positives =
+    * same 6-plane LSH bucket (the near-dup proxy), anchors = the first
+    * 12 vectors, negatives = top-5 out-of-bucket cosine neighbors.
+    * Pins BOTH the exclusion semantics (same-bucket rows never appear
+    * as negatives) and the rank order; the oracle replays the bucket
+    * bits and the cosine ranking independently. */
+  val hardNegativesQ: QueryDef = QueryDef(
+    "hard_negatives",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          SimilaritySearch.hyperplaneBucket(col("embedding"), 64, 6).as("cl"))
+      SimilaritySearch.hardNegatives(e, e.filter(col("id") < 12),
+        "id", "vec", "cl", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("anchor_id", "rank")
+    },
+    Some(s"""
+      WITH v AS (SELECT vec_id AS id, embedding AS vec,
+          ${SimilaritySearch.hyperplaneBucketSql("embedding", 64, 6)} AS cl
+        FROM embeddings),
+      a AS (SELECT id AS anchor_id, vec AS avec, cl AS acl FROM v WHERE id < 12),
+      sc AS (
+        SELECT anchor_id, id AS neg_id,
+          round(${SimilaritySearch.cosineSql("avec", "vec", 64)}, 9) AS cos
+        FROM a JOIN v ON anchor_id <> id AND acl <> cl
+      ),
+      r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neg_id) AS rank FROM sc)
+      SELECT anchor_id, neg_id, cos, rank FROM r WHERE rank <= 5 ORDER BY anchor_id, rank
+    """.trim)
+  )
+
   /** Hybrid retrieval: the BM25 lexical ranking and the dense cosine
     * ranking fused by [[SimilaritySearch.rrfFuse]] — rank-only integer
     * fusion, so no score calibration and a bit-exact replay. Both
@@ -4655,7 +4687,7 @@ object Pipeline {
     ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
-    embedTopK, textEmbedTopK, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
+    embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
     mediaIndexClassify
   )

@@ -808,6 +808,16 @@ object Drive {
       val pooled = Tmk.tmkPool(rows.toDF("id", "frame_no", "pdq_hex"), "id", "frame_no", "pdq_hex")
       Tmk.tmkScorePairs(pooled, Seq((1L, 2L)).toDF("id_a", "id_b"), maxDelta = 3).show()
     }
+    locally {
+      println("=== hard-negative mining: out-of-cluster top-k ===")
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val vecs = Seq(
+        (1L, Array(1.0f, 0.0f), "A"), (2L, Array(0.99f, 0.1f), "A"),
+        (3L, Array(0.9f, 0.4f), "B"), (4L, Array(0.1f, 1.0f), "C")
+      ).toDF("id", "vec", "cl")
+      SimilaritySearch.hardNegatives(vecs, vecs.filter(col("id") === 1), "id", "vec", "cl", 3).show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

@@ -453,4 +453,34 @@ class SimilaritySearchSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       SimilaritySearch.kcenterSeeds(line.filter(col("id") < 0), "id", "codes", 2))
   }
+
+  test("hardNegatives: same-cluster points never appear; ranking is cosine desc with id tie-break") {
+    // anchor 1 in cluster A; 2 is a near-identical SAME-cluster point
+    // (must be excluded), 3/4/5 other-cluster with descending cosine
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "A"),
+      (2L, Array(0.999f, 0.01f, 0.0f), "A"),
+      (3L, Array(0.9f, 0.1f, 0.0f), "B"),
+      (4L, Array(0.5f, 0.5f, 0.0f), "B"),
+      (5L, Array(0.0f, 1.0f, 0.0f), "C")
+    ).toDF("id", "vec", "cl")
+    val got = SimilaritySearch.hardNegatives(vecs, vecs.filter(col("id") === 1), "id", "vec", "cl", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((3L, 1), (4L, 2)), got.mkString(","))
+    // k larger than candidates: all out-of-cluster rows, still no 2
+    val all = SimilaritySearch.hardNegatives(vecs, vecs.filter(col("id") === 1), "id", "vec", "cl", k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(all == Set(3L, 4L, 5L))
+    intercept[IllegalArgumentException](
+      SimilaritySearch.hardNegatives(vecs, vecs, "id", "vec", "cl", 0))
+  }
+
+  test("hardNegatives plans a broadcast join and a WindowGroupLimit top-k") {
+    val vecs = (0 until 30).map(i => (i.toLong, Array.fill(4)(i.toFloat / 30), s"c${i % 3}"))
+      .toDF("id", "vec", "cl")
+    val plan = SimilaritySearch.hardNegatives(vecs, vecs.filter(col("id") < 3), "id", "vec", "cl", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
