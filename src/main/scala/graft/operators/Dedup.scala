@@ -1082,6 +1082,46 @@ object Dedup {
           " ").as("text_clean"))
   }
 
+  /** Per-document NOVELTY score — the memorization-risk diagnostic on
+    * top of the ExactSubstr anchor relation: of a doc's L-gram anchors,
+    * how many also occur elsewhere in the corpus (another doc or
+    * another offset of this one)? `novelty_micro` =
+    * 1e6 − round(1e6 · dup/total) in exact integer arithmetic
+    * ([[graft.functions.TextFunctions]] half-up fixed-point ratio), so
+    * a doc stitched together from corpus boilerplate scores near 0 and
+    * fully original text scores 1e6. The OCCURRENCE count for an
+    * anchor-in-this-doc is (global occurrences of its hash) − 1 ≥ 1 —
+    * i.e. count ≥ 2 marks it duplicated, same anchor rule as
+    * [[exactSubstrSpans]], so the two relations always agree on what
+    * "duplicated" means.
+    *
+    * Shape: the shingle pass + slim (h, count ≥ 2) aggregate of
+    * [[exactSubstrSpans]], then ONE left-semi-marked regroup per doc —
+    * no window, no interval machinery. Docs with < L tokens have no
+    * anchors: they emit (0, 0, 1e6) via the left-join+coalesce
+    * contract (nothing measurable was repeated).
+    *
+    * @return (id, n_grams, n_dup_grams, novelty_micro) for EVERY doc. */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val grams = Materialize(shingleHashRows(df, idCol, textCol, minTokens))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val perDoc = grams
+      .join(dup.withColumn("isdup", lit(1L)), Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("isdup"), lit(0L)).as("n_dup_grams"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("novelty_micro", lit(1000000L) -
+        expr(graft.functions.TextFunctions.ratioScaled(
+          "n_dup_grams", "greatest(n_grams, 1)", 1000000L)))
+  }
+
   /** Corpus-wide exact line deduplication — the RefinedWeb / MassiveText
     * repetition-removal stage (Penedo et al., arXiv 2306.01116 §3.3):
     * every nonempty trimmed line keeps its FIRST corpus occurrence

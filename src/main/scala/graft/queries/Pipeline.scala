@@ -656,6 +656,32 @@ object Pipeline {
     """.trim)
   )
 
+  /** Per-doc novelty/memorization-risk score over the planted corpus:
+    * planted variants (sharing their base doc verbatim) collapse
+    * toward 0; the anchor rule is shared with `exact_substr_spans`.
+    * Short docs (< 8 tokens) emit the (0, 0, 1e6) contract row. */
+  val noveltyScoreQ: QueryDef = QueryDef(
+    "novelty_score",
+    (s, dir) => Dedup.noveltyScore(corpus(s, dir), "id", "text", minTokens = 8)
+      .orderBy("id"),
+    Some(s"""
+      WITH ${exactSubstrCtes(corpusSql, 8)},
+      cnt AS (SELECT h, count(*) AS c FROM g GROUP BY h),
+      pd AS (
+        SELECT g.id, count(*) AS n_grams,
+          CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM g JOIN cnt USING (h) GROUP BY g.id)
+      SELECT w.id AS id,
+        coalesce(pd.n_grams, 0) AS n_grams,
+        coalesce(pd.n_dup, 0) AS n_dup_grams,
+        1000000 - ${graft.functions.TextFunctions.ratioScaledSql(
+          "coalesce(pd.n_dup, 0)",
+          "greatest(coalesce(pd.n_grams, 0), 1)", 1000000L)} AS novelty_micro
+      FROM w LEFT JOIN pd ON pd.id = w.id
+      ORDER BY id
+    """.trim)
+  )
+
   /** TF-IDF top-3 salient terms per document. */
   val tfidfTerms: QueryDef = QueryDef(
     "tfidf_terms",
@@ -4684,7 +4710,7 @@ object Pipeline {
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
-    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,

@@ -818,6 +818,15 @@ object Drive {
       ).toDF("id", "vec", "cl")
       SimilaritySearch.hardNegatives(vecs, vecs.filter(col("id") === 1), "id", "vec", "cl", 3).show()
     }
+    locally {
+      println("=== novelty score: memorization-risk diagnostic ===")
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta u0 u1"),
+        (2L, "alpha beta gamma delta epsilon zeta v0 v1"),
+        (3L, "entirely original words never repeated anywhere at all")).toDF("id", "text")
+      Dedup.noveltyScore(docs, "id", "text", minTokens = 4).orderBy("id").show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

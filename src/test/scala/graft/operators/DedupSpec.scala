@@ -720,6 +720,34 @@ class DedupSpec extends SparkTestBase {
     assert(got == Seq(Seq(1L, 7L, 7L, ""), Seq(2L, 7L, 7L, "")))
   }
 
+  test("noveltyScore: boilerplate-stitched docs score low, originals 1e6, short docs contract row") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"$shared u0 u1"),       // 8 tokens, 5 anchors, 3 dup (the shared-block ones)
+      (2L, s"$shared v0 v1"),
+      (3L, "entirely original words never repeated anywhere obviously"),
+      (4L, "tiny")                   // < L tokens: no anchors
+    ).toDF("id", "text")
+    val got = rows(Dedup.noveltyScore(df, "id", "text", minTokens = 4).orderBy("id"))
+    // docs 1/2: anchors at 0..4; dup anchors = those fully inside the
+    // shared block = starts 0,1,2 -> novelty = (5-3)/5 = 400000
+    assert(got == Seq(
+      Seq(1L, 5L, 3L, 400000L), Seq(2L, 5L, 3L, 400000L),
+      Seq(3L, 4L, 0L, 1000000L), Seq(4L, 0L, 0L, 1000000L)))
+  }
+
+  test("noveltyScore agrees with exactSubstrSpans on what 'duplicated' means") {
+    val df = Seq(
+      (1L, "one two three four m0 m1 m2 m3 m4 one two three four"),
+      (2L, "other words a b c d e f g h")
+    ).toDF("id", "text")
+    val nv = Dedup.noveltyScore(df, "id", "text", minTokens = 4)
+      .filter(col("n_dup_grams") > 0).select("id").collect().map(_.getLong(0)).toSet
+    val sp = Dedup.exactSubstrSpans(df, "id", "text", minTokens = 4)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(nv == sp && nv == Set(1L))
+  }
+
   test("exactSubstrSpans: anchor count aggregate is map-side combinable, no window over the hash") {
     val df = Seq((1L, tokens(20, "a")), (2L, tokens(20, "a"))).toDF("id", "text")
     val plan = Dedup.exactSubstrSpans(df, "id", "text", minTokens = 8)
