@@ -541,6 +541,76 @@ object TextAnalysis {
     df.select(col(idCol).as("id") +: counts :+ redacted.as("redacted"): _*)
   }
 
+  /** Candidate payment-card pattern: 13–19 digits with optional
+    * single space/dash separators, word-bounded. Restricted to
+    * constructs with identical leftmost-greedy semantics in Java regex
+    * and RE2, like [[PiiPatterns]]. */
+  val CcCandidatePattern = "\\b[0-9][0-9 -]{11,21}[0-9]\\b"
+
+  /** Luhn checksum over a digits-only string Column — entirely
+    * built-in expressions (no UDF): processing from the RIGHT, odd
+    * positions double (−9 above 9), total ≡ 0 (mod 10), length 13–19.
+    * Digits decode as `ascii(ch) − 48` — TOTAL under ANSI mode (a
+    * string cast would THROW on non-digit input; Spark 4 defaults ANSI
+    * on); any out-of-range character trips the `bad` counter and the
+    * verdict is false, never an error. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val folded = aggregate(
+      sequence(lit(0), greatest(n - 1, lit(0))),
+      struct(lit(0L).as("total"), lit(0L).as("bad")),
+      (acc, i) => {
+        val d = (ascii(substring(digits, (n - i).cast("int"), lit(1))) - lit(48)).cast("long")
+        struct(
+          (acc.getField("total") + when(i % 2 === 0, d)
+            .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))).as("total"),
+          (acc.getField("bad") + when(d.between(0, 9), lit(0L)).otherwise(lit(1L))).as("bad"))
+      })
+    n.between(13, 19) && folded.getField("bad") === 0 &&
+      folded.getField("total") % 10 === 0
+  }
+
+  /** Credit-card PII with CHECKSUM validation — the rigor regex-only
+    * scanners lack: card-shaped digit runs are only redacted when the
+    * Luhn checksum holds, so order ids and phone-length numerics
+    * survive while real card numbers (any separator style) become
+    * `[CC]`. Per doc: valid/invalid candidate counts plus the
+    * redacted text (literal replacement of each valid candidate; a
+    * candidate string occurring twice counts twice and both
+    * occurrences redact on its first replacement). Map-only. */
+  def redactCreditCards(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val all = regexp_extract_all(col(textCol), lit(CcCandidatePattern), lit(0))
+    val valid = filter(all, c => luhnValid(regexp_replace(c, "[ -]", "")))
+    df.select(col(idCol).as("id"),
+      size(valid).cast("long").as("n_cc_valid"),
+      (size(all) - size(valid)).cast("long").as("n_cc_invalid"),
+      aggregate(valid, col(textCol),
+        (acc, c) => replace(acc, c, lit("[CC]"))).as("redacted"))
+  }
+
+  /** DuckDB twin of [[redactCreditCards]], keyed by output column. */
+  def redactCreditCardsSql(t: String): Seq[(String, String)] = {
+    // DuckDB single-quoted literals keep backslashes literal, so the
+    // Java-escaped pattern embeds as-is (\b reaches RE2 unmangled)
+    val pat = CcCandidatePattern
+    val digits = "regexp_replace(c, '[ -]', '', 'g')"
+    // ascii(ch) - 48, like the Column path: total, no CAST-throw class
+    val dd = s"(ascii(substring($digits, len($digits) - i, 1)) - 48)"
+    val luhn =
+      s"""(len($digits) BETWEEN 13 AND 19 AND
+          list_sum(list_transform(generate_series(0, len($digits) - 1), i ->
+            CASE WHEN i % 2 = 0 THEN $dd
+                 WHEN 2 * $dd > 9 THEN 2 * $dd - 9
+                 ELSE 2 * $dd END)) % 10 = 0)"""
+        .linesIterator.map(_.trim).mkString(" ")
+    val allE = s"regexp_extract_all($t, '$pat')"
+    val validE = s"list_filter($allE, c -> $luhn)"
+    Seq(
+      "n_cc_valid" -> s"CAST(len($validE) AS BIGINT)",
+      "n_cc_invalid" -> s"CAST(len($allE) - len($validE) AS BIGINT)",
+      "redacted" -> s"list_reduce(list_prepend($t, $validE), (acc, c) -> replace(acc, c, '[CC]'))")
+  }
+
   /** DuckDB twin of [[redactPii]], keyed by output column, over text
     * expression `t`. */
   def redactPiiSql(t: String): Seq[(String, String)] = {

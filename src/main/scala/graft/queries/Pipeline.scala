@@ -500,6 +500,47 @@ object Pipeline {
     }
   )
 
+  /** Checksum-validated card redaction: every third doc carries a
+    * Luhn-VALID card number (separator style alternating space/dash),
+    * every third+1 an invalid same-shape number that must survive
+    * unredacted — the false-positive class regex-only scanners kill.
+    * The oracle recomputes Luhn digit-by-digit in SQL. */
+  val piiLuhn: QueryDef = QueryDef(
+    "pii_luhn",
+    (s, dir) => {
+      val planted = tbl(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            when(col("doc_id") % 2 === 0, lit(" pay 4111 1111 1111 1111 now"))
+              .otherwise(lit(" pay 4111-1111-1111-1111 now")))
+            .when(col("doc_id") % 3 === 1, lit(" ref 4111 1111 1111 1112 order"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.redactCreditCards(planted, "id", "text")
+        .select(col("id"), col("n_cc_valid"), col("n_cc_invalid"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("id")
+    },
+    Some {
+      val exprs = TextAnalysis.redactCreditCardsSql("text").toMap
+      s"""
+      WITH planted AS (
+        SELECT doc_id AS id,
+          text || (CASE WHEN doc_id % 3 = 0 THEN
+                     (CASE WHEN doc_id % 2 = 0 THEN ' pay 4111 1111 1111 1111 now'
+                           ELSE ' pay 4111-1111-1111-1111 now' END)
+                   WHEN doc_id % 3 = 1 THEN ' ref 4111 1111 1111 1112 order'
+                   ELSE '' END) AS text
+        FROM documents
+      )
+      SELECT id, ${exprs("n_cc_valid")} AS n_cc_valid,
+        ${exprs("n_cc_invalid")} AS n_cc_invalid,
+        md5(${exprs("redacted")}) AS redacted_md5
+      FROM planted ORDER BY id
+      """.trim
+    }
+  )
+
   /** HTML→text over documents wrapped in PLANTED markup (tags, a
     * script whose body contains a bare `<`, a style block, entities
     * incl. a double-encoded one) — compared via md5 of the clean text. */
@@ -4711,7 +4752,7 @@ object Pipeline {
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
-    tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
+    tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,

@@ -827,6 +827,15 @@ object Drive {
         (3L, "entirely original words never repeated anywhere at all")).toDF("id", "text")
       Dedup.noveltyScore(docs, "id", "text", minTokens = 4).orderBy("id").show()
     }
+    locally {
+      println("=== Luhn-validated card redaction: valid redacts, invalid survives ===")
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "pay 4111 1111 1111 1111 now"),
+        (2L, "ref 4111-1111-1111-1112 order"),
+        (3L, "call 555 123 4567")).toDF("id", "text")
+      TextAnalysis.redactCreditCards(docs, "id", "text").orderBy("id").show(false)
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

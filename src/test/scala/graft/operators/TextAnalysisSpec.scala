@@ -437,4 +437,38 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(f == want, s"case $id: '$in' -> '$f' wanted '$want'")
     }
   }
+
+  test("redactCreditCards: Luhn-valid cards redact in any separator style; invalid and short runs survive") {
+    val df = Seq(
+      (1L, "pay 4111 1111 1111 1111 today"),          // valid, spaces
+      (2L, "pay 4111-1111-1111-1111 today"),          // valid, dashes
+      (3L, "pay 4111111111111111 today"),             // valid, bare
+      (4L, "ref 4111 1111 1111 1112 order"),          // fails Luhn
+      (5L, "call 555 123 4567 now"),                  // too few digits -> not a candidate at 13+? it IS 10 digits: candidate regex needs 13+ chars; "555 123 4567" = 12 chars -> no match
+      (6L, "amex 3782 822463 10005 ok"),              // valid 15-digit Amex
+      (7L, "plain text with no numbers")
+    ).toDF("id", "text")
+    val got = TextAnalysis.redactCreditCards(df, "id", "text").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 1L, 0L, "pay [CC] today")))
+    assert(got(1) == ((2L, 1L, 0L, "pay [CC] today")))
+    assert(got(2) == ((3L, 1L, 0L, "pay [CC] today")))
+    assert(got(3) == ((4L, 0L, 1L, "ref 4111 1111 1111 1112 order")))
+    assert(got(4)._2 == 0L && got(4)._4 == "call 555 123 4567 now")
+    assert(got(5) == ((6L, 1L, 0L, "amex [CC] ok")))
+    assert(got(6) == ((7L, 0L, 0L, "plain text with no numbers")))
+  }
+
+  test("luhnValid: checksum truth table incl. non-digit poisoning and length bounds") {
+    val df = Seq(
+      ("4111111111111111", true),   // 16, valid
+      ("4111111111111112", false),  // bad check digit
+      ("378282246310005", true),    // 15, valid
+      ("79927398713", false),       // valid Luhn but 11 digits < 13
+      ("", false),
+      ("abcd111111111111", false)   // non-digit -> null-poisoned cast -> false
+    ).toDF("d", "want")
+    val bad = df.filter(TextAnalysis.luhnValid(org.apache.spark.sql.functions.col("d")) =!= org.apache.spark.sql.functions.col("want")).count()
+    assert(bad == 0)
+  }
 }
