@@ -723,6 +723,60 @@ object Pipeline {
     """.trim)
   )
 
+  /** Merkle dataset manifest root over (id, text): partitioning- and
+    * row-order-independent, engine-independent — the reproducibility
+    * pin two sites compare instead of shipping the corpus. */
+  val merkleRootQ: QueryDef = QueryDef(
+    "merkle_root",
+    (s, dir) => graft.operators.Integrity.merkleRoot(
+      tbl(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("c0"), col("text").as("c1")),
+      Seq("c0", "c1"), buckets = 64),
+    Some(s"""
+      WITH ${graft.operators.Integrity.merkleBucketsSql(
+        "SELECT CAST(doc_id AS VARCHAR) AS c0, text AS c1 FROM documents", 2, 64)}
+      SELECT md5(string_agg(bucket_hash, chr(10) ORDER BY bucket)) AS root_hash,
+        CAST(sum(n_rows) AS BIGINT) AS n_rows, count(*) AS n_buckets
+      FROM mkbk
+    """.trim)
+  )
+
+  /** Manifest DIFF: corpus A vs a tampered B (every 97th doc's text
+    * modified, every 101st dropped) — the differing buckets localize
+    * without any row-level join between the datasets. */
+  val merkleDiffQ: QueryDef = QueryDef(
+    "merkle_diff",
+    (s, dir) => {
+      val a = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("c0"), col("text").as("c1"))
+      val b = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 101 =!= 0)
+        .select(col("doc_id").cast("string").as("c0"),
+          when(col("doc_id") % 97 === 0, concat(col("text"), lit(" tampered")))
+            .otherwise(col("text")).as("c1"))
+      graft.operators.Integrity.merkleDiff(a, b, Seq("c0", "c1"), buckets = 64).orderBy("bucket")
+    },
+    Some {
+      val aIn = "SELECT CAST(doc_id AS VARCHAR) AS c0, text AS c1 FROM documents"
+      val bIn = """SELECT CAST(doc_id AS VARCHAR) AS c0,
+        CASE WHEN doc_id % 97 = 0 THEN text || ' tampered' ELSE text END AS c1
+        FROM documents WHERE doc_id % 101 <> 0"""
+      s"""
+      WITH ${graft.operators.Integrity.merkleBucketsSql(aIn, 2, 64, "ma")},
+      ${graft.operators.Integrity.merkleBucketsSql(bIn, 2, 64, "mb")}
+      SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        CASE WHEN a.bucket IS NULL THEN 'only_b'
+             WHEN b.bucket IS NULL THEN 'only_a'
+             ELSE 'changed' END AS status,
+        coalesce(a.n_rows, 0) AS n_rows_a,
+        coalesce(b.n_rows, 0) AS n_rows_b
+      FROM mabk a FULL JOIN mbbk b ON a.bucket = b.bucket
+      WHERE a.bucket IS NULL OR b.bucket IS NULL OR a.bucket_hash <> b.bucket_hash
+      ORDER BY bucket
+      """.trim
+    }
+  )
+
   /** TF-IDF top-3 salient terms per document. */
   val tfidfTerms: QueryDef = QueryDef(
     "tfidf_terms",
@@ -4751,7 +4805,7 @@ object Pipeline {
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
-    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,

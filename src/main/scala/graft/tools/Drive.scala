@@ -836,6 +836,17 @@ object Drive {
         (3L, "call 555 123 4567")).toDF("id", "text")
       TextAnalysis.redactCreditCards(docs, "id", "text").orderBy("id").show(false)
     }
+    locally {
+      println("=== Merkle dataset manifest: root pin + localized diff ===")
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      def d(rows: (Long, String)*) = rows.toSeq.toDF("id", "text")
+        .select(col("id").cast("string").as("c0"), col("text").as("c1"))
+      val a = d(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+      Integrity.merkleRoot(a, Seq("c0", "c1"), 8).show(false)
+      Integrity.merkleDiff(a, d(1L -> "alpha", 2L -> "tampered", 3L -> "gamma"),
+        Seq("c0", "c1"), 8).orderBy("bucket").show(false)
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
