@@ -254,6 +254,55 @@ object StreamingDedup {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Stream CDC batches INTO a versioned snapshot store with
+    * EXACTLY-ONCE version commits under retries: micro-batch `b`
+    * always targets version `baseVersion + 1 + b`, derived from the
+    * engine's replay-stable batchId — so a crash-and-redeliver of the
+    * same batch recomputes the SAME version. Commit is
+    * [[graft.operators.Snapshots.writeVersion]]'s atomic manifest
+    * create: the first attempt to finish wins; a retry (or a racing
+    * duplicate) hits the immutability error for ITS OWN version id and
+    * is treated as already-committed — idempotent success, not
+    * failure. A crash after data staging but before the manifest
+    * leaves an unreferenced nonce dir that no reader sees.
+    *
+    * Gap discipline: versions are contiguous from the base because
+    * Structured Streaming batchIds are (0,1,2,...); an empty batch
+    * still commits its version (a merge with no changes) so replay
+    * arithmetic never desynchronizes from history.
+    *
+    * @param baseVersion the committed version to build on (its value
+    *        at START; the stream owns the path from then on) */
+  def snapshotUpsertStream(cdc: DataFrame, path: String, keyCol: String,
+      baseVersion: Long, opCol: String = "op",
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = cdc.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        upsertBatch(batch.toDF(), path, keyCol, baseVersion, opCol, batchId)
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** One [[snapshotUpsertStream]] micro-batch — package-visible so the
+    * replay/idempotence contract is directly testable: calling it
+    * twice with the same batchId must commit once and no-op once. */
+  private[graft] def upsertBatch(batch: DataFrame, path: String, keyCol: String,
+      baseVersion: Long, opCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val target = baseVersion + 1L + batchId
+    val merged = graft.operators.Snapshots.mergeBatch(
+      graft.operators.Snapshots.readVersion(spark, path, target - 1L),
+      batch, keyCol, opCol)
+    try graft.operators.Snapshots.writeVersion(merged, path, target)
+    catch {
+      case e: IllegalStateException if e.getMessage != null &&
+          e.getMessage.contains("already committed") =>
+        // replayed batch: its version is on disk — exactly-once, done
+        ()
+    }
+  }
+
   /** Streaming benchmark decontamination — the stream-static twin of
     * [[graft.operators.Decontaminate.scan]]: each micro-batch of
     * (id, text) documents is scanned against a STATIC benchmark

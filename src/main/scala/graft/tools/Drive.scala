@@ -847,6 +847,26 @@ object Drive {
       Integrity.merkleDiff(a, d(1L -> "alpha", 2L -> "tampered", 3L -> "gamma"),
         Seq("c0", "c1"), 8).orderBy("bucket").show(false)
     }
+    locally {
+      println("=== streaming exactly-once snapshot upsert (memory stream) ===")
+      import spark.implicits._
+      val path = java.nio.file.Files.createTempDirectory("drive-snapstream").toString
+      Snapshots.writeVersion(Seq((1L, "a")).toDF("k", "v"), path, 0L)
+      implicit val sqlCtx = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingDedup.snapshotUpsertStream(
+        in.toDF().toDF("k", "v", "op"), path, "k", baseVersion = 0L)
+      try {
+        in.addData((2L, "b", "upsert")); q.processAllAvailable()
+        in.addData((1L, "", "delete")); q.processAllAvailable()
+        println(s"versions = ${Snapshots.versions(spark, path).mkString(",")}")
+        Snapshots.readVersion(spark, path).orderBy("k").show()
+        // redelivery of batch 0 is a no-op success
+        graft.streaming.StreamingDedup.upsertBatch(
+          Seq((2L, "b", "upsert")).toDF("k", "v", "op"), path, "k", 0L, "op", 0L)
+        println(s"after replay: versions = ${Snapshots.versions(spark, path).mkString(",")}")
+      } finally q.stop()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

@@ -390,4 +390,36 @@ class StreamingDedupSpec extends SparkTestBase {
         scores(TextAnalysis.bm25Scores(docsSeq.toDF("id", "text"), "id", "text", terms)))
     } finally q.stop()
   }
+
+  test("snapshotUpsertStream: CDC micro-batches commit contiguous versions, upsert+delete applied") {
+    val path = java.nio.file.Files.createTempDirectory("snapstream").toString
+    graft.operators.Snapshots.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, 0L)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = StreamingDedup.snapshotUpsertStream(
+      input.toDF().toDF("k", "v", "op"), path, "k", baseVersion = 0L)
+    try {
+      input.addData((2L, "B", "upsert"), (3L, "c", "upsert"))
+      q.processAllAvailable()
+      input.addData((1L, "", "delete"))
+      q.processAllAvailable()
+      assert(graft.operators.Snapshots.versions(spark, path) == Seq(0L, 1L, 2L))
+      val v2 = graft.operators.Snapshots.readVersion(spark, path, 2L)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v2 == Map(2L -> "B", 3L -> "c"))
+      // history intact: v1 still has key 1
+      assert(graft.operators.Snapshots.readVersion(spark, path, 1L).count() == 3)
+    } finally q.stop()
+  }
+
+  test("upsertBatch replay (same batchId) is an idempotent no-op, not a failure or a double-commit") {
+    val path = java.nio.file.Files.createTempDirectory("snapreplay").toString
+    graft.operators.Snapshots.writeVersion(Seq((1L, "a")).toDF("k", "v"), path, 0L)
+    val batch = Seq((2L, "b", "upsert")).toDF("k", "v", "op")
+    StreamingDedup.upsertBatch(batch, path, "k", 0L, "op", batchId = 0L)
+    val once = graft.operators.Snapshots.readVersion(spark, path, 1L).collect().toSet
+    StreamingDedup.upsertBatch(batch, path, "k", 0L, "op", batchId = 0L) // redelivery
+    assert(graft.operators.Snapshots.versions(spark, path) == Seq(0L, 1L))
+    assert(graft.operators.Snapshots.readVersion(spark, path, 1L).collect().toSet == once)
+  }
 }
