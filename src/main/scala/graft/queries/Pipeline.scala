@@ -777,6 +777,57 @@ object Pipeline {
     }
   )
 
+  /** Avro OCF ingest: per doc a REAL Object Container File (writer
+    * schema embedded, null codec) holding 1–4 records; every 50th
+    * payload truncated to exercise the per-file quarantine. The gate
+    * compares field values arithmetically and the quarantine flag
+    * structurally (exception text is engine-specific, so the boolean
+    * is the contract). */
+  val avroIngest: QueryDef = QueryDef(
+    "avro_ingest",
+    (s, dir) => {
+      import s.implicits._
+      val schemaJson =
+        """{"type":"record","name":"r","fields":[
+           {"name":"seq","type":"long"},
+           {"name":"name","type":"string"},
+           {"name":"qty","type":"long"}]}""".replaceAll("\n\\s*", "")
+      val items = tbl(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id")).map { r =>
+          val did = r.getLong(0)
+          val n = 1 + (did % 4).toInt
+          val rows = (0 until n).map(i => Map[String, Any](
+            "seq" -> (did * 10 + i), "name" -> s"n${(did + i) % 7}",
+            "qty" -> (did % 9 + i)))
+          val bytes = graft.sources.Avro.encodeAvro(schemaJson, rows)
+          graft.sources.Avro.AvroFile(did,
+            if (did % 50 == 0) bytes.take(10) else bytes)
+        }
+      graft.sources.Avro.records(items, Seq("seq", "name", "qty"))
+        .select(col("id"), col("rec_index"),
+          col("seq").cast("long").as("seq"), col("name"),
+          col("qty").cast("long").as("qty"),
+          col("error").isNotNull.as("quarantined"))
+        .orderBy("id", "rec_index")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id AS id, unnest(generate_series(0, doc_id % 4)) AS i
+        FROM documents WHERE doc_id < 200),
+      good AS (
+        SELECT id, i AS rec_index, id * 10 + i AS seq,
+          'n' || CAST((id + i) % 7 AS VARCHAR) AS name,
+          id % 9 + i AS qty, false AS quarantined
+        FROM base WHERE id % 50 <> 0),
+      bad AS (
+        SELECT doc_id AS id, CAST(-1 AS BIGINT) AS rec_index,
+          CAST(NULL AS BIGINT) AS seq, CAST(NULL AS VARCHAR) AS name,
+          CAST(NULL AS BIGINT) AS qty, true AS quarantined
+        FROM documents WHERE doc_id < 200 AND doc_id % 50 = 0)
+      SELECT * FROM good UNION ALL SELECT * FROM bad ORDER BY id, rec_index
+    """.trim)
+  )
+
   /** TF-IDF top-3 salient terms per document. */
   val tfidfTerms: QueryDef = QueryDef(
     "tfidf_terms",
@@ -4799,7 +4850,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcLinks, robotsFilter, pdfExtract, archiveExtract, exifGpsStrip,
+    warcExtract, warcLinks, robotsFilter, pdfExtract, archiveExtract, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

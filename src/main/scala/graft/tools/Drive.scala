@@ -867,6 +867,15 @@ object Drive {
         println(s"after replay: versions = ${Snapshots.versions(spark, path).mkString(",")}")
       } finally q.stop()
     }
+    locally {
+      println("=== Avro OCF ingest: embedded writer schema, quarantine ===")
+      import spark.implicits._
+      val sch = """{"type":"record","name":"r","fields":[{"name":"x","type":"long"},{"name":"s","type":"string"}]}"""
+      val ok = graft.sources.Avro.encodeAvro(sch, Seq(Map("x" -> 1L, "s" -> "hello"), Map("x" -> 2L, "s" -> "world")))
+      val files = Seq(graft.sources.Avro.AvroFile(1L, ok),
+        graft.sources.Avro.AvroFile(2L, ok.take(10))).toDS()
+      graft.sources.Avro.records(files, Seq("x", "s")).orderBy("id", "rec_index").show(false)
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
