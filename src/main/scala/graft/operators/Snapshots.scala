@@ -216,4 +216,51 @@ object Snapshots {
           SELECT $grpCol, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(tot) AS BIGINT) AS tot
           FROM mv_u GROUP BY $grpCol)
         SELECT $grpCol, n, tot FROM mv_m WHERE n > 0"""
+
+  /** Signed delta of the JOIN view V = A ⋈_key B under signed input
+    * deltas — the classic delta-join IVM rule
+    *
+    *   ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * with output sign = product of input signs (+1 insert, −1
+    * retract). Every leg keys on the join key, so at 100 TB the
+    * refresh costs |Δ|-sized shuffles against the (indexed/bucketed)
+    * base relations, never a base×base recompute — the whole point of
+    * maintaining the view. `da`/`db` carry their table's full column
+    * set plus `signCol`; `aOld`/`bOld` are the PRE-batch states (the
+    * rule is exact only against them — feeding post-batch states
+    * double-counts the ΔA⋈ΔB corner). */
+  def joinDelta(aOld: DataFrame, bOld: DataFrame, da: DataFrame, db: DataFrame,
+      keyCol: String, signCol: String = "sign"): DataFrame = {
+    val aCols = aOld.columns.filterNot(_ == keyCol).toSeq
+    val bCols = bOld.columns.filterNot(_ == keyCol).toSeq
+    require(da.columns.contains(signCol) && db.columns.contains(signCol),
+      s"deltas need a '$signCol' column")
+    val out = (col(keyCol) +: (aCols ++ bCols).map(col)) :+ col(signCol)
+    val t1 = da.join(bOld, Seq(keyCol)).select(out: _*)
+    val t2 = aOld.join(db, Seq(keyCol)).select(out: _*)
+    val t3 = da.withColumnRenamed(signCol, "__sa")
+      .join(db.withColumnRenamed(signCol, "__sb"), Seq(keyCol))
+      .select((col(keyCol) +: (aCols ++ bCols).map(col)) :+
+        (col("__sa") * col("__sb")).as(signCol): _*)
+    t1.unionByName(t2).unionByName(t3)
+  }
+
+  /** Apply [[joinDelta]] to a support-counted join view: `mv` rows are
+    * (key, a-cols, b-cols, m) with multiplicity m ≥ 1; the refreshed
+    * view re-counts support and drops rows at m ≤ 0. Refresh ≡ full
+    * recompute of A' ⋈ B' with multiplicities (the gate proves it
+    * against a recomputing oracle). */
+  def refreshJoinMv(mv: DataFrame, aOld: DataFrame, bOld: DataFrame,
+      da: DataFrame, db: DataFrame, keyCol: String,
+      signCol: String = "sign", mCol: String = "m"): DataFrame = {
+    val rowCols = mv.columns.filterNot(_ == mCol).toSeq
+    val delta = joinDelta(aOld, bOld, da, db, keyCol, signCol)
+      .withColumnRenamed(signCol, mCol)
+    mv.select(rowCols.map(col) :+ col(mCol).cast("long").as(mCol): _*)
+      .unionByName(delta.select(rowCols.map(col) :+ col(mCol).cast("long").as(mCol): _*))
+      .groupBy(rowCols.map(col): _*)
+      .agg(sum(mCol).as(mCol))
+      .filter(col(mCol) > 0)
+  }
 }

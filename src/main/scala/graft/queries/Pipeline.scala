@@ -4491,6 +4491,48 @@ object Pipeline {
     """.stripMargin.trim)
   )
 
+  /** Incremental JOIN-view maintenance
+    * ([[graft.operators.Snapshots.refreshJoinMv]]): the delta-join
+    * rule ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB applied to a support-counted
+    * orders⋈customer view under simultaneous order inserts+retracts
+    * AND customer segment moves (delete+insert pairs) — the oracle
+    * recomputes A′⋈B′ from scratch, so any sign error, missed leg, or
+    * post-batch-state feed diverges. */
+  val mvJoinRefresh: QueryDef = QueryDef(
+    "mv_join_refresh",
+    (s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("k"), (col("o_orderkey") % 12).as("month"),
+          col("o_orderkey"))
+      val aOld = o.filter(col("o_orderkey") % 10 =!= 0).select("k", "month")
+      val da = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("k"), col("month"), lit(1L).as("sign"))
+        .unionByName(o.filter(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 15 === 0)
+          .select(col("k"), col("month"), lit(-1L).as("sign")))
+      val bOld = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val moved = bOld.filter(col("k") % 50 === 0)
+      val db = moved.select(col("k"), col("seg"), lit(-1L).as("sign"))
+        .unionByName(moved.select(col("k"), lit("MOVED").as("seg"), lit(1L).as("sign")))
+      val mvOld = aOld.join(bOld, Seq("k"))
+        .groupBy("k", "month", "seg").agg(count(lit(1)).as("m"))
+      graft.operators.Snapshots.refreshJoinMv(mvOld, aOld, bOld, da, db, "k")
+        .orderBy("k", "month", "seg")
+    },
+    Some("""
+      WITH ap AS (
+        SELECT o_custkey AS k, o_orderkey % 12 AS month FROM orders
+        WHERE o_orderkey % 10 = 0 OR o_orderkey % 15 <> 0),
+      bp AS (
+        SELECT c_custkey AS k,
+          CASE WHEN c_custkey % 50 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        FROM customer)
+      SELECT k, month, seg, count(*) AS m
+      FROM ap JOIN bp USING (k)
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """.trim)
+  )
+
   /** Incremental aggregate-MV refresh
     * ([[graft.operators.Snapshots.refreshAggMv]]): yesterday's
     * per-source (count, char-sum) view plus a retraction stream
@@ -4852,7 +4894,7 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(
     warcExtract, warcLinks, robotsFilter, pdfExtract, archiveExtract, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
-    corpusMerge, mvRefresh,
+    corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,

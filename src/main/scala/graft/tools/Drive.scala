@@ -876,6 +876,18 @@ object Drive {
         graft.sources.Avro.AvroFile(2L, ok.take(10))).toDS()
       graft.sources.Avro.records(files, Seq("x", "s")).orderBy("id", "rec_index").show(false)
     }
+    locally {
+      println("=== incremental join-view maintenance: delta-join refresh ===")
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{count, lit}
+      val aOld = Seq((1L, "jan"), (2L, "feb")).toDF("k", "month")
+      val bOld = Seq((1L, "A"), (2L, "B")).toDF("k", "seg")
+      val mv = aOld.join(bOld, Seq("k")).groupBy("k", "month", "seg").agg(count(lit(1)).as("m"))
+      Snapshots.refreshJoinMv(mv, aOld, bOld,
+        Seq((3L, "mar", 1L)).toDF("k", "month", "sign"),
+        Seq((3L, "C", 1L), (1L, "A", -1L), (1L, "Z", 1L)).toDF("k", "seg", "sign"), "k")
+        .orderBy("k").show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

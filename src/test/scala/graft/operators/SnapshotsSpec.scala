@@ -128,4 +128,37 @@ class SnapshotsSpec extends SparkTestBase {
     val e = intercept[Exception](Snapshots.refreshAggMv(empty, over, "g", "v", "sign").collect())
     assert(e.getMessage.contains("negative count"), e.getMessage)
   }
+
+  test("refreshJoinMv: incremental refresh == full recompute under inserts, retracts, and both-sides deltas") {
+    val aOld = Seq((1L, "jan"), (1L, "jan"), (2L, "feb")).toDF("k", "month")
+    val bOld = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "seg")
+    // ΔA: insert (3,mar) and (1,jan) [raising multiplicity], retract one (2,feb)
+    val da = Seq((3L, "mar", 1L), (1L, "jan", 1L), (2L, "feb", -1L)).toDF("k", "month", "sign")
+    // ΔB: key 1 moves segment A -> Z (delete+insert pair)
+    val db = Seq((1L, "A", -1L), (1L, "Z", 1L)).toDF("k", "seg", "sign")
+    val mvOld = aOld.join(bOld, Seq("k")).groupBy("k", "month", "seg")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("m"))
+    val got = Snapshots.refreshJoinMv(mvOld, aOld, bOld, da, db, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // A' = {(1,jan)x3, (3,mar)}; B' = {(1,Z), (2,B), (3,C)}
+    assert(got == Set((1L, "jan", "Z", 3L), (3L, "mar", "C", 1L)))
+  }
+
+  test("joinDelta: the three legs carry the right signs; deltas against POST state would double-count") {
+    val aOld = Seq((1L, "x")).toDF("k", "av")
+    val bOld = Seq((1L, "p")).toDF("k", "bv")
+    val da = Seq((1L, "y", 1L)).toDF("k", "av", "sign")
+    val db = Seq((1L, "q", 1L)).toDF("k", "bv", "sign")
+    val d = Snapshots.joinDelta(aOld, bOld, da, db, "k")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // ΔA⋈B = (y,p,+1); A⋈ΔB = (x,q,+1); ΔA⋈ΔB = (y,q,+1)
+    assert(d == Set(("y", "p", 1L), ("x", "q", 1L), ("y", "q", 1L)))
+    // retract x retract p: product sign +1 for the corner term
+    val d2 = Snapshots.joinDelta(aOld, bOld,
+      Seq((1L, "x", -1L)).toDF("k", "av", "sign"),
+      Seq((1L, "p", -1L)).toDF("k", "bv", "sign"), "k")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList.sorted
+    assert(d2 == List(("x", "p", -1L), ("x", "p", -1L), ("x", "p", 1L)))
+  }
 }
