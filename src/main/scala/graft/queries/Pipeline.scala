@@ -828,6 +828,78 @@ object Pipeline {
     """.trim)
   )
 
+  /** Shared SFT conversation corpus: per doc a JSON chat with an even
+    * alternating body (2/4/6 turns), every 5th with a leading system
+    * turn, every 7th BROKEN (double-user at body position 1), every
+    * 11th MALFORMED (closing bracket truncated — parses to null). */
+  private def sftConvos(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tbl(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id")).map { r =>
+        val did = r.getLong(0)
+        val n = 2 + 2 * (did % 3).toInt
+        val sys = did % 5 == 0
+        val broken = did % 7 == 0
+        val turns = (if (sys) Seq(("system", s"sys $did")) else Seq.empty) ++
+          (0 until n).map { i =>
+            val role = if (broken && i == 1) "user"
+                       else if (i % 2 == 0) "user" else "assistant"
+            (role, Seq.fill(1 + ((did + i) % 5).toInt)("w").mkString(" "))
+          }
+        val json = turns.map { case (ro, c) => s"""{"role":"$ro","content":"$c"}""" }
+          .mkString("[", ",", "]")
+        (did, if (did % 11 == 0) json.dropRight(1) else json)
+      }.toDF("id", "convo")
+  }
+
+  /** Chat corpus flattened to the turn relation; malformed convos
+    * contribute zero rows here (they surface in `sft_check`). */
+  val sftTurns: QueryDef = QueryDef(
+    "sft_turns",
+    (s, dir) => graft.operators.Sft.flattenTurns(sftConvos(s, dir), "id", "convo")
+      .orderBy("id", "turn_no"),
+    Some("""
+      WITH base AS (
+        SELECT doc_id AS id, 2 + 2 * (doc_id % 3) AS n,
+          doc_id % 5 = 0 AS sys, doc_id % 7 = 0 AS broken
+        FROM documents WHERE doc_id < 300 AND doc_id % 11 <> 0),
+      sysrows AS (
+        SELECT id, CAST(0 AS BIGINT) AS turn_no, 'system' AS role,
+          'sys ' || CAST(id AS VARCHAR) AS content, CAST(2 AS BIGINT) AS n_words
+        FROM base WHERE sys),
+      bi AS (SELECT id, n, sys, broken, unnest(generate_series(0, n - 1)) AS i FROM base),
+      body AS (
+        SELECT id, CAST(CASE WHEN sys THEN i + 1 ELSE i END AS BIGINT) AS turn_no,
+          CASE WHEN broken AND i = 1 THEN 'user'
+               WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+          rtrim(repeat('w ', CAST(1 + (id + i) % 5 AS INT))) AS content,
+          CAST(1 + (id + i) % 5 AS BIGINT) AS n_words
+        FROM bi)
+      SELECT id, turn_no, role, content, n_words FROM sysrows
+      UNION ALL SELECT id, turn_no, role, content, n_words FROM body
+      ORDER BY id, turn_no
+    """.trim)
+  )
+
+  /** Chat-contract verdicts over the same corpus: malformed JSON,
+    * broken alternation, and clean convos each land their exact
+    * (parse_ok, n_turns, has_system, valid) row. */
+  val sftCheck: QueryDef = QueryDef(
+    "sft_check",
+    (s, dir) => graft.operators.Sft.conversationCheck(sftConvos(s, dir), "id", "convo")
+      .orderBy("id"),
+    Some("""
+      SELECT doc_id AS id,
+        doc_id % 11 <> 0 AS parse_ok,
+        CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+             ELSE 2 + 2 * (doc_id % 3) + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+             END AS BIGINT) AS n_turns,
+        doc_id % 11 <> 0 AND doc_id % 5 = 0 AS has_system,
+        doc_id % 11 <> 0 AND doc_id % 7 <> 0 AS valid
+      FROM documents WHERE doc_id < 300 ORDER BY id
+    """.trim)
+  )
+
   /** TF-IDF top-3 salient terms per document. */
   val tfidfTerms: QueryDef = QueryDef(
     "tfidf_terms",
@@ -4898,7 +4970,7 @@ object Pipeline {
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
-    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,

@@ -888,6 +888,16 @@ object Drive {
         Seq((3L, "C", 1L), (1L, "A", -1L), (1L, "Z", 1L)).toDF("k", "seg", "sign"), "k")
         .orderBy("k").show()
     }
+    locally {
+      println("=== SFT conversations: turn flatten + chat-contract verdicts ===")
+      import spark.implicits._
+      val convos = Seq(
+        (1L, """[{"role":"user","content":"hi"},{"role":"assistant","content":"hello there"}]"""),
+        (2L, """[{"role":"user","content":"a"},{"role":"user","content":"b"}]"""),
+        (3L, "{broken")).toDF("id", "convo")
+      Sft.flattenTurns(convos, "id", "convo").orderBy("id", "turn_no").show(false)
+      Sft.conversationCheck(convos, "id", "convo").orderBy("id").show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
