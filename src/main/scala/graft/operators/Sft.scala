@@ -64,4 +64,39 @@ object Sft {
       coalesce(hasSystem, lit(false)).as("has_system"),
       coalesce(valid, lit(false)).as("valid"))
   }
+
+  /** Preference-pair mining (DPO/RLHF data): per prompt, the
+    * best-scored response becomes `chosen` and the worst `rejected`,
+    * kept only when they are distinct rows with a score gap ≥
+    * `minGap` (near-tie pairs teach noise). Deterministic tie-breaks:
+    * both extremes prefer the SMALLER response id at equal score —
+    * rendered as two row_number windows so the DuckDB twin replays
+    * the exact same rows. Shape: one shuffle on the prompt key, both
+    * window ranks in one pass over it; prompts are naturally
+    * high-cardinality so the partitions stay narrow at 100 TB.
+    *
+    * @return (prompt, chosen_id, rejected_id, chosen_score,
+    *         rejected_score, gap) */
+  def preferencePairs(df: DataFrame, promptCol: String, idCol: String,
+      scoreCol: String, minGap: Long = 1L): DataFrame = {
+    require(minGap >= 0, s"minGap must be >= 0, got $minGap")
+    val ranked = df.select(col(promptCol).as("prompt"),
+        col(idCol).as("rid"), col(scoreCol).cast("long").as("score"))
+      .withColumn("rb", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("prompt")
+          .orderBy(col("score").desc, col("rid").asc)))
+      .withColumn("rw", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("prompt")
+          .orderBy(col("score").asc, col("rid").asc)))
+    val best = ranked.filter(col("rb") === 1)
+      .select(col("prompt"), col("rid").as("chosen_id"), col("score").as("chosen_score"))
+    val worst = ranked.filter(col("rw") === 1)
+      .select(col("prompt"), col("rid").as("rejected_id"), col("score").as("rejected_score"))
+    best.join(worst, Seq("prompt"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_score") - col("rejected_score") >= minGap)
+      .select(col("prompt"), col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("gap"))
+  }
 }

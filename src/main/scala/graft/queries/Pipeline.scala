@@ -900,6 +900,38 @@ object Pipeline {
     """.trim)
   )
 
+  /** Preference pairs over a synthetic reward table: ~12 responses
+    * per prompt, deterministic scores; the oracle replays both
+    * row_number extremes and the gap filter. */
+  val prefPairs: QueryDef = QueryDef(
+    "pref_pairs",
+    (s, dir) => graft.operators.Sft.preferencePairs(
+      tbl(s, dir, "documents").select(
+        concat(lit("p"), col("doc_id") % 40).as("prompt"),
+        col("doc_id").as("rid"),
+        ((col("doc_id") * 7) % 100).as("score")),
+      "prompt", "rid", "score", minGap = 10L)
+      .orderBy("prompt"),
+    Some("""
+      WITH r AS (
+        SELECT 'p' || CAST(doc_id % 40 AS VARCHAR) AS prompt, doc_id AS rid,
+          (doc_id * 7) % 100 AS score
+        FROM documents),
+      rk AS (
+        SELECT prompt, rid, score,
+          row_number() OVER (PARTITION BY prompt ORDER BY score DESC, rid) AS rb,
+          row_number() OVER (PARTITION BY prompt ORDER BY score ASC, rid) AS rw
+        FROM r),
+      b AS (SELECT prompt, rid AS chosen_id, score AS chosen_score FROM rk WHERE rb = 1),
+      w AS (SELECT prompt, rid AS rejected_id, score AS rejected_score FROM rk WHERE rw = 1)
+      SELECT b.prompt AS prompt, chosen_id, rejected_id, chosen_score, rejected_score,
+        chosen_score - rejected_score AS gap
+      FROM b JOIN w ON b.prompt = w.prompt
+      WHERE chosen_id <> rejected_id AND chosen_score - rejected_score >= 10
+      ORDER BY prompt
+    """.trim)
+  )
+
   /** TF-IDF top-3 salient terms per document. */
   val tfidfTerms: QueryDef = QueryDef(
     "tfidf_terms",
@@ -4970,7 +5002,7 @@ object Pipeline {
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
-    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, prefPairs, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,

@@ -898,6 +898,14 @@ object Drive {
       Sft.flattenTurns(convos, "id", "convo").orderBy("id", "turn_no").show(false)
       Sft.conversationCheck(convos, "id", "convo").orderBy("id").show()
     }
+    locally {
+      println("=== preference pairs: chosen/rejected extremes with gap filter ===")
+      import spark.implicits._
+      Sft.preferencePairs(Seq(
+        ("p1", 1L, 90L), ("p1", 2L, 90L), ("p1", 3L, 10L),
+        ("p2", 4L, 50L), ("p2", 5L, 45L)).toDF("prompt", "rid", "score"),
+        "prompt", "rid", "score", minGap = 10L).show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

@@ -47,6 +47,21 @@ class SftSpec extends SparkTestBase {
       (9L, true, 0L, false, false)))
   }
 
+  test("preferencePairs: extremes with deterministic tie-breaks; near-ties and singletons drop") {
+    val rewards = Seq(
+      ("p1", 1L, 90L), ("p1", 2L, 90L), ("p1", 3L, 10L),   // tie at top -> smaller id chosen
+      ("p2", 4L, 50L), ("p2", 5L, 45L),                    // gap 5 < minGap -> dropped
+      ("p3", 6L, 70L),                                     // singleton -> dropped
+      ("p4", 7L, 30L), ("p4", 8L, 80L)
+    ).toDF("prompt", "rid", "score")
+    val got = Sft.preferencePairs(rewards, "prompt", "rid", "score", minGap = 10L)
+      .orderBy("prompt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(got.toSeq == Seq(("p1", 1L, 3L, 80L), ("p4", 8L, 7L, 50L)))
+    intercept[IllegalArgumentException](
+      Sft.preferencePairs(rewards, "prompt", "rid", "score", -1L))
+  }
+
   test("both operators are map-only scans (no shuffle)") {
     val d = df(1L -> clean)
     assert(!Sft.flattenTurns(d, "id", "convo")
