@@ -2732,6 +2732,77 @@ object Pipeline {
     * (4096..8096 samples) exercise the resample off the identity
     * path; the oracle replays sample synthesis, bucket means, 8-bit
     * quantization, and the shared hash chain. */
+  /** AUDIO near-duplicates end to end: base clips + re-mastered twins
+    * (same waveform, the loud segment's amplitude nudged 300→330 —
+    * a small re-encode-style perturbation) → WAV → fingerprint → the
+    * θ-join `hamming_distance(a, b) <= r`, which the injected rule
+    * plans as the pigeonhole band join (the same scale tier every
+    * 256-bit hash family rides). The oracle replays BOTH corpora
+    * through the fingerprint chain and brute-forces distances. */
+  val audioDups: QueryDef = QueryDef(
+    "audio_dups",
+    (s, dir) => {
+      import s.implicits._
+      val items = tbl(s, dir, "documents").filter(col("doc_id") < 24)
+        .select(col("doc_id"), col("text"))
+        .flatMap { r =>
+          val did = r.getLong(0)
+          val g = rollingAcc(r.getString(1)) % 7
+          val len = 4096 + (did % 5).toInt * 1000
+          def wav(amp: Int) = Media.encodeWav16(16000, Array.tabulate(len) { t =>
+            val bump = if (t / 512 == (did % 8).toInt) amp else 0
+            (((g * 29 + t * 5 + (t * t / 97) % 512 + bump) % 4096) - 2048).toInt
+          })
+          Seq(Media.MediaItem(did, "audio", wav(300)),
+            Media.MediaItem(did + 1000, "audio", wav(330)))
+        }
+      val fp = Media.audioFingerprints(items)
+        .toDF("id", "fp_hex", "quality", "sample_rate", "n_samples")
+        .select(col("id"), unhex(col("fp_hex")).as("h"))
+      fp.as("a").join(fp.as("b"),
+          graft.plans.HammingDistance(col("a.h"), col("b.h")) <= 40 &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          graft.plans.HammingDistance(col("a.h"), col("b.h")).as("dist"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS did,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 7 AS g
+        FROM documents WHERE doc_id < 24),
+      par AS (
+        SELECT did AS id, did AS base, g, 4096 + (did % 5) * 1000 AS len, 300 AS amp FROM src
+        UNION ALL
+        SELECT did + 1000, did, g, 4096 + (did % 5) * 1000, 330 FROM src),
+      ts AS (SELECT unnest(generate_series(0, 9095)) AS t),
+      smp AS (
+        SELECT p.id AS img, p.len, t.t,
+          ((p.g * 29 + t.t * 5 + ((t.t * t.t) // 97) % 512 +
+            CASE WHEN t.t // 512 = p.base % 8 THEN p.amp ELSE 0 END) % 4096) - 2048 AS v
+        FROM par p JOIN ts t ON t.t < p.len),
+      pix AS (
+        SELECT img AS id, b % 64 AS x, b // 64 AS y, 64 AS w, 64 AS h,
+          (SUM(v + 32768) // COUNT(*)) // 256 AS l
+        FROM (SELECT img, (t * 4096) // len AS b, v FROM smp) GROUP BY img, b),
+      $pdqChainCtes,
+      fbits AS (
+        SELECT id, p.g AS p,
+          (CAST(strpos('0123456789abcdef', substring(pdq_hex, p.g // 4 + 1, 1)) - 1 AS INT)
+            >> (3 - p.g % 4)) & 1 AS bit
+        FROM hexs CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 255)) AS g) p)
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS dist
+      FROM fbits a JOIN fbits b ON a.p = b.p AND a.id < b.id
+      GROUP BY 1, 2
+      HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 40
+      ORDER BY id_a, id_b
+    """.trim)
+  )
+
   val audioFingerprintQ: QueryDef = QueryDef(
     "audio_fingerprint",
     (s, dir) => {
@@ -5006,7 +5077,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ, audioDups,
     mediaIndexClassify
   )
 }
