@@ -541,6 +541,95 @@ object TextAnalysis {
     df.select(col(idCol).as("id") +: counts :+ redacted.as("redacted"): _*)
   }
 
+  /** Zipf's-law fit over the corpus word-frequency distribution — the
+    * statistical fingerprint that catches template-generated or
+    * deduplication-damaged corpora (natural text has slope ≈ −1;
+    * boilerplate floods flatten the head, aggressive dedup starves
+    * it). Least squares of ln(freq) on ln(rank) over the top-K terms,
+    * done ENTIRELY in integer arithmetic: each ln quantizes to
+    * milli-units (floor ·1e3 — small enough that the K·Σ products and
+    * their squares stay inside DECIMAL(38)), the regression sums are
+    * exact decimal sums, and the outputs are half-up micro-unit
+    * ratios. Order-proof and DuckDB-replayable like the other
+    * fixed-point analytics; the one float per term (`ln` of an integer
+    * < 2^31) renders identically on both engines in practice and any
+    * disagreement is bounded by the milli grid.
+    *
+    * Shape: word count = one map-combinable shuffle; ranking is a
+    * window over the VOCABULARY relation (≪ corpus); the fit is one
+    * ≤K-row aggregate.
+    *
+    * @return one row: (n_terms, slope_micro, intercept_micro,
+    *         r2_micro) */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int = 500): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val wc = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = wc.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("w").asc)))
+      .filter(col("r") <= topK)
+      .select(floor(log(col("r").cast("double")) * 1000).cast("decimal(38,0)").as("x"),
+        floor(log(col("c").cast("double")) * 1000).cast("decimal(38,0)").as("y"))
+    val s = ranked.agg(count(lit(1)).cast("decimal(38,0)").as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    s.select(
+        col("k").cast("long").as("n_terms"),
+        (col("k") * col("sxy") - col("sx") * col("sy")).as("cov"),
+        (col("k") * col("sxx") - col("sx") * col("sx")).as("varx"),
+        (col("k") * col("syy") - col("sy") * col("sy")).as("vary"),
+        col("sx"), col("sy"), col("k"))
+      .selectExpr("n_terms",
+        // degenerate variances (single term / all-equal frequencies)
+        // define a flat fit rather than divide by zero under ANSI
+        "CASE WHEN varx = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          graft.functions.TextFunctions.ratioScaled("cov", "varx", 1000000L) +
+          " END AS slope_micro",
+        // intercept = (Σy − slope·Σx)/K, micro-units of the milli-ln scale
+        "CASE WHEN varx = 0 THEN " +
+          graft.functions.TextFunctions.ratioScaled("sy", "k", 1000L) + " ELSE " +
+          graft.functions.TextFunctions.ratioScaled(
+            "sy * varx - cov * sx", "k * varx", 1000L) + " END AS intercept_micro",
+        "CASE WHEN varx = 0 OR vary = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          graft.functions.TextFunctions.ratioScaled(
+            "cov * cov", "varx * vary", 1000000L) + " END AS r2_micro")
+  }
+
+  /** DuckDB twin of [[zipfFit]] over text expression column `text` of
+    * `input`. */
+  def zipfFitSql(input: String, topK: Int): String = {
+    val rs = graft.functions.TextFunctions.ratioScaledSql _
+    s"""
+      WITH zwc AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(${wordsSql("text")}) AS w FROM ($input)) GROUP BY w),
+      zrk AS (
+        SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000) AS HUGEINT) AS x,
+               CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS HUGEINT) AS y
+        FROM (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM zwc)
+        WHERE r <= $topK),
+      zs AS (
+        SELECT CAST(count(*) AS HUGEINT) AS k,
+          CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+          CAST(SUM(x * x) AS HUGEINT) AS sxx, CAST(SUM(y * y) AS HUGEINT) AS syy,
+          CAST(SUM(x * y) AS HUGEINT) AS sxy
+        FROM zrk),
+      zt AS (
+        SELECT CAST(k AS BIGINT) AS n_terms,
+          k * sxy - sx * sy AS cov, k * sxx - sx * sx AS varx,
+          k * syy - sy * sy AS vary, sx, sy, k
+        FROM zs)
+      SELECT n_terms,
+        CASE WHEN varx = 0 THEN CAST(0 AS BIGINT)
+             ELSE ${rs("cov", "varx", 1000000L)} END AS slope_micro,
+        CASE WHEN varx = 0 THEN ${rs("sy", "k", 1000L)}
+             ELSE ${rs("sy * varx - cov * sx", "k * varx", 1000L)} END AS intercept_micro,
+        CASE WHEN varx = 0 OR vary = 0 THEN CAST(0 AS BIGINT)
+             ELSE ${rs("cov * cov", "varx * vary", 1000000L)} END AS r2_micro
+      FROM zt"""
+  }
+
   /** Candidate payment-card pattern: 13–19 digits with optional
     * single space/dash separators, word-bounded. Restricted to
     * constructs with identical leftmost-greedy semantics in Java regex

@@ -906,6 +906,14 @@ object Drive {
         ("p2", 4L, 50L), ("p2", 5L, 45L)).toDF("prompt", "rid", "score"),
         "prompt", "rid", "score", minGap = 10L).show()
     }
+    locally {
+      println("=== Zipf fit: corpus-distribution fingerprint ===")
+      import spark.implicits._
+      val zipf = Seq((0 until 30).flatMap(k => Seq.fill(600 / (k + 1))(s"w$k")).mkString(" ")).toDF("text")
+      TextAnalysis.zipfFit(zipf, "text", topK = 30).show()
+      val flat = Seq((0 until 30).map(k => s"u$k").mkString(" ")).toDF("text")
+      TextAnalysis.zipfFit(flat, "text", topK = 30).show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

@@ -459,6 +459,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(6) == ((7L, 0L, 0L, "plain text with no numbers")))
   }
 
+  test("zipfFit: a planted 1/k corpus fits slope ~ -1 with high R2; flat corpora score low") {
+    // word k appears floor(2000/k) times, k = 1..40 -> textbook Zipf
+    val zipf = Seq((0 until 40).flatMap(k =>
+      Seq.fill(2000 / (k + 1))(s"w$k")).mkString(" ")).toDF("text")
+    val z = TextAnalysis.zipfFit(zipf, "text", topK = 40).collect()(0)
+    val (n, slope, r2) = (z.getLong(0), z.getLong(1), z.getLong(3))
+    assert(n == 40L)
+    assert(slope > -1100000L && slope < -900000L, s"slope_micro $slope")
+    assert(r2 > 980000L, s"r2_micro $r2")
+    // uniform corpus: every word once -> zero variance in y -> r2 ~ 0, slope 0
+    val flat = Seq((0 until 40).map(k => s"u$k").mkString(" ")).toDF("text")
+    val f = TextAnalysis.zipfFit(flat, "text", topK = 40).collect()(0)
+    assert(f.getLong(1) == 0L && f.getLong(3) == 0L, f.toString)
+    intercept[IllegalArgumentException](TextAnalysis.zipfFit(flat, "text", 1))
+  }
+
   test("luhnValid: checksum truth table incl. non-digit poisoning and length bounds") {
     val df = Seq(
       ("4111111111111111", true),   // 16, valid
