@@ -940,6 +940,30 @@ object Pipeline {
     """.trim)
   )
 
+  /** FIM splits: hash-derived cut points, PSM rendering — transform
+    * reproducible run-to-run; oracle replays cuts + substrings. */
+  val fimSplitQ: QueryDef = QueryDef(
+    "fim_split",
+    (s, dir) => graft.operators.Pretrain.fimSplit(
+      tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
+      "id", "text").orderBy("id"),
+    Some(s"""${graft.operators.Pretrain.fimSplitSql(
+        "SELECT doc_id AS id, text FROM documents").trim}
+      ORDER BY id""")
+  )
+
+  /** ICT retrieval pairs: hash-chosen 8-token query window vs the
+    * remainder context; short docs yield no pair. */
+  val ictPairsQ: QueryDef = QueryDef(
+    "ict_pairs",
+    (s, dir) => graft.operators.Pretrain.ictPairs(
+      tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
+      "id", "text", windowTokens = 8).orderBy("id"),
+    Some(s"""${graft.operators.Pretrain.ictPairsSql(
+        "SELECT doc_id AS id, text FROM documents", 8).trim}
+      ORDER BY id""")
+  )
+
   /** TF-IDF top-3 salient terms per document. */
   val tfidfTerms: QueryDef = QueryDef(
     "tfidf_terms",
@@ -5081,7 +5105,7 @@ object Pipeline {
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
-    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, prefPairs, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, zipfFitQ, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, prefPairs, fimSplitQ, ictPairsQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, zipfFitQ, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,

@@ -914,6 +914,14 @@ object Drive {
       val flat = Seq((0 until 30).map(k => s"u$k").mkString(" ")).toDF("text")
       TextAnalysis.zipfFit(flat, "text", topK = 30).show()
     }
+    locally {
+      println("=== pretraining transforms: FIM split + ICT pairs ===")
+      import spark.implicits._
+      val d = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi omicron pi")).toDF("id", "text")
+      Pretrain.fimSplit(d, "id", "text").show(false)
+      Pretrain.ictPairs(d, "id", "text", windowTokens = 4).show(false)
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
