@@ -1625,6 +1625,58 @@ object Media {
     }
   }
 
+  case class ImageStats(id: Long, w: Long, h: Long,
+      mean_r: Long, mean_g: Long, mean_b: Long,
+      black_micro: Long, white_micro: Long,
+      n_buckets: Long, top_bucket_micro: Long)
+
+  /** Per-image color statistics — the cheap curation signals that
+    * catch blank pages, monochrome screenshots, and dead thumbnails
+    * BEFORE any hashing: per-channel integer means, near-black /
+    * near-white pixel fractions (all channels < 16 / > 239), and the
+    * 64-bucket (4 levels per channel) color occupancy — bucket count
+    * plus the dominant bucket's share. A screenshot of a dialog box
+    * shows 1–3 buckets with top share ≈ 1e6; a photo spreads wide.
+    *
+    * Exact integer arithmetic throughout (truncating means, half-up
+    * micro ratios — the engine-shared rounding), so the DuckDB twin
+    * replays every value from the pixel relation. Partition-batched
+    * map-only decode like [[pdqHashes]]. */
+  def imageStats(items: Dataset[MediaItem],
+      decode: PixelDecoder = bmpPixelDecoder): Dataset[ImageStats] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, rgb) = decode(m.payload)
+        val n = rgb.length.toLong
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var nb = 0L; var nw = 0L
+        val buckets = new Array[Long](64)
+        var i = 0
+        while (i < rgb.length) {
+          val p = rgb(i)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          sr += r; sg += g; sb += b
+          if (r < 16 && g < 16 && b < 16) nb += 1
+          if (r > 239 && g > 239 && b > 239) nw += 1
+          buckets((r / 64) * 16 + (g / 64) * 4 + b / 64) += 1
+          i += 1
+        }
+        // half-up micro ratio, the shared ratioScaled formula
+        def micro(c: Long): Long = (2 * c * 1000000L + n) / (2 * n)
+        var nbk = 0L; var top = 0L
+        var j = 0
+        while (j < 64) {
+          if (buckets(j) > 0) nbk += 1
+          if (buckets(j) > top) top = buckets(j)
+          j += 1
+        }
+        ImageStats(m.id, w, h, sr / n, sg / n, sb / n,
+          micro(nb), micro(nw), nbk, micro(top))
+      }
+    }
+  }
+
   /** Column-level binary metadata (no decode needed): byte length and a
     * hex prefix — expressible natively, pushdown-friendly, and
     * oracle-replayable. */

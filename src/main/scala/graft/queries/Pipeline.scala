@@ -2598,6 +2598,54 @@ object Pipeline {
     """.trim)
   )
 
+  /** Color statistics over the SAME BMP scenes: channel means,
+    * near-black/white fractions, 64-bucket occupancy — the
+    * blank/monochrome triage signals, every value integer-replayed by
+    * the oracle from the RGB pixel relation. */
+  val imageStatsQ: QueryDef = QueryDef(
+    "image_stats",
+    (s, dir) => Media.imageStats(pdqItems(s, dir), Media.bmpPixelDecoder)
+      .toDF("id", "w", "h", "mean_r", "mean_g", "mean_b",
+        "black_micro", "white_micro", "n_buckets", "top_bucket_micro")
+      .orderBy("id"),
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS id,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) AS acc
+        FROM documents WHERE doc_id < 96),
+      dims AS (SELECT id, acc % 7 AS g, 72 + (id % 3) * 28 AS w, 64 + (id % 5) * 16 AS h FROM src),
+      axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+      prgb AS (
+        SELECT d.id, d.w, d.h,
+          (d.g * 31 + x.v * 2 + y.v * 3 +
+            CASE WHEN x.v // 16 = d.id % 4 AND y.v // 16 = d.id % 6 THEN 40 ELSE 0 END) % 256 AS r,
+          (d.g * 53 + x.v * 5 + ((x.v * y.v) // 7) % 64) % 256 AS gg,
+          (d.g * 11 + y.v * 7) % 256 AS b
+        FROM dims d JOIN axis x ON x.v < d.w JOIN axis y ON y.v < d.h),
+      st AS (
+        SELECT id, max(w) AS w, max(h) AS h, count(*) AS n,
+          sum(r) AS sr, sum(gg) AS sg, sum(b) AS sb,
+          sum(CASE WHEN r < 16 AND gg < 16 AND b < 16 THEN 1 ELSE 0 END) AS nb,
+          sum(CASE WHEN r > 239 AND gg > 239 AND b > 239 THEN 1 ELSE 0 END) AS nw
+        FROM prgb GROUP BY id),
+      bk AS (SELECT id, (r // 64) * 16 + (gg // 64) * 4 + (b // 64) AS bucket, count(*) AS c
+             FROM prgb GROUP BY 1, 2),
+      bs AS (SELECT id, count(*) AS n_buckets, max(c) AS topc FROM bk GROUP BY id)
+      SELECT st.id AS id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        CAST(sr // n AS BIGINT) AS mean_r, CAST(sg // n AS BIGINT) AS mean_g,
+        CAST(sb // n AS BIGINT) AS mean_b,
+        CAST((2 * nb * 1000000 + n) // (2 * n) AS BIGINT) AS black_micro,
+        CAST((2 * nw * 1000000 + n) // (2 * n) AS BIGINT) AS white_micro,
+        CAST(n_buckets AS BIGINT) AS n_buckets,
+        CAST((2 * topc * 1000000 + n) // (2 * n) AS BIGINT) AS top_bucket_micro
+      FROM st JOIN bs ON bs.id = st.id
+      ORDER BY id
+    """.trim)
+  )
+
   /** Standalone resize over the same BMP scenes: exact integer box
     * downsample to 24×16 luma, digested per image (count / sum / min /
     * max / position-weighted checksum) so a single moved pixel value
@@ -5109,7 +5157,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaResize, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ, audioDups,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, imageStatsQ, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ, audioDups,
     mediaIndexClassify
   )
 }

@@ -922,6 +922,15 @@ object Drive {
       Pretrain.fimSplit(d, "id", "text").show(false)
       Pretrain.ictPairs(d, "id", "text", windowTokens = 4).show(false)
     }
+    locally {
+      println("=== image stats: blank/monochrome triage signals ===")
+      import spark.implicits._
+      val items = Seq(
+        Media.MediaItem(1L, "img", Media.encodeBmp24(8, 4, Array.fill(32)(0x282828))),
+        Media.MediaItem(2L, "img", Media.encodeBmp24(8, 4,
+          Array.tabulate(32)(i => if (i < 16) 0 else 0xffffff)))).toDS()
+      Media.imageStats(items).toDF().orderBy("id").show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

@@ -381,4 +381,22 @@ class MediaSpec extends SparkTestBase {
     assert(row.getLong(3) == 4L, row.toString)
     intercept[IllegalArgumentException](Media.alignFrameOffset(a, b, maxShift = -1))
   }
+
+  test("imageStats: monochrome vs spread images, exact integer stats") {
+    import spark.implicits._
+    // image 1: solid dark gray 8x4; image 2: half black half white 8x4
+    val solid = Array.fill(32)((40 << 16) | (40 << 8) | 40)
+    val split = Array.tabulate(32)(i => if (i < 16) 0 else 0xffffff)
+    val items = Seq(
+      Media.MediaItem(1L, "img", Media.encodeBmp24(8, 4, solid)),
+      Media.MediaItem(2L, "img", Media.encodeBmp24(8, 4, split))).toDS()
+    val got = Media.imageStats(items).collect().map(s => s.id -> s).toMap
+    val s1 = got(1L)
+    assert(s1.mean_r == 40 && s1.mean_g == 40 && s1.mean_b == 40)
+    assert(s1.black_micro == 0 && s1.white_micro == 0)
+    assert(s1.n_buckets == 1 && s1.top_bucket_micro == 1000000L)
+    val s2 = got(2L)
+    assert(s2.mean_r == 127 && s2.black_micro == 500000L && s2.white_micro == 500000L)
+    assert(s2.n_buckets == 2 && s2.top_bucket_micro == 500000L)
+  }
 }
