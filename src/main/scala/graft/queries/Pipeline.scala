@@ -964,6 +964,39 @@ object Pipeline {
       ORDER BY id""")
   )
 
+  /** Code-quality signal battery over a synthesized "source file"
+    * corpus (one word per line; every 3rd doc gets comment headers,
+    * every 7th an autogen marker) — both engines construct the same
+    * text, then compute the signals independently. */
+  val codeQualityQ: QueryDef = QueryDef(
+    "code_quality",
+    (s, dir) => {
+      val planted = tbl(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("// header comment\n# note\n")).otherwise(lit("")),
+          regexp_replace(col("text"), " ", "\n"),
+          when(col("doc_id") % 7 === 0, lit("\ny = 1 ;; Generated by tool")).otherwise(lit(""))
+        ).as("code"))
+      graft.operators.CodeQuality.signals(planted, "id", "code").orderBy("id")
+    },
+    Some {
+      val exprs = graft.operators.CodeQuality.signalsSql("code").toMap
+      s"""
+      WITH planted AS (
+        SELECT doc_id AS id,
+          (CASE WHEN doc_id % 3 = 0 THEN '// header comment' || chr(10) || '# note' || chr(10) ELSE '' END)
+          || replace(text, ' ', chr(10))
+          || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'y = 1 ;; Generated by tool' ELSE '' END) AS code
+        FROM documents)
+      SELECT id, ${exprs("n_lines")} AS n_lines, ${exprs("max_line_len")} AS max_line_len,
+        ${exprs("avg_line_len")} AS avg_line_len, ${exprs("comment_micro")} AS comment_micro,
+        ${exprs("alnum_micro")} AS alnum_micro, ${exprs("autogen")} AS autogen
+      FROM planted ORDER BY id
+      """.trim
+    }
+  )
+
   /** TF-IDF top-3 salient terms per document. */
   val tfidfTerms: QueryDef = QueryDef(
     "tfidf_terms",
@@ -5153,7 +5186,7 @@ object Pipeline {
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
-    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, prefPairs, fimSplitQ, ictPairsQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, zipfFitQ, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, prefPairs, fimSplitQ, ictPairsQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, zipfFitQ, codeQualityQ, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,

@@ -931,6 +931,14 @@ object Drive {
           Array.tabulate(32)(i => if (i < 16) 0 else 0xffffff)))).toDS()
       Media.imageStats(items).toDF().orderBy("id").show()
     }
+    locally {
+      println("=== code quality signals: comment ratio, alnum density, autogen ===")
+      import spark.implicits._
+      val d = Seq(
+        (1L, "// comment\nx = 1\ny = 2"),
+        (2L, "/* auto-generated */\nblob")).toDF("id", "text")
+      CodeQuality.signals(d, "id", "text").orderBy("id").show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
