@@ -541,6 +541,26 @@ object TextAnalysis {
     df.select(col(idCol).as("id") +: counts :+ redacted.as("redacted"): _*)
   }
 
+  /** HTML table extraction — scraped pages carry their structured
+    * payload in <table> markup that plain tag-stripping reduces to
+    * word soup; this pulls the cell RELATION out instead:
+    * (id, row_no, col_no, cell), one row per <td>/<th>, in document
+    * order. Non-greedy RE2-safe patterns ((?is), no lookaround — the
+    * engine-parity rule all graft regexes follow), map-only double
+    * posexplode. Rows outside tables and malformed fragments simply
+    * contribute no cells — extraction, not validation. */
+  def htmlTables(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val trPat = "(?is)<tr[^>]*>(.*?)</tr>"
+    val cellPat = "(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+    df.select(col(idCol).as("id"),
+        posexplode(regexp_extract_all(col(htmlCol), lit(trPat), lit(1))))
+      .select(col("id"), col("pos").cast("long").as("row_no"), col("col").as("tr"))
+      .select(col("id"), col("row_no"),
+        posexplode(regexp_extract_all(col("tr"), lit(cellPat), lit(1))))
+      .select(col("id"), col("row_no"), col("pos").cast("long").as("col_no"),
+        trim(col("col")).as("cell"))
+  }
+
   /** Zipf's-law fit over the corpus word-frequency distribution — the
     * statistical fingerprint that catches template-generated or
     * deduplication-damaged corpora (natural text has slope ≈ −1;

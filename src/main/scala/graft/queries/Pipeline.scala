@@ -997,6 +997,39 @@ object Pipeline {
     }
   )
 
+  /** HTML tables → cell relation: per doc a real <table> with
+    * id-dependent shape plus surrounding non-table markup; the oracle
+    * reconstructs the cells ARITHMETICALLY from the construction rule
+    * (no HTML parsing on the oracle side). */
+  val htmlTablesQ: QueryDef = QueryDef(
+    "html_tables",
+    (s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id")).map { r =>
+          val did = r.getLong(0)
+          val nr = 1 + (did % 3).toInt
+          val nc = 2 + (did % 2).toInt
+          val rows = (0 until nr).map { ri =>
+            val cells = (0 until nc).map(ci => s"<td> c${ri}_${ci}_$did </td>").mkString
+            s"<tr>$cells</tr>"
+          }.mkString
+          (did, s"<html><p>preamble $did</p><table>$rows</table><div>tail</div></html>")
+        }.toDF("id", "html")
+      TextAnalysis.htmlTables(pages, "id", "html").orderBy("id", "row_no", "col_no")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id AS id, 1 + doc_id % 3 AS nr, 2 + doc_id % 2 AS nc
+        FROM documents WHERE doc_id < 300),
+      r AS (SELECT id, nc, unnest(generate_series(0, nr - 1)) AS row_no FROM base),
+      c AS (SELECT id, row_no, unnest(generate_series(0, nc - 1)) AS col_no FROM r)
+      SELECT id, row_no, col_no,
+        'c' || CAST(row_no AS VARCHAR) || '_' || CAST(col_no AS VARCHAR) || '_' || CAST(id AS VARCHAR) AS cell
+      FROM c ORDER BY id, row_no, col_no
+    """.trim)
+  )
+
   /** TF-IDF top-3 salient terms per document. */
   val tfidfTerms: QueryDef = QueryDef(
     "tfidf_terms",
@@ -5186,7 +5219,7 @@ object Pipeline {
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
-    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, prefPairs, fimSplitQ, ictPairsQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, zipfFitQ, codeQualityQ, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, prefPairs, fimSplitQ, ictPairsQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, zipfFitQ, codeQualityQ, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, htmlTablesQ, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,

@@ -939,6 +939,13 @@ object Drive {
         (2L, "/* auto-generated */\nblob")).toDF("id", "text")
       CodeQuality.signals(d, "id", "text").orderBy("id").show()
     }
+    locally {
+      println("=== HTML table extraction: cell relation out of markup ===")
+      import spark.implicits._
+      val d = Seq((1L, "<p>intro</p><table><tr><th>k</th><th>v</th></tr>" +
+        "<tr><td>alpha</td><td>1</td></tr></table>")).toDF("id", "html")
+      TextAnalysis.htmlTables(d, "id", "html").orderBy("row_no", "col_no").show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

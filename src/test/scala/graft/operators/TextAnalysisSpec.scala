@@ -459,6 +459,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(6) == ((7L, 0L, 0L, "plain text with no numbers")))
   }
 
+  test("htmlTables: cells in document order; th counts; rows outside tables ignored; malformed yields nothing") {
+    val df = Seq(
+      (1L, "<p>x</p><table><tr><th>H1</th><th>H2</th></tr><tr><td>a</td><td> b </td></tr></table>"),
+      (2L, "<TABLE><TR><TD>up</TD></TR></TABLE>"),          // case-insensitive
+      (3L, "<tr><td>stray row outside table</td></tr>"),    // still a tr -> extracted (extraction, not validation)
+      (4L, "<table><tr><td>unclosed"),                      // malformed: no </tr> -> nothing
+      (5L, "no tables at all")
+    ).toDF("id", "html")
+    val got = TextAnalysis.htmlTables(df, "id", "html").orderBy("id", "row_no", "col_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, "H1"), (1L, 0L, 1L, "H2"),
+      (1L, 1L, 0L, "a"), (1L, 1L, 1L, "b"),
+      (2L, 0L, 0L, "up"),
+      (3L, 0L, 0L, "stray row outside table")))
+  }
+
   test("zipfFit: a planted 1/k corpus fits slope ~ -1 with high R2; flat corpora score low") {
     // word k appears floor(2000/k) times, k = 1..40 -> textbook Zipf
     val zipf = Seq((0 until 40).flatMap(k =>
