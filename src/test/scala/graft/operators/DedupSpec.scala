@@ -748,6 +748,34 @@ class DedupSpec extends SparkTestBase {
     assert(nv == sp && nv == Set(1L))
   }
 
+  test("exactSubstr property: rewrite reconciles with spans on pseudo-random corpora") {
+    // deterministic pseudo-random docs over a tiny vocab (forcing repeats)
+    def tok(s: Long) = "abcdefgh".charAt(((s % 8) + 8).toInt % 8).toString
+    val docs = (0 until 30).map { i =>
+      var s = i * 2654435761L
+      val n = 6 + (i % 9)
+      (i.toLong, (0 until n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L; tok(s >> 33)
+      }.mkString(" "))
+    }.toDF("id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "id", "text", minTokens = 3)
+      .groupBy("id").agg(sum("span_tokens").as("covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rewrite = Dedup.exactSubstrDedup(docs, "id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    rewrite.foreach { case (id, nTok, nRem, clean) =>
+      assert(nRem == spans.getOrElse(id, 0L), s"doc $id: n_removed $nRem vs spans")
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept == nTok - nRem, s"doc $id: kept $kept != $nTok - $nRem")
+    }
+    // novelty agrees on which docs carry duplication at the same L
+    val nv = Dedup.noveltyScore(docs, "id", "text", minTokens = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2) > 0)).toMap
+    rewrite.foreach { case (id, _, nRem, _) =>
+      assert(nv(id) == (nRem > 0), s"doc $id: novelty/span disagreement")
+    }
+  }
+
   test("exactSubstrSpans: anchor count aggregate is map-side combinable, no window over the hash") {
     val df = Seq((1L, tokens(20, "a")), (2L, tokens(20, "a"))).toDF("id", "text")
     val plan = Dedup.exactSubstrSpans(df, "id", "text", minTokens = 8)
