@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stale JUnit XMLs from deleted suites otherwise linger and inflate
+// artifact counts (r8 carried two debug-suite reports with no matching
+// source) — wipe before every test/testOnly so report count == live suites.
+val wipeTestReports = taskKey[Unit]("delete stale test-report XMLs")
+wipeTestReports := IO.delete(target.value / "test-reports")
+Test / executeTests := (Test / executeTests).dependsOn(wipeTestReports).value
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -195,6 +195,23 @@ object Parity {
     SELECT src AS "index", dst AS url_duplicate FROM urledges ORDER BY 1, 2""")
   )
 
+  /** Soak-tier twin of [[urlDups]]: deterministic 1-in-4 input subsample
+    * (event_id % 4 == 1) applied identically on BOTH engines. Exists so
+    * the sf0.5 scale soak records hash-stability for the quadratic-clique
+    * heavy tier inside the DuckDB oracle's time budget: the full url_dups
+    * oracle's clique output grows ~25× at 5× input, but clique sizes are
+    * input-linear, so a 1/4 input sample cuts oracle output ~16×. Same
+    * operator, same normalization, same group structure (groups key on
+    * (user_id%20, event_id%50) and survive any event_id-mod filter). */
+  val urlDupsSub: QueryDef = QueryDef(
+    "url_dups_sub",
+    (s, dir) => UrlDuplicates(urlFrame(s, dir).filter(col("index").cast("long") % 4 === 1))
+      .select(col("index"), explode(col("url_duplicates")).as("url_duplicate")),
+    Some(s"""
+    WITH ${urlEdgesCtes(s"SELECT * FROM ($urlFrameSql) WHERE CAST(idx AS BIGINT) % 4 = 1")}
+    SELECT src AS "index", dst AS url_duplicate FROM urledges ORDER BY 1, 2""")
+  )
+
   /** Per-domain statistics over the url frame (20 synthetic hosts after
     * case-folding). */
   val domainStats: QueryDef = QueryDef(
@@ -448,6 +465,6 @@ object Parity {
       FROM u ORDER BY idx""".trim)
   )
 
-  val defs: Seq[QueryDef] = Seq(urlDups, pdqDupsNaive, pdqDupsBanded, detectFull, pdqScale30k,
-    pdqScale3k, pdqDupsSkew, domainStats, domainCap, urlCanonical)
+  val defs: Seq[QueryDef] = Seq(urlDups, urlDupsSub, pdqDupsNaive, pdqDupsBanded, detectFull,
+    pdqScale30k, pdqScale3k, pdqDupsSkew, domainStats, domainCap, urlCanonical)
 }

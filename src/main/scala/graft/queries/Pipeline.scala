@@ -1261,10 +1261,24 @@ object Pipeline {
     * individually gated; this gate proves they COMPOSE — the oracle
     * nests each stage's SQL twin as a subquery (recursive CTEs and
     * all). */
-  val pipelineE2e: QueryDef = QueryDef(
-    "pipeline_e2e",
+  val pipelineE2e: QueryDef = pipelineE2eDef("pipeline_e2e", corpus, corpusSql)
+
+  /** Soak-tier twin of [[pipelineE2e]]: deterministic 1-in-4 corpus
+    * subsample (id % 4 == 1) applied identically on BOTH engines, so the
+    * sf0.5 soak can replay the capstone oracle (whose recursive
+    * connected-components CTE is the quadratic cost) inside the DuckDB
+    * budget. Modulus 4 divides the 1 000 000 clone-id offset, so
+    * original+clone pairs land in the same residue class and the
+    * near-dup stage still sees its planted dups. */
+  val pipelineE2eSub: QueryDef = pipelineE2eDef("pipeline_e2e_sub",
+    (s, dir) => corpus(s, dir).filter(col("id") % 4 === 1),
+    s"SELECT * FROM ($corpusSql) WHERE id % 4 = 1")
+
+  private def pipelineE2eDef(name: String,
+      corpusIn: (SparkSession, String) => DataFrame, corpusInSql: String): QueryDef = QueryDef(
+    name,
     (s, dir) => {
-      val raw = corpus(s, dir).select(col("id"),
+      val raw = corpusIn(s, dir).select(col("id"),
         concat(lit("<p>"), col("text"),
           lit("</p><script>var x = 1 < 2;</script> &amp; tail")).as("text"))
       val clean = TextAnalysis.stripHtml(raw, "id", "text")
@@ -1281,7 +1295,7 @@ object Pipeline {
       val cleanSql =
         s"""SELECT id, ${TextAnalysis.stripHtmlSql("text")} AS text
             FROM (SELECT id, '<p>' || text || '</p><script>var x = 1 < 2;</script> &amp; tail' AS text
-                  FROM ($corpusSql))"""
+                  FROM ($corpusInSql))"""
       val keptSql = s"SELECT id, text FROM ($cleanSql) WHERE len(${TextFunctions.wordsSql("text")}) >= 40"
       val survivorsSql =
         s"""SELECT id, text FROM ($keptSql) kk WHERE kk.id NOT IN (
@@ -5221,7 +5235,7 @@ object Pipeline {
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, prefPairs, fimSplitQ, ictPairsQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, zipfFitQ, codeQualityQ, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, htmlTablesQ, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
-    curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e,
+    curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e, pipelineE2eSub,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaResize, imageStatsQ, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ, audioDups,
     mediaIndexClassify
