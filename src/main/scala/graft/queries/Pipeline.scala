@@ -1062,6 +1062,36 @@ object Pipeline {
         budget = 512) + """ ORDER BY "group", id""")
   )
 
+  /** [[Packing.packChunks]] at its scaladoc's documented scale shape:
+    * the pack group is split × 16 hash-shards, so the per-group window
+    * sort distributes 48-way instead of 3-way (pack_chunks keys on the
+    * 3-value split alone, bounding measured parallelism at 3 — fine for
+    * the semantics gate, wrong as the 100 TB shape). Sharding is
+    * content-addressed ([[Splits.bucket]] with its own salt), so
+    * assignments stay stable under re-runs and dataset growth, and the
+    * DuckDB twin replays the identical group key. Offsets are
+    * per-(split, shard) streams — the oracle recomputes them per shard
+    * with the same window. */
+  val packChunksSharded: QueryDef = QueryDef(
+    "pack_chunks_sharded",
+    (s, dir) => {
+      val toks = tbl(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        size(TextFunctions.words(col("text"))).as("t"))
+      val sharded = Splits.hashSplit(toks, "id", splitSpec)
+        .withColumn("pack_group", concat_ws("/", col("split"),
+          (Splits.bucket(col("id"), "pack") % 16).cast("string")))
+      Packing.packChunks(sharded, "id", "t", budget = 512, groupCol = "pack_group")
+        .orderBy("group", "id")
+    },
+    Some(
+      Packing.packChunksSql(
+        s"""SELECT ${Splits.hashSplitSql("doc_id", splitSpec)} || '/' ||
+              CAST(${Splits.bucketSql("doc_id", "pack")} % 16 AS VARCHAR) AS g,
+            doc_id AS id, len(${TextFunctions.wordsSql("text")}) AS t FROM documents""",
+        budget = 512) + """ ORDER BY "group", id""")
+  )
+
   /** Stratified content-addressed sampling: downsample the train tier
     * hard, keep half of val, all of test — the skew-rebalancing move. */
   private val stratSpec = Seq("train" -> 0.05, "val" -> 0.5, "test" -> 1.0)
@@ -5234,7 +5264,7 @@ object Pipeline {
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
     ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, prefPairs, fimSplitQ, ictPairsQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, zipfFitQ, codeQualityQ, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, htmlTablesQ, fingerprints, topTerms,
-    tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
+    tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, packChunksSharded, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e, pipelineE2eSub,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaResize, imageStatsQ, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ, audioDups,

@@ -125,6 +125,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges == 1, s"pack_chunks should shuffle once (group window), found $hashExchanges:\n$p")
   }
 
+  test("pack_chunks_sharded: one exchange keyed on the sharded group; 48 distinct pack streams") {
+    val p = plan("pack_chunks_sharded")
+    assert(!p.contains("Join"), s"packing must be join-free:\n$p")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"should shuffle once (sharded-group window), found $hashExchanges:\n$p")
+    // packChunks renames groupCol → `group`; the exchange must key on it
+    // and the projection feeding it must carry the shard modulus (i.e.
+    // the key is split×shard, not split alone)
+    assert("hashpartitioning\\(group".r.findFirstIn(p).isDefined,
+      s"window exchange must key on the pack group:\n$p")
+    assert(p.contains("concat_ws") && p.contains("% 16"),
+      s"pack group must be the sharded split×(bucket %% 16) key:\n$p")
+    // the scale shape the scaladoc prescribes: up to 3 splits × 16 shards
+    // pack streams — parallelism bound 48, not 3. The sf0.001 corpus is
+    // too small to occupy every (split, shard) cell (val/test are 5% hash
+    // tiers), so pin "well beyond split-only" rather than full occupancy.
+    val groups = graft.queries.Pipeline.packChunksSharded
+      .run(spark, dir).select("group").distinct().count()
+    assert(groups > 16L && groups <= 48L, s"expected 16<streams<=48 pack streams, got $groups")
+  }
+
   test("bm25_scores: term filter sits below the tf aggregate; no shuffle-side product") {
     val p = plan("bm25_scores")
     assert(!p.contains("CartesianProduct"), s"shuffle-side product planned:\n$p")
