@@ -5130,6 +5130,44 @@ object Pipeline {
     """.trim)
   )
 
+  /** Zip64 ingest ([[graft.sources.Archives]] APPNOTE §4.3.14-15): the
+    * same 20-docs-per-archive corpus, but every archive written in FULL
+    * zip64 form — sentinel 32/16-bit slots, 0x0001 extended-info extra
+    * fields, EOCD64 record + locator — the layout >4 GiB dump archives
+    * arrive in, synthesized at test payload sizes (the spec allows zip64
+    * records at any size). Decoder must route EOCD → locator → EOCD64
+    * and pull sizes/offsets from the extra fields; the oracle
+    * reconstructs members arithmetically, exactly like archive_extract. */
+  val archiveZip64: QueryDef = QueryDef(
+    "archive_zip64",
+    (s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 20)
+        .mapGroups { (g, it) =>
+          val entries = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            (s"corpus/doc_$id.txt", text.getBytes("UTF-8"))
+          }
+          graft.sources.Archives.ArchiveFile(g,
+            graft.sources.Archives.encodeZip(entries, deflate = g % 2 == 0, forceZip64 = true))
+        }
+      graft.sources.Archives.entries(files).toDF()
+        .select(
+          col("id").as("archive_id"), col("entry"),
+          col("payload").cast("string").as("doc_text"))
+        .orderBy("archive_id", "entry")
+    },
+    Some("""
+      SELECT doc_id // 20 AS archive_id,
+        'corpus/doc_' || doc_id || '.txt' AS entry,
+        text AS doc_text
+      FROM documents WHERE doc_id < 200 ORDER BY archive_id, entry
+    """.trim)
+  )
+
   /** Location-PII curation over photo archives
     * ([[graft.operators.Jpeg.stripGps]]): every third document's JPEG
     * carries a GPS IFD; the operator reads the exact signed
@@ -5257,7 +5295,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcLinks, robotsFilter, pdfExtract, archiveExtract, avroIngest, exifGpsStrip,
+    warcExtract, warcLinks, robotsFilter, pdfExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

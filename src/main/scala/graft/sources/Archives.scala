@@ -14,7 +14,10 @@ import org.apache.spark.sql.Dataset
   *    directory walk (PK\x01\x02), local headers re-read per entry
   *    (PK\x03\x04 — local name/extra lengths differ from central
   *    ones); methods 0 (store) and 8 (deflate, raw `Inflater`);
-  *    zip64 and encrypted entries refuse loudly;
+  *    zip64 archives (EOCD64 locator + record, 0x0001 extended-info
+  *    extra fields) parse natively — routine for >4 GiB dump
+  *    distribution — with members past the 2 GiB in-memory extraction
+  *    limit refusing loudly; encrypted entries refuse loudly;
   *  - gzip: members unwrapped transparently, so `.tar.gz` needs no
   *    special casing — [[autoEntries]] dispatches by magic and
   *    recurses once after gunzip.
@@ -90,29 +93,74 @@ object Archives {
 
   def zipEntries(p: Array[Byte]): Seq[(String, Array[Byte])] = {
     def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
-    def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+    def u32(i: Int): Long = (u16(i) | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    def u64(i: Int): Long = u32(i) | (u32(i + 4) << 32)
     // EOCD: scan back for PK\x05\x06 (comment may follow)
     var e = p.length - 22
     while (e >= 0 && !(p(e) == 'P' && p(e + 1) == 'K' && p(e + 2) == 5 && p(e + 3) == 6)) e -= 1
     require(e >= 0, "zip: no end-of-central-directory record")
-    val count = u16(e + 10)
-    var cd = u32(e + 16)
+    var count: Long = u16(e + 10)
+    var cdL: Long = u32(e + 16)
+    // Zip64 (APPNOTE §4.3.14-15): sentinel 0xffff/0xffffffff in the EOCD
+    // routes through the EOCD64 locator (PK\x06\x07, fixed 20 bytes,
+    // immediately before the EOCD) to the EOCD64 record (PK\x06\x06)
+    // carrying the real 64-bit entry count and central-directory offset.
+    if (count == 0xffffL || cdL == 0xffffffffL) {
+      val loc = e - 20
+      require(loc >= 0 && u32(loc) == 0x07064b50L, "zip: zip64 sentinel but no EOCD64 locator")
+      val z64 = u64(loc + 8)
+      require(z64 >= 0 && z64 + 56 <= p.length && z64 <= Int.MaxValue.toLong,
+        "zip: zip64 EOCD record out of range")
+      val z = z64.toInt
+      require(u32(z) == 0x06064b50L, "zip: bad zip64 EOCD record")
+      count = u64(z + 32)
+      cdL = u64(z + 48)
+    }
+    require(cdL <= Int.MaxValue.toLong && count <= Int.MaxValue.toLong,
+      "zip: central directory beyond in-memory extraction limit (2 GiB)")
+    var cd = cdL.toInt
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
-    var k = 0
+    var k = 0L
     while (k < count) {
-      require(u32(cd) == 0x02014b50, "zip: bad central directory entry")
+      require(u32(cd) == 0x02014b50L, "zip: bad central directory entry")
       val flags = u16(cd + 8)
       require((flags & 0x1) == 0, "zip: encrypted entries unsupported")
       val method = u16(cd + 10)
-      val csize = u32(cd + 20)
-      val usize = u32(cd + 24)
-      require(csize != 0xffffffff && usize != 0xffffffff, "zip: zip64 unsupported")
+      var csizeL = u32(cd + 20)
+      var usizeL = u32(cd + 24)
       val nameLen = u16(cd + 28)
       val extraLen = u16(cd + 30)
       val commentLen = u16(cd + 32)
-      val lho = u32(cd + 42)
+      var lhoL = u32(cd + 42)
       val name = new String(p, cd + 46, nameLen, "UTF-8")
-      require(u32(lho) == 0x04034b50, s"zip: bad local header for '$name'")
+      // Zip64 extended-information extra field (header id 0x0001): holds,
+      // in order, ONLY the fields whose 32-bit slots carry the sentinel
+      if (csizeL == 0xffffffffL || usizeL == 0xffffffffL || lhoL == 0xffffffffL) {
+        var x = cd + 46 + nameLen
+        val xEnd = x + extraLen
+        var found = false
+        while (x + 4 <= xEnd && !found) {
+          val hid = u16(x); val hlen = u16(x + 2)
+          if (hid == 0x0001) {
+            var q = x + 4
+            if (usizeL == 0xffffffffL) { usizeL = u64(q); q += 8 }
+            if (csizeL == 0xffffffffL) { csizeL = u64(q); q += 8 }
+            if (lhoL == 0xffffffffL) { lhoL = u64(q); q += 8 }
+            require(q <= x + 4 + hlen, s"zip: zip64 extra field too short in '$name'")
+            found = true
+          } else x += 4 + hlen
+        }
+        require(found, s"zip: zip64 sizes promised but no zip64 extra field in '$name'")
+      }
+      // members are extracted into byte arrays: a member genuinely past
+      // 2 GiB refuses loudly rather than corrupting silently
+      require(csizeL <= Int.MaxValue.toLong && usizeL <= Int.MaxValue.toLong &&
+        lhoL <= Int.MaxValue.toLong - 30,
+        s"zip: member '$name' exceeds in-memory extraction limit (2 GiB)")
+      val csize = csizeL.toInt
+      val usize = usizeL.toInt
+      val lho = lhoL.toInt
+      require(u32(lho) == 0x04034b50L, s"zip: bad local header for '$name'")
       val dataAt = lho + 30 + u16(lho + 26) + u16(lho + 28)
       require(dataAt + csize <= p.length, s"zip: entry '$name' truncated")
       val comp = java.util.Arrays.copyOfRange(p, dataAt, dataAt + csize)
@@ -143,11 +191,18 @@ object Archives {
   }
 
   /** zip fixture encoder: store or raw-deflate per entry, CRC-32,
-    * central directory + EOCD. */
-  def encodeZip(entries: Seq[(String, Array[Byte])], deflate: Boolean = true): Array[Byte] = {
+    * central directory + EOCD. `forceZip64` writes the archive in full
+    * zip64 form regardless of size — 0xffffffff/0xffff sentinels in the
+    * 32/16-bit slots, zip64 extra fields on every header, EOCD64 record
+    * + locator — which is how a >4 GiB dump archive arrives, synthesized
+    * at test-friendly payload sizes (APPNOTE §4.5.3 explicitly allows
+    * zip64 records for any size). */
+  def encodeZip(entries: Seq[(String, Array[Byte])], deflate: Boolean = true,
+      forceZip64: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    def le64(v: Long): Unit = { le32((v & 0xffffffffL).toInt); le32((v >>> 32).toInt) }
     val central = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Int, Int, Int)]
     entries.foreach { case (name, data) =>
       val crc = { val c = new java.util.zip.CRC32(); c.update(data); c.getValue.toInt }
@@ -161,24 +216,56 @@ object Archives {
       } else data
       val method = if (deflate) 8 else 0
       val off = out.size()
-      le32(0x04034b50); le16(20); le16(0); le16(method); le16(0); le16(0)
-      le32(crc); le32(comp.length); le32(data.length)
       val nb = name.getBytes("UTF-8")
-      le16(nb.length); le16(0)
-      out.write(nb); out.write(comp)
+      if (forceZip64) {
+        le32(0x04034b50); le16(45); le16(0); le16(method); le16(0); le16(0)
+        le32(crc); le32(-1); le32(-1) // sentinels → zip64 extra
+        le16(nb.length); le16(20)     // extra: id + len + usize + csize
+        out.write(nb)
+        le16(0x0001); le16(16); le64(data.length.toLong); le64(comp.length.toLong)
+        out.write(comp)
+      } else {
+        le32(0x04034b50); le16(20); le16(0); le16(method); le16(0); le16(0)
+        le32(crc); le32(comp.length); le32(data.length)
+        le16(nb.length); le16(0)
+        out.write(nb); out.write(comp)
+      }
       central += ((name, method, crc, comp.length, data.length, off))
     }
     val cdAt = out.size()
     central.foreach { case (name, method, crc, csize, usize, off) =>
-      le32(0x02014b50); le16(20); le16(20); le16(0); le16(method); le16(0); le16(0)
-      le32(crc); le32(csize); le32(usize)
       val nb = name.getBytes("UTF-8")
-      le16(nb.length); le16(0); le16(0); le16(0); le16(0); le32(0); le32(off)
-      out.write(nb)
+      if (forceZip64) {
+        le32(0x02014b50); le16(45); le16(45); le16(0); le16(method); le16(0); le16(0)
+        le32(crc); le32(-1); le32(-1) // sentinels
+        le16(nb.length); le16(28); le16(0); le16(0); le16(0); le32(0); le32(-1)
+        out.write(nb)
+        // zip64 extra: usize, csize, offset (all three were sentinels)
+        le16(0x0001); le16(24); le64(usize.toLong); le64(csize.toLong); le64(off.toLong)
+      } else {
+        le32(0x02014b50); le16(20); le16(20); le16(0); le16(method); le16(0); le16(0)
+        le32(crc); le32(csize); le32(usize)
+        le16(nb.length); le16(0); le16(0); le16(0); le16(0); le32(0); le32(off)
+        out.write(nb)
+      }
     }
     val cdLen = out.size() - cdAt
-    le32(0x06054b50); le16(0); le16(0); le16(central.length); le16(central.length)
-    le32(cdLen); le32(cdAt); le16(0)
+    if (forceZip64) {
+      val z64At = out.size()
+      // EOCD64 record: sig, size-of-remainder (44), versions, disks,
+      // counts, cd size, cd offset
+      le32(0x06064b50); le64(44L); le16(45); le16(45); le32(0); le32(0)
+      le64(central.length.toLong); le64(central.length.toLong)
+      le64(cdLen.toLong); le64(cdAt.toLong)
+      // EOCD64 locator
+      le32(0x07064b50); le32(0); le64(z64At.toLong); le32(1)
+      // EOCD with sentinels
+      le32(0x06054b50); le16(0); le16(0); le16(0xffff); le16(0xffff)
+      le32(-1); le32(-1); le16(0)
+    } else {
+      le32(0x06054b50); le16(0); le16(0); le16(central.length); le16(central.length)
+      le32(cdLen); le32(cdAt); le16(0)
+    }
     out.toByteArray
   }
 

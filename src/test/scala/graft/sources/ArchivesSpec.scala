@@ -86,4 +86,40 @@ class ArchivesSpec extends SparkTestBase {
     val plan = Archives.entries(ds).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"archive extraction must stay map-only:\n$plan")
   }
+
+  test("zip64: forced-zip64 archives decode (EOCD64 route + extra fields); JDK cross-check") {
+    val entries = mk(4)
+    for (deflate <- Seq(false, true)) {
+      val z = Archives.encodeZip(entries, deflate, forceZip64 = true)
+      // the fixture really is zip64: plain-EOCD count/offset are sentinels
+      val eocdAt = z.length - 22
+      assert((z(eocdAt + 10) & 0xff) == 0xff && (z(eocdAt + 11) & 0xff) == 0xff,
+        "fixture must carry sentinel entry count in the EOCD")
+      val got = Archives.zipEntries(z)
+      assert(got.map(_._1) == entries.map(_._1), s"deflate=$deflate")
+      got.zip(entries).foreach { case ((_, g), (_, w)) => assert(g.toSeq == w.toSeq) }
+      // cross-check the zip64 ENCODER against the JDK's zip64-aware reader
+      val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(z))
+      val jdk = Iterator.continually(zin.getNextEntry).takeWhile(_ != null).map { e =>
+        val b = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = zin.read(buf)
+        while (n >= 0) { b.write(buf, 0, n); n = zin.read(buf) }
+        (e.getName, b.toByteArray)
+      }.toList
+      assert(jdk.map(_._1) == entries.map(_._1))
+      jdk.zip(entries).foreach { case ((_, g), (_, w)) => assert(g.toSeq == w.toSeq) }
+    }
+    // and the DECODER against a zip64 archive the JDK wrote (ZipOutputStream
+    // emits zip64 records when forced via setMethod(STORED) + huge? no —
+    // JDK only writes zip64 when needed; the forced fixture covers that
+    // side, so here pin the refusal paths instead):
+    // locator promised but missing → loud refusal
+    val z = Archives.encodeZip(entries, deflate = true, forceZip64 = true)
+    val broken = z.clone()
+    val locAt = broken.length - 22 - 20
+    broken(locAt + 3) = 9 // corrupt locator signature
+    val ex = intercept[IllegalArgumentException](Archives.zipEntries(broken))
+    assert(ex.getMessage.contains("EOCD64 locator"))
+  }
 }
