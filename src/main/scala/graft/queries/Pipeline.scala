@@ -5088,6 +5088,54 @@ object Pipeline {
     """.trim)
   )
 
+  /** Per-page font quarantine ([[graft.sources.Pdf]]): a corpus where
+    * every third document embeds a Type0/CID (Identity-H) font and every
+    * third-plus-one a custom /Differences encoding — the two layouts
+    * whose byte codes a Latin-1 mapping would turn into silent mojibake.
+    * Those pages must surface as quarantine marker rows (null text +
+    * status), NEVER as text; the Helvetica rest extract verbatim. The
+    * oracle derives both the verdict and the surviving text
+    * arithmetically from the planted layout. */
+  val pdfExtractCid: QueryDef = QueryDef(
+    "pdf_extract_cid",
+    (s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val head = text.take(120)
+          val font = (id % 3) match {
+            case 0 => "<< /Type /Font /Subtype /Type0 /BaseFont /Noto-CJK /Encoding /Identity-H >>"
+            case 1 => "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
+              "/Encoding << /Type /Encoding /Differences [ 65 /alpha ] >> >>"
+            case _ => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+          }
+          graft.sources.Pdf.PdfDoc(id, graft.sources.Pdf.encodePdfText(Seq(
+            Seq(s"Document $id", head),
+            Seq(s"(page 2 of $id) with \\ specials", s"len=${text.length}")), font))
+        }
+      graft.sources.Pdf.texts(docs, keepCorrupt = true).toDF()
+        .select(col("id").as("doc_id"), col("page"),
+          when(col("error").isNull, "ok").otherwise("quarantined").as("status"),
+          col("text").as("page_text"))
+        .orderBy("doc_id", "page")
+    },
+    Some("""
+      SELECT doc_id, page,
+        CASE WHEN doc_id % 3 = 2 THEN 'ok' ELSE 'quarantined' END AS status,
+        CASE WHEN doc_id % 3 = 2 THEN
+          CASE page
+            WHEN 0 THEN 'Document ' || doc_id || chr(10) || substring(text, 1, 120)
+            ELSE '(page 2 of ' || doc_id || ') with \ specials' || chr(10) || 'len=' || length(text)
+          END
+        END AS page_text
+      FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS page)
+      WHERE doc_id < 150 ORDER BY doc_id, page
+    """.trim)
+  )
+
   /** Archive ingest ([[graft.sources.Archives]]): documents grouped 20
     * per archive — thirds as deflate-zip, store-zip and gzipped ustar
     * tar — then the map-only entry walk recovers every member. Oracle
@@ -5295,7 +5343,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcLinks, robotsFilter, pdfExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

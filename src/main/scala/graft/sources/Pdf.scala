@@ -18,9 +18,17 @@ import org.apache.spark.sql.Dataset
   *    line-continuation), hex strings, arrays and operators; text
   *    shows from `Tj`, `'`, `"` and `TJ` (kerning numbers skipped,
   *    large negative kerns become spaces); `Td`/`TD`/`T*`/`Tm` break
-  *    lines. Bytes map through Latin-1 (the standard-font case; CID /
-  *    custom-encoded fonts are out of scope and simply yield their
-  *    raw codes).
+  *    lines. Bytes map through Latin-1 — valid ONLY for simple fonts
+  *    with a standard (or built-in) encoding. Pages that use a
+  *    composite/CID font (`/Subtype /Type0`, e.g. `/Identity-H`) or a
+  *    custom `/Encoding` (a `/Differences` dictionary) would extract
+  *    as silent mojibake that LOOKS like text — the one failure mode a
+  *    training corpus must never admit — so such pages QUARANTINE:
+  *    per-page marker rows (null text + reason) under `keepCorrupt`,
+  *    loud task failure otherwise. A belt-and-braces content check
+  *    also quarantines any page whose shown text contains NUL (the
+  *    giveaway of 2-byte CID codes shown through an undeclared font —
+  *    Latin-1 simple-font text never contains NUL).
   *
   * Spark shape: [[texts]] is a map-only flatMap over one-document
   * rows — same contract as [[Warc.records]]: embarrassingly parallel,
@@ -31,15 +39,29 @@ object Pdf {
   case class PdfDoc(id: Long, bytes: Array[Byte])
 
   /** One extracted page. `error` is null unless this is a quarantine
-    * marker row (page -1, null text). */
+    * marker row: page -1 + null text for a whole-document failure,
+    * page >= 0 + null text for a per-page font quarantine. */
   case class PdfPage(id: Long, page: Int, text: String, error: String)
+
+  /** One page's outcome from [[extractPages]]: exactly one of `text`
+    * (decoded shown text) / `quarantine` (reason) is null. */
+  case class PageResult(text: String, quarantine: String)
 
   // ------------------------------------------------------------- parse
 
   private val ObjRe = """(?s)(\d+)\s+(\d+)\s+obj\b""".r
 
-  /** Extract each page's text from one PDF body. */
-  def extractText(p: Array[Byte]): Seq[String] = {
+  /** Strict page extraction: any quarantined page fails loudly. For the
+    * per-page quarantine surface use [[extractPages]]. */
+  def extractText(p: Array[Byte]): Seq[String] = extractPages(p).map { pr =>
+    if (pr.quarantine != null) throw new IllegalArgumentException(pr.quarantine)
+    pr.text
+  }
+
+  /** Extract each page's text from one PDF body; pages whose fonts the
+    * Latin-1 mapping cannot honestly decode come back as quarantine
+    * results instead of mojibake (see object scaladoc). */
+  def extractPages(p: Array[Byte]): Seq[PageResult] = {
     val s = new String(p, "ISO-8859-1")
     require(s.startsWith("%PDF-"), "not a PDF payload")
     // object map: number -> offset just past "obj"
@@ -126,6 +148,56 @@ object Pdf {
       } else throw new IllegalArgumentException(s"PDF: filter unsupported: $filter")
     }
 
+    // ---- non-simple-font detection (the quarantine trigger) ----------
+    val refRe = """(\d+)\s+\d+\s+R""".r
+    val stdEncodings = Set("/StandardEncoding", "/WinAnsiEncoding",
+      "/MacRomanEncoding", "/MacExpertEncoding")
+
+    def resolveDict(v: String): String = {
+      val t = v.trim
+      refRe.findFirstMatchIn(t) match {
+        case Some(m) if m.matched == t => objBody(m.group(1).toInt)
+        case _ => t
+      }
+    }
+
+    // A font the Latin-1 byte mapping can honestly decode: a simple
+    // subtype whose encoding is absent (standard-font built-in) or one
+    // of the four standard names. Type0 (CID composite, 2-byte codes)
+    // and /Differences-style custom encodings cannot — their codes are
+    // glyph indexes, and mapping them through Latin-1 manufactures text
+    // that never existed.
+    def fontIssue(fontBody: String): Option[String] = {
+      val sub = dictValue(fontBody, "Subtype").map(_.trim)
+      if (sub.contains("/Type0"))
+        Some("composite (Type0/CID) font — codes are not Latin-1 bytes")
+      else dictValue(fontBody, "Encoding") match {
+        case None => None
+        case Some(enc) =>
+          val e = resolveDict(enc)
+          if (stdEncodings.contains(e.trim)) None
+          else Some(s"non-standard font /Encoding ${e.trim.take(40)}")
+      }
+    }
+
+    // /Resources may be inherited from the /Pages tree (§7.7.3.4)
+    def resourcesOf(body: String, depth: Int): Option[String] =
+      dictValue(body, "Resources").map(resolveDict).orElse {
+        if (depth > 8) None
+        else dictValue(body, "Parent").flatMap(pv =>
+          refRe.findFirstMatchIn(pv).flatMap(m =>
+            resourcesOf(objBody(m.group(1).toInt), depth + 1)))
+      }
+
+    def pageFontIssue(pageBody: String): Option[String] =
+      resourcesOf(pageBody, 0).flatMap { res =>
+        dictValue(res, "Font").map(resolveDict).flatMap { fd =>
+          // referenced font objects plus the dict itself (inline subdicts)
+          val bodies = refRe.findAllMatchIn(fd).map(m => objBody(m.group(1).toInt)).toSeq :+ fd
+          bodies.flatMap(fontIssue).headOption
+        }
+      }
+
     // pages in scan order
     val pages = objs.keysIterator.map(n => (n, objBody(n))).filter { case (_, b) =>
       val d = b.indexOf("<<")
@@ -134,16 +206,23 @@ object Pdf {
     }.toSeq
 
     pages.map { case (n, body) =>
-      val contents = dictValue(body, "Contents")
-        .getOrElse(throw new IllegalArgumentException(s"PDF: page object $n without /Contents"))
-      val refRe = """(\d+)\s+\d+\s+R""".r
-      val streamObjs = refRe.findAllMatchIn(contents).map(_.group(1).toInt).toSeq
-      require(streamObjs.nonEmpty, s"PDF: page $n contents carry no stream refs")
-      val data = streamObjs.map { sn =>
-        val from = objs(sn)
-        streamBytes(objBody(sn), from)
-      }.reduce(_ ++ _)
-      contentText(new String(data, "ISO-8859-1"))
+      pageFontIssue(body) match {
+        case Some(q) => PageResult(null, s"PDF: page quarantined: $q")
+        case None =>
+          val contents = dictValue(body, "Contents")
+            .getOrElse(throw new IllegalArgumentException(s"PDF: page object $n without /Contents"))
+          val streamObjs = refRe.findAllMatchIn(contents).map(_.group(1).toInt).toSeq
+          require(streamObjs.nonEmpty, s"PDF: page $n contents carry no stream refs")
+          val data = streamObjs.map { sn =>
+            val from = objs(sn)
+            streamBytes(objBody(sn), from)
+          }.reduce(_ ++ _)
+          val t = contentText(new String(data, "ISO-8859-1"))
+          if (t.indexOf('\u0000') >= 0)
+            PageResult(null, "PDF: page quarantined: NUL in shown text " +
+              "(2-byte show codes from an undeclared composite font)")
+          else PageResult(t, null)
+      }
     }
   }
 
@@ -224,8 +303,11 @@ object Pdf {
 
   /** Minimal valid PDF for fixtures: one content stream per page
     * (FlateDecode), Helvetica, one `Tj` line per string, proper xref.
-    * Strings are escaped per §7.3.4.2. */
-  def encodePdfText(pages: Seq[Seq[String]]): Array[Byte] = {
+    * Strings are escaped per §7.3.4.2. `fontDict` overrides the shared
+    * font object — pass a Type0/CID or custom-/Differences dict to
+    * synthesize the quarantine fixtures. */
+  def encodePdfText(pages: Seq[Seq[String]],
+      fontDict: String = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"): Array[Byte] = {
     require(pages.nonEmpty, "a PDF needs at least one page")
     def esc(t: String): String =
       t.flatMap {
@@ -271,7 +353,7 @@ object Pdf {
         w("\nendstream\n")
       }
     }
-    obj(fontObj)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    obj(fontObj)(w(fontDict + "\n"))
     val xrefAt = out.size()
     w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
@@ -281,13 +363,20 @@ object Pdf {
 
   // ------------------------------------------------------------- spark
 
-  /** Map-only page extraction over PDF documents; corrupt payloads
-    * quarantine to one (id, -1, null, error) marker row under
-    * `keepCorrupt`, else fail the task loudly. */
+  /** Map-only page extraction over PDF documents. Under `keepCorrupt`,
+    * corrupt payloads quarantine to one (id, -1, null, error) marker
+    * row and non-simple-font pages to per-page (id, page, null, reason)
+    * marker rows; without it, both fail the task loudly. Either way
+    * mojibake never flows into the corpus as text. */
   def texts(docs: Dataset[PdfDoc], keepCorrupt: Boolean = false): Dataset[PdfPage] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
-      try extractText(d.bytes).zipWithIndex.map { case (t, i) => PdfPage(d.id, i, t, null) }
+      try extractPages(d.bytes).zipWithIndex.map {
+        case (PageResult(t, null), i) => PdfPage(d.id, i, t, null)
+        case (PageResult(_, q), i) =>
+          if (keepCorrupt) PdfPage(d.id, i, null, q)
+          else throw new IllegalArgumentException(q)
+      }
       catch {
         case scala.util.control.NonFatal(e) if keepCorrupt =>
           Seq(PdfPage(d.id, -1, null, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
