@@ -536,17 +536,53 @@ object PdqDuplicates {
       .toDF("phash", "chash", "dist")
   }
 
+  /** Pigeonhole band join with the two-level (hierarchical) refinement:
+    * beside the (band_id, band) equi-key, each exploded row carries the
+    * word columns of the WIDE band (one of `m` equal hash quarters/
+    * halves) its sub-band belongs to, and the join condition demands
+    * that wide band's sub-distance stay within ⌊n/m⌋. Pigeonhole over
+    * wide bands guarantees a qualifying pair has such a wide band, and
+    * its nBands/m = ⌊n/m⌋+1 sub-bands re-pigeonhole to an exact match —
+    * so completeness is intact, while a random single-sub-band collision
+    * (at PDQ radii, ~80% of ALL pairs — flat banding's "pruning absent"
+    * regime) now dies INSIDE the join on a 2×32-bit popcount instead of
+    * surviving into the distinct + word-join + full-width verify. The
+    * candidate distinct, previously the dominant shuffle (~N² rows at
+    * k=51), processes only the near-duplicate survivors. m = largest of
+    * 4/2 dividing nBands (keeps wide bands word-aligned); m = 1 falls
+    * back to the flat shape. */
   private def bandedHashJoin(probes: DataFrame, corpus: DataFrame, n: Int): DataFrame = {
     val nBands = n + 1
     val probeW = withWordCols(probes, "phash", "pw")
     val corpusW = withWordCols(corpus, "chash", "cw")
-    // candidate rows carry ONLY the hash strings through the (possibly
-    // skewed) band join; word columns join back after dedup
-    def banded(df: DataFrame, hashCol: String) = df
-      .select(col(hashCol), explode(hexBands(col(hashCol), nBands)).as("b"))
-      .select(col(hashCol), col("b.band_id"), col("b.band"))
-    val candidates = banded(probeW, "phash")
-      .join(banded(corpusW, "chash"), Seq("band_id", "band"))
+    val m = if (nBands % 4 == 0) 4 else if (nBands % 2 == 0) 2 else 1
+    // candidate rows carry ONLY the hash strings (plus, for m > 1, the
+    // wide-band words) through the (possibly skewed) band join; full
+    // word columns join back after dedup
+    def banded(df: DataFrame, hashCol: String, p: String) = {
+      val base = df
+        .select(col(hashCol) +: (0 until WordsPerHash).map(i => col(s"$p$i")): _*)
+        .select(col(hashCol), array((0 until WordsPerHash).map(i => col(s"$p$i")): _*).as("ws"),
+          explode(hexBands(col(hashCol), nBands)).as("b"))
+      if (m == 1)
+        base.select(col(hashCol), col("b.band_id").as(s"${p}_band_id"), col("b.band").as(s"${p}_band"))
+      else {
+        val wpb = WordsPerHash / m
+        val spw = nBands / m
+        val wide = (col("b.band_id") / lit(spw)).cast("int")
+        base.select(col(hashCol) +: col("b.band_id").as(s"${p}_band_id") +:
+          col("b.band").as(s"${p}_band") +:
+          (0 until wpb).map(wj => element_at(col("ws"), wide * wpb + wj + 1).as(s"${p}_wb$wj")): _*)
+      }
+    }
+    val pb = banded(probeW, "phash", "pw")
+    val cb = banded(corpusW, "chash", "cw")
+    val keyCond = col("pw_band_id") === col("cw_band_id") && col("pw_band") === col("cw_band")
+    val cond =
+      if (m == 1) keyCond
+      else keyCond && (0 until WordsPerHash / m)
+        .map(wj => bit_count(col(s"pw_wb$wj").bitwiseXOR(col(s"cw_wb$wj")))).reduce(_ + _) <= n / m
+    val candidates = pb.join(cb, cond)
       .select("phash", "chash")
       .distinct()
     candidates

@@ -124,7 +124,7 @@ object FirstEqualBand {
     * edge-masked byte XORs — no re-packing, no per-bit loop (this runs
     * once per CANDIDATE row, the join's hot path); bounds match
     * [[HammingBandSegments.bitSegment]]. */
-  private def bitsEqual(a: Array[Byte], b: Array[Byte], from: Long, to: Long): Boolean = {
+  private[plans] def bitsEqual(a: Array[Byte], b: Array[Byte], from: Long, to: Long): Boolean = {
     if (to <= from) return true
     val x0 = (from >>> 3).toInt
     val x1 = ((to + 7) >>> 3).toInt
@@ -151,6 +151,135 @@ object FirstEqualBand {
       i += 1
     }
     bands - 1
+  }
+}
+
+/** Two-level (hierarchical) pigeonhole budget check for one candidate
+  * row: is the Hamming sub-distance of the WIDE band containing sub-band
+  * `band` within `budget`, over the two hashes' common (min-length)
+  * prefix? The hash's prefix is cut into `m` wide bands (wide band i =
+  * the union of sub-bands [i·n/m, (i+1)·n/m) — identical bit bounds to
+  * [[HammingBandSegments]], since n = m·(n/m)); pigeonhole over wide
+  * bands says a pair at distance ≤ k has SOME wide band with
+  * sub-distance ≤ ⌊k/m⌋, and within that ≤-⌊k/m⌋-error wide band the
+  * n/m = ⌊k/m⌋+1 sub-bands re-pigeonhole to an exact sub-band match.
+  * The flat scheme's claim admits every random single-band collision
+  * into the O(hash-width) distance verify (~(k+1)/2^(8w/(k+1)) of ALL
+  * pairs at PDQ radii — its scaladoc called the pruning "absent");
+  * this check is the restored pruning: an early-exited ~(w/m)-bit
+  * popcount that kills a random candidate with probability
+  * 1 − P[Binom(8w/m, ½) ≤ ⌊k/m⌋] (k=51, w=32: 1 − ~2e-7) BEFORE the
+  * claim scan and full verify run. Null if any child is null
+  * (absorbed by the verify filter's null-rejecting conjunction). */
+case class HammingWideBandWithin(first: Expression, second: Expression, third: Expression,
+    bands: Int, m: Int, budget: Int) extends TernaryExpression with Predicate {
+  require(m >= 1 && bands % m == 0, s"m=$m must divide bands=$bands")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == BinaryType &&
+      third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming_wide_band_within requires (binary, binary, int), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
+
+  override def prettyName: String = "hamming_wide_band_within"
+
+  override protected def nullSafeEval(a: Any, b: Any, band: Any): Any =
+    HierarchicalBands.wideWithin(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      band.asInstanceOf[Int], bands, m, budget)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, band) =>
+      s"${ev.value} = graft.plans.HierarchicalBands.wideWithin($a, $b, $band, $bands, $m, $budget);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Claim-once selector for the two-level scheme: the FIRST sub-band
+  * index g whose segment bits are equal AND whose wide band's
+  * sub-distance is within `budget`; −1 if none (a non-qualifying pair —
+  * the claim then fails without ever running the full-width distance).
+  * Wide bands over budget are skipped wholesale, so the scan costs m
+  * early-exited wide popcounts for a random candidate instead of a
+  * full segment walk. */
+case class FirstQualifyingBand(left: Expression, right: Expression,
+    bands: Int, m: Int, budget: Int) extends BinaryExpression {
+  require(m >= 1 && bands % m == 0, s"m=$m must divide bands=$bands")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"first_qualifying_band requires (binary, binary), got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_qualifying_band"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    HierarchicalBands.firstQualifying(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]],
+      bands, m, budget)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.HierarchicalBands.firstQualifying($a, $b, $bands, $m, $budget);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object HierarchicalBands {
+  /** Popcount of `a ^ b` over bit range [from, to) stays ≤ `budget`?
+    * Edge-masked byte XORs with early exit one past the budget — the
+    * per-candidate hot path. */
+  private[plans] def rangeDistWithin(a: Array[Byte], b: Array[Byte],
+      from: Long, to: Long, budget: Int): Boolean = {
+    if (to <= from) return true
+    val x0 = (from >>> 3).toInt
+    val x1 = ((to + 7) >>> 3).toInt
+    var acc = 0
+    var i = x0
+    while (i < x1) {
+      var m = 0xff
+      if (i == x0) m &= 0xff >>> (from & 7).toInt
+      if (i == x1 - 1) {
+        val r = (to & 7).toInt
+        if (r != 0) m &= 0xff << (8 - r)
+      }
+      acc += java.lang.Integer.bitCount((a(i) ^ b(i)) & m)
+      if (acc > budget) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Static kernel for [[HammingWideBandWithin]]: wide band of sub-band
+    * `band` is i = band/(bands/m), covering prefix bits
+    * [bits·i/m, bits·(i+1)/m) — exactly the union of its sub-bands'
+    * [[HammingBandSegments]] bounds. */
+  def wideWithin(a: Array[Byte], b: Array[Byte], band: Int, bands: Int, m: Int, budget: Int): Boolean = {
+    val bits = math.min(a.length, b.length).toLong * 8
+    val i = band / (bands / m)
+    rangeDistWithin(a, b, bits * i / m, bits * (i + 1) / m, budget)
+  }
+
+  /** Static kernel for [[FirstQualifyingBand]]. */
+  def firstQualifying(a: Array[Byte], b: Array[Byte], bands: Int, m: Int, budget: Int): Int = {
+    val bits = math.min(a.length, b.length).toLong * 8
+    val spw = bands / m
+    var i = 0
+    while (i < m) {
+      if (rangeDistWithin(a, b, bits * i / m, bits * (i + 1) / m, budget)) {
+        var g = i * spw
+        val end = (i + 1) * spw
+        while (g < end) {
+          if (FirstEqualBand.bitsEqual(a, b, bits * g / bands, bits * (g + 1) / bands)) return g
+          g += 1
+        }
+      }
+      i += 1
+    }
+    -1
   }
 }
 
@@ -193,15 +322,20 @@ object FirstEqualBand {
   * remains the tuned path for fixed-width corpora).
   *
   * Honest pruning envelope: a band pair collides by CHANCE with
-  * probability ~2^−(8·width/(k+1)), so banding prunes hard when
-  * k ≪ bit-width (k=2 over 64-bit hashes: 21-bit bands, ~2^−21) and
-  * stops pruning as k+1 approaches the bit width (k=51 over 256-bit
-  * PDQ hashes: ~5-bit bands, ~1/30 — candidates ≈ N²·(k+1)/2^(8w/(k+1)),
-  * the same order as all-pairs). Even there the rewrite stays the
-  * EXECUTABLE plan for big⋈big inputs — Spark's only θ strategy,
-  * BroadcastNestedLoopJoin, needs one side to fit in memory — and each
-  * candidate costs an int-compare claim check instead of a full-width
-  * distance. For corpora that DO fit a broadcast,
+  * probability ~2^−(8·width/(k+1)), so the EQUI-JOIN key prunes hard
+  * when k ≪ bit-width (k=2 over 64-bit hashes: 21-bit bands, ~2^−21)
+  * and stops pruning as k+1 approaches the bit width (k=51 over
+  * 256-bit PDQ hashes: ~5-bit bands, ~1/30 — band-key candidates ≈
+  * N²·(k+1)/2^(8w/(k+1)), the same order as all-pairs). The TWO-LEVEL
+  * claim ([[HammingWideBandWithin]] / [[FirstQualifyingBand]], active
+  * whenever 4, 3 or 2 divides k+1) restores post-key pruning exactly
+  * there: a random candidate must additionally place ≤ ⌊k/m⌋ of its
+  * differing bits inside the collided band's 1/m-width wide band
+  * (k=51, m=4: ≤ 12 of expected 32 on a 64-bit quarter, P ≈ 2e-7),
+  * checked by an early-exited ~w/m-bit popcount BEFORE the claim scan
+  * or the O(w) distance verify run — candidate admission to the
+  * full-width verify drops by >10³ (spec-pinned) and per-candidate
+  * cost to one short popcount. For corpora that DO fit a broadcast,
   * [[graft.operators.PdqDuplicates]]'s stats-gated naive kernel remains
   * the faster path at PDQ-realistic radii.
   *
@@ -275,6 +409,13 @@ object HammingRadiusBandJoin extends Rule[LogicalPlan] with PredicateHelper {
         case Some((a, b, k)) =>
           val n = k + 1
           val dMax = k / 8
+          // two-level refinement (see HammingWideBandWithin): m wide
+          // bands when m divides n; largest of 4/3/2 keeps the wide
+          // popcount cheap while the budget ⌊k/m⌋ = n/m − 1 stays
+          // exactly re-pigeonholeable by the n/m sub-bands. m = 1
+          // (n prime > 3) falls back to the flat claim.
+          val mWide = Seq(4, 3, 2).find(n % _ == 0).getOrElse(1)
+          val wideBudget = k / mWide
           // one Generate per side PER BRANCH: flat segment array for a
           // δ range, idx = (δ−dFrom)·n + band, built by ONE loop-bodied
           // codegen expression (constant-size method at any radius)
@@ -318,11 +459,20 @@ object HammingRadiusBandJoin extends Rule[LogicalPlan] with PredicateHelper {
               Some(And(EqualTo(pL, pR), And(EqualTo(bandL, bandR), EqualTo(valL, valR)))),
               JoinHint(noBroadcastIfFat(left, (dlT - dlF + 1) * n),
                 noBroadcastIfFat(right, (drT - drF + 1) * n)))
-            // claim each qualifying pair once, in the FIRST equal band
-            // of the common prefix (int compare first — it kills most
-            // candidates before the O(hash-width) distance verify)
-            Project(left.output ++ right.output,
-              Filter(And(EqualTo(bandL, firstEqual), cond), bandJoin))
+            // claim each qualifying pair once. Flat (m = 1): the FIRST
+            // equal band of the common prefix — but a random single-band
+            // collision passes that claim and pays the full-width
+            // distance verify. Two-level (m > 1): the cheap early-exited
+            // wide-band budget popcount runs FIRST and kills ~all random
+            // candidates; the claim then keys on the first band that is
+            // equal AND inside a within-budget wide band (−1 for
+            // non-qualifying pairs, so neither the claim scan's tail nor
+            // the full distance ever run for them).
+            val claim =
+              if (mWide == 1) And(EqualTo(bandL, firstEqual), cond)
+              else And(HammingWideBandWithin(a, b, bandL, n, mWide, wideBudget),
+                And(EqualTo(bandL, FirstQualifyingBand(a, b, n, mWide, wideBudget)), cond))
+            Project(left.output ++ right.output, Filter(claim, bandJoin))
           }
           // Length partition: a qualifying pair meets at its common
           // prefix p = min(len_a, len_b), i.e. at δ_l = max(0,

@@ -98,6 +98,35 @@ class HammingRadiusBandJoinSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("two-level claim restores pruning at k=51: random candidates rarely reach the verify") {
+    // The flat claim admits every pair with >= 1 equal ~5-bit segment
+    // into the O(hash-width) distance verify — ~80% of ALL random pairs
+    // at k=51 over 256-bit hashes. The hierarchical claim additionally
+    // demands the collided band's wide (64-bit) quarter carry <= 12
+    // differing bits, which a random pair (expected 32) essentially
+    // never does. Count both admission sets on a random corpus.
+    val rng = new scala.util.Random(17)
+    val hashes = Array.fill(300)(Array.fill[Byte](32)(rng.nextInt(256).toByte))
+    val (n, m, q) = (52, 4, 12)
+    var pairs = 0L; var flat = 0L; var hier = 0L
+    for (i <- hashes.indices; j <- hashes.indices; if i < j) {
+      pairs += 1
+      val (a, b) = (hashes(i), hashes(j))
+      val bits = 256L
+      if ((0 until n).exists(g => FirstEqualBand.bitsEqual(a, b, bits * g / n, bits * (g + 1) / n)))
+        flat += 1
+      if (HierarchicalBands.firstQualifying(a, b, n, m, q) >= 0) hier += 1
+    }
+    assert(flat > pairs / 2, s"flat admission should be near-total at k=51, got $flat/$pairs")
+    assert(hier * 1000 < flat, s"two-level admission must prune >=1000x, got $hier vs $flat")
+    // and a genuinely qualifying pair always claims: 51 flipped bits
+    val t = hashes(0).clone()
+    var f = 0
+    while (f < 51) { val bit = f * 5 % 256; t(bit / 8) = (t(bit / 8) ^ (1 << (bit % 8))).toByte; f += 1 }
+    assert(HierarchicalBands.firstQualifying(hashes(0), t, n, m, q) >= 0,
+      "qualifying pair must find a qualifying band")
+  }
+
   test("extra conjuncts ride along; null hashes never match") {
     val l = Seq((1L, Some("ab" * 16)), (2L, Some("ab" * 16)), (3L, None))
       .toDF("lid", "hx").select($"lid", unhex($"hx").as("ha"))
