@@ -861,6 +861,24 @@ object Vp8 {
     Yuv(w, h, oy, ou, ov)
   }
 
+  /** Decode the key frame inside a simple lossy WebP container (RIFF →
+    * `VP8 ` chunk, directly or inside VP8X) to YUV planes. */
+  def decodeWebp(p: Array[Byte]): Yuv = {
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+    def le32(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+      ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    require(p.length >= 20 && tag(0) == "RIFF" && tag(8) == "WEBP", "not a WebP payload")
+    var i = 12
+    while (i + 8 <= p.length) {
+      val t = tag(i)
+      val len = le32(i + 4)
+      require(len >= 0 && i + 8 + len <= p.length, s"WebP: chunk $t truncated")
+      if (t == "VP8 ") return decode(java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len))
+      i += 8 + len + (len & 1)
+    }
+    throw new IllegalArgumentException("WebP: no lossy VP8 chunk found")
+  }
+
   /** 4:2:0 YUV → packed RGB ints (0xRRGGBB): libwebp's per-pixel BT.601
     * limited-swing integer transform (yuv.h: MultHi by 19077/26149/6419/
     * 13320/33050, bias, >> 6) over NEAREST-NEIGHBOR chroma — the

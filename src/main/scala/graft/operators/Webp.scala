@@ -483,7 +483,9 @@ object Webp {
   }
 
   /** Decode a full WebP container to (width, height, ARGB): RIFF walk,
-    * VP8L direct or inside a VP8X extended file. Lossy VP8 refuses. */
+    * VP8L (lossless) or VP8 (lossy key frame, [[Vp8.decode]] + the
+    * deterministic YUV→RGB of [[Vp8.yuvToRgb]]), directly or inside a
+    * VP8X extended file. */
   def decodeArgb(p: Array[Byte]): (Int, Int, Array[Int]) = {
     def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
     def le32(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
@@ -495,17 +497,20 @@ object Webp {
       val len = le32(i + 4)
       require(len >= 0 && i + 8 + len <= p.length, s"WebP: chunk $t truncated")
       if (t == "VP8L") return decodeVp8l(java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len))
-      require(t != "VP8 ", "WebP: lossy VP8 unsupported (decode is for the lossless profile)")
+      if (t == "VP8 ") {
+        val f = Vp8.decode(java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len))
+        return (f.w, f.h, Vp8.yuvToRgb(f).map(0xff000000 | _))
+      }
       i += 8 + len + (len & 1)
     }
-    throw new IllegalArgumentException("WebP: no VP8L chunk found")
+    throw new IllegalArgumentException("WebP: no VP8L/VP8 chunk found")
   }
 
   /** Animated WebP (RFC 9649 §5): every ANMF frame decoded as its own
     * standalone raster — the same no-compositing contract as
     * [[Media.gifFrames]] (a frame sampler hashes frames, it does not
-    * replay an animation). Still images yield one frame. Lossy frames
-    * refuse loudly like stills. */
+    * replay an animation). Still images yield one frame. Lossy (VP8
+    * key-frame) frames decode through [[Vp8]] like stills. */
   def webpFrames(p: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
     def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
     def le32(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
@@ -526,15 +531,18 @@ object Webp {
         while (!decoded && j + 8 <= end) {
           val st = tag(j)
           val slen = le32(j + 4)
-          require(st != "VP8 ", "WebP: lossy animation frame unsupported")
           if (st == "VP8L") {
             val (w, h, argb) = decodeVp8l(java.util.Arrays.copyOfRange(p, j + 8, j + 8 + slen))
             frames += ((w, h, argb.map(_ & 0xffffff)))
             decoded = true
+          } else if (st == "VP8 ") {
+            val f = Vp8.decode(java.util.Arrays.copyOfRange(p, j + 8, j + 8 + slen))
+            frames += ((f.w, f.h, Vp8.yuvToRgb(f)))
+            decoded = true
           }
           j += 8 + slen + (slen & 1)
         }
-        require(decoded, "WebP: ANMF frame without VP8L data")
+        require(decoded, "WebP: ANMF frame without VP8L/VP8 data")
       }
       i += 8 + len + (len & 1)
     }

@@ -3850,6 +3850,60 @@ object Pipeline {
     mediaPdqCompute.oracle
   )
 
+  /** Real libwebp-encoded LOSSY WebP (VP8 key frames) through the
+    * pure-JVM [[graft.operators.Vp8]] decoder. Unlike the lossless
+    * gates there is no in-repo encoder (writing a VP8 encoder would
+    * prove nothing about decode), so the fixtures are four REAL
+    * `WebPEncodeRGBA` outputs embedded verbatim (82-424 bytes each,
+    * dev-time generated, quality/content/size sweep), and the oracle's
+    * expected rows are per-plane sums + order-pinning weighted digests
+    * of libwebp's OWN `WebPDecodeYUV` golden planes — computed from the
+    * reference decoder at dev time, never from this repo's decoder.
+    * VP8 reconstruction is bit-exact by spec, so one flipped bit in
+    * any table/tree/predictor/filter path moves a digest. The full
+    * per-byte validation lives in Vp8Spec; this gate keeps the lossy
+    * path on the driver's correctness board. */
+  val mediaWebpLossy: QueryDef = QueryDef(
+    "media_webp_lossy",
+    (s, dir) => {
+      import s.implicits._
+      val fixtures = graft.queries.Vp8Fixtures.all.toSeq
+      s.createDataset(fixtures).repartition(fixtures.size)
+        .map { case (name, b64) =>
+          val f = graft.operators.Vp8.decodeWebp(java.util.Base64.getDecoder.decode(b64))
+          val P = 1000000007L
+          def digests(pl: Array[Byte]): (Long, Long) = {
+            var sum = 0L; var wd = 0L; var i = 0
+            while (i < pl.length) {
+              val v = pl(i) & 0xff
+              sum += v; wd = (wd + (i + 1).toLong * v) % P
+              i += 1
+            }
+            (sum, wd)
+          }
+          val (ys, yw) = digests(f.y)
+          val (us, uw) = digests(f.u)
+          val (vs, vw) = digests(f.v)
+          (name, f.w, f.h, ys, us, vs, yw, uw, vw)
+        }
+        .toDF("name", "width", "height", "y_sum", "u_sum", "v_sum", "y_wdig", "u_wdig", "v_wdig")
+        .orderBy("name")
+    },
+    Some("""
+      SELECT name, CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        CAST(y_sum AS BIGINT) AS y_sum, CAST(u_sum AS BIGINT) AS u_sum,
+        CAST(v_sum AS BIGINT) AS v_sum, CAST(y_wdig AS BIGINT) AS y_wdig,
+        CAST(u_wdig AS BIGINT) AS u_wdig, CAST(v_wdig AS BIGINT) AS v_wdig
+      FROM (VALUES
+        ('flat_blocks_q50', 128, 96, 1224960, 414069, 298306, 293173066, 609007772, 424345500),
+        ('one_mb_q60', 16, 16, 28921, 6405, 8473, 4511520, 201820, 244529),
+        ('photo_q75', 161, 113, 2318729, 560303, 619347, 441695961, 274634868, 367416402),
+        ('tiny_5x7_q80', 5, 7, 3736, 1478, 1485, 82830, 9450, 8644)
+      ) AS t(name, width, height, y_sum, u_sum, v_sum, y_wdig, u_wdig, v_wdig)
+      ORDER BY name
+    """.trim)
+  )
+
   /** The JPEG form of the PDQ pipeline, real end to end: per-doc
     * BLOCK-CONSTANT grayscale tiles encoded as real baseline JPEG
     * (from-scratch FDCT, canonical Huffman, byte stuffing — [[Jpeg]]),
@@ -5353,7 +5407,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, packChunksSharded, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e, pipelineE2eSub,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaResize, imageStatsQ, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ, audioDups,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, imageStatsQ, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaWebpLossy, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ, audioDups,
     mediaIndexClassify
   )
 }

@@ -54,6 +54,20 @@ class Vp8Spec extends org.scalatest.funsuite.AnyFunSuite {
     diffStat(got.v, gv, "V")
   }
 
+  test("Webp container routes lossy files through Vp8: decodeArgb + frames + pixel decoder") {
+    val webp = resource("one_mb_q60.webp")
+    val f = Vp8.decodeWebp(webp)
+    val (w, h, argb) = Webp.decodeArgb(webp)
+    assert((w, h) == (16, 16) && (f.w, f.h) == (16, 16))
+    // container path must be the same YUV->RGB transform over the same planes
+    val direct = Vp8.yuvToRgb(f)
+    assert(argb.map(_ & 0xffffff).sameElements(direct))
+    val frames = Webp.webpFrames(webp)
+    assert(frames.length == 1 && frames.head._3.sameElements(direct))
+    val (pw, ph, rgb) = Webp.webpPixelDecoder(webp)
+    assert((pw, ph) == (16, 16) && rgb.sameElements(direct))
+  }
+
   test("inter frames refuse loudly") {
     val p = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0, 0, 0) // frame tag LSB set = inter
     val e = intercept[IllegalArgumentException](Vp8.decode(p))

@@ -91,12 +91,13 @@ class WebpSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Webp.webpFrames(still).length == 1 && Media.autoFrames(still).length == 1)
   }
 
-  test("lossy VP8 refuses loudly; truncated stream fails, not hangs") {
+  test("mislabeled lossy chunk fails loudly (bad VP8 payload); truncated stream fails, not hangs") {
     val enc = Webp.encodeWebpLossless(4, 4, Array.fill(16)(0x102030))
     val lossy = enc.clone()
-    lossy(15) = ' ' // "VP8L" -> "VP8 "
+    lossy(15) = ' ' // "VP8L" -> "VP8 ": now routes to Vp8.decode, whose
+    // payload is a VP8L stream — must refuse on the start code, not decode garbage
     val e = intercept[IllegalArgumentException](Webp.decodeArgb(lossy))
-    assert(e.getMessage.contains("lossy"))
+    assert(e.getMessage.contains("VP8"))
     intercept[Exception](Webp.decodeArgb(enc.take(enc.length - 4)))
   }
 }
