@@ -3904,6 +3904,57 @@ object Pipeline {
     """.trim)
   )
 
+  /** WebM video ingest ([[graft.sources.Webm]]): each embedded real-VP8
+    * fixture muxed into a WebM container (EBML header + Segment/Info/
+    * Tracks/Cluster, keyframe SimpleBlocks at 40 ms spacing — two
+    * frames per file so timestamps exercise the cluster+block path),
+    * plus one V_VP9 file that must surface as a loud triage marker, all
+    * through the map-only frames() walk with the VP8 key frames decoded
+    * by [[graft.operators.Vp8]]. Luma sums in the oracle come from
+    * libwebp's OWN decode of the identical payloads (same dev-time
+    * goldens as media_webp_lossy). */
+  val webmKeyframes: QueryDef = QueryDef(
+    "webm_keyframes",
+    (s, dir) => {
+      import s.implicits._
+      val names = graft.queries.Vp8Fixtures.all.keys.toSeq.sorted
+      val rows = names.zipWithIndex.map { case (n, i) => (i.toLong + 1, n, false) } :+
+        ((names.size.toLong + 1, names.head, true)) // VP9-labelled twin
+      s.createDataset(rows).repartition(rows.size)
+        .map { case (id, name, asVp9) =>
+          val webp = java.util.Base64.getDecoder.decode(graft.queries.Vp8Fixtures.all(name))
+          val sz = (webp(16) & 0xff) | ((webp(17) & 0xff) << 8) |
+            ((webp(18) & 0xff) << 16) | ((webp(19) & 0xff) << 24)
+          val vp8 = java.util.Arrays.copyOfRange(webp, 20, 20 + sz)
+          val f = graft.operators.Vp8.decode(vp8)
+          graft.sources.Webm.WebmFile(id, graft.sources.Webm.encodeWebm(
+            Seq(vp8, vp8), f.w, f.h, frameMs = 40,
+            codec = if (asVp9) "V_VP9" else "V_VP8"))
+        }
+        .transform(ds => graft.sources.Webm.frames(ds, keepCorrupt = true))
+        .toDF()
+        .select(col("id").as("file_id"), col("track"), col("frame"), col("ts_ms"),
+          col("width"), col("height"), col("luma_sum"),
+          when(col("error").isNull, "ok").otherwise("refused").as("status"))
+        .orderBy("file_id", "frame")
+    },
+    Some("""
+      WITH fx AS (
+        SELECT * FROM (VALUES
+          (1, 128, 96, 1224960), (2, 16, 16, 28921), (3, 161, 113, 2318729), (4, 5, 7, 3736)
+        ) AS t(file_id, w, h, ysum)
+      )
+      SELECT file_id, CAST(1 AS BIGINT) AS track, CAST(frame AS INTEGER) AS frame,
+        CAST(frame * 40 AS BIGINT) AS ts_ms, CAST(w AS INTEGER) AS width,
+        CAST(h AS INTEGER) AS height, CAST(ysum AS BIGINT) AS luma_sum, 'ok' AS status
+      FROM fx CROSS JOIN (SELECT unnest([0, 1]) AS frame)
+      UNION ALL
+      SELECT 5, CAST(1 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
+        CAST(128 AS INTEGER), CAST(96 AS INTEGER), CAST(0 AS BIGINT), 'refused'
+      ORDER BY file_id, frame
+    """.trim)
+  )
+
   /** The JPEG form of the PDQ pipeline, real end to end: per-doc
     * BLOCK-CONSTANT grayscale tiles encoded as real baseline JPEG
     * (from-scratch FDCT, canonical Huffman, byte stuffing — [[Jpeg]]),
@@ -5407,7 +5458,7 @@ object Pipeline {
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, packChunksSharded, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e, pipelineE2eSub,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
-    mediaPdqCompute, mediaPdqComputeDups, mediaResize, imageStatsQ, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaWebpLossy, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ, audioDups,
+    mediaPdqCompute, mediaPdqComputeDups, mediaResize, imageStatsQ, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaWebpLossy, webmKeyframes, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ, audioDups,
     mediaIndexClassify
   )
 }
