@@ -566,6 +566,67 @@ object Pipeline {
     """.trim)
   )
 
+  // planted crawl page per document: script/title chrome, nav links, a
+  // heading, the doc's text as the article body plus a short tail and a
+  // second long synthetic paragraph, then share bar + footer — every
+  // class transition the block classifier has to navigate
+  private val boilerHead =
+    "<html><head><script>var x = 1 < 2;</script><title>page title</title></head><body>" +
+      "<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/about\">About us</a></li></ul></nav>" +
+      "<h1>Notes for the day</h1><p>"
+  private val boilerTail =
+    "</p><p>Read more.</p>" +
+      "<p>The second paragraph of the story is longer and it is full of the usual words, and " +
+      "the words keep coming in a steady stream of the kind a reader expects to see in the " +
+      "middle of a real article about the topic of the day.</p>" +
+      "<div><a href=\"#\">Share</a> <a href=\"#\">Tweet</a> <a href=\"#\">Pin</a></div>" +
+      "<footer><p><a href=\"/privacy\">Privacy</a> | <a href=\"/terms\">Terms</a> | copyright</p></footer>" +
+      "</body></html>"
+
+  private def boilerPlanted(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id").as("id"),
+      concat(lit(boilerHead), col("text"), lit(boilerTail)).as("html"))
+
+  private val boilerPlantedSql: String =
+    s"""SELECT doc_id AS id, '${boilerHead.replace("'", "''")}' || text || '${boilerTail.replace("'", "''")}' AS html
+        FROM documents""".linesIterator.map(_.trim).mkString(" ")
+
+  /** Block-level boilerplate classification ([[graft.operators.Boilerplate]]):
+    * jusText-family context-free class + two-stage smoothing over every
+    * planted crawl page. The oracle replays split, features, thresholds
+    * (exact integer comparisons) and both window passes in DuckDB. */
+  val boilerplateBlocks: QueryDef = QueryDef(
+    "boilerplate_blocks",
+    (s, dir) => graft.operators.Boilerplate.blocks(boilerPlanted(s, dir), "id", "html")
+      .select(col("id"), col("ord"), col("n_words"), col("n_link_words"),
+        col("n_stop_words"), col("cls0"), col("cls"), md5(col("text")).as("text_md5"))
+      .orderBy("id", "ord"),
+    Some(s"""
+      WITH src AS ($boilerPlantedSql),
+      ${graft.operators.Boilerplate.blocksSql("src")}
+      SELECT id, ord, n_words, n_link_words, n_stop_words, cls0, cls, md5(text) AS text_md5
+      FROM blocks ORDER BY id, ord
+    """.trim)
+  )
+
+  /** Main-content extraction: good blocks re-joined in document order —
+    * the text the downstream dedup/quality tiers should actually see.
+    * Chrome (nav/share/footer text) must be absent from the digest. */
+  val mainContentQ: QueryDef = QueryDef(
+    "main_content",
+    (s, dir) => graft.operators.Boilerplate.mainContent(boilerPlanted(s, dir), "id", "html")
+      .select(col("id"), col("n_blocks"), col("n_good"), col("main_words"),
+        md5(col("main_text")).as("main_md5"))
+      .orderBy("id"),
+    Some(s"""
+      WITH src AS ($boilerPlantedSql),
+      ${graft.operators.Boilerplate.blocksSql("src")},
+      ${graft.operators.Boilerplate.mainContentSql}
+      SELECT id, n_blocks, n_good, main_words, md5(main_text) AS main_md5
+      FROM main ORDER BY id
+    """.trim)
+  )
+
   private val splitSpec = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
   val hashSplit: QueryDef = QueryDef(
@@ -5454,7 +5515,7 @@ object Pipeline {
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
     dedupExact, minhashLsh, dedupClusters, nearDedupSurvivors, bestSurvivors, simhashSigs, simhashPairs, ngramJaccard, ngramJaccardPrefix, ngramContainment,
-    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, prefPairs, fimSplitQ, ictPairsQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, zipfFitQ, codeQualityQ, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, htmlTablesQ, fingerprints, topTerms,
+    ngramJaccardCapped, lshRecall, commonSpans, exactSubstrSpansQ, exactSubstrDedupQ, noveltyScoreQ, merkleRootQ, merkleDiffQ, sftTurns, sftCheck, prefPairs, fimSplitQ, ictPairsQ, incrementalDedup, incrementalDedupIdx, dedupIdxCompact, corpusStats, zipfFitQ, codeQualityQ, textQuality, langId, qualityScore, tokenCounts, tokenBudget, htmlStrip, htmlTablesQ, boilerplateBlocks, mainContentQ, fingerprints, topTerms,
     tfidfTerms, bm25Scores, bm25IndexSearch, bm25IndexIncr, chunkTextQ, cdcChunksQ, corpusDiff, repetition, piiRedact, piiLuhn, hashSplit, packChunks, packChunksSharded, stratifiedSample, targetMix, docSample, ppsSample, epochShuffle,
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e, pipelineE2eSub,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
