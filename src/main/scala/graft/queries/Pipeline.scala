@@ -5225,6 +5225,45 @@ object Pipeline {
     * map-only object-scan extractor recovers every page's text. The
     * chain is a lossless round-trip for the encoder's line discipline,
     * so the oracle reconstructs pages straight from the source text. */
+  /** DOCX ingest ([[graft.sources.Docx]]): every document re-muxed as a
+    * real OOXML package (zip + WordprocessingML via the repo's own zip
+    * writer) with two paragraphs — a text head and a constant carrying
+    * tab + the XML-escaped characters — and every 7th document doubled
+    * by an xlsx package that must refuse BY NAME (the PDF quarantine
+    * contract applied to OOXML). Encode→extract is lossless for this
+    * layout, so the oracle reconstructs paragraphs from the source. */
+  val docxExtract: QueryDef = QueryDef(
+    "docx_extract",
+    (s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val doc = graft.sources.Docx.DocxFile(id, graft.sources.Docx.encodeDocx(Seq(
+            s"Doc $id: ${text.take(100)}", "A\tB & <c>")))
+          if (id % 7 == 0)
+            Seq(doc, graft.sources.Docx.DocxFile(id + 1000000L,
+              graft.sources.Archives.encodeZip(
+                Seq("xl/workbook.xml" -> "<workbook/>".getBytes("UTF-8")))))
+          else Seq(doc)
+        }
+      graft.sources.Docx.paragraphs(files, keepCorrupt = true).toDF()
+        .select(col("id"), col("para"),
+          md5(coalesce(col("text"), lit(""))).as("text_md5"),
+          when(col("error").isNull, "ok").otherwise("refused").as("status"))
+        .orderBy("id", "para")
+    },
+    Some("""
+      SELECT doc_id AS id, 0 AS para, md5('Doc ' || doc_id || ': ' || substring(text, 1, 100)) AS text_md5, 'ok' AS status FROM documents
+      UNION ALL
+      SELECT doc_id, 1, md5('A' || chr(9) || 'B & <c>'), 'ok' FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, -1, md5(''), 'refused' FROM documents WHERE doc_id % 7 = 0
+      ORDER BY id, para
+    """.trim)
+  )
+
   val pdfExtract: QueryDef = QueryDef(
     "pdf_extract",
     (s, dir) => {
@@ -5509,7 +5548,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
