@@ -5092,6 +5092,80 @@ object Pipeline {
     """.trim)
   )
 
+  /** Zstd decode gate ([[graft.sources.Zstd]]): six embedded REAL
+    * system-zstd frames (levels -1/-3/-6/-19 — Huffman literals, FSE
+    * sequence tables, RLE blocks, repeat offsets, raw tails, empty
+    * frame) decompress to their pinned lengths + md5s, and a truncated
+    * frame must refuse. The pins come from the payload DEFINITIONS in
+    * `tools/gen_zstd_fixtures.py`, not from this decoder. */
+  val zstdDecode: QueryDef = QueryDef(
+    "zstd_decode",
+    (s, dir) => {
+      import s.implicits._
+      val rows = graft.queries.ZstdFixtures.all.map { case (n, b64, _, _) => (n, b64) } :+
+        (("corrupt", graft.queries.ZstdFixtures.all.head._2.take(40)))
+      s.createDataset(rows).repartition(rows.size)
+        .map { case (name, b64) =>
+          try {
+            val d = graft.sources.Zstd.decompress(java.util.Base64.getDecoder.decode(b64))
+            val md = java.security.MessageDigest.getInstance("MD5").digest(d)
+            (name, d.length.toLong, md.map("%02x".format(_)).mkString, "ok")
+          } catch {
+            case scala.util.control.NonFatal(_) => (name, -1L, "", "refused")
+          }
+        }
+        .toDF("name", "n_bytes", "payload_md5", "status")
+        .orderBy("name")
+    },
+    Some {
+      val vals = graft.queries.ZstdFixtures.all
+        .map { case (n, _, len, md5) => s"('$n', CAST($len AS BIGINT), '$md5', 'ok')" }
+        .mkString(",\n          ") + ",\n          ('corrupt', CAST(-1 AS BIGINT), '', 'refused')"
+      s"""
+      SELECT * FROM (VALUES
+          $vals) AS t(name, n_bytes, payload_md5, status)
+      ORDER BY name
+      """.trim
+    }
+  )
+
+  /** `.warc.zst` ingest: the warc_extract chain with every WARC file
+    * zstd-framed (store-mode frames — the entropy paths are pinned by
+    * `zstd_decode` and the golden spec); [[graft.sources.Warc]] must
+    * detect the magic and walk records transparently. */
+  val warcZstExtract: QueryDef = QueryDef(
+    "warc_zst_extract",
+    (s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 20)
+        .mapGroups { (g, it) =>
+          val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            (s"http://corpus.example/doc/$id", "2026-01-01T00:00:00Z", "text/html",
+              s"<html><body><p>$text</p></body></html>".getBytes("UTF-8"))
+          }
+          graft.sources.Warc.WarcFile(g,
+            graft.sources.Zstd.encodeRawFrames(graft.sources.Warc.encodeWarc(recs)))
+        }
+      graft.sources.Warc.records(files).toDF()
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("target_uri"), col("http_status"), col("mime"),
+          col("payload").cast("string").as("payload_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        'http://corpus.example/doc/' || doc_id AS target_uri,
+        200 AS http_status, 'text/html' AS mime,
+        '<html><body><p>' || text || '</p></body></html>' AS payload_text
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """.trim)
+  )
+
   /** WARC ingest, real end to end ([[graft.sources.Warc]]): documents
     * are wrapped as HTTP responses into multi-record WARC files — 20
     * records per file, ODD files member-gzipped like Common Crawl's
@@ -5548,7 +5622,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, zstdDecode, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

@@ -46,7 +46,10 @@ object Warc {
       payload: Array[Byte],
       error: String)
 
-  /** Parse every record of one WARC file body (plain or gzipped). */
+  /** Parse every record of one WARC file body (plain, gzipped, or
+    * zstd — `.warc.zst` is the current dump-distribution framing; the
+    * concatenated-frame walk in [[Zstd.decompress]] handles both
+    * frame-per-record and whole-file compression). */
   def parseWarc(fileId: Long, bytes: Array[Byte]): Seq[WarcRecord] = {
     val plain =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
@@ -57,6 +60,9 @@ object Warc {
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         in.close()
         out.toByteArray
+      } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
+        (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd) {
+        Zstd.decompress(bytes)
       } else bytes
     val recs = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var at = 0

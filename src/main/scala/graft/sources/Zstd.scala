@@ -609,6 +609,38 @@ object Zstd {
     window.write(literals, litAt, literals.length - litAt)
   }
 
+  // ------------------------------------------------------------ encode
+
+  /** Store-mode encoder: a valid single-segment frame of raw blocks.
+    * This is the TRANSPORT shape (gates round-trip corpus-derived
+    * payloads through the real frame/block walk at runtime); the
+    * entropy paths are validated against system-libzstd fixtures,
+    * which no from-scratch encoder could make more honest. */
+  def encodeRawFrames(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    w32(Magic)
+    val n = data.length
+    if (n < 256) { out.write(0x20); out.write(n) } // FCS flag 0 + single-segment
+    else if (n < 65536 + 256) {
+      out.write(0x60); out.write((n - 256) & 0xff); out.write(((n - 256) >> 8) & 0xff)
+    } else { out.write(0xa0); w32(n) }
+    val blockMax = 128 * 1024
+    var at = 0
+    do {
+      val len = math.min(blockMax, n - at)
+      val lastBit = if (at + len == n) 1 else 0
+      val bh = (len << 3) | lastBit // block type 0 = raw
+      out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+      out.write(data, at, len)
+      at += len
+    } while (at < n)
+    out.toByteArray
+  }
+
   /** One backward Huffman stream → `count` symbols. */
   private def decodeHuffman(p: Array[Byte], from: Int, until: Int,
       table: HufTable, out: Array[Byte], outAt: Int, count: Int): Unit = {

@@ -75,6 +75,14 @@ class ZstdSpec extends AnyFunSuite {
     assert(new String(got, "US-ASCII") == expected)
   }
 
+  test("store-mode encoder round-trips through the real frame walk") {
+    for (n <- Seq(0, 1, 255, 256, 65792, 200000, 300000)) {
+      val data = lcgStream(n, 256).map(_.toByte)
+      val framed = Zstd.encodeRawFrames(data)
+      assert(java.util.Arrays.equals(Zstd.decompress(framed), data), s"n=$n")
+    }
+  }
+
   test("corruption is loud: bad magic, truncation, dictionary frames") {
     intercept[IllegalArgumentException](Zstd.decompress("not zstd".getBytes))
     val f = fixture("small_text")
