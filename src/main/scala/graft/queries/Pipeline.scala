@@ -5092,6 +5092,104 @@ object Pipeline {
     """.trim)
   )
 
+  /** MediaWiki dump ingest ([[graft.sources.MediaWiki]]): documents
+    * re-exported as export-0.11 XML dumps (20 pages per file, every
+    * third file gzip-wrapped, every third-plus-one zstd-framed — the
+    * sniffing tier must route all three), parsed back map-only. The
+    * encode→parse chain is lossless for this layout, so the oracle
+    * reconstructs pages from the source table. */
+  val wikiPages: QueryDef = QueryDef(
+    "wiki_pages",
+    (s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 20) // synthesis-only shuffle; the parse is map-only
+        .mapGroups { (g, it) =>
+          val pages = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            (id, (id % 3).toInt, s"Article $id", s"'''Doc $id.''' ${text.take(80)}")
+          }
+          val xml = graft.sources.MediaWiki.encodeDump(pages)
+          val bytes = (g % 3) match {
+            case 0 =>
+              val o = new java.io.ByteArrayOutputStream()
+              val z = new java.util.zip.GZIPOutputStream(o)
+              z.write(xml); z.close(); o.toByteArray
+            case 1 => graft.sources.Zstd.encodeRawFrames(xml)
+            case _ => xml
+          }
+          graft.sources.MediaWiki.WikiDump(g, bytes)
+        }
+      graft.sources.MediaWiki.pages(files).toDF()
+        .select(col("page_id"), col("ns"), col("title"), col("rev_id"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("page_id")
+    },
+    Some("""
+      SELECT doc_id AS page_id, CAST(doc_id % 3 AS INTEGER) AS ns,
+        'Article ' || doc_id AS title, doc_id * 10 + 1 AS rev_id,
+        md5('''''''Doc ' || doc_id || '.'''''' ' || substring(text, 1, 80)) AS text_md5
+      FROM documents WHERE doc_id < 200 ORDER BY page_id
+    """.trim)
+  )
+
+  /** A REAL `.xml.bz2` dump end to end: the embedded fixture is a
+    * system-bzip2 compression of a three-page export (article,
+    * redirect, talk page) — [[graft.sources.Bzip2]] decode + the XML
+    * walk + entity decode, pinned by VALUES. */
+  val wikiBz2: QueryDef = QueryDef(
+    "wiki_bz2",
+    (s, dir) => {
+      import s.implicits._
+      val b64 = "QlpoOTFBWSZTWaV9mKkAAMRfgFAQWYP9Hz6gFJo/79/uQAG8FADU1Q9TRpoek0aMmMgRkDNQYjTGAAAAA0AAAAAGAAAAA0AAAAACKSaGpoamGpqbQyanpqMhk2phMh6lSDziBCiEwA7WypcHsn6er338qu64Pz54ufV0xtDX4Mkw0viT6s5jskZtrc4ZD4zz3X+e9HpgXDj206N+xxjIO1g5hwIbYYt1EyqzFVZAQxFkiWmtn7TH0ztTqCy66H50JYO9y6tW7d5Ox4UiIjJDcwEXTGpt2PZEOdkyeBsiTW4NTJ9pnRGiRQsItZAPlIA4aXJEgZC7isX1L7VpUnQOCjI1Aki1NhjsYiBFrQ79hxZjtbWjw7NkRWDAZv40+vuw+A/EmNF0mQWGKGlbJm5rB9gpMfrYuI0E8w6DSnD8B3Nw+Q8T3jKOu80gX4pxgOqsLV0dAYucJr14VftOcqM/603D/UrQl4gZCRlsaPqTAxa+a9DM2tHEmXW3ZIs+Ld2Rm1PNhSUNL5PWvKf+m5uqY3Y4ji22rnctNG8ibjsCBxpfycjldsMmUmTWtdKfTTS+9lWO7qYyEwmByeNXDlf/xdyRThQkKV9mKkA="
+      val ds = s.createDataset(Seq(graft.sources.MediaWiki.WikiDump(1L,
+        java.util.Base64.getDecoder.decode(b64))))
+      graft.sources.MediaWiki.pages(ds).toDF()
+        .select(col("page_id"), col("ns"), col("title"),
+          coalesce(col("redirect"), lit("")).as("redirect"),
+          col("rev_id"), col("timestamp"), md5(col("text")).as("text_md5"))
+        .orderBy("page_id")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (1, 0, 'Alpha & Beta', '', 11, '2026-01-01T00:00:00Z', '366d396fd15adeff6353ddf12898b0c7'),
+        (2, 0, 'Beta', 'Alpha & Beta', 21, '2026-01-02T00:00:00Z', '84b836e9257c3ffa6474dff73d9c9c81'),
+        (3, 1, 'Talk:Alpha', '', 31, '2026-01-03T00:00:00Z', 'bd8bc36eb41bc90c585ae7e902e9e284')
+      ) AS t(page_id, ns, title, redirect, rev_id, timestamp, text_md5)
+      ORDER BY page_id
+    """.trim)
+  )
+
+  /** Wikitext → plain text ([[graft.operators.Wikitext]]): every
+    * document wrapped in the full chrome battery (nested templates,
+    * file/piped/plain/external links, refs, comments, a table,
+    * emphasis, heading + list lines, entities). The oracle replays all
+    * nineteen passes + entity decode in DuckDB. */
+  val wikitextClean: QueryDef = QueryDef(
+    "wikitext_clean",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        concat(
+          lit("{{Infobox x|a=1|b={{n|y}}}}\n'''Intro''' with [[linked article|label]] and [[Plain]].\n== Sec ==\n* bullet\n"),
+          col("text"),
+          lit("<ref name=\"r\">c</ref>.<!-- h -->\n{| class=\"t\"\n|r\n|}\n[http://e.com/x ext label] and [http://e.com/y].\n&nbsp;&amp; tail"))
+          .as("wikitext"))
+      .select(col("id"), md5(graft.operators.Wikitext.clean(col("wikitext"))).as("clean_md5"))
+      .orderBy("id"),
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS id,
+          '{{Infobox x|a=1|b={{n|y}}}}' || chr(10) || '''''''Intro''''''' || ' with [[linked article|label]] and [[Plain]].' || chr(10) || '== Sec ==' || chr(10) || '* bullet' || chr(10) ||
+          text ||
+          '<ref name="r">c</ref>.<!-- h -->' || chr(10) || '{| class="t"' || chr(10) || '|r' || chr(10) || '|}' || chr(10) || '[http://e.com/x ext label] and [http://e.com/y].' || chr(10) || '&nbsp;&amp; tail' AS wikitext
+        FROM documents)
+      SELECT id, md5(${graft.operators.Wikitext.cleanSql("wikitext")}) AS clean_md5
+      FROM src ORDER BY id
+    """.trim)
+  )
+
   /** Zstd decode gate ([[graft.sources.Zstd]]): six embedded REAL
     * system-zstd frames (levels -1/-3/-6/-19 — Huffman literals, FSE
     * sequence tables, RLE blocks, repeat offsets, raw tails, empty
@@ -5622,7 +5720,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, zstdDecode, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
