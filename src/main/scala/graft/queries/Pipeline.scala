@@ -5092,6 +5092,116 @@ object Pipeline {
     """.trim)
   )
 
+  // mbox synthesis shared by the two eml gates: 10 messages per file,
+  // each multipart/mixed (QP text/plain of the doc text + base64 html +
+  // binary attachment), subject RFC-2047 B-encoded; every 9th document's
+  // text part declares koi8-r and must quarantine as a marker row
+  private def emlMboxes(s: SparkSession, dir: String) = {
+    import s.implicits._
+    def qp(text: String): String = {
+      val bytes = text.getBytes("UTF-8")
+      val sb = new StringBuilder
+      bytes.foreach { b =>
+        val c = b & 0xff
+        // spaces encode as =20: the decoder's transport-padding rule
+        // strips literal trailing WSP, and doc text may end with one
+        if (c >= 33 && c <= 126 && c != '=') sb.append(c.toChar)
+        else sb.append(f"=$c%02X")
+      }
+      sb.toString
+    }
+    tbl(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / 10)
+      .mapGroups { (g, it) =>
+        val msgs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+          val subjB64 = java.util.Base64.getEncoder
+            .encodeToString(s"Doc $id café".getBytes("UTF-8"))
+          val cs = if (id % 9 == 0) "koi8-r" else "utf-8"
+          val att = s"attachment $id".getBytes("US-ASCII")
+          Seq(
+            s"From sender@example.com Fri Aug 15 12:00:00 2026",
+            s"From: Sender <sender@example.com>",
+            s"To: list-$g@example.com",
+            s"Subject: =?UTF-8?B?$subjB64?=",
+            s"Date: Fri, 15 Aug 2026 12:00:00 +0000",
+            "Content-Type: multipart/mixed; boundary=\"mix\"",
+            "",
+            "--mix",
+            s"Content-Type: text/plain; charset=$cs",
+            "Content-Transfer-Encoding: quoted-printable",
+            "",
+            qp(text),
+            "--mix",
+            "Content-Type: text/html; charset=us-ascii",
+            "Content-Transfer-Encoding: base64",
+            "",
+            java.util.Base64.getEncoder.encodeToString(s"<p>Doc $id</p>".getBytes("US-ASCII")),
+            "--mix",
+            "Content-Type: application/octet-stream; name=\"d.bin\"",
+            "Content-Disposition: attachment; filename=\"d.bin\"",
+            "Content-Transfer-Encoding: base64",
+            "",
+            java.util.Base64.getEncoder.encodeToString(att),
+            "--mix--").mkString("\r\n")
+        }
+        graft.sources.Eml.EmlFile(g, (msgs.mkString("\r\n") + "\r\n").getBytes("ISO-8859-1"))
+      }
+  }
+
+  /** Email ingest ([[graft.sources.Eml]]): mbox split + multipart walk
+    * + QP/base64 transfer decode, charset quarantine per part (koi8-r
+    * plants). The synthesis chain is lossless, so the oracle
+    * reconstructs every field from the source table. */
+  val emlExtract: QueryDef = QueryDef(
+    "eml_extract",
+    (s, dir) => graft.sources.Eml.parts(emlMboxes(s, dir), keepCorrupt = true).toDF()
+      .select(
+        (col("id") * 10 + col("msg")).as("doc_id"),
+        col("part"),
+        coalesce(col("mime"), lit("")).as("mime"),
+        coalesce(col("filename"), lit("")).as("filename"),
+        md5(coalesce(col("text"), lit(""))).as("text_md5"),
+        col("n_bytes"),
+        when(col("error").isNull, "ok").otherwise("refused").as("status"))
+      .orderBy("doc_id", "part"),
+    Some("""
+      WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)
+      SELECT doc_id, '1' AS part,
+        CASE WHEN doc_id % 9 = 0 THEN '' ELSE 'text/plain' END AS mime,
+        '' AS filename,
+        CASE WHEN doc_id % 9 = 0 THEN md5('') ELSE md5(text) END AS text_md5,
+        CASE WHEN doc_id % 9 = 0 THEN 0 ELSE strlen(text) END AS n_bytes,
+        CASE WHEN doc_id % 9 = 0 THEN 'refused' ELSE 'ok' END AS status
+      FROM src
+      UNION ALL
+      SELECT doc_id, '2', 'text/html', '', md5('<p>Doc ' || doc_id || '</p>'),
+        length('<p>Doc ' || doc_id || '</p>'), 'ok' FROM src
+      UNION ALL
+      SELECT doc_id, '3', 'application/octet-stream', 'd.bin', md5(''),
+        length('attachment ' || doc_id), 'ok' FROM src
+      ORDER BY doc_id, part
+    """.trim)
+  )
+
+  /** Envelope tier of the same mboxes: RFC 2047 subject decode, header
+    * fields, per-message part accounting (markers counted). */
+  val emlEnvelope: QueryDef = QueryDef(
+    "eml_envelope",
+    (s, dir) => graft.sources.Eml.envelopes(emlMboxes(s, dir), keepCorrupt = true).toDF()
+      .select((col("id") * 10 + col("msg")).as("doc_id"),
+        col("from"), col("to"), col("subject"), col("n_parts"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, 'Sender <sender@example.com>' AS "from",
+        'list-' || CAST(doc_id // 10 AS BIGINT) || '@example.com' AS "to",
+        'Doc ' || doc_id || ' café' AS subject, 3 AS n_parts
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """.trim)
+  )
+
   /** MediaWiki dump ingest ([[graft.sources.MediaWiki]]): documents
     * re-exported as export-0.11 XML dumps (20 pages per file, every
     * third file gzip-wrapped, every third-plus-one zstd-framed — the
@@ -5720,7 +5830,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
