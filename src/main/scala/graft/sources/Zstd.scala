@@ -415,6 +415,7 @@ object Zstd {
     val window = new Buf // frame-local history for match copies
     var last = false
     while (!last) {
+      require(at + 3 <= p.length, "zstd: truncated block header")
       val bh = (p(at) & 0xff) | ((p(at + 1) & 0xff) << 8) | ((p(at + 2) & 0xff) << 16)
       at += 3
       last = (bh & 1) != 0
@@ -423,10 +424,13 @@ object Zstd {
       require(btype != 3, "zstd: reserved block type")
       btype match {
         case 0 => // raw
+          require(at + bsize <= p.length, "zstd: raw block truncated")
           window.write(p, at, bsize); at += bsize
         case 1 => // RLE: bsize = regenerated size, 1 byte payload
+          require(at < p.length, "zstd: RLE block truncated")
           window.fill(p(at), bsize); at += 1
         case 2 =>
+          require(at + bsize <= p.length, "zstd: compressed block truncated")
           decodeCompressedBlock(p, at, at + bsize, frame, window)
           at += bsize
       }

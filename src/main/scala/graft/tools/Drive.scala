@@ -946,6 +946,80 @@ object Drive {
         "<tr><td>alpha</td><td>1</td></tr></table>")).toDF("id", "html")
       TextAnalysis.htmlTables(d, "id", "html").orderBy("row_no", "col_no").show()
     }
+    locally {
+      println("=== boilerplate removal: block classes + main content ===")
+      import spark.implicits._
+      val page = "<nav><ul><li><a href=\"/\">Home</a></li></ul></nav>" +
+        "<p>The quick brown fox jumps over the lazy dog and the cat is in the hat of a friend.</p>" +
+        "<footer><p><a href=\"/p\">Privacy</a> | <a href=\"/t\">Terms</a></p></footer>"
+      graft.operators.Boilerplate.blocks(Seq((1L, page)).toDF("id", "html"), "id", "html")
+        .select("ord", "n_words", "n_link_words", "cls0", "cls").show()
+      graft.operators.Boilerplate.mainContent(Seq((1L, page)).toDF("id", "html"), "id", "html")
+        .show(truncate = false)
+    }
+    locally {
+      println("=== zstd: store-frame round-trip + loud truncation refusal ===")
+      val data = ("zstd payload " * 40).getBytes("US-ASCII")
+      val framed = graft.sources.Zstd.encodeRawFrames(data)
+      val back = graft.sources.Zstd.decompress(framed)
+      println(s"round-trip ${data.length} -> ${framed.length} framed -> ${back.length} (equal=${java.util.Arrays.equals(data, back)})")
+      try { graft.sources.Zstd.decompress(java.util.Arrays.copyOf(framed, framed.length - 3)); println("UNEXPECTED") }
+      catch { case e: IllegalArgumentException => println(s"caught truncated frame: ${e.getMessage}") }
+    }
+    locally {
+      println("=== docx: OOXML paragraphs + xlsx refusal by name ===")
+      import spark.implicits._
+      val good = graft.sources.Docx.encodeDocx(Seq("First paragraph.", "A\tB & <c>"))
+      val xlsx = graft.sources.Archives.encodeZip(Seq("xl/workbook.xml" -> "<w/>".getBytes("UTF-8")))
+      graft.sources.Docx.paragraphs(
+        Seq(graft.sources.Docx.DocxFile(1, good), graft.sources.Docx.DocxFile(2, xlsx)).toDS(),
+        keepCorrupt = true).toDF().orderBy("id", "para").show(truncate = false)
+    }
+    locally {
+      println("=== mediawiki: dump walk + wikitext clean ===")
+      import spark.implicits._
+      val dump = graft.sources.MediaWiki.encodeDump(Seq(
+        (1L, 0, "Alpha", "'''Alpha''' is a [[letter|greek letter]] in {{Greek|script}}.")))
+      graft.sources.MediaWiki.pages(
+        Seq(graft.sources.MediaWiki.WikiDump(1, dump)).toDS()).toDF()
+        .select("page_id", "ns", "title", "text").show(truncate = false)
+      Seq(Tuple1("'''Alpha''' is a [[letter|greek letter]] in {{Greek|script}}."))
+        .toDF("w").select(graft.operators.Wikitext.clean(org.apache.spark.sql.functions.col("w")).as("clean"))
+        .show(truncate = false)
+    }
+    locally {
+      println("=== eml: multipart walk + 2047 subject + charset quarantine ===")
+      import spark.implicits._
+      val m = Seq(
+        "From: a@example.com",
+        "Subject: =?UTF-8?B?" + java.util.Base64.getEncoder.encodeToString("café subject".getBytes("UTF-8")) + "?=",
+        "Content-Type: multipart/mixed; boundary=b",
+        "",
+        "--b",
+        "Content-Type: text/plain; charset=utf-8",
+        "Content-Transfer-Encoding: quoted-printable",
+        "",
+        "caf=C3=A9 body",
+        "--b",
+        "Content-Type: text/plain; charset=koi8-r",
+        "",
+        "cyrillic bytes",
+        "--b--").mkString("\r\n").getBytes("ISO-8859-1")
+      val ds = Seq(graft.sources.Eml.EmlFile(1, m)).toDS()
+      graft.sources.Eml.parts(ds, keepCorrupt = true).toDF()
+        .select("part", "mime", "text", "error").show(truncate = false)
+      graft.sources.Eml.envelopes(ds).toDF().select("subject", "n_parts").show(truncate = false)
+    }
+    locally {
+      println("=== webm: EBML track triage + VP8 keyframe decode ===")
+      import spark.implicits._
+      val webp = java.util.Base64.getDecoder.decode(graft.queries.Vp8Fixtures.all("tiny_5x7_q80"))
+      val sz = (webp(16) & 0xff) | ((webp(17) & 0xff) << 8) | ((webp(18) & 0xff) << 16) | ((webp(19) & 0xff) << 24)
+      val vp8 = java.util.Arrays.copyOfRange(webp, 20, 20 + sz)
+      val webm = graft.sources.Webm.encodeWebm(Seq(vp8), 5, 7)
+      graft.sources.Webm.frames(Seq(graft.sources.Webm.WebmFile(1, webm)).toDS()).toDF()
+        .select("track", "frame", "ts_ms", "width", "height", "luma_sum").show()
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

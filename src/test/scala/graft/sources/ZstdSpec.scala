@@ -90,5 +90,10 @@ class ZstdSpec extends AnyFunSuite {
     val dict = f.clone()
     dict(4) = (dict(4) | 0x01).toByte // dictionary_id_flag
     intercept[RuntimeException](Zstd.decompress(dict))
+    // store-mode frames refuse truncation structurally, not with AIOOBE
+    val raw = Zstd.encodeRawFrames(("x" * 500).getBytes)
+    val e = intercept[IllegalArgumentException](
+      Zstd.decompress(java.util.Arrays.copyOf(raw, raw.length - 3)))
+    assert(e.getMessage.contains("truncated"))
   }
 }
