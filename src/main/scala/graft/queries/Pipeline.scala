@@ -5096,20 +5096,24 @@ object Pipeline {
   // each multipart/mixed (QP text/plain of the doc text + base64 html +
   // binary attachment), subject RFC-2047 B-encoded; every 9th document's
   // text part declares koi8-r and must quarantine as a marker row
+  /** Gate-side quoted-printable encoder (the DECODER is the engine's;
+    * this is synthesis harness). Spaces encode as =20: the decoder's
+    * transport-padding rule strips literal trailing WSP, and doc text
+    * may end with one. */
+  private def qpEncode(text: String): String = {
+    val bytes = text.getBytes("UTF-8")
+    val sb = new StringBuilder
+    bytes.foreach { b =>
+      val c = b & 0xff
+      if (c >= 33 && c <= 126 && c != '=') sb.append(c.toChar)
+      else sb.append(f"=$c%02X")
+    }
+    sb.toString
+  }
+
   private def emlMboxes(s: SparkSession, dir: String) = {
     import s.implicits._
-    def qp(text: String): String = {
-      val bytes = text.getBytes("UTF-8")
-      val sb = new StringBuilder
-      bytes.foreach { b =>
-        val c = b & 0xff
-        // spaces encode as =20: the decoder's transport-padding rule
-        // strips literal trailing WSP, and doc text may end with one
-        if (c >= 33 && c <= 126 && c != '=') sb.append(c.toChar)
-        else sb.append(f"=$c%02X")
-      }
-      sb.toString
-    }
+    def qp(text: String): String = qpEncode(text)
     tbl(s, dir, "documents")
       .filter(col("doc_id") < 200)
       .select(col("doc_id"), col("text"))
@@ -5150,6 +5154,60 @@ object Pipeline {
         graft.sources.Eml.EmlFile(g, (msgs.mkString("\r\n") + "\r\n").getBytes("ISO-8859-1"))
       }
   }
+
+  /** The heterogeneous-dump shape: ONE text relation out of four
+    * document formats — each document re-muxed as DOCX, PDF, ODT or
+    * RFC 5322 email by id class and extracted through the matching
+    * tier ([[graft.sources.Docx]]/[[graft.sources.Pdf]]/
+    * [[graft.sources.Odt]]/[[graft.sources.Eml]]), unified with
+    * format provenance and token accounting. Every leg is map-only;
+    * the union is free (no exchange). Each encode→extract leg is
+    * lossless for this layout, so the oracle reconstructs the corpus
+    * from the source table without touching any format. */
+  val docCorpus: QueryDef = QueryDef(
+    "doc_corpus",
+    (s, dir) => {
+      import s.implicits._
+      val base = tbl(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      def body(id: Long, text: String) = s"Doc $id: ${text.take(100)}"
+      val docx = graft.sources.Docx.paragraphs(
+        base.filter(_._1 % 4 == 0).map { case (id, t) =>
+          graft.sources.Docx.DocxFile(id, graft.sources.Docx.encodeDocx(Seq(body(id, t)))) })
+        .map(p => (p.id, "docx", p.text))
+      val pdf = graft.sources.Pdf.texts(
+        base.filter(_._1 % 4 == 1).map { case (id, t) =>
+          graft.sources.Pdf.PdfDoc(id,
+            graft.sources.Pdf.encodePdfText(Seq(Seq(body(id, t))))) })
+        .map(r => (r.id, "pdf", r.text))
+      val odt = graft.sources.Odt.paragraphs(
+        base.filter(_._1 % 4 == 2).map { case (id, t) =>
+          graft.sources.Odt.OdtFile(id, graft.sources.Odt.encodeOdt(Seq(body(id, t)))) })
+        .map(p => (p.id, "odt", p.text))
+      val eml = graft.sources.Eml.parts(
+        base.filter(_._1 % 4 == 3).map { case (id, t) =>
+          val m = Seq("From: corpus@example.com",
+            "Content-Type: text/plain; charset=utf-8",
+            "Content-Transfer-Encoding: quoted-printable",
+            "", qpEncode(body(id, t))).mkString("\r\n")
+          graft.sources.Eml.EmlFile(id, m.getBytes("ISO-8859-1")) })
+        .map(p => (p.id, "eml", p.text))
+      docx.union(pdf).union(odt).union(eml).toDF("doc_id", "fmt", "text")
+        .select(col("doc_id"), col("fmt"), md5(col("text")).as("text_md5"),
+          size(TextFunctions.words(col("text"))).as("n_ws_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, 'Doc ' || doc_id || ': ' || substring(text, 1, 100) AS body
+        FROM documents WHERE doc_id < 200)
+      SELECT doc_id,
+        CASE doc_id % 4 WHEN 0 THEN 'docx' WHEN 1 THEN 'pdf' WHEN 2 THEN 'odt' ELSE 'eml' END AS fmt,
+        md5(body) AS text_md5,
+        len(list_filter(regexp_split_to_array(body, ' +'), w -> len(w) > 0)) AS n_ws_tokens
+      FROM b ORDER BY doc_id
+    """.trim)
+  )
 
   /** Email ingest ([[graft.sources.Eml]]): mbox split + multipart walk
     * + QP/base64 transfer decode, charset quarantine per part (koi8-r
@@ -5830,7 +5888,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

@@ -66,6 +66,14 @@ class ZstdSpec extends AnyFunSuite {
 
   test("empty payload") { check("empty", Array.emptyByteArray) }
 
+  test("wide alphabet, -9 (FSE-compressed Huffman weights + 5-byte literals header)") {
+    // verified at generation time: the frame's Huffman description
+    // byte is < 128 (FSE weight stream) and the literals size format
+    // is 3 — the paths the small-alphabet texts never exercise
+    val expected = lcgStream(120000, 9216).map(v => (32 + math.min(v % 96, (v / 96) % 96)).toByte)
+    check("wide_alpha", expected)
+  }
+
   test("multi-frame concatenation and skippable frames") {
     val a = fixture("small_text")
     val skip = Array[Byte](0x50, 0x2a, 0x4d, 0x18, 3, 0, 0, 0, 9, 9, 9) // 3-byte skippable

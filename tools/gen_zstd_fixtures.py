@@ -38,6 +38,11 @@ def payloads():
     yield 'runs', b'z' * 100000, ['-3']
     yield 'multiblock', (' '.join(WORDS[i] for i in lcg_stream(160000, 10))).encode(), ['-12']
     yield 'empty', b'', ['-3']
+    # ~96 skewed printable symbols: forces FSE-COMPRESSED Huffman
+    # weights (the small-alphabet texts get direct nibbles) and the
+    # 5-byte 18-bit literals header
+    vals = lcg_stream(120000, 9216)
+    yield 'wide_alpha', bytes(32 + min(v % 96, (v // 96) % 96) for v in vals), ['-9']
 
 
 def main():
