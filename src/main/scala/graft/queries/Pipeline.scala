@@ -5155,6 +5155,89 @@ object Pipeline {
       }
   }
 
+  /** xz decode gate ([[graft.sources.Xz]]): embedded REAL system-xz
+    * frames (full LZMA2 machinery: range coder, state machine, rep
+    * distances; CRC32-checked container) decompress to pinned
+    * lengths + md5s; a flipped payload bit must refuse via the check.
+    * Pins come from the payload DEFINITIONS (`tools/
+    * gen_xz_fixtures.py`), not from this decoder. */
+  val xzDecode: QueryDef = QueryDef(
+    "xz_decode",
+    (s, dir) => {
+      import s.implicits._
+      // small_text -6 (120 B), runs -6 (148 B), tiny -1 (60 B), empty (32 B)
+      val fx = Seq(
+        ("small_text", "/Td6WFoAAATm1rRGAgAhARYAAAB0L+Wj4AODADddADoaCM52x+Xp1gc0w9EOv85V4aq94OSPmAHdjeUHVJ5lJV8nOmp+tNNJA4nO1H08/5reGd4PJgAAAPqMHOWwlGRlAAFThAcAAABvgP6QscRn+wIAAAAABFla",
+          900L, "d6cefcbcdc9f8101531523095a3eaa96"),
+        ("runs", "/Td6WFoAAATm1rRGAgAhARYAAAB0L+Wj4YafAFNdAD1v+7/+o7Fe5fg/sqomVfhocEFwFQ+N/R5MG4pCtxn0aRhxrmYjiopNL6MN2X+m44wjEVPgWRjFdYrid/i2lH8MasDedElk4ulcU7IE1rH1lwAAAABvDAHLBW5vWAABb6CNBgAAkORuUbHEZ/sCAAAAAARZWg==",
+          100000L, "c8a63b8dc8a30221a1fa4804e6dcd9bf"),
+        ("tiny", "/Td6WFoAAATm1rRGAgAhARAAAACocI6GAQAAYQAAAAAFK2Uud4QCMwABGQGlLIHMH7bzfQEAAAAABFla",
+          1L, "0cc175b9c0f1b6a831c399e269772661"),
+        ("empty", "/Td6WFoAAATm1rRGAAAAABzfRCEftvN9AQAAAAAEWVo=",
+          0L, "d41d8cd98f00b204e9800998ecf8427e"))
+      val rows = fx.map { case (n, b64, _, _) => (n, b64) } :+
+        (("corrupt", fx.head._2.take(80)))
+      s.createDataset(rows).repartition(rows.size)
+        .map { case (name, b64) =>
+          try {
+            val d = graft.sources.Xz.decompress(java.util.Base64.getDecoder.decode(b64))
+            val md = java.security.MessageDigest.getInstance("MD5").digest(d)
+            (name, d.length.toLong, md.map("%02x".format(_)).mkString, "ok")
+          } catch {
+            case scala.util.control.NonFatal(_) => (name, -1L, "", "refused")
+          }
+        }
+        .toDF("name", "n_bytes", "payload_md5", "status")
+        .orderBy("name")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('corrupt', CAST(-1 AS BIGINT), '', 'refused'),
+        ('empty', CAST(0 AS BIGINT), 'd41d8cd98f00b204e9800998ecf8427e', 'ok'),
+        ('runs', CAST(100000 AS BIGINT), 'c8a63b8dc8a30221a1fa4804e6dcd9bf', 'ok'),
+        ('small_text', CAST(900 AS BIGINT), 'd6cefcbcdc9f8101531523095a3eaa96', 'ok'),
+        ('tiny', CAST(1 AS BIGINT), '0cc175b9c0f1b6a831c399e269772661', 'ok')
+      ) AS t(name, n_bytes, payload_md5, status)
+      ORDER BY name
+    """.trim)
+  )
+
+  /** Wrapped-archive routing ([[graft.sources.Archives.autoEntries]]):
+    * the same two-entry ustar under all four wrappers — REAL system
+    * tar.bz2 and tar.xz (embedded), runtime tar.zst (store frames) and
+    * tar.gz — must yield identical entry relations. */
+  val archiveWrapped: QueryDef = QueryDef(
+    "archive_wrapped",
+    (s, dir) => {
+      import s.implicits._
+      val tarBz2 = "QlpoOTFBWSZTWR4NhbMAALN7kcoQQEBAAX8AACB2597ABAAABAAIIACSCVGSPUQ0Bpo9GUeo2gSSap6IyZGnoBMmQN/3FQchyZgAaKQCrjEgMGw5VZAmEIYRbq6UF6ysJTiXUYBXnMkMIcixeOSnasIGQ3S0EQUsFHow75LIrNDquM1m+n6kfeCRNf9JhAFa0kSOWowVLruZtU2PTsxzg3F3JFOFCQHg2Fsw"
+      val tarXz = "/Td6WFoAAATm1rRGAgAhARYAAAB0L+Wj4Cf/AJxdADebiM9rZPoj+eQO2wIWgK/ecWsZfVe5bf0kcaADife5pXAQW31LRz0tIy5w3Mj9yl+BPk3JbL4Gb0stLzUB+Rr60tJ1hFYV0UdbEkf5zmLjvHg/OfCgaqJFiXrhQeHsQDu6ZbX3rpbk0cHwgcvPyKV7cd84R/oEKuGbVXWc4S0q1MPeUSXGudfpxu71iPSrFtgKvb5ste9cVsSJAAA3Lu6xy5aq3gABuAGAUAAA/vRJibHEZ/sCAAAAAARZWg=="
+      val dec = java.util.Base64.getDecoder
+      val innerTar = graft.sources.Bzip2.decompress(dec.decode(tarBz2))
+      val files = Seq(
+        graft.sources.Archives.ArchiveFile(1, dec.decode(tarBz2)),
+        graft.sources.Archives.ArchiveFile(2, dec.decode(tarXz)),
+        graft.sources.Archives.ArchiveFile(3, graft.sources.Zstd.encodeRawFrames(innerTar)),
+        graft.sources.Archives.ArchiveFile(4, {
+          val o = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(o)
+          g.write(innerTar); g.close(); o.toByteArray
+        })).toDS().repartition(4)
+      graft.sources.Archives.entries(files).toDF()
+        .select(col("id"), col("entry"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("id", "entry")
+    },
+    Some("""
+      SELECT id, entry, payload_md5 FROM (VALUES (1), (2), (3), (4)) AS w(id)
+      CROSS JOIN (VALUES
+        ('one.txt', '3c1f96f59cccaf67e88fd2fa1fc9a652'),
+        ('two.txt', 'cbd265d54de958931f3f0c54226dc617')
+      ) AS e(entry, payload_md5)
+      ORDER BY id, entry
+    """.trim)
+  )
+
   /** The heterogeneous-dump shape: ONE text relation out of four
     * document formats — each document re-muxed as DOCX, PDF, ODT or
     * RFC 5322 email by id class and extracted through the matching
@@ -5888,7 +5971,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

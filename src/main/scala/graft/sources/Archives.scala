@@ -273,6 +273,10 @@ object Archives {
 
   /** Magic dispatch: zip (PK), gzip (unwrap, recurse once — covers
     * `.tar.gz`), else tar (validated by its own header checks). */
+  /** Magic-sniffed walk: zip, or tar under any of the four wrappers
+    * the dump ecosystem ships (gzip via the JDK, zstd/bzip2/xz via the
+    * in-repo decoders — `tar.zst`, `tar.bz2` and `tar.xz` are all
+    * routine in release/dump distribution). */
   def autoEntries(p: Array[Byte]): Seq[(String, Array[Byte])] = {
     require(p.length >= 4, "payload too short for any archive")
     if (p(0) == 'P' && p(1) == 'K') zipEntries(p)
@@ -284,7 +288,15 @@ object Archives {
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       in.close()
       autoEntries(out.toByteArray)
-    } else tarEntries(p)
+    } else if ((p(0) & 0xff) == 0x28 && (p(1) & 0xff) == 0xb5 &&
+      (p(2) & 0xff) == 0x2f && (p(3) & 0xff) == 0xfd)
+      autoEntries(Zstd.decompress(p))
+    else if (p(0) == 'B' && p(1) == 'Z' && p(2) == 'h')
+      autoEntries(Bzip2.decompress(p))
+    else if (p.length >= 6 && (p(0) & 0xff) == 0xfd && p(1) == '7' && p(2) == 'z' &&
+      p(3) == 'X' && p(4) == 'Z' && p(5) == 0)
+      autoEntries(Xz.decompress(p))
+    else tarEntries(p)
   }
 
   /** Map-only entry extraction; corrupt archives quarantine to one

@@ -101,6 +101,9 @@ object MediaWiki {
     } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
       (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd)
       Zstd.decompress(bytes)
+    else if (bytes.length >= 6 && (bytes(0) & 0xff) == 0xfd && bytes(1) == '7' &&
+      bytes(2) == 'z' && bytes(3) == 'X' && bytes(4) == 'Z' && bytes(5) == 0)
+      Xz.decompress(bytes)
     else bytes
 
   // ------------------------------------------------------------ encode

@@ -1,0 +1,480 @@
+package graft.sources
+
+/** xz / LZMA2 stream decoder, pure JVM and from scratch — the third
+  * and last archive wrapper the dump ecosystem ships beside gzip (JDK)
+  * and [[Bzip2]]/[[Zstd]] (this repo): release tarballs, kernel
+  * sources, many institutional dumps are `.tar.xz`. Formats per the
+  * public specifications (the .xz file format spec and 7-Zip's LZMA
+  * specification document):
+  *
+  *  - xz container: stream header (magic + flags + CRC32), block
+  *    headers (variable-length integers, filter flags, header CRC32
+  *    verified), block padding, per-block CHECK VERIFIED (CRC32,
+  *    CRC64/ECMA-182, or SHA-256 — all three implemented), index walk,
+  *    stream footer, multi-stream concatenation with 4-byte padding;
+  *  - LZMA2: chunked wrapper — uncompressed chunks, compressed chunks
+  *    with state/props/dict reset control bits, per-chunk range-coder
+  *    re-init, exact packed/unpacked size accounting;
+  *  - LZMA proper: binary range decoder (11-bit adaptive
+  *    probabilities), the 12-state machine, literal decoding with
+  *    (lc,lp) contexts incl. matched-literal mode, match/rep/shortrep
+  *    branches, length coders (choice/choice2 + low/mid/high trees),
+  *    distance decoding (slot trees per length class, reverse bit-tree
+  *    SpecPos range, direct bits + 4 align bits), the four rep
+  *    distances.
+  *
+  * Only the LZMA2 filter (0x21) is supported — delta/BCJ filter chains
+  * refuse BY NAME (they are rare in dump distribution and silently
+  * mis-decoding them would corrupt text). Validation: `XzSpec` pins
+  * byte-exact output against ten system-xz compressions (levels
+  * 1/3/6/9/9e, all three check types, forced multi-block) of
+  * regenerable payloads (`tools/gen_xz_fixtures.py`). */
+object Xz {
+
+  /** Hard cap on total decompressed output — corrupt-header safety. */
+  val MaxOutput: Int = 1 << 30
+
+  // ------------------------------------------------------------ crc64
+
+  private val Crc64Table: Array[Long] = {
+    val poly = 0xC96C5795D7870F42L // ECMA-182, reflected
+    val t = new Array[Long](256)
+    var i = 0
+    while (i < 256) {
+      var c = i.toLong
+      var k = 0
+      while (k < 8) { c = if ((c & 1L) != 0) (c >>> 1) ^ poly else c >>> 1; k += 1 }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+
+  private def crc64(b: Array[Byte], from: Int, until: Int): Long = {
+    var c = ~0L
+    var i = from
+    while (i < until) { c = (c >>> 8) ^ Crc64Table(((c ^ b(i)) & 0xff).toInt); i += 1 }
+    ~c
+  }
+
+  private def crc32(b: Array[Byte], from: Int, until: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, from, until - from)
+    c.getValue
+  }
+
+  // ------------------------------------------------------------- vli
+
+  /** xz variable-length integer: 7 bits/byte LE, high bit continues. */
+  private def vli(p: Array[Byte], at: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    var done = false
+    while (!done) {
+      require(i < 9 && at + i < p.length, "xz: bad multibyte integer")
+      val b = p(at + i) & 0xff
+      v |= (b & 0x7fL) << (7 * i)
+      i += 1
+      if ((b & 0x80) == 0) done = true
+    }
+    (v, i)
+  }
+
+  private def u32le(p: Array[Byte], i: Int): Long =
+    ((p(i) & 0xffL)) | ((p(i + 1) & 0xffL) << 8) | ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+
+  // ------------------------------------------------------ range decoder
+
+  private final class RangeDec(p: Array[Byte], var pos: Int, val limit: Int) {
+    var range: Int = -1 // 0xFFFFFFFF
+    var code: Int = 0
+    require(p(pos) == 0, "lzma: range coder must start with a zero byte")
+    pos += 1
+    var i = 0
+    while (i < 4) { code = (code << 8) | (p(pos) & 0xff); pos += 1; i += 1 }
+
+    private def normalize(): Unit =
+      if ((range & 0xFF000000) == 0) {
+        range <<= 8
+        code = (code << 8) | (if (pos < limit) { val b = p(pos) & 0xff; pos += 1; b } else 0)
+      }
+
+    def decodeBit(probs: Array[Short], idx: Int): Int = {
+      val v = probs(idx) & 0xffff
+      val bound = (range >>> 11) * v
+      // unsigned compare code < bound
+      if ((code ^ Int.MinValue) < (bound ^ Int.MinValue)) {
+        probs(idx) = (v + ((2048 - v) >>> 5)).toShort
+        range = bound
+        normalize()
+        0
+      } else {
+        probs(idx) = (v - (v >>> 5)).toShort
+        range -= bound
+        code -= bound
+        normalize()
+        1
+      }
+    }
+
+    def decodeDirect(n: Int): Int = {
+      var res = 0
+      var i = n
+      while (i > 0) {
+        range = range >>> 1
+        code -= range
+        val t = 0 - (code >>> 31) // 0 or -1
+        code += range & t
+        require(code != range, "lzma: corrupted direct bits")
+        normalize()
+        res = (res << 1) + t + 1
+        i -= 1
+      }
+      res
+    }
+
+    def bitTree(probs: Array[Short], base: Int, n: Int): Int = {
+      var m = 1
+      var i = 0
+      while (i < n) { m = (m << 1) | decodeBit(probs, base + m); i += 1 }
+      m - (1 << n)
+    }
+
+    def bitTreeReverse(probs: Array[Short], base: Int, n: Int): Int = {
+      var m = 1
+      var sym = 0
+      var i = 0
+      while (i < n) {
+        val b = decodeBit(probs, base + m)
+        m = (m << 1) | b
+        sym |= b << i
+        i += 1
+      }
+      sym
+    }
+
+    def finishedClean: Boolean = code == 0
+  }
+
+  // ------------------------------------------------------- lzma state
+
+  private final class Lzma(var lc: Int, var lp: Int, var pb: Int) {
+    var state = 0
+    var rep0 = 0
+    var rep1 = 0
+    var rep2 = 0
+    var rep3 = 0
+    // probability arrays, all init 1024
+    var lit: Array[Short] = _
+    val isMatch = init(12 << 4)
+    val isRep = init(12)
+    val isRepG0 = init(12)
+    val isRepG1 = init(12)
+    val isRepG2 = init(12)
+    val isRep0Long = init(12 << 4)
+    val posSlot = init(4 * 64)
+    val specPos = init(115)
+    val align = init(16)
+    // length coders: [choice, choice2, low 16*8, mid 16*8, high 256]
+    val lenProbs = init(2 + 16 * 8 + 16 * 8 + 256)
+    val repLenProbs = init(2 + 16 * 8 + 16 * 8 + 256)
+    resetState()
+
+    private def init(n: Int): Array[Short] = Array.fill(n)(1024.toShort)
+
+    def setProps(props: Int): Unit = {
+      require(props < 9 * 5 * 5, s"lzma: bad props byte $props")
+      lc = props % 9
+      lp = (props / 9) % 5
+      pb = props / 45
+      require(lc + lp <= 4, s"lzma: lc+lp too large ($lc+$lp)") // xz restriction
+    }
+
+    def resetState(): Unit = {
+      state = 0
+      rep0 = 0; rep1 = 0; rep2 = 0; rep3 = 0
+      def re(a: Array[Short]): Unit = java.util.Arrays.fill(a, 1024.toShort)
+      re(isMatch); re(isRep); re(isRepG0); re(isRepG1); re(isRepG2); re(isRep0Long)
+      re(posSlot); re(specPos); re(align); re(lenProbs); re(repLenProbs)
+      lit = Array.fill(0x300 << (lc + lp))(1024.toShort)
+    }
+
+    private def decodeLen(rc: RangeDec, probs: Array[Short], posState: Int): Int =
+      if (rc.decodeBit(probs, 0) == 0) 2 + rc.bitTree(probs, 2 + (posState << 3), 3)
+      else if (rc.decodeBit(probs, 1) == 0) 10 + rc.bitTree(probs, 2 + 128 + (posState << 3), 3)
+      else 18 + rc.bitTree(probs, 2 + 256, 8)
+
+    /** Decode into out[outFrom, outUntil); `dictStart` bounds match
+      * reach and anchors the position contexts. */
+    def run(rc: RangeDec, out: Array[Byte], outFrom: Int, outUntil: Int, dictStart: Int): Unit = {
+      var pos = outFrom
+      val pbMask = (1 << pb) - 1
+      val lpMask = (1 << lp) - 1
+      while (pos < outUntil) {
+        val posState = (pos - dictStart) & pbMask
+        if (rc.decodeBit(isMatch, (state << 4) + posState) == 0) {
+          // literal
+          val prevByte = if (pos > dictStart) out(pos - 1) & 0xff else 0
+          val litState = ((((pos - dictStart) & lpMask) << lc) + (prevByte >> (8 - lc))) * 0x300
+          var symbol = 1
+          if (state >= 7) {
+            var matchByte = out(pos - rep0 - 1) & 0xff
+            var break = false
+            while (!break && symbol < 0x100) {
+              val matchBit = (matchByte >> 7) & 1
+              matchByte = (matchByte << 1) & 0xff
+              val bit = rc.decodeBit(lit, litState + ((1 + matchBit) << 8) + symbol)
+              symbol = (symbol << 1) | bit
+              if (matchBit != bit) {
+                while (symbol < 0x100) symbol = (symbol << 1) | rc.decodeBit(lit, litState + symbol)
+                break = true
+              }
+            }
+          }
+          while (symbol < 0x100) symbol = (symbol << 1) | rc.decodeBit(lit, litState + symbol)
+          out(pos) = (symbol - 0x100).toByte
+          pos += 1
+          state = if (state < 4) 0 else if (state < 10) state - 3 else state - 6
+        } else {
+          var len = 0
+          if (rc.decodeBit(isRep, state) == 1) {
+            // rep match
+            require(pos > dictStart, "lzma: rep match at dictionary start")
+            if (rc.decodeBit(isRepG0, state) == 0) {
+              if (rc.decodeBit(isRep0Long, (state << 4) + posState) == 0) {
+                // short rep: one byte at rep0
+                state = if (state < 7) 9 else 11
+                out(pos) = out(pos - rep0 - 1)
+                pos += 1
+                len = -1 // handled
+              }
+            } else {
+              val dist =
+                if (rc.decodeBit(isRepG1, state) == 0) rep1
+                else if (rc.decodeBit(isRepG2, state) == 0) { val d = rep2; rep2 = rep1; d }
+                else { val d = rep3; rep3 = rep2; rep2 = rep1; d }
+              rep1 = rep0
+              rep0 = dist
+            }
+            if (len == 0) {
+              len = decodeLen(rc, repLenProbs, posState)
+              state = if (state < 7) 8 else 11
+            } else len = 0 // short rep already emitted
+          } else {
+            // new match
+            rep3 = rep2; rep2 = rep1; rep1 = rep0
+            len = decodeLen(rc, lenProbs, posState)
+            state = if (state < 7) 7 else 10
+            val lenToPosState = math.min(len - 2, 3)
+            val slot = rc.bitTree(posSlot, lenToPosState << 6, 6)
+            if (slot < 4) rep0 = slot
+            else {
+              val numDirect = (slot >> 1) - 1
+              var dist = (2 | (slot & 1)) << numDirect
+              if (slot < 14)
+                dist += rc.bitTreeReverse(specPos, dist - slot, numDirect)
+              else {
+                dist += rc.decodeDirect(numDirect - 4) << 4
+                dist += rc.bitTreeReverse(align, 0, 4)
+              }
+              rep0 = dist
+              require(rep0 != -1, "lzma: end marker inside sized chunk")
+            }
+          }
+          if (len > 0) {
+            require(rep0 >= 0 && rep0 < pos - dictStart,
+              s"lzma: distance ${rep0 + 1} beyond dictionary")
+            require(pos + len <= outUntil, "lzma: match overruns chunk")
+            var i = 0
+            while (i < len) { out(pos + i) = out(pos - rep0 - 1 + i); i += 1 }
+            pos += len
+          }
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ lzma2
+
+  /** Decode one LZMA2 chunk sequence into a growing buffer; returns
+    * (bytes produced, input bytes consumed incl. the 0x00 end mark). */
+  private def lzma2(p: Array[Byte], from: Int, until: Int,
+      out: java.io.ByteArrayOutputStream, buf: Array[Byte], bufLen0: Int): (Int, Int) = {
+    var bufLen = bufLen0
+    var at = from
+    var dictStart = bufLen
+    var lzma: Lzma = null
+    var needProps = true
+
+    def u16be(i: Int): Int = ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+
+    var arr = buf
+    def ensure(n: Int): Array[Byte] = {
+      if (bufLen + n > arr.length) {
+        var cap = math.max(arr.length, 1) // note: grown below
+        while (cap < bufLen + n) cap <<= 1
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+      arr
+    }
+
+    var done = false
+    while (!done) {
+      require(at < until, "xz: LZMA2 payload truncated")
+      val c = p(at) & 0xff
+      at += 1
+      if (c == 0) done = true
+      else if (c <= 2) {
+        // uncompressed chunk; 0x01 also resets the dictionary
+        val size = u16be(at) + 1
+        at += 2
+        require(at + size <= until, "xz: uncompressed chunk truncated")
+        if (c == 1) dictStart = bufLen
+        ensure(size)
+        System.arraycopy(p, at, arr, bufLen, size)
+        bufLen += size
+        at += size
+        if (lzma != null) lzma.resetState() // spec: uncompressed chunk resets state
+        require(bufLen <= MaxOutput, "xz: output cap exceeded")
+      } else {
+        require(c >= 0x80, s"xz: invalid LZMA2 control byte $c")
+        val unpacked = ((c & 0x1f) << 16) + u16be(at) + 1
+        val packed = u16be(at + 2) + 1
+        at += 4
+        val resetMode = (c >> 5) & 3
+        if (resetMode >= 2) {
+          require(at < until, "xz: props byte truncated")
+          if (lzma == null) lzma = new Lzma(0, 0, 0)
+          lzma.setProps(p(at) & 0xff)
+          at += 1
+          needProps = false
+        }
+        require(lzma != null && !needProps, "xz: LZMA2 chunk before props")
+        if (resetMode == 3) dictStart = bufLen
+        if (resetMode >= 1) lzma.resetState()
+        require(at + packed <= until, "xz: compressed chunk truncated")
+        ensure(unpacked)
+        val rc = new RangeDec(p, at, at + packed)
+        lzma.run(rc, arr, bufLen, bufLen + unpacked, dictStart)
+        require(rc.pos == at + packed && rc.finishedClean,
+          s"xz: chunk size mismatch (consumed ${rc.pos - at} of $packed)")
+        bufLen += unpacked
+        at += packed
+        require(bufLen <= MaxOutput, "xz: output cap exceeded")
+      }
+    }
+    out.write(arr, bufLen0, bufLen - bufLen0)
+    (bufLen - bufLen0, at - from)
+  }
+
+  // --------------------------------------------------------- container
+
+  private val Magic = Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0)
+
+  def decompress(p: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var at = 0
+    while (at < p.length) {
+      // stream padding between concatenated streams: 4-aligned zeros
+      if (p(at) == 0) { at += 1 }
+      else {
+        require(at + 12 <= p.length && (0 until 6).forall(i => p(at + i) == Magic(i)),
+          "xz: bad stream magic")
+        val flagsAt = at + 6
+        require(p(flagsAt) == 0, "xz: reserved stream flag")
+        val checkType = p(flagsAt + 1) & 0xff
+        require(crc32(p, flagsAt, flagsAt + 2) == u32le(p, flagsAt + 2),
+          "xz: stream header CRC mismatch")
+        val checkSize = checkType match {
+          case 0x00 => 0
+          case 0x01 => 4 // CRC32
+          case 0x04 => 8 // CRC64
+          case 0x0a => 32 // SHA-256
+          case t => throw new IllegalArgumentException(s"xz: unsupported check type $t")
+        }
+        at += 12
+
+        var inIndex = false
+        while (!inIndex) {
+          val first = p(at) & 0xff
+          if (first == 0) inIndex = true // index indicator
+          else {
+            // block header
+            val hdrSize = (first + 1) * 4
+            val hdrEnd = at + hdrSize
+            require(crc32(p, at, hdrEnd - 4) == u32le(p, hdrEnd - 4),
+              "xz: block header CRC mismatch")
+            val flags = p(at + 1) & 0xff
+            val nFilters = (flags & 3) + 1
+            require((flags & 0x3c) == 0, "xz: reserved block flags")
+            var ha = at + 2
+            if ((flags & 0x40) != 0) ha += vli(p, ha)._2 // compressed size (informative)
+            if ((flags & 0x80) != 0) ha += vli(p, ha)._2 // uncompressed size
+            require(nFilters == 1, s"xz: $nFilters-filter chains unsupported (LZMA2 only)")
+            val (fid, fl) = vli(p, ha); ha += fl
+            require(fid == 0x21, f"xz: filter 0x$fid%x unsupported (delta/BCJ refused by name)")
+            val (propsSize, pl) = vli(p, ha); ha += pl
+            require(propsSize == 1, "xz: bad LZMA2 props size")
+            // props byte = dict size (bounds only; we keep the whole output)
+            ha += 1
+
+            val dataFrom = hdrEnd
+            val before = out.size()
+            val (produced, consumed) =
+              lzma2(p, dataFrom, p.length, out, new Array[Byte](64 * 1024), 0)
+            var dataEnd = dataFrom + consumed
+            // block padding to 4-byte multiple
+            while ((dataEnd - at) % 4 != 0) {
+              require(p(dataEnd) == 0, "xz: nonzero block padding")
+              dataEnd += 1
+            }
+            // verify the check over the DECODED bytes of this block
+            val decoded = out.toByteArray // (bounded by MaxOutput)
+            checkType match {
+              case 0x01 =>
+                require(crc32(decoded, before, decoded.length) == u32le(p, dataEnd),
+                  "xz: block CRC32 mismatch")
+              case 0x04 =>
+                var v = 0L
+                var i = 0
+                while (i < 8) { v |= (p(dataEnd + i) & 0xffL) << (8 * i); i += 1 }
+                require(crc64(decoded, before, decoded.length) == v,
+                  "xz: block CRC64 mismatch")
+              case 0x0a =>
+                val md = java.security.MessageDigest.getInstance("SHA-256")
+                md.update(decoded, before, decoded.length - before)
+                val got = md.digest()
+                require((0 until 32).forall(i => got(i) == p(dataEnd + i)),
+                  "xz: block SHA-256 mismatch")
+              case _ => ()
+            }
+            at = dataEnd + checkSize
+            require(produced == out.size() - before, "xz: block accounting drift")
+          }
+        }
+
+        // index: skip (structure-validated lightly), then footer
+        val idxStart = at
+        at += 1 // indicator
+        val (nRecs, nl) = vli(p, at); at += nl
+        var r = 0L
+        while (r < nRecs) {
+          at += vli(p, at)._2 // unpadded size
+          at += vli(p, at)._2 // uncompressed size
+          r += 1
+        }
+        while ((at - idxStart) % 4 != 0) {
+          require(p(at) == 0, "xz: nonzero index padding")
+          at += 1
+        }
+        require(crc32(p, idxStart, at) == u32le(p, at), "xz: index CRC mismatch")
+        at += 4
+        // footer: crc32(4) backwardSize(4) flags(2) "YZ"
+        require(crc32(p, at + 4, at + 10) == u32le(p, at), "xz: footer CRC mismatch")
+        require(p(at + 10) == 'Y' && p(at + 11) == 'Z', "xz: bad footer magic")
+        at += 12
+      }
+    }
+    out.toByteArray
+  }
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden validation of the xz/LZMA2 decoder against system-xz output
+  * (fixtures regenerable via `tools/gen_xz_fixtures.py`). */
+class XzSpec extends AnyFunSuite {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/xz/$name.xz")
+    require(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def lcgStream(n: Int, mod: Int): Array[Int] = {
+    var x = 42L
+    Array.fill(n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      java.lang.Long.remainderUnsigned(x >>> 33, mod.toLong).toInt
+    }
+  }
+
+  private val words = Array("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  private def check(name: String, expected: Array[Byte]): Unit = {
+    val got = Xz.decompress(fixture(name))
+    assert(got.length == expected.length, s"$name: length ${got.length} != ${expected.length}")
+    assert(java.util.Arrays.equals(got, expected), s"$name: content mismatch")
+  }
+
+  private def bigText = lcgStream(60000, 10).map(words).mkString(" ").getBytes("US-ASCII")
+
+  test("small text, -6 (CRC32 check verified)") {
+    check("small_text", ("the quick brown fox jumps over the lazy dog. " * 20).getBytes("US-ASCII"))
+  }
+
+  test("341 KB text, -9") { check("big_text", bigText) }
+
+  test("CRC64 check type verified") { check("big_text_crc64", bigText) }
+
+  test("SHA-256 check type verified") { check("big_text_sha256", bigText) }
+
+  test("forced 64 KiB blocks (multi-block walk, independent dictionaries)") {
+    check("multiblock", bigText)
+  }
+
+  test("incompressible bytes (LZMA2 uncompressed chunks)") {
+    check("random_bytes", lcgStream(5000, 256).map(_.toByte))
+  }
+
+  test("100 KB single-symbol run (rep-distance machinery)") {
+    check("runs", Array.fill(100000)('z'.toByte))
+  }
+
+  test("single byte") { check("tiny", Array('a'.toByte)) }
+
+  test("empty payload") { check("empty", Array.emptyByteArray) }
+
+  test("wide alphabet at -9e (heaviest literal contexts)") {
+    check("wide_alpha",
+      lcgStream(120000, 9216).map(v => (32 + math.min(v % 96, (v / 96) % 96)).toByte))
+  }
+
+  test("multi-stream concatenation with stream padding") {
+    val a = fixture("small_text")
+    val pad = new Array[Byte](4) // stream padding, 4-aligned zeros
+    val b = fixture("tiny")
+    val got = Xz.decompress(a ++ pad ++ b)
+    val expected = ("the quick brown fox jumps over the lazy dog. " * 20) + "a"
+    assert(new String(got, "US-ASCII") == expected)
+  }
+
+  test("corruption is loud: bad magic, flipped payload bit fails the check, truncation") {
+    intercept[IllegalArgumentException](Xz.decompress("definitely not xz".getBytes))
+    val f = fixture("small_text")
+    val flipped = f.clone()
+    flipped(40) = (flipped(40) ^ 0x04).toByte
+    intercept[RuntimeException](Xz.decompress(flipped))
+    intercept[RuntimeException](Xz.decompress(java.util.Arrays.copyOf(f, f.length - 8)))
+  }
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Dev-time generator for the xz/LZMA2 decoder's golden fixtures.
+
+Same scheme as gen_zstd_fixtures.py: DETERMINISTIC payloads (shared
+LCG/pattern definitions, mirrored in XzSpec.scala) compressed with the
+system xz; only the .xz frames are committed.
+
+Run from the repo root:  python3 tools/gen_xz_fixtures.py
+"""
+import subprocess, os, hashlib, tempfile
+
+OUT = os.path.join(os.path.dirname(__file__), '..', 'src', 'test', 'resources', 'xz')
+
+
+def lcg_stream(n, mod):
+    x = 42
+    out = []
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out.append((x >> 33) % mod)
+    return out
+
+
+WORDS = ['alpha', 'beta', 'gamma', 'delta', 'epsilon',
+         'zeta', 'eta', 'theta', 'iota', 'kappa']
+
+
+def payloads():
+    text = ('the quick brown fox jumps over the lazy dog. ' * 20).encode()
+    big = (' '.join(WORDS[i] for i in lcg_stream(60000, 10))).encode()
+    yield 'small_text', text, ['-6']
+    yield 'big_text', big, ['-9']
+    yield 'big_text_crc64', big, ['-6', '--check=crc64']
+    yield 'big_text_sha256', big, ['-3', '--check=sha256']
+    yield 'random_bytes', bytes(lcg_stream(5000, 256)), ['-6']
+    yield 'runs', b'z' * 100000, ['-6']
+    yield 'tiny', b'a', ['-1']
+    yield 'empty', b'', ['-6']
+    yield 'wide_alpha', bytes(32 + min(v % 96, (v // 96) % 96)
+                              for v in lcg_stream(120000, 9216)), ['-9e']
+    # small block size forces a multi-block stream (block-chain walk)
+    yield 'multiblock', big, ['-6', '--block-size=65536']
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    with tempfile.TemporaryDirectory() as td:
+        for name, data, args in payloads():
+            src = os.path.join(td, name + '.bin')
+            dst = os.path.join(OUT, name + '.xz')
+            open(src, 'wb').write(data)
+            out = subprocess.run(['xz', '-c', '-T1'] + args + [src], check=True,
+                                 capture_output=True).stdout
+            open(dst, 'wb').write(out)
+            print(f'{name}: {len(data)} -> {len(out)} bytes, '
+                  f'md5 {hashlib.md5(data).hexdigest()}')
+
+
+if __name__ == '__main__':
+    main()
