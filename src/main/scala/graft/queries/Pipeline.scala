@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.operators.{Classify, CurationFunnel, Decontaminate, Dedup, Jpeg, Layout, Materialize, Media, MediaIndex, Packing, PdqDuplicates, PdqHash, RecordLinkage, SimilaritySearch, Sketches, Splits, TextAnalysis}
 import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import Tables.tbl
@@ -5155,6 +5156,68 @@ object Pipeline {
       }
   }
 
+  /** The crawl→corpus path END TO END in one measured query: planted
+    * pages (every 10th document also crawled at a mirror URL with
+    * identical content) → multi-record WARC files → zstd framing →
+    * [[graft.sources.Warc]] record walk → [[graft.operators.Boilerplate]]
+    * main-content extraction → exact dedup on the extracted text
+    * (min-doc_id survivor). Transport is lossless and extraction is
+    * deterministic, so the oracle replays ONLY the extraction+dedup
+    * algebra over the reconstructed page — the container legs are
+    * pinned by their own gates. Two exchanges total: the smoothing
+    * window's partition (reused by the group-concat) and the dedup
+    * window on the text key. */
+  val crawlCorpusE2e: QueryDef = QueryDef(
+    "crawl_corpus_e2e",
+    (s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val mirror = if (id % 10 == 0) Seq((id + 1000000L, id, text)) else Nil
+          (id, id, text) +: mirror
+        } // (crawl_id, source_id, text)
+      val files = pages
+        .groupByKey(_._1 / 20) // synthesis-only shuffle; parse+extract are map-only
+        .mapGroups { (g, it) =>
+          val recs = it.toSeq.sortBy(_._1).map { case (cid, _, text) =>
+            (s"http://corpus.example/page/$cid", "2026-01-01T00:00:00Z", "text/html",
+              (boilerHead + text + boilerTail).getBytes("UTF-8"))
+          }
+          graft.sources.Warc.WarcFile(g,
+            graft.sources.Zstd.encodeRawFrames(graft.sources.Warc.encodeWarc(recs)))
+        }
+      val html = graft.sources.Warc.records(files).toDF()
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long").as("crawl_id"),
+          col("payload").cast("string").as("html"))
+      val main = graft.operators.Boilerplate.mainContent(html, "crawl_id", "html")
+        .withColumnRenamed("id", "crawl_id")
+      val byText = Window.partitionBy("main_text")
+      main
+        .withColumn("survivor", col("crawl_id") === min(col("crawl_id")).over(byText))
+        .select(col("crawl_id"), col("n_good"), col("main_words"),
+          md5(col("main_text")).as("main_md5"), col("survivor"))
+        .orderBy("crawl_id")
+    },
+    Some(s"""
+      WITH crawled AS (
+        SELECT doc_id AS crawl_id, text FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0),
+      src AS (
+        SELECT crawl_id AS id, '${boilerHead.replace("'", "''")}' || text || '${boilerTail.replace("'", "''")}' AS html
+        FROM crawled),
+      ${graft.operators.Boilerplate.blocksSql("src")},
+      ${graft.operators.Boilerplate.mainContentSql}
+      SELECT id AS crawl_id, n_good, main_words, md5(main_text) AS main_md5,
+        id = min(id) OVER (PARTITION BY main_text) AS survivor
+      FROM main ORDER BY crawl_id
+    """.trim)
+  )
+
   /** xz decode gate ([[graft.sources.Xz]]): embedded REAL system-xz
     * frames (full LZMA2 machinery: range coder, state machine, rep
     * distances; CRC32-checked container) decompress to pinned
@@ -5971,7 +6034,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
