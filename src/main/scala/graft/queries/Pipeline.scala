@@ -5156,6 +5156,43 @@ object Pipeline {
       }
   }
 
+  /** Subtitle ingest ([[graft.sources.Subtitles]]): every document's
+    * transcript as an SRT (even ids) or WebVTT (odd ids — cue ids,
+    * NOTE block, settings tail) file of two timed cues; the cue walk
+    * must yield identical spans/text from both formats. Encode→parse
+    * is lossless, so the oracle reconstructs cues arithmetically. */
+  val subtitleCues: QueryDef = QueryDef(
+    "subtitle_cues",
+    (s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val cs = Seq(
+            (id * 1000L, id * 1000L + 1500L, s"Cue A ${text.take(40)}"),
+            (id * 1000L + 2000L, id * 1000L + 3500L, s"Cue B of $id"))
+          graft.sources.Subtitles.SubFile(id,
+            if (id % 2 == 0) graft.sources.Subtitles.encodeSrt(cs)
+            else graft.sources.Subtitles.encodeVtt(cs))
+        }
+      graft.sources.Subtitles.cues(files).toDF()
+        .select(col("id").as("doc_id"), col("cue"), col("start_ms"), col("end_ms"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id", "cue")
+    },
+    Some("""
+      SELECT doc_id, 0 AS cue, doc_id * 1000 AS start_ms, doc_id * 1000 + 1500 AS end_ms,
+        md5(trim('Cue A ' || substring(text, 1, 40))) AS text_md5 -- cue lines are trimmed
+      FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id, 1, doc_id * 1000 + 2000, doc_id * 1000 + 3500, md5('Cue B of ' || doc_id)
+      FROM documents WHERE doc_id < 200
+      ORDER BY doc_id, cue
+    """.trim)
+  )
+
   /** The crawl→corpus path END TO END in one measured query: planted
     * pages (every 10th document also crawled at a mirror URL with
     * identical content) → multi-record WARC files → zstd framing →
@@ -6034,7 +6071,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
