@@ -5156,6 +5156,36 @@ object Pipeline {
       }
   }
 
+  /** RTF ingest ([[graft.sources.Rtf]]): every document as an ANSI RTF
+    * (font/color tables + starred generator group that must NOT leak,
+    * specials and non-ASCII as hex/\\uN escapes). Encode→extract is
+    * lossless modulo the paragraph trim, so the oracle reconstructs
+    * from the source. */
+  val rtfExtract: QueryDef = QueryDef(
+    "rtf_extract",
+    (s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          graft.sources.Rtf.RtfFile(id, graft.sources.Rtf.encodeRtf(Seq(
+            s"Doc $id: ${text.take(80)}", "Em—dash & {braces} \\ done")))
+        }
+      graft.sources.Rtf.paragraphs(files).toDF()
+        .select(col("id").as("doc_id"), col("para"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id", "para")
+    },
+    Some("""
+      SELECT doc_id, 0 AS para, md5(trim('Doc ' || doc_id || ': ' || substring(text, 1, 80))) AS text_md5
+      FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id, 1, md5('Em—dash & {braces} \ done') FROM documents WHERE doc_id < 200
+      ORDER BY doc_id, para
+    """.trim)
+  )
+
   /** Subtitle ingest ([[graft.sources.Subtitles]]): every document's
     * transcript as an SRT (even ids) or WebVTT (odd ids — cue ids,
     * NOTE block, settings tail) file of two timed cues; the cue walk
@@ -6071,7 +6101,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
