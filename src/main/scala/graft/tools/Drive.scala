@@ -1011,6 +1011,32 @@ object Drive {
       graft.sources.Eml.envelopes(ds).toDF().select("subject", "n_parts").show(truncate = false)
     }
     locally {
+      println("=== xz + bzip2: decode round-trips and wrapped-archive routing ===")
+      val tarXzB64 = "/Td6WFoAAATm1rRGAgAhARYAAAB0L+Wj4Cf/AJxdADebiM9rZPoj+eQO2wIWgK/ecWsZfVe5bf0kcaADife5pXAQW31LRz0tIy5w3Mj9yl+BPk3JbL4Gb0stLzUB+Rr60tJ1hFYV0UdbEkf5zmLjvHg/OfCgaqJFiXrhQeHsQDu6ZbX3rpbk0cHwgcvPyKV7cd84R/oEKuGbVXWc4S0q1MPeUSXGudfpxu71iPSrFtgKvb5ste9cVsSJAAA3Lu6xy5aq3gABuAGAUAAA/vRJibHEZ/sCAAAAAARZWg=="
+      val entries = graft.sources.Archives.autoEntries(
+        java.util.Base64.getDecoder.decode(tarXzB64))
+      println(s"tar.xz routed: ${entries.map { case (n, b) => s"$n(${b.length}B)" }.mkString(", ")}")
+      try { graft.sources.Xz.decompress("ý7zXZ garbage".getBytes("ISO-8859-1")); println("UNEXPECTED") }
+      catch { case e: RuntimeException => println(s"caught corrupt xz: ${e.getMessage.take(60)}") }
+    }
+    locally {
+      println("=== odt + rtf: office-format paragraph walks ===")
+      import spark.implicits._
+      val odt = graft.sources.Odt.OdtFile(1, graft.sources.Odt.encodeOdt(Seq("An ODT paragraph.")))
+      graft.sources.Odt.paragraphs(Seq(odt).toDS()).toDF().show(truncate = false)
+      val rtf = graft.sources.Rtf.RtfFile(1, graft.sources.Rtf.encodeRtf(Seq("RTF café — done")))
+      graft.sources.Rtf.paragraphs(Seq(rtf).toDS()).toDF().show(truncate = false)
+    }
+    locally {
+      println("=== subtitles: SRT/VTT timed cues ===")
+      import spark.implicits._
+      val srt = graft.sources.Subtitles.SubFile(1,
+        graft.sources.Subtitles.encodeSrt(Seq((0L, 1500L, "hello subtitle"))))
+      val vtt = graft.sources.Subtitles.SubFile(2,
+        graft.sources.Subtitles.encodeVtt(Seq((500L, 2000L, "vtt cue"))))
+      graft.sources.Subtitles.cues(Seq(srt, vtt).toDS()).toDF().orderBy("id").show(truncate = false)
+    }
+    locally {
       println("=== webm: EBML track triage + VP8 keyframe decode ===")
       import spark.implicits._
       val webp = java.util.Base64.getDecoder.decode(graft.queries.Vp8Fixtures.all("tiny_5x7_q80"))
