@@ -5097,24 +5097,36 @@ object Pipeline {
   // each multipart/mixed (QP text/plain of the doc text + base64 html +
   // binary attachment), subject RFC-2047 B-encoded; every 9th document's
   // text part declares koi8-r and must quarantine as a marker row
-  /** Gate-side quoted-printable encoder (the DECODER is the engine's;
-    * this is synthesis harness). Spaces encode as =20: the decoder's
-    * transport-padding rule strips literal trailing WSP, and doc text
-    * may end with one. */
-  private def qpEncode(text: String): String = {
-    val bytes = text.getBytes("UTF-8")
-    val sb = new StringBuilder
-    bytes.foreach { b =>
-      val c = b & 0xff
-      if (c >= 33 && c <= 126 && c != '=') sb.append(c.toChar)
-      else sb.append(f"=$c%02X")
+  /** SQL string literal for a Scala string that may contain newlines
+    * and quotes (newlines become chr(10) concatenations). */
+  private def sqlLit(v: String): String =
+    "'" + v.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+  /** Gate-side encoding helpers used INSIDE task closures — kept in a
+    * Serializable holder: a lambda that references a method on the
+    * (non-Serializable) Pipeline object drags the whole module into
+    * the closure and fails task serialization (caught by the eml
+    * gates' sweep run). */
+  private object GateEnc extends Serializable {
+    /** Quoted-printable encoder (the DECODER is the engine's; this is
+      * synthesis harness). Spaces encode as =20: the decoder's
+      * transport-padding rule strips literal trailing WSP, and doc
+      * text may end with one. */
+    def qpEncode(text: String): String = {
+      val bytes = text.getBytes("UTF-8")
+      val sb = new StringBuilder
+      bytes.foreach { b =>
+        val c = b & 0xff
+        if (c >= 33 && c <= 126 && c != '=') sb.append(c.toChar)
+        else sb.append(f"=$c%02X")
+      }
+      sb.toString
     }
-    sb.toString
   }
 
   private def emlMboxes(s: SparkSession, dir: String) = {
     import s.implicits._
-    def qp(text: String): String = qpEncode(text)
+    def qp(text: String): String = GateEnc.qpEncode(text)
     tbl(s, dir, "documents")
       .filter(col("doc_id") < 200)
       .select(col("doc_id"), col("text"))
@@ -5155,6 +5167,38 @@ object Pipeline {
         graft.sources.Eml.EmlFile(g, (msgs.mkString("\r\n") + "\r\n").getBytes("ISO-8859-1"))
       }
   }
+
+  /** JSON-LD extraction ([[graft.operators.StructuredData]]): every
+    * planted page carries an Article block; every 5th adds a MALFORMED
+    * block that must surface as parse_ok=false, never drop. Oracle
+    * replays the pattern + json_valid-guarded field pulls in DuckDB. */
+  val jsonLdExtract: QueryDef = QueryDef(
+    "jsonld_extract",
+    (s, dir) => {
+      val planted = tbl(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          concat(
+            lit("<html><head><script type=\"application/ld+json\">{\"@type\":\"Article\",\"name\":\"Doc "),
+            col("doc_id"),
+            lit("\",\"url\":\"http://corpus.example/doc/"), col("doc_id"), lit("\"}</script>"),
+            when(col("doc_id") % 5 === 0,
+              "<script type=\"application/ld+json\">{broken json</script>").otherwise(""),
+            lit("</head><body><p>"), col("text"), lit("</p></body></html>")).as("html"))
+      graft.operators.StructuredData.jsonLd(planted, "id", "html")
+        .orderBy("id", "block")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS id,
+          '<html><head><script type="application/ld+json">{"@type":"Article","name":"Doc ' || doc_id ||
+          '","url":"http://corpus.example/doc/' || doc_id || '"}</script>' ||
+          CASE WHEN doc_id % 5 = 0 THEN '<script type="application/ld+json">{broken json</script>' ELSE '' END ||
+          '</head><body><p>' || text || '</p></body></html>' AS html
+        FROM documents),
+      ${graft.operators.StructuredData.jsonLdSql("src")}
+      SELECT * FROM jsonld ORDER BY id, block
+    """.trim)
+  )
 
   /** RTF ingest ([[graft.sources.Rtf]]): every document as an ANSI RTF
     * (font/color tables + starred generator group that must NOT leak,
@@ -5402,7 +5446,7 @@ object Pipeline {
           val m = Seq("From: corpus@example.com",
             "Content-Type: text/plain; charset=utf-8",
             "Content-Transfer-Encoding: quoted-printable",
-            "", qpEncode(body(id, t))).mkString("\r\n")
+            "", GateEnc.qpEncode(body(id, t))).mkString("\r\n")
           graft.sources.Eml.EmlFile(id, m.getBytes("ISO-8859-1")) })
         .map(p => (p.id, "eml", p.text))
       docx.union(pdf).union(odt).union(eml).toDF("doc_id", "fmt", "text")
@@ -5548,15 +5592,19 @@ object Pipeline {
     * file/piped/plain/external links, refs, comments, a table,
     * emphasis, heading + list lines, entities). The oracle replays all
     * nineteen passes + entity decode in DuckDB. */
+  // the full wikitext chrome battery, shared by wikitext_clean and the
+  // wiki_corpus_e2e composite (nested templates, links, refs, comments,
+  // a table, emphasis, heading + list lines, entities)
+  private val wikiChromeHead =
+    "{{Infobox x|a=1|b={{n|y}}}}\n'''Intro''' with [[linked article|label]] and [[Plain]].\n== Sec ==\n* bullet\n"
+  private val wikiChromeTail =
+    "<ref name=\"r\">c</ref>.<!-- h -->\n{| class=\"t\"\n|r\n|}\n[http://e.com/x ext label] and [http://e.com/y].\n&nbsp;&amp; tail"
+
   val wikitextClean: QueryDef = QueryDef(
     "wikitext_clean",
     (s, dir) => tbl(s, dir, "documents")
       .select(col("doc_id").as("id"),
-        concat(
-          lit("{{Infobox x|a=1|b={{n|y}}}}\n'''Intro''' with [[linked article|label]] and [[Plain]].\n== Sec ==\n* bullet\n"),
-          col("text"),
-          lit("<ref name=\"r\">c</ref>.<!-- h -->\n{| class=\"t\"\n|r\n|}\n[http://e.com/x ext label] and [http://e.com/y].\n&nbsp;&amp; tail"))
-          .as("wikitext"))
+        concat(lit(wikiChromeHead), col("text"), lit(wikiChromeTail)).as("wikitext"))
       .select(col("id"), md5(graft.operators.Wikitext.clean(col("wikitext"))).as("clean_md5"))
       .orderBy("id"),
     Some(s"""
@@ -5568,6 +5616,54 @@ object Pipeline {
         FROM documents)
       SELECT id, md5(${graft.operators.Wikitext.cleanSql("wikitext")}) AS clean_md5
       FROM src ORDER BY id
+    """.trim)
+  )
+
+  /** The encyclopedia path END TO END: wrapped export dumps (gzip /
+    * zstd-framed per file) -> [[graft.sources.MediaWiki]] page walk ->
+    * article selection (ns 0, non-redirect) -> [[graft.operators.Wikitext]]
+    * cleanup -> token accounting, in one measured query. Page text
+    * carries the full chrome battery; the oracle replays selection +
+    * cleanup over the reconstructed wikitext (the dump transport is
+    * pinned by wiki_pages/wiki_bz2). */
+  val wikiCorpusE2e: QueryDef = QueryDef(
+    "wiki_corpus_e2e",
+    (s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 20)
+        .mapGroups { (g, it) =>
+          val pages = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            (id, (id % 3).toInt, s"Article $id", wikiChromeHead + text + wikiChromeTail)
+          }
+          val xml = graft.sources.MediaWiki.encodeDump(pages)
+          val bytes =
+            if (g % 2 == 0) {
+              val o = new java.io.ByteArrayOutputStream()
+              val z = new java.util.zip.GZIPOutputStream(o)
+              z.write(xml); z.close(); o.toByteArray
+            } else graft.sources.Zstd.encodeRawFrames(xml)
+          graft.sources.MediaWiki.WikiDump(g, bytes)
+        }
+      graft.sources.MediaWiki.pages(files).toDF()
+        .where(col("ns") === 0 && col("redirect").isNull)
+        .select(col("page_id"), graft.operators.Wikitext.clean(col("text")).as("clean"))
+        .select(col("page_id"), md5(col("clean")).as("clean_md5"),
+          size(TextFunctions.words(col("clean"))).as("n_words"))
+        .orderBy("page_id")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS page_id,
+          ${sqlLit(wikiChromeHead)} || text || ${sqlLit(wikiChromeTail)} AS wikitext
+        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0),
+      cleaned AS (SELECT page_id, ${graft.operators.Wikitext.cleanSql("wikitext")} AS clean FROM src)
+      SELECT page_id, md5(clean) AS clean_md5,
+        len(list_filter(regexp_split_to_array(clean, ' +'), w -> len(w) > 0)) AS n_words
+      FROM cleaned ORDER BY page_id
     """.trim)
   )
 
@@ -6101,7 +6197,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

@@ -117,23 +117,27 @@ object MediaWiki {
       case c => c.toString
     }
 
-  /** Fixture muxer: a minimal export-0.11-shaped dump. */
+  /** Fixture muxer: a minimal export-0.11-shaped dump. Assembled by
+    * concatenation, NOT stripMargin — wikitext table syntax puts `|`
+    * at line starts, and a stripMargin applied after interpolating
+    * page text would silently eat those pipes (caught by the
+    * wiki_corpus_e2e composite; the margin char and MediaWiki's table
+    * markup collide exactly). */
   def encodeDump(pages: Seq[(Long, Int, String, String)]): Array[Byte] = {
     val body = pages.map { case (id, ns, title, text) =>
-      s"""  <page>
-         |    <title>${esc(title)}</title>
-         |    <ns>$ns</ns>
-         |    <id>$id</id>
-         |    <revision>
-         |      <id>${id * 10 + 1}</id>
-         |      <timestamp>2026-01-01T00:00:00Z</timestamp>
-         |      <text bytes="${text.length}" xml:space="preserve">${esc(text)}</text>
-         |    </revision>
-         |  </page>""".stripMargin
+      "  <page>\n" +
+        s"    <title>${esc(title)}</title>\n" +
+        s"    <ns>$ns</ns>\n" +
+        s"    <id>$id</id>\n" +
+        "    <revision>\n" +
+        s"      <id>${id * 10 + 1}</id>\n" +
+        "      <timestamp>2026-01-01T00:00:00Z</timestamp>\n" +
+        s"      <text bytes=\"${text.length}\" xml:space=\"preserve\">${esc(text)}</text>\n" +
+        "    </revision>\n" +
+        "  </page>"
     }.mkString("\n")
-    (s"""<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.11/" version="0.11">
-        |$body
-        |</mediawiki>""".stripMargin).getBytes("UTF-8")
+    ("<mediawiki xmlns=\"http://www.mediawiki.org/xml/export-0.11/\" version=\"0.11\">\n" +
+      body + "\n</mediawiki>").getBytes("UTF-8")
   }
 
   // ------------------------------------------------------------- spark

@@ -34,6 +34,16 @@ class MediaWikiSpec extends SparkTestBase {
     roundTrip(Zstd.encodeRawFrames(dump))
   }
 
+  test("wikitext table pipes at line starts survive the dump round-trip") {
+    // regression: encodeDump once applied stripMargin AFTER interpolating
+    // page text, eating the `|` that MediaWiki table syntax puts at
+    // line starts ("{| class=\"t\"\n|row\n|}")
+    val text = "before\n{| class=\"t\"\n|cell one\n|}\nafter"
+    val dump = MediaWiki.encodeDump(Seq((1L, 0, "T", text)))
+    val got = MediaWiki.parsePages(1L, new String(dump, "UTF-8")).head.text
+    assert(got == text)
+  }
+
   test("pages(): map-only Spark extraction with quarantine") {
     val good = MediaWiki.encodeDump(Seq((1L, 0, "T", "x")))
     val bad = "BZh9 corrupt".getBytes("US-ASCII")
