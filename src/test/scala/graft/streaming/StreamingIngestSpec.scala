@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Stream ≡ batch pins for the round-9 ingest tiers: the map-only
+  * flatMap extractors (WARC-under-zstd, MediaWiki dumps, subtitles)
+  * are stateless row transforms, so running them under Structured
+  * Streaming must yield EXACTLY the batch relation — no watermark, no
+  * state, every micro-batch independently correct. That property is
+  * what makes "ingest the dump as it lands" free at 100 TB: the same
+  * code path serves backfill (batch over shards) and tail (stream of
+  * arriving shards). */
+class StreamingIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def runStream[T: org.apache.spark.sql.Encoder, R](
+      input: Seq[T])(f: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.DataFrame): Seq[String] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[T]
+    val q = f(mem.toDS()).writeStream
+      .format("memory").queryName("ingest_sink").outputMode("append").start()
+    try {
+      // two micro-batches: split the input to prove per-batch correctness
+      val (a, b) = input.splitAt(math.max(1, input.length / 2))
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
+      spark.table("ingest_sink").collect().map(_.mkString("|")).sorted.toSeq
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS ingest_sink")
+    }
+  }
+
+  test("warc.zst records stream == batch") {
+    val recs = (0 until 6).map(i =>
+      (s"http://e.com/$i", "2026-01-01T00:00:00Z", "text/html",
+        s"<p>payload $i</p>".getBytes("UTF-8")))
+    val files = (0 until 3).map(g => graft.sources.Warc.WarcFile(g,
+      graft.sources.Zstd.encodeRawFrames(
+        graft.sources.Warc.encodeWarc(recs.slice(g * 2, g * 2 + 2)))))
+    def extract(ds: org.apache.spark.sql.Dataset[graft.sources.Warc.WarcFile]) =
+      graft.sources.Warc.records(ds).toDF()
+        .select(col("file_id"), col("target_uri"), col("payload").cast("string"))
+    val streamed = runStream(files)(extract)
+    val batch = extract(files.toDS()).collect().map(_.mkString("|")).sorted.toSeq
+    assert(streamed == batch && batch.length == 6)
+  }
+
+  test("mediawiki pages stream == batch") {
+    val dumps = (0 until 2).map { g =>
+      graft.sources.MediaWiki.WikiDump(g, graft.sources.MediaWiki.encodeDump(
+        (0 until 3).map(i => ((g * 3 + i).toLong, 0, s"Article ${g * 3 + i}", s"text {| \n|$i\n|}"))))
+    }
+    def extract(ds: org.apache.spark.sql.Dataset[graft.sources.MediaWiki.WikiDump]) =
+      graft.sources.MediaWiki.pages(ds).toDF().select(col("page_id"), col("title"), col("text"))
+    val streamed = runStream(dumps)(extract)
+    val batch = extract(dumps.toDS()).collect().map(_.mkString("|")).sorted.toSeq
+    assert(streamed == batch && batch.length == 6)
+  }
+
+  test("subtitle cues stream == batch, quarantine rows included") {
+    val files = Seq(
+      graft.sources.Subtitles.SubFile(1,
+        graft.sources.Subtitles.encodeSrt(Seq((0L, 900L, "one"), (1000L, 1900L, "two")))),
+      graft.sources.Subtitles.SubFile(2, "1\n00:bad --> 00:00:01,000\nx\n".getBytes("UTF-8")),
+      graft.sources.Subtitles.SubFile(3,
+        graft.sources.Subtitles.encodeVtt(Seq((0L, 500L, "three")))))
+    def extract(ds: org.apache.spark.sql.Dataset[graft.sources.Subtitles.SubFile]) =
+      graft.sources.Subtitles.cues(ds, keepCorrupt = true).toDF()
+    val streamed = runStream(files)(extract)
+    val batch = extract(files.toDS()).collect().map(_.mkString("|")).sorted.toSeq
+    assert(streamed == batch && batch.length == 4) // 3 cues + 1 marker
+  }
+}
