@@ -158,6 +158,18 @@ object Xz {
 
   // ------------------------------------------------------- lzma state
 
+  /** Growable decode buffer (shared by the LZMA2 and alone paths). */
+  private final class Grow(var arr: Array[Byte], var len: Int) {
+    def ensure(n: Int): Unit = {
+      require(len.toLong + n <= MaxOutput, "lzma: output cap exceeded")
+      if (len + n > arr.length) {
+        var cap = math.max(arr.length, 64)
+        while (cap < len + n) cap <<= 1
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+    }
+  }
+
   private final class Lzma(var lc: Int, var lp: Int, var pb: Int) {
     var state = 0
     var rep0 = 0
@@ -204,21 +216,25 @@ object Xz {
       else if (rc.decodeBit(probs, 1) == 0) 10 + rc.bitTree(probs, 2 + 128 + (posState << 3), 3)
       else 18 + rc.bitTree(probs, 2 + 256, 8)
 
-    /** Decode into out[outFrom, outUntil); `dictStart` bounds match
-      * reach and anchors the position contexts. */
-    def run(rc: RangeDec, out: Array[Byte], outFrom: Int, outUntil: Int, dictStart: Int): Unit = {
-      var pos = outFrom
+    /** Decode into `g` until `g.len == until`, or — when `until` is
+      * negative — until the end-of-stream marker (the `.lzma` alone
+      * format's unknown-size mode). Returns true iff the marker ended
+      * the stream. `dictStart` bounds match reach and anchors the
+      * position contexts. */
+    def run(rc: RangeDec, g: Grow, until: Long, dictStart: Int): Boolean = {
       val pbMask = (1 << pb) - 1
       val lpMask = (1 << lp) - 1
-      while (pos < outUntil) {
+      var marker = false
+      while (!marker && (until < 0 || g.len < until)) {
+        val pos = g.len
         val posState = (pos - dictStart) & pbMask
         if (rc.decodeBit(isMatch, (state << 4) + posState) == 0) {
           // literal
-          val prevByte = if (pos > dictStart) out(pos - 1) & 0xff else 0
+          val prevByte = if (pos > dictStart) g.arr(pos - 1) & 0xff else 0
           val litState = ((((pos - dictStart) & lpMask) << lc) + (prevByte >> (8 - lc))) * 0x300
           var symbol = 1
           if (state >= 7) {
-            var matchByte = out(pos - rep0 - 1) & 0xff
+            var matchByte = g.arr(pos - rep0 - 1) & 0xff
             var break = false
             while (!break && symbol < 0x100) {
               val matchBit = (matchByte >> 7) & 1
@@ -232,8 +248,9 @@ object Xz {
             }
           }
           while (symbol < 0x100) symbol = (symbol << 1) | rc.decodeBit(lit, litState + symbol)
-          out(pos) = (symbol - 0x100).toByte
-          pos += 1
+          g.ensure(1)
+          g.arr(pos) = (symbol - 0x100).toByte
+          g.len += 1
           state = if (state < 4) 0 else if (state < 10) state - 3 else state - 6
         } else {
           var len = 0
@@ -244,8 +261,9 @@ object Xz {
               if (rc.decodeBit(isRep0Long, (state << 4) + posState) == 0) {
                 // short rep: one byte at rep0
                 state = if (state < 7) 9 else 11
-                out(pos) = out(pos - rep0 - 1)
-                pos += 1
+                g.ensure(1)
+                g.arr(pos) = g.arr(pos - rep0 - 1)
+                g.len += 1
                 len = -1 // handled
               }
             } else {
@@ -278,19 +296,24 @@ object Xz {
                 dist += rc.bitTreeReverse(align, 0, 4)
               }
               rep0 = dist
-              require(rep0 != -1, "lzma: end marker inside sized chunk")
+              if (rep0 == -1) {
+                require(until < 0, "lzma: end marker inside sized chunk")
+                marker = true
+              }
             }
           }
-          if (len > 0) {
+          if (!marker && len > 0) {
             require(rep0 >= 0 && rep0 < pos - dictStart,
               s"lzma: distance ${rep0 + 1} beyond dictionary")
-            require(pos + len <= outUntil, "lzma: match overruns chunk")
+            require(until < 0 || pos + len <= until, "lzma: match overruns chunk")
+            g.ensure(len)
             var i = 0
-            while (i < len) { out(pos + i) = out(pos - rep0 - 1 + i); i += 1 }
-            pos += len
+            while (i < len) { g.arr(pos + i) = g.arr(pos - rep0 - 1 + i); i += 1 }
+            g.len += len
           }
         }
       }
+      marker
     }
   }
 
@@ -300,23 +323,13 @@ object Xz {
     * (bytes produced, input bytes consumed incl. the 0x00 end mark). */
   private def lzma2(p: Array[Byte], from: Int, until: Int,
       out: java.io.ByteArrayOutputStream, buf: Array[Byte], bufLen0: Int): (Int, Int) = {
-    var bufLen = bufLen0
+    val g = new Grow(buf, bufLen0)
     var at = from
-    var dictStart = bufLen
+    var dictStart = g.len
     var lzma: Lzma = null
     var needProps = true
 
     def u16be(i: Int): Int = ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
-
-    var arr = buf
-    def ensure(n: Int): Array[Byte] = {
-      if (bufLen + n > arr.length) {
-        var cap = math.max(arr.length, 1) // note: grown below
-        while (cap < bufLen + n) cap <<= 1
-        arr = java.util.Arrays.copyOf(arr, cap)
-      }
-      arr
-    }
 
     var done = false
     while (!done) {
@@ -329,13 +342,12 @@ object Xz {
         val size = u16be(at) + 1
         at += 2
         require(at + size <= until, "xz: uncompressed chunk truncated")
-        if (c == 1) dictStart = bufLen
-        ensure(size)
-        System.arraycopy(p, at, arr, bufLen, size)
-        bufLen += size
+        if (c == 1) dictStart = g.len
+        g.ensure(size)
+        System.arraycopy(p, at, g.arr, g.len, size)
+        g.len += size
         at += size
         if (lzma != null) lzma.resetState() // spec: uncompressed chunk resets state
-        require(bufLen <= MaxOutput, "xz: output cap exceeded")
       } else {
         require(c >= 0x80, s"xz: invalid LZMA2 control byte $c")
         val unpacked = ((c & 0x1f) << 16) + u16be(at) + 1
@@ -350,21 +362,20 @@ object Xz {
           needProps = false
         }
         require(lzma != null && !needProps, "xz: LZMA2 chunk before props")
-        if (resetMode == 3) dictStart = bufLen
+        if (resetMode == 3) dictStart = g.len
         if (resetMode >= 1) lzma.resetState()
         require(at + packed <= until, "xz: compressed chunk truncated")
-        ensure(unpacked)
         val rc = new RangeDec(p, at, at + packed)
-        lzma.run(rc, arr, bufLen, bufLen + unpacked, dictStart)
+        val expect = g.len + unpacked
+        lzma.run(rc, g, expect, dictStart)
+        require(g.len == expect, "xz: chunk produced short output")
         require(rc.pos == at + packed && rc.finishedClean,
           s"xz: chunk size mismatch (consumed ${rc.pos - at} of $packed)")
-        bufLen += unpacked
         at += packed
-        require(bufLen <= MaxOutput, "xz: output cap exceeded")
       }
     }
-    out.write(arr, bufLen0, bufLen - bufLen0)
-    (bufLen - bufLen0, at - from)
+    out.write(g.arr, bufLen0, g.len - bufLen0)
+    (g.len - bufLen0, at - from)
   }
 
   // --------------------------------------------------------- container
@@ -476,5 +487,30 @@ object Xz {
       }
     }
     out.toByteArray
+  }
+
+  /** The `.lzma` "alone" format (13-byte header: props, dict size,
+    * 64-bit uncompressed size with all-ones meaning unknown →
+    * end-marker termination). No magic bytes exist for this format,
+    * so routing is explicit, never sniffed. */
+  def decompressAlone(p: Array[Byte]): Array[Byte] = {
+    require(p.length >= 18, "lzma: truncated alone header")
+    val lz = new Lzma(0, 0, 0)
+    lz.setProps(p(0) & 0xff)
+    lz.resetState()
+    var size = 0L
+    var i = 0
+    while (i < 8) { size |= (p(5 + i) & 0xffL) << (8 * i); i += 1 }
+    val rc = new RangeDec(p, 13, p.length)
+    val g = new Grow(new Array[Byte](64 * 1024), 0)
+    if (size == -1L) {
+      require(lz.run(rc, g, -1L, 0), "lzma: stream ended without the end marker")
+    } else {
+      require(size <= MaxOutput, s"lzma: declared size $size > cap")
+      lz.run(rc, g, size, 0)
+      require(g.len.toLong == size, "lzma: short stream")
+    }
+    require(rc.finishedClean, "lzma: range coder not finished clean")
+    java.util.Arrays.copyOf(g.arr, g.len)
   }
 }

@@ -62,6 +62,21 @@ class XzSpec extends AnyFunSuite {
       lcgStream(120000, 9216).map(v => (32 + math.min(v % 96, (v / 96) % 96)).toByte))
   }
 
+  test(".lzma alone format: unknown-size end-marker termination") {
+    def alone(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/xz/$name.lzma")
+      require(in != null, s"missing fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    assert(new String(Xz.decompressAlone(alone("alone_small")), "US-ASCII") ==
+      "the quick brown fox jumps over the lazy dog. " * 20)
+    assert(java.util.Arrays.equals(Xz.decompressAlone(alone("alone_big")), bigText))
+    assert(Xz.decompressAlone(alone("alone_empty")).isEmpty)
+    // truncated alone stream: marker never arrives -> loud
+    val f = alone("alone_small")
+    intercept[RuntimeException](Xz.decompressAlone(java.util.Arrays.copyOf(f, f.length - 6)))
+  }
+
   test("multi-stream concatenation with stream padding") {
     val a = fixture("small_text")
     val pad = new Array[Byte](4) // stream padding, 4-aligned zeros

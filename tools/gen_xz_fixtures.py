@@ -42,6 +42,13 @@ def payloads():
     yield 'multiblock', big, ['-6', '--block-size=65536']
 
 
+def alone_payloads():
+    # .lzma "alone" format fixtures (unknown size -> end marker)
+    yield 'alone_small', ('the quick brown fox jumps over the lazy dog. ' * 20).encode(), '-6'
+    yield 'alone_big', (' '.join(WORDS[i] for i in lcg_stream(60000, 10))).encode(), '-9'
+    yield 'alone_empty', b'', '-6'
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     with tempfile.TemporaryDirectory() as td:
@@ -54,6 +61,13 @@ def main():
             open(dst, 'wb').write(out)
             print(f'{name}: {len(data)} -> {len(out)} bytes, '
                   f'md5 {hashlib.md5(data).hexdigest()}')
+        for name, data, lvl in alone_payloads():
+            src = os.path.join(td, name + '.bin')
+            open(src, 'wb').write(data)
+            out = subprocess.run(['xz', '--format=lzma', '-c', '-T1', lvl, src],
+                                 check=True, capture_output=True).stdout
+            open(os.path.join(OUT, name + '.lzma'), 'wb').write(out)
+            print(f'{name}: {len(data)} -> {len(out)} bytes (.lzma alone)')
 
 
 if __name__ == '__main__':
