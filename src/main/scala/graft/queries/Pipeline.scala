@@ -5168,6 +5168,40 @@ object Pipeline {
       }
   }
 
+  /** Unicode script detection ([[graft.operators.Scripts]]): the
+    * multilingual routing fork. Every 6th-class document gets a
+    * planted non-Latin passage (appended, or REPLACING the text so
+    * dominance actually flips); the oracle replays the block-class
+    * counting and the majority/tie rules in DuckDB. */
+  val scriptDetect: QueryDef = QueryDef(
+    "script_detect",
+    (s, dir) => {
+      val planted = tbl(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          when(col("doc_id") % 6 === 1, concat(col("text"), lit(" Привет мир это кириллица")))
+            .when(col("doc_id") % 6 === 2, concat(col("text"), lit(" αλφα βητα γαμμα")))
+            .when(col("doc_id") % 6 === 3, lit("مرحبا بالعالم هذا نص عربي طويل بما يكفي"))
+            .when(col("doc_id") % 6 === 4, lit("北京大学中文系汉字文本处理与分析"))
+            .when(col("doc_id") % 6 === 5, lit("1234 --- 5678 !?"))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Scripts.detect(planted, "id", "text").orderBy("id")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id AS id,
+          CASE CAST(doc_id % 6 AS INTEGER)
+            WHEN 1 THEN text || ' Привет мир это кириллица'
+            WHEN 2 THEN text || ' αλφα βητα γαμμα'
+            WHEN 3 THEN 'مرحبا بالعالم هذا نص عربي طويل بما يكفي'
+            WHEN 4 THEN '北京大学中文系汉字文本处理与分析'
+            WHEN 5 THEN '1234 --- 5678 !?'
+            ELSE text END AS text
+        FROM documents),
+      ${graft.operators.Scripts.detectSql("src")}
+      ORDER BY id
+    """.trim)
+  )
+
   /** JSON-LD extraction ([[graft.operators.StructuredData]]): every
     * planted page carries an Article block; every 5th adds a MALFORMED
     * block that must surface as parse_ok=false, never drop. Oracle
@@ -6197,7 +6231,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
