@@ -128,4 +128,22 @@ object Robots {
         col(hostCol) === col("__rb_host"), "left")
       .withColumn("allowed", allowedCol(col("rules"), col(pathCol)))
       .drop("__rb_host", "rules")
+
+  /** Politeness scheduling: turn a per-host frontier into a fetch
+    * timetable. Each host is an independent rate-limited queue
+    * (crawl-delay politeness), so the schedule is pure window
+    * arithmetic: slot = rank within host (deterministic URL order),
+    * fetch_at = slot x delay, and the horizon cut yields "this
+    * window's fetch plan". ONE exchange (the host window); hosts are
+    * the parallel unit at 100 TB - a 1000-executor cluster schedules
+    * a billion-URL frontier with no cross-host coordination. */
+  def schedule(frontier: DataFrame, hostCol: String, urlCol: String,
+      delayMsCol: String, horizonMs: Long): DataFrame = {
+    val byHost = org.apache.spark.sql.expressions.Window
+      .partitionBy(hostCol).orderBy(urlCol)
+    frontier
+      .withColumn("slot", row_number().over(byHost) - 1)
+      .withColumn("fetch_at_ms", col("slot") * col(delayMsCol))
+      .withColumn("within_horizon", col("fetch_at_ms") < horizonMs)
+  }
 }

@@ -5168,6 +5168,35 @@ object Pipeline {
       }
   }
 
+  /** Politeness scheduling ([[graft.operators.Robots.schedule]]): a
+    * synthesized frontier (17 hosts, per-host crawl delays) becomes a
+    * fetch timetable — slot rank within host, fetch_at = slot × delay,
+    * horizon cut. The oracle replays the window arithmetic. */
+  val frontierSchedule: QueryDef = QueryDef(
+    "frontier_schedule",
+    (s, dir) => {
+      val frontier = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("h"), col("doc_id") % 17, lit(".example.com")).as("host"),
+          concat(lit("/page/"), col("doc_id")).as("url"),
+          ((col("doc_id") % 17) % 5 + 1).cast("long").multiply(500L).as("delay_ms"))
+      graft.operators.Robots.schedule(frontier, "host", "url", "delay_ms", horizonMs = 5000L)
+        .select(col("doc_id"), col("host"), col("slot"), col("fetch_at_ms"), col("within_horizon"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, 'h' || (doc_id % 17) || '.example.com' AS host,
+          '/page/' || doc_id AS url, ((doc_id % 17) % 5 + 1) * 500 AS delay_ms
+        FROM documents)
+      SELECT doc_id, host,
+        row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS slot,
+        (row_number() OVER (PARTITION BY host ORDER BY url) - 1) * delay_ms AS fetch_at_ms,
+        (row_number() OVER (PARTITION BY host ORDER BY url) - 1) * delay_ms < 5000 AS within_horizon
+      FROM f ORDER BY doc_id
+    """.trim)
+  )
+
   /** Unicode script detection ([[graft.operators.Scripts]]): the
     * multilingual routing fork. Every 6th-class document gets a
     * planted non-Latin passage (appended, or REPLACING the text so
@@ -6231,7 +6260,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
