@@ -1037,6 +1037,26 @@ object Drive {
       graft.sources.Subtitles.cues(Seq(srt, vtt).toDS()).toDF().orderBy("id").show(truncate = false)
     }
     locally {
+      println("=== script detect + frontier schedule + json-ld ===")
+      import spark.implicits._
+      val d = Seq((1L, "plain english words"), (2L, "Привет мир это кириллица"),
+        (3L, "abcd авгд")).toDF("id", "text")
+      graft.operators.Scripts.detect(d, "id", "text").select("id", "n_latin", "n_cyrillic", "script").show()
+      val frontier = Seq((1L, "a.com", "/1", 500L), (2L, "a.com", "/2", 500L), (3L, "b.com", "/1", 1000L))
+        .toDF("doc_id", "host", "url", "delay_ms")
+      graft.operators.Robots.schedule(frontier, "host", "url", "delay_ms", 800L).show()
+      val html = Seq((1L, "<script type=\"application/ld+json\">{\"@type\":\"Article\",\"name\":\"N\"}</script>" +
+        "<script type=\"application/ld+json\">{oops</script>")).toDF("id", "html")
+      graft.operators.StructuredData.jsonLd(html, "id", "html").show(truncate = false)
+      // .lzma alone round-trips are spec-pinned; here the loud refusal
+      // (20 zero bytes would be a VALID empty alone stream — size 0,
+      // clean range coder — so the probe corrupts the props byte)
+      val badAlone = new Array[Byte](20)
+      badAlone(0) = 0xff.toByte // props >= 9*5*5
+      try { graft.sources.Xz.decompressAlone(badAlone); println("UNEXPECTED") }
+      catch { case e: RuntimeException => println(s"caught bad alone header: ${e.getMessage.take(50)}") }
+    }
+    locally {
       println("=== webm: EBML track triage + VP8 keyframe decode ===")
       import spark.implicits._
       val webp = java.util.Base64.getDecoder.decode(graft.queries.Vp8Fixtures.all("tiny_5x7_q80"))
