@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.scalatest.concurrent.TimeLimits
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.time.{Seconds, Span}
+
+/** Corruption sweeps over the three from-scratch decoders: every
+  * truncation point (stride-sampled) and a battery of deterministic
+  * bit flips must TERMINATE — either a clean decode (flips can land in
+  * skipped regions; zstd's checksum is unverified by design) or an
+  * exception the `keepCorrupt` tiers quarantine. The property under
+  * test is the absence of hangs and runaway allocation: at crawl
+  * scale a decoder that loops on corrupt input is a stuck executor,
+  * which is worse than a wrong answer because nothing surfaces it. */
+class DecoderRobustnessSpec extends AnyFunSuite with TimeLimits {
+
+  private def fixture(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing fixture $path")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def lcg(n: Int, mod: Int): Seq[Int] = {
+    var x = 42L
+    Seq.fill(n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      java.lang.Long.remainderUnsigned(x >>> 33, mod.toLong).toInt
+    }
+  }
+
+  private def sweep(name: String, bytes: Array[Byte], decode: Array[Byte] => Array[Byte]): Unit = {
+    failAfter(Span(120, Seconds)) {
+      // truncations: every 7th cut point
+      var at = 1
+      while (at < bytes.length) {
+        try decode(java.util.Arrays.copyOf(bytes, at))
+        catch { case e: Throwable if !e.isInstanceOf[StackOverflowError] => () }
+        at += 7
+      }
+      // deterministic single-bit flips
+      for (i <- lcg(64, bytes.length * 8)) {
+        val mut = bytes.clone()
+        mut(i / 8) = (mut(i / 8) ^ (1 << (i % 8))).toByte
+        try decode(mut)
+        catch { case e: Throwable if !e.isInstanceOf[StackOverflowError] => () }
+      }
+    }
+  }
+
+  test("zstd terminates on all truncations and bit flips") {
+    sweep("zstd", fixture("/zstd/small_text.zst"), Zstd.decompress)
+    sweep("zstd-big", fixture("/zstd/repetitive.zst"), Zstd.decompress)
+  }
+
+  test("bzip2 terminates on all truncations and bit flips") {
+    sweep("bzip2", fixture("/bzip2/small_text.bz2"), Bzip2.decompress)
+    sweep("bzip2-runs", fixture("/bzip2/runs.bz2"), Bzip2.decompress)
+  }
+
+  test("xz terminates on all truncations and bit flips") {
+    sweep("xz", fixture("/xz/small_text.xz"), Xz.decompress)
+    sweep("xz-runs", fixture("/xz/runs.xz"), Xz.decompress)
+  }
+
+  test("lzma alone terminates on all truncations and bit flips") {
+    sweep("alone", fixture("/xz/alone_small.lzma"), Xz.decompressAlone)
+  }
+}
