@@ -110,20 +110,37 @@ object Bench {
       val deadline = System.nanoTime() + quietWaitS * 1000000000L
       while (load1() > quietThreshold && System.nanoTime() < deadline) Thread.sleep(5000)
     }
-    val contended = load1() > quietThreshold
-    if (contended) System.err.println(
+    val startContended = load1() > quietThreshold
+    if (startContended) System.err.println(
       s"[bench] WARNING: measuring under load ${load1()} — timings will be inflated; artifact flagged contended")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // 1-min loadavg sampled at this query's start: a per-query timing
-      // taken at load > 2 is individually adjudicable without a rerun
-      val qLoad = load1()
+    // loadavg cannot separate the bench's OWN load (local[32] keeps the
+    // 1-min average well above 2 once the sweep is running — r9's quiet
+    // judge rerun still saw 181/240 query starts above 2) from external
+    // load. CPU-time accounting can, exactly: external busy jiffies over
+    // a window = (system-wide busy) − (this process's own CPU), both
+    // from procfs. externalCores > ~1 during a query means some OTHER
+    // process was computing while we measured — the adjudicable signal.
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val sys0 = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        val busy = sys0.take(8).sum - sys0(3) - sys0(4) // minus idle, iowait
+        val st = scala.io.Source.fromFile("/proc/self/stat").mkString
+        val rest = st.substring(st.lastIndexOf(')') + 2).split(" ")
+        (busy, rest(11).toLong + rest(12).toLong) // utime + stime (all threads)
+      } catch { case _: Exception => (-1L, -1L) }
+
+    def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        nReps: Int): (Seq[Double], Double) = {
+      val (sysBusy0, self0) = cpuJiffies()
+      val t0 = System.nanoTime()
       val times = Seq.newBuilder[Double]
       var rep = 1
       var failed = false
       // a failed/timed-out attempt aborts the remaining reps — otherwise
       // the rep count multiplies the worst-case stall the timeout bounds
-      while (rep <= reps && !failed) {
+      while (rep <= nReps && !failed) {
         attempt(name, rep, fn) match {
           case Some(t) => times += t
           case None    => failed = true
@@ -134,36 +151,69 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         rep += 1
       }
-      // a failure aborts REMAINING reps but keeps minima already
-      // collected — a transient failure on rep 2 must not discard rep
-      // 1's valid measurement (the contention-robustness reps exist for)
-      val ts = times.result()
-      (name, if (ts.nonEmpty) ts.min else -1.0,
-        if (ts.nonEmpty) ts.max else -1.0, ts.nonEmpty, qLoad)
+      val elapsedS = (System.nanoTime() - t0) / 1e9
+      val (sysBusy1, self1) = cpuJiffies()
+      // average # cores consumed by processes OTHER than this JVM while
+      // the query's reps ran (USER_HZ = 100 on linux)
+      val externalCores =
+        if (sysBusy0 < 0 || sysBusy1 < 0 || elapsedS <= 0) -1.0
+        else math.max(0.0, ((sysBusy1 - sysBusy0) - (self1 - self0)) / (elapsedS * 100.0))
+      (times.result(), externalCores)
+    }
+
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (ts, ext) = runQuery(name, fn, reps)
+      (name, fn, ts, ext)
+    }
+    // contention caught in the act gets ONE quiet-side retry: a query
+    // whose rep spread exceeds 3× (or that ran beside >1 external core)
+    // re-runs once at the end of the sweep, when the box has had its
+    // chance to go quiet — the min merges, so a retry can only improve.
+    val results = firstPass.map { case (name, fn, ts, ext) =>
+      val suspect = ts.nonEmpty && ts.min > 0.25 &&
+        (ts.max / ts.min > 3.0 || ext > 1.0)
+      val (merged, ext2) =
+        if (!suspect) (ts, ext)
+        else {
+          System.err.println(f"[bench] retrying $name (spread ${ts.max / ts.min}%.1fx, externalCores $ext%.1f)")
+          val (ts2, e2) = runQuery(name, fn, 1)
+          (ts ++ ts2, math.min(ext, if (e2 < 0) ext else e2))
+        }
+      (name, if (merged.nonEmpty) merged.min else -1.0,
+        if (merged.nonEmpty) merged.max else -1.0, merged.nonEmpty, ext2)
     }
     val loadAfter = loadavg()
+    // the artifact-level flag keys on measured EXTERNAL cpu, not on
+    // loadavg self-pollution: contended iff the box was busy at start or
+    // any non-trivial query still saw >1 external core after its retry
+    val contended = startContended ||
+      results.exists { case (_, mn, _, ok, ext) => ok && mn > 0.25 && ext > 1.0 }
     val qs = results.map { case (k, v, _, ok, _) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
     // per-query MAX beside the reported min: a wide min/max spread on a
     // query is contention caught in the act, not a plan property
     val qsMax = results.map { case (k, _, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    // per-query start loadavg, only for queries that began contended —
+    // per-query measured external CPU, only where it exceeded 1 core —
     // keeps the artifact small while flagging exactly the suspect timings
-    val qsLoad = results.collect { case (k, _, _, _, l) if l > quietThreshold =>
-      "\"" + k + "\":" + l }.mkString("{", ",", "}")
+    val qsExt = results.collect { case (k, _, _, _, e) if e > 1.0 =>
+      "\"" + k + "\":" + f"$e%.2f" }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true, _) => v }.sum
-    // total/errors FIRST: the driver's log capture truncates long tails,
-    // and r6's total was unrecoverable because per-query detail preceded
-    // it in the line. The full object also lands in target/bench.json so
-    // a truncated stdout capture never loses the measurement.
+    val nq = results.count(_._4)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"reps":$reps,""" +
       s""""contended":$contended,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir",""" +
-      s""""queries":$qs,"queries_max":$qsMax,"queries_load_contended":$qsLoad}"""
+      s""""queries":$qs,"queries_max":$qsMax,"queries_external_cores":$qsExt}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json)
     catch { case e: Exception => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     println(json)
+    // a SHORT total-only line LAST: the driver's stdout capture keeps the
+    // tail, and r9's headline was unrecoverable because the (long)
+    // per-query map line got truncated from the front — the last line is
+    // the one that always survives. Full detail stays in the line above
+    // and in target/bench.json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_ok":$nq,""" +
+      s""""errors_count":${results.count(!_._4)},"contended":$contended}""")
     spark.stop()
   }
 }

@@ -304,6 +304,12 @@ object Vp8 {
 
     // token decode of one 4x4 block; returns "has nonzero" (0/1).
     // typ: 0 Y-after-Y2, 1 Y2, 2 chroma, 3 Y-no-Y2. first: 0 or 1.
+    // The loop filter's skip decision keys on the reference's
+    // eobtotal == 0 (libvpx decodeframe.c), not "no nonzero coeff":
+    // a block of explicit ZERO tokens has eob > first with zero
+    // coefficients and must still be filtered. decodeBlock records
+    // "eob advanced past `first`" in `anyEobInMb`, reset per MB.
+    var anyEobInMb = false
     def decodeBlock(bdT: Bool, typ: Int, first: Int, ctx0: Int,
         dqDc: Int, dqAc: Int, out: Array[Int]): Int = {
       java.util.Arrays.fill(out, 0)
@@ -314,7 +320,10 @@ object Vp8 {
       while (n < 16) {
         val pOff = (typ * 8 + Bands(n)) * 33 + ctx * 11
         if (!skipEob) {
-          if (bdT.bool(probs(pOff)) == 0) return nonzero // EOB
+          if (bdT.bool(probs(pOff)) == 0) { // EOB
+            if (n > first) anyEobInMb = true
+            return nonzero
+          }
         }
         if (bdT.bool(probs(pOff + 1)) == 0) { // ZERO
           ctx = 0
@@ -353,6 +362,7 @@ object Vp8 {
           skipEob = false
         }
       }
+      anyEobInMb = true // ran to n == 16 > first
       nonzero
     }
 
@@ -661,6 +671,7 @@ object Vp8 {
         java.util.Arrays.fill(coeffs, 0)
         val nzBlocks = new Array[Int](25) // 16 Y, 4 U, 4 V, [24] = Y2
         var anyCoeffs = false
+        anyEobInMb = false
         if (!skipFlag) {
           val hasY2 = yMode != BPred
           var firstY = 0
@@ -722,7 +733,7 @@ object Vp8 {
           aboveNzV(mx * 2) = 0; aboveNzV(mx * 2 + 1) = 0
           if (yMode != BPred) { leftNzY2 = 0; aboveNzY2(mx) = 0 }
         }
-        mbSkippable(my * mbW + mx) = !anyCoeffs
+        mbSkippable(my * mbW + mx) = !(anyCoeffs || anyEobInMb)
 
         // -- Y2 inverse transform feeds subblock DCs --
         if (yMode != BPred && !skipFlag) {

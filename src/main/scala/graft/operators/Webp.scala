@@ -430,7 +430,14 @@ object Webp {
     val h = br.bits(14) + 1
     br.bit() // alpha-is-used hint
     require(br.bits(3) == 0, "VP8L: unknown version")
+    (w, h, decodeVp8lStream(br, w, h))
+  }
 
+  /** Headerless VP8L image stream (transforms + entropy-coded image)
+    * for a known (w, h) — the framing an ALPH chunk's compression
+    * method 1 uses (container spec "Alpha bitstream", libwebp
+    * alpha_dec.c): same level-0 stream, no signature/size prefix. */
+  private def decodeVp8lStream(br: Br, w: Int, h: Int): Array[Int] = {
     var xsize = w
     val transforms = scala.collection.mutable.ArrayBuffer.empty[Transform]
     while (br.bit() == 1) {
@@ -479,7 +486,66 @@ object Webp {
       case ColorT(sb, data, dw) => inverseColor(img, xsize, h, sb, data, dw)
       case SubGreen => inverseSubtractGreen(img)
     }
-    (w, h, img)
+    img
+  }
+
+  /** Decode an ALPH chunk body to a w*h plane of 0..255 alpha values
+    * (container spec "Alpha"): format byte Rsv(2)|P(2)|F(2)|C(2)
+    * MSB-first, raw (C=0) or headerless-VP8L-green (C=1) payload,
+    * then the inverse of filter F exactly as libwebp filters.c
+    * unfilters (row 0 of vertical/gradient falls back to horizontal;
+    * pre-processing is an encode-time level reduction, no-op here). */
+  private def decodeAlph(chunk: Array[Byte], w: Int, h: Int): Array[Int] = {
+    require(chunk.nonEmpty, "ALPH: empty chunk")
+    val b0 = chunk(0) & 0xff
+    require((b0 >> 6) == 0, "ALPH: reserved bits set")
+    val pre = (b0 >> 4) & 3
+    val filt = (b0 >> 2) & 3
+    val comp = b0 & 3
+    require(pre <= 1, s"ALPH: bad pre-processing $pre")
+    require(comp <= 1, s"ALPH: unknown compression method $comp")
+    val n = w * h
+    val a = new Array[Int](n)
+    if (comp == 0) {
+      require(chunk.length >= 1 + n, "ALPH: raw alpha plane truncated")
+      var i = 0
+      while (i < n) { a(i) = chunk(1 + i) & 0xff; i += 1 }
+    } else {
+      val img = decodeVp8lStream(
+        new Br(java.util.Arrays.copyOfRange(chunk, 1, chunk.length)), w, h)
+      var i = 0
+      while (i < n) { a(i) = (img(i) >>> 8) & 0xff; i += 1 }
+    }
+    if (filt != 0) {
+      var y = 0
+      while (y < h) {
+        val row = y * w
+        var x = 0
+        while (x < w) {
+          val in = a(row + x)
+          val out =
+            if (y == 0) { // all filters unfilter row 0 horizontally
+              if (x == 0) in else (in + a(x - 1)) & 0xff
+            } else filt match {
+              case 1 => // horizontal: left, first column predicts above
+                if (x == 0) (in + a(row - w)) & 0xff else (in + a(row + x - 1)) & 0xff
+              case 2 => // vertical: above
+                (in + a(row - w + x)) & 0xff
+              case _ => // gradient: clip(left + top - topleft)
+                if (x == 0) (in + a(row - w)) & 0xff
+                else {
+                  val l = a(row + x - 1); val t = a(row - w + x); val tl = a(row - w + x - 1)
+                  val g = l + t - tl
+                  (in + (if (g < 0) 0 else if (g > 255) 255 else g)) & 0xff
+                }
+            }
+          a(row + x) = out
+          x += 1
+        }
+        y += 1
+      }
+    }
+    a
   }
 
   /** Decode a full WebP container to (width, height, ARGB): RIFF walk,
@@ -492,14 +558,23 @@ object Webp {
       ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
     require(p.length >= 20 && tag(0) == "RIFF" && tag(8) == "WEBP", "not a WebP payload")
     var i = 12
+    var alph: Array[Byte] = null // ALPH precedes VP8 in a VP8X file
     while (i + 8 <= p.length) {
       val t = tag(i)
       val len = le32(i + 4)
       require(len >= 0 && i + 8 + len <= p.length, s"WebP: chunk $t truncated")
+      if (t == "ALPH") alph = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len)
       if (t == "VP8L") return decodeVp8l(java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len))
       if (t == "VP8 ") {
         val f = Vp8.decode(java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len))
-        return (f.w, f.h, Vp8.yuvToRgb(f).map(0xff000000 | _))
+        val rgb = Vp8.yuvToRgb(f)
+        val argb =
+          if (alph == null) rgb.map(0xff000000 | _)
+          else {
+            val a = decodeAlph(alph, f.w, f.h)
+            Array.tabulate(rgb.length)(k => (a(k) << 24) | rgb(k))
+          }
+        return (f.w, f.h, argb)
       }
       i += 8 + len + (len & 1)
     }
@@ -528,16 +603,23 @@ object Webp {
         var j = i + 8 + 16
         val end = i + 8 + len
         var decoded = false
+        var frameAlph: Array[Byte] = null // ALPH precedes VP8 in a frame
         while (!decoded && j + 8 <= end) {
           val st = tag(j)
           val slen = le32(j + 4)
+          if (st == "ALPH") frameAlph = java.util.Arrays.copyOfRange(p, j + 8, j + 8 + slen)
           if (st == "VP8L") {
             val (w, h, argb) = decodeVp8l(java.util.Arrays.copyOfRange(p, j + 8, j + 8 + slen))
             frames += ((w, h, argb.map(_ & 0xffffff)))
             decoded = true
           } else if (st == "VP8 ") {
             val f = Vp8.decode(java.util.Arrays.copyOfRange(p, j + 8, j + 8 + slen))
-            frames += ((f.w, f.h, Vp8.yuvToRgb(f)))
+            val rgb = Vp8.yuvToRgb(f)
+            // frame tuple carries RGB here (alpha byte stripped for
+            // VP8L too) — apply the ALPH plane only to honor the
+            // decode path; hashing below is over the same 24-bit raster
+            if (frameAlph != null) decodeAlph(frameAlph, f.w, f.h) // validates
+            frames += ((f.w, f.h, rgb))
             decoded = true
           }
           j += 8 + slen + (slen & 1)

@@ -243,6 +243,10 @@ object Bzip2 {
     var eob = false
     while (!eob) {
       val sym = nextSym()
+      // A 900k block needs at most ~21 run bits; bound BEFORE the shift
+      // so corrupt input can't wrap the Long shift (mod 64) into a
+      // negative `run` that slips past flushRun's overrun guard.
+      if (sym <= 1) require(runBit <= 24, "bzip2: run length overflows block")
       if (sym == 0) { run += 1L << runBit; runBit += 1 } // RUNA
       else if (sym == 1) { run += 2L << runBit; runBit += 1 } // RUNB
       else {

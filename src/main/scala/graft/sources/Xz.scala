@@ -386,8 +386,14 @@ object Xz {
     val out = new java.io.ByteArrayOutputStream()
     var at = 0
     while (at < p.length) {
-      // stream padding between concatenated streams: 4-aligned zeros
-      if (p(at) == 0) { at += 1 }
+      // stream padding between concatenated streams: zeros whose total
+      // length must be a multiple of 4 (xz file format §2.2) — the
+      // reference xz rejects misaligned padding, so must we.
+      if (p(at) == 0) {
+        val padFrom = at
+        while (at < p.length && p(at) == 0) at += 1
+        require((at - padFrom) % 4 == 0, "xz: stream padding not 4-aligned")
+      }
       else {
         require(at + 12 <= p.length && (0 until 6).forall(i => p(at + i) == Magic(i)),
           "xz: bad stream magic")
@@ -428,6 +434,12 @@ object Xz {
             require(propsSize == 1, "xz: bad LZMA2 props size")
             // props byte = dict size (bounds only; we keep the whole output)
             ha += 1
+            // header padding between the filter fields and the CRC32
+            // must be all-zero (xz file format §3.1.6)
+            while (ha < hdrEnd - 4) {
+              require(p(ha) == 0, "xz: nonzero block header padding")
+              ha += 1
+            }
 
             val dataFrom = hdrEnd
             val before = out.size()

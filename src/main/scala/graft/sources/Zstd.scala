@@ -440,7 +440,10 @@ object Zstd {
     if (contentSize >= 0)
       require(window.len.toLong == contentSize,
         s"zstd: content size mismatch (${window.len} != $contentSize)")
-    if (checksum) at += 4 // xxhash64 low word — skipped, not verified
+    if (checksum) {
+      require(at + 4 <= p.length, "zstd: truncated content checksum")
+      at += 4 // xxhash64 low word — skipped, not verified
+    }
     at
   }
 

@@ -58,6 +58,26 @@ class WebpSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("lossy WebP with ALPH: alpha plane decodes bit-exactly (C=0/1, F=0..3)") {
+    // Goldens are libwebp's own WebPDecodeRGBA of each file; the alpha
+    // channel is untouched by YUV upsampling, so it must match byte for
+    // byte (RGB is pinned separately in Vp8Spec at the Y/U/V plane
+    // level). lossy_alpha_{vgrad,hgrad,steps} carry C=1 (VP8L-coded)
+    // planes; _noise/_raw carry C=0 raw; _fh/_fv/_fg carry filters 1-3.
+    val lossy = Seq("lossy_alpha_vgrad", "lossy_alpha_hgrad", "lossy_alpha_noise",
+      "lossy_alpha_steps", "lossy_alpha_raw", "lossy_alpha_fh", "lossy_alpha_fv",
+      "lossy_alpha_fg")
+    lossy.foreach { name =>
+      val (webp, w, h, want) = fixture(name)
+      val (dw, dh, got) = Webp.decodeArgb(webp)
+      assert(dw == w && dh == h, name)
+      got.indices.find(i => (got(i) >>> 24) != (want(i) >>> 24)).foreach { i =>
+        fail(s"$name alpha pixel $i (${i % w},${i / w}): " +
+          f"got 0x${got(i) >>> 24}%02x want 0x${want(i) >>> 24}%02x")
+      }
+    }
+  }
+
   test("own minimal encoder round-trips and dispatches through autoPixelDecoder") {
     val rng = new scala.util.Random(9)
     for ((w, h) <- Seq((1, 1), (19, 7), (64, 33))) {
