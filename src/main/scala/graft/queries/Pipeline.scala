@@ -5356,14 +5356,18 @@ object Pipeline {
       val files = pages
         .groupByKey(_._1 / 20) // synthesis-only shuffle; parse+extract are map-only
         .mapGroups { (g, it) =>
+          // bodies arrive content-encoded like the real web: the r10
+          // decode leg (gzip/deflate/br/zstd) runs inside the e2e path
+          val encs = Seq("identity", "gzip", "deflate", "br", "zstd")
           val recs = it.toSeq.sortBy(_._1).map { case (cid, _, text) =>
             (s"http://corpus.example/page/$cid", "2026-01-01T00:00:00Z", "text/html",
-              (boilerHead + text + boilerTail).getBytes("UTF-8"))
+              encs((cid % 5).toInt), (boilerHead + text + boilerTail).getBytes("UTF-8"))
           }
           graft.sources.Warc.WarcFile(g,
-            graft.sources.Zstd.encodeRawFrames(graft.sources.Warc.encodeWarc(recs)))
+            graft.sources.Zstd.encodeRawFrames(graft.sources.Warc.encodeWarcEnc(recs)))
         }
       val html = graft.sources.Warc.records(files).toDF()
+        .filter(col("error").isNull) // text tiers never ingest quarantined records
         .select(
           regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long").as("crawl_id"),
           col("payload").cast("string").as("html"))
@@ -5843,6 +5847,58 @@ object Pipeline {
     """.trim)
   )
 
+  /** HTTP Content-Encoding decode in WARC responses
+    * ([[graft.sources.Warc]] parseHttp): bodies planted per-doc as
+    * identity / gzip / deflate / br / zstd (every 50th doc declared
+    * with the unsupported token `compress`) must decode back to the
+    * exact page bytes — md5-pinned against the DuckDB twin computing
+    * the same md5 from the raw text — while unsupported encodings
+    * quarantine the RECORD (error set, payload held raw), never flow
+    * into the text tier as garbage. gzip/deflate are full-entropy JDK
+    * streams; br/zstd use this repo's raw-meta-block encoders here
+    * (their full-entropy decode is pinned by BrotliSpec/ZstdSpec
+    * against system-codec fixtures). Map-only parse, zero exchange
+    * before the ordering. */
+  val warcContentEncoding: QueryDef = QueryDef(
+    "warc_content_encoding",
+    (s, dir) => {
+      import s.implicits._
+      val encs = Seq("identity", "gzip", "deflate", "br", "zstd")
+      val files = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 25) // synthesis-only shuffle; the parse is map-only
+        .mapGroups { (g, it) =>
+          val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            val enc = if (id % 50 == 49) "compress" else encs((id % 5).toInt)
+            (s"http://corpus.example/doc/$id", "2026-01-01T00:00:00Z", "text/html",
+              enc, s"<html><body><p>$text</p></body></html>".getBytes("UTF-8"))
+          }
+          graft.sources.Warc.WarcFile(g, graft.sources.Warc.encodeWarcEnc(recs))
+        }
+      graft.sources.Warc.records(files).toDF()
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("content_encoding").as("encoding"),
+          col("error").isNotNull.as("quarantined"),
+          when(col("error").isNull, md5(col("payload"))).as("payload_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 50 = 49 THEN 'compress'
+             ELSE CASE doc_id % 5 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+                  WHEN 2 THEN 'deflate' WHEN 3 THEN 'br' ELSE 'zstd' END
+        END AS encoding,
+        doc_id % 50 = 49 AS quarantined,
+        CASE WHEN doc_id % 50 = 49 THEN NULL
+             ELSE md5('<html><body><p>' || text || '</p></body></html>')
+        END AS payload_md5
+      FROM documents WHERE doc_id < 250 ORDER BY doc_id
+    """.trim)
+  )
+
   /** The crawl-frontier composition on top of [[warcExtract]]'s
     * ingest: WARC → HTML payloads → `regexp_extract_all` over anchor
     * hrefs → exploded EDGE LIST, the input shape of the host-graph /
@@ -6260,7 +6316,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

@@ -43,6 +43,7 @@ object Warc {
       warc_date: String,
       http_status: Int,
       mime: String,
+      content_encoding: String, // normalized token, "identity" if absent
       payload: Array[Byte],
       error: String)
 
@@ -81,10 +82,10 @@ object Warc {
         val wType = header(headers, "warc-type").getOrElse("unknown")
         val uri = header(headers, "warc-target-uri").orNull
         val date = header(headers, "warc-date").orNull
-        val (status, mime, payload) =
+        val (status, mime, enc, payload, err) =
           if (wType == "response" && looksHttp(block)) parseHttp(block, idx)
-          else (-1, null, block)
-        recs += WarcRecord(fileId, idx, wType, uri, date, status, mime, payload, null)
+          else (-1, null, null, block, null)
+        recs += WarcRecord(fileId, idx, wType, uri, date, status, mime, enc, payload, err)
         at = bodyAt + len
         idx += 1
       }
@@ -124,9 +125,19 @@ object Warc {
   private def looksHttp(block: Array[Byte]): Boolean =
     block.length >= 5 && new String(block, 0, 5, "ISO-8859-1") == "HTTP/"
 
-  /** Status, Content-Type (parameters stripped), body — dechunked if
-    * Transfer-Encoding: chunked, clipped to Content-Length if given. */
-  private def parseHttp(block: Array[Byte], idx: Int): (Int, String, Array[Byte]) = {
+  /** Status, Content-Type (parameters stripped), normalized
+    * Content-Encoding, body, error. The body is dechunked if
+    * Transfer-Encoding: chunked, clipped to Content-Length if given —
+    * and then Content-DECODED: most real web responses arrive
+    * `Content-Encoding: gzip` (or br/deflate/zstd), and passing the
+    * compressed bytes downstream as if they were text is the silent-
+    * bad-data path the loud-quarantine contract forbids. gzip/deflate
+    * decode via the JDK, br via the from-scratch [[Brotli]] (RFC
+    * 7932), zstd via [[Zstd]]. An unknown token or a failed decode
+    * quarantines the RECORD: error set, raw (still-encoded) payload
+    * kept for forensics — text tiers must filter `error IS NULL`. */
+  private def parseHttp(block: Array[Byte], idx: Int)
+      : (Int, String, String, Array[Byte], String) = {
     val (headers, bodyAt) = readHeaderBlock(block, 0)
     val statusLine = headers.head._1
     val parts = statusLine.split(" ")
@@ -141,7 +152,61 @@ object Warc {
       val n = math.min(cl.toInt, body.length)
       body = java.util.Arrays.copyOfRange(body, 0, n)
     }
-    (status, mime, body)
+    // RFC 9110 §8.4: a list of codings applied in order — decode in
+    // reverse. Empty/absent → identity.
+    val codings = header(headers, "content-encoding").toSeq
+      .flatMap(_.split(',')).map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(c => c.nonEmpty && c != "identity" && c != "none")
+    val encLabel = if (codings.isEmpty) "identity" else codings.mkString(",")
+    var err: String = null
+    codings.reverseIterator.foreach { c =>
+      if (err == null) {
+        try body = c match {
+          case "gzip" | "x-gzip" => gunzip(body)
+          case "deflate" => inflate(body)
+          case "br" => Brotli.decompress(body)
+          case "zstd" => Zstd.decompress(body)
+          case other =>
+            err = s"content-encoding: unsupported '$other'"
+            body
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            err = s"content-encoding: $c decode failed: ${e.getMessage}"
+        }
+      }
+    }
+    (status, mime, encLabel, body, err)
+  }
+
+  private def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** `Content-Encoding: deflate` is zlib-wrapped per the RFC, but some
+    * real servers send raw deflate — try zlib first, then raw (the
+    * standard tolerant-reader behavior of browsers). */
+  private def inflate(b: Array[Byte]): Array[Byte] = {
+    def run(raw: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(raw)
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        require(n > 0 || !inf.needsInput(), "deflate: truncated stream")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    }
+    try run(raw = false)
+    catch { case scala.util.control.NonFatal(_) => run(raw = true) }
   }
 
   /** HTTP/1.1 chunked transfer decoding: hex size line, chunk bytes,
@@ -179,7 +244,7 @@ object Warc {
       try parseWarc(f.id, f.bytes)
       catch {
         case scala.util.control.NonFatal(e) if keepCorrupt =>
-          Seq(WarcRecord(f.id, -1, null, null, null, -1, null, null,
+          Seq(WarcRecord(f.id, -1, null, null, null, -1, null, null, null,
             s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }
     }
@@ -189,10 +254,41 @@ object Warc {
     * contentType, payload), optionally one-gzip-member-per-record like
     * Common Crawl's `.warc.gz`. */
   def encodeWarc(recs: Seq[(String, String, String, Array[Byte])],
+      gzipPerRecord: Boolean = false): Array[Byte] =
+    encodeWarcEnc(recs.map { case (u, d, c, p) => (u, d, c, "identity", p) }, gzipPerRecord)
+
+  /** Like [[encodeWarc]] but with a per-record Content-Encoding token:
+    * identity / gzip / deflate / br / zstd (br and zstd use this
+    * repo's raw-meta-block encoders — valid streams, exercising the
+    * decode plumbing; full-entropy br/zstd decoding is pinned by
+    * BrotliSpec/ZstdSpec against system-codec fixtures). */
+  def encodeWarcEnc(recs: Seq[(String, String, String, String, Array[Byte])],
       gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    recs.zipWithIndex.foreach { case ((uri, date, ctype, payload), i) =>
-      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+    recs.zipWithIndex.foreach { case ((uri, date, ctype, enc, payload0), i) =>
+      val payload = enc match {
+        case "identity" => payload0
+        case "gzip" =>
+          val bo = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bo)
+          gz.write(payload0); gz.finish()
+          bo.toByteArray
+        case "deflate" =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(payload0); d.finish()
+          val bo = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+          d.end()
+          bo.toByteArray
+        case "br" => Brotli.encodeUncompressed(payload0)
+        case "zstd" => Zstd.encodeRawFrames(payload0)
+        // any other token: header written, payload raw — builds the
+        // unsupported-encoding quarantine fixtures
+        case _ => payload0
+      }
+      val encHeader = if (enc == "identity") "" else s"Content-Encoding: $enc\r\n"
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" + encHeader +
         s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++ payload
       val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
         s"WARC-Record-ID: <urn:uuid:rec-$i>\r\nWARC-Date: $date\r\n" +

@@ -57,6 +57,49 @@ class WarcSpec extends SparkTestBase {
     assert(got(1).payload.toSeq == meta.toSeq)
   }
 
+  test("Content-Encoding: gzip/deflate/br/zstd bodies decode; unknown/corrupt quarantine the record") {
+    val text = "content-encoded body, must round-trip exactly — ünïcodé too éè"
+    val body = text.getBytes("UTF-8")
+    val recs = Seq("identity", "gzip", "deflate", "br", "zstd").map { enc =>
+      (s"http://ex.org/$enc", "2026-03-01T00:00:00Z", "text/html", enc, body)
+    }
+    val got = Warc.parseWarc(9L, Warc.encodeWarcEnc(recs))
+    assert(got.length == 5)
+    got.zip(recs).foreach { case (g, (_, _, _, enc, _)) =>
+      assert(g.error == null, s"$enc: ${g.error}")
+      assert(g.content_encoding == enc, g.content_encoding)
+      assert(new String(g.payload, "UTF-8") == text, enc)
+    }
+
+    // unknown coding: record quarantines (error set), raw payload kept
+    def handRecord(headers: String, payload: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$headers" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++ payload
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://q.org/\r\n" +
+        s"WARC-Date: 2026-03-01T00:00:00Z\r\nContent-Length: ${http.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val unknown = Warc.parseWarc(1L, handRecord("Content-Encoding: compress\r\n", body))
+    assert(unknown.head.error != null && unknown.head.error.contains("unsupported 'compress'"))
+    assert(unknown.head.payload.toSeq == body.toSeq) // raw kept for forensics
+
+    // declared gzip but corrupt bytes: quarantines, never silent garbage
+    val corrupt = Warc.parseWarc(2L, handRecord("Content-Encoding: gzip\r\n", body))
+    assert(corrupt.head.error != null && corrupt.head.error.contains("gzip decode failed"))
+
+    // multi-coding list decodes in reverse order (gzip applied last)
+    val inner = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(Brotli.encodeUncompressed(body)); gz.finish()
+      bo.toByteArray
+    }
+    val multi = Warc.parseWarc(3L, handRecord("Content-Encoding: br, gzip\r\n", inner))
+    assert(multi.head.error == null, String.valueOf(multi.head.error))
+    assert(new String(multi.head.payload, "UTF-8") == text)
+    assert(multi.head.content_encoding == "br,gzip")
+  }
+
   test("records(): map-only Spark parse; corrupt files quarantine or fail loudly") {
     val good = Warc.encodeWarc(mk(3))
     val bad = "WARC/1.0\r\nWARC-Type: response\r\n\r\nrubbish".getBytes("ISO-8859-1")
