@@ -6271,6 +6271,69 @@ object Pipeline {
     """.trim)
   )
 
+  /** Charset sniff + strict transcode ([[graft.operators.Charsets]])
+    * — the ingest-time fix for what [[mojibakeRepair]] only patches
+    * after the fact. Pages planted per-doc in eight layouts: UTF-8 via
+    * transport header, UTF-8 BOM, Shift_JIS via `<meta charset>`,
+    * EUC-KR via http-equiv, Windows-1251 via header, Big5 and KOI8-R
+    * via meta, and an UNDECLARED page with invalid UTF-8 bytes that
+    * must quarantine. Every transcoded page md5-matches the DuckDB
+    * twin computing the same md5 over the UTF-8 source text —
+    * non-UTF-8 pages hash-match their UTF-8 twins post-transcode
+    * exactly. Map-only; zero exchange before the ordering. */
+  val charsetTranscode: QueryDef = QueryDef(
+    "charset_transcode",
+    (s, dir) => {
+      import s.implicits._
+      val planted = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 240)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          def page(body: String) = s"<html><body><p>$body</p></body></html>"
+          def meta(cs: String, body: String) =
+            s"""<html><head><meta charset="$cs"></head><body><p>$body</p></body></html>"""
+          val (payload, ctype) = (id % 8).toInt match {
+            case 0 => (page(s"$text — żółć über").getBytes("UTF-8"), "text/html; charset=utf-8")
+            case 1 => (Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+              page(s"$text ünïcode").getBytes("UTF-8"), "text/html")
+            case 2 => (meta("shift_jis", s"$text 日本語のテキスト").getBytes("windows-31j"), "text/html")
+            case 3 => ((s"""<html><head><meta http-equiv="Content-Type" content="text/html; charset=euc-kr"></head>""" +
+              s"<body><p>$text 한국어 텍스트</p></body></html>").getBytes("x-windows-949"), null)
+            case 4 => (page(s"$text русский текст").getBytes("windows-1251"), "text/html; charset=windows-1251")
+            case 5 => (meta("big5", s"$text 中文測試").getBytes("Big5"), "text/html")
+            case 6 => (meta("koi8-r", s"$text русский").getBytes("KOI8-R"), "text/html")
+            case _ => (page(text).getBytes("UTF-8") ++ Array[Byte](0xfe.toByte, 0xff.toByte), "text/html")
+          }
+          (id, payload, ctype)
+        }
+        .toDF("doc_id", "payload", "content_type")
+      graft.operators.Charsets.decodeHtml(planted, col("payload"), col("content_type"))
+        .select(col("doc_id"), col("charset"),
+          col("error").isNotNull.as("quarantined"),
+          when(col("error").isNull, md5(col("text"))).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CASE doc_id % 8
+          WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom' WHEN 2 THEN 'shift_jis'
+          WHEN 3 THEN 'euc-kr' WHEN 4 THEN 'windows-1251' WHEN 5 THEN 'big5'
+          WHEN 6 THEN 'koi8-r' ELSE NULL END AS charset,
+        doc_id % 8 = 7 AS quarantined,
+        CASE doc_id % 8
+          WHEN 0 THEN md5('<html><body><p>' || text || ' — żółć über</p></body></html>')
+          WHEN 1 THEN md5('<html><body><p>' || text || ' ünïcode</p></body></html>')
+          WHEN 2 THEN md5('<html><head><meta charset="shift_jis"></head><body><p>' || text || ' 日本語のテキスト</p></body></html>')
+          WHEN 3 THEN md5('<html><head><meta http-equiv="Content-Type" content="text/html; charset=euc-kr"></head><body><p>' || text || ' 한국어 텍스트</p></body></html>')
+          WHEN 4 THEN md5('<html><body><p>' || text || ' русский текст</p></body></html>')
+          WHEN 5 THEN md5('<html><head><meta charset="big5"></head><body><p>' || text || ' 中文測試</p></body></html>')
+          WHEN 6 THEN md5('<html><head><meta charset="koi8-r"></head><body><p>' || text || ' русский</p></body></html>')
+          ELSE NULL END AS text_md5
+      FROM documents WHERE doc_id < 240 ORDER BY doc_id
+    """.trim)
+  )
+
   /** The crawl-frontier composition closing the loop: per-host sitemap
     * XML → `regexp_extract_all` over `<loc>` entries → URL relation →
     * [[graft.operators.Robots]] verdicts → per-host allowed/blocked
@@ -6317,7 +6380,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     warcExtract, warcZstExtract, warcContentEncoding, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
-    mojibakeRepair, sitemapFrontier,
+    mojibakeRepair, charsetTranscode, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
