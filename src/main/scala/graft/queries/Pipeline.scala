@@ -6079,15 +6079,21 @@ object Pipeline {
         .as[(Long, String)]
         .map { case (id, text) =>
           val head = text.take(120)
-          val font = (id % 3) match {
-            case 0 => "<< /Type /Font /Subtype /Type0 /BaseFont /Noto-CJK /Encoding /Identity-H >>"
-            case 1 => "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
-              "/Encoding << /Type /Encoding /Differences [ 65 /alpha ] >> >>"
-            case _ => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-          }
-          graft.sources.Pdf.PdfDoc(id, graft.sources.Pdf.encodePdfText(Seq(
+          val pages = Seq(
             Seq(s"Document $id", head),
-            Seq(s"(page 2 of $id) with \\ specials", s"len=${text.length}")), font))
+            Seq(s"(page 2 of $id) with \\ specials", s"len=${text.length}"))
+          // r10 split: CID pages with an embedded /ToUnicode now EXTRACT
+          // (case 0); CID without it and custom /Differences encodings
+          // stay quarantined (1, 2); simple fonts extract as before (3)
+          val bytes = (id % 4) match {
+            case 0 => graft.sources.Pdf.encodePdfCid(pages)
+            case 1 => graft.sources.Pdf.encodePdfCid(pages, withToUnicode = false)
+            case 2 => graft.sources.Pdf.encodePdfText(pages,
+              "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
+                "/Encoding << /Type /Encoding /Differences [ 65 /alpha ] >> >>")
+            case _ => graft.sources.Pdf.encodePdfText(pages)
+          }
+          graft.sources.Pdf.PdfDoc(id, bytes)
         }
       graft.sources.Pdf.texts(docs, keepCorrupt = true).toDF()
         .select(col("id").as("doc_id"), col("page"),
@@ -6097,8 +6103,8 @@ object Pipeline {
     },
     Some("""
       SELECT doc_id, page,
-        CASE WHEN doc_id % 3 = 2 THEN 'ok' ELSE 'quarantined' END AS status,
-        CASE WHEN doc_id % 3 = 2 THEN
+        CASE WHEN doc_id % 4 IN (0, 3) THEN 'ok' ELSE 'quarantined' END AS status,
+        CASE WHEN doc_id % 4 IN (0, 3) THEN
           CASE page
             WHEN 0 THEN 'Document ' || doc_id || chr(10) || substring(text, 1, 120)
             ELSE '(page 2 of ' || doc_id || ') with \ specials' || chr(10) || 'len=' || length(text)

@@ -58,6 +58,113 @@ object Pdf {
     pr.text
   }
 
+  /** Loud per-page refusal signal raised during show-text decoding. */
+  private final class Quarantine(msg: String) extends RuntimeException(msg)
+
+  /** An embedded /ToUnicode CMap (§9.10.3): codespace ranges as
+    * (byteLen, lo, hi) plus code → UTF-16BE-decoded target string.
+    * Most modern PDFs carry CID (Type0/Identity-H) fonts whose show
+    * codes are glyph indexes — unreadable without this map. */
+  private[sources] final case class ToUnicode(
+      ranges: Seq[(Int, Int, Int)], map: Map[Int, String]) {
+    /** Decode one shown string (chars = raw bytes). Codes outside every
+      * codespace range or absent from the map QUARANTINE the page —
+      * manufacturing replacement characters would be silent bad data. */
+    def decode(raw: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        var code = -1
+        var len = 0
+        val it = ranges.iterator
+        while (code < 0 && it.hasNext) {
+          val (l, lo, hi) = it.next()
+          if (i + l <= raw.length) {
+            var v = 0
+            var k = 0
+            while (k < l) { v = (v << 8) | (raw(i + k) & 0xff); k += 1 }
+            if (v >= lo && v <= hi) { code = v; len = l }
+          }
+        }
+        if (code < 0) throw new Quarantine(
+          f"CID code outside every codespace range at offset $i")
+        map.get(code) match {
+          case Some(t) => out.append(t)
+          case None => throw new Quarantine(f"unmapped CID 0x$code%04x (ToUnicode gap)")
+        }
+        i += len
+      }
+      out.toString
+    }
+  }
+
+  private val HexPairRe = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
+  private val BfCharRe = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
+  private val BfRangeRe =
+    """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*(<[0-9a-fA-F]+>|\[[^\]]*\])""".r
+  private def sectionsOf(cm: String, begin: String, end: String): Iterator[String] =
+    s"""(?s)$begin(.*?)$end""".r.findAllMatchIn(cm).map(_.group(1))
+  private def utf16(hex: String): String = {
+    val h = if (hex.length % 4 == 0) hex else ("0" * (4 - hex.length % 4)) + hex
+    new String(h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray, "UTF-16BE")
+  }
+
+  /** Parse a /ToUnicode CMap stream (§9.10.3): codespacerange sections
+    * give the code byte widths, bfchar/bfrange sections the mapping
+    * (range destinations as a start value or an explicit array). A
+    * CMap without a codespacerange defaults to 2-byte <0000>-<FFFF>,
+    * the Identity-H convention. */
+  private[sources] def parseToUnicode(cm: String): ToUnicode = {
+    val ranges = sectionsOf(cm, "begincodespacerange", "endcodespacerange").flatMap { sec =>
+      HexPairRe.findAllMatchIn(sec).map { m =>
+        val loHex = m.group(1); val hiHex = m.group(2)
+        require(loHex.length == hiHex.length && loHex.length % 2 == 0 && loHex.length <= 8,
+          s"PDF: bad codespace range <$loHex> <$hiHex>")
+        (loHex.length / 2, Integer.parseInt(loHex, 16), Integer.parseInt(hiHex, 16))
+      }
+    }.toSeq
+    val eff = if (ranges.nonEmpty) ranges.sortBy(_._1) else Seq((2, 0x0000, 0xffff))
+    val map = scala.collection.mutable.HashMap.empty[Int, String]
+    sectionsOf(cm, "beginbfchar", "endbfchar").foreach { sec =>
+      BfCharRe.findAllMatchIn(sec).foreach { m =>
+        map(Integer.parseInt(m.group(1), 16)) = utf16(m.group(2))
+      }
+    }
+    sectionsOf(cm, "beginbfrange", "endbfrange").foreach { sec =>
+      BfRangeRe.findAllMatchIn(sec).foreach { m =>
+        val lo = Integer.parseInt(m.group(1), 16)
+        val hi = Integer.parseInt(m.group(2), 16)
+        require(hi >= lo && hi - lo < (1 << 16), s"PDF: bad bfrange $lo..$hi")
+        val dst = m.group(3)
+        if (dst.startsWith("[")) {
+          val items = """<([0-9a-fA-F]+)>""".r.findAllMatchIn(dst).map(_.group(1)).toSeq
+          require(items.length == hi - lo + 1, "PDF: bfrange array arity mismatch")
+          items.zipWithIndex.foreach { case (h, k) => map(lo + k) = utf16(h) }
+        } else {
+          // start-value form: consecutive codes map to consecutive
+          // values (increment applies to the LAST UTF-16 unit, §9.10.3)
+          val h = dst.stripPrefix("<").stripSuffix(">")
+          val base = utf16(h)
+          var c = lo
+          while (c <= hi) {
+            val off = c - lo
+            map(c) =
+              if (base.isEmpty) ""
+              else base.dropRight(1) + (base.last + off).toChar
+            c += 1
+          }
+        }
+      }
+    }
+    ToUnicode(eff, map.toMap)
+  }
+
+  /** Per-font show-string decoder: simple fonts pass Latin-1 bytes
+    * through; Type0/CID fonts decode through their embedded ToUnicode. */
+  private[sources] sealed trait FontDec
+  private[sources] case object SimpleDec extends FontDec
+  private[sources] final case class CidDec(tu: ToUnicode) extends FontDec
+
   /** Extract each page's text from one PDF body; pages whose fonts the
     * Latin-1 mapping cannot honestly decode come back as quarantine
     * results instead of mojibake (see object scaladoc). */
@@ -161,22 +268,33 @@ object Pdf {
       }
     }
 
-    // A font the Latin-1 byte mapping can honestly decode: a simple
-    // subtype whose encoding is absent (standard-font built-in) or one
-    // of the four standard names. Type0 (CID composite, 2-byte codes)
-    // and /Differences-style custom encodings cannot — their codes are
-    // glyph indexes, and mapping them through Latin-1 manufactures text
-    // that never existed.
-    def fontIssue(fontBody: String): Option[String] = {
+    // Classify a font into a decoder the engine can honestly apply:
+    //  - simple subtype + absent/standard /Encoding  -> Latin-1 pass-through
+    //  - Type0 (CID) WITH an embedded /ToUnicode     -> CMap decode (r10)
+    //  - Type0 without /ToUnicode, /Differences etc. -> page quarantine
+    // (mapping glyph indexes through Latin-1 manufactures text that
+    // never existed — the r8/r9 quarantine contract).
+    def classifyFont(fontBody: String): Either[String, FontDec] = {
       val sub = dictValue(fontBody, "Subtype").map(_.trim)
-      if (sub.contains("/Type0"))
-        Some("composite (Type0/CID) font — codes are not Latin-1 bytes")
-      else dictValue(fontBody, "Encoding") match {
-        case None => None
+      if (sub.contains("/Type0")) {
+        dictValue(fontBody, "ToUnicode") match {
+          case Some(tuRef) =>
+            refRe.findFirstMatchIn(tuRef.trim) match {
+              case Some(m) =>
+                val tn = m.group(1).toInt
+                val cmBytes = streamBytes(objBody(tn), objs(tn))
+                Right(CidDec(parseToUnicode(new String(cmBytes, "ISO-8859-1"))))
+              case None => Left("composite (Type0/CID) font with non-stream /ToUnicode")
+            }
+          case None =>
+            Left("composite (Type0/CID) font without /ToUnicode — codes are not text")
+        }
+      } else dictValue(fontBody, "Encoding") match {
+        case None => Right(SimpleDec)
         case Some(enc) =>
           val e = resolveDict(enc)
-          if (stdEncodings.contains(e.trim)) None
-          else Some(s"non-standard font /Encoding ${e.trim.take(40)}")
+          if (stdEncodings.contains(e.trim)) Right(SimpleDec)
+          else Left(s"non-standard font /Encoding ${e.trim.take(40)}")
       }
     }
 
@@ -189,13 +307,24 @@ object Pdf {
             resourcesOf(objBody(m.group(1).toInt), depth + 1)))
       }
 
-    def pageFontIssue(pageBody: String): Option[String] =
-      resourcesOf(pageBody, 0).flatMap { res =>
-        dictValue(res, "Font").map(resolveDict).flatMap { fd =>
-          // referenced font objects plus the dict itself (inline subdicts)
-          val bodies = refRe.findAllMatchIn(fd).map(m => objBody(m.group(1).toInt)).toSeq :+ fd
-          bodies.flatMap(fontIssue).headOption
-        }
+    // per-page font-name -> decoder map; Left = quarantine reason
+    val fontNameRe = """/(\w+)\s+(\d+)\s+\d+\s+R""".r
+    def pageFonts(pageBody: String): Either[String, Map[String, FontDec]] =
+      resourcesOf(pageBody, 0).flatMap(res => dictValue(res, "Font").map(resolveDict)) match {
+        case None => Right(Map.empty)
+        case Some(fd) =>
+          val entries = fontNameRe.findAllMatchIn(fd)
+            .map(m => (m.group(1), objBody(m.group(2).toInt))).toSeq
+          // inline subdict fallback (no refs): classify the dict itself
+          val bodies =
+            if (entries.nonEmpty) entries
+            else if (fd.contains("/Subtype")) Seq(("*", fd))
+            else Seq.empty
+          bodies.foldLeft[Either[String, Map[String, FontDec]]](Right(Map.empty)) {
+            case (Left(q), _) => Left(q)
+            case (Right(acc), (name, body)) =>
+              classifyFont(body).map(dec => acc + (name -> dec))
+          }
       }
 
     // pages in scan order
@@ -206,9 +335,9 @@ object Pdf {
     }.toSeq
 
     pages.map { case (n, body) =>
-      pageFontIssue(body) match {
-        case Some(q) => PageResult(null, s"PDF: page quarantined: $q")
-        case None =>
+      pageFonts(body) match {
+        case Left(q) => PageResult(null, s"PDF: page quarantined: $q")
+        case Right(fonts) =>
           val contents = dictValue(body, "Contents")
             .getOrElse(throw new IllegalArgumentException(s"PDF: page object $n without /Contents"))
           val streamObjs = refRe.findAllMatchIn(contents).map(_.group(1).toInt).toSeq
@@ -217,21 +346,39 @@ object Pdf {
             val from = objs(sn)
             streamBytes(objBody(sn), from)
           }.reduce(_ ++ _)
-          val t = contentText(new String(data, "ISO-8859-1"))
-          if (t.indexOf('\u0000') >= 0)
-            PageResult(null, "PDF: page quarantined: NUL in shown text " +
-              "(2-byte show codes from an undeclared composite font)")
-          else PageResult(t, null)
+          try {
+            val t = contentText(new String(data, "ISO-8859-1"), fonts)
+            if (t.indexOf('\u0000') >= 0)
+              PageResult(null, "PDF: page quarantined: NUL in shown text " +
+                "(2-byte show codes from an undeclared composite font)")
+            else PageResult(t, null)
+          } catch {
+            case q: Quarantine => PageResult(null, s"PDF: page quarantined: ${q.getMessage}")
+          }
       }
     }
   }
 
   /** Text shown by a content stream (see object scaladoc for the
     * line-break heuristic). */
-  private[sources] def contentText(cs: String): String = {
+  private[sources] def contentText(cs: String): String =
+    contentText(cs, Map.empty)
+
+  /** As [[contentText]] but font-aware: `Tf` switches the active
+    * decoder by resource name; CID fonts decode shown strings through
+    * their [[ToUnicode]] map, simple fonts pass Latin-1 through. An
+    * unknown name falls back to the page's inline-dict decoder ("*")
+    * or Latin-1 — matching the legacy single-font behavior. */
+  private[sources] def contentText(cs: String, fonts: Map[String, FontDec]): String = {
     val out = new StringBuilder
     var i = 0
     var lineOpen = false
+    var lastName: String = null
+    var active: FontDec = fonts.getOrElse("*", SimpleDec)
+    def show(raw: String): String = active match {
+      case SimpleDec => raw
+      case CidDec(tu) => tu.decode(raw)
+    }
     def newline(): Unit = if (lineOpen) { out.append('\n'); lineOpen = false }
     def readLiteral(): String = { // at '(' — §7.3.4.2 escapes
       val sb = new StringBuilder
@@ -276,17 +423,26 @@ object Pdf {
         case '(' => pendingStrings ::= readLiteral()
         case '<' if i + 1 < cs.length && cs(i + 1) == '<' => i += 2 // inline dict marker
         case '<' => pendingStrings ::= readHex()
+        case '/' => // name token (e.g. the /F1 operand of Tf)
+          val start = i
+          i += 1
+          while (i < cs.length && !cs(i).isWhitespace && !"()<>[]/".contains(cs(i))) i += 1
+          lastName = cs.substring(start + 1, i)
         case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
           val start = i
           while (i < cs.length && !cs(i).isWhitespace && !"()<>[]/".contains(cs(i))) i += 1
           cs.substring(start, i) match {
             case "Tj" | "'" | "\"" =>
-              pendingStrings.reverse.foreach(out.append)
+              pendingStrings.reverse.foreach(s0 => out.append(show(s0)))
               lineOpen = true
               pendingStrings = Nil
             case "TJ" =>
-              pendingStrings.reverse.foreach(out.append)
+              pendingStrings.reverse.foreach(s0 => out.append(show(s0)))
               lineOpen = true
+              pendingStrings = Nil
+            case "Tf" =>
+              if (lastName != null)
+                active = fonts.getOrElse(lastName, fonts.getOrElse("*", SimpleDec))
               pendingStrings = Nil
             case "Td" | "TD" | "T*" | "Tm" => newline(); pendingStrings = Nil
             case "ET" => newline(); pendingStrings = Nil
@@ -354,6 +510,78 @@ object Pdf {
       }
     }
     obj(fontObj)(w(fontDict + "\n"))
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Minimal valid CID PDF for fixtures: an Identity-H Type0 font with
+    * an embedded /ToUnicode CMap; show strings are 2-byte hex CID
+    * codes. Letters a-z map through ONE bfrange (start-value form),
+    * every other character through bfchar entries — both §9.10.3 forms
+    * exercised. Pass `withToUnicode = false` for the still-quarantined
+    * leg (a Type0 font whose text is genuinely unreadable). */
+  def encodePdfCid(pages: Seq[Seq[String]], withToUnicode: Boolean = true): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val chars = pages.flatten.flatten.distinct.sorted
+    def cid(c: Char): Int =
+      if (c >= 'a' && c <= 'z') 0x0201 + (c - 'a')
+      else 0x0101 + chars.filterNot(ch => ch >= 'a' && ch <= 'z').indexOf(c)
+    val bfchars = chars.filterNot(c => c >= 'a' && c <= 'z')
+    require(bfchars.length < 0x100, "encodePdfCid: too many distinct non-letter chars")
+    val cmap = {
+      val sb = new StringBuilder
+      sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+      sb.append("1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n")
+      if (bfchars.nonEmpty) {
+        sb.append(s"${bfchars.length} beginbfchar\n")
+        bfchars.foreach(c => sb.append(f"<${cid(c)}%04x> <${c.toInt}%04x>%n"))
+        sb.append("endbfchar\n")
+      }
+      sb.append("1 beginbfrange\n<0201> <021a> <0061>\nendbfrange\n")
+      sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
+      sb.toString
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w(t: String): Unit = out.write(t.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets += out.size()
+      w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    val nPages = pages.length
+    obj(1)(w(s"<< /Type /Catalog /Pages 2 0 R >>\n"))
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    obj(2)(w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n"))
+    val fontObj = 3 + 2 * nPages
+    val tuObj = fontObj + 1
+    pages.zipWithIndex.foreach { case (lines, pi) =>
+      obj(3 + 2 * pi)(w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents ${4 + 2 * pi} 0 R >>\n"))
+      val cs = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
+      lines.zipWithIndex.foreach { case (l, li) =>
+        if (li > 0) cs.append("0 -14 Td\n")
+        cs.append("<").append(l.map(c => f"${cid(c)}%04x").mkString).append("> Tj\n")
+      }
+      cs.append("ET")
+      val bytes = cs.toString.getBytes("ISO-8859-1")
+      obj(4 + 2 * pi) {
+        w(s"<< /Length ${bytes.length} >>\nstream\n")
+        out.write(bytes)
+        w("\nendstream\n")
+      }
+    }
+    val tuRef = if (withToUnicode) s"/ToUnicode $tuObj 0 R " else ""
+    obj(fontObj)(w("<< /Type /Font /Subtype /Type0 /BaseFont /Noto-CJK " +
+      s"/Encoding /Identity-H $tuRef>>\n"))
+    if (withToUnicode) obj(tuObj) {
+      w(s"<< /Length ${cmap.length} >>\nstream\n")
+      w(cmap)
+      w("\nendstream\n")
+    }
     val xrefAt = out.size()
     w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))

@@ -37,6 +37,47 @@ class PdfSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"PDF extraction must stay map-only:\n$plan")
   }
 
+  test("CID (Type0/Identity-H) text extracts exactly through an embedded /ToUnicode CMap") {
+    val pages = Seq(
+      Seq("The quick brown fox", "jumps — über die 山 and 波"),
+      Seq("page two: mixed 0123 punctuation!?"))
+    val pdf = Pdf.encodePdfCid(pages)
+    val got = Pdf.extractPages(pdf)
+    assert(got.map(_.quarantine) == Seq(null, null), got)
+    assert(got.map(_.text) == pages.map(_.mkString("\n")))
+
+    // Type0 WITHOUT ToUnicode still quarantines (the r9 contract)
+    val noTu = Pdf.encodePdfCid(pages, withToUnicode = false)
+    assert(Pdf.extractPages(noTu).forall(p =>
+      p.text == null && p.quarantine.contains("without /ToUnicode")))
+  }
+
+  test("ToUnicode CMap parser: bfchar, bfrange start-value and array forms, codespace walk") {
+    val cm = """
+      /CIDInit /ProcSet findresource begin
+      begincmap
+      2 begincodespacerange
+      <00> <5f>
+      <6000> <ffff>
+      endcodespacerange
+      2 beginbfchar
+      <20> <0020>
+      <6001> <00e9>
+      endbfchar
+      2 beginbfrange
+      <41> <43> <0041>
+      <6010> <6012> [<0058> <0059005a> <005a>]
+      endbfrange
+      endcmap
+    """
+    val tu = Pdf.parseToUnicode(cm)
+    // mixed 1- and 2-byte codespaces: 0x41 is one byte, 0x6001 two
+    assert(tu.decode("A B C") == "A B C")
+    assert(tu.decode("A\u0060\u0001") == "A\u00e9") // 1-byte then 2-byte code
+    assert(tu.decode("\u0060\u0010\u0060\u0011\u0060\u0012") == "XYZZ")
+    intercept[RuntimeException](tu.decode("D")) // 0x44 unmapped (gap)
+  }
+
   test("CID/custom-encoded fonts quarantine per page, never mojibake") {
     val pages = Seq(Seq("would-be mojibake"), Seq("page two"))
     // Type0 (Identity-H) composite font — the dominant modern case
