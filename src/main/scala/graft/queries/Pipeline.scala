@@ -5771,6 +5771,58 @@ object Pipeline {
     }
   )
 
+  /** Dictionary-zstd decode ([[graft.sources.Zstd.parseDictionary]]):
+    * a real `zstd --train` dictionary + `-D`-compressed held-out
+    * samples at levels 1/3/9/19 decode byte-exactly (md5s pinned from
+    * the payload definitions); the same frames REFUSE without the
+    * dictionary and under a wrong-id dictionary — the loud-refusal
+    * twin rows. */
+  val zstdDictDecode: QueryDef = QueryDef(
+    "zstd_dict_decode",
+    (s, dir) => {
+      import s.implicits._
+      val rows = graft.queries.ZstdDictFixtures.all.map { case (n, b64, _, _) => (n, b64, "with_dict") } ++
+        Seq((graft.queries.ZstdDictFixtures.all.head._1,
+          graft.queries.ZstdDictFixtures.all.head._2, "no_dict"),
+          (graft.queries.ZstdDictFixtures.all.head._1,
+            graft.queries.ZstdDictFixtures.all.head._2, "wrong_id"))
+      s.createDataset(rows).repartition(rows.size)
+        .map { case (name, b64, mode) =>
+          val payload = java.util.Base64.getDecoder.decode(b64)
+          def dict(flipId: Boolean) = {
+            val d = java.util.Base64.getDecoder.decode(graft.queries.ZstdDictFixtures.dictB64)
+            if (flipId) d(4) = (d(4) ^ 1).toByte
+            graft.sources.Zstd.parseDictionary(d)
+          }
+          try {
+            val d = mode match {
+              case "with_dict" => graft.sources.Zstd.decompress(payload, dict(false))
+              case "wrong_id" => graft.sources.Zstd.decompress(payload, dict(true))
+              case _ => graft.sources.Zstd.decompress(payload)
+            }
+            val md = java.security.MessageDigest.getInstance("MD5").digest(d)
+            (name, mode, d.length.toLong, md.map("%02x".format(_)).mkString, "ok")
+          } catch {
+            case scala.util.control.NonFatal(_) => (name, mode, -1L, "", "refused")
+          }
+        }
+        .toDF("name", "mode", "n_bytes", "payload_md5", "status")
+        .orderBy("name", "mode")
+    },
+    Some {
+      val vals = graft.queries.ZstdDictFixtures.all
+        .map { case (n, _, len, md5) => s"('$n', 'with_dict', CAST($len AS BIGINT), '$md5', 'ok')" }
+        .mkString(",\n          ") +
+        s",\n          ('${graft.queries.ZstdDictFixtures.all.head._1}', 'no_dict', CAST(-1 AS BIGINT), '', 'refused')" +
+        s",\n          ('${graft.queries.ZstdDictFixtures.all.head._1}', 'wrong_id', CAST(-1 AS BIGINT), '', 'refused')"
+      s"""
+      SELECT * FROM (VALUES
+          $vals) AS t(name, mode, n_bytes, payload_md5, status)
+      ORDER BY name, mode
+      """.trim
+    }
+  )
+
   /** `.warc.zst` ingest: the warc_extract chain with every WARC file
     * zstd-framed (store-mode frames — the entropy paths are pinned by
     * `zstd_decode` and the golden spec); [[graft.sources.Warc]] must
@@ -6385,7 +6437,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, zstdDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, zstdDecode, zstdDictDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

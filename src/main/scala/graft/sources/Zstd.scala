@@ -26,7 +26,10 @@ package graft.sources
   *    repeat offsets including the litLength==0 rotation and the
   *    `rep1 - 1` corner, overlapping match copies.
   *
-  * Dictionaries refuse loudly (dictionary_id != 0); the 4-byte content
+  * Dictionary frames (RFC 8878 §5, `zstd --train`/`-D`) decode via
+  * [[parseDictionary]]/[[decompress(p:Array[Byte],dict:Zstd.Dict)*]]:
+  * entropy-table seeds, repcode seeds, and content-as-history; a frame
+  * declaring a dictionary id refuses without it. The 4-byte content
   * checksum is skipped, not verified (frame integrity at corpus scale
   * is [[graft.operators.Integrity]]'s Merkle tier's job; a wrong
   * decode cannot slip through the golden specs, which pin byte-exact
@@ -107,9 +110,9 @@ object Zstd {
   // ----------------------------------------------------------- fse
 
   /** One FSE decode-table cell. */
-  private final case class FseCell(symbol: Int, nbBits: Int, newStateBase: Int)
+  private[sources] final case class FseCell(symbol: Int, nbBits: Int, newStateBase: Int)
 
-  private final class FseTable(val accuracyLog: Int, val cells: Array[FseCell])
+  private[sources] final class FseTable(val accuracyLog: Int, val cells: Array[FseCell])
 
   /** Normalized-count reader (RFC 8878 §4.1.1). Returns (probs, accuracyLog);
     * bits advances past the description (byte-aligned by the caller). */
@@ -199,7 +202,7 @@ object Zstd {
   // ----------------------------------------------------------- huffman
 
   /** Huffman decode table: 2^maxBits entries of (symbol, nbBits). */
-  private final class HufTable(val maxBits: Int, val symbol: Array[Byte], val nbBits: Array[Byte])
+  private[sources] final class HufTable(val maxBits: Int, val symbol: Array[Byte], val nbBits: Array[Byte])
 
   private def buildHufTable(weights: Array[Int]): HufTable = {
     var total = 0L
@@ -355,7 +358,17 @@ object Zstd {
     (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) | ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
 
   /** Decompress a (possibly multi-frame) zstd payload. */
-  def decompress(p: Array[Byte]): Array[Byte] = {
+  def decompress(p: Array[Byte]): Array[Byte] = decompress(p, null)
+
+  /** Decompress with an optional dictionary (RFC 8878 §5) — the framing
+    * CC-style shard tooling increasingly ships (`zstd --train` + `-D`).
+    * The dictionary seeds each frame with: initial history (matches may
+    * reach into the dictionary content), initial entropy tables (used
+    * by Treeless literals and Repeat FSE modes in the FIRST block), and
+    * initial repcodes. A frame that declares a Dictionary_ID refuses
+    * without the right dictionary; with one provided, the id must
+    * match. */
+  def decompress(p: Array[Byte], dict: Dict): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var at = 0
     while (at < p.length) {
@@ -368,10 +381,54 @@ object Zstd {
         require(at <= p.length, "zstd: skippable frame overruns")
       } else {
         require(magic == Magic, f"zstd: bad magic 0x$magic%08x")
-        at = decodeFrame(p, at + 4, out)
+        at = decodeFrame(p, at + 4, out, dict)
       }
     }
     out.toByteArray
+  }
+
+  /** A parsed dictionary: entropy-table and repcode seeds + content. */
+  final class Dict private[sources] (
+      val id: Int,
+      private[sources] val hufTable: HufTable,
+      private[sources] val ofTable: FseTable,
+      private[sources] val mlTable: FseTable,
+      private[sources] val llTable: FseTable,
+      private[sources] val rep1: Int,
+      private[sources] val rep2: Int,
+      private[sources] val rep3: Int,
+      private[sources] val content: Array[Byte])
+
+  private val DictMagic = 0xEC30A437
+
+  /** Parse a `zstd --train` dictionary: magic, id, entropy tables
+    * (Huffman literals, then FSE offset/matchLength/litLength in that
+    * order, same descriptors as compressed blocks), three 4-byte
+    * repcodes, then raw content. */
+  def parseDictionary(d: Array[Byte]): Dict = {
+    require(d.length >= 8 && u32le(d, 0) == DictMagic, "zstd: bad dictionary magic")
+    val id = u32le(d, 4)
+    val (weights, hufConsumed) = readHufWeights(d, 8)
+    val huf = buildHufTable(weights)
+    var at = 8 + hufConsumed
+    def fse(maxLog: Int, maxSym: Int): FseTable = {
+      val bits = new FwdBits(d, at, d.length)
+      val (probs, al) = readNCount(bits, maxLog)
+      require(probs.length - 1 <= maxSym, "zstd: dictionary FSE symbol out of range")
+      at = bits.bytePos
+      buildFseTable(probs, al)
+    }
+    val of = fse(8, 31)
+    val ml = fse(9, 52)
+    val ll = fse(9, 35)
+    require(at + 12 <= d.length, "zstd: dictionary truncated before repcodes")
+    val r1 = u32le(d, at); val r2 = u32le(d, at + 4); val r3 = u32le(d, at + 8)
+    at += 12
+    val content = java.util.Arrays.copyOfRange(d, at, d.length)
+    require(r1 > 0 && r2 > 0 && r3 > 0 &&
+      r1 <= content.length && r2 <= content.length && r3 <= content.length,
+      "zstd: dictionary repcodes out of range")
+    new Dict(id, huf, of, ml, ll, r1, r2, r3, content)
   }
 
   private final class Frame {
@@ -384,7 +441,8 @@ object Zstd {
     var rep3: Int = 8
   }
 
-  private def decodeFrame(p: Array[Byte], from: Int, out: java.io.ByteArrayOutputStream): Int = {
+  private def decodeFrame(p: Array[Byte], from: Int, out: java.io.ByteArrayOutputStream,
+      dict: Dict): Int = {
     var at = from
     val fhd = p(at) & 0xff; at += 1
     val fcsFlag = fhd >> 6
@@ -393,7 +451,14 @@ object Zstd {
     val checksum = (fhd & 0x04) != 0
     val didSize = Array(0, 1, 2, 4)((fhd & 0x03))
     if (!singleSegment) at += 1 // window descriptor (bounds checked via MaxOutput)
-    require(didSize == 0, "zstd: dictionary frames unsupported")
+    if (didSize > 0) {
+      var did = 0
+      var i = 0
+      while (i < didSize) { did |= (p(at + i) & 0xff) << (8 * i); i += 1 }
+      at += didSize
+      require(dict != null, f"zstd: frame declares dictionary 0x$did%08x — dictionary required")
+      require(did == dict.id, f"zstd: dictionary id mismatch (frame 0x$did%08x, dict 0x${dict.id}%08x)")
+    }
     val fcsSize = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
       case 1 => 2
@@ -413,6 +478,20 @@ object Zstd {
 
     val frame = new Frame
     val window = new Buf // frame-local history for match copies
+    var emitFrom = 0
+    if (dict != null) {
+      // dictionary seeds: content as reachable history (not emitted),
+      // entropy tables for Treeless/Repeat modes, initial repcodes
+      window.write(dict.content, 0, dict.content.length)
+      emitFrom = dict.content.length
+      frame.hufTable = dict.hufTable
+      frame.ofTable = dict.ofTable
+      frame.mlTable = dict.mlTable
+      frame.llTable = dict.llTable
+      frame.rep1 = dict.rep1
+      frame.rep2 = dict.rep2
+      frame.rep3 = dict.rep3
+    }
     var last = false
     while (!last) {
       require(at + 3 <= p.length, "zstd: truncated block header")
@@ -436,10 +515,10 @@ object Zstd {
       }
       require(window.len <= MaxOutput, "zstd: output cap exceeded")
     }
-    out.write(window.arr, 0, window.len)
+    out.write(window.arr, emitFrom, window.len - emitFrom)
     if (contentSize >= 0)
-      require(window.len.toLong == contentSize,
-        s"zstd: content size mismatch (${window.len} != $contentSize)")
+      require((window.len - emitFrom).toLong == contentSize,
+        s"zstd: content size mismatch (${window.len - emitFrom} != $contentSize)")
     if (checksum) {
       require(at + 4 <= p.length, "zstd: truncated content checksum")
       at += 4 // xxhash64 low word — skipped, not verified

@@ -33,6 +33,38 @@ class ZstdSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(got, expected), s"$name: content mismatch")
   }
 
+  private def res(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing resource $path")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("dictionary frames: zstd --train dictionary, -D samples decode byte-exactly (l1/3/9/19)") {
+    val dict = Zstd.parseDictionary(res("/zstd_dict/fixture.dict"))
+    for (name <- Seq("sample_l1", "sample_l3", "sample_l9", "sample_l19", "tiny")) {
+      val got = Zstd.decompress(res(s"/zstd_dict/$name.zst"), dict)
+      val want = res(s"/zstd_dict/$name.raw")
+      assert(got.length == want.length, s"$name: length ${got.length} != ${want.length}")
+      assert(java.util.Arrays.equals(got, want), s"$name: content mismatch")
+    }
+  }
+
+  test("dictionary frames refuse without the dictionary, and on id mismatch") {
+    val payload = res("/zstd_dict/tiny.zst")
+    val e1 = intercept[IllegalArgumentException](Zstd.decompress(payload))
+    assert(e1.getMessage.contains("dictionary required"))
+    // wrong dictionary: flip a bit in the stored id
+    val d = res("/zstd_dict/fixture.dict").clone()
+    d(4) = (d(4) ^ 1).toByte
+    val wrong = Zstd.parseDictionary(d)
+    val e2 = intercept[IllegalArgumentException](Zstd.decompress(payload, wrong))
+    assert(e2.getMessage.contains("dictionary id mismatch"))
+    // corrupt dictionary magic refuses at parse
+    val bad = res("/zstd_dict/fixture.dict").clone()
+    bad(0) = 0
+    intercept[IllegalArgumentException](Zstd.parseDictionary(bad))
+  }
+
   test("small text, level 3 (single compressed block, FSE sequences)") {
     check("small_text", ("the quick brown fox jumps over the lazy dog. " * 20).getBytes("US-ASCII"))
   }
