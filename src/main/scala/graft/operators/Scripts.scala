@@ -58,6 +58,119 @@ object Scripts {
 
   /** DuckDB twin over `(id, text)` rows from `src`: emits a `scripts`
     * CTE with the same columns. */
+  /** Per-script marker tables for [[langIdRouted]] — the r10 follow-up
+    * to [[detect]]: script routing happens FIRST, then a family-local
+    * marker table separates languages that share the script. Markers
+    * are high-frequency function words chosen to be distinctive WITHIN
+    * the family (e.g. ru "что"/uk "що"/bg "че"). CJK needs no marker
+    * table: hangul→ko, kana→ja, han→ja-if-kana-present-else-zh. */
+  val LangMarkersByScript: Seq[(String, Seq[(String, Seq[String])])] = Seq(
+    "latin" -> Seq(
+      "de" -> Seq("der", "die", "und", "ist", "nicht"),
+      "en" -> Seq("the", "a", "is", "and", "of"),
+      "es" -> Seq("el", "la", "es", "y", "de"),
+      "fr" -> Seq("le", "la", "et", "est", "de")),
+    "cyrillic" -> Seq(
+      "bg" -> Seq("че", "това", "да", "се", "той"),
+      "ru" -> Seq("и", "не", "это", "что", "он"),
+      "uk" -> Seq("і", "не", "це", "що", "він")),
+    "arabic" -> Seq(
+      "ar" -> Seq("في", "من", "على", "أن", "إلى"),
+      "fa" -> Seq("در", "از", "به", "که", "را"),
+      "ur" -> Seq("میں", "سے", "کے", "کی", "ہے")),
+    "greek" -> Seq("el" -> Seq("και", "το", "να", "της", "είναι")),
+    "hebrew" -> Seq("he" -> Seq("של", "את", "על", "הוא", "זה")),
+    "devanagari" -> Seq("hi" -> Seq("है", "और", "के", "में", "की")))
+
+  /** (id, script, pred_lang): [[detect]]'s routing plus per-family
+    * marker argmax (ties to the family's first language). Unroutable
+    * scripts (mixed/none or no family table) predict "und". Pure
+    * Column algebra — map-only, codegen'd, replayed exactly by
+    * [[langIdRoutedSql]]. */
+  def langIdRouted(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counted = Classes.foldLeft(df.select(col(idCol).as("id"), col(textCol).as("t"))) {
+      case (d, (name, cls)) => d.withColumn(s"n_$name", countExpr(col("t"), cls))
+    }
+    val total = Classes.map(c => col(s"n_${c._1}")).reduce(_ + _)
+    val maxCount = Classes.map(c => col(s"n_${c._1}")).reduce((a, b) => greatest(a, b))
+    val winner = Classes.reverse.foldLeft(lit("none")) { case (acc, (name, _)) =>
+      when(col(s"n_$name") === col("_max"), name).otherwise(acc)
+    }
+    val routed = counted
+      .withColumn("n_letters", total)
+      .withColumn("_max", maxCount)
+      .withColumn("script",
+        when(col("n_letters") === 0, "none")
+          .when(col("_max") * 2 > col("n_letters"), winner)
+          .otherwise("mixed"))
+    val ws = graft.functions.TextFunctions.words(col("t"))
+    def famPred(fam: Seq[(String, Seq[String])]): Column = {
+      val scored = fam.map { case (l, ms) =>
+        (l, size(filter(ws, w => w.isin(ms: _*))).cast("double") /
+          greatest(size(ws), lit(1)).cast("double"))
+      }
+      scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+        case ((bl, bs), (l, s0)) =>
+          (when(s0 > bs, lit(l)).otherwise(bl), when(s0 > bs, s0).otherwise(bs))
+      }._1
+    }
+    val pred = LangMarkersByScript.foldLeft(
+      when(col("script") === "hangul", lit("ko"))
+        .when(col("script") === "kana", lit("ja"))
+        .when(col("script") === "han",
+          when(col("n_kana") > 0, lit("ja")).otherwise(lit("zh")))
+    ) { case (acc, (script, fam)) =>
+      acc.when(col("script") === script, famPred(fam))
+    }.otherwise(lit("und"))
+    routed.select(col("id"), col("script"), pred.as("pred_lang"))
+  }
+
+  /** DuckDB twin of [[langIdRouted]] over `(id, text)` rows from
+    * `src`: a full SELECT (id, script, pred_lang). */
+  def langIdRoutedSql(src: String): String = {
+    val counts = Classes.map { case (name, cls) =>
+      s"len(regexp_extract_all(text, '[$cls]')) AS n_$name"
+    }.mkString(",\n          ")
+    val total = Classes.map(c => s"n_${c._1}").mkString(" + ")
+    val maxE = "greatest(" + Classes.map(c => s"n_${c._1}").mkString(", ") + ")"
+    val winner = Classes.foldRight("'none'") { case ((name, _), acc) =>
+      s"CASE WHEN n_$name = m THEN '$name' ELSE $acc END"
+    }
+    val ws = graft.functions.TextFunctions.wordsSql("text")
+    def famPredSql(fam: Seq[(String, Seq[String])]): String = {
+      def score(ms: Seq[String]): String = {
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"(CAST(len(list_filter($ws, w -> list_contains($lst, w))) AS DOUBLE) / greatest(len($ws), 1))"
+      }
+      fam.tail.foldLeft((s"'${fam.head._1}'", score(fam.head._2))) {
+        case ((bl, bs), (l, ms)) =>
+          val s0 = score(ms)
+          (s"(CASE WHEN $s0 > $bs THEN '$l' ELSE $bl END)",
+            s"(CASE WHEN $s0 > $bs THEN $s0 ELSE $bs END)")
+      }._1
+    }
+    val pred = LangMarkersByScript.foldRight("'und'") { case ((script, fam), acc) =>
+      s"CASE WHEN script = '$script' THEN ${famPredSql(fam)} ELSE $acc END"
+    }
+    s"""
+      SELECT id, script,
+        CASE WHEN script = 'hangul' THEN 'ko'
+             WHEN script = 'kana' THEN 'ja'
+             WHEN script = 'han' THEN (CASE WHEN n_kana > 0 THEN 'ja' ELSE 'zh' END)
+             ELSE ($pred) END AS pred_lang
+      FROM (
+        SELECT id, text, n_kana,
+          CASE WHEN n_letters = 0 THEN 'none'
+               WHEN m * 2 > n_letters THEN ($winner)
+               ELSE 'mixed' END AS script
+        FROM (
+          SELECT *, $total AS n_letters, $maxE AS m FROM (
+            SELECT id, text,
+              $counts
+            FROM $src)))
+    """.trim
+  }
+
   def detectSql(src: String): String = {
     val counts = Classes.map { case (name, cls) =>
       s"len(regexp_extract_all(text, '[$cls]')) AS n_$name"

@@ -6392,6 +6392,66 @@ object Pipeline {
     """.trim)
   )
 
+  /** Per-script language ID ([[graft.operators.Scripts.langIdRouted]]):
+    * script routing first, then family-local marker tables (Cyrillic
+    * ru/uk/bg, Arabic-script ar/fa/ur, Greek, Hebrew, Devanagari,
+    * Latin de/en/es/fr) and the CJK character rules (hangul→ko,
+    * kana→ja, han→ja-iff-kana-else-zh). Passages planted per-doc in
+    * 14 languages; the oracle REPLAYS the full scoring (script counts,
+    * marker argmax) in DuckDB rather than pinning labels. */
+  val langIdRoutedGate: QueryDef = QueryDef(
+    "lang_id_routed",
+    (s, dir) => {
+      val phrases = Seq(
+        "the cat is on the mat and a dog",
+        "der hund und die katze ist nicht hier",
+        "и он не что это хорошо",
+        "і він не що це добре",
+        "че това да се той добре",
+        "في من على أن إلى بيت",
+        "در از به که را خانه",
+        "میں سے کے کی ہے گھر",
+        "και το να της είναι σπίτι",
+        "של את על הוא זה בית",
+        "है और के में की घर",
+        "的是了在他中文汉字",
+        "これは日本語のテキストです",
+        "한국어 텍스트입니다 좋아요")
+      val planted = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 280)
+        .select(col("doc_id").as("id"),
+          element_at(typedLit(phrases), (col("doc_id") % 14).cast("int") + 1).as("text"))
+      graft.operators.Scripts.langIdRouted(planted, "id", "text").orderBy("id")
+    },
+    Some {
+      val phrases = Seq(
+        "the cat is on the mat and a dog",
+        "der hund und die katze ist nicht hier",
+        "и он не что это хорошо",
+        "і він не що це добре",
+        "че това да се той добре",
+        "في من على أن إلى بيت",
+        "در از به که را خانه",
+        "میں سے کے کی ہے گھر",
+        "και το να της είναι σπίτι",
+        "של את על הוא זה בית",
+        "है और के में की घर",
+        "的是了在他中文汉字",
+        "これは日本語のテキストです",
+        "한국어 텍스트입니다 좋아요")
+      val lst = phrases.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""
+      WITH planted AS (
+        SELECT doc_id AS id,
+          ($lst)[CAST(doc_id % 14 AS INT) + 1] AS text
+        FROM documents WHERE doc_id < 280)
+      SELECT * FROM (
+        ${graft.operators.Scripts.langIdRoutedSql("planted")}
+      ) ORDER BY id
+      """.trim
+    }
+  )
+
   /** The crawl-frontier composition closing the loop: per-host sitemap
     * XML → `regexp_extract_all` over `<loc>` entries → URL relation →
     * [[graft.operators.Robots]] verdicts → per-host allowed/blocked
@@ -6438,7 +6498,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     warcExtract, warcZstExtract, warcContentEncoding, zstdDecode, zstdDictDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
-    mojibakeRepair, charsetTranscode, sitemapFrontier,
+    mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
     c4CleanQ, lineDedupQ, lineDedupSkewQ, intraLineDedupQ, lmScoreQ, gopherFilterQ, bpeMerges, bpeSegment, unigramVocab, unigramSegment, unigramPieces, unigramRefit, qualitySample, nbQuality, logitQuality, dsirSelectQ, nfcTextQ,
