@@ -3980,18 +3980,27 @@ object Pipeline {
     (s, dir) => {
       import s.implicits._
       val names = graft.queries.Vp8Fixtures.all.keys.toSeq.sorted
-      val rows = names.zipWithIndex.map { case (n, i) => (i.toLong + 1, n, false) } :+
-        ((names.size.toLong + 1, names.head, true)) // VP9-labelled twin
+      // mode: 0 plain two-block file, 1 VP9-labelled twin, 2/3/4 the
+      // same two frames in ONE Xiph / fixed-size / EBML-laced block
+      val rows = names.zipWithIndex.map { case (n, i) => (i.toLong + 1, n, 0) } ++
+        Seq((names.size.toLong + 1, names.head, 1),
+          (names.size.toLong + 2, names.head, 2),
+          (names.size.toLong + 3, names.head, 3),
+          (names.size.toLong + 4, names.head, 4))
       s.createDataset(rows).repartition(rows.size)
-        .map { case (id, name, asVp9) =>
+        .map { case (id, name, mode) =>
           val webp = java.util.Base64.getDecoder.decode(graft.queries.Vp8Fixtures.all(name))
           val sz = (webp(16) & 0xff) | ((webp(17) & 0xff) << 8) |
             ((webp(18) & 0xff) << 16) | ((webp(19) & 0xff) << 24)
           val vp8 = java.util.Arrays.copyOfRange(webp, 20, 20 + sz)
           val f = graft.operators.Vp8.decode(vp8)
-          graft.sources.Webm.WebmFile(id, graft.sources.Webm.encodeWebm(
-            Seq(vp8, vp8), f.w, f.h, frameMs = 40,
-            codec = if (asVp9) "V_VP9" else "V_VP8"))
+          val bytes = mode match {
+            case 0 | 1 => graft.sources.Webm.encodeWebm(
+              Seq(vp8, vp8), f.w, f.h, frameMs = 40,
+              codec = if (mode == 1) "V_VP9" else "V_VP8")
+            case m => graft.sources.Webm.encodeWebmLaced(Seq(vp8, vp8), f.w, f.h, m - 1)
+          }
+          graft.sources.Webm.WebmFile(id, bytes)
         }
         .transform(ds => graft.sources.Webm.frames(ds, keepCorrupt = true))
         .toDF()
@@ -4013,6 +4022,13 @@ object Pipeline {
       UNION ALL
       SELECT 5, CAST(1 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
         CAST(128 AS INTEGER), CAST(96 AS INTEGER), CAST(0 AS BIGINT), 'refused'
+      UNION ALL
+      -- files 6/7/8: the first fixture's two frames in one Xiph /
+      -- fixed-size / EBML laced block (shared block timestamp 0)
+      SELECT file_id, CAST(1 AS BIGINT), CAST(frame AS INTEGER),
+        CAST(0 AS BIGINT), CAST(128 AS INTEGER), CAST(96 AS INTEGER),
+        CAST(1224960 AS BIGINT), 'ok'
+      FROM (SELECT unnest([6, 7, 8]) AS file_id) CROSS JOIN (SELECT unnest([0, 1]) AS frame)
       ORDER BY file_id, frame
     """.trim)
   )

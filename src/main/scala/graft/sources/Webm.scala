@@ -172,22 +172,80 @@ object Webm {
 
   /** Key-frame payloads of the given track: (timestampMs, frameBytes).
     * SimpleBlocks use the keyframe flag; Block-in-BlockGroup is a key
-    * frame iff the group carries no ReferenceBlock. Laced blocks
-    * refuse loudly. */
+    * frame iff the group carries no ReferenceBlock. All three lacing
+    * modes (Xiph / fixed-size / EBML, Matroska §"Block lacing") are
+    * unpacked — laced frames share the block timestamp (per-frame
+    * spacing needs DefaultDuration, which a frame sampler does not). */
   def keyFrames(p: Array[Byte], trackNumber: Long): Seq[(Long, Array[Byte])] = {
     val (segFrom, segTo) = segmentBounds(p)
     val (_, scale) = tracks(p)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
 
-    def blockPayload(from: Int, len: Int, needKeyFlag: Boolean): Option[(Long, Array[Byte], Int)] = {
+    def blockPayloads(from: Int, len: Int, needKeyFlag: Boolean): Seq[(Long, Array[Byte])] = {
       // block: track VINT (size semantics), s16 timecode, flags, data
       val (tn, tnLen) = readSize(p, from)
       val rel = ((p(from + tnLen) & 0xff) << 8 | (p(from + tnLen + 1) & 0xff)).toShort.toLong
       val flags = p(from + tnLen + 2) & 0xff
-      require((flags & 0x06) == 0, "WebM: laced block unsupported")
-      if (tn != trackNumber) None
-      else if (needKeyFlag && (flags & 0x80) == 0) None
-      else Some((rel, java.util.Arrays.copyOfRange(p, from + tnLen + 3, from + len), flags))
+      if (tn != trackNumber) Nil
+      else if (needKeyFlag && (flags & 0x80) == 0) Nil
+      else {
+        val dataFrom = from + tnLen + 3
+        val dataEnd = from + len
+        val lacing = (flags >> 1) & 3
+        if (lacing == 0) Seq((rel, java.util.Arrays.copyOfRange(p, dataFrom, dataEnd)))
+        else {
+          val n = (p(dataFrom) & 0xff) + 1
+          var at = dataFrom + 1
+          val sizes = new Array[Int](n)
+          lacing match {
+            case 1 => // Xiph: 255-saturated size bytes for frames 0..n-2
+              var i = 0
+              while (i < n - 1) {
+                var sz = 0
+                var b = 255
+                while (b == 255) {
+                  require(at < dataEnd, "WebM: Xiph lacing truncated")
+                  b = p(at) & 0xff; sz += b; at += 1
+                }
+                sizes(i) = sz
+                i += 1
+              }
+            case 2 => // fixed-size: equal split of the remainder
+              val total = dataEnd - at
+              require(total % n == 0, s"WebM: fixed lacing remainder $total not divisible by $n")
+              java.util.Arrays.fill(sizes, total / n)
+            case _ => // EBML: first size a VINT, then signed-VINT deltas
+              val (first, fl) = readSize(p, at); at += fl
+              sizes(0) = first.toInt
+              var prev = first.toInt
+              var i = 1
+              while (i < n - 1) {
+                val (v, vl) = readSize(p, at); at += vl
+                val delta = v - ((1L << (7 * vl - 1)) - 1) // center the unsigned range
+                prev = (prev + delta).toInt
+                require(prev >= 0, "WebM: EBML lacing size underflow")
+                sizes(i) = prev
+                i += 1
+              }
+          }
+          if (lacing != 2) {
+            val used = { var s = 0; var i = 0; while (i < n - 1) { s += sizes(i); i += 1 }; s }
+            val rem = dataEnd - at - used
+            require(rem >= 0, "WebM: laced sizes overrun block")
+            sizes(n - 1) = rem
+          }
+          val frames = Seq.newBuilder[(Long, Array[Byte])]
+          var i = 0
+          while (i < n) {
+            require(at + sizes(i) <= dataEnd, "WebM: laced frame overruns block")
+            frames += ((rel, java.util.Arrays.copyOfRange(p, at, at + sizes(i))))
+            at += sizes(i)
+            i += 1
+          }
+          require(at == dataEnd, "WebM: laced frames leave trailing bytes")
+          frames.result()
+        }
+      }
     }
 
     walk(p, segFrom, segTo) { (id, from, len) =>
@@ -196,17 +254,17 @@ object Webm {
         walk(p, from, from + len) { (cid, cfrom, clen) =>
           if (cid == IdTimecode) clusterTc = readUint(p, cfrom, clen)
           else if (cid == IdSimpleBlock) {
-            blockPayload(cfrom, clen, needKeyFlag = true).foreach { case (rel, data, _) =>
+            blockPayloads(cfrom, clen, needKeyFlag = true).foreach { case (rel, data) =>
               out += (((clusterTc + rel) * scale / 1000000L, data))
             }
           } else if (cid == IdBlockGroup) {
             var hasRef = false
-            var blk: Option[(Long, Array[Byte], Int)] = None
+            var blk: Seq[(Long, Array[Byte])] = Nil
             walk(p, cfrom, cfrom + clen) { (gid, gfrom, glen) =>
               if (gid == IdReferenceBlock) hasRef = true
-              else if (gid == IdBlock) blk = blockPayload(gfrom, glen, needKeyFlag = false)
+              else if (gid == IdBlock) blk = blockPayloads(gfrom, glen, needKeyFlag = false)
             }
-            if (!hasRef) blk.foreach { case (rel, data, _) =>
+            if (!hasRef) blk.foreach { case (rel, data) =>
               out += (((clusterTc + rel) * scale / 1000000L, data))
             }
           }
@@ -290,6 +348,79 @@ object Webm {
       (elem(IdTimecode, uintBody(0L)) +: blocks): _*))
     val segment = elem(IdSegment, Array.concat(info, tracksEl, cluster))
     Array.concat(header, segment)
+  }
+
+  /** Signed VINT (EBML lacing deltas): value stored as delta + bias
+    * where bias = 2^(7*len-1) - 1. */
+  private def svint(d: Long): Array[Byte] = {
+    var len = 1
+    def bias(l: Int): Long = (1L << (7 * l - 1)) - 1
+    while (len < 8 && (d < -bias(len) || d > bias(len))) len += 1
+    val u = d + bias(len)
+    val out = new Array[Byte](len)
+    var i = len - 1
+    var x = u
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out(0) = (out(0) | (0x80 >> (len - 1))).toByte
+    out
+  }
+
+  /** Laced fixture muxer: ONE keyframe SimpleBlock carrying all frames
+    * under the requested lacing (1 = Xiph, 2 = fixed-size, 3 = EBML);
+    * fixed-size requires equal frame lengths. */
+  def encodeWebmLaced(framesVp8: Seq[Array[Byte]], w: Int, h: Int, lacing: Int,
+      codec: String = "V_VP8"): Array[Byte] = {
+    require(lacing >= 1 && lacing <= 3, "lacing must be 1 (Xiph), 2 (fixed) or 3 (EBML)")
+    require(framesVp8.nonEmpty && framesVp8.length <= 256, "1..256 laced frames")
+    if (lacing == 2)
+      require(framesVp8.map(_.length).distinct.size == 1, "fixed lacing needs equal sizes")
+    val unlaced = encodeWebm(framesVp8.take(1), w, h, codec = codec) // header/info/tracks template
+    // rebuild the cluster with a single laced block
+    val hdrFlags = (0x80 | (lacing << 1)).toByte
+    val sizesEnc: Array[Byte] = lacing match {
+      case 1 => // Xiph: 255-saturated bytes for all but the last frame
+        framesVp8.dropRight(1).flatMap { f =>
+          val full = f.length / 255
+          Array.fill(full)(255.toByte) :+ (f.length % 255).toByte
+        }.toArray
+      case 2 => Array.emptyByteArray
+      case _ => // EBML: first size as VINT, then signed deltas
+        val sizes = framesVp8.dropRight(1).map(_.length)
+        if (sizes.isEmpty) Array.emptyByteArray
+        else vint(sizes.head.toLong) ++
+          sizes.sliding(2).filter(_.length == 2).flatMap(p2 => svint((p2(1) - p2(0)).toLong)).toArray
+    }
+    val body = Array.concat(
+      Array[Byte](0x81.toByte, 0, 0, hdrFlags, (framesVp8.length - 1).toByte),
+      sizesEnc, Array.concat(framesVp8: _*))
+    val cluster = elem(IdCluster, Array.concat(
+      elem(IdTimecode, uintBody(0L)), elem(IdSimpleBlock, body)))
+    // splice: reuse everything before the template's Cluster
+    val clusterAt = {
+      val idb = idBytes(IdCluster)
+      var i = 0
+      var found = -1
+      while (found < 0 && i + idb.length <= unlaced.length) {
+        if (java.util.Arrays.equals(java.util.Arrays.copyOfRange(unlaced, i, i + idb.length), idb)) found = i
+        i += 1
+      }
+      require(found > 0, "template cluster not found")
+      found
+    }
+    // the Segment size changes: rebuild Segment from its parts instead
+    val header = java.util.Arrays.copyOfRange(unlaced, 0, {
+      // header = everything before Segment id
+      val sid = idBytes(IdSegment)
+      var i = 0; var f = -1
+      while (f < 0 && i + sid.length <= unlaced.length) {
+        if (java.util.Arrays.equals(java.util.Arrays.copyOfRange(unlaced, i, i + sid.length), sid)) f = i
+        i += 1
+      }
+      f
+    })
+    val (segFrom, _) = segmentBounds(unlaced)
+    val segBody = java.util.Arrays.copyOfRange(unlaced, segFrom, clusterAt)
+    Array.concat(header, elem(IdSegment, Array.concat(segBody, cluster)))
   }
 
   // ------------------------------------------------------------- spark

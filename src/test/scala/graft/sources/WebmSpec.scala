@@ -30,6 +30,31 @@ class WebmSpec extends SparkTestBase {
     assert(graft.operators.Vp8.decode(kf(1)._2).w == 5)
   }
 
+  test("lacing: Xiph, fixed-size and EBML blocks unpack to the exact frame payloads") {
+    val f1 = vp8Chunk("one_mb_q60")
+    val f2 = vp8Chunk("tiny_5x7_q80")
+    // Xiph (different sizes; first frame > 255 bytes exercises the
+    // 255-saturated size coding if the fixture is large enough)
+    for (lacing <- Seq(1, 3)) {
+      val webm = Webm.encodeWebmLaced(Seq(f1, f2, f1), 16, 16, lacing)
+      val kf = Webm.keyFrames(webm, 1)
+      assert(kf.length == 3, s"lacing $lacing")
+      assert(kf(0)._2.sameElements(f1) && kf(1)._2.sameElements(f2) && kf(2)._2.sameElements(f1),
+        s"lacing $lacing payloads")
+      assert(kf.map(_._1) == Seq(0L, 0L, 0L)) // laced frames share the block ts
+      // payloads still decode through the validated VP8 decoder
+      assert(graft.operators.Vp8.decode(kf(1)._2).w == 5)
+    }
+    // fixed-size needs equal frames
+    val fixed = Webm.encodeWebmLaced(Seq(f2, f2, f2, f2), 5, 7, lacing = 2)
+    val kf2 = Webm.keyFrames(fixed, 1)
+    assert(kf2.length == 4 && kf2.forall(_._2.sameElements(f2)))
+    // corrupt lacing is loud: truncate inside the lace sizes
+    val webm = Webm.encodeWebmLaced(Seq(f1, f2), 16, 16, lacing = 1)
+    val cut = java.util.Arrays.copyOfRange(webm, 0, webm.length - f2.length - 4)
+    intercept[Exception](Webm.keyFrames(cut, 1))
+  }
+
   test("non-keyframe SimpleBlocks are skipped; BlockGroup keyframe = no ReferenceBlock") {
     val f = vp8Chunk("one_mb_q60")
     val webm = Webm.encodeWebm(Seq(f, f), 16, 16)
