@@ -5967,6 +5967,66 @@ object Pipeline {
     """.trim)
   )
 
+  /** The two r10 ingest tiers COMPOSED through the real container
+    * walk: pages written in four charsets (meta-declared), each body
+    * content-encoded five ways, packed into WARC files → [[graft.
+    * sources.Warc]] decode (gzip/deflate/br/zstd legs) → [[graft.
+    * operators.Charsets]] sniff+transcode → every page md5-equal to
+    * its UTF-8 source text. The transport is lossless end to end, so
+    * the oracle computes the same md5 from the raw text — one wrong
+    * byte anywhere in the chain flips the gate. Map-only after the
+    * synthesis shuffle. */
+  val crawlCharsetE2e: QueryDef = QueryDef(
+    "crawl_charset_e2e",
+    (s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 25)
+        .mapGroups { (g, it) =>
+          val encs = Seq("identity", "gzip", "deflate", "br", "zstd")
+          val cases = Seq( // (label, jdk charset, non-ascii suffix)
+            ("utf-8", "UTF-8", " — żółć"),
+            ("shift_jis", "windows-31j", " 日本語"),
+            ("windows-1251", "windows-1251", " русский"),
+            ("euc-kr", "x-windows-949", " 한국어"))
+          val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            val (label, jdk, suffix) = cases((id % 4).toInt)
+            val page = s"""<html><head><meta charset="$label"></head><body><p>$text$suffix</p></body></html>"""
+            (s"http://corpus.example/doc/$id", "2026-01-01T00:00:00Z", "text/html",
+              encs((id % 5).toInt), page.getBytes(jdk))
+          }
+          graft.sources.Warc.WarcFile(g, graft.sources.Warc.encodeWarcEnc(recs))
+        }
+      val recs = graft.sources.Warc.records(files).toDF()
+        .filter(col("error").isNull)
+        .select(regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("content_encoding").as("encoding"), col("payload"))
+      graft.operators.Charsets.decodeHtml(recs, col("payload"), lit(null).cast("string"))
+        .select(col("doc_id"), col("encoding"), col("charset"),
+          col("error").isNotNull.as("quarantined"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CASE doc_id % 5 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+             WHEN 2 THEN 'deflate' WHEN 3 THEN 'br' ELSE 'zstd' END AS encoding,
+        CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
+             WHEN 2 THEN 'windows-1251' ELSE 'euc-kr' END AS charset,
+        false AS quarantined,
+        md5('<html><head><meta charset="' ||
+            (CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
+                  WHEN 2 THEN 'windows-1251' ELSE 'euc-kr' END) ||
+            '"></head><body><p>' || text ||
+            (CASE doc_id % 4 WHEN 0 THEN ' — żółć' WHEN 1 THEN ' 日本語'
+                  WHEN 2 THEN ' русский' ELSE ' 한국어' END) ||
+            '</p></body></html>') AS text_md5
+      FROM documents WHERE doc_id < 250 ORDER BY doc_id
+    """.trim)
+  )
+
   /** The crawl-frontier composition on top of [[warcExtract]]'s
     * ingest: WARC → HTML payloads → `regexp_extract_all` over anchor
     * hrefs → exploded EDGE LIST, the input shape of the host-graph /
@@ -6513,7 +6573,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, zstdDecode, zstdDictDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
