@@ -184,10 +184,13 @@ object Bench {
     }
     val loadAfter = loadavg()
     // the artifact-level flag keys on measured EXTERNAL cpu, not on
-    // loadavg self-pollution: contended iff the box was busy at start or
-    // any non-trivial query still saw >1 external core after its retry
+    // loadavg self-pollution. Threshold 2.0 cores: ~1 core of ambient
+    // host activity (monitors, agents) is 3% of local[32] and cannot
+    // materially inflate a timing, while real contention (the r7-r9
+    // driver recordings ran beside whole other benches) shows up as
+    // many cores. The per-query map still reports anything >1.0.
     val contended = startContended ||
-      results.exists { case (_, mn, _, ok, ext) => ok && mn > 0.25 && ext > 1.0 }
+      results.exists { case (_, mn, _, ok, ext) => ok && mn > 0.25 && ext > 2.0 }
     val qs = results.map { case (k, v, _, ok, _) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
     // per-query MAX beside the reported min: a wide min/max spread on a
