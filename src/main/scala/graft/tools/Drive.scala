@@ -1066,6 +1066,33 @@ object Drive {
       graft.sources.Webm.frames(Seq(graft.sources.Webm.WebmFile(1, webm)).toDS()).toDF()
         .select("track", "frame", "ts_ms", "width", "height", "luma_sum").show()
     }
+    locally {
+      println("=== r10: content-encoding + charsets + brotli + dict-zstd ===")
+      // brotli: real decode and loud corruption
+      val br = graft.sources.Brotli.encodeUncompressed("round-trips through the raw path".getBytes("UTF-8"))
+      println(s"brotli raw round-trip: ${new String(graft.sources.Brotli.decompress(br), "UTF-8").take(20)}...")
+      try { graft.sources.Brotli.decompress(br.take(3)); println("UNEXPECTED") }
+      catch { case e: RuntimeException => println(s"caught truncated brotli: ${e.getMessage.take(60)}") }
+      // content-encoding: unknown token quarantines the record
+      val recs = graft.sources.Warc.parseWarc(7L, graft.sources.Warc.encodeWarcEnc(Seq(
+        ("http://x/a", "2026-01-01T00:00:00Z", "text/html", "br", "brotli body".getBytes("UTF-8")),
+        ("http://x/b", "2026-01-01T00:00:00Z", "text/html", "compress", "opaque".getBytes("UTF-8")))))
+      recs.foreach(r => println(s"  ${r.target_uri} enc=${r.content_encoding} " +
+        s"err=${Option(r.error).map(_.take(40)).getOrElse("-")}"))
+      // charsets: lying declaration and unknown label are loud
+      val (_, _, e1) = graft.operators.Charsets.sniff("x".getBytes("UTF-8"), "text/html; charset=klingon")
+      println(s"caught unknown charset label: ${e1.take(50)}")
+      val sjis = "<html><head><meta charset=\"shift_jis\"></head><body>日本語</body></html>"
+      val (cs2, t2, _) = graft.operators.Charsets.sniff(sjis.getBytes("windows-31j"), null)
+      println(s"sjis transcode: charset=$cs2 ok=${t2 == sjis}")
+      // dict-zstd: id mismatch refuses
+      val dict = graft.sources.Zstd.parseDictionary(
+        java.util.Base64.getDecoder.decode(graft.queries.ZstdDictFixtures.dictB64))
+      val sample = java.util.Base64.getDecoder.decode(graft.queries.ZstdDictFixtures.all.head._2)
+      println(s"dict-zstd decode: ${graft.sources.Zstd.decompress(sample, dict).length} bytes")
+      try { graft.sources.Zstd.decompress(sample); println("UNEXPECTED") }
+      catch { case e: RuntimeException => println(s"caught dictless decode: ${e.getMessage.take(60)}") }
+    }
     println("DRIVE_DONE")
     spark.stop()
   }

@@ -65,4 +65,21 @@ class DecoderRobustnessSpec extends AnyFunSuite with TimeLimits {
   test("lzma alone terminates on all truncations and bit flips") {
     sweep("alone", fixture("/xz/alone_small.lzma"), Xz.decompressAlone)
   }
+
+  test("brotli terminates on all truncations and bit flips") {
+    sweep("brotli", fixture("/brotli/text_q5.br"), Brotli.decompress)
+    sweep("brotli-q11", fixture("/brotli/dictwords_q11.br"), Brotli.decompress)
+  }
+
+  test("dictionary-zstd terminates on all truncations and bit flips (payload AND dictionary)") {
+    val dictBytes = fixture("/zstd_dict/fixture.dict")
+    val dict = Zstd.parseDictionary(dictBytes)
+    sweep("zstd-dict", fixture("/zstd_dict/sample_l9.zst"), p => Zstd.decompress(p, dict))
+    // corrupting the DICTIONARY itself must also stay bounded: parse
+    // either refuses or yields a dict whose use refuses/terminates
+    val payload = fixture("/zstd_dict/tiny.zst")
+    sweep("zstd-dict-file", dictBytes, { d =>
+      Zstd.decompress(payload, Zstd.parseDictionary(d))
+    })
+  }
 }
