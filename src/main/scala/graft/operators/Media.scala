@@ -300,8 +300,9 @@ object Media {
     * nibble first, byte-aligned rows); STRIP or TILE layout (tiles are
     * grid-padded, edge tiles clipped); compressions 1 (none), 32773
     * (PackBits) and 5 (LZW, §13 early-change) with horizontal
-    * predictor 2 on 8-bit samples. Throws loudly on anything else
-    * (JPEG-in-TIFF, CCITT, planar configuration 2). */
+    * predictor 2 on 8-bit samples; CCITT G3/G4/RLE bilevel via
+    * [[CcittFax]] (T4Options 2D, FillOrder 2). Throws loudly on
+    * anything else (JPEG-in-TIFF, planar configuration 2). */
   val tiffPixelDecoder: PixelDecoder = p => {
     require(p.length >= 8, "not a TIFF payload")
     val le = (p(0) & 0xff) == 'I' && (p(1) & 0xff) == 'I'
@@ -319,6 +320,7 @@ object Media {
     var samplesPerPixel = 1; var rowsPerStrip = Int.MaxValue
     var bitDepth = 8; var predictor = 1; var planar = 1
     var tileW = 0; var tileH = 0
+    var fillOrder = 1; var t4Options = 0
     var stripOffsets: Array[Int] = null
     var stripCounts: Array[Int] = null
     var tileOffsets: Array[Int] = null
@@ -349,6 +351,8 @@ object Media {
         case 279 => stripCounts = values(e)
         case 284 => planar = values(e)(0)
         case 317 => predictor = values(e)(0)
+        case 266 => fillOrder = values(e)(0)
+        case 292 => t4Options = values(e)(0)
         case 320 => colorMap = values(e)
         case 322 => tileW = values(e)(0)
         case 323 => tileH = values(e)(0)
@@ -361,13 +365,20 @@ object Media {
     val tiled = tileOffsets != null
     require(w > 0 && h > 0 && (stripOffsets != null || tiled), "TIFF: missing required tags")
     require(planar == 1, "TIFF: planar configuration 2 unsupported")
-    require(compression == 1 || compression == 32773 || compression == 5,
-      s"TIFF: compression $compression unsupported (uncompressed/PackBits/LZW only)")
+    val ccitt = compression == 2 || compression == 3 || compression == 4
+    require(compression == 1 || compression == 32773 || compression == 5 || ccitt,
+      s"TIFF: compression $compression unsupported (uncompressed/PackBits/LZW/CCITT only)")
     require(photometric >= 0 && photometric <= 3, s"TIFF: photometric $photometric unsupported")
+    require(fillOrder == 1 || (fillOrder == 2 && ccitt),
+      s"TIFF: fill order $fillOrder unsupported outside CCITT")
     val palette = photometric == 3
     val gray = photometric < 2
+    if (ccitt) require(bitDepth == 1 && photometric <= 1,
+      s"TIFF: CCITT needs bilevel gray (depth $bitDepth, photometric $photometric)")
     require(
-      if (palette) bitDepth == 4 || bitDepth == 8 else bitDepth == 8 || bitDepth == 16,
+      if (palette) bitDepth == 4 || bitDepth == 8
+      else if (gray) bitDepth == 1 || bitDepth == 8 || bitDepth == 16
+      else bitDepth == 8 || bitDepth == 16,
       s"TIFF: bit depth $bitDepth with photometric $photometric unsupported")
     require(predictor == 1 || (predictor == 2 && bitDepth == 8),
       s"TIFF: predictor $predictor at depth $bitDepth unsupported")
@@ -382,7 +393,10 @@ object Media {
     val out = new Array[Int](w * h)
 
     // decompress one segment to its padded raw size
-    def rawSegment(off: Int, cnt: Int, need: Int): Array[Byte] = compression match {
+    def rawSegment(off: Int, cnt: Int, need: Int, segW: Int, segRows: Int): Array[Byte] = compression match {
+      case 2 | 3 | 4 =>
+        CcittFax.decode(p, off, off + cnt, segW, segRows,
+          compression, t4Options, fillOrder == 2)
       case 1 =>
         val buf = new Array[Byte](need)
         System.arraycopy(p, off, buf, 0, math.min(cnt, need))
@@ -430,6 +444,8 @@ object Media {
           } else {
             def sample(c: Int): Int =
               if (bitDepth == 8) raw(ro + x * spp + c) & 0xff
+              else if (bitDepth == 1) // bilevel (CCITT or raw), MSB-first
+                if (((raw(ro + (x >> 3)) >> (7 - (x & 7))) & 1) == 1) 255 else 0
               else { // 16-bit: high byte, file byte order
                 val o = ro + 2 * (x * spp + c)
                 if (le) raw(o + 1) & 0xff else raw(o) & 0xff
@@ -455,7 +471,7 @@ object Media {
       var t = 0
       while (t < across * down) {
         val cnt = if (tileCounts != null) tileCounts(t) else p.length - tileOffsets(t)
-        val raw = rawSegment(tileOffsets(t), cnt, tileH * rowBytes(tileW))
+        val raw = rawSegment(tileOffsets(t), cnt, tileH * rowBytes(tileW), tileW, tileH)
         scatter(raw, (t % across) * tileW, (t / across) * tileH, tileW, tileH)
         t += 1
       }
@@ -465,7 +481,7 @@ object Media {
       while (s < stripOffsets.length && y0 < h) {
         val rows = math.min(rowsPerStrip, h - y0)
         val cnt = if (stripCounts != null) stripCounts(s) else p.length - stripOffsets(s)
-        val raw = rawSegment(stripOffsets(s), cnt, rows * rowBytes(w))
+        val raw = rawSegment(stripOffsets(s), cnt, rows * rowBytes(w), w, rows)
         scatter(raw, 0, y0, w, rows)
         s += 1
         y0 += rows

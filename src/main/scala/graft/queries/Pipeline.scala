@@ -5787,6 +5787,44 @@ object Pipeline {
     }
   )
 
+  /** CCITT G3/G4 fax TIFF decode ([[graft.operators.CcittFax]] inside
+    * [[graft.operators.Media.tiffPixelDecoder]]): embedded REAL
+    * system-libtiff encodes across G3-1D / G3-2D / G4 / RLE,
+    * photometrics, fill orders and strip layouts decode to pinned
+    * black-pixel counts (from the pre-encode bitmap definitions); a
+    * truncated file refuses loudly. */
+  val mediaTiffCcitt: QueryDef = QueryDef(
+    "media_tiff_ccitt",
+    (s, dir) => {
+      import s.implicits._
+      val rows = graft.queries.CcittFixtures.all.map { case (n, b64, _, _, _) => (n, b64, false) } :+
+        (("zz_corrupt", graft.queries.CcittFixtures.all.head._2, true))
+      s.createDataset(rows).repartition(rows.size)
+        .map { case (name, b64, truncate) =>
+          val bytes0 = java.util.Base64.getDecoder.decode(b64)
+          val bytes = if (truncate) java.util.Arrays.copyOf(bytes0, bytes0.length - 60) else bytes0
+          try {
+            val (w, h, px) = graft.operators.Media.tiffPixelDecoder(bytes)
+            (name, w, h, px.count(p => (p & 0xffffff) == 0).toLong, "ok")
+          } catch { case scala.util.control.NonFatal(_) => (name, -1, -1, -1L, "refused") }
+        }
+        .toDF("name", "width", "height", "n_black", "status")
+        .orderBy("name")
+    },
+    Some {
+      val vals = graft.queries.CcittFixtures.all.map { case (n, _, w, h, n1) =>
+        val black = if (n == "g4_minisblack") w.toLong * h - n1 else n1
+        s"('$n', $w, $h, CAST($black AS BIGINT), 'ok')"
+      }.mkString(",\n          ") +
+        ",\n          ('zz_corrupt', -1, -1, CAST(-1 AS BIGINT), 'refused')"
+      s"""
+      SELECT * FROM (VALUES
+          $vals) AS t(name, width, height, n_black, status)
+      ORDER BY name
+      """.trim
+    }
+  )
+
   /** Dictionary-zstd decode ([[graft.sources.Zstd.parseDictionary]]):
     * a real `zstd --train` dictionary + `-D`-compressed held-out
     * samples at levels 1/3/9/19 decode byte-exactly (md5s pinned from
@@ -6573,7 +6611,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, mediaTiffCcitt, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,
