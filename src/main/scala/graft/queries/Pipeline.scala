@@ -5787,6 +5787,79 @@ object Pipeline {
     }
   )
 
+  /** Embedded PDF image extraction ([[graft.sources.Pdf.images]]) —
+    * the scanned-PDF corpus: per doc one image XObject as DCT (our
+    * baseline JPEG), Flate gray (luma replayed exactly in SQL: BT.601
+    * at gray is the identity), CCITT-G4 (the libtiff strip, ink count
+    * pinned), or JPX (loud per-image quarantine). DCT luma is pinned
+    * by JpegSpec/media_jpeg gates, not here (no SQL twin of a DCT). */
+  val pdfImages: QueryDef = QueryDef(
+    "pdf_images",
+    (s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val bytes = (id % 4).toInt match {
+            case 0 =>
+              val gray = Array.tabulate(16 * 16)(i => ((id * 13 + i * 5) % 256).toInt)
+              graft.sources.Pdf.encodePdfImages(Seq(("DCTDecode", 16, 16,
+                "/ColorSpace /DeviceGray /BitsPerComponent 8",
+                graft.operators.Jpeg.encodeGray(16, 16, gray))))
+            case 1 =>
+              val gray = Array.tabulate(16 * 12)(i => ((id * 31 + i * 7) % 256).toInt)
+              val d = new java.util.zip.Deflater()
+              d.setInput(gray.map(_.toByte)); d.finish()
+              val bo = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+              d.end()
+              graft.sources.Pdf.encodePdfImages(Seq(("FlateDecode", 16, 12,
+                "/ColorSpace /DeviceGray /BitsPerComponent 8", bo.toByteArray)))
+            case 2 =>
+              val strip = java.util.Base64.getDecoder.decode(graft.queries.CcittFixtures.g4StripB64)
+              val (w0, h0) = (graft.queries.CcittFixtures.g4StripW, graft.queries.CcittFixtures.g4StripH)
+              graft.sources.Pdf.encodePdfImages(Seq(("CCITTFaxDecode", w0, h0,
+                s"/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+                  s"/DecodeParms << /K -1 /Columns $w0 /Rows $h0 >>", strip)))
+            case _ =>
+              graft.sources.Pdf.encodePdfImages(Seq(("JPXDecode", 4, 4,
+                "/ColorSpace /DeviceRGB /BitsPerComponent 8", Array[Byte](1, 2, 3))))
+          }
+          graft.sources.Pdf.PdfDoc(id, bytes)
+        }
+      graft.sources.Pdf.images(docs, keepCorrupt = true).toDF()
+        .select(col("id").as("doc_id"), col("obj"), col("width"), col("height"),
+          col("filter"),
+          when(col("filter") === "DCTDecode", lit(null).cast("long"))
+            .otherwise(col("luma_sum")).as("luma_sum"),
+          when(col("error").isNull, "ok").otherwise("quarantined").as("status"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val w0 = graft.queries.CcittFixtures.g4StripW
+      val h0 = graft.queries.CcittFixtures.g4StripH
+      val ink = graft.queries.CcittFixtures.g4StripBlack
+      s"""
+      SELECT doc_id, 4 AS obj,
+        CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 16 WHEN 2 THEN $w0 ELSE 4 END AS width,
+        CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 12 WHEN 2 THEN $h0 ELSE 4 END AS height,
+        CASE doc_id % 4 WHEN 0 THEN 'DCTDecode' WHEN 1 THEN 'FlateDecode'
+             WHEN 2 THEN 'CCITTFaxDecode' ELSE 'JPXDecode' END AS filter,
+        CASE doc_id % 4
+          WHEN 1 THEN (SELECT CAST(sum((d.doc_id * 31 + r.range * 7) % 256) AS BIGINT)
+                       FROM range(0, 192) r)
+          WHEN 2 THEN CAST(($w0 * $h0 - $ink) * 255 AS BIGINT)
+          WHEN 3 THEN CAST(-1 AS BIGINT)
+          ELSE NULL END AS luma_sum,
+        CASE WHEN doc_id % 4 = 3 THEN 'quarantined' ELSE 'ok' END AS status
+      FROM documents d WHERE doc_id < 120 ORDER BY doc_id
+      """.trim
+    }
+  )
+
   /** CCITT G3/G4 fax TIFF decode ([[graft.operators.CcittFax]] inside
     * [[graft.operators.Media.tiffPixelDecoder]]): embedded REAL
     * system-libtiff encodes across G3-1D / G3-2D / G4 / RLE,
@@ -6611,7 +6684,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, mediaTiffCcitt, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

@@ -517,6 +517,195 @@ object Pdf {
     out.toByteArray
   }
 
+  /** One embedded image (or a quarantine marker): exactly one of
+    * `argb` / `quarantine` is null. */
+  case class ImageResult(obj: Int, width: Int, height: Int, filter: String,
+      argb: Array[Int], quarantine: String)
+
+  /** Extract embedded image XObjects — the SCANNED-pdf corpus, where
+    * the text lives in pictures, not show-text operators. Supported
+    * decodes (all through this repo's validated codecs):
+    *
+    *  - `/DCTDecode` — baseline/progressive JPEG via
+    *    [[graft.operators.Jpeg]] (DHT-less frames get standard tables);
+    *  - `/FlateDecode` — raw samples: DeviceGray 8-bit, DeviceRGB
+    *    8-bit, DeviceGray 1-bit (predictors beyond 1 refuse);
+    *  - `/CCITTFaxDecode` with `/K < 0` (G4/T.6, the scanner default)
+    *    via [[graft.operators.CcittFax]]; `/Columns` defaults 1728.
+    *
+    * Anything else (JPX, K >= 0 fax, exotic color spaces) yields a
+    * loud per-image quarantine marker, never silent pixels. */
+  def extractImages(p: Array[Byte]): Seq[ImageResult] = {
+    val s = new String(p, "ISO-8859-1")
+    require(s.startsWith("%PDF-"), "not a PDF payload")
+    val objs = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    ObjRe.findAllMatchIn(s).foreach(m => objs(m.group(1).toInt) = m.end)
+    require(objs.nonEmpty, "PDF: no objects found")
+    def objBody(n: Int): String = {
+      val from = objs(n)
+      val end = s.indexOf("endobj", from)
+      s.substring(from, if (end < 0) s.length else end)
+    }
+    def dictInt(dict: String, key: String, dflt: Int): Int = {
+      // direct integers only — an indirect "/Length 12 0 R" must not
+      // read as 12 (the lookahead rejects the reference form)
+      val m = s"""/$key\\s+(-?\\d+)(?!\\s+\\d+\\s+R)""".r.findFirstMatchIn(dict)
+      m.map(_.group(1).toInt).getOrElse(dflt)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[ImageResult]
+    objs.keysIterator.foreach { n =>
+      val body = objBody(n)
+      val dictEnd = body.indexOf("stream")
+      val dict = if (dictEnd >= 0) body.substring(0, dictEnd) else body
+      if (dictEnd >= 0 && dict.contains("/Subtype") && dict.contains("/Image")) {
+        val w = dictInt(dict, "Width", -1)
+        val h = dictInt(dict, "Height", -1)
+        val len = dictInt(dict, "Length", -1)
+        val bpc = dictInt(dict, "BitsPerComponent", 8)
+        val filter = """(?s)/Filter\s*/(\w+)""".r.findFirstMatchIn(dict).map(_.group(1)).getOrElse("")
+        val rgbSpace = dict.contains("/DeviceRGB")
+        try {
+          require(w > 0 && h > 0 && len >= 0, s"PDF: image object $n missing dims/length")
+          var dataAt = objs(n) + dictEnd + "stream".length
+          if (p(dataAt) == '\r') dataAt += 1
+          if (p(dataAt) == '\n') dataAt += 1
+          val raw = java.util.Arrays.copyOfRange(p, dataAt, dataAt + len)
+          val argb: Array[Int] = filter match {
+            case "DCTDecode" =>
+              val (jw, jh, px) = graft.operators.Jpeg.decode(
+                graft.operators.Jpeg.withStdHuffmanIfMissing(raw))
+              require(jw == w && jh == h, s"PDF: DCT dims $jw x $jh != declared $w x $h")
+              px.map(0xff000000 | _)
+            case "FlateDecode" =>
+              val predictor = dictInt(dict, "Predictor", 1)
+              require(predictor == 1, s"PDF: image predictor $predictor unsupported")
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(raw)
+              val need = if (rgbSpace) w * h * 3 else (w * bpc + 7) / 8 * h
+              val buf = new Array[Byte](need)
+              var filled = 0
+              while (filled < need && !inf.finished()) {
+                val k = inf.inflate(buf, filled, need - filled)
+                require(k > 0 || inf.finished(), "PDF: truncated image Flate stream")
+                filled += k
+              }
+              inf.end()
+              require(filled == need, s"PDF: image stream short ($filled of $need)")
+              if (rgbSpace) Array.tabulate(w * h)(i => 0xff000000 |
+                ((buf(3 * i) & 0xff) << 16) | ((buf(3 * i + 1) & 0xff) << 8) | (buf(3 * i + 2) & 0xff))
+              else if (bpc == 8) Array.tabulate(w * h) { i =>
+                val v = buf(i) & 0xff; 0xff000000 | (v << 16) | (v << 8) | v
+              }
+              else if (bpc == 1) {
+                val nb = (w + 7) / 8
+                Array.tabulate(w * h) { i =>
+                  val bit = (buf((i / w) * nb + ((i % w) >> 3)) >> (7 - (i % w & 7))) & 1
+                  if (bit == 1) 0xffffffff else 0xff000000 // 1 = white (DeviceGray max)
+                }
+              }
+              else throw new IllegalArgumentException(s"PDF: image bpc $bpc unsupported")
+            case "CCITTFaxDecode" =>
+              val k = dictInt(dict, "K", 0)
+              require(k < 0, s"PDF: CCITTFaxDecode K=$k unsupported (G4 only)")
+              val cols = dictInt(dict, "Columns", 1728)
+              val rows = dictInt(dict, "Rows", h)
+              require(cols == w && rows == h, "PDF: CCITT dims disagree with image dims")
+              val packed = graft.operators.CcittFax.decode(
+                raw, 0, raw.length, cols, rows, 4, 0, lsbFill = false)
+              val nb = (cols + 7) / 8
+              Array.tabulate(w * h) { i =>
+                val bit = (packed((i / w) * nb + ((i % w) >> 3)) >> (7 - (i % w & 7))) & 1
+                if (bit == 1) 0xff000000 else 0xffffffff // coded black = ink
+              }
+            case other =>
+              throw new IllegalArgumentException(
+                if (other.isEmpty) "PDF: uncompressed image XObject unsupported"
+                else s"PDF: image filter /$other unsupported")
+          }
+          out += ImageResult(n, w, h, if (filter.isEmpty) "none" else filter, argb, null)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            out += ImageResult(n, w, h, if (filter.isEmpty) "none" else filter, null,
+              s"PDF: image quarantined: ${e.getMessage}")
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** One extracted image row: `error` null for a decoded image (with
+    * luma sum as the content fingerprint), else a quarantine marker. */
+  case class PdfImageRow(id: Long, obj: Int, width: Int, height: Int,
+      filter: String, luma_sum: Long, error: String)
+
+  /** Map-only embedded-image extraction over one-document rows — the
+    * same contract as [[texts]]: zero exchange, corrupt payloads
+    * quarantine under `keepCorrupt`, refused filters yield loud
+    * per-image marker rows. */
+  def images(docs: Dataset[PdfDoc], keepCorrupt: Boolean = false): Dataset[PdfImageRow] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      try extractImages(d.bytes).map {
+        case ImageResult(o, w, h, f, argb, null) =>
+          var luma = 0L
+          var i = 0
+          while (i < argb.length) {
+            val px = argb(i)
+            // integer BT.601 luma, same weights as Media's samplers
+            luma += (77 * ((px >> 16) & 0xff) + 150 * ((px >> 8) & 0xff) + 29 * (px & 0xff)) >> 8
+            i += 1
+          }
+          PdfImageRow(d.id, o, w, h, f, luma, null)
+        case ImageResult(o, w, h, f, _, q) =>
+          if (keepCorrupt) PdfImageRow(d.id, o, w, h, f, -1L, q)
+          else throw new IllegalArgumentException(q)
+      }
+      catch {
+        case scala.util.control.NonFatal(e) if keepCorrupt =>
+          Seq(PdfImageRow(d.id, -1, -1, -1, null, -1L, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
+  }
+
+  /** Fixture builder: one page per image, each an XObject painted by a
+    * `Do` content stream. `images` = (filterName, width, height,
+    * extraDictEntries, streamBytes). */
+  def encodePdfImages(images: Seq[(String, Int, Int, String, Array[Byte])]): Array[Byte] = {
+    require(images.nonEmpty, "a PDF needs at least one image")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(t: String): Unit = out.write(t.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets += out.size()
+      w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    val nPages = images.length
+    obj(1)(w(s"<< /Type /Catalog /Pages 2 0 R >>\n"))
+    val kids = (0 until nPages).map(i => s"${3 + 3 * i} 0 R").mkString(" ")
+    obj(2)(w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n"))
+    images.zipWithIndex.foreach { case ((filter, iw, ih, extra, bytes), i) =>
+      val pageObj = 3 + 3 * i
+      val imgObj = pageObj + 1
+      val csObj = pageObj + 2
+      obj(pageObj)(w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /XObject << /Im$i $imgObj 0 R >> >> /Contents $csObj 0 R >>\n"))
+      obj(imgObj) {
+        w(s"<< /Type /XObject /Subtype /Image /Width $iw /Height $ih " +
+          s"/Filter /$filter $extra /Length ${bytes.length} >>\nstream\n")
+        out.write(bytes)
+        w("\nendstream\n")
+      }
+      val cs = s"q $iw 0 0 $ih 0 0 cm /Im$i Do Q"
+      obj(csObj)(w(s"<< /Length ${cs.length} >>\nstream\n$cs\nendstream\n"))
+    }
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    out.toByteArray
+  }
+
   /** Minimal valid CID PDF for fixtures: an Identity-H Type0 font with
     * an embedded /ToUnicode CMap; show strings are 2-byte hex CID
     * codes. Letters a-z map through ONE bfrange (start-value form),

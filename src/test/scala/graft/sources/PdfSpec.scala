@@ -108,6 +108,74 @@ class PdfSpec extends SparkTestBase {
     intercept[org.apache.spark.SparkException](Pdf.texts(ds).collect())
   }
 
+  test("embedded image XObjects: DCT, Flate (gray8/rgb/bilevel) and CCITT-G4 decode; JPX quarantines") {
+    def res(path: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(path)
+      require(in != null, path)
+      try in.readAllBytes() finally in.close()
+    }
+    // CCITT strip straight from the libtiff fixture (single-strip G4)
+    val tif = res("/ccitt/g4_text.tif")
+    def u16(i: Int) = (tif(i) & 0xff) | ((tif(i + 1) & 0xff) << 8)
+    def u32(i: Int) = u16(i) | (u16(i + 2) << 16)
+    val ifd = u32(4)
+    var so = 0; var sc = 0; var gw = 0; var gh = 0
+    for (k <- 0 until u16(ifd)) {
+      val e = ifd + 2 + 12 * k
+      val typ = u16(e + 2)
+      val v = if (typ == 3) u16(e + 8) else u32(e + 8)
+      u16(e) match {
+        case 256 => gw = v; case 257 => gh = v
+        case 273 => so = v; case 279 => sc = v; case _ => ()
+      }
+    }
+    val strip = java.util.Arrays.copyOfRange(tif, so, so + sc)
+    val golden = res("/ccitt/g4_text.golden")
+
+    val gray = Array.tabulate(24 * 16)(i => (i * 7) % 256)
+    val jpeg = graft.operators.Jpeg.encodeGray(24, 16, gray)
+    val rgbPix = Array.tabulate(8 * 6)(i => ((i * 37) % 256 << 16) | ((i * 11) % 256 << 8) | (i * 3) % 256)
+    val rgbBytes = rgbPix.flatMap(p0 => Seq(((p0 >> 16) & 0xff).toByte, ((p0 >> 8) & 0xff).toByte, (p0 & 0xff).toByte))
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val bo = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](8192)
+      while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+      d.end(); bo.toByteArray
+    }
+    val pdf = Pdf.encodePdfImages(Seq(
+      ("DCTDecode", 24, 16, "/ColorSpace /DeviceGray /BitsPerComponent 8", jpeg),
+      ("FlateDecode", 8, 6, "/ColorSpace /DeviceRGB /BitsPerComponent 8", deflate(rgbBytes)),
+      ("CCITTFaxDecode", gw, gh,
+        s"/ColorSpace /DeviceGray /BitsPerComponent 1 /DecodeParms << /K -1 /Columns $gw /Rows $gh >>", strip),
+      ("JPXDecode", 4, 4, "/ColorSpace /DeviceRGB /BitsPerComponent 8", Array[Byte](1, 2, 3))))
+    val got = Pdf.extractImages(pdf)
+    assert(got.length == 4, got.map(_.filter))
+    // DCT: decodes to the same pixels the JPEG decoder yields directly
+    val (jw, jh, jpx) = graft.operators.Jpeg.decode(jpeg)
+    assert(got(0).quarantine == null && got(0).width == jw && got(0).height == jh)
+    assert(got(0).argb.map(_ & 0xffffff).toSeq == jpx.map(_ & 0xffffff).toSeq)
+    // Flate RGB: exact pixels
+    assert(got(1).quarantine == null)
+    assert(got(1).argb.map(_ & 0xffffff).toSeq == rgbPix.toSeq)
+    // CCITT: ink pixels match the golden bitmap
+    assert(got(2).quarantine == null && got(2).width == gw && got(2).height == gh)
+    val nb = (gw + 7) / 8
+    (0 until gw * gh).foreach { i =>
+      val bit = (golden(8 + (i / gw) * nb + ((i % gw) >> 3)) >> (7 - (i % gw & 7))) & 1
+      val want = if (bit == 1) 0x000000 else 0xffffff
+      assert((got(2).argb(i) & 0xffffff) == want, s"ccitt pixel $i")
+    }
+    // JPX refuses by name
+    assert(got(3).argb == null && got(3).quarantine.contains("JPXDecode"))
+
+    // Spark surface: map-only, marker rows under keepCorrupt
+    val ds = Seq(Pdf.PdfDoc(1L, pdf)).toDS()
+    val rows = Pdf.images(ds, keepCorrupt = true).collect().sortBy(_.obj)
+    assert(rows.length == 4 && rows.count(_.error == null) == 3)
+    val plan = Pdf.images(ds).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"image extraction must stay map-only:\n$plan")
+  }
+
   test("NUL in shown text quarantines (2-byte codes through an undeclared font)") {
     // hex show string with 2-byte CID codes: <00480065> = NUL-laced
     val cs = "BT /F1 9 Tf 10 20 Td <00480065006C006C006F> Tj ET"
