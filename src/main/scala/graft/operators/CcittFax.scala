@@ -30,16 +30,26 @@ object CcittFax {
 
   // ------------------------------------------------------- code tables
 
-  /** Decode trie as (len, codeBits) -> run. Values >= 64 are makeups
-    * (accumulate and continue in the same color). */
-  private def build(entries: Seq[(String, Int)]): Map[(Int, Int), Int] =
-    entries.map { case (bits, v) => ((bits.length, Integer.parseInt(bits, 2)), v) }.toMap
-
-  private val WhiteTable = build(CcittTables.WhiteCodes ++ CcittTables.ExtMakeups)
-  private val BlackTable = build(CcittTables.BlackCodes ++ CcittTables.ExtMakeups)
   private val MaxCodeLen =
     (CcittTables.WhiteCodes ++ CcittTables.BlackCodes ++ CcittTables.ExtMakeups)
       .map(_._1.length).max
+
+  /** Flat decode LUT over MaxCodeLen peeked bits (MSB-first): entry =
+    * (codeLen << 16) | run, 0 = invalid. One lookup per run code. */
+  private def build(entries: Seq[(String, Int)]): Array[Int] = {
+    val t = new Array[Int](1 << MaxCodeLen)
+    entries.foreach { case (bits, v) =>
+      val l = bits.length
+      val code = Integer.parseInt(bits, 2)
+      val base = code << (MaxCodeLen - l)
+      var j = 0
+      while (j < (1 << (MaxCodeLen - l))) { t(base | j) = (l << 16) | v; j += 1 }
+    }
+    t
+  }
+
+  private val WhiteTable = build(CcittTables.WhiteCodes ++ CcittTables.ExtMakeups)
+  private val BlackTable = build(CcittTables.BlackCodes ++ CcittTables.ExtMakeups)
 
   // -------------------------------------------------------- bit input
 
@@ -57,25 +67,46 @@ object CcittFax {
     def skipToByte(): Unit = pos = (pos + 7) & ~7L
     /** Remaining bits in the segment. */
     def left: Long = end - pos
+    /** MaxCodeLen bits ahead (MSB-first read order), zero-padded past
+      * the segment end. */
+    def peek(n: Int): Int = {
+      val i = (pos >> 3).toInt
+      if (!lsbFill && pos + n <= end && i + 2 < p.length) {
+        // fast path: standard fill order, interior reads
+        val w = ((p(i) & 0xff) << 16) | ((p(i + 1) & 0xff) << 8) | (p(i + 2) & 0xff)
+        (w >>> (24 - (pos & 7).toInt - n)) & ((1 << n) - 1)
+      } else {
+        var v = 0
+        var k = 0
+        while (k < n) {
+          val bp = pos + k
+          if (bp < end) {
+            val b = p((bp >> 3).toInt) & 0xff
+            val sh = (bp & 7).toInt
+            val bit = if (lsbFill) (b >> sh) & 1 else (b >> (7 - sh)) & 1
+            v = (v << 1) | bit
+          } else v = v << 1
+          k += 1
+        }
+        v
+      }
+    }
   }
 
   // ---------------------------------------------------------- decoding
 
   /** One MH run of the given color (makeup accumulation included). */
   private def readRun(bits: Bits, white: Boolean): Int = {
+    val table = if (white) WhiteTable else BlackTable
     var total = 0
     var terminated = false
     while (!terminated) {
-      val table = if (white) WhiteTable else BlackTable
-      var code = 0
-      var len = 0
-      var run = -1
-      while (run < 0) {
-        require(len < MaxCodeLen, s"ccitt: invalid ${if (white) "white" else "black"} code")
-        code = (code << 1) | bits.bit()
-        len += 1
-        run = table.getOrElse((len, code), -1)
-      }
+      val e = table(bits.peek(MaxCodeLen))
+      require(e != 0, s"ccitt: invalid ${if (white) "white" else "black"} code")
+      val len = e >>> 16
+      require(bits.left >= len, "ccitt: truncated run code")
+      bits.pos += len
+      val run = e & 0xffff
       total += run
       if (run < 64) terminated = true // terminating code ends the run
     }

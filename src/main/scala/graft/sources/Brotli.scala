@@ -126,11 +126,28 @@ object Brotli {
       bitPos += 1
       b
     }
-    def bits(n: Int): Int = {
-      var v = 0
-      var i = 0
-      while (i < n) { v |= bit() << i; i += 1 }
-      v
+    def bits(n: Int): Int = { // n <= 24
+      val i = (bitPos >> 3).toInt
+      val sh = (bitPos & 7).toInt
+      var w = 0L
+      if (i < p.length) w |= p(i) & 0xffL
+      if (i + 1 < p.length) w |= (p(i + 1) & 0xffL) << 8
+      if (i + 2 < p.length) w |= (p(i + 2) & 0xffL) << 16
+      if (i + 3 < p.length) w |= (p(i + 3) & 0xffL) << 24
+      bitPos += n
+      require(bitPos <= limit, "brotli: truncated stream")
+      ((w >>> sh) & ((1L << n) - 1)).toInt
+    }
+    /** Up to 16 bits ahead without consuming, zero-padded past end —
+      * feeds the prefix-code root tables. */
+    def peek16(): Int = {
+      val i = (bitPos >> 3).toInt
+      val sh = (bitPos & 7).toInt
+      var w = 0
+      if (i < p.length) w |= p(i) & 0xff
+      if (i + 1 < p.length) w |= (p(i + 1) & 0xff) << 8
+      if (i + 2 < p.length) w |= (p(i + 2) & 0xff) << 16
+      (w >>> sh) & 0xffff
     }
     def peek4(): Int = {
       // up to 4 bits, zero-padded past end (caller consumes <= remaining)
@@ -150,6 +167,7 @@ object Brotli {
         if (requireZero) require(b == 0, s"brotli: nonzero padding bits ($what)")
       }
     }
+    def limit: Long = p.length.toLong * 8
     def byteIndex: Int = (bitPos >> 3).toInt
     def skipBytes(n: Int): Unit = {
       require((bitPos & 7) == 0 && byteIndex + n <= p.length, "brotli: skip past end")
@@ -204,8 +222,35 @@ object Brotli {
       }
       s
     }
+    // root table over the next 10 stream bits (LSB = first-read bit):
+    // entry = (len << 16) | sym for codes of length <= 10, 0 = longer
+    // code (bit-walk fallback). Covers virtually every hot symbol.
+    private val RootBits = 10
+    private val lut: Array[Int] = {
+      val t = new Array[Int](1 << RootBits)
+      var l = 1
+      while (l <= math.min(maxLen, RootBits)) {
+        var k = 0
+        while (k < count(l)) {
+          val sym = syms(offs(l) + k)
+          val code = firstCode(l) + k
+          val rev = Integer.reverse(code) >>> (32 - l) // stream-order bits
+          var j = rev
+          while (j < t.length) { t(j) = (l << 16) | sym; j += 1 << l }
+          k += 1
+        }
+        l += 1
+      }
+      t
+    }
     def read(br: Br): Int = {
       if (single >= 0) return single
+      val e = lut(br.peek16() & ((1 << RootBits) - 1))
+      if (e != 0) {
+        br.bitPos += e >>> 16
+        require(br.bitPos <= br.limit, "brotli: truncated stream")
+        return e & 0xffff
+      }
       var code = 0
       var l = 0
       while (l < maxLen) {
@@ -549,8 +594,13 @@ object Brotli {
                 // back-reference (overlapping copy allowed)
                 require(cpyLen <= remaining, "brotli: copy length exceeds meta-block")
                 ensure(cpyLen)
-                var c = 0
-                while (c < cpyLen) { out(pos) = out(pos - distance); pos += 1; c += 1 }
+                if (distance >= cpyLen) { // no overlap: block copy
+                  System.arraycopy(out, pos - distance, out, pos, cpyLen)
+                  pos += cpyLen
+                } else {
+                  var c = 0
+                  while (c < cpyLen) { out(pos) = out(pos - distance); pos += 1; c += 1 }
+                }
                 remaining -= cpyLen
                 if (!fromRingZero) pushRing(distance)
               } else {
