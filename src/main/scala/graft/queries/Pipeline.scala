@@ -6100,13 +6100,18 @@ object Pipeline {
           val encs = Seq("identity", "gzip", "deflate", "br", "zstd")
           val cases = Seq( // (label, jdk charset, non-ascii suffix)
             ("utf-8", "UTF-8", " — żółć"),
-            ("shift_jis", "windows-31j", " 日本語"),
+            ("shift_jis", "windows-31j", " 日本語"), // declared via HEADER only
             ("windows-1251", "windows-1251", " русский"),
             ("euc-kr", "x-windows-949", " 한국어"))
           val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
             val (label, jdk, suffix) = cases((id % 4).toInt)
-            val page = s"""<html><head><meta charset="$label"></head><body><p>$text$suffix</p></body></html>"""
-            (s"http://corpus.example/doc/$id", "2026-01-01T00:00:00Z", "text/html",
+            // case 1 exercises the transport-header charset leg (the
+            // charset_param column): no meta tag in the page at all
+            val page =
+              if (id % 4 == 1) s"<html><body><p>$text$suffix</p></body></html>"
+              else s"""<html><head><meta charset="$label"></head><body><p>$text$suffix</p></body></html>"""
+            val ctype = if (id % 4 == 1) s"text/html; charset=$label" else "text/html"
+            (s"http://corpus.example/doc/$id", "2026-01-01T00:00:00Z", ctype,
               encs((id % 5).toInt), page.getBytes(jdk))
           }
           graft.sources.Warc.WarcFile(g, graft.sources.Warc.encodeWarcEnc(recs))
@@ -6114,8 +6119,10 @@ object Pipeline {
       val recs = graft.sources.Warc.records(files).toDF()
         .filter(col("error").isNull)
         .select(regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long").as("doc_id"),
-          col("content_encoding").as("encoding"), col("payload"))
-      graft.operators.Charsets.decodeHtml(recs, col("payload"), lit(null).cast("string"))
+          col("content_encoding").as("encoding"), col("charset_param"), col("payload"))
+      graft.operators.Charsets.decodeHtml(recs, col("payload"),
+          when(col("charset_param").isNotNull,
+            concat(lit("text/html; charset="), col("charset_param"))))
         .select(col("doc_id"), col("encoding"), col("charset"),
           col("error").isNotNull.as("quarantined"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
@@ -6127,13 +6134,15 @@ object Pipeline {
         CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
              WHEN 2 THEN 'windows-1251' ELSE 'euc-kr' END AS charset,
         false AS quarantined,
-        md5('<html><head><meta charset="' ||
-            (CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
-                  WHEN 2 THEN 'windows-1251' ELSE 'euc-kr' END) ||
-            '"></head><body><p>' || text ||
-            (CASE doc_id % 4 WHEN 0 THEN ' — żółć' WHEN 1 THEN ' 日本語'
-                  WHEN 2 THEN ' русский' ELSE ' 한국어' END) ||
-            '</p></body></html>') AS text_md5
+        md5(
+          (CASE WHEN doc_id % 4 = 1 THEN '<html><body><p>'
+                ELSE '<html><head><meta charset="' ||
+                  (CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                        WHEN 2 THEN 'windows-1251' ELSE 'euc-kr' END) ||
+                  '"></head><body><p>' END) || text ||
+          (CASE doc_id % 4 WHEN 0 THEN ' — żółć' WHEN 1 THEN ' 日本語'
+                WHEN 2 THEN ' русский' ELSE ' 한국어' END) ||
+          '</p></body></html>') AS text_md5
       FROM documents WHERE doc_id < 250 ORDER BY doc_id
     """.trim)
   )

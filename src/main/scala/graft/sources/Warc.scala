@@ -44,6 +44,7 @@ object Warc {
       http_status: Int,
       mime: String,
       content_encoding: String, // normalized token, "identity" if absent
+      charset_param: String, // Content-Type charset parameter, if declared
       payload: Array[Byte],
       error: String)
 
@@ -82,10 +83,10 @@ object Warc {
         val wType = header(headers, "warc-type").getOrElse("unknown")
         val uri = header(headers, "warc-target-uri").orNull
         val date = header(headers, "warc-date").orNull
-        val (status, mime, enc, payload, err) =
+        val (status, mime, enc, cs, payload, err) =
           if (wType == "response" && looksHttp(block)) parseHttp(block, idx)
-          else (-1, null, null, block, null)
-        recs += WarcRecord(fileId, idx, wType, uri, date, status, mime, enc, payload, err)
+          else (-1, null, null, null, block, null)
+        recs += WarcRecord(fileId, idx, wType, uri, date, status, mime, enc, cs, payload, err)
         at = bodyAt + len
         idx += 1
       }
@@ -137,14 +138,26 @@ object Warc {
     * quarantines the RECORD: error set, raw (still-encoded) payload
     * kept for forensics — text tiers must filter `error IS NULL`. */
   private def parseHttp(block: Array[Byte], idx: Int)
-      : (Int, String, String, Array[Byte], String) = {
+      : (Int, String, String, String, Array[Byte], String) = {
     val (headers, bodyAt) = readHeaderBlock(block, 0)
     val statusLine = headers.head._1
     val parts = statusLine.split(" ")
     require(parts.length >= 2, s"WARC: record $idx bad HTTP status line '$statusLine'")
     val status = parts(1).toInt
-    val mime = header(headers, "content-type")
+    val ctypeRaw = header(headers, "content-type")
+    val mime = ctypeRaw
       .map(v => v.split(";")(0).trim.toLowerCase(java.util.Locale.ROOT)).orNull
+    // the charset parameter feeds graft.operators.Charsets (step 2 of
+    // the WHATWG sniff order) — kept as its own column since `mime`
+    // pins the parameter-stripped contract
+    val charsetParam = ctypeRaw.flatMap { v =>
+      val m = java.util.regex.Pattern
+        .compile("""(?i)charset\s*=\s*("[^"]*"|'[^']*'|[^\s;,]+)""").matcher(v)
+      if (m.find())
+        Some(m.group(1).stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("'").stripSuffix("'").trim.toLowerCase(java.util.Locale.ROOT))
+      else None
+    }.orNull
     var body = java.util.Arrays.copyOfRange(block, bodyAt, block.length)
     if (header(headers, "transfer-encoding").exists(_.toLowerCase.contains("chunked")))
       body = dechunk(body, idx)
@@ -175,7 +188,7 @@ object Warc {
         }
       }
     }
-    (status, mime, encLabel, body, err)
+    (status, mime, encLabel, charsetParam, body, err)
   }
 
   private def gunzip(b: Array[Byte]): Array[Byte] = {
@@ -244,7 +257,7 @@ object Warc {
       try parseWarc(f.id, f.bytes)
       catch {
         case scala.util.control.NonFatal(e) if keepCorrupt =>
-          Seq(WarcRecord(f.id, -1, null, null, null, -1, null, null, null,
+          Seq(WarcRecord(f.id, -1, null, null, null, -1, null, null, null, null,
             s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }
     }
