@@ -1093,6 +1093,26 @@ object Drive {
       try { graft.sources.Zstd.decompress(sample); println("UNEXPECTED") }
       catch { case e: RuntimeException => println(s"caught dictless decode: ${e.getMessage.take(60)}") }
     }
+    locally {
+      println("=== r10: ccitt fax + pdf embedded images ===")
+      import spark.implicits._
+      // a CCITT-G4 strip wrapped as a PDF image XObject, decoded via
+      // the Spark surface; a JPX image quarantines loudly beside it
+      val strip = java.util.Base64.getDecoder.decode(graft.queries.CcittFixtures.g4StripB64)
+      val (w0, h0) = (graft.queries.CcittFixtures.g4StripW, graft.queries.CcittFixtures.g4StripH)
+      val pdf = graft.sources.Pdf.encodePdfImages(Seq(
+        ("CCITTFaxDecode", w0, h0,
+          s"/ColorSpace /DeviceGray /BitsPerComponent 1 /DecodeParms << /K -1 /Columns $w0 /Rows $h0 >>", strip),
+        ("JPXDecode", 4, 4, "/ColorSpace /DeviceRGB /BitsPerComponent 8", Array[Byte](1))))
+      graft.sources.Pdf.images(Seq(graft.sources.Pdf.PdfDoc(1, pdf)).toDS(), keepCorrupt = true)
+        .toDF().select("obj", "width", "height", "filter", "luma_sum", "error").show(20, 48)
+      // G3 K>=0 in PDF refuses by name
+      val g3pdf = graft.sources.Pdf.encodePdfImages(Seq(("CCITTFaxDecode", 8, 2,
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 /DecodeParms << /K 0 /Columns 8 /Rows 2 >>",
+        Array[Byte](0, 0))))
+      val g3row = graft.sources.Pdf.extractImages(g3pdf).head
+      println(s"caught G3-in-PDF: ${g3row.quarantine.take(60)}")
+    }
     println("DRIVE_DONE")
     spark.stop()
   }
