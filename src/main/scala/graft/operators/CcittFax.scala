@@ -175,9 +175,12 @@ object CcittFax {
             val t1 = base + r1
             val t2 = t1 + r2
             require(t2 <= width, s"ccitt: horizontal runs overshoot ($t2 > $width)")
-            if (t1 < width) { tr(n) = t1; n += 1 }
-            if (t2 < width && t2 > t1) { tr(n) = t2; n += 1 }
-            else if (t2 < width && t2 == t1) { /* zero second run: no extra transition */ }
+            // two transitions (color→opp at t1, opp→color at t2); a
+            // zero second run makes them annihilate — record neither
+            if (t2 > t1) {
+              if (t1 < width) { tr(n) = t1; n += 1 }
+              if (t2 < width) { tr(n) = t2; n += 1 }
+            }
             a0 = t2
             if (a0 >= width) return n
           } else {
