@@ -62,6 +62,42 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(streamed == batch && batch.length == 6)
   }
 
+  test("content-encoded WARC + pdf images stream == batch (r10 tiers)") {
+    // content-encoded bodies through the streaming record walk
+    val files = (0 until 3).map { g =>
+      val recs = Seq("gzip", "br", "zstd").zipWithIndex.map { case (enc, i) =>
+        (s"http://e.com/$g/$i", "2026-01-01T00:00:00Z", "text/html; charset=utf-8",
+          enc, s"<p>streamed $g-$i</p>".getBytes("UTF-8"))
+      }
+      graft.sources.Warc.WarcFile(g, graft.sources.Warc.encodeWarcEnc(recs))
+    }
+    def extract(ds: org.apache.spark.sql.Dataset[graft.sources.Warc.WarcFile]) =
+      graft.sources.Warc.records(ds).toDF()
+        .select(col("file_id"), col("content_encoding"), col("charset_param"),
+          col("payload").cast("string"))
+    val streamed = runStream(files)(extract)
+    val batch = extract(files.toDS()).collect().map(_.mkString("|")).sorted.toSeq
+    assert(streamed == batch && batch.length == 9)
+
+    // embedded-image extraction (CCITT + JPX quarantine) under streaming
+    val strip = java.util.Base64.getDecoder.decode(graft.queries.CcittFixtures.g4StripB64)
+    val (w0, h0) = (graft.queries.CcittFixtures.g4StripW, graft.queries.CcittFixtures.g4StripH)
+    val docs = (0 until 2).map { i =>
+      graft.sources.Pdf.PdfDoc(i, graft.sources.Pdf.encodePdfImages(Seq(
+        ("CCITTFaxDecode", w0, h0,
+          s"/ColorSpace /DeviceGray /BitsPerComponent 1 /DecodeParms << /K -1 /Columns $w0 /Rows $h0 >>",
+          strip),
+        ("JPXDecode", 4, 4, "/ColorSpace /DeviceRGB /BitsPerComponent 8", Array[Byte](1)))))
+    }
+    def extractImgs(ds: org.apache.spark.sql.Dataset[graft.sources.Pdf.PdfDoc]) =
+      graft.sources.Pdf.images(ds, keepCorrupt = true).toDF()
+        .select(col("id"), col("obj"), col("filter"), col("luma_sum"),
+          col("error").isNotNull.as("quarantined"))
+    val streamedImgs = runStream(docs)(extractImgs)
+    val batchImgs = extractImgs(docs.toDS()).collect().map(_.mkString("|")).sorted.toSeq
+    assert(streamedImgs == batchImgs && batchImgs.length == 4)
+  }
+
   test("subtitle cues stream == batch, quarantine rows included") {
     val files = Seq(
       graft.sources.Subtitles.SubFile(1,
