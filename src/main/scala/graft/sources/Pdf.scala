@@ -578,11 +578,16 @@ object Pdf {
               px.map(0xff000000 | _)
             case "FlateDecode" =>
               val predictor = dictInt(dict, "Predictor", 1)
-              require(predictor == 1, s"PDF: image predictor $predictor unsupported")
+              require(predictor == 1 || predictor >= 10,
+                s"PDF: image predictor $predictor unsupported")
+              val channels = if (rgbSpace) 3 else 1
+              val rowB = if (rgbSpace) w * 3 else (w * bpc + 7) / 8
+              // PNG predictors (10-15) prefix every row with a filter byte
+              val need = if (predictor >= 10) (rowB + 1) * h
+                         else if (rgbSpace) w * h * 3 else rowB * h
               val inf = new java.util.zip.Inflater()
               inf.setInput(raw)
-              val need = if (rgbSpace) w * h * 3 else (w * bpc + 7) / 8 * h
-              val buf = new Array[Byte](need)
+              var buf = new Array[Byte](need)
               var filled = 0
               while (filled < need && !inf.finished()) {
                 val k = inf.inflate(buf, filled, need - filled)
@@ -591,6 +596,41 @@ object Pdf {
               }
               inf.end()
               require(filled == need, s"PDF: image stream short ($filled of $need)")
+              if (predictor >= 10) {
+                // unfilter per PNG spec (bpp = bytes per pixel, min 1)
+                require(bpc == 8, s"PDF: PNG predictor at bpc $bpc unsupported")
+                val bpp = channels
+                val out2 = new Array[Byte](rowB * h)
+                var y = 0
+                while (y < h) {
+                  val f = buf(y * (rowB + 1)) & 0xff
+                  val src = y * (rowB + 1) + 1
+                  val dst = y * rowB
+                  var x = 0
+                  while (x < rowB) {
+                    val cur = buf(src + x) & 0xff
+                    val a = if (x >= bpp) out2(dst + x - bpp) & 0xff else 0
+                    val b = if (y > 0) out2(dst - rowB + x) & 0xff else 0
+                    val c = if (x >= bpp && y > 0) out2(dst - rowB + x - bpp) & 0xff else 0
+                    val v = f match {
+                      case 0 => cur
+                      case 1 => cur + a
+                      case 2 => cur + b
+                      case 3 => cur + (a + b) / 2
+                      case 4 =>
+                        val p0 = a + b - c
+                        val pa = math.abs(p0 - a); val pb = math.abs(p0 - b); val pc = math.abs(p0 - c)
+                        cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+                      case other => throw new IllegalArgumentException(
+                        s"PDF: unknown PNG row filter $other")
+                    }
+                    out2(dst + x) = v.toByte
+                    x += 1
+                  }
+                  y += 1
+                }
+                buf = out2
+              }
               if (rgbSpace) Array.tabulate(w * h)(i => 0xff000000 |
                 ((buf(3 * i) & 0xff) << 16) | ((buf(3 * i + 1) & 0xff) << 8) | (buf(3 * i + 2) & 0xff))
               else if (bpc == 8) Array.tabulate(w * h) { i =>

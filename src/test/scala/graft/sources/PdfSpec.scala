@@ -176,6 +176,50 @@ class PdfSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"image extraction must stay map-only:\n$plan")
   }
 
+  test("Flate images with PNG predictors (10-15): every row filter unfilters exactly") {
+    val w = 13; val h = 10
+    val rgb = Array.tabulate(w * h)(i => ((i * 53) % 256 << 16) | ((i * 19) % 256 << 8) | (i * 7) % 256)
+    val bpp = 3
+    val rowB = w * bpp
+    val rawRows = Array.tabulate(h, rowB) { (y, x) =>
+      val px = rgb(y * w + x / 3)
+      (((px >> (16 - 8 * (x % 3))) & 0xff)).toByte
+    }
+    // forward-filter per PNG spec, cycling filters 0..4 across rows
+    val filtered = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val f = y % 5
+      filtered.write(f)
+      for (x <- 0 until rowB) {
+        val cur = rawRows(y)(x) & 0xff
+        val a = if (x >= bpp) rawRows(y)(x - bpp) & 0xff else 0
+        val b = if (y > 0) rawRows(y - 1)(x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) rawRows(y - 1)(x - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ =>
+            val p0 = a + b - c
+            val pa = math.abs(p0 - a); val pb = math.abs(p0 - b); val pc = math.abs(p0 - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        filtered.write((cur - pred) & 0xff)
+      }
+    }
+    val d = new java.util.zip.Deflater(); d.setInput(filtered.toByteArray); d.finish()
+    val bo = new java.io.ByteArrayOutputStream(); val tmp = new Array[Byte](8192)
+    while (!d.finished()) bo.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    val pdf = Pdf.encodePdfImages(Seq(("FlateDecode", w, h,
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+        "/DecodeParms << /Predictor 15 /Colors 3 /Columns 13 >>", bo.toByteArray)))
+    val got = Pdf.extractImages(pdf)
+    assert(got.head.quarantine == null, String.valueOf(got.head.quarantine))
+    assert(got.head.argb.map(_ & 0xffffff).toSeq == rgb.toSeq)
+  }
+
   test("NUL in shown text quarantines (2-byte codes through an undeclared font)") {
     // hex show string with 2-byte CID codes: <00480065> = NUL-laced
     val cs = "BT /F1 9 Tf 10 20 Td <00480065006C006C006F> Tj ET"
