@@ -159,6 +159,9 @@ object Pdf {
     ToUnicode(eff, map.toMap)
   }
 
+  /** `/Decode [1 0]` inversion array (whitespace-tolerant). */
+  private val DecodeInvRe = """/Decode\s*\[\s*1\s+0\s*\]""".r
+
   /** Per-font show-string decoder: simple fonts pass Latin-1 bytes
     * through; Type0/CID fonts decode through their embedded ToUnicode. */
   private[sources] sealed trait FontDec
@@ -646,16 +649,29 @@ object Pdf {
               else throw new IllegalArgumentException(s"PDF: image bpc $bpc unsupported")
             case "CCITTFaxDecode" =>
               val k = dictInt(dict, "K", 0)
-              require(k < 0, s"PDF: CCITTFaxDecode K=$k unsupported (G4 only)")
+              val byteAlign = dict.contains("/EncodedByteAlign true")
+              // K<0 = G4 (the scanner default); K=0 with EncodedByteAlign
+              // = byte-aligned 1D MH rows, exactly TIFF's CCITTRLE framing
+              require(k < 0 || (k == 0 && byteAlign),
+                s"PDF: CCITTFaxDecode K=$k${if (byteAlign) " aligned" else ""} unsupported")
               val cols = dictInt(dict, "Columns", 1728)
               val rows = dictInt(dict, "Rows", h)
               require(cols == w && rows == h, "PDF: CCITT dims disagree with image dims")
               val packed = graft.operators.CcittFax.decode(
-                raw, 0, raw.length, cols, rows, 4, 0, lsbFill = false)
+                raw, 0, raw.length, cols, rows, if (k < 0) 4 else 2, 0, lsbFill = false)
+              // /BlackIs1 false (the default) emits sample 0 for coded
+              // black; a /Decode [1 0] array inverts the sample→gray
+              // map. Their XOR decides whether coded-black renders as
+              // ink (black pixels) or inverts.
+              val blackIs1 = dict.contains("/BlackIs1 true")
+              val decodeInv = DecodeInvRe.findFirstIn(dict).isDefined
               val nb = (cols + 7) / 8
+              val (inkPx, bgPx) =
+                if (blackIs1 ^ decodeInv) (0xffffffff, 0xff000000)
+                else (0xff000000, 0xffffffff)
               Array.tabulate(w * h) { i =>
                 val bit = (packed((i / w) * nb + ((i % w) >> 3)) >> (7 - (i % w & 7))) & 1
-                if (bit == 1) 0xff000000 else 0xffffffff // coded black = ink
+                if (bit == 1) inkPx else bgPx
               }
             case other =>
               throw new IllegalArgumentException(

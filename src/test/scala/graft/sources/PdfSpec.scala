@@ -176,6 +176,56 @@ class PdfSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"image extraction must stay map-only:\n$plan")
   }
 
+  test("fax-PDF reality: K=0 byte-aligned G3, BlackIs1 and /Decode [1 0] inversions") {
+    def res(path: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(path)
+      require(in != null, path)
+      try in.readAllBytes() finally in.close()
+    }
+    def stripOf(name: String): (Array[Byte], Int, Int) = {
+      val tif = res(s"/ccitt/$name.tif")
+      def u16(i: Int) = (tif(i) & 0xff) | ((tif(i + 1) & 0xff) << 8)
+      def u32(i: Int) = u16(i) | (u16(i + 2) << 16)
+      val ifd = u32(4)
+      var so = 0; var sc = 0; var gw = 0; var gh = 0
+      for (k <- 0 until u16(ifd)) {
+        val e = ifd + 2 + 12 * k
+        val typ = u16(e + 2)
+        val v = if (typ == 3) u16(e + 8) else u32(e + 8)
+        u16(e) match {
+          case 256 => gw = v; case 257 => gh = v
+          case 273 => so = v; case 279 => sc = v; case _ => ()
+        }
+      }
+      (java.util.Arrays.copyOfRange(tif, so, so + sc), gw, gh)
+    }
+    // K=0 + EncodedByteAlign = the CCITTRLE framing libtiff wrote
+    val (rle, rw, rh) = stripOf("rle_text")
+    val golden = res("/ccitt/rle_text.golden")
+    val pdf = Pdf.encodePdfImages(Seq(("CCITTFaxDecode", rw, rh,
+      s"/BitsPerComponent 1 /DecodeParms << /K 0 /EncodedByteAlign true /Columns $rw /Rows $rh >>", rle)))
+    val got = Pdf.extractImages(pdf).head
+    assert(got.quarantine == null, String.valueOf(got.quarantine))
+    val nb = (rw + 7) / 8
+    (0 until rw * rh).foreach { i =>
+      val bit = (golden(8 + (i / rw) * nb + ((i % rw) >> 3)) >> (7 - (i % rw & 7))) & 1
+      assert((got.argb(i) & 0xffffff) == (if (bit == 1) 0x000000 else 0xffffff), s"px $i")
+    }
+    // /Decode [1 0] inverts the rendering; BlackIs1 true likewise;
+    // both together cancel
+    def inkCount(decodeArr: String, blackIs1: Boolean): Int = {
+      val (s2, w2, h2) = stripOf("g4_text")
+      val bi = if (blackIs1) "/BlackIs1 true " else ""
+      val p2 = Pdf.encodePdfImages(Seq(("CCITTFaxDecode", w2, h2,
+        s"/BitsPerComponent 1 $decodeArr/DecodeParms << /K -1 $bi/Columns $w2 /Rows $h2 >>", s2)))
+      Pdf.extractImages(p2).head.argb.count(p0 => (p0 & 0xffffff) == 0)
+    }
+    val plain = inkCount("", blackIs1 = false)
+    assert(inkCount("/Decode [1 0] ", blackIs1 = false) == 211 * 40 - plain)
+    assert(inkCount("", blackIs1 = true) == 211 * 40 - plain)
+    assert(inkCount("/Decode [1 0] ", blackIs1 = true) == plain)
+  }
+
   test("Flate images with PNG predictors (10-15): every row filter unfilters exactly") {
     val w = 13; val h = 10
     val rgb = Array.tabulate(w * h)(i => ((i * 53) % 256 << 16) | ((i * 19) % 256 << 8) | (i * 7) % 256)
