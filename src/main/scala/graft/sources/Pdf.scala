@@ -565,7 +565,15 @@ object Pdf {
         val h = dictInt(dict, "Height", -1)
         val len = dictInt(dict, "Length", -1)
         val bpc = dictInt(dict, "BitsPerComponent", 8)
-        val filter = """(?s)/Filter\s*/(\w+)""".r.findFirstMatchIn(dict).map(_.group(1)).getOrElse("")
+        // /Filter may be a name or an array; a one-element array is the
+        // same filter, longer chains refuse by name below
+        val filterNames = """(?s)/Filter\s*(\[[^\]]*\]|/\w+)""".r.findFirstMatchIn(dict)
+          .map(m => """/(\w+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+          .getOrElse(Seq.empty)
+        val filter =
+          if (filterNames.length == 1) filterNames.head
+          else if (filterNames.isEmpty) ""
+          else filterNames.mkString("+")
         val rgbSpace = dict.contains("/DeviceRGB")
         try {
           require(w > 0 && h > 0 && len >= 0, s"PDF: image object $n missing dims/length")
