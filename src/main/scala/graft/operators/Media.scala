@@ -243,7 +243,7 @@ object Media {
     * 256 = Clear / 257 = EOI, 9→12-bit widths with the EARLY-CHANGE
     * convention (width grows when the NEXT entry would be 2^width − 1,
     * one code before GIF would). Returns exactly `need` bytes. */
-  private[operators] def tiffLzwDecode(p: Array[Byte], off: Int, cnt: Int, need: Int): Array[Byte] = {
+  private[graft] def tiffLzwDecode(p: Array[Byte], off: Int, cnt: Int, need: Int): Array[Byte] = {
     val out = new Array[Byte](need)
     var at = 0
     val prefix = new Array[Int](4096)

@@ -162,6 +162,90 @@ object Pdf {
   /** `/Decode [1 0]` inversion array (whitespace-tolerant). */
   private val DecodeInvRe = """/Decode\s*\[\s*1\s+0\s*\]""".r
 
+  /** /RunLengthDecode (§7.4.5): control 0-127 copies n+1 literals,
+    * 129-255 repeats the next byte 257-n times, 128 = EOD. */
+  private[sources] def runLengthDecode(p: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = from
+    var done = false
+    while (!done) {
+      require(i < until, "PDF: RunLength stream missing EOD")
+      val ctl = p(i) & 0xff; i += 1
+      if (ctl == 128) done = true
+      else if (ctl < 128) {
+        require(i + ctl + 1 <= until, "PDF: RunLength literal truncated")
+        out.write(p, i, ctl + 1); i += ctl + 1
+      } else {
+        require(i < until, "PDF: RunLength repeat truncated")
+        val n = 257 - ctl
+        var k = 0
+        while (k < n) { out.write(p(i)); k += 1 }
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** /ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, '>' =
+    * EOD, an odd trailing digit pads with 0. */
+  private[sources] def asciiHexDecode(p: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = from
+    var done = false
+    while (!done) {
+      require(i < until, "PDF: ASCIIHex stream missing EOD")
+      val c = (p(i) & 0xff).toChar; i += 1
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        require(v >= 0, s"PDF: ASCIIHex bad digit '$c'")
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+      }
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** /ASCII85Decode (§7.4.3): groups of 5 chars '!'..'u' are a base-85
+    * big-endian u32 (4 bytes); 'z' = four zero bytes (group start
+    * only); a partial final group of n chars yields n-1 bytes ('u'
+    * padded); "~>" = EOD. */
+  private[sources] def ascii85Decode(p: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = from
+    var done = false
+    def flush(cnt: Int): Unit = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < cnt) grp(k) else 84); k += 1 }
+      require(v <= 0xffffffffL, "PDF: ASCII85 group overflows 32 bits")
+      val bytes = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bytes, 0, cnt - 1)
+    }
+    while (!done) {
+      require(i < until, "PDF: ASCII85 stream missing EOD")
+      val c = (p(i) & 0xff).toChar; i += 1
+      if (c == '~') {
+        require(i < until && p(i) == '>', "PDF: ASCII85 bad EOD")
+        require(n != 1, "PDF: ASCII85 lone trailing character")
+        if (n > 0) flush(n)
+        done = true
+      } else if (c == 'z') {
+        require(n == 0, "PDF: ASCII85 'z' inside a group")
+        out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      } else if (!c.isWhitespace) {
+        require(c >= '!' && c <= 'u', s"PDF: ASCII85 bad char '$c'")
+        grp(n) = c - '!'; n += 1
+        if (n == 5) { flush(5); n = 0 }
+      }
+    }
+    out.toByteArray
+  }
+
   /** Per-font show-string decoder: simple fonts pass Latin-1 bytes
     * through; Type0/CID fonts decode through their embedded ToUnicode. */
   private[sources] sealed trait FontDec
@@ -255,7 +339,11 @@ object Pdf {
         }
         inf.end()
         out.toByteArray
-      } else throw new IllegalArgumentException(s"PDF: filter unsupported: $filter")
+      }
+      else if (filter == "/RunLengthDecode") runLengthDecode(raw, 0, raw.length)
+      else if (filter == "/ASCIIHexDecode") asciiHexDecode(raw, 0, raw.length)
+      else if (filter == "/ASCII85Decode") ascii85Decode(raw, 0, raw.length)
+      else throw new IllegalArgumentException(s"PDF: filter unsupported: $filter")
     }
 
     // ---- non-simple-font detection (the quarantine trigger) ----------
@@ -587,26 +675,50 @@ object Pdf {
                 graft.operators.Jpeg.withStdHuffmanIfMissing(raw))
               require(jw == w && jh == h, s"PDF: DCT dims $jw x $jh != declared $w x $h")
               px.map(0xff000000 | _)
-            case "FlateDecode" =>
+            case "FlateDecode" | "LZWDecode" | "RunLengthDecode" | "ASCIIHexDecode" | "ASCII85Decode" =>
               val predictor = dictInt(dict, "Predictor", 1)
               require(predictor == 1 || predictor >= 10,
                 s"PDF: image predictor $predictor unsupported")
+              require(predictor == 1 || filter == "FlateDecode" || filter == "LZWDecode",
+                s"PDF: predictor with /$filter unsupported")
+              if (filter == "LZWDecode")
+                require(dictInt(dict, "EarlyChange", 1) == 1,
+                  "PDF: LZW EarlyChange 0 unsupported")
               val channels = if (rgbSpace) 3 else 1
               val rowB = if (rgbSpace) w * 3 else (w * bpc + 7) / 8
               // PNG predictors (10-15) prefix every row with a filter byte
               val need = if (predictor >= 10) (rowB + 1) * h
                          else if (rgbSpace) w * h * 3 else rowB * h
-              val inf = new java.util.zip.Inflater()
-              inf.setInput(raw)
-              var buf = new Array[Byte](need)
-              var filled = 0
-              while (filled < need && !inf.finished()) {
-                val k = inf.inflate(buf, filled, need - filled)
-                require(k > 0 || inf.finished(), "PDF: truncated image Flate stream")
-                filled += k
+              var buf = filter match {
+                case "FlateDecode" =>
+                  val inf = new java.util.zip.Inflater()
+                  inf.setInput(raw)
+                  val b = new Array[Byte](need)
+                  var filled = 0
+                  while (filled < need && !inf.finished()) {
+                    val k = inf.inflate(b, filled, need - filled)
+                    require(k > 0 || inf.finished(), "PDF: truncated image Flate stream")
+                    filled += k
+                  }
+                  inf.end()
+                  require(filled == need, s"PDF: image stream short ($filled of $need)")
+                  b
+                case "LZWDecode" =>
+                  // PDF LZW with EarlyChange=1 IS TIFF §13 LZW
+                  graft.operators.Media.tiffLzwDecode(raw, 0, raw.length, need)
+                case "RunLengthDecode" =>
+                  val b = runLengthDecode(raw, 0, raw.length)
+                  require(b.length == need, s"PDF: RunLength yields ${b.length}, need $need")
+                  b
+                case "ASCIIHexDecode" =>
+                  val b = asciiHexDecode(raw, 0, raw.length)
+                  require(b.length == need, s"PDF: ASCIIHex yields ${b.length}, need $need")
+                  b
+                case _ =>
+                  val b = ascii85Decode(raw, 0, raw.length)
+                  require(b.length == need, s"PDF: ASCII85 yields ${b.length}, need $need")
+                  b
               }
-              inf.end()
-              require(filled == need, s"PDF: image stream short ($filled of $need)")
               if (predictor >= 10) {
                 // unfilter per PNG spec (bpp = bytes per pixel, min 1)
                 require(bpc == 8, s"PDF: PNG predictor at bpc $bpc unsupported")

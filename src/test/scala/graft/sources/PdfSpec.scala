@@ -270,6 +270,90 @@ class PdfSpec extends SparkTestBase {
     assert(got.head.argb.map(_ & 0xffffff).toSeq == rgb.toSeq)
   }
 
+  test("image filter matrix: LZW (libtiff golden), RunLength, ASCIIHex, ASCII85") {
+    def res(path: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(path)
+      require(in != null, path)
+      try in.readAllBytes() finally in.close()
+    }
+    // LZW: a real libtiff-compressed gray strip (PDF EarlyChange=1 is
+    // TIFF §13 LZW exactly)
+    val lzw = res("/ccitt/lzw_gray.strip")
+    val lzwGold = res("/ccitt/lzw_gray.golden")
+    def be32(b: Array[Byte], i: Int) = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    val (lw, lh) = (be32(lzw, 0), be32(lzw, 4))
+    val strip = java.util.Arrays.copyOfRange(lzw, 8, lzw.length)
+    val gray = Array.tabulate(lw * lh)(i => lzwGold(8 + i) & 0xff)
+
+    // RunLength / ASCIIHex / ASCII85: forward-encode the same plane
+    def rle(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < b.length) {
+        var run = 1
+        while (i + run < b.length && run < 128 && b(i + run) == b(i)) run += 1
+        if (run >= 2) { out.write(257 - run); out.write(b(i)); i += run }
+        else {
+          var lit = 1
+          while (i + lit < b.length && lit < 128 &&
+            (i + lit + 1 >= b.length || b(i + lit) != b(i + lit + 1))) lit += 1
+          out.write(lit - 1); out.write(b, i, lit); i += lit
+        }
+      }
+      out.write(128)
+      out.toByteArray
+    }
+    def hexEnc(b: Array[Byte]): Array[Byte] =
+      (b.map(x => f"${x & 0xff}%02x").mkString + ">").getBytes("US-ASCII")
+    def a85Enc(b: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < b.length) {
+        val cnt = math.min(4, b.length - i)
+        var v = 0L
+        for (k <- 0 until 4) v = (v << 8) | (if (k < cnt) b(i + k) & 0xffL else 0L)
+        if (cnt == 4 && v == 0) sb.append('z')
+        else {
+          val ds = new Array[Int](5)
+          var t = v
+          for (k <- 4 to 0 by -1) { ds(k) = (t % 85).toInt; t /= 85 }
+          for (k <- 0 to cnt) sb.append(('!' + ds(k)).toChar)
+        }
+        i += cnt
+      }
+      sb.append("~>").toString.getBytes("US-ASCII")
+    }
+    val plane = gray.map(_.toByte)
+    val imgs = Seq(
+      ("LZWDecode", strip),
+      ("RunLengthDecode", rle(plane)),
+      ("ASCIIHexDecode", hexEnc(plane)),
+      ("ASCII85Decode", a85Enc(plane)))
+    imgs.foreach { case (f, bytes) =>
+      val pdf = Pdf.encodePdfImages(Seq((f, lw, lh,
+        "/ColorSpace /DeviceGray /BitsPerComponent 8", bytes)))
+      val got = Pdf.extractImages(pdf).head
+      assert(got.quarantine == null, s"$f: ${got.quarantine}")
+      assert(got.argb.map(p0 => (p0 >> 16) & 0xff).toSeq == gray.toSeq, f)
+    }
+    // content streams through the new filters too: a page whose Tj
+    // stream is RunLength-coded extracts the same text
+    val cs = "BT /F1 12 Tf 72 720 Td (filters compose) Tj ET".getBytes("ISO-8859-1")
+    val pdfBytes = {
+      val plain = Pdf.encodePdfText(Seq(Seq("x")))
+      val s0 = new String(plain, "ISO-8859-1")
+      val enc = rle(cs)
+      val patched = s0.replaceFirst(
+        """<< /Length \d+ /Filter /FlateDecode >>\nstream\n[\s\S]*?\nendstream""",
+        java.util.regex.Matcher.quoteReplacement(
+          s"<< /Length ${enc.length} /Filter /RunLengthDecode >>\nstream\n" +
+            new String(enc, "ISO-8859-1") + "\nendstream"))
+      patched.getBytes("ISO-8859-1")
+    }
+    assert(Pdf.extractText(pdfBytes) == Seq("filters compose"))
+  }
+
   test("NUL in shown text quarantines (2-byte codes through an undeclared font)") {
     // hex show string with 2-byte CID codes: <00480065> = NUL-laced
     val cs = "BT /F1 9 Tf 10 20 Td <00480065006C006C006F> Tj ET"
