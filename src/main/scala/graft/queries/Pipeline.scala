@@ -5459,10 +5459,48 @@ object Pipeline {
     """.trim)
   )
 
+  /** LZ4 decode gate ([[graft.sources.Lz4]]): ten embedded REAL
+    * system-lz4 frames ([[Lz4Fixtures]] — multi-block, block-dependent,
+    * per-block checksums, stored blocks, legacy frame, concatenated
+    * frames) decompress to their pinned lengths + md5s, and a
+    * truncated frame must refuse. Pins come from the payload
+    * DEFINITIONS in `tools/gen_lz4_fixtures.py`, not this decoder. */
+  val lz4Decode: QueryDef = QueryDef(
+    "lz4_decode",
+    (s, dir) => {
+      import s.implicits._
+      val rows = graft.queries.Lz4Fixtures.all.map { case (n, b64, _, _) => (n, b64) } :+
+        (("corrupt", graft.queries.Lz4Fixtures.all.head._2.take(40)))
+      s.createDataset(rows).repartition(rows.size)
+        .map { case (name, b64) =>
+          try {
+            val d = graft.sources.Lz4.decompress(java.util.Base64.getDecoder.decode(b64))
+            val md = java.security.MessageDigest.getInstance("MD5").digest(d)
+            (name, d.length.toLong, md.map("%02x".format(_)).mkString, "ok")
+          } catch {
+            case scala.util.control.NonFatal(_) => (name, -1L, "", "refused")
+          }
+        }
+        .toDF("name", "n_bytes", "payload_md5", "status")
+        .orderBy("name")
+    },
+    Some {
+      val vals = graft.queries.Lz4Fixtures.all
+        .map { case (n, _, len, md5) => s"('$n', CAST($len AS BIGINT), '$md5', 'ok')" }
+        .mkString(",\n          ") + ",\n          ('corrupt', CAST(-1 AS BIGINT), '', 'refused')"
+      s"""
+      SELECT * FROM (VALUES
+          $vals) AS t(name, n_bytes, payload_md5, status)
+      ORDER BY name
+      """.trim
+    }
+  )
+
   /** Wrapped-archive routing ([[graft.sources.Archives.autoEntries]]):
-    * the same two-entry ustar under all four wrappers — REAL system
-    * tar.bz2 and tar.xz (embedded), runtime tar.zst (store frames) and
-    * tar.gz — must yield identical entry relations. */
+    * the same two-entry ustar under all five wrappers — REAL system
+    * tar.bz2 and tar.xz (embedded), runtime tar.zst (store frames),
+    * tar.gz and tar.lz4 (store blocks) — must yield identical entry
+    * relations. */
   val archiveWrapped: QueryDef = QueryDef(
     "archive_wrapped",
     (s, dir) => {
@@ -5479,14 +5517,16 @@ object Pipeline {
           val o = new java.io.ByteArrayOutputStream()
           val g = new java.util.zip.GZIPOutputStream(o)
           g.write(innerTar); g.close(); o.toByteArray
-        })).toDS().repartition(4)
+        }),
+        graft.sources.Archives.ArchiveFile(5, graft.sources.Lz4.encodeRawFrame(innerTar))
+      ).toDS().repartition(5)
       graft.sources.Archives.entries(files).toDF()
         .select(col("id"), col("entry"),
           md5(col("payload")).as("payload_md5"))
         .orderBy("id", "entry")
     },
     Some("""
-      SELECT id, entry, payload_md5 FROM (VALUES (1), (2), (3), (4)) AS w(id)
+      SELECT id, entry, payload_md5 FROM (VALUES (1), (2), (3), (4), (5)) AS w(id)
       CROSS JOIN (VALUES
         ('one.txt', '3c1f96f59cccaf67e88fd2fa1fc9a652'),
         ('two.txt', 'cbd265d54de958931f3f0c54226dc617')
@@ -6693,7 +6733,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

@@ -273,10 +273,10 @@ object Archives {
 
   /** Magic dispatch: zip (PK), gzip (unwrap, recurse once — covers
     * `.tar.gz`), else tar (validated by its own header checks). */
-  /** Magic-sniffed walk: zip, or tar under any of the four wrappers
-    * the dump ecosystem ships (gzip via the JDK, zstd/bzip2/xz via the
-    * in-repo decoders — `tar.zst`, `tar.bz2` and `tar.xz` are all
-    * routine in release/dump distribution). */
+  /** Magic-sniffed walk: zip, or tar under any of the five wrappers
+    * the dump ecosystem ships (gzip via the JDK, zstd/bzip2/xz/lz4 via
+    * the in-repo decoders — `tar.zst`, `tar.bz2`, `tar.xz` and
+    * `tar.lz4` are all routine in release/dump distribution). */
   def autoEntries(p: Array[Byte]): Seq[(String, Array[Byte])] = {
     require(p.length >= 4, "payload too short for any archive")
     if (p(0) == 'P' && p(1) == 'K') zipEntries(p)
@@ -296,6 +296,12 @@ object Archives {
     else if (p.length >= 6 && (p(0) & 0xff) == 0xfd && p(1) == '7' && p(2) == 'z' &&
       p(3) == 'X' && p(4) == 'Z' && p(5) == 0)
       autoEntries(Xz.decompress(p))
+    else if ((p(0) & 0xff) == 0x04 && (p(1) & 0xff) == 0x22 &&
+      (p(2) & 0xff) == 0x4d && (p(3) & 0xff) == 0x18)
+      autoEntries(Lz4.decompress(p)) // .tar.lz4 (modern frame)
+    else if ((p(0) & 0xff) == 0x02 && (p(1) & 0xff) == 0x21 &&
+      (p(2) & 0xff) == 0x4c && (p(3) & 0xff) == 0x18)
+      autoEntries(Lz4.decompress(p)) // legacy lz4 frame (lz4 -l)
     else tarEntries(p)
   }
 

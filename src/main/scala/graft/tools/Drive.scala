@@ -967,6 +967,18 @@ object Drive {
       catch { case e: IllegalArgumentException => println(s"caught truncated frame: ${e.getMessage}") }
     }
     locally {
+      println("=== lz4: store-frame round-trip, tar.lz4 routing, dict refusal ===")
+      val data = ("lz4 payload " * 40).getBytes("US-ASCII")
+      val framed = graft.sources.Lz4.encodeRawFrame(data)
+      val back = graft.sources.Lz4.decompress(framed)
+      println(s"round-trip ${data.length} -> ${framed.length} framed -> ${back.length} (equal=${java.util.Arrays.equals(data, back)})")
+      val tar = graft.sources.Archives.encodeTar(Seq(("doc.txt", data)))
+      val entries = graft.sources.Archives.autoEntries(graft.sources.Lz4.encodeRawFrame(tar))
+      println(s"tar.lz4 entries: ${entries.map(_._1).mkString(",")}")
+      try { graft.sources.Lz4.decompress(java.util.Arrays.copyOf(framed, framed.length - 3)); println("UNEXPECTED") }
+      catch { case e: IllegalArgumentException => println(s"caught truncated frame: ${e.getMessage}") }
+    }
+    locally {
       println("=== docx: OOXML paragraphs + xlsx refusal by name ===")
       import spark.implicits._
       val good = graft.sources.Docx.encodeDocx(Seq("First paragraph.", "A\tB & <c>"))

@@ -66,6 +66,12 @@ class DecoderRobustnessSpec extends AnyFunSuite with TimeLimits {
     sweep("alone", fixture("/xz/alone_small.lzma"), Xz.decompressAlone)
   }
 
+  test("lz4 terminates on all truncations and bit flips") {
+    sweep("lz4", fixture("/lz4/small_text.lz4"), Lz4.decompress)
+    sweep("lz4-runs", fixture("/lz4/runs.lz4"), Lz4.decompress)
+    sweep("lz4-legacy", fixture("/lz4/legacy.lz4"), Lz4.decompress)
+  }
+
   test("brotli terminates on all truncations and bit flips") {
     sweep("brotli", fixture("/brotli/text_q5.br"), Brotli.decompress)
     sweep("brotli-q11", fixture("/brotli/dictwords_q11.br"), Brotli.decompress)
