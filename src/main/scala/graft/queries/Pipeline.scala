@@ -5138,6 +5138,24 @@ object Pipeline {
       }
       sb.toString
     }
+
+    private def lcg(n: Int, mod: Int): Array[Int] = {
+      var x = 42L
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        java.lang.Long.remainderUnsigned(x >>> 33, mod.toLong).toInt
+      }
+    }
+
+    private val lcgWordList = Array("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta", "iota", "kappa")
+
+    /** Deterministic word soup (the fixture-generator LCG, seed 42). */
+    def lcgWords(n: Int): Array[Byte] =
+      lcg(n, 10).map(lcgWordList).mkString(" ").getBytes("US-ASCII")
+
+    /** Deterministic byte noise (same LCG). */
+    def lcgBytes(n: Int): Array[Byte] = lcg(n, 256).map(_.toByte)
   }
 
   private def emlMboxes(s: SparkSession, dir: String) = {
@@ -5494,6 +5512,81 @@ object Pipeline {
       ORDER BY name
       """.trim
     }
+  )
+
+  /** Snappy decode gate ([[graft.sources.Snappy]]): a RUNTIME golden —
+    * snappy-java (the library Spark itself ships for parquet, on the
+    * executor classpath) compresses deterministic payloads into all
+    * three layouts (raw block, framed stream, Hadoop block stream)
+    * inside the task, our from-scratch decoder decodes them, and the
+    * oracle pins each payload DEFINITION's length + md5. A decode
+    * drift against the reference library flips the gate. A truncated
+    * framed stream must refuse. */
+  val snappyDecode: QueryDef = QueryDef(
+    "snappy_decode",
+    (s, dir) => {
+      import s.implicits._
+      val names = Seq("raw_text", "raw_runs", "raw_random", "framed_text",
+        "framed_big", "hadoop_text", "corrupt")
+      s.createDataset(names).repartition(names.size)
+        .map { name =>
+          val text = ("the quick brown fox jumps over the lazy dog. " * 20).getBytes("US-ASCII")
+          val big = GateEnc.lcgWords(60000)
+          try {
+            val d: Array[Byte] = name match {
+              case "raw_text" => graft.sources.Snappy.decodeRaw(
+                org.xerial.snappy.Snappy.compress(text))
+              case "raw_runs" => graft.sources.Snappy.decodeRaw(
+                org.xerial.snappy.Snappy.compress(Array.fill(100000)('z'.toByte)))
+              case "raw_random" => graft.sources.Snappy.decodeRaw(
+                org.xerial.snappy.Snappy.compress(GateEnc.lcgBytes(5000)))
+              case "framed_text" => graft.sources.Snappy.decompressFramed {
+                val bo = new java.io.ByteArrayOutputStream()
+                val fo = new org.xerial.snappy.SnappyFramedOutputStream(bo)
+                fo.write(text); fo.close(); bo.toByteArray
+              }
+              case "framed_big" => graft.sources.Snappy.decompressFramed {
+                val bo = new java.io.ByteArrayOutputStream()
+                val fo = new org.xerial.snappy.SnappyFramedOutputStream(bo)
+                fo.write(big); fo.close(); bo.toByteArray
+              }
+              case "hadoop_text" => graft.sources.Snappy.decodeHadoop {
+                val raw = org.xerial.snappy.Snappy.compress(text)
+                val o = new java.io.ByteArrayOutputStream()
+                for (v <- Seq(text.length, raw.length)) {
+                  o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
+                  o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+                }
+                o.write(raw, 0, raw.length); o.toByteArray
+              }
+              case "corrupt" =>
+                val bo = new java.io.ByteArrayOutputStream()
+                val fo = new org.xerial.snappy.SnappyFramedOutputStream(bo)
+                fo.write(text); fo.close()
+                graft.sources.Snappy.decompressFramed(
+                  java.util.Arrays.copyOf(bo.toByteArray, bo.size() - 5))
+            }
+            val md = java.security.MessageDigest.getInstance("MD5").digest(d)
+            (name, d.length.toLong, md.map("%02x".format(_)).mkString, "ok")
+          } catch {
+            case scala.util.control.NonFatal(_) => (name, -1L, "", "refused")
+          }
+        }
+        .toDF("name", "n_bytes", "payload_md5", "status")
+        .orderBy("name")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('corrupt', CAST(-1 AS BIGINT), '', 'refused'),
+        ('framed_big', CAST(342253 AS BIGINT), '861987312b59a73b63a6840773606f86', 'ok'),
+        ('framed_text', CAST(900 AS BIGINT), md5(repeat('the quick brown fox jumps over the lazy dog. ', 20)), 'ok'),
+        ('hadoop_text', CAST(900 AS BIGINT), md5(repeat('the quick brown fox jumps over the lazy dog. ', 20)), 'ok'),
+        ('raw_random', CAST(5000 AS BIGINT), '14a7405e1c52222a3ed5754ce768a485', 'ok'),
+        ('raw_runs', CAST(100000 AS BIGINT), md5(repeat('z', 100000)), 'ok'),
+        ('raw_text', CAST(900 AS BIGINT), md5(repeat('the quick brown fox jumps over the lazy dog. ', 20)), 'ok')
+      ) AS t(name, n_bytes, payload_md5, status)
+      ORDER BY name
+    """.trim)
   )
 
   /** Wrapped-archive routing ([[graft.sources.Archives.autoEntries]]):
@@ -6733,7 +6826,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

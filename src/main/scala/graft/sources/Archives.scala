@@ -302,6 +302,8 @@ object Archives {
     else if ((p(0) & 0xff) == 0x02 && (p(1) & 0xff) == 0x21 &&
       (p(2) & 0xff) == 0x4c && (p(3) & 0xff) == 0x18)
       autoEntries(Lz4.decompress(p)) // legacy lz4 frame (lz4 -l)
+    else if (Snappy.isFramed(p))
+      autoEntries(Snappy.decompressFramed(p)) // .tar.sz (framed snappy)
     else tarEntries(p)
   }
 

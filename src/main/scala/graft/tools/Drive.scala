@@ -979,6 +979,18 @@ object Drive {
       catch { case e: IllegalArgumentException => println(s"caught truncated frame: ${e.getMessage}") }
     }
     locally {
+      println("=== snappy: raw/framed/hadoop golden vs snappy-java + loud refusals ===")
+      val data = ("snappy payload " * 40).getBytes("US-ASCII")
+      val raw = graft.sources.Snappy.decodeRaw(org.xerial.snappy.Snappy.compress(data))
+      println(s"raw golden: ${raw.length} bytes (equal=${java.util.Arrays.equals(raw, data)})")
+      val framed = graft.sources.Snappy.encodeFramed(data)
+      println(s"framed round-trip equal=${java.util.Arrays.equals(graft.sources.Snappy.decompressFramed(framed), data)}")
+      val tar = graft.sources.Archives.encodeTar(Seq(("doc.txt", data)))
+      println(s"tar.sz entries: ${graft.sources.Archives.autoEntries(graft.sources.Snappy.encodeFramed(tar)).map(_._1).mkString(",")}")
+      try { graft.sources.Snappy.decompressFramed(java.util.Arrays.copyOf(framed, framed.length - 3)); println("UNEXPECTED") }
+      catch { case e: IllegalArgumentException => println(s"caught truncated stream: ${e.getMessage}") }
+    }
+    locally {
       println("=== docx: OOXML paragraphs + xlsx refusal by name ===")
       import spark.implicits._
       val good = graft.sources.Docx.encodeDocx(Seq("First paragraph.", "A\tB & <c>"))

@@ -72,6 +72,23 @@ class DecoderRobustnessSpec extends AnyFunSuite with TimeLimits {
     sweep("lz4-legacy", fixture("/lz4/legacy.lz4"), Lz4.decompress)
   }
 
+  test("snappy terminates on all truncations and bit flips (raw, framed, hadoop)") {
+    val data = ("snappy sweep payload " * 200).getBytes("US-ASCII")
+    sweep("snappy-raw", org.xerial.snappy.Snappy.compress(data), Snappy.decodeRaw(_))
+    val bo = new java.io.ByteArrayOutputStream()
+    val fo = new org.xerial.snappy.SnappyFramedOutputStream(bo)
+    fo.write(data); fo.close()
+    sweep("snappy-framed", bo.toByteArray, Snappy.decompressFramed)
+    val raw = org.xerial.snappy.Snappy.compress(data)
+    val had = new java.io.ByteArrayOutputStream()
+    for (v <- Seq(data.length, raw.length)) {
+      had.write((v >>> 24) & 0xff); had.write((v >>> 16) & 0xff)
+      had.write((v >>> 8) & 0xff); had.write(v & 0xff)
+    }
+    had.write(raw, 0, raw.length)
+    sweep("snappy-hadoop", had.toByteArray, Snappy.decodeHadoop)
+  }
+
   test("brotli terminates on all truncations and bit flips") {
     sweep("brotli", fixture("/brotli/text_q5.br"), Brotli.decompress)
     sweep("brotli-q11", fixture("/brotli/dictwords_q11.br"), Brotli.decompress)
