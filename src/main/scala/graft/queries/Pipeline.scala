@@ -5589,6 +5589,50 @@ object Pipeline {
     """.trim)
   )
 
+  /** ZipCrypto gate ([[graft.sources.Archives.zipEntries]] password
+    * leg): a REAL Info-ZIP `zip -P` archive (embedded) decrypts to its
+    * pinned entry md5s with the right password; a wrong password and
+    * a missing password both refuse loudly (check byte / named gap) —
+    * the quarantine contract for encrypted members in a dump corpus. */
+  val archiveZipCrypto: QueryDef = QueryDef(
+    "archive_zipcrypto",
+    (s, dir) => {
+      import s.implicits._
+      val zipB64 =
+        "UEsDBBQACQAIAAIHEF0ergXKQwAAAIQDAAAHABwAb25lLnR4dFVUCQADpAqBaqQKgWp1eAsAAQQAAAAABAAAAADmKA1B+0KK8wXo" +
+        "aIMsK1JvrX/w9TXYzDi2uPSZXGDiQclxzTyShAM5aWbT8k2ChLtpyfl3ymeWneLbLH9XTaQpp5F7UEsHCB6uBcpDAAAAhAMAAFBL" +
+        "AwQKAAkAAAACBxBdcUqHPi4AAAAiAAAABwAcAHR3by50eHRVVAkAA6QKgWqkCoFqdXgLAAEEAAAAAAQAAAAAsS9eJtji+F03bNUp" +
+        "Ul8fWgrMU1+5ozWpd/woGuxA0PouwaiphMsDM3ZCvDpSG1BLBwhxSoc+LgAAACIAAABQSwECHgMUAAkACAACBxBdHq4FykMAAACE" +
+        "AwAABwAYAAAAAAABAAAApIEAAAAAb25lLnR4dFVUBQADpAqBanV4CwABBAAAAAAEAAAAAFBLAQIeAwoACQAAAAIHEF1xSoc+LgAA" +
+        "ACIAAAAHABgAAAAAAAEAAACkgZQAAAB0d28udHh0VVQFAAOkCoFqdXgLAAEEAAAAAAQAAAAAUEsFBgAAAAACAAIAmgAAABMBAAAA" +
+        "AA=="
+      val attempts = Seq(("right", Some("s3cret pw")), ("wrong", Some("wrong password")),
+        ("none", Option.empty[String]))
+      s.createDataset(attempts).repartition(attempts.size)
+        .flatMap { case (attempt, pw) =>
+          val zip = java.util.Base64.getDecoder.decode(zipB64)
+          try graft.sources.Archives.zipEntries(zip, pw).map { case (n, b) =>
+            val md = java.security.MessageDigest.getInstance("MD5").digest(b)
+            (attempt, n, md.map("%02x".format(_)).mkString, "ok")
+          }
+          catch {
+            case scala.util.control.NonFatal(_) => Seq((attempt, "", "", "refused"))
+          }
+        }
+        .toDF("attempt", "entry", "payload_md5", "status")
+        .orderBy("attempt", "entry")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('none', '', '', 'refused'),
+        ('right', 'one.txt', 'd6cefcbcdc9f8101531523095a3eaa96', 'ok'),
+        ('right', 'two.txt', '20c2d7d3368c710517bd8565ecc2f747', 'ok'),
+        ('wrong', '', '', 'refused')
+      ) AS t(attempt, entry, payload_md5, status)
+      ORDER BY attempt, entry
+    """.trim)
+  )
+
   /** Wrapped-archive routing ([[graft.sources.Archives.autoEntries]]):
     * the same two-entry ustar under all five wrappers — REAL system
     * tar.bz2 and tar.xz (embedded), runtime tar.zst (store frames),
@@ -6826,7 +6870,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, archiveZipCrypto, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

@@ -17,7 +17,10 @@ import org.apache.spark.sql.Dataset
   *    zip64 archives (EOCD64 locator + record, 0x0001 extended-info
   *    extra fields) parse natively — routine for >4 GiB dump
   *    distribution — with members past the 2 GiB in-memory extraction
-  *    limit refusing loudly; encrypted entries refuse loudly;
+  *    limit refusing loudly; ZipCrypto entries decrypt when the
+  *    caller supplies the password (check byte + full CRC-32
+  *    verified, APPNOTE §6.1), refuse loudly otherwise; AES/strong
+  *    encryption refuses by name;
   *  - gzip: members unwrapped transparently, so `.tar.gz` needs no
   *    special casing — [[autoEntries]] dispatches by magic and
   *    recurses once after gunzip.
@@ -91,7 +94,61 @@ object Archives {
 
   // --------------------------------------------------------------- zip
 
-  def zipEntries(p: Array[Byte]): Seq[(String, Array[Byte])] = {
+  /** ZipCrypto — PKWARE traditional encryption (APPNOTE.TXT §6.1, a
+    * PUBLIC spec): three rolling keys seeded from the password, a
+    * CRC-32-table byte update, and the `((t*(t^1))>>8)&0xff` stream
+    * byte with `t = key2|2`. The 12-byte entry header's last byte is
+    * the password check: the CRC-32 high byte (or the DOS-time high
+    * byte when general-purpose bit 3 declares a data descriptor).
+    * Weak by modern standards but endemic in old dump archives —
+    * decrypt when the caller supplies the password, refuse loudly
+    * otherwise (never silent garbage). */
+  private object ZipCrypto {
+    private val crcTable: Array[Int] = Array.tabulate(256) { n =>
+      var c = n
+      var k = 0
+      while (k < 8) { c = if ((c & 1) != 0) 0xedb88320 ^ (c >>> 1) else c >>> 1; k += 1 }
+      c
+    }
+
+    final class Keys(password: Array[Byte]) {
+      private var k0 = 0x12345678
+      private var k1 = 0x23456789
+      private var k2 = 0x34567890
+      password.foreach(b => update(b.toInt))
+      @inline private def crc(v: Int, c: Int): Int = (v >>> 8) ^ crcTable((v ^ c) & 0xff)
+      @inline def update(plain: Int): Unit = {
+        k0 = crc(k0, plain)
+        k1 = (k1 + (k0 & 0xff)) * 134775813 + 1
+        k2 = crc(k2, k1 >>> 24)
+      }
+      @inline def decryptByte(cipher: Int): Int = {
+        val t = (k2 | 2) & 0xffff
+        val plain = (cipher ^ ((t * (t ^ 1)) >>> 8)) & 0xff
+        update(plain)
+        plain
+      }
+    }
+
+    /** Decrypt `src` in place-copy; verify the 12-byte header's check
+      * byte against `checkByte` (crc>>24, or DOS-time>>8 under bit 3). */
+    def decrypt(src: Array[Byte], password: String, checkByte: Int, name: String): Array[Byte] = {
+      require(src.length >= 12, s"zip: encrypted entry '$name' shorter than its ZipCrypto header")
+      val keys = new Keys(password.getBytes("ISO-8859-1"))
+      var last = 0
+      var i = 0
+      while (i < 12) { last = keys.decryptByte(src(i) & 0xff); i += 1 }
+      require(last == (checkByte & 0xff),
+        s"zip: wrong password for entry '$name' (ZipCrypto check byte mismatch)")
+      val out = new Array[Byte](src.length - 12)
+      while (i < src.length) { out(i - 12) = keys.decryptByte(src(i) & 0xff).toByte; i += 1 }
+      out
+    }
+  }
+
+  def zipEntries(p: Array[Byte]): Seq[(String, Array[Byte])] = zipEntries(p, None)
+
+  def zipEntries(p: Array[Byte], password: Option[String]): Seq[(String, Array[Byte])] = {
     def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
     def u32(i: Int): Long = (u16(i) | (u16(i + 2).toLong << 16)) & 0xffffffffL
     def u64(i: Int): Long = u32(i) | (u32(i + 4) << 32)
@@ -124,8 +181,13 @@ object Archives {
     while (k < count) {
       require(u32(cd) == 0x02014b50L, "zip: bad central directory entry")
       val flags = u16(cd + 8)
-      require((flags & 0x1) == 0, "zip: encrypted entries unsupported")
+      val encrypted = (flags & 0x1) != 0
+      require(!encrypted || password.isDefined,
+        "zip: encrypted entries unsupported without a password")
+      require((flags & 0x40) == 0, "zip: strong encryption unsupported")
       val method = u16(cd + 10)
+      require(!encrypted || method == 0 || method == 8,
+        s"zip: encrypted method $method unsupported (AES extra-field encryption refused)")
       var csizeL = u32(cd + 20)
       var usizeL = u32(cd + 24)
       val nameLen = u16(cd + 28)
@@ -163,7 +225,16 @@ object Archives {
       require(u32(lho) == 0x04034b50L, s"zip: bad local header for '$name'")
       val dataAt = lho + 30 + u16(lho + 26) + u16(lho + 28)
       require(dataAt + csize <= p.length, s"zip: entry '$name' truncated")
-      val comp = java.util.Arrays.copyOfRange(p, dataAt, dataAt + csize)
+      val compRaw = java.util.Arrays.copyOfRange(p, dataAt, dataAt + csize)
+      val comp =
+        if (!encrypted || name.endsWith("/")) compRaw
+        else {
+          // check byte: CRC-32 high byte, or DOS-time high byte when
+          // bit 3 says sizes/CRC trail in a data descriptor
+          val check = if ((flags & 0x8) != 0) (u16(cd + 12) >>> 8) & 0xff
+                      else ((u32(cd + 16) >>> 24) & 0xff).toInt
+          ZipCrypto.decrypt(compRaw, password.get, check, name)
+        }
       if (!name.endsWith("/")) { // skip directory entries
         val data = method match {
           case 0 => comp
@@ -181,6 +252,17 @@ object Archives {
             require(filled == usize, s"zip: entry '$name' short")
             buf
           case m => throw new IllegalArgumentException(s"zip: method $m unsupported in '$name'")
+        }
+        if (encrypted) {
+          // the 8-bit check byte false-accepts 1/256 wrong passwords;
+          // the full CRC-32 of the decompressed entry settles it
+          require(data.length == usize, s"zip: encrypted entry '$name' size mismatch")
+          if ((flags & 0x8) == 0) {
+            val c = new java.util.zip.CRC32()
+            c.update(data)
+            require(c.getValue == u32(cd + 16),
+              s"zip: wrong password for entry '$name' (CRC-32 mismatch after decrypt)")
+          }
         }
         out += ((name, data))
       }

@@ -991,6 +991,23 @@ object Drive {
       catch { case e: IllegalArgumentException => println(s"caught truncated stream: ${e.getMessage}") }
     }
     locally {
+      println("=== zipcrypto: password decrypt + wrong/no password refusals ===")
+      val zip = java.util.Base64.getDecoder.decode(
+        "UEsDBBQACQAIAAIHEF0ergXKQwAAAIQDAAAHABwAb25lLnR4dFVUCQADpAqBaqQKgWp1eAsAAQQAAAAABAAAAADmKA1B+0KK8wXo" +
+        "aIMsK1JvrX/w9TXYzDi2uPSZXGDiQclxzTyShAM5aWbT8k2ChLtpyfl3ymeWneLbLH9XTaQpp5F7UEsHCB6uBcpDAAAAhAMAAFBL" +
+        "AwQKAAkAAAACBxBdcUqHPi4AAAAiAAAABwAcAHR3by50eHRVVAkAA6QKgWqkCoFqdXgLAAEEAAAAAAQAAAAAsS9eJtji+F03bNUp" +
+        "Ul8fWgrMU1+5ozWpd/woGuxA0PouwaiphMsDM3ZCvDpSG1BLBwhxSoc+LgAAACIAAABQSwECHgMUAAkACAACBxBdHq4FykMAAACE" +
+        "AwAABwAYAAAAAAABAAAApIEAAAAAb25lLnR4dFVUBQADpAqBanV4CwABBAAAAAAEAAAAAFBLAQIeAwoACQAAAAIHEF1xSoc+LgAA" +
+        "ACIAAAAHABgAAAAAAAEAAACkgZQAAAB0d28udHh0VVQFAAOkCoFqdXgLAAEEAAAAAAQAAAAAUEsFBgAAAAACAAIAmgAAABMBAAAA" +
+        "AA==")
+      val got = graft.sources.Archives.zipEntries(zip, Some("s3cret pw"))
+      println(s"decrypted entries: ${got.map { case (n, b) => s"$n(${b.length}B)" }.mkString(",")}")
+      try { graft.sources.Archives.zipEntries(zip, Some("nope")); println("UNEXPECTED") }
+      catch { case e: IllegalArgumentException => println(s"caught wrong password: ${e.getMessage}") }
+      try { graft.sources.Archives.zipEntries(zip); println("UNEXPECTED") }
+      catch { case e: IllegalArgumentException => println(s"caught no password: ${e.getMessage}") }
+    }
+    locally {
       println("=== docx: OOXML paragraphs + xlsx refusal by name ===")
       import spark.implicits._
       val good = graft.sources.Docx.encodeDocx(Seq("First paragraph.", "A\tB & <c>"))
