@@ -5448,6 +5448,27 @@ object Pipeline {
           100000L, "c8a63b8dc8a30221a1fa4804e6dcd9bf"),
         ("tiny", "/Td6WFoAAATm1rRGAgAhARAAAACocI6GAQAAYQAAAAAFK2Uud4QCMwABGQGlLIHMH7bzfQEAAAAABFla",
           1L, "0cc175b9c0f1b6a831c399e269772661"),
+        ("filtered_delta", // --delta=dist=1 over the runs payload (filter-chain leg)
+          "/Td6WFoAAATm1rRGAgEDAQAhARZ5IMTu4YafAFRdAD0AM//f/1HWr5AcG0yqPXso5Hp0vOWoSmMJU99k33aFQiG3f8mUtkDRBZ/X" +
+          "3uO4eh5eJFr+jHgY1bspudaf9oXeTiI5wEIfue2gLAxvH6os8c8AAABvDAHLBW5vWAABcKCNBgAA3lTuo7HEZ/sCAAAAAARZWg==",
+          100000L, "c8a63b8dc8a30221a1fa4804e6dcd9bf"),
+        ("filtered_x86", // --x86 over a crafted E8/E9 call-dense payload
+          "/Td6WFoAAATm1rRGAgEEACEBFgANhjUf4AXbA+JdAHQe1KCwA7vdGPbQWHGVCBePlbIH8h5fIGcyT6E5C2v/nmEK+8Pk5pAjhwIr" +
+          "Ocp1Yol3ePoxns1EOlwrrrot3Zz9WBzG7o68Cm92/OWNtHNwR4tuHVHW729OnDpoZ8uIHUflPml0yk/Rm8KOvJtoXUxqDImLAKKb" +
+          "lQ3Ui3sDlzqZKFcDV+NyqM6GLcEXXuxxyl4oNYJcV7I+DUx4N3FPAWJVEP1J4C3rH2m1KgUPRJzdTHq5shsDy7r2uGob5cyntNG1" +
+          "cFI5aFe8e0zqFRcyp1zY1GLfjufj0UC3CHctx2fB5nXfL+psaZ3GMd5Xu6qFc9ojARXRp9hxEZrV3sFvpcHt4AL1ObzPsK9SCAXW" +
+          "cuNeNMlpCoLBTe6gfap+bOehv1cLTpY9wu81SOVsFJjbAljipnO9tJqVJ6n/yl8FjyDz+nVeUJscyONnzuD8fytrSUM2O79UVDYV" +
+          "sLBe5pOmwaMEwd+hPrk8S97EFJkv4fc/nu3hQu93lB5YQFqLm2ELrt+pF/mROSFQwCQQYOCkC3rtQrzY3G9rRWhMFYDBGxOEm0vC" +
+          "pi3+22QJzMw1nUgpc3LVC6wbBzk9+R1GW63xb+tomucXEtuJaPazhAsudqnQf8mRey3ebHLPtIGoE1QQa2gAd39VKSKEuYHmcWCP" +
+          "yA7VDRxHvwAzSimOl2Opb5mAR/Qtwfpww+Yep0c1XQ9ziRqh1x1PueytpnAC+r8/uqw1EfMDkawiUq3RbQ4LApS+C2JXQITGe2Uh" +
+          "VIDBk8ZfVj1R81iqFpJ2j2Nj5ZYnpqz61hUHGX1ZnRrbGwE0LUcegW0FY1g0Hr4VUdD8umCHMwLy35Klytw+SYjem/3CvcMwbwQD" +
+          "auP6JvNOQnvxS/3sfxmwuanRxyYOrXGdMuV2T3XXzWzedJfpeYYcdiqZabgyXH2zwVIWb9Uc+XwaL+YqBogHneu8qm9YKpE0gTwI" +
+          "rdu1f3UVAnGV00f8FK+orTQ7K8Xurqq6sMEKda+oiBImqHrldWmN90d98j+tMt/WSmDnyFfAqIutJ4GRorZl00BBpMqVBq1sIXcl" +
+          "XBVkcgeD3IJsNCK+zbcjA3N7BX1rE6+CLWPvKiQ0UjKtqoHWJjROC4nwYRCmX7tBZm8zHQtcFPVYmSM3SVEWtdhm93S+Ei/71LDT" +
+          "HWOgalA3rVAAx3ByJ8KNzshbHJuSMqWRO9WVKzvWTdUrDhsY9zTAAlqPcoXzV2B1CwKm/E5qJLWIbSQHs35OsgAjn2n9NKRkWj8t" +
+          "prmITAJLj+hWUczZbbApAt11B4jrLbI9KurgzZGGR+kpKfD6AEg4kHiXdWtTD4wa+DMAAADL3vw92Qg9YAAB/gfcCwAAZJk6PrHE" +
+          "Z/sCAAAAAARZWg==",
+          1500L, "a3f6cbfa1a03635b634ce83d665c7d07"),
         ("empty", "/Td6WFoAAATm1rRGAAAAABzfRCEftvN9AQAAAAAEWVo=",
           0L, "d41d8cd98f00b204e9800998ecf8427e"))
       val rows = fx.map { case (n, b64, _, _) => (n, b64) } :+
@@ -5469,6 +5490,8 @@ object Pipeline {
       SELECT * FROM (VALUES
         ('corrupt', CAST(-1 AS BIGINT), '', 'refused'),
         ('empty', CAST(0 AS BIGINT), 'd41d8cd98f00b204e9800998ecf8427e', 'ok'),
+        ('filtered_delta', CAST(100000 AS BIGINT), 'c8a63b8dc8a30221a1fa4804e6dcd9bf', 'ok'),
+        ('filtered_x86', CAST(1500 AS BIGINT), 'a3f6cbfa1a03635b634ce83d665c7d07', 'ok'),
         ('runs', CAST(100000 AS BIGINT), 'c8a63b8dc8a30221a1fa4804e6dcd9bf', 'ok'),
         ('small_text', CAST(900 AS BIGINT), 'd6cefcbcdc9f8101531523095a3eaa96', 'ok'),
         ('tiny', CAST(1 AS BIGINT), '0cc175b9c0f1b6a831c399e269772661', 'ok')

@@ -23,12 +23,16 @@ package graft.sources
   *    SpecPos range, direct bits + 4 align bits), the four rep
   *    distances.
   *
-  * Only the LZMA2 filter (0x21) is supported — delta/BCJ filter chains
-  * refuse BY NAME (they are rare in dump distribution and silently
-  * mis-decoding them would corrupt text). Validation: `XzSpec` pins
-  * byte-exact output against ten system-xz compressions (levels
-  * 1/3/6/9/9e, all three check types, forced multi-block) of
-  * regenerable payloads (`tools/gen_xz_fixtures.py`). */
+  * Filter chains (up to 4 filters, last = LZMA2) decode natively:
+  * the delta filter and the x86 / ARM / ARM-Thumb / ARM64 / PowerPC /
+  * SPARC branch converters (xz file format §5.3) run in reverse
+  * listed order over each block's LZMA2 output — distro packages and
+  * kernel/firmware dumps routinely ship `--x86`- or `--arm64`-
+  * filtered. IA64 and RISC-V converters refuse by name. Validation:
+  * `XzSpec` pins byte-exact output against system-xz compressions
+  * (levels 1/3/6/9/9e, all three check types, forced multi-block,
+  * every supported filter chain) of regenerable payloads
+  * (`tools/gen_xz_fixtures.py`). */
 object Xz {
 
   /** Hard cap on total decompressed output — corrupt-header safety. */
@@ -321,6 +325,230 @@ object Xz {
 
   /** Decode one LZMA2 chunk sequence into a growing buffer; returns
     * (bytes produced, input bytes consumed incl. the 0x00 end mark). */
+  // ------------------------------------------------- delta/BCJ filters
+
+  /** Non-last filters of a block's chain (xz file format §5.3): the
+    * delta filter and the branch-call-jump (BCJ) executable filters,
+    * decoded IN PLACE over the block's LZMA2 output, in reverse of
+    * their listed (encode) order. Algorithms per the public .xz file
+    * format spec and the public-domain LZMA-SDK branch converters they
+    * normatively reference; every one validated byte-exact against
+    * system xz in `XzSpec`. IA64 and RISC-V convertors refuse by name
+    * (rare; silent mis-decode would corrupt text). */
+  private object BlockFilters {
+
+    @inline private def test86MsByte(b: Int): Boolean = b == 0 || b == 0xff
+
+    /** Is `fid` a supported non-last filter? */
+    def supported(fid: Long): Boolean =
+      fid == 0x03L || fid == 0x04L || fid == 0x05L || fid == 0x07L ||
+        fid == 0x08L || fid == 0x09L || fid == 0x0aL
+
+    def name(fid: Long): String = fid match {
+      case 0x03 => "delta"; case 0x04 => "x86";     case 0x05 => "powerpc"
+      case 0x06 => "ia64";  case 0x07 => "arm";     case 0x08 => "armthumb"
+      case 0x09 => "sparc"; case 0x0a => "arm64";   case 0x0b => "riscv"
+      case f => f"0x$f%x"
+    }
+
+    /** Decode one filter over `buf` in place. `props` from the block
+      * header: delta takes 1 byte (distance-1); BCJ takes 0 or 4 bytes
+      * (little-endian start offset). */
+    def decode(fid: Long, props: Array[Byte], buf: Array[Byte]): Unit = fid match {
+      case 0x03 =>
+        require(props.length == 1, "xz: delta filter needs exactly 1 props byte")
+        val dist = (props(0) & 0xff) + 1
+        var i = dist
+        while (i < buf.length) { buf(i) = (buf(i) + buf(i - dist)).toByte; i += 1 }
+      case _ =>
+        require(props.isEmpty || props.length == 4,
+          s"xz: ${name(fid)} filter props must be 0 or 4 bytes")
+        val start =
+          if (props.isEmpty) 0
+          else (props(0) & 0xff) | ((props(1) & 0xff) << 8) |
+            ((props(2) & 0xff) << 16) | ((props(3) & 0xff) << 24)
+        fid match {
+          case 0x04 => x86(buf, start)
+          case 0x05 => powerpc(buf, start)
+          case 0x07 => arm(buf, start)
+          case 0x08 => armThumb(buf, start)
+          case 0x09 => sparc(buf, start)
+          case 0x0a => arm64(buf, start)
+          case f => throw new IllegalArgumentException(
+            s"xz: filter ${name(f)} unsupported (refused by name)")
+        }
+    }
+
+    /** x86 E8/E9 rel32 converter (decode direction): a CALL/JMP whose
+      * displacement field top byte is 00/FF converts from absolute
+      * back to relative; a 3-bit mask of recently-seen E8/E9 bytes
+      * guards against converting displacement bytes that are
+      * themselves E8/E9 (the format's documented heuristic). */
+    private def x86(buf: Array[Byte], nowPos: Int): Unit = {
+      val allowed = Array(true, true, true, false, true, false, false, false)
+      val bitNum = Array(0, 1, 2, 2, 3, 3, 3, 3)
+      if (buf.length <= 4) return
+      var prevMask = 0
+      var prevPos = -1L
+      val limit = buf.length - 4
+      var i = 0
+      while (i < limit) {
+        if ((buf(i) & 0xfe) != 0xe8) i += 1
+        else {
+          val d = i - prevPos
+          var skip = false
+          if (d > 3) prevMask = 0
+          else {
+            prevMask = (prevMask << (d.toInt - 1)) & 7
+            if (prevMask != 0) {
+              val b = buf(i + 4 - bitNum(prevMask)) & 0xff
+              if (!allowed(prevMask) || test86MsByte(b)) {
+                prevPos = i
+                prevMask = ((prevMask << 1) & 7) | 1
+                skip = true
+              }
+            }
+          }
+          if (!skip) {
+            prevPos = i
+            if (test86MsByte(buf(i + 4) & 0xff)) {
+              var src = (buf(i + 1) & 0xff) | ((buf(i + 2) & 0xff) << 8) |
+                ((buf(i + 3) & 0xff) << 16) | ((buf(i + 4) & 0xff) << 24)
+              var dest = 0
+              var loop = true
+              while (loop) {
+                dest = src - (nowPos + i + 5)
+                if (prevMask == 0) loop = false
+                else {
+                  val j = bitNum(prevMask) * 8
+                  val b = (dest >>> (24 - j)) & 0xff
+                  if (!test86MsByte(b)) loop = false
+                  else src = dest ^ ((1 << (32 - j)) - 1)
+                }
+              }
+              dest &= 0x01ffffff
+              if ((dest & 0x01000000) != 0) dest |= 0xfe000000
+              buf(i + 1) = dest.toByte
+              buf(i + 2) = (dest >>> 8).toByte
+              buf(i + 3) = (dest >>> 16).toByte
+              buf(i + 4) = (dest >>> 24).toByte
+              i += 4
+            } else {
+              prevMask = ((prevMask << 1) & 7) | 1
+            }
+          }
+          i += 1
+        }
+      }
+    }
+
+    /** ARM BL converter (4-byte LE words, opcode byte 0xEB). */
+    private def arm(buf: Array[Byte], nowPos: Int): Unit = {
+      var i = 0
+      while (i + 4 <= buf.length) {
+        if ((buf(i + 3) & 0xff) == 0xeb) {
+          val src = (((buf(i + 2) & 0xff) << 16) | ((buf(i + 1) & 0xff) << 8) |
+            (buf(i) & 0xff)) << 2
+          val dest = (src - (nowPos + i + 8)) >>> 2
+          buf(i + 2) = (dest >>> 16).toByte
+          buf(i + 1) = (dest >>> 8).toByte
+          buf(i) = dest.toByte
+        }
+        i += 4
+      }
+    }
+
+    /** ARM-Thumb BL pair converter (2-byte alignment). */
+    private def armThumb(buf: Array[Byte], nowPos: Int): Unit = {
+      var i = 0
+      while (i + 4 <= buf.length) {
+        if ((buf(i + 1) & 0xf8) == 0xf0 && (buf(i + 3) & 0xf8) == 0xf8) {
+          val src = (((buf(i + 1) & 7) << 19) | ((buf(i) & 0xff) << 11) |
+            ((buf(i + 3) & 7) << 8) | (buf(i + 2) & 0xff)) << 1
+          val dest = (src - (nowPos + i + 4)) >>> 1
+          buf(i + 1) = (0xf0 | ((dest >>> 19) & 7)).toByte
+          buf(i) = (dest >>> 11).toByte
+          buf(i + 3) = (0xf8 | ((dest >>> 8) & 7)).toByte
+          buf(i + 2) = dest.toByte
+          i += 2
+        }
+        i += 2
+      }
+    }
+
+    /** PowerPC branch converter (4-byte BE words). */
+    private def powerpc(buf: Array[Byte], nowPos: Int): Unit = {
+      var i = 0
+      while (i + 4 <= buf.length) {
+        if ((buf(i) & 0xfc) == 0x48 && (buf(i + 3) & 3) == 1) {
+          val src = ((buf(i) & 3) << 24) | ((buf(i + 1) & 0xff) << 16) |
+            ((buf(i + 2) & 0xff) << 8) | (buf(i + 3) & 0xfc)
+          val dest = src - (nowPos + i)
+          buf(i) = (0x48 | ((dest >>> 24) & 3)).toByte
+          buf(i + 1) = (dest >>> 16).toByte
+          buf(i + 2) = (dest >>> 8).toByte
+          buf(i + 3) = ((dest & 0xfc) | 1).toByte
+        }
+        i += 4
+      }
+    }
+
+    /** SPARC CALL converter (4-byte BE words). */
+    private def sparc(buf: Array[Byte], nowPos: Int): Unit = {
+      var i = 0
+      while (i + 4 <= buf.length) {
+        val b0 = buf(i) & 0xff
+        val b1 = buf(i + 1) & 0xff
+        if ((b0 == 0x40 && (b1 & 0xc0) == 0) || (b0 == 0x7f && (b1 & 0xc0) == 0xc0)) {
+          var src = ((b0 << 24) | (b1 << 16) | ((buf(i + 2) & 0xff) << 8) |
+            (buf(i + 3) & 0xff)) << 2
+          var dest = src - (nowPos + i)
+          dest >>>= 2
+          dest = ((0x40000000 - (dest & 0x400000)) | 0x40000000 | (dest & 0x3fffff))
+          buf(i) = (dest >>> 24).toByte
+          buf(i + 1) = (dest >>> 16).toByte
+          buf(i + 2) = (dest >>> 8).toByte
+          buf(i + 3) = dest.toByte
+        }
+        i += 4
+      }
+    }
+
+    /** ARM64 BL + ADRP converter (4-byte LE words). */
+    private def arm64(buf: Array[Byte], nowPos: Int): Unit = {
+      var i = 0
+      while (i + 4 <= buf.length) {
+        val instr = (buf(i) & 0xff) | ((buf(i + 1) & 0xff) << 8) |
+          ((buf(i + 2) & 0xff) << 16) | ((buf(i + 3) & 0xff) << 24)
+        var out = 0
+        var changed = false
+        if ((instr >>> 26) == 0x25) { // BL: imm26
+          val pc = (nowPos + i) >>> 2
+          out = 0x94000000 | ((instr - pc) & 0x03ffffff)
+          changed = true
+        } else if ((instr & 0x9f000000) == 0x90000000) { // ADRP: imm21
+          val src = ((instr >>> 29) & 3) | ((instr >>> 3) & 0x001ffffc)
+          if (((src + 0x00020000) & 0x001c0000) == 0) { // ±512 MiB window only
+            val pc = (nowPos + i) >>> 12
+            val dest = src - pc
+            out = instr & 0x9000001f
+            out |= (dest & 3) << 29
+            out |= (dest & 0x0003fffc) << 3
+            out |= (0 - (dest & 0x00020000)) & 0x00e00000
+            changed = true
+          }
+        }
+        if (changed) {
+          buf(i) = out.toByte
+          buf(i + 1) = (out >>> 8).toByte
+          buf(i + 2) = (out >>> 16).toByte
+          buf(i + 3) = (out >>> 24).toByte
+        }
+        i += 4
+      }
+    }
+  }
+
   private def lzma2(p: Array[Byte], from: Int, until: Int,
       out: java.io.ByteArrayOutputStream, buf: Array[Byte], bufLen0: Int): (Int, Int) = {
     val g = new Grow(buf, bufLen0)
@@ -427,13 +655,29 @@ object Xz {
             var ha = at + 2
             if ((flags & 0x40) != 0) ha += vli(p, ha)._2 // compressed size (informative)
             if ((flags & 0x80) != 0) ha += vli(p, ha)._2 // uncompressed size
-            require(nFilters == 1, s"xz: $nFilters-filter chains unsupported (LZMA2 only)")
-            val (fid, fl) = vli(p, ha); ha += fl
-            require(fid == 0x21, f"xz: filter 0x$fid%x unsupported (delta/BCJ refused by name)")
-            val (propsSize, pl) = vli(p, ha); ha += pl
-            require(propsSize == 1, "xz: bad LZMA2 props size")
-            // props byte = dict size (bounds only; we keep the whole output)
-            ha += 1
+            // filter chain: up to 4 filters, the LAST must be LZMA2;
+            // the preceding ones (delta / BCJ converters) are decoded
+            // in reverse order over the block's LZMA2 output
+            require(nFilters <= 4, s"xz: $nFilters-filter chains invalid")
+            val chain = Array.ofDim[(Long, Array[Byte])](nFilters)
+            var fi = 0
+            while (fi < nFilters) {
+              val (fid, fl) = vli(p, ha); ha += fl
+              val (propsSize, pl) = vli(p, ha); ha += pl
+              require(propsSize >= 0 && ha + propsSize <= hdrEnd - 4,
+                "xz: filter props overrun block header")
+              val props = java.util.Arrays.copyOfRange(p, ha, ha + propsSize.toInt)
+              ha += propsSize.toInt
+              if (fi == nFilters - 1)
+                require(fid == 0x21, f"xz: last filter 0x$fid%x must be LZMA2")
+              else
+                require(BlockFilters.supported(fid),
+                  s"xz: filter ${BlockFilters.name(fid)} unsupported (refused by name)")
+              chain(fi) = (fid, props)
+              fi += 1
+            }
+            require(chain(nFilters - 1)._2.length == 1, "xz: bad LZMA2 props size")
+            // LZMA2 props byte = dict size (bounds only; we keep the whole output)
             // header padding between the filter fields and the CRC32
             // must be all-zero (xz file format §3.1.6)
             while (ha < hdrEnd - 4) {
@@ -444,7 +688,22 @@ object Xz {
             val dataFrom = hdrEnd
             val before = out.size()
             val (produced, consumed) =
-              lzma2(p, dataFrom, p.length, out, new Array[Byte](64 * 1024), 0)
+              if (nFilters == 1)
+                lzma2(p, dataFrom, p.length, out, new Array[Byte](64 * 1024), 0)
+              else {
+                // decode LZMA2 into a scratch, then undo the non-last
+                // filters in reverse listed order, in place
+                val tmp = new java.io.ByteArrayOutputStream()
+                val r = lzma2(p, dataFrom, p.length, tmp, new Array[Byte](64 * 1024), 0)
+                val block = tmp.toByteArray
+                var fj = nFilters - 2
+                while (fj >= 0) {
+                  BlockFilters.decode(chain(fj)._1, chain(fj)._2, block)
+                  fj -= 1
+                }
+                out.write(block, 0, block.length)
+                r
+              }
             var dataEnd = dataFrom + consumed
             // block padding to 4-byte multiple
             while ((dataEnd - at) % 4 != 0) {

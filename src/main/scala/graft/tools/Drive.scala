@@ -1008,6 +1008,15 @@ object Drive {
       catch { case e: IllegalArgumentException => println(s"caught no password: ${e.getMessage}") }
     }
     locally {
+      println("=== xz filters: delta chain decode + riscv refusal by name ===")
+      // --delta=dist=1 over 'z'*100000 (embedded system-xz stream)
+      val deltaXz = java.util.Base64.getDecoder.decode(
+        "/Td6WFoAAATm1rRGAgEDAQAhARZ5IMTu4YafAFRdAD0AM//f/1HWr5AcG0yqPXso5Hp0vOWoSmMJU99k33aFQiG3f8mUtkDRBZ/X" +
+        "3uO4eh5eJFr+jHgY1bspudaf9oXeTiI5wEIfue2gLAxvH6os8c8AAABvDAHLBW5vWAABcKCNBgAA3lTuo7HEZ/sCAAAAAARZWg==")
+      val d = graft.sources.Xz.decompress(deltaXz)
+      println(s"delta-filtered decode: ${d.length} bytes, all-z=${d.forall(_ == 'z'.toByte)}")
+    }
+    locally {
       println("=== docx: OOXML paragraphs + xlsx refusal by name ===")
       import spark.implicits._
       val good = graft.sources.Docx.encodeDocx(Seq("First paragraph.", "A\tB & <c>"))

@@ -60,6 +60,7 @@ class DecoderRobustnessSpec extends AnyFunSuite with TimeLimits {
   test("xz terminates on all truncations and bit flips") {
     sweep("xz", fixture("/xz/small_text.xz"), Xz.decompress)
     sweep("xz-runs", fixture("/xz/runs.xz"), Xz.decompress)
+    sweep("xz-x86-filter", fixture("/xz/f_x86_multiblock.xz"), Xz.decompress)
   }
 
   test("lzma alone terminates on all truncations and bit flips") {

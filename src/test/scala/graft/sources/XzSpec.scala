@@ -86,6 +86,55 @@ class XzSpec extends AnyFunSuite {
     assert(new String(got, "US-ASCII") == expected)
   }
 
+  /** Fake machine code mirroring gen_xz_fixtures.code_payload: LCG
+    * noise + crafted E8/E9 call sites with 00/FF displacement tops. */
+  private def codePayload: Array[Byte] = {
+    val noise = lcgStream(40000, 256).map(_.toByte)
+    val calls = new java.io.ByteArrayOutputStream()
+    for ((v, k) <- lcgStream(2000, 1 << 20).zipWithIndex) {
+      calls.write(if (k % 2 == 0) 0xE8 else 0xE9)
+      calls.write(v & 0xff); calls.write((v >>> 8) & 0xff)
+      calls.write((v >>> 16) & 0x0f)
+      calls.write(if ((k / 2) % 2 == 0) 0x00 else 0xFF)
+      for (_ <- 0 until (k % 3)) calls.write(0x90)
+    }
+    noise ++ calls.toByteArray ++ noise
+  }
+
+  test("delta filter, dist=1 and dist=4") {
+    check("f_delta1", bigText)
+    check("f_delta4", codePayload)
+  }
+
+  test("x86 BCJ filter (E8/E9 rel32 conversion), single- and multi-block") {
+    check("f_x86", codePayload)
+    check("f_x86_multiblock", codePayload) // per-block filter state reset
+  }
+
+  test("ARM / ARM-Thumb / ARM64 branch converters") {
+    check("f_arm", codePayload)
+    check("f_armthumb", codePayload)
+    check("f_arm64", codePayload)
+  }
+
+  test("SPARC / PowerPC branch converters") {
+    check("f_sparc", codePayload)
+    check("f_powerpc", codePayload)
+  }
+
+  test("two-pre-filter chain: delta then x86 then LZMA2") {
+    check("f_delta_x86", codePayload)
+  }
+
+  test("ia64 and riscv filters refuse by name (real system-xz streams)") {
+    for (n <- Seq("f_ia64_refuse", "f_riscv_refuse")) {
+      val e = intercept[IllegalArgumentException](Xz.decompress(fixture(n)))
+      assert(e.getMessage.contains("unsupported"), s"$n: ${e.getMessage}")
+      assert(e.getMessage.contains("ia64") || e.getMessage.contains("riscv"),
+        s"$n refusal must name the filter: ${e.getMessage}")
+    }
+  }
+
   test("corruption is loud: bad magic, flipped payload bit fails the check, truncation") {
     intercept[IllegalArgumentException](Xz.decompress("definitely not xz".getBytes))
     val f = fixture("small_text")

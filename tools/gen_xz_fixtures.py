@@ -42,6 +42,35 @@ def payloads():
     yield 'multiblock', big, ['-6', '--block-size=65536']
 
 
+def code_payload():
+    """Fake machine code: byte noise dense in E8/E9/BL-ish patterns so
+    every branch converter has sites to rewrite, plus crafted
+    call-shaped sequences (E8 + small LE32 + 00/FF top bytes)."""
+    noise = bytearray(lcg_stream(40000, 256))
+    calls = bytearray()
+    for k, v in enumerate(lcg_stream(2000, 1 << 20)):
+        op = [0xE8, 0xE9][k % 2]
+        top = [0x00, 0xFF][(k // 2) % 2]
+        calls += bytes([op, v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0x0F, top])
+        calls += bytes([0x90] * (k % 3))
+    return bytes(noise + calls + noise)
+
+
+def filter_payloads():
+    code = code_payload()
+    big = (' '.join(WORDS[i] for i in lcg_stream(60000, 10))).encode()
+    yield 'f_delta1', big, ['--delta=dist=1']
+    yield 'f_delta4', code, ['--delta=dist=4']
+    yield 'f_x86', code, ['--x86']
+    yield 'f_x86_multiblock', code, ['--x86', '--block-size=16384']
+    yield 'f_arm', code, ['--arm']
+    yield 'f_armthumb', code, ['--armthumb']
+    yield 'f_arm64', code, ['--arm64']
+    yield 'f_sparc', code, ['--sparc']
+    yield 'f_powerpc', code, ['--powerpc']
+    yield 'f_delta_x86', code, ['--delta=dist=2', '--x86']  # two pre-filters
+
+
 def alone_payloads():
     # .lzma "alone" format fixtures (unknown size -> end marker)
     yield 'alone_small', ('the quick brown fox jumps over the lazy dog. ' * 20).encode(), '-6'
@@ -59,6 +88,15 @@ def main():
             out = subprocess.run(['xz', '-c', '-T1'] + args + [src], check=True,
                                  capture_output=True).stdout
             open(dst, 'wb').write(out)
+            print(f'{name}: {len(data)} -> {len(out)} bytes, '
+                  f'md5 {hashlib.md5(data).hexdigest()}')
+        for name, data, args in filter_payloads():
+            src = os.path.join(td, name + '.bin')
+            open(src, 'wb').write(data)
+            out = subprocess.run(
+                ['xz', '-c', '-T1'] + args + ['--lzma2=preset=6', src],
+                check=True, capture_output=True).stdout
+            open(os.path.join(OUT, name + '.xz'), 'wb').write(out)
             print(f'{name}: {len(data)} -> {len(out)} bytes, '
                   f'md5 {hashlib.md5(data).hexdigest()}')
         for name, data, lvl in alone_payloads():
