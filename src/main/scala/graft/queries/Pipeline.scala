@@ -5656,6 +5656,93 @@ object Pipeline {
     """.trim)
   )
 
+  /** Hadoop SequenceFile ingest gate ([[graft.sources.SequenceFiles]]):
+    * a RUNTIME golden like `snappy_decode` — each task writes a REAL
+    * SequenceFile with the Hadoop writer on the executor classpath
+    * (none/record/block compression × Default/Gzip/BZip2/Snappy/Lz4
+    * codecs) over deterministic Text records, then parses it with the
+    * from-scratch reader; the oracle replays the record DEFINITIONS
+    * (generate_series + the pinned soup literal). Covers the
+    * randomized-bzip2-block path end to end (the value-lengths buffer
+    * is the writer's randomization trigger). */
+  val seqfileIngest: QueryDef = QueryDef(
+    "seqfile_ingest",
+    (s, dir) => {
+      import s.implicits._
+      val configs = Seq("none", "record-default", "record-gzip", "record-bzip2",
+        "record-snappy", "record-lz4", "block-default", "block-gzip", "block-bzip2",
+        "block-snappy", "block-lz4")
+      s.createDataset(configs).repartition(configs.size)
+        .map { cfg =>
+          import org.apache.hadoop.io.{SequenceFile => HSeq, Text}
+          val soup = new String(GateEnc.lcgWords(40), "US-ASCII")
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val tmp = java.io.File.createTempFile("seqgate", ".seq")
+          tmp.delete()
+          try {
+            val Array(tpe, codecName) = if (cfg == "none") Array("none", "") else cfg.split("-")
+            val ctype = tpe match {
+              case "none" => HSeq.CompressionType.NONE
+              case "record" => HSeq.CompressionType.RECORD
+              case "block" => HSeq.CompressionType.BLOCK
+            }
+            val codec: org.apache.hadoop.io.compress.CompressionCodec = codecName match {
+              case "" => null
+              case "default" => new org.apache.hadoop.io.compress.DefaultCodec
+              case "gzip" => new org.apache.hadoop.io.compress.GzipCodec
+              case "bzip2" => new org.apache.hadoop.io.compress.BZip2Codec
+              case "snappy" => new org.apache.hadoop.io.compress.SnappyCodec
+              case "lz4" => new org.apache.hadoop.io.compress.Lz4Codec
+            }
+            val opts = Seq(
+              HSeq.Writer.file(new org.apache.hadoop.fs.Path(tmp.getAbsolutePath)),
+              HSeq.Writer.keyClass(classOf[Text]),
+              HSeq.Writer.valueClass(classOf[Text])) ++
+              (if (codec == null) Seq(HSeq.Writer.compression(ctype))
+               else Seq(HSeq.Writer.compression(ctype, codec)))
+            val w = HSeq.createWriter(conf, opts: _*)
+            for (i <- 0 until 300)
+              w.append(new Text(s"key-$i"), new Text(s"value $i: $soup #$i"))
+            w.close()
+            val bytes = java.nio.file.Files.readAllBytes(tmp.toPath)
+            val recs = graft.sources.SequenceFiles.parse(1L, bytes)
+            val keys = recs.map(r => graft.sources.SequenceFiles.decodeText(r.key)).mkString("|")
+            val vals = recs.map(r => graft.sources.SequenceFiles.decodeText(r.value)).mkString("|")
+            def md5s(x: String) = java.security.MessageDigest.getInstance("MD5")
+              .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            (cfg, recs.size.toLong, md5s(keys), md5s(vals), "ok")
+          } catch {
+            case scala.util.control.NonFatal(e) => (cfg, -1L, "", e.getClass.getSimpleName, "failed")
+          } finally {
+            tmp.delete()
+            new java.io.File(tmp.getParent, "." + tmp.getName + ".crc").delete()
+          }
+        }
+        .toDF("config", "n_records", "keys_md5", "values_md5", "status")
+        .orderBy("config")
+    },
+    Some {
+      val soup = "epsilon eta iota delta epsilon eta kappa alpha eta zeta epsilon alpha " +
+        "gamma epsilon iota kappa alpha kappa kappa epsilon kappa iota epsilon zeta " +
+        "alpha theta eta gamma gamma zeta epsilon eta iota iota eta gamma delta alpha theta delta"
+      s"""
+      WITH recs AS (
+        SELECT i, 'key-' || i AS k, 'value ' || i || ': ' || '$soup' || ' #' || i AS v
+        FROM generate_series(0, 299) AS t(i)),
+      agg AS (
+        SELECT md5(string_agg(k, '|' ORDER BY i)) AS keys_md5,
+               md5(string_agg(v, '|' ORDER BY i)) AS values_md5
+        FROM recs)
+      SELECT config, CAST(300 AS BIGINT) AS n_records, keys_md5, values_md5, 'ok' AS status
+      FROM (VALUES ('block-bzip2'), ('block-default'), ('block-gzip'), ('block-lz4'),
+                   ('block-snappy'), ('none'), ('record-bzip2'), ('record-default'),
+                   ('record-gzip'), ('record-lz4'), ('record-snappy')) AS c(config)
+      CROSS JOIN agg
+      ORDER BY config
+      """.trim
+    }
+  )
+
   /** Wrapped-archive routing ([[graft.sources.Archives.autoEntries]]):
     * the same two-entry ustar under all five wrappers — REAL system
     * tar.bz2 and tar.xz (embedded), runtime tar.zst (store frames),
@@ -6893,7 +6980,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, archiveZipCrypto, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, archiveZipCrypto, seqfileIngest, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

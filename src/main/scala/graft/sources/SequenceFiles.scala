@@ -1,0 +1,291 @@
+package graft.sources
+
+import org.apache.spark.sql.Dataset
+
+/** Hadoop SequenceFile reader — pure JVM, from scratch against the
+  * PUBLIC on-disk format (the SequenceFile class javadoc documents it
+  * normatively; Hadoop is Apache-2 public source):
+  *
+  *  - header: `SEQ` + version 6, key/value class names
+  *    (zero-compressed-vint-length strings), compression +
+  *    block-compression booleans, codec class name, metadata map
+  *    (4-byte BE count + Text pairs), 16-byte SYNC marker;
+  *  - uncompressed / record-compressed records:
+  *    `[BE32 recordLen][BE32 keyLen][key][value]` with
+  *    `recordLen == -1` escaping a 16-byte sync marker (VERIFIED
+  *    against the header's — a mismatched marker is corruption);
+  *    record compression wraps only the value bytes in the codec;
+  *  - block-compressed: sync, record count (vint), then four
+  *    codec-wrapped buffers (key lengths, keys, value lengths,
+  *    values), each `[vint compressedLen][bytes]`, the length buffers
+  *    being vint streams;
+  *  - Hadoop vints: single byte in [-112, 127], else a
+  *    `-(b+112)`/`-(b+120)`-length big-endian tail, `~`-negated for
+  *    negative first bytes.
+  *
+  * Codec coverage is THE point: every wrapper a SequenceFile ships
+  * with routes to an in-repo from-scratch decoder or the JDK —
+  * DefaultCodec (zlib), GzipCodec (JDK), BZip2Codec ([[Bzip2]]),
+  * SnappyCodec ([[Snappy.decodeHadoop]]-framed chunks), Lz4Codec
+  * (Hadoop block framing over raw [[Lz4.decodeBlock]] blocks),
+  * ZStandardCodec ([[Zstd]]). Unknown codecs refuse by name.
+  *
+  * Golden validation: `SequenceFilesSpec` writes REAL files with the
+  * Hadoop writer on the Spark classpath (none/record/block × five
+  * codecs, Text/BytesWritable/LongWritable keys) and pins our reader
+  * byte-exact.
+  *
+  * Why it matters at 100 TB: SequenceFiles are the classic Hadoop
+  * dump container (Nutch segments, old Common Crawl, HBase exports,
+  * countless institutional ETL archives). The read grain is one file
+  * per task (map-only flatMap), the same zero-exchange contract as
+  * [[Warc.records]] / [[Archives.entries]].
+  *
+  * Reference anchor: the reference ingests plain parquet only
+  * (`cir_duplicate_detector/utils.py`); Hadoop-container ingest is
+  * part of this repo's beyond-reference surface. */
+object SequenceFiles {
+
+  final case class SeqFile(id: Long, bytes: Array[Byte])
+
+  /** One record; `key`/`value` are the RAW writable bytes (use
+    * [[decodeText]]/[[decodeLong]]/[[decodeBytesWritable]] per the
+    * file's declared classes). `error` marks a quarantined file. */
+  final case class SeqRecord(id: Long, idx: Long, keyClass: String, valueClass: String,
+                             codec: String, key: Array[Byte], value: Array[Byte],
+                             error: String)
+
+  // --------------------------------------------------------- writables
+
+  /** Hadoop zero-compressed vint/vlong. Returns (value, bytesRead). */
+  def readVLong(p: Array[Byte], at: Int): (Long, Int) = {
+    require(at < p.length, "seq: truncated vint")
+    val first = p(at).toInt
+    if (first >= -112) (first.toLong, 1)
+    else {
+      val neg = first < -120
+      val len = if (neg) -(first + 120) else -(first + 112)
+      require(len >= 1 && len <= 8 && at + 1 + len <= p.length, "seq: bad vint length")
+      var v = 0L
+      var i = 0
+      while (i < len) { v = (v << 8) | (p(at + 1 + i) & 0xffL); i += 1 }
+      (if (neg) ~v else v, 1 + len)
+    }
+  }
+
+  /** Text / writeString payload: vint length + UTF-8 bytes. */
+  def decodeText(b: Array[Byte]): String = {
+    val (len, n) = readVLong(b, 0)
+    require(len >= 0 && n + len <= b.length, "seq: bad Text length")
+    new String(b, n, len.toInt, "UTF-8")
+  }
+
+  def decodeLong(b: Array[Byte]): Long = {
+    require(b.length == 8, "seq: LongWritable needs 8 bytes")
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+
+  def decodeBytesWritable(b: Array[Byte]): Array[Byte] = {
+    require(b.length >= 4, "seq: BytesWritable needs a length prefix")
+    val len = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+    require(len >= 0 && 4 + len <= b.length, "seq: bad BytesWritable length")
+    java.util.Arrays.copyOfRange(b, 4, 4 + len)
+  }
+
+  // ------------------------------------------------------------ codecs
+
+  /** Hadoop BlockCompressorStream framing:
+    * `[BE32 rawLen][BE32 chunkLen + chunk]*` repeated; each chunk
+    * decodes with `chunkDecode(src, soff, slen, maxOut)`. */
+  private def hadoopBlocks(p: Array[Byte],
+      chunkDecode: (Array[Byte], Int, Int, Int) => Array[Byte]): Array[Byte] = {
+    @inline def be32(i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) | ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    val o = new java.io.ByteArrayOutputStream(math.max(p.length * 2, 1 << 10))
+    var at = 0
+    while (at < p.length) {
+      require(at + 4 <= p.length, "seq: truncated codec block length")
+      val rawLen = be32(at); at += 4
+      require(rawLen >= 0, "seq: negative codec block length")
+      var got = 0
+      while (got < rawLen) {
+        require(at + 4 <= p.length, "seq: truncated codec chunk length")
+        val clen = be32(at); at += 4
+        require(clen > 0 && at + clen <= p.length, "seq: truncated codec chunk")
+        val d = chunkDecode(p, at, clen, rawLen - got)
+        at += clen
+        got += d.length
+        require(got <= rawLen, "seq: codec chunk overruns block")
+        o.write(d, 0, d.length)
+      }
+    }
+    o.toByteArray
+  }
+
+  /** Decompress one codec-wrapped buffer by codec CLASS NAME. */
+  def decodeCodec(codecClass: String, p: Array[Byte]): Array[Byte] = {
+    val simple = codecClass.substring(codecClass.lastIndexOf('.') + 1)
+    simple match {
+      case "DefaultCodec" => // zlib stream
+        val inf = new java.util.zip.Inflater(false)
+        inf.setInput(p)
+        val o = new java.io.ByteArrayOutputStream(math.max(p.length * 3, 1 << 10))
+        val buf = new Array[Byte](65536)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished())
+            throw new IllegalArgumentException("seq: truncated zlib stream")
+          o.write(buf, 0, n)
+        }
+        inf.end()
+        o.toByteArray
+      case "GzipCodec" =>
+        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(p))
+        try in.readAllBytes() finally in.close()
+      case "BZip2Codec" =>
+        // Hadoop's reused bzip2 compressor omits the "BZh" magic on
+        // streams after the first resetState (a documented Hadoop
+        // quirk): such buffers start at the block magic 0x314159
+        // directly — reattach the standard level-9 header Hadoop uses
+        if (p.length >= 3 && p(0) == 'B' && p(1) == 'Z' && p(2) == 'h') Bzip2.decompress(p)
+        else if (p.length >= 3 && (p(0) & 0xff) == 0x31 && (p(1) & 0xff) == 0x41 &&
+          (p(2) & 0xff) == 0x59)
+          Bzip2.decompress(Array[Byte]('B', 'Z', 'h', '9') ++ p)
+        else throw new IllegalArgumentException("seq: unrecognizable bzip2 buffer")
+      case "ZStandardCodec" => Zstd.decompress(p)
+      case "SnappyCodec" => Snappy.decodeHadoop(p)
+      case "Lz4Codec" =>
+        hadoopBlocks(p, (src, soff, slen, maxOut) => {
+          val dst = new Array[Byte](maxOut)
+          val n = Lz4.decodeBlock(src, soff, slen, dst, 0, 0)
+          java.util.Arrays.copyOf(dst, n)
+        })
+      case other => throw new IllegalArgumentException(
+        s"seq: compression codec $other unsupported (refused by name)")
+    }
+  }
+
+  // ------------------------------------------------------------ parse
+
+  /** Parse one SequenceFile into records (strict: header magic,
+    * version 6, every sync marker verified). */
+  def parse(id: Long, p: Array[Byte]): Seq[SeqRecord] = {
+    require(p.length >= 4 && p(0) == 'S' && p(1) == 'E' && p(2) == 'Q',
+      "seq: missing SEQ magic")
+    val version = p(3) & 0xff
+    require(version == 6, s"seq: version $version unsupported (only 6)")
+    var at = 4
+    def readString(): String = {
+      val (len, n) = readVLong(p, at)
+      require(len >= 0 && at + n + len <= p.length, "seq: truncated class name")
+      val s = new String(p, at + n, len.toInt, "UTF-8")
+      at += n + len.toInt
+      s
+    }
+    @inline def be32(i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) | ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    val keyClass = readString()
+    val valueClass = readString()
+    require(at + 2 <= p.length, "seq: truncated compression flags")
+    val compressed = p(at) != 0
+    val blockCompressed = p(at + 1) != 0
+    at += 2
+    require(!blockCompressed || compressed, "seq: blockCompressed implies compressed")
+    val codec = if (compressed) readString() else ""
+    // metadata: 4-byte BE count + Text key/value pairs
+    require(at + 4 <= p.length, "seq: truncated metadata count")
+    val metaCount = be32(at); at += 4
+    require(metaCount >= 0 && metaCount < (1 << 16), "seq: implausible metadata count")
+    var mi = 0
+    while (mi < metaCount) { readString(); readString(); mi += 1 }
+    require(at + 16 <= p.length, "seq: truncated sync marker")
+    val sync = java.util.Arrays.copyOfRange(p, at, at + 16)
+    at += 16
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[SeqRecord]
+    var idx = 0L
+    @inline def checkSync(): Unit = {
+      require(at + 16 <= p.length, "seq: truncated sync marker")
+      var i = 0
+      while (i < 16) {
+        require(p(at + i) == sync(i), "seq: sync marker mismatch (corrupt stream)")
+        i += 1
+      }
+      at += 16
+    }
+
+    if (!blockCompressed) {
+      while (at < p.length) {
+        require(at + 4 <= p.length, "seq: truncated record length")
+        val recLen = be32(at); at += 4
+        if (recLen == -1) checkSync()
+        else {
+          // recordLength = keyLength + valueLength; the 4-byte
+          // keyLength field that follows is NOT included in it
+          require(recLen >= 0 && at + 4 + recLen <= p.length, "seq: truncated record")
+          val keyLen = be32(at)
+          require(keyLen >= 0 && keyLen <= recLen, "seq: bad key length")
+          val key = java.util.Arrays.copyOfRange(p, at + 4, at + 4 + keyLen)
+          val rawVal = java.util.Arrays.copyOfRange(p, at + 4 + keyLen, at + 4 + recLen)
+          val value = if (compressed) decodeCodec(codec, rawVal) else rawVal
+          out += SeqRecord(id, idx, keyClass, valueClass, codec, key, value, null)
+          idx += 1
+          at += 4 + recLen
+        }
+      }
+    } else {
+      while (at < p.length) {
+        require(at + 4 <= p.length, "seq: truncated block escape")
+        require(be32(at) == -1, "seq: block-compressed stream missing sync escape")
+        at += 4
+        checkSync()
+        if (at < p.length) {
+          val (nRecs, n0) = readVLong(p, at); at += n0
+          require(nRecs > 0 && nRecs < Int.MaxValue, "seq: implausible block record count")
+          def buffer(): Array[Byte] = {
+            val (clen, n) = readVLong(p, at); at += n
+            require(clen >= 0 && at + clen <= p.length, "seq: truncated block buffer")
+            val b = decodeCodec(codec, java.util.Arrays.copyOfRange(p, at, at + clen.toInt))
+            at += clen.toInt
+            b
+          }
+          val keyLens = buffer(); val keys = buffer()
+          val valLens = buffer(); val vals = buffer()
+          var (ko, vo, klo, vlo) = (0, 0, 0, 0)
+          var r = 0L
+          while (r < nRecs) {
+            val (kl, kn) = readVLong(keyLens, klo); klo += kn
+            val (vl, vn) = readVLong(valLens, vlo); vlo += vn
+            require(kl >= 0 && ko + kl <= keys.length, "seq: key overruns block")
+            require(vl >= 0 && vo + vl <= vals.length, "seq: value overruns block")
+            out += SeqRecord(id, idx, keyClass, valueClass, codec,
+              java.util.Arrays.copyOfRange(keys, ko, ko + kl.toInt),
+              java.util.Arrays.copyOfRange(vals, vo, vo + vl.toInt), null)
+            idx += 1; ko += kl.toInt; vo += vl.toInt
+            r += 1
+          }
+          require(ko == keys.length && vo == vals.length, "seq: block buffer residue")
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Map-only record extraction; corrupt files quarantine to one
+    * marker row under `keepCorrupt` (same contract as
+    * [[Archives.entries]]). */
+  def records(files: Dataset[SeqFile], keepCorrupt: Boolean = false): Dataset[SeqRecord] = {
+    import files.sparkSession.implicits._
+    files.flatMap { f =>
+      try parse(f.id, f.bytes)
+      catch {
+        case scala.util.control.NonFatal(e) if keepCorrupt =>
+          Seq(SeqRecord(f.id, -1L, null, null, null, null, null,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
+  }
+}

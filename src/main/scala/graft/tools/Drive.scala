@@ -1017,6 +1017,23 @@ object Drive {
       println(s"delta-filtered decode: ${d.length} bytes, all-z=${d.forall(_ == 'z'.toByte)}")
     }
     locally {
+      println("=== sequencefile: hadoop-written block-snappy file reads back; unknown codec refuses ===")
+      import org.apache.hadoop.io.{SequenceFile => HSeq, Text}
+      val tmp = java.io.File.createTempFile("seqdrive", ".seq"); tmp.delete()
+      val w = HSeq.createWriter(new org.apache.hadoop.conf.Configuration(),
+        HSeq.Writer.file(new org.apache.hadoop.fs.Path(tmp.getAbsolutePath)),
+        HSeq.Writer.keyClass(classOf[Text]), HSeq.Writer.valueClass(classOf[Text]),
+        HSeq.Writer.compression(HSeq.CompressionType.BLOCK,
+          new org.apache.hadoop.io.compress.SnappyCodec))
+      for (i <- 0 until 50) w.append(new Text(s"k$i"), new Text(s"v$i"))
+      w.close()
+      val recs = graft.sources.SequenceFiles.parse(1L, java.nio.file.Files.readAllBytes(tmp.toPath))
+      tmp.delete(); new java.io.File(tmp.getParent, "." + tmp.getName + ".crc").delete()
+      println(s"parsed ${recs.size} records, first=${graft.sources.SequenceFiles.decodeText(recs.head.key)}->${graft.sources.SequenceFiles.decodeText(recs.head.value)}")
+      try { graft.sources.SequenceFiles.decodeCodec("org.example.MysteryCodec", Array[Byte](1)); println("UNEXPECTED") }
+      catch { case e: IllegalArgumentException => println(s"caught unknown codec: ${e.getMessage}") }
+    }
+    locally {
       println("=== docx: OOXML paragraphs + xlsx refusal by name ===")
       import spark.implicits._
       val good = graft.sources.Docx.encodeDocx(Seq("First paragraph.", "A\tB & <c>"))

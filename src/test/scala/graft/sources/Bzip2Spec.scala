@@ -62,6 +62,19 @@ class Bzip2Spec extends AnyFunSuite {
     assert(new String(Bzip2.decompress(both), "US-ASCII") == expected)
   }
 
+  test("deprecated randomized block (Hadoop's java writer emits them) de-randomizes") {
+    // a REAL randomized-block stream: Hadoop BZip2Codec over a
+    // SequenceFile value-lengths buffer (highly repetitive input is
+    // the writer's randomization trigger); system bunzip2 pins 800
+    // bytes / md5 a2f4c1acc471414476f7d41dfc34ea9a
+    val b = java.util.Base64.getDecoder.decode(
+      "QlpoOTFBWSZTWXd7QI+AAAAAQIAAgLggADDNAFKmmbifimSU30lZoRcLuSKcKEg7vaBHgA==")
+    val got = Bzip2.decompress(b)
+    assert(got.length == 800)
+    val md = java.security.MessageDigest.getInstance("MD5").digest(got)
+    assert(md.map("%02x".format(_)).mkString == "a2f4c1acc471414476f7d41dfc34ea9a")
+  }
+
   test("corruption is loud: bad magic, bit flip fails CRC, truncation") {
     intercept[IllegalArgumentException](Bzip2.decompress("not bzip2 data".getBytes))
     val f = fixture("small_text")
