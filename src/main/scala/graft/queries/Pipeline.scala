@@ -5656,6 +5656,60 @@ object Pipeline {
     """.trim)
   )
 
+  /** .Z (Unix compress, LZW) decode gate ([[graft.sources.LzwZ]]):
+    * embedded fixtures proven valid by system-`uncompress` round trips
+    * at generation time (`tools/gen_lzw_z_fixtures.py`), pinned to
+    * their payload definitions; a bad-maxbits header must refuse. */
+  val lzwZDecode: QueryDef = QueryDef(
+    "lzw_z_decode",
+    (s, dir) => {
+      import s.implicits._
+      val fx = Seq(
+        ("small_text",
+          "H52QdNCUARGnTpoxa0CIkfPmjhsQZt7gAaGmThs4c0C8sVNGDoiAA9mE0ZMHBJk3Z1x8FEjQIEKFDB1ClEjRIkaNHD2CBCGSpEmU" +
+          "KncWPJhwYcOHESdWvJhxY8eVIUeWPJkSakuiMI/OVGqzaU6rPacCtTr0pVGZSWsyxfl0Z9ifVYW6LBoTKc2lN53qZPmWalCWZelq" +
+          "TYvXa1u+UuH+HRg4K9q7XdnujerTL9m5ju1yXasXbGLLcrGe1aw271e3n8eGNlt3a2nDk3mmjgsY82jXhSV7rqy6tujWhCN3Rs2b" +
+          "NmPbwCFzPo24+OKrrAcrN32Ysljj0AU/3kw9dt/ex39L5w579/XnjW8HX15dtvPL4re/1k38PPzo8nMPb24f",
+          900L, "d6cefcbcdc9f8101531523095a3eaa96"),
+        ("runs",
+          "H52QegIKHEiwoMGDCBMqXMiwocOHECNKnEixosWLGDNq3Mixo8ePIEOKHEmypMmTKFOqXMmypcuXMGPKnEmzps2bOHPq3Mmzp8+f" +
+          "QIMKHUq0qNGjSJMqXcq0qdOnUKNKnUq1qtWrWLNq3cq1q9evYMOKHUu2rNmzaNOqXcu2rdu3cOPKnUu3rt27ePPq3cu3r9+/gAML" +
+          "Hky4sOHDiBMrXsy4sePHkCNLnky5suXLmDNr3sy5s+fPoEOLHk26tOnTqFOrXs26tevXsGPLnk27tu3buHPr3s27t+/fwIMLH068" +
+          "uPHjyJMrX868ufPn0KNLn069uvXr2LNr3869u/fv4MOLH0++vPnz6NOrX8++vfv38OPLn0+/vv37+PPr38+/v///AAYo4IAEFmjg" +
+          "gQgmqOCCDDbo4IMQRijhhBRWaOGFGGao4YYcdujhhyCGKOKIJJZo4okopqjiiiy26OKLMMYo44w01mjjjTjmqOOOPPbo449ABink" +
+          "kEQWaeSRSCap5JJMNunkk1BGKeWUVFZp5ZVYZqnlllx26eWXYIYp5phklmnmmWimqeaabLbp5ptwxinnnHTWaeedeOap55589unn" +
+          "n4AGKuighBZq6KGIJqrooow26uijkEYq6aSUVmrppZhmqummnHbq6aeghirqqKSWauqpqKaq6qqsturqq7DGKuustNZq66245qrr" +
+          "rrz26iM=",
+          100000L, "c8a63b8dc8a30221a1fa4804e6dcd9bf"),
+        ("tiny", "H52QYQA=", 1L, "0cc175b9c0f1b6a831c399e269772661"),
+        ("empty", "H52Q", 0L, "d41d8cd98f00b204e9800998ecf8427e"))
+      val rows = fx.map { case (n, b64, _, _) => (n, b64) } :+
+        (("bad_maxbits", java.util.Base64.getEncoder.encodeToString(Array[Byte](0x1f, 0x9d.toByte, 0x88.toByte, 0x41))))
+      s.createDataset(rows).repartition(rows.size)
+        .map { case (name, b64) =>
+          try {
+            val d = graft.sources.LzwZ.decompress(java.util.Base64.getDecoder.decode(b64))
+            val md = java.security.MessageDigest.getInstance("MD5").digest(d)
+            (name, d.length.toLong, md.map("%02x".format(_)).mkString, "ok")
+          } catch {
+            case scala.util.control.NonFatal(_) => (name, -1L, "", "refused")
+          }
+        }
+        .toDF("name", "n_bytes", "payload_md5", "status")
+        .orderBy("name")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('bad_maxbits', CAST(-1 AS BIGINT), '', 'refused'),
+        ('empty', CAST(0 AS BIGINT), 'd41d8cd98f00b204e9800998ecf8427e', 'ok'),
+        ('runs', CAST(100000 AS BIGINT), 'c8a63b8dc8a30221a1fa4804e6dcd9bf', 'ok'),
+        ('small_text', CAST(900 AS BIGINT), 'd6cefcbcdc9f8101531523095a3eaa96', 'ok'),
+        ('tiny', CAST(1 AS BIGINT), '0cc175b9c0f1b6a831c399e269772661', 'ok')
+      ) AS t(name, n_bytes, payload_md5, status)
+      ORDER BY name
+    """.trim)
+  )
+
   /** Hadoop SequenceFile ingest gate ([[graft.sources.SequenceFiles]]):
     * a RUNTIME golden like `snappy_decode` — each task writes a REAL
     * SequenceFile with the Hadoop writer on the executor classpath
@@ -6980,7 +7034,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, archiveZipCrypto, seqfileIngest, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, archiveZipCrypto, seqfileIngest, lzwZDecode, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

@@ -386,6 +386,8 @@ object Archives {
       autoEntries(Lz4.decompress(p)) // legacy lz4 frame (lz4 -l)
     else if (Snappy.isFramed(p))
       autoEntries(Snappy.decompressFramed(p)) // .tar.sz (framed snappy)
+    else if ((p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x9d)
+      autoEntries(LzwZ.decompress(p)) // .tar.Z (Unix compress)
     else tarEntries(p)
   }
 

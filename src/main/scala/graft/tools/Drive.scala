@@ -1034,6 +1034,13 @@ object Drive {
       catch { case e: IllegalArgumentException => println(s"caught unknown codec: ${e.getMessage}") }
     }
     locally {
+      println("=== lzw .Z: decode + bad-maxbits refusal ===")
+      val z = java.util.Base64.getDecoder.decode("H52QYQA=") // 'a' under compress
+      println(s"decode: '${new String(graft.sources.LzwZ.decompress(z), "US-ASCII")}'")
+      try { graft.sources.LzwZ.decompress(Array[Byte](0x1f, 0x9d.toByte, 0x88.toByte, 0x41)); println("UNEXPECTED") }
+      catch { case e: IllegalArgumentException => println(s"caught bad maxbits: ${e.getMessage}") }
+    }
+    locally {
       println("=== docx: OOXML paragraphs + xlsx refusal by name ===")
       import spark.implicits._
       val good = graft.sources.Docx.encodeDocx(Seq("First paragraph.", "A\tB & <c>"))

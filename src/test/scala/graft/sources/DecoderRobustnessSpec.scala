@@ -90,6 +90,12 @@ class DecoderRobustnessSpec extends AnyFunSuite with TimeLimits {
     sweep("snappy-hadoop", had.toByteArray, Snappy.decodeHadoop)
   }
 
+  test("lzw .Z terminates on all truncations and bit flips") {
+    sweep("lzw-small", fixture("/lzw_z/small_text.Z"), LzwZ.decompress)
+    sweep("lzw-runs", fixture("/lzw_z/runs.Z"), LzwZ.decompress)
+    sweep("lzw-clears", fixture("/lzw_z/big_clears.Z").take(4000), LzwZ.decompress)
+  }
+
   test("brotli terminates on all truncations and bit flips") {
     sweep("brotli", fixture("/brotli/text_q5.br"), Brotli.decompress)
     sweep("brotli-q11", fixture("/brotli/dictwords_q11.br"), Brotli.decompress)
