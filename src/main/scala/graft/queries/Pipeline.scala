@@ -5656,6 +5656,201 @@ object Pipeline {
     """.trim)
   )
 
+  /** HEIF/AVIF triage gate ([[graft.sources.Heif]]): five embedded
+    * REAL libheif/libaom encodes (.avif and .heic, RGB + alpha + odd
+    * dimensions — the .heic ones are grid-tiled like real camera
+    * output) triage to codec/dims/alpha/bit-depth rows pinned against
+    * libheif's own API answers (`tools/gen_heif_fixtures.py`); a JPEG
+    * and a plain-MP4 ftyp must refuse. No pixel is decoded — this is
+    * the modern-image-web routing fork at archive scale. */
+  val mediaHeifTriage: QueryDef = QueryDef(
+    "media_heif_triage",
+    (s, dir) => {
+      import s.implicits._
+      val rgb_64x48_avif =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAOptZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAImlsb2MAAAAAREAAAQABAAAAAAEOAAEAAAAAAAAITgAAACNpaW5mAAAAAAABAAAAFWluZmUCAAAAAAEA" +
+        "AGF2MDEAAAAAamlwcnAAAABLaXBjbwAAABNjb2xybmNseAACAAIABoAAAAAMYXYxQ4EADAAAAAAUaXNwZQAAAAAAAABAAAAAMAAA" +
+        "ABBwaXhpAAAAAAMICAgAAAAXaXBtYQAAAAAAAAABAAEEgYIDhAAACFZtZGF0EgAKCRgVf72CBAQNCDK+EBZABhhhhQC/38uj+lou" +
+        "HAgyvpJTRtV5TGPazFuNMielWuvwe5ScuuwgfXQSepAMkfO4Rh4mZxvyJwneKehve/TFDbeIXe584vvPgPowskaBQSM0n4OfFbiZ" +
+        "ndVbmRElmPsOAulSRaFpxXugzJLwOhHK2YBq4aGl5LrGTZJmJ69JUlyhiaqWVAZhWbjoVOFAi+qrBk+FCyTHzFoWFdpstLUb248c" +
+        "gRiL1rjl5rAi8MmGrW0U7vJPYOZGCHCarRif3ddshgwxnxt8Bg9jSPkVODSir7HqdDIkbo7LfmkpNZ+B6Oap7Yl/PRkGz2awuwGt" +
+        "E0KKGj4ILItWMnyOkvfwytosKR+owaiAOU9jsVrrTqHWEDtVAPEqqkHrfY3I/QPQsjcYsLTLcHgRWW6j/W28Oxcr/rUsIiaz0oYT" +
+        "vGbQiDuW6y6NcjThrzAAakSdHDpclpMmpBWXnAAaSITpAZmZHvfWh3nFtV3/8QSqsEY7Aojgtodfh55Ky3O09S6zGiH3YTAvfYwU" +
+        "aY+97CSaTXlBlBGyfhUFMwV3PfziWP9L9Rtq/g/BUG024UvxV13tNQkpzpxPDBDblvYaC0zj/LaUbIp6Ckne7x8uPHySQeEKfbeA" +
+        "or6FQ/Zt7+2w2QLju3Y9/QtS2rwIEpgWoN77BaIDeyydTj5oKcxLCYim9hd5Wxnc+8rTCNxO6m15KTMdVqKO+IFdaptBL9yg5zfO" +
+        "OUgHKI5B3yDc12zvotLVlX+n3e4My+JzvKJi1TCbcofpe+GmkAMAgA3V1i1tu6NICw8sNU23QK37H26SxfIO6qMrdCv8Un+7dxZs" +
+        "LiNPL+Aa9/gAJ08Hmc5WVcGKVKT4Cn38St5FMc2P3HYcxoa44TcoL7NOHdJsGehggOJC4CyEcWHuhwnWswseZ3wwBFEum+m1kPI0" +
+        "lF7abKK2ZPqU40tsItGb1vfUFW9C4+f5iOa6OY0Gs2YG/sdkmkXNLsnnzuOyO6L0Mzxv0G4PMN9flDZh/S95IEiGBboqPdIuBVC0" +
+        "VU0GhqqNbNJraHXnJxlifdNth2DulGJVvHQUejfoW4zP8eGNCeAgkS60l9EN0ClV1JbrIpeerynfPnrdZaGVZT3RXXl65W1VwGNP" +
+        "F4GgZVkZyM3b0V/7/RJ11B/z2p7CFdD7F/iBC7aYs98d3VnN5KBbkgDTrXAnbWZxUyV2xgx2OcI3pGegg+bYWSM1nXWTgVrbVuhk" +
+        "0JAsZA5tWKhhlJLS1kDn17ThZSIsDDN1L8D7VNVrMQ9zrWf7LKYtnvVIJgTRkIYxyndY66IsmhsbKarY0zvN2TFLEkdH6kdSX458" +
+        "kVriF6m4mBobJ37G+gLjT16GPu1JCnNavIQWiH+6vQOq71a7v1tQUzypZ9aQyL1ymBV3VPRBlegN+DzsCAyZrld8/4NYQaC4o5Hs" +
+        "B7GqEmlbsOMRpJmr7lV9bMdG2ZNG5lp+Teh/rnyoUrrOyVMUMQ2+hfUMDP2PTwIxI2vNtDWXYKueypyypt2E4Zw6X2iOoLsVOn/C" +
+        "dl5mldSuEnhpGArsIYj8uxOhAot7CifebvEA44dpQwjcg4RjO/59v24I4UGGLg1hHdR5cplwwa6DYDIWqBLn0w/+oTkGEPHU+v9f" +
+        "iUMUweaG9Vogds2X4U5Y3cEnvddYUM/Dn87QCYVZdOVPq3Z+BFy+WAowNLEfS24iv/Yh2KdHooDcPkyP59L54aH+QxOGMXufHnrQ" +
+        "D83V5by2wVLMiJzskFUks/ZMIr/5qYZtapqeNY2YxzSFX9mYnlU98nHcexXKeMfBt18eKRuYzJlxjnFIYkELJI9RwbfadlmIwi5S" +
+        "HR70GqvdeKZ9eTvjAwMp6rDz2Bi01eka1UssWEvMXKKtPJmyBUM/tNXGvKSC1S/XsYuLgtWaUOhZM2t0CNDsWzSmCNAX6d/frz6X" +
+        "WBBSeQwOdHmHnDqKELV7c603Jw9FtK43UPxWjRdf2HSYYzKZoUM5I7jlbfXu7gspfvbr4AmpUN1HJhXfoNp4MCVfxenPwGQD42/m" +
+        "6xgyT9ANx7mwRVhEUzG2A+tyd55xPl7BjASQQbvhs9xN37n0+jD/ma70oGw81lvzo/EkmIhCiy6OmMQ3WHZD4d7Y/7NNl5g84CvL" +
+        "5uwTjZCZFcWjQznrwE2IY348B+KQhurhIP6jxyeZPh9ouJCP9uEs6L5l2zoBK3U9hodNq9qjK51mx6ASz2Dv68mELEkyyXW6lh3s" +
+        "U5H+5O+RXXvBGpQLYsgeItO1zl6APSMbAbUSb1sqeyvX1TC4Oa5GQ+pbE4cjFtMvzjuyYwmDA1lY8MbAJOD2Y+wfphxn6HmZPNF7" +
+        "ItaTQyvn7vtWivTwmwAeNVw6+trB8JSCqxmVJofIzMIDe2cynZ4a98RYrOJRg0KthC3WExSXYId6UtSOZyL6elDLZnOiPi1/h1zz" +
+        "ghld1aMHLP+F4hvQd4NFSf+u0rsnGrWyw07VJGO33wL2Z/yCR9PHnlFyt4m2dqYG5hL9dKyVB89nNKYdwPLQ78680mwNs8ZCSl8T" +
+        "fmrMlGphn6iA9BlPDjPkwZh5UfGmMY+KR7LaKv3bzCujVRn7LYj/ctoACEN8m2nf3w43jxYH8egSirRM8vOztInVbIhni/gXVulk" +
+        "4NZ+t4zvit/Qk7Ws/hSzLaH3kfsf9U368kfRzGVwmF+VzSBrTvB5bLVdSIdbUszxeSTGpWHBK8eA99hCGxwZ8p2CrD2m5uoF+Nld" +
+        "fytVf/Z4sWE6SEMzIKT2DkDHPwCbP8d3NhJV/exirzPa3p1gZcaBqkiQIr1JCsqPE7Dc2dY0EBzwQGIE+OBVzmNrBYBc9Pk="
+      val alpha_32x32_avif =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAZhtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAANGlsb2MAAAAAREAAAgACAAAAAAG8AAEAAAAAAAACXwABAAAAAAQbAAEAAAAAAAACzQAAADhpaW5mAAAA" +
+        "AAACAAAAFWluZmUCAAAAAAEAAGF2MDEAAAAAFWluZmUCAAAAAAIAAGF2MDEAAAAA12lwcnAAAACxaXBjbwAAABNjb2xybmNseAAC" +
+        "AAIABoAAAAAMYXYxQ4EAHAAAAAAUaXNwZQAAAAAAAAAgAAAAIAAAAA5waXhpAAAAAAEIAAAAOGF1eEMAAAAAdXJuOm1wZWc6bXBl" +
+        "Z0I6Y2ljcDpzeXN0ZW1zOmF1eGlsaWFyeTphbHBoYQAAAAAMYXYxQ4EADAAAAAAUaXNwZQAAAAAAAAAgAAAAIAAAABBwaXhpAAAA" +
+        "AAMICAgAAAAeaXBtYQAAAAAAAAACAAEEgYYHiAACBIIDhIUAAAAaaXJlZgAAAAAAAAAOYXV4bAACAAEAAQAABTRtZGF0EgAKBRgR" +
+        "P/YVMtMEFkAYYQB3CX/2b8vh+9YumYrTSk/Z4Cp9D+0Yu9+mOnseOuReGGZc+OPhsCcnXeOFVdA6IUMX+A6qqydP9pQdHgcj1pID" +
+        "4B4V0fzXLp/zZdlaXgK+C6lnvHuLTBFSXW+uOn2rkieSYhJC7vgT+AMNvQb3ABrjVgpmGuptH7lRifxGTYoNQ+53KeyGlukLgL7i" +
+        "xnFk5zxO9P0snLswKTnS3NpBiNx1qWjffoiTUBEM+hyqjljHT6RBTs2j0M1kIaxTTNJHpR8D6SipeDGAOt8nNDfQBNO0juuL6xag" +
+        "HR4EEKDo7KEa/qIHTf2t/dpoCTFzADxIawiGxSAet7lt5LiiyFFJftFPUueGMIwRz6vCwHUwZQ5fxQn0WBAmMbY4i8Vk4YPMrC9H" +
+        "HhLwswj7KDf+1MVQFskNWps0agr8QxPlmB+dTPvs6BJAB78ml6sSLm9RvWYzl8u5q0wewkXJZJuU8v/hJU462TFhMOGu5iCsDoYF" +
+        "SV/ERGHDPfcTi6cNHL6T77iJrD+DdXDrB3qD2GYSdb7yYYBaYhIWcvbxyX6Xchh0jdMKMl9PyQlaSKqkZ1R1gARYNa3DrzxMk41f" +
+        "Y20aVEhGlYj9gFFIJNbY37BcIiNMF4fGqfwNTmewxZ9Zk+F8tjnvzvVrMkaE2CDSQI2cEi5HjQid5NS5xczQN3PTnm9deuSftNkN" +
+        "0IrZuEKtfpF9NNNtZrHupLyVo1reQVEGqRceWDincCoU5SwjOTwSB2p7PKZaJB2HPB9BbK1pQ7thviaUoDoGm2MvPfBb1CR2fk5j" +
+        "YBIACgkYET/2CBAQNCAyvQUWQAYYYYQAOnS5//4Xi/cJpDmAutGq4OfnB4kd8ouV8YsqAMKkyiXjoHa4hBfWdzTePNPqFZusn4jp" +
+        "wazAkUzTq9EJ3DqEmDgvocCWW/37uTAooBKFrwF48Xp0VDlFVeCU5P10Zm0cPFDNTB2F0xDR4l26pY2MD1Izb3Pq2+V2iPC6nuyn" +
+        "uLGKF7JrmVW3Lll07HkG8dGr80jKkUUfcM7AnBAKtLA1Qa0uZVBMyjf6Clml1wxsf57yLb0Aa0M7l2iM5skBHBtb3UBvJfS8AluD" +
+        "2EGyRgSUSjx0LtswkWOIq6CtoBoA0l3czubgnQZzktsRNN2qQwk6P5CMnDB1rUyDff5+sXp9ZSkqHN1kUfe5ZvxhWPJEgUzrSDwR" +
+        "Rz92RSQY6CtAW69Wpb+djKbXihuaKAZ4KQesxuVFcPphuZCKWj+3WD2HitNl2FeMTolh2/syI+ksC3L7O/xyr1ykcgO1NXzNzI2y" +
+        "Cz+leS3PXey4FHhJqM38auIJu3c0WC5DdzOU08YRlFJxL0FCCUmCBat9y/7tkUKqOtD1QYWdaEw/pZW0lpORvrRlC9BDqM0mMq0L" +
+        "OM4jS7NGVl38XkHcY3OUnc1cZcp7giHHw+Si+HEJnL9ah2QLFRv6EaFd8nQ5ougWCU8JAvNqmxcqM8InifA96btEBV3IhB+YvAKp" +
+        "KAOO0AyX0TPj5VUXyzAWZEqSHqCaRCYetLAriHChBwrM1pEQlIsDfD9SuPmZZc9orUBscp/Y5OzxFMvME+G/kkNznsfN8UazBPXj" +
+        "6UB9pvEofTHMkJIgBMMmUmAomgCI07ee1nMuSsRKgpRnzNBOv7DDAoNsCMAC4g8ySR0EriVjLq9dhfRAz4R5sbrC16RJ02lD/h3Z" +
+        "KYF4A0f/kqnLIy5NiS7zhJXS05s4aYOS05aSXip1orZRF/hkN2ycCvrSgA=="
+      val odd_33x17_avif =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAOptZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAImlsb2MAAAAAREAAAQABAAAAAAEOAAEAAAAAAAAB9AAAACNpaW5mAAAAAAABAAAAFWluZmUCAAAAAAEA" +
+        "AGF2MDEAAAAAamlwcnAAAABLaXBjbwAAABNjb2xybmNseAACAAIABoAAAAAMYXYxQ4EADAAAAAAUaXNwZQAAAAAAAAAhAAAAEQAA" +
+        "ABBwaXhpAAAAAAMICAgAAAAXaXBtYQAAAAAAAAABAAEEgYIDhAAAAfxtZGF0EgAKCRgVIIMECAgaEDLkAxZABhhhhQDpVG44/Gh9" +
+        "Y51vIrU8E4DjPa91o8u68N1X+XL7TXIU5TsvwHRuixwCiD4BGPhDdxdXGuHNIrS+T+10tzVBpP0iIYhppxvmHhnMKKpob+zTTAIv" +
+        "Cd/DOQL1rla+/aqKmXyR7+heF3Dp49qxl8Lfcf57DgbcAiD2a8/eGxDffM7Zb7AOdObzo2VF0c1A84A1aMiyfiS1T/+mi86tgKze" +
+        "RKWhW6Hha7jpQXkmQlC5J2+2jGNL3SL9bURa4pt1AchE9j4p0LCx9esSz1fx6djtfvROF45rhYw8dpV8XsCVcZwqETjauqFM2+6w" +
+        "Nol89YJxjZKjkkP57bP5iAo7rJru6EVbcj206MwQoNep7MUhYwifbh1A0uUh/cKshOdpn0NZ56/zYZBsONGRxXvPkszGZv0yyvcF" +
+        "Z0btoTS18BOyimyXFutY8FiYxX2+pcVBelzew6bkbDfurEwAV/q+EKKIiR+2+wbZN22DM9UxCCtczqkNDD7P52K/8iSGfrhOifSo" +
+        "czG4mdFB7YNq+fCUp7gYRUMKyEeitbbTcHWgN5qnU+8q3EPY5dItiNAynavFEpO5jKWEn/gANEPBvNc5XSW2of33QR6kbVs9AlyD" +
+        "9bkL3Tm+rjPm90/6+hdrOxBokHY="
+      val rgb_64x48_heic =
+        "AAAAHGZ0eXBoZWljAAAAAG1pZjFoZWljbWlhZgAAAa1tZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAACAAAAEGlkYXQAAAAAAEAAMAAAADhpbG9jAQAAAERAAAIAAQAAAAAAAAHRAAEAAAAAAAAKoQACAAEAAAAAAAAA" +
+        "AQAAAAAAAAAIAAAAOGlpbmYAAAAAAAIAAAAVaW5mZQIAAAEAAQAAaHZjMQAAAAAVaW5mZQIAAAAAAgAAZ3JpZAAAAADYaXBycAAA" +
+        "ALZpcGNvAAAAdmh2Y0MBA3AAAAAAAAAAAAAe8AD8/fj4AAAPAyAAAQAYQAEMAf//A3AAAAMAkAAAAwAAAwAeugJAIQABACpCAQED" +
+        "cAAAAwCQAAADAAADAB6gIIEFlurkprm4EBAwIAAAAwAgAAADACEiAAEABkQBwXPAiQAAABRpc3BlAAAAAAAAAEAAAABAAAAAFGlz" +
+        "cGUAAAAAAAAAQAAAADAAAAAQcGl4aQAAAAADCAgIAAAAGmlwbWEAAAAAAAAAAgABAoECAAICA4QAAAAaaXJlZgAAAAAAAAAOZGlt" +
+        "ZwACAAEAAQAACqltZGF0AAAKnSgBrwngIzQDbX+v+252fyPD8+4ZXOtkE9jPLbDPpddx8lSkYyN9GIDvfwqyXkJfankeJ+rkV9aG" +
+        "SmI3UP8yDoZ+88DIyOVs+pVXDar6uWGSzoT0ONPva1TJa9EekDcYh5SCk/Xq/G7AKWAYLNZdPqXC/PrlyY2bQarj6sRlXqoGnTBU" +
+        "nxPvgBwERUGpY4JvDWKbV93d4n/ba2MFvqPQnU5eXX2ezpATJ4p5Vr24h9zQJDtA7JDVvilQk1h0TjJUZmfyrOIteJg4I5nud2SS" +
+        "JRD9UX4CjuZD09CtK7X3HqPd43yUr1VJ3v1fxItNICcWOIolCYmE1yx6lJifst83cOEd1dQ+szlySo/PVVWp7LwVfGyl1JIIFDse" +
+        "91ZLsmIJznWq4cc8FnypJKXWByxTclmIZOR4mZ5By4pYXK9RF1oOFRq9AojTAznNTVfeOQOvi4dDVPvi9PUz7CW/KFxntKbUSDgn" +
+        "vLqe4gbClu2rftAehxL0UiVpRHEPHfQrIaZeM67Qcu92zOEWMxvcTrDEg+BxgcR+WC4ElzBdOxsJfTeoOcl8xwtCmqy5TzUmjOVG" +
+        "drf1dumM+SLTeNkWcmWCkYx60nMWJZTa82th8j9oye9+xsUyovA1pT/zuB0XZy5fB7rNwQofI8Ddt55Zsl4rB92WLH2BKEbI6hSp" +
+        "Mw3WojG9a41ZwYzG7c6guxu5Kz2ep4uY/02itEoXwMJcBtDHjhmpJzGYw27sZIk3h7f607OR64dCG2Eaye/P51cK+Cy7sRrmWd0/" +
+        "kyYOIrU7aDRYF2p/0MkD3XBo/Wy1S+m0wwyJlKrjxQagxM+O39O0lh3cNapLwpvxBz7HhrKFOPQ7upuVBemTXU0RTaMYGnYeQP2o" +
+        "B6t0c+mdBCdRoF+ZKlpaQrDDRnEfmnIo+EBcu72etcsJe06AhYdMgLFhM3UJwvE04EZk/qLF+xqZp2CZ+r4+GfID/8kU0W6o4GaT" +
+        "PEcHW+qfkOcMgJT+Ry8C8SGHMhjhkXBiY4KaPQdpuyO87yudm2wSScSOiUqvOW9DJ2zEjSxrMc/CbZ2onhyDOri3cnX1aSGITJJB" +
+        "S3jzz7stA4OxuFOdXu2CL1vP7dBsJKVPVJluz2WAA6iOn3RVzGYLdA4xtGwZhUDj+ia/mcET+uPiA5fiZ0eUXu8Yha67j3QXNAqn" +
+        "O0PNdG6JeVwJlVk5ejps+V/iskiq2GSbpqMgldYtqKnT2gc1RDgc/Ycj06P+kRu3t01SGLSf1EG6r7gXY+w2CsjxgH/LJdTI8crS" +
+        "B7wXKyoZOsvNoBXWU9Jwx+Wvd14+xS2cbsbDDtg2rFj5R1lsyUeg3VkeYJcjj7kCwEXSfnJwm5lZS6ewQvOdhFqWW2mTJl9qmKN0" +
+        "auARQP1JRRzzK0LNLcGO7olzc361Ire7VsmNvGGHCLhq/GihcjAf0K3J40LVyyKztKOI6k3oiHaXP1cjOseCaX75ZixNT0qSVZ62" +
+        "GGfufzsmhAuy1zXfU1RLHXifrd52KPuu7UMZwpuFyvPJ2jqVYXnLAUy91remsSZOdnxJLsHXV8CprnTceZbUyuwkf3Xu819I9bBP" +
+        "d/RhBvoILY1P12nkyTxNSuqHAGCwFMp/jeqQ4dAPcNsEPdmP29L4VYnVlgjdAEe8NgSu6sRNvW8BK6WQ9hOTCdPz+/7qIf9h7ptC" +
+        "iHjT5zO5Wonc6ERAcE0h4yrqIY+HGiAca0vW5l/BtK/iSlHl7LINDIPlqh+0q/B4djca3Kmu7URPo4ITYJGQ6PWkAOWBh1ea6J3O" +
+        "3oM9eJEhaOESp7myMCt04wr/q2tTRD7ViiMNDaCSdhvyv7U0JoIuG4hd816KVC/yrjztlWmI0daMcVw50jUGgrJxOI+mQSr9BiW7" +
+        "tSLjFkGST2D67N7eqfF/0SuuV1Js48pBg8CbYCbV8ir5JNJHfmC8VOH6MashT/OeDSdfdvDt/VYv/AC95Hg4amW3upPh7LIuega4" +
+        "k4FzL6zg+GNnAiruxE5fv+zfLouLwFv9pNZa8h+rZNy6a8Ar4R9kOBt3/MGRGb+jaLZtSDMONbZ/5HLBW6aPpBWzqVGVkK+OYLg0" +
+        "nihsUcGVoudQcuWVw5VOQGzOmiKyvMmUp5bCG6n6ExjEP4UugmQSFMeMmowj1hAWzRfc6+V/sV4Ua6U7cOAGZD4N6+tvfP1GwkmI" +
+        "N8wB4cByOCXthTKjn1sTI+pqCL732JlpaJb9y9h7yhqh2zES0py0t/7jdAN5yFTJ2O4TTuycPe/RAQWDG0u2A8f9HeCAn0lPJyl6" +
+        "dA0zZRVsZxt+5+f0egfRXNXzR93JAUr8oZ6kuNQFfwmpZ1OF1zvfDacbU+upLwm9U6ZzVLA2WfJjBN81mWppuf1uWUVfldIVy+DN" +
+        "kzX4J/XmJpDNPcNRiw/d4wEcE1oluNURrTPJDcO83RUyFKqtr1vj4MQcZGrLpkCrlbCUR5UQnV7+4YOQuAuOucHF27gIcjeaPCRG" +
+        "uhpRbgBeD8AWz+nWpD+CTbcfWyl6lbo+GMPMI4vnUrFWciySz2vgai/MXY3qIZJOi5KW/KM0EZOzHZMDGDoXmeM3A/LtGnKJToq2" +
+        "w1NVM6mzhx8V7v8vrxFrH4t/SW0husaDS92WQACa0ChwGhIpiPau2A8RECKqe+IJHM0ngfXxBpDICY7kuzMFAGLGQ20XppBBjdav" +
+        "UvmOaUhG7Dwn9bsJAOVUqX7uUovQ2+20OgDbyrZ0Bph6nYRM1CUp2mPGhmO4vgDPKusXEGoEzZ6Tt8ypcaZHnq3w9dwTRDZGdB81" +
+        "QV7jXr4rUBCjDaRgAQ0I7iS0VlgsZdAcfpyBXasSYo4BZ6aB3hIY6fyKo0pY+Tq0hDqrQhXGNOryf1wuqSnoQfHqAmQL/UOYMLRn" +
+        "/pQy5Eh6N8nS9fji3M2b2j0je+O2FYcBsHHGV0UnycNI4+uhfP5c5SdR1CN4FYKh9gw7CIF66X5TXJNmxsyWEM0z3dPdNubfitQr" +
+        "E7xImbedfXlp18meb+ZxENhCLTDqHE1OYpYWuJ9clKciLZ+NuxdK/ms/EDXNc5+btkEnfXkVaOWuaXA/sICvSwXYghEeVPQzOo5Z" +
+        "WIFSOcBFDUE8bxlrzcofoYVegzHWrqf3z4ysVTU2bu/2RP95B4zGeZrQsfiEjy730iUv5Mo2mpSf0afTBD1wqFMmGsPhLVBgEoKe" +
+        "nc1UwJ62i3Bwxoty2YbwMytpBPYoieAwBcjAl5eDDTWvgClXuhMGLast9XjUUtqXZqPu3TdBw7fbm5HJHroT3kJvpKEzXGJK0MJz" +
+        "iUKRkgNwGefh7mv20tj4ydg/j2FdfrGxXW85JP2g4AWH4cx0fMxmBS0guJZQ1xEyzH26KlL1Vzr3gThNEP3Ws3B9tS2OMCM6KYua" +
+        "d0g9XPgqdIQh892RzvmgYbcyXaGboKzC2fBZovHZpainNN3atfRb1fp0KAAW8yApiLQ2qGK42Q74xr9veHc+oHTGk0LvG3nsgjx5" +
+        "GQFwo00gK/y1y9GS1rk8LInrCmhw75iW+Q9ddNseSyAXAARJQ7gqc54G3TGYrReDJra6askcLekxV+EYeq7C0qwwTTU+jAalGncc" +
+        "k9bGSXEIMlAhi3Rs9M3DYmZVnNEYv2p32B++rO+k/cXcyuLg"
+      val alpha_32x32_heic =
+        "AAAAHGZ0eXBoZWljAAAAAG1pZjFoZWljbWlhZgAAAvxtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAACAAAAGGlkYXQAAAAAACAAIAAAAAAAIAAgAAAAYGlsb2MBAAAAREAABAABAAAAAAAAAyAAAQAAAAAAAAPbAAIA" +
+        "AQAAAAAAAAABAAAAAAAAAAgAAwAAAAAAAAb7AAEAAAAAAAADBQAEAAEAAAAAAAAAAQAAAAgAAAAIAAAAYmlpbmYAAAAAAAQAAAAV" +
+        "aW5mZQIAAAEAAQAAaHZjMQAAAAAVaW5mZQIAAAAAAgAAZ3JpZAAAAAAVaW5mZQIAAAEAAwAAaHZjMQAAAAAVaW5mZQIAAAAABAAA" +
+        "Z3JpZAAAAAGxaXBycAAAAYRpcGNvAAAAdmh2Y0MBA3AAAAAAAAAAAAAe8AD8/fj4AAAPAyAAAQAYQAEMAf//A3AAAAMAkAAAAwAA" +
+        "AwAeugJAIQABACpCAQEDcAAAAwCQAAADAAADAB6gIIEFlurkprm4EBAwIAAAAwAgAAADACEiAAEABkQBwXPAiQAAABRpc3BlAAAA" +
+        "AAAAAEAAAABAAAAAFGlzcGUAAAAAAAAAIAAAACAAAAAQcGl4aQAAAAADCAgIAAAAcWh2Y0MBBAgAAAAAAAAAAAAe8AD8/Pj4AAAP" +
+        "AyAAAQAXQAEMAf//BAgAAAMAn/gAAAMAAB66AkAhAAEAJkIBAQQIAAADAJ/4AAADAAAewIIEFlurkprmwIAAAAMAgAAAAwCEIgAB" +
+        "AAZEAcFzwIkAAAAUaXNwZQAAAAAAAABAAAAAQAAAABRpc3BlAAAAAAAAACAAAAAgAAAADnBpeGkAAAAAAQgAAAAnYXV4QwAAAAB1" +
+        "cm46bXBlZzpoZXZjOjIwMTU6YXV4aWQ6MQAAAAAlaXBtYQAAAAAAAAAEAAECgQIAAgIDhAADAoUGAAQDB4iJAAAANmlyZWYAAAAA" +
+        "AAAADmRpbWcAAgABAAEAAAAOZGltZwAEAAEAAwAAAA5hdXhsAAQAAQACAAAG6G1kYXQAAAPXKAGvCeA97Ci////S9yJaU20bGVbH" +
+        "UDkFnQ+hQAnzNnnuLm+kaACQdyPAXh7E7UXsId1LGQ9zp4xjDeiCbNDefGeSLFRRphSbNaEcNsqPpKCMhVpAnhGnVP0tMiFeFJgj" +
+        "ytprtA6AvONjqSFqYuUk96NmmXICDYsv2XBbmUzf3Ml9ma8RZxgmNkQMpWvnf3oJoLvkfsSTXoHB9lTIPyilMWsPvoPAscrW9Co2" +
+        "Tw+4nzJz4icHQ9SK0bBpeja+yvPnxMahvm3KBeM8l9WbuOOWyTSm9s5+0YX6iPUm3TL37cIzRKTOn41S9iiWyZ5Bl67K9BrUWqGI" +
+        "KQiW7z0tJttQ2+E0WeP18Gjl1bm+8QH+od8qLrLC4zedbIf/JQg0+Jv/SFGD3US2YOr9WI9bkquL+3Sni7agxMKx5dyV1mTGTAS0" +
+        "WDD83ExDZKLkaYA/4qRvMGLvtuOa/Mblyi/LOVnHsTZBPMM9Nsq1HNIMC2vZFMROGLq+POBD/ZzNWsyQ+GhA/uTl8a+RcS5IdtTC" +
+        "qUpZ+pXWVT8AjFx+osuehZJEMR6Uap3WlBUfrpBcaRGw5pk7j80ytQ+OTgqOozCsse/zYrEL7FypPp3veDXuZxdRdF4aksqCwJk+" +
+        "Nt4bZRCHS+A3ddXK6flRS3Jkg63NFfMNfPHKMhduFWKBLlqXcyiIvn+z0NXTidD7yxu1bRjaBxoczugIqVqLXQvCg2PmrH8bXBeA" +
+        "TAkgry12KvmFriHJVc8Su2NCtB0+rYC0J6J+YZ+OuSiS0XOpMdUhhjisuOUglYYLFYZgJ/oR5VxCUsjD1tAfKet0kfNHI9IR8hCs" +
+        "YMZ+faoioM5NScEOfNFj6wEoIq69C4eq60X/+shpQE/2E0p1qd9nTY656yp6e7xBgA5f7ZXi2VE7xsnKlRoCl3luwJploYK/Ycmm" +
+        "dc3ft8qACTyjRn4xNiEjtgbVesOV9B9g1FTYvS1tMUN7z7JVAWY9jBc/A1IEumcDbfU53QmWX240ZYW5AVQ03QJXoXqD7MYvYvOh" +
+        "NI4YHTTWcQh4uIjJnu/7dyEXtAyT0fPwRTvx4vs2Pl3B/LDDJZ11CWMe8eY+YbO9kpk+yX3EWdyPghJoM5Fxwbkor8D/URT9LEcC" +
+        "PLYT+KjGIhOwey4NC5zSz6l7m5ojbErUF7VlA/x6CzFR+Tv9ijDXC8UcbJskL+sSld4S62fBbreuK7f1k1y6Ol9bgs+W6VdXbWO5" +
+        "L//7lcP+zWwD/f0fskINY3BIuom8RlQT1SxVz619xPfquU6xKBWN7RuI2QWcl9dAhEwEDUWRMc1KZAVbNMAAAAMBKAGuE8A7f+vf" +
+        "/////7bDz29N45HKYf/20DDZDsGClQt6teVRYaALo8dLcq1ACAWsjHas6XljgZHfLZ/8wWnayzoL4S1psZrb6IAdmUyFrBPHo0WH" +
+        "KDm4G2rB0t1+RmsXMrIhdmw3g6aFy+pUxGLaB/4qeSHeircex3RGwiujISxMFRD9TQtCrtvwqel/cCSjwC+6+e0qZ0Oscvh5RM23" +
+        "kt6KpKXWuBnUGIEC4itFTNa7KC+2KjyLmkwx0qLfuYLbS/VDoY4epriAukg/3ziWkkpUvDEa1Z/fzQVEDtdcn7ZzxAj4OLaVp7ip" +
+        "gD98dC0dWwtcCSK/Cv/1N4oOtSRF0lnyY2pkbdAOkvqPHqh7xElgitdAIbn3fpodwqJQJS4FZ1CEqLHuHtUWYQplrExNB6thS8eG" +
+        "TLQ1uVbJWzmpCmSKpYffr04yQ9SLJalMBjYGf3/EbKoi/kKaR+CcfpS8Um1v+5BMbD+KTo4NOVNX/4/yEyZZcbC2H5AL+6nDI6Oi" +
+        "X1E68GGAtnoT3r0lQTzX96DBjud6ddRr1hhswYDNoANk38OMvUcUntkG7iOqNk4pMDWgxokjLJzZyvKbKLTM3i7LTE2wW3JmExJG" +
+        "45orOpmTCH1MMuH3Iu48K2g/cwl6rSSkZPhes1QVKMOPwGtDFnazPuLIyaMJxWjRl9WORk04cQE2lu/StBOOtLn3QjgoB+OoQ61M" +
+        "ZWN1qo1XSArTOploHmMgNBxlkyUZ6xYGVrWRPpJZV/cdK50Q7dyU5afNbikfSI7HnUyyTJ4/Ab6YldiQZaa3OV8UkCDUaFAd4w5A" +
+        "t55x+Hu14IGCNJxVUvuoVNXuJPFgOmUFxGElbPYun6gWrX+SBBwdqZANhv3RK5G8UXDsPkFts0U3Y/JELn3y+XqbJOYpMF4OCIX/" +
+        "H52JTTtSNaobYGSCZI3zfSQqCtZNYHfcAr9+IQbffaXFMI87TAjZtWeMNh////+gg39uNZhBxe/4UtOrh7zgA+U93wMUVyoGtwlK" +
+        "zDtJPOj09faf4A=="
+      val jpeg_bait = java.util.Base64.getEncoder.encodeToString(
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ Array.fill(32)(0.toByte))
+      val mp4_bait = java.util.Base64.getEncoder.encodeToString(
+        Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm', 0, 0, 0, 0))
+      val rows = Seq(
+        ("rgb_avif", rgb_64x48_avif), ("alpha_avif", alpha_32x32_avif),
+        ("odd_avif", odd_33x17_avif), ("rgb_heic", rgb_64x48_heic),
+        ("alpha_heic", alpha_32x32_heic), ("jpeg_bait", jpeg_bait), ("mp4_bait", mp4_bait))
+      s.createDataset(rows).repartition(rows.size)
+        .map { case (name, b64) =>
+          try {
+            val t = graft.sources.Heif.triage(1L, java.util.Base64.getDecoder.decode(b64))
+            (name, t.brand, t.codec, t.width, t.height, t.alpha, t.bitDepth, "ok")
+          } catch {
+            case scala.util.control.NonFatal(_) => (name, "", "", -1, -1, false, -1, "refused")
+          }
+        }
+        .toDF("name", "brand", "codec", "width", "height", "alpha", "bit_depth", "status")
+        .orderBy("name")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('alpha_avif', 'avif', 'av01', 32, 32, true, 8, 'ok'),
+        ('alpha_heic', 'heic', 'hvc1', 32, 32, true, 8, 'ok'),
+        ('jpeg_bait', '', '', -1, -1, false, -1, 'refused'),
+        ('mp4_bait', '', '', -1, -1, false, -1, 'refused'),
+        ('odd_avif', 'avif', 'av01', 33, 17, false, 8, 'ok'),
+        ('rgb_avif', 'avif', 'av01', 64, 48, false, 8, 'ok'),
+        ('rgb_heic', 'heic', 'hvc1', 64, 48, false, 8, 'ok')
+      ) AS t(name, brand, codec, width, height, alpha, bit_depth, status)
+      ORDER BY name
+    """.trim)
+  )
+
   /** .Z (Unix compress, LZW) decode gate ([[graft.sources.LzwZ]]):
     * embedded fixtures proven valid by system-`uncompress` round trips
     * at generation time (`tools/gen_lzw_z_fixtures.py`), pinned to
@@ -7034,7 +7229,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, archiveZipCrypto, seqfileIngest, lzwZDecode, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, archiveZipCrypto, seqfileIngest, lzwZDecode, mediaHeifTriage, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

@@ -1041,6 +1041,26 @@ object Drive {
       catch { case e: IllegalArgumentException => println(s"caught bad maxbits: ${e.getMessage}") }
     }
     locally {
+      println("=== heif/avif: triage routing fork + non-heif refusal ===")
+      // minimal real avif (odd_33x17 fixture, embedded in the gate too)
+      val avif = java.util.Base64.getDecoder.decode(
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAOptZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAImlsb2MAAAAAREAAAQABAAAAAAEOAAEAAAAAAAAB9AAAACNpaW5mAAAAAAABAAAAFWluZmUCAAAAAAEA" +
+        "AGF2MDEAAAAAamlwcnAAAABLaXBjbwAAABNjb2xybmNseAACAAIABoAAAAAMYXYxQ4EADAAAAAAUaXNwZQAAAAAAAAAhAAAAEQAA" +
+        "ABBwaXhpAAAAAAMICAgAAAAXaXBtYQAAAAAAAAABAAEEgYIDhAAAAfxtZGF0EgAKCRgVIIMECAgaEDLkAxZABhhhhQDpVG44/Gh9" +
+        "Y51vIrU8E4DjPa91o8u68N1X+XL7TXIU5TsvwHRuixwCiD4BGPhDdxdXGuHNIrS+T+10tzVBpP0iIYhppxvmHhnMKKpob+zTTAIv" +
+        "Cd/DOQL1rla+/aqKmXyR7+heF3Dp49qxl8Lfcf57DgbcAiD2a8/eGxDffM7Zb7AOdObzo2VF0c1A84A1aMiyfiS1T/+mi86tgKze" +
+        "RKWhW6Hha7jpQXkmQlC5J2+2jGNL3SL9bURa4pt1AchE9j4p0LCx9esSz1fx6djtfvROF45rhYw8dpV8XsCVcZwqETjauqFM2+6w" +
+        "Nol89YJxjZKjkkP57bP5iAo7rJru6EVbcj206MwQoNep7MUhYwifbh1A0uUh/cKshOdpn0NZ56/zYZBsONGRxXvPkszGZv0yyvcF" +
+        "Z0btoTS18BOyimyXFutY8FiYxX2+pcVBelzew6bkbDfurEwAV/q+EKKIiR+2+wbZN22DM9UxCCtczqkNDD7P52K/8iSGfrhOifSo" +
+        "czG4mdFB7YNq+fCUp7gYRUMKyEeitbbTcHWgN5qnU+8q3EPY5dItiNAynavFEpO5jKWEn/gANEPBvNc5XSW2of33QR6kbVs9AlyD" +
+        "9bkL3Tm+rjPm90/6+hdrOxBokHY=")
+      val t = graft.sources.Heif.triage(1L, avif)
+      println(s"triage: brand=${t.brand} codec=${t.codec} ${t.width}x${t.height} alpha=${t.alpha}")
+      try { graft.sources.Heif.triage(2L, Array.fill(64)(0x42.toByte)); println("UNEXPECTED") }
+      catch { case e: IllegalArgumentException => println(s"caught non-heif: ${e.getMessage}") }
+    }
+    locally {
       println("=== docx: OOXML paragraphs + xlsx refusal by name ===")
       import spark.implicits._
       val good = graft.sources.Docx.encodeDocx(Seq("First paragraph.", "A\tB & <c>"))
