@@ -5851,6 +5851,72 @@ object Pipeline {
     """.trim)
   )
 
+  /** 7z extraction gate ([[graft.sources.SevenZ]]): a RUNTIME golden —
+    * each task writes a REAL .7z with commons-compress's
+    * SevenZOutputFile (Spark classpath; LZMA/LZMA2 via xz-java) over
+    * deterministic entries in one of five coder configs, then extracts
+    * with the from-scratch reader; the oracle replays the entry
+    * DEFINITIONS. A truncated archive must refuse. */
+  val archive7z: QueryDef = QueryDef(
+    "archive_7z",
+    (s, dir) => {
+      import s.implicits._
+      val configs = Seq("lzma2", "lzma", "copy", "bzip2", "deflate", "corrupt")
+      s.createDataset(configs).repartition(configs.size)
+        .flatMap { cfg =>
+          import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZMethod, SevenZOutputFile}
+          val soup = new String(GateEnc.lcgWords(40), "US-ASCII")
+          val entries = Seq(
+            ("docs/a.txt", s"alpha doc: $soup"),
+            ("docs/b.txt", s"beta doc: ${soup.reverse}"),
+            ("c.txt", "gamma"))
+          val tmp = java.io.File.createTempFile("seven_gate", ".7z")
+          try {
+            val method = cfg match {
+              case "lzma" => SevenZMethod.LZMA
+              case "copy" => SevenZMethod.COPY
+              case "bzip2" => SevenZMethod.BZIP2
+              case "deflate" => SevenZMethod.DEFLATE
+              case _ => SevenZMethod.LZMA2
+            }
+            val w = new SevenZOutputFile(tmp)
+            w.setContentCompression(method)
+            for ((n, text) <- entries) {
+              val e = new SevenZArchiveEntry(); e.setName(n)
+              w.putArchiveEntry(e); w.write(text.getBytes("US-ASCII")); w.closeArchiveEntry()
+            }
+            w.close()
+            var bytes = java.nio.file.Files.readAllBytes(tmp.toPath)
+            if (cfg == "corrupt") bytes = java.util.Arrays.copyOf(bytes, bytes.length / 2)
+            graft.sources.SevenZ.extract(bytes).map { case (n, b) =>
+              val md = java.security.MessageDigest.getInstance("MD5").digest(b)
+              (cfg, n, md.map("%02x".format(_)).mkString, "ok")
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Seq((cfg, "", "", "refused"))
+          } finally tmp.delete()
+        }
+        .toDF("config", "entry", "payload_md5", "status")
+        .orderBy("config", "entry")
+    },
+    Some {
+      val soup = "epsilon eta iota delta epsilon eta kappa alpha eta zeta epsilon alpha " +
+        "gamma epsilon iota kappa alpha kappa kappa epsilon kappa iota epsilon zeta " +
+        "alpha theta eta gamma gamma zeta epsilon eta iota iota eta gamma delta alpha theta delta"
+      s"""
+      WITH e AS (
+        SELECT 'docs/a.txt' AS entry, md5('alpha doc: ' || '$soup') AS payload_md5
+        UNION ALL SELECT 'docs/b.txt', md5('beta doc: ' || reverse('$soup'))
+        UNION ALL SELECT 'c.txt', md5('gamma'))
+      SELECT config, entry, payload_md5, 'ok' AS status
+      FROM (VALUES ('bzip2'), ('copy'), ('deflate'), ('lzma'), ('lzma2')) AS c(config)
+      CROSS JOIN e
+      UNION ALL SELECT 'corrupt', '', '', 'refused'
+      ORDER BY config, entry
+      """.trim
+    }
+  )
+
   /** .Z (Unix compress, LZW) decode gate ([[graft.sources.LzwZ]]):
     * embedded fixtures proven valid by system-`uncompress` round trips
     * at generation time (`tools/gen_lzw_z_fixtures.py`), pinned to
@@ -7229,7 +7295,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, archiveZipCrypto, seqfileIngest, lzwZDecode, mediaHeifTriage, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, archiveZipCrypto, seqfileIngest, lzwZDecode, mediaHeifTriage, archive7z, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

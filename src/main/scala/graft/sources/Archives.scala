@@ -388,6 +388,8 @@ object Archives {
       autoEntries(Snappy.decompressFramed(p)) // .tar.sz (framed snappy)
     else if ((p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x9d)
       autoEntries(LzwZ.decompress(p)) // .tar.Z (Unix compress)
+    else if (SevenZ.isSevenZ(p))
+      SevenZ.extract(p) // .7z archives (entries directly, like zip)
     else tarEntries(p)
   }
 

@@ -764,6 +764,19 @@ object Xz {
     * 64-bit uncompressed size with all-ones meaning unknown →
     * end-marker termination). No magic bytes exist for this format,
     * so routing is explicit, never sniffed. */
+  /** Raw LZMA2 chunk-stream decode — the 7z LZMA2 coder body is the
+    * same chunked format as an xz block body ([[SevenZ]] reuses it). */
+  private[sources] def lzma2Raw(p: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    lzma2(p, from, until, out, new Array[Byte](64 * 1024), 0)
+    out.toByteArray
+  }
+
+  /** The delta/BCJ converters, shared with [[SevenZ]]'s filter coders
+    * (same public algorithms, same ids as the xz filter table). */
+  private[sources] def blockFilterDecode(fid: Long, props: Array[Byte], buf: Array[Byte]): Unit =
+    BlockFilters.decode(fid, props, buf)
+
   def decompressAlone(p: Array[Byte]): Array[Byte] = {
     require(p.length >= 18, "lzma: truncated alone header")
     val lz = new Lzma(0, 0, 0)

@@ -1061,6 +1061,22 @@ object Drive {
       catch { case e: IllegalArgumentException => println(s"caught non-heif: ${e.getMessage}") }
     }
     locally {
+      println("=== 7z: extraction via archive sniff + truncation refusal ===")
+      val tmp = java.io.File.createTempFile("sevendrive", ".7z")
+      val bytes = try {
+        val w = new org.apache.commons.compress.archivers.sevenz.SevenZOutputFile(tmp)
+        val e = new org.apache.commons.compress.archivers.sevenz.SevenZArchiveEntry()
+        e.setName("doc.txt")
+        w.putArchiveEntry(e); w.write("seven zip payload".getBytes("US-ASCII"))
+        w.closeArchiveEntry(); w.close()
+        java.nio.file.Files.readAllBytes(tmp.toPath)
+      } finally tmp.delete()
+      val got = graft.sources.Archives.autoEntries(bytes)
+      println(s"7z entries: ${got.map { case (n, b) => s"$n(${b.length}B)" }.mkString(",")}")
+      try { graft.sources.SevenZ.extract(java.util.Arrays.copyOf(bytes, bytes.length / 3)); println("UNEXPECTED") }
+      catch { case e: Exception => println(s"caught truncation: ${e.getMessage}") }
+    }
+    locally {
       println("=== docx: OOXML paragraphs + xlsx refusal by name ===")
       import spark.implicits._
       val good = graft.sources.Docx.encodeDocx(Seq("First paragraph.", "A\tB & <c>"))

@@ -96,6 +96,23 @@ class DecoderRobustnessSpec extends AnyFunSuite with TimeLimits {
     sweep("lzw-clears", fixture("/lzw_z/big_clears.Z").take(4000), LzwZ.decompress)
   }
 
+  test("7z terminates on all truncations and bit flips") {
+    // a REAL commons-compress LZMA2 archive built at test time
+    val tmp = java.io.File.createTempFile("sevenzrobust", ".7z")
+    val bytes = try {
+      val w = new org.apache.commons.compress.archivers.sevenz.SevenZOutputFile(tmp)
+      val e = new org.apache.commons.compress.archivers.sevenz.SevenZArchiveEntry()
+      e.setName("a.txt")
+      w.putArchiveEntry(e)
+      w.write(("7z sweep payload " * 200).getBytes("US-ASCII"))
+      w.closeArchiveEntry(); w.close()
+      java.nio.file.Files.readAllBytes(tmp.toPath)
+    } finally tmp.delete()
+    sweep("7z", bytes, p => {
+      SevenZ.extract(p).map(_._2.length.toLong).sum; Array.emptyByteArray
+    })
+  }
+
   test("brotli terminates on all truncations and bit flips") {
     sweep("brotli", fixture("/brotli/text_q5.br"), Brotli.decompress)
     sweep("brotli-q11", fixture("/brotli/dictwords_q11.br"), Brotli.decompress)
