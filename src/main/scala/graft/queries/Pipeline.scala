@@ -6059,10 +6059,10 @@ object Pipeline {
   )
 
   /** Wrapped-archive routing ([[graft.sources.Archives.autoEntries]]):
-    * the same two-entry ustar under all five wrappers — REAL system
+    * the same two-entry ustar under six wrappers — REAL system
     * tar.bz2 and tar.xz (embedded), runtime tar.zst (store frames),
-    * tar.gz and tar.lz4 (store blocks) — must yield identical entry
-    * relations. */
+    * tar.gz, tar.lz4 (store blocks) and tar.sz (framed snappy) —
+    * must yield identical entry relations. */
   val archiveWrapped: QueryDef = QueryDef(
     "archive_wrapped",
     (s, dir) => {
@@ -6080,15 +6080,16 @@ object Pipeline {
           val g = new java.util.zip.GZIPOutputStream(o)
           g.write(innerTar); g.close(); o.toByteArray
         }),
-        graft.sources.Archives.ArchiveFile(5, graft.sources.Lz4.encodeRawFrame(innerTar))
-      ).toDS().repartition(5)
+        graft.sources.Archives.ArchiveFile(5, graft.sources.Lz4.encodeRawFrame(innerTar)),
+        graft.sources.Archives.ArchiveFile(6, graft.sources.Snappy.encodeFramed(innerTar))
+      ).toDS().repartition(6)
       graft.sources.Archives.entries(files).toDF()
         .select(col("id"), col("entry"),
           md5(col("payload")).as("payload_md5"))
         .orderBy("id", "entry")
     },
     Some("""
-      SELECT id, entry, payload_md5 FROM (VALUES (1), (2), (3), (4), (5)) AS w(id)
+      SELECT id, entry, payload_md5 FROM (VALUES (1), (2), (3), (4), (5), (6)) AS w(id)
       CROSS JOIN (VALUES
         ('one.txt', '3c1f96f59cccaf67e88fd2fa1fc9a652'),
         ('two.txt', 'cbd265d54de958931f3f0c54226dc617')

@@ -62,6 +62,53 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(streamed == batch && batch.length == 6)
   }
 
+  test("sequencefile records + 7z entries stream == batch (r10 second-wave tiers)") {
+    // SequenceFiles: three hadoop-written block-snappy files
+    val seqFiles = (0 until 3).map { g =>
+      import org.apache.hadoop.io.{SequenceFile => HSeq, Text}
+      val tmp = java.io.File.createTempFile("seqstream", ".seq"); tmp.delete()
+      val w = HSeq.createWriter(new org.apache.hadoop.conf.Configuration(),
+        HSeq.Writer.file(new org.apache.hadoop.fs.Path(tmp.getAbsolutePath)),
+        HSeq.Writer.keyClass(classOf[Text]), HSeq.Writer.valueClass(classOf[Text]),
+        HSeq.Writer.compression(HSeq.CompressionType.BLOCK,
+          new org.apache.hadoop.io.compress.SnappyCodec))
+      for (i <- 0 until 4) w.append(new Text(s"k$g-$i"), new Text(s"v$g-$i"))
+      w.close()
+      val b = java.nio.file.Files.readAllBytes(tmp.toPath)
+      tmp.delete(); new java.io.File(tmp.getParent, "." + tmp.getName + ".crc").delete()
+      graft.sources.SequenceFiles.SeqFile(g, b)
+    }
+    def seqExtract(ds: org.apache.spark.sql.Dataset[graft.sources.SequenceFiles.SeqFile]) =
+      graft.sources.SequenceFiles.records(ds).map(r =>
+        (r.id, graft.sources.SequenceFiles.decodeText(r.key),
+          graft.sources.SequenceFiles.decodeText(r.value))).toDF()
+    val seqStreamed = runStream(seqFiles)(seqExtract)
+    val seqBatch = seqExtract(seqFiles.toDS()).collect().map(_.mkString("|")).sorted.toSeq
+    assert(seqStreamed == seqBatch && seqBatch.length == 12)
+
+    // 7z: two commons-compress archives through the generic entry walk
+    val archives = (0 until 2).map { g =>
+      val tmp = java.io.File.createTempFile("sevenstream", ".7z")
+      val b = try {
+        val w = new org.apache.commons.compress.archivers.sevenz.SevenZOutputFile(tmp)
+        for (i <- 0 until 3) {
+          val e = new org.apache.commons.compress.archivers.sevenz.SevenZArchiveEntry()
+          e.setName(s"f$g-$i.txt")
+          w.putArchiveEntry(e); w.write(s"payload $g-$i".getBytes("US-ASCII")); w.closeArchiveEntry()
+        }
+        w.close()
+        java.nio.file.Files.readAllBytes(tmp.toPath)
+      } finally tmp.delete()
+      graft.sources.Archives.ArchiveFile(g, b)
+    }
+    def zExtract(ds: org.apache.spark.sql.Dataset[graft.sources.Archives.ArchiveFile]) =
+      graft.sources.Archives.entries(ds).toDF()
+        .select(col("id"), col("entry"), col("payload").cast("string"))
+    val zStreamed = runStream(archives)(zExtract)
+    val zBatch = zExtract(archives.toDS()).collect().map(_.mkString("|")).sorted.toSeq
+    assert(zStreamed == zBatch && zBatch.length == 6)
+  }
+
   test("content-encoded WARC + pdf images stream == batch (r10 tiers)") {
     // content-encoded bodies through the streaming record walk
     val files = (0 until 3).map { g =>
