@@ -362,15 +362,9 @@ object Archives {
   def autoEntries(p: Array[Byte]): Seq[(String, Array[Byte])] = {
     require(p.length >= 4, "payload too short for any archive")
     if (p(0) == 'P' && p(1) == 'K') zipEntries(p)
-    else if ((p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b) {
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(p))
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      autoEntries(out.toByteArray)
-    } else if ((p(0) & 0xff) == 0x28 && (p(1) & 0xff) == 0xb5 &&
+    else if (Gzip.isGzip(p))
+      autoEntries(Gzip.decompress(p)) // strict member walk
+    else if ((p(0) & 0xff) == 0x28 && (p(1) & 0xff) == 0xb5 &&
       (p(2) & 0xff) == 0x2f && (p(3) & 0xff) == 0xfd)
       autoEntries(Zstd.decompress(p))
     else if (p(0) == 'B' && p(1) == 'Z' && p(2) == 'h')

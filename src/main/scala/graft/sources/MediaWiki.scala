@@ -95,9 +95,8 @@ object MediaWiki {
   def decompress(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length >= 3 && bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h')
       Bzip2.decompress(bytes)
-    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-      try in.readAllBytes() finally in.close()
+    else if (Gzip.isGzip(bytes)) {
+      Gzip.decompress(bytes) // strict member walk (no silent truncation)
     } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
       (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd)
       Zstd.decompress(bytes)

@@ -142,9 +142,7 @@ object SequenceFiles {
         }
         inf.end()
         o.toByteArray
-      case "GzipCodec" =>
-        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(p))
-        try in.readAllBytes() finally in.close()
+      case "GzipCodec" => Gzip.decompress(p)
       case "BZip2Codec" =>
         // Hadoop's reused bzip2 compressor omits the "BZh" magic on
         // streams after the first resetState (a documented Hadoop

@@ -54,14 +54,10 @@ object Warc {
     * frame-per-record and whole-file compression). */
   def parseWarc(fileId: Long, bytes: Array[Byte]): Seq[WarcRecord] = {
     val plain =
-      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
-        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](65536)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        in.close()
-        out.toByteArray
+      if (Gzip.isGzip(bytes)) {
+        // strict member walk: a corrupt second member REFUSES instead
+        // of GZIPInputStream's silent clean-EOF truncation
+        Gzip.decompress(bytes)
       } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
         (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd) {
         Zstd.decompress(bytes)
@@ -191,15 +187,7 @@ object Warc {
     (status, mime, encLabel, charsetParam, body, err)
   }
 
-  private def gunzip(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    out.toByteArray
-  }
+  private def gunzip(b: Array[Byte]): Array[Byte] = Gzip.decompress(b)
 
   /** `Content-Encoding: deflate` is zlib-wrapped per the RFC, but some
     * real servers send raw deflate — try zlib first, then raw (the
