@@ -5917,6 +5917,90 @@ object Pipeline {
     }
   )
 
+  /** Package-container gate ([[graft.sources.Packages]]): RUNTIME
+    * golden — each task writes a REAL archive with commons-compress
+    * (an ar-shelled `.deb` whose data member recurses through the
+    * wrapper sniff, plus the three cpio variants), extracts with the
+    * from-scratch readers; the oracle replays the entry definitions.
+    * A truncated cpio must refuse. */
+  val archivePkg: QueryDef = QueryDef(
+    "archive_pkg",
+    (s, dir) => {
+      import s.implicits._
+      val configs = Seq("deb", "cpio_newc", "cpio_crc", "cpio_odc", "corrupt")
+      s.createDataset(configs).repartition(configs.size)
+        .flatMap { cfg =>
+          import org.apache.commons.compress.archivers.ar.{ArArchiveEntry, ArArchiveOutputStream}
+          import org.apache.commons.compress.archivers.cpio.{CpioArchiveEntry, CpioArchiveOutputStream, CpioConstants}
+          val soup = new String(GateEnc.lcgWords(30), "US-ASCII")
+          val files = Seq(("docs/one.txt", s"pkg one: $soup"), ("two.txt", "pkg two"))
+          try {
+            cfg match {
+              case "deb" =>
+                val data = graft.sources.Archives.encodeTar(
+                  files.map { case (n, t) => (n, t.getBytes("US-ASCII")) })
+                val bo = new java.io.ByteArrayOutputStream()
+                val w = new ArArchiveOutputStream(bo)
+                for ((n, d) <- Seq(
+                  ("debian-binary", "2.0\n".getBytes("US-ASCII")),
+                  ("data.tar.zst", graft.sources.Zstd.encodeRawFrames(data)))) {
+                  w.putArchiveEntry(new ArArchiveEntry(n, d.length)); w.write(d); w.closeArchiveEntry()
+                }
+                w.close()
+                val outer = graft.sources.Archives.autoEntries(bo.toByteArray)
+                val inner = graft.sources.Archives.autoEntries(
+                  outer.find(_._1 == "data.tar.zst").get._2)
+                inner.map { case (n, b) =>
+                  val md = java.security.MessageDigest.getInstance("MD5").digest(b)
+                  (cfg, n, md.map("%02x".format(_)).mkString, "ok")
+                }
+              case c if c.startsWith("cpio") || c == "corrupt" =>
+                val fmt = c match {
+                  case "cpio_crc" => CpioConstants.FORMAT_NEW_CRC
+                  case "cpio_odc" => CpioConstants.FORMAT_OLD_ASCII
+                  case _ => CpioConstants.FORMAT_NEW
+                }
+                val bo = new java.io.ByteArrayOutputStream()
+                val w = new CpioArchiveOutputStream(bo, fmt)
+                for ((n, t) <- files) {
+                  val d = t.getBytes("US-ASCII")
+                  val e = new CpioArchiveEntry(fmt, n, d.length)
+                  if (fmt == CpioConstants.FORMAT_NEW_CRC)
+                    e.setChksum(d.map(_ & 0xffL).sum & 0xffffffffL)
+                  w.putArchiveEntry(e); w.write(d); w.closeArchiveEntry()
+                }
+                w.close()
+                var bytes = bo.toByteArray
+                if (c == "corrupt") bytes = java.util.Arrays.copyOf(bytes, 90)
+                graft.sources.Packages.cpioEntries(bytes).map { case (n, b) =>
+                  val md = java.security.MessageDigest.getInstance("MD5").digest(b)
+                  (cfg, n, md.map("%02x".format(_)).mkString, "ok")
+                }
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Seq((cfg, "", "", "refused"))
+          }
+        }
+        .toDF("config", "entry", "payload_md5", "status")
+        .orderBy("config", "entry")
+    },
+    Some {
+      val soup = "epsilon eta iota delta epsilon eta kappa alpha eta zeta epsilon alpha " +
+        "gamma epsilon iota kappa alpha kappa kappa epsilon kappa iota epsilon zeta " +
+        "alpha theta eta gamma gamma zeta"
+      s"""
+      WITH e AS (
+        SELECT 'docs/one.txt' AS entry, md5('pkg one: ' || '$soup') AS payload_md5
+        UNION ALL SELECT 'two.txt', md5('pkg two'))
+      SELECT config, entry, payload_md5, 'ok' AS status
+      FROM (VALUES ('cpio_crc'), ('cpio_newc'), ('cpio_odc'), ('deb')) AS c(config)
+      CROSS JOIN e
+      UNION ALL SELECT 'corrupt', '', '', 'refused'
+      ORDER BY config, entry
+      """.trim
+    }
+  )
+
   /** .Z (Unix compress, LZW) decode gate ([[graft.sources.LzwZ]]):
     * embedded fixtures proven valid by system-`uncompress` round trips
     * at generation time (`tools/gen_lzw_z_fixtures.py`), pinned to
@@ -7296,7 +7380,7 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, archiveZipCrypto, seqfileIngest, lzwZDecode, mediaHeifTriage, archive7z, avroIngest, exifGpsStrip,
+    warcExtract, warcZstExtract, warcContentEncoding, crawlCharsetE2e, zstdDecode, zstdDictDecode, lz4Decode, snappyDecode, mediaTiffCcitt, pdfImages, wikiPages, wikiBz2, wikitextClean, emlExtract, emlEnvelope, docCorpus, xzDecode, archiveWrapped, crawlCorpusE2e, subtitleCues, rtfExtract, jsonLdExtract, scriptDetect, frontierSchedule, wikiCorpusE2e, warcLinks, robotsFilter, pdfExtract, pdfExtractCid, docxExtract, archiveExtract, archiveZip64, archiveZipCrypto, seqfileIngest, lzwZDecode, mediaHeifTriage, archive7z, archivePkg, avroIngest, exifGpsStrip,
     mojibakeRepair, charsetTranscode, langIdRoutedGate, sitemapFrontier,
     corpusMerge, mvRefresh, mvJoinRefresh,
     hllDistinctQ, hllAggQ, hllIntersectQ, hllMergedIdx, cmsFreqQ, joinSizeEst, qualityDrift, histQuantilesQ, heavyHittersQ, qualityCalibratedQ, lengthOutliers, zorderLayout, compactRoundtrip, schemaEvolution, jsonlQuarantine, exactNtileBy, entityMatch,

@@ -384,6 +384,10 @@ object Archives {
       autoEntries(LzwZ.decompress(p)) // .tar.Z (Unix compress)
     else if (SevenZ.isSevenZ(p))
       SevenZ.extract(p) // .7z archives (entries directly, like zip)
+    else if (Packages.isAr(p))
+      Packages.arEntries(p) // ar archives (.deb outer shell, .a)
+    else if (Packages.isCpio(p))
+      Packages.cpioEntries(p) // cpio (RPM payloads, initramfs)
     else tarEntries(p)
   }
 

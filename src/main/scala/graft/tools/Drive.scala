@@ -1077,6 +1077,23 @@ object Drive {
       catch { case e: Exception => println(s"caught truncation: ${e.getMessage}") }
     }
     locally {
+      println("=== packages: .deb (ar) chain + cpio via sniff ===")
+      val bo = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.commons.compress.archivers.ar.ArArchiveOutputStream(bo)
+      val data = graft.sources.Archives.encodeTar(Seq(("doc/readme", "deb doc".getBytes("US-ASCII"))))
+      for ((n, d) <- Seq(("debian-binary", "2.0\n".getBytes("US-ASCII")),
+        ("data.tar.zst", graft.sources.Zstd.encodeRawFrames(data)))) {
+        w.putArchiveEntry(new org.apache.commons.compress.archivers.ar.ArArchiveEntry(n, d.length))
+        w.write(d); w.closeArchiveEntry()
+      }
+      w.close()
+      val outer = graft.sources.Archives.autoEntries(bo.toByteArray)
+      val inner = graft.sources.Archives.autoEntries(outer.last._2)
+      println(s"deb members: ${outer.map(_._1).mkString(",")}; data entries: ${inner.map(_._1).mkString(",")}")
+      try { graft.sources.Packages.cpioEntries("070701garbage".getBytes("US-ASCII")); println("UNEXPECTED") }
+      catch { case e: IllegalArgumentException => println(s"caught bad cpio: ${e.getMessage}") }
+    }
+    locally {
       println("=== docx: OOXML paragraphs + xlsx refusal by name ===")
       import spark.implicits._
       val good = graft.sources.Docx.encodeDocx(Seq("First paragraph.", "A\tB & <c>"))
