@@ -153,7 +153,15 @@ object SequenceFiles {
           (p(2) & 0xff) == 0x59)
           Bzip2.decompress(Array[Byte]('B', 'Z', 'h', '9') ++ p)
         else throw new IllegalArgumentException("seq: unrecognizable bzip2 buffer")
-      case "ZStandardCodec" => Zstd.decompress(p)
+      case "ZStandardCodec" =>
+        // Hadoop's zstd codec writes raw zstd frames (its writer needs
+        // native libhadoop, absent here, so this path has no in-image
+        // golden) — accept only what is verifiably a zstd frame and
+        // refuse anything else loudly rather than guess
+        require(p.length >= 4 && (p(0) & 0xff) == 0x28 && (p(1) & 0xff) == 0xb5 &&
+          (p(2) & 0xff) == 0x2f && (p(3) & 0xff) == 0xfd,
+          "seq: ZStandardCodec buffer lacks a zstd frame magic (unsupported framing)")
+        Zstd.decompress(p)
       case "SnappyCodec" => Snappy.decodeHadoop(p)
       case "Lz4Codec" =>
         hadoopBlocks(p, (src, soff, slen, maxOut) => {
