@@ -113,6 +113,47 @@ class DecoderRobustnessSpec extends AnyFunSuite with TimeLimits {
     })
   }
 
+  test("sequencefile, cpio, ar and heif terminate on all truncations and bit flips") {
+    // sequencefile (block-deflate)
+    val seqBytes = {
+      import org.apache.hadoop.io.{SequenceFile => HSeq, Text}
+      val tmp = java.io.File.createTempFile("seqrobust", ".seq"); tmp.delete()
+      val w = HSeq.createWriter(new org.apache.hadoop.conf.Configuration(),
+        HSeq.Writer.file(new org.apache.hadoop.fs.Path(tmp.getAbsolutePath)),
+        HSeq.Writer.keyClass(classOf[Text]), HSeq.Writer.valueClass(classOf[Text]),
+        HSeq.Writer.compression(HSeq.CompressionType.BLOCK,
+          new org.apache.hadoop.io.compress.DefaultCodec))
+      for (i <- 0 until 50) w.append(new Text(s"k$i"), new Text(s"value $i " + ("y" * 40)))
+      w.close()
+      val b = java.nio.file.Files.readAllBytes(tmp.toPath)
+      tmp.delete(); new java.io.File(tmp.getParent, "." + tmp.getName + ".crc").delete()
+      b
+    }
+    sweep("seqfile", seqBytes, p => { SequenceFiles.parse(1L, p); Array.emptyByteArray })
+    // cpio newc
+    val cpio = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.commons.compress.archivers.cpio.CpioArchiveOutputStream(bo)
+      val d = ("cpio sweep " * 40).getBytes("US-ASCII")
+      val e = new org.apache.commons.compress.archivers.cpio.CpioArchiveEntry("a.txt", d.length)
+      w.putArchiveEntry(e); w.write(d); w.closeArchiveEntry(); w.close()
+      bo.toByteArray
+    }
+    sweep("cpio", cpio, p => { Packages.cpioEntries(p); Array.emptyByteArray })
+    // ar
+    val ar = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.commons.compress.archivers.ar.ArArchiveOutputStream(bo)
+      val d = ("ar sweep " * 40).getBytes("US-ASCII")
+      w.putArchiveEntry(new org.apache.commons.compress.archivers.ar.ArArchiveEntry("a.txt", d.length))
+      w.write(d); w.closeArchiveEntry(); w.close()
+      bo.toByteArray
+    }
+    sweep("ar", ar, p => { Packages.arEntries(p); Array.emptyByteArray })
+    // heif triage
+    sweep("heif", fixture("/heif/rgb_64x48.avif"), p => { Heif.triage(1L, p); Array.emptyByteArray })
+  }
+
   test("brotli terminates on all truncations and bit flips") {
     sweep("brotli", fixture("/brotli/text_q5.br"), Brotli.decompress)
     sweep("brotli-q11", fixture("/brotli/dictwords_q11.br"), Brotli.decompress)

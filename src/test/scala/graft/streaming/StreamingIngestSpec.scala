@@ -109,6 +109,21 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(zStreamed == zBatch && zBatch.length == 6)
   }
 
+  test("heif triage stream == batch") {
+    val avifs = Seq("rgb_64x48.avif", "alpha_32x32.avif", "odd_33x17.avif",
+      "rgb_64x48.heic").zipWithIndex.map { case (n, i) =>
+      val in = getClass.getResourceAsStream(s"/heif/$n")
+      val b = try in.readAllBytes() finally in.close()
+      graft.sources.Heif.HeifFile(i.toLong, b)
+    }
+    def extract(ds: org.apache.spark.sql.Dataset[graft.sources.Heif.HeifFile]) =
+      graft.sources.Heif.infos(ds).toDF()
+        .select(col("id"), col("brand"), col("codec"), col("width"), col("height"), col("alpha"))
+    val streamed = runStream(avifs)(extract)
+    val batch = extract(avifs.toDS()).collect().map(_.mkString("|")).sorted.toSeq
+    assert(streamed == batch && batch.length == 4)
+  }
+
   test("content-encoded WARC + pdf images stream == batch (r10 tiers)") {
     // content-encoded bodies through the streaming record walk
     val files = (0 until 3).map { g =>
