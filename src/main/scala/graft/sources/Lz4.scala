@@ -48,11 +48,14 @@ object Lz4 {
   private final val P5 = 0x165667b1 //  374761393
 
   /** xxHash32 over `p[off, off+len)` with `seed` — public algorithm
-    * (Yann Collet's xxHash spec). */
+    * (Yann Collet's xxHash spec). The stripe loop reads 32-bit words
+    * through a little-endian heap ByteBuffer (JIT-intrinsified single
+    * load instead of four byte reads — the checksum leg is on the
+    * decode hot path for every frame). */
   def xxh32(p: Array[Byte], off: Int, len: Int, seed: Int): Int = {
     require(off >= 0 && len >= 0 && off + len <= p.length, "xxh32: bad range")
-    @inline def le32(i: Int): Int =
-      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) | ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    @inline def le32(i: Int): Int = bb.getInt(i)
     var i = off
     val end = off + len
     var h =
@@ -135,11 +138,19 @@ object Lz4 {
         val m = d - offset
         require(m >= histFloor, s"lz4: match offset $offset reaches before history floor")
         require(d + matchLen <= dst.length, "lz4: match overruns output")
-        // overlapping copy must run forward byte-wise when offset < matchLen
+        // overlapping copy: replicate the period with doubling
+        // arraycopy rounds (each round's source range is fully
+        // materialized before it is read — never a true overlap)
         if (offset >= matchLen) System.arraycopy(dst, m, dst, d, matchLen)
         else {
-          var k = 0
-          while (k < matchLen) { dst(d + k) = dst(m + k); k += 1 }
+          var copied = 0
+          var avail = offset
+          while (copied < matchLen) {
+            val n = math.min(avail, matchLen - copied)
+            System.arraycopy(dst, m, dst, d + copied, n)
+            copied += n
+            avail += n
+          }
         }
         d += matchLen
       }
