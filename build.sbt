@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output inherits sbt's stdout RAW (no "[info] " prefix):
+// the bench driver tails stdout for the final one-line JSON and its
+// parser trips on the sbt logger prefix (BENCH_r10 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Stale JUnit XMLs from deleted suites otherwise linger and inflate
 // artifact counts (r8 carried two debug-suite reports with no matching
 // source) — wipe before every test/testOnly so report count == live suites.

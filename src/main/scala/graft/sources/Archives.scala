@@ -255,14 +255,14 @@ object Archives {
         }
         if (encrypted) {
           // the 8-bit check byte false-accepts 1/256 wrong passwords;
-          // the full CRC-32 of the decompressed entry settles it
+          // the full CRC-32 of the decompressed entry settles it. The
+          // central directory carries the real CRC even when bit 3 defers
+          // the local-header copy to a data descriptor, so verify always.
           require(data.length == usize, s"zip: encrypted entry '$name' size mismatch")
-          if ((flags & 0x8) == 0) {
-            val c = new java.util.zip.CRC32()
-            c.update(data)
-            require(c.getValue == u32(cd + 16),
-              s"zip: wrong password for entry '$name' (CRC-32 mismatch after decrypt)")
-          }
+          val c = new java.util.zip.CRC32()
+          c.update(data)
+          require(c.getValue == u32(cd + 16),
+            s"zip: wrong password for entry '$name' (CRC-32 mismatch after decrypt)")
         }
         out += ((name, data))
       }

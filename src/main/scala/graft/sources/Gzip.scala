@@ -28,6 +28,28 @@ object Gzip {
     out.toByteArray
   }
 
+  /** Lenient-TAIL decompress for HTTP `Content-Encoding: gzip` bodies:
+    * real crawl responses commonly carry trailing padding/garbage after
+    * a fully valid member (mid-transfer server bugs, chunked-encoding
+    * residue) that browsers tolerate. After at least one CRC32+ISIZE
+    * verified member, bytes that do not begin a valid next member
+    * (0x1f 0x8b magic) END the walk instead of refusing; a byte
+    * sequence that DOES look like a next member is still held to the
+    * full strict contract, so a damaged concatenated member refuses
+    * rather than silently truncating. Dump FILES keep `decompress`. */
+  def decompressLenientTail(p: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(p.length * 3, 1 << 12))
+    var at = 0
+    require(isGzip(p), "gzip: bad magic")
+    var first = true
+    while (at < p.length && (first || (at + 1 < p.length &&
+        (p(at) & 0xff) == 0x1f && (p(at + 1) & 0xff) == 0x8b))) {
+      at = member(p, at, out)
+      first = false
+    }
+    out.toByteArray
+  }
+
   /** Parse+inflate one member starting at `at`; returns the offset
     * just past its trailer. */
   private def member(p: Array[Byte], at0: Int, out: java.io.ByteArrayOutputStream): Int = {

@@ -298,7 +298,7 @@ object Lz4 {
             more = false // next frame's magic, not a block size
           else {
             at += 4
-            require(bs > 0 && at + bs <= p.length, "lz4: truncated legacy block data")
+            require(bs > 0 && at.toLong + bs <= p.length, "lz4: truncated legacy block data")
             ensure(8 << 20)
             dpos = decodeBlock(p, at, bs, out, dpos, dpos)
             at += bs

@@ -83,7 +83,6 @@ object LzwZ {
     var finChar = 0
     val out = new java.io.ByteArrayOutputStream(math.max(p.length * 3, 1 << 10))
     val stack = new Array[Byte](maxmax + 2)
-    require(out.size == 0)
 
     var done = false
     while (!done) {

@@ -87,7 +87,7 @@ object Snappy {
             var i = 0
             while (i < n) { v |= (src(s + i) & 0xff) << (8 * i); i += 1 }
             s += n
-            require(v >= 0, "snappy: literal length overflow")
+            require(v >= 0 && v < Int.MaxValue, "snappy: literal length overflow")
             len = v + 1
           }
           require(s + len <= send, "snappy: literal overruns input")

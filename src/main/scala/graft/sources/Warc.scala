@@ -187,7 +187,10 @@ object Warc {
     (status, mime, encLabel, charsetParam, body, err)
   }
 
-  private def gunzip(b: Array[Byte]): Array[Byte] = Gzip.decompress(b)
+  // HTTP bodies get the lenient-TAIL walk: trailing garbage after a
+  // fully verified member is tolerated (browsers do), a damaged
+  // concatenated member still refuses. Dump files keep the strict walk.
+  private def gunzip(b: Array[Byte]): Array[Byte] = Gzip.decompressLenientTail(b)
 
   /** `Content-Encoding: deflate` is zlib-wrapped per the RFC, but some
     * real servers send raw deflate — try zlib first, then raw (the

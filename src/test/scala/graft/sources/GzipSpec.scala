@@ -61,6 +61,27 @@ class GzipSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("ISIZE"))
   }
 
+  test("lenient-tail walk: trailing garbage after a verified member is tolerated (HTTP body shape)") {
+    val data = "http body payload".getBytes("US-ASCII")
+    val padded = gz(data) ++ Array[Byte](0, 0, 0, 0x42, 0x13) // server padding
+    // strict walk refuses; the HTTP-body walk stops at the garbage
+    intercept[IllegalArgumentException](Gzip.decompress(padded))
+    assert(java.util.Arrays.equals(Gzip.decompressLenientTail(padded), data))
+    // plain and concatenated streams behave identically to strict
+    assert(java.util.Arrays.equals(Gzip.decompressLenientTail(gz(data)), data))
+    assert(new String(Gzip.decompressLenientTail(gz(data) ++ gz(data)), "US-ASCII") ==
+      "http body payloadhttp body payload")
+  }
+
+  test("lenient-tail walk still refuses a DAMAGED concatenated member (no silent truncation)") {
+    val a = gz("kept|".getBytes("US-ASCII"))
+    val b = gz("lost".getBytes("US-ASCII"))
+    val joined = a ++ b
+    joined(a.length + 3) = 0x7f // valid magic, corrupt FLG (reserved bits)
+    val e = intercept[IllegalArgumentException](Gzip.decompressLenientTail(joined))
+    assert(e.getMessage.contains("reserved FLG"), e.getMessage)
+  }
+
   test("truncations terminate with a refusal") {
     val z = gz(("payload " * 200).getBytes("US-ASCII"))
     for (cut <- Seq(1, 5, 12, z.length / 2, z.length - 3))
