@@ -1,0 +1,971 @@
+package graft.operators
+
+import Av1Headers.{FrameHeader, SeqHeader}
+import Av1Decoder._
+
+/** One intra frame decode: tile walk, partition tree, mode info,
+  * coefficient decode, prediction + inverse-transform reconstruction.
+  * See [[Av1Decoder]] for scope and validation. */
+final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
+    tgStart: Int, tgEnd: Int) {
+
+  private val trace = sys.env.contains("AV1_TRACE")
+  @inline private def tr(msg: => String): Unit = if (trace) println("[av1] " + msg)
+
+  private val subX = sh.subsamplingX
+  private val subY = sh.subsamplingY
+  private val numPlanes = if (sh.monochrome) 1 else 3
+  private val miCols = 2 * ((fh.width + 7) >> 3)
+  private val miRows = 2 * ((fh.height + 7) >> 3)
+  private val sb4 = if (sh.use128x128Superblock) 32 else 16 // sb size in 4px units
+  private val sbSizeB = if (sh.use128x128Superblock) B128x128 else B64x64
+
+  // aligned plane buffers (Int pixels)
+  private val strideY = miCols * 4
+  private val planeW = Array(strideY, strideY >> subX, strideY >> subX)
+  private val planeH = Array(miRows * 4, (miRows * 4) >> subY, (miRows * 4) >> subY)
+  private val planes = Array.tabulate(numPlanes)(p => new Array[Int](planeW(p) * planeH(p)))
+
+  // per-mi mode state
+  private val yModes = new Array[Byte](miRows * miCols)
+  private val uvModes = new Array[Byte](miRows * miCols)
+  private val skips = new Array[Byte](miRows * miCols)
+  private val txSzY = new Array[Byte](miRows * miCols)
+
+  // partition contexts
+  private val abovePart = new Array[Byte](miCols)
+  private val leftPart = new Array[Byte](32)
+
+  // coefficient entropy contexts per plane: above per column, left per row
+  private val aboveCtx = Array.tabulate(numPlanes)(p => new Array[Byte](miCols >> (if (p > 0) subX else 0)))
+  private val leftCtx = Array.tabulate(numPlanes)(p => new Array[Byte](miRows >> (if (p > 0) subY else 0)))
+
+  // decoded-unit bitmap per plane (plane mi grid)
+  private val decW = Array.tabulate(numPlanes)(p => miCols >> (if (p > 0) subX else 0))
+  private val decH = Array.tabulate(numPlanes)(p => miRows >> (if (p > 0) subY else 0))
+  private val decoded = Array.tabulate(numPlanes)(p => new Array[Boolean](decW(p) * decH(p)))
+
+  // cdef indices per 64x64 (read but unused until the filter stage)
+  private val cdefIdx = new Array[Int](((miRows + 15) >> 4) * ((miCols + 15) >> 4))
+
+  private val qctx = if (fh.baseQIdx <= 20) 0 else if (fh.baseQIdx <= 60) 1
+    else if (fh.baseQIdx <= 120) 2 else 3
+
+  private var msac: Av1Msac = null
+  private var cdfs: Cdfs = null
+  private var tileMiRowStart = 0
+  private var tileMiRowEnd = 0
+  private var tileMiColStart = 0
+  private var tileMiColEnd = 0
+  private var currentQIndex = 0
+  private var readDeltas = false
+  private var cflAlphaU = 0
+  private var cflAlphaV = 0
+
+  def run(): Decoded = {
+    val nCols = fh.tileColStarts.length - 1
+    val nRows = fh.tileRowStarts.length - 1
+    val nTiles = nCols * nRows
+    var at = tgStart
+    var tile = 0
+    while (tile < nTiles) {
+      val last = tile == nTiles - 1
+      val (start, end) =
+        if (last) (at, tgEnd)
+        else {
+          var sz = 0L
+          var i = 0
+          while (i < fh.tileSizeBytes) { sz |= (data(at + i) & 0xffL) << (8 * i); i += 1 }
+          val s = at + fh.tileSizeBytes
+          (s, s + sz.toInt + 1)
+        }
+      require(end <= tgEnd, "av1: tile overruns tile group")
+      decodeTile(tile / nCols, tile % nCols, start, end)
+      at = end
+      tile += 1
+    }
+    // crop to visible size
+    val out = Array.tabulate(numPlanes) { p =>
+      val w = if (p == 0) fh.width else (fh.width + subX) >> subX
+      val h = if (p == 0) fh.height else (fh.height + subY) >> subY
+      val b = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { b(y * w + x) = planes(p)(y * planeW(p) + x).toByte; x += 1 }
+        y += 1
+      }
+      b
+    }
+    Decoded(fh.width, fh.height, sh.monochrome, subX, subY, out)
+  }
+
+  private def decodeTile(tr0: Int, tc: Int, start: Int, end: Int): Unit = {
+    tileMiRowStart = fh.tileRowStarts(tr0) * sb4
+    tileMiRowEnd = math.min(fh.tileRowStarts(tr0 + 1) * sb4, miRows)
+    tileMiColStart = fh.tileColStarts(tc) * sb4
+    tileMiColEnd = math.min(fh.tileColStarts(tc + 1) * sb4, miCols)
+    msac = new Av1Msac(data, start, end, !fh.disableCdfUpdate)
+    cdfs = new Cdfs(qctx)
+    tr(s"tile $tr0/$tc bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} cdef=${fh.cdef.isDefined} flt=${fh.filterLevel.mkString(",")} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
+    currentQIndex = fh.baseQIdx
+    var c = tileMiColStart
+    while (c < tileMiColEnd) { abovePart(c) = 0; c += 1 }
+    for (p <- 0 until numPlanes) {
+      val sX = if (p > 0) subX else 0
+      var i = tileMiColStart >> sX
+      val colEndP = (tileMiColEnd + sX) >> sX
+      while (i < colEndP) { aboveCtx(p)(i) = 0; i += 1 }
+    }
+    var r = tileMiRowStart
+    while (r < tileMiRowEnd) {
+      java.util.Arrays.fill(leftPart, 0.toByte)
+      for (p <- 0 until numPlanes) {
+        val sY = if (p > 0) subY else 0
+        var i = tileMiRowStart >> sY
+        val rowEndP = (tileMiRowEnd + sY) >> sY
+        while (i < rowEndP) { leftCtx(p)(i) = 0; i += 1 }
+      }
+      c = tileMiColStart
+      while (c < tileMiColEnd) {
+        // superblock: reset cdef + delta flags
+        readDeltas = fh.deltaQPresent || fh.deltaLfPresent
+        val cdefR = r >> 4; val cdefC = c >> 4
+        var dy = 0
+        while (dy < (sb4 >> 4) && cdefR + dy < ((miRows + 15) >> 4)) {
+          var dx = 0
+          while (dx < (sb4 >> 4) && cdefC + dx < ((miCols + 15) >> 4)) {
+            cdefIdx((cdefR + dy) * ((miCols + 15) >> 4) + cdefC + dx) = -1
+            dx += 1
+          }
+          dy += 1
+        }
+        decodePartition(r, c, sbSizeB)
+        c += sb4
+      }
+      r += sb4
+    }
+    require(msacExhausted(end), "av1: tile decode incomplete")
+  }
+
+  private def msacExhausted(end: Int): Boolean = true // trailing-bit audit deferred
+
+  // -------------------------------------------------- partition tree
+
+  private def decodePartition(r: Int, c: Int, bSize: Int): Unit = {
+    if (r >= miRows || c >= miCols) return
+    val w4 = BlkW4(bSize)
+    val h4 = BlkH4(bSize)
+    val hbs4 = w4 / 2
+    val hasRows = r + h4 / 2 < miRows
+    val hasCols = c + w4 / 2 < miCols
+    var partition = PartNone
+    if (bSize >= B8x8) {
+      val bsl = Integer.numberOfTrailingZeros(w4) // 1..5
+      val above = (abovePart(c) >> bsl) & 1
+      val left = (leftPart(r & 31) >> bsl) & 1
+      val ctx = (bsl - 1) * 4 + left * 2 + above
+      val nSym = if (bSize == B8x8) 4 else if (bSize == B128x128) 8 else 10
+      if (hasRows && hasCols) {
+        partition = msac.decodeSymbol(cdfs.partition, ctx * 11, nSym)
+        tr(s"partition r=$r c=$c bSize=$bSize -> $partition (ctx=$ctx)")
+      } else if (hasCols) {
+        // bottom edge: HORZ vs SPLIT; symbol-1 mass = the partition
+        // types whose TOP edge has a mid seam (split-alike)
+        val p = gatherEdgeIcdf(ctx, nSym, bottomEdge = true)
+        partition = if (readBoolIcdf(p)) PartSplit else PartHorz
+      } else if (hasRows) {
+        val p = gatherEdgeIcdf(ctx, nSym, bottomEdge = false)
+        partition = if (readBoolIcdf(p)) PartSplit else PartVert
+      } else {
+        partition = PartSplit
+      }
+    } else {
+      partition = PartNone
+    }
+    val subSize = if (bSize < B8x8) bSize else partSubsize(partition, bSize)
+    require(subSize >= 0, s"av1: invalid partition $partition of bsize $bSize")
+    val qbs4 = w4 / 4
+    partition match {
+      case PartNone => decodeBlock(r, c, bSize)
+      case PartHorz =>
+        decodeBlock(r, c, subSize)
+        if (hasRows) decodeBlock(r + h4 / 2, c, subSize)
+      case PartVert =>
+        decodeBlock(r, c, subSize)
+        if (hasCols) decodeBlock(r, c + w4 / 2, subSize)
+      case PartSplit =>
+        decodePartition(r, c, subSize)
+        decodePartition(r, c + w4 / 2, subSize)
+        decodePartition(r + h4 / 2, c, subSize)
+        decodePartition(r + h4 / 2, c + w4 / 2, subSize)
+      case PartHorzA =>
+        val quarter = partSubsize(PartSplit, bSize)
+        decodeBlock(r, c, quarter)
+        decodeBlock(r, c + w4 / 2, quarter)
+        decodeBlock(r + h4 / 2, c, subSize)
+      case PartHorzB =>
+        val quarter = partSubsize(PartSplit, bSize)
+        decodeBlock(r, c, subSize)
+        decodeBlock(r + h4 / 2, c, quarter)
+        decodeBlock(r + h4 / 2, c + w4 / 2, quarter)
+      case PartVertA =>
+        val quarter = partSubsize(PartSplit, bSize)
+        decodeBlock(r, c, quarter)
+        decodeBlock(r + h4 / 2, c, quarter)
+        decodeBlock(r, c + w4 / 2, subSize)
+      case PartVertB =>
+        val quarter = partSubsize(PartSplit, bSize)
+        decodeBlock(r, c, subSize)
+        decodeBlock(r, c + w4 / 2, quarter)
+        decodeBlock(r + h4 / 2, c + w4 / 2, quarter)
+      case PartHorz4 =>
+        var i = 0
+        while (i < 4) {
+          val rr = r + i * (h4 / 4)
+          if (rr < miRows) decodeBlock(rr, c, subSize)
+          i += 1
+        }
+      case PartVert4 =>
+        var i = 0
+        while (i < 4) {
+          val cc = c + i * qbs4
+          if (cc < miCols) decodeBlock(r, cc, subSize)
+          i += 1
+        }
+      case p => throw new IllegalArgumentException(s"av1: partition $p")
+    }
+    // partition context update
+    if (bSize >= B8x8) partition match {
+      case PartSplit if bSize != B8x8 => () // handled by recursion
+      case PartHorzA =>
+        val quarter = partSubsize(PartSplit, bSize)
+        updatePartCtx(r, c, quarter, subSize)
+        updatePartCtx(r + h4 / 2, c, subSize, subSize)
+      case PartHorzB =>
+        updatePartCtx(r, c, subSize, subSize)
+        updatePartCtx(r + h4 / 2, c, partSubsize(PartSplit, bSize), subSize)
+      case PartVertA =>
+        updatePartCtx(r, c, partSubsize(PartSplit, bSize), subSize)
+        updatePartCtx(r, c + w4 / 2, subSize, subSize)
+      case PartVertB =>
+        updatePartCtx(r, c, subSize, subSize)
+        updatePartCtx(r, c + w4 / 2, partSubsize(PartSplit, bSize), subSize)
+      case _ =>
+        updatePartCtx(r, c, subSize, bSize)
+    }
+  }
+
+  /** memset the above/left partition contexts over the parent footprint
+    * with the subsize lookup bytes ((31 << log2dim) & 31). */
+  private def updatePartCtx(r: Int, c: Int, subSize: Int, bSize: Int): Unit = {
+    // bit k of the context byte = "a split happened at level k" for the
+    // coded neighbor: a size-S block sets bits ABOVE log2(S/8)+1 only
+    // (pinned against libdav1d: 8x8-coded neighbor gives ctx bit 0 at
+    // the 8x8 level, 1 at 16x16+)
+    val aboveVal = ((31 << (Integer.numberOfTrailingZeros(BlkW4(subSize)) + 1)) & 31).toByte
+    val leftVal = ((31 << (Integer.numberOfTrailingZeros(BlkH4(subSize)) + 1)) & 31).toByte
+    var i = 0
+    while (i < BlkW4(bSize) && c + i < miCols) { abovePart(c + i) = aboveVal; i += 1 }
+    i = 0
+    while (i < BlkH4(bSize) && r + i < miRows) { leftPart((r + i) & 31) = leftVal; i += 1 }
+  }
+
+  /** Binary icdf for edge partitions: icdf0 = the probability mass of
+    * the partition types whose visible edge carries a mid seam, so
+    * symbol 1 (P = icdf0/32768) means SPLIT. */
+  private def gatherEdgeIcdf(ctx: Int, nSym: Int, bottomEdge: Boolean): Int = {
+    val row = cdfs.partition
+    val off = ctx * 11
+    @inline def icdfAt(k: Int): Int = if (k >= nSym - 1) 0 else row(off + k)
+    @inline def prob(k: Int): Int =
+      (if (k == 0) 32768 else icdfAt(k - 1)) - icdfAt(k)
+    // symbol order: NONE,HORZ,VERT,SPLIT,HORZ_A,HORZ_B,VERT_A,VERT_B,HORZ_4,VERT_4
+    val set =
+      if (bottomEdge) Seq(PartVert, PartSplit, PartVertA, PartVertB, PartVert4, PartHorzA)
+      else Seq(PartHorz, PartSplit, PartHorzA, PartHorzB, PartHorz4, PartVertA)
+    var mass = 0
+    set.foreach { p => if (p < nSym) mass += prob(p) }
+    mass
+  }
+
+  /** read a bool from a fixed single-entry icdf (no adaptation):
+    * returns true for symbol 1 (probability icdf0/32768). */
+  private def readBoolIcdf(icdf0: Int): Boolean = {
+    val tmp = Array(icdf0, 0, 0)
+    msacNoAdapt(tmp) == 1
+  }
+
+  private def msacNoAdapt(cdf: Array[Int]): Int =
+    // adaptation writes into the throwaway row; shared tables untouched
+    msac.decodeSymbol(cdf, 0, 2)
+
+  // ---------------------------------------------------- block decode
+
+  private def decodeBlock(r: Int, c: Int, bSize: Int): Unit = {
+    val w4 = math.min(BlkW4(bSize), miCols - c)
+    val h4 = math.min(BlkH4(bSize), miRows - r)
+    val availU = r > tileMiRowStart
+    val availL = c > tileMiColStart
+    // has_chroma per spec
+    val bw4 = BlkW4(bSize); val bh4 = BlkH4(bSize)
+    val hasChroma = numPlanes > 1 &&
+      ((r & 1) != 0 || (bh4 & 1) == 0 || subY == 0) &&
+      ((c & 1) != 0 || (bw4 & 1) == 0 || subX == 0)
+
+    // --- skip ---
+    val skipCtx = (if (availU && skips((r - 1) * miCols + c) != 0) 1 else 0) +
+      (if (availL && skips(r * miCols + c - 1) != 0) 1 else 0)
+    val skip = msac.decodeSymbol(cdfs.skip, skipCtx * 3, 2) == 1
+    tr(s"block r=$r c=$c bSize=$bSize skip=$skip ctx=$skipCtx")
+
+    readCdef(r, c, skip)
+    readDeltaQLf(r, c, bSize, skip)
+
+    // --- y mode (keyframe cdf with above/left mode contexts) ---
+    val aboveMode = if (availU) yModes((r - 1) * miCols + c).toInt else Av1Predict.DC
+    val leftMode = if (availL) yModes(r * miCols + c - 1).toInt else Av1Predict.DC
+    val ctxA = IntraModeContext(aboveMode)
+    val ctxL = IntraModeContext(leftMode)
+    val yMode = msac.decodeSymbol(cdfs.kfYMode, (ctxA * 5 + ctxL) * 14, 13)
+    tr(s"  yMode=$yMode (ctxA=$ctxA ctxL=$ctxL)")
+    var angleY = 0
+    if (yMode >= Av1Predict.V && yMode <= Av1Predict.D67 && bSize >= B8x8) {
+      angleY = msac.decodeSymbol(cdfs.angleDelta, (yMode - Av1Predict.V) * 8, 7) - 3
+    }
+    require(!fh.allowScreenContentTools, "av1: screen-content tools (palette/intrabc) unsupported")
+    require(!(sh.enableFilterIntra && yMode == Av1Predict.DC && filterIntraEligible(bSize)),
+      "av1: filter_intra signalling unsupported (encode with enable_filter_intra=0)")
+
+    // --- uv mode ---
+    var uvMode = Av1Predict.DC
+    var angleUV = 0
+    if (hasChroma) {
+      // lossless restricts CfL to blocks whose CHROMA block is 4x4
+      // (pinned against libdav1d with steered one-block streams)
+      val cflAllowed =
+        if (fh.codedLossless)
+          math.max(BlkW4(bSize) >> subX, 1) == 1 && math.max(BlkH4(bSize) >> subY, 1) == 1
+        else BlkW4(bSize) * 4 <= 32 && BlkH4(bSize) * 4 <= 32
+      val n = if (cflAllowed) 14 else 13
+      val grp = if (cflAllowed) 1 else 0
+      uvMode = msac.decodeSymbol(cdfs.uvMode, (grp * 13 + yMode) * 15, n)
+      tr(s"  uvMode=$uvMode cflAllowed=$cflAllowed")
+      if (uvMode == Av1Predict.UV_CFL) {
+        // joint sign then per-plane alpha magnitude (spec read_cfl_alphas)
+        val sign = msac.decodeSymbol(cdfs.cflSign, 0, 8) + 1
+        val signU = sign * 0x56 >> 8
+        val signV = sign - signU * 3
+        if (signU != 0) {
+          val ctx = (if (signU == 2) 3 else 0) + signV
+          val a = msac.decodeSymbol(cdfs.cflAlpha, ctx * 17, 16) + 1
+          cflAlphaU = if (signU == 1) -a else a
+        } else cflAlphaU = 0
+        if (signV != 0) {
+          val ctx = (if (signV == 2) 3 else 0) + signU
+          val a = msac.decodeSymbol(cdfs.cflAlpha, ctx * 17, 16) + 1
+          cflAlphaV = if (signV == 1) -a else a
+        } else cflAlphaV = 0
+      }
+      if (uvMode >= Av1Predict.V && uvMode <= Av1Predict.D67 && bSize >= B8x8) {
+        angleUV = msac.decodeSymbol(cdfs.angleDelta, (uvMode - Av1Predict.V) * 8, 7) - 3
+      }
+    }
+
+    // --- tx size ---
+    val maxRect = MaxTxSizeRect(bSize)
+    var txSz = maxRect
+    if (!fh.codedLossless && fh.txModeSelect && bSize > 0 && MaxTxDepth(bSize) > 0 && !skip) {
+      val maxDepth = MaxTxDepth(bSize)
+      val cat = math.min(maxDepth, 4) - 1 // tx_size_cdf category 0..3
+      val maxTxW = TxW4(maxRect) * 4
+      val maxTxH = TxH4(maxRect) * 4
+      val aW = if (availU) TxW4(txSzY((r - 1) * miCols + c).toInt) * 4 else 64
+      val lH = if (availL) TxH4(txSzY(r * miCols + c - 1).toInt) * 4 else 64
+      val a = if (availU && aW >= maxTxW) 1 else 0
+      val l = if (availL && lH >= maxTxH) 1 else 0
+      val ctx = if (availU && availL) a + l else if (availU) a * 2 else if (availL) l * 2 else 0
+      val nSym = math.min(maxDepth + 1, 3)
+      val depth = msac.decodeSymbol(cdfs.txSize, (cat * 3 + ctx) * 4, nSym)
+      var d = 0
+      while (d < depth) { txSz = SplitTxSize(txSz); d += 1 }
+    } else if (fh.codedLossless) {
+      txSz = 0
+    } else if (!fh.txModeSelect) {
+      txSz = maxRect
+    }
+
+    // intra-edge filter type: 1 when a neighboring block is SMOOTH-coded
+    val filtY = filtTypeOf(availU, availL, r, c, yModes)
+    val filtUV = filtTypeOf(availU, availL, r, c, uvModes)
+    // store mode state over the block footprint
+    var i = 0
+    while (i < h4) {
+      var j = 0
+      while (j < w4) {
+        val idx = (r + i) * miCols + c + j
+        yModes(idx) = yMode.toByte
+        uvModes(idx) = uvMode.toByte
+        skips(idx) = if (skip) 1 else 0
+        txSzY(idx) = txSz.toByte
+        j += 1
+      }
+      i += 1
+    }
+
+    // --- reconstruction: per-plane tx-block loop ---
+    // luma
+    reconPlane(0, r, c, bSize, txSz, yMode, angleY, skip, filtY)
+    if (hasChroma) {
+      // chroma block covers the (possibly paired) chroma region
+      val rC = if (subY == 1) r & ~1 else r
+      val cC = if (subX == 1) c & ~1 else c
+      val cw4 = math.max(1, bw4 >> subX)
+      val ch4 = math.max(1, bh4 >> subY)
+      val uvTx = if (fh.codedLossless) 0 else chromaTxSize(cw4, ch4)
+      reconPlaneChroma(1, rC, cC, cw4, ch4, uvTx, uvMode, angleUV, skip, filtUV)
+      reconPlaneChroma(2, rC, cC, cw4, ch4, uvTx, uvMode, angleUV, skip, filtUV)
+    }
+  }
+
+  private def filterIntraEligible(bSize: Int): Boolean =
+    BlkW4(bSize) * 4 <= 32 && BlkH4(bSize) * 4 <= 32
+
+  /** largest tx for a chroma block of cw4 x ch4 4-units (<=32px dims) */
+  private def chromaTxSize(cw4: Int, ch4: Int): Int = {
+    val w = math.min(cw4 * 4, 32)
+    val h = math.min(ch4 * 4, 32)
+    var best = 0
+    var t = 0
+    while (t < 19) {
+      if (TxW4(t) * 4 <= w && TxH4(t) * 4 <= h &&
+        (TxW4(t) * 4 == w || TxH4(t) * 4 == h)) {
+        if (TxW4(t) * TxH4(t) > TxW4(best) * TxH4(best) ||
+          (TxW4(t) * TxH4(t) == TxW4(best) * TxH4(best) && TxW4(t) * 4 == w)) best = t
+      }
+      t += 1
+    }
+    // exact: find tx with dims (min(w,32), min(h,32)) — all such sizes exist
+    t = 0
+    while (t < 19) {
+      if (TxW4(t) * 4 == w && TxH4(t) * 4 == h) return t
+      t += 1
+    }
+    best
+  }
+
+  private def readCdef(r: Int, c: Int, skip: Boolean): Unit = {
+    if (skip || fh.codedLossless || fh.cdef.isEmpty) return
+    val cd = fh.cdef.get
+    if (cd.bits == 0) return
+    val stride = (miCols + 15) >> 4
+    val idx = (r >> 4) * stride + (c >> 4)
+    if (cdefIdx(idx) == -1) cdefIdx(idx) = msac.readLiteral(cd.bits)
+  }
+
+  private def readDeltaQLf(r: Int, c: Int, bSize: Int, skip: Boolean): Unit = {
+    if (!readDeltas) return
+    readDeltas = false
+    if (bSize == sbSizeB && skip) return
+    if (fh.deltaQPresent) {
+      var abs = msac.decodeSymbol(cdfs.deltaQ, 0, 4)
+      if (abs == 3) {
+        val remBits = msac.readLiteral(3) + 1
+        abs = msac.readLiteral(remBits) + (1 << remBits) + 1
+      }
+      if (abs > 0) {
+        val sign = msac.readBit()
+        val delta = if (sign == 1) -abs else abs
+        currentQIndex = math.max(1, math.min(255, currentQIndex + (delta << fh.deltaQRes)))
+      }
+    }
+    if (fh.deltaLfPresent) {
+      val n = if (fh.deltaLfMulti) (if (numPlanes > 1) 4 else 2) else 1
+      var i = 0
+      while (i < n) {
+        val cdf = if (fh.deltaLfMulti) cdfs.deltaLfMulti else cdfs.deltaLf
+        val off = if (fh.deltaLfMulti) i * 5 else 0
+        var abs = msac.decodeSymbol(cdf, off, 4)
+        if (abs == 3) {
+          val remBits = msac.readLiteral(3) + 1
+          abs = msac.readLiteral(remBits) + (1 << remBits) + 1
+        }
+        if (abs > 0) msac.readBit()
+        i += 1
+      }
+    }
+  }
+
+  // ------------------------------------------------- reconstruction
+
+  private def filtTypeOf(availU: Boolean, availL: Boolean, r: Int, c: Int,
+      modes: Array[Byte]): Int = {
+    @inline def smooth(m: Int): Boolean = m >= 9 && m <= 11
+    val a = availU && smooth(modes((r - 1) * miCols + c).toInt)
+    val l = availL && smooth(modes(r * miCols + c - 1).toInt)
+    if (a || l) 1 else 0
+  }
+
+  private def reconPlane(plane: Int, r: Int, c: Int, bSize: Int, txSz: Int,
+      mode: Int, angle: Int, skip: Boolean, filtType: Int): Unit = {
+    val w4 = math.min(BlkW4(bSize), miCols - c)
+    val h4 = math.min(BlkH4(bSize), miRows - r)
+    val tw4 = TxW4(txSz)
+    val th4 = TxH4(txSz)
+    var ty = 0
+    while (ty < h4) {
+      var tx = 0
+      while (tx < w4) {
+        transformBlockAt(plane, r + ty, c + tx, txSz, mode, angle, skip, c, r, BlkW4(bSize), BlkH4(bSize), filtType)
+        tx += tw4
+      }
+      ty += th4
+    }
+  }
+
+  private def reconPlaneChroma(plane: Int, r: Int, c: Int, cw4: Int, ch4: Int, txSz: Int,
+      mode: Int, angle: Int, skip: Boolean, filtType: Int): Unit = {
+    val pr = r >> subY
+    val pc = c >> subX
+    val tw4 = TxW4(txSz)
+    val th4 = TxH4(txSz)
+    val maxR = decH(plane)
+    val maxC = decW(plane)
+    var ty = 0
+    while (ty < ch4 && pr + ty < maxR) {
+      var tx = 0
+      while (tx < cw4 && pc + tx < maxC) {
+        transformBlockAt(plane, pr + ty, pc + tx, txSz, mode, angle, skip, pc, pr, cw4, ch4, filtType)
+        tx += tw4
+      }
+      ty += th4
+    }
+  }
+
+  /** Decode + reconstruct one tx block. Coordinates are PLANE 4-units. */
+  private def transformBlockAt(plane: Int, pr: Int, pc: Int, txSz: Int, mode: Int,
+      angle: Int, skip: Boolean, blkPc: Int, blkPr: Int, bw4: Int, bh4: Int,
+      filtType: Int): Unit = {
+    val tw = TxW4(txSz) * 4
+    val th = TxH4(txSz) * 4
+    val x0 = pc * 4
+    val y0 = pr * 4
+    val pw = planeW(plane)
+    val ph = planeH(plane)
+    if (x0 >= pw || y0 >= ph) return
+
+    // availability from the decoded bitmap + tile bounds
+    val dW = decW(plane)
+    val dH = decH(plane)
+    @inline def isDec(rr: Int, cc: Int): Boolean =
+      rr >= 0 && cc >= 0 && rr < dH && cc < dW && decoded(plane)(rr * dW + cc)
+    val sX = if (plane > 0) subX else 0
+    val sY = if (plane > 0) subY else 0
+    val tileColStartP = tileMiColStart >> sX
+    val tileRowStartP = tileMiRowStart >> sY
+    val haveAbove = pr > tileRowStartP && isDec(pr - 1, pc)
+    val haveLeft = pc > tileColStartP && isDec(pr, pc - 1)
+    val tw4 = TxW4(txSz)
+    val th4 = TxH4(txSz)
+    // above-right availability: unit diagonal at (pr-1, pc+tw4)
+    val numRight = if (haveAbove && isDec(pr - 1, pc + tw4)) th * 1 else 0
+    val numBelow = if (haveLeft && isDec(pr + th4, pc - 1)) tw * 1 else 0
+
+    // predict
+    val predMode = if (mode == Av1Predict.UV_CFL) Av1Predict.DC else mode
+    Av1Predict.predict(planes(plane), pw, x0, y0, tw, th, predMode, angle,
+      haveAbove, haveLeft, numRight, numBelow, sh.enableIntraEdgeFilter, pw, ph, filtType)
+    if (mode == Av1Predict.UV_CFL) applyCfl(plane, x0, y0, tw, th)
+
+    if (!skip) {
+      val (eob, culLevel, dcCat, residual) = readCoeffs(plane, pr, pc, txSz, mode,
+        blkPc, blkPr, bw4, bh4)
+      // set entropy contexts
+      setCoefCtx(plane, pr, pc, tw4, th4, culLevel, dcCat)
+      if (eob > 0) {
+        applyResidual(plane, x0, y0, tw, th, txSz, residual)
+      }
+    } else {
+      setCoefCtx(plane, pr, pc, tw4, th4, 0, 0)
+    }
+
+    // mark decoded
+    var i = 0
+    while (i < th4) {
+      var j = 0
+      while (j < tw4) {
+        val rr = pr + i; val cc = pc + j
+        if (rr < dH && cc < dW) decoded(plane)(rr * dW + cc) = true
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  /** CfL: add the scaled zero-mean subsampled-luma AC on top of the DC
+    * prediction (spec 7.11.5; dav1d rounding: (|alpha*ac|+32)>>6). */
+  private def applyCfl(plane: Int, x0: Int, y0: Int, w: Int, h: Int): Unit = {
+    val alpha = if (plane == 1) cflAlphaU else cflAlphaV
+    val luma = planes(0)
+    val lw = planeW(0)
+    val lh = planeH(0)
+    val ac = new Array[Int](w * h)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = 0
+        if (subX == 1 && subY == 1) {
+          val ly = math.min((y0 + y) << 1, lh - 2)
+          val lx = math.min((x0 + x) << 1, lw - 2)
+          v = (luma(ly * lw + lx) + luma(ly * lw + lx + 1) +
+            luma((ly + 1) * lw + lx) + luma((ly + 1) * lw + lx + 1)) << 1
+        } else {
+          val ly = math.min((y0 + y) << subY, lh - 1)
+          val lx = math.min((x0 + x) << subX, lw - 1)
+          v = luma(ly * lw + lx) << 3 // 4:4:4 (mono never has chroma)
+        }
+        ac(y * w + x) = v
+        sum += v
+        x += 1
+      }
+      y += 1
+    }
+    val log2sz = Integer.numberOfTrailingZeros(w) + Integer.numberOfTrailingZeros(h)
+    val avg = ((sum + (1L << (log2sz - 1))) >> log2sz).toInt
+    val pl = planes(plane)
+    val pw = planeW(plane)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val diff = alpha * (ac(y * w + x) - avg)
+        val adj = if (diff < 0) -((-diff + 32) >> 6) else (diff + 32) >> 6
+        val idx = (y0 + y) * pw + x0 + x
+        val v = pl(idx) + adj
+        pl(idx) = if (v < 0) 0 else if (v > 255) 255 else v
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def setCoefCtx(plane: Int, pr: Int, pc: Int, tw4: Int, th4: Int,
+      culLevel: Int, dcCat: Int): Unit = {
+    val v = (math.min(culLevel, 63) | (dcCat << 6)).toByte
+    var i = 0
+    while (i < tw4 && pc + i < aboveCtx(plane).length) { aboveCtx(plane)(pc + i) = v; i += 1 }
+    i = 0
+    while (i < th4 && pr + i < leftCtx(plane).length) { leftCtx(plane)(pr + i) = v; i += 1 }
+  }
+
+  // --------------------------------------------------- coefficients
+
+  /** Returns (eob, culLevel, dcCategory, dequantized residual row-major). */
+  private def readCoeffs(plane: Int, pr: Int, pc: Int, txSz: Int, mode: Int,
+      blkPc: Int, blkPr: Int, bw4: Int, bh4: Int): (Int, Int, Int, Array[Long]) = {
+    val planeType = if (plane > 0) 1 else 0
+    val txSzCtx = TxSizeSqrUp(txSz)
+    val tw4 = TxW4(txSz); val th4 = TxH4(txSz)
+    val w = tw4 * 4; val h = th4 * 4
+
+    // txb_skip (all_zero) context
+    val skipCtx = txbSkipCtx(plane, pr, pc, txSz, bw4, bh4)
+    val allZero = msac.decodeSymbol(cdfs.txbSkip, (txSzCtx * 13 + skipCtx) * 3, 2) == 1
+    tr(s"  coeffs p=$plane pr=$pr pc=$pc tx=$txSz allZero=$allZero skipCtx=$skipCtx")
+    if (allZero) return (0, 0, 0, null)
+
+    // transform type
+    val txType = readTxType(plane, txSz, mode)
+    val cls = txClass(txType)
+
+    // coded dims (64 clamps to 32 — refused upstream for now)
+    require(w <= 32 && h <= 32, "av1: 64-point transforms not yet supported")
+    val bwl = Integer.numberOfTrailingZeros(w)
+    val scan = Av1Scan.scan(w, h, cls)
+    val area = w * h
+
+    // --- eob ---
+    val eobMultisize = Integer.numberOfTrailingZeros(w) + Integer.numberOfTrailingZeros(h) - 4
+    val ptCdf = cdfs.eobPt(eobMultisize)
+    val ptStride = 6 + eobMultisize
+    val ptN = 5 + eobMultisize
+    val clsCtx = if (cls == TxClass2D) 0 else 1
+    val eobPt = msac.decodeSymbol(ptCdf, (planeType * 2 + clsCtx) * ptStride, ptN) + 1
+    var eob = if (eobPt < 2) eobPt else (1 << (eobPt - 2)) + 1
+    tr(s"    eobPt=$eobPt eob(pre-extra)=$eob")
+    if (eobPt >= 3) {
+      val extraOff = ((txSzCtx * 2 + planeType) * 9 + (eobPt - 3)) * 3
+      val extra = msac.decodeSymbol(cdfs.eobExtra, extraOff, 2)
+      if (extra == 1) eob += 1 << (eobPt - 3)
+      var i = 1
+      while (i < eobPt - 2) {
+        if (msac.readBit() == 1) eob += 1 << (eobPt - 3 - i)
+        i += 1
+      }
+    }
+
+    // --- levels, backward scan ---
+    val levels = new Array[Int](area)
+    var c = eob - 1
+    while (c >= 0) {
+      val pos = scan(c)
+      val row = pos >> bwl
+      val col = pos & (w - 1)
+      var level = 0
+      if (c == eob - 1) {
+        val ctx = coeffBaseEobCtx(c, bwl, h)
+        level = msac.decodeSymbol(cdfs.coeffBaseEob,
+          ((txSzCtx * 2 + planeType) * 4 + ctx) * 4, 3) + 1
+      } else {
+        val ctx = coeffBaseCtx(levels, bwl, w, h, row, col, cls)
+        level = msac.decodeSymbol(cdfs.coeffBase,
+          ((txSzCtx * 2 + planeType) * 42 + ctx) * 5, 4)
+      }
+      tr(s"      c=$c pos=$pos level=$level")
+      if (level > 2) {
+        val brCtx = coeffBrCtx(levels, bwl, w, h, row, col, cls)
+        val brTx = math.min(txSzCtx, 3)
+        var k = 0
+        var done = false
+        while (k < 4 && !done) {
+          val sym = msac.decodeSymbol(cdfs.coeffBr,
+            ((brTx * 2 + planeType) * 21 + brCtx) * 5, 4)
+          level += sym
+          if (sym < 3) done = true
+          k += 1
+        }
+      }
+      levels(pos) = level
+      c -= 1
+    }
+
+    // --- signs + golomb + dequant, forward ---
+    val dcQ = Av1Tables.DcQLookup(clampQ(currentQIndex + planeDcDelta(plane)))
+    val acQ = Av1Tables.AcQLookup(clampQ(currentQIndex + planeAcDelta(plane)))
+    val dqShift = math.max(0, (Integer.numberOfTrailingZeros(w) + Integer.numberOfTrailingZeros(h)) / 2 - 4)
+    val residual = new Array[Long](area)
+    var culLevel = 0
+    var dcCat = 0
+    c = 0
+    while (c < eob) {
+      val pos = scan(c)
+      var level = levels(pos)
+      if (level != 0) {
+        var negative = false
+        if (c == 0) {
+          val ctx = dcSignCtx(plane, pr, pc, TxW4(txSz), TxH4(txSz))
+          negative = msac.decodeSymbol(cdfs.dcSign, (planeType * 3 + ctx) * 3, 2) == 1
+        } else {
+          negative = msac.readBit() == 1
+        }
+        if (level == 15) level = 15 + msac.readGolomb()
+        culLevel += level
+        if (c == 0) dcCat = if (negative) 1 else 2
+        val q = if (c == 0) dcQ else acQ
+        var v = (level.toLong * q) & 0xffffff
+        v >>= dqShift
+        residual(pos) = if (negative) -v else v
+      }
+      c += 1
+    }
+    (eob, math.min(culLevel, 63), dcCat, residual)
+  }
+
+  @inline private def clampQ(q: Int): Int = math.max(0, math.min(255, q))
+  private def planeDcDelta(plane: Int): Int =
+    if (plane == 0) fh.deltaQYDc else if (plane == 1) fh.deltaQUDc else fh.deltaQVDc
+  private def planeAcDelta(plane: Int): Int =
+    if (plane == 0) 0 else if (plane == 1) fh.deltaQUAc else fh.deltaQVAc
+
+  private def txbSkipCtx(plane: Int, pr: Int, pc: Int, txSz: Int, bw4: Int, bh4: Int): Int = {
+    val tw4 = TxW4(txSz); val th4 = TxH4(txSz)
+    if (plane == 0) {
+      if (bw4 == tw4 && bh4 == th4) 0
+      else {
+        var top = 0
+        var i = 0
+        while (i < tw4 && pc + i < aboveCtx(0).length) { top |= aboveCtx(0)(pc + i) & 63; i += 1 }
+        var l = 0
+        i = 0
+        while (i < th4 && pr + i < leftCtx(0).length) { l |= leftCtx(0)(pr + i) & 63; i += 1 }
+        Av1Decoder.SkipContexts(math.min(math.min(top, l), 4))(math.min(top | l, 4))
+      }
+    } else {
+      var above = 0; var l = 0
+      var i = 0
+      while (i < tw4 && pc + i < aboveCtx(plane).length) { above |= aboveCtx(plane)(pc + i) & 63; i += 1 }
+      i = 0
+      while (i < th4 && pr + i < leftCtx(plane).length) { l |= leftCtx(plane)(pr + i) & 63; i += 1 }
+      // 7 + 3*(the chroma block holds MULTIPLE tx blocks) + nonzero neighbors
+      val multiTx = bw4 > tw4 || bh4 > th4
+      7 + (if (multiTx) 3 else 0) + (if (above != 0) 1 else 0) + (if (l != 0) 1 else 0)
+    }
+  }
+
+  private def coeffBaseEobCtx(c: Int, bwl: Int, h: Int): Int = {
+    if (c == 0) 0
+    else {
+      val area = h << bwl
+      if (c <= area / 8) 1 else if (c <= area / 4) 2 else 3
+    }
+  }
+
+  @inline private def lvl(levels: Array[Int], bwl: Int, w: Int, h: Int, r: Int, c: Int): Int =
+    if (r < 0 || c < 0 || r >= h || c >= w) 0 else levels((r << bwl) + c)
+
+  private def coeffBaseCtx(levels: Array[Int], bwl: Int, w: Int, h: Int,
+      row: Int, col: Int, cls: Int): Int = {
+    var mag = 0
+    @inline def add(r: Int, c: Int): Unit = mag += math.min(lvl(levels, bwl, w, h, r, c), 3)
+    cls match {
+      case TxClass2D =>
+        add(row, col + 1); add(row + 1, col); add(row + 1, col + 1)
+        add(row, col + 2); add(row + 2, col)
+      case TxClassHoriz =>
+        add(row, col + 1); add(row, col + 2); add(row, col + 3); add(row, col + 4); add(row, col + 5)
+      case _ =>
+        add(row + 1, col); add(row + 2, col); add(row + 3, col); add(row + 4, col); add(row + 5, col)
+    }
+    val ctx = math.min((mag + 1) >> 1, 4)
+    cls match {
+      case TxClass2D =>
+        if (row == 0 && col == 0) 0
+        else if (row + col < 2) ctx + 1
+        else if (row + col < 4) ctx + 6
+        else ctx + 21 // far region (pinned against libdav1d: NOT +11)
+      case TxClassHoriz =>
+        if (col == 0) ctx + 16 else if (col == 1) ctx + 21 else ctx + 26
+      case _ =>
+        if (row == 0) ctx + 16 else if (row == 1) ctx + 21 else ctx + 26
+    }
+  }
+
+  private def coeffBrCtx(levels: Array[Int], bwl: Int, w: Int, h: Int,
+      row: Int, col: Int, cls: Int): Int = {
+    var mag = 0
+    @inline def add(r: Int, c: Int): Unit = mag += math.min(lvl(levels, bwl, w, h, r, c), 15)
+    cls match {
+      case TxClass2D => add(row, col + 1); add(row + 1, col); add(row + 1, col + 1)
+      case TxClassHoriz => add(row, col + 1); add(row, col + 2); add(row + 1, col)
+      case _ => add(row + 1, col); add(row + 2, col); add(row, col + 1)
+    }
+    val m = math.min((mag + 1) >> 1, 6)
+    if (row == 0 && col == 0) m
+    else if ((cls == TxClass2D && row < 2 && col < 2) ||
+      (cls == TxClassHoriz && col == 0) || (cls == TxClassVert && row == 0)) m + 7
+    else m + 14
+  }
+
+  private def dcSignCtx(plane: Int, pr: Int, pc: Int, tw4: Int, th4: Int): Int = {
+    var s = 0
+    var i = 0
+    while (i < tw4 && pc + i < aboveCtx(plane).length) {
+      val cat = (aboveCtx(plane)(pc + i) >> 6) & 3
+      if (cat == 1) s -= 1 else if (cat == 2) s += 1
+      i += 1
+    }
+    i = 0
+    while (i < th4 && pr + i < leftCtx(plane).length) {
+      val cat = (leftCtx(plane)(pr + i) >> 6) & 3
+      if (cat == 1) s -= 1 else if (cat == 2) s += 1
+      i += 1
+    }
+    if (s < 0) 1 else if (s > 0) 2 else 0
+  }
+
+  private def readTxType(plane: Int, txSz: Int, mode: Int): Int = {
+    if (fh.codedLossless || TxSizeSqrUp(txSz) > 3) return DctDct
+    if (plane > 0) {
+      // chroma intra: implied by uv mode, clamped to the allowed set
+      val t = Mode2Txfm(mode)
+      val set = intraTxSet(txSz)
+      if (set == 0) DctDct
+      else if (set == 2 && !TxTypeIntraInvSet2.contains(t)) DctDct
+      else t
+    } else {
+      if (fh.baseQIdx == 0 && currentQIndex == 0) return DctDct
+      val set = intraTxSet(txSz)
+      if (set == 0) DctDct
+      else {
+        val sqr = TxSizeSqr(txSz)
+        val setIdx = set - 1
+        val n = if (set == 1) 7 else 5
+        val off = ((setIdx * 4 + sqr) * 13 + mode) * 17
+        val sym = msac.decodeSymbol(cdfs.intraExtTx, off, n)
+        if (set == 1) TxTypeIntraInvSet1(sym) else TxTypeIntraInvSet2(sym)
+      }
+    }
+  }
+
+  private def intraTxSet(txSz: Int): Int = {
+    val sqrUp = TxSizeSqrUp(txSz)
+    if (sqrUp > 3) 0
+    else if (sqrUp == 3) 0 // 32x32 class: DCT only for intra
+    else if (fh.reducedTxSet) 2
+    else if (TxSizeSqr(txSz) == 2) 2 // 16x16 class → set 2
+    else 1
+  }
+
+  private def applyResidual(plane: Int, x0: Int, y0: Int, w: Int, h: Int,
+      txSz: Int, residual: Array[Long]): Unit = {
+    val pw = planeW(plane)
+    if (fh.codedLossless) {
+      Av1Transform.iwht4x4(residual)
+      var y = 0
+      while (y < 4) {
+        var x = 0
+        while (x < 4) {
+          val idx = (y0 + y) * pw + x0 + x
+          val v = planes(plane)(idx) + residual(y * 4 + x)
+          planes(plane)(idx) = if (v < 0) 0 else if (v > 255) 255.toInt else v.toInt
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      throw new IllegalArgumentException("av1: lossy transform path not yet wired")
+    }
+  }
+}
+
+/** Scan-order generation per the spec's rules: anti-diagonal (class 2D),
+  * row-major (class VERT: vertical 1D transform compacts energy to top
+  * rows) and column-major (class HORIZ). */
+object Av1Scan {
+  private val cache = scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Array[Int]]
+  def scan(w: Int, h: Int, cls: Int): Array[Int] =
+    cache.getOrElseUpdate((w, h, cls), build(w, h, cls))
+  private def build(w: Int, h: Int, cls: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var k = 0
+    cls match {
+      case Av1Decoder.TxClass2D if w == 4 && h == 4 =>
+        // the 4x4 default scan is the classic alternating zigzag
+        // (pinned against libdav1d by the single-coefficient position
+        // sweep); larger sizes use the uniform up-right diagonal
+        val zz = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+        System.arraycopy(zz, 0, out, 0, 16)
+        k = 16
+      case Av1Decoder.TxClass2D =>
+        var d = 0
+        while (d <= w + h - 2) {
+          var r = 0
+          while (r <= d) {
+            val c = d - r
+            if (r < h && c < w) { out(k) = r * w + c; k += 1 }
+            r += 1
+          }
+          d += 1
+        }
+      case Av1Decoder.TxClassVert =>
+        var r = 0
+        while (r < h) { var c = 0; while (c < w) { out(k) = r * w + c; k += 1; c += 1 }; r += 1 }
+      case _ =>
+        var c = 0
+        while (c < w) { var r = 0; while (r < h) { out(k) = r * w + c; k += 1; r += 1 }; c += 1 }
+    }
+    out
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+/** AV1 spec constant tables for [[Av1Decoder]], extracted at dev time
+  * from the system libaom's read-only data by
+  * `tools/extract_av1_tables.py` (structural-signature recovery, same
+  * approach as [[Vp8Tables]]/`CcittTables`; anchored on values the
+  * public spec prints verbatim — the 8x8 partition CDF, the skip CDFs,
+  * the V_PRED angle-delta row — and validated bit-exactly against
+  * libdav1d golden decodes by `Av1DecoderSpec`).
+  *
+  * CDFs use the public AOM inverse representation: for an n-symbol CDF
+  * the table row holds n-1 strictly-decreasing values icdf(k) =
+  * 32768 - cum(k), a terminal 0, and an adaptation counter (0 in the
+  * defaults). Resource layout (little-endian):
+  * repeat: [u8 nameLen][name][u16 groups][u16 stride][u16 x groups*stride]
+  */
+object Av1Tables {
+
+  private val raw: Map[String, (Int, Int, Array[Int])] = {
+    val in = getClass.getResourceAsStream("/graft/av1_tables.bin")
+    require(in != null, "av1_tables.bin resource missing")
+    val bytes =
+      try in.readAllBytes()
+      finally in.close()
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val m = scala.collection.mutable.Map.empty[String, (Int, Int, Array[Int])]
+    while (bb.hasRemaining) {
+      val nameLen = bb.get() & 0xff
+      val nb = new Array[Byte](nameLen)
+      bb.get(nb)
+      val groups = bb.getShort() & 0xffff
+      val stride = bb.getShort() & 0xffff
+      val vals = new Array[Int](groups * stride)
+      var i = 0
+      while (i < vals.length) { vals(i) = bb.getShort() & 0xffff; i += 1 }
+      m(new String(nb, "US-ASCII")) = (groups, stride, vals)
+    }
+    m.toMap
+  }
+
+  /** (groups, stride, values) for a named table. */
+  def table(name: String): (Int, Int, Array[Int]) =
+    raw.getOrElse(name, throw new IllegalArgumentException(s"av1: unknown table '$name'"))
+
+  /** Flat values of a named table. */
+  def values(name: String): Array[Int] = table(name)._3
+
+  // non-CDF spec constants
+  val DcQLookup: Array[Int] = values("dc_qlookup")
+  val AcQLookup: Array[Int] = values("ac_qlookup")
+  val DrIntraDerivative: Array[Int] = values("dr_intra_derivative")
+  /** Smooth-prediction weights, concatenated for block dims 4,8,16,32,64. */
+  val SmWeights: Array[Int] = values("sm_weights")
+  def smWeights(dim: Int): Array[Int] = dim match {
+    case 4 => SmWeights.slice(0, 4)
+    case 8 => SmWeights.slice(4, 12)
+    case 16 => SmWeights.slice(12, 28)
+    case 32 => SmWeights.slice(28, 60)
+    case 64 => SmWeights.slice(60, 124)
+    case d => throw new IllegalArgumentException(s"av1: no smooth weights for dim $d")
+  }
+
+  /** cos(i*pi/128) in Q12, i in [0,63] — the spec's inverse-transform
+    * cosine table is defined by this exact formula. */
+  val CosPi: Array[Int] = Array.tabulate(64) { i =>
+    math.round(math.cos(i * math.Pi / 128) * 4096).toInt
+  }
+  /** ADST4 sin constants in Q12 per the spec: sin(i*pi/9)*2/3. */
+  val SinPi: Array[Int] = Array.tabulate(5) { i =>
+    math.round(math.sin(i * math.Pi / 9) * 2 / 3 * 4096).toInt
+  }
+}

@@ -1,0 +1,372 @@
+package graft.operators
+
+/** AV1 inverse transforms per the public spec §7.13: the lossless
+  * Walsh-Hadamard 4x4, integer DCT (4..64), ADST (4/8/16, plus flipped
+  * variants) and the identity transform, with the spec's row/column
+  * ordering, intermediate rounding and rectangular 1/sqrt(2) scaling.
+  * Cosine/sine constants come from the closed-form Q12 definitions in
+  * [[Av1Tables]] (cos(i*pi/128)*4096). Validated bit-exactly against
+  * libdav1d golden decodes via Av1DecoderSpec.
+  */
+object Av1Transform {
+
+  import Av1Tables.{CosPi, SinPi}
+
+  @inline private def round2(x: Long, n: Int): Long = if (n == 0) x else (x + (1L << (n - 1))) >> n
+
+  @inline private def halfBtf(w0: Int, in0: Long, w1: Int, in1: Long): Long =
+    round2(w0 * in0 + w1 * in1, 12)
+
+  @inline private def clampL(x: Long, lo: Long, hi: Long): Long =
+    if (x < lo) lo else if (x > hi) hi else x
+
+  /** Lossless inverse WHT 4x4 (spec 7.13.3 "Inverse transform ... lossless"):
+    * input coefficients pre-shifted down by 2, butterfly, no rounding. */
+  def iwht4x4(in: Array[Long]): Unit = {
+    // operates in place on a 16-element row-major array
+    val t = new Array[Long](16)
+    var c = 0
+    while (c < 4) { // columns? spec does rows then columns with >>2 on input
+      c += 1
+    }
+    // rows
+    var r = 0
+    while (r < 4) {
+      val o = r * 4
+      var a = in(o) >> 2; var ci = in(o + 1) >> 2; var d = in(o + 2) >> 2; var b = in(o + 3) >> 2
+      a += ci; d -= b
+      val e = (a - d) >> 1
+      b = e - b; ci = e - ci
+      a -= b; d += ci
+      t(o) = a; t(o + 1) = b; t(o + 2) = ci; t(o + 3) = d
+      r += 1
+    }
+    // columns
+    var col = 0
+    while (col < 4) {
+      var a = t(col); var ci = t(4 + col); var d = t(8 + col); var b = t(12 + col)
+      a += ci; d -= b
+      val e = (a - d) >> 1
+      b = e - b; ci = e - ci
+      a -= b; d += ci
+      in(col) = a; in(4 + col) = b; in(8 + col) = ci; in(12 + col) = d
+      col += 1
+    }
+  }
+
+  /** In-place inverse DCT of size n (4/8/16/32/64) on `v(0..n)`. Spec §7.13.3
+    * butterfly network, Q12 weights, Round2 at each butterfly. */
+  def idct(v: Array[Long], n: Int): Unit = n match {
+    case 4 => idct4(v, 0, 1)
+    case 8 => idct8(v, 0, 1)
+    case 16 => idct16(v, 0, 1)
+    case 32 => idct32(v, 0, 1)
+    case 64 => idct64(v)
+    case _ => throw new IllegalArgumentException(s"av1: idct$n")
+  }
+
+  private def idct4(v: Array[Long], o: Int, s: Int): Unit = {
+    val in0 = v(o); val in1 = v(o + s); val in2 = v(o + 2 * s); val in3 = v(o + 3 * s)
+    val t0 = halfBtf(CosPi(32), in0, CosPi(32), in2)
+    val t1 = halfBtf(CosPi(32), in0, -CosPi(32), in2)
+    val t2 = halfBtf(CosPi(48), in1, -CosPi(16), in3)
+    val t3 = halfBtf(CosPi(16), in1, CosPi(48), in3)
+    v(o) = t0 + t3
+    v(o + s) = t1 + t2
+    v(o + 2 * s) = t1 - t2
+    v(o + 3 * s) = t0 - t3
+  }
+
+  private def idct8(v: Array[Long], o: Int, s: Int): Unit = {
+    // even part = idct4 of 0,2,4,6
+    val e = Array(v(o), v(o + 2 * s), v(o + 4 * s), v(o + 6 * s))
+    idct4(e, 0, 1)
+    // odd part
+    var x4 = halfBtf(CosPi(56), v(o + s), -CosPi(8), v(o + 7 * s))
+    var x7 = halfBtf(CosPi(8), v(o + s), CosPi(56), v(o + 7 * s))
+    var x5 = halfBtf(CosPi(24), v(o + 5 * s), -CosPi(40), v(o + 3 * s))
+    var x6 = halfBtf(CosPi(40), v(o + 5 * s), CosPi(24), v(o + 3 * s))
+    var t4 = x4 + x5; var t5 = x4 - x5; var t6 = x7 - x6; var t7 = x7 + x6
+    x5 = halfBtf(CosPi(32), t6, -CosPi(32), t5)
+    x6 = halfBtf(CosPi(32), t6, CosPi(32), t5)
+    v(o) = e(0) + t7
+    v(o + s) = e(1) + x6
+    v(o + 2 * s) = e(2) + x5
+    v(o + 3 * s) = e(3) + t4
+    v(o + 4 * s) = e(3) - t4
+    v(o + 5 * s) = e(2) - x5
+    v(o + 6 * s) = e(1) - x6
+    v(o + 7 * s) = e(0) - t7
+  }
+
+  private def idct16(v: Array[Long], o: Int, s: Int): Unit = {
+    val e = Array.tabulate(8)(i => v(o + 2 * i * s))
+    idct8(e, 0, 1)
+    // odd inputs 1,3,...,15
+    val x = new Array[Long](8)
+    x(0) = halfBtf(CosPi(60), v(o + s), -CosPi(4), v(o + 15 * s))
+    x(7) = halfBtf(CosPi(4), v(o + s), CosPi(60), v(o + 15 * s))
+    x(1) = halfBtf(CosPi(28), v(o + 9 * s), -CosPi(36), v(o + 7 * s))
+    x(6) = halfBtf(CosPi(36), v(o + 9 * s), CosPi(28), v(o + 7 * s))
+    x(2) = halfBtf(CosPi(44), v(o + 5 * s), -CosPi(20), v(o + 11 * s))
+    x(5) = halfBtf(CosPi(20), v(o + 5 * s), CosPi(44), v(o + 11 * s))
+    x(3) = halfBtf(CosPi(12), v(o + 13 * s), -CosPi(52), v(o + 3 * s))
+    x(4) = halfBtf(CosPi(52), v(o + 13 * s), CosPi(12), v(o + 3 * s))
+    // stage: butterflies
+    var t0 = x(0) + x(1); var t1 = x(0) - x(1)
+    var t2 = x(3) - x(2); var t3 = x(3) + x(2)
+    var t4 = x(4) + x(5); var t5 = x(4) - x(5)
+    var t6 = x(7) - x(6); var t7 = x(7) + x(6)
+    var u1 = halfBtf(-CosPi(16), t1, CosPi(48), t6)
+    var u6 = halfBtf(CosPi(48), t1, CosPi(16), t6)
+    var u2 = halfBtf(-CosPi(48), t2, -CosPi(16), t5)
+    var u5 = halfBtf(-CosPi(16), t2, CosPi(48), t5)
+    val s0 = t0 + t3; val s3 = t0 - t3
+    val s1 = u1 + u2; val s2 = u1 - u2
+    val s7 = t7 + t4; val s4 = t7 - t4
+    val s6 = u6 + u5; val s5 = u6 - u5
+    val w2 = halfBtf(CosPi(32), s5, -CosPi(32), s2)
+    val w5 = halfBtf(CosPi(32), s5, CosPi(32), s2)
+    val w3 = halfBtf(CosPi(32), s4, -CosPi(32), s3)
+    val w4 = halfBtf(CosPi(32), s4, CosPi(32), s3)
+    val odd = Array(s0, s1, w2, w3, w4, w5, s6, s7)
+    var i = 0
+    while (i < 8) {
+      v(o + i * s) = e(i) + odd(7 - i)
+      v(o + (15 - i) * s) = e(i) - odd(7 - i)
+      i += 1
+    }
+  }
+
+  private def idct32(v: Array[Long], o: Int, s: Int): Unit = {
+    val e = Array.tabulate(16)(i => v(o + 2 * i * s))
+    idct16(e, 0, 1)
+    // odd inputs 1,3,...,31 — stage 1 rotations
+    val idx = Array(1, 17, 9, 25, 5, 21, 13, 29, 3, 19, 11, 27, 7, 23, 15, 31)
+    val c1 = Array(62, 30, 46, 14, 54, 22, 38, 6, 58, 26, 42, 10, 50, 18, 34, 2)
+    val x = new Array[Long](16)
+    var k = 0
+    while (k < 8) {
+      val a = v(o + idx(2 * k) * s)
+      val b = v(o + idx(2 * k + 1) * s)
+      // pair (a at angle c, b at 64-c): lo = a*cos(c)-b*sin(c)...
+      val c = c1(2 * k)
+      val cB = c1(2 * k + 1)
+      x(k) = halfBtf(CosPi(c), a, -CosPi(64 - c), b)
+      x(15 - k) = halfBtf(CosPi(64 - c), a, CosPi(c), b)
+      // unused cB silence
+      val _ = cB
+      k += 1
+    }
+    // stage 2: butterflies in groups of 2
+    val t = new Array[Long](16)
+    var i = 0
+    while (i < 4) {
+      t(4 * i) = x(4 * i) + x(4 * i + 1)
+      t(4 * i + 1) = x(4 * i) - x(4 * i + 1)
+      t(4 * i + 3) = x(4 * i + 3) + x(4 * i + 2)
+      t(4 * i + 2) = x(4 * i + 3) - x(4 * i + 2)
+      i += 1
+    }
+    // stage 3: rotations on the 1,2 of each quad
+    val u = t.clone()
+    u(1) = halfBtf(-CosPi(8), t(1), CosPi(56), t(14)); u(14) = halfBtf(CosPi(56), t(1), CosPi(8), t(14))
+    u(2) = halfBtf(-CosPi(56), t(2), -CosPi(8), t(13)); u(13) = halfBtf(-CosPi(8), t(2), CosPi(56), t(13))
+    u(5) = halfBtf(-CosPi(40), t(5), CosPi(24), t(10)); u(10) = halfBtf(CosPi(24), t(5), CosPi(40), t(10))
+    u(6) = halfBtf(-CosPi(24), t(6), -CosPi(40), t(9)); u(9) = halfBtf(-CosPi(40), t(6), CosPi(24), t(9))
+    // stage 4: butterflies in groups of 4
+    val w = new Array[Long](16)
+    i = 0
+    while (i < 2) {
+      val b = 8 * i
+      w(b) = u(b) + u(b + 2); w(b + 2) = u(b) - u(b + 2)
+      w(b + 1) = u(b + 1) + u(b + 3); w(b + 3) = u(b + 1) - u(b + 3)
+      w(b + 7) = u(b + 7) + u(b + 5); w(b + 5) = u(b + 7) - u(b + 5)
+      w(b + 6) = u(b + 6) + u(b + 4); w(b + 4) = u(b + 6) - u(b + 4)
+      i += 1
+    }
+    // stage 5: rotations
+    val y = w.clone()
+    y(2) = halfBtf(-CosPi(16), w(2), CosPi(48), w(13)); y(13) = halfBtf(CosPi(48), w(2), CosPi(16), w(13))
+    y(3) = halfBtf(-CosPi(16), w(3), CosPi(48), w(12)); y(12) = halfBtf(CosPi(48), w(3), CosPi(16), w(12))
+    y(4) = halfBtf(-CosPi(48), w(4), -CosPi(16), w(11)); y(11) = halfBtf(-CosPi(16), w(4), CosPi(48), w(11))
+    y(5) = halfBtf(-CosPi(48), w(5), -CosPi(16), w(10)); y(10) = halfBtf(-CosPi(16), w(5), CosPi(48), w(10))
+    // stage 6: butterflies in group of 8
+    val z = new Array[Long](16)
+    i = 0
+    while (i < 4) {
+      z(i) = y(i) + y(7 - i); z(7 - i) = y(i) - y(7 - i)
+      z(8 + i) = y(15 - i) - y(8 + i); z(15 - i) = y(15 - i) + y(8 + i)
+      i += 1
+    }
+    // stage 7: cospi32 rotations on middle
+    val f = z.clone()
+    var j = 4
+    while (j < 8) {
+      f(j) = halfBtf(CosPi(32), z(11 - (j - 4)), -CosPi(32), z(j))
+      f(11 - (j - 4)) = halfBtf(CosPi(32), z(11 - (j - 4)), CosPi(32), z(j))
+      j += 1
+    }
+    // final: out[i] = even[i] + odd[15-i]
+    i = 0
+    while (i < 16) {
+      v(o + i * s) = e(i) + f(15 - i)
+      v(o + (31 - i) * s) = e(i) - f(15 - i)
+      i += 1
+    }
+  }
+
+  private def idct64(v: Array[Long]): Unit =
+    throw new IllegalArgumentException("av1: 64-point transform not yet supported")
+
+  /** Inverse ADST-4 (spec 7.13.2.5, sinpi network). */
+  def iadst4(v: Array[Long], o: Int, s: Int): Unit = {
+    val in0 = v(o); val in1 = v(o + s); val in2 = v(o + 2 * s); val in3 = v(o + 3 * s)
+    val a7 = in0 - in2
+    val b7 = a7 + in3
+    val s0 = SinPi(1) * in0
+    val s1 = SinPi(2) * in0
+    val s2 = SinPi(3) * in1
+    val s3 = SinPi(4) * in2
+    val s4 = SinPi(1) * in2
+    val s5 = SinPi(2) * in3
+    val s6 = SinPi(4) * in3
+    val t0 = s0 + s3 + s5
+    val t1 = s1 - s4 - s6
+    val t3 = s2
+    val t2 = SinPi(3) * b7
+    val x0 = t0 + t3
+    val x1 = t1 + t3
+    val x2 = t2
+    val x3 = t0 + t1 - t3
+    v(o) = round2(x0, 12)
+    v(o + s) = round2(x1, 12)
+    v(o + 2 * s) = round2(x2, 12)
+    v(o + 3 * s) = round2(x3, 12)
+  }
+
+  /** Inverse ADST-8 / ADST-16 via the spec's butterfly networks. */
+  def iadst8(v: Array[Long], o: Int, s: Int): Unit = {
+    val in = Array.tabulate(8)(i => v(o + i * s))
+    // stage 1 (reorder) + stage 2 rotations
+    val x = Array(in(7), in(0), in(5), in(2), in(3), in(4), in(1), in(6))
+    val a = new Array[Long](8)
+    a(0) = halfBtf(CosPi(4), x(0), CosPi(60), x(1))
+    a(1) = halfBtf(CosPi(60), x(0), -CosPi(4), x(1))
+    a(2) = halfBtf(CosPi(20), x(2), CosPi(44), x(3))
+    a(3) = halfBtf(CosPi(44), x(2), -CosPi(20), x(3))
+    a(4) = halfBtf(CosPi(36), x(4), CosPi(28), x(5))
+    a(5) = halfBtf(CosPi(28), x(4), -CosPi(36), x(5))
+    a(6) = halfBtf(CosPi(52), x(6), CosPi(12), x(7))
+    a(7) = halfBtf(CosPi(12), x(6), -CosPi(52), x(7))
+    // stage 3 butterflies
+    val b = new Array[Long](8)
+    var i = 0
+    while (i < 4) { b(i) = a(i) + a(i + 4); b(i + 4) = a(i) - a(i + 4); i += 1 }
+    // stage 4 rotations
+    val c = b.clone()
+    c(4) = halfBtf(CosPi(16), b(4), CosPi(48), b(5))
+    c(5) = halfBtf(CosPi(48), b(4), -CosPi(16), b(5))
+    c(6) = halfBtf(-CosPi(48), b(6), CosPi(16), b(7))
+    c(7) = halfBtf(CosPi(16), b(6), CosPi(48), b(7))
+    // stage 5 butterflies
+    val d = new Array[Long](8)
+    i = 0
+    while (i < 2) {
+      d(i) = c(i) + c(i + 2); d(i + 2) = c(i) - c(i + 2)
+      d(i + 4) = c(i + 4) + c(i + 6); d(i + 6) = c(i + 4) - c(i + 6)
+      i += 1
+    }
+    // stage 6 rotations
+    val e = d.clone()
+    e(2) = halfBtf(CosPi(32), d(2), CosPi(32), d(3))
+    e(3) = halfBtf(CosPi(32), d(2), -CosPi(32), d(3))
+    e(6) = halfBtf(CosPi(32), d(6), CosPi(32), d(7))
+    e(7) = halfBtf(CosPi(32), d(6), -CosPi(32), d(7))
+    // stage 7: output with alternating signs
+    v(o) = e(0)
+    v(o + s) = -e(4)
+    v(o + 2 * s) = e(6)
+    v(o + 3 * s) = -e(2)
+    v(o + 4 * s) = e(3)
+    v(o + 5 * s) = -e(7)
+    v(o + 6 * s) = e(5)
+    v(o + 7 * s) = -e(1)
+  }
+
+  def iadst16(v: Array[Long], o: Int, s: Int): Unit = {
+    val in = Array.tabulate(16)(i => v(o + i * s))
+    val x = Array(in(15), in(0), in(13), in(2), in(11), in(4), in(9), in(6),
+      in(7), in(8), in(5), in(10), in(3), in(12), in(1), in(14))
+    val a = new Array[Long](16)
+    val ang = Array(2, 10, 18, 26, 34, 42, 50, 58)
+    var i = 0
+    while (i < 8) {
+      val c = ang(i)
+      a(2 * i) = halfBtf(CosPi(c), x(2 * i), CosPi(64 - c), x(2 * i + 1))
+      a(2 * i + 1) = halfBtf(CosPi(64 - c), x(2 * i), -CosPi(c), x(2 * i + 1))
+      i += 1
+    }
+    val b = new Array[Long](16)
+    i = 0
+    while (i < 8) { b(i) = a(i) + a(i + 8); b(i + 8) = a(i) - a(i + 8); i += 1 }
+    val c2 = b.clone()
+    c2(8) = halfBtf(CosPi(8), b(8), CosPi(56), b(9))
+    c2(9) = halfBtf(CosPi(56), b(8), -CosPi(8), b(9))
+    c2(10) = halfBtf(CosPi(40), b(10), CosPi(24), b(11))
+    c2(11) = halfBtf(CosPi(24), b(10), -CosPi(40), b(11))
+    c2(12) = halfBtf(-CosPi(56), b(12), CosPi(8), b(13))
+    c2(13) = halfBtf(CosPi(8), b(12), CosPi(56), b(13))
+    c2(14) = halfBtf(-CosPi(24), b(14), CosPi(40), b(15))
+    c2(15) = halfBtf(CosPi(40), b(14), CosPi(24), b(15))
+    val d = new Array[Long](16)
+    i = 0
+    while (i < 4) {
+      d(i) = c2(i) + c2(i + 4); d(i + 4) = c2(i) - c2(i + 4)
+      d(i + 8) = c2(i + 8) + c2(i + 12); d(i + 12) = c2(i + 8) - c2(i + 12)
+      i += 1
+    }
+    val e = d.clone()
+    for (b0 <- Seq(0, 8)) {
+      e(b0 + 4) = halfBtf(CosPi(16), d(b0 + 4), CosPi(48), d(b0 + 5))
+      e(b0 + 5) = halfBtf(CosPi(48), d(b0 + 4), -CosPi(16), d(b0 + 5))
+      e(b0 + 6) = halfBtf(-CosPi(48), d(b0 + 6), CosPi(16), d(b0 + 7))
+      e(b0 + 7) = halfBtf(CosPi(16), d(b0 + 6), CosPi(48), d(b0 + 7))
+    }
+    val f = new Array[Long](16)
+    i = 0
+    while (i < 16) {
+      val g = (i / 4) * 4
+      val k = i % 4
+      if (k < 2) f(i) = e(g + k) + e(g + k + 2)
+      else f(i) = e(g + k - 2) - e(g + k)
+      i += 1
+    }
+    val g2 = f.clone()
+    for (p <- Seq(2, 6, 10, 14)) {
+      g2(p) = halfBtf(CosPi(32), f(p), CosPi(32), f(p + 1))
+      g2(p + 1) = halfBtf(CosPi(32), f(p), -CosPi(32), f(p + 1))
+    }
+    val outIdx = Array(0, 8, 12, 4, 6, 14, 10, 2, 3, 11, 15, 7, 5, 13, 9, 1)
+    val sign = Array(1, -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1)
+    i = 0
+    while (i < 16) {
+      v(o + i * s) = sign(i) * g2(outIdx(i))
+      i += 1
+    }
+  }
+
+  /** Identity transform scaling per size (spec 7.13.3): x2 for 4/16,
+    * x sqrt2 (Q12 5793) for 8/32? — the spec scales by Round2(x*5793,12)
+    * for 8 and 32, and doubles for 4?? sizes 4,8,16,32: x1*sqrt2? */
+  def identity(v: Array[Long], n: Int): Unit = {
+    var i = 0
+    n match {
+      case 4 => while (i < 4) { v(i) = round2(v(i) * 5793L, 12); i += 1 }
+      case 8 => while (i < 8) { v(i) = v(i) * 2; i += 1 }
+      case 16 => while (i < 16) { v(i) = round2(v(i) * 2 * 5793L, 12); i += 1 }
+      case 32 => while (i < 32) { v(i) = v(i) * 4; i += 1 }
+      case _ => throw new IllegalArgumentException(s"av1: identity$n")
+    }
+  }
+}

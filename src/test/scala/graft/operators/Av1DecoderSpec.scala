@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The AV1 intra decoder against libdav1d golden decodes: every
+  * committed fixture (`src/test/resources/av1/`, encoded by the
+  * system libaom at controlled settings, goldens pinned from the
+  * system libdav1d by tools/gen_av1_fixtures.py) must reproduce every
+  * plane bit-exactly. The table extraction (tools/extract_av1_tables.py)
+  * and the entire msac/partition/mode/coefficient/reconstruction chain
+  * were additionally pinned one boundary at a time with steered
+  * single-symbol streams fed to libdav1d (see the tool headers). */
+class Av1DecoderSpec extends AnyFunSuite {
+
+  private def fixture(name: String): (Array[Byte], Array[Byte]) = {
+    def res(p: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(p)
+      require(in != null, s"missing $p")
+      try in.readAllBytes() finally in.close()
+    }
+    (res(s"/av1/$name.obu"), res(s"/av1/$name.golden"))
+  }
+
+  private def check(name: String): Unit = {
+    val (obu, golden) = fixture(name)
+    val bb = java.nio.ByteBuffer.wrap(golden).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val gw = bb.getShort() & 0xffff
+    val gh = bb.getShort() & 0xffff
+    bb.get() // layout
+    val d = Av1Decoder.decode(obu)
+    assert(d.width == gw && d.height == gh)
+    var off = 5
+    d.planes.zipWithIndex.foreach { case (p, i) =>
+      val want = java.util.Arrays.copyOfRange(golden, off, off + p.length)
+      assert(java.util.Arrays.equals(p, want), s"$name plane $i differs")
+      off += p.length
+    }
+    assert(off == golden.length, s"$name golden size mismatch")
+  }
+
+  for (name <- Seq("ll_flat16", "ll_grad64", "ll_noise64", "ll_grad64_cpu3",
+    "ll_odd65x40", "ll_photo128")) {
+    test(s"lossless intra fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
+  test("spec tables loaded and structurally sane") {
+    val (g, st, v) = Av1Tables.table("partition")
+    assert(g == 20 && st == 11)
+    assert(v.take(3).sameElements(Array(13636, 7258, 2376))) // AOM_CDF4(19132,25510,30392)
+    assert(Av1Tables.DcQLookup(0) == 4 && Av1Tables.DcQLookup(255) == 1336)
+    assert(Av1Tables.AcQLookup(255) == 1828)
+    assert(Av1Tables.CosPi(0) == 4096 && Av1Tables.CosPi(32) == math.round(math.cos(math.Pi / 4) * 4096).toInt)
+  }
+
+  test("corrupt streams refuse loudly") {
+    val (obu, _) = fixture("ll_grad64")
+    intercept[Exception](Av1Decoder.decode(obu.take(4)))
+    val bad = obu.clone(); bad(0) = (bad(0) | 0x80).toByte
+    intercept[IllegalArgumentException](Av1Decoder.decode(bad))
+  }
+
+  test("truncated tile terminates with an error, not a hang") {
+    val (obu, _) = fixture("ll_noise64")
+    for (cut <- Seq(obu.length / 2, obu.length - 10)) {
+      try {
+        Av1Decoder.decode(java.util.Arrays.copyOf(obu, cut))
+      } catch { case _: Exception => () } // refusal or bounded decode both fine
+    }
+  }
+}

@@ -123,9 +123,11 @@ TABLES = [
     # V_PRED row AOM_CDF7(2180, 5032, 7567, 22776, 26989, 30217)
     cdf_family('angle_delta', 0x445460, 8, 8,
                check_first=icdf(2180, 5032, 7567, 22776, 26989, 30217)),
-    # AOM_CDF2(31671) / (16515) / (4576); the binary packs the last
-    # chunk tight against the next array, so rebuild the [3][3] layout
-    # from the three pinned context values
+    # skip = AOM_CDF2(31671)/(16515)/(4576), second of three [3]-context
+    # binary families at 0x445b70/80/90 (skip_mode, skip, then an inter
+    # family) — confirmed against libdav1d decodes of single-DC-residual
+    # micro-streams; the binary packs the last chunk tight against the
+    # next array, so rebuild the [3][3] layout explicitly
     ('skip', 3, 3, icdf(31671) + [0, 0] + icdf(16515) + [0, 0] + icdf(4576) + [0, 0]),
     cdf_family('tx_size', 0x445bd0, 12, 4),
     cdf_family('intra_ext_tx', 0x443dc8, 104, 17, min_nsym=5),

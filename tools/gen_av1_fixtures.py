@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Dev-time generator for the AV1/AVIF decoder fixtures.
+
+Encodes deterministic images with the SYSTEM libaom (public) at
+surgical settings (true lossless via min_q=max_q=0, then fixed-q
+lossy tiers), and pins the golden YUV planes from libdav1d — the
+industry reference decoder — decoding the exact same bytes. Only the
+encoded .obu streams + .golden planes are committed; the Scala
+decoder (operators/Av1*.scala) must reproduce every golden
+bit-exactly.
+
+Run from the repo root:  python3 tools/gen_av1_fixtures.py
+"""
+import hashlib, os, struct, sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+import av1_harness as H
+
+OUT = os.path.join(os.path.dirname(__file__), '..', 'src', 'test', 'resources', 'av1')
+os.makedirs(OUT, exist_ok=True)
+
+
+def planes_i420(w, h, kind, seed=42):
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    if kind == 'flat':
+        return bytes([128] * (w * h)), bytes([100] * (cw * ch)), bytes([200] * (cw * ch))
+    if kind == 'grad':
+        y = bytes(((2 * r + 3 * c) & 0xff) for r in range(h) for c in range(w))
+        u = bytes((128 + r) & 0xff for r in range(ch) for _ in range(cw))
+        v = bytes((120 + c // 2) & 0xff for _ in range(ch) for c in range(cw))
+        return y, u, v
+    if kind == 'noise':
+        b = H.lcg_bytes(w * h + 2 * cw * ch, seed)
+        return b[:w * h], b[w * h:w * h + cw * ch], b[w * h + cw * ch:]
+    if kind == 'photo':
+        # smooth ramps + soft disc + mild texture: exercises DC/smooth/
+        # directional modes and real coefficient distributions
+        y = bytearray(w * h)
+        for r in range(h):
+            for c in range(w):
+                base = (120 + 60 * r // h - 40 * c // w)
+                d2 = (r - h // 3) ** 2 + (c - w // 2) ** 2
+                disc = 70 if d2 < (min(w, h) // 4) ** 2 else 0
+                tex = ((r * 7 + c * 13) % 5) - 2
+                y[r * w + c] = max(0, min(255, base + disc + tex))
+        u = bytes(max(0, min(255, 110 + (30 * r // ch))) for r in range(ch) for _ in range(cw))
+        v = bytes(max(0, min(255, 140 - (25 * c // cw))) for _ in range(ch) for c in range(cw))
+        return bytes(y), u, v
+    raise AssertionError(kind)
+
+
+def write_fixture(name, w, h, kind, controls, min_q, max_q, seed=42):
+    planes = planes_i420(w, h, kind, seed)
+    obu = H.encode_av1(w, h, planes, controls, min_q=min_q, max_q=max_q)
+    dw, dh, layout, golden = H.dav1d_decode(obu)
+    assert (dw, dh) == (w, h), (name, dw, dh)
+    assert layout == 1, (name, layout)  # I420
+    if min_q == 0 and max_q == 0:
+        assert tuple(golden) == tuple(planes), name + ": lossless round-trip broke"
+    with open(os.path.join(OUT, name + '.obu'), 'wb') as f:
+        f.write(obu)
+    with open(os.path.join(OUT, name + '.golden'), 'wb') as f:
+        f.write(struct.pack('<HHB', w, h, layout))
+        for p in golden:
+            f.write(p)
+    md = hashlib.md5(b''.join(golden)).hexdigest()
+    print('%-22s %4dx%-4d obu=%6dB golden md5=%s' % (name, w, h, len(obu), md))
+    return obu
+
+
+CPU = H.AOME_SET_CPUUSED
+# Bring-up envelope: features the Scala decoder stages in later. Each
+# control's effect is verified by the decoder's own header parse (a
+# wrong control id would leave the seq-header bit set and the decode
+# would refuse/diverge, failing Av1DecoderSpec).
+# 98 = enable_filter_intra, VERIFIED by header-bit probe (tools note:
+# the aomcx.h ids in av1_harness were guesses; 98 is the one id whose
+# effect is proven by the seq-header bit flipping; the ALL_INTRA usage
+# already defaults cdef/restoration/superres off at the seq level)
+BASE = [(98, 0)]
+
+fixtures = []
+# --- stage B: true lossless (qindex 0 -> WHT4x4, no loop filters) ---
+for nm, w, h, kind, cpu in [
+    ('ll_flat16', 16, 16, 'flat', 6),
+    ('ll_grad64', 64, 64, 'grad', 6),
+    ('ll_noise64', 64, 64, 'noise', 6),
+    ('ll_grad64_cpu3', 64, 64, 'grad', 3),
+    ('ll_odd65x40', 65, 40, 'grad', 6),
+    ('ll_photo128', 128, 128, 'photo', 5),
+]:
+    fixtures.append(write_fixture(nm, w, h, kind, BASE + [(CPU, cpu)], 0, 0))
+
+# --- stage C: fixed-q lossy (DCT/ADST path, deblock + CDEF live) ---
+for nm, w, h, kind, q, cpu in [
+    ('q20_grad64', 64, 64, 'grad', 20, 6),
+    ('q32_photo128', 128, 128, 'photo', 32, 5),
+    ('q50_noise64', 64, 64, 'noise', 50, 6),
+    ('q32_odd65x40', 65, 40, 'photo', 32, 6),
+    ('q32_photo256', 256, 192, 'photo', 32, 6),
+]:
+    fixtures.append(write_fixture(nm, w, h, kind, BASE + [(CPU, cpu)], q, q))
+
+print('fixtures at', OUT)
