@@ -63,8 +63,8 @@ object Av1Decoder {
 
   val TxClass2D = 0; val TxClassHoriz = 1; val TxClassVert = 2
   def txClass(t: Int): Int = t match {
-    case VDct | VAdst | VFlipadst => TxClassVert
-    case HDct | HAdst | HFlipadst => TxClassHoriz
+    case VDct | VAdst | VFlipadst => TxClassVert // row-major scan (pinned vs dav1d)
+    case HDct | HAdst | HFlipadst => TxClassHoriz // col-major scan
     case _ => TxClass2D
   }
 

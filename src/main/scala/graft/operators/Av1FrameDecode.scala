@@ -45,6 +45,15 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private val decH = Array.tabulate(numPlanes)(p => miRows >> (if (p > 0) subY else 0))
   private val decoded = Array.tabulate(numPlanes)(p => new Array[Boolean](decW(p) * decH(p)))
 
+  // deblock bookkeeping: block origins + chroma tx per mi
+  private val blkStartC = new Array[Int](miRows * miCols)
+  private val blkStartR = new Array[Int](miRows * miCols)
+  private val cW = miCols >> subX
+  private val cH = miRows >> subY
+  private val cTxSz = new Array[Byte](math.max(1, cW * cH))
+  private val cBlkStartC = new Array[Int](math.max(1, cW * cH))
+  private val cBlkStartR = new Array[Int](math.max(1, cW * cH))
+
   // cdef indices per 64x64 (read but unused until the filter stage)
   private val cdefIdx = new Array[Int](((miRows + 15) >> 4) * ((miCols + 15) >> 4))
 
@@ -61,12 +70,20 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private var readDeltas = false
   private var cflAlphaU = 0
   private var cflAlphaV = 0
+  private var residualTxType = 0 // tx type of the residual just read
 
   def run(): Decoded = {
     val nCols = fh.tileColStarts.length - 1
     val nRows = fh.tileRowStarts.length - 1
     val nTiles = nCols * nRows
     var at = tgStart
+    if (nTiles > 1) {
+      // tile_group_obu(): tile_start_and_end_present_flag is coded when
+      // NumTiles > 1; OBU_FRAME requires it to be 0, and byte_alignment()
+      // then consumes the rest of the byte.
+      require((data(at) & 0x80) == 0, "av1: tile_start_and_end_present in OBU_FRAME")
+      at += 1
+    }
     var tile = 0
     while (tile < nTiles) {
       val last = tile == nTiles - 1
@@ -84,6 +101,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       at = end
       tile += 1
     }
+    if (!fh.codedLossless && fh.filterLevel.exists(_ > 0) && !sys.env.contains("AV1_NO_DEBLOCK")) deblockFrame()
     // crop to visible size
     val out = Array.tabulate(numPlanes) { p =>
       val w = if (p == 0) fh.width else (fh.width + subX) >> subX
@@ -375,16 +393,21 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     // --- tx size ---
     val maxRect = MaxTxSizeRect(bSize)
     var txSz = maxRect
-    if (!fh.codedLossless && fh.txModeSelect && bSize > 0 && MaxTxDepth(bSize) > 0 && !skip) {
+    // intra blocks read the tx depth even when skip-coded
+    // (allowSelect = !skip || !is_inter, and is_inter is always 0 here)
+    if (!fh.codedLossless && fh.txModeSelect && bSize > 0 && MaxTxDepth(bSize) > 0) {
       val maxDepth = MaxTxDepth(bSize)
-      val cat = math.min(maxDepth, 4) - 1 // tx_size_cdf category 0..3
+      // tx_size_cdf category: square-up of the max rect tx, 8x8-relative
+      // (8x8→0, 16x16→1, 32x32→2, 64x64→3) — pinned vs dav1d via the
+      // 32x32-tx probe ladder (cat2+plain-ctx is the only flat golden)
+      val cat = TxSizeSqrUp(maxRect) - 1
       val maxTxW = TxW4(maxRect) * 4
       val maxTxH = TxH4(maxRect) * 4
       val aW = if (availU) TxW4(txSzY((r - 1) * miCols + c).toInt) * 4 else 64
       val lH = if (availL) TxH4(txSzY(r * miCols + c - 1).toInt) * 4 else 64
       val a = if (availU && aW >= maxTxW) 1 else 0
       val l = if (availL && lH >= maxTxH) 1 else 0
-      val ctx = if (availU && availL) a + l else if (availU) a * 2 else if (availL) l * 2 else 0
+      val ctx = a + l // plain sum, unavailable counts 0 (pinned vs dav1d)
       val nSym = math.min(maxDepth + 1, 3)
       val depth = msac.decodeSymbol(cdfs.txSize, (cat * 3 + ctx) * 4, nSym)
       var d = 0
@@ -408,6 +431,8 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         uvModes(idx) = uvMode.toByte
         skips(idx) = if (skip) 1 else 0
         txSzY(idx) = txSz.toByte
+        blkStartC(idx) = c
+        blkStartR(idx) = r
         j += 1
       }
       i += 1
@@ -423,6 +448,22 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       val cw4 = math.max(1, bw4 >> subX)
       val ch4 = math.max(1, bh4 >> subY)
       val uvTx = if (fh.codedLossless) 0 else chromaTxSize(cw4, ch4)
+      val pr0 = rC >> subY
+      val pc0 = cC >> subX
+      var ci = 0
+      while (ci < ch4) {
+        var cj = 0
+        while (cj < cw4) {
+          if (pr0 + ci < cH && pc0 + cj < cW) {
+            val cidx = (pr0 + ci) * cW + pc0 + cj
+            cTxSz(cidx) = uvTx.toByte
+            cBlkStartC(cidx) = pc0
+            cBlkStartR(cidx) = pr0
+          }
+          cj += 1
+        }
+        ci += 1
+      }
       reconPlaneChroma(1, rC, cC, cw4, ch4, uvTx, uvMode, angleUV, skip, filtUV)
       reconPlaneChroma(2, rC, cC, cw4, ch4, uvTx, uvMode, angleUV, skip, filtUV)
     }
@@ -493,6 +534,89 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         if (abs > 0) msac.readBit()
         i += 1
       }
+    }
+  }
+
+
+  // ------------------------------------------------------- deblocking
+
+  /** Frame deblock (spec 7.14): per plane, vertical pass then
+    * horizontal pass over 4-sample edges on tx/block boundaries. */
+  private def deblockFrame(): Unit = {
+    var plane = 0
+    while (plane < numPlanes) {
+      var pass = 0
+      while (pass < 2) {
+        val lvlIdx = if (plane == 0) pass else plane + 1
+        val base = fh.filterLevel(lvlIdx)
+        // intra frames: one uniform level (default intra ref delta = 1)
+        val lvl =
+          if (base == 0) 0
+          else if (fh.filterDeltaEnabled)
+            math.max(0, math.min(63, base + (1 << (base >> 5))))
+          else base
+        if (lvl > 0) deblockPass(plane, pass == 0, lvl)
+        pass += 1
+      }
+      plane += 1
+    }
+  }
+
+  private def deblockPass(plane: Int, vertical: Boolean, lvl: Int): Unit = {
+    val sX = if (plane > 0) subX else 0
+    val sY = if (plane > 0) subY else 0
+    val miW = miCols >> sX
+    val miH = miRows >> sY
+    val px = planes(plane)
+    val stride = planeW(plane)
+    @inline def txOf(mr: Int, mc: Int): Int =
+      if (plane == 0) txSzY(mr * miCols + mc).toInt else cTxSz(mr * cW + mc).toInt
+    @inline def skipOf(mr: Int, mc: Int): Boolean =
+      skips((mr << sY) * miCols + (mc << sX)) != 0
+    @inline def blkC(mr: Int, mc: Int): Int =
+      if (plane == 0) blkStartC(mr * miCols + mc) else cBlkStartC(mr * cW + mc)
+    @inline def blkR(mr: Int, mc: Int): Int =
+      if (plane == 0) blkStartR(mr * miCols + mc) else cBlkStartR(mr * cW + mc)
+
+    var mr = 0
+    while (mr < miH) {
+      var mc = 0
+      while (mc < miW) {
+        val onEdge = if (vertical) mc > 0 else mr > 0
+        if (onEdge) {
+          val prC = if (vertical) (mr, mc - 1) else (mr - 1, mc)
+          val txQ = txOf(mr, mc)
+          val txP = txOf(prC._1, prC._2)
+          val qDim = if (vertical) TxW4(txQ) else TxH4(txQ)
+          val pDim = if (vertical) TxW4(txP) else TxH4(txP)
+          val origin = if (vertical) blkC(mr, mc) else blkR(mr, mc)
+          val coord = if (vertical) mc else mr
+          val txEdge = ((coord - origin) % qDim) == 0
+          if (txEdge) {
+            val blockEdge = coord == origin
+            val bothSkip = skipOf(mr, mc) && skipOf(prC._1, prC._2)
+            if (blockEdge || !bothSkip) {
+              val minDim4 = math.min(qDim, pDim) * 4
+              val fs =
+                if (plane == 0) { if (minDim4 >= 16) 14 else if (minDim4 >= 8) 8 else 4 }
+                else { if (minDim4 >= 8) 6 else 4 }
+              val x0 = mc * 4
+              val y0 = mr * 4
+              if (vertical) {
+                Av1Filters.filterEdge(4, fs, lvl, fh.sharpness,
+                  (i, o) => px((y0 + i) * stride + x0 + o),
+                  (i, o, v) => px((y0 + i) * stride + x0 + o) = v)
+              } else {
+                Av1Filters.filterEdge(4, fs, lvl, fh.sharpness,
+                  (i, o) => px((y0 + o) * stride + x0 + i),
+                  (i, o, v) => px((y0 + o) * stride + x0 + i) = v)
+              }
+            }
+          }
+        }
+        mc += 1
+      }
+      mr += 1
     }
   }
 
@@ -666,7 +790,9 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private def readCoeffs(plane: Int, pr: Int, pc: Int, txSz: Int, mode: Int,
       blkPc: Int, blkPr: Int, bw4: Int, bh4: Int): (Int, Int, Int, Array[Long]) = {
     val planeType = if (plane > 0) 1 else 0
-    val txSzCtx = TxSizeSqrUp(txSz)
+    // entropy ctx of the tx size: midpoint of square and square-up ranks
+    // (differs from SqrUp only for 4:1 rects like 16x4/32x8/64x16)
+    val txSzCtx = (TxSizeSqr(txSz) + TxSizeSqrUp(txSz) + 1) >> 1
     val tw4 = TxW4(txSz); val th4 = TxH4(txSz)
     val w = tw4 * 4; val h = th4 * 4
 
@@ -678,16 +804,20 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
 
     // transform type
     val txType = readTxType(plane, txSz, mode)
+    residualTxType = txType
     val cls = txClass(txType)
+    tr(s"    txType=$txType cls=$cls")
 
-    // coded dims (64 clamps to 32 — refused upstream for now)
-    require(w <= 32 && h <= 32, "av1: 64-point transforms not yet supported")
-    val bwl = Integer.numberOfTrailingZeros(w)
-    val scan = Av1Scan.scan(w, h, cls)
-    val area = w * h
+    // coefficients are coded over the ≤32x32 upper-left area
+    val cw = math.min(w, 32)
+    val ch = math.min(h, 32)
+    require(cw <= 32 && ch <= 32)
+    val bwl = Integer.numberOfTrailingZeros(cw)
+    val scan = Av1Scan.scan(cw, ch, cls)
+    val area = cw * ch
 
     // --- eob ---
-    val eobMultisize = Integer.numberOfTrailingZeros(w) + Integer.numberOfTrailingZeros(h) - 4
+    val eobMultisize = Integer.numberOfTrailingZeros(cw) + Integer.numberOfTrailingZeros(ch) - 4
     val ptCdf = cdfs.eobPt(eobMultisize)
     val ptStride = 6 + eobMultisize
     val ptN = 5 + eobMultisize
@@ -712,20 +842,20 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     while (c >= 0) {
       val pos = scan(c)
       val row = pos >> bwl
-      val col = pos & (w - 1)
+      val col = pos & (cw - 1)
       var level = 0
       if (c == eob - 1) {
-        val ctx = coeffBaseEobCtx(c, bwl, h)
+        val ctx = coeffBaseEobCtx(c, bwl, ch)
         level = msac.decodeSymbol(cdfs.coeffBaseEob,
           ((txSzCtx * 2 + planeType) * 4 + ctx) * 4, 3) + 1
       } else {
-        val ctx = coeffBaseCtx(levels, bwl, w, h, row, col, cls)
+        val ctx = coeffBaseCtx(levels, bwl, cw, ch, row, col, cls)
         level = msac.decodeSymbol(cdfs.coeffBase,
           ((txSzCtx * 2 + planeType) * 42 + ctx) * 5, 4)
       }
       tr(s"      c=$c pos=$pos level=$level")
       if (level > 2) {
-        val brCtx = coeffBrCtx(levels, bwl, w, h, row, col, cls)
+        val brCtx = coeffBrCtx(levels, bwl, cw, ch, row, col, cls)
         val brTx = math.min(txSzCtx, 3)
         var k = 0
         var done = false
@@ -744,7 +874,9 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     // --- signs + golomb + dequant, forward ---
     val dcQ = Av1Tables.DcQLookup(clampQ(currentQIndex + planeDcDelta(plane)))
     val acQ = Av1Tables.AcQLookup(clampQ(currentQIndex + planeAcDelta(plane)))
-    val dqShift = math.max(0, (Integer.numberOfTrailingZeros(w) + Integer.numberOfTrailingZeros(h)) / 2 - 4)
+    // dequant downshift follows the tx-size entropy ctx (0 for ≤16x16-class,
+    // 1 for the 32-class incl. 32x16/16x32, 2 for the 64-class)
+    val dqShift = math.max(0, txSzCtx - 2)
     val residual = new Array[Long](area)
     var culLevel = 0
     var dcCat = 0
@@ -766,6 +898,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         val q = if (c == 0) dcQ else acQ
         var v = (level.toLong * q) & 0xffffff
         v >>= dqShift
+        if (v > 32767) v = 32767
         residual(pos) = if (negative) -v else v
       }
       c += 1
@@ -823,22 +956,33 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       case TxClass2D =>
         add(row, col + 1); add(row + 1, col); add(row + 1, col + 1)
         add(row, col + 2); add(row + 2, col)
+      // Both 1D classes keep the two immediate cross neighbors and then
+      // run 3 more samples along the transform direction (the passing
+      // eob ladder positions {1,5,9,13} are exactly where this set and a
+      // direction-only set agree — the other 12 positions pinned it).
       case TxClassHoriz =>
-        add(row, col + 1); add(row, col + 2); add(row, col + 3); add(row, col + 4); add(row, col + 5)
+        add(row, col + 1); add(row + 1, col); add(row, col + 2); add(row, col + 3); add(row, col + 4)
       case _ =>
-        add(row + 1, col); add(row + 2, col); add(row + 3, col); add(row + 4, col); add(row + 5, col)
+        add(row, col + 1); add(row + 1, col); add(row + 2, col); add(row + 3, col); add(row + 4, col)
     }
     val ctx = math.min((mag + 1) >> 1, 4)
     cls match {
       case TxClass2D =>
+        // rect coded areas have a +16/+11 band (first two cols of wide /
+        // first two rows of tall tx) and then the square r+c<4 rule; the
+        // r+c<2 (+1) region exists only for squares. Pinned byte-for-byte
+        // against the nz-map offset tables in the system libaom .rodata
+        // (all ten rect shapes) and the 16x8 probe ladder vs libdav1d.
         if (row == 0 && col == 0) 0
+        else if (w > h && col < 2) ctx + 16
+        else if (w < h && row < 2) ctx + 11
         else if (row + col < 2) ctx + 1
         else if (row + col < 4) ctx + 6
         else ctx + 21 // far region (pinned against libdav1d: NOT +11)
       case TxClassHoriz =>
-        if (col == 0) ctx + 16 else if (col == 1) ctx + 21 else ctx + 26
+        if (col == 0) ctx + 26 else if (col == 1) ctx + 31 else ctx + 36
       case _ =>
-        if (row == 0) ctx + 16 else if (row == 1) ctx + 21 else ctx + 26
+        if (row == 0) ctx + 26 else if (row == 1) ctx + 31 else ctx + 36
     }
   }
 
@@ -925,7 +1069,12 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         y += 1
       }
     } else {
-      throw new IllegalArgumentException("av1: lossy transform path not yet wired")
+      val tw = TxW4(txSz) * 4
+      val th = TxH4(txSz) * 4
+      val codedW = math.min(tw, 32)
+      val codedH = math.min(th, 32)
+      Av1Transform.inverse2dAdd(planes(plane), pw, x0, y0, tw, th,
+        residualTxType, residual, codedW, codedH)
     }
   }
 }
@@ -941,21 +1090,31 @@ object Av1Scan {
     val out = new Array[Int](w * h)
     var k = 0
     cls match {
-      case Av1Decoder.TxClass2D if w == 4 && h == 4 =>
-        // the 4x4 default scan is the classic alternating zigzag
-        // (pinned against libdav1d by the single-coefficient position
-        // sweep); larger sizes use the uniform up-right diagonal
-        val zz = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
-        System.arraycopy(zz, 0, out, 0, 16)
-        k = 16
       case Av1Decoder.TxClass2D =>
+        // square coded areas: classic alternating (zigzag) diagonal scan —
+        // odd diagonals top-right→bottom-left, even ones the reverse
+        // (pinned against libdav1d by single-coefficient scan-index sweeps
+        // at 4x4 and 16x16). Rect coded areas do NOT alternate: wide tx
+        // walk every anti-diagonal bottom-up, tall tx top-down (pinned
+        // byte-for-byte against the av1_default_scan_* tables in the
+        // system libaom for all ten rect shapes).
         var d = 0
         while (d <= w + h - 2) {
-          var r = 0
-          while (r <= d) {
-            val c = d - r
-            if (r < h && c < w) { out(k) = r * w + c; k += 1 }
-            r += 1
+          val upward = if (w == h) (d & 1) == 0 else w > h
+          if (!upward) {
+            var r = 0
+            while (r <= d) {
+              val c = d - r
+              if (r < h && c < w) { out(k) = r * w + c; k += 1 }
+              r += 1
+            }
+          } else {
+            var r = d
+            while (r >= 0) {
+              val c = d - r
+              if (r < h && c < w) { out(k) = r * w + c; k += 1 }
+              r -= 1
+            }
           }
           d += 1
         }

@@ -230,6 +230,7 @@ object Av1Headers {
       codedLossless: Boolean,
       filterLevel: Array[Int], // y-v, y-h, u, v
       sharpness: Int,
+      filterDeltaEnabled: Boolean,
       cdef: Option[CdefParams],
       txModeSelect: Boolean,
       reducedTxSet: Boolean,
@@ -378,6 +379,7 @@ object Av1Headers {
     // loop_filter_params()
     val filterLevel = Array(0, 0, 0, 0)
     var sharpness = 0
+    var filterDeltaEnabled = false
     if (!codedLossless && !allowIntrabc) {
       filterLevel(0) = r.f(6)
       filterLevel(1) = r.f(6)
@@ -386,7 +388,8 @@ object Av1Headers {
         filterLevel(3) = r.f(6)
       }
       sharpness = r.f(3)
-      if (r.f(1) == 1) { // delta_enabled
+      filterDeltaEnabled = r.f(1) == 1
+      if (filterDeltaEnabled) { // delta_enabled
         if (r.f(1) == 1) { // delta_update
           var i = 0
           while (i < 8) { if (r.f(1) == 1) r.su(6); i += 1 }
@@ -436,7 +439,7 @@ object Av1Headers {
     FrameHeader(w, h, disableCdfUpdate, allowScreen, allowIntrabc,
       baseQIdx, dqYDc, dqUDc, dqUAc, dqVDc, dqVAc,
       deltaQPresent, deltaQRes, deltaLfPresent, deltaLfRes, deltaLfMulti,
-      codedLossless, filterLevel, sharpness, cdef, txModeSelect, reducedTxSet,
+      codedLossless, filterLevel, sharpness, filterDeltaEnabled, cdef, txModeSelect, reducedTxSet,
       tileColsLog2, tileRowsLog2, colStarts, rowStarts, tileSizeBytes)
   }
 

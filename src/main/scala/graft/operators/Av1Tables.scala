@@ -65,8 +65,9 @@ object Av1Tables {
   val CosPi: Array[Int] = Array.tabulate(64) { i =>
     math.round(math.cos(i * math.Pi / 128) * 4096).toInt
   }
-  /** ADST4 sin constants in Q12 per the spec: sin(i*pi/9)*2/3. */
+  /** ADST4 sin constants in Q12 per the spec:
+    * sqrt(2) * sin(i*pi/9) * 2/3 (giving 1321/2482/3344/3803). */
   val SinPi: Array[Int] = Array.tabulate(5) { i =>
-    math.round(math.sin(i * math.Pi / 9) * 2 / 3 * 4096).toInt
+    math.round(math.sqrt(2) * math.sin(i * math.Pi / 9) * 2 / 3 * 4096).toInt
   }
 }

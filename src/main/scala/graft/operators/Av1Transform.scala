@@ -138,81 +138,159 @@ object Av1Transform {
     }
   }
 
-  private def idct32(v: Array[Long], o: Int, s: Int): Unit = {
-    val e = Array.tabulate(16)(i => v(o + 2 * i * s))
-    idct16(e, 0, 1)
-    // odd inputs 1,3,...,31 — stage 1 rotations
-    val idx = Array(1, 17, 9, 25, 5, 21, 13, 29, 3, 19, 11, 27, 7, 23, 15, 31)
-    val c1 = Array(62, 30, 46, 14, 54, 22, 38, 6, 58, 26, 42, 10, 50, 18, 34, 2)
-    val x = new Array[Long](16)
+  private def idct32(v: Array[Long], o: Int, st: Int): Unit = {
+    // canonical flat 9-stage butterfly network (mirrors idct16 one
+    // level up); validated bit-exactly against libdav1d by the
+    // 32x32 single-coefficient oracle probes
+    val in = Array.tabulate(32)(i => v(o + i * st))
+    // stage 1: bit-reversal-style reorder
+    val ord = Array(0, 16, 8, 24, 4, 20, 12, 28, 2, 18, 10, 26, 6, 22, 14, 30,
+      1, 17, 9, 25, 5, 21, 13, 29, 3, 19, 11, 27, 7, 23, 15, 31)
+    var b0 = Array.tabulate(32)(i => in(ord(i)))
+    var b1 = new Array[Long](32)
+    // stage 2
+    Array.copy(b0, 0, b1, 0, 16)
+    val s2 = Array(62, 30, 46, 14, 54, 22, 38, 6)
     var k = 0
     while (k < 8) {
-      val a = v(o + idx(2 * k) * s)
-      val b = v(o + idx(2 * k + 1) * s)
-      // pair (a at angle c, b at 64-c): lo = a*cos(c)-b*sin(c)...
-      val c = c1(2 * k)
-      val cB = c1(2 * k + 1)
-      x(k) = halfBtf(CosPi(c), a, -CosPi(64 - c), b)
-      x(15 - k) = halfBtf(CosPi(64 - c), a, CosPi(c), b)
-      // unused cB silence
-      val _ = cB
+      val c = s2(k)
+      b1(16 + k) = halfBtf(CosPi(c), b0(16 + k), -CosPi(64 - c), b0(31 - k))
+      b1(31 - k) = halfBtf(CosPi(64 - c), b0(16 + k), CosPi(c), b0(31 - k))
       k += 1
     }
-    // stage 2: butterflies in groups of 2
-    val t = new Array[Long](16)
-    var i = 0
-    while (i < 4) {
-      t(4 * i) = x(4 * i) + x(4 * i + 1)
-      t(4 * i + 1) = x(4 * i) - x(4 * i + 1)
-      t(4 * i + 3) = x(4 * i + 3) + x(4 * i + 2)
-      t(4 * i + 2) = x(4 * i + 3) - x(4 * i + 2)
-      i += 1
+    b0 = b1; b1 = new Array[Long](32)
+    // stage 3
+    Array.copy(b0, 0, b1, 0, 8)
+    val s3 = Array(60, 28, 44, 12)
+    k = 0
+    while (k < 4) {
+      val c = s3(k)
+      b1(8 + k) = halfBtf(CosPi(c), b0(8 + k), -CosPi(64 - c), b0(15 - k))
+      b1(15 - k) = halfBtf(CosPi(64 - c), b0(8 + k), CosPi(c), b0(15 - k))
+      k += 1
     }
-    // stage 3: rotations on the 1,2 of each quad
-    val u = t.clone()
-    u(1) = halfBtf(-CosPi(8), t(1), CosPi(56), t(14)); u(14) = halfBtf(CosPi(56), t(1), CosPi(8), t(14))
-    u(2) = halfBtf(-CosPi(56), t(2), -CosPi(8), t(13)); u(13) = halfBtf(-CosPi(8), t(2), CosPi(56), t(13))
-    u(5) = halfBtf(-CosPi(40), t(5), CosPi(24), t(10)); u(10) = halfBtf(CosPi(24), t(5), CosPi(40), t(10))
-    u(6) = halfBtf(-CosPi(24), t(6), -CosPi(40), t(9)); u(9) = halfBtf(-CosPi(40), t(6), CosPi(24), t(9))
-    // stage 4: butterflies in groups of 4
-    val w = new Array[Long](16)
-    i = 0
-    while (i < 2) {
-      val b = 8 * i
-      w(b) = u(b) + u(b + 2); w(b + 2) = u(b) - u(b + 2)
-      w(b + 1) = u(b + 1) + u(b + 3); w(b + 3) = u(b + 1) - u(b + 3)
-      w(b + 7) = u(b + 7) + u(b + 5); w(b + 5) = u(b + 7) - u(b + 5)
-      w(b + 6) = u(b + 6) + u(b + 4); w(b + 4) = u(b + 6) - u(b + 4)
-      i += 1
+    k = 16
+    while (k < 32) {
+      b1(k) = b0(k) + b0(k + 1)
+      b1(k + 1) = b0(k) - b0(k + 1)
+      b1(k + 2) = -b0(k + 2) + b0(k + 3)
+      b1(k + 3) = b0(k + 3) + b0(k + 2)
+      k += 4
     }
-    // stage 5: rotations
-    val y = w.clone()
-    y(2) = halfBtf(-CosPi(16), w(2), CosPi(48), w(13)); y(13) = halfBtf(CosPi(48), w(2), CosPi(16), w(13))
-    y(3) = halfBtf(-CosPi(16), w(3), CosPi(48), w(12)); y(12) = halfBtf(CosPi(48), w(3), CosPi(16), w(12))
-    y(4) = halfBtf(-CosPi(48), w(4), -CosPi(16), w(11)); y(11) = halfBtf(-CosPi(16), w(4), CosPi(48), w(11))
-    y(5) = halfBtf(-CosPi(48), w(5), -CosPi(16), w(10)); y(10) = halfBtf(-CosPi(16), w(5), CosPi(48), w(10))
-    // stage 6: butterflies in group of 8
-    val z = new Array[Long](16)
-    i = 0
-    while (i < 4) {
-      z(i) = y(i) + y(7 - i); z(7 - i) = y(i) - y(7 - i)
-      z(8 + i) = y(15 - i) - y(8 + i); z(15 - i) = y(15 - i) + y(8 + i)
-      i += 1
+    b0 = b1; b1 = new Array[Long](32)
+    // stage 4
+    Array.copy(b0, 0, b1, 0, 4)
+    b1(4) = halfBtf(CosPi(56), b0(4), -CosPi(8), b0(7))
+    b1(7) = halfBtf(CosPi(8), b0(4), CosPi(56), b0(7))
+    b1(5) = halfBtf(CosPi(24), b0(5), -CosPi(40), b0(6))
+    b1(6) = halfBtf(CosPi(40), b0(5), CosPi(24), b0(6))
+    k = 8
+    while (k < 16) {
+      b1(k) = b0(k) + b0(k + 1)
+      b1(k + 1) = b0(k) - b0(k + 1)
+      b1(k + 2) = -b0(k + 2) + b0(k + 3)
+      b1(k + 3) = b0(k + 3) + b0(k + 2)
+      k += 4
     }
-    // stage 7: cospi32 rotations on middle
-    val f = z.clone()
-    var j = 4
-    while (j < 8) {
-      f(j) = halfBtf(CosPi(32), z(11 - (j - 4)), -CosPi(32), z(j))
-      f(11 - (j - 4)) = halfBtf(CosPi(32), z(11 - (j - 4)), CosPi(32), z(j))
-      j += 1
+    b1(16) = b0(16); b1(19) = b0(19); b1(20) = b0(20); b1(23) = b0(23)
+    b1(24) = b0(24); b1(27) = b0(27); b1(28) = b0(28); b1(31) = b0(31)
+    b1(17) = halfBtf(-CosPi(8), b0(17), CosPi(56), b0(30))
+    b1(30) = halfBtf(CosPi(56), b0(17), CosPi(8), b0(30))
+    b1(18) = halfBtf(-CosPi(56), b0(18), -CosPi(8), b0(29))
+    b1(29) = halfBtf(-CosPi(8), b0(18), CosPi(56), b0(29))
+    b1(21) = halfBtf(-CosPi(40), b0(21), CosPi(24), b0(26))
+    b1(26) = halfBtf(CosPi(24), b0(21), CosPi(40), b0(26))
+    b1(22) = halfBtf(-CosPi(24), b0(22), -CosPi(40), b0(25))
+    b1(25) = halfBtf(-CosPi(40), b0(22), CosPi(24), b0(25))
+    b0 = b1; b1 = new Array[Long](32)
+    // stage 5
+    b1(0) = halfBtf(CosPi(32), b0(0), CosPi(32), b0(1))
+    b1(1) = halfBtf(CosPi(32), b0(0), -CosPi(32), b0(1))
+    b1(2) = halfBtf(CosPi(48), b0(2), -CosPi(16), b0(3))
+    b1(3) = halfBtf(CosPi(16), b0(2), CosPi(48), b0(3))
+    b1(4) = b0(4) + b0(5); b1(5) = b0(4) - b0(5)
+    b1(6) = -b0(6) + b0(7); b1(7) = b0(7) + b0(6)
+    b1(8) = b0(8); b1(11) = b0(11); b1(12) = b0(12); b1(15) = b0(15)
+    b1(9) = halfBtf(-CosPi(16), b0(9), CosPi(48), b0(14))
+    b1(14) = halfBtf(CosPi(48), b0(9), CosPi(16), b0(14))
+    b1(10) = halfBtf(-CosPi(48), b0(10), -CosPi(16), b0(13))
+    b1(13) = halfBtf(-CosPi(16), b0(10), CosPi(48), b0(13))
+    k = 16
+    while (k < 32) {
+      val base = k
+      b1(base) = b0(base) + b0(base + 3)
+      b1(base + 3) = b0(base) - b0(base + 3)
+      b1(base + 1) = b0(base + 1) + b0(base + 2)
+      b1(base + 2) = b0(base + 1) - b0(base + 2)
+      b1(base + 4) = -b0(base + 4) + b0(base + 7)
+      b1(base + 7) = b0(base + 7) + b0(base + 4)
+      b1(base + 5) = -b0(base + 5) + b0(base + 6)
+      b1(base + 6) = b0(base + 6) + b0(base + 5)
+      k += 8
     }
-    // final: out[i] = even[i] + odd[15-i]
-    i = 0
-    while (i < 16) {
-      v(o + i * s) = e(i) + f(15 - i)
-      v(o + (31 - i) * s) = e(i) - f(15 - i)
-      i += 1
+    b0 = b1; b1 = new Array[Long](32)
+    // stage 6
+    b1(0) = b0(0) + b0(3); b1(3) = b0(0) - b0(3)
+    b1(1) = b0(1) + b0(2); b1(2) = b0(1) - b0(2)
+    b1(4) = b0(4); b1(7) = b0(7)
+    b1(5) = halfBtf(-CosPi(32), b0(5), CosPi(32), b0(6))
+    b1(6) = halfBtf(CosPi(32), b0(5), CosPi(32), b0(6))
+    b1(8) = b0(8) + b0(11); b1(11) = b0(8) - b0(11)
+    b1(9) = b0(9) + b0(10); b1(10) = b0(9) - b0(10)
+    b1(12) = -b0(12) + b0(15); b1(15) = b0(15) + b0(12)
+    b1(13) = -b0(13) + b0(14); b1(14) = b0(14) + b0(13)
+    b1(16) = b0(16); b1(17) = b0(17); b1(22) = b0(22); b1(23) = b0(23)
+    b1(24) = b0(24); b1(25) = b0(25); b1(30) = b0(30); b1(31) = b0(31)
+    b1(18) = halfBtf(-CosPi(16), b0(18), CosPi(48), b0(29))
+    b1(29) = halfBtf(CosPi(48), b0(18), CosPi(16), b0(29))
+    b1(19) = halfBtf(-CosPi(16), b0(19), CosPi(48), b0(28))
+    b1(28) = halfBtf(CosPi(48), b0(19), CosPi(16), b0(28))
+    b1(20) = halfBtf(-CosPi(48), b0(20), -CosPi(16), b0(27))
+    b1(27) = halfBtf(-CosPi(16), b0(20), CosPi(48), b0(27))
+    b1(21) = halfBtf(-CosPi(48), b0(21), -CosPi(16), b0(26))
+    b1(26) = halfBtf(-CosPi(16), b0(21), CosPi(48), b0(26))
+    b0 = b1; b1 = new Array[Long](32)
+    // stage 7
+    k = 0
+    while (k < 4) {
+      b1(k) = b0(k) + b0(7 - k); b1(7 - k) = b0(k) - b0(7 - k)
+      k += 1
+    }
+    b1(8) = b0(8); b1(9) = b0(9); b1(14) = b0(14); b1(15) = b0(15)
+    b1(10) = halfBtf(-CosPi(32), b0(10), CosPi(32), b0(13))
+    b1(13) = halfBtf(CosPi(32), b0(10), CosPi(32), b0(13))
+    b1(11) = halfBtf(-CosPi(32), b0(11), CosPi(32), b0(12))
+    b1(12) = halfBtf(CosPi(32), b0(11), CosPi(32), b0(12))
+    k = 0
+    while (k < 4) {
+      b1(16 + k) = b0(16 + k) + b0(23 - k)
+      b1(23 - k) = b0(16 + k) - b0(23 - k)
+      b1(24 + k) = -b0(24 + k) + b0(31 - k)
+      b1(31 - k) = b0(31 - k) + b0(24 + k)
+      k += 1
+    }
+    b0 = b1; b1 = new Array[Long](32)
+    // stage 8
+    k = 0
+    while (k < 8) {
+      b1(k) = b0(k) + b0(15 - k); b1(15 - k) = b0(k) - b0(15 - k)
+      k += 1
+    }
+    b1(16) = b0(16); b1(17) = b0(17); b1(18) = b0(18); b1(19) = b0(19)
+    b1(28) = b0(28); b1(29) = b0(29); b1(30) = b0(30); b1(31) = b0(31)
+    k = 0
+    while (k < 4) {
+      b1(20 + k) = halfBtf(-CosPi(32), b0(20 + k), CosPi(32), b0(27 - k))
+      b1(27 - k) = halfBtf(CosPi(32), b0(20 + k), CosPi(32), b0(27 - k))
+      k += 1
+    }
+    b0 = b1
+    // stage 9
+    k = 0
+    while (k < 16) {
+      v(o + k * st) = b0(k) + b0(31 - k)
+      v(o + (31 - k) * st) = b0(k) - b0(31 - k)
+      k += 1
     }
   }
 
@@ -368,5 +446,120 @@ object Av1Transform {
       case 32 => while (i < 32) { v(i) = v(i) * 4; i += 1 }
       case _ => throw new IllegalArgumentException(s"av1: identity$n")
     }
+  }
+
+  /** Full lossy 2D inverse transform + add (spec 7.13.3): input
+    * dequantized coeffs over the CODED (≤32) area, row transforms,
+    * intermediate rounding/clamping, column transforms, final
+    * Round2(·,4), add to prediction with pixel clamp. */
+  def inverse2dAdd(plane: Array[Int], stride: Int, x0: Int, y0: Int,
+      w: Int, h: Int, txType: Int, coeffs: Array[Long], codedW: Int, codedH: Int): Unit = {
+    import Av1Decoder._
+    val log2w = Integer.numberOfTrailingZeros(w)
+    val log2h = Integer.numberOfTrailingZeros(h)
+    val rowShift = rowShiftOf(w, h)
+    // 1D types: tx type = (vertical, horizontal)
+    val (vt, ht) = txType match {
+      case DctDct => ("dct", "dct")
+      case AdstDct => ("adst", "dct")
+      case DctAdst => ("dct", "adst")
+      case AdstAdst => ("adst", "adst")
+      case FlipadstDct => ("fadst", "dct")
+      case DctFlipadst => ("dct", "fadst")
+      case FlipadstFlipadst => ("fadst", "fadst")
+      case AdstFlipadst => ("adst", "fadst")
+      case FlipadstAdst => ("fadst", "adst")
+      case Idtx => ("id", "id")
+      case VDct => ("dct", "id")
+      case HDct => ("id", "dct")
+      case VAdst => ("adst", "id")
+      case HAdst => ("id", "adst")
+      case VFlipadst => ("fadst", "id")
+      case HFlipadst => ("id", "fadst")
+      case t => throw new IllegalArgumentException(s"av1: tx type $t")
+    }
+    val buf = Array.ofDim[Long](h, w)
+    var y = 0
+    while (y < codedH) {
+      var x = 0
+      while (x < codedW) { buf(y)(x) = coeffs(y * codedW + x); x += 1 }
+      y += 1
+    }
+    // rect blocks with odd log2 area scale by 1/sqrt2 first
+    if (((log2w + log2h) & 1) == 1) {
+      y = 0
+      while (y < codedH) {
+        var x = 0
+        while (x < codedW) { buf(y)(x) = (buf(y)(x) * 2896L + 2048) >> 12; x += 1 }
+        y += 1
+      }
+    }
+    // row transforms (w-point, horizontal type)
+    val rowv = new Array[Long](w)
+    y = 0
+    while (y < h) {
+      java.util.Arrays.fill(rowv, 0L)
+      var x = 0
+      while (x < codedW) { rowv(x) = buf(y)(x); x += 1 }
+      apply1d(rowv, w, ht)
+      x = 0
+      while (x < w) {
+        var v = if (rowShift > 0) (rowv(x) + (1L << (rowShift - 1))) >> rowShift else rowv(x)
+        if (v < -32768) v = -32768 else if (v > 32767) v = 32767
+        buf(y)(x) = v
+        x += 1
+      }
+      y += 1
+    }
+    // flips
+    val flipLR = ht == "fadst"
+    val flipUD = vt == "fadst"
+    // column transforms (h-point, vertical type)
+    val colv = new Array[Long](h)
+    var x = 0
+    while (x < w) {
+      y = 0
+      while (y < h) { colv(y) = buf(y)(x); y += 1 }
+      apply1d(colv, h, vt)
+      y = 0
+      while (y < h) {
+        val vy = if (flipUD) h - 1 - y else y
+        val vx = if (flipLR) w - 1 - x else x
+        val r = (colv(y) + 8) >> 4
+        val idx = (y0 + vy) * stride + x0 + vx
+        val v = plane(idx) + r
+        plane(idx) = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  private def rowShiftOf(w: Int, h: Int): Int = (w, h) match {
+    case (4, 4) => 0
+    case (8, 8) => 1
+    case (16, 16) => 2
+    case (32, 32) => 2
+    case (64, 64) => 2
+    case (4, 8) | (8, 4) => 0
+    case (8, 16) | (16, 8) => 1
+    case (16, 32) | (32, 16) => 1
+    case (32, 64) | (64, 32) => 1
+    case (4, 16) | (16, 4) => 1
+    case (8, 32) | (32, 8) => 2
+    case (16, 64) | (64, 16) => 2
+    case _ => throw new IllegalArgumentException(s"av1: tx ${w}x$h")
+  }
+
+  private def apply1d(v: Array[Long], n: Int, kind: String): Unit = kind match {
+    case "dct" => idct(v, n)
+    case "adst" | "fadst" => n match {
+      case 4 => iadst4(v, 0, 1)
+      case 8 => iadst8(v, 0, 1)
+      case 16 => iadst16(v, 0, 1)
+      case _ => throw new IllegalArgumentException(s"av1: adst$n")
+    }
+    case "id" => identity(v, n)
+    case _ => throw new IllegalArgumentException(kind)
   }
 }

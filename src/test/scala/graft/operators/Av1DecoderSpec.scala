@@ -45,6 +45,16 @@ class Av1DecoderSpec extends AnyFunSuite {
     }
   }
 
+  // lossy tiers: fixed-q libaom encodes exercising 32x16/16x8/32x32 rect
+  // and square transforms, ADST/1D-DCT/IDTX types, CfL, and the deblock
+  // loop filter (4/6/8/14-tap) — all bit-exact against libdav1d's decode
+  for (name <- Seq("q20_grad64", "q32_odd65x40", "q32_photo128",
+    "q32_photo256", "q50_noise64")) {
+    test(s"lossy intra fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)
