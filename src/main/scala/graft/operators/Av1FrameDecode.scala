@@ -849,7 +849,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         level = msac.decodeSymbol(cdfs.coeffBaseEob,
           ((txSzCtx * 2 + planeType) * 4 + ctx) * 4, 3) + 1
       } else {
-        val ctx = coeffBaseCtx(levels, bwl, cw, ch, row, col, cls)
+        val ctx = coeffBaseCtx(levels, bwl, cw, ch, row, col, cls, w, h)
         level = msac.decodeSymbol(cdfs.coeffBase,
           ((txSzCtx * 2 + planeType) * 42 + ctx) * 5, 4)
       }
@@ -949,7 +949,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     if (r < 0 || c < 0 || r >= h || c >= w) 0 else levels((r << bwl) + c)
 
   private def coeffBaseCtx(levels: Array[Int], bwl: Int, w: Int, h: Int,
-      row: Int, col: Int, cls: Int): Int = {
+      row: Int, col: Int, cls: Int, txW: Int, txH: Int): Int = {
     var mag = 0
     @inline def add(r: Int, c: Int): Unit = mag += math.min(lvl(levels, bwl, w, h, r, c), 3)
     cls match {
@@ -968,14 +968,17 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     val ctx = math.min((mag + 1) >> 1, 4)
     cls match {
       case TxClass2D =>
-        // rect coded areas have a +16/+11 band (first two cols of wide /
-        // first two rows of tall tx) and then the square r+c<4 rule; the
-        // r+c<2 (+1) region exists only for squares. Pinned byte-for-byte
-        // against the nz-map offset tables in the system libaom .rodata
-        // (all ten rect shapes) and the 16x8 probe ladder vs libdav1d.
+        // rect TX sizes have a +16/+11 band (first two cols of wide /
+        // first two rows of tall) over the coded-area grid, then the
+        // square r+c<4 rule; the r+c<2 (+1) region exists only for
+        // squares. Orientation follows the REAL tx dims: TX_64X32 keeps
+        // the wide band on its square 32x32 coded area. Pinned
+        // byte-for-byte against the nz-map offset tables in the system
+        // libaom .rodata (all ten rect coded shapes plus the banded
+        // square tables at TX_64X32/TX_32X64) and probe ladders vs dav1d.
         if (row == 0 && col == 0) 0
-        else if (w > h && col < 2) ctx + 16
-        else if (w < h && row < 2) ctx + 11
+        else if (txW > txH && col < 2) ctx + 16
+        else if (txW < txH && row < 2) ctx + 11
         else if (row + col < 2) ctx + 1
         else if (row + col < 4) ctx + 6
         else ctx + 21 // far region (pinned against libdav1d: NOT +11)

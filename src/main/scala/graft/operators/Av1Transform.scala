@@ -61,7 +61,7 @@ object Av1Transform {
     case 8 => idct8(v, 0, 1)
     case 16 => idct16(v, 0, 1)
     case 32 => idct32(v, 0, 1)
-    case 64 => idct64(v)
+    case 64 => idct64(v, 0, 1)
     case _ => throw new IllegalArgumentException(s"av1: idct$n")
   }
 
@@ -294,8 +294,132 @@ object Av1Transform {
     }
   }
 
-  private def idct64(v: Array[Long]): Unit =
-    throw new IllegalArgumentException("av1: 64-point transform not yet supported")
+  /** Inverse 64-point DCT: even half = the idct32 network on even-indexed
+    * inputs (identical butterfly/rounding sequence); odd half = the
+    * 32-input odd network one recursion level up from idct32's, with
+    * indices doubled and angles halved. Validated bit-exactly against
+    * libdav1d by exhaustive single-coefficient TX_64X64 probes. */
+  private def idct64(v: Array[Long], o: Int, st: Int): Unit = {
+    // even part
+    val ev = Array.tabulate(32)(i => v(o + 2 * i * st))
+    idct32(ev, 0, 1)
+    // odd part: inputs at odd indices, in 2*ord32+1 order
+    val ord = Array(0, 16, 8, 24, 4, 20, 12, 28, 2, 18, 10, 26, 6, 22, 14, 30,
+      1, 17, 9, 25, 5, 21, 13, 29, 3, 19, 11, 27, 7, 23, 15, 31)
+    var b0 = Array.tabulate(32)(i => v(o + (2 * ord(i) + 1) * st))
+    var b1 = new Array[Long](32)
+    // stage 2: initial butterflies, angles 64-(2*bitrev5(k)+1)
+    val a2 = Array(63, 31, 47, 15, 55, 23, 39, 7, 59, 27, 43, 11, 51, 19, 35, 3)
+    var k = 0
+    while (k < 16) {
+      val c = a2(k)
+      b1(k) = halfBtf(CosPi(c), b0(k), -CosPi(64 - c), b0(31 - k))
+      b1(31 - k) = halfBtf(CosPi(64 - c), b0(k), CosPi(c), b0(31 - k))
+      k += 1
+    }
+    b0 = b1; b1 = new Array[Long](32)
+    // stage 3: add/sub in groups of 4
+    k = 0
+    while (k < 32) {
+      b1(k) = b0(k) + b0(k + 1)
+      b1(k + 1) = b0(k) - b0(k + 1)
+      b1(k + 2) = -b0(k + 2) + b0(k + 3)
+      b1(k + 3) = b0(k + 3) + b0(k + 2)
+      k += 4
+    }
+    b0 = b1; b1 = java.util.Arrays.copyOf(b0, 32)
+    // stage 4: cross-multiplies at offsets 4g+1,4g+2 vs mirrors
+    val a4 = Array(4, 36, 20, 52)
+    var g = 0
+    while (g < 4) {
+      val a = a4(g)
+      val o1 = 4 * g + 1; val o2 = 4 * g + 2
+      val m1 = 30 - 4 * g; val m2 = 29 - 4 * g
+      b1(o1) = halfBtf(-CosPi(a), b0(o1), CosPi(64 - a), b0(m1))
+      b1(m1) = halfBtf(CosPi(64 - a), b0(o1), CosPi(a), b0(m1))
+      b1(o2) = halfBtf(-CosPi(64 - a), b0(o2), -CosPi(a), b0(m2))
+      b1(m2) = halfBtf(-CosPi(a), b0(o2), CosPi(64 - a), b0(m2))
+      g += 1
+    }
+    b0 = b1; b1 = new Array[Long](32)
+    // stage 5: add/sub in groups of 8
+    k = 0
+    while (k < 32) {
+      b1(k) = b0(k) + b0(k + 3); b1(k + 3) = b0(k) - b0(k + 3)
+      b1(k + 1) = b0(k + 1) + b0(k + 2); b1(k + 2) = b0(k + 1) - b0(k + 2)
+      b1(k + 4) = -b0(k + 4) + b0(k + 7); b1(k + 7) = b0(k + 7) + b0(k + 4)
+      b1(k + 5) = -b0(k + 5) + b0(k + 6); b1(k + 6) = b0(k + 6) + b0(k + 5)
+      k += 8
+    }
+    b0 = b1; b1 = java.util.Arrays.copyOf(b0, 32)
+    // stage 6: cross-multiplies spanning the full 32 — offsets 8g+2,8g+3
+    // (positive form) and 8g+4,8g+5 (negative form) against mirrors
+    // 31-offset, angles 8 (g=0) and 40 (g=1)
+    val a6 = Array(8, 40)
+    g = 0
+    while (g < 2) {
+      val a = a6(g)
+      var j = 0
+      while (j < 2) {
+        val o1 = 8 * g + 2 + j; val m1 = 29 - 8 * g - j
+        val o2 = 8 * g + 4 + j; val m2 = 27 - 8 * g - j
+        b1(o1) = halfBtf(-CosPi(a), b0(o1), CosPi(64 - a), b0(m1))
+        b1(m1) = halfBtf(CosPi(64 - a), b0(o1), CosPi(a), b0(m1))
+        b1(o2) = halfBtf(-CosPi(64 - a), b0(o2), -CosPi(a), b0(m2))
+        b1(m2) = halfBtf(-CosPi(a), b0(o2), CosPi(64 - a), b0(m2))
+        j += 1
+      }
+      g += 1
+    }
+    b0 = b1; b1 = new Array[Long](32)
+    // stage 7: add/sub in groups of 16
+    k = 0
+    while (k < 32) {
+      var j = 0
+      while (j < 4) {
+        b1(k + j) = b0(k + j) + b0(k + 7 - j)
+        b1(k + 7 - j) = b0(k + j) - b0(k + 7 - j)
+        b1(k + 8 + j) = -b0(k + 8 + j) + b0(k + 15 - j)
+        b1(k + 15 - j) = b0(k + 15 - j) + b0(k + 8 + j)
+        j += 1
+      }
+      k += 16
+    }
+    b0 = b1; b1 = java.util.Arrays.copyOf(b0, 32)
+    // stage 8: cross-multiplies at offsets 4..7 / 8..11 vs mirrors, angle 16
+    k = 0
+    while (k < 4) {
+      b1(4 + k) = halfBtf(-CosPi(16), b0(4 + k), CosPi(48), b0(27 - k))
+      b1(27 - k) = halfBtf(CosPi(48), b0(4 + k), CosPi(16), b0(27 - k))
+      b1(8 + k) = halfBtf(-CosPi(48), b0(8 + k), -CosPi(16), b0(23 - k))
+      b1(23 - k) = halfBtf(-CosPi(16), b0(8 + k), CosPi(48), b0(23 - k))
+      k += 1
+    }
+    b0 = b1; b1 = new Array[Long](32)
+    // stage 9: add/sub over the full 32
+    k = 0
+    while (k < 8) {
+      b1(k) = b0(k) + b0(15 - k); b1(15 - k) = b0(k) - b0(15 - k)
+      b1(16 + k) = -b0(16 + k) + b0(31 - k); b1(31 - k) = b0(31 - k) + b0(16 + k)
+      k += 1
+    }
+    b0 = b1; b1 = java.util.Arrays.copyOf(b0, 32)
+    // stage 10: cospi32 on the middle 16
+    k = 0
+    while (k < 8) {
+      b1(8 + k) = halfBtf(-CosPi(32), b0(8 + k), CosPi(32), b0(23 - k))
+      b1(23 - k) = halfBtf(CosPi(32), b0(8 + k), CosPi(32), b0(23 - k))
+      k += 1
+    }
+    b0 = b1
+    // stage 11: final combine with the even half
+    k = 0
+    while (k < 32) {
+      v(o + k * st) = ev(k) + b0(31 - k)
+      v(o + (63 - k) * st) = ev(k) - b0(31 - k)
+      k += 1
+    }
+  }
 
   /** Inverse ADST-4 (spec 7.13.2.5, sinpi network). */
   def iadst4(v: Array[Long], o: Int, s: Int): Unit = {
