@@ -104,6 +104,8 @@ object Av1Decoder {
       val out = new Array[Int](9); System.arraycopy(v, 0, out, 0, 8); out
     }
     val cflAlpha: Array[Int] = clone2("cfl_alpha") // [6] x17
+    val filterIntra: Array[Int] = clone2("filter_intra") // [22 bsize] x3
+    val filterIntraMode: Array[Int] = clone2("filter_intra_mode") // [1] x6
     val deltaQ: Array[Int] = Array(4608, 648, 91, 0, 0)
     val deltaLf: Array[Int] = Array(4608, 648, 91, 0, 0)
     val deltaLfMulti: Array[Int] = Array.fill(4)(Array(4608, 648, 91, 0, 0)).flatten

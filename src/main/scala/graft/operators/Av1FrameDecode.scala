@@ -70,9 +70,17 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private var readDeltas = false
   private var cflAlphaU = 0
   private var cflAlphaV = 0
+  private var filterModeY = -1 // filter-intra mode of the current block (-1 = off)
   private var residualTxType = 0 // tx type of the residual just read
 
   def run(): Decoded = {
+    // CDEF filtering is not implemented; a frame with any nonzero CDEF
+    // strength would decode to silently-wrong pixels — refuse loudly
+    // instead (all-zero strengths are a no-op and pass through)
+    fh.cdef.foreach { cd =>
+      require((cd.yPri ++ cd.ySec ++ cd.uvPri ++ cd.uvSec).forall(_ == 0),
+        "av1: nonzero CDEF strengths unsupported (filter not implemented)")
+    }
     val nCols = fh.tileColStarts.length - 1
     val nRows = fh.tileRowStarts.length - 1
     val nTiles = nCols * nRows
@@ -352,8 +360,6 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       angleY = msac.decodeSymbol(cdfs.angleDelta, (yMode - Av1Predict.V) * 8, 7) - 3
     }
     require(!fh.allowScreenContentTools, "av1: screen-content tools (palette/intrabc) unsupported")
-    require(!(sh.enableFilterIntra && yMode == Av1Predict.DC && filterIntraEligible(bSize)),
-      "av1: filter_intra signalling unsupported (encode with enable_filter_intra=0)")
 
     // --- uv mode ---
     var uvMode = Av1Predict.DC
@@ -388,6 +394,14 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       if (uvMode >= Av1Predict.V && uvMode <= Av1Predict.D67 && bSize >= B8x8) {
         angleUV = msac.decodeSymbol(cdfs.angleDelta, (uvMode - Av1Predict.V) * 8, 7) - 3
       }
+    }
+
+    // --- filter intra (read after chroma mode info, spec 5.11.18) ---
+    filterModeY = -1
+    if (sh.enableFilterIntra && yMode == Av1Predict.DC && filterIntraEligible(bSize)) {
+      if (msac.decodeSymbol(cdfs.filterIntra, bSize * 3, 2) == 1)
+        filterModeY = msac.decodeSymbol(cdfs.filterIntraMode, 0, 5)
+      tr(s"  filterIntra=$filterModeY")
     }
 
     // --- tx size ---
@@ -471,6 +485,10 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
 
   private def filterIntraEligible(bSize: Int): Boolean =
     BlkW4(bSize) * 4 <= 32 && BlkH4(bSize) * 4 <= 32
+
+  /** Intra direction implied by each filter-intra mode (DC/V/H/D157/PAETH),
+    * used for tx-type cdf row selection. */
+  private val FimodeToDir = Array(Av1Predict.DC, Av1Predict.V, Av1Predict.H, 6, 12)
 
   /** largest tx for a chroma block of cw4 x ch4 4-units (<=32px dims) */
   private def chromaTxSize(cw4: Int, ch4: Int): Int = {
@@ -698,7 +716,8 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     // predict
     val predMode = if (mode == Av1Predict.UV_CFL) Av1Predict.DC else mode
     Av1Predict.predict(planes(plane), pw, x0, y0, tw, th, predMode, angle,
-      haveAbove, haveLeft, numRight, numBelow, sh.enableIntraEdgeFilter, pw, ph, filtType)
+      haveAbove, haveLeft, numRight, numBelow, sh.enableIntraEdgeFilter, pw, ph, filtType,
+      if (plane == 0) filterModeY else -1)
     if (mode == Av1Predict.UV_CFL) applyCfl(plane, x0, y0, tw, th)
 
     if (!skip) {
@@ -1036,10 +1055,13 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       val set = intraTxSet(txSz)
       if (set == 0) DctDct
       else {
+        // filter-intra blocks select the tx-type cdf row via the intra
+        // direction implied by the filter mode (DC/V/H/D157/PAETH)
+        val dir = if (filterModeY >= 0) FimodeToDir(filterModeY) else mode
         val sqr = TxSizeSqr(txSz)
         val setIdx = set - 1
         val n = if (set == 1) 7 else 5
-        val off = ((setIdx * 4 + sqr) * 13 + mode) * 17
+        val off = ((setIdx * 4 + sqr) * 13 + dir) * 17
         val sym = msac.decodeSymbol(cdfs.intraExtTx, off, n)
         if (set == 1) TxTypeIntraInvSet1(sym) else TxTypeIntraInvSet2(sym)
       }

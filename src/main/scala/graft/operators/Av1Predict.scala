@@ -29,7 +29,7 @@ object Av1Predict {
   def predict(plane: Array[Int], stride: Int, x0: Int, y0: Int, w: Int, h: Int,
       mode: Int, angleDelta: Int, haveAbove: Boolean, haveLeft: Boolean,
       numRight: Int, numBelow: Int, edgeFilter: Boolean,
-      planeW: Int, planeH: Int, filtType: Int = 0): Unit = {
+      planeW: Int, planeH: Int, filtType: Int = 0, filterMode: Int = -1): Unit = {
 
     val isDir = mode >= V && mode <= D67
     val pAngle = if (isDir) ModeToAngle(mode) + angleDelta * 3 else 0
@@ -77,6 +77,46 @@ object Av1Predict {
       else 128
 
     @inline def set(x: Int, y: Int, v: Int): Unit = plane((y0 + y) * stride + x0 + x) = v
+
+    if (filterMode >= 0) {
+      // spec 7.11.2.3 recursive filter-intra: 4x2 patches over a working
+      // buffer seeded with the corner, above row and left column; each
+      // patch output = Round2Signed(sum of 7 taps, 4), clipped, and feeds
+      // subsequent patches
+      val buf = Array.ofDim[Int](h + 1, w + 1)
+      buf(0)(0) = aboveM1
+      var i = 0
+      while (i < w) { buf(0)(i + 1) = above(i); i += 1 }
+      i = 0
+      while (i < h) { buf(i + 1)(0) = left(i); i += 1 }
+      val taps = graft.operators.Av1Tables.FilterTaps(filterMode)
+      var r = 1
+      while (r < h + 1) {
+        var c = 1
+        while (c < w + 1) {
+          val p0 = buf(r - 1)(c - 1); val p1 = buf(r - 1)(c); val p2 = buf(r - 1)(c + 1)
+          val p3 = buf(r - 1)(c + 2); val p4 = buf(r - 1)(c + 3)
+          val p5 = buf(r)(c - 1); val p6 = buf(r + 1)(c - 1)
+          var k = 0
+          while (k < 8) {
+            val t = taps(k)
+            val pr = t(0) * p0 + t(1) * p1 + t(2) * p2 + t(3) * p3 + t(4) * p4 + t(5) * p5 + t(6) * p6
+            val rv = if (pr < 0) -((-pr + 8) >> 4) else (pr + 8) >> 4
+            buf(r + (k >> 2))(c + (k & 3)) = if (rv < 0) 0 else if (rv > 255) 255 else rv
+            k += 1
+          }
+          c += 4
+        }
+        r += 2
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { set(x, y, buf(y + 1)(x + 1)); x += 1 }
+        y += 1
+      }
+      return
+    }
 
     var upsampleAbove = false
     var upsampleLeft = false

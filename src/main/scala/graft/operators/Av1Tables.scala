@@ -51,6 +51,15 @@ object Av1Tables {
   val DrIntraDerivative: Array[Int] = values("dr_intra_derivative")
   /** Smooth-prediction weights, concatenated for block dims 4,8,16,32,64. */
   val SmWeights: Array[Int] = values("sm_weights")
+  /** Filter-intra taps [5 modes][8 outputs][8 taps] (p0..p6 + pad),
+    * sign-extended from the byte-packed table; each row sums to 16. */
+  val FilterTaps: Array[Array[Array[Int]]] = {
+    val raw = values("filter_taps")
+    Array.tabulate(5, 8, 8) { (m, k, j) =>
+      val v = raw((m * 8 + k) * 8 + j)
+      if (v > 127) v - 256 else v
+    }
+  }
   def smWeights(dim: Int): Array[Int] = dim match {
     case 4 => SmWeights.slice(0, 4)
     case 8 => SmWeights.slice(4, 12)

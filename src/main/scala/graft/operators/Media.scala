@@ -236,6 +236,10 @@ object Media {
       (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42)) tiffPixelDecoder(p)
     else if (p.length >= 12 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
       u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P') Webp.webpPixelDecoder(p)
+    else if (graft.sources.Heif.isHeif(p)) {
+      val d = graft.sources.Heif.decodePrimary(p)
+      (d.width, d.height, d.rgb.map(_ & 0xffffff))
+    }
     else throw new IllegalArgumentException("unrecognized image container")
   }
 

@@ -5851,6 +5851,309 @@ object Pipeline {
     """.trim)
   )
 
+
+  /** AVIF pixel-decode gate ([[graft.sources.Heif.decodePrimary]] over
+    * the in-repo AV1 intra decoder): four embedded fixtures — a REAL
+    * libheif/libaom encode (filter-intra on), an alpha-aux one, an
+    * odd-dims one, and a hand-muxed 2x2 grid with cropped output — emit
+    * dims/alpha/quadrant-ARGB rows whose oracle literals were computed
+    * OUTSIDE the engine (libdav1d's decode of each av01 item + the
+    * documented BT.601 integer transform, tools/gen_avif_fixtures.py);
+    * an hvc1 HEIC and a truncated AVIF must refuse by name. */
+  val mediaAvifDecode: QueryDef = QueryDef(
+    "media_avif_decode",
+    (s, dir) => {
+      import s.implicits._
+      val rgb64 =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAOptZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAImlsb2MAAAAAREAAAQABAAAAAAEOAAEAAAAAAAAITgAAACNpaW5mAAAAAAABAAAAFWluZmUCAAAAAAEA" +
+        "AGF2MDEAAAAAamlwcnAAAABLaXBjbwAAABNjb2xybmNseAACAAIABoAAAAAMYXYxQ4EADAAAAAAUaXNwZQAAAAAAAABAAAAAMAAA" +
+        "ABBwaXhpAAAAAAMICAgAAAAXaXBtYQAAAAAAAAABAAEEgYIDhAAACFZtZGF0EgAKCRgVf72CBAQNCDK+EBZABhhhhQC/38uj+lou" +
+        "HAgyvpJTRtV5TGPazFuNMielWuvwe5ScuuwgfXQSepAMkfO4Rh4mZxvyJwneKehve/TFDbeIXe584vvPgPowskaBQSM0n4OfFbiZ" +
+        "ndVbmRElmPsOAulSRaFpxXugzJLwOhHK2YBq4aGl5LrGTZJmJ69JUlyhiaqWVAZhWbjoVOFAi+qrBk+FCyTHzFoWFdpstLUb248c" +
+        "gRiL1rjl5rAi8MmGrW0U7vJPYOZGCHCarRif3ddshgwxnxt8Bg9jSPkVODSir7HqdDIkbo7LfmkpNZ+B6Oap7Yl/PRkGz2awuwGt" +
+        "E0KKGj4ILItWMnyOkvfwytosKR+owaiAOU9jsVrrTqHWEDtVAPEqqkHrfY3I/QPQsjcYsLTLcHgRWW6j/W28Oxcr/rUsIiaz0oYT" +
+        "vGbQiDuW6y6NcjThrzAAakSdHDpclpMmpBWXnAAaSITpAZmZHvfWh3nFtV3/8QSqsEY7Aojgtodfh55Ky3O09S6zGiH3YTAvfYwU" +
+        "aY+97CSaTXlBlBGyfhUFMwV3PfziWP9L9Rtq/g/BUG024UvxV13tNQkpzpxPDBDblvYaC0zj/LaUbIp6Ckne7x8uPHySQeEKfbeA" +
+        "or6FQ/Zt7+2w2QLju3Y9/QtS2rwIEpgWoN77BaIDeyydTj5oKcxLCYim9hd5Wxnc+8rTCNxO6m15KTMdVqKO+IFdaptBL9yg5zfO" +
+        "OUgHKI5B3yDc12zvotLVlX+n3e4My+JzvKJi1TCbcofpe+GmkAMAgA3V1i1tu6NICw8sNU23QK37H26SxfIO6qMrdCv8Un+7dxZs" +
+        "LiNPL+Aa9/gAJ08Hmc5WVcGKVKT4Cn38St5FMc2P3HYcxoa44TcoL7NOHdJsGehggOJC4CyEcWHuhwnWswseZ3wwBFEum+m1kPI0" +
+        "lF7abKK2ZPqU40tsItGb1vfUFW9C4+f5iOa6OY0Gs2YG/sdkmkXNLsnnzuOyO6L0Mzxv0G4PMN9flDZh/S95IEiGBboqPdIuBVC0" +
+        "VU0GhqqNbNJraHXnJxlifdNth2DulGJVvHQUejfoW4zP8eGNCeAgkS60l9EN0ClV1JbrIpeerynfPnrdZaGVZT3RXXl65W1VwGNP" +
+        "F4GgZVkZyM3b0V/7/RJ11B/z2p7CFdD7F/iBC7aYs98d3VnN5KBbkgDTrXAnbWZxUyV2xgx2OcI3pGegg+bYWSM1nXWTgVrbVuhk" +
+        "0JAsZA5tWKhhlJLS1kDn17ThZSIsDDN1L8D7VNVrMQ9zrWf7LKYtnvVIJgTRkIYxyndY66IsmhsbKarY0zvN2TFLEkdH6kdSX458" +
+        "kVriF6m4mBobJ37G+gLjT16GPu1JCnNavIQWiH+6vQOq71a7v1tQUzypZ9aQyL1ymBV3VPRBlegN+DzsCAyZrld8/4NYQaC4o5Hs" +
+        "B7GqEmlbsOMRpJmr7lV9bMdG2ZNG5lp+Teh/rnyoUrrOyVMUMQ2+hfUMDP2PTwIxI2vNtDWXYKueypyypt2E4Zw6X2iOoLsVOn/C" +
+        "dl5mldSuEnhpGArsIYj8uxOhAot7CifebvEA44dpQwjcg4RjO/59v24I4UGGLg1hHdR5cplwwa6DYDIWqBLn0w/+oTkGEPHU+v9f" +
+        "iUMUweaG9Vogds2X4U5Y3cEnvddYUM/Dn87QCYVZdOVPq3Z+BFy+WAowNLEfS24iv/Yh2KdHooDcPkyP59L54aH+QxOGMXufHnrQ" +
+        "D83V5by2wVLMiJzskFUks/ZMIr/5qYZtapqeNY2YxzSFX9mYnlU98nHcexXKeMfBt18eKRuYzJlxjnFIYkELJI9RwbfadlmIwi5S" +
+        "HR70GqvdeKZ9eTvjAwMp6rDz2Bi01eka1UssWEvMXKKtPJmyBUM/tNXGvKSC1S/XsYuLgtWaUOhZM2t0CNDsWzSmCNAX6d/frz6X" +
+        "WBBSeQwOdHmHnDqKELV7c603Jw9FtK43UPxWjRdf2HSYYzKZoUM5I7jlbfXu7gspfvbr4AmpUN1HJhXfoNp4MCVfxenPwGQD42/m" +
+        "6xgyT9ANx7mwRVhEUzG2A+tyd55xPl7BjASQQbvhs9xN37n0+jD/ma70oGw81lvzo/EkmIhCiy6OmMQ3WHZD4d7Y/7NNl5g84CvL" +
+        "5uwTjZCZFcWjQznrwE2IY348B+KQhurhIP6jxyeZPh9ouJCP9uEs6L5l2zoBK3U9hodNq9qjK51mx6ASz2Dv68mELEkyyXW6lh3s" +
+        "U5H+5O+RXXvBGpQLYsgeItO1zl6APSMbAbUSb1sqeyvX1TC4Oa5GQ+pbE4cjFtMvzjuyYwmDA1lY8MbAJOD2Y+wfphxn6HmZPNF7" +
+        "ItaTQyvn7vtWivTwmwAeNVw6+trB8JSCqxmVJofIzMIDe2cynZ4a98RYrOJRg0KthC3WExSXYId6UtSOZyL6elDLZnOiPi1/h1zz" +
+        "ghld1aMHLP+F4hvQd4NFSf+u0rsnGrWyw07VJGO33wL2Z/yCR9PHnlFyt4m2dqYG5hL9dKyVB89nNKYdwPLQ78680mwNs8ZCSl8T" +
+        "fmrMlGphn6iA9BlPDjPkwZh5UfGmMY+KR7LaKv3bzCujVRn7LYj/ctoACEN8m2nf3w43jxYH8egSirRM8vOztInVbIhni/gXVulk" +
+        "4NZ+t4zvit/Qk7Ws/hSzLaH3kfsf9U368kfRzGVwmF+VzSBrTvB5bLVdSIdbUszxeSTGpWHBK8eA99hCGxwZ8p2CrD2m5uoF+Nld" +
+        "fytVf/Z4sWE6SEMzIKT2DkDHPwCbP8d3NhJV/exirzPa3p1gZcaBqkiQIr1JCsqPE7Dc2dY0EBzwQGIE+OBVzmNrBYBc9Pk="
+      val alpha48 =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAZhtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAANGlsb2MAAAAAREAAAgACAAAAAAG8AAEAAAAAAAAF0gABAAAAAAeOAAEAAAAAAAAHCAAAADhpaW5mAAAA" +
+        "AAACAAAAFWluZmUCAAAAAAEAAGF2MDEAAAAAFWluZmUCAAAAAAIAAGF2MDEAAAAA12lwcnAAAACxaXBjbwAAABNjb2xybmNseAAC" +
+        "AAIABoAAAAAMYXYxQ4EAHAAAAAAUaXNwZQAAAAAAAAAwAAAAMAAAAA5waXhpAAAAAAEIAAAAOGF1eEMAAAAAdXJuOm1wZWc6bXBl" +
+        "Z0I6Y2ljcDpzeXN0ZW1zOmF1eGlsaWFyeTphbHBoYQAAAAAMYXYxQ4EADAAAAAAUaXNwZQAAAAAAAAAwAAAAMAAAABBwaXhpAAAA" +
+        "AAMICAgAAAAeaXBtYQAAAAAAAAACAAEEgYYHiAACBIIDhIUAAAAaaXJlZgAAAAAAAAAOYXV4bAACAAEAAQAADOJtZGF0EgAKBhgV" +
+        "b72FQDLFCxTAEEEAvLPf7VbU2fAWv7THUVY47SJra8ZMJ4C6ctFAHicpk9m9xoHOpge8vAb1wKgb+hHDMvyyXlt7voHXK0ot/4Uv" +
+        "H/cHZLujVXvuedF26H6cwDqN3PjixepJrmcLmV4yiHvWzJJG6n6ZyREjjP28Bec09qfl+vgTLSNn4eDjQNvBs4mIoQ00WvnRR72a" +
+        "0jWS/O1CyJgfBBIu1y+nVPk+XV6AAoqUQOVWFYaiGNANp1H6O0Hr0gFb+/XBgHqJQfWRYU9KaSCGYjwvB83tkTaRMCMns0uo1UrC" +
+        "dkHkWa8wnJUf2RFCaPZ6xWlXqUgV4GFHP4nSd5YJssU/9zOKaiPDsIOrjtZhzd+eO4L1BWvRzWnejwuhrDZNYrCoL3XhVIH+ps/t" +
+        "nMQ3qiyBiG5tzWE7VvCdGYfLFKODFFemsnUlnQWFQjZs8dYLWNABU1qoP7uqyIYE4hdMQuDSt38h8GaXwaD8w1koyyYP++bdNDue" +
+        "+J1kDq1r9nq5Bm4QryQxP2BUNyViN8Orubxij4aJOK/9meS+o53M0v1yQ4rZJOG8VrcZjNBqBfYiFdWQiCF88Xm4JRYsSwIjv2vP" +
+        "W8fWV7v7TR3uN22+syKrqmP20sU8VgIMArGSdYngCc3okhDbpIaxgBhCF8JKbWSJpPkd+nFAjLLRuEOL+8JAncZbc+R1O5ZFZOpi" +
+        "njrnM54H6hPpS+GnjRYadQuO0XHCVwOk+LMd6AUUWl8IY65xtERMh3GcJa+tfr8XHq1waohUB+FV27/mc9JHJdNqOZ+b1jJfRK19" +
+        "FQAz/8vb+EtoFBjMPQNyPXZXzVRuClaNwTwTUaCCvyRA9KuWKa27GgrThJYgSL7HR4JMQbnFM6vf2/4kp9b/7qIv9OoIrc1xYojU" +
+        "LlPHNeh6RnUY1RluDZzVz2Te8ozPfCq15e6syTOM+KgOk8QLh9ZSBouM6vtlOlRCZCwt2PjgkqtzTBgvUXrJEVtF5yrrdVzKbbac" +
+        "cl+vNtddMEQ3IoAWeGEbozhj7VzYk/cQPVzUmZM6hgx1lq4Z+VHUCUNwgM/f/h9NP2rmRsEX20zYl45cquBL5279stFX1A0jleTZ" +
+        "EsdH/vUaA/KjyKTOdbGqY9lO+UI0L4ZTzVakbeGVWyfJUwrgSCm4wRU1n35WD4WTqS5C/vOMk3ktzzMEc9xjJU6uU+46abbHgd42" +
+        "TF0JVCVG4fw3IAdkUBB0jHvFfA/42kzK9Utvn203XvVfxaI4c6NvijH8saB28b/FpHp7AXih5IENyFD3+/qiRGM6DkxmWr7uJwHg" +
+        "8YC1Ljpwtx9lUJL//+rGStqKFliIAL3t/pJt7PXZNfne6o9ZN8R9OgLed1w3nEM9v2Ynq8ft8pQuGKMviunxrb7os9iqLTnx1rwz" +
+        "7FySJ03eakyTLo+aGoRExkb9pLORK2aMnvsE0x9iLUbbuEJuffRNTLmDcMeCMEloCD6sfZbl+WuOFslJ7yihIzI/Bx6CAc9r/2jT" +
+        "KiRcIkiHQ3cFkXlafkbxGQXNSAtlhGKV/Ej+JZ42GsekqUgD6+lur2JUSRWJE/E1ov30jBAVXlg51QncjL29b2TZ22VWt+2mkrH2" +
+        "rHZr8g9VsaXe1oV3yltqO9bHod3Ko8v8Me4pgCRyVBk49sf/hhms5JNMCLkFJqAY+TRe5WHOBEavsTX3sDHzeBGaUDoafoH/daLK" +
+        "k2WMySerwwNxalrw8p2forLoTHsHESLuExFuloKF6k1BaIsKJ+orbxEEeD1DN/tX0rzjx7OuUqZYwn386+kHIhnI/ISN8T0dGqJK" +
+        "HgSQ14CmQIB7ePoox9wzM1MpeYILip62KQpRSO6Rc5YqyQBd7WjAtzwB3KQi72DyD1DuGrGAkJkTVm2xXZBEH0xJf2Jwtc4nlxG1" +
+        "7jRnslSukYgGzqA2ZBtbV6RG8sgzHr6ACNSrj/gtv6wM9mZ7QI9lPEnl60bkzlf4mKQleKmhEXnRZksSAAoJGBVvvYIEBA0IMvgN" +
+        "FMAEEEEEAMumnP42QvrvmrAQeo+gGoQGEe4v1WXBF/4f1WAo2/Sww3aHQFORXRrc+nDLGb2GJdAdo7Eo6yn/hfmXGGT0XzE2Q6M4" +
+        "x+xxH180ZsOJw5NfaJh3hvtIOA8wqzL8DRiL7vFnC8OJT9Kg3ZsVccLcGbwSaSk28x1hS0UZG/1ddeaXmrFK5aTIhEiHcQexDQ8O" +
+        "DNnj/rxzKgLnHjQO23wt5nDO8mMU5T712cQ8t47fe+Z4WAmt4gf6wv3tfDSVFAmQDZptW7GsB/lDOsxmswBrBfgS7jYGYjgLY08v" +
+        "Fp5HrPA996vnAxMwXpoPCbwkwRQX9dwyiPYaOcJztNJnZIy/G5tp55GMijXB3Skf5IRE3pzc/VE3vvtxq+uSVp33kJJFzqg0h7bC" +
+        "Jnb0NvFPEap+yQ7jZjrSIki2nqb/wGPnwc6gOAWecidYC1eP9x1QyRDCh51YecqMPBOsaCN/3iLGLwIbyDZXcaxZqDx88nQx5lJT" +
+        "TTiJWAOSBasE2YWA1ksl7n/1r0fNUIsgEU1vwLSrGxnnXLSXFkqQdG4/wIm267El7P5j7USUTGPU1ZDgPgXLEQIsb9fbG/xXZN9X" +
+        "0WHlN0XDhmD2Z1/rA/wf5nrOr9obsWRFyzJtY9dFneZCJ8Dw8W7N2WKVwvWJKkI5Yg2t4pEA9wGtxjaZPmpHcvU+fHLi0h2sDz13" +
+        "1iIwN9iUTvKL/k74fwXGLCOiuWuSTZK+iDzT5804lbBEjBlnOv0BWbm1fFK+lf+2LZWHA+SrpCk0KQR+Yk0MRHyXR+EHOZTHNZtd" +
+        "NwPA2N5CCf9RsLUfxqUIR521Iuod4kQ0v244Q7mMKH+RNqD5eRxqp7Xk5OmMVBkiVeXqESY59065UenVFP3X6R4ZRjVYOZg4/8Aq" +
+        "Bmh3n9W1felD8Lk+zHg/LMmQCiqS7n9DPeD2rGkMcRTsTL8lk2d7pqFTjmLBHoJI5kAKU+nt2eIMUAnCTJDiHwZPnsuqYZZZlNEF" +
+        "lSFthkywAt8WFLj8LkZSKaegyz5hXTIGqmNuJPSl7MJmwYdIxilVur/h6Jy3YL0S+kmHDiP+qgpMiDTIJNIfSVQueByzabXExfYi" +
+        "1ysl8+p+501tyHFNwfltb3JYA9TBkMpo0vR+o8P9WpJ1C/8LY53alHxMYRR4sNSyOqMyScV1vaJyjn/XOiwLK+o0n+mtNmGtl3DM" +
+        "iGPufyclvSnYTeHvWpPLX3vtxnt9nntxYwtajHAwjQPmgAprIrPh2+/hiG9N8un3yDRNgsvRyZxUfy6r2HD2q2ExTu9jD62FOYfm" +
+        "jO6XIRV0dJDLo8mLg823OvUyOXq36UyK1eZBe807KrL4mZmtF33ajWkpamRujIPOdTphMHy0Sg3KIsuuxTiLgWHPVLsjAIdsljHp" +
+        "KnUQkBMtt0OcIsGFpVW2YNLcLKoDyiZJ/+xVosDWJCa/u17Bjx3exJlYO6TI7P/SQ40CgyPxYxO832nFT1PIwpYtjEjziiktDu06" +
+        "Y592u7T2vf9k+UKBtYKHV6MOVZSXi+NGfhJvKLLKsuh2mW9Q2ir3hgMgCrm1lXkLhKCdyH4fgKpZI6nq+e5BffKX3GXvrZoeTLSC" +
+        "ryhbNzhTkdpYPTU4iHbwGzDZnLJhmJpxrau7JSfKeek+sYTlpRj7zM1A8RAlRAmoc0e4cUXKNX4VkVwRIXIbCcNoje9wPKhorGDn" +
+        "uvu7YxvBLGO97FrnZTYwnb+iqTSsDcHYXRg8unjzKGodkL3s8hANQ2cpZziTGZw3Npbi3yPZ50u2wkTPN1oX05aWoOQurLvQGN9o" +
+        "zUEugUZ73ljla89uKBHXUwlzRkYJq3bvgUAtz+zLuBYdtvSiRlE9Bcm+uvyPaZALVnj+iARSdEk2Itm1JVFdsgmWdw+kPPCdWpkj" +
+        "anR20sGdK/PwvfjfQSLuceYVrlXB1zvf4XG1ausgj8smqyHidQRqlrUHZDPzjKO9oy55nprMd55ZSpSx6+q0thOX/slgczUc7+92" +
+        "GX0gpDfBWcySC4XiUbKL+LLnSeVzY3LjNsueW/4vVis3L4vTBhivHpbVi/sm+6KpxIZNXxJbTpenP+sG1tcuJOa17ezqN6F8RyGR" +
+        "+OqBnqp6exIST4wtcAXxw4hx6QF8FE2EYb+uR4w47JbAjVrajMgoBfsLz3lWl4Z2RxOA7JZ5Fhb9A2+OeTly/Ux72Qu5xiePj/Lp" +
+        "vhkDxMKVaE4l+8xBszh9cS4KSshCilsnJPbS1LA31BdO/Y2mV76yEOz1HAdvdfTT02u6Vm1pWfvi46Qs+jvUNsnzAkpQBk9FsI4q" +
+        "dSaLVZITPnYvPlq08eD6aExouNmxOBTjHsi7Y5FcmwqtLLm7tRlclz8DKANg6w2HI8SQbCDYu8I/s4A="
+      val odd33 =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAOptZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAImlsb2MAAAAAREAAAQABAAAAAAEOAAEAAAAAAAABEAAAACNpaW5mAAAAAAABAAAAFWluZmUCAAAAAAEA" +
+        "AGF2MDEAAAAAamlwcnAAAABLaXBjbwAAABNjb2xybmNseAACAAIABoAAAAAMYXYxQ4EADAAAAAAUaXNwZQAAAAAAAAAhAAAAEQAA" +
+        "ABBwaXhpAAAAAAMICAgAAAAXaXBtYQAAAAAAAAABAAEEgYIDhAAAARhtZGF0EgAKCRgVIIMECAgaEDKAAhsAGmmmhADtY/nCxOvr" +
+        "5C/tV/Xe1Z/Oku1JGkD2nBp85DUfO3ipF8Ksk92SF7nRz8KMkGY17LsGQEObFYucPeKgPB4JVllCGsT/GeIqh1iCEa9aByiiKExv" +
+        "R9xvnr2tuicI515jmCPp/z1VY9VdvqpLtTJ5Zt/ISerziq6VD6JV/ivHYw14G++NydH3eXAc82f+hDVoqO9cv+seWqxsYSTm5ZJb" +
+        "UaD81897iwUj650nknuPHcCdn5k0d9bytqykvGAisYQ68Znew+lOJ6BJCITdfKdbhWLzceRXXcTGR/mNnkkLV01oPUaMGVAcabdo" +
+        "FU4IW1GCA9D+MxeusLTnLMg="
+      val grid100 =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAdNtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAdGlsb2MBAAAAREAABQABAAEAAAAAAAAAAQAAAAAAAAAIAAIAAAAAAAAAAAABAAAB9wAAACYAAwAAAAAA" +
+        "AAAAAAEAAAIdAAAAJgAEAAAAAAAAAAAAAQAAAkMAAAAmAAUAAAAAAAAAAAABAAACaQAAACYAAAB3aWluZgAAAAAABQAAABVpbmZl" +
+        "AgAAAAABAABncmlkAAAAABVpbmZlAgAAAQACAABhdjAxAAAAABVpbmZlAgAAAQADAABhdjAxAAAAABVpbmZlAgAAAQAEAABhdjAx" +
+        "AAAAABVpbmZlAgAAAQAFAABhdjAxAAAAAH1pcHJwAAAATGlwY28AAAAUaXNwZQAAAAAAAABkAAAAWgAAABBwaXhpAAAAAAMICAgA" +
+        "AAAMYXYxQ4EEDAAAAAAUaXNwZQAAAAAAAABAAAAAMAAAAClpcG1hAAAAAAAAAAUAAQKBggACAoOEAAMCg4QABAKDhAAFAoOEAAAA" +
+        "IGlyZWYAAAAAAAAAFGRpbWcAAQAEAAIAAwAEAAUAAAAQaWRhdAAAAQEAZABaAAAAoG1kYXQSAAoKAAAAAq/3r/8QCDIWEACAAABL" +
+        "F8qT7r+DTmlqVemNJKKvixIACgoAAAACr/ev/xAIMhYQAIAAAEsP+R9sFaj5QCrXrKrIugKkEgAKCgAAAAKv96//EAgyFhAAgAAA" +
+        "SxfEmyOv4M/Bp4UuzN01FtQSAAoKAAAAAq/3r/8QCDIWEACAAABLD8YJ1rBWo+Y+/l6yqqnl9A=="
+      val heicBait =
+        "AAAAHGZ0eXBoZWljAAAAAG1pZjFoZWljbWlhZgAAAa1tZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAACAAAAEGlkYXQAAAAAAEAAMAAAADhpbG9jAQAAAERAAAIAAQAAAAAAAAHRAAEAAAAAAAAKoQACAAEAAAAAAAAA" +
+        "AQAAAAAAAAAIAAAAOGlpbmYAAAAAAAIAAAAVaW5mZQIAAAEAAQAAaHZjMQAAAAAVaW5mZQIAAAAAAgAAZ3JpZAAAAADYaXBycAAA" +
+        "ALZpcGNvAAAAdmh2Y0MBA3AAAAAAAAAAAAAe8AD8/fj4AAAPAyAAAQAYQAEMAf//A3AAAAMAkAAAAwAAAwAeugJAIQABACpCAQED" +
+        "cAAAAwCQAAADAAADAB6gIIEFlurkprm4EBAwIAAAAwAgAAADACEiAAEABkQBwXPAiQAAABRpc3BlAAAAAAAAAEAAAABAAAAAFGlz" +
+        "cGUAAAAAAAAAQAAAADAAAAAQcGl4aQAAAAADCAgIAAAAGmlwbWEAAAAAAAAAAgABAoECAAICA4QAAAAaaXJlZgAAAAAAAAAOZGlt" +
+        "ZwACAAEAAQAACqltZGF0AAAKnSgBrwngIzQDbX+v+252fyPD8+4ZXOtkE9jPLbDPpddx8lSkYyN9GIDvfwqyXkJfankeJ+rkV9aG" +
+        "SmI3UP8yDoZ+88DIyOVs+pVXDar6uWGSzoT0ONPva1TJa9EekDcYh5SCk/Xq/G7AKWAYLNZdPqXC/PrlyY2bQarj6sRlXqoGnTBU" +
+        "nxPvgBwERUGpY4JvDWKbV93d4n/ba2MFvqPQnU5eXX2ezpATJ4p5Vr24h9zQJDtA7JDVvilQk1h0TjJUZmfyrOIteJg4I5nud2SS" +
+        "JRD9UX4CjuZD09CtK7X3HqPd43yUr1VJ3v1fxItNICcWOIolCYmE1yx6lJifst83cOEd1dQ+szlySo/PVVWp7LwVfGyl1JIIFDse" +
+        "91ZLsmIJznWq4cc8FnypJKXWByxTclmIZOR4mZ5By4pYXK9RF1oOFRq9AojTAznNTVfeOQOvi4dDVPvi9PUz7CW/KFxntKbUSDgn" +
+        "vLqe4gbClu2rftAehxL0UiVpRHEPHfQrIaZeM67Qcu92zOEWMxvcTrDEg+BxgcR+WC4ElzBdOxsJfTeoOcl8xwtCmqy5TzUmjOVG" +
+        "drf1dumM+SLTeNkWcmWCkYx60nMWJZTa82th8j9oye9+xsUyovA1pT/zuB0XZy5fB7rNwQofI8Ddt55Zsl4rB92WLH2BKEbI6hSp" +
+        "Mw3WojG9a41ZwYzG7c6guxu5Kz2ep4uY/02itEoXwMJcBtDHjhmpJzGYw27sZIk3h7f607OR64dCG2Eaye/P51cK+Cy7sRrmWd0/" +
+        "kyYOIrU7aDRYF2p/0MkD3XBo/Wy1S+m0wwyJlKrjxQagxM+O39O0lh3cNapLwpvxBz7HhrKFOPQ7upuVBemTXU0RTaMYGnYeQP2o" +
+        "B6t0c+mdBCdRoF+ZKlpaQrDDRnEfmnIo+EBcu72etcsJe06AhYdMgLFhM3UJwvE04EZk/qLF+xqZp2CZ+r4+GfID/8kU0W6o4GaT" +
+        "PEcHW+qfkOcMgJT+Ry8C8SGHMhjhkXBiY4KaPQdpuyO87yudm2wSScSOiUqvOW9DJ2zEjSxrMc/CbZ2onhyDOri3cnX1aSGITJJB" +
+        "S3jzz7stA4OxuFOdXu2CL1vP7dBsJKVPVJluz2WAA6iOn3RVzGYLdA4xtGwZhUDj+ia/mcET+uPiA5fiZ0eUXu8Yha67j3QXNAqn" +
+        "O0PNdG6JeVwJlVk5ejps+V/iskiq2GSbpqMgldYtqKnT2gc1RDgc/Ycj06P+kRu3t01SGLSf1EG6r7gXY+w2CsjxgH/LJdTI8crS" +
+        "B7wXKyoZOsvNoBXWU9Jwx+Wvd14+xS2cbsbDDtg2rFj5R1lsyUeg3VkeYJcjj7kCwEXSfnJwm5lZS6ewQvOdhFqWW2mTJl9qmKN0" +
+        "auARQP1JRRzzK0LNLcGO7olzc361Ire7VsmNvGGHCLhq/GihcjAf0K3J40LVyyKztKOI6k3oiHaXP1cjOseCaX75ZixNT0qSVZ62" +
+        "GGfufzsmhAuy1zXfU1RLHXifrd52KPuu7UMZwpuFyvPJ2jqVYXnLAUy91remsSZOdnxJLsHXV8CprnTceZbUyuwkf3Xu819I9bBP" +
+        "d/RhBvoILY1P12nkyTxNSuqHAGCwFMp/jeqQ4dAPcNsEPdmP29L4VYnVlgjdAEe8NgSu6sRNvW8BK6WQ9hOTCdPz+/7qIf9h7ptC" +
+        "iHjT5zO5Wonc6ERAcE0h4yrqIY+HGiAca0vW5l/BtK/iSlHl7LINDIPlqh+0q/B4djca3Kmu7URPo4ITYJGQ6PWkAOWBh1ea6J3O" +
+        "3oM9eJEhaOESp7myMCt04wr/q2tTRD7ViiMNDaCSdhvyv7U0JoIuG4hd816KVC/yrjztlWmI0daMcVw50jUGgrJxOI+mQSr9BiW7" +
+        "tSLjFkGST2D67N7eqfF/0SuuV1Js48pBg8CbYCbV8ir5JNJHfmC8VOH6MashT/OeDSdfdvDt/VYv/AC95Hg4amW3upPh7LIuega4" +
+        "k4FzL6zg+GNnAiruxE5fv+zfLouLwFv9pNZa8h+rZNy6a8Ar4R9kOBt3/MGRGb+jaLZtSDMONbZ/5HLBW6aPpBWzqVGVkK+OYLg0" +
+        "nihsUcGVoudQcuWVw5VOQGzOmiKyvMmUp5bCG6n6ExjEP4UugmQSFMeMmowj1hAWzRfc6+V/sV4Ua6U7cOAGZD4N6+tvfP1GwkmI" +
+        "N8wB4cByOCXthTKjn1sTI+pqCL732JlpaJb9y9h7yhqh2zES0py0t/7jdAN5yFTJ2O4TTuycPe/RAQWDG0u2A8f9HeCAn0lPJyl6" +
+        "dA0zZRVsZxt+5+f0egfRXNXzR93JAUr8oZ6kuNQFfwmpZ1OF1zvfDacbU+upLwm9U6ZzVLA2WfJjBN81mWppuf1uWUVfldIVy+DN" +
+        "kzX4J/XmJpDNPcNRiw/d4wEcE1oluNURrTPJDcO83RUyFKqtr1vj4MQcZGrLpkCrlbCUR5UQnV7+4YOQuAuOucHF27gIcjeaPCRG" +
+        "uhpRbgBeD8AWz+nWpD+CTbcfWyl6lbo+GMPMI4vnUrFWciySz2vgai/MXY3qIZJOi5KW/KM0EZOzHZMDGDoXmeM3A/LtGnKJToq2" +
+        "w1NVM6mzhx8V7v8vrxFrH4t/SW0husaDS92WQACa0ChwGhIpiPau2A8RECKqe+IJHM0ngfXxBpDICY7kuzMFAGLGQ20XppBBjdav" +
+        "UvmOaUhG7Dwn9bsJAOVUqX7uUovQ2+20OgDbyrZ0Bph6nYRM1CUp2mPGhmO4vgDPKusXEGoEzZ6Tt8ypcaZHnq3w9dwTRDZGdB81" +
+        "QV7jXr4rUBCjDaRgAQ0I7iS0VlgsZdAcfpyBXasSYo4BZ6aB3hIY6fyKo0pY+Tq0hDqrQhXGNOryf1wuqSnoQfHqAmQL/UOYMLRn" +
+        "/pQy5Eh6N8nS9fji3M2b2j0je+O2FYcBsHHGV0UnycNI4+uhfP5c5SdR1CN4FYKh9gw7CIF66X5TXJNmxsyWEM0z3dPdNubfitQr" +
+        "E7xImbedfXlp18meb+ZxENhCLTDqHE1OYpYWuJ9clKciLZ+NuxdK/ms/EDXNc5+btkEnfXkVaOWuaXA/sICvSwXYghEeVPQzOo5Z" +
+        "WIFSOcBFDUE8bxlrzcofoYVegzHWrqf3z4ysVTU2bu/2RP95B4zGeZrQsfiEjy730iUv5Mo2mpSf0afTBD1wqFMmGsPhLVBgEoKe" +
+        "nc1UwJ62i3Bwxoty2YbwMytpBPYoieAwBcjAl5eDDTWvgClXuhMGLast9XjUUtqXZqPu3TdBw7fbm5HJHroT3kJvpKEzXGJK0MJz" +
+        "iUKRkgNwGefh7mv20tj4ydg/j2FdfrGxXW85JP2g4AWH4cx0fMxmBS0guJZQ1xEyzH26KlL1Vzr3gThNEP3Ws3B9tS2OMCM6KYua" +
+        "d0g9XPgqdIQh892RzvmgYbcyXaGboKzC2fBZovHZpainNN3atfRb1fp0KAAW8yApiLQ2qGK42Q74xr9veHc+oHTGk0LvG3nsgjx5" +
+        "GQFwo00gK/y1y9GS1rk8LInrCmhw75iW+Q9ddNseSyAXAARJQ7gqc54G3TGYrReDJra6askcLekxV+EYeq7C0qwwTTU+jAalGncc" +
+        "k9bGSXEIMlAhi3Rs9M3DYmZVnNEYv2p32B++rO+k/cXcyuLg"
+      val rows = Seq(("avif_rgb_64x48", rgb64), ("avif_alpha_48x48", alpha48),
+        ("avif_odd_33x17", odd33), ("avif_grid_100x90", grid100),
+        ("heic_bait", heicBait), ("truncated", grid100.substring(0, 120)))
+      s.createDataset(rows).repartition(rows.size)
+        .map { case (name, b64) =>
+          try {
+            val d = graft.sources.Heif.decodePrimary(java.util.Base64.getDecoder.decode(b64))
+            def q(fx: Int, fy: Int): Long =
+              d.rgb((fy * d.height / 4) * d.width + fx * d.width / 4).toLong & 0xffffffffL
+            (name, d.width, d.height, d.hasAlpha, q(1, 1), q(3, 1), q(1, 3), q(3, 3), "ok")
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              val why = if (e.getMessage != null && e.getMessage.contains("hvc1")) "refused:hevc" else "refused"
+              (name, -1, -1, false, 0L, 0L, 0L, 0L, why)
+          }
+        }
+        .toDF("name", "width", "height", "alpha", "q1", "q2", "q3", "q4", "status")
+        .orderBy("name")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('avif_alpha_48x48', 48, 48, true, 3894629314, 2594599563, 2964651957, 3981181029, 'ok'),
+        ('avif_grid_100x90', 100, 90, false, 4294836224, 4278255361, 4278190335, 4294967040, 'ok'),
+        ('avif_odd_33x17', 33, 17, false, 4285344568, 4283915629, 4278203136, 4287664497, 'ok'),
+        ('avif_rgb_64x48', 64, 48, false, 4289272749, 4288836451, 4294955704, 4282122817, 'ok'),
+        ('heic_bait', -1, -1, false, 0, 0, 0, 0, 'refused:hevc'),
+        ('truncated', -1, -1, false, 0, 0, 0, 0, 'refused')
+      ) AS t(name, width, height, alpha, q1, q2, q3, q4, status)
+      ORDER BY name
+    """.trim)
+  )
+
+  /** AVIF → PDQ end-to-end gate: six hand-muxed grid AVIFs (LOSSLESS
+    * libaom flat tiles at planted YUV colors, varied grid shapes incl.
+    * cropped outputs) decode through the full container+AV1 path into
+    * [[Media.pdqHashes]]; the DuckDB oracle re-synthesizes every pixel
+    * from the planted-color formula (lossless tiles round-trip exactly)
+    * through the engine-documented BT.601 transform and the shared
+    * PDQ SQL replay — one flipped bit anywhere in iloc walking, grid
+    * composition, AV1 reconstruction or the hash chain fails the gate. */
+  val mediaAvifPdq: QueryDef = QueryDef(
+    "media_avif_pdq",
+    (s, dir) => {
+      import s.implicits._
+      val blobs = Seq(
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAdNtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAdGlsb2MBAAAAREAABQABAAEAAAAAAAAAAQAAAAAAAAAIAAIAAAAAAAAAAAABAAAB9wAAACYAAwAAAAAA" +
+        "AAAAAAEAAAIdAAAAJQAEAAAAAAAAAAAAAQAAAkIAAAAmAAUAAAAAAAAAAAABAAACaAAAACQAAAB3aWluZgAAAAAABQAAABVpbmZl" +
+        "AgAAAAABAABncmlkAAAAABVpbmZlAgAAAQACAABhdjAxAAAAABVpbmZlAgAAAQADAABhdjAxAAAAABVpbmZlAgAAAQAEAABhdjAx" +
+        "AAAAABVpbmZlAgAAAQAFAABhdjAxAAAAAH1pcHJwAAAATGlwY28AAAAUaXNwZQAAAAAAAACAAAAAYAAAABBwaXhpAAAAAAMICAgA" +
+        "AAAMYXYxQ4EEDAAAAAAUaXNwZQAAAAAAAABAAAAAMAAAAClpcG1hAAAAAAAAAAUAAQKBggACAoOEAAMCg4QABAKDhAAFAoOEAAAA" +
+        "IGlyZWYAAAAAAAAAFGRpbWcAAQAEAAIAAwAEAAUAAAAQaWRhdAAAAQEAgABgAAAAnW1kYXQSAAoKAAAAAq/3r/8QCDIWEACAAABL" +
+        "F8QEWq/g05nbMl6Y0tO4lxIACgoAAAACr/ev/xAIMhUQAIAAAEsXzCYGv4NOYHDlemNJZ3kSAAoKAAAAAq/3r/8QCDIWEACAAABL" +
+        "F9j5Cv4NOjVAXpjSSl2RQBIACgoAAAACr/ev/xAIMhQQAIAAAEsCNdj5zM3kK9FCwpQsfg==",
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAdNtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAdGlsb2MBAAAAREAABQABAAEAAAAAAAAAAQAAAAAAAAAIAAIAAAAAAAAAAAABAAAB9wAAACYAAwAAAAAA" +
+        "AAAAAAEAAAIdAAAAJQAEAAAAAAAAAAAAAQAAAkIAAAAmAAUAAAAAAAAAAAABAAACaAAAACcAAAB3aWluZgAAAAAABQAAABVpbmZl" +
+        "AgAAAAABAABncmlkAAAAABVpbmZlAgAAAQACAABhdjAxAAAAABVpbmZlAgAAAQADAABhdjAxAAAAABVpbmZlAgAAAQAEAABhdjAx" +
+        "AAAAABVpbmZlAgAAAQAFAABhdjAxAAAAAH1pcHJwAAAATGlwY28AAAAUaXNwZQAAAAAAAABkAAAAWgAAABBwaXhpAAAAAAMICAgA" +
+        "AAAMYXYxQ4EEDAAAAAAUaXNwZQAAAAAAAABAAAAAMAAAAClpcG1hAAAAAAAAAAUAAQKBggACAoOEAAMCg4QABAKDhAAFAoOEAAAA" +
+        "IGlyZWYAAAAAAAAAFGRpbWcAAQAEAAIAAwAEAAUAAAAQaWRhdAAAAQEAZABaAAAAoG1kYXQSAAoKAAAAAq/3r/8QCDIWEACAAABL" +
+        "F8g4yr+DTnSW9emNJKtRZBIACgoAAAACr/ev/xAIMhUQAIAAAEsX57psFakCj5esqqmp5BQSAAoKAAAAAq/3r/8QCDIWEACAAABL" +
+        "D+TOLBWoEzIvrtm5XHSNcBIACgoAAAACr/ev/xAIMhcQAIAAAEsPyaMmwVqBK5kwu2blcUHMwA==",
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAjNtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAnGlsb2MBAAAAREAABwABAAEAAAAAAAAAAQAAAAAAAAAIAAIAAAAAAAAAAAABAAACVwAAACMAAwAAAAAA" +
+        "AAAAAAEAAAJ6AAAAJQAEAAAAAAAAAAAAAQAAAp8AAAAlAAUAAAAAAAAAAAABAAACxAAAACIABgAAAAAAAAAAAAEAAALmAAAAJQAH" +
+        "AAAAAAAAAAAAAQAAAwsAAAAkAAAAoWlpbmYAAAAAAAcAAAAVaW5mZQIAAAAAAQAAZ3JpZAAAAAAVaW5mZQIAAAEAAgAAYXYwMQAA" +
+        "AAAVaW5mZQIAAAEAAwAAYXYwMQAAAAAVaW5mZQIAAAEABAAAYXYwMQAAAAAVaW5mZQIAAAEABQAAYXYwMQAAAAAVaW5mZQIAAAEA" +
+        "BgAAYXYwMQAAAAAVaW5mZQIAAAEABwAAYXYwMQAAAACHaXBycAAAAExpcGNvAAAAFGlzcGUAAAAAAAAAQAAAAGAAAAAQcGl4aQAA" +
+        "AAADCAgIAAAADGF2MUOBBAwAAAAAFGlzcGUAAAAAAAAAIAAAACAAAAAzaXBtYQAAAAAAAAAHAAECgYIAAgKDhAADAoOEAAQCg4QA" +
+        "BQKDhAAGAoOEAAcCg4QAAAAkaXJlZgAAAAAAAAAYZGltZwABAAYAAgADAAQABQAGAAcAAAAQaWRhdAAAAgEAQABgAAAA4G1kYXQS" +
+        "AAoKAAAAAif+v/xAIDITEACAAABGey8s7dxCg/JiZYkigBIACgoAAAACJ/6//EAgMhUQAIAAAEcg01xz5mrcaIpv6R8lnXASAAoK" +
+        "AAAAAif+v/xAIDIVEACAAABHIMh5jvmatn5Dxv6SAzZQEgAKCgAAAAIn/r/8QCAyEhAAgAAxyXHxUp6DwoUexuK7gBIACgoAAAAC" +
+        "J/6//EAgMhUQAIAAAEcoN9pqteSSd2gGOZo4z1wSAAoKAAAAAif+v/xAIDIUEACAAABHKDZPDjXkbb2m5OprvK0=",
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAjNtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAnGlsb2MBAAAAREAABwABAAEAAAAAAAAAAQAAAAAAAAAIAAIAAAAAAAAAAAABAAACVwAAACUAAwAAAAAA" +
+        "AAAAAAEAAAJ8AAAAJQAEAAAAAAAAAAAAAQAAAqEAAAAlAAUAAAAAAAAAAAABAAACxgAAACUABgAAAAAAAAAAAAEAAALrAAAAJQAH" +
+        "AAAAAAAAAAAAAQAAAxAAAAAlAAAAoWlpbmYAAAAAAAcAAAAVaW5mZQIAAAAAAQAAZ3JpZAAAAAAVaW5mZQIAAAEAAgAAYXYwMQAA" +
+        "AAAVaW5mZQIAAAEAAwAAYXYwMQAAAAAVaW5mZQIAAAEABAAAYXYwMQAAAAAVaW5mZQIAAAEABQAAYXYwMQAAAAAVaW5mZQIAAAEA" +
+        "BgAAYXYwMQAAAAAVaW5mZQIAAAEABwAAYXYwMQAAAACHaXBycAAAAExpcGNvAAAAFGlzcGUAAAAAAAAAYAAAAEAAAAAQcGl4aQAA" +
+        "AAADCAgIAAAADGF2MUOBBAwAAAAAFGlzcGUAAAAAAAAAIAAAACAAAAAzaXBtYQAAAAAAAAAHAAECgYIAAgKDhAADAoOEAAQCg4QA" +
+        "BQKDhAAGAoOEAAcCg4QAAAAkaXJlZgAAAAAAAAAYZGltZwABAAYAAgADAAQABQAGAAcAAAAQaWRhdAAAAQIAYABAAAAA5m1kYXQS" +
+        "AAoKAAAAAif+v/xAIDIVEACAAABHIMYe+vmatlk55v6SCvbAEgAKCgAAAAIn/r/8QCAyFRAAgAAARyDMAWz5m1AH1YZaBJo78BIA" +
+        "CgoAAAACJ/6//EAgMhUQAIAAAEcoOHiPteSSVhF5jmaPA2ESAAoKAAAAAif+v/xAIDIVEACAAABHKDbtMzXkkrRVGOZo3DpMEgAK" +
+        "CgAAAAIn/r/8QCAyFRAAgAAARyg/h1rXkarWxm5OpuD3cBIACgoAAAACJ/6//EAgMhUQAIAAAEcoT2ejXkalkqQbk77uJSQ=",
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAXNtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAATGlsb2MBAAAAREAAAwABAAEAAAAAAAAAAQAAAAAAAAAIAAIAAAAAAAAAAAABAAABlwAAACcAAwAAAAAA" +
+        "AAAAAAEAAAG+AAAAJwAAAE1paW5mAAAAAAADAAAAFWluZmUCAAAAAAEAAGdyaWQAAAAAFWluZmUCAAABAAIAAGF2MDEAAAAAFWlu" +
+        "ZmUCAAABAAMAAGF2MDEAAAAAc2lwcnAAAABMaXBjbwAAABRpc3BlAAAAAAAAAIAAAABAAAAAEHBpeGkAAAAAAwgICAAAAAxhdjFD" +
+        "gQQMAAAAABRpc3BlAAAAAAAAAEAAAABAAAAAH2lwbWEAAAAAAAAAAwABAoGCAAICg4QAAwKDhAAAABxpcmVmAAAAAAAAABBkaW1n" +
+        "AAEAAgACAAMAAAAQaWRhdAAAAAEAgABAAAAAVm1kYXQSAAoKAAAAAq//r/8QCDIXEACAAABLD8YJ1rWvHUg7qy+swVP/InwSAAoK" +
+        "AAAAAq//r/8QCDIXEACAAABLF8T/qbUyGTUiwr6tU1AZqhA=",
+
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAXNtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAATGlsb2MBAAAAREAAAwABAAEAAAAAAAAAAQAAAAAAAAAIAAIAAAAAAAAAAAABAAABlwAAACcAAwAAAAAA" +
+        "AAAAAAEAAAG+AAAAJgAAAE1paW5mAAAAAAADAAAAFWluZmUCAAAAAAEAAGdyaWQAAAAAFWluZmUCAAABAAIAAGF2MDEAAAAAFWlu" +
+        "ZmUCAAABAAMAAGF2MDEAAAAAc2lwcnAAAABMaXBjbwAAABRpc3BlAAAAAAAAAEAAAACAAAAAEHBpeGkAAAAAAwgICAAAAAxhdjFD" +
+        "gQQMAAAAABRpc3BlAAAAAAAAAEAAAABAAAAAH2lwbWEAAAAAAAAAAwABAoGCAAICg4QAAwKDhAAAABxpcmVmAAAAAAAAABBkaW1n" +
+        "AAEAAgACAAMAAAAQaWRhdAAAAQAAQACAAAAAVW1kYXQSAAoKAAAAAq//r/8QCDIXEACAAABLF8QEWrUyGTuOuvq1TuVmMUASAAoK" +
+        "AAAAAq//r/8QCDIWEACAAABLF8wmBtTIWzb3L7h5zEWdyA==")
+      val items = s.createDataset(blobs.zipWithIndex)
+        .repartition(blobs.size)
+        .map { case (b, i) =>
+          Media.MediaItem(i.toLong, "avif", java.util.Base64.getDecoder.decode(b))
+        }
+      Media.pdqHashes(items, Media.autoPixelDecoder)
+        .toDF("id", "pdq_hex", "quality")
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH grids AS (SELECT * FROM (VALUES
+          (0, 2, 2, 64, 48, 128, 96), (1, 2, 2, 64, 48, 100, 90),
+          (2, 3, 2, 32, 32, 64, 96), (3, 2, 3, 32, 32, 96, 64),
+          (4, 1, 2, 64, 64, 128, 64), (5, 2, 1, 64, 64, 64, 128)
+        ) g(id, nr, nc, tw, th, w, h)),
+      tix AS (SELECT unnest(generate_series(0, 5)) AS ti),
+      tiles AS (
+        SELECT g.id, t.ti,
+          (30 + g.id * 40 + t.ti * 25) % 200 + 20 AS yv,
+          (g.id * 70 + t.ti * 50) % 256 AS uv,
+          (g.id * 90 + t.ti * 35 + 100) % 256 AS vv
+        FROM grids g JOIN tix t ON t.ti < g.nr * g.nc),
+      trgb AS (
+        SELECT id, ti,
+          LEAST(255, GREATEST(0, ((yv * 19077) // 256 + (vv * 26149) // 256 - 14234) // 64)) AS r,
+          LEAST(255, GREATEST(0, ((yv * 19077) // 256 - (uv * 6419) // 256 - (vv * 13320) // 256 + 8708) // 64)) AS gg,
+          LEAST(255, GREATEST(0, ((yv * 19077) // 256 + (uv * 33050) // 256 - 17685) // 64)) AS b
+        FROM tiles),
+      tl AS (SELECT id, ti, (299 * r + 587 * gg + 114 * b) // 1000 AS l FROM trgb),
+      axis AS (SELECT unnest(generate_series(0, 127)) AS v),
+      pix AS (
+        SELECT g.id, x.v AS x, y.v AS y, g.w, g.h, tl.l
+        FROM grids g
+        JOIN axis x ON x.v < g.w
+        JOIN axis y ON y.v < g.h
+        JOIN tl ON tl.id = g.id AND tl.ti = (y.v // g.th) * g.nc + (x.v // g.tw)),
+      $pdqChainCtes
+      SELECT h.id, h.pdq_hex, g2.quality
+      FROM hexs h JOIN grad g2 ON g2.id = h.id
+      ORDER BY h.id
+    """.trim)
+  )
+
   /** 7z extraction gate ([[graft.sources.SevenZ]]): a RUNTIME golden —
     * each task writes a REAL .7z with commons-compress's
     * SevenZOutputFile (Spark classpath; LZMA/LZMA2 via xz-java) over
@@ -7391,6 +7694,6 @@ object Pipeline {
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e, pipelineE2eSub,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaResize, imageStatsQ, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaWebpLossy, webmKeyframes, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ, audioDups,
-    mediaIndexClassify
+    mediaIndexClassify, mediaAvifDecode, mediaAvifPdq
   )
 }

@@ -25,10 +25,12 @@ import org.apache.spark.sql.Dataset
   * libheif's own API reports for REAL libheif/libaom-encoded .avif
   * and .heic fixtures (`tools/gen_heif_fixtures.py`).
   *
-  * Pixel DECODE is out of scope by design: AV1/HEVC intra decoding is
-  * a multi-thousand-line lift with no in-container golden for
-  * bit-exactness at the needed granularity — triage routes them
-  * today, the loud-refusal contract covers the rest. */
+  * Pixel decode ([[decodePrimary]]): av01 primaries — single item,
+  * grid-tiled, and alpha-aux — decode through the in-repo AV1 intra
+  * decoder ([[graft.operators.Av1Decoder]], bit-exact vs libdav1d per
+  * Av1DecoderSpec) with a deterministic BT.601 conversion; HEVC/VVC
+  * primaries refuse loudly by codec name (no encoder exists in this
+  * environment to produce a golden). */
 object Heif {
 
   final case class HeifFile(id: Long, bytes: Array[Byte])
@@ -190,6 +192,319 @@ object Heif {
     }
     val hasExif = itemTypes.valuesIterator.contains("Exif")
     HeifInfo(id, brand, codec, w, hgt, alpha, bitDepth, itemTypes.size, hasExif, null)
+  }
+
+  // ------------------------------------------------------- pixel decode
+
+  /** Decoded still image: packed 0xAARRGGBB pixels (alpha 0xff when the
+    * file has no alpha aux plane), engine-deterministic BT.601
+    * limited-range YUV→RGB with nearest-neighbor chroma (the same
+    * presentation convention as [[graft.operators.Vp8.yuvToRgb]]). */
+  final case class HeifPixels(width: Int, height: Int, rgb: Array[Int], hasAlpha: Boolean)
+
+  /** Decode the primary item of an AVIF (av01 codec, single or
+    * grid-tiled, optional alpha aux) to pixels via the in-repo AV1
+    * intra decoder ([[graft.operators.Av1Decoder]], bit-exact vs
+    * libdav1d). HEVC/VVC primaries refuse loudly by codec name. */
+  def decodePrimary(p: Array[Byte]): HeifPixels = {
+    @inline def u16(i: Int): Int = ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+    @inline def u32(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) | ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    @inline def fourcc(i: Int): String = new String(p, i, 4, "US-ASCII")
+
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var at = from
+      while (at + 8 <= until) {
+        var size = u32(at)
+        var hdr = 8
+        val typ = fourcc(at + 4)
+        if (size == 1) {
+          require(at + 16 <= until, "heif: truncated largesize box")
+          val ls = (u32(at + 8) << 32) | u32(at + 12)
+          require(ls >= 16 && ls <= Int.MaxValue, "heif: largesize out of range")
+          size = ls; hdr = 16
+        } else if (size == 0) size = until - at
+        require(size >= hdr && at + size <= until, s"heif: box '$typ' overruns container")
+        f(typ, at + hdr, at + size.toInt)
+        at += size.toInt
+      }
+    }
+
+    require(isHeif(p), "heif: not a HEIF/AVIF file (ftyp brand)")
+    var primary = -1L
+    val itemTypes = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+    val props = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    val assoc = scala.collection.mutable.HashMap.empty[Long, Seq[Int]]
+    val auxl = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val dimg = scala.collection.mutable.HashMap.empty[Long, Seq[Long]]
+    // itemId -> (constructionMethod, extents as (offset,len) pairs, baseOffset)
+    val iloc = scala.collection.mutable.HashMap.empty[Long, (Int, Long, Seq[(Long, Long)])]
+    var idatStart = -1
+
+    walk(0, p.length) {
+      case ("meta", ms, me) =>
+        walk(ms + 4, me) {
+          case ("pitm", s, _) =>
+            val v = p(s) & 0xff
+            primary = if (v == 0) u16(s + 4).toLong else u32(s + 4)
+          case ("idat", s, _) => idatStart = s
+          case ("iloc", s, _) =>
+            val v = p(s) & 0xff
+            var i = s + 4
+            val osz = (p(i) & 0xff) >> 4; val lsz = p(i) & 0x0f; i += 1
+            val bsz = (p(i) & 0xff) >> 4; val isz = p(i) & 0x0f; i += 1
+            val cnt = if (v < 2) { val x = u16(i); i += 2; x } else { val x = u32(i).toInt; i += 4; x }
+            def rd(n: Int): Long = {
+              var v2 = 0L
+              var k = 0
+              while (k < n) { v2 = (v2 << 8) | (p(i) & 0xffL); i += 1; k += 1 }
+              v2
+            }
+            var k = 0
+            while (k < cnt) {
+              val itemId = if (v < 2) { val x = u16(i); i += 2; x.toLong } else { val x = u32(i); i += 4; x }
+              var cm = 0
+              if (v == 1 || v == 2) { cm = u16(i) & 0x0f; i += 2 }
+              i += 2 // data_reference_index
+              val base = rd(bsz)
+              val ec = u16(i); i += 2
+              val exts = (0 until ec).map { _ =>
+                if ((v == 1 || v == 2) && isz > 0) rd(isz)
+                val off = rd(osz); val len = rd(lsz)
+                (off, len)
+              }
+              iloc(itemId) = (cm, base, exts)
+              k += 1
+            }
+          case ("iinf", s, e) =>
+            val v = p(s) & 0xff
+            val skip = if (v == 0) 2 else 4
+            walk(s + 4 + skip, e) {
+              case ("infe", is, _) =>
+                val iv = p(is) & 0xff
+                require(iv >= 2, s"heif: infe version $iv unsupported")
+                val itemId = if (iv == 2) u16(is + 4).toLong else u32(is + 4)
+                val typOff = if (iv == 2) is + 8 else is + 10
+                itemTypes(itemId) = fourcc(typOff)
+              case _ => ()
+            }
+          case ("iprp", s, e) =>
+            walk(s, e) {
+              case ("ipco", cs, ce) =>
+                walk(cs, ce)((t, ps, pe) => props += ((t, ps, pe)))
+              case ("ipma", ms2, _) =>
+                val v = p(ms2) & 0xff
+                val flags = u32(ms2) & 0xffffff
+                var at = ms2 + 4
+                val n = u32(at); at += 4
+                var k = 0L
+                while (k < n) {
+                  val itemId = if (v < 1) { val x = u16(at); at += 2; x.toLong }
+                               else { val x = u32(at); at += 4; x }
+                  val cnt = p(at) & 0xff; at += 1
+                  val ids = (0 until cnt).map { _ =>
+                    if ((flags & 1) != 0) { val x = u16(at) & 0x7fff; at += 2; x }
+                    else { val x = p(at) & 0x7f; at += 1; x }
+                  }
+                  assoc(itemId) = ids
+                  k += 1
+                }
+              case _ => ()
+            }
+          case ("iref", s, e) =>
+            val v = p(s) & 0xff
+            walk(s + 4, e) { (rt, rs, _) =>
+              val (from, base) =
+                if (v == 0) (u16(rs).toLong, rs + 2) else (u32(rs), rs + 4)
+              val cnt = u16(base)
+              val tos = (0 until cnt).map { j =>
+                if (v == 0) u16(base + 2 + 2 * j).toLong else u32(base + 2 + 4 * j)
+              }
+              if (rt == "auxl") auxl += ((from, tos))
+              if (rt == "dimg") dimg(from) = tos
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    require(primary >= 0, "heif: no primary item (pitm)")
+
+    def propsOf(item: Long): Seq[(String, Int, Int)] =
+      assoc.getOrElse(item, Seq.empty).flatMap(i => props.lift(i - 1))
+    def isAv01(item: Long): Boolean = propsOf(item).exists(_._1 == "av1C")
+
+    def itemBytes(item: Long): Array[Byte] = {
+      val (cm, base, exts) = iloc.getOrElse(item,
+        throw new IllegalArgumentException(s"heif: item $item has no iloc entry"))
+      val out = new java.io.ByteArrayOutputStream()
+      exts.foreach { case (off, len) =>
+        val from = cm match {
+          case 0 => base + off
+          case 1 =>
+            require(idatStart >= 0, "heif: construction_method=1 but no idat box")
+            idatStart + base + off
+          case m => throw new IllegalArgumentException(s"heif: iloc construction_method $m unsupported")
+        }
+        require(from >= 0 && from + len <= p.length && len >= 0, "heif: iloc extent out of range")
+        out.write(p, from.toInt, len.toInt)
+      }
+      out.toByteArray
+    }
+
+    /** Decode an av01 item: config OBUs from its av1C (if any) prepended
+      * to the item payload. */
+    def decodeAv01(item: Long): graft.operators.Av1Decoder.Decoded = {
+      require(isAv01(item), {
+        val c = propsOf(item).collectFirst {
+          case ("hvcC", _, _) => "hvc1 (HEVC)"
+          case ("vvcC", _, _) => "vvc1 (VVC)"
+        }.getOrElse(itemTypes.getOrElse(item, "unknown"))
+        s"heif: pixel decode for codec '$c' unsupported (av01 only)"
+      })
+      val cfg = propsOf(item).collectFirst { case ("av1C", s, e) if e - s > 4 =>
+        java.util.Arrays.copyOfRange(p, s + 4, e)
+      }
+      val data = itemBytes(item)
+      graft.operators.Av1Decoder.decode(cfg.fold(data)(c => c ++ data))
+    }
+
+    val ptype = itemTypes.getOrElse(primary, "")
+    // composed YUV planes + geometry
+    var width = 0; var height = 0
+    var subX = 0; var subY = 0; var mono = false
+    var planesY: Array[Byte] = null
+    var planesU: Array[Byte] = null
+    var planesV: Array[Byte] = null
+
+    def composeFrom(items: Seq[Long], gridW: Int, gridH: Int, cols: Int): Unit = {
+      val first = decodeAv01(items.head)
+      subX = first.subX; subY = first.subY; mono = first.monochrome
+      val tw = first.width; val th = first.height
+      width = if (gridW > 0) gridW else tw
+      height = if (gridH > 0) gridH else th
+      val outW = width; val outH = height
+      val cw = (outW + subX) >> subX; val ch = (outH + subY) >> subY
+      planesY = new Array[Byte](outW * outH)
+      if (!mono) { planesU = new Array[Byte](cw * ch); planesV = new Array[Byte](cw * ch) }
+      items.zipWithIndex.foreach { case (it, idx) =>
+        val d = if (idx == 0) first else decodeAv01(it)
+        require(d.width == tw && d.height == th, "heif: grid tiles differ in size")
+        require(d.subX == subX && d.subY == subY && d.monochrome == mono,
+          "heif: grid tiles differ in chroma format")
+        val r0 = (idx / cols) * th; val c0 = (idx % cols) * tw
+        // luma
+        var y = 0
+        while (y < th && r0 + y < outH) {
+          var x = 0
+          while (x < tw && c0 + x < outW) {
+            planesY((r0 + y) * outW + c0 + x) = d.planes(0)(y * tw + x)
+            x += 1
+          }
+          y += 1
+        }
+        if (!mono) {
+          val tcw = (tw + subX) >> subX; val tch = (th + subY) >> subY
+          val cr0 = r0 >> subY; val cc0 = c0 >> subX
+          var cy = 0
+          while (cy < tch && cr0 + cy < ch) {
+            var cx = 0
+            while (cx < tcw && cc0 + cx < cw) {
+              planesU((cr0 + cy) * cw + cc0 + cx) = d.planes(1)(cy * tcw + cx)
+              planesV((cr0 + cy) * cw + cc0 + cx) = d.planes(2)(cy * tcw + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+        }
+      }
+    }
+
+    if (ptype == "grid") {
+      val tiles = dimg.getOrElse(primary,
+        throw new IllegalArgumentException("heif: grid primary has no dimg tiles"))
+      val g = itemBytes(primary)
+      require(g.length >= 8, "heif: truncated grid descriptor")
+      val flags = g(1) & 0xff
+      val rows = (g(2) & 0xff) + 1
+      val cols = (g(3) & 0xff) + 1
+      val (ow, oh) =
+        if ((flags & 1) != 0)
+          (((g(4) & 0xff) << 24 | (g(5) & 0xff) << 16 | (g(6) & 0xff) << 8 | (g(7) & 0xff)),
+           ((g(8) & 0xff) << 24 | (g(9) & 0xff) << 16 | (g(10) & 0xff) << 8 | (g(11) & 0xff)))
+        else (((g(4) & 0xff) << 8) | (g(5) & 0xff), ((g(6) & 0xff) << 8) | (g(7) & 0xff))
+      require(tiles.size == rows * cols,
+        s"heif: grid ${rows}x$cols expects ${rows * cols} tiles, has ${tiles.size}")
+      composeFrom(tiles, ow, oh, cols)
+    } else {
+      composeFrom(Seq(primary), -1, -1, 1)
+    }
+
+    // alpha: an auxl item targeting the primary (or its tiles)
+    val family = primary +: dimg.getOrElse(primary, Seq.empty)
+    val alphaItem = auxl.collectFirst {
+      case (from, tos) if tos.exists(family.contains) && isAv01(from) => from
+    }
+    val alphaPlane: Array[Byte] = alphaItem.map { ai =>
+      if (dimg.contains(ai)) {
+        // alpha grid mirrors the color grid geometry
+        val sub = new Array[Byte](width * height)
+        val tiles = dimg(ai)
+        val first = decodeAv01(tiles.head)
+        val tw = first.width; val th = first.height
+        val cols = math.max(1, (width + tw - 1) / tw)
+        tiles.zipWithIndex.foreach { case (it, idx) =>
+          val d = if (idx == 0) first else decodeAv01(it)
+          val r0 = (idx / cols) * th; val c0 = (idx % cols) * tw
+          var y = 0
+          while (y < d.height && r0 + y < height) {
+            var x = 0
+            while (x < d.width && c0 + x < width) {
+              sub((r0 + y) * width + c0 + x) = d.planes(0)(y * d.width + x)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        sub
+      } else {
+        val d = decodeAv01(ai)
+        require(d.width == width && d.height == height, "heif: alpha plane dims differ")
+        d.planes(0)
+      }
+    }.orNull
+
+    // deterministic BT.601 limited-range conversion, nearest chroma
+    val rgb = new Array[Int](width * height)
+    val cw = (width + subX) >> subX
+    @inline def clip(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    var yy = 0
+    while (yy < height) {
+      var xx = 0
+      while (xx < width) {
+        val yv = planesY(yy * width + xx) & 0xff
+        val a = if (alphaPlane != null) alphaPlane(yy * width + xx) & 0xff else 0xff
+        val (rr, gg, bb) =
+          if (mono) {
+            // monochrome: neutral chroma (128) through the same transform
+            val yS = (yv * 19077) >> 8
+            val v0 = clip((yS + ((128 * 26149) >> 8) - 14234) >> 6)
+            val v1 = clip((yS - ((128 * 6419) >> 8) - ((128 * 13320) >> 8) + 8708) >> 6)
+            val v2 = clip((yS + ((128 * 33050) >> 8) - 17685) >> 6)
+            (v0, v1, v2)
+          } else {
+            val uv = planesU((yy >> subY) * cw + (xx >> subX)) & 0xff
+            val vv = planesV((yy >> subY) * cw + (xx >> subX)) & 0xff
+            val yS = (yv * 19077) >> 8
+            (clip((yS + ((vv * 26149) >> 8) - 14234) >> 6),
+             clip((yS - ((uv * 6419) >> 8) - ((vv * 13320) >> 8) + 8708) >> 6),
+             clip((yS + ((uv * 33050) >> 8) - 17685) >> 6))
+          }
+        rgb(yy * width + xx) = (a << 24) | (rr << 16) | (gg << 8) | bb
+        xx += 1
+      }
+      yy += 1
+    }
+    HeifPixels(width, height, rgb, alphaPlane != null)
   }
 
   /** Map-only triage; corrupt files quarantine to a marker row under

@@ -1059,6 +1059,11 @@ object Drive {
       println(s"triage: brand=${t.brand} codec=${t.codec} ${t.width}x${t.height} alpha=${t.alpha}")
       try { graft.sources.Heif.triage(2L, Array.fill(64)(0x42.toByte)); println("UNEXPECTED") }
       catch { case e: IllegalArgumentException => println(s"caught non-heif: ${e.getMessage}") }
+      // pixel decode: the same real AVIF through the in-repo AV1 decoder
+      val d = graft.sources.Heif.decodePrimary(avif)
+      println(f"decode: ${d.width}%dx${d.height}%d alpha=${d.hasAlpha}%b px0=${d.rgb(0) & 0xffffff}%06x")
+      try { graft.sources.Heif.decodePrimary(java.util.Arrays.copyOf(avif, 90)); println("UNEXPECTED") }
+      catch { case e: Exception => println(s"caught truncated avif: ${e.getMessage}") }
     }
     locally {
       println("=== 7z: extraction via archive sniff + truncation refusal ===")

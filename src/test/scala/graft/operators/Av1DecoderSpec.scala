@@ -55,6 +55,12 @@ class Av1DecoderSpec extends AnyFunSuite {
     }
   }
 
+  // a REAL libheif/libaom AVIF av01 item (filter-intra enabled at the
+  // sequence level — the default for the AVIF ecosystem's encoder)
+  test("libheif AVIF item fi_photo64 (filter-intra) decodes bit-exactly vs libdav1d") {
+    check("fi_photo64")
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)

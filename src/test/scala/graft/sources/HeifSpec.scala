@@ -57,4 +57,54 @@ class HeifSpec extends AnyFunSuite {
       try Heif.triage(9, java.util.Arrays.copyOf(whole, cut))
       catch { case _: Exception => () }
   }
+
+  // ------------------------------------------------------- pixel decode
+
+  private def avif(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/avif/$name")
+    require(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("decodePrimary: real libheif AVIF (filter-intra) decodes to pixels") {
+    val d = Heif.decodePrimary(avif("avif_rgb_64x48.avif"))
+    assert(d.width == 64 && d.height == 48 && !d.hasAlpha)
+    // quadrant samples anchored on libdav1d's decode of the av01 item
+    // plus the engine's documented BT.601 transform (gen_avif_fixtures.py)
+    def q(fx: Int, fy: Int): Long = d.rgb((fy * 48 / 4) * 64 + fx * 64 / 4).toLong & 0xffffffffL
+    assert(q(1, 1) == 4289272749L && q(3, 3) == 4282122817L)
+  }
+
+  test("decodePrimary: alpha aux plane decodes and packs into bits 24-31") {
+    val d = Heif.decodePrimary(avif("avif_alpha_48x48.avif"))
+    assert(d.width == 48 && d.height == 48 && d.hasAlpha)
+    assert(d.rgb.exists(v => (v >>> 24) != 0xff), "alpha plane is non-trivial")
+  }
+
+  test("decodePrimary: grid-tiled AVIF composes tiles and crops to ispe dims") {
+    val d = Heif.decodePrimary(avif("avif_grid_100x90.avif"))
+    assert(d.width == 100 && d.height == 90)
+    // planted lossless solid tiles -> exact quadrant colors
+    def at(x: Int, y: Int): Long = d.rgb(y * 100 + x).toLong & 0xffffffffL
+    assert(at(25, 22) == 4294836224L) // tile 0: red-ish
+    assert(at(75, 22) == 4278255361L) // tile 1: green-ish
+    assert(at(25, 67) == 4278190335L) // tile 2: blue
+    assert(at(75, 67) == 4294967040L) // tile 3: yellow
+  }
+
+  test("decodePrimary: odd dims crop exactly") {
+    val d = Heif.decodePrimary(avif("avif_odd_33x17.avif"))
+    assert(d.width == 33 && d.height == 17)
+  }
+
+  test("decodePrimary: hvc1 primary refuses by codec name") {
+    val e = intercept[IllegalArgumentException](Heif.decodePrimary(fixture("rgb_64x48.heic")))
+    assert(e.getMessage.contains("hvc1"))
+  }
+
+  test("decodePrimary: truncations terminate with a refusal") {
+    val whole = avif("avif_grid_100x90.avif")
+    for (cut <- Seq(8, 30, 90, whole.length / 2, whole.length - 10))
+      intercept[Exception](Heif.decodePrimary(java.util.Arrays.copyOf(whole, cut)))
+  }
 }

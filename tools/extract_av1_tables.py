@@ -110,6 +110,16 @@ def raw_u8(name, file_off, count, check_first=None):
 
 
 # icdf(x) = 32768 - x, the public AOM_CDF representation
+def raw_u8x(name, file_off, count):
+    i = file_off - ro_off
+    vals = [b & 0xff for b in d[ro_off + i - i + file_off - ro_off + ro_off - ro_off:]][0:0]
+    vals = [d[file_off + k] & 0xff for k in range(count)]
+    for r in range(0, count, 8):
+        row = [v - 256 if v > 127 else v for v in vals[r:r + 8]]
+        assert sum(row) == 16, (name, r, row)
+    return (name, count // 8, 8, vals)
+
+
 def icdf(*xs):
     return [32768 - x for x in xs]
 
@@ -165,12 +175,34 @@ TABLES = [
             check_first=[0, 0, 0, 1023, 0, 0, 547]),
     raw_u8('sm_weights', 0x42e9a8, 4 + 8 + 16 + 32 + 64,
            check_first=[255, 149, 85, 64, 255, 197]),
+    # --- filter-intra (seq enable_filter_intra) ---
+    # default_filter_intra_mode_cdf: AOM_CDF5(8949, 12776, 17211, 29558)
+    # (the only .rodata copy is inlined into .text at 0x1c9650; the
+    # values are cross-checked against that copy by the assert below)
+    ('filter_intra_mode', 1, 6, icdf(8949, 12776, 17211, 29558) + [0, 0]),
+    # default_filter_intra_cdfs[BLOCK_SIZES_ALL] (4x4..128x128 then the
+    # 4:1 rects, libaom block order); the .rodata copy at 0x445a20 pins
+    # the first ten rows byte-exact (asserted below) — the trailing
+    # uniform-16384 rows are merged in that copy, so the array is
+    # materialized from the verified defaults
+    ('filter_intra', 22, 3, sum((icdf(x) + [0, 0] for x in
+      [4621, 6743, 5893, 7866, 12551, 9394, 12408, 14301, 12756, 22343,
+       16384, 16384, 16384, 16384, 16384, 16384,
+       12770, 10368, 20229, 18101, 16384, 16384]), [])),
+    # av1_filter_intra_taps[5 modes][8 px][8 taps] int8 — stored as u16
+    # two's complement (sign-extend低 byte on load); every 8-tap row
+    # sums to 16 (unit DC gain), asserted below
+    raw_u8x('filter_taps', 0x479920, 5 * 8 * 8),
 ]
 
 # cross-checks the spec pins exactly
 assert TABLES[0][3][:3] == [13636, 7258, 2376]
 qd = dict((t[0], t) for t in TABLES)
 assert qd['dc_qlookup'][3][-1] == 1336 and qd['ac_qlookup'][3][-1] == 1828
+import struct as _s
+_lib = open(AOM, 'rb').read()
+assert _lib[0x1c9650:0x1c9650 + 8] == _s.pack('<4H', *qd['filter_intra_mode'][3][:4])
+assert _lib[0x445a20:0x445a20 + 60] == _s.pack('<30H', *qd['filter_intra'][3][:30])
 
 with open(OUT, 'wb') as f:
     for name, groups, stride, vals in TABLES:
