@@ -29,7 +29,11 @@ object Scripts {
     "devanagari" -> "\\x{0900}-\\x{097F}",
     "han" -> "\\x{4E00}-\\x{9FFF}",
     "kana" -> "\\x{3040}-\\x{30FF}",
-    "hangul" -> "\\x{AC00}-\\x{D7AF}")
+    "hangul" -> "\\x{AC00}-\\x{D7AF}",
+    "thai" -> "\\x{0E00}-\\x{0E7F}",
+    "bengali" -> "\\x{0980}-\\x{09FF}",
+    "tamil" -> "\\x{0B80}-\\x{0BFF}",
+    "telugu" -> "\\x{0C00}-\\x{0C7F}")
 
   private def countExpr(t: Column, cls: String): Column =
     size(regexp_extract_all(t, lit(s"[$cls]"), lit(0)))
@@ -69,7 +73,11 @@ object Scripts {
       "de" -> Seq("der", "die", "und", "ist", "nicht"),
       "en" -> Seq("the", "a", "is", "and", "of"),
       "es" -> Seq("el", "la", "es", "y", "de"),
-      "fr" -> Seq("le", "la", "et", "est", "de")),
+      "fr" -> Seq("le", "la", "et", "est", "de"),
+      "it" -> Seq("che", "di", "il", "per", "sono"),
+      "nl" -> Seq("het", "een", "van", "niet", "zijn"),
+      "pt" -> Seq("que", "não", "uma", "para", "com"),
+      "vi" -> Seq("của", "và", "là", "không", "người")),
     "cyrillic" -> Seq(
       "bg" -> Seq("че", "това", "да", "се", "той"),
       "ru" -> Seq("и", "не", "это", "что", "он"),
@@ -80,7 +88,11 @@ object Scripts {
       "ur" -> Seq("میں", "سے", "کے", "کی", "ہے")),
     "greek" -> Seq("el" -> Seq("και", "το", "να", "της", "είναι")),
     "hebrew" -> Seq("he" -> Seq("של", "את", "על", "הוא", "זה")),
-    "devanagari" -> Seq("hi" -> Seq("है", "और", "के", "में", "की")))
+    "devanagari" -> Seq("hi" -> Seq("है", "और", "के", "में", "की")),
+    "thai" -> Seq("th" -> Seq("และ", "ที่", "ไม่", "ใน", "ของ")),
+    "bengali" -> Seq("bn" -> Seq("এবং", "এই", "না", "আমি", "তার")),
+    "tamil" -> Seq("ta" -> Seq("மற்றும்", "அது", "இல்லை", "என்", "வீடு")),
+    "telugu" -> Seq("te" -> Seq("మరియు", "అది", "కాదు", "నా", "ఇల్లు")))
 
   /** (id, script, pred_lang): [[detect]]'s routing plus per-family
     * marker argmax (ties to the family's first language). Unroutable

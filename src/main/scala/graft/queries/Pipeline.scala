@@ -5656,6 +5656,66 @@ object Pipeline {
     """.trim)
   )
 
+
+  /** zip METHOD-14 (LZMA) extraction gate: a RUNTIME golden — each task
+    * muxes a real APPNOTE 5.8 LZMA zip with the classpath xz-java
+    * encoder ([[graft.sources.Archives.encodeZipLzma]]), both
+    * size-bounded and end-of-stream-marker forms, then extracts with
+    * the from-scratch reader; the oracle replays the entry DEFINITIONS
+    * (md5 over the deterministic text). A bad properties-size field and
+    * a truncated archive must refuse. */
+  val archiveZipLzma: QueryDef = QueryDef(
+    "archive_zip_lzma",
+    (s, dir) => {
+      import s.implicits._
+      val variants = Seq("sized", "eos", "badprops", "truncated")
+      s.createDataset(variants).repartition(variants.size)
+        .flatMap { v =>
+          val gamma = (0 until 400).map(i => ('a' + (i * 31 + 7) % 26).toChar).mkString
+          val entries = Seq(
+            ("docs/alpha.txt", "alpha lzma doc [" + v + "]: " + "lorem ipsum dolor sit amet " * 40),
+            ("docs/beta.txt", "beta " * 50 + v),
+            ("docs/gamma.txt", gamma)).map { case (n, t) => (n, t.getBytes("UTF-8")) }
+          val zip0 = graft.sources.Archives.encodeZipLzma(entries, eos = v == "eos")
+          val zip = v match {
+            case "badprops" =>
+              val z = zip0.clone()
+              // the first entry's [9,20,5,0] version+props-size prefix
+              val at = z.indices.find(i => i + 3 < z.length &&
+                z(i) == 9 && z(i + 1) == 20 && z(i + 2) == 5 && z(i + 3) == 0).get
+              z(at + 2) = 4
+              z
+            case "truncated" => java.util.Arrays.copyOf(zip0, zip0.length - 30)
+            case _ => zip0
+          }
+          try graft.sources.Archives.zipEntries(zip, None).map { case (n, b) =>
+            val md = java.security.MessageDigest.getInstance("MD5").digest(b)
+            (v, n, md.map("%02x".format(_)).mkString, b.length, "ok")
+          }
+          catch {
+            case scala.util.control.NonFatal(_) => Seq((v, "", "", -1, "refused"))
+          }
+        }
+        .toDF("variant", "entry", "payload_md5", "n_bytes", "status")
+        .orderBy("variant", "entry")
+    },
+    Some("""
+      WITH v(variant) AS (SELECT unnest(['sized', 'eos'])),
+      g AS (SELECT string_agg(chr(CAST(97 + (i * 31 + 7) % 26 AS INT)), '' ORDER BY i) AS gamma
+            FROM generate_series(0, 399) t(i)),
+      entries AS (
+        SELECT v.variant, e.entry, e.body
+        FROM v CROSS JOIN g, LATERAL (VALUES
+          ('docs/alpha.txt', 'alpha lzma doc [' || v.variant || ']: ' || repeat('lorem ipsum dolor sit amet ', 40)),
+          ('docs/beta.txt', repeat('beta ', 50) || v.variant),
+          ('docs/gamma.txt', g.gamma)) e(entry, body))
+      SELECT variant, entry, md5(body) AS payload_md5, length(body) AS n_bytes, 'ok' AS status FROM entries
+      UNION ALL SELECT 'badprops', '', '', -1, 'refused'
+      UNION ALL SELECT 'truncated', '', '', -1, 'refused'
+      ORDER BY variant, entry
+    """.trim)
+  )
+
   /** HEIF/AVIF triage gate ([[graft.sources.Heif]]): five embedded
     * REAL libheif/libaom encodes (.avif and .heic, RGB + alpha + odd
     * dimensions — the .heic ones are grid-tiled like real camera
@@ -6230,7 +6290,7 @@ object Pipeline {
     "archive_pkg",
     (s, dir) => {
       import s.implicits._
-      val configs = Seq("deb", "cpio_newc", "cpio_crc", "cpio_odc", "corrupt")
+      val configs = Seq("deb", "cpio_newc", "cpio_crc", "cpio_odc", "rpm", "rpm_zstd", "corrupt")
       s.createDataset(configs).repartition(configs.size)
         .flatMap { cfg =>
           import org.apache.commons.compress.archivers.ar.{ArArchiveEntry, ArArchiveOutputStream}
@@ -6257,7 +6317,7 @@ object Pipeline {
                   val md = java.security.MessageDigest.getInstance("MD5").digest(b)
                   (cfg, n, md.map("%02x".format(_)).mkString, "ok")
                 }
-              case c if c.startsWith("cpio") || c == "corrupt" =>
+              case c if c.startsWith("cpio") || c.startsWith("rpm") || c == "corrupt" =>
                 val fmt = c match {
                   case "cpio_crc" => CpioConstants.FORMAT_NEW_CRC
                   case "cpio_odc" => CpioConstants.FORMAT_OLD_ASCII
@@ -6275,7 +6335,15 @@ object Pipeline {
                 w.close()
                 var bytes = bo.toByteArray
                 if (c == "corrupt") bytes = java.util.Arrays.copyOf(bytes, 90)
-                graft.sources.Packages.cpioEntries(bytes).map { case (n, b) =>
+                val entries2 =
+                  if (c.startsWith("rpm")) {
+                    // rpm outer framing: lead + sig/main headers + gzip or
+                    // zstd cpio payload, then the full rpm->cpio->text walk
+                    val comp = if (c == "rpm_zstd") "zstd" else "gzip"
+                    val rpm = graft.sources.Packages.encodeRpm("graft-demo-1.0", bytes, comp)
+                    graft.sources.Packages.rpmEntries(rpm)
+                  } else graft.sources.Packages.cpioEntries(bytes)
+                entries2.map { case (n, b) =>
                   val md = java.security.MessageDigest.getInstance("MD5").digest(b)
                   (cfg, n, md.map("%02x".format(_)).mkString, "ok")
                 }
@@ -6296,7 +6364,7 @@ object Pipeline {
         SELECT 'docs/one.txt' AS entry, md5('pkg one: ' || '$soup') AS payload_md5
         UNION ALL SELECT 'two.txt', md5('pkg two'))
       SELECT config, entry, payload_md5, 'ok' AS status
-      FROM (VALUES ('cpio_crc'), ('cpio_newc'), ('cpio_odc'), ('deb')) AS c(config)
+      FROM (VALUES ('cpio_crc'), ('cpio_newc'), ('cpio_odc'), ('deb'), ('rpm'), ('rpm_zstd')) AS c(config)
       CROSS JOIN e
       UNION ALL SELECT 'corrupt', '', '', 'refused'
       ORDER BY config, entry
@@ -7583,7 +7651,8 @@ object Pipeline {
     * ru/uk/bg, Arabic-script ar/fa/ur, Greek, Hebrew, Devanagari,
     * Latin de/en/es/fr) and the CJK character rules (hangul→ko,
     * kana→ja, han→ja-iff-kana-else-zh). Passages planted per-doc in
-    * 14 languages; the oracle REPLAYS the full scoring (script counts,
+    * 22 languages (incl. Thai/Bengali/Tamil/Telugu scripts and Latin
+    * it/nl/pt/vi); the oracle REPLAYS the full scoring (script counts,
     * marker argmax) in DuckDB rather than pinning labels. */
   val langIdRoutedGate: QueryDef = QueryDef(
     "lang_id_routed",
@@ -7602,11 +7671,19 @@ object Pipeline {
         "है और के में की घर",
         "的是了在他中文汉字",
         "これは日本語のテキストです",
-        "한국어 텍스트입니다 좋아요")
+        "한국어 텍스트입니다 좋아요",
+        "และ ที่ ไม่ ใน ของ บ้าน",
+        "এবং এই না আমি তার বাড়ি",
+        "மற்றும் அது இல்லை என் வீடு",
+        "మరియు అది కాదు నా ఇల్లు",
+        "của và là không người nhà",
+        "que não uma para com casa",
+        "che di il per sono casa",
+        "het een van niet zijn huis")
       val planted = tbl(s, dir, "documents")
         .filter(col("doc_id") < 280)
         .select(col("doc_id").as("id"),
-          element_at(typedLit(phrases), (col("doc_id") % 14).cast("int") + 1).as("text"))
+          element_at(typedLit(phrases), (col("doc_id") % 22).cast("int") + 1).as("text"))
       graft.operators.Scripts.langIdRouted(planted, "id", "text").orderBy("id")
     },
     Some {
@@ -7624,12 +7701,20 @@ object Pipeline {
         "है और के में की घर",
         "的是了在他中文汉字",
         "これは日本語のテキストです",
-        "한국어 텍스트입니다 좋아요")
+        "한국어 텍스트입니다 좋아요",
+        "และ ที่ ไม่ ใน ของ บ้าน",
+        "এবং এই না আমি তার বাড়ি",
+        "மற்றும் அது இல்லை என் வீடு",
+        "మరియు అది కాదు నా ఇల్లు",
+        "của và là không người nhà",
+        "que não uma para com casa",
+        "che di il per sono casa",
+        "het een van niet zijn huis")
       val lst = phrases.map(p => s"'$p'").mkString("[", ", ", "]")
       s"""
       WITH planted AS (
         SELECT doc_id AS id,
-          ($lst)[CAST(doc_id % 14 AS INT) + 1] AS text
+          ($lst)[CAST(doc_id % 22 AS INT) + 1] AS text
         FROM documents WHERE doc_id < 280)
       SELECT * FROM (
         ${graft.operators.Scripts.langIdRoutedSql("planted")}
@@ -7694,6 +7779,6 @@ object Pipeline {
     curationDispositions, decontaminate, deconBloom, deconBloomIdx, deconOverlap, curationFunnel, pipelineE2e, pipelineE2eSub,
     embedTopK, textEmbedTopK, hardNegativesQ, rrfFusion, embedAnn, embedNearDups, embedNearDupsSalted, embedRecall, embedIvf, embedIvfFit, embedIvfIdx, embedQuant, kcenterSeedsQ, embedPq, embedIvfPq, embedIvfPqIdx, semanticDedup, mediaMeta, mediaFrames, mediaPdqDups,
     mediaPdqCompute, mediaPdqComputeDups, mediaResize, imageStatsQ, mediaGifPdq, mediaAviPdq, mediaWebpAnimPdq, mediaMp4Pdq, mp4Meta, mediaOffsetAlign, mediaShotCuts, mediaKeyframes, mediaClipHash, mediaClipDups, mediaTmkScore, mediaJpegPdq, mediaJpegProgPdq, mediaTiffPdq, mediaTiffDeepPdq, mediaWebpPdq, mediaWebpLossy, webmKeyframes, mediaExifPdq, mediaPdqDihedral, audioFingerprintQ, audioDups,
-    mediaIndexClassify, mediaAvifDecode, mediaAvifPdq
+    mediaIndexClassify, mediaAvifDecode, mediaAvifPdq, archiveZipLzma
   )
 }

@@ -251,6 +251,24 @@ object Archives {
             inf.end()
             require(filled == usize, s"zip: entry '$name' short")
             buf
+          case 14 =>
+            // APPNOTE 5.8 LZMA: [2B SDK version][2B LE props size][props]
+            // then the raw LZMA stream; general-purpose bit 1 declares an
+            // end-of-stream marker (size then comes from the marker, not
+            // the directory). Decoded by synthesizing an .lzma alone
+            // header for the in-repo decoder, like the 7z LZMA coder.
+            require(comp.length >= 9, s"zip: truncated LZMA entry header in '$name'")
+            val propSize = (comp(2) & 0xff) | ((comp(3) & 0xff) << 8)
+            require(propSize == 5, s"zip: LZMA properties size $propSize != 5 in '$name'")
+            val eos = (flags & 0x2) != 0
+            val sz = if (eos) -1L else usize.toLong
+            val hdr = new Array[Byte](13)
+            System.arraycopy(comp, 4, hdr, 0, 5)
+            var i = 0
+            while (i < 8) { hdr(5 + i) = ((sz >>> (8 * i)) & 0xff).toByte; i += 1 }
+            val out = Xz.decompressAlone(hdr ++ java.util.Arrays.copyOfRange(comp, 9, comp.length))
+            require(out.length == usize, s"zip: LZMA entry '$name' size mismatch")
+            out
           case m => throw new IllegalArgumentException(s"zip: method $m unsupported in '$name'")
         }
         if (encrypted) {
@@ -270,6 +288,55 @@ object Archives {
       k += 1
     }
     out.toSeq
+  }
+
+  /** zip fixture encoder for METHOD 14 (LZMA) entries, APPNOTE 5.8:
+    * entry data = [2B SDK version][2B LE props size=5][5B props][raw
+    * LZMA stream], compressed with the classpath xz-java encoder (the
+    * .lzma alone header it writes is split into the props field). With
+    * `eos` the stream carries an end-of-stream marker and the
+    * general-purpose bit 1 is set (sizes then come from the marker). */
+  def encodeZipLzma(entries: Seq[(String, Array[Byte])], eos: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    val central = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Int, Int)]
+    val flags = if (eos) 2 else 0
+    entries.foreach { case (name, data) =>
+      val crc = { val c = new java.util.zip.CRC32(); c.update(data); c.getValue.toInt }
+      val alone = {
+        val b = new java.io.ByteArrayOutputStream()
+        val opts = new org.tukaani.xz.LZMA2Options()
+        val lz = new org.tukaani.xz.LZMAOutputStream(b, opts, if (eos) -1L else data.length.toLong)
+        lz.write(data); lz.finish()
+        b.toByteArray
+      }
+      val comp = new java.io.ByteArrayOutputStream()
+      comp.write(9); comp.write(20)      // SDK version 9.20
+      comp.write(5); comp.write(0)       // properties size
+      comp.write(alone, 0, 5)            // props byte + dict size
+      comp.write(alone, 13, alone.length - 13)
+      val cb = comp.toByteArray
+      val off = out.size()
+      val nb = name.getBytes("UTF-8")
+      le32(0x04034b50); le16(63); le16(flags); le16(14); le16(0); le16(0)
+      le32(crc); le32(cb.length); le32(data.length)
+      le16(nb.length); le16(0)
+      out.write(nb); out.write(cb)
+      central += ((name, crc, cb.length, data.length, off))
+    }
+    val cdAt = out.size()
+    central.foreach { case (name, crc, csize, usize, off) =>
+      val nb = name.getBytes("UTF-8")
+      le32(0x02014b50); le16(63); le16(63); le16(flags); le16(14); le16(0); le16(0)
+      le32(crc); le32(csize); le32(usize)
+      le16(nb.length); le16(0); le16(0); le16(0); le16(0); le32(0); le32(off)
+      out.write(nb)
+    }
+    val cdLen = out.size() - cdAt
+    le32(0x06054b50); le16(0); le16(0); le16(central.length); le16(central.length)
+    le32(cdLen); le32(cdAt); le16(0)
+    out.toByteArray
   }
 
   /** zip fixture encoder: store or raw-deflate per entry, CRC-32,

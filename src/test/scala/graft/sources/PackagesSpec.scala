@@ -116,4 +116,31 @@ class PackagesSpec extends AnyFunSuite {
     try Packages.cpioEntries(java.util.Arrays.copyOf(cp, cp.length - 3))
     catch { case _: Exception => () } // either way: terminates
   }
+
+  test("rpm outer framing: lead + headers + gzip/zstd cpio payload") {
+    val cp = writeCpio(CpioConstants.FORMAT_NEW, corpus)
+    for (comp <- Seq("gzip", "zstd")) {
+      val rpm = Packages.encodeRpm("graft-demo-1.0", cp, comp)
+      assert(Packages.isRpm(rpm))
+      val (name, c, payload) = Packages.rpmPayload(rpm)
+      assert(name == "graft-demo-1.0" && c == comp)
+      assert(java.util.Arrays.equals(payload, cp))
+      val got = Packages.rpmEntries(rpm)
+      assert(got.map(_._1) == corpus.map(_._1))
+      got.zip(corpus).foreach { case ((_, g), (_, want)) =>
+        assert(java.util.Arrays.equals(g, want))
+      }
+    }
+  }
+
+  test("rpm corruptions refuse loudly") {
+    val cp = writeCpio(CpioConstants.FORMAT_NEW, corpus)
+    val rpm = Packages.encodeRpm("x", cp)
+    // bad lead magic
+    val bad = rpm.clone(); bad(0) = 0x42
+    intercept[IllegalArgumentException](Packages.rpmPayload(bad))
+    // truncations terminate with a refusal
+    for (cut <- Seq(40, 95, 100, 140, rpm.length / 2))
+      intercept[Exception](Packages.rpmPayload(java.util.Arrays.copyOf(rpm, cut)))
+  }
 }
