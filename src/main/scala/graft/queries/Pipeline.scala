@@ -7388,15 +7388,21 @@ object Pipeline {
           val pages = Seq(
             Seq(s"Document $id", head),
             Seq(s"(page 2 of $id) with \\ specials", s"len=${text.length}"))
-          // r10 split: CID pages with an embedded /ToUnicode now EXTRACT
-          // (case 0); CID without it and custom /Differences encodings
-          // stay quarantined (1, 2); simple fonts extract as before (3)
-          val bytes = (id % 4) match {
+          // r10/r11 split: CID with /ToUnicode extracts (0); CID without
+          // it stays quarantined (1); a /Differences map whose glyphs the
+          // AGL subset cannot honestly name stays quarantined (2); an
+          // AGL-mappable /Differences REMAPS and extracts (3); plain
+          // simple fonts extract verbatim (4)
+          val bytes = (id % 5) match {
             case 0 => graft.sources.Pdf.encodePdfCid(pages)
             case 1 => graft.sources.Pdf.encodePdfCid(pages, withToUnicode = false)
             case 2 => graft.sources.Pdf.encodePdfText(pages,
               "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
                 "/Encoding << /Type /Encoding /Differences [ 65 /alpha ] >> >>")
+            case 3 => graft.sources.Pdf.encodePdfText(pages,
+              "<< /Type /Font /Subtype /Type1 /BaseFont /Remap " +
+                "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+                "/Differences [ 68 /zero /one 32 /underscore ] >> >>")
             case _ => graft.sources.Pdf.encodePdfText(pages)
           }
           graft.sources.Pdf.PdfDoc(id, bytes)
@@ -7409,12 +7415,18 @@ object Pipeline {
     },
     Some("""
       SELECT doc_id, page,
-        CASE WHEN doc_id % 4 IN (0, 3) THEN 'ok' ELSE 'quarantined' END AS status,
-        CASE WHEN doc_id % 4 IN (0, 3) THEN
+        CASE WHEN doc_id % 5 IN (0, 3, 4) THEN 'ok' ELSE 'quarantined' END AS status,
+        CASE WHEN doc_id % 5 IN (0, 4) THEN
           CASE page
             WHEN 0 THEN 'Document ' || doc_id || chr(10) || substring(text, 1, 120)
             ELSE '(page 2 of ' || doc_id || ') with \ specials' || chr(10) || 'len=' || length(text)
           END
+        WHEN doc_id % 5 = 3 THEN
+          -- the /Differences remap: D->0, E->1, space->underscore
+          translate(CASE page
+            WHEN 0 THEN 'Document ' || doc_id || chr(10) || substring(text, 1, 120)
+            ELSE '(page 2 of ' || doc_id || ') with \ specials' || chr(10) || 'len=' || length(text)
+          END, 'DE ', '01_')
         END AS page_text
       FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS page)
       WHERE doc_id < 150 ORDER BY doc_id, page

@@ -251,6 +251,66 @@ object Pdf {
   private[sources] sealed trait FontDec
   private[sources] case object SimpleDec extends FontDec
   private[sources] final case class CidDec(tu: ToUnicode) extends FontDec
+  /** Simple font with an /Encoding</Differences> map: per-code glyph
+    * overrides on the Latin-1 base (null slot = base passthrough). */
+  private[sources] final case class DiffDec(map: Array[String]) extends FontDec
+
+  /** Adobe Glyph List subset: the glyph names that occur in real
+    * /Differences arrays for Latin text (AGL is a public Adobe spec);
+    * uniXXXX / uXXXX names resolve directly. Unknown names (e.g. the
+    * gNN subset-glyph ids) are NOT text and quarantine the page. */
+  private val Agl: Map[String, String] = {
+    val letters = (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c.toString)
+    val digits = Seq("zero", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine").zipWithIndex.map { case (n, i) => n -> i.toString }
+    val punct = Seq(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+      "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+      "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~",
+      "bullet" -> "•", "endash" -> "–", "emdash" -> "—",
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "ellipsis" -> "…", "fi" -> "ﬁ", "fl" -> "ﬂ",
+      "dagger" -> "†", "daggerdbl" -> "‡", "degree" -> "°",
+      "copyright" -> "©", "registered" -> "®", "trademark" -> "™",
+      "Euro" -> "€", "sterling" -> "£", "yen" -> "¥", "cent" -> "¢")
+    val accents = Seq(
+      "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â", "atilde" -> "ã",
+      "adieresis" -> "ä", "aring" -> "å", "ae" -> "æ", "ccedilla" -> "ç",
+      "egrave" -> "è", "eacute" -> "é", "ecircumflex" -> "ê", "edieresis" -> "ë",
+      "igrave" -> "ì", "iacute" -> "í", "icircumflex" -> "î", "idieresis" -> "ï",
+      "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó", "ocircumflex" -> "ô",
+      "otilde" -> "õ", "odieresis" -> "ö", "oslash" -> "ø", "ugrave" -> "ù",
+      "uacute" -> "ú", "ucircumflex" -> "û", "udieresis" -> "ü", "yacute" -> "ý",
+      "ydieresis" -> "ÿ", "szlig" -> "ß", "thorn" -> "þ", "eth" -> "ð",
+      "Agrave" -> "À", "Aacute" -> "Á", "Adieresis" -> "Ä", "Ccedilla" -> "Ç",
+      "Egrave" -> "È", "Eacute" -> "É", "Ntilde" -> "Ñ", "Odieresis" -> "Ö",
+      "Udieresis" -> "Ü", "oe" -> "œ", "OE" -> "Œ")
+    (letters ++ digits ++ punct ++ accents).toMap
+  }
+
+  /** Glyph name → text, or Left(reason) when the name is not honestly
+    * mappable (gNN/cidNN subset ids, unrecognized names). */
+  private[sources] def glyphToText(name: String): Either[String, String] =
+    Agl.get(name).map(Right(_)).getOrElse {
+      if (name.startsWith("uni") && name.length >= 7 &&
+          name.drop(3).forall(c => Character.digit(c, 16) >= 0)) {
+        // uniXXXX(XXXX…): one or more BMP code points
+        val hex = name.drop(3)
+        if (hex.length % 4 == 0)
+          Right(hex.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString)
+        else Left(s"glyph /$name malformed")
+      } else if (name.length >= 5 && name.length <= 7 && name.startsWith("u") &&
+          name.drop(1).forall(c => Character.digit(c, 16) >= 0)) {
+        Right(new String(Character.toChars(Integer.parseInt(name.drop(1), 16))))
+      } else Left(s"glyph /$name not in the honest AGL subset")
+    }
 
   /** Extract each page's text from one PDF body; pages whose fonts the
     * Latin-1 mapping cannot honestly decode come back as quarantine
@@ -385,6 +445,37 @@ object Pdf {
         case Some(enc) =>
           val e = resolveDict(enc)
           if (stdEncodings.contains(e.trim)) Right(SimpleDec)
+          else if (e.trim.startsWith("<<")) {
+            // /Encoding dictionary: standard-or-absent /BaseEncoding plus a
+            // /Differences array ([code /name /name code /name ...]) mapped
+            // through the AGL subset; any unmappable glyph quarantines
+            val baseOk = dictValue(e, "BaseEncoding").map(_.trim).forall(stdEncodings.contains)
+            if (!baseOk) Left("font /Encoding with non-standard /BaseEncoding")
+            else dictValue(e, "Differences") match {
+              case None => Right(SimpleDec) // dict with only a BaseEncoding
+              case Some(diffArr) =>
+                val toks = diffArr.stripPrefix("[").stripSuffix("]").trim
+                  .split("(?=/)|\\s+").filter(_.nonEmpty)
+                val map = new Array[String](256)
+                var code = -1
+                var bad: String = null
+                toks.foreach { t =>
+                  if (bad == null) {
+                    if (t.startsWith("/")) {
+                      if (code < 0 || code > 255) bad = "malformed /Differences (name before code)"
+                      else glyphToText(t.drop(1)) match {
+                        case Right(txt) => map(code) = txt; code += 1
+                        case Left(why) => bad = why
+                      }
+                    } else t.toIntOption match {
+                      case Some(c) if c >= 0 && c <= 255 => code = c
+                      case _ => bad = s"malformed /Differences token '$t'"
+                    }
+                  }
+                }
+                if (bad != null) Left(bad) else Right(DiffDec(map))
+            }
+          }
           else Left(s"non-standard font /Encoding ${e.trim.take(40)}")
       }
     }
@@ -468,6 +559,11 @@ object Pdf {
     var active: FontDec = fonts.getOrElse("*", SimpleDec)
     def show(raw: String): String = active match {
       case SimpleDec => raw
+      case DiffDec(map) =>
+        raw.flatMap { ch =>
+          val m = map(ch & 0xff)
+          if (m != null) m else ch.toString
+        }
       case CidDec(tu) => tu.decode(raw)
     }
     def newline(): Unit = if (lineOpen) { out.append('\n'); lineOpen = false }

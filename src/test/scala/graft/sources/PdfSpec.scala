@@ -87,11 +87,25 @@ class PdfSpec extends SparkTestBase {
     assert(cidPages.length == 2)
     assert(cidPages.forall(p => p.text == null && p.quarantine.contains("Type0")),
       s"CID pages must quarantine, got $cidPages")
-    // custom /Differences encoding on a simple font — also unmappable
+    // custom /Differences whose glyphs the AGL subset cannot name — still
+    // quarantined (never mojibake)
     val diff = Pdf.encodePdfText(pages,
       "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
         "/Encoding << /Type /Encoding /Differences [ 65 /alpha /beta ] >> >>")
     assert(Pdf.extractPages(diff).forall(p => p.text == null && p.quarantine != null))
+    // an AGL-mappable /Differences REMAPS and extracts (r11): codes for
+    // D/E become 0/1 via /zero /one, space becomes /underscore
+    val remap = Pdf.encodePdfText(pages,
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Remap " +
+        "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [ 68 /zero /one 32 /underscore ] >> >>")
+    assert(Pdf.extractPages(remap).map(_.text) ==
+      pages.map(_.mkString("\n").map(c => c match {
+        case 'D' => '0'; case 'E' => '1'; case ' ' => '_'; case x => x
+      })))
+    // uniXXXX names resolve directly; gNN subset ids never do
+    assert(Pdf.glyphToText("uni20AC") == Right("\u20ac"))
+    assert(Pdf.glyphToText("g42").isLeft)
     // standard named encodings stay extractable
     val win = Pdf.encodePdfText(pages,
       "<< /Type /Font /Subtype /TrueType /BaseFont /Arial /Encoding /WinAnsiEncoding >>")
