@@ -133,7 +133,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     tileMiColEnd = math.min(fh.tileColStarts(tc + 1) * sb4, miCols)
     msac = new Av1Msac(data, start, end, !fh.disableCdfUpdate)
     cdfs = new Cdfs(qctx)
-    tr(s"tile $tr0/$tc bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} cdef=${fh.cdef.isDefined} flt=${fh.filterLevel.mkString(",")} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
+    tr(s"tile $tr0/$tc seqCdef=${sh.enableCdef} seqLr=${sh.enableRestoration} fi=${sh.enableFilterIntra} bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} cdef=${fh.cdef.isDefined} flt=${fh.filterLevel.mkString(",")} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
     currentQIndex = fh.baseQIdx
     var c = tileMiColStart
     while (c < tileMiColEnd) { abovePart(c) = 0; c += 1 }
@@ -358,6 +358,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     var angleY = 0
     if (yMode >= Av1Predict.V && yMode <= Av1Predict.D67 && bSize >= B8x8) {
       angleY = msac.decodeSymbol(cdfs.angleDelta, (yMode - Av1Predict.V) * 8, 7) - 3
+      tr(s"  angleY=$angleY")
     }
     require(!fh.allowScreenContentTools, "av1: screen-content tools (palette/intrabc) unsupported")
 
@@ -710,8 +711,8 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     val tw4 = TxW4(txSz)
     val th4 = TxH4(txSz)
     // above-right availability: unit diagonal at (pr-1, pc+tw4)
-    val numRight = if (haveAbove && isDec(pr - 1, pc + tw4)) th * 1 else 0
-    val numBelow = if (haveLeft && isDec(pr + th4, pc - 1)) tw * 1 else 0
+    val numRight = if (haveAbove && isDec(pr - 1, pc + tw4)) tw * 1 else 0
+    val numBelow = if (haveLeft && isDec(pr + th4, pc - 1)) th * 1 else 0
 
     // predict
     val predMode = if (mode == Av1Predict.UV_CFL) Av1Predict.DC else mode

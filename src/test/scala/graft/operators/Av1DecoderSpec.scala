@@ -61,6 +61,16 @@ class Av1DecoderSpec extends AnyFunSuite {
     check("fi_photo64")
   }
 
+  // r11 additions: a crafted 64x64 frame pinning the deep below-left
+  // edge availability for zone-3 directional prediction (D203 on split
+  // 8x4 txs beside a fully decoded 32x32 column), and a REAL aom
+  // slow-preset encode (AB partitions, HORZ_4/VERT_4, CfL, split txs)
+  for (name <- Seq("d203_deep64", "q50_noise64_slow")) {
+    test(s"edge-availability fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)
