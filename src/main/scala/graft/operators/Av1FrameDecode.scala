@@ -133,7 +133,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     tileMiColEnd = math.min(fh.tileColStarts(tc + 1) * sb4, miCols)
     msac = new Av1Msac(data, start, end, !fh.disableCdfUpdate)
     cdfs = new Cdfs(qctx)
-    tr(s"tile $tr0/$tc seqCdef=${sh.enableCdef} seqLr=${sh.enableRestoration} fi=${sh.enableFilterIntra} bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} cdef=${fh.cdef.isDefined} flt=${fh.filterLevel.mkString(",")} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
+    tr(s"tile $tr0/$tc seqCdef=${sh.enableCdef} seqLr=${sh.enableRestoration} fi=${sh.enableFilterIntra} bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} dqY=${fh.deltaQYDc} dqU=${fh.deltaQUDc}/${fh.deltaQUAc} dqV=${fh.deltaQVDc}/${fh.deltaQVAc} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} cdef=${fh.cdef.isDefined} flt=${fh.filterLevel.mkString(",")} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
     currentQIndex = fh.baseQIdx
     var c = tileMiColStart
     while (c < tileMiColEnd) { abovePart(c) = 0; c += 1 }
