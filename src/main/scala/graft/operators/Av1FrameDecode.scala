@@ -20,10 +20,14 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private val sb4 = if (sh.use128x128Superblock) 32 else 16 // sb size in 4px units
   private val sbSizeB = if (sh.use128x128Superblock) B128x128 else B64x64
 
-  // aligned plane buffers (Int pixels)
-  private val strideY = miCols * 4
+  // plane buffers aligned to the SUPERBLOCK grid: a block/tx in a
+  // partial edge superblock may legally extend past the mi-aligned
+  // area (its writes land in the off-frame margin and are cropped)
+  private val sbAlignedW = ((miCols + sb4 - 1) / sb4) * sb4 * 4
+  private val sbAlignedH = ((miRows + sb4 - 1) / sb4) * sb4 * 4
+  private val strideY = sbAlignedW
   private val planeW = Array(strideY, strideY >> subX, strideY >> subX)
-  private val planeH = Array(miRows * 4, (miRows * 4) >> subY, (miRows * 4) >> subY)
+  private val planeH = Array(sbAlignedH, sbAlignedH >> subY, sbAlignedH >> subY)
   private val planes = Array.tabulate(numPlanes)(p => new Array[Int](planeW(p) * planeH(p)))
 
   // per-mi mode state
@@ -74,13 +78,6 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private var residualTxType = 0 // tx type of the residual just read
 
   def run(): Decoded = {
-    // CDEF filtering is not implemented; a frame with any nonzero CDEF
-    // strength would decode to silently-wrong pixels — refuse loudly
-    // instead (all-zero strengths are a no-op and pass through)
-    fh.cdef.foreach { cd =>
-      require((cd.yPri ++ cd.ySec ++ cd.uvPri ++ cd.uvSec).forall(_ == 0),
-        "av1: nonzero CDEF strengths unsupported (filter not implemented)")
-    }
     val nCols = fh.tileColStarts.length - 1
     val nRows = fh.tileRowStarts.length - 1
     val nTiles = nCols * nRows
@@ -110,6 +107,19 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       tile += 1
     }
     if (!fh.codedLossless && fh.filterLevel.exists(_ > 0) && !sys.env.contains("AV1_NO_DEBLOCK")) deblockFrame()
+    fh.cdef.foreach { cd =>
+      val active = (cd.yPri ++ cd.ySec ++ cd.uvPri ++ cd.uvSec).exists(_ != 0)
+      if (active && !sys.env.contains("AV1_NO_CDEF")) {
+        // CDEF is pinned bit-exact against libdav1d for 64-aligned
+        // frames (Av1DecoderSpec cdef fixtures). Frames whose partial
+        // edge superblocks interact with the filter keep a small
+        // untraced divergence — refuse those loudly rather than emit
+        // near-miss pixels (the every-refusal-is-loud contract).
+        require(fh.width % 64 == 0 && fh.height % 64 == 0,
+          s"av1: CDEF on non-64-aligned frame ${fh.width}x${fh.height} unsupported")
+        cdefFrame(cd)
+      }
+    }
     // crop to visible size
     val out = Array.tabulate(numPlanes) { p =>
       val w = if (p == 0) fh.width else (fh.width + subX) >> subX
@@ -133,7 +143,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     tileMiColEnd = math.min(fh.tileColStarts(tc + 1) * sb4, miCols)
     msac = new Av1Msac(data, start, end, !fh.disableCdfUpdate)
     cdfs = new Cdfs(qctx)
-    tr(s"tile $tr0/$tc seqCdef=${sh.enableCdef} seqLr=${sh.enableRestoration} fi=${sh.enableFilterIntra} bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} dqY=${fh.deltaQYDc} dqU=${fh.deltaQUDc}/${fh.deltaQUAc} dqV=${fh.deltaQVDc}/${fh.deltaQVAc} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} cdef=${fh.cdef.isDefined} flt=${fh.filterLevel.mkString(",")} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
+    tr(s"tile $tr0/$tc seqCdef=${sh.enableCdef} seqLr=${sh.enableRestoration} fi=${sh.enableFilterIntra} bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} dqY=${fh.deltaQYDc} dqU=${fh.deltaQUDc}/${fh.deltaQUAc} dqV=${fh.deltaQVDc}/${fh.deltaQVAc} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} cdef=${fh.cdef.map(c => s"damp=${c.damping},bits=${c.bits},y=${c.yPri.mkString("|")}/${c.ySec.mkString("|")},uv=${c.uvPri.mkString("|")}/${c.uvSec.mkString("|")}").getOrElse("none")} flt=${fh.filterLevel.mkString(",")} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
     currentQIndex = fh.baseQIdx
     var c = tileMiColStart
     while (c < tileMiColEnd) { abovePart(c) = 0; c += 1 }
@@ -517,7 +527,8 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private def readCdef(r: Int, c: Int, skip: Boolean): Unit = {
     if (skip || fh.codedLossless || fh.cdef.isEmpty) return
     val cd = fh.cdef.get
-    if (cd.bits == 0) return
+    // bits == 0 reads nothing but still marks the unit's strength
+    // index as the (only) index 0 — the filter stage keys on it
     val stride = (miCols + 15) >> 4
     val idx = (r >> 4) * stride + (c >> 4)
     if (cdefIdx(idx) == -1) cdefIdx(idx) = msac.readLiteral(cd.bits)
@@ -636,6 +647,85 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         mc += 1
       }
       mr += 1
+    }
+  }
+
+  /** CDEF driver (spec 7.15.1): per 64x64 unit with a read strength
+    * index, filter every 8x8 whose 2x2 mi isn't all-skip — direction
+    * from the snapshot luma, luma primary strength variance-adjusted,
+    * chroma (4:2:0) 4x4 at damping-1 with the remapped direction. Reads
+    * plane snapshots, writes the live planes (CdefFrame semantics). */
+  private def cdefFrame(cd: Av1Headers.CdefParams): Unit = {
+    val snap = planes.map(_.clone())
+    val cuStride = (miCols + 15) >> 4
+    val cuRows = (miRows + 15) >> 4
+    val lw = planeW(0); val lh = planeH(0)
+    @inline def srcOf(p: Int): (Int, Int) => Int = {
+      val s = snap(p); val w = planeW(p)
+      // availability ends at the CODED (mi-aligned) frame
+      val cw2 = if (p == 0) miCols * 4 else (miCols * 4) >> subX
+      val ch2 = if (p == 0) miRows * 4 else (miRows * 4) >> subY
+      (y: Int, x: Int) => if (y < 0 || x < 0 || y >= ch2 || x >= cw2) Av1Cdef.Large else s(y * w + x)
+    }
+    val srcY = srcOf(0)
+    var cu = 0
+    while (cu < cuRows * cuStride) {
+      val idx = cdefIdx(cu)
+      if (idx >= 0 && idx < (1 << cd.bits)) {
+        val yPriBase = cd.yPri(idx); val ySec = cd.ySec(idx)
+        val uvPri = cd.uvPri(idx); val uvSec = cd.uvSec(idx)
+        val mi0r = (cu / cuStride) << 4
+        val mi0c = (cu % cuStride) << 4
+        var br = 0
+        while (br < 16 && mi0r + br < miRows) {
+          var bc = 0
+          while (bc < 16 && mi0c + bc < miCols) {
+            val mr = mi0r + br; val mc = mi0c + bc
+            // 8x8 unit = 2x2 mi; skip when every covered mi is skip-coded
+            var allSkip = true
+            var i = 0
+            while (i < 2 && allSkip) {
+              var j = 0
+              while (j < 2 && allSkip) {
+                if (mr + i < miRows && mc + j < miCols &&
+                  skips((mr + i) * miCols + mc + j) == 0) allSkip = false
+                j += 1
+              }
+              i += 1
+            }
+            if (!allSkip) {
+              val y0 = mr * 4; val x0 = mc * 4
+              val (dir, variance) = Av1Cdef.findDir((i2, j2) => snap(0)((y0 + i2) * lw + x0 + j2))
+              val yPri = Av1Cdef.adjustStrength(yPriBase, variance)
+              if (yPri != 0 || ySec != 0) {
+                Av1Cdef.filterUnit(8, 8, dir, yPri, ySec, cd.damping,
+                  (dy, dx) => srcY(y0 + dy, x0 + dx),
+                  (dy, dx, v) => planes(0)((y0 + dy) * lw + x0 + dx) = v)
+              }
+              if (numPlanes > 1 && (uvPri != 0 || uvSec != 0)) {
+                // 4:2:0 chroma keeps the luma direction unmodified
+                // (pinned vs libdav1d on real noise content; a remap
+                // table only exists for 4:2:2)
+                val uvDir = if (uvPri != 0) dir else 0
+                val cy0 = y0 >> subY; val cx0 = x0 >> subX
+                val cw2 = 8 >> subX; val ch2 = 8 >> subY
+                var p = 1
+                while (p < numPlanes) {
+                  val src = srcOf(p)
+                  val pw = planeW(p)
+                  Av1Cdef.filterUnit(cw2, ch2, uvDir, uvPri, uvSec, cd.damping - 1,
+                    (dy, dx) => src(cy0 + dy, cx0 + dx),
+                    (dy, dx, v) => planes(p)((cy0 + dy) * pw + cx0 + dx) = v)
+                  p += 1
+                }
+              }
+            }
+            bc += 2
+          }
+          br += 2
+        }
+      }
+      cu += 1
     }
   }
 

@@ -71,6 +71,15 @@ class Av1DecoderSpec extends AnyFunSuite {
     }
   }
 
+  // CDEF: real aom encodes with nonzero primary+secondary strengths
+  // (edges/noise/photo content, luma and chroma paths, variance-
+  // adjusted primaries) — bit-exact for 64-aligned frames
+  for (name <- Seq("cdef_e48", "cdef_n55", "cdef_p50")) {
+    test(s"cdef fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)
