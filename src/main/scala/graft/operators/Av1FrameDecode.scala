@@ -61,6 +61,15 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   // cdef indices per 64x64 (read but unused until the filter stage)
   private val cdefIdx = new Array[Int](((miRows + 15) >> 4) * ((miCols + 15) >> 4))
 
+  // per-superblock DeltaLF snapshot (4 slots: y-v, y-h, u, v when
+  // delta_lf_multi, else slot 0 only). Delta state changes at most
+  // once per superblock (the first coded block), so the SB grid is an
+  // exact record of the spec's per-mi DeltaLFs.
+  private val sbCols = (miCols + sb4 - 1) / sb4
+  private val sbRows = (miRows + sb4 - 1) / sb4
+  private val deltaLfSb = new Array[Int](math.max(1, sbRows * sbCols * 4))
+  private val curDeltaLf = new Array[Int](4)
+
   private val qctx = if (fh.baseQIdx <= 20) 0 else if (fh.baseQIdx <= 60) 1
     else if (fh.baseQIdx <= 120) 2 else 3
 
@@ -143,8 +152,9 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     tileMiColEnd = math.min(fh.tileColStarts(tc + 1) * sb4, miCols)
     msac = new Av1Msac(data, start, end, !fh.disableCdfUpdate)
     cdfs = new Cdfs(qctx)
-    tr(s"tile $tr0/$tc seqCdef=${sh.enableCdef} seqLr=${sh.enableRestoration} fi=${sh.enableFilterIntra} bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} dqY=${fh.deltaQYDc} dqU=${fh.deltaQUDc}/${fh.deltaQUAc} dqV=${fh.deltaQVDc}/${fh.deltaQVAc} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} cdef=${fh.cdef.map(c => s"damp=${c.damping},bits=${c.bits},y=${c.yPri.mkString("|")}/${c.ySec.mkString("|")},uv=${c.uvPri.mkString("|")}/${c.uvSec.mkString("|")}").getOrElse("none")} flt=${fh.filterLevel.mkString(",")} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
+    tr(s"tile $tr0/$tc seqCdef=${sh.enableCdef} seqLr=${sh.enableRestoration} fi=${sh.enableFilterIntra} bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} dqY=${fh.deltaQYDc} dqU=${fh.deltaQUDc}/${fh.deltaQUAc} dqV=${fh.deltaQVDc}/${fh.deltaQVAc} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} deltaLf=${fh.deltaLfPresent}/${fh.deltaLfMulti}/res${fh.deltaLfRes} refDeltaIntra=${fh.refDeltaIntra} cdef=${fh.cdef.map(c => s"damp=${c.damping},bits=${c.bits},y=${c.yPri.mkString("|")}/${c.ySec.mkString("|")},uv=${c.uvPri.mkString("|")}/${c.uvSec.mkString("|")}").getOrElse("none")} flt=${fh.filterLevel.mkString(",")} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
     currentQIndex = fh.baseQIdx
+    java.util.Arrays.fill(curDeltaLf, 0) // spec 6.10.2: DeltaLF reset per tile
     var c = tileMiColStart
     while (c < tileMiColEnd) { abovePart(c) = 0; c += 1 }
     for (p <- 0 until numPlanes) {
@@ -164,8 +174,12 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       }
       c = tileMiColStart
       while (c < tileMiColEnd) {
-        // superblock: reset cdef + delta flags
+        // superblock: reset cdef + delta flags; record the running
+        // DeltaLF state for this SB (overwritten if the SB's first
+        // block updates it — all blocks in the SB share that value)
         readDeltas = fh.deltaQPresent || fh.deltaLfPresent
+        val sbSlot = ((r / sb4) * sbCols + (c / sb4)) * 4
+        System.arraycopy(curDeltaLf, 0, deltaLfSb, sbSlot, 4)
         val cdefR = r >> 4; val cdefC = c >> 4
         var dy = 0
         while (dy < (sb4 >> 4) && cdefR + dy < ((miRows + 15) >> 4)) {
@@ -355,7 +369,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     val skip = msac.decodeSymbol(cdfs.skip, skipCtx * 3, 2) == 1
     tr(s"block r=$r c=$c bSize=$bSize skip=$skip ctx=$skipCtx")
 
-    readCdef(r, c, skip)
+    readCdef(r, c, bSize, skip)
     readDeltaQLf(r, c, bSize, skip)
 
     // --- y mode (keyframe cdf with above/left mode contexts) ---
@@ -524,14 +538,28 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     best
   }
 
-  private def readCdef(r: Int, c: Int, skip: Boolean): Unit = {
+  private def readCdef(r: Int, c: Int, bSize: Int, skip: Boolean): Unit = {
     if (skip || fh.codedLossless || fh.cdef.isEmpty) return
     val cd = fh.cdef.get
     // bits == 0 reads nothing but still marks the unit's strength
     // index as the (only) index 0 — the filter stage keys on it
     val stride = (miCols + 15) >> 4
+    val rows = (miRows + 15) >> 4
     val idx = (r >> 4) * stride + (c >> 4)
-    if (cdefIdx(idx) == -1) cdefIdx(idx) = msac.readLiteral(cd.bits)
+    if (cdefIdx(idx) == -1) {
+      val v = msac.readLiteral(cd.bits)
+      // spec 5.11.56 read_cdef: the index is spread over EVERY 64x64
+      // unit the block covers — with 128x128 superblocks an unsplit
+      // >64x64 block spans up to 2x2 units, all of which must filter
+      val r1 = math.min((r + BlkH4(bSize) - 1) >> 4, rows - 1)
+      val c1 = math.min((c + BlkW4(bSize) - 1) >> 4, stride - 1)
+      var ur = r >> 4
+      while (ur <= r1) {
+        var uc = c >> 4
+        while (uc <= c1) { cdefIdx(ur * stride + uc) = v; uc += 1 }
+        ur += 1
+      }
+    }
   }
 
   private def readDeltaQLf(r: Int, c: Int, bSize: Int, skip: Boolean): Unit = {
@@ -561,9 +589,16 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
           val remBits = msac.readLiteral(3) + 1
           abs = msac.readLiteral(remBits) + (1 << remBits) + 1
         }
-        if (abs > 0) msac.readBit()
+        if (abs > 0) {
+          val sign = msac.readBit()
+          val delta = if (sign == 1) -abs else abs
+          curDeltaLf(i) = math.max(-63, math.min(63, curDeltaLf(i) + (delta << fh.deltaLfRes)))
+        }
         i += 1
       }
+      // refresh this superblock's DeltaLF record with the updated state
+      val sbSlot = ((r / sb4) * sbCols + (c / sb4)) * 4
+      System.arraycopy(curDeltaLf, 0, deltaLfSb, sbSlot, 4)
     }
   }
 
@@ -575,24 +610,38 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private def deblockFrame(): Unit = {
     var plane = 0
     while (plane < numPlanes) {
-      var pass = 0
-      while (pass < 2) {
-        val lvlIdx = if (plane == 0) pass else plane + 1
-        val base = fh.filterLevel(lvlIdx)
-        // intra frames: one uniform level (default intra ref delta = 1)
-        val lvl =
-          if (base == 0) 0
-          else if (fh.filterDeltaEnabled)
-            math.max(0, math.min(63, base + (1 << (base >> 5))))
-          else base
-        if (lvl > 0) deblockPass(plane, pass == 0, lvl)
-        pass += 1
+      // spec 7.14.1 plane gate: y runs (both passes) when either y
+      // level is nonzero; chroma when its own level is nonzero. The
+      // per-edge level (delta_lf + ref delta) is applied inside.
+      val planeOn =
+        if (plane == 0) fh.filterLevel(0) > 0 || fh.filterLevel(1) > 0
+        else fh.filterLevel(plane + 1) > 0
+      if (planeOn) {
+        deblockPass(plane, vertical = true)
+        deblockPass(plane, vertical = false)
       }
       plane += 1
     }
   }
 
-  private def deblockPass(plane: Int, vertical: Boolean, lvl: Int): Unit = {
+  /** get_filter_level (spec 7.14.4, libaom av1_loopfilter.c): frame
+    * level for this plane/pass, plus the superblock's DeltaLF when
+    * delta_lf_present, plus ref_deltas[INTRA] scaled by 1<<(lvl>>5)
+    * when mode_ref_delta_enabled. (lumR, lumC) in luma mi units. */
+  @inline private def filterLevelAt(plane: Int, pass: Int, lumR: Int, lumC: Int): Int = {
+    val lvlIdx = if (plane == 0) pass else plane + 1
+    var l = fh.filterLevel(lvlIdx)
+    if (fh.deltaLfPresent) {
+      val dIdx = if (fh.deltaLfMulti) lvlIdx else 0
+      val sbSlot = ((lumR / sb4) * sbCols + (lumC / sb4)) * 4 + dIdx
+      l = math.max(0, math.min(63, l + deltaLfSb(sbSlot)))
+    }
+    if (fh.filterDeltaEnabled)
+      l = math.max(0, math.min(63, l + (fh.refDeltaIntra << (l >> 5))))
+    l
+  }
+
+  private def deblockPass(plane: Int, vertical: Boolean): Unit = {
     val sX = if (plane > 0) subX else 0
     val sY = if (plane > 0) subY else 0
     val miW = miCols >> sX
@@ -626,20 +675,27 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
             val blockEdge = coord == origin
             val bothSkip = skipOf(mr, mc) && skipOf(prC._1, prC._2)
             if (blockEdge || !bothSkip) {
-              val minDim4 = math.min(qDim, pDim) * 4
-              val fs =
-                if (plane == 0) { if (minDim4 >= 16) 14 else if (minDim4 >= 8) 8 else 4 }
-                else { if (minDim4 >= 8) 6 else 4 }
-              val x0 = mc * 4
-              val y0 = mr * 4
-              if (vertical) {
-                Av1Filters.filterEdge(4, fs, lvl, fh.sharpness,
-                  (i, o) => px((y0 + i) * stride + x0 + o),
-                  (i, o, v) => px((y0 + i) * stride + x0 + o) = v)
-              } else {
-                Av1Filters.filterEdge(4, fs, lvl, fh.sharpness,
-                  (i, o) => px((y0 + o) * stride + x0 + i),
-                  (i, o, v) => px((y0 + o) * stride + x0 + i) = v)
+              // level of the current (q) block; 0 falls back to the
+              // previous (p) block's level (libaom av1_loopfilter.c)
+              val pass = if (vertical) 0 else 1
+              var lvl = filterLevelAt(plane, pass, mr << sY, mc << sX)
+              if (lvl == 0) lvl = filterLevelAt(plane, pass, prC._1 << sY, prC._2 << sX)
+              if (lvl > 0) {
+                val minDim4 = math.min(qDim, pDim) * 4
+                val fs =
+                  if (plane == 0) { if (minDim4 >= 16) 14 else if (minDim4 >= 8) 8 else 4 }
+                  else { if (minDim4 >= 8) 6 else 4 }
+                val x0 = mc * 4
+                val y0 = mr * 4
+                if (vertical) {
+                  Av1Filters.filterEdge(4, fs, lvl, fh.sharpness,
+                    (i, o) => px((y0 + i) * stride + x0 + o),
+                    (i, o, v) => px((y0 + i) * stride + x0 + o) = v)
+                } else {
+                  Av1Filters.filterEdge(4, fs, lvl, fh.sharpness,
+                    (i, o) => px((y0 + o) * stride + x0 + i),
+                    (i, o, v) => px((y0 + o) * stride + x0 + i) = v)
+                }
               }
             }
           }
@@ -1008,7 +1064,10 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         val q = if (c == 0) dcQ else acQ
         var v = (level.toLong * q) & 0xffffff
         v >>= dqShift
-        if (v > 32767) v = 32767
+        // saturate to cf_max + sign (dav1d umin(dq, cf_max + sign)):
+        // a maxed-out negative coefficient is -32768, not -32767
+        val cap = if (negative) 32768L else 32767L
+        if (v > cap) v = cap
         residual(pos) = if (negative) -v else v
       }
       c += 1

@@ -231,6 +231,7 @@ object Av1Headers {
       filterLevel: Array[Int], // y-v, y-h, u, v
       sharpness: Int,
       filterDeltaEnabled: Boolean,
+      refDeltaIntra: Int, // loop_filter_ref_deltas[INTRA_FRAME] (default 1)
       cdef: Option[CdefParams],
       txModeSelect: Boolean,
       reducedTxSet: Boolean,
@@ -265,10 +266,13 @@ object Av1Headers {
       if (sh.frameIdNumbersPresent) r.f(sh.deltaFrameIdLength + sh.additionalFrameIdLength)
       frameSizeOverride = r.f(1) == 1
       r.f(sh.orderHintBits) // order_hint (0 bits when order hints disabled)
-      if (frameType == 0) { // KEY
-        // shown key frame: no refresh_frame_flags read
+      // refresh_frame_flags is coded for every frame EXCEPT a shown
+      // key frame (spec 5.9.2: frame_type != KEY_FRAME || !show_frame);
+      // a non-shown key frame (type 0, show_frame 0) carries it too.
+      if (frameType == 0 && showFrame) {
+        // shown key frame: refresh_frame_flags implied all-ones, not coded
       } else {
-        r.f(8) // refresh_frame_flags for INTRA_ONLY
+        r.f(8) // refresh_frame_flags (INTRA_ONLY or non-shown KEY)
       }
     }
     // frame_size()
@@ -380,6 +384,7 @@ object Av1Headers {
     val filterLevel = Array(0, 0, 0, 0)
     var sharpness = 0
     var filterDeltaEnabled = false
+    var refDeltaIntra = 1 // spec default loop_filter_ref_deltas[INTRA_FRAME]
     if (!codedLossless && !allowIntrabc) {
       filterLevel(0) = r.f(6)
       filterLevel(1) = r.f(6)
@@ -391,15 +396,17 @@ object Av1Headers {
       filterDeltaEnabled = r.f(1) == 1
       if (filterDeltaEnabled) { // delta_enabled
         if (r.f(1) == 1) { // delta_update
+          // intra decode uses only ref_deltas[INTRA_FRAME] (slot 0):
+          // retain it so deblock applies the coded value, not the
+          // default. Slots 1..7 and the mode deltas never apply to
+          // intra blocks (spec 7.14.4 mode deltas key on inter modes).
           var i = 0
-          while (i < 8) { if (r.f(1) == 1) r.su(6); i += 1 }
+          while (i < 8) {
+            if (r.f(1) == 1) { val d = r.su(6); if (i == 0) refDeltaIntra = d }
+            i += 1
+          }
           i = 0
           while (i < 2) { if (r.f(1) == 1) r.su(6); i += 1 }
-          // NOTE: intra decode uses only ref_deltas[INTRA_FRAME]; the
-          // defaults (1,...) apply when not updated. Updated deltas are
-          // consumed above but not retained — fixtures never update them;
-          // a stream that does would still decode (deblock uses level +
-          // delta only through the intra ref slot, handled in Av1Filters).
         }
       }
     }
@@ -439,7 +446,8 @@ object Av1Headers {
     FrameHeader(w, h, disableCdfUpdate, allowScreen, allowIntrabc,
       baseQIdx, dqYDc, dqUDc, dqUAc, dqVDc, dqVAc,
       deltaQPresent, deltaQRes, deltaLfPresent, deltaLfRes, deltaLfMulti,
-      codedLossless, filterLevel, sharpness, filterDeltaEnabled, cdef, txModeSelect, reducedTxSet,
+      codedLossless, filterLevel, sharpness, filterDeltaEnabled, refDeltaIntra,
+      cdef, txModeSelect, reducedTxSet,
       tileColsLog2, tileRowsLog2, colStarts, rowStarts, tileSizeBytes)
   }
 

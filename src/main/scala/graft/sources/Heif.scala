@@ -439,10 +439,23 @@ object Heif {
       composeFrom(Seq(primary), -1, -1, 1)
     }
 
-    // alpha: an auxl item targeting the primary (or its tiles)
+    // alpha: an auxl item targeting the primary (or its tiles) whose
+    // auxC aux-type URN names the alpha plane — a depth map or other
+    // auxiliary image must NOT be composited as alpha. For a derived
+    // (grid) aux item the auxC may sit on its dimg tiles instead.
     val family = primary +: dimg.getOrElse(primary, Seq.empty)
+    def auxTypeIsAlpha(item: Long): Boolean =
+      (propsOf(item) ++ dimg.getOrElse(item, Seq.empty).flatMap(propsOf)).exists {
+        case (t, s, e) =>
+          t == "auxC" && {
+            val str = new String(p, s + 4, math.max(0, e - (s + 4)), "US-ASCII")
+            str.contains("urn:mpeg:mpegB:cicp:systems:auxiliary:alpha") ||
+              str.contains("urn:mpeg:hevc:2015:auxid:1")
+          }
+      }
     val alphaItem = auxl.collectFirst {
-      case (from, tos) if tos.exists(family.contains) && isAv01(from) => from
+      case (from, tos) if tos.exists(family.contains) && isAv01(from) &&
+        auxTypeIsAlpha(from) => from
     }
     val alphaPlane: Array[Byte] = alphaItem.map { ai =>
       if (dimg.contains(ai)) {
