@@ -169,6 +169,15 @@ object Bench {
     // whose rep spread exceeds 3× (or that ran beside >1 external core)
     // re-runs once at the end of the sweep, when the box has had its
     // chance to go quiet — the min merges, so a retry can only improve.
+    // Wait (bounded) for quiet before the retry pass: retrying into the
+    // same load would just record the same inflated minute twice.
+    if (firstPass.exists { case (_, _, ts, ext) =>
+      ts.nonEmpty && ts.min > 0.25 && (ts.max / ts.min > 3.0 || ext > 1.0) } &&
+      load1() > quietThreshold && quietWaitS > 0) {
+      System.err.println(s"[bench] load ${load1()} before retry pass; waiting up to ${quietWaitS}s")
+      val deadline = System.nanoTime() + quietWaitS * 1000000000L
+      while (load1() > quietThreshold && System.nanoTime() < deadline) Thread.sleep(5000)
+    }
     val results = firstPass.map { case (name, fn, ts, ext) =>
       val suspect = ts.nonEmpty && ts.min > 0.25 &&
         (ts.max / ts.min > 3.0 || ext > 1.0)
@@ -183,14 +192,26 @@ object Bench {
         if (merged.nonEmpty) merged.max else -1.0, merged.nonEmpty, ext2)
     }
     val loadAfter = loadavg()
-    // the artifact-level flag keys on measured EXTERNAL cpu, not on
-    // loadavg self-pollution. Threshold 2.0 cores: ~1 core of ambient
-    // host activity (monitors, agents) is 3% of local[32] and cannot
-    // materially inflate a timing, while real contention (the r7-r9
-    // driver recordings ran beside whole other benches) shows up as
-    // many cores. The per-query map still reports anything >1.0.
-    val contended = startContended ||
-      results.exists { case (_, mn, _, ok, ext) => ok && mn > 0.25 && ext > 2.0 }
+    // the artifact-level flag is SPREAD-AWARE (r11 lesson: a run beside
+    // memory-bandwidth/page-cache interference showed max/min rep
+    // spreads of 9-12× while external-CPU accounting stayed quiet —
+    // the flag false-negatived on exactly the case it was built for).
+    // contended when ANY of:
+    //  - the box was loaded when the run began (recorded loadavg_before
+    //    first field > quietThreshold — even if the bounded wait later
+    //    saw a dip, that minute's timings overlap the load),
+    //  - measured external CPU > 2 cores beside any slow query,
+    //  - any query's post-retry min/max rep spread still exceeds 3×
+    //    (interference caught in the act, whatever its mechanism).
+    val loadBefore1 =
+      try loadBefore.split(",").headOption.map(_.toDouble).getOrElse(0.0)
+      catch { case _: Exception => 0.0 }
+    val suspectQueries = results.collect {
+      case (k, mn, mx, ok, _) if ok && mn > 0.25 && mx / mn > 3.0 => k
+    }
+    val contended = startContended || loadBefore1 > quietThreshold ||
+      results.exists { case (_, mn, _, ok, ext) => ok && mn > 0.25 && ext > 2.0 } ||
+      suspectQueries.nonEmpty
     val qs = results.map { case (k, v, _, ok, _) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
     // per-query MAX beside the reported min: a wide min/max spread on a
@@ -204,9 +225,10 @@ object Bench {
     val errors = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true, _) => v }.sum
     val nq = results.count(_._4)
+    val qsSus = suspectQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"reps":$reps,""" +
       s""""contended":$contended,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir",""" +
-      s""""queries":$qs,"queries_max":$qsMax,"queries_external_cores":$qsExt}"""
+      s""""queries":$qs,"queries_max":$qsMax,"queries_external_cores":$qsExt,"queries_suspect":$qsSus}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json)
     catch { case e: Exception => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     println(json)

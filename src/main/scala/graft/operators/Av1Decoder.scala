@@ -140,6 +140,8 @@ object Av1Decoder {
           require(sh != null, "av1: frame before sequence header")
           val r = new Av1Headers.BitReader(obuBytes, o.payloadStart, o.payloadEnd)
           val fh = Av1Headers.parseFrameHeader(r, sh)
+          if (sys.env.contains("AV1_TRACE"))
+            println(s"[av1] fh-end abs-bitpos=${r.pos * 8 + r.bit} tile-start=${((r.pos * 8 + r.bit) + 7) / 8 * 8}")
           r.byteAlign()
           out = new FrameDecode(sh, fh, obuBytes, r.pos, o.payloadEnd).run()
         case Av1Headers.ObuTemporalDelimiter | Av1Headers.ObuMetadata | Av1Headers.ObuPadding => ()

@@ -84,6 +84,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private var cflAlphaU = 0
   private var cflAlphaV = 0
   private var filterModeY = -1 // filter-intra mode of the current block (-1 = off)
+  private var curPart = 0 // partition that created the current block
   private var residualTxType = 0 // tx type of the residual just read
 
   def run(): Decoded = {
@@ -119,20 +120,21 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     fh.cdef.foreach { cd =>
       val active = (cd.yPri ++ cd.ySec ++ cd.uvPri ++ cd.uvSec).exists(_ != 0)
       if (active && !sys.env.contains("AV1_NO_CDEF")) {
-        // CDEF is pinned bit-exact against libdav1d for 64-aligned
-        // frames (Av1DecoderSpec cdef fixtures). Frames whose partial
-        // edge superblocks interact with the filter keep a small
-        // untraced divergence — refuse those loudly rather than emit
-        // near-miss pixels (the every-refusal-is-loud contract).
-        require(fh.width % 64 == 0 && fh.height % 64 == 0,
-          s"av1: CDEF on non-64-aligned frame ${fh.width}x${fh.height} unsupported")
+        // CDEF is pinned bit-exact against libdav1d for aligned AND
+        // non-64-aligned frames (the former bottom-band divergence was
+        // edge samples clamping to the superblock-aligned buffer
+        // instead of the coded area; Av1DecoderSpec cdefodd fixtures).
         cdefFrame(cd)
       }
     }
-    // crop to visible size
+    // crop to visible size (AV1_DUMP_CODED: keep the coded mi area,
+    // dev-only, for arbitrating the invisible band against dav1d)
+    val keepCoded = sys.env.contains("AV1_DUMP_CODED")
     val out = Array.tabulate(numPlanes) { p =>
-      val w = if (p == 0) fh.width else (fh.width + subX) >> subX
-      val h = if (p == 0) fh.height else (fh.height + subY) >> subY
+      val vw = if (p == 0) fh.width else (fh.width + subX) >> subX
+      val vh = if (p == 0) fh.height else (fh.height + subY) >> subY
+      val w = if (keepCoded) decW(p) * 4 else vw
+      val h = if (keepCoded) decH(p) * 4 else vh
       val b = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
@@ -142,7 +144,8 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       }
       b
     }
-    Decoded(fh.width, fh.height, sh.monochrome, subX, subY, out)
+    if (keepCoded) Decoded(miCols * 4, miRows * 4, sh.monochrome, subX, subY, out)
+    else Decoded(fh.width, fh.height, sh.monochrome, subX, subY, out)
   }
 
   private def decodeTile(tr0: Int, tc: Int, start: Int, end: Int): Unit = {
@@ -152,7 +155,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     tileMiColEnd = math.min(fh.tileColStarts(tc + 1) * sb4, miCols)
     msac = new Av1Msac(data, start, end, !fh.disableCdfUpdate)
     cdfs = new Cdfs(qctx)
-    tr(s"tile $tr0/$tc seqCdef=${sh.enableCdef} seqLr=${sh.enableRestoration} fi=${sh.enableFilterIntra} bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} dqY=${fh.deltaQYDc} dqU=${fh.deltaQUDc}/${fh.deltaQUAc} dqV=${fh.deltaQVDc}/${fh.deltaQVAc} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} deltaLf=${fh.deltaLfPresent}/${fh.deltaLfMulti}/res${fh.deltaLfRes} refDeltaIntra=${fh.refDeltaIntra} cdef=${fh.cdef.map(c => s"damp=${c.damping},bits=${c.bits},y=${c.yPri.mkString("|")}/${c.ySec.mkString("|")},uv=${c.uvPri.mkString("|")}/${c.uvSec.mkString("|")}").getOrElse("none")} flt=${fh.filterLevel.mkString(",")} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
+    tr(s"tile $tr0/$tc seqCdef=${sh.enableCdef} seqLr=${sh.enableRestoration} fi=${sh.enableFilterIntra} bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} dqY=${fh.deltaQYDc} dqU=${fh.deltaQUDc}/${fh.deltaQUAc} dqV=${fh.deltaQVDc}/${fh.deltaQVAc} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} deltaLf=${fh.deltaLfPresent}/${fh.deltaLfMulti}/res${fh.deltaLfRes} refDeltaIntra=${fh.refDeltaIntra} cdef=${fh.cdef.map(c => s"damp=${c.damping},bits=${c.bits},y=${c.yPri.mkString("|")}/${c.ySec.mkString("|")},uv=${c.uvPri.mkString("|")}/${c.uvSec.mkString("|")}").getOrElse("none")} flt=${fh.filterLevel.mkString(",")} sharp=${fh.sharpness} fdelta=${fh.filterDeltaEnabled} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
     currentQIndex = fh.baseQIdx
     java.util.Arrays.fill(curDeltaLf, 0) // spec 6.10.2: DeltaLF reset per tile
     var c = tileMiColStart
@@ -235,6 +238,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     }
     val subSize = if (bSize < B8x8) bSize else partSubsize(partition, bSize)
     require(subSize >= 0, s"av1: invalid partition $partition of bsize $bSize")
+    curPart = partition // creating partition, read by the AR/BL rules
     val qbs4 = w4 / 4
     partition match {
       case PartNone => decodeBlock(r, c, bSize)
@@ -312,9 +316,11 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     // bit k of the context byte = "a split happened at level k" for the
     // coded neighbor: a size-S block sets bits ABOVE log2(S/8)+1 only
     // (pinned against libdav1d: 8x8-coded neighbor gives ctx bit 0 at
-    // the 8x8 level, 1 at 16x16+)
-    val aboveVal = ((31 << (Integer.numberOfTrailingZeros(BlkW4(subSize)) + 1)) & 31).toByte
-    val leftVal = ((31 << (Integer.numberOfTrailingZeros(BlkH4(subSize)) + 1)) & 31).toByte
+    // the 8x8 level, 1 at 16x16+). SIX bits: the 128x128 level reads
+    // bit 5, so a 5-bit mask silently zeroed the B128 partition ctx
+    // whenever the neighbor superblock was split (128SB streams only).
+    val aboveVal = ((63 << (Integer.numberOfTrailingZeros(BlkW4(subSize)) + 1)) & 63).toByte
+    val leftVal = ((63 << (Integer.numberOfTrailingZeros(BlkH4(subSize)) + 1)) & 63).toByte
     var i = 0
     while (i < BlkW4(bSize) && c + i < miCols) { abovePart(c + i) = aboveVal; i += 1 }
     i = 0
@@ -418,6 +424,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       }
       if (uvMode >= Av1Predict.V && uvMode <= Av1Predict.D67 && bSize >= B8x8) {
         angleUV = msac.decodeSymbol(cdfs.angleDelta, (uvMode - Av1Predict.V) * 8, 7) - 3
+        tr(s"  angleUV=$angleUV")
       }
     }
 
@@ -459,15 +466,24 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
 
     // intra-edge filter type: 1 when a neighboring block is SMOOTH-coded
     val filtY = filtTypeOf(availU, availL, r, c, yModes)
-    val filtUV = filtTypeOf(availU, availL, r, c, uvModes)
-    // store mode state over the block footprint
+    // chroma filter type keys on the CHROMA block's neighbors: for a
+    // 4:2:0 pair the lookup is relative to the pair origin (rC,cC) —
+    // using the carrier's own (r,c) would read the pair's partner mi
+    val rC0 = if (subY == 1) r & ~1 else r
+    val cC0 = if (subX == 1) c & ~1 else c
+    val filtUV = filtTypeOf(rC0 > tileMiRowStart, cC0 > tileMiColStart,
+      rC0, cC0, uvModes, chroma = true)
+    // store mode state over the block footprint. uvModes is written
+    // ONLY by the chroma-carrying block of a 4:2:0 pair, over the
+    // WHOLE pair footprint: the chroma filter-type (SMOOTH neighbor)
+    // lookup must see the carrier's uv mode at the partner's mi too —
+    // a non-carrying sliver has no uv mode of its own.
     var i = 0
     while (i < h4) {
       var j = 0
       while (j < w4) {
         val idx = (r + i) * miCols + c + j
         yModes(idx) = yMode.toByte
-        uvModes(idx) = uvMode.toByte
         skips(idx) = if (skip) 1 else 0
         txSzY(idx) = txSz.toByte
         blkStartC(idx) = c
@@ -477,22 +493,35 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       i += 1
     }
 
-    // --- reconstruction: per-plane tx-block loop ---
-    // luma
-    reconPlane(0, r, c, bSize, txSz, yMode, angleY, skip, filtY)
+    // --- reconstruction: 64x64-chunk order (spec 5.11.34 residual()) ---
+    // A block wider/taller than 64 codes its residual in 64x64 chunks,
+    // each chunk carrying its luma tx blocks THEN its chroma part —
+    // coding all-luma-then-all-chroma over the whole block desyncs the
+    // symbol stream on unsplit >64x64 blocks (128x128 superblocks).
+    val rC = if (subY == 1) r & ~1 else r
+    val cC = if (subX == 1) c & ~1 else c
+    val cw4full = math.max(1, bw4 >> subX)
+    val ch4full = math.max(1, bh4 >> subY)
+    val uvTx = if (fh.codedLossless) 0 else chromaTxSize(cw4full, ch4full)
     if (hasChroma) {
-      // chroma block covers the (possibly paired) chroma region
-      val rC = if (subY == 1) r & ~1 else r
-      val cC = if (subX == 1) c & ~1 else c
-      val cw4 = math.max(1, bw4 >> subX)
-      val ch4 = math.max(1, bh4 >> subY)
-      val uvTx = if (fh.codedLossless) 0 else chromaTxSize(cw4, ch4)
+      val pairW = cw4full << subX
+      val pairH = ch4full << subY
+      var pi = 0
+      while (pi < pairH) {
+        var pj = 0
+        while (pj < pairW) {
+          if (rC + pi < miRows && cC + pj < miCols)
+            uvModes((rC + pi) * miCols + cC + pj) = uvMode.toByte
+          pj += 1
+        }
+        pi += 1
+      }
       val pr0 = rC >> subY
       val pc0 = cC >> subX
       var ci = 0
-      while (ci < ch4) {
+      while (ci < ch4full) {
         var cj = 0
-        while (cj < cw4) {
+        while (cj < cw4full) {
           if (pr0 + ci < cH && pc0 + cj < cW) {
             val cidx = (pr0 + ci) * cW + pc0 + cj
             cTxSz(cidx) = uvTx.toByte
@@ -503,17 +532,37 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         }
         ci += 1
       }
-      reconPlaneChroma(1, rC, cC, cw4, ch4, uvTx, uvMode, angleUV, skip, filtUV)
-      reconPlaneChroma(2, rC, cC, cw4, ch4, uvTx, uvMode, angleUV, skip, filtUV)
+    }
+    val widthChunks = math.max(1, bw4 >> 4)
+    val heightChunks = math.max(1, bh4 >> 4)
+    var ky = 0
+    while (ky < heightChunks) {
+      var kx = 0
+      while (kx < widthChunks) {
+        reconPlane(0, r, c, bSize, txSz, yMode, angleY, skip, filtY,
+          ky << 4, kx << 4, 16)
+        if (hasChroma) {
+          val cOffY = (ky << 4) >> subY
+          val cOffX = (kx << 4) >> subX
+          reconPlaneChroma(1, rC, cC, cw4full, ch4full, uvTx, uvMode, angleUV, skip, filtUV,
+            cOffY, cOffX, 16 >> subY, 16 >> subX)
+          reconPlaneChroma(2, rC, cC, cw4full, ch4full, uvTx, uvMode, angleUV, skip, filtUV,
+            cOffY, cOffX, 16 >> subY, 16 >> subX)
+        }
+        kx += 1
+      }
+      ky += 1
     }
   }
 
   private def filterIntraEligible(bSize: Int): Boolean =
     BlkW4(bSize) * 4 <= 32 && BlkH4(bSize) * 4 <= 32
 
-  /** Intra direction implied by each filter-intra mode (DC/V/H/D157/PAETH),
-    * used for tx-type cdf row selection. */
-  private val FimodeToDir = Array(Av1Predict.DC, Av1Predict.V, Av1Predict.H, 6, 12)
+  /** Intra direction implied by each filter-intra mode, used for
+    * tx-type cdf row selection: spec Filter_Intra_Mode_To_Intra_Dir =
+    * { DC, V, H, D157, DC } — FILTER_PAETH implies DC, not PAETH. */
+  private val FimodeToDir = Array(Av1Predict.DC, Av1Predict.V, Av1Predict.H,
+    Av1Predict.D157, Av1Predict.DC)
 
   /** largest tx for a chroma block of cw4 x ch4 4-units (<=32px dims) */
   private def chromaTxSize(cw4: Int, ch4: Int): Int = {
@@ -644,8 +693,6 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private def deblockPass(plane: Int, vertical: Boolean): Unit = {
     val sX = if (plane > 0) subX else 0
     val sY = if (plane > 0) subY else 0
-    val miW = miCols >> sX
-    val miH = miRows >> sY
     val px = planes(plane)
     val stride = planeW(plane)
     @inline def txOf(mr: Int, mc: Int): Int =
@@ -657,6 +704,15 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     @inline def blkR(mr: Int, mc: Int): Int =
       if (plane == 0) blkStartR(mr * miCols + mc) else cBlkStartR(mr * cW + mc)
 
+    // edge iteration stops at the VISIBLE frame, not the coded mi
+    // area: a non-8-aligned frame has coded-but-cropped mi whose
+    // edges the reference does NOT filter — filtering them leaks
+    // into visible pixels through p-side writes (pinned vs dav1d
+    // coded-area dumps on 96x36/52x36 encodes)
+    val visW = if (plane == 0) fh.width else (fh.width + subX) >> subX
+    val visH = if (plane == 0) fh.height else (fh.height + subY) >> subY
+    val miW = math.min(miCols >> sX, (visW + 3) >> 2)
+    val miH = math.min(miRows >> sY, (visH + 3) >> 2)
     var mr = 0
     while (mr < miH) {
       var mc = 0
@@ -751,10 +807,17 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
             }
             if (!allSkip) {
               val y0 = mr * 4; val x0 = mc * 4
+              // direction search reads the RAW snapshot (incl. the
+              // reconstructed coded-but-cropped band) with no edge
+              // substitution — pinned vs dav1d on partial-unit frames
               val (dir, variance) = Av1Cdef.findDir((i2, j2) => snap(0)((y0 + i2) * lw + x0 + j2))
               val yPri = Av1Cdef.adjustStrength(yPriBase, variance)
               if (yPri != 0 || ySec != 0) {
-                Av1Cdef.filterUnit(8, 8, dir, yPri, ySec, cd.damping,
+                // the direction only applies with a PRIMARY strength:
+                // a secondary-only luma filter uses dir 0 (same rule as
+                // the chroma path below; pinned on sec-only noise encodes)
+                val yDir = if (yPriBase != 0) dir else 0
+                Av1Cdef.filterUnit(8, 8, yDir, yPri, ySec, cd.damping,
                   (dy, dx) => srcY(y0 + dy, x0 + dx),
                   (dy, dx, v) => planes(0)((y0 + dy) * lw + x0 + dx) = v)
               }
@@ -788,7 +851,8 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   // ------------------------------------------------- reconstruction
 
   private def filtTypeOf(availU: Boolean, availL: Boolean, r: Int, c: Int,
-      modes: Array[Byte]): Int = {
+      modes: Array[Byte], chroma: Boolean = false): Int = {
+    // SMOOTH/SMOOTH_V/SMOOTH_H neighbors select the stronger edge filter
     @inline def smooth(m: Int): Boolean = m >= 9 && m <= 11
     val a = availU && smooth(modes((r - 1) * miCols + c).toInt)
     val l = availL && smooth(modes(r * miCols + c - 1).toInt)
@@ -796,15 +860,18 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   }
 
   private def reconPlane(plane: Int, r: Int, c: Int, bSize: Int, txSz: Int,
-      mode: Int, angle: Int, skip: Boolean, filtType: Int): Unit = {
+      mode: Int, angle: Int, skip: Boolean, filtType: Int,
+      offY: Int, offX: Int, chunk: Int): Unit = {
     val w4 = math.min(BlkW4(bSize), miCols - c)
     val h4 = math.min(BlkH4(bSize), miRows - r)
     val tw4 = TxW4(txSz)
     val th4 = TxH4(txSz)
-    var ty = 0
-    while (ty < h4) {
-      var tx = 0
-      while (tx < w4) {
+    val endY = math.min(h4, offY + chunk)
+    val endX = math.min(w4, offX + chunk)
+    var ty = offY
+    while (ty < endY) {
+      var tx = offX
+      while (tx < endX) {
         transformBlockAt(plane, r + ty, c + tx, txSz, mode, angle, skip, c, r, BlkW4(bSize), BlkH4(bSize), filtType)
         tx += tw4
       }
@@ -813,21 +880,122 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   }
 
   private def reconPlaneChroma(plane: Int, r: Int, c: Int, cw4: Int, ch4: Int, txSz: Int,
-      mode: Int, angle: Int, skip: Boolean, filtType: Int): Unit = {
+      mode: Int, angle: Int, skip: Boolean, filtType: Int,
+      offY: Int, offX: Int, chunkY: Int, chunkX: Int): Unit = {
     val pr = r >> subY
     val pc = c >> subX
     val tw4 = TxW4(txSz)
     val th4 = TxH4(txSz)
     val maxR = decH(plane)
     val maxC = decW(plane)
-    var ty = 0
-    while (ty < ch4 && pr + ty < maxR) {
-      var tx = 0
-      while (tx < cw4 && pc + tx < maxC) {
+    val endY = math.min(ch4, offY + chunkY)
+    val endX = math.min(cw4, offX + chunkX)
+    var ty = offY
+    while (ty < endY && pr + ty < maxR) {
+      var tx = offX
+      while (tx < endX && pc + tx < maxC) {
         transformBlockAt(plane, pr + ty, pc + tx, txSz, mode, angle, skip, pc, pr, cw4, ch4, filtType)
         tx += tw4
       }
       ty += th4
+    }
+  }
+
+  /** z-order index of a rect block (br,bc) in a uniform grid of blocks
+    * with luma-mi log dims (wLog,hLog) inside a superblock: rects are
+    * ordered by their parent square's Morton index, then top-to-bottom
+    * (wide) or left-to-right (tall) within the square. */
+  private def zOrd(br0: Int, bc0: Int, wLog: Int, hLog: Int): Int = {
+    var r = br0; var c = bc0; var sub = 0; var d = 0
+    if (wLog > hLog) { d = wLog - hLog; sub = r & ((1 << d) - 1); r >>= d }
+    else if (hLog > wLog) { d = hLog - wLog; sub = c & ((1 << d) - 1); c >>= d }
+    var m = 0
+    var i = 0
+    while (i < 6) {
+      m |= ((c >> i) & 1) << (2 * i)
+      m |= ((r >> i) & 1) << (2 * i + 1)
+      i += 1
+    }
+    (m << d) | sub
+  }
+
+  /** libaom has_top_right: may the tx at plane-unit offset
+    * (rowOff,colOff) inside a block of plane dims (bw4p,bh4p) extend
+    * its above edge beyond its top-right corner? */
+  private def hasTopRight(plane: Int, blkPr: Int, blkPc: Int, bw4p: Int, bh4p: Int,
+      rowOff: Int, colOff: Int, tw4: Int): Boolean = {
+    val sX = if (plane > 0) subX else 0
+    val sY = if (plane > 0) subY else 0
+    val bw4L = bw4p << sX // luma-mi width of the (chroma-paired) block
+    val bh4L = bh4p << sY
+    if (rowOff > 0) {
+      if (bw4L * 4 > 64) {
+        // 128-wide block: the tx whose top-right corner is the block
+        // center does have pixels there; otherwise per-64 sections
+        if (rowOff == (16 >> sY) && colOff + tw4 == (bw4p >> 1)) true
+        else {
+          val bw64 = 16 >> sX
+          (colOff % bw64) + tw4 < bw64
+        }
+      } else colOff + tw4 < bw4p
+    } else if (colOff + tw4 < bw4p) {
+      true // top-right still inside the block's above row
+    } else {
+      val wLog = Integer.numberOfTrailingZeros(bw4L)
+      val hLog = Integer.numberOfTrailingZeros(bh4L)
+      val brSb = ((blkPr << sY) & (sb4 - 1)) >> hLog
+      val bcSb = ((blkPc << sX) & (sb4 - 1)) >> wLog
+      if ((curPart == PartVertA || curPart == PartVertB) && wLog == hLog) {
+        // libaom has_tr_vert tables: the LOWER square of the stacked
+        // pair in a VERT_A/B never sees top-right (the side rect
+        // decodes later); the side rect itself follows normal rules
+        if ((brSb & 1) == 1) return false
+      }
+      if (brSb == 0) true // top SB row: above-right SB already decoded
+      else if (((bcSb + 1) << wLog) >= sb4) false // rightmost column
+      else zOrd(brSb - 1, bcSb + 1, wLog, hLog) < zOrd(brSb, bcSb, wLog, hLog)
+    }
+  }
+
+  /** libaom has_bottom_left: may the tx extend its left edge beyond
+    * its bottom-left corner? */
+  private def hasBottomLeft(plane: Int, blkPr: Int, blkPc: Int, bw4p: Int, bh4p: Int,
+      rowOff: Int, colOff: Int, th4: Int): Boolean = {
+    val sX = if (plane > 0) subX else 0
+    val sY = if (plane > 0) subY else 0
+    val bw4L = bw4p << sX
+    val bh4L = bh4p << sY
+    if (bh4L * 4 > 64) {
+      // 128-tall block: the tx whose bottom-left corner is the block
+      // center has pixels there; otherwise per-64 sections
+      if (colOff == (16 >> sX) && rowOff + th4 == (bh4p >> 1)) true
+      else {
+        val bh64 = 16 >> sY
+        (rowOff % bh64) + th4 < bh64 && colOff == 0
+      }
+    } else if (colOff > 0) {
+      false // bottom-left falls in the not-yet-decoded block below-left
+    } else if (rowOff + th4 < bh4p) {
+      true // bottom-left still inside the block's left column
+    } else {
+      val wLog = Integer.numberOfTrailingZeros(bw4L)
+      val hLog = Integer.numberOfTrailingZeros(bh4L)
+      val brSb = ((blkPr << sY) & (sb4 - 1)) >> hLog
+      val bcSb = ((blkPc << sX) & (sb4 - 1)) >> wLog
+      if ((curPart == PartVertA || curPart == PartVertB) && wLog == hLog &&
+        (bcSb & 1) == 1 && (brSb & 1) == 0) {
+        // libaom has_bl_vert tables: the UPPER-RIGHT square of a
+        // VERT_B sees bottom-left (the side rect decoded first),
+        // which plain z-order precedence would deny
+        return true
+      }
+      if (bcSb == 0) {
+        // leftmost SB column: the left SB is fully decoded — grant
+        // unless this tx bottoms out at the superblock's last row
+        ((brSb << hLog) >> sY) + rowOff + th4 < (sb4 >> sY)
+      }
+      else if (((brSb + 1) << hLog) >= sb4) false // bottom row of SB
+      else zOrd(brSb + 1, bcSb - 1, wLog, hLog) < zOrd(brSb, bcSb, wLog, hLog)
     }
   }
 
@@ -856,14 +1024,35 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     val haveLeft = pc > tileColStartP && isDec(pr, pc - 1)
     val tw4 = TxW4(txSz)
     val th4 = TxH4(txSz)
-    // above-right availability: unit diagonal at (pr-1, pc+tw4)
-    val numRight = if (haveAbove && isDec(pr - 1, pc + tw4)) tw * 1 else 0
-    val numBelow = if (haveLeft && isDec(pr + th4, pc - 1)) th * 1 else 0
+    // above-right / below-left availability per the z-order rules
+    // (libaom reconintra.c has_top_right/has_bottom_left): a decoded
+    // neighbor sample may still be NORMATIVELY unavailable — the rule
+    // keys on the tx offset within the block and the block's z-order
+    // position within the superblock, not the decoded bitmap.
+    val rowOff = pr - blkPr
+    val colOff = pc - blkPc
+    val tileEndXpx = (tileMiColEnd >> sX) * 4
+    val tileEndYpx = (tileMiRowEnd >> sY) * 4
+    val xr = tileEndXpx - (x0 + tw)
+    val yd = tileEndYpx - (y0 + th)
+    val numRight =
+      if (haveAbove && xr > 0 &&
+        hasTopRight(plane, blkPr, blkPc, bw4, bh4, rowOff, colOff, tw4))
+        math.min(tw, xr) else 0
+    val numBelow =
+      if (haveLeft && yd > 0 &&
+        hasBottomLeft(plane, blkPr, blkPc, bw4, bh4, rowOff, colOff, th4))
+        math.min(th, yd) else 0
+    tr(s"  txblk p=$plane pr=$pr pc=$pc tx=$txSz hA=$haveAbove hL=$haveLeft nR=$numRight nB=$numBelow")
 
-    // predict
+    // predict. Edge-sample clamping must stop at the CODED (mi-aligned)
+    // area, not the superblock-aligned buffer: a bottom/right-edge block
+    // of a non-64-aligned frame would otherwise read reconstruction
+    // margin instead of replicating the last coded sample.
     val predMode = if (mode == Av1Predict.UV_CFL) Av1Predict.DC else mode
     Av1Predict.predict(planes(plane), pw, x0, y0, tw, th, predMode, angle,
-      haveAbove, haveLeft, numRight, numBelow, sh.enableIntraEdgeFilter, pw, ph, filtType,
+      haveAbove, haveLeft, numRight, numBelow, sh.enableIntraEdgeFilter,
+      decW(plane) * 4, decH(plane) * 4, filtType,
       if (plane == 0) filterModeY else -1)
     if (mode == Av1Predict.UV_CFL) applyCfl(plane, x0, y0, tw, th)
 

@@ -386,6 +386,8 @@ object Av1Headers {
     var filterDeltaEnabled = false
     var refDeltaIntra = 1 // spec default loop_filter_ref_deltas[INTRA_FRAME]
     if (!codedLossless && !allowIntrabc) {
+      if (sys.env.contains("AV1_TRACE"))
+        println(s"[av1] lfparams abs-bitpos=${r.pos * 8 + r.bit}")
       filterLevel(0) = r.f(6)
       filterLevel(1) = r.f(6)
       if (!sh.monochrome && (filterLevel(0) > 0 || filterLevel(1) > 0)) {

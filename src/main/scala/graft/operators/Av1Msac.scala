@@ -20,6 +20,10 @@ final class Av1Msac(data: Array[Byte], start: Int, end: Int, val allowUpdate: Bo
   private var range = 1 << 15
   private var maxBits = 8 * (end - start) - 15
 
+  // dev-trace visibility into the coder state (read-only)
+  def debugRange: Int = range
+  def debugValue: Int = value
+
   // init_symbol: read the first 15 bits (or fewer when the tile is tiny)
   {
     val numBits = math.min((end - start) * 8, 15)

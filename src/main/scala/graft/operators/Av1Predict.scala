@@ -126,20 +126,22 @@ object Av1Predict {
     if (isDir && pAngle != 90 && pAngle != 180) {
       // intra edge processing (spec 7.11.2.7-9 / aom intra_edge flow)
       if (edgeFilter) {
-        if (pAngle > 90 && pAngle < 180 && w + h >= 24 && haveAbove && haveLeft) {
-          // zone-2 corner smoothing: AboveRow[-1] = LeftCol[-1]
+        if (pAngle > 90 && pAngle < 180 && w + h >= 24) {
+          // zone-2 corner smoothing (spec 7.11.2.4; runs on fallback
+          // edge values too — no availability gate in libaom/dav1d)
           aboveM1 = (left(0) * 5 + aboveM1 * 6 + above(0) * 5 + 8) >> 4
         }
-        val haveAR = numRight > 0
-        val haveBL = numBelow > 0
         if (haveAbove) {
           val strength = edgeFilterStrength(w + h, pAngle - 90, filtType)
-          val numPx = w + (if (pAngle < 90 && haveAR) h else 0)
+          // the +h extension applies by angle alone: the replicated
+          // above-right tail is filtered even when no real AR pixels
+          // exist (libaom n_px = n_top_px + (need_right ? txhpx : 0))
+          val numPx = w + (if (pAngle < 90) h else 0)
           filterEdge(above, aboveM1, numPx, strength)
         }
         if (haveLeft) {
           val strength = edgeFilterStrength(w + h, pAngle - 180, filtType)
-          val numPx = h + (if (pAngle > 180 && haveBL) w else 0)
+          val numPx = h + (if (pAngle > 180) w else 0)
           filterEdge(left, aboveM1, numPx, strength)
         }
       }

@@ -33,7 +33,12 @@ object Scripts {
     "thai" -> "\\x{0E00}-\\x{0E7F}",
     "bengali" -> "\\x{0980}-\\x{09FF}",
     "tamil" -> "\\x{0B80}-\\x{0BFF}",
-    "telugu" -> "\\x{0C00}-\\x{0C7F}")
+    "telugu" -> "\\x{0C00}-\\x{0C7F}",
+    "lao" -> "\\x{0E80}-\\x{0EFF}",
+    "myanmar" -> "\\x{1000}-\\x{109F}",
+    "khmer" -> "\\x{1780}-\\x{17FF}",
+    "georgian" -> "\\x{10A0}-\\x{10FF}",
+    "ethiopic" -> "\\x{1200}-\\x{137F}")
 
   private def countExpr(t: Column, cls: String): Column =
     size(regexp_extract_all(t, lit(s"[$cls]"), lit(0)))
@@ -77,7 +82,10 @@ object Scripts {
       "it" -> Seq("che", "di", "il", "per", "sono"),
       "nl" -> Seq("het", "een", "van", "niet", "zijn"),
       "pt" -> Seq("que", "não", "uma", "para", "com"),
-      "vi" -> Seq("của", "và", "là", "không", "người")),
+      "vi" -> Seq("của", "và", "là", "không", "người"),
+      "pl" -> Seq("się", "nie", "jest", "oraz", "czy"),
+      "tr" -> Seq("bir", "ve", "için", "değil", "olarak"),
+      "id" -> Seq("yang", "dan", "untuk", "tidak", "dengan")),
     "cyrillic" -> Seq(
       "bg" -> Seq("че", "това", "да", "се", "той"),
       "ru" -> Seq("и", "не", "это", "что", "он"),
@@ -92,7 +100,12 @@ object Scripts {
     "thai" -> Seq("th" -> Seq("และ", "ที่", "ไม่", "ใน", "ของ")),
     "bengali" -> Seq("bn" -> Seq("এবং", "এই", "না", "আমি", "তার")),
     "tamil" -> Seq("ta" -> Seq("மற்றும்", "அது", "இல்லை", "என்", "வீடு")),
-    "telugu" -> Seq("te" -> Seq("మరియు", "అది", "కాదు", "నా", "ఇల్లు")))
+    "telugu" -> Seq("te" -> Seq("మరియు", "అది", "కాదు", "నా", "ఇల్లు")),
+    "lao" -> Seq("lo" -> Seq("ແລະ", "ທີ່", "ບໍ່", "ໃນ", "ຂອງ")),
+    "myanmar" -> Seq("my" -> Seq("နှင့်", "သည်", "များ", "ကို", "တွင်")),
+    "khmer" -> Seq("km" -> Seq("និង", "នៅ", "ជា", "បាន", "របស់")),
+    "georgian" -> Seq("ka" -> Seq("და", "არის", "რომ", "არ", "ეს")),
+    "ethiopic" -> Seq("am" -> Seq("እና", "ነው", "ላይ", "ይህ", "ነበር")))
 
   /** (id, script, pred_lang): [[detect]]'s routing plus per-family
     * marker argmax (ties to the family's first language). Unroutable

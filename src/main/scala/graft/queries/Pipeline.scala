@@ -7108,7 +7108,14 @@ object Pipeline {
         .groupByKey(_._1 / 25) // synthesis-only shuffle; the parse is map-only
         .mapGroups { (g, it) =>
           val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
-            val enc = if (id % 50 == 49) "compress" else encs((id % 5).toInt)
+            // gzip lenient-tail legs (both declare plain "gzip"): %25==6
+            // plants a valid member + trailing garbage (must extract),
+            // %25==16 a damaged concatenated member (must quarantine)
+            val enc =
+              if (id % 50 == 49) "compress"
+              else if (id % 25 == 6) "gzip+tail"
+              else if (id % 25 == 16) "gzip+badmember"
+              else encs((id % 5).toInt)
             (s"http://corpus.example/doc/$id", "2026-01-01T00:00:00Z", "text/html",
               enc, s"<html><body><p>$text</p></body></html>".getBytes("UTF-8"))
           }
@@ -7128,8 +7135,8 @@ object Pipeline {
              ELSE CASE doc_id % 5 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
                   WHEN 2 THEN 'deflate' WHEN 3 THEN 'br' ELSE 'zstd' END
         END AS encoding,
-        doc_id % 50 = 49 AS quarantined,
-        CASE WHEN doc_id % 50 = 49 THEN NULL
+        (doc_id % 50 = 49 OR doc_id % 25 = 16) AS quarantined,
+        CASE WHEN doc_id % 50 = 49 OR doc_id % 25 = 16 THEN NULL
              ELSE md5('<html><body><p>' || text || '</p></body></html>')
         END AS payload_md5
       FROM documents WHERE doc_id < 250 ORDER BY doc_id
@@ -7663,8 +7670,9 @@ object Pipeline {
     * ru/uk/bg, Arabic-script ar/fa/ur, Greek, Hebrew, Devanagari,
     * Latin de/en/es/fr) and the CJK character rules (hangul→ko,
     * kana→ja, han→ja-iff-kana-else-zh). Passages planted per-doc in
-    * 22 languages (incl. Thai/Bengali/Tamil/Telugu scripts and Latin
-    * it/nl/pt/vi); the oracle REPLAYS the full scoring (script counts,
+    * 30 languages (incl. Thai/Bengali/Tamil/Telugu/Lao/Myanmar/Khmer/
+    * Georgian/Ethiopic scripts and Latin it/nl/pt/vi/pl/tr/id); the
+    * oracle REPLAYS the full scoring (script counts,
     * marker argmax) in DuckDB rather than pinning labels. */
   val langIdRoutedGate: QueryDef = QueryDef(
     "lang_id_routed",
@@ -7691,11 +7699,19 @@ object Pipeline {
         "của và là không người nhà",
         "que não uma para com casa",
         "che di il per sono casa",
-        "het een van niet zijn huis")
+        "het een van niet zijn huis",
+        "ແລະ ທີ່ ບໍ່ ໃນ ຂອງ ເຮືອນ",
+        "နှင့် သည် များ ကို တွင် အိမ်",
+        "និង នៅ ជា បាន របស់ ផ្ទះ",
+        "და არის რომ არ ეს სახლი",
+        "እና ነው ላይ ይህ ነበር ቤት",
+        "się nie jest oraz czy dom",
+        "bir ve için değil olarak ev",
+        "yang dan untuk tidak dengan rumah")
       val planted = tbl(s, dir, "documents")
         .filter(col("doc_id") < 280)
         .select(col("doc_id").as("id"),
-          element_at(typedLit(phrases), (col("doc_id") % 22).cast("int") + 1).as("text"))
+          element_at(typedLit(phrases), (col("doc_id") % 30).cast("int") + 1).as("text"))
       graft.operators.Scripts.langIdRouted(planted, "id", "text").orderBy("id")
     },
     Some {
@@ -7721,12 +7737,20 @@ object Pipeline {
         "của và là không người nhà",
         "que não uma para com casa",
         "che di il per sono casa",
-        "het een van niet zijn huis")
+        "het een van niet zijn huis",
+        "ແລະ ທີ່ ບໍ່ ໃນ ຂອງ ເຮືອນ",
+        "နှင့် သည် များ ကို တွင် အိမ်",
+        "និង នៅ ជា បាន របស់ ផ្ទះ",
+        "და არის რომ არ ეს სახლი",
+        "እና ነው ላይ ይህ ነበር ቤት",
+        "się nie jest oraz czy dom",
+        "bir ve için değil olarak ev",
+        "yang dan untuk tidak dengan rumah")
       val lst = phrases.map(p => s"'$p'").mkString("[", ", ", "]")
       s"""
       WITH planted AS (
         SELECT doc_id AS id,
-          ($lst)[CAST(doc_id % 22 AS INT) + 1] AS text
+          ($lst)[CAST(doc_id % 30 AS INT) + 1] AS text
         FROM documents WHERE doc_id < 280)
       SELECT * FROM (
         ${graft.operators.Scripts.langIdRoutedSql("planted")}

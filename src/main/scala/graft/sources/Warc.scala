@@ -287,11 +287,25 @@ object Warc {
           bo.toByteArray
         case "br" => Brotli.encodeUncompressed(payload0)
         case "zstd" => Zstd.encodeRawFrames(payload0)
+        // gate-time fixture variants for the lenient-TAIL gzip
+        // contract (header says plain "gzip" for both): a valid member
+        // followed by trailing garbage that does NOT look like a next
+        // member must extract; a damaged CONCATENATED member (valid
+        // 1f 8b magic, junk after) must refuse the record.
+        case "gzip+tail" | "gzip+badmember" =>
+          val bo = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bo)
+          gz.write(payload0); gz.finish()
+          if (enc == "gzip+tail") bo.write("CHUNKED-RESIDUE-NOT-GZIP".getBytes("ISO-8859-1"))
+          else bo.write(Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00, 0, 0, 0, 0, 0, 0xff.toByte,
+            'J', 'U', 'N', 'K'))
+          bo.toByteArray
         // any other token: header written, payload raw — builds the
         // unsupported-encoding quarantine fixtures
         case _ => payload0
       }
-      val encHeader = if (enc == "identity") "" else s"Content-Encoding: $enc\r\n"
+      val encToken = if (enc.startsWith("gzip+")) "gzip" else enc
+      val encHeader = if (enc == "identity") "" else s"Content-Encoding: $encToken\r\n"
       val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" + encHeader +
         s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++ payload
       val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +

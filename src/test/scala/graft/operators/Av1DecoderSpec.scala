@@ -80,6 +80,19 @@ class Av1DecoderSpec extends AnyFunSuite {
     }
   }
 
+  // r12 additions: GOOD-usage encodes pinning (a) aom speed-0 with the
+  // intra edge filter + z-order has_top_right/has_bottom_left grants
+  // (the former silent-divergence class), (b) CDEF partial 8x8 units
+  // on non-8-aligned dims, (c) the visible-frame deblock bound — the
+  // coded-but-cropped mi band reconstructs but its edges are NOT
+  // deblocked, and filtering them leaks into visible p-side pixels
+  for (name <- Seq("s0_noise64_q50", "cd_grad100x36_q50",
+    "cd_photo65x40_q50", "nc_photo52x36_q50")) {
+    test(s"good-usage fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)

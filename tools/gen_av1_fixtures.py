@@ -49,9 +49,10 @@ def planes_i420(w, h, kind, seed=42):
     raise AssertionError(kind)
 
 
-def write_fixture(name, w, h, kind, controls, min_q, max_q, seed=42):
+def write_fixture(name, w, h, kind, controls, min_q, max_q, seed=42,
+                  usage=H.AOM_USAGE_ALL_INTRA):
     planes = planes_i420(w, h, kind, seed)
-    obu = H.encode_av1(w, h, planes, controls, min_q=min_q, max_q=max_q)
+    obu = H.encode_av1(w, h, planes, controls, min_q=min_q, max_q=max_q, usage=usage)
     dw, dh, layout, golden = H.dav1d_decode(obu)
     assert (dw, dh) == (w, h), (name, dw, dh)
     assert layout == 1, (name, layout)  # I420
@@ -100,5 +101,19 @@ for nm, w, h, kind, q, cpu in [
     ('q32_photo256', 256, 192, 'photo', 32, 6),
 ]:
     fixtures.append(write_fixture(nm, w, h, kind, BASE + [(CPU, cpu)], q, q))
+
+# --- stage D: GOOD-usage encodes — aom speed-0 (slow preset, intra
+# edge filter + z-order AR/BL availability live) and CDEF on
+# non-64-aligned / non-8-aligned dims (partial CDEF units + the
+# visible-frame deblock bound over the coded-but-cropped band) ---
+CDEF = 58  # enable_cdef: behaviorally verified (seq-header bit probe)
+for nm, w, h, kind, q, controls in [
+    ('s0_noise64_q50', 64, 64, 'noise', 50, [(CPU, 0)]),
+    ('cd_grad100x36_q50', 100, 36, 'grad', 50, [(CPU, 6), (CDEF, 1)]),
+    ('cd_photo65x40_q50', 65, 40, 'photo', 50, [(CPU, 6), (CDEF, 1)]),
+    ('nc_photo52x36_q50', 52, 36, 'photo', 50, [(CPU, 6), (CDEF, 0)]),
+]:
+    fixtures.append(write_fixture(nm, w, h, kind, controls, q, q,
+                                  usage=H.AOM_USAGE_GOOD_QUALITY))
 
 print('fixtures at', OUT)
