@@ -106,6 +106,20 @@ object Av1Decoder {
     val cflAlpha: Array[Int] = clone2("cfl_alpha") // [6] x17
     val filterIntra: Array[Int] = clone2("filter_intra") // [22 bsize] x3
     val filterIntraMode: Array[Int] = clone2("filter_intra_mode") // [1] x6
+    // loop-restoration unit-type CDFs (libaom entropymode.c defaults,
+    // located structurally beside the skip families; AV1_LR_CDF env
+    // override is the dev pinning hook)
+    // defaults = the spec's Default_{Wiener,Sgrproj,Switchable}_Restore_Cdf
+    // (AOM_CDF2(11570), AOM_CDF2(16855), AOM_CDF3(9413, 22581)), pinned
+    // empirically by the chroma-sync sweep (tools/Av1LrPin) on real
+    // libaom LR encodes
+    private val lrCdf = sys.props.get("av1.lr.cdf").orElse(sys.env.get("AV1_LR_CDF"))
+      .map(_.split(",").map(_.toInt))
+      .getOrElse(Array(21198, 15913, 23355, 10187))
+    private val lrSwap = sys.env.contains("AV1_LR_SWAP_WS")
+    val restoreWiener: Array[Int] = Array(lrCdf(if (lrSwap) 1 else 0), 0, 0)
+    val restoreSgrproj: Array[Int] = Array(lrCdf(if (lrSwap) 0 else 1), 0, 0)
+    val restoreSwitchable: Array[Int] = Array(lrCdf(2), lrCdf(3), 0, 0)
     val deltaQ: Array[Int] = Array(4608, 648, 91, 0, 0)
     val deltaLf: Array[Int] = Array(4608, 648, 91, 0, 0)
     val deltaLfMulti: Array[Int] = Array.fill(4)(Array(4608, 648, 91, 0, 0)).flatten

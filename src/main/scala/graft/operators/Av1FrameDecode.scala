@@ -70,6 +70,35 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private val deltaLfSb = new Array[Int](math.max(1, sbRows * sbCols * 4))
   private val curDeltaLf = new Array[Int](4)
 
+  // ------------------------------------------------ loop restoration
+  // unit grids per plane (spec 5.9.20/5.11.57); unit sizes and counts
+  // key on the VISIBLE frame dims, per plane subsampling
+  private val lrActive = fh.lrType.exists(_ != Av1Headers.RestoreNone)
+  @inline private def countUnits(unitSize: Int, size: Int): Int =
+    math.max((size + (unitSize >> 1)) / unitSize, 1)
+  private val lrUnitRows = Array.tabulate(3) { p =>
+    val s = if (p > 0) subY else 0
+    countUnits(fh.lrUnitSize(p), (fh.height + s) >> s)
+  }
+  private val lrUnitCols = Array.tabulate(3) { p =>
+    val s = if (p > 0) subX else 0
+    countUnits(fh.lrUnitSize(p), (fh.width + s) >> s)
+  }
+  private val lrUnitType = Array.tabulate(3)(p => new Array[Byte](lrUnitRows(p) * lrUnitCols(p)))
+  private val lrWiener = Array.tabulate(3)(p => Array.ofDim[Int](lrUnitRows(p) * lrUnitCols(p), 6))
+  private val lrSgrSet = Array.tabulate(3)(p => new Array[Int](lrUnitRows(p) * lrUnitCols(p)))
+  private val lrSgrXqd = Array.tabulate(3)(p => Array.ofDim[Int](lrUnitRows(p) * lrUnitCols(p), 2))
+  // per-tile subexp prediction refs (tiles decode independently)
+  private val refLrWiener = Array.ofDim[Int](3, 2, 3)
+  private val refSgrXqd = Array.ofDim[Int](3, 2)
+  private val WienerTapsMin = Array(-5, -23, -17)
+  private val WienerTapsMax = Array(10, 8, 46)
+  private val WienerTapsK = Array(1, 2, 3)
+  private val WienerTapsMid = Array(3, -7, 15)
+  private val SgrXqdMin = Array(-96, -32)
+  private val SgrXqdMax = Array(31, 95)
+  private val SgrXqdMid = Array(-32, 31)
+
   private val qctx = if (fh.baseQIdx <= 20) 0 else if (fh.baseQIdx <= 60) 1
     else if (fh.baseQIdx <= 120) 2 else 3
 
@@ -117,6 +146,9 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       tile += 1
     }
     if (!fh.codedLossless && fh.filterLevel.exists(_ > 0) && !sys.env.contains("AV1_NO_DEBLOCK")) deblockFrame()
+    // loop restoration reads the post-deblock (pre-CDEF) rows at
+    // stripe boundaries — snapshot them before CDEF runs
+    val preCdef: Array[Array[Int]] = if (lrActive) planes.map(_.clone()) else null
     fh.cdef.foreach { cd =>
       val active = (cd.yPri ++ cd.ySec ++ cd.uvPri ++ cd.uvSec).exists(_ != 0)
       if (active && !sys.env.contains("AV1_NO_CDEF")) {
@@ -125,6 +157,19 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         // edge samples clamping to the superblock-aligned buffer
         // instead of the coded area; Av1DecoderSpec cdefodd fixtures).
         cdefFrame(cd)
+      }
+    }
+    if (lrActive) {
+      val anyUnit = (0 until numPlanes).exists(p => lrUnitType(p).exists(_ != 0))
+      if (anyUnit) {
+        sys.env.get("AV1_LR_DUMP").foreach(dir => dumpLr(dir, preCdef))
+        // the unit-type/param PARSE is pinned bit-exact (chroma-sync
+        // oracles, Av1LrPin); the FILTER is close but not yet bit-exact
+        // vs dav1d — refuse loudly rather than emit near-miss pixels.
+        // Streams whose units all code RESTORE_NONE decode fine.
+        if (sys.env.contains("AV1_LR_APPLY")) lrFrame(preCdef)
+        else require(sys.env.contains("AV1_LR_PARSE_ONLY"),
+          "av1: loop restoration filter not yet bit-exact (active units coded)")
       }
     }
     // crop to visible size (AV1_DUMP_CODED: keep the coded mi area,
@@ -158,6 +203,13 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     tr(s"tile $tr0/$tc seqCdef=${sh.enableCdef} seqLr=${sh.enableRestoration} fi=${sh.enableFilterIntra} bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} dqY=${fh.deltaQYDc} dqU=${fh.deltaQUDc}/${fh.deltaQUAc} dqV=${fh.deltaQVDc}/${fh.deltaQVAc} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} deltaLf=${fh.deltaLfPresent}/${fh.deltaLfMulti}/res${fh.deltaLfRes} refDeltaIntra=${fh.refDeltaIntra} cdef=${fh.cdef.map(c => s"damp=${c.damping},bits=${c.bits},y=${c.yPri.mkString("|")}/${c.ySec.mkString("|")},uv=${c.uvPri.mkString("|")}/${c.uvSec.mkString("|")}").getOrElse("none")} flt=${fh.filterLevel.mkString(",")} sharp=${fh.sharpness} fdelta=${fh.filterDeltaEnabled} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
     currentQIndex = fh.baseQIdx
     java.util.Arrays.fill(curDeltaLf, 0) // spec 6.10.2: DeltaLF reset per tile
+    var p0 = 0
+    while (p0 < 3) { // LR subexp refs reset per tile (independent decode)
+      System.arraycopy(WienerTapsMid, 0, refLrWiener(p0)(0), 0, 3)
+      System.arraycopy(WienerTapsMid, 0, refLrWiener(p0)(1), 0, 3)
+      System.arraycopy(SgrXqdMid, 0, refSgrXqd(p0), 0, 2)
+      p0 += 1
+    }
     var c = tileMiColStart
     while (c < tileMiColEnd) { abovePart(c) = 0; c += 1 }
     for (p <- 0 until numPlanes) {
@@ -193,6 +245,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
           }
           dy += 1
         }
+        if (lrActive) readLr(r, c)
         decodePartition(r, c, sbSizeB)
         c += sb4
       }
@@ -202,6 +255,401 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   }
 
   private def msacExhausted(end: Int): Boolean = true // trailing-bit audit deferred
+
+  /** Dev-only (AV1_LR_DUMP): export pre-CDEF + post-CDEF planes and
+    * the parsed LR unit params for the python filter lab. */
+  private def dumpLr(dir: String, preCdef: Array[Array[Int]]): Unit = {
+    val sb = new StringBuilder
+    sb.append("{\"width\":").append(fh.width).append(",\"height\":").append(fh.height)
+    sb.append(",\"subX\":").append(subX).append(",\"subY\":").append(subY)
+    sb.append(",\"planes\":[")
+    for (p <- 0 until numPlanes) {
+      if (p > 0) sb.append(',')
+      sb.append("{\"stride\":").append(planeW(p)).append(",\"rows\":").append(planeH(p))
+      sb.append(",\"lrType\":").append(fh.lrType(p))
+      sb.append(",\"unitSize\":").append(fh.lrUnitSize(p))
+      sb.append(",\"unitRows\":").append(lrUnitRows(p))
+      sb.append(",\"unitCols\":").append(lrUnitCols(p))
+      sb.append(",\"units\":[")
+      for (i <- 0 until lrUnitRows(p) * lrUnitCols(p)) {
+        if (i > 0) sb.append(',')
+        sb.append("{\"type\":").append(lrUnitType(p)(i))
+        sb.append(",\"wiener\":[").append(lrWiener(p)(i).mkString(",")).append(']')
+        sb.append(",\"sgrSet\":").append(lrSgrSet(p)(i))
+        sb.append(",\"xqd\":[").append(lrSgrXqd(p)(i).mkString(",")).append("]}")
+      }
+      sb.append("]}")
+      def wr(name: String, a: Array[Int]): Unit = {
+        val b = new Array[Byte](a.length)
+        var k = 0
+        while (k < a.length) { b(k) = a(k).toByte; k += 1 }
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$name$p.raw"), b)
+      }
+      wr("pre", preCdef(p))
+      wr("post", planes(p))
+    }
+    sb.append("]}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "lr.json"),
+      sb.toString.getBytes("UTF-8"))
+  }
+
+  // ----------------------------------------------- loop restoration
+  // coded-unit syntax (spec 5.11.57/5.11.58): each restoration unit's
+  // type + params are read at its FIRST intersecting superblock, via
+  // CDF symbols (type) and bool-coded subexponential residuals (taps).
+
+  /** read_lr: units whose first superblock is (r, c). */
+  private def readLr(r: Int, c: Int): Unit = {
+    if (fh.allowIntrabc) return
+    val w4 = BlkW4(sbSizeB)
+    val h4 = BlkH4(sbSizeB)
+    var p = 0
+    while (p < numPlanes) {
+      if (fh.lrType(p) != Av1Headers.RestoreNone) {
+        val sX2 = if (p > 0) subX else 0
+        val sY2 = if (p > 0) subY else 0
+        val unitSize = fh.lrUnitSize(p)
+        val rowStart = (r * (4 >> sY2) + unitSize - 1) / unitSize
+        val rowEnd = math.min(lrUnitRows(p), ((r + h4) * (4 >> sY2) + unitSize - 1) / unitSize)
+        val colStart = (c * (4 >> sX2) + unitSize - 1) / unitSize
+        val colEnd = math.min(lrUnitCols(p), ((c + w4) * (4 >> sX2) + unitSize - 1) / unitSize)
+        var ur = rowStart
+        while (ur < rowEnd) {
+          var uc = colStart
+          while (uc < colEnd) {
+            readLrUnit(p, ur, uc)
+            uc += 1
+          }
+          ur += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  private def readLrUnit(p: Int, ur: Int, uc: Int): Unit = {
+    import Av1Headers.{RestoreNone, RestoreSwitchable, RestoreWiener, RestoreSgrproj}
+    val idx = ur * lrUnitCols(p) + uc
+    val rtype = fh.lrType(p) match {
+      case RestoreWiener =>
+        if (msac.decodeSymbol(cdfs.restoreWiener, 0, 2) == 1) RestoreWiener else RestoreNone
+      case RestoreSgrproj =>
+        if (msac.decodeSymbol(cdfs.restoreSgrproj, 0, 2) == 1) RestoreSgrproj else RestoreNone
+      case _ =>
+        msac.decodeSymbol(cdfs.restoreSwitchable, 0, 3) match {
+          case 0 => RestoreNone
+          case 1 => RestoreWiener
+          case _ => RestoreSgrproj
+        }
+    }
+    lrUnitType(p)(idx) = rtype.toByte
+    tr(s"  lr-sym p=$p rtype=$rtype rng=${msac.debugRange} val=${msac.debugValue}")
+    if (rtype == RestoreWiener) {
+      var pass = 0
+      while (pass < 2) {
+        val first = if (p != 0) 1 else 0
+        if (first == 1) lrWiener(p)(idx)(pass * 3) = 0
+        var j = first
+        while (j < 3) {
+          val v = decodeSignedSubexpWithRef(
+            WienerTapsMin(j), WienerTapsMax(j) + 1, WienerTapsK(j), refLrWiener(p)(pass)(j))
+          lrWiener(p)(idx)(pass * 3 + j) = v
+          refLrWiener(p)(pass)(j) = v
+          j += 1
+        }
+        pass += 1
+      }
+      tr(s"  lr p=$p unit=($ur,$uc) WIENER taps=${lrWiener(p)(idx).mkString(",")}")
+    } else if (rtype == RestoreSgrproj) {
+      val set = msac.readLiteral(4)
+      lrSgrSet(p)(idx) = set
+      var i = 0
+      while (i < 2) {
+        val radius = Av1Tables.SgrParams(set)(i)
+        val mn = SgrXqdMin(i)
+        val mx = SgrXqdMax(i)
+        val v =
+          if (radius != 0)
+            decodeSignedSubexpWithRef(mn, mx + 1, 4, refSgrXqd(p)(i))
+          else if (i == 1)
+            math.max(mn, math.min(mx, (1 << 7) - refSgrXqd(p)(0)))
+          else 0
+        lrSgrXqd(p)(idx)(i) = v
+        refSgrXqd(p)(i) = v
+        i += 1
+      }
+      tr(s"  lr p=$p unit=($ur,$uc) SGR set=$set xqd=${lrSgrXqd(p)(idx).mkString(",")}")
+    } else tr(s"  lr p=$p unit=($ur,$uc) NONE")
+  }
+
+  /** ns(n) over equiprobable msac bools (spec 4.10.7 / decode_uniform). */
+  private def decodeUniformBool(n: Int): Int = {
+    if (n <= 1) 0
+    else {
+      val w = 32 - Integer.numberOfLeadingZeros(n) // FloorLog2(n) + 1
+      val m = (1 << w) - n
+      val v = msac.readLiteral(w - 1)
+      if (v < m) v else (v << 1) - m + msac.readBit()
+    }
+  }
+
+  private def decodeSubexpBool(numSyms: Int, k: Int): Int = {
+    val strictLt = sys.props.get("av1.lr.subexp").orElse(sys.env.get("AV1_LR_SUBEXP")).contains("lt")
+    var i = 0
+    var mk = 0
+    while (true) {
+      val b2 = if (i != 0) k + i - 1 else k
+      val a = 1 << b2
+      val stop = if (strictLt) numSyms < mk + 3 * a else numSyms <= mk + 3 * a
+      if (stop) return decodeUniformBool(numSyms - mk) + mk
+      else if (msac.readBit() == 1) { i += 1; mk += a }
+      else return msac.readLiteral(b2) + mk
+    }
+    0
+  }
+
+  @inline private def inverseRecenter(r0: Int, v: Int): Int =
+    if (v > 2 * r0) v
+    else if ((v & 1) != 0) r0 + ((v + 1) >> 1)
+    else r0 - (v >> 1)
+
+  private def decodeUnsignedSubexpWithRef(mx: Int, k: Int, r0: Int): Int = {
+    val v = decodeSubexpBool(mx, k)
+    if ((r0 << 1) <= mx) inverseRecenter(r0, v)
+    else mx - 1 - inverseRecenter(mx - 1 - r0, v)
+  }
+
+  private def decodeSignedSubexpWithRef(low: Int, high: Int, k: Int, r0: Int): Int =
+    decodeUnsignedSubexpWithRef(high - low, k, r0 - low) + low
+
+  // ------------------------------------------- loop restoration filter
+
+  /** Apply loop restoration (spec 7.17): per plane, per unit, per
+    * 64-row stripe band. Sources: the post-CDEF frame, except the two
+    * rows beyond each stripe boundary which come from the saved
+    * post-deblock (pre-CDEF) frame; reads clamp to the VISIBLE plane. */
+  private def lrFrame(preCdef: Array[Array[Int]]): Unit = {
+    var p = 0
+    while (p < numPlanes) {
+      if (fh.lrType(p) != Av1Headers.RestoreNone && lrUnitType(p).exists(_ != 0))
+        lrPlane(p, preCdef(p))
+      p += 1
+    }
+  }
+
+  private def lrPlane(p: Int, pre: Array[Int]): Unit = {
+    import Av1Headers.{RestoreWiener, RestoreSgrproj}
+    val stride = planeW(p)
+    val post = planes(p).clone() // CdefFrame snapshot; writes go to planes(p)
+    val sX2 = if (p > 0) subX else 0
+    val sY2 = if (p > 0) subY else 0
+    val pw = (fh.width + sX2) >> sX2
+    val ph = (fh.height + sY2) >> sY2
+    val stripeH = 64 >> sY2
+    val stripeOff = 8 >> sY2
+    val usize = fh.lrUnitSize(p)
+    val ucols = lrUnitCols(p)
+    val urows = lrUnitRows(p)
+    @inline def clampI(v: Int, lo: Int, hi: Int): Int = math.max(lo, math.min(hi, v))
+    // source sample with stripe semantics (spec get_source_sample)
+    @inline def srcAt(x0: Int, y0: Int, s0: Int, s1: Int): Int = {
+      val x = clampI(x0, 0, pw - 1)
+      var y = clampI(y0, s0 - 2, s1 + 2)
+      y = clampI(y, 0, ph - 1)
+      if (y < s0 || y > s1) pre(y * stride + x) else post(y * stride + x)
+    }
+    var ur = 0
+    while (ur < urows) {
+      var uc = 0
+      while (uc < ucols) {
+        val idx = ur * ucols + uc
+        val utype = lrUnitType(p)(idx)
+        if (utype != 0) {
+          val x0 = uc * usize
+          val x1 = if (uc == ucols - 1) pw else math.min((uc + 1) * usize, pw)
+          val y0 = ur * usize
+          val y1 = if (ur == urows - 1) ph else math.min((ur + 1) * usize, ph)
+          var yb = y0
+          while (yb < y1) {
+            val sn = (yb + stripeOff) / stripeH
+            val s0 = sn * stripeH - stripeOff
+            val s1 = s0 + stripeH - 1
+            val ye = math.min(y1, s1 + 1)
+            if (utype == RestoreWiener)
+              lrWienerBand(p, stride, x0, x1, yb, ye, s0, s1, lrWiener(p)(idx), srcAt)
+            else
+              lrSgrBand(p, stride, x0, x1, yb, ye, s0, s1,
+                lrSgrSet(p)(idx), lrSgrXqd(p)(idx), srcAt)
+            yb = ye
+          }
+        }
+        uc += 1
+      }
+      ur += 1
+    }
+  }
+
+  /** Wiener 7-tap separable filter (spec 7.17.4), 8-bit path:
+    * horizontal with round0=3 and an offset keeping the intermediate
+    * unsigned, vertical with round1=11 removing it. */
+  private def lrWienerBand(p: Int, stride: Int, x0: Int, x1: Int, yb: Int, ye: Int,
+      s0: Int, s1: Int, taps: Array[Int], srcAt: (Int, Int, Int, Int) => Int): Unit = {
+    val vh = sys.env.get("AV1_LR_WIENER").getOrElse("vh") // coded pass0 = vertical
+    @inline def mk(a: Int, b: Int, c: Int): Array[Int] =
+      Array(a, b, c, 128 - 2 * (a + b + c), c, b, a)
+    val (vf, hf) =
+      if (vh == "vh") (mk(taps(0), taps(1), taps(2)), mk(taps(3), taps(4), taps(5)))
+      else (mk(taps(3), taps(4), taps(5)), mk(taps(0), taps(1), taps(2)))
+    val round0 = 3
+    val round1 = 11
+    val offH = 1 << (8 + 7 - 1)          // 2^14
+    val limH = (1 << (8 + 1 + 7 - round0)) - 1 // 2^13 - 1
+    val offV = 1 << (8 + 2 * 7 - 1 - round0)   // 2^18
+    val out = planes(p)
+    var y = yb
+    while (y < ye) {
+      var x = x0
+      while (x < x1) {
+        var v = 0
+        var ty = 0
+        while (ty < 7) {
+          var s = 0
+          var tx = 0
+          while (tx < 7) {
+            s += hf(tx) * srcAt(x + tx - 3, y + ty - 3, s0, s1)
+            tx += 1
+          }
+          var m = (s + offH + (1 << (round0 - 1))) >> round0
+          if (m < 0) m = 0 else if (m > limH) m = limH
+          v += vf(ty) * m
+          ty += 1
+        }
+        var r = (v - offV + (1 << (round1 - 1))) >> round1
+        if (r < 0) r = 0 else if (r > 255) r = 255
+        out(y * stride + x) = r
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Self-guided restoration (spec 7.17.3), 8-bit path: one or two
+    * box-filter passes (r=2 computed on alternate rows) followed by
+    * the coded projection. */
+  private def lrSgrBand(p: Int, stride: Int, x0: Int, x1: Int, yb: Int, ye: Int,
+      s0: Int, s1: Int, set: Int, xqd: Array[Int], srcAt: (Int, Int, Int, Int) => Int): Unit = {
+    val par = sys.env.get("AV1_LR_SGR_PAR").map(_.toInt).getOrElse(0)
+    val w = x1 - x0
+    val h = ye - yb
+    val flt = new Array[Array[Int]](2)
+    var pass = 0
+    while (pass < 2) {
+      val rad = Av1Tables.SgrParams(set)(pass)
+      val scale = Av1Tables.SgrParams(set)(2 + pass)
+      if (rad != 0) {
+        val n = (2 * rad + 1) * (2 * rad + 1)
+        val oneOverN = ((1 << 12) + (n >> 1)) / n
+        // A/B grids over [-1, h] x [-1, w]; r==2 computes alternate rows
+        val gw = w + 2
+        val aArr = new Array[Int]((h + 2) * gw)
+        val bArr = new Array[Int]((h + 2) * gw)
+        var i = -1
+        while (i <= h) {
+          if (rad != 2 || ((i & 1) == par)) {
+            var j = -1
+            while (j <= w) {
+              var a = 0
+              var b = 0
+              var dy = -rad
+              while (dy <= rad) {
+                var dx = -rad
+                while (dx <= rad) {
+                  val c = srcAt(x0 + j + dx, yb + i + dy, s0, s1)
+                  a += c * c
+                  b += c
+                  dx += 1
+                }
+                dy += 1
+              }
+              val pp = math.max(0, a * n - b * b)
+              val z = (pp.toLong * scale + (1 << 19)) >> 20
+              val a2 =
+                if (z >= 255) 256
+                else if (z == 0) 1
+                else (((z << 8) + (z >> 1)) / (z + 1)).toInt
+              val b2 = ((((1 << 8) - a2).toLong * b * oneOverN + (1 << 11)) >> 12).toInt
+              aArr((i + 1) * gw + j + 1) = a2
+              bArr((i + 1) * gw + j + 1) = b2
+              j += 1
+            }
+          }
+          i += 1
+        }
+        @inline def A(i2: Int, j2: Int): Int = aArr((i2 + 1) * gw + j2 + 1)
+        @inline def B(i2: Int, j2: Int): Int = bArr((i2 + 1) * gw + j2 + 1)
+        val f = new Array[Int](h * w)
+        i = 0
+        while (i < h) {
+          var j = 0
+          while (j < w) {
+            var sumA = 0
+            var sumB = 0
+            var nb = 5
+            if (rad == 2 && ((i & 1) == par)) {
+              // computed row: cross weights from the row itself
+              sumA = (A(i, j - 1) + A(i, j + 1)) * 5 + A(i, j) * 6
+              sumB = (B(i, j - 1) + B(i, j + 1)) * 5 + B(i, j) * 6
+              nb = 4
+            } else if (rad == 2) {
+              sumA = (A(i - 1, j - 1) + A(i - 1, j + 1) + A(i + 1, j - 1) + A(i + 1, j + 1)) * 5 +
+                (A(i - 1, j) + A(i + 1, j)) * 6
+              sumB = (B(i - 1, j - 1) + B(i - 1, j + 1) + B(i + 1, j - 1) + B(i + 1, j + 1)) * 5 +
+                (B(i - 1, j) + B(i + 1, j)) * 6
+              nb = 5
+            } else {
+              var dy = -1
+              while (dy <= 1) {
+                var dx = -1
+                while (dx <= 1) {
+                  val wgt = if (dx != 0 && dy != 0) 3 else 4
+                  sumA += wgt * A(i + dy, j + dx)
+                  sumB += wgt * B(i + dy, j + dx)
+                  dx += 1
+                }
+                dy += 1
+              }
+              nb = 5
+            }
+            val vv = sumA.toLong * srcAt(x0 + j, yb + i, s0, s1) + sumB
+            f(i * w + j) = ((vv + (1 << (8 + nb - 4 - 1))) >> (8 + nb - 4)).toInt
+            j += 1
+          }
+          i += 1
+        }
+        flt(pass) = f
+      }
+      pass += 1
+    }
+    val w0 = xqd(0)
+    val w2 = xqd(1)
+    val w1 = (1 << 7) - w0 - w2
+    val out = planes(p)
+    var i = 0
+    while (i < h) {
+      var j = 0
+      while (j < w) {
+        val u = srcAt(x0 + j, yb + i, s0, s1) << 4
+        val f0 = if (flt(0) != null) flt(0)(i * w + j) else u
+        val f1 = if (flt(1) != null) flt(1)(i * w + j) else u
+        val vv = w0 * f0 + w1 * u + w2 * f1
+        var r = (vv + (1 << 10)) >> 11
+        if (r < 0) r = 0 else if (r > 255) r = 255
+        out((yb + i) * stride + x0 + j) = r
+        j += 1
+      }
+      i += 1
+    }
+  }
 
   // -------------------------------------------------- partition tree
 

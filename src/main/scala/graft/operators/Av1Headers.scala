@@ -233,11 +233,18 @@ object Av1Headers {
       filterDeltaEnabled: Boolean,
       refDeltaIntra: Int, // loop_filter_ref_deltas[INTRA_FRAME] (default 1)
       cdef: Option[CdefParams],
+      lrType: Array[Int], // per plane: RestoreNone/Switchable/Wiener/Sgrproj
+      lrUnitSize: Array[Int], // per plane, in PLANE pixels (64/128/256 luma)
       txModeSelect: Boolean,
       reducedTxSet: Boolean,
       tileColsLog2: Int, tileRowsLog2: Int,
       tileColStarts: Array[Int], tileRowStarts: Array[Int], // in superblocks
       tileSizeBytes: Int)
+
+  final val RestoreNone = 0
+  final val RestoreSwitchable = 1
+  final val RestoreWiener = 2
+  final val RestoreSgrproj = 3
 
   /** Parse an (intra) frame header. `sh` from the same stream. */
   def parseFrameHeader(r: BitReader, sh: SeqHeader): FrameHeader = {
@@ -432,11 +439,34 @@ object Av1Headers {
       }
       cdef = Some(CdefParams(damping, bits, yPri, ySec, uvPri, uvSec))
     }
-    // lr_params()
+    // lr_params() (spec 5.9.20): Remap_Lr_Type maps the coded 2-bit
+    // field to {NONE, SWITCHABLE, WIENER, SGRPROJ}
+    val lrType = Array(0, 0, 0)
+    var lrUnitSize = Array(256, 256, 256)
+    if (sys.env.contains("AV1_TRACE"))
+      println(s"[av1] lrparams abs-bitpos=${r.pos * 8 + r.bit} seqLr=${sh.enableRestoration}")
     if (!codedLossless && !allowIntrabc && sh.enableRestoration) {
-      val t0 = r.f(2); val t1 = if (!sh.monochrome) r.f(2) else 0
-      val t2 = if (!sh.monochrome) r.f(2) else 0
-      require(t0 == 0 && t1 == 0 && t2 == 0, "av1: loop restoration unsupported")
+      val remap = Array(RestoreNone, RestoreSwitchable, RestoreWiener, RestoreSgrproj)
+      var usesLr = false
+      var usesChromaLr = false
+      val np = if (sh.monochrome) 1 else 3
+      var p = 0
+      while (p < np) {
+        lrType(p) = remap(r.f(2))
+        if (lrType(p) != RestoreNone) { usesLr = true; if (p > 0) usesChromaLr = true }
+        p += 1
+      }
+      if (usesLr) {
+        var lrUnitShift =
+          if (sh.use128x128Superblock) 1 + r.f(1)
+          else { val s0 = r.f(1); if (s0 == 1) 1 + r.f(1) else 0 }
+        val ySize = 256 >> (2 - lrUnitShift)
+        val lrUvShift =
+          if (sh.subsamplingX == 1 && sh.subsamplingY == 1 && usesChromaLr) r.f(1) else 0
+        lrUnitSize = Array(ySize, ySize >> lrUvShift, ySize >> lrUvShift)
+      }
+      if (sys.env.contains("AV1_TRACE"))
+        println(s"[av1] lrparams end-bitpos=${r.pos * 8 + r.bit} types=${lrType.mkString(",")} sizes=${lrUnitSize.mkString(",")}")
     }
     // read_tx_mode()
     val txModeSelect = if (codedLossless) false else r.f(1) == 1
@@ -449,7 +479,7 @@ object Av1Headers {
       baseQIdx, dqYDc, dqUDc, dqUAc, dqVDc, dqVAc,
       deltaQPresent, deltaQRes, deltaLfPresent, deltaLfRes, deltaLfMulti,
       codedLossless, filterLevel, sharpness, filterDeltaEnabled, refDeltaIntra,
-      cdef, txModeSelect, reducedTxSet,
+      cdef, lrType, lrUnitSize, txModeSelect, reducedTxSet,
       tileColsLog2, tileRowsLog2, colStarts, rowStarts, tileSizeBytes)
   }
 

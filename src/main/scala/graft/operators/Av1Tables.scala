@@ -45,6 +45,18 @@ object Av1Tables {
   /** Flat values of a named table. */
   def values(name: String): Array[Int] = table(name)._3
 
+  /** Self-guided restoration parameter sets (spec Sgr_Params, stored
+    * as libaom av1_sgr_params {r0, r1, s0, s1} — s = the precomputed
+    * (1<<20)/(n²e) scale; recovered from libaom .rodata @0x47c6e0,
+    * validated by the dav1d-arbitrated LR fixtures). */
+  val SgrParams: Array[Array[Int]] = Array(
+    Array(2, 1, 140, 3236), Array(2, 1, 112, 2158), Array(2, 1, 93, 1618),
+    Array(2, 1, 80, 1438), Array(2, 1, 70, 1295), Array(2, 1, 58, 1177),
+    Array(2, 1, 47, 1079), Array(2, 1, 37, 996), Array(2, 1, 30, 925),
+    Array(2, 1, 25, 863), Array(0, 1, -1, 2589), Array(0, 1, -1, 1618),
+    Array(0, 1, -1, 1177), Array(0, 1, -1, 925), Array(2, 0, 56, -1),
+    Array(2, 0, 22, -1))
+
   // non-CDF spec constants
   val DcQLookup: Array[Int] = values("dc_qlookup")
   val AcQLookup: Array[Int] = values("ac_qlookup")
