@@ -163,13 +163,13 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       val anyUnit = (0 until numPlanes).exists(p => lrUnitType(p).exists(_ != 0))
       if (anyUnit) {
         sys.env.get("AV1_LR_DUMP").foreach(dir => dumpLr(dir, preCdef))
-        // the unit-type/param PARSE is pinned bit-exact (chroma-sync
-        // oracles, Av1LrPin); the FILTER is close but not yet bit-exact
-        // vs dav1d — refuse loudly rather than emit near-miss pixels.
-        // Streams whose units all code RESTORE_NONE decode fine.
-        if (sys.env.contains("AV1_LR_APPLY")) lrFrame(preCdef)
-        else require(sys.env.contains("AV1_LR_PARSE_ONLY"),
-          "av1: loop restoration filter not yet bit-exact (active units coded)")
+        // Wiener + SGR pinned bit-exact against libdav1d on 40 real
+        // libaom LR encodes (cpu 1-4, grad/noise/photo/mix content,
+        // aligned/odd dims, multi-unit grids, chroma LR) plus 8 of 9
+        // header-forced probe streams; the one divergent stream is a
+        // hand-crafted reinterpreted-header probe (87 px), not an
+        // encoder output — tracked in SURVEY.
+        if (!sys.env.contains("AV1_LR_PARSE_ONLY")) lrFrame(preCdef)
       }
     }
     // crop to visible size (AV1_DUMP_CODED: keep the coded mi area,
@@ -360,6 +360,8 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         pass += 1
       }
       tr(s"  lr p=$p unit=($ur,$uc) WIENER taps=${lrWiener(p)(idx).mkString(",")}")
+      if (sys.props.contains("av1.lr.trace"))
+        sys.props("av1.lr.lasttaps") = lrWiener(p)(idx).mkString(",")
     } else if (rtype == RestoreSgrproj) {
       val set = msac.readLiteral(4)
       lrSgrSet(p)(idx) = set
@@ -408,10 +410,12 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     0
   }
 
+  /** inverse_recenter: EVEN v goes up, odd v goes down (pinned against
+    * dav1d-solved wiener taps on real LR encodes — see Av1LrPin). */
   @inline private def inverseRecenter(r0: Int, v: Int): Int =
     if (v > 2 * r0) v
-    else if ((v & 1) != 0) r0 + ((v + 1) >> 1)
-    else r0 - (v >> 1)
+    else if ((v & 1) == 0) r0 + (v >> 1)
+    else r0 - ((v + 1) >> 1)
 
   private def decodeUnsignedSubexpWithRef(mx: Int, k: Int, r0: Int): Int = {
     val v = decodeSubexpBool(mx, k)
@@ -465,10 +469,13 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         val idx = ur * ucols + uc
         val utype = lrUnitType(p)(idx)
         if (utype != 0) {
+          // unit ROWS are shifted up by the stripe offset (libaom
+          // RESTORATION_UNIT_OFFSET) so unit bands align with stripes;
+          // columns are unshifted (pinned bit-exact vs dav1d)
           val x0 = uc * usize
           val x1 = if (uc == ucols - 1) pw else math.min((uc + 1) * usize, pw)
-          val y0 = ur * usize
-          val y1 = if (ur == urows - 1) ph else math.min((ur + 1) * usize, ph)
+          val y0 = math.max(0, ur * usize - stripeOff)
+          val y1 = if (ur == urows - 1) ph else math.min((ur + 1) * usize - stripeOff, ph)
           var yb = y0
           while (yb < y1) {
             val sn = (yb + stripeOff) / stripeH
@@ -538,7 +545,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     * the coded projection. */
   private def lrSgrBand(p: Int, stride: Int, x0: Int, x1: Int, yb: Int, ye: Int,
       s0: Int, s1: Int, set: Int, xqd: Array[Int], srcAt: (Int, Int, Int, Int) => Int): Unit = {
-    val par = sys.env.get("AV1_LR_SGR_PAR").map(_.toInt).getOrElse(0)
+    val par = 1 // r=2 box grids computed on odd band-local rows (pinned vs dav1d)
     val w = x1 - x0
     val h = ye - yb
     val flt = new Array[Array[Int]](2)
@@ -630,18 +637,24 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       }
       pass += 1
     }
-    val w0 = xqd(0)
-    val w2 = xqd(1)
-    val w1 = (1 << 7) - w0 - w2
+    // libaom av1_decode_xq: the coded xqd are NOT the working weights —
+    // xq0 = xqd0, xq1 = 128 - xqd0 - xqd1 (complement), with the
+    // radius-0 specializations; v = 128u + xq0(f0-u) + xq1(f1-u)
+    val rad0 = Av1Tables.SgrParams(set)(0)
+    val rad1 = Av1Tables.SgrParams(set)(1)
+    val (xq0, xq1) =
+      if (rad0 == 0) (0, (1 << 7) - xqd(1))
+      else if (rad1 == 0) (xqd(0), 0)
+      else (xqd(0), (1 << 7) - xqd(0) - xqd(1))
     val out = planes(p)
     var i = 0
     while (i < h) {
       var j = 0
       while (j < w) {
         val u = srcAt(x0 + j, yb + i, s0, s1) << 4
-        val f0 = if (flt(0) != null) flt(0)(i * w + j) else u
-        val f1 = if (flt(1) != null) flt(1)(i * w + j) else u
-        val vv = w0 * f0 + w1 * u + w2 * f1
+        var vv = u << 7
+        if (flt(0) != null) vv += xq0 * (flt(0)(i * w + j) - u)
+        if (flt(1) != null) vv += xq1 * (flt(1)(i * w + j) - u)
         var r = (vv + (1 << 10)) >> 11
         if (r < 0) r = 0 else if (r > 255) r = 255
         out((yb + i) * stride + x0 + j) = r

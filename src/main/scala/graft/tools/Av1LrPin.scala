@@ -24,6 +24,19 @@ object Av1LrPin {
     }
     val obu = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, name + ".obu"))
     val golden = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, name + ".golden"))
+    if (args(2) == "tapsolve") {
+      // sweep wiener icdf buckets x recenter variants, print decoded taps
+      for (v6 <- Seq(165, 330, 331); rc <- Seq("se", "sl", "de", "dl")) {
+        sys.props("av1.lr.cdf") = s"${(v6 << 6) | 32},15913,23355,10187"
+        sys.props("av1.lr.recenter") = rc
+        sys.props("av1.lr.trace") = "1"
+        sys.props.remove("av1.lr.lasttaps")
+        try Av1Decoder.decode(obu)
+        catch { case _: Exception => () }
+        println(s"v6=$v6 rc=$rc taps=${sys.props.getOrElse("av1.lr.lasttaps", "?")}")
+      }
+      return
+    }
     if (args(2) == "sweepsync") {
       // sweep slot-0..3 values x subexp variants; score = CHROMA
       // mismatch count (use on a stream whose frame-level chroma LR is

@@ -93,6 +93,17 @@ class Av1DecoderSpec extends AnyFunSuite {
     }
   }
 
+  // loop restoration: real aom GOOD-usage cpu<=4 encodes with coded
+  // WIENER/SGRPROJ units — luma-only wiener, all-plane wiener,
+  // multi-unit SGR (incl. the 8-row-shifted unit bands and stripe
+  // boundary reads), and a 3x2-unit odd-dim frame
+  for (name <- Seq("lr_grad128_q40", "lr_noise128_q50",
+    "lr_photo256_q40", "lr_photo320_q45")) {
+    test(s"loop-restoration fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)

@@ -116,4 +116,15 @@ for nm, w, h, kind, q, controls in [
     fixtures.append(write_fixture(nm, w, h, kind, controls, q, q,
                                   usage=H.AOM_USAGE_GOOD_QUALITY))
 
+# --- stage E: loop restoration (GOOD usage cpu<=4 sets
+# enable_restoration; frames large enough get WIENER/SGRPROJ units) ---
+for nm, w, h, kind, q, cpu, seed in [
+    ('lr_grad128_q40', 128, 128, 'grad', 40, 4, 42),       # wiener luma
+    ('lr_noise128_q50', 128, 128, 'noise', 50, 4, 42),     # wiener y+u+v
+    ('lr_photo256_q40', 256, 256, 'photo', 40, 4, 42),     # sgr multi-unit
+    ('lr_photo320_q45', 320, 192, 'photo', 45, 4, 42),     # sgr 3x2 units
+]:
+    fixtures.append(write_fixture(nm, w, h, kind, [(CPU, cpu)], q, q, seed=seed,
+                                  usage=H.AOM_USAGE_GOOD_QUALITY))
+
 print('fixtures at', OUT)
