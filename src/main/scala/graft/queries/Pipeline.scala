@@ -5919,7 +5919,10 @@ object Pipeline {
     * dims/alpha/quadrant-ARGB rows whose oracle literals were computed
     * OUTSIDE the engine (libdav1d's decode of each av01 item + the
     * documented BT.601 integer transform, tools/gen_avif_fixtures.py);
-    * an hvc1 HEIC and a truncated AVIF must refuse by name. */
+    * an hvc1 HEIC and a truncated AVIF must refuse by name. r12 adds
+    * two GOOD-usage aom payloads: a 256x256 with coded loop-restoration
+    * units (Wiener/SGR applied) and a 100x36 with CDEF on non-8-aligned
+    * dims — the post-filter chain under the driver oracle. */
   val mediaAvifDecode: QueryDef = QueryDef(
     "media_avif_decode",
     (s, dir) => {
@@ -6071,8 +6074,28 @@ object Pipeline {
         "d0g9XPgqdIQh892RzvmgYbcyXaGboKzC2fBZovHZpainNN3atfRb1fp0KAAW8yApiLQ2qGK42Q74xr9veHc+oHTGk0LvG3nsgjx5" +
         "GQFwo00gK/y1y9GS1rk8LInrCmhw75iW+Q9ddNseSyAXAARJQ7gqc54G3TGYrReDJra6askcLekxV+EYeq7C0qwwTTU+jAalGncc" +
         "k9bGSXEIMlAhi3Rs9M3DYmZVnNEYv2p32B++rO+k/cXcyuLg"
+      val lr256 =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAUNtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAOGlsb2MBAAAAREAAAgABAAEAAAAAAAAAAQAAAAAAAAAIAAIAAAAAAAAAAAABAAABZwAAAVYAAAA4aWlu" +
+        "ZgAAAAAAAgAAABVpbmZlAgAAAAABAABncmlkAAAAABVpbmZlAgAAAQACAABhdjAxAAAAAG5pcHJwAAAATGlwY28AAAAUaXNwZQAA" +
+        "AAAAAAEAAAABAAAAABBwaXhpAAAAAAMICAgAAAAMYXYxQ4EEDAAAAAAUaXNwZQAAAAAAAAEAAAABAAAAABppcG1hAAAAAAAAAAIA" +
+        "AQKBggACAoOEAAAAGmlyZWYAAAAAAAAADmRpbWcAAQABAAIAAAAQaWRhdAAAAAABAAEAAAABXm1kYXQSAAoLAAAAA7//+bXzAIAy" +
+        "xAIQAJQAQwiCCjpLCgJC9gfzs2miMwB4U09l5ZKP+YmoBOsvwcDQpqSLCCGQUE2R9zMPDRcZyShOiVOPiYAAvfCg7zzBAEObUkmE" +
+        "BR9IgCmgkMFDbsM+sWZtKylq/rUzpCtK/UM0Aq8gNnI3aeT1ZVfdI9raynOZPvMTFyjuWpzrr6ID1hXdsL5i2EBscFx/wsKM3lgS" +
+        "cb8IrjqRilUVp7HyjeKiYDOzUciCtb0nN6AN6iGG4iI3gunZsxJnfWi8Tcj0BNQRYbjJmC1sgWViFjGtPQusFxLCs2NUB6+hgDEV" +
+        "/K1Y58DANHQ9/AZQjWesuhva9dw0+aGV92qWY4k6L6diHnhx/rne5jgO3xBu2CIPDvW9j5w7ZS68fMGcqh+TOH07ox/WT6Od8iEl" +
+        "m+3BCXiyVZyaXeCg1bJF2EmVfKVo1GiiFT4="
+      val cdef100 =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAUNtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAOGlsb2MBAAAAREAAAgABAAEAAAAAAAAAAQAAAAAAAAAIAAIAAAAAAAAAAAABAAABZwAAAIoAAAA4aWlu" +
+        "ZgAAAAAAAgAAABVpbmZlAgAAAAABAABncmlkAAAAABVpbmZlAgAAAQACAABhdjAxAAAAAG5pcHJwAAAATGlwY28AAAAUaXNwZQAA" +
+        "AAAAAABkAAAAJAAAABBwaXhpAAAAAAMICAgAAAAMYXYxQ4EEDAAAAAAUaXNwZQAAAAAAAABkAAAAJAAAABppcG1hAAAAAAAAAAIA" +
+        "AQKBggACAoOEAAAAGmlyZWYAAAAAAAAADmRpbWcAAQABAAIAAAAQaWRhdAAAAAAAZAAkAAAAkm1kYXQSAAoKAAAAAy44za+QBDJ6" +
+        "EACyAIICBBZddLTX+t+9rom9vGK7xG+VHYgLMaN6Xa917wZfvA4LyxBNwT7Din8WzYiPxtHCv0ToxnNF8iVsiJpKlhzF1IVizN2W" +
+        "wvT9f1nHEzw6MtcCrSX7FrlhFudDhD/rrQ3iFvDV86zlaTCWAi38IjY9/Nc7lrg="
       val rows = Seq(("avif_rgb_64x48", rgb64), ("avif_alpha_48x48", alpha48),
         ("avif_odd_33x17", odd33), ("avif_grid_100x90", grid100),
+        ("avif_lr_256", lr256), ("avif_cdef_100x36", cdef100),
         ("heic_bait", heicBait), ("truncated", grid100.substring(0, 120)))
       s.createDataset(rows).repartition(rows.size)
         .map { case (name, b64) =>
@@ -6093,7 +6116,9 @@ object Pipeline {
     Some("""
       SELECT * FROM (VALUES
         ('avif_alpha_48x48', 48, 48, true, 3894629314, 2594599563, 2964651957, 3981181029, 'ok'),
+        ('avif_cdef_100x36', 100, 36, false, 4283981665, 4294967295, 4286677920, 4279763484, 'ok'),
         ('avif_grid_100x90', 100, 90, false, 4294836224, 4278255361, 4278190335, 4294967040, 'ok'),
+        ('avif_lr_256', 256, 256, false, 4287200614, 4284445265, 4289371560, 4286680207, 'ok'),
         ('avif_odd_33x17', 33, 17, false, 4285344568, 4283915629, 4278203136, 4287664497, 'ok'),
         ('avif_rgb_64x48', 64, 48, false, 4289272749, 4288836451, 4294955704, 4282122817, 'ok'),
         ('heic_bait', -1, -1, false, 0, 0, 0, 0, 'refused:hevc'),
