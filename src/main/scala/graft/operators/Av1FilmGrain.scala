@@ -1,0 +1,311 @@
+package graft.operators
+
+/** AV1 film grain synthesis (spec §7.18.3): LFSR-driven Gaussian grain
+  * templates (82x73 luma, 44x38 chroma at 4:2:0) with an optional
+  * autoregressive filter and luma-coupling term, piecewise-linear
+  * scaling LUTs, and per-32x32-block (16x16 chroma) application with
+  * pseudo-random template offsets, optional 2px/1px overlap blending
+  * and the restricted-range clip. Every rounding and seeding detail is
+  * pinned BIT-EXACTLY against libdav1d via header-surgery probe
+  * streams (the grain stage is a pure output transform, so forcing
+  * film_grain_params onto a known fixture leaves the tile decode
+  * untouched and dav1d's output is a direct golden): lag 0/1/2, cb/cr
+  * point sets with the mult/offset merge, chroma-scaling-from-luma,
+  * overlap on/off, clip on/off, odd dims — all 0-mismatch
+  * (tools/gen_av1_grain_fixtures.py). Gaussian_Sequence recovered from
+  * libdav1d's .rodata, cross-checked byte-identical against libgav1.
+  * 8-bit 4:2:0 path (the decoder's supported profile). */
+object Av1FilmGrain {
+
+  final case class Params(
+      seed: Int,
+      yPoints: Array[Array[Int]], // (value, scaling) pairs, increasing values
+      chromaScalingFromLuma: Boolean,
+      cbPoints: Array[Array[Int]],
+      crPoints: Array[Array[Int]],
+      scalingShift: Int, // grain_scaling_minus_8 + 8
+      arCoeffLag: Int,
+      arCoeffsY: Array[Int], // signed (byte - 128)
+      arCoeffsCb: Array[Int],
+      arCoeffsCr: Array[Int],
+      arCoeffShift: Int, // ar_coeff_shift_minus_6 + 6
+      grainScaleShift: Int,
+      cbMult: Int, cbLumaMult: Int, cbOffset: Int, // raw coded values
+      crMult: Int, crLumaMult: Int, crOffset: Int,
+      overlap: Boolean,
+      clipToRestricted: Boolean)
+
+  private final class Rng(seed: Int) {
+    private var r = seed & 0xffff
+    def next(bits: Int): Int = {
+      val bit = ((r >> 0) ^ (r >> 1) ^ (r >> 3) ^ (r >> 12)) & 1
+      r = (r >> 1) | (bit << 15)
+      (r >> (16 - bits)) & ((1 << bits) - 1)
+    }
+  }
+
+  private def gs: Array[Int] = gsTable
+  private lazy val gsTable: Array[Int] = {
+    val raw = Av1Tables.values("gaussian_sequence")
+    raw.map(v => if (v > 32767) v - 65536 else v)
+  }
+
+  /** AR neighborhood positions for a lag (raster order, stops at (0,0)). */
+  private def arPositions(lag: Int): Array[(Int, Int)] = {
+    val b = Array.newBuilder[(Int, Int)]
+    var dr = -lag
+    while (dr <= 0) {
+      var dc = -lag
+      while (dc <= lag) {
+        if (dr == 0 && dc == 0) return b.result()
+        b += ((dr, dc))
+        dc += 1
+      }
+      dr += 1
+    }
+    b.result()
+  }
+
+  private def lutFrom(points: Array[Array[Int]]): Array[Int] = {
+    val lut = new Array[Int](256)
+    if (points == null || points.isEmpty) return lut
+    var x = 0
+    while (x <= points(0)(0)) { lut(x) = points(0)(1); x += 1 }
+    var i = 0
+    while (i < points.length - 1) {
+      val bx = points(i)(0); val by = points(i)(1)
+      val dx = points(i + 1)(0) - bx
+      val dy = points(i + 1)(1) - by
+      val delta = dy * ((0x10000 + (dx >> 1)) / dx)
+      var k = 0
+      while (k <= dx) { lut(bx + k) = by + ((k * delta + 0x8000) >> 16); k += 1 }
+      i += 1
+    }
+    x = points.last.head
+    while (x < 256) { lut(x) = points.last(1); x += 1 }
+    lut
+  }
+
+  /** Apply grain in place over the VISIBLE area of int planes (stride
+    * layout). Chroma planes first (their scaling reads pre-grain luma),
+    * then luma. 8-bit 4:2:0 / monochrome. */
+  def apply(p: Params, planes: Array[Array[Int]], strides: Array[Int],
+      w: Int, h: Int, numPlanes: Int): Unit = {
+    val shift = 4 + p.grainScaleShift // 12 - bitdepth(8) + gss
+    val rnd = new Rng(p.seed)
+    val lg = Array.ofDim[Int](73, 82)
+    val haveY = p.yPoints != null && p.yPoints.nonEmpty
+    var y = 0
+    while (y < 73) {
+      var x = 0
+      while (x < 82) {
+        val g = if (haveY) gs(rnd.next(11)) else 0
+        lg(y)(x) = (g + (1 << (shift - 1))) >> shift
+        x += 1
+      }
+      y += 1
+    }
+    val pos = arPositions(p.arCoeffLag)
+    @inline def clipG(v: Int): Int = math.max(-128, math.min(127, v))
+    if (p.arCoeffLag > 0 && haveY) {
+      var yy = 3
+      while (yy < 73) {
+        var xx = 3
+        while (xx < 79) {
+          var s = 0
+          var k = 0
+          while (k < pos.length) {
+            s += p.arCoeffsY(k) * lg(yy + pos(k)._1)(xx + pos(k)._2)
+            k += 1
+          }
+          lg(yy)(xx) = clipG(lg(yy)(xx) + ((s + (1 << (p.arCoeffShift - 1))) >> p.arCoeffShift))
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    val haveCb = (p.cbPoints != null && p.cbPoints.nonEmpty) || p.chromaScalingFromLuma
+    val haveCr = (p.crPoints != null && p.crPoints.nonEmpty) || p.chromaScalingFromLuma
+    def chromaGrain(xorSeed: Int, coefs: Array[Int], have: Boolean): Array[Array[Int]] = {
+      val r = new Rng(p.seed ^ xorSeed)
+      val g2 = Array.ofDim[Int](38, 44)
+      var cy = 0
+      while (cy < 38) {
+        var cx = 0
+        while (cx < 44) {
+          val g = if (have) gs(r.next(11)) else 0
+          g2(cy)(cx) = (g + (1 << (shift - 1))) >> shift
+          cx += 1
+        }
+        cy += 1
+      }
+      if (have && coefs != null && coefs.nonEmpty) {
+        var yy = 3
+        while (yy < 38) {
+          var xx = 3
+          while (xx < 41) {
+            var s = 0
+            var k = 0
+            while (k < pos.length) {
+              s += coefs(k) * g2(yy + pos(k)._1)(xx + pos(k)._2)
+              k += 1
+            }
+            if (haveY) {
+              // luma-coupling term: 2x2 collocated luma grain average
+              val lx = ((xx - 3) << 1) + 3
+              val ly = ((yy - 3) << 1) + 3
+              val luma = (lg(ly)(lx) + lg(ly)(lx + 1) + lg(ly + 1)(lx) + lg(ly + 1)(lx + 1) + 2) >> 2
+              s += coefs(pos.length) * luma
+            }
+            g2(yy)(xx) = clipG(g2(yy)(xx) + ((s + (1 << (p.arCoeffShift - 1))) >> p.arCoeffShift))
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      g2
+    }
+    val cbG = if (numPlanes > 1 && haveCb) chromaGrain(0xb524, p.arCoeffsCb, haveCb) else null
+    val crG = if (numPlanes > 1 && haveCr) chromaGrain(0x49d8, p.arCoeffsCr, haveCr) else null
+
+    val lutY = lutFrom(p.yPoints)
+    val lutCb =
+      if (p.cbPoints != null && p.cbPoints.nonEmpty) lutFrom(p.cbPoints)
+      else if (p.chromaScalingFromLuma) lutY else null
+    val lutCr =
+      if (p.crPoints != null && p.crPoints.nonEmpty) lutFrom(p.crPoints)
+      else if (p.chromaScalingFromLuma) lutY else null
+
+    val lo = if (p.clipToRestricted) 16 else 0
+    val hiY = if (p.clipToRestricted) 235 else 255
+    val hiC = if (p.clipToRestricted) 240 else 255
+    val ss = p.scalingShift
+    val cw = (w + 1) >> 1
+    val chh = (h + 1) >> 1
+    val lumaStride = strides(0)
+    val lumaPre = planes(0) // chroma reads luma BEFORE luma is grained
+
+    // ---- chroma (4:2:0): 16x16 blocks, 1px overlap, weights 23/22 ----
+    def applyChroma(plane: Int, g2: Array[Array[Int]], lut: Array[Int],
+        mult: Int, lumaMult: Int, offset: Int, useMult: Boolean): Unit = {
+      if (g2 == null || lut == null) return
+      val px = planes(plane)
+      val stride = strides(plane)
+      @inline def oxy(rv: Int): (Int, Int) = (6 + (rv >> 4), 6 + (rv & 15))
+      var bi = 0
+      while (bi * 16 < chh) {
+        val rows = if (p.overlap && bi > 0) 2 else 1
+        val seeds = Array.tabulate(rows) { r =>
+          new Rng(p.seed ^ ((((bi - r) * 37 + 178) & 0xff) << 8) ^ (((bi - r) * 173 + 105) & 0xff))
+        }
+        val cur = new Array[Int](rows)
+        val left = new Array[Int](rows)
+        var bj = 0
+        while (bj * 16 < cw) {
+          var r = 0
+          while (r < rows) { left(r) = cur(r); cur(r) = seeds(r).next(8); r += 1 }
+          val (ox, oy) = oxy(cur(0))
+          var yy = 0
+          while (yy < math.min(16, chh - bi * 16)) {
+            var xx = 0
+            while (xx < math.min(16, cw - bj * 16)) {
+              val fy = bi * 16 + yy
+              val fx = bj * 16 + xx
+              var noise = g2(oy + yy)(ox + xx)
+              if (p.overlap && bj > 0 && xx < 1) {
+                val (ox2, oy2) = oxy(left(0))
+                noise = (g2(oy2 + yy)(ox2 + 16 + xx) * 23 + noise * 22 + 16) >> 5
+              }
+              if (p.overlap && bi > 0 && yy < 1) {
+                val (oxT, oyT) = oxy(cur(1))
+                var top = g2(oyT + 16 + yy)(oxT + xx)
+                if (p.overlap && bj > 0 && xx < 1) {
+                  val (oxTL, oyTL) = oxy(left(1))
+                  top = (g2(oyTL + 16 + yy)(oxTL + 16 + xx) * 23 + top * 22 + 16) >> 5
+                }
+                noise = (top * 23 + noise * 22 + 16) >> 5
+              }
+              val ly = fy * 2
+              val lx = fx * 2
+              val avg = (lumaPre(ly * lumaStride + lx) +
+                lumaPre(ly * lumaStride + math.min(lx + 1, w - 1)) + 1) >> 1
+              val src = px(fy * stride + fx)
+              val vIdx =
+                if (!useMult) avg
+                else math.max(0, math.min(255,
+                  ((src * (mult - 128) + avg * (lumaMult - 128)) >> 6) + offset - 256))
+              val nv = (lut(vIdx) * noise + (1 << (ss - 1))) >> ss
+              px(fy * stride + fx) = math.max(lo, math.min(hiC, src + nv))
+              xx += 1
+            }
+            yy += 1
+          }
+          bj += 1
+        }
+        bi += 1
+      }
+    }
+    if (numPlanes > 1) {
+      val useMult = p.cbPoints != null && p.cbPoints.nonEmpty
+      applyChroma(1, cbG, lutCb, p.cbMult, p.cbLumaMult, p.cbOffset, useMult)
+      val useMultCr = p.crPoints != null && p.crPoints.nonEmpty
+      applyChroma(2, crG, lutCr, p.crMult, p.crLumaMult, p.crOffset, useMultCr)
+    }
+
+    // ---- luma: 32x32 blocks, 2px overlap, weights 27/17 ----
+    if (haveY) {
+      val px = planes(0)
+      @inline def oxy(rv: Int): (Int, Int) = (3 + 2 * (3 + (rv >> 4)), 3 + 2 * (3 + (rv & 15)))
+      var bi = 0
+      while (bi * 32 < h) {
+        val rows = if (p.overlap && bi > 0) 2 else 1
+        val seeds = Array.tabulate(rows) { r =>
+          new Rng(p.seed ^ ((((bi - r) * 37 + 178) & 0xff) << 8) ^ (((bi - r) * 173 + 105) & 0xff))
+        }
+        val cur = new Array[Int](rows)
+        val left = new Array[Int](rows)
+        var bj = 0
+        while (bj * 32 < w) {
+          var r = 0
+          while (r < rows) { left(r) = cur(r); cur(r) = seeds(r).next(8); r += 1 }
+          val (ox, oy) = oxy(cur(0))
+          var yy = 0
+          while (yy < math.min(32, h - bi * 32)) {
+            var xx = 0
+            while (xx < math.min(32, w - bj * 32)) {
+              val fy = bi * 32 + yy
+              val fx = bj * 32 + xx
+              var noise = lg(oy + yy)(ox + xx)
+              if (p.overlap && bj > 0 && xx < 2) {
+                val (ox2, oy2) = oxy(left(0))
+                val wA = if (xx == 0) 27 else 17
+                val wB = if (xx == 0) 17 else 27
+                noise = (lg(oy2 + yy)(ox2 + 32 + xx) * wA + noise * wB + 16) >> 5
+              }
+              if (p.overlap && bi > 0 && yy < 2) {
+                val (oxT, oyT) = oxy(cur(1))
+                var top = lg(oyT + 32 + yy)(oxT + xx)
+                if (p.overlap && bj > 0 && xx < 2) {
+                  val (oxTL, oyTL) = oxy(left(1))
+                  val wA = if (xx == 0) 27 else 17
+                  val wB = if (xx == 0) 17 else 27
+                  top = (lg(oyTL + 32 + yy)(oxTL + 32 + xx) * wA + top * wB + 16) >> 5
+                }
+                val wA = if (yy == 0) 27 else 17
+                val wB = if (yy == 0) 17 else 27
+                noise = (top * wA + noise * wB + 16) >> 5
+              }
+              val src = px(fy * lumaStride + fx)
+              val nv = (lutY(src) * noise + (1 << (ss - 1))) >> ss
+              px(fy * lumaStride + fx) = math.max(lo, math.min(hiY, src + nv))
+              xx += 1
+            }
+            yy += 1
+          }
+          bj += 1
+        }
+        bi += 1
+      }
+    }
+  }
+}

@@ -172,6 +172,11 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         if (!sys.env.contains("AV1_LR_PARSE_ONLY")) lrFrame(preCdef)
       }
     }
+    // film grain: a pure output transform over the VISIBLE area
+    // (synthesis pinned bit-exact vs dav1d — Av1FilmGrain)
+    fh.filmGrain.foreach { fg =>
+      Av1FilmGrain.apply(fg, planes, planeW, fh.width, fh.height, numPlanes)
+    }
     // crop to visible size (AV1_DUMP_CODED: keep the coded mi area,
     // dev-only, for arbitrating the invisible band against dav1d)
     val keepCoded = sys.env.contains("AV1_DUMP_CODED")

@@ -237,6 +237,7 @@ object Av1Headers {
       lrUnitSize: Array[Int], // per plane, in PLANE pixels (64/128/256 luma)
       txModeSelect: Boolean,
       reducedTxSet: Boolean,
+      filmGrain: Option[Av1FilmGrain.Params],
       tileColsLog2: Int, tileRowsLog2: Int,
       tileColStarts: Array[Int], tileRowStarts: Array[Int], // in superblocks
       tileSizeBytes: Int)
@@ -473,13 +474,54 @@ object Av1Headers {
     // frame_reference_mode: intra → no read; skip_mode: not allowed → no read
     // allow_warped_motion: intra → no read
     val reducedTxSet = r.f(1) == 1
-    // global_motion_params: intra → none; film_grain:
-    require(!sh.filmGrainPresent, "av1: film grain unsupported")
+    // global_motion_params: intra → none
+    // film_grain_params (spec 5.9.30) — the last frame-header fields;
+    // synthesis pinned bit-exact vs dav1d (Av1FilmGrain)
+    var filmGrain: Option[Av1FilmGrain.Params] = None
+    if (sh.filmGrainPresent) {
+      // show_frame is true for the still-frame shapes this decoder
+      // accepts (non-shown frames refuse upstream)
+      if (r.f(1) == 1) { // apply_grain
+        val seed = r.f(16)
+        // KEY/INTRA_ONLY: update_grain implicit 1 (no load path)
+        val numY = r.f(4)
+        require(numY <= 14, "av1: film grain num_y_points > 14")
+        val yPts = Array.fill(numY) { Array(r.f(8), r.f(8)) }
+        val csfl = if (sh.monochrome) false else r.f(1) == 1
+        var cbPts = Array.empty[Array[Int]]
+        var crPts = Array.empty[Array[Int]]
+        if (!(sh.monochrome || csfl ||
+          (sh.subsamplingX == 1 && sh.subsamplingY == 1 && numY == 0))) {
+          val nCb = r.f(4)
+          require(nCb <= 10, "av1: film grain num_cb_points > 10")
+          cbPts = Array.fill(nCb) { Array(r.f(8), r.f(8)) }
+          val nCr = r.f(4)
+          require(nCr <= 10, "av1: film grain num_cr_points > 10")
+          crPts = Array.fill(nCr) { Array(r.f(8), r.f(8)) }
+        }
+        val scalingShift = r.f(2) + 8
+        val lag = r.f(2)
+        val numPosLuma = 2 * lag * (lag + 1)
+        val numPosChroma = if (numY > 0) numPosLuma + 1 else numPosLuma
+        val arY = if (numY > 0) Array.fill(numPosLuma)(r.f(8) - 128) else Array.empty[Int]
+        val arCb = if (csfl || cbPts.nonEmpty) Array.fill(numPosChroma)(r.f(8) - 128) else Array.empty[Int]
+        val arCr = if (csfl || crPts.nonEmpty) Array.fill(numPosChroma)(r.f(8) - 128) else Array.empty[Int]
+        val arShift = r.f(2) + 6
+        val gss = r.f(2)
+        val (cbM, cbLM, cbO) = if (cbPts.nonEmpty) (r.f(8), r.f(8), r.f(9)) else (0, 0, 0)
+        val (crM, crLM, crO) = if (crPts.nonEmpty) (r.f(8), r.f(8), r.f(9)) else (0, 0, 0)
+        val overlap = r.f(1) == 1
+        val clip = r.f(1) == 1
+        filmGrain = Some(Av1FilmGrain.Params(seed, yPts, csfl, cbPts, crPts,
+          scalingShift, lag, arY, arCb, arCr, arShift, gss,
+          cbM, cbLM, cbO, crM, crLM, crO, overlap, clip))
+      }
+    }
     FrameHeader(w, h, disableCdfUpdate, allowScreen, allowIntrabc,
       baseQIdx, dqYDc, dqUDc, dqUAc, dqVDc, dqVAc,
       deltaQPresent, deltaQRes, deltaLfPresent, deltaLfRes, deltaLfMulti,
       codedLossless, filterLevel, sharpness, filterDeltaEnabled, refDeltaIntra,
-      cdef, lrType, lrUnitSize, txModeSelect, reducedTxSet,
+      cdef, lrType, lrUnitSize, txModeSelect, reducedTxSet, filmGrain,
       tileColsLog2, tileRowsLog2, colStarts, rowStarts, tileSizeBytes)
   }
 

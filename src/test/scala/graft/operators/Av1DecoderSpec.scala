@@ -104,6 +104,19 @@ class Av1DecoderSpec extends AnyFunSuite {
     }
   }
 
+  // film grain: header-surgery-forced film_grain_params on committed
+  // fixtures (grain is a pure output transform, so the tile decode is
+  // untouched and dav1d's decode is a direct golden) — AR lag 1 +
+  // overlap + sloped LUT, chroma-scaling-from-luma, the full config
+  // (lag 2, cb/cr point sets + mult/offset merge, overlap, restricted
+  // clip), and odd dims (tools/gen_av1_grain_fixtures.py)
+  for (name <- Seq("q20_grad64_fg_ar_ovl", "q20_grad64_fg_csfl",
+    "q50_noise64_fg_full", "q32_odd65x40_fg_odd")) {
+    test(s"film-grain fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)

@@ -195,6 +195,26 @@ TABLES = [
     raw_u8x('filter_taps', 0x479920, 5 * 8 * 8),
 ]
 
+# --- film grain Gaussian_Sequence (spec 7.18.3.1): 2048 i16 values,
+# recovered from libdav1d's .rodata and CROSS-CHECKED byte-identical
+# against libgav1 (two independent decoders carrying the same spec
+# table); stored as u16 two's complement, sign-extended on read ---
+def gaussian_sequence():
+    dav = open('/usr/lib/x86_64-linux-gnu/libdav1d.so.6', 'rb').read()
+    gav = open('/usr/lib/x86_64-linux-gnu/libgav1.so.1', 'rb').read()
+    sig = struct.pack('<4h', 56, 568, -180, 172)
+    dpos = dav.find(sig)
+    gpos = gav.find(sig)
+    assert dpos > 0 and gpos > 0
+    a = struct.unpack_from('<2048h', dav, dpos)
+    b = struct.unpack_from('<2048h', gav, gpos)
+    assert a == b, "dav1d/gav1 gaussian sequence disagree"
+    assert max(a) < 2048 and min(a) > -2048  # 11-bit signed domain
+    return ('gaussian_sequence', 1, 2048, [v & 0xffff for v in a])
+
+
+TABLES.append(gaussian_sequence())
+
 # cross-checks the spec pins exactly
 assert TABLES[0][3][:3] == [13636, 7258, 2376]
 qd = dict((t[0], t) for t in TABLES)
