@@ -82,7 +82,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   }
   private val lrUnitCols = Array.tabulate(3) { p =>
     val s = if (p > 0) subX else 0
-    countUnits(fh.lrUnitSize(p), (fh.width + s) >> s)
+    countUnits(fh.lrUnitSize(p), (fh.upscaledWidth + s) >> s) // LR is post-superres
   }
   private val lrUnitType = Array.tabulate(3)(p => new Array[Byte](lrUnitRows(p) * lrUnitCols(p)))
   private val lrWiener = Array.tabulate(3)(p => Array.ofDim[Int](lrUnitRows(p) * lrUnitCols(p), 6))
@@ -159,6 +159,20 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         cdefFrame(cd)
       }
     }
+    // superres (spec 7.16): normative horizontal upscale of the coded
+    // frame (and of the saved pre-CDEF rows — loop restoration runs on
+    // the UPSCALED axis)
+    var outPlanes = planes
+    var outPre = preCdef
+    var outStrides = planeW
+    if (fh.superresDenom != 8) {
+      outPlanes = superresUpscale(planes)
+      outPre = if (preCdef != null) superresUpscale(preCdef) else null
+      outStrides = Array.tabulate(numPlanes) { p =>
+        val s = if (p > 0) subX else 0
+        (fh.upscaledWidth + s) >> s
+      }
+    }
     if (lrActive) {
       val anyUnit = (0 until numPlanes).exists(p => lrUnitType(p).exists(_ != 0))
       if (anyUnit) {
@@ -169,33 +183,83 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         // header-forced probe streams; the one divergent stream is a
         // hand-crafted reinterpreted-header probe (87 px), not an
         // encoder output — tracked in SURVEY.
-        if (!sys.env.contains("AV1_LR_PARSE_ONLY")) lrFrame(preCdef)
+        if (!sys.env.contains("AV1_LR_PARSE_ONLY"))
+          lrFrame(outPlanes, outPre, outStrides)
       }
     }
     // film grain: a pure output transform over the VISIBLE area
     // (synthesis pinned bit-exact vs dav1d — Av1FilmGrain)
     fh.filmGrain.foreach { fg =>
-      Av1FilmGrain.apply(fg, planes, planeW, fh.width, fh.height, numPlanes)
+      Av1FilmGrain.apply(fg, outPlanes, outStrides, fh.upscaledWidth, fh.height, numPlanes)
     }
     // crop to visible size (AV1_DUMP_CODED: keep the coded mi area,
     // dev-only, for arbitrating the invisible band against dav1d)
     val keepCoded = sys.env.contains("AV1_DUMP_CODED")
     val out = Array.tabulate(numPlanes) { p =>
-      val vw = if (p == 0) fh.width else (fh.width + subX) >> subX
+      val vw = if (p == 0) fh.upscaledWidth else (fh.upscaledWidth + subX) >> subX
       val vh = if (p == 0) fh.height else (fh.height + subY) >> subY
       val w = if (keepCoded) decW(p) * 4 else vw
       val h = if (keepCoded) decH(p) * 4 else vh
+      val src = if (keepCoded) planes(p) else outPlanes(p)
+      val stride = if (keepCoded) planeW(p) else outStrides(p)
       val b = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { b(y * w + x) = planes(p)(y * planeW(p) + x).toByte; x += 1 }
+        while (x < w) { b(y * w + x) = src(y * stride + x).toByte; x += 1 }
         y += 1
       }
       b
     }
     if (keepCoded) Decoded(miCols * 4, miRows * 4, sh.monochrome, subX, subY, out)
-    else Decoded(fh.width, fh.height, sh.monochrome, subX, subY, out)
+    else Decoded(fh.upscaledWidth, fh.height, sh.monochrome, subX, subY, out)
+  }
+
+  /** Normative superres horizontal upscale (spec 7.16): per plane, per
+    * row, an 8-tap 64-phase resample (Upscale_Filter) from the coded
+    * visible width to the upscaled width with edge replication. */
+  private def superresUpscale(src: Array[Array[Int]]): Array[Array[Int]] = {
+    val filt = Av1Tables.UpscaleFilter
+    Array.tabulate(numPlanes) { p =>
+      val sX2 = if (p > 0) subX else 0
+      val sY2 = if (p > 0) subY else 0
+      val downW = (fh.width + sX2) >> sX2
+      val upW = (fh.upscaledWidth + sX2) >> sX2
+      val ph = (fh.height + sY2) >> sY2
+      val stride = planeW(p)
+      val out = new Array[Int](upW * ph)
+      val stepQ = ((downW << 14) + (upW >> 1)) / upW
+      val err = stepQ * upW - (downW << 14)
+      // x0 stays UNMASKED (may be negative; taps clamp at the left
+      // edge) — pinned bit-exact on LR-free chroma vs dav1d
+      val x0base = (-((upW - downW) << 13) + (upW >> 1)) / upW + (1 << 7) - err / 2
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        var xq = x0base
+        while (x < upW) {
+          val phase = (xq & 0x3fff) >> 8
+          val sx0 = xq >> 14
+          var s = 0
+          var k = 0
+          while (k < 8) {
+            // edge taps extend into the coded-but-cropped mi band
+            // (reconstructed pixels), clamping at the CODED width —
+            // pinned on non-dyadic denominators vs dav1d
+            val sx = math.max(0, math.min(decW(p) * 4 - 1, sx0 + k - 3))
+            s += filt(phase)(k) * src(p)(y * stride + sx)
+            k += 1
+          }
+          var v = (s + 64) >> 7
+          if (v < 0) v = 0 else if (v > 255) v = 255
+          out(y * upW + x) = v
+          x += 1
+          xq += stepQ
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   private def decodeTile(tr0: Int, tc: Int, start: Int, end: Int): Unit = {
@@ -316,8 +380,13 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         val unitSize = fh.lrUnitSize(p)
         val rowStart = (r * (4 >> sY2) + unitSize - 1) / unitSize
         val rowEnd = math.min(lrUnitRows(p), ((r + h4) * (4 >> sY2) + unitSize - 1) / unitSize)
-        val colStart = (c * (4 >> sX2) + unitSize - 1) / unitSize
-        val colEnd = math.min(lrUnitCols(p), ((c + w4) * (4 >> sX2) + unitSize - 1) / unitSize)
+        // columns scale through superres (spec 5.11.57): units live on
+        // the UPSCALED axis while superblocks live on the coded one
+        val useSr = fh.superresDenom != 8
+        val num = if (useSr) (4 >> sX2) * fh.superresDenom else (4 >> sX2)
+        val den = if (useSr) unitSize * 8 else unitSize
+        val colStart = (c * num + den - 1) / den
+        val colEnd = math.min(lrUnitCols(p), ((c + w4) * num + den - 1) / den)
         var ur = rowStart
         while (ur < rowEnd) {
           var uc = colStart
@@ -437,22 +506,22 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     * 64-row stripe band. Sources: the post-CDEF frame, except the two
     * rows beyond each stripe boundary which come from the saved
     * post-deblock (pre-CDEF) frame; reads clamp to the VISIBLE plane. */
-  private def lrFrame(preCdef: Array[Array[Int]]): Unit = {
+  private def lrFrame(bufs: Array[Array[Int]], preBufs: Array[Array[Int]],
+      strides: Array[Int]): Unit = {
     var p = 0
     while (p < numPlanes) {
       if (fh.lrType(p) != Av1Headers.RestoreNone && lrUnitType(p).exists(_ != 0))
-        lrPlane(p, preCdef(p))
+        lrPlane(p, bufs(p), preBufs(p), strides(p))
       p += 1
     }
   }
 
-  private def lrPlane(p: Int, pre: Array[Int]): Unit = {
+  private def lrPlane(p: Int, buf: Array[Int], pre: Array[Int], stride: Int): Unit = {
     import Av1Headers.{RestoreWiener, RestoreSgrproj}
-    val stride = planeW(p)
-    val post = planes(p).clone() // CdefFrame snapshot; writes go to planes(p)
+    val post = buf.clone() // CdefFrame snapshot; writes go to buf
     val sX2 = if (p > 0) subX else 0
     val sY2 = if (p > 0) subY else 0
-    val pw = (fh.width + sX2) >> sX2
+    val pw = (fh.upscaledWidth + sX2) >> sX2
     val ph = (fh.height + sY2) >> sY2
     val stripeH = 64 >> sY2
     val stripeOff = 8 >> sY2
@@ -488,9 +557,9 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
             val s1 = s0 + stripeH - 1
             val ye = math.min(y1, s1 + 1)
             if (utype == RestoreWiener)
-              lrWienerBand(p, stride, x0, x1, yb, ye, s0, s1, lrWiener(p)(idx), srcAt)
+              lrWienerBand(buf, stride, x0, x1, yb, ye, s0, s1, lrWiener(p)(idx), srcAt)
             else
-              lrSgrBand(p, stride, x0, x1, yb, ye, s0, s1,
+              lrSgrBand(buf, stride, x0, x1, yb, ye, s0, s1,
                 lrSgrSet(p)(idx), lrSgrXqd(p)(idx), srcAt)
             yb = ye
           }
@@ -504,7 +573,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   /** Wiener 7-tap separable filter (spec 7.17.4), 8-bit path:
     * horizontal with round0=3 and an offset keeping the intermediate
     * unsigned, vertical with round1=11 removing it. */
-  private def lrWienerBand(p: Int, stride: Int, x0: Int, x1: Int, yb: Int, ye: Int,
+  private def lrWienerBand(buf: Array[Int], stride: Int, x0: Int, x1: Int, yb: Int, ye: Int,
       s0: Int, s1: Int, taps: Array[Int], srcAt: (Int, Int, Int, Int) => Int): Unit = {
     val vh = sys.env.get("AV1_LR_WIENER").getOrElse("vh") // coded pass0 = vertical
     @inline def mk(a: Int, b: Int, c: Int): Array[Int] =
@@ -517,7 +586,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     val offH = 1 << (8 + 7 - 1)          // 2^14
     val limH = (1 << (8 + 1 + 7 - round0)) - 1 // 2^13 - 1
     val offV = 1 << (8 + 2 * 7 - 1 - round0)   // 2^18
-    val out = planes(p)
+    val out = buf
     var y = yb
     while (y < ye) {
       var x = x0
@@ -548,7 +617,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   /** Self-guided restoration (spec 7.17.3), 8-bit path: one or two
     * box-filter passes (r=2 computed on alternate rows) followed by
     * the coded projection. */
-  private def lrSgrBand(p: Int, stride: Int, x0: Int, x1: Int, yb: Int, ye: Int,
+  private def lrSgrBand(buf: Array[Int], stride: Int, x0: Int, x1: Int, yb: Int, ye: Int,
       s0: Int, s1: Int, set: Int, xqd: Array[Int], srcAt: (Int, Int, Int, Int) => Int): Unit = {
     val par = 1 // r=2 box grids computed on odd band-local rows (pinned vs dav1d)
     val w = x1 - x0
@@ -651,7 +720,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       if (rad0 == 0) (0, (1 << 7) - xqd(1))
       else if (rad1 == 0) (xqd(0), 0)
       else (xqd(0), (1 << 7) - xqd(0) - xqd(1))
-    val out = planes(p)
+    val out = buf
     var i = 0
     while (i < h) {
       var j = 0

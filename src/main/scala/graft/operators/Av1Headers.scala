@@ -218,8 +218,10 @@ object Av1Headers {
       yPri: Array[Int], ySec: Array[Int], uvPri: Array[Int], uvSec: Array[Int])
 
   case class FrameHeader(
-      width: Int,
+      width: Int, // DECODE (post-superres-downscale) width
       height: Int,
+      upscaledWidth: Int, // output width (== width without superres)
+      superresDenom: Int, // 8 when superres off
       disableCdfUpdate: Boolean,
       allowScreenContentTools: Boolean,
       allowIntrabc: Boolean,
@@ -290,8 +292,14 @@ object Av1Headers {
       w = r.f(sh.frameWidthBits) + 1
       h = r.f(sh.frameHeightBits) + 1
     }
-    if (sh.enableSuperres) {
-      require(r.f(1) == 0, "av1: superres unsupported")
+    // superres_params (spec 5.9.8): the parsed width is the UPSCALED
+    // width; the frame DECODES at the downscaled width and a normative
+    // horizontal resample restores it (spec 7.16, Av1FrameDecode)
+    val upscaledWidth = w
+    var superresDenom = 8 // SUPERRES_NUM
+    if (sh.enableSuperres && r.f(1) == 1) {
+      superresDenom = r.f(3) + 9 // SUPERRES_DENOM_MIN
+      w = (upscaledWidth * 8 + (superresDenom / 2)) / superresDenom
     }
     if (r.f(1) == 1) { // render_and_frame_size_different
       r.f(16); r.f(16)
@@ -517,7 +525,7 @@ object Av1Headers {
           cbM, cbLM, cbO, crM, crLM, crO, overlap, clip))
       }
     }
-    FrameHeader(w, h, disableCdfUpdate, allowScreen, allowIntrabc,
+    FrameHeader(w, h, upscaledWidth, superresDenom, disableCdfUpdate, allowScreen, allowIntrabc,
       baseQIdx, dqYDc, dqUDc, dqUAc, dqVDc, dqVAc,
       deltaQPresent, deltaQRes, deltaLfPresent, deltaLfRes, deltaLfMulti,
       codedLossless, filterLevel, sharpness, filterDeltaEnabled, refDeltaIntra,

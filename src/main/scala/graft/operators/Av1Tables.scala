@@ -57,6 +57,16 @@ object Av1Tables {
     Array(0, 1, -1, 1177), Array(0, 1, -1, 925), Array(2, 0, 56, -1),
     Array(2, 0, 22, -1))
 
+  /** Superres normative upscale filter (spec Upscale_Filter): 64
+    * phases x 8 taps, signed, each row sums to 128. */
+  val UpscaleFilter: Array[Array[Int]] = {
+    val raw = values("upscale_filter")
+    Array.tabulate(64, 8) { (p, k) =>
+      val v = raw(p * 8 + k)
+      if (v > 32767) v - 65536 else v
+    }
+  }
+
   // non-CDF spec constants
   val DcQLookup: Array[Int] = values("dc_qlookup")
   val AcQLookup: Array[Int] = values("ac_qlookup")

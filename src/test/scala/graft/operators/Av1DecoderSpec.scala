@@ -117,6 +117,16 @@ class Av1DecoderSpec extends AnyFunSuite {
     }
   }
 
+  // superres: real aom encodes with rc_superres_mode=FIXED — 2x (d16),
+  // non-dyadic d12 (odd coded width, wiener LR on all planes after the
+  // upscale), and a non-8-aligned d14 frame with CDEF; the normative
+  // 7.16 horizontal resample runs between CDEF and loop restoration
+  for (name <- Seq("sr_photo64_d16", "sr_noise64_d12", "sr_photo100x36_d14")) {
+    test(s"superres fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)

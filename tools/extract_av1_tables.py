@@ -215,6 +215,23 @@ def gaussian_sequence():
 
 TABLES.append(gaussian_sequence())
 
+# --- superres normative upscale filter (spec Upscale_Filter, 64 phases
+# x 8 taps, every row sums to 128): libaom av1_resize_filter_normative
+# at .rodata 0x47a240, located by the identity phase-0 row + row-sum
+# structure; values match the spec listing (phase 32 = -2,7,-20,79,...)
+def upscale_filter():
+    i = (0x47a240 - ro_off) // 2
+    vals = list(u[i:i + 512])
+    sv = [v - 65536 if v > 32767 else v for v in vals]
+    assert sv[:8] == [0, 0, 0, 128, 0, 0, 0, 0]
+    assert sv[8:16] == [0, 0, -1, 128, 2, -1, 0, 0]
+    for r in range(64):
+        assert sum(sv[r * 8:(r + 1) * 8]) == 128, r
+    return ('upscale_filter', 64, 8, vals)
+
+
+TABLES.append(upscale_filter())
+
 # cross-checks the spec pins exactly
 assert TABLES[0][3][:3] == [13636, 7258, 2376]
 qd = dict((t[0], t) for t in TABLES)

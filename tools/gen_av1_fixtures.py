@@ -116,6 +116,34 @@ for nm, w, h, kind, q, controls in [
     fixtures.append(write_fixture(nm, w, h, kind, controls, q, q,
                                   usage=H.AOM_USAGE_GOOD_QUALITY))
 
+# --- stage F: superres (encoder cfg rc_superres_mode/denominator —
+# fields located empirically in aom_codec_enc_cfg_t after the resize
+# block; frames DECODE at the downscaled width and the normative 7.16
+# upscale restores them; LR runs on the upscaled axis) ---
+_orig_setup = H.EncCfg.setup
+_SR_DEN = [8]
+
+
+def _setup_sr(self, w, h, min_q, max_q, threads=1):
+    _orig_setup(self, w, h, min_q, max_q, threads)
+    if _SR_DEN[0] != 8:
+        self.set_u32(19 * 4, 1)          # rc_superres_mode = FIXED
+        self.set_u32(20 * 4, _SR_DEN[0])  # rc_superres_denominator
+        self.set_u32(21 * 4, _SR_DEN[0])  # rc_superres_kf_denominator
+
+
+H.EncCfg.setup = _setup_sr
+
+for nm, w, h, kind, q, cpu, den, seed in [
+    ('sr_photo64_d16', 64, 64, 'photo', 40, 4, 16, 42),   # 2x upscale + SGR LR
+    ('sr_noise64_d12', 64, 64, 'noise', 50, 4, 12, 7),    # odd coded width, wiener y+u+v
+    ('sr_photo100x36_d14', 100, 36, 'photo', 50, 6, 14, 42),  # non-8-aligned + CDEF
+]:
+    _SR_DEN[0] = den
+    fixtures.append(write_fixture(nm, w, h, kind, [(CPU, cpu)], q, q, seed=seed,
+                                  usage=H.AOM_USAGE_GOOD_QUALITY))
+_SR_DEN[0] = 8
+
 # --- stage E: loop restoration (GOOD usage cpu<=4 sets
 # enable_restoration; frames large enough get WIENER/SGRPROJ units) ---
 for nm, w, h, kind, q, cpu, seed in [
