@@ -119,8 +119,12 @@ object Av1Cdef {
     * yields snapshot samples or [[Large]] when outside the frame;
     * `put` writes the filtered value. */
   def filterUnit(w: Int, h: Int, dir: Int, pri: Int, sec: Int, damping: Int,
-      src: (Int, Int) => Int, put: (Int, Int, Int) => Unit): Unit = {
-    val priTaps = PriTaps(if ((pri >> 0) % 2 == 1) 1 else 0)
+      src: (Int, Int) => Int, put: (Int, Int, Int) => Unit,
+      priShift: Int = 0): Unit = {
+    // hbd: the strength parity selecting the primary taps is the CODED
+    // strength's low bit — bit (bd-8) of the shifted value (dav1d
+    // cdef_filter_block: (pri_strength >> bitdepth_min_8) & 1)
+    val priTaps = PriTaps(if (((pri >> priShift) & 1) == 1) 1 else 0)
     var y = 0
     while (y < h) {
       var x = 0

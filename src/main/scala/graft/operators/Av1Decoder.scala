@@ -138,8 +138,11 @@ object Av1Decoder {
 
   // ------------------------------------------------------- results
 
+  /** Decoded planes as unsigned pixel values (0 .. (1<<bitDepth)-1),
+    * stored in Shorts (8-bit values fit unchanged; 10-bit uses the
+    * full positive range). */
   final case class Decoded(width: Int, height: Int, monochrome: Boolean,
-      subX: Int, subY: Int, planes: Array[Array[Byte]])
+      subX: Int, subY: Int, planes: Array[Array[Short]], bitDepth: Int = 8)
 
   /** Decode a raw OBU still stream (the AVIF item payload shape). */
   def decode(obuBytes: Array[Byte]): Decoded = {

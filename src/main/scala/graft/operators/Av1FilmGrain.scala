@@ -66,11 +66,17 @@ object Av1FilmGrain {
     b.result()
   }
 
-  private def lutFrom(points: Array[Array[Int]]): Array[Int] = {
-    val lut = new Array[Int](256)
+  /** Piecewise-linear scaling LUT over the full pixel domain. For
+    * bd > 8 the anchor points live at multiples of 1 << (bd-8) (their
+    * x coordinates scale up) and the in-between entries interpolate
+    * linearly with rounding between adjacent anchors (spec 7.18.3.5 /
+    * dav1d generate_scaling). */
+  private def lutFrom(points: Array[Array[Int]], bd: Int): Array[Int] = {
+    val sx = bd - 8
+    val lut = new Array[Int]((1 << bd) + 1)
     if (points == null || points.isEmpty) return lut
     var x = 0
-    while (x <= points(0)(0)) { lut(x) = points(0)(1); x += 1 }
+    while (x <= (points(0)(0) << sx)) { lut(x) = points(0)(1); x += 1 }
     var i = 0
     while (i < points.length - 1) {
       val bx = points(i)(0); val by = points(i)(1)
@@ -78,11 +84,23 @@ object Av1FilmGrain {
       val dy = points(i + 1)(1) - by
       val delta = dy * ((0x10000 + (dx >> 1)) / dx)
       var k = 0
-      while (k <= dx) { lut(bx + k) = by + ((k * delta + 0x8000) >> 16); k += 1 }
+      while (k <= dx) { lut((bx + k) << sx) = by + ((k * delta + 0x8000) >> 16); k += 1 }
       i += 1
     }
-    x = points.last.head
-    while (x < 256) { lut(x) = points.last(1); x += 1 }
+    x = points.last.head << sx
+    while (x < lut.length) { lut(x) = points.last(1); x += 1 }
+    if (sx > 0) {
+      val pad = 1 << sx
+      val rnd = pad >> 1
+      var base = points(0)(0) << sx
+      val end = points.last.head << sx
+      while (base < end) {
+        val range = lut(base + pad) - lut(base)
+        var n = 1
+        while (n < pad) { lut(base + n) = lut(base) + ((range * n + rnd) >> sx); n += 1 }
+        base += pad
+      }
+    }
     lut
   }
 
@@ -90,8 +108,8 @@ object Av1FilmGrain {
     * layout). Chroma planes first (their scaling reads pre-grain luma),
     * then luma. 8-bit 4:2:0 / monochrome. */
   def apply(p: Params, planes: Array[Array[Int]], strides: Array[Int],
-      w: Int, h: Int, numPlanes: Int): Unit = {
-    val shift = 4 + p.grainScaleShift // 12 - bitdepth(8) + gss
+      w: Int, h: Int, numPlanes: Int, bd: Int = 8): Unit = {
+    val shift = 12 - bd + p.grainScaleShift
     val rnd = new Rng(p.seed)
     val lg = Array.ofDim[Int](73, 82)
     val haveY = p.yPoints != null && p.yPoints.nonEmpty
@@ -106,7 +124,10 @@ object Av1FilmGrain {
       y += 1
     }
     val pos = arPositions(p.arCoeffLag)
-    @inline def clipG(v: Int): Int = math.max(-128, math.min(127, v))
+    // GrainMin/GrainMax scale with bitdepth (spec 7.18.3.3)
+    val gMax = (128 << (bd - 8)) - 1
+    val gMin = -gMax - 1
+    @inline def clipG(v: Int): Int = math.max(gMin, math.min(gMax, v))
     if (p.arCoeffLag > 0 && haveY) {
       var yy = 3
       while (yy < 73) {
@@ -168,17 +189,18 @@ object Av1FilmGrain {
     val cbG = if (numPlanes > 1 && haveCb) chromaGrain(0xb524, p.arCoeffsCb, haveCb) else null
     val crG = if (numPlanes > 1 && haveCr) chromaGrain(0x49d8, p.arCoeffsCr, haveCr) else null
 
-    val lutY = lutFrom(p.yPoints)
+    val lutY = lutFrom(p.yPoints, bd)
     val lutCb =
-      if (p.cbPoints != null && p.cbPoints.nonEmpty) lutFrom(p.cbPoints)
+      if (p.cbPoints != null && p.cbPoints.nonEmpty) lutFrom(p.cbPoints, bd)
       else if (p.chromaScalingFromLuma) lutY else null
     val lutCr =
-      if (p.crPoints != null && p.crPoints.nonEmpty) lutFrom(p.crPoints)
+      if (p.crPoints != null && p.crPoints.nonEmpty) lutFrom(p.crPoints, bd)
       else if (p.chromaScalingFromLuma) lutY else null
 
-    val lo = if (p.clipToRestricted) 16 else 0
-    val hiY = if (p.clipToRestricted) 235 else 255
-    val hiC = if (p.clipToRestricted) 240 else 255
+    val maxPx = (1 << bd) - 1
+    val lo = if (p.clipToRestricted) 16 << (bd - 8) else 0
+    val hiY = if (p.clipToRestricted) 235 << (bd - 8) else maxPx
+    val hiC = if (p.clipToRestricted) 240 << (bd - 8) else maxPx
     val ss = p.scalingShift
     val cw = (w + 1) >> 1
     val chh = (h + 1) >> 1
@@ -232,8 +254,9 @@ object Av1FilmGrain {
               val src = px(fy * stride + fx)
               val vIdx =
                 if (!useMult) avg
-                else math.max(0, math.min(255,
-                  ((src * (mult - 128) + avg * (lumaMult - 128)) >> 6) + offset - 256))
+                else math.max(0, math.min(maxPx,
+                  ((src * (mult - 128) + avg * (lumaMult - 128)) >> 6) +
+                    ((offset - 256) << (bd - 8))))
               val nv = (lut(vIdx) * noise + (1 << (ss - 1))) >> ss
               px(fy * stride + fx) = math.max(lo, math.min(hiC, src + nv))
               xx += 1

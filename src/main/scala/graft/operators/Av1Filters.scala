@@ -21,8 +21,6 @@ object Av1Filters {
     (limit, blimit, thresh)
   }
 
-  @inline private def clipPx(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
-  @inline private def clip8s(v: Int): Int = if (v < -128) -128 else if (v > 127) 127 else v
 
   /** Filter one edge column/row of `count` lines.
     *
@@ -30,8 +28,21 @@ object Av1Filters {
     *   offset -1 is the last p sample, 0 the first q sample.
     */
   def filterEdge(count: Int, filterSize: Int, lvl: Int, sharpness: Int,
-      get: (Int, Int) => Int, set: (Int, Int, Int) => Unit): Unit = {
-    val (limit, blimit, thresh) = limits(lvl, sharpness)
+      get: (Int, Int) => Int, set: (Int, Int, Int) => Unit, bd: Int = 8): Unit = {
+    // hbd (spec 7.14.6): thresholds scale by 1 << (bd-8); the flat
+    // tests use exactly that scale as their threshold; filter4's
+    // signed working range widens the same way
+    val sc = bd - 8
+    val (limit0, blimit0, thresh0) = limits(lvl, sharpness)
+    val limit = limit0 << sc
+    val blimit = blimit0 << sc
+    val thresh = thresh0 << sc
+    val fTh = 1 << sc
+    val maxPx = (1 << bd) - 1
+    val sMax = (128 << sc) - 1
+    val sMin = -(128 << sc)
+    @inline def clipPx(v: Int): Int = if (v < 0) 0 else if (v > maxPx) maxPx else v
+    @inline def clip8s(v: Int): Int = if (v < sMin) sMin else if (v > sMax) sMax else v
     var i = 0
     while (i < count) {
       val p1 = get(i, -2); val p0 = get(i, -1)
@@ -44,17 +55,17 @@ object Av1Filters {
       if (filterSize >= 6) {
         val p2 = get(i, -3); val q2 = get(i, 2)
         mask = mask && math.abs(p2 - p1) <= limit && math.abs(q2 - q1) <= limit
-        flat = math.abs(p1 - p0) <= 1 && math.abs(q1 - q0) <= 1 &&
-          math.abs(p2 - p0) <= 1 && math.abs(q2 - q0) <= 1
+        flat = math.abs(p1 - p0) <= fTh && math.abs(q1 - q0) <= fTh &&
+          math.abs(p2 - p0) <= fTh && math.abs(q2 - q0) <= fTh
         if (filterSize >= 8) {
           val p3 = get(i, -4); val q3 = get(i, 3)
           mask = mask && math.abs(p3 - p2) <= limit && math.abs(q3 - q2) <= limit
-          flat = flat && math.abs(p3 - p0) <= 1 && math.abs(q3 - q0) <= 1
+          flat = flat && math.abs(p3 - p0) <= fTh && math.abs(q3 - q0) <= fTh
         }
         if (filterSize == 14) {
-          flat2 = math.abs(get(i, -5) - p0) <= 1 && math.abs(get(i, 4) - q0) <= 1 &&
-            math.abs(get(i, -6) - p0) <= 1 && math.abs(get(i, 5) - q0) <= 1 &&
-            math.abs(get(i, -7) - p0) <= 1 && math.abs(get(i, 6) - q0) <= 1
+          flat2 = math.abs(get(i, -5) - p0) <= fTh && math.abs(get(i, 4) - q0) <= fTh &&
+            math.abs(get(i, -6) - p0) <= fTh && math.abs(get(i, 5) - q0) <= fTh &&
+            math.abs(get(i, -7) - p0) <= fTh && math.abs(get(i, 6) - q0) <= fTh
         }
       }
       if (mask) {

@@ -14,6 +14,8 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
 
   private val subX = sh.subsamplingX
   private val subY = sh.subsamplingY
+  private val bd = sh.bitDepth
+  private val maxPx = (1 << bd) - 1
   private val numPlanes = if (sh.monochrome) 1 else 3
   private val miCols = 2 * ((fh.width + 7) >> 3)
   private val miRows = 2 * ((fh.height + 7) >> 3)
@@ -190,7 +192,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     // film grain: a pure output transform over the VISIBLE area
     // (synthesis pinned bit-exact vs dav1d — Av1FilmGrain)
     fh.filmGrain.foreach { fg =>
-      Av1FilmGrain.apply(fg, outPlanes, outStrides, fh.upscaledWidth, fh.height, numPlanes)
+      Av1FilmGrain.apply(fg, outPlanes, outStrides, fh.upscaledWidth, fh.height, numPlanes, bd)
     }
     // crop to visible size (AV1_DUMP_CODED: keep the coded mi area,
     // dev-only, for arbitrating the invisible band against dav1d)
@@ -202,17 +204,17 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       val h = if (keepCoded) decH(p) * 4 else vh
       val src = if (keepCoded) planes(p) else outPlanes(p)
       val stride = if (keepCoded) planeW(p) else outStrides(p)
-      val b = new Array[Byte](w * h)
+      val b = new Array[Short](w * h)
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { b(y * w + x) = src(y * stride + x).toByte; x += 1 }
+        while (x < w) { b(y * w + x) = src(y * stride + x).toShort; x += 1 }
         y += 1
       }
       b
     }
-    if (keepCoded) Decoded(miCols * 4, miRows * 4, sh.monochrome, subX, subY, out)
-    else Decoded(fh.upscaledWidth, fh.height, sh.monochrome, subX, subY, out)
+    if (keepCoded) Decoded(miCols * 4, miRows * 4, sh.monochrome, subX, subY, out, bd)
+    else Decoded(fh.upscaledWidth, fh.height, sh.monochrome, subX, subY, out, bd)
   }
 
   /** Normative superres horizontal upscale (spec 7.16): per plane, per
@@ -251,7 +253,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
             k += 1
           }
           var v = (s + 64) >> 7
-          if (v < 0) v = 0 else if (v > 255) v = 255
+          if (v < 0) v = 0 else if (v > maxPx) v = maxPx
           out(y * upW + x) = v
           x += 1
           xq += stepQ
@@ -581,11 +583,13 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     val (vf, hf) =
       if (vh == "vh") (mk(taps(0), taps(1), taps(2)), mk(taps(3), taps(4), taps(5)))
       else (mk(taps(3), taps(4), taps(5)), mk(taps(0), taps(1), taps(2)))
-    val round0 = 3
-    val round1 = 11
-    val offH = 1 << (8 + 7 - 1)          // 2^14
-    val limH = (1 << (8 + 1 + 7 - round0)) - 1 // 2^13 - 1
-    val offV = 1 << (8 + 2 * 7 - 1 - round0)   // 2^18
+    // spec 7.17.4: round0/round1 split by bitdepth (12-bit uses 5/9);
+    // intermediate offsets key on BitDepth
+    val round0 = if (bd == 12) 5 else 3
+    val round1 = if (bd == 12) 9 else 11
+    val offH = 1 << (bd + 7 - 1)
+    val limH = (1 << (bd + 1 + 7 - round0)) - 1
+    val offV = 1 << (bd + 2 * 7 - 1 - round0)
     val out = buf
     var y = yb
     while (y < ye) {
@@ -606,7 +610,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
           ty += 1
         }
         var r = (v - offV + (1 << (round1 - 1))) >> round1
-        if (r < 0) r = 0 else if (r > 255) r = 255
+        if (r < 0) r = 0 else if (r > maxPx) r = maxPx
         out(y * stride + x) = r
         x += 1
       }
@@ -652,8 +656,13 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
                 }
                 dy += 1
               }
-              val pp = math.max(0, a * n - b * b)
-              val z = (pp.toLong * scale + (1 << 19)) >> 20
+              // hbd (spec 7.17.3): the variance product uses a/b
+              // rounded down by 2*(bd-8)/(bd-8) — but the b feeding
+              // the B coefficient below stays at pixel scale
+              val aR = if (bd > 8) (a + (1 << (2 * (bd - 8) - 1))) >> (2 * (bd - 8)) else a
+              val bR = if (bd > 8) (b + (1 << (bd - 8 - 1))) >> (bd - 8) else b
+              val pp = math.max(0, aR.toLong * n - bR.toLong * bR)
+              val z = (pp * scale + (1 << 19)) >> 20
               val a2 =
                 if (z >= 255) 256
                 else if (z == 0) 1
@@ -730,7 +739,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         if (flt(0) != null) vv += xq0 * (flt(0)(i * w + j) - u)
         if (flt(1) != null) vv += xq1 * (flt(1)(i * w + j) - u)
         var r = (vv + (1 << 10)) >> 11
-        if (r < 0) r = 0 else if (r > 255) r = 255
+        if (r < 0) r = 0 else if (r > maxPx) r = maxPx
         out((yb + i) * stride + x0 + j) = r
         j += 1
       }
@@ -1281,11 +1290,11 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
                 if (vertical) {
                   Av1Filters.filterEdge(4, fs, lvl, fh.sharpness,
                     (i, o) => px((y0 + i) * stride + x0 + o),
-                    (i, o, v) => px((y0 + i) * stride + x0 + o) = v)
+                    (i, o, v) => px((y0 + i) * stride + x0 + o) = v, bd)
                 } else {
                   Av1Filters.filterEdge(4, fs, lvl, fh.sharpness,
                     (i, o) => px((y0 + o) * stride + x0 + i),
-                    (i, o, v) => px((y0 + o) * stride + x0 + i) = v)
+                    (i, o, v) => px((y0 + o) * stride + x0 + i) = v, bd)
                 }
               }
             }
@@ -1319,8 +1328,13 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     while (cu < cuRows * cuStride) {
       val idx = cdefIdx(cu)
       if (idx >= 0 && idx < (1 << cd.bits)) {
-        val yPriBase = cd.yPri(idx); val ySec = cd.ySec(idx)
-        val uvPri = cd.uvPri(idx); val uvSec = cd.uvSec(idx)
+        // hbd (spec 7.15.3): strengths scale by coeffShift = bd-8
+        // BEFORE the variance adjustment; damping grows by the same;
+        // the direction search runs on samples shifted down to the
+        // 8-bit domain
+        val sc = bd - 8
+        val yPriBase = cd.yPri(idx) << sc; val ySec = cd.ySec(idx) << sc
+        val uvPri = cd.uvPri(idx) << sc; val uvSec = cd.uvSec(idx) << sc
         val mi0r = (cu / cuStride) << 4
         val mi0c = (cu % cuStride) << 4
         var br = 0
@@ -1345,16 +1359,16 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
               // direction search reads the RAW snapshot (incl. the
               // reconstructed coded-but-cropped band) with no edge
               // substitution — pinned vs dav1d on partial-unit frames
-              val (dir, variance) = Av1Cdef.findDir((i2, j2) => snap(0)((y0 + i2) * lw + x0 + j2))
+              val (dir, variance) = Av1Cdef.findDir((i2, j2) => snap(0)((y0 + i2) * lw + x0 + j2) >> sc)
               val yPri = Av1Cdef.adjustStrength(yPriBase, variance)
               if (yPri != 0 || ySec != 0) {
                 // the direction only applies with a PRIMARY strength:
                 // a secondary-only luma filter uses dir 0 (same rule as
                 // the chroma path below; pinned on sec-only noise encodes)
                 val yDir = if (yPriBase != 0) dir else 0
-                Av1Cdef.filterUnit(8, 8, yDir, yPri, ySec, cd.damping,
+                Av1Cdef.filterUnit(8, 8, yDir, yPri, ySec, cd.damping + sc,
                   (dy, dx) => srcY(y0 + dy, x0 + dx),
-                  (dy, dx, v) => planes(0)((y0 + dy) * lw + x0 + dx) = v)
+                  (dy, dx, v) => planes(0)((y0 + dy) * lw + x0 + dx) = v, sc)
               }
               if (numPlanes > 1 && (uvPri != 0 || uvSec != 0)) {
                 // 4:2:0 chroma keeps the luma direction unmodified
@@ -1367,9 +1381,9 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
                 while (p < numPlanes) {
                   val src = srcOf(p)
                   val pw = planeW(p)
-                  Av1Cdef.filterUnit(cw2, ch2, uvDir, uvPri, uvSec, cd.damping - 1,
+                  Av1Cdef.filterUnit(cw2, ch2, uvDir, uvPri, uvSec, cd.damping + sc - 1,
                     (dy, dx) => src(cy0 + dy, cx0 + dx),
-                    (dy, dx, v) => planes(p)((cy0 + dy) * pw + cx0 + dx) = v)
+                    (dy, dx, v) => planes(p)((cy0 + dy) * pw + cx0 + dx) = v, sc)
                   p += 1
                 }
               }
@@ -1588,7 +1602,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     Av1Predict.predict(planes(plane), pw, x0, y0, tw, th, predMode, angle,
       haveAbove, haveLeft, numRight, numBelow, sh.enableIntraEdgeFilter,
       decW(plane) * 4, decH(plane) * 4, filtType,
-      if (plane == 0) filterModeY else -1)
+      if (plane == 0) filterModeY else -1, bd)
     if (mode == Av1Predict.UV_CFL) applyCfl(plane, x0, y0, tw, th)
 
     if (!skip) {
@@ -1658,7 +1672,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         val adj = if (diff < 0) -((-diff + 32) >> 6) else (diff + 32) >> 6
         val idx = (y0 + y) * pw + x0 + x
         val v = pl(idx) + adj
-        pl(idx) = if (v < 0) 0 else if (v > 255) 255 else v
+        pl(idx) = if (v < 0) 0 else if (v > maxPx) maxPx else v
         x += 1
       }
       y += 1
@@ -1762,8 +1776,8 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     }
 
     // --- signs + golomb + dequant, forward ---
-    val dcQ = Av1Tables.DcQLookup(clampQ(currentQIndex + planeDcDelta(plane)))
-    val acQ = Av1Tables.AcQLookup(clampQ(currentQIndex + planeAcDelta(plane)))
+    val dcQ = dcQTable(clampQ(currentQIndex + planeDcDelta(plane)))
+    val acQ = acQTable(clampQ(currentQIndex + planeAcDelta(plane)))
     // dequant downshift follows the tx-size entropy ctx (0 for ≤16x16-class,
     // 1 for the 32-class incl. 32x16/16x32, 2 for the 64-class)
     val dqShift = math.max(0, txSzCtx - 2)
@@ -1788,9 +1802,10 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         val q = if (c == 0) dcQ else acQ
         var v = (level.toLong * q) & 0xffffff
         v >>= dqShift
-        // saturate to cf_max + sign (dav1d umin(dq, cf_max + sign)):
-        // a maxed-out negative coefficient is -32768, not -32767
-        val cap = if (negative) 32768L else 32767L
+        // saturate to cf_max + sign (dav1d umin(dq, cf_max + sign),
+        // cf_max = (1 << (bd + 7)) - 1): a maxed-out negative
+        // coefficient is -(cf_max + 1)
+        val cap = if (negative) cfMax + 1L else cfMax.toLong
         if (v > cap) v = cap
         residual(pos) = if (negative) -v else v
       }
@@ -1798,6 +1813,15 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     }
     (eob, math.min(culLevel, 63), dcCat, residual)
   }
+
+  // quantizer lookups keyed on BitDepth (spec Dc_Qlookup/Ac_Qlookup rows)
+  private val dcQTable: Array[Int] =
+    if (bd == 10) Av1Tables.DcQLookup10 else if (bd == 12) Av1Tables.DcQLookup12
+    else Av1Tables.DcQLookup
+  private val acQTable: Array[Int] =
+    if (bd == 10) Av1Tables.AcQLookup10 else if (bd == 12) Av1Tables.AcQLookup12
+    else Av1Tables.AcQLookup
+  private val cfMax: Int = (1 << (bd + 7)) - 1
 
   @inline private def clampQ(q: Int): Int = math.max(0, math.min(255, q))
   private def planeDcDelta(plane: Int): Int =
@@ -1962,7 +1986,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
         while (x < 4) {
           val idx = (y0 + y) * pw + x0 + x
           val v = planes(plane)(idx) + residual(y * 4 + x)
-          planes(plane)(idx) = if (v < 0) 0 else if (v > 255) 255.toInt else v.toInt
+          planes(plane)(idx) = if (v < 0) 0 else if (v > maxPx) maxPx else v.toInt
           x += 1
         }
         y += 1
@@ -1973,7 +1997,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       val codedW = math.min(tw, 32)
       val codedH = math.min(th, 32)
       Av1Transform.inverse2dAdd(planes(plane), pw, x0, y0, tw, th,
-        residualTxType, residual, codedW, codedH)
+        residualTxType, residual, codedW, codedH, bd)
     }
   }
 }

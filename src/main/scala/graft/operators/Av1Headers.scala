@@ -114,7 +114,8 @@ object Av1Headers {
       subsamplingX: Int,
       subsamplingY: Int,
       separateUvDeltaQ: Boolean,
-      filmGrainPresent: Boolean)
+      filmGrainPresent: Boolean,
+      bitDepth: Int = 8)
 
   def parseSeqHeader(r: BitReader): SeqHeader = {
     val profile = r.f(3)
@@ -176,9 +177,14 @@ object Av1Headers {
     val enableSuperres = r.f(1) == 1
     val enableCdef = r.f(1) == 1
     val enableRestoration = r.f(1) == 1
-    // color_config
+    // color_config (spec 5.5.2): BitDepth from high_bitdepth (+
+    // twelve_bit for profile 2)
     val highBitdepth = r.f(1) == 1
-    require(!highBitdepth, "av1: >8-bit streams unsupported")
+    val bitDepth =
+      if (profile == 2 && highBitdepth) { if (r.f(1) == 1) 12 else 10 }
+      else if (highBitdepth) 10
+      else 8
+    require(bitDepth <= 10, "av1: 12-bit streams unsupported")
     val mono = if (profile != 1) r.f(1) == 1 else false
     var subX = 1
     var subY = 1
@@ -211,7 +217,7 @@ object Av1Headers {
       frameIdNumbers, deltaFrameIdLen, addFrameIdLen,
       use128, filterIntra, intraEdge, forceScreen, forceIntegerMv, orderHintBits,
       enableSuperres, enableCdef, enableRestoration,
-      mono, subX, subY, separateUv, filmGrain)
+      mono, subX, subY, separateUv, filmGrain, bitDepth)
   }
 
   case class CdefParams(damping: Int, bits: Int,

@@ -4,7 +4,8 @@ package graft.operators
   * construction with availability fallbacks, DC / V / H / Paeth /
   * Smooth{,V,H} and the three directional zones over
   * Dr_Intra_Derivative, with the intra-edge filter and 2x upsampling.
-  * 8-bit only. Validated against libdav1d goldens via Av1DecoderSpec.
+  * 8- and 10-bit (base values and clamps keyed on BitDepth).
+  * Validated against libdav1d goldens via Av1DecoderSpec.
   */
 object Av1Predict {
 
@@ -14,7 +15,6 @@ object Av1Predict {
 
   val ModeToAngle: Array[Int] = Array(0, 90, 180, 45, 135, 113, 157, 203, 67, 0, 0, 0, 0)
 
-  @inline private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
   /** Predict one tx block in place.
     *
@@ -29,8 +29,12 @@ object Av1Predict {
   def predict(plane: Array[Int], stride: Int, x0: Int, y0: Int, w: Int, h: Int,
       mode: Int, angleDelta: Int, haveAbove: Boolean, haveLeft: Boolean,
       numRight: Int, numBelow: Int, edgeFilter: Boolean,
-      planeW: Int, planeH: Int, filtType: Int = 0, filterMode: Int = -1): Unit = {
+      planeW: Int, planeH: Int, filtType: Int = 0, filterMode: Int = -1,
+      bd: Int = 8): Unit = {
 
+    val maxPx = (1 << bd) - 1
+    val half = 1 << (bd - 1)
+    @inline def clipPx(v: Int): Int = if (v < 0) 0 else if (v > maxPx) maxPx else v
     val isDir = mode >= V && mode <= D67
     val pAngle = if (isDir) ModeToAngle(mode) + angleDelta * 3 else 0
 
@@ -48,7 +52,7 @@ object Av1Predict {
       val v = pix(x0 - 1, y0)
       java.util.Arrays.fill(above, 0, w + h, v)
     } else if (!haveAbove && !haveLeft) {
-      java.util.Arrays.fill(above, 0, w + h, 127)
+      java.util.Arrays.fill(above, 0, w + h, half - 1)
     } else {
       val avail = w + (if (numRight > 0) math.min(numRight, h) else 0)
       var i = 0
@@ -61,7 +65,7 @@ object Av1Predict {
       val v = pix(x0, y0 - 1)
       java.util.Arrays.fill(left, 0, w + h, v)
     } else if (!haveLeft && !haveAbove) {
-      java.util.Arrays.fill(left, 0, w + h, 129)
+      java.util.Arrays.fill(left, 0, w + h, half + 1)
     } else {
       val avail = h + (if (numBelow > 0) math.min(numBelow, w) else 0)
       var i = 0
@@ -74,7 +78,7 @@ object Av1Predict {
       if (haveAbove && haveLeft) pix(x0 - 1, y0 - 1)
       else if (haveAbove) pix(x0, y0 - 1)
       else if (haveLeft) pix(x0 - 1, y0)
-      else 128
+      else half
 
     @inline def set(x: Int, y: Int, v: Int): Unit = plane((y0 + y) * stride + x0 + x) = v
 
@@ -102,7 +106,7 @@ object Av1Predict {
             val t = taps(k)
             val pr = t(0) * p0 + t(1) * p1 + t(2) * p2 + t(3) * p3 + t(4) * p4 + t(5) * p5 + t(6) * p6
             val rv = if (pr < 0) -((-pr + 8) >> 4) else (pr + 8) >> 4
-            buf(r + (k >> 2))(c + (k & 3)) = if (rv < 0) 0 else if (rv > 255) 255 else rv
+            buf(r + (k >> 2))(c + (k & 3)) = clipPx(rv)
             k += 1
           }
           c += 4
@@ -147,8 +151,8 @@ object Av1Predict {
       }
       upsampleAbove = useUpsample(w, h, pAngle - 90, edgeFilter, filtType)
       upsampleLeft = useUpsample(w, h, pAngle - 180, edgeFilter, filtType)
-      if (upsampleAbove) aboveBuf = upsampleEdge(above, aboveM1, w + (if (pAngle < 90) h else 0))
-      if (upsampleLeft) leftBuf = upsampleEdge(left, aboveM1, h + (if (pAngle > 180) w else 0))
+      if (upsampleAbove) aboveBuf = upsampleEdge(above, aboveM1, w + (if (pAngle < 90) h else 0), maxPx)
+      if (upsampleLeft) leftBuf = upsampleEdge(left, aboveM1, h + (if (pAngle > 180) w else 0), maxPx)
     }
 
     mode match {
@@ -157,7 +161,7 @@ object Av1Predict {
         var cnt = 0
         if (haveAbove) { var i = 0; while (i < w) { sum += above(i); i += 1 }; cnt += w }
         if (haveLeft) { var i = 0; while (i < h) { sum += left(i); i += 1 }; cnt += h }
-        val dc = if (cnt == 0) 128 else (sum + (cnt >> 1)) / cnt
+        val dc = if (cnt == 0) half else (sum + (cnt >> 1)) / cnt
         var y = 0
         while (y < h) { var x = 0; while (x < w) { set(x, y, dc); x += 1 }; y += 1 }
 
@@ -195,7 +199,7 @@ object Av1Predict {
           while (x < w) {
             val p = wH(y) * above(x) + (256 - wH(y)) * br +
               wW(x) * left(y) + (256 - wW(x)) * ar
-            set(x, y, clip255((p + 256) >> 9))
+            set(x, y, clipPx((p + 256) >> 9))
             x += 1
           }
           y += 1
@@ -209,7 +213,7 @@ object Av1Predict {
           var x = 0
           while (x < w) {
             val p = wH(y) * above(x) + (256 - wH(y)) * br
-            set(x, y, clip255((p + 128) >> 8))
+            set(x, y, clipPx((p + 128) >> 8))
             x += 1
           }
           y += 1
@@ -223,14 +227,14 @@ object Av1Predict {
           var x = 0
           while (x < w) {
             val p = wW(x) * left(y) + (256 - wW(x)) * ar
-            set(x, y, clip255((p + 128) >> 8))
+            set(x, y, clipPx((p + 128) >> 8))
             x += 1
           }
           y += 1
         }
 
       case _ if isDir =>
-        directional(set, aboveBuf, leftBuf, aboveM1, w, h, pAngle, upsampleAbove, upsampleLeft)
+        directional(set, aboveBuf, leftBuf, aboveM1, w, h, pAngle, upsampleAbove, upsampleLeft, maxPx)
 
       case m => throw new IllegalArgumentException(s"av1: intra mode $m unsupported here")
     }
@@ -294,7 +298,7 @@ object Av1Predict {
     * convention: buf(b) where b=0 is orig[-1], b=2k+2 is orig[k], odd
     * slots are the interpolated half-pels; a directional base in
     * half-pel units indexes buf(base + 2). */
-  private def upsampleEdge(edge: Array[Int], m1: Int, numPx: Int): Array[Int] = {
+  private def upsampleEdge(edge: Array[Int], m1: Int, numPx: Int, maxPx: Int): Array[Int] = {
     @inline def o(k: Int): Int =
       if (k < -1) m1 else if (k == -1) m1 else if (k >= numPx) edge(numPx - 1) else edge(k)
     val out = new Array[Int](2 * numPx + 2)
@@ -302,7 +306,7 @@ object Av1Predict {
     var k = -1
     while (k < numPx - 1) {
       val h = -o(k - 1) + 9 * o(k) + 9 * o(k + 1) - o(k + 2)
-      out(2 * k + 3) = clip255((h + 8) >> 4)
+      out(2 * k + 3) = { val v = (h + 8) >> 4; if (v < 0) 0 else if (v > maxPx) maxPx else v }
       out(2 * k + 4) = o(k + 1)
       k += 1
     }
@@ -311,7 +315,9 @@ object Av1Predict {
 
   /** spec 7.11.2.4 directional prediction, three zones. */
   private def directional(set: (Int, Int, Int) => Unit, above: Array[Int], left: Array[Int],
-      m1: Int, w: Int, h: Int, pAngle: Int, upAbove: Boolean, upLeft: Boolean): Unit = {
+      m1: Int, w: Int, h: Int, pAngle: Int, upAbove: Boolean, upLeft: Boolean,
+      maxPx: Int): Unit = {
+    @inline def clipPx(v: Int): Int = if (v < 0) 0 else if (v > maxPx) maxPx else v
     val dr = Av1Tables.DrIntraDerivative
     val upA = if (upAbove) 1 else 0
     val upL = if (upLeft) 1 else 0
@@ -326,7 +332,7 @@ object Av1Predict {
       } else {
         val p0 = if (upAbove) above(base + 2) else (if (base < 0) m1 else above(base))
         val p1 = if (upAbove) above(base + 3) else (if (base + 1 < 0) m1 else above(base + 1))
-        clip255((p0 * (32 - shift) + p1 * shift + 16) >> 5)
+        clipPx((p0 * (32 - shift) + p1 * shift + 16) >> 5)
       }
     }
     @inline def sampleL(pos: Int, maxBase: Int): Int = {
@@ -338,7 +344,7 @@ object Av1Predict {
       } else {
         val p0 = if (upLeft) left(base + 2) else (if (base < 0) m1 else left(base))
         val p1 = if (upLeft) left(base + 3) else (if (base + 1 < 0) m1 else left(base + 1))
-        clip255((p0 * (32 - shift) + p1 * shift + 16) >> 5)
+        clipPx((p0 * (32 - shift) + p1 * shift + 16) >> 5)
       }
     }
     if (pAngle < 90) {

@@ -70,6 +70,10 @@ object Av1Tables {
   // non-CDF spec constants
   val DcQLookup: Array[Int] = values("dc_qlookup")
   val AcQLookup: Array[Int] = values("ac_qlookup")
+  val DcQLookup10: Array[Int] = values("dc_qlookup_10")
+  val AcQLookup10: Array[Int] = values("ac_qlookup_10")
+  val DcQLookup12: Array[Int] = values("dc_qlookup_12")
+  val AcQLookup12: Array[Int] = values("ac_qlookup_12")
   val DrIntraDerivative: Array[Int] = values("dr_intra_derivative")
   /** Smooth-prediction weights, concatenated for block dims 4,8,16,32,64. */
   val SmWeights: Array[Int] = values("sm_weights")

@@ -577,7 +577,14 @@ object Av1Transform {
     * intermediate rounding/clamping, column transforms, final
     * Round2(·,4), add to prediction with pixel clamp. */
   def inverse2dAdd(plane: Array[Int], stride: Int, x0: Int, y0: Int,
-      w: Int, h: Int, txType: Int, coeffs: Array[Long], codedW: Int, codedH: Int): Unit = {
+      w: Int, h: Int, txType: Int, coeffs: Array[Long], codedW: Int, codedH: Int,
+      bd: Int = 8): Unit = {
+    // intermediate clamp after the row pass: signed Max(bd + 6, 15)+1
+    // bit range (8-bit: int16, pinned bit-exact vs dav1d; 10-bit:
+    // ±65536, to be pinned by the hbd probe battery)
+    val rowMax = (1L << math.max(bd + 6, 15)) - 1
+    val rowMin = -rowMax - 1
+    val maxPx = (1 << bd) - 1
     import Av1Decoder._
     val log2w = Integer.numberOfTrailingZeros(w)
     val log2h = Integer.numberOfTrailingZeros(h)
@@ -629,7 +636,7 @@ object Av1Transform {
       x = 0
       while (x < w) {
         var v = if (rowShift > 0) (rowv(x) + (1L << (rowShift - 1))) >> rowShift else rowv(x)
-        if (v < -32768) v = -32768 else if (v > 32767) v = 32767
+        if (v < rowMin) v = rowMin else if (v > rowMax) v = rowMax
         buf(y)(x) = v
         x += 1
       }
@@ -652,7 +659,7 @@ object Av1Transform {
         val r = (colv(y) + 8) >> 4
         val idx = (y0 + vy) * stride + x0 + vx
         val v = plane(idx) + r
-        plane(idx) = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+        plane(idx) = if (v < 0) 0 else if (v > maxPx) maxPx else v.toInt
         y += 1
       }
       x += 1

@@ -5881,10 +5881,18 @@ object Pipeline {
         Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ Array.fill(32)(0.toByte))
       val mp4_bait = java.util.Base64.getEncoder.encodeToString(
         Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm', 0, 0, 0, 0))
+      val hbd_64x48_avif =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAANhtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAJGlsb2MBAAAAREAAAQABAAAAAAAAAAAAAQAAAPwAAACeAAAAI2lpbmYAAAAAAAEAAAAVaW5mZQIAAAEA" +
+        "AQAAYXYwMQAAAABWaXBycAAAADhpcGNvAAAAFGlzcGUAAAAAAAAAQAAAADAAAAAQcGl4aQAAAAADCgoKAAAADGF2MUOBBEwAAAAA" +
+        "FmlwbWEAAAAAAAAAAQABA4GCgwAAAKZtZGF0EgAKCgAAAAKv95//CAgyjQEQALwAkkIIKNf/OTGdI5BiU1eIxrs16yUeWH/mXHcI" +
+        "jYWS6RNv+dsvMt+IrS775D6IqHWtaKDcLXCUtIP/yJ61DDDB+EMy60mz8lEFPesZ+2LkXf036T6jTNvAE3tMRfzKWIKHrcyYjIBX" +
+        "oj/4mN7dK+KWlWazK247HuaVX2X4xnF9M3GHeM3lKLOmBGA="
       val rows = Seq(
         ("rgb_avif", rgb_64x48_avif), ("alpha_avif", alpha_32x32_avif),
         ("odd_avif", odd_33x17_avif), ("rgb_heic", rgb_64x48_heic),
-        ("alpha_heic", alpha_32x32_heic), ("jpeg_bait", jpeg_bait), ("mp4_bait", mp4_bait))
+        ("alpha_heic", alpha_32x32_heic), ("hbd_avif", hbd_64x48_avif),
+        ("jpeg_bait", jpeg_bait), ("mp4_bait", mp4_bait))
       s.createDataset(rows).repartition(rows.size)
         .map { case (name, b64) =>
           try {
@@ -5901,6 +5909,7 @@ object Pipeline {
       SELECT * FROM (VALUES
         ('alpha_avif', 'avif', 'av01', 32, 32, true, 8, 'ok'),
         ('alpha_heic', 'heic', 'hvc1', 32, 32, true, 8, 'ok'),
+        ('hbd_avif', 'avif', 'av01', 64, 48, false, 10, 'ok'),
         ('jpeg_bait', '', '', -1, -1, false, -1, 'refused'),
         ('mp4_bait', '', '', -1, -1, false, -1, 'refused'),
         ('odd_avif', 'avif', 'av01', 33, 17, false, 8, 'ok'),
@@ -5922,7 +5931,10 @@ object Pipeline {
     * an hvc1 HEIC and a truncated AVIF must refuse by name. r12 adds
     * two GOOD-usage aom payloads: a 256x256 with coded loop-restoration
     * units (Wiener/SGR applied) and a 100x36 with CDEF on non-8-aligned
-    * dims — the post-filter chain under the driver oracle. */
+    * dims — the post-filter chain under the driver oracle — plus a
+    * hand-muxed 10-bit (profile 0 high_bitdepth) item whose pins were
+    * computed from dav1d's 10-bit decode + the documented
+    * downshift-then-BT.601 transform (tools/gen_avif_hbd.py). */
   val mediaAvifDecode: QueryDef = QueryDef(
     "media_avif_decode",
     (s, dir) => {
@@ -6093,9 +6105,17 @@ object Pipeline {
         "AQKBggACAoOEAAAAGmlyZWYAAAAAAAAADmRpbWcAAQABAAIAAAAQaWRhdAAAAAAAZAAkAAAAkm1kYXQSAAoKAAAAAy44za+QBDJ6" +
         "EACyAIICBBZddLTX+t+9rom9vGK7xG+VHYgLMaN6Xa917wZfvA4LyxBNwT7Din8WzYiPxtHCv0ToxnNF8iVsiJpKlhzF1IVizN2W" +
         "wvT9f1nHEzw6MtcCrSX7FrlhFudDhD/rrQ3iFvDV86zlaTCWAi38IjY9/Nc7lrg="
+      val hbd64 =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAANhtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAJGlsb2MBAAAAREAAAQABAAAAAAAAAAAAAQAAAPwAAACeAAAAI2lpbmYAAAAAAAEAAAAVaW5mZQIAAAEA" +
+        "AQAAYXYwMQAAAABWaXBycAAAADhpcGNvAAAAFGlzcGUAAAAAAAAAQAAAADAAAAAQcGl4aQAAAAADCgoKAAAADGF2MUOBBEwAAAAA" +
+        "FmlwbWEAAAAAAAAAAQABA4GCgwAAAKZtZGF0EgAKCgAAAAKv95//CAgyjQEQALwAkkIIKNf/OTGdI5BiU1eIxrs16yUeWH/mXHcI" +
+        "jYWS6RNv+dsvMt+IrS775D6IqHWtaKDcLXCUtIP/yJ61DDDB+EMy60mz8lEFPesZ+2LkXf036T6jTNvAE3tMRfzKWIKHrcyYjIBX" +
+        "oj/4mN7dK+KWlWazK247HuaVX2X4xnF9M3GHeM3lKLOmBGA="
       val rows = Seq(("avif_rgb_64x48", rgb64), ("avif_alpha_48x48", alpha48),
         ("avif_odd_33x17", odd33), ("avif_grid_100x90", grid100),
         ("avif_lr_256", lr256), ("avif_cdef_100x36", cdef100),
+        ("avif_hbd_64x48", hbd64),
         ("heic_bait", heicBait), ("truncated", grid100.substring(0, 120)))
       s.createDataset(rows).repartition(rows.size)
         .map { case (name, b64) =>
@@ -6118,6 +6138,7 @@ object Pipeline {
         ('avif_alpha_48x48', 48, 48, true, 3894629314, 2594599563, 2964651957, 3981181029, 'ok'),
         ('avif_cdef_100x36', 100, 36, false, 4283981665, 4294967295, 4286677920, 4279763484, 'ok'),
         ('avif_grid_100x90', 100, 90, false, 4294836224, 4278255361, 4278190335, 4294967040, 'ok'),
+        ('avif_hbd_64x48', 64, 48, false, 4287135337, 4284772944, 4289371306, 4286418831, 'ok'),
         ('avif_lr_256', 256, 256, false, 4287200614, 4284445265, 4289371560, 4286680207, 'ok'),
         ('avif_odd_33x17', 33, 17, false, 4285344568, 4283915629, 4278203136, 4287664497, 'ok'),
         ('avif_rgb_64x48', 64, 48, false, 4289272749, 4288836451, 4294955704, 4282122817, 'ok'),

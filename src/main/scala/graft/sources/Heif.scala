@@ -372,25 +372,27 @@ object Heif {
     // composed YUV planes + geometry
     var width = 0; var height = 0
     var subX = 0; var subY = 0; var mono = false
-    var planesY: Array[Byte] = null
-    var planesU: Array[Byte] = null
-    var planesV: Array[Byte] = null
+    var bitDepth = 8
+    var planesY: Array[Short] = null
+    var planesU: Array[Short] = null
+    var planesV: Array[Short] = null
 
     def composeFrom(items: Seq[Long], gridW: Int, gridH: Int, cols: Int): Unit = {
       val first = decodeAv01(items.head)
       subX = first.subX; subY = first.subY; mono = first.monochrome
+      bitDepth = first.bitDepth
       val tw = first.width; val th = first.height
       width = if (gridW > 0) gridW else tw
       height = if (gridH > 0) gridH else th
       val outW = width; val outH = height
       val cw = (outW + subX) >> subX; val ch = (outH + subY) >> subY
-      planesY = new Array[Byte](outW * outH)
-      if (!mono) { planesU = new Array[Byte](cw * ch); planesV = new Array[Byte](cw * ch) }
+      planesY = new Array[Short](outW * outH)
+      if (!mono) { planesU = new Array[Short](cw * ch); planesV = new Array[Short](cw * ch) }
       items.zipWithIndex.foreach { case (it, idx) =>
         val d = if (idx == 0) first else decodeAv01(it)
         require(d.width == tw && d.height == th, "heif: grid tiles differ in size")
-        require(d.subX == subX && d.subY == subY && d.monochrome == mono,
-          "heif: grid tiles differ in chroma format")
+        require(d.subX == subX && d.subY == subY && d.monochrome == mono &&
+          d.bitDepth == bitDepth, "heif: grid tiles differ in chroma format")
         val r0 = (idx / cols) * th; val c0 = (idx % cols) * tw
         // luma
         var y = 0
@@ -458,6 +460,8 @@ object Heif {
         auxTypeIsAlpha(from) => from
     }
     val alphaPlane: Array[Byte] = alphaItem.map { ai =>
+      @inline def a8(d: graft.operators.Av1Decoder.Decoded, v: Short): Byte =
+        (((v & 0xffff) >> (d.bitDepth - 8)) & 0xff).toByte
       if (dimg.contains(ai)) {
         // alpha grid mirrors the color grid geometry
         val sub = new Array[Byte](width * height)
@@ -472,7 +476,7 @@ object Heif {
           while (y < d.height && r0 + y < height) {
             var x = 0
             while (x < d.width && c0 + x < width) {
-              sub((r0 + y) * width + c0 + x) = d.planes(0)(y * d.width + x)
+              sub((r0 + y) * width + c0 + x) = a8(d, d.planes(0)(y * d.width + x))
               x += 1
             }
             y += 1
@@ -482,7 +486,7 @@ object Heif {
       } else {
         val d = decodeAv01(ai)
         require(d.width == width && d.height == height, "heif: alpha plane dims differ")
-        d.planes(0)
+        d.planes(0).map(v => a8(d, v))
       }
     }.orNull
 
@@ -494,7 +498,7 @@ object Heif {
     while (yy < height) {
       var xx = 0
       while (xx < width) {
-        val yv = planesY(yy * width + xx) & 0xff
+        val yv = (planesY(yy * width + xx) & 0xffff) >> (bitDepth - 8)
         val a = if (alphaPlane != null) alphaPlane(yy * width + xx) & 0xff else 0xff
         val (rr, gg, bb) =
           if (mono) {
@@ -505,8 +509,8 @@ object Heif {
             val v2 = clip((yS + ((128 * 33050) >> 8) - 17685) >> 6)
             (v0, v1, v2)
           } else {
-            val uv = planesU((yy >> subY) * cw + (xx >> subX)) & 0xff
-            val vv = planesV((yy >> subY) * cw + (xx >> subX)) & 0xff
+            val uv = (planesU((yy >> subY) * cw + (xx >> subX)) & 0xffff) >> (bitDepth - 8)
+            val vv = (planesV((yy >> subY) * cw + (xx >> subX)) & 0xffff) >> (bitDepth - 8)
             val yS = (yv * 19077) >> 8
             (clip((yS + ((vv * 26149) >> 8) - 14234) >> 6),
              clip((yS - ((uv * 6419) >> 8) - ((vv * 13320) >> 8) + 8708) >> 6),

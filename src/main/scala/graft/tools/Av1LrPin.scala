@@ -14,9 +14,9 @@ object Av1LrPin {
     val name = args(1)
     if (args(2) == "diff") { // dev: compare decodes across two candidate values
       val obu = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, name + ".obu"))
-      def dec(cdf: String): Array[Byte] = {
+      def dec(cdf: String): Array[Short] = {
         sys.props("av1.lr.cdf") = cdf
-        Av1Decoder.decode(obu).planes.flatMap(identity)
+        Av1Decoder.decode(obu).planes.flatMap(identity[Array[Short]])
       }
       val a = dec(args(3)); val b = dec(args(4))
       println(s"equal: ${java.util.Arrays.equals(a, b)}")
@@ -59,13 +59,13 @@ object Av1LrPin {
             var badC = 0
             var i = 0
             while (i < cLen) {
-              if (d.planes(1)(i) != golden(5 + lumaLen + i)) badC += 1
-              if (d.planes(2)(i) != golden(5 + lumaLen + cLen + i)) badC += 1
+              if ((d.planes(1)(i) & 0xff) != (golden(5 + lumaLen + i) & 0xff)) badC += 1
+              if ((d.planes(2)(i) & 0xff) != (golden(5 + lumaLen + cLen + i) & 0xff)) badC += 1
               i += 1
             }
             var badY = 0
             i = 0
-            while (i < lumaLen) { if (d.planes(0)(i) != golden(5 + i)) badY += 1; i += 1 }
+            while (i < lumaLen) { if ((d.planes(0)(i) & 0xff) != (golden(5 + i) & 0xff)) badY += 1; i += 1 }
             if (badC == 0) println(s"SYNC se=$se v6=$v6 badY=$badY badC=$badC")
           } catch { case _: Exception => () }
           v6 += 1
@@ -86,9 +86,9 @@ object Av1LrPin {
       val ok =
         try {
           val d = Av1Decoder.decode(obu)
-          val flat = d.planes.flatMap(identity)
+          val flat = d.planes.flatMap(identity[Array[Short]])
           flat.length == golden.length - 5 &&
-            java.util.Arrays.equals(flat, java.util.Arrays.copyOfRange(golden, 5, golden.length))
+            flat.indices.forall(i => (flat(i) & 0xff) == (golden(5 + i) & 0xff))
         } catch { case _: Exception => false }
       if (ok) hits ::= v6
       v6 += 1

@@ -26,14 +26,22 @@ class Av1DecoderSpec extends AnyFunSuite {
     val bb = java.nio.ByteBuffer.wrap(golden).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val gw = bb.getShort() & 0xffff
     val gh = bb.getShort() & 0xffff
-    bb.get() // layout
+    val layoutRaw = bb.get() & 0xff
+    val wide = (layoutRaw & 0x80) != 0 // bit 7: LE u16 planes (hbd goldens)
     val d = Av1Decoder.decode(obu)
     assert(d.width == gw && d.height == gh)
     var off = 5
     d.planes.zipWithIndex.foreach { case (p, i) =>
-      val want = java.util.Arrays.copyOfRange(golden, off, off + p.length)
+      val want = new Array[Short](p.length)
+      var k = 0
+      while (k < p.length) {
+        want(k) =
+          if (wide) (((golden(off + 2 * k) & 0xff) | ((golden(off + 2 * k + 1) & 0xff) << 8)).toShort)
+          else (golden(off + k) & 0xff).toShort
+        k += 1
+      }
       assert(java.util.Arrays.equals(p, want), s"$name plane $i differs")
-      off += p.length
+      off += p.length * (if (wide) 2 else 1)
     }
     assert(off == golden.length, s"$name golden size mismatch")
   }
@@ -127,12 +135,32 @@ class Av1DecoderSpec extends AnyFunSuite {
     }
   }
 
+  // r12 additions: 10-bit (profile 0 high_bitdepth) — lossless WHT,
+  // the lossy intra chain with deblock, real coded LR units (cpu-0
+  // slow preset codes SGR luma + WIENER chroma at 64x64), odd dims,
+  // superres d12, and header-surgery-forced film grain (hbd scaling
+  // LUT interpolation + scaled grain clip/offset). Goldens use the
+  // wide format (layout bit 7, LE u16 planes); beyond these committed
+  // seven, a 180-stream q x cpu x content x dims sweep plus 13 staged
+  // probes ran bit-exact at dev time (tools/av1_hbd_lab.py).
+  for (name <- Seq("hb_ll_grad64", "hb_q32_photo128", "hb_q50_noise64",
+    "hb_lr_photo64_c0", "hb_odd65x40_c0", "hb_sr_noise64_d12",
+    "hb_q50_noise64_fg_full")) {
+    test(s"10-bit fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)
     assert(v.take(3).sameElements(Array(13636, 7258, 2376))) // AOM_CDF4(19132,25510,30392)
     assert(Av1Tables.DcQLookup(0) == 4 && Av1Tables.DcQLookup(255) == 1336)
     assert(Av1Tables.AcQLookup(255) == 1828)
+    // hbd quantizer rows (spec Dc_Qlookup/Ac_Qlookup rows 1-2)
+    assert(Av1Tables.DcQLookup10(0) == 4 && Av1Tables.DcQLookup10(255) == 5347)
+    assert(Av1Tables.AcQLookup10(255) == 7312)
+    assert(Av1Tables.DcQLookup12(255) == 21387 && Av1Tables.AcQLookup12(255) == 29247)
     assert(Av1Tables.CosPi(0) == 4096 && Av1Tables.CosPi(32) == math.round(math.cos(math.Pi / 4) * 4096).toInt)
   }
 

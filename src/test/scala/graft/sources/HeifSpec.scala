@@ -75,6 +75,15 @@ class HeifSpec extends AnyFunSuite {
     assert(q(1, 1) == 4289272749L && q(3, 3) == 4282122817L)
   }
 
+  test("decodePrimary: 10-bit AVIF decodes via the hbd path (downshifted RGB)") {
+    val d = Heif.decodePrimary(avif("avif_hbd_64x48.avif"))
+    assert(d.width == 64 && d.height == 48 && !d.hasAlpha)
+    // quadrant pins from libdav1d's 10-bit decode + the documented
+    // downshift-then-BT.601 transform (tools/gen_avif_hbd.py)
+    def q(fx: Int, fy: Int): Long = d.rgb((fy * 48 / 4) * 64 + fx * 64 / 4).toLong & 0xffffffffL
+    assert(q(1, 1) == 4287135337L && q(3, 3) == 4286418831L)
+  }
+
   test("decodePrimary: alpha aux plane decodes and packs into bits 24-31") {
     val d = Heif.decodePrimary(avif("avif_alpha_48x48.avif"))
     assert(d.width == 48 && d.height == 48 && d.hasAlpha)

@@ -283,3 +283,136 @@ if __name__ == '__main__':
     assert planes[0] == y and planes[1] == u and planes[2] == v, \
         "LOSSLESS ROUND-TRIP FAILED (control id wrong?)"
     print("lossless round-trip EXACT — AV1E_SET_LOSSLESS verified")
+
+# ----------------------------------------------------- high bitdepth
+
+AOM_IMG_FMT_HIGHBITDEPTH = 0x800
+AOM_IMG_FMT_I42016 = AOM_IMG_FMT_I420 | AOM_IMG_FMT_HIGHBITDEPTH
+AOM_CODEC_USE_HIGHBITDEPTH = 0x40000
+
+def encode_av1_hbd(w, h, planes16, controls, min_q=0, max_q=63,
+                   usage=AOM_USAGE_ALL_INTRA, bit_depth=10):
+    """planes16 = (y, u, v) as flat lists/arrays of ints (< 1<<bit_depth)
+    at 4:2:0. Returns the raw OBU TU bytes (profile 0, 10-bit)."""
+    assert bit_depth in (10, 12)
+    cfg = EncCfg()
+    cfg.set_u32(0, usage)
+    cfg.setup(w, h, min_q, max_q)
+    # g_bit_depth / g_input_bit_depth are the two u32s directly before
+    # g_timebase (aom_encoder.h order: ... g_forced_max_frame_height,
+    # g_bit_depth, g_input_bit_depth, g_timebase), defaults (8, 8).
+    u = _u32s(cfg.buf.raw)
+    bd_off = cfg.off_timebase - 8
+    assert u[bd_off // 4] == 8 and u[bd_off // 4 + 1] == 8, \
+        "g_bit_depth defaults not found"
+    cfg.set_u32(bd_off, bit_depth)
+    cfg.set_u32(bd_off + 4, bit_depth)
+    ctx = ctypes.create_string_buffer(256)
+    ok = False
+    for abi in [25] + list(range(3, 40)):
+        rc = aom.aom_codec_enc_init_ver(ctx, cfg.iface, cfg.buf,
+                                        AOM_CODEC_USE_HIGHBITDEPTH, abi)
+        if rc == 0:
+            ok = True
+            break
+    assert ok, "hbd enc init failed for all ABI candidates"
+    for cid, val in controls:
+        rc = aom.aom_codec_control(ctx, cid, ctypes.c_int(val))
+        assert rc == 0, ("control", cid, val, rc)
+    img = aom.aom_img_alloc(None, AOM_IMG_FMT_I42016, w, h, 32)
+    assert img
+    raw = ctypes.string_at(img, 160)
+    qw = struct.unpack('<20Q', raw)
+    pi = None
+    for i in range(len(qw) - 2):
+        a, b, c = qw[i], qw[i + 1], qw[i + 2]
+        if a and b and c and a < b < c and (b - a) < (1 << 32) and (c - b) < (1 << 32):
+            pi = i
+            break
+    assert pi is not None, [hex(x) for x in qw]
+    py, pu, pv = qw[pi], qw[pi + 1], qw[pi + 2]
+    st = struct.unpack_from('<4i', raw, (pi + 3) * 8)
+    sy, su = st[0], st[1]   # strides in BYTES
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    assert sy >= 2 * w and su >= 2 * cw, (sy, su)
+    y, uu, vv = planes16
+    for r in range(h):
+        ctypes.memmove(py + r * sy, struct.pack('<%dH' % w, *y[r * w:(r + 1) * w]), 2 * w)
+    for r in range(ch):
+        ctypes.memmove(pu + r * su, struct.pack('<%dH' % cw, *uu[r * cw:(r + 1) * cw]), 2 * cw)
+        ctypes.memmove(pv + r * su, struct.pack('<%dH' % cw, *vv[r * cw:(r + 1) * cw]), 2 * cw)
+    out = b''
+    rc = aom.aom_codec_encode(ctx, img, 0, 1, 0)
+    assert rc == 0, rc
+    it = ctypes.c_void_p(None)
+    while True:
+        pkt = aom.aom_codec_get_cx_data(ctx, ctypes.byref(it))
+        if not pkt:
+            break
+        kind, = struct.unpack_from('<i', ctypes.string_at(pkt, 24), 0)
+        if kind == 0:
+            buf_ptr, sz = struct.unpack_from('<QQ', ctypes.string_at(pkt, 24), 8)
+            out += ctypes.string_at(buf_ptr, sz)
+    rc = aom.aom_codec_encode(ctx, None, 0, 1, 0)
+    it = ctypes.c_void_p(None)
+    while True:
+        pkt = aom.aom_codec_get_cx_data(ctx, ctypes.byref(it))
+        if not pkt:
+            break
+        kind, = struct.unpack_from('<i', ctypes.string_at(pkt, 24), 0)
+        if kind == 0:
+            buf_ptr, sz = struct.unpack_from('<QQ', ctypes.string_at(pkt, 24), 8)
+            out += ctypes.string_at(buf_ptr, sz)
+    aom.aom_codec_destroy(ctx)
+    aom.aom_img_free(ctypes.c_void_p(img))
+    assert out, "no encoded output"
+    return out
+
+def dav1d_decode_ex(obu_bytes):
+    """Decode one still AV1 stream at any bpc; returns
+    (w, h, layout, bpc, [plane int tuples])."""
+    st = ctypes.create_string_buffer(512)
+    dav.dav1d_default_settings(st)
+    ctxp = ctypes.c_void_p(None)
+    rc = dav.dav1d_open(ctypes.byref(ctxp), st)
+    assert rc == 0, rc
+    data = ctypes.create_string_buffer(128)
+    ptr = dav.dav1d_data_create(data, len(obu_bytes))
+    assert ptr
+    ctypes.memmove(ptr, obu_bytes, len(obu_bytes))
+    rc = dav.dav1d_send_data(ctxp, data)
+    assert rc == 0, rc
+    pic = ctypes.create_string_buffer(512)
+    rc = dav.dav1d_get_picture(ctxp, pic)
+    if rc == -11:
+        rc = dav.dav1d_get_picture(ctxp, pic)
+    assert rc == 0, rc
+    raw = pic.raw
+    d0, d1, d2 = struct.unpack_from('<3Q', raw, 16)
+    s0, s1 = struct.unpack_from('<2q', raw, 40)
+    w, h, layout, bpc = struct.unpack_from('<4i', raw, 56)
+    assert 0 < w <= 1 << 16 and 0 < h <= 1 << 16 and bpc in (8, 10, 12), (w, h, bpc)
+    nb = 1 if bpc == 8 else 2
+    def rows(dptr, stride, ww, hh):
+        out = []
+        for r in range(hh):
+            b = ctypes.string_at(dptr + r * stride, ww * nb)
+            out.extend(struct.unpack('<%d%s' % (ww, 'B' if nb == 1 else 'H'), b))
+        return tuple(out)
+    planes = [rows(d0, s0, w, h)]
+    if layout != 0:
+        sx, sy = {1: (1, 1), 2: (1, 0), 3: (0, 0)}[layout]
+        cw, chh = (w + sx) >> sx, (h + sy) >> sy
+        for dptr in (d1, d2):
+            planes.append(rows(dptr, s1, cw, chh))
+    dav.dav1d_picture_unref(pic)
+    dav.dav1d_close(ctypes.byref(ctxp))
+    return w, h, layout, bpc, planes
+
+def lcg_words(n, bits=10, seed=42):
+    x = seed
+    out = []
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        out.append((x >> 33) & ((1 << bits) - 1))
+    return out

@@ -171,6 +171,14 @@ TABLES = [
     # --- non-CDF spec constants ---
     raw_u16('dc_qlookup', 0x478660, 256, check_first=[4, 8, 8, 9], monotone=True),
     raw_u16('ac_qlookup', 0x478060, 256, check_first=[4, 8, 9, 10], monotone=True),
+    # 10/12-bit quantizer lookups (spec Dc_Qlookup/Ac_Qlookup rows 1-2):
+    # adjacent to the 8-bit tables in .rodata, identified by the spec's
+    # published first values and the ~4x/16x scaling relation vs 8-bit
+    # (asserted below)
+    raw_u16('dc_qlookup_10', 0x478460, 256, check_first=[4, 9, 10, 13], monotone=True),
+    raw_u16('ac_qlookup_10', 0x477e60, 256, check_first=[4, 9, 11, 13], monotone=True),
+    raw_u16('dc_qlookup_12', 0x478260, 256, check_first=[4, 12, 18, 25], monotone=True),
+    raw_u16('ac_qlookup_12', 0x477c60, 256, check_first=[4, 13, 19, 27], monotone=True),
     raw_u16('dr_intra_derivative', 0x479a80, 90,
             check_first=[0, 0, 0, 1023, 0, 0, 547]),
     raw_u8('sm_weights', 0x42e9a8, 4 + 8 + 16 + 32 + 64,
@@ -236,6 +244,18 @@ TABLES.append(upscale_filter())
 assert TABLES[0][3][:3] == [13636, 7258, 2376]
 qd = dict((t[0], t) for t in TABLES)
 assert qd['dc_qlookup'][3][-1] == 1336 and qd['ac_qlookup'][3][-1] == 1828
+# hbd quantizer tables: the spec scales roughly 4x (10-bit) / 16x
+# (12-bit) over the 8-bit rows; pin the published last values
+assert qd['dc_qlookup_10'][3][-1] == 5347 and qd['ac_qlookup_10'][3][-1] == 7312
+assert qd['dc_qlookup_12'][3][-1] == 21387 and qd['ac_qlookup_12'][3][-1] == 29247
+for _nm, _sc in [('dc_qlookup_10', 4), ('ac_qlookup_10', 4),
+                 ('dc_qlookup_12', 16), ('ac_qlookup_12', 16)]:
+    _base = qd[_nm.rsplit('_', 1)[0]][3]
+    _hbd = qd[_nm][3]
+    # the scaling relation holds asymptotically (high-q region only;
+    # low q indices compress the hbd range)
+    assert all(abs(_hbd[k] - _sc * _base[k]) <= _sc * 4 + _base[k] // 8
+               for k in range(128, 256, 16)), _nm
 import struct as _s
 _lib = open(AOM, 'rb').read()
 assert _lib[0x1c9650:0x1c9650 + 8] == _s.pack('<4H', *qd['filter_intra_mode'][3][:4])

@@ -155,4 +155,59 @@ for nm, w, h, kind, q, cpu, seed in [
     fixtures.append(write_fixture(nm, w, h, kind, [(CPU, cpu)], q, q, seed=seed,
                                   usage=H.AOM_USAGE_GOOD_QUALITY))
 
+# --- stage G: 10-bit (profile 0 high_bitdepth). Same planes scaled to
+# the 10-bit domain via the hbd lab's generators; goldens written with
+# the wide format (layout bit 7, LE u16 planes). Covers lossless, the
+# lossy intra chain, CDEF, real coded LR units (cpu 0 slow preset
+# codes WIENER+SGR at these dims), superres, and forced film grain
+# (the grain configs live in gen_av1_grain_fixtures-style surgery in
+# tools/av1_hbd_lab.py runs; committed here as encoder streams only).
+import importlib.util as _ilu
+_spec = _ilu.spec_from_file_location('hbdlab', os.path.join(os.path.dirname(__file__), 'av1_hbd_lab.py'))
+# av1_hbd_lab reads sys.argv at import; shield it
+_argv = sys.argv
+sys.argv = ['x', OUT]
+_lab = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_lab)
+sys.argv = _argv
+
+
+def write_fixture_hbd(name, w, h, kind, controls, min_q, max_q, seed=42,
+                      usage=H.AOM_USAGE_ALL_INTRA, sr_den=8):
+    pl = _lab.planes10(w, h, kind, seed)
+    if sr_den != 8:
+        _SR_DEN[0] = sr_den
+    try:
+        obu = H.encode_av1_hbd(w, h, pl, controls, min_q=min_q, max_q=max_q, usage=usage)
+    finally:
+        _SR_DEN[0] = 8
+    dw, dh, layout, bpc, golden = H.dav1d_decode_ex(obu)
+    assert (dw, dh, bpc) == (w, h, 10), (name, dw, dh, bpc)
+    if min_q == 0 and max_q == 0:
+        assert all(list(golden[i]) == list(pl[i]) for i in range(3)), \
+            name + ": hbd lossless round-trip broke"
+    with open(os.path.join(OUT, name + '.obu'), 'wb') as f:
+        f.write(obu)
+    with open(os.path.join(OUT, name + '.golden'), 'wb') as f:
+        f.write(struct.pack('<HHB', w, h, layout | 0x80))
+        for p2 in golden:
+            f.write(struct.pack('<%dH' % len(p2), *p2))
+    md = hashlib.md5(b''.join(struct.pack('<%dH' % len(p2), *p2) for p2 in golden)).hexdigest()
+    print('%-22s %4dx%-4d obu=%6dB golden md5=%s (10-bit)' % (name, w, h, len(obu), md))
+
+
+# patched setup (stage F) is still installed; reuse _SR_DEN for hbd superres
+write_fixture_hbd('hb_ll_grad64', 64, 64, 'grad', [(CPU, 6)], 0, 0)
+write_fixture_hbd('hb_q32_photo128', 128, 128, 'photo',
+                  [(CPU, 5), (H.AOME_SET_CQ_LEVEL, 32)], 32, 32)
+write_fixture_hbd('hb_q50_noise64', 64, 64, 'noise',
+                  [(CPU, 6), (H.AOME_SET_CQ_LEVEL, 50)], 50, 50)
+write_fixture_hbd('hb_lr_photo64_c0', 64, 64, 'photo',
+                  [(CPU, 0), (H.AOME_SET_CQ_LEVEL, 5)], 5, 5)  # coded SGR+WIENER units
+write_fixture_hbd('hb_odd65x40_c0', 65, 40, 'photo',
+                  [(CPU, 0), (H.AOME_SET_CQ_LEVEL, 20)], 20, 20)
+write_fixture_hbd('hb_sr_noise64_d12', 64, 64, 'noise',
+                  [(CPU, 4), (H.AOME_SET_CQ_LEVEL, 50)], 50, 50, seed=7,
+                  usage=H.AOM_USAGE_GOOD_QUALITY, sr_den=12)
+
 print('fixtures at', OUT)

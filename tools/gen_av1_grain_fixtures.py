@@ -61,8 +61,9 @@ if not reduced:
         if f(1) == 0: f(1)
     if oh: f(3)
 f(3)  # superres, cdef, restoration
-# color_config (mirrors the engine's Av1Headers parse, 8-bit paths)
-hbd = f(1); assert hbd == 0
+# color_config (mirrors the engine's Av1Headers parse; 8/10-bit)
+hbd = f(1)
+if prof == 2 and hbd: f(1)  # twelve_bit
 mono = f(1) if prof != 1 else 0
 if f(1):  # color_description_present
     cp = f(8); tc = f(8); mc = f(8)
@@ -106,16 +107,20 @@ new = bytes(data[:ostart]) + bytes([data[ostart]]) + \
       (bytes([data[ostart+1]]) if (data[ostart]>>2)&1 else b'') + \
       enc_leb(len(np_)) + bytes(np_) + bytes(data[pstart+psz:])
 try:
-    w, h, layout, planes = H.dav1d_decode(new)
+    w, h, layout, bpc, planes = H.dav1d_decode_ex(new)
 except Exception as e:
     print('DAV1D-REFUSED:', name, e)
     sys.exit(1)
 os.makedirs(outdir, exist_ok=True)
 open(os.path.join(outdir, name + '.obu'), 'wb').write(new)
 with open(os.path.join(outdir, name + '.golden'), 'wb') as f2:
-    f2.write(struct.pack('<HHB', w, h, layout))
-    for pl in planes: f2.write(pl)
-print('patched %s -> %s %dx%d' % (name, outdir, w, h))
+    if bpc == 8:
+        f2.write(struct.pack('<HHB', w, h, layout))
+        for pl in planes: f2.write(struct.pack('<%dB' % len(pl), *pl))
+    else:
+        f2.write(struct.pack('<HHB', w, h, layout | 0x80))
+        for pl in planes: f2.write(struct.pack('<%dH' % len(pl), *pl))
+print('patched %s -> %s %dx%d bpc=%d' % (name, outdir, w, h, bpc))
 
 # ---------------------------------------------------------------------
 # Committed fixture configs (invoked when run without args): film grain
