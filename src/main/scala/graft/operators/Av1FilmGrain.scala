@@ -108,7 +108,8 @@ object Av1FilmGrain {
     * layout). Chroma planes first (their scaling reads pre-grain luma),
     * then luma. 8-bit 4:2:0 / monochrome. */
   def apply(p: Params, planes: Array[Array[Int]], strides: Array[Int],
-      w: Int, h: Int, numPlanes: Int, bd: Int = 8): Unit = {
+      w: Int, h: Int, numPlanes: Int, bd: Int = 8,
+      subX: Int = 1, subY: Int = 1): Unit = {
     val shift = 12 - bd + p.grainScaleShift
     val rnd = new Rng(p.seed)
     val lg = Array.ofDim[Int](73, 82)
@@ -147,13 +148,16 @@ object Av1FilmGrain {
     }
     val haveCb = (p.cbPoints != null && p.cbPoints.nonEmpty) || p.chromaScalingFromLuma
     val haveCr = (p.crPoints != null && p.crPoints.nonEmpty) || p.chromaScalingFromLuma
+    // chroma grain template dims follow the subsampling (spec 7.18.3.3)
+    val cgW = if (subX == 1) 44 else 82
+    val cgH = if (subY == 1) 38 else 73
     def chromaGrain(xorSeed: Int, coefs: Array[Int], have: Boolean): Array[Array[Int]] = {
       val r = new Rng(p.seed ^ xorSeed)
-      val g2 = Array.ofDim[Int](38, 44)
+      val g2 = Array.ofDim[Int](cgH, cgW)
       var cy = 0
-      while (cy < 38) {
+      while (cy < cgH) {
         var cx = 0
-        while (cx < 44) {
+        while (cx < cgW) {
           val g = if (have) gs(r.next(11)) else 0
           g2(cy)(cx) = (g + (1 << (shift - 1))) >> shift
           cx += 1
@@ -162,9 +166,9 @@ object Av1FilmGrain {
       }
       if (have && coefs != null && coefs.nonEmpty) {
         var yy = 3
-        while (yy < 38) {
+        while (yy < cgH) {
           var xx = 3
-          while (xx < 41) {
+          while (xx < cgW - 3) {
             var s = 0
             var k = 0
             while (k < pos.length) {
@@ -172,10 +176,19 @@ object Av1FilmGrain {
               k += 1
             }
             if (haveY) {
-              // luma-coupling term: 2x2 collocated luma grain average
-              val lx = ((xx - 3) << 1) + 3
-              val ly = ((yy - 3) << 1) + 3
-              val luma = (lg(ly)(lx) + lg(ly)(lx + 1) + lg(ly + 1)(lx) + lg(ly + 1)(lx + 1) + 2) >> 2
+              // luma-coupling term: collocated luma grain averaged over
+              // the (1+subX)x(1+subY) block (spec 7.18.3.3)
+              val lx = ((xx - 3) << subX) + 3
+              val ly = ((yy - 3) << subY) + 3
+              var lsum = 0
+              var i2 = 0
+              while (i2 <= subY) {
+                var j2 = 0
+                while (j2 <= subX) { lsum += lg(ly + i2)(lx + j2); j2 += 1 }
+                i2 += 1
+              }
+              val nsh = subX + subY
+              val luma = if (nsh == 0) lsum else (lsum + (1 << (nsh - 1))) >> nsh
               s += coefs(pos.length) * luma
             }
             g2(yy)(xx) = clipG(g2(yy)(xx) + ((s + (1 << (p.arCoeffShift - 1))) >> p.arCoeffShift))
@@ -202,20 +215,28 @@ object Av1FilmGrain {
     val hiY = if (p.clipToRestricted) 235 << (bd - 8) else maxPx
     val hiC = if (p.clipToRestricted) 240 << (bd - 8) else maxPx
     val ss = p.scalingShift
-    val cw = (w + 1) >> 1
-    val chh = (h + 1) >> 1
+    val cw = (w + subX) >> subX
+    val chh = (h + subY) >> subY
     val lumaStride = strides(0)
     val lumaPre = planes(0) // chroma reads luma BEFORE luma is grained
 
-    // ---- chroma (4:2:0): 16x16 blocks, 1px overlap, weights 23/22 ----
+    // ---- chroma: (32>>subX)x(32>>subY) blocks, (2>>sub)px overlap ----
+    val cbW = 32 >> subX
+    val cbH = 32 >> subY
+    val ovX = 2 >> subX // overlap columns; 1 -> weights 23/22, 2 -> 27/17
+    val ovY = 2 >> subY
     def applyChroma(plane: Int, g2: Array[Array[Int]], lut: Array[Int],
         mult: Int, lumaMult: Int, offset: Int, useMult: Boolean): Unit = {
       if (g2 == null || lut == null) return
       val px = planes(plane)
       val stride = strides(plane)
-      @inline def oxy(rv: Int): (Int, Int) = (6 + (rv >> 4), 6 + (rv & 15))
+      // random template offsets (dav1d fguv: 3 + (2 >> sub) * (3 + r))
+      @inline def oxy(rv: Int): (Int, Int) =
+        (3 + (2 >> subX) * (3 + (rv >> 4)), 3 + (2 >> subY) * (3 + (rv & 15)))
+      @inline def blendW(k: Int, n: Int): (Int, Int) =
+        if (n == 1) (23, 22) else if (k == 0) (27, 17) else (17, 27)
       var bi = 0
-      while (bi * 16 < chh) {
+      while (bi * cbH < chh) {
         val rows = if (p.overlap && bi > 0) 2 else 1
         val seeds = Array.tabulate(rows) { r =>
           new Rng(p.seed ^ ((((bi - r) * 37 + 178) & 0xff) << 8) ^ (((bi - r) * 173 + 105) & 0xff))
@@ -223,34 +244,40 @@ object Av1FilmGrain {
         val cur = new Array[Int](rows)
         val left = new Array[Int](rows)
         var bj = 0
-        while (bj * 16 < cw) {
+        while (bj * cbW < cw) {
           var r = 0
           while (r < rows) { left(r) = cur(r); cur(r) = seeds(r).next(8); r += 1 }
           val (ox, oy) = oxy(cur(0))
           var yy = 0
-          while (yy < math.min(16, chh - bi * 16)) {
+          while (yy < math.min(cbH, chh - bi * cbH)) {
             var xx = 0
-            while (xx < math.min(16, cw - bj * 16)) {
-              val fy = bi * 16 + yy
-              val fx = bj * 16 + xx
+            while (xx < math.min(cbW, cw - bj * cbW)) {
+              val fy = bi * cbH + yy
+              val fx = bj * cbW + xx
               var noise = g2(oy + yy)(ox + xx)
-              if (p.overlap && bj > 0 && xx < 1) {
+              if (p.overlap && bj > 0 && xx < ovX) {
                 val (ox2, oy2) = oxy(left(0))
-                noise = (g2(oy2 + yy)(ox2 + 16 + xx) * 23 + noise * 22 + 16) >> 5
+                val (wA, wB) = blendW(xx, ovX)
+                noise = (g2(oy2 + yy)(ox2 + cbW + xx) * wA + noise * wB + 16) >> 5
               }
-              if (p.overlap && bi > 0 && yy < 1) {
+              if (p.overlap && bi > 0 && yy < ovY) {
                 val (oxT, oyT) = oxy(cur(1))
-                var top = g2(oyT + 16 + yy)(oxT + xx)
-                if (p.overlap && bj > 0 && xx < 1) {
+                var top = g2(oyT + cbH + yy)(oxT + xx)
+                if (p.overlap && bj > 0 && xx < ovX) {
                   val (oxTL, oyTL) = oxy(left(1))
-                  top = (g2(oyTL + 16 + yy)(oxTL + 16 + xx) * 23 + top * 22 + 16) >> 5
+                  val (wA, wB) = blendW(xx, ovX)
+                  top = (g2(oyTL + cbH + yy)(oxTL + cbW + xx) * wA + top * wB + 16) >> 5
                 }
-                noise = (top * 23 + noise * 22 + 16) >> 5
+                val (wA, wB) = blendW(yy, ovY)
+                noise = (top * wA + noise * wB + 16) >> 5
               }
-              val ly = fy * 2
-              val lx = fx * 2
-              val avg = (lumaPre(ly * lumaStride + lx) +
-                lumaPre(ly * lumaStride + math.min(lx + 1, w - 1)) + 1) >> 1
+              val ly = fy << subY
+              val lx = fx << subX
+              val avg =
+                if (subX == 1)
+                  (lumaPre(ly * lumaStride + lx) +
+                    lumaPre(ly * lumaStride + math.min(lx + 1, w - 1)) + 1) >> 1
+                else lumaPre(ly * lumaStride + lx)
               val src = px(fy * stride + fx)
               val vIdx =
                 if (!useMult) avg

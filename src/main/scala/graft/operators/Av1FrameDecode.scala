@@ -192,7 +192,8 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     // film grain: a pure output transform over the VISIBLE area
     // (synthesis pinned bit-exact vs dav1d — Av1FilmGrain)
     fh.filmGrain.foreach { fg =>
-      Av1FilmGrain.apply(fg, outPlanes, outStrides, fh.upscaledWidth, fh.height, numPlanes, bd)
+      Av1FilmGrain.apply(fg, outPlanes, outStrides, fh.upscaledWidth, fh.height, numPlanes, bd,
+        subX, subY)
     }
     // crop to visible size (AV1_DUMP_CODED: keep the coded mi area,
     // dev-only, for arbitrating the invisible band against dav1d)
@@ -1311,6 +1312,9 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     * from the snapshot luma, luma primary strength variance-adjusted,
     * chroma (4:2:0) 4x4 at damping-1 with the remapped direction. Reads
     * plane snapshots, writes the live planes (CdefFrame semantics). */
+  // spec 7.15.3 chroma direction remap for 4:2:2 frames
+  private val Cdef422DirRemap: Array[Int] = Array(7, 0, 2, 4, 5, 6, 6, 6)
+
   private def cdefFrame(cd: Av1Headers.CdefParams): Unit = {
     val snap = planes.map(_.clone())
     val cuStride = (miCols + 15) >> 4
@@ -1371,10 +1375,13 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
                   (dy, dx, v) => planes(0)((y0 + dy) * lw + x0 + dx) = v, sc)
               }
               if (numPlanes > 1 && (uvPri != 0 || uvSec != 0)) {
-                // 4:2:0 chroma keeps the luma direction unmodified
-                // (pinned vs libdav1d on real noise content; a remap
-                // table only exists for 4:2:2)
-                val uvDir = if (uvPri != 0) dir else 0
+                // 4:2:0/4:4:4 chroma keeps the luma direction
+                // unmodified (pinned vs libdav1d on real noise
+                // content); 4:2:2 squeezes the direction through the
+                // spec's remap (dav1d's I422 table)
+                val dirC =
+                  if (subX == 1 && subY == 0) Cdef422DirRemap(dir) else dir
+                val uvDir = if (uvPri != 0) dirC else 0
                 val cy0 = y0 >> subY; val cx0 = x0 >> subX
                 val cw2 = 8 >> subX; val ch2 = 8 >> subY
                 var p = 1
@@ -1649,9 +1656,14 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
           val lx = math.min((x0 + x) << 1, lw - 2)
           v = (luma(ly * lw + lx) + luma(ly * lw + lx + 1) +
             luma((ly + 1) * lw + lx) + luma((ly + 1) * lw + lx + 1)) << 1
+        } else if (subX == 1) {
+          // 4:2:2: two horizontal luma samples (spec 7.11.5 cfl_ac)
+          val ly = math.min(y0 + y, lh - 1)
+          val lx = math.min((x0 + x) << 1, lw - 2)
+          v = (luma(ly * lw + lx) + luma(ly * lw + lx + 1)) << 2
         } else {
-          val ly = math.min((y0 + y) << subY, lh - 1)
-          val lx = math.min((x0 + x) << subX, lw - 1)
+          val ly = math.min(y0 + y, lh - 1)
+          val lx = math.min(x0 + x, lw - 1)
           v = luma(ly * lw + lx) << 3 // 4:4:4 (mono never has chroma)
         }
         ac(y * w + x) = v

@@ -5931,10 +5931,11 @@ object Pipeline {
     * an hvc1 HEIC and a truncated AVIF must refuse by name. r12 adds
     * two GOOD-usage aom payloads: a 256x256 with coded loop-restoration
     * units (Wiener/SGR applied) and a 100x36 with CDEF on non-8-aligned
-    * dims — the post-filter chain under the driver oracle — plus a
-    * hand-muxed 10-bit (profile 0 high_bitdepth) item whose pins were
-    * computed from dav1d's 10-bit decode + the documented
-    * downshift-then-BT.601 transform (tools/gen_avif_hbd.py). */
+    * dims — the post-filter chain under the driver oracle — plus
+    * hand-muxed 10-bit (profile 0 high_bitdepth) and 4:4:4 (profile 1)
+    * items whose pins were computed from dav1d's decode + the
+    * documented downshift-then-BT.601 transform
+    * (tools/gen_avif_hbd.py). */
   val mediaAvifDecode: QueryDef = QueryDef(
     "media_avif_decode",
     (s, dir) => {
@@ -6112,10 +6113,17 @@ object Pipeline {
         "FmlwbWEAAAAAAAAAAQABA4GCgwAAAKZtZGF0EgAKCgAAAAKv95//CAgyjQEQALwAkkIIKNf/OTGdI5BiU1eIxrs16yUeWH/mXHcI" +
         "jYWS6RNv+dsvMt+IrS775D6IqHWtaKDcLXCUtIP/yJ61DDDB+EMy60mz8lEFPesZ+2LkXf036T6jTNvAE3tMRfzKWIKHrcyYjIBX" +
         "oj/4mN7dK+KWlWazK247HuaVX2X4xnF9M3GHeM3lKLOmBGA="
+      val c444 =
+        "AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAANhtZXRhAAAAAAAAACFoZGxyAAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAA" +
+        "AA5waXRtAAAAAAABAAAAJGlsb2MBAAAAREAAAQABAAAAAAAAAAAAAQAAAPwAAACoAAAAI2lpbmYAAAAAAAEAAAAVaW5mZQIAAAEA" +
+        "AQAAYXYwMQAAAABWaXBycAAAADhpcGNvAAAAFGlzcGUAAAAAAAAAQAAAADAAAAAQcGl4aQAAAAADCAgIAAAADGF2MUOBJAAAAAAA" +
+        "FmlwbWEAAAAAAAAAAQABA4GCgwAAALBtZGF0EgAKCiAAAAKv95//AEAylwEQALwAUUIIKNgtJ0cg/Ygxnt0mu0ckql/qNuywpADc" +
+        "IN5jExTRH0frN54Trs6bLBHU4bNLpS6biKUwp3cwwbD9O92qJ/9PuLzd10VqPV2yFE94690WRkvMoiKHu/J10SpFaOj97wrP4A8f" +
+        "mPNl/WeP/IEJcaqA1fdVYeSbkzmJ3Yz5jplKiOuNVmBy6T7Hcg4zXdhj5BgM"
       val rows = Seq(("avif_rgb_64x48", rgb64), ("avif_alpha_48x48", alpha48),
         ("avif_odd_33x17", odd33), ("avif_grid_100x90", grid100),
         ("avif_lr_256", lr256), ("avif_cdef_100x36", cdef100),
-        ("avif_hbd_64x48", hbd64),
+        ("avif_hbd_64x48", hbd64), ("avif_444_64x48", c444),
         ("heic_bait", heicBait), ("truncated", grid100.substring(0, 120)))
       s.createDataset(rows).repartition(rows.size)
         .map { case (name, b64) =>
@@ -6135,6 +6143,7 @@ object Pipeline {
     },
     Some("""
       SELECT * FROM (VALUES
+        ('avif_444_64x48', 64, 48, false, 4287528811, 4284641878, 4289568171, 4286746516, 'ok'),
         ('avif_alpha_48x48', 48, 48, true, 3894629314, 2594599563, 2964651957, 3981181029, 'ok'),
         ('avif_cdef_100x36', 100, 36, false, 4283981665, 4294967295, 4286677920, 4279763484, 'ok'),
         ('avif_grid_100x90', 100, 90, false, 4294836224, 4278255361, 4278190335, 4294967040, 'ok'),

@@ -151,6 +151,23 @@ class Av1DecoderSpec extends AnyFunSuite {
     }
   }
 
+  // r12 additions: 4:4:4 (profile 1) and 4:2:2 (profile 2) — lossless,
+  // CfL with per-format luma subsampling, the CDEF 4:2:2 direction
+  // remap (cd422), 10-bit variants, odd dims, and header-surgery
+  // film grain with format-sized chroma templates, (2>>sub)px overlap
+  // and per-format template offsets/luma coupling. Beyond these nine
+  // committed fixtures, a 360-stream format x depth x q x cpu sweep
+  // plus CDEF/LR/superres/grain staged probes ran bit-exact at dev
+  // time (tools/av1_chroma_lab.py).
+  for (name <- Seq("c444_ll_grad64", "c444_q32_photo64", "c422_q50_noise64",
+    "c422_q32_odd65x40", "cd422_n48_b8", "c444_q32_photo64_b10",
+    "c422_q32_photo64_b10", "c444_q32_photo64_fg_full",
+    "c422_q50_noise64_fg_full")) {
+    test(s"chroma-format fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)

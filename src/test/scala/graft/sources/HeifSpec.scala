@@ -84,6 +84,13 @@ class HeifSpec extends AnyFunSuite {
     assert(q(1, 1) == 4287135337L && q(3, 3) == 4286418831L)
   }
 
+  test("decodePrimary: 4:4:4 AVIF (profile 1) decodes with full-res chroma") {
+    val d = Heif.decodePrimary(avif("avif_444_64x48.avif"))
+    assert(d.width == 64 && d.height == 48 && !d.hasAlpha)
+    def q(fx: Int, fy: Int): Long = d.rgb((fy * 48 / 4) * 64 + fx * 64 / 4).toLong & 0xffffffffL
+    assert(q(1, 1) == 4287528811L && q(3, 3) == 4286746516L)
+  }
+
   test("decodePrimary: alpha aux plane decodes and packs into bits 24-31") {
     val d = Heif.decodePrimary(avif("avif_alpha_48x48.avif"))
     assert(d.width == 48 && d.height == 48 && d.hasAlpha)

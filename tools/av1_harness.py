@@ -416,3 +416,90 @@ def lcg_words(n, bits=10, seed=42):
         x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
         out.append((x >> 33) & ((1 << bits) - 1))
     return out
+
+# ------------------------------------------- arbitrary chroma formats
+
+AOM_IMG_FMT_I422 = 0x105
+AOM_IMG_FMT_I444 = 0x106
+
+def encode_av1_gen(w, h, planes, controls, min_q=0, max_q=63,
+                   usage=AOM_USAGE_ALL_INTRA, bit_depth=8, sub=(1, 1)):
+    """General encode: sub=(sx,sy) chooses 4:2:0/(1,1), 4:2:2/(1,0) or
+    4:4:4/(0,0); profile is derived (0 for 420, 1 for 444 8/10-bit,
+    2 for 422). planes are flat int lists at the chosen subsampling."""
+    sx, sy = sub
+    if (sx, sy) == (1, 1):
+        profile, base_fmt = 0, AOM_IMG_FMT_I420
+    elif (sx, sy) == (0, 0):
+        profile, base_fmt = 1, AOM_IMG_FMT_I444
+    elif (sx, sy) == (1, 0):
+        profile, base_fmt = 2, AOM_IMG_FMT_I422
+    else:
+        raise AssertionError(sub)
+    hbd = bit_depth > 8
+    fmt = base_fmt | (AOM_IMG_FMT_HIGHBITDEPTH if hbd else 0)
+    cfg = EncCfg()
+    cfg.set_u32(0, usage)
+    cfg.setup(w, h, min_q, max_q)
+    cfg.set_u32(cfg.off_w - 4, profile)  # g_profile directly before g_w
+    if hbd:
+        u = _u32s(cfg.buf.raw)
+        bd_off = cfg.off_timebase - 8
+        assert u[bd_off // 4] == 8 and u[bd_off // 4 + 1] == 8
+        cfg.set_u32(bd_off, bit_depth)
+        cfg.set_u32(bd_off + 4, bit_depth)
+    ctx = ctypes.create_string_buffer(256)
+    ok = False
+    for abi in [25] + list(range(3, 40)):
+        rc = aom.aom_codec_enc_init_ver(ctx, cfg.iface, cfg.buf,
+                                        AOM_CODEC_USE_HIGHBITDEPTH if hbd else 0, abi)
+        if rc == 0:
+            ok = True
+            break
+    assert ok, "gen enc init failed"
+    for cid, val in controls:
+        rc = aom.aom_codec_control(ctx, cid, ctypes.c_int(val))
+        assert rc == 0, ("control", cid, val, rc)
+    img = aom.aom_img_alloc(None, fmt, w, h, 32)
+    assert img
+    raw = ctypes.string_at(img, 160)
+    qw = struct.unpack('<20Q', raw)
+    pi = None
+    for i in range(len(qw) - 2):
+        a, b, c = qw[i], qw[i + 1], qw[i + 2]
+        if a and b and c and a < b < c and (b - a) < (1 << 32) and (c - b) < (1 << 32):
+            pi = i
+            break
+    assert pi is not None
+    py, pu, pv = qw[pi], qw[pi + 1], qw[pi + 2]
+    st = struct.unpack_from('<4i', raw, (pi + 3) * 8)
+    sy_b, su_b = st[0], st[1]
+    cw, ch = (w + sx) >> sx, (h + sy) >> sy
+    nb = 2 if hbd else 1
+    assert sy_b >= nb * w and su_b >= nb * cw, (sy_b, su_b)
+    def put(ptr, stride, vals, ww, hh):
+        fmtch = 'H' if hbd else 'B'
+        for r in range(hh):
+            ctypes.memmove(ptr + r * stride,
+                           struct.pack('<%d%s' % (ww, fmtch), *vals[r * ww:(r + 1) * ww]), nb * ww)
+    y, uu, vv = planes
+    put(py, sy_b, y, w, h)
+    put(pu, su_b, uu, cw, ch)
+    put(pv, su_b, vv, cw, ch)
+    out = b''
+    for img_arg in (img, None):
+        rc = aom.aom_codec_encode(ctx, img_arg, 0, 1, 0)
+        assert rc == 0, rc
+        it = ctypes.c_void_p(None)
+        while True:
+            pkt = aom.aom_codec_get_cx_data(ctx, ctypes.byref(it))
+            if not pkt:
+                break
+            kind, = struct.unpack_from('<i', ctypes.string_at(pkt, 24), 0)
+            if kind == 0:
+                buf_ptr, sz = struct.unpack_from('<QQ', ctypes.string_at(pkt, 24), 8)
+                out += ctypes.string_at(buf_ptr, sz)
+    aom.aom_codec_destroy(ctx)
+    aom.aom_img_free(ctypes.c_void_p(img))
+    assert out, "no encoded output"
+    return out

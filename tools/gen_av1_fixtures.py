@@ -210,4 +210,33 @@ write_fixture_hbd('hb_sr_noise64_d12', 64, 64, 'noise',
                   [(CPU, 4), (H.AOME_SET_CQ_LEVEL, 50)], 50, 50, seed=7,
                   usage=H.AOM_USAGE_GOOD_QUALITY, sr_den=12)
 
+# --- stage H: 4:4:4 (profile 1) and 4:2:2 (profile 2), 8- and 10-bit.
+# Payloads via encode_av1_gen (g_profile + I444/I422 img formats);
+# goldens from dav1d (wide format when 10-bit). cd422 pins the CDEF
+# 4:2:2 direction remap; grain fixtures come from header surgery in
+# gen_av1_grain_fixtures.py (see spec comments).
+import importlib.util as _ilu2
+_spec2 = _ilu2.spec_from_file_location('chromalab', os.path.join(os.path.dirname(__file__), 'av1_chroma_lab.py'))
+_argv2 = sys.argv
+sys.argv = ['x', OUT]
+_chroma = _ilu2.module_from_spec(_spec2)
+_spec2.loader.exec_module(_chroma)
+sys.argv = _argv2
+_chroma.OUT = OUT
+
+_chroma.probe('c444_ll_grad64', 64, 64, 'grad', [(CPU, 6)], 0, 0, (0, 0))
+_chroma.probe('c444_q32_photo64', 64, 64, 'photo', [(CPU, 6), (H.AOME_SET_CQ_LEVEL, 32)],
+              32, 32, (0, 0))
+_chroma.probe('c422_q50_noise64', 64, 64, 'noise', [(CPU, 6), (H.AOME_SET_CQ_LEVEL, 50)],
+              50, 50, (1, 0))
+_chroma.probe('c422_q32_odd65x40', 65, 40, 'photo', [(CPU, 6), (H.AOME_SET_CQ_LEVEL, 32)],
+              32, 32, (1, 0))
+_chroma.probe('cd422_n48_b8', 64, 64, 'noise',
+              [(CPU, 5), (H.AOME_SET_CQ_LEVEL, 48), (H.AV1E_SET_ENABLE_RESTORATION, 0)],
+              48, 48, (1, 0), usage=H.AOM_USAGE_GOOD_QUALITY)
+_chroma.probe('c444_q32_photo64_b10', 64, 64, 'photo', [(CPU, 6), (H.AOME_SET_CQ_LEVEL, 32)],
+              32, 32, (0, 0), bits=10)
+_chroma.probe('c422_q32_photo64_b10', 64, 64, 'photo', [(CPU, 6), (H.AOME_SET_CQ_LEVEL, 32)],
+              32, 32, (1, 0), bits=10)
+
 print('fixtures at', OUT)
