@@ -110,7 +110,8 @@ object Av1FilmGrain {
   def apply(p: Params, planes: Array[Array[Int]], strides: Array[Int],
       w: Int, h: Int, numPlanes: Int, bd: Int = 8,
       subX: Int = 1, subY: Int = 1): Unit = {
-    val shift = 12 - bd + p.grainScaleShift
+    val shift = 12 - bd + p.grainScaleShift // 0 at 12-bit with gss=0
+    @inline def rnd2(v: Int): Int = if (shift == 0) v else (v + (1 << (shift - 1))) >> shift
     val rnd = new Rng(p.seed)
     val lg = Array.ofDim[Int](73, 82)
     val haveY = p.yPoints != null && p.yPoints.nonEmpty
@@ -119,7 +120,7 @@ object Av1FilmGrain {
       var x = 0
       while (x < 82) {
         val g = if (haveY) gs(rnd.next(11)) else 0
-        lg(y)(x) = (g + (1 << (shift - 1))) >> shift
+        lg(y)(x) = rnd2(g)
         x += 1
       }
       y += 1
@@ -159,7 +160,7 @@ object Av1FilmGrain {
         var cx = 0
         while (cx < cgW) {
           val g = if (have) gs(r.next(11)) else 0
-          g2(cy)(cx) = (g + (1 << (shift - 1))) >> shift
+          g2(cy)(cx) = rnd2(g)
           cx += 1
         }
         cy += 1

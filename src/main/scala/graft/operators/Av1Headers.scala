@@ -184,7 +184,6 @@ object Av1Headers {
       if (profile == 2 && highBitdepth) { if (r.f(1) == 1) 12 else 10 }
       else if (highBitdepth) 10
       else 8
-    require(bitDepth <= 10, "av1: 12-bit streams unsupported")
     val mono = if (profile != 1) r.f(1) == 1 else false
     var subX = 1
     var subY = 1
@@ -198,7 +197,10 @@ object Av1Headers {
         if (mono) { subX = 1; subY = 1 }
         else if (profile == 0) { subX = 1; subY = 1 }
         else if (profile == 1) { subX = 0; subY = 0 }
-        else { // profile 2, 8-bit → 4:2:2? spec: subsampling_x=1, then f(1) for y... 8-bit profile2 is 4:2:2
+        else if (bitDepth == 12) { // profile 2, 12-bit: coded subsampling
+          subX = r.f(1)
+          subY = if (subX == 1) r.f(1) else 0
+        } else { // profile 2, 8/10-bit is always 4:2:2
           subX = 1; subY = 0
         }
         if (!mono && subX == 1 && subY == 1) r.f(2) // chroma_sample_position
@@ -208,7 +210,10 @@ object Av1Headers {
       if (mono) { subX = 1; subY = 1 }
       else if (profile == 0) { subX = 1; subY = 1 }
       else if (profile == 1) { subX = 0; subY = 0 }
-      else { subX = 1; subY = 0 }
+      else if (bitDepth == 12) {
+        subX = r.f(1)
+        subY = if (subX == 1) r.f(1) else 0
+      } else { subX = 1; subY = 0 }
       if (!mono && subX == 1 && subY == 1) r.f(2)
     }
     val separateUv = if (mono) false else r.f(1) == 1

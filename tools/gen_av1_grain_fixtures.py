@@ -63,7 +63,11 @@ if not reduced:
 f(3)  # superres, cdef, restoration
 # color_config (mirrors the engine's Av1Headers parse; 8/10-bit)
 hbd = f(1)
-if prof == 2 and hbd: f(1)  # twelve_bit
+bd = 8
+if prof == 2 and hbd:
+    bd = 12 if f(1) else 10
+elif hbd:
+    bd = 10
 mono = f(1) if prof != 1 else 0
 if f(1):  # color_description_present
     cp = f(8); tc = f(8); mc = f(8)
@@ -71,9 +75,13 @@ if f(1):  # color_description_present
         pass
     else:
         f(1)  # color_range
+        if prof == 2 and bd == 12 and not mono:
+            if f(1): f(1)  # coded subsampling
         if not mono and prof == 0: f(2)  # chroma_sample_position (4:2:0)
 else:
     f(1)
+    if prof == 2 and bd == 12 and not mono:
+        if f(1): f(1)
     if not mono and prof == 0: f(2)
 if not mono: f(1)  # separate_uv_delta_q
 fg_bitpos = pos[0]
