@@ -7,11 +7,14 @@ import Av1Headers.{FrameHeader, SeqHeader}
   * ([[Av1Headers]]) → per-tile MSAC decode ([[Av1Msac]], default CDFs
   * from [[Av1Tables]]) → partition tree → intra mode info →
   * coefficient decode → prediction ([[Av1Predict]]) + inverse
-  * transform ([[Av1Transform]]) reconstruction. 8-bit, profile 0
-  * (4:2:0 + monochrome), keyframe/intra-only streams — the AVIF
-  * envelope. Every unsupported feature refuses loudly by name.
-  * Validated bit-exactly against libdav1d golden decodes
-  * (Av1DecoderSpec over `src/test/resources/av1/`).
+  * transform ([[Av1Transform]]) reconstruction, then the full
+  * post-filter chain (deblock, CDEF, superres, loop restoration,
+  * film grain). Covers every still-AVIF configuration: profiles 0-2,
+  * 8/10/12-bit, 4:2:0/4:2:2/4:4:4 and monochrome, keyframe /
+  * intra-only streams. Every unsupported feature (screen-content
+  * tools, inter frames, ...) refuses loudly by name. Validated
+  * bit-exactly against libdav1d golden decodes (Av1DecoderSpec over
+  * `src/test/resources/av1/`).
   */
 object Av1Decoder {
 
@@ -106,6 +109,14 @@ object Av1Decoder {
     val cflAlpha: Array[Int] = clone2("cfl_alpha") // [6] x17
     val filterIntra: Array[Int] = clone2("filter_intra") // [22 bsize] x3
     val filterIntraMode: Array[Int] = clone2("filter_intra_mode") // [1] x6
+    // palette (screen content) families — [7 bsize][3 ctx] / [2 ctx] /
+    // [7 bsize] sizes / [7 size][5 ctx] color-index (nsym = sizeIdx+2)
+    val paletteYMode: Array[Int] = clone2("palette_y_mode")
+    val paletteUvMode: Array[Int] = clone2("palette_uv_mode")
+    val paletteYSize: Array[Int] = clone2("palette_y_size")
+    val paletteUvSize: Array[Int] = clone2("palette_uv_size")
+    val paletteYColor: Array[Int] = clone2("palette_y_color")
+    val paletteUvColor: Array[Int] = clone2("palette_uv_color")
     // loop-restoration unit-type CDFs (libaom entropymode.c defaults,
     // located structurally beside the skip families; AV1_LR_CDF env
     // override is the dev pinning hook)

@@ -115,6 +115,13 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
   private var cflAlphaU = 0
   private var cflAlphaV = 0
   private var filterModeY = -1 // filter-intra mode of the current block (-1 = off)
+  // palette (screen content) state: per-mi sizes + ascending colors
+  // for the above/left cache and y-mode context (plane 0 = Y, 1 = U)
+  private val palSizes = Array.tabulate(2)(_ => new Array[Byte](miRows * miCols))
+  private val palColors = Array.tabulate(2)(_ => new Array[Array[Int]](miRows * miCols))
+  private var palY: Array[Int] = null // current block's palettes (null = off)
+  private var palU: Array[Int] = null
+  private var palV: Array[Int] = null
   private var curPart = 0 // partition that created the current block
   private var residualTxType = 0 // tx type of the residual just read
 
@@ -935,7 +942,6 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       angleY = msac.decodeSymbol(cdfs.angleDelta, (yMode - Av1Predict.V) * 8, 7) - 3
       tr(s"  angleY=$angleY")
     }
-    require(!fh.allowScreenContentTools, "av1: screen-content tools (palette/intrabc) unsupported")
 
     // --- uv mode ---
     var uvMode = Av1Predict.DC
@@ -973,9 +979,100 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       }
     }
 
+    // --- palette mode info (spec 5.11.46; allow_screen_content_tools) ---
+    // STATUS (r12): the palette CDF families are recovered and pinned
+    // (a planted 4-color 16x16 decodes has_palette + size + the exact
+    // colors 0,80,170,255 verbatim), but the color-index-map stage
+    // still desyncs against dav1d on real libaom encodes — the read
+    // ordering of map vs uv-palette/tx-size remains unresolved. Until
+    // the map is bit-exact, screen-content streams refuse loudly
+    // (wild screenshot AVIFs would otherwise decode near-miss pixels
+    // silently). The machinery below stays dev-gated for the probe
+    // harness (AV1_PAL_DEV=1).
+    require(!fh.allowScreenContentTools || sys.env.contains("AV1_PAL_DEV"),
+      "av1: screen-content tools (palette) unsupported")
+    palY = null; palU = null; palV = null
+    if (fh.allowScreenContentTools && bSize >= B8x8 &&
+      BlkW4(bSize) * 4 <= 64 && BlkH4(bSize) * 4 <= 64) {
+      val bsizeCtx = Integer.numberOfTrailingZeros(BlkW4(bSize)) +
+        Integer.numberOfTrailingZeros(BlkH4(bSize)) - 2
+      if (yMode == Av1Predict.DC) {
+        val pctx = (if (availU && palSizes(0)((r - 1) * miCols + c) > 0) 1 else 0) +
+          (if (availL && palSizes(0)(r * miCols + c - 1) > 0) 1 else 0)
+        if (msac.decodeSymbol(cdfs.paletteYMode, (bsizeCtx * 3 + pctx) * 3, 2) == 1) {
+          val n = msac.decodeSymbol(cdfs.paletteYSize, bsizeCtx * 8, 7) + 2
+          palY = readPaletteColors(0, n, r, c, availL, signedV = false)
+          tr(s"  paletteY n=$n colors=${palY.mkString(",")}")
+          // the Y color-index map follows the Y colors immediately
+          val bw = BlkW4(bSize) * 4
+          val bh = BlkH4(bSize) * 4
+          val ow = math.min(bw, (miCols - c) * 4)
+          val oh = math.min(bh, (miRows - r) * 4)
+          val map = readColorMap(palY.length, bw, bh, ow, oh, cdfs.paletteYColor)
+          val pw = planeW(0)
+          val x0 = c * 4; val y0 = r * 4
+          var yy = 0
+          while (yy < bh && y0 + yy < planeH(0)) {
+            var xx = 0
+            while (xx < bw && x0 + xx < pw) {
+              planes(0)((y0 + yy) * pw + x0 + xx) = palY(map(yy * bw + xx))
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+      }
+      if (hasChroma && uvMode == Av1Predict.DC) {
+        val pctx = if (palY != null) 1 else 0
+        if (msac.decodeSymbol(cdfs.paletteUvMode, pctx * 3, 2) == 1) {
+          val n = msac.decodeSymbol(cdfs.paletteUvSize, bsizeCtx * 8, 7) + 2
+          palU = readPaletteColors(1, n, r, c, availL, signedV = false)
+          palV = readPaletteColors(1, n, r, c, availL, signedV = true)
+          tr(s"  paletteUV n=$n u=${palU.mkString(",")} v=${palV.mkString(",")}")
+          // UV color-index map follows the UV colors immediately
+          val cbw = (BlkW4(bSize) * 4) >> subX
+          val cbh = (BlkH4(bSize) * 4) >> subY
+          val ow = math.min(cbw, ((miCols - c) * 4) >> subX)
+          val oh = math.min(cbh, ((miRows - r) * 4) >> subY)
+          val map = readColorMap(palU.length, cbw, cbh, ow, oh, cdfs.paletteUvColor)
+          val x0 = (c * 4) >> subX; val y0 = (r * 4) >> subY
+          var pl = 1
+          while (pl < numPlanes) {
+            val colors = if (pl == 1) palU else palV
+            val pw = planeW(pl)
+            var yy = 0
+            while (yy < cbh && y0 + yy < planeH(pl)) {
+              var xx = 0
+              while (xx < cbw && x0 + xx < pw) {
+                planes(pl)((y0 + yy) * pw + x0 + xx) = colors(map(yy * cbw + xx))
+                xx += 1
+              }
+              yy += 1
+            }
+            pl += 1
+          }
+        }
+      }
+      // record sizes + colors over the block footprint (cache + ctx)
+      var pi2 = 0
+      while (pi2 < h4) {
+        var pj2 = 0
+        while (pj2 < w4) {
+          val idx = (r + pi2) * miCols + c + pj2
+          palSizes(0)(idx) = (if (palY != null) palY.length else 0).toByte
+          palColors(0)(idx) = palY
+          palSizes(1)(idx) = (if (palU != null) palU.length else 0).toByte
+          palColors(1)(idx) = palU
+          pj2 += 1
+        }
+        pi2 += 1
+      }
+    }
+
     // --- filter intra (read after chroma mode info, spec 5.11.18) ---
     filterModeY = -1
-    if (sh.enableFilterIntra && yMode == Av1Predict.DC && filterIntraEligible(bSize)) {
+    if (sh.enableFilterIntra && yMode == Av1Predict.DC && palY == null &&
+      filterIntraEligible(bSize)) {
       if (msac.decodeSymbol(cdfs.filterIntra, bSize * 3, 2) == 1)
         filterModeY = msac.decodeSymbol(cdfs.filterIntraMode, 0, 5)
       tr(s"  filterIntra=$filterModeY")
@@ -1108,6 +1205,167 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     * { DC, V, H, D157, DC } — FILTER_PAETH implies DC, not PAETH. */
   private val FimodeToDir = Array(Av1Predict.DC, Av1Predict.V, Av1Predict.H,
     Av1Predict.D157, Av1Predict.DC)
+
+  // ------------------------------------------------ palette helpers
+
+  /** Above/left palette cache (spec get_palette_cache): sorted unique
+    * merge; above participates only below a 64px row boundary. */
+  private def paletteCacheOf(plane: Int, r: Int, c: Int, availL: Boolean): Array[Int] = {
+    val above: Array[Int] =
+      if ((r * 4) % 64 != 0 && palColors(plane)((r - 1) * miCols + c) != null)
+        palColors(plane)((r - 1) * miCols + c)
+      else new Array[Int](0)
+    val left: Array[Int] =
+      if (availL && palColors(plane)(r * miCols + c - 1) != null)
+        palColors(plane)(r * miCols + c - 1)
+      else new Array[Int](0)
+    val out = new Array[Int](above.length + left.length)
+    var ai = 0; var li = 0; var n = 0
+    @inline def push(v: Int): Unit = {
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+    }
+    while (ai < above.length && li < left.length) {
+      if (left(li) < above(ai)) { push(left(li)); li += 1 }
+      else {
+        if (left(li) == above(ai)) li += 1
+        push(above(ai)); ai += 1
+      }
+    }
+    while (ai < above.length) { push(above(ai)); ai += 1 }
+    while (li < left.length) { push(left(li)); li += 1 }
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  @inline private def ceilLog2(v: Int): Int =
+    if (v <= 1) 0 else 32 - Integer.numberOfLeadingZeros(v - 1)
+
+  /** Palette color lists (spec 5.11.48/49): cache-use bits, a first
+    * literal, then ascending deltas (Y: +1-strict; U: non-strict;
+    * V: signed with bitdepth wraparound, no cache). */
+  private def readPaletteColors(plane: Int, n: Int, r: Int, c: Int,
+      availL: Boolean, signedV: Boolean): Array[Int] = {
+    val maxVal = (1 << bd) - 1
+    if (signedV) {
+      // V plane: plain first color + signed wraparound deltas
+      val out = new Array[Int](n)
+      out(0) = msac.readLiteral(bd)
+      if (n > 1) {
+        var bits = bd - 3 + msac.readLiteral(2)
+        var i = 1
+        while (i < n) {
+          var delta = msac.readLiteral(bits)
+          if (delta != 0 && msac.readBit() == 1) delta = -delta
+          var v = out(i - 1) + delta
+          if (v < 0) v += maxVal + 1
+          if (v > maxVal) v -= maxVal + 1
+          out(i) = v
+          i += 1
+        }
+      }
+      return out
+    }
+    val cache = paletteCacheOf(plane, r, c, availL)
+    val cached = new Array[Int](n)
+    var nc = 0
+    var ci = 0
+    while (ci < cache.length && nc < n) {
+      if (msac.readBit() == 1) { cached(nc) = cache(ci); nc += 1 }
+      ci += 1
+    }
+    val rest = n - nc
+    val fresh = new Array[Int](rest)
+    if (rest > 0) {
+      fresh(0) = msac.readLiteral(bd)
+      if (rest > 1) {
+        var bits = bd - 3 + msac.readLiteral(2)
+        var i = 1
+        while (i < rest) {
+          val step = if (plane == 0) 1 else 0 // Y deltas are strict (+1)
+          val delta = msac.readLiteral(bits) + step
+          val v = math.min(fresh(i - 1) + delta, maxVal)
+          fresh(i) = v
+          val range = (1 << bd) - v - step
+          bits = math.min(bits, ceilLog2(range))
+          i += 1
+        }
+      }
+    }
+    // merge the (sorted) cached and fresh lists ascending
+    val out = new Array[Int](n)
+    var a = 0; var b2 = 0; var k = 0
+    while (k < n) {
+      out(k) =
+        if (a < nc && (b2 >= rest || cached(a) <= fresh(b2))) { a += 1; cached(a - 1) }
+        else { b2 += 1; fresh(b2 - 1) }
+      k += 1
+    }
+    out
+  }
+
+  private val PaletteColorHashMult = Array(1, 2, 2)
+  private val PaletteColorContext = Array(-1, -1, 0, -1, -1, 4, 3, 2, 1)
+
+  /** Wavefront color-index map (spec 5.11.51): first sample ns(n),
+    * then anti-diagonal order with the neighbor-score context; the
+    * offscreen band replicates the last onscreen column/row. */
+  private def readColorMap(n: Int, bw: Int, bh: Int, ow: Int, oh: Int,
+      cdf: Array[Int]): Array[Int] = {
+    val map = new Array[Int](bw * bh)
+    map(0) = msac.readNS(n)
+    val sizeIdx = n - 2
+    var k = 1
+    while (k < ow + oh - 1) {
+      var j = math.min(k, ow - 1)
+      val jEnd = math.max(0, k - oh + 1)
+      while (j >= jEnd) {
+        val rr = k - j; val cc = j
+        // neighbor scores: left 2, top 2, top-left 1
+        val scores = new Array[Int](8)
+        if (cc > 0) scores(map(rr * bw + cc - 1)) += 2
+        if (rr > 0 && cc > 0) scores(map((rr - 1) * bw + cc - 1)) += 1
+        if (rr > 0) scores(map((rr - 1) * bw + cc)) += 2
+        val order = Array.tabulate(8)(identity)
+        var i = 0
+        while (i < 3) {
+          var best = i
+          var m = i + 1
+          while (m < n) { if (scores(m) > scores(best)) best = m; m += 1 }
+          if (best != i) {
+            // stable ROTATION (libaom pred_common.c), not a swap — the
+            // displaced entries keep their relative order
+            val ts = scores(best); val to = order(best)
+            var k2 = best
+            while (k2 > i) {
+              scores(k2) = scores(k2 - 1); order(k2) = order(k2 - 1)
+              k2 -= 1
+            }
+            scores(i) = ts; order(i) = to
+          }
+          i += 1
+        }
+        val hash = scores(0) * PaletteColorHashMult(0) +
+          scores(1) * PaletteColorHashMult(1) + scores(2) * PaletteColorHashMult(2)
+        val ctx = PaletteColorContext(hash)
+        require(ctx >= 0, s"av1: invalid palette color context hash $hash")
+        val sym = msac.decodeSymbol(cdf, (sizeIdx * 5 + ctx) * 9, n)
+        map(rr * bw + cc) = order(sym)
+        j -= 1
+      }
+      k += 1
+    }
+    // replicate offscreen region
+    var rr = 0
+    while (rr < bh) {
+      var cc2 = 0
+      while (cc2 < bw) {
+        if (rr >= oh) map(rr * bw + cc2) = map((oh - 1) * bw + cc2)
+        else if (cc2 >= ow) map(rr * bw + cc2) = map(rr * bw + ow - 1)
+        cc2 += 1
+      }
+      rr += 1
+    }
+    map
+  }
 
   /** largest tx for a chroma block of cw4 x ch4 4-units (<=32px dims) */
   private def chromaTxSize(cw4: Int, ch4: Int): Int = {
@@ -1605,12 +1863,16 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     // area, not the superblock-aligned buffer: a bottom/right-edge block
     // of a non-64-aligned frame would otherwise read reconstruction
     // margin instead of replicating the last coded sample.
-    val predMode = if (mode == Av1Predict.UV_CFL) Av1Predict.DC else mode
-    Av1Predict.predict(planes(plane), pw, x0, y0, tw, th, predMode, angle,
-      haveAbove, haveLeft, numRight, numBelow, sh.enableIntraEdgeFilter,
-      decW(plane) * 4, decH(plane) * 4, filtType,
-      if (plane == 0) filterModeY else -1, bd)
-    if (mode == Av1Predict.UV_CFL) applyCfl(plane, x0, y0, tw, th)
+    // palette blocks: the painted palette IS the prediction
+    val paletted = if (plane == 0) palY != null else palU != null
+    if (!paletted) {
+      val predMode = if (mode == Av1Predict.UV_CFL) Av1Predict.DC else mode
+      Av1Predict.predict(planes(plane), pw, x0, y0, tw, th, predMode, angle,
+        haveAbove, haveLeft, numRight, numBelow, sh.enableIntraEdgeFilter,
+        decW(plane) * 4, decH(plane) * 4, filtType,
+        if (plane == 0) filterModeY else -1, bd)
+      if (mode == Av1Predict.UV_CFL) applyCfl(plane, x0, y0, tw, th)
+    }
 
     if (!skip) {
       val (eob, culLevel, dcCat, residual) = readCoeffs(plane, pr, pc, txSz, mode,

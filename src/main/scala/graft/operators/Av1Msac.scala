@@ -126,6 +126,18 @@ final class Av1Msac(data: Array[Byte], start: Int, end: Int, val allowUpdate: Bo
   }
 
   /** The coefficient-tail Exp-Golomb read (spec read_golomb). */
+  /** spec 4.10.7 ns(n): non-symmetric uniform-ish literal over [0, n). */
+  def readNS(n: Int): Int = {
+    val w = 32 - Integer.numberOfLeadingZeros(n) // FloorLog2(n) + 1
+    val m = (1 << w) - n
+    val v = if (w - 1 > 0) readLiteral(w - 1) else 0
+    if (v < m) v
+    else {
+      val extra = readBit()
+      (v << 1) - m + extra
+    }
+  }
+
   def readGolomb(): Int = {
     var numLeadingZeros = 0
     while (numLeadingZeros < 32 && readBit() == 0) numLeadingZeros += 1

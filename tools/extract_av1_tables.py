@@ -169,6 +169,25 @@ TABLES = [
     cdf_family('txb_skip', 0x442440, 260, 3),
     cdf_family('dc_sign', 0x442a60, 24, 3),
     # --- non-CDF spec constants ---
+    # --- palette (screen-content) CDF families: located by structural
+    # signature (the [35][9] color-index families carry the distinctive
+    # nsym ramp (g//5)+2), identities pinned by byte-identical copies
+    # in libgav1 (full blocks) and libdav1d (rows) — see the asserts
+    # below; source order y_size, uv_size, y_mode+uv_mode, y_color,
+    # uv_color ---
+    cdf_family('palette_y_size', 0x445380, 7, 8, check_first=[24816, 19768, 14619]),
+    cdf_family('palette_uv_size', 0x4453f0, 7, 8, check_first=[24055, 12789, 5640]),
+    # palette_y_mode [7][3]: 19 chunks at 0x445550 + the last row's
+    # ctx1/ctx2 chunks past a 2-byte alignment pad (0x4455c4/0x4455ca);
+    # orientation bsizeCtx*3+ctx pinned empirically (a planted 4-color
+    # 16x16 decodes palette_size=4 with colors 0,80,170,255 verbatim)
+    ('palette_y_mode', 21, 3,
+     list(u[(0x445550 - ro_off) // 2:(0x445550 - ro_off) // 2 + 57]) +
+     list(u[(0x4455c4 - ro_off) // 2:(0x4455c4 - ro_off) // 2 + 3]) +
+     list(u[(0x4455ca - ro_off) // 2:(0x4455ca - ro_off) // 2 + 3])),
+    cdf_family('palette_uv_mode', 0x445704, 2, 3, check_first=[10367, 0, 0]),
+    cdf_family('palette_y_color', 0x442cc0, 35, 9),
+    cdf_family('palette_uv_color', 0x442f40, 35, 9),
     raw_u16('dc_qlookup', 0x478660, 256, check_first=[4, 8, 8, 9], monotone=True),
     raw_u16('ac_qlookup', 0x478060, 256, check_first=[4, 8, 9, 10], monotone=True),
     # 10/12-bit quantizer lookups (spec Dc_Qlookup/Ac_Qlookup rows 1-2):
@@ -259,6 +278,18 @@ for _nm, _sc in [('dc_qlookup_10', 4), ('ac_qlookup_10', 4),
 import struct as _s
 _lib = open(AOM, 'rb').read()
 assert _lib[0x1c9650:0x1c9650 + 8] == _s.pack('<4H', *qd['filter_intra_mode'][3][:4])
+# palette provenance: full color-index blocks byte-identical in libgav1,
+# size/mode rows present in libdav1d too
+_gav = open('/usr/lib/x86_64-linux-gnu/libgav1.so.1', 'rb').read()
+_dav6 = open('/usr/lib/x86_64-linux-gnu/libdav1d.so.6', 'rb').read()
+for _nm in ['palette_y_color', 'palette_uv_color']:
+    assert _s.pack('<%dH' % len(qd[_nm][3]), *qd[_nm][3]) in _gav, _nm
+for _nm in ['palette_y_size', 'palette_uv_size', 'palette_uv_mode']:
+    assert _s.pack('<%dH' % len(qd[_nm][3]), *qd[_nm][3]) in _gav, _nm
+# y_mode: gav1 carries the same chunk sequence (with its own tail pad);
+# pin the first 19 chunks byte-identical
+assert _s.pack('<57H', *qd['palette_y_mode'][3][:57]) in _gav
+assert qd['palette_y_mode'][3][57] == 24822 and qd['palette_y_mode'][3][60] == 32639
 assert _lib[0x445a20:0x445a20 + 60] == _s.pack('<30H', *qd['filter_intra'][3][:30])
 
 with open(OUT, 'wb') as f:
