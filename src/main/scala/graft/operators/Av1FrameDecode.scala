@@ -278,6 +278,7 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     tileMiColStart = fh.tileColStarts(tc) * sb4
     tileMiColEnd = math.min(fh.tileColStarts(tc + 1) * sb4, miCols)
     msac = new Av1Msac(data, start, end, !fh.disableCdfUpdate)
+    tr(s"msac-init start=$start end=$end range=${msac.debugRange} value=${msac.debugValue} b0=${data(start) & 0xff} b1=${data(start + 1) & 0xff}")
     cdfs = new Cdfs(qctx)
     tr(s"tile $tr0/$tc seqCdef=${sh.enableCdef} seqLr=${sh.enableRestoration} fi=${sh.enableFilterIntra} bytes=${end - start} disableCdfUpdate=${fh.disableCdfUpdate} baseQ=${fh.baseQIdx} dqY=${fh.deltaQYDc} dqU=${fh.deltaQUDc}/${fh.deltaQUAc} dqV=${fh.deltaQVDc}/${fh.deltaQVAc} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} reducedTx=${fh.reducedTxSet} deltaQ=${fh.deltaQPresent} deltaLf=${fh.deltaLfPresent}/${fh.deltaLfMulti}/res${fh.deltaLfRes} refDeltaIntra=${fh.refDeltaIntra} cdef=${fh.cdef.map(c => s"damp=${c.damping},bits=${c.bits},y=${c.yPri.mkString("|")}/${c.ySec.mkString("|")},uv=${c.uvPri.mkString("|")}/${c.uvSec.mkString("|")}").getOrElse("none")} flt=${fh.filterLevel.mkString(",")} sharp=${fh.sharpness} fdelta=${fh.filterDeltaEnabled} tiles=${fh.tileColStarts.mkString("/")}x${fh.tileRowStarts.mkString("/")}")
     currentQIndex = fh.baseQIdx
@@ -924,8 +925,9 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
     // --- skip ---
     val skipCtx = (if (availU && skips((r - 1) * miCols + c) != 0) 1 else 0) +
       (if (availL && skips(r * miCols + c - 1) != 0) 1 else 0)
+    tr(s"pre-skip range=${msac.debugRange} value=${msac.debugValue}")
     val skip = msac.decodeSymbol(cdfs.skip, skipCtx * 3, 2) == 1
-    tr(s"block r=$r c=$c bSize=$bSize skip=$skip ctx=$skipCtx")
+    tr(s"block r=$r c=$c bSize=$bSize skip=$skip ctx=$skipCtx post-skip range=${msac.debugRange} value=${msac.debugValue}")
 
     readCdef(r, c, bSize, skip)
     readDeltaQLf(r, c, bSize, skip)
@@ -999,27 +1001,11 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       if (yMode == Av1Predict.DC) {
         val pctx = (if (availU && palSizes(0)((r - 1) * miCols + c) > 0) 1 else 0) +
           (if (availL && palSizes(0)(r * miCols + c - 1) > 0) 1 else 0)
+        tr(s"  pre-palY range=${msac.debugRange} value=${msac.debugValue} row=${bsizeCtx * 3 + pctx}")
         if (msac.decodeSymbol(cdfs.paletteYMode, (bsizeCtx * 3 + pctx) * 3, 2) == 1) {
           val n = msac.decodeSymbol(cdfs.paletteYSize, bsizeCtx * 8, 7) + 2
           palY = readPaletteColors(0, n, r, c, availL, signedV = false)
           tr(s"  paletteY n=$n colors=${palY.mkString(",")}")
-          // the Y color-index map follows the Y colors immediately
-          val bw = BlkW4(bSize) * 4
-          val bh = BlkH4(bSize) * 4
-          val ow = math.min(bw, (miCols - c) * 4)
-          val oh = math.min(bh, (miRows - r) * 4)
-          val map = readColorMap(palY.length, bw, bh, ow, oh, cdfs.paletteYColor)
-          val pw = planeW(0)
-          val x0 = c * 4; val y0 = r * 4
-          var yy = 0
-          while (yy < bh && y0 + yy < planeH(0)) {
-            var xx = 0
-            while (xx < bw && x0 + xx < pw) {
-              planes(0)((y0 + yy) * pw + x0 + xx) = palY(map(yy * bw + xx))
-              xx += 1
-            }
-            yy += 1
-          }
         }
       }
       if (hasChroma && uvMode == Av1Predict.DC) {
@@ -1029,28 +1015,6 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
           palU = readPaletteColors(1, n, r, c, availL, signedV = false)
           palV = readPaletteColors(1, n, r, c, availL, signedV = true)
           tr(s"  paletteUV n=$n u=${palU.mkString(",")} v=${palV.mkString(",")}")
-          // UV color-index map follows the UV colors immediately
-          val cbw = (BlkW4(bSize) * 4) >> subX
-          val cbh = (BlkH4(bSize) * 4) >> subY
-          val ow = math.min(cbw, ((miCols - c) * 4) >> subX)
-          val oh = math.min(cbh, ((miRows - r) * 4) >> subY)
-          val map = readColorMap(palU.length, cbw, cbh, ow, oh, cdfs.paletteUvColor)
-          val x0 = (c * 4) >> subX; val y0 = (r * 4) >> subY
-          var pl = 1
-          while (pl < numPlanes) {
-            val colors = if (pl == 1) palU else palV
-            val pw = planeW(pl)
-            var yy = 0
-            while (yy < cbh && y0 + yy < planeH(pl)) {
-              var xx = 0
-              while (xx < cbw && x0 + xx < pw) {
-                planes(pl)((y0 + yy) * pw + x0 + xx) = colors(map(yy * cbw + xx))
-                xx += 1
-              }
-              yy += 1
-            }
-            pl += 1
-          }
         }
       }
       // record sizes + colors over the block footprint (cache + ctx)
@@ -1104,6 +1068,50 @@ final class FrameDecode(sh: SeqHeader, fh: FrameHeader, data: Array[Byte],
       txSz = 0
     } else if (!fh.txModeSelect) {
       txSz = maxRect
+    }
+
+    // --- palette tokens (libaom parse order: after mode info AND the
+    // block tx size; dav1d-arbitrated via steered streams) ---
+    if (palY != null) {
+      val bw = BlkW4(bSize) * 4
+      val bh = BlkH4(bSize) * 4
+      val ow = math.min(bw, (miCols - c) * 4)
+      val oh = math.min(bh, (miRows - r) * 4)
+      val map = readColorMap(palY.length, bw, bh, ow, oh, cdfs.paletteYColor)
+      val pw = planeW(0)
+      val x0 = c * 4; val y0 = r * 4
+      var yy = 0
+      while (yy < bh && y0 + yy < planeH(0)) {
+        var xx = 0
+        while (xx < bw && x0 + xx < pw) {
+          planes(0)((y0 + yy) * pw + x0 + xx) = palY(map(yy * bw + xx))
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    if (palU != null) {
+      val cbw = (BlkW4(bSize) * 4) >> subX
+      val cbh = (BlkH4(bSize) * 4) >> subY
+      val ow = math.min(cbw, ((miCols - c) * 4) >> subX)
+      val oh = math.min(cbh, ((miRows - r) * 4) >> subY)
+      val map = readColorMap(palU.length, cbw, cbh, ow, oh, cdfs.paletteUvColor)
+      val x0 = (c * 4) >> subX; val y0 = (r * 4) >> subY
+      var pl = 1
+      while (pl < numPlanes) {
+        val colors = if (pl == 1) palU else palV
+        val pw = planeW(pl)
+        var yy = 0
+        while (yy < cbh && y0 + yy < planeH(pl)) {
+          var xx = 0
+          while (xx < cbw && x0 + xx < pw) {
+            planes(pl)((y0 + yy) * pw + x0 + xx) = colors(map(yy * cbw + xx))
+            xx += 1
+          }
+          yy += 1
+        }
+        pl += 1
+      }
     }
 
     // intra-edge filter type: 1 when a neighboring block is SMOOTH-coded
