@@ -20,9 +20,14 @@ object TextFunctions {
   /** 2^31 - 1 (prime): modulus of the MinHash permutation family. */
   val MinhashPrime = 2147483647L
 
-  /** First 15 hex chars of md5 as a non-negative long (60 bits). */
+  /** First 15 hex chars of md5 as a non-negative long (60 bits).
+    * Runs in the native [[graft.plans.Hash60]] kernel — one md5
+    * straight out of the digest bytes instead of the built-in
+    * hex-encode → substring → conv re-parse chain (bit-identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10).cast("long")`,
+    * spec-asserted in Hash60Spec). */
   def portableHash60(s: Column): Column =
-    conv(substring(md5(s.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.plans.Hash60(s.cast("string"))
 
   /** DuckDB twin of [[portableHash60]] over SQL expression `e`. */
   def portableHash60Sql(e: String): String =

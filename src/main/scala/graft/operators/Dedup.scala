@@ -476,26 +476,19 @@ object Dedup {
 
   /** 60-bit SimHash signature per document: (id, simhash).
     *
-    * Shape: explode words → hash → ONE hash-aggregate with 60
-    * conditional ±1 sums → recombine sign bits. Everything stays in
-    * whole-stage codegen (the per-row array fold variant,
-    * [[graft.functions.TextFunctions.simhash60]], runs the 60-lambda
-    * interior interpreted — ~3× slower at sf0.1), and the map-side
-    * partial aggregate means the shuffle carries one 60-counter row
-    * per document, not the exploded words. Zero-word documents drop
-    * out via explode, as before. */
-  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def bitSum(j: Int) =
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$j")
-    df.repartition(col(idCol)) // spread the per-word hashing across cores
-      .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
-      .select(col("id"), portableHash60(col("w")).as("h"))
-      .groupBy("id")
-      .agg(bitSum(0), (1 until 60).map(bitSum): _*)
-      .select(col("id"),
-        (0 until 60).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+    * Shape: MAP-ONLY — the [[graft.plans.TextKernels.SimhashSig60]]
+    * kernel hashes each word and folds the 60 ±1 bit-sums in one
+    * whole-stage-codegen'd pass per document, so no shuffle exists at
+    * all (the previous explode → 60-column conditional-sum aggregate
+    * carried the tokenized corpus through a repartition; bit-identical
+    * per TextKernelsSpec — the per-bit sums are order-independent
+    * integers). Zero-word documents drop out via the size filter
+    * (explode semantics, as before). Scan splits provide the
+    * parallelism (`spark.sql.files.maxPartitionBytes`). */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0) // zero-word docs drop out (explode semantics)
+      .select(col("id"), graft.plans.TextKernels.simhashSig60(col("ws")).as("simhash"))
 
   /** SimHash near-dup pairs within Hamming radius `maxDist`, via
     * pigeonhole banding over the 60 bits with optional MULTI-PROBE over

@@ -208,12 +208,32 @@ object PdqDuplicates {
           .join(probeIdx.select(col("index").as("src"), col("chash").as("phash")), Seq("phash"))
           .join(indexed.select(col("index").as("dst"), col("chash")), Seq("chash"))
           .select("src", "dst", "dist")
+        // single-hash fast path: with probe = corpus and at most ONE
+        // hash per input row (the common PDQ contract — one hash per
+        // image), every (src, dst) pair reaches `raw` through exactly
+        // one (phash, chash) edge (hashEdges is distinct by
+        // construction), so the pair-level min-dist dedupe is the
+        // identity — and it is the ONLY place the O(Σ clique²) pair
+        // relation crosses an exchange. The probe is one narrow
+        // map-side pass over the input column; the aggregate it
+        // removes shuffles the full pair expansion. At detect_full
+        // scale that is a 100k-row scan traded against a 6M-row
+        // shuffle + hash aggregate; the ratio only grows with clique
+        // size. Multi-hash inputs and checked-subset probes (whose
+        // mirror union CAN duplicate pairs) keep the aggregate.
+        val singleHash = checked == Checked.All && {
+          val r = df.agg(max(size(col("pdq_hash")))).head()
+          r.isNullAt(0) || r.getInt(0) <= 1
+        }
         val sym = if (checked == Checked.All) raw
           else raw.union(raw.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
-        sym
-          .filter(col("src") =!= col("dst"))
-          .groupBy("src", "dst")
-          .agg(min("dist").as("dist"))
+        val deduped =
+          if (singleHash) sym.filter(col("src") =!= col("dst"))
+          else sym
+            .filter(col("src") =!= col("dst"))
+            .groupBy("src", "dst")
+            .agg(min("dist").as("dist"))
+        deduped
           .select(col("src").as("index"), col("dst").as("partner"),
             similarity(col("dist")).as("similarity"))
     }
@@ -551,7 +571,7 @@ object PdqDuplicates {
     * k=51), processes only the near-duplicate survivors. m = largest of
     * 4/2 dividing nBands (keeps wide bands word-aligned); m = 1 falls
     * back to the flat shape. */
-  private def bandedHashJoin(probes: DataFrame, corpus: DataFrame, n: Int): DataFrame = {
+  private[operators] def bandedHashJoin(probes: DataFrame, corpus: DataFrame, n: Int): DataFrame = {
     val nBands = n + 1
     val probeW = withWordCols(probes, "phash", "pw")
     val corpusW = withWordCols(corpus, "chash", "cw")

@@ -216,36 +216,27 @@ object TextAnalysis {
     *    bigram over total bigrams (0 for sub-2-word docs);
     *  - `ttr`             — type-token ratio (distinct words / words).
     *
-    * Relational shape: one posexplode feeds (a) per-(id, word) counts
-    * and (b) window-`lead` bigram counts — every aggregate is map-side
-    * combinable, the shuffle carries count rows, never the text. All
-    * ratios are single divisions of integer counts (engine-exact, so
-    * the DuckDB twin matches bit-for-bit). */
-  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
-    val wr = df.repartition(col(idCol))
-      .select(col(idCol).as("id"), posexplode(words(col(textCol))))
-      .withColumnRenamed("col", "word")
-    val wordStats = wr.groupBy("id", "word").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(max("c").as("topw"), sum("c").as("nw"), count(lit(1)).as("nd"))
-    val bigramStats = wr
-      .select(col("id"), col("word"), lead(col("word"), 1).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
-      .groupBy("id", "word", "w2").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(max("c").as("topb"), sum("c").as("nb"))
-    df.select(col(idCol).as("id"))
-      .join(wordStats, Seq("id"), "left")
-      .join(bigramStats, Seq("id"), "left")
+    * Shape: MAP-ONLY — the [[graft.plans.TextKernels.RepetitionStats]]
+    * kernel counts words, distinct words and adjacent bigrams in one
+    * whole-stage-codegen'd pass per document (the previous posexplode
+    * → two aggregate chains + window `lead` → join-back shape cost a
+    * text-carrying repartition plus three more shuffles; bit-identical
+    * per TextKernelsSpec — every statistic is an exact integer count
+    * over the same word/bigram multiset). All ratios are single
+    * divisions of integer counts (engine-exact, so the DuckDB twin
+    * matches bit-for-bit). */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.plans.TextKernels.repetitionStats(words(col(textCol))).as("st"))
       .select(
         col("id"),
-        (coalesce(col("topw"), lit(0L)).cast("double") /
-          greatest(coalesce(col("nw"), lit(0L)), lit(1L)).cast("double")).as("top_word_frac"),
-        (coalesce(col("topb"), lit(0L)).cast("double") /
-          greatest(coalesce(col("nb"), lit(0L)), lit(1L)).cast("double")).as("top_bigram_frac"),
-        (coalesce(col("nd"), lit(0L)).cast("double") /
-          greatest(coalesce(col("nw"), lit(0L)), lit(1L)).cast("double")).as("ttr")
+        (coalesce(col("st.topw"), lit(0L)).cast("double") /
+          greatest(coalesce(col("st.nw"), lit(0L)), lit(1L)).cast("double")).as("top_word_frac"),
+        (coalesce(col("st.topb"), lit(0L)).cast("double") /
+          greatest(coalesce(col("st.nb"), lit(0L)), lit(1L)).cast("double")).as("top_bigram_frac"),
+        (coalesce(col("st.nd"), lit(0L)).cast("double") /
+          greatest(coalesce(col("st.nw"), lit(0L)), lit(1L)).cast("double")).as("ttr")
       )
-  }
 
   /** DuckDB twin of [[repetition]] as a CTE chain over `input`
     * (must yield (id, text)); final relation `rep` has the four output
@@ -488,21 +479,20 @@ object TextAnalysis {
     * — FP accumulation over row sets is partition-order-dependent and
     * banned by the oracle rules); the only FP steps are one division
     * and one sigmoid, rounded at 9 dp like the ln/cosine tiers.
-    * Relational shape: one explode, map-side-combinable integer sums;
-    * wordless documents score σ(0) = 0.5.
+    * Shape: MAP-ONLY — the [[graft.plans.TextKernels.QualityWordStats]]
+    * kernel folds the integer weight sum and word count in one
+    * whole-stage-codegen'd pass per document (the previous explode →
+    * aggregate → join-back shape cost a shuffle and a join;
+    * bit-identical per TextKernelsSpec — same exact integer sums into
+    * the SAME sigmoid expression); wordless documents score σ(0) = 0.5.
     */
-  def hashedQualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = (portableHash60(concat(lit("w8:"), col("word"))) % 2001L) - lit(1000L)
-    val sums = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("word"))
-      .select(col("id"), w.as("w"))
-      .groupBy("id").agg(sum(col("w")).as("zsum"), count(lit(1)).as("nw"))
-    df.select(col(idCol).as("id"))
-      .join(sums, Seq("id"), "left")
+  def hashedQualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.plans.TextKernels.qualityWordStats(words(col(textCol))).as("st"))
       .select(col("id"),
-        round(lit(1.0) / (lit(1.0) + exp(-(coalesce(col("zsum"), lit(0L)).cast("double") /
-          (lit(1000.0) * greatest(coalesce(col("nw"), lit(0L)), lit(1L)).cast("double"))))), 9)
+        round(lit(1.0) / (lit(1.0) + exp(-(coalesce(col("st.zsum"), lit(0L)).cast("double") /
+          (lit(1000.0) * greatest(coalesce(col("st.nw"), lit(0L)), lit(1L)).cast("double"))))), 9)
           .as("quality_score"))
-  }
 
   /** DuckDB twin of [[hashedQualityScore]] over text expression `t` —
     * per-row list fold (sequential, integer-exact) instead of the
@@ -909,8 +899,13 @@ object TextAnalysis {
     * Everything is content-addressed integers until the final cast
     * (counts in BIGINT, dimensions/signs from the md5 hash), so the
     * DuckDB twin replays vectors exactly and cosines computed from
-    * them are bit-identical. Map-only up to the (id, dim) aggregate;
-    * the vector assembly is an order-independent map build. Documents
+    * them are bit-identical. MAP-ONLY end to end: the
+    * [[graft.plans.TextKernels.HashedEmbed]] kernel hashes each
+    * trigram and accumulates the per-dimension BIGINT sums in one
+    * whole-stage-codegen'd pass per document (the previous explode →
+    * (id, dim) aggregate → map assembly → join-back shape cost two
+    * shuffles and a join; bit-identical per TextKernelsSpec — the
+    * per-dimension sums are order-independent integers). Documents
     * with no trigrams embed as the zero vector (cosine guards apply
     * downstream).
     *
@@ -918,18 +913,8 @@ object TextAnalysis {
   def hashedEmbedding(df: DataFrame, idCol: String, textCol: String,
       dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
-    val cells = df
-      .select(col(idCol).as("id"), explode(charTrigrams(col(textCol))).as("g"))
-      .select(col("id"), portableHash60(concat(lit("emb:"), col("g"))).as("h"))
-      .select(col("id"), (col("h") % dim).as("d"),
-        when(expr(s"h div $dim % 2") === 0, lit(1L)).otherwise(lit(-1L)).as("s"))
-      .groupBy("id", "d").agg(sum("s").as("v"))
-    val maps = cells.groupBy("id")
-      .agg(map_from_entries(collect_list(struct(col("d"), col("v")))).as("m"))
-    df.select(col(idCol).as("id"))
-      .join(maps, Seq("id"), "left")
-      .select(col("id"), transform(sequence(lit(0), lit(dim - 1)),
-        i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("double"))
+    df.select(col(idCol).as("id"),
+      graft.plans.TextKernels.hashedEmbed(charTrigrams(col(textCol)), dim)
         .as("embedding"))
   }
 

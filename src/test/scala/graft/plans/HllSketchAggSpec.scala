@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.SparkTestBase
-import graft.functions.TextFunctions
+
 import graft.operators.Sketches
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,7 +12,9 @@ class HllSketchAggSpec extends SparkTestBase {
   test("hash60 ≡ portableHash60 column on ASCII and non-ASCII keys") {
     val keys = Seq("a", "hello world", "Ünïcødé ♥ テスト", "", "0", "key:42")
     val viaColumn = keys.toDF("k")
-      .select(col("k"), TextFunctions.portableHash60(col("k")).as("h"))
+      // built-in md5 formulation, NOT the native Hash60 kernel — keeps
+      // this spec's reference grounded at Spark built-ins
+      .select(col("k"), conv(substring(md5(col("k")), 1, 15), 16, 10).cast("long").as("h"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     keys.foreach { k =>
       assert(HllSketchAgg.hash60(UTF8String.fromString(k)) == viaColumn(k), k)

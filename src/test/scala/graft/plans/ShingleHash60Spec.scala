@@ -17,7 +17,9 @@ class ShingleHash60Spec extends SparkTestBase {
       val rows = data.toDF("ws").select(
         ShingleHash60(col("ws"), n).as("native"),
         transform(TextFunctions.shingles(col("ws"), n),
-          s => TextFunctions.portableHash60(s)).as("hof")).collect()
+          // built-in md5 formulation, NOT the native Hash60 kernel —
+          // keeps this spec's reference grounded at Spark built-ins
+          s => conv(substring(md5(s.cast("string")), 1, 15), 16, 10).cast("long")).as("hof")).collect()
       rows.foreach { r =>
         assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n: $r")
       }
