@@ -129,15 +129,39 @@ object Scripts {
           .when(col("_max") * 2 > col("n_letters"), winner)
           .otherwise("mixed"))
     val ws = graft.functions.TextFunctions.words(col("t"))
-    def famPred(fam: Seq[(String, Seq[String])]): Column = {
-      val scored = fam.map { case (l, ms) =>
-        (l, size(filter(ws, w => w.isin(ms: _*))).cast("double") /
-          greatest(size(ws), lit(1)).cast("double"))
+    // Every family score is BOUND ONCE as a named projection before the
+    // argmax. The previous running-max fold inlined each score
+    // expression into both branches of its `when` (bs' = when(s0 > bs,
+    // s0).otherwise(bs) doubles the tree per language), so the
+    // 30-language table compiled an exponentially-sized plan — the
+    // r11 lang-ID breadth growth took this gate from ~1 s to ~14 s at
+    // sf0.1. Scores referenced more than once stay un-collapsed by
+    // CollapseProject, so each is computed exactly once per row.
+    val scoreCols: Seq[(String, Column)] = for {
+      (script, fam) <- LangMarkersByScript
+      (l, ms) <- fam
+    } yield (s"__lir_${script}_$l",
+      size(filter(ws, w => w.isin(ms: _*))).cast("double") /
+        greatest(size(ws), lit(1)).cast("double"))
+    val scored = scoreCols.foldLeft(routed) { case (d, (n, c)) => d.withColumn(n, c) }
+    // argmax with first-wins ties, LINEARLY: the running-max fold keeps
+    // the earlier language on equal scores, which is exactly "first
+    // language whose score equals the family max" — greatest() + a
+    // first-match CASE chain over plain column references (values
+    // identical, tree linear in family size).
+    def famPred(script: String, fam: Seq[(String, Seq[String])]): Column = {
+      val refs = fam.map { case (l, _) => (l, col(s"__lir_${script}_$l")) }
+      val best = refs.map(_._2) match {
+        case Seq(one) => one
+        case many     => greatest(many: _*)
       }
-      scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-        case ((bl, bs), (l, s0)) =>
-          (when(s0 > bs, lit(l)).otherwise(bl), when(s0 > bs, s0).otherwise(bs))
-      }._1
+      // first-wins: families are walked in order, the FIRST score equal
+      // to the max claims the row; the final otherwise is unreachable
+      // (best equals at least one score — no NaN: denominators are
+      // guarded ≥ 1) and lands on the head language like the old fold
+      refs.foldRight(lit(refs.head._1): Column) { case ((l, r), rest) =>
+        when(r === best, lit(l)).otherwise(rest)
+      }
     }
     val pred = LangMarkersByScript.foldLeft(
       when(col("script") === "hangul", lit("ko"))
@@ -145,9 +169,9 @@ object Scripts {
         .when(col("script") === "han",
           when(col("n_kana") > 0, lit("ja")).otherwise(lit("zh")))
     ) { case (acc, (script, fam)) =>
-      acc.when(col("script") === script, famPred(fam))
+      acc.when(col("script") === script, famPred(script, fam))
     }.otherwise(lit("und"))
-    routed.select(col("id"), col("script"), pred.as("pred_lang"))
+    scored.select(col("id"), col("script"), pred.as("pred_lang"))
   }
 
   /** DuckDB twin of [[langIdRouted]] over `(id, text)` rows from
