@@ -25,27 +25,44 @@ object FrequentItemsets {
   private def items(df: DataFrame, txnCol: String, itemCol: String): DataFrame =
     df.select(col(txnCol).as("txn"), col(itemCol).as("item")).distinct()
 
-  /** Frequent single items: (item, support), support ≥ minSupport. */
-  def frequentItems(df: DataFrame, txnCol: String, itemCol: String,
-      minSupport: Long): DataFrame = {
-    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    items(df, txnCol, itemCol)
-      .groupBy("item").agg(count(lit(1)).as("support"))
+  /** L1 from an already-distinct (txn, item) relation. */
+  private def l1From(ti0: DataFrame, minSupport: Long): DataFrame =
+    ti0.groupBy("item").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-  }
 
-  /** Frequent pairs with the L1 prune: only transactions' FREQUENT
-    * items self-join (a < b within txn), then the pair count filters.
-    * @return (item_a, item_b, support) with item_a < item_b */
-  def frequentPairs(df: DataFrame, txnCol: String, itemCol: String,
-      minSupport: Long): DataFrame = {
-    val ti = Materialize(items(df, txnCol, itemCol)
-      .join(frequentItems(df, txnCol, itemCol, minSupport).select("item"), Seq("item")))
+  /** L1-pruned transaction items from shared inputs, materialized for
+    * the within-txn self-join. */
+  private def prunedFrom(ti0: DataFrame, l1: DataFrame): DataFrame =
+    Materialize(ti0.join(l1.select("item"), Seq("item")))
+
+  /** L2 counting from the pruned relation. */
+  private def pairsFrom(ti: DataFrame, minSupport: Long): DataFrame =
     ti.as("a").join(ti.as("b"),
         col("a.txn") === col("b.txn") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
+
+  /** Frequent single items: (item, support), support ≥ minSupport. */
+  def frequentItems(df: DataFrame, txnCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    l1From(items(df, txnCol, itemCol), minSupport)
+  }
+
+  /** Frequent pairs with the L1 prune: only transactions' FREQUENT
+    * items self-join (a < b within txn), then the pair count filters.
+    * The distinct (txn, item) relation is materialized ONCE and feeds
+    * both the L1 aggregate and the prune join — the raw input is
+    * scanned and de-duplicated a single time (it previously ran per
+    * consumer: twice here, up to five times through the triples/rules
+    * compositions).
+    * @return (item_a, item_b, support) with item_a < item_b */
+  def frequentPairs(df: DataFrame, txnCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val ti0 = Materialize(items(df, txnCol, itemCol))
+    pairsFrom(prunedFrom(ti0, l1From(ti0, minSupport)), minSupport)
   }
 
   /** Frequent triples, Apriori candidate generation from L2: a triple
@@ -55,10 +72,12 @@ object FrequentItemsets {
     * @return (item_a, item_b, item_c, support), a < b < c */
   def frequentTriples(df: DataFrame, txnCol: String, itemCol: String,
       minSupport: Long): DataFrame = {
-    val l2 = Materialize(frequentPairs(df, txnCol, itemCol, minSupport)
-      .select("item_a", "item_b"))
-    val ti = Materialize(items(df, txnCol, itemCol)
-      .join(frequentItems(df, txnCol, itemCol, minSupport).select("item"), Seq("item")))
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    // one distinct + one prune shared by L2 and the triple counting
+    // (previously: items() re-derived 4x, the pruned relation twice)
+    val ti0 = Materialize(items(df, txnCol, itemCol))
+    val ti = prunedFrom(ti0, l1From(ti0, minSupport))
+    val l2 = Materialize(pairsFrom(ti, minSupport).select("item_a", "item_b"))
     // Enumerate triples WITHIN each transaction (C(basket,3) rows per
     // txn — linear in transactions for bounded baskets), pruning each
     // prefix against L2 as it forms. The first cut of this join started
@@ -96,9 +115,12 @@ object FrequentItemsets {
       minSupport: Long, minConfidenceMilli: Long): DataFrame = {
     require(minConfidenceMilli >= 0 && minConfidenceMilli <= 1000,
       s"minConfidenceMilli must be in [0, 1000], got $minConfidenceMilli")
-    val n = items(df, txnCol, itemCol).select("txn").distinct().count()
-    val l1 = Materialize(frequentItems(df, txnCol, itemCol, minSupport))
-    val l2 = frequentPairs(df, txnCol, itemCol, minSupport)
+    // one distinct + one prune shared by N, L1 and L2 (previously:
+    // items() re-derived 3x — once per consumer — and L1 twice)
+    val ti0 = Materialize(items(df, txnCol, itemCol))
+    val n = ti0.select("txn").distinct().count()
+    val l1 = Materialize(l1From(ti0, minSupport))
+    val l2 = pairsFrom(prunedFrom(ti0, l1), minSupport)
     val directed = l2.select(col("item_a").as("antecedent"),
         col("item_b").as("consequent"), col("support"))
       .union(l2.select(col("item_b"), col("item_a"), col("support")))
