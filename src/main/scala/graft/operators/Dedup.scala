@@ -311,8 +311,12 @@ object Dedup {
     // leaves a manifest-less path readIndex refuses, never a 'valid'
     // index with missing band rows
     if (existing.isDefined) fs.delete(mPath, false)
-    index.md5.write.mode(mode).parquet(s"$path/md5")
-    index.hs.write.mode(mode).parquet(s"$path/hs")
+    // size-tracking output files (plain REBALANCE: AQE coalesces the
+    // 32-task aggregate output to data-sized files instead of one
+    // near-empty file per task; bands get the per-partition-value
+    // rebalance inside writePartitioned)
+    index.md5.hint("rebalance").write.mode(mode).parquet(s"$path/md5")
+    index.hs.hint("rebalance").write.mode(mode).parquet(s"$path/hs")
     graft.sources.Formats.writePartitioned(index.bands, s"$path/bands", Seq("band_id"), mode)
     val out = fs.create(mPath, true)
     try {

@@ -101,13 +101,19 @@ object TextIndex {
       .groupBy("word", "id", "dl").agg(count(lit(1)).as("tf"))
       .withColumn("shard", lit(shard))
       .withColumn("bucket", bucketOf(col("word"), numBuckets))
-    postings.write.mode(SaveMode.Append).partitionBy("shard", "bucket")
+    // REBALANCE on the partition cols: one right-sized file batch per
+    // (shard, bucket) instead of files-per-upstream-task x buckets
+    // (the Formats.writePartitioned rationale; searches open every
+    // file of their term's bucket directory)
+    postings.hint("rebalance", col("shard"), col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("shard", "bucket")
       .parquet(s"$path/postings")
     // dfreq derives from the WRITTEN postings so the two relations can
     // never disagree (and the corpus tokenize still happens only once)
     spark.read.parquet(s"$path/postings").filter(col("shard") === shard)
       .groupBy("word", "bucket").agg(count(lit(1)).as("dfreq"))
       .withColumn("shard", lit(shard))
+      .hint("rebalance", col("shard"), col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("shard", "bucket")
       .parquet(s"$path/dfreq")
     val Array(nDocs, sumDl) = withDl
@@ -160,11 +166,13 @@ object TextIndex {
     spark.read.parquet(s"$srcPath/postings")
       .filter(col("shard") < nShards)
       .withColumn("shard", lit(0))
+      .hint("rebalance", col("shard"), col("bucket"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("shard", "bucket")
       .parquet(s"$dstPath/postings")
     spark.read.parquet(s"$dstPath/postings")
       .groupBy("word", "bucket").agg(count(lit(1)).as("dfreq"))
       .withColumn("shard", lit(0))
+      .hint("rebalance", col("shard"), col("bucket"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("shard", "bucket")
       .parquet(s"$dstPath/dfreq")
     writeManifest(spark, dstPath, m("numBuckets").toInt, 1, m("n_docs"), m("sum_dl"))

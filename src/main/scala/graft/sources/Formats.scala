@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink formats beyond parquet — the ingest/egress surface a
@@ -74,10 +75,20 @@ object Formats {
     * directories (the scan's `PartitionFilters`, not a row filter).
     * Partition by LOW-cardinality columns only (split, language, date):
     * a high-cardinality partition column makes one tiny file per value,
-    * the classic small-files failure. */
+    * the classic small-files failure.
+    *
+    * The write REBALANCES on the partition columns first: without it,
+    * every upstream task holding rows of k partition values opens k
+    * files, so a 32-task aggregate feeding a 16-value partition column
+    * shreds into up to 512 near-empty files per write — and every
+    * later read pays the listing and open cost. REBALANCE routes each
+    * partition value to one task (AQE coalesces the tiny ones and
+    * splits oversized ones at `advisoryPartitionSizeInBytes`), so file
+    * count tracks data size instead of task count at every scale. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       mode: SaveMode = SaveMode.ErrorIfExists): Unit =
-    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+    df.hint("rebalance", partitionCols.map(col): _*)
+      .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
