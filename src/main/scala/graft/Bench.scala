@@ -161,7 +161,12 @@ object Bench {
       (times.result(), externalCores)
     }
 
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (NOT set by the driver): restrict the sweep
+    // to named queries to reproduce bench methodology on one gate
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val (ts, ext) = runQuery(name, fn, reps)
       (name, fn, ts, ext)
     }
@@ -192,6 +197,19 @@ object Bench {
         if (merged.nonEmpty) merged.max else -1.0, merged.nonEmpty, ext2)
     }
     val loadAfter = loadavg()
+    // JIT health telemetry: a 258-query sweep generates thousands of
+    // codegen classes; if the JVM code cache fills, compilation stops
+    // and later queries run interpreted (a silent suite-wide slowdown
+    // min-of-reps cannot escape). Surfaced so the artifact carries the
+    // evidence either way.
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap")).foreach { p =>
+          System.err.println(f"[bench] ${p.getName}: used ${p.getUsage.getUsed / 1e6}%.0f MB" +
+            f" / max ${p.getUsage.getMax / 1e6}%.0f MB")
+        }
+    } catch { case _: Exception => () }
     // the artifact-level flag is SPREAD-AWARE (r11 lesson: a run beside
     // memory-bandwidth/page-cache interference showed max/min rep
     // spreads of 9-12× while external-CPU accounting stayed quiet —
