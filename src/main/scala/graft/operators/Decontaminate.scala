@@ -218,10 +218,18 @@ object Decontaminate {
     val spark = benchmark.sparkSession
     val benchHs = Materialize(Dedup.shingleHashRows(benchmark, idCol, textCol, shingleLen)
       .select("h").distinct())
-    val bloom = benchHs.stat.bloomFilter("h", math.max(1L, benchHs.count()), fpp)
     val (fs, mPath) = fsAt(spark, s"$path/$BloomManifestFile")
     if (fs.exists(mPath)) fs.delete(mPath, false)
-    benchHs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/hashes")
+    // the Bloom tree-aggregate and the exact-relation write both read
+    // the materialized hash set and are independent — overlap them
+    // (guide §2.6); the manifest still commits only after both land
+    val bloomOut = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.util.sketch.BloomFilter]()
+    Par.jobs(
+      () => bloomOut.set(
+        benchHs.stat.bloomFilter("h", math.max(1L, benchHs.count()), fpp)),
+      () => benchHs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/hashes"))
+    val bloom = bloomOut.get()
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/bloom.bin"), true)
     try bloom.writeTo(out) finally out.close()
     val m = fs.create(mPath, true)

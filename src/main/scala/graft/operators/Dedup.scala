@@ -251,8 +251,20 @@ object Dedup {
     * once here. */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, k: Int = 16, bands: Int = 4): DedupIndex = {
-    val cMd = corpus.select(md5(col(textCol)).as("m"), col(idCol).as("cid"))
-    val cHs = Materialize(shingleHashes30(corpus, idCol, textCol, shingleLen))
+    // ONE corpus-text pass (guide §1.2 — don't compute things twice):
+    // md5 and shingle hashes ride the same materialized scan. The md5
+    // relation keeps EVERY doc (the exact tier matches empty/shingle-
+    // less texts too); the hs relation drops shingle-less docs exactly
+    // as shingleHashes30 does. Previously the md5 relation re-scanned
+    // the corpus text beside the materialized shingle pass — at 100 TB
+    // that is a second full-corpus read for one cheap column.
+    val base = Materialize(spread(corpus).select(
+      col(idCol).as("id"), md5(col(textCol)).as("m"),
+      array_distinct(transform(
+        graft.plans.ShingleHash60(words(col(textCol)), shingleLen),
+        h => h % lit(1073741824L))).as("hs")))
+    val cMd = base.select(col("m"), col("id").as("cid"))
+    val cHs = base.filter(size(col("hs")) > 0).select("id", "hs")
     DedupIndex(cMd, cHs, minhashBandRows(cHs, k, bands), IndexParams(shingleLen, k, bands))
   }
 
@@ -315,9 +327,14 @@ object Dedup {
     // 32-task aggregate output to data-sized files instead of one
     // near-empty file per task; bands get the per-partition-value
     // rebalance inside writePartitioned)
-    index.md5.hint("rebalance").write.mode(mode).parquet(s"$path/md5")
-    index.hs.hint("rebalance").write.mode(mode).parquet(s"$path/hs")
-    graft.sources.Formats.writePartitioned(index.bands, s"$path/bands", Seq("band_id"), mode)
+    // the three relation jobs are independent (distinct subdirectories,
+    // shared MATERIALIZED upstream) — run them concurrently (guide §2.6)
+    // so each small job's scheduling/commit tail back-fills the others;
+    // the manifest below still commits only after ALL of them land
+    Par.jobs(
+      () => index.md5.hint("rebalance").write.mode(mode).parquet(s"$path/md5"),
+      () => index.hs.hint("rebalance").write.mode(mode).parquet(s"$path/hs"),
+      () => graft.sources.Formats.writePartitioned(index.bands, s"$path/bands", Seq("band_id"), mode))
     val out = fs.create(mPath, true)
     try {
       val p = index.params

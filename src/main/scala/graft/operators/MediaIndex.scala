@@ -40,8 +40,13 @@ object MediaIndex {
     * nibble-aligned cuts (pigeonhole-complete at that radius). */
   def build(hashes: DataFrame, idCol: String, hexCol: String, radius: Int): Index = {
     require(radius >= 0 && radius <= 63, s"radius must be in [0, 63], got $radius")
-    val h = hashes.select(col(idCol).cast("long").as("id"), lower(col(hexCol)).as("pdq_hex"))
-      .filter(col("pdq_hex").isNotNull)
+    // materialized: the upstream is typically a media DECODE+PDQ pass
+    // (the expensive leg) feeding BOTH relations — without the cut the
+    // bands write re-decodes every image the hashes write just hashed
+    // (guide §1.2: don't compute things twice)
+    val h = Materialize(
+      hashes.select(col(idCol).cast("long").as("id"), lower(col(hexCol)).as("pdq_hex"))
+        .filter(col("pdq_hex").isNotNull))
     val bands = h.select(col("pdq_hex"), explode(hexBands(col("pdq_hex"), radius + 1)).as("b"))
       .select(col("pdq_hex"), col("b.band_id"), col("b.band"))
       .distinct()
@@ -80,8 +85,11 @@ object MediaIndex {
         s"cannot append a ${index.params} index onto one built with $prior at $path")
     }
     if (existing.isDefined) hfs.delete(mPath, false)
-    index.hashes.write.mode(mode).parquet(s"$path/hashes")
-    graft.sources.Formats.writePartitioned(index.bands, s"$path/bands", Seq("band_id"), mode)
+    // independent relation jobs run concurrently (guide §2.6); the
+    // manifest below still commits only after BOTH land
+    Par.jobs(
+      () => index.hashes.write.mode(mode).parquet(s"$path/hashes"),
+      () => graft.sources.Formats.writePartitioned(index.bands, s"$path/bands", Seq("band_id"), mode))
     val out = hfs.create(mPath, true)
     try out.write(s"radius=${index.params.radius}\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

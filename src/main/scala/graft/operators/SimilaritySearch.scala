@@ -405,8 +405,12 @@ object SimilaritySearch {
     * nprobe directories (partition pruning), never the full corpus. */
   def writeIvfIndex(index: IvfIndex, path: String,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
-    index.centroids.write.mode(mode).parquet(s"$path/centroids")
-    graft.sources.Formats.writePartitioned(index.cells, s"$path/cells", Seq("cell"), mode)
+    // independent relation jobs, distinct subdirectories — overlap them
+    // (guide §2.6) so the tiny centroids write doesn't serialize ahead
+    // of the corpus-sized cells job
+    Par.jobs(
+      () => index.centroids.write.mode(mode).parquet(s"$path/centroids"),
+      () => graft.sources.Formats.writePartitioned(index.cells, s"$path/cells", Seq("cell"), mode))
   }
 
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
@@ -776,9 +780,11 @@ object SimilaritySearch {
     * relation that is already m·log2(ksub) bits per vector. */
   def writeIvfPqIndex(index: IvfPqIndex, path: String,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
-    index.centroids.write.mode(mode).parquet(s"$path/centroids")
-    index.books.write.mode(mode).parquet(s"$path/books")
-    graft.sources.Formats.writePartitioned(index.codes, s"$path/codes", Seq("cell"), mode)
+    // three independent relation jobs — overlap them (guide §2.6)
+    Par.jobs(
+      () => index.centroids.write.mode(mode).parquet(s"$path/centroids"),
+      () => index.books.write.mode(mode).parquet(s"$path/books"),
+      () => graft.sources.Formats.writePartitioned(index.codes, s"$path/codes", Seq("cell"), mode))
   }
 
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex =

@@ -109,17 +109,25 @@ object TextIndex {
       .write.mode(SaveMode.Append).partitionBy("shard", "bucket")
       .parquet(s"$path/postings")
     // dfreq derives from the WRITTEN postings so the two relations can
-    // never disagree (and the corpus tokenize still happens only once)
-    spark.read.parquet(s"$path/postings").filter(col("shard") === shard)
-      .groupBy("word", "bucket").agg(count(lit(1)).as("dfreq"))
-      .withColumn("shard", lit(shard))
-      .hint("rebalance", col("shard"), col("bucket"))
-      .write.mode(SaveMode.Append).partitionBy("shard", "bucket")
-      .parquet(s"$path/dfreq")
-    val Array(nDocs, sumDl) = withDl
-      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
-      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
-    (nDocs, sumDl)
+    // never disagree (and the corpus tokenize still happens only once).
+    // The dfreq write and the corpus-constants collect are independent
+    // once the postings job has landed — overlap them (guide §2.6)
+    val stats = new Array[Long](2)
+    Par.jobs(
+      () => spark.read.parquet(s"$path/postings").filter(col("shard") === shard)
+        .groupBy("word", "bucket").agg(count(lit(1)).as("dfreq"))
+        .withColumn("shard", lit(shard))
+        .hint("rebalance", col("shard"), col("bucket"))
+        .write.mode(SaveMode.Append).partitionBy("shard", "bucket")
+        .parquet(s"$path/dfreq"),
+      () => {
+        val r = withDl
+          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+          .collect().head
+        stats(0) = r.getLong(0)
+        stats(1) = r.getLong(1)
+      })
+    (stats(0), stats(1))
   }
 
   /** Build and commit the index (shard 0). One tokenize pass; postings
